@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Session factory with the engine's standard configuration.
+ *
+ * Scale posture: AQE on (runtime re-plan, skew-join splitting, partition
+ * coalescing), shuffle partitions sized for the local harness (on a real
+ * cluster this is `2-3 × totalCores` or left to AQE's
+ * `spark.sql.adaptive.coalescePartitions`), UTC everywhere for oracle
+ * parity, and nanos-as-long so TIMESTAMP(NANOS) parquet (the `events`
+ * table) is readable.
+ */
+object GraftSession {
+
+  def builder(master: String = null,
+              shufflePartitions: Int = defaultShufflePartitions)
+      : SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftSparkExtension")
+    if (master != null) b.master(master) else b
+  }
+
+  def defaultShufflePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  /** Local session for mains/tests: local[cpus] with matching shuffle width. */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM per `sbt test` fork). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has runnable plan at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, TestSpark.sfDir)
+      assert(df.columns.nonEmpty, s"$name has empty schema")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val qs = SparkEntry.queries.keySet
+    val extra = SparkEntry.oracleSql.keySet -- qs
+    assert(extra.isEmpty, s"oracleSql keys without queries: $extra")
+  }
+
+  test("queries produce data (not degenerate empty results) at sf0.001") {
+    // every hashed comparison is meaningless on empty results; make sure
+    // the filters actually select data at the smallest SF
+    val nonEmpty = Seq("q1_pricing_summary", "q3_shipping_priority",
+      "q5_local_supplier", "q6_revenue_delta", "q10_returned_items",
+      "q_events_daily", "q_window_top_parts")
+    nonEmpty.foreach { name =>
+      assert(SparkEntry.queries(name)(spark, TestSpark.sfDir).count() > 0,
+        s"$name returned 0 rows at sf0.001")
+    }
+  }
+}
