@@ -1,0 +1,19 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+
+/** Resolve user-given column names against a DataFrame schema using the
+  * session's resolver (case-insensitive by default), returning the
+  * canonical (schema-cased) names. Reference analogue:
+  * util/ResolverUtils.scala:44-104 (minus nested-column flattening). */
+object ColumnResolver {
+  def resolveAll(df: DataFrame, names: Seq[String]): Seq[String] = {
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    val fields = df.schema.fields.map(_.name)
+    names.map { n =>
+      fields.find(f => resolver(f, n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"Column '$n' not found in schema ${df.schema.simpleString}"))
+    }
+  }
+}

@@ -1,0 +1,25 @@
+package graft.index
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine configuration (reference: util/HyperspaceConf.scala). */
+object GraftConf {
+  val SystemPathKey = "spark.graft.index.systemPath"
+  val NumBucketsKey = "spark.graft.index.numBuckets"
+  val LineageKey = "spark.graft.index.lineage.enabled"
+  val ApplyEnabledKey = "spark.graft.index.apply.enabled"
+
+  def systemPath(spark: SparkSession): String =
+    spark.conf.getOption(SystemPathKey).getOrElse(
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft/indexes")
+
+  def numBuckets(spark: SparkSession): Int =
+    spark.conf.getOption(NumBucketsKey).map(_.toInt).getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+
+  def lineageEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(LineageKey).exists(_.toBoolean)
+
+  def applyEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(ApplyEnabledKey).forall(_.toBoolean)
+}

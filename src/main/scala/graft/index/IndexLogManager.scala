@@ -1,0 +1,110 @@
+package graft.index
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s.{Formats, ShortTypeHints}
+import org.json4s.jackson.Serialization
+
+import graft.index.covering.CoveringIndexDescriptor
+import graft.index.dataskipping.DataSkippingIndexDescriptor
+import graft.index.zorder.ZOrderIndexDescriptor
+
+/** JSON codec for the metadata log. Polymorphic descriptors use a short
+  * class-name discriminator (like the reference's Jackson `type` property,
+  * index/Index.scala:31). */
+object JsonCodec {
+  implicit val formats: Formats = Serialization.formats(ShortTypeHints(List(
+    classOf[CoveringIndexDescriptor],
+    classOf[ZOrderIndexDescriptor],
+    classOf[DataSkippingIndexDescriptor]), "type"))
+
+  def write(entry: IndexLogEntry): String = Serialization.write(entry)
+  def read(json: String): IndexLogEntry = Serialization.read[IndexLogEntry](json)
+}
+
+/**
+ * File-system-backed, optimistically-concurrent metadata log
+ * (reference: index/IndexLogManager.scala:57-152).
+ *
+ * Layout: `<indexRoot>/_graft_log/<id>` (numbered JSON entries) plus
+ * `<indexRoot>/_graft_log/latestStable`. Writes use create-no-overwrite:
+ * two concurrent writers race on the same id and the loser fails — the
+ * same optimistic-concurrency contract as the reference (works on any
+ * Hadoop FileSystem with atomic create semantics).
+ */
+final class IndexLogManager(indexRoot: Path, hadoopConf: Configuration) {
+  private val logDir = new Path(indexRoot, "_graft_log")
+  private def fs: FileSystem = logDir.getFileSystem(hadoopConf)
+
+  private def idPath(id: Long) = new Path(logDir, id.toString)
+  private val latestStablePath = new Path(logDir, "latestStable")
+
+  private def readPath(p: Path): Option[IndexLogEntry] = {
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      val sb = new StringBuilder
+      var line = reader.readLine()
+      while (line != null) { sb.append(line).append('\n'); line = reader.readLine() }
+      Some(JsonCodec.read(sb.toString))
+    } finally in.close()
+  }
+
+  def getLog(id: Long): Option[IndexLogEntry] = readPath(idPath(id))
+
+  def getLatestId: Option[Long] = {
+    if (!fs.exists(logDir)) return None
+    val ids = fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.forall(_.isDigit))
+      .map(_.toLong)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  def getLatestLog: Option[IndexLogEntry] = getLatestId.flatMap(getLog)
+
+  def getLatestStableLog: Option[IndexLogEntry] = {
+    val fromMarker = readPath(latestStablePath)
+      .filter(e => IndexState.stable.contains(e.state))
+    fromMarker.orElse {
+      // fall back to scanning backwards (marker write is best-effort)
+      getLatestId.flatMap { latest =>
+        (latest to 0L by -1).iterator
+          .flatMap(getLog(_))
+          .find(e => IndexState.stable.contains(e.state))
+      }
+    }
+  }
+
+  /** Create-if-absent write; returns false if the id already exists
+    * (optimistic concurrency loser). */
+  def writeLog(id: Long, entry: IndexLogEntry): Boolean = {
+    if (fs.exists(idPath(id))) return false
+    try {
+      val out = fs.create(idPath(id), /*overwrite=*/ false)
+      try out.write(JsonCodec.write(entry.copy(id = id)).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (IndexState.stable.contains(entry.state)) {
+        // refresh the latestStable marker (non-atomic is fine: readers fall
+        // back to a backwards scan)
+        try {
+          val tmp = new Path(logDir, s".latestStable.tmp${System.nanoTime()}")
+          val o = fs.create(tmp, true)
+          try o.write(JsonCodec.write(entry.copy(id = id)).getBytes(StandardCharsets.UTF_8))
+          finally o.close()
+          fs.delete(latestStablePath, false)
+          fs.rename(tmp, latestStablePath)
+        } catch { case NonFatal(_) => () }
+      }
+      true
+    } catch {
+      case NonFatal(_) => false
+    }
+  }
+}

@@ -1,0 +1,219 @@
+package graft.index
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Index lifecycle manager: create / delete / restore / vacuum / refresh /
+ * optimize / list (reference: Hyperspace.scala:27-193 +
+ * index/IndexCollectionManager.scala + the actions package).
+ *
+ * Action FSM (reference actions/Action.scala:49-105): each mutation writes
+ * `<in-flight state>` at log id N+1, runs the op, then writes the stable
+ * state at N+2. Log writes are create-if-absent, so concurrent writers
+ * race on the id and the loser throws.
+ */
+final class IndexManager(spark: SparkSession) {
+
+  private def hadoopConf = spark.sessionState.newHadoopConf()
+
+  def indexRoot(name: String): Path =
+    new Path(GraftConf.systemPath(spark), name)
+
+  def logManager(name: String): IndexLogManager =
+    new IndexLogManager(indexRoot(name), hadoopConf)
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  private def dataVersionPath(name: String, v: Int): Path =
+    new Path(indexRoot(name), s"v__$v")
+
+  /** Recursively list data files under a version dir (skips hidden/marker). */
+  private def listDataFiles(dir: Path, tracker: FileIdTracker): Seq[FileMeta] = {
+    val f = fs(dir)
+    if (!f.exists(dir)) return Nil
+    val it = f.listFiles(dir, /*recursive=*/ true)
+    val buf = Seq.newBuilder[FileMeta]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        val id = tracker.addOrGet(s.getPath.toString, s.getLen, s.getModificationTime)
+        buf += FileMeta(s.getPath.toString, s.getLen, s.getModificationTime, id)
+      }
+    }
+    buf.result()
+  }
+
+  // ------------------------------------------------------------- create
+
+  def create(df: DataFrame, config: IndexConfig): IndexLogEntry =
+    GraftRuleGuard.withRuleDisabled {
+      val name = config.indexName
+      val log = logManager(name)
+      log.getLatestStableLog.foreach { e =>
+        require(e.state != IndexState.Active,
+          s"Index '$name' already exists (state=${e.state}); delete it first")
+      }
+      val baseId = log.getLatestId.getOrElse(-1L)
+      val tracker = new FileIdTracker
+      val relations = SourceRelation.captureAll(df, tracker)
+      val descriptor = config.toDescriptor(df)
+
+      val version = nextVersion(name)
+      val dataPath = dataVersionPath(name, version)
+      val creating = IndexLogEntry(name, descriptor,
+        ContentMeta(dataPath.toString, Nil), relations,
+        IndexState.Creating, baseId + 1, System.currentTimeMillis())
+      require(log.writeLog(baseId + 1, creating),
+        s"Concurrent modification of index '$name' (log id ${baseId + 1})")
+
+      val ctx = IndexBuildContext(spark, dataPath.toString, tracker)
+      val built = descriptor.build(ctx, df)
+      val content = ContentMeta(dataPath.toString, listDataFiles(dataPath, tracker))
+      val active = creating.copy(descriptor = built, content = content,
+        state = IndexState.Active, id = baseId + 2,
+        timestamp = System.currentTimeMillis(),
+        properties = Map("dataVersion" -> version.toString))
+      require(log.writeLog(baseId + 2, active),
+        s"Concurrent modification of index '$name' (log id ${baseId + 2})")
+      active
+    }
+
+  private def nextVersion(name: String): Int = {
+    val root = indexRoot(name)
+    val f = fs(root)
+    if (!f.exists(root)) return 0
+    val existing = f.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v__")).map(_.stripPrefix("v__").toInt)
+    if (existing.isEmpty) 0 else existing.max + 1
+  }
+
+  // -------------------------------------------------- state transitions
+
+  private def transition(name: String, from: Set[String],
+      inFlight: String, to: String)(
+      op: IndexLogEntry => IndexLogEntry): IndexLogEntry =
+    GraftRuleGuard.withRuleDisabled {
+      val log = logManager(name)
+      val latest = log.getLatestStableLog.getOrElse(
+        throw new NoSuchElementException(s"Index '$name' does not exist"))
+      require(from.contains(latest.state),
+        s"Index '$name' is ${latest.state}; expected one of $from")
+      val baseId = log.getLatestId.getOrElse(-1L)
+      require(log.writeLog(baseId + 1,
+        latest.copy(state = inFlight, id = baseId + 1,
+          timestamp = System.currentTimeMillis())),
+        s"Concurrent modification of index '$name'")
+      val updated = op(latest)
+      val fin = updated.copy(state = to, id = baseId + 2,
+        timestamp = System.currentTimeMillis())
+      require(log.writeLog(baseId + 2, fin),
+        s"Concurrent modification of index '$name'")
+      fin
+    }
+
+  /** Soft delete: data stays, optimizer ignores the index. */
+  def delete(name: String): Unit =
+    transition(name, Set(IndexState.Active), IndexState.Deleting,
+      IndexState.Deleted)(identity)
+
+  /** Undo a soft delete. */
+  def restore(name: String): Unit =
+    transition(name, Set(IndexState.Deleted), IndexState.Restoring,
+      IndexState.Active)(identity)
+
+  /** Hard delete of a soft-deleted index (removes all files + log), or —
+    * when ACTIVE — removes outdated data versions only. */
+  def vacuum(name: String): Unit = {
+    val log = logManager(name)
+    val latest = log.getLatestStableLog.getOrElse(
+      throw new NoSuchElementException(s"Index '$name' does not exist"))
+    val root = indexRoot(name)
+    if (latest.state == IndexState.Deleted) {
+      fs(root).delete(root, true)
+    } else if (latest.state == IndexState.Active) {
+      val current = new Path(latest.content.root).getName
+      val f = fs(root)
+      f.listStatus(root).toSeq
+        .filter(s => s.getPath.getName.startsWith("v__") &&
+          s.getPath.getName != current)
+        .foreach(s => f.delete(s.getPath, true))
+    }
+  }
+
+  /** Full refresh: rebuild index data from the current source files. */
+  def refreshFull(name: String): Unit =
+    transition(name, Set(IndexState.Active), IndexState.Refreshing,
+      IndexState.Active) { latest =>
+      val tracker = new FileIdTracker
+      latest.sourceFiles.foreach(tracker.addKnown)
+      val source = readSource(latest)
+      val relations = SourceRelation.captureAll(source, tracker)
+      val version = nextVersion(name)
+      val dataPath = dataVersionPath(name, version)
+      val ctx = IndexBuildContext(spark, dataPath.toString, tracker)
+      val built = latest.descriptor.build(ctx, source)
+      latest.copy(descriptor = built,
+        content = ContentMeta(dataPath.toString, listDataFiles(dataPath, tracker)),
+        relations = relations,
+        properties = latest.properties + ("dataVersion" -> version.toString))
+    }
+
+  /** Reconstruct the source DataFrame from logged relation metadata
+    * (reference: actions/RefreshActionBase.scala:54-130). */
+  def readSource(entry: IndexLogEntry): DataFrame = {
+    val r = entry.relations.head
+    spark.read
+      .schema(DataType.fromJson(r.schemaJson).asInstanceOf[StructType])
+      .format(r.format)
+      .options(r.options.filter { case (k, _) => k.toLowerCase != "path" })
+      .load(r.rootPaths: _*)
+  }
+
+  // ------------------------------------------------------------ listing
+
+  def getIndexes(states: Set[String] = Set(IndexState.Active)): Seq[IndexLogEntry] = {
+    val sysPath = new Path(GraftConf.systemPath(spark))
+    val f = fs(sysPath)
+    if (!f.exists(sysPath)) return Nil
+    f.listStatus(sysPath).toSeq.filter(_.isDirectory).flatMap { d =>
+      logManager(d.getPath.getName).getLatestStableLog
+    }.filter(e => states.contains(e.state))
+  }
+
+  /** User-facing catalog view of all indexes. */
+  def indexes: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("kind", StringType),
+      StructField("indexedColumns", ArrayType(StringType)),
+      StructField("referencedColumns", ArrayType(StringType)),
+      StructField("numIndexFiles", IntegerType),
+      StructField("indexSizeBytes", LongType),
+      StructField("state", StringType),
+      StructField("indexLocation", StringType)))
+    val rows = getIndexes(IndexState.stable + IndexState.Creating).map { e =>
+      Row(e.name, e.descriptor.kind, e.descriptor.indexedColumns,
+        e.descriptor.referencedColumns, e.content.files.size,
+        e.content.totalSize, e.state, e.content.root)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}
+
+/** Thread-local guard so maintenance jobs never trigger the optimizer rule
+  * on themselves (reference: ApplyHyperspace.scala:43-47,68-75). */
+object GraftRuleGuard {
+  private val disabled = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+  def isDisabled: Boolean = disabled.get()
+  def withRuleDisabled[T](body: => T): T = {
+    val prev = disabled.get()
+    disabled.set(true)
+    try body finally disabled.set(prev)
+  }
+}
