@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+import graft.queries.TextPrimitives._
+
+/**
+ * Deduplication operators over `documents`: exact, n-gram Jaccard,
+ * MinHash+LSH, and SimHash.
+ *
+ * Scale design (the point of each variant):
+ *  - exact: hash-groupBy on a digest — one shuffle on md5(text), no skew
+ *    (digests are uniform).
+ *  - ngram-jaccard: inverted-index self-join on shingle (shuffle on
+ *    shingle hash), then pair-count aggregation. Exact but O(sum of
+ *    per-shingle doc-frequency^2) — the correctness baseline.
+ *  - minhash-lsh: the 100 TB path. Constant-size signature per doc
+ *    (16 permutations), band-bucket join (4 bands x 4 rows) produces
+ *    candidates ∝ true near-dups instead of all shingle co-occurrences;
+ *    candidates are then verified with exact Jaccard. Band keys are
+ *    uniform hashes → no join skew.
+ *  - simhash: constant-size 60-bit fingerprint per doc; near-dup lookup
+ *    becomes a fingerprint-equality (or small-Hamming-ball) join.
+ *
+ * Everything is expression-level (codegen'd); no UDFs.
+ */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+  /** Exact dedup via content digest: per-source doc counts before/after. */
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.select(col("source"), col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("digest")).as("n_unique"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
+  val qDedupExactSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      | COUNT(DISTINCT md5(text)) AS n_unique,
+      | MIN(doc_id) AS first_doc
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------- ngram jaccard
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
+  def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sh = docs
+      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("inter").cast(DoubleType) /
+          (col("s1.n") + col("s2.n") - col("inter")).cast(DoubleType))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val qNgramJaccardSql: String = {
+    val sh = sqlShingles3(sqlTokens("text"))
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($sh) AS sh FROM documents),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, inter,
+       |  CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sizes s1 ON d1 = s1.doc_id
+       |JOIN sizes s2 ON d2 = s2.doc_id
+       |WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.8
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  // --------------------------------------------------------- minhash lsh
+  /** MinHash+LSH candidate generation, then exact-Jaccard verification.
+    * Output = verified near-dup pairs found via the LSH path. */
+  def qMinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"),
+      shingleHashes(shingles3(tokens(col("text")))).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+    // 16-permutation signature, banded 4x4; band key = string of 4 minhashes
+    val bandCols = (0 until LshBands).map { b =>
+      val mins = (0 until LshRows).map(r => minHash(col("hs"), b * LshRows + r))
+      struct(lit(b).as("band"),
+        concat_ws(",", mins.map(_.cast("string")): _*).as("key")).as(s"b$b")
+    }
+    val bands = base.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+    // verify candidates with exact Jaccard over the shingle-hash sets
+    val verified = cand
+      .join(base.select(col("doc_id").as("d1"), col("hs").as("hs1")), "d1")
+      .join(base.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("hs1"), col("hs2"))).cast(LongType).as("inter"),
+        size(col("hs1")).cast(LongType).as("n1"),
+        size(col("hs2")).cast(LongType).as("n2"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast(DoubleType) /
+          (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
+    verified.filter(col("jaccard") >= 0.5).orderBy(col("d1"), col("d2"))
+  }
+
+  val qMinHashLshSql: String = {
+    val hs = sqlShingleHashes(sqlShingles3(sqlTokens("text")))
+    val bandRows = (0 until LshBands).map { b =>
+      val mins = (0 until LshRows)
+        .map(r => s"CAST(${sqlMinHash("hs", b * LshRows + r)} AS VARCHAR)")
+      s"SELECT doc_id, $b AS band, ${mins.mkString(" || ',' || ")} AS key FROM base"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+       |  SELECT doc_id, $hs AS hs FROM documents WHERE len($hs) > 0),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT d1, d2,
+       |    CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+       |    CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |      AS jaccard
+       |  FROM cand
+       |  JOIN base x ON cand.d1 = x.doc_id
+       |  JOIN base y ON cand.d2 = y.doc_id)
+       |SELECT d1, d2, jaccard FROM verified
+       |WHERE jaccard >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  // -------------------------------------------------------------- simhash
+  /** 60-bit SimHash per document over distinct token hashes, plus
+    * duplicate-fingerprint groups (docs sharing a simhash). */
+  def qSimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val hs = array_distinct(
+      transform(tokens(col("text")), t => tokenHash(t)))
+    // bit b of the fingerprint: majority vote of bit b over token hashes
+    val bitTerms: Seq[Column] = (0 until 60).map { b =>
+      val vote = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    docs.select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        bitTerms.reduce(_ + _).as("simhash"),
+        size(col("hs")).cast(LongType).as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSimHashSql: String = {
+    val bitTerms = (0 until 60).map { b =>
+      s"""CASE WHEN list_sum(list_transform(hs,
+         | h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         | THEN ${1L << b} ELSE 0 END""".stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(${sqlTokens("text")},
+       |      t -> ${sqlTokenHash("t")})) AS hs
+       |  FROM documents)
+       |SELECT doc_id, $bitTerms AS simhash,
+       |  CAST(len(hs) AS BIGINT) AS n_distinct_tokens
+       |FROM base
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "dedup_exact" -> (qDedupExact _, qDedupExactSql),
+    "dedup_ngram_jaccard" -> (qNgramJaccard _, qNgramJaccardSql),
+    "dedup_minhash_lsh" -> (qMinHashLsh _, qMinHashLshSql),
+    "dedup_simhash" -> (qSimHash _, qSimHashSql))
+}

@@ -8,5 +8,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   type Entry = ((SparkSession, String) => DataFrame, String)
 
-  def all: Map[String, Entry] = Relational.entries
+  def all: Map[String, Entry] =
+    Relational.entries ++ TextOps.entries ++ Dedup.entries ++ Similarity.entries
 }

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+
+/**
+ * Similarity search over the `embeddings` table (64-dim float vectors).
+ *
+ * Determinism contract: both engines cast float -> double (exact), then
+ * compute dot products as a strict left fold in array order (Spark
+ * `aggregate`, DuckDB `list_reduce`) — bit-identical IEEE doubles, so
+ * scores, thresholds and rank orders agree exactly with the oracle.
+ *
+ * Scale design:
+ *  - brute-force top-k: the query side is a tiny filtered set, broadcast
+ *    against the full corpus — a map-only pass over the big side plus a
+ *    per-query top-k (window over qid). At 100 TB the corpus side stays
+ *    partition-parallel; no shuffle of the corpus itself.
+ *  - sign-LSH: each vector gets a 16-bit bucket from fixed pseudo-random
+ *    hyperplanes (constant-size signature, computed in a map stage).
+ *    Near-dup candidates come from a bucket-equality join — shuffle on
+ *    uniform bucket keys instead of an O(N^2) cross join. This is the
+ *    ANN path that survives 1000x data growth.
+ */
+object Similarity {
+
+  /** Query subset: one in 10 vectors probes the corpus. */
+  private val QueryMod = 10
+
+  // ---------------------------------------------------------- primitives
+
+  /** Strict left-fold dot product of two double arrays (codegen'd). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def toDouble(c: Column): Column = c.cast("array<double>")
+
+  /** DuckDB twin of [[dot]]: zip + transform + sequential reduce. */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       | p -> p[1] * p[2]), (acc, v) -> acc + v)"""
+      .stripMargin.replaceAll("\n", " ")
+
+  // ----------------------------------------------------- brute-force topk
+  /** Exact cosine top-5 neighbors for each query vector (qid % 10 == 0). */
+  def qBruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val joined = broadcast(queries).crossJoin(
+        emb.select(col("vec_id").as("nid"), col("v").as("nv")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("nv"), col("nv")))))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    joined.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qBruteForceTopKSql: String = {
+    val d = sqlDot("q.v", "n.v")
+    val nq = sqlDot("q.v", "q.v")
+    val nn = sqlDot("n.v", "n.v")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % $QueryMod = 0),
+       |n AS (SELECT vec_id AS nid, v FROM e),
+       |scored AS (
+       |  SELECT qid, nid, $d / (sqrt($nq) * sqrt($nn)) AS cosine
+       |  FROM q, n WHERE qid <> nid),
+       |ranked AS (
+       |  SELECT qid, nid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, nid, rank, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  // ------------------------------------------------------------ sign LSH
+  /** Number of hyperplanes = bucket bits. */
+  private val LshBits = 12
+
+  /** Fixed pseudo-random hyperplane component: integer in [-8, 8]. */
+  private def plane(j: Int, i: Int): Int =
+    ((1000003 * (j * 64 + i) + 12345) % 17 + 17) % 17 - 8
+
+  /** Sign-LSH bucket id of a double-array column (16-bit int as long). */
+  private def lshBucket(v: Column): Column = {
+    val terms: Seq[Column] = (0 until LshBits).map { j =>
+      // dot(v, plane_j) as strict fold over element index
+      val proj = aggregate(
+        zip_with(v,
+          array((0 until 64).map(i => lit(plane(j, i).toDouble)): _*),
+          (x, p) => x * p),
+        lit(0.0), (acc, t) => acc + t)
+      when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }
+    terms.reduce(_ + _)
+  }
+
+  private def sqlLshBucket(vExpr: String): String =
+    (0 until LshBits).map { j =>
+      val planes = (0 until 64).map(i => s"${plane(j, i)}.0").mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_transform(list_zip($vExpr, $planes),
+         | p -> p[1] * p[2]), (acc, t) -> acc + t) > 0.0
+         | THEN ${1L << j} ELSE 0 END""".stripMargin.replaceAll("\n", " ")
+    }.mkString("(", " + ", ")")
+
+  /** Bucket histogram: how the corpus spreads over sign-LSH buckets. */
+  def qLshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        lshBucket(toDouble(col("embedding"))).as("bucket"))
+    emb.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("label")).as("n_labels"),
+        min(col("vec_id")).as("min_vec_id"))
+      .orderBy(col("bucket"))
+  }
+
+  val qLshBucketsSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label, ${sqlLshBucket("embedding::DOUBLE[]")} AS bucket
+       |  FROM embeddings)
+       |SELECT bucket, COUNT(*) AS n_vectors,
+       |  COUNT(DISTINCT label) AS n_labels, MIN(vec_id) AS min_vec_id
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------- embedding near-dup pairs
+  /** High-similarity pairs via banded sign-LSH: the 12-bit signature is
+    * split into 3 bands of 4 bits; vectors sharing ANY band bucket become
+    * candidates (OR-amplification, exactly like minhash banding), then
+    * exact cosine >= 0.2 verifies. Band keys are uniform → balanced join;
+    * band width scales with corpus size at 100 TB (more bits per band =
+    * fewer, more-precise candidates). */
+  private val NearDupBands = 3
+  private val NearDupBandBits = 4
+  private val NearDupThreshold = 0.2
+
+  def qEmbeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val mask = (1L << NearDupBandBits) - 1
+    val bandKeys = (0 until NearDupBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("bucket"), b * NearDupBandBits).bitwiseAND(lit(mask))
+          .as("key"))
+    }
+    val bands = emb.select(col("vec_id"), col("v"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("vec_id"), col("v"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    val verified = cand
+      .join(emb.select(col("vec_id").as("id1"), col("v").as("v1")), "id1")
+      .join(emb.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")
+      .select(col("id1"), col("id2"),
+        (dot(col("v1"), col("v2")) /
+          (sqrt(dot(col("v1"), col("v1"))) * sqrt(dot(col("v2"), col("v2")))))
+          .as("cosine"))
+    verified.filter(col("cosine") >= NearDupThreshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val qEmbeddingNearDupSql: String = {
+    val d = sqlDot("x.v", "y.v")
+    val nx = sqlDot("x.v", "x.v")
+    val ny = sqlDot("y.v", "y.v")
+    val mask = (1L << NearDupBandBits) - 1
+    val bandRows = (0 until NearDupBands).map { b =>
+      s"SELECT vec_id, $b AS band, (bucket >> ${b * NearDupBandBits}) & $mask AS key FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    ${sqlLshBucket("embedding::DOUBLE[]")} AS bucket
+       |  FROM embeddings),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+       |SELECT id1, id2, $d / (sqrt($nx) * sqrt($ny)) AS cosine
+       |FROM cand
+       |JOIN e x ON cand.id1 = x.vec_id
+       |JOIN e y ON cand.id2 = y.vec_id
+       |WHERE $d / (sqrt($nx) * sqrt($ny)) >= $NearDupThreshold
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "sim_brute_topk" -> (qBruteForceTopK _, qBruteForceTopKSql),
+    "sim_lsh_buckets" -> (qLshBuckets _, qLshBucketsSql),
+    "sim_embedding_neardup" -> (qEmbeddingNearDup _, qEmbeddingNearDupSql))
+}

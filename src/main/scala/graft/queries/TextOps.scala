@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+import graft.queries.TextPrimitives._
+
+/**
+ * Text-analysis operators over the `documents` table: token counting,
+ * quality scoring, language-ID heuristic, document fingerprinting.
+ *
+ * All of these are per-row array/scalar expressions — fully codegen'd, no
+ * UDFs, no shuffles except the final presentation sort. At 100 TB this is
+ * a pure map stage that scales linearly with input splits.
+ *
+ * Determinism: integer counts are exact; ratios are a single double
+ * division of exact ints (bit-identical across engines); fingerprints use
+ * order-independent folds (min / xor) so engine-internal list ordering
+ * can't matter.
+ */
+object TextOps {
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  // ------------------------------------------------------------ text stats
+  /** Per-document token counts + quality signals. */
+  def qTextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast(LongType)
+    val charSum = aggregate(transform(toks, t => length(t).cast(LongType)),
+      lit(0L), (a, x) => a + x)
+    val stopCnt = size(filter(toks,
+      t => t.isin(StopWords.map(_.asInstanceOf[Any]): _*))).cast(LongType)
+    val longCnt = size(filter(toks, t => length(t) >= 6)).cast(LongType)
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      nTok.as("n_tokens"),
+      length(col("text")).cast(LongType).as("n_chars_measured"),
+      charSum.as("sum_token_chars"),
+      (charSum.cast(DoubleType) / nTok.cast(DoubleType)).as("avg_token_len"),
+      stopCnt.as("n_stopwords"),
+      (stopCnt.cast(DoubleType) / nTok.cast(DoubleType)).as("stopword_ratio"),
+      (longCnt.cast(DoubleType) / nTok.cast(DoubleType)).as("long_token_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextStatsSql: String = {
+    val toks = sqlTokens("text")
+    val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, lang,
+       | len($toks) AS n_tokens,
+       | CAST(length(text) AS BIGINT) AS n_chars_measured,
+       | list_sum(list_transform($toks, t -> CAST(len(t) AS BIGINT))) AS sum_token_chars,
+       | CAST(list_sum(list_transform($toks, t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
+       |   / CAST(len($toks) AS DOUBLE) AS avg_token_len,
+       | CAST(len(list_filter($toks, t -> list_contains($stopList, t))) AS BIGINT) AS n_stopwords,
+       | CAST(len(list_filter($toks, t -> list_contains($stopList, t))) AS DOUBLE)
+       |   / CAST(len($toks) AS DOUBLE) AS stopword_ratio,
+       | CAST(len(list_filter($toks, t -> len(t) >= 6)) AS DOUBLE)
+       |   / CAST(len($toks) AS DOUBLE) AS long_token_ratio
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------- lang id
+  /** Marker-token language-ID heuristic + aggregate confusion counts.
+    * Deterministic argmax with a fixed tie-break order. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "is", "and", "of"),
+    "es" -> Seq("el", "la", "los", "es"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "zh" -> Seq("de", "shi", "le", "zai"))
+
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = tokens(col("text"))
+    def score(ws: Seq[String]): Column =
+      size(filter(toks, t => t.isin(ws.map(_.asInstanceOf[Any]): _*))).cast(LongType)
+    val scores = LangMarkers.map { case (l, ws) => l -> score(ws) }
+    // argmax with tie-break = declaration order (strictly-greater chain)
+    val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (l, s)) =>
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lit(l)).otherwise(bestLang))
+    }._2
+    docs.select(col("lang"), pred.as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  val qLangIdSql: String = {
+    def score(ws: Seq[String]): String = {
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(${sqlTokens("text")}, t -> list_contains($lst, t))) AS BIGINT)"
+    }
+    // same strictly-greater fold as the Spark side
+    val pred = LangMarkers.tail.foldLeft(
+      (score(LangMarkers.head._2), s"'${LangMarkers.head._1}'")) {
+      case ((bestScore, bestLang), (l, ws)) =>
+        val s = score(ws)
+        (s"CASE WHEN $s > $bestScore THEN $s ELSE $bestScore END",
+          s"CASE WHEN $s > $bestScore THEN '$l' ELSE $bestLang END")
+    }._2
+    s"""SELECT lang, $pred AS lang_pred, COUNT(*) AS n_docs
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // --------------------------------------------------------- fingerprint
+  /** Per-document fingerprint from 3-token shingle hashes: min-hash and
+    * xor-fold (both order-independent), plus shingle cardinality. */
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val hs = shingleHashes(shingles3(tokens(col("text"))))
+    docs.select(
+      col("doc_id"),
+      size(hs).cast(LongType).as("n_shingles"),
+      array_min(hs).as("fp_min"),
+      aggregate(hs, lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qFingerprintSql: String = {
+    val hs = sqlShingleHashes(sqlShingles3(sqlTokens("text")))
+    s"""SELECT doc_id,
+       | len($hs) AS n_shingles,
+       | list_min($hs) AS fp_min,
+       | list_reduce($hs, (a, x) -> xor(a, x)) AS fp_xor
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "text_stats" -> (qTextStats _, qTextStatsSql),
+    "text_lang_id" -> (qLangId _, qLangIdSql),
+    "text_fingerprint" -> (qFingerprint _, qFingerprintSql))
+}
