@@ -8,6 +8,7 @@ object GraftConf {
   val NumBucketsKey = "spark.graft.index.numBuckets"
   val LineageKey = "spark.graft.index.lineage.enabled"
   val ApplyEnabledKey = "spark.graft.index.apply.enabled"
+  val CacheTtlKey = "spark.graft.index.cache.ttlMs"
 
   def systemPath(spark: SparkSession): String =
     spark.conf.getOption(SystemPathKey).getOrElse(
@@ -22,4 +23,8 @@ object GraftConf {
 
   def applyEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption(ApplyEnabledKey).forall(_.toBoolean)
+
+  /** Metadata-log cache TTL; in-JVM mutations invalidate eagerly. */
+  def cacheTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption(CacheTtlKey).map(_.toLong).getOrElse(10000L)
 }

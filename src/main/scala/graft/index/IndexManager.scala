@@ -78,6 +78,7 @@ final class IndexManager(spark: SparkSession) {
         properties = Map("dataVersion" -> version.toString))
       require(log.writeLog(baseId + 2, active),
         s"Concurrent modification of index '$name' (log id ${baseId + 2})")
+      rules.IndexCatalog.invalidate(spark)
       active
     }
 
@@ -111,6 +112,7 @@ final class IndexManager(spark: SparkSession) {
         timestamp = System.currentTimeMillis())
       require(log.writeLog(baseId + 2, fin),
         s"Concurrent modification of index '$name'")
+      rules.IndexCatalog.invalidate(spark)
       fin
     }
 

@@ -1,0 +1,38 @@
+package graft.index.rules
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.index.{GraftConf, GraftRuleGuard}
+
+/**
+ * Optimizer entry point (reference: index/rules/ApplyHyperspace.scala:45-66).
+ * Injected once per session via [[graft.GraftSparkExtension]]; runs in the
+ * pre-CBO batch — i.e. once per query, on the operator-optimized plan,
+ * before join reordering and physical planning — the same position in the
+ * pipeline the reference targets with `extraOptimizations`.
+ *
+ * Fail-safe: any exception during index matching falls back to the
+ * original plan; acceleration is best-effort, correctness is Spark's.
+ */
+class ApplyGraft(spark: SparkSession) extends Rule[LogicalPlan] with Logging {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!GraftConf.applyEnabled(spark) || GraftRuleGuard.isDisabled) return plan
+    try {
+      val indexes = IndexCatalog.activeIndexes(spark)
+      if (indexes.isEmpty) return plan
+      val candidates = IndexCandidates.collect(spark, plan, indexes)
+      if (candidates.isEmpty) return plan
+      ScoreBasedOptimizer.optimize(spark, plan, candidates)
+    } catch {
+      case NonFatal(e) =>
+        logWarning(s"graft: index application failed, using original plan: $e")
+        plan
+    }
+  }
+}

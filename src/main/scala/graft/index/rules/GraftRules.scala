@@ -1,0 +1,269 @@
+package graft.index.rules
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+import graft.index.IndexLogEntry
+import graft.index.covering.CoveringIndexDescriptor
+
+/**
+ * Index-selection rule framework (reference: index/rules/HyperspaceRule.scala
+ * + ScoreBasedIndexPlanOptimizer.scala:31-81).
+ *
+ * A rule inspects a whole subtree; if an index applies it returns the
+ * rewritten subtree plus a score. The optimizer recurses top-down with
+ * memoization and keeps the highest-scoring rewrite; `NoOp` (recurse into
+ * children, sum scores) guarantees full traversal.
+ */
+trait GraftIndexRule {
+  def apply(
+      spark: SparkSession,
+      plan: LogicalPlan,
+      candidates: Map[LogicalRelation, Seq[IndexLogEntry]],
+      recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)]
+}
+
+object RuleScores {
+  /** Selection priors (reference: FilterIndexRule.scala:172,
+    * JoinIndexRule.scala:717-718, ZOrderFilterIndexRule.scala:151,
+    * ApplyDataSkippingIndex.scala:82). */
+  val FilterIndex = 50
+  val ZOrderFilterIndex = 60
+  val JoinIndexPerSide = 70
+  val DataSkipping = 1
+}
+
+/**
+ * Rewrites `Filter(cond, scan)` / `Project(_, Filter(cond, scan))` to scan
+ * a covering index when the filter references the index's head indexed
+ * column and the index covers every referenced column (reference:
+ * index/covering/FilterIndexRule.scala:33-174).
+ *
+ * The bucketSpec is NOT claimed on the substituted scan: a filter query
+ * gains nothing from `outputPartitioning` and bucketed reads cap scan
+ * parallelism at numBuckets.
+ */
+object FilterIndexRule extends GraftIndexRule {
+
+  override def apply(
+      spark: SparkSession,
+      plan: LogicalPlan,
+      candidates: Map[LogicalRelation, Seq[IndexLogEntry]],
+      recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
+    val (projectOpt, filter) = plan match {
+      case p @ Project(_, f: Filter) => (Some(p), f)
+      case f: Filter => (None, f)
+      case _ => return None
+    }
+    val rel = filter.child match {
+      case r: LogicalRelation if candidates.contains(r) => r
+      case _ => return None
+    }
+    if (!filter.condition.deterministic) return None
+
+    val needed: AttributeSet =
+      projectOpt.map(p => p.references ++ filter.references)
+        .getOrElse(filter.references ++ AttributeSet(filter.output))
+    val neededNames = needed.toSeq.map(_.name)
+    val filterNames = filter.condition.references.toSeq.map(_.name)
+    val resolver = spark.sessionState.conf.resolver
+
+    val applicable = candidates(rel).filter { e =>
+      e.descriptor match {
+        case d: CoveringIndexDescriptor =>
+          // head indexed column must appear in the filter, and the index
+          // must cover everything the subtree needs
+          filterNames.exists(n => resolver(n, d.indexedColumns.head)) &&
+            d.covers(neededNames)
+        case _ => false
+      }
+    }
+    if (applicable.isEmpty) return None
+
+    // smallest index wins (reference: FilterIndexRanker.scala:43-64)
+    val best = applicable.minBy(_.content.totalSize)
+    val newScan = ScanSubstitution.indexScan(spark, rel, best, useBucketSpec = false)
+    val rewrittenFilter = filter.copy(child = newScan)
+    val rewritten = projectOpt
+      .map(p => p.copy(child = rewrittenFilter): LogicalPlan)
+      .getOrElse {
+        // bare Filter: preserve the original output (index may carry more
+        // columns, e.g. included or lineage)
+        if (newScan.output.map(_.exprId) == filter.output.map(_.exprId)) rewrittenFilter
+        else Project(filter.output, rewrittenFilter)
+      }
+    Some((rewritten, RuleScores.FilterIndex))
+  }
+}
+
+/**
+ * Rewrites an inner equi-join so both sides scan covering indexes
+ * bucketed on the join keys — eliminating both shuffle exchanges for a
+ * sort-merge join (reference: index/covering/JoinIndexRule.scala:47-720).
+ *
+ * Eligibility (ported checks): plain inner join, no hints, condition is a
+ * conjunction of attribute equalities with a one-to-one left↔right
+ * mapping, both children linear Project/Filter-over-relation plans, and a
+ * pair of indexes bucketed identically on the paired keys that covers
+ * each side's referenced columns.
+ */
+object JoinIndexRule extends GraftIndexRule {
+
+  override def apply(
+      spark: SparkSession,
+      plan: LogicalPlan,
+      candidates: Map[LogicalRelation, Seq[IndexLogEntry]],
+      recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
+    val join = plan match {
+      case j @ Join(_, _, Inner, Some(_), hint) if hint == JoinHint.NONE => j
+      case _ => return None
+    }
+    val lRel = linearRelation(join.left, candidates).getOrElse(return None)
+    val rRel = linearRelation(join.right, candidates).getOrElse(return None)
+
+    val pairs = equiJoinPairs(join.condition.get, join.left.outputSet,
+      join.right.outputSet).getOrElse(return None)
+    if (pairs.isEmpty || !isOneToOne(pairs)) return None
+
+    val lNeeded = neededColumns(join.left)
+    val rNeeded = neededColumns(join.right)
+
+    val resolver = spark.sessionState.conf.resolver
+    // candidate pair: left index bucketed exactly on the left keys, right
+    // index bucketed on the correspondingly-permuted right keys, equal
+    // bucket counts (different counts would reintroduce a shuffle on one
+    // side; the reference repartitions the smaller side instead —
+    // JoinIndexRanker.scala:34-38 — a refinement that can come later).
+    val best = (for {
+      le <- covering(candidates(lRel)) if le._2.covers(lNeeded)
+      keyPerm <- permutationFor(le._2.indexedColumns, pairs.map(_._1), resolver).toSeq
+      rKeys = keyPerm.map(i => pairs(i)._2.name)
+      re <- covering(candidates(rRel))
+      if re._2.covers(rNeeded) &&
+        re._2.indexedColumns.size == rKeys.size &&
+        re._2.indexedColumns.zip(rKeys).forall { case (a, b) => resolver(a, b) } &&
+        le._2.numBuckets == re._2.numBuckets
+    } yield (le._1, re._1)).headOption.getOrElse(return None)
+
+    val (lEntry, rEntry) = best
+    val newLeft = substitute(spark, join.left, lRel,
+      ScanSubstitution.indexScan(spark, lRel, lEntry, useBucketSpec = true))
+    val newRight = substitute(spark, join.right, rRel,
+      ScanSubstitution.indexScan(spark, rRel, rEntry, useBucketSpec = true))
+    Some((join.copy(left = newLeft, right = newRight),
+      2 * RuleScores.JoinIndexPerSide))
+  }
+
+  /** The single file-based relation under a linear Project/Filter chain. */
+  private def linearRelation(
+      plan: LogicalPlan,
+      candidates: Map[LogicalRelation, Seq[IndexLogEntry]]): Option[LogicalRelation] =
+    plan match {
+      case r: LogicalRelation => candidates.get(r).map(_ => r)
+      case p: Project => linearRelation(p.child, candidates)
+      case f: Filter if f.condition.deterministic => linearRelation(f.child, candidates)
+      case _ => None
+    }
+
+  private def covering(entries: Seq[IndexLogEntry]): Seq[(IndexLogEntry, CoveringIndexDescriptor)] =
+    entries.collect {
+      case e if e.descriptor.isInstanceOf[CoveringIndexDescriptor] =>
+        (e, e.descriptor.asInstanceOf[CoveringIndexDescriptor])
+    }
+
+  /** All columns the subtree needs from its relation: everything it
+    * outputs plus everything its expressions reference. */
+  private def neededColumns(plan: LogicalPlan): Seq[String] = {
+    val refs = plan.collect { case p => p.references }.foldLeft(AttributeSet.empty)(_ ++ _)
+    (refs ++ plan.outputSet).toSeq.map(_.name).distinct
+  }
+
+  /** Split the condition into (leftAttr, rightAttr) equality pairs.
+    * Returns None on any non-equality / non-attribute conjunct. */
+  private def equiJoinPairs(
+      cond: Expression,
+      leftOut: AttributeSet,
+      rightOut: AttributeSet): Option[Seq[(AttributeReference, AttributeReference)]] = {
+    val conjuncts = splitConjuncts(cond)
+    val pairs = conjuncts.map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (leftOut.contains(a) && rightOut.contains(b)) (a, b)
+        else if (leftOut.contains(b) && rightOut.contains(a)) (b, a)
+        else return None
+      case _ => return None
+    }
+    Some(pairs)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Every left attribute pairs with exactly one right attribute and vice
+    * versa (reference: JoinIndexRule.scala:179-318 — required for bucket
+    * co-location to be semantics-preserving). */
+  private def isOneToOne(pairs: Seq[(AttributeReference, AttributeReference)]): Boolean = {
+    val l2r = pairs.groupBy(_._1.exprId).view.mapValues(_.map(_._2.exprId).distinct)
+    val r2l = pairs.groupBy(_._2.exprId).view.mapValues(_.map(_._1.exprId).distinct)
+    l2r.values.forall(_.size == 1) && r2l.values.forall(_.size == 1)
+  }
+
+  /** If `indexedCols` is a permutation of the left-key names, return the
+    * pair indices in indexed-column order. */
+  private def permutationFor(
+      indexedCols: Seq[String],
+      leftAttrs: Seq[AttributeReference],
+      resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Option[Seq[Int]] = {
+    if (indexedCols.size != leftAttrs.distinct.size) return None
+    val idxs = indexedCols.map { c =>
+      leftAttrs.indexWhere(a => resolver(a.name, c)) match {
+        case -1 => return None
+        case i => i
+      }
+    }
+    if (idxs.distinct.size == idxs.size) Some(idxs) else None
+  }
+
+  private def substitute(
+      spark: SparkSession,
+      plan: LogicalPlan,
+      target: LogicalRelation,
+      replacement: LogicalRelation): LogicalPlan =
+    plan.transformUp { case r: LogicalRelation if r.fastEquals(target) => replacement }
+}
+
+/**
+ * Memoized best-score subtree rewrite (reference:
+ * index/rules/ScoreBasedIndexPlanOptimizer.scala:31-81).
+ */
+object ScoreBasedOptimizer {
+
+  private val rules: Seq[GraftIndexRule] = Seq(JoinIndexRule, FilterIndexRule)
+
+  def optimize(
+      spark: SparkSession,
+      plan: LogicalPlan,
+      candidates: Map[LogicalRelation, Seq[IndexLogEntry]]): LogicalPlan = {
+    val memo = mutable.HashMap.empty[LogicalPlan, (LogicalPlan, Int)]
+
+    def rec(p: LogicalPlan): (LogicalPlan, Int) = memo.getOrElseUpdate(p, {
+      val applied = rules.flatMap(_.apply(spark, p, candidates, rec))
+      val noop: (LogicalPlan, Int) =
+        if (p.children.isEmpty) (p, 0)
+        else {
+          val rewritten = p.children.map(rec)
+          (p.withNewChildren(rewritten.map(_._1)), rewritten.map(_._2).sum)
+        }
+      (applied :+ noop).maxBy(_._2)
+    })
+
+    rec(plan)._1
+  }
+}
