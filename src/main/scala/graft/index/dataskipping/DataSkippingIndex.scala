@@ -24,10 +24,34 @@ final case class DataSkippingIndexDescriptor(
     DataSkippingBuild.build(ctx, source, this)
 }
 
-/** Serializable sketch definition: kind ∈ {minmax, bloom, valuelist, partition}. */
+/** Serializable sketch definition: kind ∈ {minmax, bloom}. */
 final case class SketchSpec(
     sketchKind: String,
     expr: String,
     params: Map[String, String] = Map.empty) {
   def columns: Seq[String] = Seq(expr)
+}
+
+object SketchSpec {
+  def minMax(column: String): SketchSpec = SketchSpec("minmax", column)
+  def bloom(column: String, expectedItems: Long = 10000, fpp: Double = 0.01): SketchSpec =
+    SketchSpec("bloom", column, Map(
+      "expectedItems" -> expectedItems.toString, "fpp" -> fpp.toString))
+}
+
+/** User-facing config (reference:
+  * index/dataskipping/DataSkippingIndexConfig.scala:39-95). */
+final case class DataSkippingIndexConfig(
+    indexName: String,
+    sketches: Seq[SketchSpec]) extends graft.index.IndexConfig {
+  require(sketches.nonEmpty, "at least one sketch is required")
+
+  override def referencedColumns: Seq[String] = sketches.map(_.expr).distinct
+
+  override def toDescriptor(source: org.apache.spark.sql.DataFrame): IndexDescriptor = {
+    val resolvedSpecs = sketches.map { s =>
+      s.copy(expr = graft.index.ColumnResolver.resolveAll(source, Seq(s.expr)).head)
+    }
+    DataSkippingIndexDescriptor(resolvedSpecs, schemaJson = "")
+  }
 }

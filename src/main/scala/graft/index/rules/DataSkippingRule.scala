@@ -1,0 +1,77 @@
+package graft.index.rules
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.index.IndexLogEntry
+import graft.index.dataskipping.{DataSkippingFileIndex, DataSkippingIndexDescriptor, Sketches}
+
+/**
+ * Rewrites `Filter(cond, scan)` to the same scan behind a
+ * [[DataSkippingFileIndex]] that prunes source files via the translated
+ * sketch predicate (reference:
+ * index/dataskipping/rules/ApplyDataSkippingIndex.scala:33-105). Lowest
+ * score: covering-index rewrites win when both apply.
+ */
+object DataSkippingRule extends GraftIndexRule {
+
+  override def apply(
+      spark: SparkSession,
+      plan: LogicalPlan,
+      candidates: Map[LogicalRelation, Seq[IndexLogEntry]],
+      recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
+    val filter = plan match {
+      case f: Filter => f
+      case _ => return None
+    }
+    val rel = filter.child match {
+      case r: LogicalRelation if candidates.contains(r) => r
+      case _ => return None
+    }
+    if (!filter.condition.deterministic) return None
+
+    val dsCandidates = candidates(rel).collect {
+      case e if e.descriptor.isInstanceOf[DataSkippingIndexDescriptor] =>
+        (e, e.descriptor.asInstanceOf[DataSkippingIndexDescriptor])
+    }
+    if (dsCandidates.isEmpty) return None
+
+    // most sketches wins (reference: DataSkippingIndexRanker.scala:25-38)
+    dsCandidates.sortBy(-_._2.sketches.size).view.flatMap { case (entry, d) =>
+      tryApply(spark, filter, rel, entry, d)
+    }.headOption.map(p => (p, RuleScores.DataSkipping))
+  }
+
+  private def tryApply(
+      spark: SparkSession,
+      filter: Filter,
+      rel: LogicalRelation,
+      entry: IndexLogEntry,
+      d: DataSkippingIndexDescriptor): Option[LogicalPlan] = {
+    val sketches = Sketches.fromSpecs(d.sketches)
+    val indexSchema = DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
+    val indexData = spark.read.schema(indexSchema).parquet(entry.content.root)
+    val indexOutput = indexData.queryExecution.analyzed.output
+    val resolver = spark.sessionState.conf.resolver
+    def attrOf(name: String): Expression =
+      indexOutput.find(a => resolver(a.name, name)).getOrElse(
+        throw new IllegalStateException(s"index column $name missing"))
+
+    Sketches.translate(filter.condition, sketches, attrOf, resolver).map {
+      translated =>
+        val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+        val fileIdByPath = entry.relations.head.files
+          .map(f => f.path -> f.id).toMap
+        val skipping = new DataSkippingFileIndex(
+          spark, hfs.location, indexData, translated, fileIdByPath)
+        val newHfs = hfs.copy(
+          location = skipping,
+          options = hfs.options + (IndexCandidates.IndexRelationMarker -> entry.name))(spark)
+        filter.copy(child = new LogicalRelation(
+          newHfs, rel.output, rel.catalogTable, rel.isStreaming, rel.stream))
+    }
+  }
+}

@@ -245,7 +245,8 @@ object JoinIndexRule extends GraftIndexRule {
  */
 object ScoreBasedOptimizer {
 
-  private val rules: Seq[GraftIndexRule] = Seq(JoinIndexRule, FilterIndexRule)
+  private val rules: Seq[GraftIndexRule] =
+    Seq(JoinIndexRule, FilterIndexRule, DataSkippingRule)
 
   def optimize(
       spark: SparkSession,
