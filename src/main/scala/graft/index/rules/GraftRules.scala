@@ -246,7 +246,7 @@ object JoinIndexRule extends GraftIndexRule {
 object ScoreBasedOptimizer {
 
   private val rules: Seq[GraftIndexRule] =
-    Seq(JoinIndexRule, FilterIndexRule, DataSkippingRule)
+    Seq(JoinIndexRule, ZOrderFilterIndexRule, FilterIndexRule, DataSkippingRule)
 
   def optimize(
       spark: SparkSession,

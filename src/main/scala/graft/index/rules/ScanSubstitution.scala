@@ -29,14 +29,24 @@ import graft.index.covering.CoveringIndexDescriptor
  */
 object ScanSubstitution {
 
-  /** Build a LogicalRelation scanning the covering-index data. */
+  /** Build a LogicalRelation scanning covering-style index data
+    * (covering or z-order descriptor). */
   def indexScan(
       spark: SparkSession,
       original: LogicalRelation,
       entry: IndexLogEntry,
       useBucketSpec: Boolean): LogicalRelation = {
-    val d = entry.descriptor.asInstanceOf[CoveringIndexDescriptor]
-    val indexSchema = DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
+    val (schemaJson, bucketSpec) = entry.descriptor match {
+      case d: CoveringIndexDescriptor =>
+        (d.schemaJson,
+          if (useBucketSpec)
+            Some(BucketSpec(d.numBuckets, d.indexedColumns, d.indexedColumns))
+          else None)
+      case d: graft.index.zorder.ZOrderIndexDescriptor => (d.schemaJson, None)
+      case d => throw new IllegalArgumentException(
+        s"not a covering-style index: ${d.kind}")
+    }
+    val indexSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val location = new InMemoryFileIndex(
       spark,
       entry.content.filePaths.map(new Path(_)),
@@ -45,10 +55,6 @@ object ScanSubstitution {
       FileStatusCache.getOrCreate(spark),
       None,
       None)
-    val bucketSpec =
-      if (useBucketSpec)
-        Some(BucketSpec(d.numBuckets, d.indexedColumns, d.indexedColumns))
-      else None
     val relation = HadoopFsRelation(
       location,
       partitionSchema = StructType(Nil),
