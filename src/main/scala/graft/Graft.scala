@@ -35,12 +35,22 @@ class Graft(spark: SparkSession) {
   def vacuumIndex(name: String): Unit = manager.vacuum(name)
 
   /** Rebuild index data against current source files.
-    * Modes: "full" (complete rebuild). Incremental/quick land with the
-    * refresh milestone. */
+    * Modes (reference: index/IndexConstants.scala:108-110):
+    *  - "full": complete rebuild from the source;
+    *  - "incremental": fold appended files in, drop deleted rows via
+    *    lineage — reads only old index data + appended files;
+    *  - "quick": metadata-only no-op here — the optimizer diffs source
+    *    files at query time and applies hybrid scan automatically, which
+    *    is exactly the behavior quick refresh buys in the reference. */
   def refreshIndex(name: String, mode: String = "full"): Unit = mode match {
     case "full" => manager.refreshFull(name)
+    case "incremental" => manager.refreshIncremental(name)
+    case "quick" => ()
     case m => throw new IllegalArgumentException(s"Unknown refresh mode '$m'")
   }
+
+  /** Compact index data files (reference: Hyperspace.scala:110-133). */
+  def optimizeIndex(name: String): Unit = manager.optimize(name)
 
   private[graft] def indexManager: IndexManager = manager
 }

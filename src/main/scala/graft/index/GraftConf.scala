@@ -27,4 +27,20 @@ object GraftConf {
   /** Metadata-log cache TTL; in-JVM mutations invalidate eagerly. */
   def cacheTtlMs(spark: SparkSession): Long =
     spark.conf.getOption(CacheTtlKey).map(_.toLong).getOrElse(10000L)
+
+  val HybridScanKey = "spark.graft.index.hybridscan.enabled"
+  val HybridMaxAppendedKey = "spark.graft.index.hybridscan.maxAppendedRatio"
+  val HybridMaxDeletedKey = "spark.graft.index.hybridscan.maxDeletedRatio"
+
+  /** Hybrid scan: use a stale index by unioning appended source files and
+    * filtering deleted rows via lineage (reference default off; on here —
+    * the rewrite is correctness-preserving and spec-covered). */
+  def hybridScanEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(HybridScanKey).forall(_.toBoolean)
+
+  def hybridMaxAppendedRatio(spark: SparkSession): Double =
+    spark.conf.getOption(HybridMaxAppendedKey).map(_.toDouble).getOrElse(0.3)
+
+  def hybridMaxDeletedRatio(spark: SparkSession): Double =
+    spark.conf.getOption(HybridMaxDeletedKey).map(_.toDouble).getOrElse(0.2)
 }

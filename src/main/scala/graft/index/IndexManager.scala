@@ -163,6 +163,108 @@ final class IndexManager(spark: SparkSession) {
         properties = latest.properties + ("dataVersion" -> version.toString))
     }
 
+  /** Incremental refresh: fold appended files into the index and drop
+    * rows from deleted files — without touching unchanged source data
+    * (reference: actions/RefreshIncrementalAction.scala:52-128,
+    * index/covering/CoveringIndexTrait.scala:57-106,
+    * index/dataskipping/DataSkippingIndex.scala:79-110).
+    *
+    * Cost shape at scale: reads (old index data + appended files) only.
+    * The merged index is rewritten bucketed, which doubles as compaction. */
+  def refreshIncremental(name: String): Unit =
+    transition(name, Set(IndexState.Active), IndexState.Refreshing,
+      IndexState.Active) { latest =>
+      val tracker = new FileIdTracker
+      latest.sourceFiles.foreach(tracker.addKnown)
+      val source = readSource(latest)
+      val currentRels = SourceRelation.captureAll(source, tracker)
+      val current = currentRels.flatMap(_.files)
+      def key(f: FileMeta) = (f.path, f.size, f.modifiedTime)
+      val loggedKeys = latest.sourceFiles.map(key)
+      val currentKeys = current.map(key).toSet
+      val appended = current.filterNot(f => loggedKeys.contains(key(f)))
+      val deleted = latest.sourceFiles.toSeq.filterNot(f => currentKeys.contains(key(f)))
+
+      if (appended.isEmpty && deleted.isEmpty) latest
+      else {
+        val version = nextVersion(name)
+        val dataPath = dataVersionPath(name, version)
+        val ctx = IndexBuildContext(spark, dataPath.toString, tracker)
+        val oldData = spark.read.parquet(latest.content.root)
+        val deletedIds = deleted.map(_.id)
+
+        val newDescriptor = latest.descriptor match {
+          case ci: covering.CoveringIndexDescriptor =>
+            require(deleted.isEmpty || ci.hasLineage,
+              s"incremental refresh of '$name' with deleted source files " +
+                "requires lineage (spark.graft.index.lineage.enabled=true at create)")
+            val keep =
+              if (deleted.isEmpty) oldData
+              else oldData.filter(!org.apache.spark.sql.functions
+                .col(covering.CoveringIndexDescriptor.LineageColumn)
+                .isin(deletedIds: _*))
+            val cols = ci.allIndexColumns.map(org.apache.spark.sql.functions.col)
+            val merged =
+              if (appended.isEmpty) keep.select(cols: _*)
+              else {
+                val appendedDf = readFiles(latest, appended.map(_.path))
+                keep.select(cols: _*).unionByName(
+                  covering.CoveringIndexDescriptor.project(ctx, appendedDf, ci)
+                    .select(cols: _*))
+              }
+            covering.CoveringIndexDescriptor.writeBucketed(
+              spark, merged, ctx.dataPath, ci.numBuckets, ci.indexedColumns)
+            ci
+          case ds: dataskipping.DataSkippingIndexDescriptor =>
+            val fileIdCol = org.apache.spark.sql.functions
+              .col(dataskipping.Sketches.FileIdColumn)
+            val keep =
+              if (deleted.isEmpty) oldData
+              else oldData.filter(!fileIdCol.isin(deletedIds: _*))
+            val merged =
+              if (appended.isEmpty) keep
+              else keep.unionByName(dataskipping.DataSkippingBuild
+                .sketchRows(ctx, readFiles(latest, appended.map(_.path)), ds))
+            dataskipping.DataSkippingBuild.write(ctx, merged, ds)
+          case other =>
+            // z-order clustering is global: incremental == full rebuild
+            other.build(ctx, source)
+        }
+        latest.copy(descriptor = newDescriptor,
+          content = ContentMeta(ctx.dataPath, listDataFiles(dataPath, tracker)),
+          relations = currentRels,
+          properties = latest.properties + ("dataVersion" -> version.toString))
+      }
+    }
+
+  /** Compact index data files (reference: actions/OptimizeAction.scala:57-148
+    * — bucket-wise small-file compaction). Covering: rewrite bucketed (one
+    * file per bucket). Data-skipping: rewrite size-targeted. Z-order:
+    * re-cluster (full rewrite of index data from itself). */
+  def optimize(name: String): Unit =
+    transition(name, Set(IndexState.Active), IndexState.Optimizing,
+      IndexState.Active) { latest =>
+      val tracker = new FileIdTracker
+      latest.sourceFiles.foreach(tracker.addKnown)
+      val version = nextVersion(name)
+      val dataPath = dataVersionPath(name, version)
+      val ctx = IndexBuildContext(spark, dataPath.toString, tracker)
+      val oldData = spark.read.parquet(latest.content.root)
+      val newDescriptor = latest.descriptor match {
+        case ci: covering.CoveringIndexDescriptor =>
+          covering.CoveringIndexDescriptor.writeBucketed(
+            spark, oldData, ctx.dataPath, ci.numBuckets, ci.indexedColumns)
+          ci
+        case ds: dataskipping.DataSkippingIndexDescriptor =>
+          dataskipping.DataSkippingBuild.write(ctx, oldData, ds)
+        case other =>
+          other.build(ctx, readSource(latest))
+      }
+      latest.copy(descriptor = newDescriptor,
+        content = ContentMeta(ctx.dataPath, listDataFiles(dataPath, tracker)),
+        properties = latest.properties + ("dataVersion" -> version.toString))
+    }
+
   /** Reconstruct the source DataFrame from logged relation metadata
     * (reference: actions/RefreshActionBase.scala:54-130). */
   def readSource(entry: IndexLogEntry): DataFrame = {
@@ -172,6 +274,16 @@ final class IndexManager(spark: SparkSession) {
       .format(r.format)
       .options(r.options.filter { case (k, _) => k.toLowerCase != "path" })
       .load(r.rootPaths: _*)
+  }
+
+  /** Read a specific subset of a logged relation's files. */
+  private def readFiles(entry: IndexLogEntry, paths: Seq[String]): DataFrame = {
+    val r = entry.relations.head
+    spark.read
+      .schema(DataType.fromJson(r.schemaJson).asInstanceOf[StructType])
+      .format(r.format)
+      .options(r.options.filter { case (k, _) => k.toLowerCase != "path" })
+      .load(paths: _*)
   }
 
   // ------------------------------------------------------------ listing

@@ -19,8 +19,9 @@ object DataSkippingBuild {
 
   val PathColumn = "_graft_path"
 
-  def build(ctx: IndexBuildContext, source: DataFrame,
-      d: DataSkippingIndexDescriptor): IndexDescriptor = {
+  /** One sketch row per source file of `source`, with resolved file ids. */
+  def sketchRows(ctx: IndexBuildContext, source: DataFrame,
+      d: DataSkippingIndexDescriptor): DataFrame = {
     val spark = ctx.spark
     import spark.implicits._
 
@@ -36,17 +37,23 @@ object DataSkippingBuild {
       .map { case ((p, _, _), id) => (p, id) }
       .toDF(PathColumn, Sketches.FileIdColumn)
 
-    val joined = grouped
+    grouped
       .join(broadcast(mapping), PathColumn)
       .drop(PathColumn)
       .select(col(Sketches.FileIdColumn) +:
         sketches.flatMap(_.outputColumns).map(col): _*)
+  }
 
+  def write(ctx: IndexBuildContext, rows: DataFrame,
+      d: DataSkippingIndexDescriptor): IndexDescriptor = {
     val numFiles = ctx.tracker.all.size
     val outParts = math.max(1, numFiles / 100000)
-    joined.repartition(outParts).write.mode("overwrite").parquet(ctx.dataPath)
-
-    val schema = spark.read.parquet(ctx.dataPath).schema
+    rows.repartition(outParts).write.mode("overwrite").parquet(ctx.dataPath)
+    val schema = ctx.spark.read.parquet(ctx.dataPath).schema
     d.copy(schemaJson = schema.json)
   }
+
+  def build(ctx: IndexBuildContext, source: DataFrame,
+      d: DataSkippingIndexDescriptor): IndexDescriptor =
+    write(ctx, sketchRows(ctx, source, d), d)
 }

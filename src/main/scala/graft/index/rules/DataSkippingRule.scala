@@ -21,7 +21,7 @@ object DataSkippingRule extends GraftIndexRule {
   override def apply(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[IndexLogEntry]],
+      candidates: Map[LogicalRelation, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
     val filter = plan match {
       case f: Filter => f
@@ -33,15 +33,17 @@ object DataSkippingRule extends GraftIndexRule {
     }
     if (!filter.condition.deterministic) return None
 
+    // data skipping tolerates any overlap: files without a valid index
+    // row are simply never pruned
     val dsCandidates = candidates(rel).collect {
-      case e if e.descriptor.isInstanceOf[DataSkippingIndexDescriptor] =>
-        (e, e.descriptor.asInstanceOf[DataSkippingIndexDescriptor])
+      case m if m.entry.descriptor.isInstanceOf[DataSkippingIndexDescriptor] =>
+        (m, m.entry.descriptor.asInstanceOf[DataSkippingIndexDescriptor])
     }
     if (dsCandidates.isEmpty) return None
 
     // most sketches wins (reference: DataSkippingIndexRanker.scala:25-38)
-    dsCandidates.sortBy(-_._2.sketches.size).view.flatMap { case (entry, d) =>
-      tryApply(spark, filter, rel, entry, d)
+    dsCandidates.sortBy(-_._2.sketches.size).view.flatMap { case (m, d) =>
+      tryApply(spark, filter, rel, m, d)
     }.headOption.map(p => (p, RuleScores.DataSkipping))
   }
 
@@ -49,8 +51,9 @@ object DataSkippingRule extends GraftIndexRule {
       spark: SparkSession,
       filter: Filter,
       rel: LogicalRelation,
-      entry: IndexLogEntry,
+      m: CandidateMatch,
       d: DataSkippingIndexDescriptor): Option[LogicalPlan] = {
+    val entry = m.entry
     val sketches = Sketches.fromSpecs(d.sketches)
     val indexSchema = DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
     val indexData = spark.read.schema(indexSchema).parquet(entry.content.root)
@@ -63,7 +66,13 @@ object DataSkippingRule extends GraftIndexRule {
     Sketches.translate(filter.condition, sketches, attrOf, resolver).map {
       translated =>
         val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+        // only still-current logged files may be pruned: a modified file
+        // (same path, new size/mtime) counts as deleted and keeps no
+        // stale sketch mapping
+        val deletedKeys = m.deleted
+          .map(f => (f.path, f.size, f.modifiedTime)).toSet
         val fileIdByPath = entry.relations.head.files
+          .filterNot(f => deletedKeys.contains((f.path, f.size, f.modifiedTime)))
           .map(f => f.path -> f.id).toMap
         val skipping = new DataSkippingFileIndex(
           spark, hfs.location, indexData, translated, fileIdByPath)

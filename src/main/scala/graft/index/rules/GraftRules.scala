@@ -3,10 +3,11 @@ package graft.index.rules
 import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.Resolver
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 import graft.index.IndexLogEntry
 import graft.index.covering.CoveringIndexDescriptor
@@ -17,21 +18,22 @@ import graft.index.covering.CoveringIndexDescriptor
  *
  * A rule inspects a whole subtree; if an index applies it returns the
  * rewritten subtree plus a score. The optimizer recurses top-down with
- * memoization and keeps the highest-scoring rewrite; `NoOp` (recurse into
- * children, sum scores) guarantees full traversal.
+ * memoization and keeps the highest-scoring rewrite; the implicit no-op
+ * (recurse into children, sum scores) guarantees full traversal.
  */
 trait GraftIndexRule {
   def apply(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[IndexLogEntry]],
+      candidates: Map[LogicalRelation, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)]
 }
 
 object RuleScores {
   /** Selection priors (reference: FilterIndexRule.scala:172,
     * JoinIndexRule.scala:717-718, ZOrderFilterIndexRule.scala:151,
-    * ApplyDataSkippingIndex.scala:82). */
+    * ApplyDataSkippingIndex.scala:82). Non-exact matches are weighted by
+    * the covered-bytes ratio. */
   val FilterIndex = 50
   val ZOrderFilterIndex = 60
   val JoinIndexPerSide = 70
@@ -42,7 +44,9 @@ object RuleScores {
  * Rewrites `Filter(cond, scan)` / `Project(_, Filter(cond, scan))` to scan
  * a covering index when the filter references the index's head indexed
  * column and the index covers every referenced column (reference:
- * index/covering/FilterIndexRule.scala:33-174).
+ * index/covering/FilterIndexRule.scala:33-174). Stale-but-overlapping
+ * indexes are applied via hybrid scan (union of index + appended files,
+ * lineage-filtered deletes).
  *
  * The bucketSpec is NOT claimed on the substituted scan: a filter query
  * gains nothing from `outputPartitioning` and bucketed reads cap scan
@@ -53,7 +57,7 @@ object FilterIndexRule extends GraftIndexRule {
   override def apply(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[IndexLogEntry]],
+      candidates: Map[LogicalRelation, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
     val (projectOpt, filter) = plan match {
       case p @ Project(_, f: Filter) => (Some(p), f)
@@ -72,32 +76,50 @@ object FilterIndexRule extends GraftIndexRule {
     val neededNames = needed.toSeq.map(_.name)
     val filterNames = filter.condition.references.toSeq.map(_.name)
     val resolver = spark.sessionState.conf.resolver
+    val unpartitioned = rel.relation
+      .asInstanceOf[HadoopFsRelation].partitionSchema.isEmpty
 
-    val applicable = candidates(rel).filter { e =>
-      e.descriptor match {
+    val applicable = candidates(rel).filter { m =>
+      m.entry.descriptor match {
         case d: CoveringIndexDescriptor =>
-          // head indexed column must appear in the filter, and the index
-          // must cover everything the subtree needs
           filterNames.exists(n => resolver(n, d.indexedColumns.head)) &&
-            d.covers(neededNames)
+            d.covers(neededNames) &&
+            (m.isExact ||
+              (unpartitioned && (m.deleted.isEmpty || d.hasLineage)))
         case _ => false
       }
     }
     if (applicable.isEmpty) return None
 
-    // smallest index wins (reference: FilterIndexRanker.scala:43-64)
-    val best = applicable.minBy(_.content.totalSize)
-    val newScan = ScanSubstitution.indexScan(spark, rel, best, useBucketSpec = false)
-    val rewrittenFilter = filter.copy(child = newScan)
+    // exact matches first (smallest index); then hybrid with the most
+    // still-covered bytes (reference: FilterIndexRanker.scala:43-64)
+    val best = applicable
+      .sortBy(m => (!m.isExact, if (m.isExact) m.entry.indexDataSize else -m.commonBytes))
+      .head
+
+    val score =
+      if (best.isExact) RuleScores.FilterIndex
+      else {
+        val total = best.commonBytes + best.appendedBytes
+        math.max(1, math.round(
+          RuleScores.FilterIndex * best.commonBytes.toDouble /
+            math.max(1L, total)).toInt)
+      }
+
+    val newChild: LogicalPlan =
+      if (best.isExact)
+        ScanSubstitution.indexScan(spark, rel, best.entry, useBucketSpec = false)
+      else
+        ScanSubstitution.hybridScan(spark, rel, best)
+    val rewrittenFilter = filter.copy(child = newChild)
     val rewritten = projectOpt
       .map(p => p.copy(child = rewrittenFilter): LogicalPlan)
       .getOrElse {
-        // bare Filter: preserve the original output (index may carry more
-        // columns, e.g. included or lineage)
-        if (newScan.output.map(_.exprId) == filter.output.map(_.exprId)) rewrittenFilter
+        // bare Filter: preserve the original output shape
+        if (newChild.output.map(_.exprId) == filter.output.map(_.exprId)) rewrittenFilter
         else Project(filter.output, rewrittenFilter)
       }
-    Some((rewritten, RuleScores.FilterIndex))
+    Some((rewritten, score))
   }
 }
 
@@ -105,19 +127,15 @@ object FilterIndexRule extends GraftIndexRule {
  * Rewrites an inner equi-join so both sides scan covering indexes
  * bucketed on the join keys — eliminating both shuffle exchanges for a
  * sort-merge join (reference: index/covering/JoinIndexRule.scala:47-720).
- *
- * Eligibility (ported checks): plain inner join, no hints, condition is a
- * conjunction of attribute equalities with a one-to-one left↔right
- * mapping, both children linear Project/Filter-over-relation plans, and a
- * pair of indexes bucketed identically on the paired keys that covers
- * each side's referenced columns.
+ * Exact signature matches only (the reference gates join hybrid scan the
+ * same way by default).
  */
 object JoinIndexRule extends GraftIndexRule {
 
   override def apply(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[IndexLogEntry]],
+      candidates: Map[LogicalRelation, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
     val join = plan match {
       case j @ Join(_, _, Inner, Some(_), hint) if hint == JoinHint.NONE => j
@@ -140,10 +158,10 @@ object JoinIndexRule extends GraftIndexRule {
     // side; the reference repartitions the smaller side instead —
     // JoinIndexRanker.scala:34-38 — a refinement that can come later).
     val best = (for {
-      le <- covering(candidates(lRel)) if le._2.covers(lNeeded)
+      le <- coveringExact(candidates(lRel)) if le._2.covers(lNeeded)
       keyPerm <- permutationFor(le._2.indexedColumns, pairs.map(_._1), resolver).toSeq
       rKeys = keyPerm.map(i => pairs(i)._2.name)
-      re <- covering(candidates(rRel))
+      re <- coveringExact(candidates(rRel))
       if re._2.covers(rNeeded) &&
         re._2.indexedColumns.size == rKeys.size &&
         re._2.indexedColumns.zip(rKeys).forall { case (a, b) => resolver(a, b) } &&
@@ -162,7 +180,7 @@ object JoinIndexRule extends GraftIndexRule {
   /** The single file-based relation under a linear Project/Filter chain. */
   private def linearRelation(
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[IndexLogEntry]]): Option[LogicalRelation] =
+      candidates: Map[LogicalRelation, Seq[CandidateMatch]]): Option[LogicalRelation] =
     plan match {
       case r: LogicalRelation => candidates.get(r).map(_ => r)
       case p: Project => linearRelation(p.child, candidates)
@@ -170,10 +188,11 @@ object JoinIndexRule extends GraftIndexRule {
       case _ => None
     }
 
-  private def covering(entries: Seq[IndexLogEntry]): Seq[(IndexLogEntry, CoveringIndexDescriptor)] =
-    entries.collect {
-      case e if e.descriptor.isInstanceOf[CoveringIndexDescriptor] =>
-        (e, e.descriptor.asInstanceOf[CoveringIndexDescriptor])
+  private def coveringExact(
+      matches: Seq[CandidateMatch]): Seq[(IndexLogEntry, CoveringIndexDescriptor)] =
+    matches.collect {
+      case m if m.isExact && m.entry.descriptor.isInstanceOf[CoveringIndexDescriptor] =>
+        (m.entry, m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor])
     }
 
   /** All columns the subtree needs from its relation: everything it
@@ -220,7 +239,7 @@ object JoinIndexRule extends GraftIndexRule {
   private def permutationFor(
       indexedCols: Seq[String],
       leftAttrs: Seq[AttributeReference],
-      resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Option[Seq[Int]] = {
+      resolver: Resolver): Option[Seq[Int]] = {
     if (indexedCols.size != leftAttrs.distinct.size) return None
     val idxs = indexedCols.map { c =>
       leftAttrs.indexWhere(a => resolver(a.name, c)) match {
@@ -251,7 +270,7 @@ object ScoreBasedOptimizer {
   def optimize(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[IndexLogEntry]]): LogicalPlan = {
+      candidates: Map[LogicalRelation, Seq[CandidateMatch]]): LogicalPlan = {
     val memo = mutable.HashMap.empty[LogicalPlan, (LogicalPlan, Int)]
 
     def rec(p: LogicalPlan): (LogicalPlan, Int) = memo.getOrElseUpdate(p, {

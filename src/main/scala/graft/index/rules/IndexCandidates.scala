@@ -4,13 +4,32 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
 
-import graft.index.{FileMeta, IndexLogEntry, Signatures}
+import graft.index.{FileMeta, GraftConf, IndexLogEntry}
+
+/**
+ * How an ACTIVE index relates to the files a source leaf currently reads
+ * (reference: index/rules/FileSignatureFilter.scala:49-191 — exact match
+ * plus the Hybrid-Scan overlap test).
+ *
+ * File identity is (path, size, mtime): an in-place rewrite shows up as
+ * one deleted + one appended file.
+ */
+final case class CandidateMatch(
+    entry: IndexLogEntry,
+    appended: Seq[FileMeta],
+    deleted: Seq[FileMeta]) {
+  def isExact: Boolean = appended.isEmpty && deleted.isEmpty
+  def appendedBytes: Long = appended.map(_.size).sum
+  def deletedBytes: Long = deleted.map(_.size).sum
+  def loggedBytes: Long = entry.sourceFilesSize
+  /** Bytes of still-valid indexed source data. */
+  def commonBytes: Long = loggedBytes - deletedBytes
+}
 
 /**
  * Per-source-leaf candidate collection (reference:
  * index/rules/CandidateIndexCollector.scala:28-59 — ColumnSchemaFilter +
- * FileSignatureFilter, exact-match variant; hybrid-scan overlap matching
- * is layered on later).
+ * FileSignatureFilter).
  */
 object IndexCandidates {
 
@@ -37,32 +56,51 @@ object IndexCandidates {
         FileMeta(s.getPath.toString, s.getLen, s.getModificationTime, -1L))
   }
 
-  /** Signature of the files a relation currently reads (same construction
-    * as capture time, so unchanged sources match exactly). */
-  def signatureOf(rel: HadoopFsRelation): String =
-    Signatures.ofFiles(currentFiles(rel))
+  private def key(f: FileMeta): (String, Long, Long) =
+    (f.path, f.size, f.modifiedTime)
 
   /**
-   * Map each file-based leaf to the ACTIVE indexes applicable to it:
-   * the index's referenced columns resolve against the leaf's output
-   * (schema filter) and the captured source signature matches the leaf's
-   * current file set (signature filter).
+   * Map each file-based leaf to the ACTIVE indexes applicable to it: the
+   * index's referenced columns resolve against the leaf's output (schema
+   * filter) and the captured source either matches the leaf's current
+   * file set exactly, or overlaps within the hybrid-scan thresholds
+   * (appended ≤ 30% of current bytes, deleted ≤ 20% of indexed bytes —
+   * reference: IndexConstants.scala:42-52).
    */
   def collect(
       spark: SparkSession,
       plan: LogicalPlan,
-      indexes: Seq[IndexLogEntry]): Map[LogicalRelation, Seq[IndexLogEntry]] = {
+      indexes: Seq[IndexLogEntry]): Map[LogicalRelation, Seq[CandidateMatch]] = {
     val resolver = spark.sessionState.conf.resolver
+    val hybridEnabled = GraftConf.hybridScanEnabled(spark)
+    val maxAppendedRatio = GraftConf.hybridMaxAppendedRatio(spark)
+    val maxDeletedRatio = GraftConf.hybridMaxDeletedRatio(spark)
+
     fileBasedLeaves(plan).flatMap { leaf =>
       val rel = leaf.relation.asInstanceOf[HadoopFsRelation]
-      lazy val sig = signatureOf(rel)
-      val applicable = indexes.filter { e =>
+      lazy val current = currentFiles(rel)
+      lazy val currentKeys = current.map(key).toSet
+      lazy val currentBytes = current.map(_.size).sum
+
+      val matches = indexes.filter { e =>
         e.relations.size == 1 &&
           e.descriptor.referencedColumns.forall(c =>
-            leaf.output.exists(a => resolver(a.name, c))) &&
-          e.signature == sig
+            leaf.output.exists(a => resolver(a.name, c)))
+      }.flatMap { e =>
+        val logged = e.relations.head.files
+        val loggedKeys = logged.map(key).toSet
+        val appended = current.filterNot(f => loggedKeys.contains(key(f)))
+        val deleted = logged.filterNot(f => currentKeys.contains(key(f)))
+        val m = CandidateMatch(e, appended, deleted)
+        if (m.isExact) Some(m)
+        else if (hybridEnabled &&
+            currentBytes > 0 && m.loggedBytes > 0 &&
+            m.appendedBytes.toDouble / currentBytes <= maxAppendedRatio &&
+            m.deletedBytes.toDouble / m.loggedBytes <= maxDeletedRatio)
+          Some(m)
+        else None
       }
-      if (applicable.isEmpty) None else Some(leaf -> applicable)
+      if (matches.isEmpty) None else Some(leaf -> matches)
     }.toMap
   }
 }

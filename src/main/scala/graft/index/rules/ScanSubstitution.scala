@@ -3,7 +3,8 @@ package graft.index.rules
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.catalog.BucketSpec
-import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal, Not}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Union}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -70,5 +71,70 @@ object ScanSubstitution {
         .getOrElse(AttributeReference(f.name, f.dataType, f.nullable)())
     }
     new LogicalRelation(relation, output, None, false, None)
+  }
+
+  /**
+   * Hybrid scan: the index covers the still-valid indexed files; appended
+   * source files are read directly and unioned in; rows from deleted
+   * files are dropped via the lineage column (reference:
+   * index/covering/CoveringIndexRuleUtils.scala:146-342
+   * `transformPlanToUseHybridScan` + `transformPlanToReadAppendedFiles`).
+   *
+   * The union's first child keeps the original attribute ids, so
+   * Filter/Project nodes above the swapped scan stay valid. Only
+   * unpartitioned sources are eligible (partition-value recovery from
+   * appended paths is not implemented).
+   *
+   * Scale: the appended slice is bounded by the hybrid thresholds (≤30%
+   * of source bytes), so the union's second leg stays small relative to
+   * the indexed leg; at refresh time the slice folds into the index.
+   */
+  def hybridScan(
+      spark: SparkSession,
+      original: LogicalRelation,
+      m: CandidateMatch): LogicalPlan = {
+    val entry = m.entry
+    val d = entry.descriptor.asInstanceOf[CoveringIndexDescriptor]
+    val resolver = spark.sessionState.conf.resolver
+
+    // ---- index leg (original attribute ids), minus deleted-file rows
+    val indexRel = indexScan(spark, original, entry, useBucketSpec = false)
+    val indexLeg: LogicalPlan =
+      if (m.deleted.isEmpty) indexRel
+      else {
+        val lineage = indexRel.output
+          .find(_.name == CoveringIndexDescriptor.LineageColumn)
+          .getOrElse(throw new IllegalStateException(
+            s"hybrid scan with deletes requires lineage in index ${entry.name}"))
+        val deletedIds = m.deleted.map(f =>
+          Literal(f.id): org.apache.spark.sql.catalyst.expressions.Expression)
+        Filter(Not(In(lineage, deletedIds)), indexRel)
+      }
+    val projectedCols = d.referencedColumns.map { c =>
+      indexRel.output.find(a => resolver(a.name, c)).get
+    }
+    val indexLegProjected = Project(projectedCols, indexLeg)
+
+    // ---- appended leg: same relation shape, restricted to new files
+    val hfs = original.relation.asInstanceOf[HadoopFsRelation]
+    val appendedLocation = new InMemoryFileIndex(
+      spark,
+      m.appended.map(f => new Path(f.path)),
+      Map.empty[String, String],
+      Some(hfs.dataSchema),
+      FileStatusCache.getOrCreate(spark),
+      None,
+      None)
+    val appendedHfs = hfs.copy(location = appendedLocation,
+      options = hfs.options + (IndexCandidates.IndexRelationMarker -> entry.name))(spark)
+    val appendedRel = new LogicalRelation(appendedHfs,
+      original.output.map(a => AttributeReference(a.name, a.dataType, a.nullable)()),
+      None, false, None)
+    val appendedCols = d.referencedColumns.map { c =>
+      appendedRel.output.find(a => resolver(a.name, c)).get
+    }
+    val appendedLegProjected = Project(appendedCols, appendedRel)
+
+    Union(Seq(indexLegProjected, appendedLegProjected))
   }
 }

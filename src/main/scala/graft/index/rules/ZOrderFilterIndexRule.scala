@@ -20,7 +20,7 @@ object ZOrderFilterIndexRule extends GraftIndexRule {
   override def apply(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[IndexLogEntry]],
+      candidates: Map[LogicalRelation, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
     val (projectOpt, filter) = plan match {
       case p @ Project(_, f: Filter) => (Some(p), f)
@@ -40,20 +40,20 @@ object ZOrderFilterIndexRule extends GraftIndexRule {
     val filterNames = filter.condition.references.toSeq.map(_.name)
     val resolver = spark.sessionState.conf.resolver
 
-    val applicable = candidates(rel).filter { e =>
-      e.descriptor match {
+    val applicable = candidates(rel).filter { m =>
+      m.isExact && (m.entry.descriptor match {
         case d: ZOrderIndexDescriptor =>
           d.indexedColumns.exists(ic => filterNames.exists(resolver(_, ic))) &&
             d.covers(neededNames)
         case _ => false
-      }
+      })
     }
     if (applicable.isEmpty) return None
 
     // fewest indexed columns wins: tighter clustering per dimension
     // (reference: ZOrderFilterIndexRule.scala:82-99)
     val best = applicable.minBy(
-      _.descriptor.asInstanceOf[ZOrderIndexDescriptor].indexedColumns.size)
+      _.entry.descriptor.asInstanceOf[ZOrderIndexDescriptor].indexedColumns.size).entry
     val newScan = ScanSubstitution.indexScan(spark, rel, best, useBucketSpec = false)
     val rewrittenFilter = filter.copy(child = newScan)
     val rewritten = projectOpt
