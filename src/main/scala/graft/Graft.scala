@@ -52,6 +52,20 @@ class Graft(spark: SparkSession) {
   /** Compact index data files (reference: Hyperspace.scala:110-133). */
   def optimizeIndex(name: String): Unit = manager.optimize(name)
 
+  /** Side-by-side optimized plans with and without index acceleration
+    * (reference: Hyperspace.scala:160 + plananalysis/PlanAnalyzer.scala). */
+  def explain(df: DataFrame, verbose: Boolean = false): String =
+    graft.index.analysis.PlanAnalysis.explain(spark, df, verbose)
+
+  /** Why each ACTIVE index was / was not applied to this query
+    * (reference: Hyperspace.scala:183 whyNot + FilterReason codes). */
+  def whyNot(df: DataFrame, indexName: String = null): String =
+    graft.index.analysis.PlanAnalysis.whyNot(spark, df, Option(indexName))
+
+  /** Index statistics view for one index. */
+  def index(name: String): DataFrame =
+    indexes.filter(org.apache.spark.sql.functions.col("name") === name)
+
   private[graft] def indexManager: IndexManager = manager
 }
 

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Tables
+import graft.index.{GraftConf, IndexConfig, IndexManager, IndexState}
+import graft.index.covering.CoveringIndexConfig
+import graft.index.dataskipping.{DataSkippingIndexConfig, SketchSpec}
+import graft.index.zorder.ZOrderIndexConfig
+
+/**
+ * Driver-gate queries that run THROUGH the index subsystem: each entry
+ * ensures its index exists, then runs a plain DataFrame query that the
+ * optimizer rule transparently rewrites to the index. The DuckDB oracle
+ * sees only the source tables — matching results prove the rewrite is
+ * semantics-preserving end-to-end.
+ */
+object IndexAccel {
+
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+  private def sqlMoneySum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** Per-sfDir system path so indexes built at one scale factor never
+    * leak into another. */
+  private def ensureSystemPath(spark: SparkSession, sfDir: String): Unit = {
+    val h = Integer.toHexString(sfDir.hashCode)
+    spark.conf.set(GraftConf.SystemPathKey,
+      sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_accel_$h")
+  }
+
+  private def ensureIndex(spark: SparkSession, sfDir: String,
+      table: String, config: IndexConfig): Unit = synchronized {
+    ensureSystemPath(spark, sfDir)
+    val mgr = new IndexManager(spark)
+    val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
+    if (!active.contains(config.indexName)) {
+      mgr.create(Tables.load(spark, sfDir, table), config)
+    }
+  }
+
+  // ------------------------------------------------ covering filter
+  def idxCoveringFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
+      "accel_ci_li", Seq("l_orderkey"), Seq("l_quantity", "l_extendedprice")))
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey").between(100L, 2000L))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val idxCoveringFilterSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("l_quantity")} AS sum_qty,
+       | ${sqlMoneySum("l_extendedprice")} AS sum_price
+       |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000""".stripMargin
+
+  // ------------------------------------------------ shuffle-free join
+  def idxJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
+      "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice")))
+    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
+      "accel_ci_ord_join", Seq("o_orderkey"), Seq("o_totalprice")))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        moneySum(col("o_totalprice")).as("sum_total"))
+  }
+
+  val idxJoinSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("l_extendedprice")} AS sum_price,
+       | ${sqlMoneySum("o_totalprice")} AS sum_total
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  // ------------------------------------------------ z-order filter
+  def idxZOrderFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", ZOrderIndexConfig(
+      "accel_zo_li", Seq("l_partkey", "l_suppkey"), Seq("l_quantity")))
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_suppkey").between(1L, 50L))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("l_quantity")).as("sum_qty"))
+  }
+
+  val idxZOrderFilterSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("l_quantity")} AS sum_qty
+       |FROM lineitem WHERE l_suppkey BETWEEN 1 AND 50""".stripMargin
+
+  // ------------------------------------------------ data skipping
+  def idxDataSkipFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", DataSkippingIndexConfig(
+      "accel_ds_li",
+      Seq(SketchSpec.minMax("l_orderkey"), SketchSpec.bloom("l_suppkey"))))
+    Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") <= 500L && col("l_suppkey").isin(1L, 2L, 3L))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        sum(col("l_orderkey")).cast(LongType).as("sum_key"))
+  }
+
+  val idxDataSkipFilterSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      | CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+      |FROM lineitem
+      |WHERE l_orderkey <= 500 AND l_suppkey IN (1, 2, 3)""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "idx_covering_filter" -> (idxCoveringFilter _, idxCoveringFilterSql),
+    "idx_join" -> (idxJoin _, idxJoinSql),
+    "idx_zorder_filter" -> (idxZOrderFilter _, idxZOrderFilterSql),
+    "idx_dataskip_filter" -> (idxDataSkipFilter _, idxDataSkipFilterSql))
+}

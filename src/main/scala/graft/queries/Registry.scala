@@ -9,5 +9,6 @@ object Registry {
   type Entry = ((SparkSession, String) => DataFrame, String)
 
   def all: Map[String, Entry] =
-    Relational.entries ++ TextOps.entries ++ Dedup.entries ++ Similarity.entries
+    Relational.entries ++ TextOps.entries ++ Dedup.entries ++
+      Similarity.entries ++ IndexAccel.entries
 }
