@@ -53,8 +53,11 @@ object Dedup {
   /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
   def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
+    // the shingle relation feeds the self-join (twice) and the size agg:
+    // persist so tokenization+shingling runs once, not three times
     val sh = docs
       .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -94,9 +97,12 @@ object Dedup {
     * Output = verified near-dup pairs found via the LSH path. */
   def qMinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
+    // reused 4x (band self-join both sides + two verification joins):
+    // persist so shingle hashing runs once per row
     val base = docs.select(col("doc_id"),
       shingleHashes(shingles3(tokens(col("text")))).as("hs"))
       .filter(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 16-permutation signature, banded 4x4; band key = string of 4 minhashes
     val bandCols = (0 until LshBands).map { b =>

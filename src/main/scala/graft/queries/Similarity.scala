@@ -146,9 +146,12 @@ object Similarity {
   private val NearDupThreshold = 0.2
 
   def qEmbeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // reused 4x (band self-join both sides + two verification joins):
+    // persist so the 12 hyperplane projections run once per vector
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mask = (1L << NearDupBandBits) - 1
     val bandKeys = (0 until NearDupBands).map { b =>
       struct(lit(b).as("band"),
