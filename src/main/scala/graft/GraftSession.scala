@@ -26,6 +26,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // auto-disabling bucketed scans would desync BucketUnion's
+      // zip-by-partition children; bucketing itself stays on
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftSparkExtension")
     if (master != null) b.master(master) else b
   }

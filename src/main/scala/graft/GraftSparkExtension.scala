@@ -16,5 +16,7 @@ import graft.index.rules.ApplyGraft
 class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectPreCBORule(spark => new ApplyGraft(spark))
+    extensions.injectPlannerStrategy(spark =>
+      new graft.execution.BucketUnionStrategy(spark))
   }
 }

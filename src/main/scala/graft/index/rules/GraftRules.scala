@@ -157,25 +157,42 @@ object JoinIndexRule extends GraftIndexRule {
     // bucket counts (different counts would reintroduce a shuffle on one
     // side; the reference repartitions the smaller side instead —
     // JoinIndexRanker.scala:34-38 — a refinement that can come later).
-    val best = (for {
-      le <- coveringExact(candidates(lRel)) if le._2.covers(lNeeded)
-      keyPerm <- permutationFor(le._2.indexedColumns, pairs.map(_._1), resolver).toSeq
+    // Stale sides within hybrid thresholds are eligible via BucketUnion.
+    val pairsFound = for {
+      lm <- coveringEligible(candidates(lRel), lRel) if lm._2.covers(lNeeded)
+      keyPerm <- permutationFor(lm._2.indexedColumns, pairs.map(_._1), resolver).toSeq
       rKeys = keyPerm.map(i => pairs(i)._2.name)
-      re <- coveringExact(candidates(rRel))
-      if re._2.covers(rNeeded) &&
-        re._2.indexedColumns.size == rKeys.size &&
-        re._2.indexedColumns.zip(rKeys).forall { case (a, b) => resolver(a, b) } &&
-        le._2.numBuckets == re._2.numBuckets
-    } yield (le._1, re._1)).headOption.getOrElse(return None)
+      rm <- coveringEligible(candidates(rRel), rRel)
+      if rm._2.covers(rNeeded) &&
+        rm._2.indexedColumns.size == rKeys.size &&
+        rm._2.indexedColumns.zip(rKeys).forall { case (a, b) => resolver(a, b) } &&
+        lm._2.numBuckets == rm._2.numBuckets
+    } yield (lm._1, rm._1)
+    // exact pairs first, then most still-covered bytes
+    val best = pairsFound.sortBy { case (l, r) =>
+      (!(l.isExact && r.isExact), -(l.commonBytes + r.commonBytes))
+    }.headOption.getOrElse(return None)
 
-    val (lEntry, rEntry) = best
-    val newLeft = substitute(spark, join.left, lRel,
-      ScanSubstitution.indexScan(spark, lRel, lEntry, useBucketSpec = true))
-    val newRight = substitute(spark, join.right, rRel,
-      ScanSubstitution.indexScan(spark, rRel, rEntry, useBucketSpec = true))
-    Some((join.copy(left = newLeft, right = newRight),
-      2 * RuleScores.JoinIndexPerSide))
+    val (lMatch, rMatch) = best
+    val newLeft = substitute(spark, join.left, lRel, joinSide(spark, lRel, lMatch))
+    val newRight = substitute(spark, join.right, rRel, joinSide(spark, rRel, rMatch))
+    val ratio = Seq(lMatch, rMatch).map { m =>
+      val total = m.commonBytes + m.appendedBytes
+      if (m.isExact || total == 0) 1.0 else m.commonBytes.toDouble / total
+    }.sum / 2.0
+    val score = math.max(1,
+      math.round(2 * RuleScores.JoinIndexPerSide * ratio).toInt)
+    Some((join.copy(left = newLeft, right = newRight), score))
   }
+
+  private def joinSide(
+      spark: SparkSession,
+      rel: LogicalRelation,
+      m: CandidateMatch): LogicalPlan =
+    if (m.isExact)
+      ScanSubstitution.indexScan(spark, rel, m.entry, useBucketSpec = true)
+    else
+      ScanSubstitution.hybridBucketedScan(spark, rel, m)
 
   /** The single file-based relation under a linear Project/Filter chain. */
   private def linearRelation(
@@ -188,12 +205,19 @@ object JoinIndexRule extends GraftIndexRule {
       case _ => None
     }
 
-  private def coveringExact(
-      matches: Seq[CandidateMatch]): Seq[(IndexLogEntry, CoveringIndexDescriptor)] =
+  private def coveringEligible(
+      matches: Seq[CandidateMatch],
+      rel: LogicalRelation): Seq[(CandidateMatch, CoveringIndexDescriptor)] = {
+    val unpartitioned = rel.relation
+      .asInstanceOf[HadoopFsRelation].partitionSchema.isEmpty
     matches.collect {
-      case m if m.isExact && m.entry.descriptor.isInstanceOf[CoveringIndexDescriptor] =>
-        (m.entry, m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor])
+      case m if m.entry.descriptor.isInstanceOf[CoveringIndexDescriptor] &&
+          (m.isExact ||
+            (unpartitioned && (m.deleted.isEmpty ||
+              m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor].hasLineage))) =>
+        (m, m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor])
     }
+  }
 
   /** All columns the subtree needs from its relation: everything it
     * outputs plus everything its expressions reference. */
@@ -254,7 +278,7 @@ object JoinIndexRule extends GraftIndexRule {
       spark: SparkSession,
       plan: LogicalPlan,
       target: LogicalRelation,
-      replacement: LogicalRelation): LogicalPlan =
+      replacement: LogicalPlan): LogicalPlan =
     plan.transformUp { case r: LogicalRelation if r.fastEquals(target) => replacement }
 }
 

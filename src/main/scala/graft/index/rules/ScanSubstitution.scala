@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.catalog.BucketSpec
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal, Not}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, RepartitionByExpression, Union}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -136,5 +136,60 @@ object ScanSubstitution {
     val appendedLegProjected = Project(appendedCols, appendedRel)
 
     Union(Seq(indexLegProjected, appendedLegProjected))
+  }
+
+  /**
+   * Bucketed hybrid scan for the JOIN path: index leg keeps its
+   * HashPartitioning (bucketSpec claimed), the appended leg is shuffled
+   * to the same bucketing, and [[graft.plans.BucketUnion]] zip-unions
+   * them partition-wise — so only the (small) appended slice shuffles and
+   * the join above still sees hash-clustered input (reference:
+   * CoveringIndexRuleUtils.scala:357-417).
+   */
+  def hybridBucketedScan(
+      spark: SparkSession,
+      original: LogicalRelation,
+      m: CandidateMatch): LogicalPlan = {
+    val entry = m.entry
+    val d = entry.descriptor.asInstanceOf[CoveringIndexDescriptor]
+    val resolver = spark.sessionState.conf.resolver
+
+    val indexRel = indexScan(spark, original, entry, useBucketSpec = true)
+    val indexLeg: LogicalPlan =
+      if (m.deleted.isEmpty) indexRel
+      else {
+        val lineage = indexRel.output
+          .find(_.name == CoveringIndexDescriptor.LineageColumn).get
+        Filter(Not(In(lineage, m.deleted.map(f =>
+          Literal(f.id): org.apache.spark.sql.catalyst.expressions.Expression))),
+          indexRel)
+      }
+    val indexCols = d.referencedColumns.map { c =>
+      indexRel.output.find(a => resolver(a.name, c)).get
+    }
+    val indexLegProjected = Project(indexCols, indexLeg)
+
+    val hfs = original.relation.asInstanceOf[HadoopFsRelation]
+    val appendedLocation = new InMemoryFileIndex(
+      spark, m.appended.map(f => new Path(f.path)),
+      Map.empty[String, String], Some(hfs.dataSchema),
+      FileStatusCache.getOrCreate(spark), None, None)
+    val appendedHfs = hfs.copy(location = appendedLocation,
+      options = hfs.options + (IndexCandidates.IndexRelationMarker -> entry.name))(spark)
+    val appendedRel = new LogicalRelation(appendedHfs,
+      original.output.map(a => AttributeReference(a.name, a.dataType, a.nullable)()),
+      None, false, None)
+    val appendedCols = d.referencedColumns.map { c =>
+      appendedRel.output.find(a => resolver(a.name, c)).get
+    }
+    val appendedLegProjected = Project(appendedCols, appendedRel)
+    val keyAttrs = d.indexedColumns.map(c =>
+      appendedLegProjected.output.find(a => resolver(a.name, c)).get
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression])
+    val repartitioned = RepartitionByExpression(
+      keyAttrs, appendedLegProjected, Some(d.numBuckets))
+
+    graft.plans.BucketUnion(Seq(indexLegProjected, repartitioned),
+      d.indexedColumns, d.numBuckets)
   }
 }
