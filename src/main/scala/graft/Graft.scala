@@ -52,6 +52,10 @@ class Graft(spark: SparkSession) {
   /** Compact index data files (reference: Hyperspace.scala:110-133). */
   def optimizeIndex(name: String): Unit = manager.optimize(name)
 
+  /** Roll an in-flight action back to the last stable state
+    * (reference: Hyperspace.scala:149). */
+  def cancel(name: String): Unit = manager.cancel(name)
+
   /** Side-by-side optimized plans with and without index acceleration
     * (reference: Hyperspace.scala:160 + plananalysis/PlanAnalyzer.scala). */
   def explain(df: DataFrame, verbose: Boolean = false): String =

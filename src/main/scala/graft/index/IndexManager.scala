@@ -116,6 +116,25 @@ final class IndexManager(spark: SparkSession) {
       fin
     }
 
+  /** Cancel an in-flight action: roll the log forward to the last stable
+    * state (reference: Hyperspace.scala:149 + actions/CancelAction). Used
+    * to recover an index stuck in CREATING/REFRESHING/... after a crashed
+    * job. */
+  def cancel(name: String): Unit = {
+    val log = logManager(name)
+    val latestId = log.getLatestId.getOrElse(
+      throw new NoSuchElementException(s"Index '$name' does not exist"))
+    val latest = log.getLog(latestId).get
+    if (IndexState.stable.contains(latest.state)) return // nothing in flight
+    val restored = log.getLatestStableLog
+      .map(_.copy(id = latestId + 1, timestamp = System.currentTimeMillis()))
+      .getOrElse(latest.copy(state = IndexState.DoesNotExist,
+        id = latestId + 1, timestamp = System.currentTimeMillis()))
+    require(log.writeLog(latestId + 1, restored),
+      s"Concurrent modification of index '$name'")
+    rules.IndexCatalog.invalidate(spark)
+  }
+
   /** Soft delete: data stays, optimizer ignores the index. */
   def delete(name: String): Unit =
     transition(name, Set(IndexState.Active), IndexState.Deleting,
