@@ -70,6 +70,18 @@ class Graft(spark: SparkSession) {
   def index(name: String): DataFrame =
     indexes.filter(org.apache.spark.sql.functions.col("name") === name)
 
+  /** Per-data-file min/max envelope + overlap count for one index column
+    * (reference: util/MinMaxAnalysisUtil.scala) — low overlap = good
+    * clustering = effective file skipping. Defaults to the head indexed
+    * column. */
+  def analyzeIndexDistribution(name: String, column: String = null): DataFrame = {
+    val entry = manager.getIndexes(graft.index.IndexState.stable)
+      .find(_.name == name)
+      .getOrElse(throw new NoSuchElementException(s"Index '$name' not found"))
+    val c = Option(column).getOrElse(entry.descriptor.indexedColumns.head)
+    graft.index.analysis.MinMaxAnalysis.analyzeIndexFiles(spark, entry, c)
+  }
+
   private[graft] def indexManager: IndexManager = manager
 }
 

@@ -37,6 +37,7 @@ object SketchSpec {
   def bloom(column: String, expectedItems: Long = 10000, fpp: Double = 0.01): SketchSpec =
     SketchSpec("bloom", column, Map(
       "expectedItems" -> expectedItems.toString, "fpp" -> fpp.toString))
+  def partition(column: String): SketchSpec = SketchSpec("partition", column)
 }
 
 /** User-facing config (reference:
@@ -52,6 +53,21 @@ final case class DataSkippingIndexConfig(
     val resolvedSpecs = sketches.map { s =>
       s.copy(expr = graft.index.ColumnResolver.resolveAll(source, Seq(s.expr)).head)
     }
-    DataSkippingIndexDescriptor(resolvedSpecs, schemaJson = "")
+    // auto-add a partition sketch per partition column so disjunctions
+    // mixing partition and data columns stay translatable (reference:
+    // DataSkippingIndexConfig.scala:61-84)
+    val partCols = source.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if l.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+        l.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .partitionSchema.map(_.name)
+    }.flatten.distinct
+    val already = resolvedSpecs.map(_.expr.toLowerCase).toSet
+    val partSpecs = partCols
+      .filterNot(c => already.contains(c.toLowerCase))
+      .map(SketchSpec.partition)
+    DataSkippingIndexDescriptor(resolvedSpecs ++ partSpecs, schemaJson = "")
   }
 }

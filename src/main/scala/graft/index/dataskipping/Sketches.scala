@@ -139,6 +139,33 @@ final case class BloomSketch(
   }
 }
 
+/**
+ * Partition-column sketch (reference: sketches/PartitionSketch.scala:38-74):
+ * the column is constant within a file, so `first(col)` captures it
+ * exactly, and ANY deterministic predicate over only partition columns
+ * translates verbatim — which keeps disjunctions mixing partition and
+ * data columns translatable. Auto-added for partitioned sources
+ * (reference: DataSkippingIndexConfig.scala:61-84).
+ */
+final case class PartitionSketch(spec: SketchSpec, prefix: String) extends Sketch {
+  private val partCol = s"${prefix}_part"
+  override def outputColumns: Seq[String] = Seq(partCol)
+  override def aggregates(source: DataFrame): Seq[Column] =
+    Seq(org.apache.spark.sql.functions.first(col(sourceColumn)).as(partCol))
+
+  override def convert(
+      pred: Expression,
+      attrOf: String => Expression,
+      isSketched: Expression => Boolean): Option[Expression] = {
+    val refs = pred.references.toSeq
+    if (pred.deterministic && refs.nonEmpty && refs.forall(isSketched))
+      Some(pred.transform {
+        case a: AttributeReference if isSketched(a) => attrOf(partCol)
+      })
+    else None
+  }
+}
+
 object Sketches {
   val FileIdColumn = "_data_file_id"
 
@@ -149,6 +176,7 @@ object Sketches {
         case "bloom" => BloomSketch(s, s"s$i",
           s.params.getOrElse("expectedItems", "10000").toLong,
           s.params.getOrElse("fpp", "0.01").toDouble)
+        case "partition" => PartitionSketch(s, s"s$i")
         case k => throw new IllegalArgumentException(s"Unknown sketch kind '$k'")
       }
     }
