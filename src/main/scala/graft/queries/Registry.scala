@@ -10,5 +10,5 @@ object Registry {
 
   def all: Map[String, Entry] =
     Relational.entries ++ TextOps.entries ++ Dedup.entries ++
-      Similarity.entries ++ IndexAccel.entries
+      Similarity.entries ++ IndexAccel.entries ++ Multimodal.entries
 }
