@@ -38,6 +38,8 @@ object SketchSpec {
     SketchSpec("bloom", column, Map(
       "expectedItems" -> expectedItems.toString, "fpp" -> fpp.toString))
   def partition(column: String): SketchSpec = SketchSpec("partition", column)
+  def valueList(column: String, maxValues: Int = 1000): SketchSpec =
+    SketchSpec("valuelist", column, Map("maxValues" -> maxValues.toString))
 }
 
 /** User-facing config (reference:

@@ -140,6 +140,61 @@ final case class BloomSketch(
 }
 
 /**
+ * Distinct-values-per-file sketch (reference: the ValueListSketch
+ * documented at sketches/BloomFilterSketch.scala:30-32 — upstream-only in
+ * the snapshot, implemented here): stores the file's sorted distinct
+ * value list (exact, unlike bloom — no false positives) when the column
+ * is low-cardinality per file. Use `maxValues` to bound sketch size; a
+ * file exceeding it stores null and is never pruned by this sketch.
+ */
+final case class ValueListSketch(
+    spec: SketchSpec, prefix: String, maxValues: Int) extends Sketch {
+  private val vlCol = s"${prefix}_vl"
+  override def outputColumns: Seq[String] = Seq(vlCol)
+
+  override def aggregates(source: DataFrame): Seq[Column] = {
+    val distinctVals = org.apache.spark.sql.functions.array_sort(
+      org.apache.spark.sql.functions.collect_set(col(sourceColumn)))
+    // over-budget lists collapse to null ("unknown — keep the file")
+    Seq(org.apache.spark.sql.functions
+      .when(org.apache.spark.sql.functions.size(distinctVals) <= maxValues, distinctVals)
+      .as(vlCol))
+  }
+
+  override def convert(
+      pred: Expression,
+      attrOf: String => Expression,
+      isSketched: Expression => Boolean): Option[Expression] = {
+    lazy val vl = attrOf(vlCol)
+    def contains(l: Literal): Expression = ArrayContains(vl, l)
+    pred match {
+      case EqualTo(e, l: Literal) if isSketched(e) && l.value != null => Some(contains(l))
+      case EqualTo(l: Literal, e) if isSketched(e) && l.value != null => Some(contains(l))
+      case EqualNullSafe(e, l: Literal) if isSketched(e) && l.value != null =>
+        Some(contains(l))
+      case In(e, list) if isSketched(e) && list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.collect { case l @ Literal(v, _) if v != null => contains(l) }
+        if (vs.isEmpty) Some(Literal.FalseLiteral) else Some(vs.reduce(Or))
+      case InSet(e, hset) if isSketched(e) =>
+        val vs = hset.toSeq.filter(_ != null)
+          .map(v => contains(Literal.create(v, e.dataType)): Expression)
+        if (vs.isEmpty) Some(Literal.FalseLiteral) else Some(vs.reduce(Or))
+      case IsNotNull(e) if isSketched(e) =>
+        Some(GreaterThan(org.apache.spark.sql.catalyst.expressions.Size(vl), Literal(0)))
+      case LessThan(e, l: Literal) if isSketched(e) =>
+        Some(LessThan(ElementAt(vl, Literal(1)), l))
+      case LessThanOrEqual(e, l: Literal) if isSketched(e) =>
+        Some(LessThanOrEqual(ElementAt(vl, Literal(1)), l))
+      case GreaterThan(e, l: Literal) if isSketched(e) =>
+        Some(GreaterThan(ElementAt(vl, Literal(-1)), l))
+      case GreaterThanOrEqual(e, l: Literal) if isSketched(e) =>
+        Some(GreaterThanOrEqual(ElementAt(vl, Literal(-1)), l))
+      case _ => None
+    }
+  }
+}
+
+/**
  * Partition-column sketch (reference: sketches/PartitionSketch.scala:38-74):
  * the column is constant within a file, so `first(col)` captures it
  * exactly, and ANY deterministic predicate over only partition columns
@@ -177,6 +232,8 @@ object Sketches {
           s.params.getOrElse("expectedItems", "10000").toLong,
           s.params.getOrElse("fpp", "0.01").toDouble)
         case "partition" => PartitionSketch(s, s"s$i")
+        case "valuelist" => ValueListSketch(s, s"s$i",
+          s.params.getOrElse("maxValues", "1000").toInt)
         case k => throw new IllegalArgumentException(s"Unknown sketch kind '$k'")
       }
     }

@@ -157,6 +157,37 @@ class DataSkippingSpec extends AnyFunSuite {
     }
   }
 
+  test("valuelist sketch prunes equality, IN, and range filters") {
+    withGraft { (g, src) =>
+      val df = spark.read.parquet(src)
+      g.createIndex(df, DataSkippingIndexConfig("ds_vl",
+        Seq(SketchSpec.valueList("l_returnflag", maxValues = 10),
+          SketchSpec.valueList("l_orderkey", maxValues = 100))))
+      val total = spark.read.parquet(src).inputFiles.length.toLong
+
+      // l_orderkey has >100 distinct per file → sketch null → no pruning
+      // but still correct; l_returnflag has 3 values → exact list
+      val q = spark.read.parquet(src)
+        .filter(col("l_returnflag") === "ZZZ") // matches nothing anywhere
+      assert(scannedFiles(q) == 0 || q.count() == 0)
+
+      val qRange = spark.read.parquet(src).filter(col("l_orderkey") < 100L)
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expected = spark.read.parquet(src)
+        .filter(col("l_orderkey") < 100L).count()
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      assert(qRange.count() == expected && expected > 0)
+
+      val qIn = spark.read.parquet(src)
+        .filter(col("l_returnflag").isin("R", "A"))
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expectedIn = spark.read.parquet(src)
+        .filter(col("l_returnflag").isin("R", "A")).count()
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      assert(qIn.count() == expectedIn && expectedIn > 0)
+    }
+  }
+
   test("SortedArrayLowerBound expression: eval and codegen agree") {
     import graft.index.dataskipping.expressions.SortedArrayUtils
     import org.apache.spark.sql.catalyst.util.GenericArrayData
