@@ -289,7 +289,8 @@ object JoinIndexRule extends GraftIndexRule {
 object ScoreBasedOptimizer {
 
   private val rules: Seq[GraftIndexRule] =
-    Seq(JoinIndexRule, ZOrderFilterIndexRule, FilterIndexRule, DataSkippingRule)
+    Seq(JoinIndexRule, AggIndexRule, ZOrderFilterIndexRule, FilterIndexRule,
+      DataSkippingRule)
 
   def optimize(
       spark: SparkSession,

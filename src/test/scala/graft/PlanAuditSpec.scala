@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape regression checks for the headline queries: filters pushed
+ * into the parquet scan, dimension joins broadcast, aggregations running
+ * partial+final. These are the properties that keep the suite viable at
+ * 100 TB — asserting them here means a refactor can't silently lose them.
+ */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case other => p +: other.children.flatMap(allNodes)
+  }
+
+  private def executed(df: DataFrame) = { df.collect(); allNodes(df.queryExecution.executedPlan) }
+
+  test("q6: filters are pushed down to the parquet scan") {
+    val nodes = executed(SparkEntry.queries("q6_revenue_delta")(spark, TestSpark.sfDir))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed.contains("GreaterThanOrEqual") || pushed.contains("LessThan"),
+      s"no pushed filters: $pushed")
+    // column pruning: only the 4 needed columns are read
+    val readSchema = scans.head.metadata.getOrElse("ReadSchema", "")
+    assert(!readSchema.contains("l_orderkey"), s"over-read: $readSchema")
+  }
+
+  test("q3/q5: dimension joins are broadcast") {
+    Seq("q3_shipping_priority", "q5_local_supplier").foreach { q =>
+      val nodes = executed(SparkEntry.queries(q)(spark, TestSpark.sfDir))
+      assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]),
+        s"$q has no broadcast join")
+    }
+  }
+
+  test("q1: aggregation runs partial + final") {
+    val nodes = executed(SparkEntry.queries("q1_pricing_summary")(spark, TestSpark.sfDir))
+    val aggs = nodes.count(n => n.isInstanceOf[HashAggregateExec] ||
+      n.isInstanceOf[ObjectHashAggregateExec])
+    assert(aggs >= 2, s"expected partial+final aggregation, found $aggs")
+  }
+
+  test("dedup_exact: single shuffle on the digest") {
+    val nodes = executed(SparkEntry.queries("dedup_exact")(spark, TestSpark.sfDir))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    // one pass over documents: no self-joins, no repeated scans
+    assert(scans.size == 1, s"expected 1 scan of documents, got ${scans.size}")
+  }
+}
