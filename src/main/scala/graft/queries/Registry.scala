@@ -9,6 +9,7 @@ object Registry {
   type Entry = ((SparkSession, String) => DataFrame, String)
 
   def all: Map[String, Entry] =
-    Relational.entries ++ TextOps.entries ++ Dedup.entries ++
-      Similarity.entries ++ IndexAccel.entries ++ Multimodal.entries
+    Relational.entries ++ Relational2.entries ++ TextOps.entries ++
+      Dedup.entries ++ Similarity.entries ++ IndexAccel.entries ++
+      Multimodal.entries
 }
