@@ -9,7 +9,8 @@ object Registry {
   type Entry = ((SparkSession, String) => DataFrame, String)
 
   def all: Map[String, Entry] =
-    Relational.entries ++ Relational2.entries ++ TextOps.entries ++
+    Relational.entries ++ Relational2.entries ++ Relational3.entries ++
+      TextOps.entries ++
       Dedup.entries ++ Similarity.entries ++ IndexAccel.entries ++
       Multimodal.entries
 }
