@@ -32,9 +32,11 @@ object Similarity {
 
   // ---------------------------------------------------------- primitives
 
-  /** Strict left-fold dot product of two double arrays (codegen'd). */
+  /** Strict left-fold dot product of two double arrays — the native
+    * codegen [[graft.functions.DotProduct]] (no per-row array allocation),
+    * bit-identical to `aggregate(zip_with(_*_), 0.0, _+_)`. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dotp(a, b)
 
   private def toDouble(c: Column): Column = c.cast("array<double>")
 
@@ -47,17 +49,20 @@ object Similarity {
   // ----------------------------------------------------- brute-force topk
   /** Exact cosine top-5 neighbors for each query vector (qid % 10 == 0). */
   def qBruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    // norms precomputed once per vector (not once per PAIR): the factored
+    // cosine dot/(qn*nn) multiplies the same IEEE doubles, so results stay
+    // bit-identical to the unfactored oracle form
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val queries = emb.filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val joined = broadcast(queries).crossJoin(
-        emb.select(col("vec_id").as("nid"), col("v").as("nv")))
+        emb.select(col("vec_id").as("nid"), col("v").as("nv"),
+          col("nrm").as("nn")))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dot(col("qv"), col("nv")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("nv"), col("nv")))))
-          .as("cosine"))
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     joined.withColumn("rank", row_number().over(w).cast(LongType))
@@ -146,11 +151,12 @@ object Similarity {
   private val NearDupThreshold = 0.2
 
   def qEmbeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    // reused 4x (band self-join both sides + two verification joins):
-    // persist so the 12 hyperplane projections run once per vector
+    // persisted so the 12 hyperplane projections + norm run once per
+    // vector; the band self-join reads it from cache on both sides
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v")))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mask = (1L << NearDupBandBits) - 1
     val bandKeys = (0 until NearDupBands).map { b =>
@@ -158,23 +164,22 @@ object Similarity {
         shiftright(col("bucket"), b * NearDupBandBits).bitwiseAND(lit(mask))
           .as("key"))
     }
-    val bands = emb.select(col("vec_id"), col("v"),
+    val bands = emb.select(col("vec_id"), col("v"), col("nrm"),
         explode(array(bandKeys: _*)).as("bk"))
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"), col("v"), col("nrm"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // vectors + norms ride through the band join, so verification is a
+    // scalar compute on the collision rows — no re-join against the
+    // corpus; the threshold filter runs BEFORE the pair-dedup so the
+    // distinct shuffles only near-dup pairs, not every band collision
+    val verified = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-      .distinct()
-    val verified = cand
-      .join(emb.select(col("vec_id").as("id1"), col("v").as("v1")), "id1")
-      .join(emb.select(col("vec_id").as("id2"), col("v").as("v2")), "id2")
-      .select(col("id1"), col("id2"),
-        (dot(col("v1"), col("v2")) /
-          (sqrt(dot(col("v1"), col("v1"))) * sqrt(dot(col("v2"), col("v2")))))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .as("cosine"))
     verified.filter(col("cosine") >= NearDupThreshold)
+      .distinct()
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -204,8 +209,106 @@ object Similarity {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // ------------------------------------------------------------ IVF topk
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    * vector to its nearest of [[IvfK]] fixed centroids (map-only argmax,
+    * strict fold order so ties resolve to the first max in both engines);
+    * each query probes only the [[IvfProbes]] nearest cells, so exact
+    * cosine runs against ~nProbe/K of the corpus instead of all of it.
+    *
+    * Scale path: cell is a uniform shuffle key — the corpus partitions by
+    * cell once and queries fan out to probed cells only. At 100 TB the
+    * fixed centroids become a sampled k-means codebook (Spark ML kmeans||
+    * on ~1M sampled rows, K in the thousands) and the assignment stays an
+    * identical map-only argmax; deterministic centroids here keep the
+    * DuckDB oracle bit-exact. */
+  private val IvfK = 16
+  private val IvfProbes = 4
+
+  /** Fixed centroid component: integer in [-5, 5], nonlinear in (j, i) so
+    * centroids don't alias (a linear formula repeats with period 9/11). */
+  private def centVal(j: Int, i: Int): Int =
+    ((7919 * j * j + 104729 * i + 7 * j * i + 13) % 11 + 11) % 11 - 5
+
+  private def centNorm(j: Int): Double =
+    math.sqrt((0 until 64).map(i => centVal(j, i).toDouble)
+      .map(x => x * x).sum)
+
+  /** Per-row centroid-similarity scores (dot / centroid norm; the query
+    * norm is constant across centroids so it can't change the argmax). */
+  private def ivfScores(v: Column): Column =
+    array((0 until IvfK).map { j =>
+      val c = array((0 until 64).map(i => lit(centVal(j, i).toDouble)): _*)
+      (aggregate(zip_with(v, c, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+        / lit(centNorm(j))).as(s"s$j")
+    }: _*)
+
+  private def sqlIvfScores(vExpr: String): String =
+    (0 until IvfK).map { j =>
+      val c = (0 until 64).map(i => s"${centVal(j, i)}.0").mkString("[", ", ", "]")
+      val sumSq = (0 until 64).map(i => centVal(j, i) * centVal(j, i)).sum
+      s"${sqlDot(vExpr, c)} / sqrt($sumSq.0)"
+    }.mkString("[", ", ", "]")
+
+  /** Top-5 cosine neighbors per query, searching only IVF-probed cells. */
+  def qIvfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("scores", ivfScores(col("v")))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // first-occurrence argmax: identical tie semantics in both engines
+    val corpus = emb.select(col("vec_id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nn"),
+      array_position(col("scores"), array_max(col("scores"))).as("cell"))
+    val queries = emb.filter(col("vec_id") % QueryMod === 0)
+      .withColumn("cutoff",
+        element_at(sort_array(col("scores"), asc = false), IvfProbes))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(sequence(lit(1L), lit(IvfK.toLong))).as("pcell"),
+        col("scores"), col("cutoff"))
+      .filter(element_at(col("scores"), col("pcell").cast("int")) >= col("cutoff"))
+      .select(col("qid"), col("qv"), col("qn"), col("pcell"))
+    val cand = broadcast(queries)
+      .join(corpus, col("pcell") === col("cell") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    cand.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qIvfTopKSql: String = {
+    val d = sqlDot("qv", "nv")
+    val nq = sqlDot("qv", "qv")
+    val nn = sqlDot("nv", "nv")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    ${sqlIvfScores("embedding::DOUBLE[]")} AS scores
+       |  FROM embeddings),
+       |corpus AS (SELECT vec_id AS nid, v AS nv,
+       |    list_position(scores, list_max(scores)) AS cell FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, scores,
+       |    list_sort(scores, 'DESC')[$IvfProbes] AS cutoff
+       |  FROM e WHERE vec_id % $QueryMod = 0),
+       |probes AS (
+       |  SELECT qid, qv, i AS pcell FROM q
+       |  CROSS JOIN (SELECT unnest(range(1, ${IvfK + 1})) AS i) t
+       |  WHERE scores[CAST(i AS INT)] >= cutoff),
+       |cand AS (
+       |  SELECT qid, nid, $d / (sqrt($nq) * sqrt($nn)) AS cosine
+       |  FROM probes JOIN corpus ON pcell = cell AND qid <> nid),
+       |ranked AS (SELECT qid, nid, cosine,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |  FROM cand)
+       |SELECT qid, nid, rank, cosine FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "sim_brute_topk" -> (qBruteForceTopK _, qBruteForceTopKSql),
     "sim_lsh_buckets" -> (qLshBuckets _, qLshBucketsSql),
-    "sim_embedding_neardup" -> (qEmbeddingNearDup _, qEmbeddingNearDupSql))
+    "sim_embedding_neardup" -> (qEmbeddingNearDup _, qEmbeddingNearDupSql),
+    "sim_ivf_topk" -> (qIvfTopK _, qIvfTopKSql))
 }
