@@ -110,27 +110,28 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws(",", mins.map(_.cast("string")): _*).as("key")).as(s"b$b")
     }
-    val bands = base.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = base
+      .select(col("doc_id"), col("hs"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("hs"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
 
-    val cand = bands.as("a").join(bands.as("b"),
+    // shingle-hash sets ride through the band join, so exact-Jaccard
+    // verification is a scalar compute on each collision row — no re-join
+    // against the corpus; the threshold filter runs BEFORE the pair-dedup
+    // so the distinct shuffles only verified near-dups
+    val verified = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-
-    // verify candidates with exact Jaccard over the shingle-hash sets
-    val verified = cand
-      .join(base.select(col("doc_id").as("d1"), col("hs").as("hs1")), "d1")
-      .join(base.select(col("doc_id").as("d2"), col("hs").as("hs2")), "d2")
-      .select(col("d1"), col("d2"),
-        size(array_intersect(col("hs1"), col("hs2"))).cast(LongType).as("inter"),
-        size(col("hs1")).cast(LongType).as("n1"),
-        size(col("hs2")).cast(LongType).as("n2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        size(array_intersect(col("a.hs"), col("b.hs"))).cast(LongType)
+          .as("inter"),
+        size(col("a.hs")).cast(LongType).as("n1"),
+        size(col("b.hs")).cast(LongType).as("n2"))
       .select(col("d1"), col("d2"),
         (col("inter").cast(DoubleType) /
           (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
-    verified.filter(col("jaccard") >= 0.5).orderBy(col("d1"), col("d2"))
+    verified.filter(col("jaccard") >= 0.5).distinct()
+      .orderBy(col("d1"), col("d2"))
   }
 
   val qMinHashLshSql: String = {
