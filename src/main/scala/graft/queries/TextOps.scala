@@ -136,8 +136,43 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------- BPE-ish tokens
+  /** BPE-style pre-tokenizer count: letter runs, digit runs, and
+    * punctuation runs count as separate tokens (the GPT-2 pre-tokenizer
+    * shape, minus lookaheads so the pattern is portable between Java
+    * regex and DuckDB's RE2 — the classes are disjoint, so leftmost-first
+    * vs leftmost-longest matching agree). Whitespace-token count rides
+    * along for the fertility ratio (bpe tokens per word). */
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+  def qBpeTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+    val ws = size(tokens(col("text")))
+    docs.select(col("source"), bpe.cast(LongType).as("n_bpe"),
+        ws.cast(LongType).as("n_ws"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_bpe")).cast(LongType).as("bpe_tokens"),
+        sum(col("n_ws")).cast(LongType).as("ws_tokens"),
+        (sum(col("n_bpe")).cast(DoubleType) /
+          sum(col("n_ws")).cast(DoubleType)).as("fertility"))
+      .orderBy(col("source"))
+  }
+
+  val qBpeTokensSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT) AS n_bpe,
+       |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_ws
+       |  FROM documents)
+       |SELECT source, CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+       |  CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE) AS fertility
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats" -> (qTextStats _, qTextStatsSql),
     "text_lang_id" -> (qLangId _, qLangIdSql),
-    "text_fingerprint" -> (qFingerprint _, qFingerprintSql))
+    "text_fingerprint" -> (qFingerprint _, qFingerprintSql),
+    "text_bpe_tokens" -> (qBpeTokens _, qBpeTokensSql))
 }
