@@ -41,7 +41,7 @@ object Relational3 {
     * partsupp). */
   def q2TopSupplierPerPart(spark: SparkSession, sfDir: String): DataFrame = {
     val part = Tables.load(spark, sfDir, "part")
-      .filter(col("p_size") === 15 && col("p_type") === "LARGE")
+      .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
     val pairs = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey")).distinct()
     val supp = Tables.load(spark, sfDir, "supplier")
@@ -70,7 +70,7 @@ object Relational3 {
       |  FROM pairs, part, supplier, nation, region
       |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
       |    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-      |    AND p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE')
+      |    AND p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE')
       |SELECT s_acctbal, s_name, n_name, cand.p_partkey, p_name
       |FROM cand
       |JOIN (SELECT p_partkey, MAX(s_acctbal) AS max_bal
@@ -80,9 +80,10 @@ object Relational3 {
       |LIMIT 100""".stripMargin
 
   // ------------------------------------------------------------------ q7
-  /** TPC-H Q7 shape: bilateral trade volume between two nations by year.
-    * The nation dimension is joined twice in different roles (supplier
-    * nation and customer nation). */
+  /** TPC-H Q7 shape: bilateral trade volume between two nation GROUPS by
+    * year (groups rather than single nations so the result is non-empty
+    * at every scale factor). The nation dimension is joined twice in
+    * different roles (supplier nation and customer nation). */
   def q7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -100,8 +101,10 @@ object Relational3 {
       .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
       .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
       .filter(
-        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        (col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3") &&
+          col("cust_nation").isin("NATION_4", "NATION_5", "NATION_6")) ||
+        (col("supp_nation").isin("NATION_4", "NATION_5", "NATION_6") &&
+          col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3")))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast(LongType).as("l_year"))
       .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -119,8 +122,10 @@ object Relational3 {
        | AND c_nationkey = n2.n_nationkey
        | AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
        | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-       | AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-       |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       | AND ((n1.n_name IN ('NATION_1','NATION_2','NATION_3')
+       |        AND n2.n_name IN ('NATION_4','NATION_5','NATION_6'))
+       |   OR (n1.n_name IN ('NATION_4','NATION_5','NATION_6')
+       |        AND n2.n_name IN ('NATION_1','NATION_2','NATION_3')))
        |GROUP BY 1, 2, 3
        |ORDER BY 1, 2, 3""".stripMargin
 

@@ -53,6 +53,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(aggs >= 2, s"expected partial+final aggregation, found $aggs")
   }
 
+  test("tranche-3 dimension joins are broadcast (no SMJ on dims)") {
+    Seq("q2_top_supplier_per_part", "q7_volume_shipping", "q8_market_share",
+      "q9_product_profit", "q11_important_parts", "q20_part_promotion")
+      .foreach { q =>
+        val nodes = executed(SparkEntry.queries(q)(spark, TestSpark.sfDir))
+        assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]),
+          s"$q has no broadcast join")
+      }
+  }
+
+  test("q9: part-name filter is pushed to the part scan") {
+    val nodes = executed(SparkEntry.queries("q9_product_profit")(spark, TestSpark.sfDir))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    val partScan = scans.find(_.metadata.getOrElse("Location", "").contains("part.parquet"))
+    assert(partScan.isDefined, "no part.parquet scan found")
+    val pushed = partScan.get.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed.contains("StringContains") || pushed.contains("Contains"),
+      s"p_name contains-filter not pushed: $pushed")
+  }
+
+  test("sim_brute_topk: corpus side is not shuffled (broadcast NLJ only)") {
+    val nodes = executed(SparkEntry.queries("sim_brute_topk")(spark, TestSpark.sfDir))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    // allowed shuffles: the window top-k partitioning on qid + the final
+    // output range-sort; the corpus scan itself must stay map-side
+    assert(shuffles.size <= 2,
+      s"corpus pass should be map-only + topk/sort shuffles, got ${shuffles.size}")
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "queries side not broadcast")
+  }
+
   test("dedup_exact: single shuffle on the digest") {
     val nodes = executed(SparkEntry.queries("dedup_exact")(spark, TestSpark.sfDir))
     val scans = nodes.collect { case s: FileSourceScanExec => s }
