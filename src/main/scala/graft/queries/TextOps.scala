@@ -54,7 +54,7 @@ object TextOps {
     s"""SELECT doc_id, lang,
        | len($toks) AS n_tokens,
        | CAST(length(text) AS BIGINT) AS n_chars_measured,
-       | list_sum(list_transform($toks, t -> CAST(len(t) AS BIGINT))) AS sum_token_chars,
+       | CAST(list_sum(list_transform($toks, t -> CAST(len(t) AS BIGINT))) AS BIGINT) AS sum_token_chars,
        | CAST(list_sum(list_transform($toks, t -> CAST(len(t) AS BIGINT))) AS DOUBLE)
        |   / CAST(len($toks) AS DOUBLE) AS avg_token_len,
        | CAST(len(list_filter($toks, t -> list_contains($stopList, t))) AS BIGINT) AS n_stopwords,

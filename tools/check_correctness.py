@@ -62,6 +62,20 @@ def main():
             print(f"FAIL {name}: cols {list(spark_df.columns)} vs {list(duck_df.columns)}")
             n_fail += 1
             continue
+        # Driver hashes raw values, so an int64-vs-float64 dtype skew (e.g.
+        # DuckDB list_sum returning HUGEINT->float) fails there even when
+        # numeric == passes here. Flag dtype mismatches as failures.
+        # Width differences (int32 vs int64) hash identically; kind
+        # differences (int vs float) do not — r1 proved both empirically.
+        def kind(dt):
+            return getattr(dt, "kind", "O")
+        dt_skew = [(c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+                   for c in spark_df.columns
+                   if kind(spark_df[c].dtype) != kind(duck_df[c].dtype)]
+        if dt_skew:
+            print(f"FAIL {name}: dtype skew {dt_skew}")
+            n_fail += 1
+            continue
         mismatch = []
         for c in spark_df.columns:
             a = spark_df[c].map(norm_cell)
