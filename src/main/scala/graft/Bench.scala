@@ -25,7 +25,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout for the driver (unprefixed via run/outputStrategy=StdoutOutput)
+    // plus a file copy so a prefix-mangled capture can still be recovered
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }
 }

@@ -94,43 +94,66 @@ object Dedup {
 
   // --------------------------------------------------------- minhash lsh
   /** MinHash+LSH candidate generation, then exact-Jaccard verification.
-    * Output = verified near-dup pairs found via the LSH path. */
+    * Output = verified near-dup pairs found via the LSH path.
+    *
+    * Scale shape (the 100 TB path, in order):
+    *  1. one codegen pass/row builds the 16-slot signature
+    *     ([[graft.functions.MinHashSignature]]) — K running minima in a
+    *     local long[], not K array traversals;
+    *  2. the band self-join carries ONLY (doc_id, band, key) — constant
+    *     ~40 bytes/row exchange payload instead of the full shingle-hash
+    *     array on both sides;
+    *  3. candidate pairs are distinct-ed BEFORE verification so each pair
+    *     is verified once even when it collides in several bands;
+    *  4. verification re-joins the (tiny, ∝ true dups) candidate set
+    *     against the corpus with broadcast hints — the corpus is streamed,
+    *     never shuffled. */
   def qMinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.MinHashFunctions.minhashSignature
     val docs = Tables.load(spark, sfDir, "documents")
-    // reused 4x (band self-join both sides + two verification joins):
-    // persist so shingle hashing runs once per row
+    // reused 3x (signature pass + two verification probes): persist so
+    // md5-shingle hashing runs once per row
     val base = docs.select(col("doc_id"),
       shingleHashes(shingles3(tokens(col("text")))).as("hs"))
       .filter(size(col("hs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 16-permutation signature, banded 4x4; band key = string of 4 minhashes
+    // 16-permutation signature in one pass, banded 4x4;
+    // band key = string of 4 minhashes (same key as the oracle SQL)
+    val sig = minhashSignature(col("hs"),
+      (0 until MinHashK).map(permA), (0 until MinHashK).map(permB), HashP)
     val bandCols = (0 until LshBands).map { b =>
-      val mins = (0 until LshRows).map(r => minHash(col("hs"), b * LshRows + r))
+      val mins = (0 until LshRows)
+        .map(r => element_at(col("sig"), b * LshRows + r + 1))
       struct(lit(b).as("band"),
         concat_ws(",", mins.map(_.cast("string")): _*).as("key")).as(s"b$b")
     }
     val bands = base
-      .select(col("doc_id"), col("hs"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("hs"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    // shingle-hash sets ride through the band join, so exact-Jaccard
-    // verification is a scalar compute on each collision row — no re-join
-    // against the corpus; the threshold filter runs BEFORE the pair-dedup
-    // so the distinct shuffles only verified near-dups
-    val verified = bands.as("a").join(bands.as("b"),
+    val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        size(array_intersect(col("a.hs"), col("b.hs"))).cast(LongType)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+    // exact-Jaccard verify: broadcast the candidate pairs, stream the corpus
+    val withA = broadcast(cand)
+      .join(base.as("x"), col("d1") === col("x.doc_id"))
+      .select(col("d1"), col("d2"), col("x.hs").as("hs1"))
+    broadcast(withA)
+      .join(base.as("y"), col("d2") === col("y.doc_id"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("hs1"), col("y.hs"))).cast(LongType)
           .as("inter"),
-        size(col("a.hs")).cast(LongType).as("n1"),
-        size(col("b.hs")).cast(LongType).as("n2"))
+        size(col("hs1")).cast(LongType).as("n1"),
+        size(col("y.hs")).cast(LongType).as("n2"))
       .select(col("d1"), col("d2"),
         (col("inter").cast(DoubleType) /
           (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
-    verified.filter(col("jaccard") >= 0.5).distinct()
+      .filter(col("jaccard") >= 0.5)
       .orderBy(col("d1"), col("d2"))
   }
 
