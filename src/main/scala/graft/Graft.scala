@@ -39,18 +39,21 @@ class Graft(spark: SparkSession) {
     *  - "full": complete rebuild from the source;
     *  - "incremental": fold appended files in, drop deleted rows via
     *    lineage — reads only old index data + appended files;
-    *  - "quick": metadata-only no-op here — the optimizer diffs source
-    *    files at query time and applies hybrid scan automatically, which
-    *    is exactly the behavior quick refresh buys in the reference. */
+    *  - "quick": metadata-only — record the appended/deleted file delta
+    *    in the log so query-time hybrid scan keeps applying it and the
+    *    staleness thresholds re-baseline from this point. */
   def refreshIndex(name: String, mode: String = "full"): Unit = mode match {
     case "full" => manager.refreshFull(name)
     case "incremental" => manager.refreshIncremental(name)
-    case "quick" => ()
+    case "quick" => manager.refreshQuick(name)
     case m => throw new IllegalArgumentException(s"Unknown refresh mode '$m'")
   }
 
-  /** Compact index data files (reference: Hyperspace.scala:110-133). */
-  def optimizeIndex(name: String): Unit = manager.optimize(name)
+  /** Compact index data files (reference: Hyperspace.scala:110-133).
+    * "quick" (default) compacts only files below
+    * spark.graft.index.optimize.fileSizeThreshold; "full" rewrites all. */
+  def optimizeIndex(name: String, mode: String = "quick"): Unit =
+    manager.optimize(name, mode)
 
   /** Roll an in-flight action back to the last stable state
     * (reference: Hyperspace.scala:149). */

@@ -12,8 +12,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
  * `dot(a, b)` over two `array<double>` columns as a native codegen
  * expression: a strict left fold `acc += a(i) * b(i)` in element order —
  * bit-identical to `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` (and to
- * DuckDB's `list_reduce(list_transform(list_zip(..)))`), but with no
- * intermediate array allocation per row.
+ * DuckDB's `list_reduce(list_transform(list_zip(..)))`) for EQUAL-LENGTH
+ * arrays with NO NULL ELEMENTS (the fixed-width embedding columns this
+ * serves), but with no intermediate array allocation per row.
+ *
+ * Divergence outside that domain, deliberate for speed: mismatched
+ * lengths truncate to the shorter array (the HOF returns NULL) and null
+ * elements read as 0.0 via getDouble (the HOF returns NULL). Callers with
+ * variable-length or null-holding vectors must pre-normalize.
  *
  * This is the hot inner loop of every similarity operator: brute-force
  * top-k evaluates it O(|queries| x |corpus|) times, so the

@@ -43,4 +43,13 @@ object GraftConf {
 
   def hybridMaxDeletedRatio(spark: SparkSession): Double =
     spark.conf.getOption(HybridMaxDeletedKey).map(_.toDouble).getOrElse(0.2)
+
+  val OptimizeFileSizeThresholdKey = "spark.graft.index.optimize.fileSizeThreshold"
+
+  /** Quick optimize compacts only index files below this size (reference:
+    * index/IndexConstants.scala:116-117 — 256 MB). Keeps maintenance
+    * O(small files), not O(index). */
+  def optimizeFileSizeThreshold(spark: SparkSession): Long =
+    spark.conf.getOption(OptimizeFileSizeThresholdKey).map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
 }

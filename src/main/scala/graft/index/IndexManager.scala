@@ -155,11 +155,14 @@ final class IndexManager(spark: SparkSession) {
     if (latest.state == IndexState.Deleted) {
       fs(root).delete(root, true)
     } else if (latest.state == IndexState.Active) {
-      val current = new Path(latest.content.root).getName
+      // keep every version dir still referenced by content (after a quick
+      // optimize, kept large files live in older v__ dirs)
+      val referenced = (latest.content.filePaths.map(p =>
+        new Path(p).getParent.getName) :+ new Path(latest.content.root).getName).toSet
       val f = fs(root)
       f.listStatus(root).toSeq
         .filter(s => s.getPath.getName.startsWith("v__") &&
-          s.getPath.getName != current)
+          !referenced.contains(s.getPath.getName))
         .foreach(s => f.delete(s.getPath, true))
     }
   }
@@ -178,8 +181,33 @@ final class IndexManager(spark: SparkSession) {
       val built = latest.descriptor.build(ctx, source)
       latest.copy(descriptor = built,
         content = ContentMeta(dataPath.toString, listDataFiles(dataPath, tracker)),
-        relations = relations,
+        relations = relations, update = None,
         properties = latest.properties + ("dataVersion" -> version.toString))
+    }
+
+  /** Quick refresh: METADATA-ONLY capture of the source delta (reference:
+    * actions/RefreshQuickAction.scala:37-80). No index data is touched;
+    * the appended/deleted file sets are recorded in the log entry so that
+    * (a) query-time hybrid scan keeps applying them, and (b) the
+    * staleness thresholds re-baseline — only drift accumulated AFTER this
+    * point counts against maxAppendedRatio/maxDeletedRatio. O(file
+    * listing) — the cheapest way to keep an index usable under steady
+    * append traffic at 100 TB. */
+  def refreshQuick(name: String): Unit =
+    transition(name, Set(IndexState.Active), IndexState.Refreshing,
+      IndexState.Active) { latest =>
+      val tracker = new FileIdTracker
+      latest.sourceFiles.foreach(tracker.addKnown)
+      val source = readSource(latest)
+      val currentRels = SourceRelation.captureAll(source, tracker)
+      val current = currentRels.flatMap(_.files)
+      def key(f: FileMeta) = (f.path, f.size, f.modifiedTime)
+      val loggedKeys = latest.sourceFiles.map(key)
+      val currentKeys = current.map(key).toSet
+      val appended = current.filterNot(f => loggedKeys.contains(key(f)))
+      val deleted = latest.sourceFiles.toSeq.filterNot(f => currentKeys.contains(key(f)))
+      if (appended.isEmpty && deleted.isEmpty) latest
+      else latest.copy(update = Some(UpdateMeta(appended, deleted)))
     }
 
   /** Incremental refresh: fold appended files into the index and drop
@@ -209,7 +237,9 @@ final class IndexManager(spark: SparkSession) {
         val version = nextVersion(name)
         val dataPath = dataVersionPath(name, version)
         val ctx = IndexBuildContext(spark, dataPath.toString, tracker)
-        val oldData = spark.read.parquet(latest.content.root)
+        // explicit file list: content may span version dirs after a quick
+        // optimize, and root alone would miss the kept files
+        val oldData = spark.read.parquet(latest.content.filePaths: _*)
         val deletedIds = deleted.map(_.id)
 
         val newDescriptor = latest.descriptor match {
@@ -251,37 +281,62 @@ final class IndexManager(spark: SparkSession) {
         }
         latest.copy(descriptor = newDescriptor,
           content = ContentMeta(ctx.dataPath, listDataFiles(dataPath, tracker)),
-          relations = currentRels,
+          relations = currentRels, update = None,
           properties = latest.properties + ("dataVersion" -> version.toString))
       }
     }
 
   /** Compact index data files (reference: actions/OptimizeAction.scala:57-148
-    * — bucket-wise small-file compaction). Covering: rewrite bucketed (one
-    * file per bucket). Data-skipping: rewrite size-targeted. Z-order:
-    * re-cluster (full rewrite of index data from itself). */
-  def optimize(name: String): Unit =
+    * — bucket-wise small-file compaction, quick/full modes).
+    *
+    *  - "quick" (default): rewrite ONLY files smaller than
+    *    `spark.graft.index.optimize.fileSizeThreshold` (256 MB); files at
+    *    or above the threshold stay in place untouched, so maintenance
+    *    cost is O(small files) — at 100 TB the difference between a
+    *    routine job and a full index rebuild. The resulting content spans
+    *    version dirs; every reader goes through `content.filePaths`.
+    *  - "full": rewrite everything. Covering: rewrite bucketed (one file
+    *    per bucket). Data-skipping: rewrite size-targeted. Z-order:
+    *    re-cluster (global clustering — quick degenerates to full). */
+  def optimize(name: String, mode: String = "quick"): Unit =
     transition(name, Set(IndexState.Active), IndexState.Optimizing,
       IndexState.Active) { latest =>
       val tracker = new FileIdTracker
       latest.sourceFiles.foreach(tracker.addKnown)
-      val version = nextVersion(name)
-      val dataPath = dataVersionPath(name, version)
-      val ctx = IndexBuildContext(spark, dataPath.toString, tracker)
-      val oldData = spark.read.parquet(latest.content.root)
-      val newDescriptor = latest.descriptor match {
-        case ci: covering.CoveringIndexDescriptor =>
-          covering.CoveringIndexDescriptor.writeBucketed(
-            spark, oldData, ctx.dataPath, ci.numBuckets, ci.indexedColumns)
-          ci
-        case ds: dataskipping.DataSkippingIndexDescriptor =>
-          dataskipping.DataSkippingBuild.write(ctx, oldData, ds)
-        case other =>
-          other.build(ctx, readSource(latest))
+      val threshold = mode match {
+        case "quick" => GraftConf.optimizeFileSizeThreshold(spark)
+        case "full" => Long.MaxValue
+        case m => throw new IllegalArgumentException(s"Unknown optimize mode '$m'")
       }
-      latest.copy(descriptor = newDescriptor,
-        content = ContentMeta(ctx.dataPath, listDataFiles(dataPath, tracker)),
-        properties = latest.properties + ("dataVersion" -> version.toString))
+      val (small, kept) = latest.descriptor match {
+        case _: zorder.ZOrderIndexDescriptor =>
+          (latest.content.files, Nil) // global clustering: always full
+        case _ => latest.content.files.partition(_.size < threshold)
+      }
+      if (small.isEmpty) latest // nothing under the threshold: no-op
+      else {
+        val version = nextVersion(name)
+        val dataPath = dataVersionPath(name, version)
+        val ctx = IndexBuildContext(spark, dataPath.toString, tracker)
+        val compactInput = spark.read.parquet(small.map(_.path): _*)
+        val newDescriptor = latest.descriptor match {
+          case ci: covering.CoveringIndexDescriptor =>
+            // rows re-hash to their original bucket ids (same key columns,
+            // same numBuckets), so compacted files merge per bucket and
+            // coexist with untouched large files of the same bucket
+            covering.CoveringIndexDescriptor.writeBucketed(
+              spark, compactInput, ctx.dataPath, ci.numBuckets, ci.indexedColumns)
+            ci
+          case ds: dataskipping.DataSkippingIndexDescriptor =>
+            dataskipping.DataSkippingBuild.write(ctx, compactInput, ds)
+          case other =>
+            other.build(ctx, readSource(latest))
+        }
+        latest.copy(descriptor = newDescriptor,
+          content = ContentMeta(ctx.dataPath,
+            kept ++ listDataFiles(dataPath, tracker)),
+          properties = latest.properties + ("dataVersion" -> version.toString))
+      }
     }
 
   /** Reconstruct the source DataFrame from logged relation metadata

@@ -18,7 +18,7 @@ object MinMaxAnalysis {
   /** One row per index data file: (file, min, max, n_overlaps). */
   def analyzeIndexFiles(spark: SparkSession, entry: IndexLogEntry,
       column: String): DataFrame = {
-    val data = spark.read.parquet(entry.content.root)
+    val data = spark.read.parquet(entry.content.filePaths: _*)
     require(data.columns.exists(_.equalsIgnoreCase(column)),
       s"column '$column' not in index '${entry.name}' " +
         s"(has ${data.columns.mkString(",")})")

@@ -167,6 +167,18 @@ final case class ValueListSketch(
       isSketched: Expression => Boolean): Option[Expression] = {
     lazy val vl = attrOf(vlCol)
     def contains(l: Literal): Expression = ArrayContains(vl, l)
+    // Range tests index into the sorted list; ElementAt on an EMPTY list
+    // (a file whose sketched column is all nulls) throws under
+    // spark.sql.ansi.enabled — and the pruning query runs lazily at scan
+    // time, outside ApplyGraft's try/catch, so that would fail the user
+    // query instead of skipping pruning. CaseWhen short-circuits:
+    //   non-empty -> the range test;
+    //   empty (known: no non-null values) -> FALSE (provably skippable);
+    //   null (collect_set over budget: unknown) -> NULL (keep the file).
+    def range(test: Expression => Expression, idx: Int): Expression =
+      CaseWhen(Seq(
+        (GreaterThan(Size(vl), Literal(0)), test(ElementAt(vl, Literal(idx)))),
+        (IsNotNull(vl), Literal.FalseLiteral)))
     pred match {
       case EqualTo(e, l: Literal) if isSketched(e) && l.value != null => Some(contains(l))
       case EqualTo(l: Literal, e) if isSketched(e) && l.value != null => Some(contains(l))
@@ -182,13 +194,13 @@ final case class ValueListSketch(
       case IsNotNull(e) if isSketched(e) =>
         Some(GreaterThan(org.apache.spark.sql.catalyst.expressions.Size(vl), Literal(0)))
       case LessThan(e, l: Literal) if isSketched(e) =>
-        Some(LessThan(ElementAt(vl, Literal(1)), l))
+        Some(range(LessThan(_, l), 1))
       case LessThanOrEqual(e, l: Literal) if isSketched(e) =>
-        Some(LessThanOrEqual(ElementAt(vl, Literal(1)), l))
+        Some(range(LessThanOrEqual(_, l), 1))
       case GreaterThan(e, l: Literal) if isSketched(e) =>
-        Some(GreaterThan(ElementAt(vl, Literal(-1)), l))
+        Some(range(GreaterThan(_, l), -1))
       case GreaterThanOrEqual(e, l: Literal) if isSketched(e) =>
-        Some(GreaterThanOrEqual(ElementAt(vl, Literal(-1)), l))
+        Some(range(GreaterThanOrEqual(_, l), -1))
       case _ => None
     }
   }

@@ -33,11 +33,21 @@ final case class RelationMeta(
     files: Seq[FileMeta],
     signature: String)
 
-/** Index data files of one version. */
+/** Index data files of one version. After a quick optimize the list can
+  * span several `v__N` dirs (untouched large files stay in place); `root`
+  * is always the newest version dir. */
 final case class ContentMeta(root: String, files: Seq[FileMeta]) {
   def filePaths: Seq[String] = files.map(_.path)
   def totalSize: Long = files.map(_.size).sum
 }
+
+/** Source delta captured by a quick refresh (reference:
+  * IndexLogEntry.scala:351 `Update(appendedFiles, deletedFiles)` +
+  * actions/RefreshQuickAction.scala:37-80): the files that drifted from
+  * the indexed snapshot, acknowledged in metadata WITHOUT rebuilding index
+  * data. Query-time hybrid scan applies the delta; the staleness
+  * thresholds then only count drift accumulated AFTER this point. */
+final case class UpdateMeta(appended: Seq[FileMeta], deleted: Seq[FileMeta])
 
 /** Lifecycle states (reference: actions/Constants.scala:19-35). */
 object IndexState {
@@ -67,7 +77,8 @@ final case class IndexLogEntry(
     state: String,
     id: Long,
     timestamp: Long,
-    properties: Map[String, String] = Map.empty) {
+    properties: Map[String, String] = Map.empty,
+    update: Option[UpdateMeta] = None) {
 
   def signature: String = relations.map(_.signature).mkString(";")
   def sourceFiles: Set[FileMeta] = relations.flatMap(_.files).toSet

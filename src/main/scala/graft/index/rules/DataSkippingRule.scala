@@ -56,7 +56,7 @@ object DataSkippingRule extends GraftIndexRule {
     val entry = m.entry
     val sketches = Sketches.fromSpecs(d.sketches)
     val indexSchema = DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
-    val indexData = spark.read.schema(indexSchema).parquet(entry.content.root)
+    val indexData = spark.read.schema(indexSchema).parquet(entry.content.filePaths: _*)
     val indexOutput = indexData.queryExecution.analyzed.output
     val resolver = spark.sessionState.conf.resolver
     def attrOf(name: String): Expression =

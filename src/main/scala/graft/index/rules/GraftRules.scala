@@ -152,6 +152,19 @@ object JoinIndexRule extends GraftIndexRule {
     val rNeeded = neededColumns(join.right)
 
     val resolver = spark.sessionState.conf.resolver
+    // The whole rewrite presumes bucketed scans produce HashPartitioning.
+    if (!spark.sessionState.conf
+        .getConfString("spark.sql.sources.bucketing.enabled", "true").toBoolean)
+      return None
+    // A hybrid side zip-unions the index scan with a repartitioned
+    // appended slice (BucketUnionExec requires equal partition counts).
+    // With autoBucketedScan on, Spark may silently read the index leg
+    // un-bucketed and that requirement fails at runtime — so in such a
+    // session claim only exact-exact pairs (GraftSession disables the
+    // conf; a foreign session installing the extension may not).
+    val hybridSafe = !spark.sessionState.conf
+      .getConfString("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      .toBoolean
     // candidate pair: left index bucketed exactly on the left keys, right
     // index bucketed on the correspondingly-permuted right keys, equal
     // bucket counts (different counts would reintroduce a shuffle on one
@@ -166,7 +179,8 @@ object JoinIndexRule extends GraftIndexRule {
       if rm._2.covers(rNeeded) &&
         rm._2.indexedColumns.size == rKeys.size &&
         rm._2.indexedColumns.zip(rKeys).forall { case (a, b) => resolver(a, b) } &&
-        lm._2.numBuckets == rm._2.numBuckets
+        lm._2.numBuckets == rm._2.numBuckets &&
+        (hybridSafe || (lm._1.isExact && rm._1.isExact))
     } yield (lm._1, rm._1)
     // exact pairs first, then most still-covered bytes
     val best = pairsFound.sortBy { case (l, r) =>
@@ -274,12 +288,25 @@ object JoinIndexRule extends GraftIndexRule {
     if (idxs.distinct.size == idxs.size) Some(idxs) else None
   }
 
+  /** Swap the relation for the index scan. The scan's output is in
+    * index-schema order and may carry a lineage `_data_file_id` attribute;
+    * when the relation is the subtree root (no Project above to fix it up)
+    * that would silently reorder the join output or leak a column — so
+    * compensate with a Project of the original attributes in original
+    * order whenever the outputs differ (reference:
+    * RuleUtils.transformPlanToUseIndexOnlyScan keeps relation order and
+    * excludes lineage). An upper Project prunes the extra node for free. */
   private def substitute(
       spark: SparkSession,
       plan: LogicalPlan,
       target: LogicalRelation,
       replacement: LogicalPlan): LogicalPlan =
-    plan.transformUp { case r: LogicalRelation if r.fastEquals(target) => replacement }
+    plan.transformUp {
+      case r: LogicalRelation if r.fastEquals(target) =>
+        val covered = r.output.filter(a => replacement.outputSet.contains(a))
+        if (replacement.output.map(_.exprId) == covered.map(_.exprId)) replacement
+        else Project(covered, replacement)
+    }
 }
 
 /**

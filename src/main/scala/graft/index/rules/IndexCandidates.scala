@@ -92,11 +92,22 @@ object IndexCandidates {
         val appended = current.filterNot(f => loggedKeys.contains(key(f)))
         val deleted = logged.filterNot(f => currentKeys.contains(key(f)))
         val m = CandidateMatch(e, appended, deleted)
+        // A quick refresh blessed part of the delta in metadata
+        // (entry.update): hybrid scan still has to APPLY the full delta,
+        // but only drift accumulated past the blessing counts against the
+        // staleness thresholds — that re-baselining is exactly what quick
+        // refresh buys (reference: RefreshQuickAction.scala:37-80).
+        val blessedApp = e.update.map(_.appended.map(key).toSet).getOrElse(Set.empty)
+        val blessedDel = e.update.map(_.deleted.map(key).toSet).getOrElse(Set.empty)
+        val newAppendedBytes =
+          appended.filterNot(f => blessedApp.contains(key(f))).map(_.size).sum
+        val newDeletedBytes =
+          deleted.filterNot(f => blessedDel.contains(key(f))).map(_.size).sum
         if (m.isExact) Some(m)
         else if (hybridEnabled &&
             currentBytes > 0 && m.loggedBytes > 0 &&
-            m.appendedBytes.toDouble / currentBytes <= maxAppendedRatio &&
-            m.deletedBytes.toDouble / m.loggedBytes <= maxDeletedRatio)
+            newAppendedBytes.toDouble / currentBytes <= maxAppendedRatio &&
+            newDeletedBytes.toDouble / m.loggedBytes <= maxDeletedRatio)
           Some(m)
         else None
       }
