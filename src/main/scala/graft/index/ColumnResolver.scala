@@ -9,9 +9,10 @@ import org.apache.spark.sql.DataFrame
 object ColumnResolver {
   def resolveAll(df: DataFrame, names: Seq[String]): Seq[String] = {
     val resolver = df.sparkSession.sessionState.conf.resolver
-    val fields = df.schema.fields.map(_.name)
     names.map { n =>
-      fields.find(f => resolver(f, n)).getOrElse(
+      // top-level fields win; otherwise `a.b.c` resolves as a nested
+      // struct-field path (flattened at build time — see NestedColumns)
+      NestedColumns.resolvePath(df.schema, n, resolver).getOrElse(
         throw new IllegalArgumentException(
           s"Column '$n' not found in schema ${df.schema.simpleString}"))
     }

@@ -3,19 +3,26 @@ package graft.index
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
+import graft.index.sources.{SourceLeaf, SourceProviders}
+
 /**
- * Captures the file-based source relation(s) under a DataFrame
- * (reference: index/sources/default/DefaultFileBasedSource.scala:76-86 and
- * sources/interfaces.scala:43-163, collapsed to the parquet/orc/csv/json
- * HadoopFsRelation case — the only source kind in the offline jar set).
+ * Captures the indexable source relation(s) under a DataFrame, routed
+ * through the pluggable provider SPI (reference:
+ * index/sources/FileBasedSourceProviderManager.scala; default provider
+ * analogue: index/sources/default/DefaultFileBasedSource.scala:76-86).
  */
 object SourceRelation {
 
-  /** All file-based leaves of the plan. */
+  /** All provider-recognized leaves of the plan. */
+  def collectLeaves(df: DataFrame): Seq[SourceLeaf] = {
+    val spark = df.sparkSession
+    df.queryExecution.analyzed.collectLeaves()
+      .flatMap(SourceProviders.asSourceLeaf(spark, _))
+  }
+
+  /** All file-based leaves of the plan (legacy surface, kept for rules). */
   def collect(df: DataFrame): Seq[LogicalRelation] =
-    df.queryExecution.analyzed.collect {
-      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] => l
-    }
+    collectLeaves(df).map(_.plan)
 
   def formatName(rel: HadoopFsRelation): String = {
     val n = rel.fileFormat.getClass.getSimpleName.toLowerCase
@@ -25,30 +32,27 @@ object SourceRelation {
     }
   }
 
-  /** Capture metadata for one relation, registering files in the tracker. */
-  def capture(l: LogicalRelation, tracker: FileIdTracker): RelationMeta = {
-    val rel = l.relation.asInstanceOf[HadoopFsRelation]
-    val statuses = rel.location.listFiles(Nil, Nil).flatMap(_.files)
-    val files = statuses.map { s =>
-      val id = tracker.addOrGet(s.getPath.toString, s.getLen, s.getModificationTime)
-      FileMeta(s.getPath.toString, s.getLen, s.getModificationTime, id)
+  /** Capture metadata for one leaf, registering files in the tracker. */
+  def capture(leaf: SourceLeaf, tracker: FileIdTracker): RelationMeta = {
+    val files = leaf.listFiles().map { case (path, size, mtime) =>
+      FileMeta(path, size, mtime, tracker.addOrGet(path, size, mtime))
     }
     RelationMeta(
-      rootPaths = rel.location.rootPaths.map(_.toString),
-      schemaJson = rel.schema.json,
-      format = formatName(rel),
-      options = rel.options,
+      rootPaths = leaf.rootPaths,
+      schemaJson = leaf.schemaJson,
+      format = leaf.format,
+      options = leaf.options,
       files = files,
-      signature = Signatures.ofFiles(files))
+      signature = leaf.signature(files))
   }
 
-  /** Capture every file-based relation under the DataFrame. Fails if the
-    * plan has no file-based leaf (nothing to index). */
+  /** Capture every provider-recognized relation under the DataFrame.
+    * Fails if the plan has no indexable leaf (nothing to index). */
   def captureAll(df: DataFrame, tracker: FileIdTracker): Seq[RelationMeta] = {
-    val rels = collect(df)
-    require(rels.nonEmpty,
+    val leaves = collectLeaves(df)
+    require(leaves.nonEmpty,
       "DataFrame has no file-based relation to index (expected a " +
         "spark.read.<format> source)")
-    rels.map(capture(_, tracker))
+    leaves.map(capture(_, tracker))
   }
 }

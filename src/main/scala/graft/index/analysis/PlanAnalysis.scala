@@ -63,7 +63,7 @@ object PlanAnalysis {
 
     val plan = df.queryExecution.optimizedPlan
     val applied = appliedIndexes(spark, df).toSet
-    val leaves = IndexCandidates.fileBasedLeaves(plan)
+    val leaves = IndexCandidates.sourceLeaves(spark, plan).map(_.plan)
     val candidates = IndexCandidates.collect(spark, plan, all)
     val resolver = spark.sessionState.conf.resolver
 

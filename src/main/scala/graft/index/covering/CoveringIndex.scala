@@ -29,9 +29,20 @@ final case class CoveringIndexDescriptor(
   override def kindAbbr: String = "CI"
   override def referencedColumns: Seq[String] = indexedColumns ++ includedColumns
 
-  /** All columns materialized in the index data (incl. lineage). */
+  /** All columns materialized in the index data (incl. lineage), under
+    * their PHYSICAL names — nested paths are flattened (see
+    * [[graft.index.NestedColumns]]). */
   def allIndexColumns: Seq[String] =
-    referencedColumns ++ (if (hasLineage) Seq(CoveringIndexDescriptor.LineageColumn) else Nil)
+    referencedColumns.map(graft.index.NestedColumns.physicalName) ++
+      (if (hasLineage) Seq(CoveringIndexDescriptor.LineageColumn) else Nil)
+
+  /** Physical (index-data) names of the bucketing keys. */
+  def physicalIndexedColumns: Seq[String] =
+    indexedColumns.map(graft.index.NestedColumns.physicalName)
+
+  /** Does this index materialize any flattened struct-field path? */
+  def hasNested: Boolean =
+    referencedColumns.exists(graft.index.NestedColumns.isNested)
 
   override def covers(columns: Seq[String]): Boolean =
     columns.forall(c => referencedColumns.exists(_.equalsIgnoreCase(c)))
@@ -49,10 +60,13 @@ object CoveringIndexDescriptor {
   val LineageColumn = "_data_file_id"
 
   /** Vertical slice + optional lineage column (reference:
-    * CoveringIndex.scala:140-192 uses the same broadcast-join shape). */
+    * CoveringIndex.scala:140-192 uses the same broadcast-join shape).
+    * Nested paths are selected as struct-field accesses and flattened to
+    * their physical names. */
   def project(ctx: IndexBuildContext, source: DataFrame,
       d: CoveringIndexDescriptor): DataFrame = {
-    val cols = d.referencedColumns.map(col)
+    val cols = d.referencedColumns.map(c =>
+      col(c).as(graft.index.NestedColumns.physicalName(c)))
     if (!d.hasLineage) {
       source.select(cols: _*)
     } else {
@@ -81,7 +95,9 @@ object CoveringIndexDescriptor {
    * touching Spark internals.
    */
   def writeBucketed(spark: SparkSession, df: DataFrame, path: String,
-      numBuckets: Int, bucketCols: Seq[String]): Unit = {
+      numBuckets: Int, bucketColsLogical: Seq[String]): Unit = {
+    // df carries physical (flattened) names; bucket on those
+    val bucketCols = bucketColsLogical.map(graft.index.NestedColumns.physicalName)
     val tmpTable = s"graft_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     df.repartition(numBuckets, bucketCols.map(col): _*)
       .write

@@ -55,6 +55,8 @@ final case class DataSkippingIndexConfig(
     val resolvedSpecs = sketches.map { s =>
       s.copy(expr = graft.index.ColumnResolver.resolveAll(source, Seq(s.expr)).head)
     }
+    require(!resolvedSpecs.exists(s => graft.index.NestedColumns.isNested(s.expr)),
+      "nested struct-field paths are supported by covering indexes only")
     // auto-add a partition sketch per partition column so disjunctions
     // mixing partition and data columns stay translatable (reference:
     // DataSkippingIndexConfig.scala:61-84)

@@ -70,11 +70,20 @@ object FilterIndexRule extends GraftIndexRule {
     }
     if (!filter.condition.deterministic) return None
 
-    val needed: AttributeSet =
-      projectOpt.map(p => p.references ++ filter.references)
-        .getOrElse(filter.references ++ AttributeSet(filter.output))
-    val neededNames = needed.toSeq.map(_.name)
-    val filterNames = filter.condition.references.toSeq.map(_.name)
+    // leaf accesses: bare attributes AND struct-field chains — a nested
+    // access like n.k contributes the dotted logical name "n.k", which a
+    // nested index covers even though the bare struct attr "n" would not
+    import graft.index.NestedColumns
+    val condAccesses = NestedColumns.accesses(filter.condition)
+    val projAccesses = projectOpt
+      .map(_.projectList.flatMap(NestedColumns.accesses))
+      .getOrElse(filter.output.collect {
+        case a: AttributeReference => (a, Seq.empty[String])
+      })
+    val neededNames = (condAccesses ++ projAccesses)
+      .map { case (a, p) => NestedColumns.logicalName(a, p) }.distinct
+    val filterNames = condAccesses
+      .map { case (a, p) => NestedColumns.logicalName(a, p) }.distinct
     val resolver = spark.sessionState.conf.resolver
     val unpartitioned = rel.relation
       .asInstanceOf[HadoopFsRelation].partitionSchema.isEmpty
@@ -84,8 +93,11 @@ object FilterIndexRule extends GraftIndexRule {
         case d: CoveringIndexDescriptor =>
           filterNames.exists(n => resolver(n, d.indexedColumns.head)) &&
             d.covers(neededNames) &&
-            (m.isExact ||
-              (unpartitioned && (m.deleted.isEmpty || d.hasLineage)))
+            // hybrid legs re-read the source, where flattened columns
+            // don't exist — nested indexes apply on exact match only
+            (if (d.hasNested) m.isExact
+             else m.isExact ||
+               (unpartitioned && (m.deleted.isEmpty || d.hasLineage)))
         case _ => false
       }
     }
@@ -111,9 +123,25 @@ object FilterIndexRule extends GraftIndexRule {
         ScanSubstitution.indexScan(spark, rel, best.entry, useBucketSpec = false)
       else
         ScanSubstitution.hybridScan(spark, rel, best)
-    val rewrittenFilter = filter.copy(child = newChild)
+
+    // Struct-field chains must now read the flattened physical column of
+    // the index scan; top-level attributes keep their exprIds and need no
+    // rewrite (identity for non-nested indexes).
+    def rw(e: Expression): Expression = NestedColumns.pathOf(e) match {
+      case Some((attr, path)) if path.nonEmpty =>
+        val phys = NestedColumns.physicalName(NestedColumns.logicalName(attr, path))
+        newChild.output.find(a => resolver(a.name, phys))
+          .getOrElse(e.mapChildren(rw))
+      case _ => e.mapChildren(rw)
+    }
+
+    val rewrittenFilter = Filter(rw(filter.condition), newChild)
     val rewritten = projectOpt
-      .map(p => p.copy(child = rewrittenFilter): LogicalPlan)
+      .map { p =>
+        val newList = p.projectList.map(e =>
+          rw(e).asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+        p.copy(projectList = newList, child = rewrittenFilter): LogicalPlan
+      }
       .getOrElse {
         // bare Filter: preserve the original output shape
         if (newChild.output.map(_.exprId) == filter.output.map(_.exprId)) rewrittenFilter

@@ -41,20 +41,18 @@ object IndexCandidates {
     case _ => false
   }
 
-  def fileBasedLeaves(plan: LogicalPlan): Seq[LogicalRelation] =
-    plan.collectLeaves().collect {
-      case l: LogicalRelation
-          if l.relation.isInstanceOf[HadoopFsRelation] && !isIndexRelation(l) => l
-    }
+  /** Provider-recognized source leaves (reference routes the same check
+    * through FileBasedSourceProviderManager), excluding relations we
+    * created ourselves. */
+  def sourceLeaves(
+      spark: SparkSession,
+      plan: LogicalPlan): Seq[graft.index.sources.SourceLeaf] =
+    plan.collectLeaves()
+      .flatMap(graft.index.sources.SourceProviders.asSourceLeaf(spark, _))
+      .filterNot(leaf => isIndexRelation(leaf.plan))
 
-  def currentFiles(rel: HadoopFsRelation): Seq[FileMeta] = rel.location match {
-    case p: PartitioningAwareFileIndex =>
-      p.allFiles().map(s => FileMeta(s.getPath.toString, s.getLen,
-        s.getModificationTime, -1L))
-    case other =>
-      other.listFiles(Nil, Nil).flatMap(_.files).map(s =>
-        FileMeta(s.getPath.toString, s.getLen, s.getModificationTime, -1L))
-  }
+  def currentFiles(leaf: graft.index.sources.SourceLeaf): Seq[FileMeta] =
+    leaf.listFiles().map { case (p, size, mtime) => FileMeta(p, size, mtime, -1L) }
 
   private def key(f: FileMeta): (String, Long, Long) =
     (f.path, f.size, f.modifiedTime)
@@ -76,16 +74,15 @@ object IndexCandidates {
     val maxAppendedRatio = GraftConf.hybridMaxAppendedRatio(spark)
     val maxDeletedRatio = GraftConf.hybridMaxDeletedRatio(spark)
 
-    fileBasedLeaves(plan).flatMap { leaf =>
-      val rel = leaf.relation.asInstanceOf[HadoopFsRelation]
-      lazy val current = currentFiles(rel)
+    sourceLeaves(spark, plan).flatMap { leaf =>
+      lazy val current = currentFiles(leaf)
       lazy val currentKeys = current.map(key).toSet
       lazy val currentBytes = current.map(_.size).sum
 
       val matches = indexes.filter { e =>
         e.relations.size == 1 &&
           e.descriptor.referencedColumns.forall(c =>
-            leaf.output.exists(a => resolver(a.name, c)))
+            graft.index.NestedColumns.resolvableIn(leaf.plan.output, c, resolver))
       }.flatMap { e =>
         val logged = e.relations.head.files
         val loggedKeys = logged.map(key).toSet
@@ -111,7 +108,7 @@ object IndexCandidates {
           Some(m)
         else None
       }
-      if (matches.isEmpty) None else Some(leaf -> matches)
+      if (matches.isEmpty) None else Some(leaf.plan -> matches)
     }.toMap
   }
 }

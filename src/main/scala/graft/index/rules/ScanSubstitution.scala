@@ -41,7 +41,8 @@ object ScanSubstitution {
       case d: CoveringIndexDescriptor =>
         (d.schemaJson,
           if (useBucketSpec)
-            Some(BucketSpec(d.numBuckets, d.indexedColumns, d.indexedColumns))
+            Some(BucketSpec(d.numBuckets,
+              d.physicalIndexedColumns, d.physicalIndexedColumns))
           else None)
       case d: graft.index.zorder.ZOrderIndexDescriptor => (d.schemaJson, None)
       case d => throw new IllegalArgumentException(
@@ -111,7 +112,8 @@ object ScanSubstitution {
         Filter(Not(In(lineage, deletedIds)), indexRel)
       }
     val projectedCols = d.referencedColumns.map { c =>
-      indexRel.output.find(a => resolver(a.name, c)).get
+      indexRel.output.find(a =>
+        resolver(a.name, graft.index.NestedColumns.physicalName(c))).get
     }
     val indexLegProjected = Project(projectedCols, indexLeg)
 
@@ -165,7 +167,8 @@ object ScanSubstitution {
           indexRel)
       }
     val indexCols = d.referencedColumns.map { c =>
-      indexRel.output.find(a => resolver(a.name, c)).get
+      indexRel.output.find(a =>
+        resolver(a.name, graft.index.NestedColumns.physicalName(c))).get
     }
     val indexLegProjected = Project(indexCols, indexLeg)
 

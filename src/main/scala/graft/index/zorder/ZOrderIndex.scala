@@ -37,6 +37,8 @@ final case class ZOrderIndexConfig(
 
   override def toDescriptor(source: DataFrame): IndexDescriptor = {
     val resolved = graft.index.ColumnResolver.resolveAll(source, referencedColumns)
+    require(!resolved.exists(graft.index.NestedColumns.isNested),
+      "nested struct-field paths are supported by covering indexes only")
     val (idx, incl) = resolved.splitAt(indexedColumns.size)
     val spark = source.sparkSession
     // target ~1 GiB of source bytes per output partition (reference:
