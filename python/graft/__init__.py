@@ -1,0 +1,6 @@
+from .indexconfig import (CoveringIndexConfig, ZOrderIndexConfig,
+                          DataSkippingIndexConfig, SketchSpec)
+from .graft import Graft
+
+__all__ = ["Graft", "CoveringIndexConfig", "ZOrderIndexConfig",
+           "DataSkippingIndexConfig", "SketchSpec"]

@@ -1,0 +1,105 @@
+"""PySpark wrapper for the graft index subsystem (py4j delegation).
+
+Reference analogue: python/hyperspace/hyperspace.py — re-derived for the
+graft API. Everything delegates to the Scala `graft.Graft` facade through
+the live SparkSession's JVM gateway; DataFrames cross the boundary as
+their `_jdf` handles.
+
+Requires the graft jar on the driver classpath and (for transparent
+acceleration) `spark.sql.extensions=graft.GraftSparkExtension`.
+
+NOTE: this container has no pyspark on the library path, so the wrapper is
+exercised only by its JVM twin's Scala tests; the py4j plumbing follows
+the standard pyspark SQLContext conventions (spark._jvm / spark._jsparkSession /
+DataFrame(jdf, spark)).
+"""
+
+from pyspark.sql import DataFrame
+
+from .indexconfig import (CoveringIndexConfig, ZOrderIndexConfig,
+                          DataSkippingIndexConfig)
+
+
+class Graft:
+    """Index lifecycle + introspection, mirroring Scala `graft.Graft`.
+
+    >>> g = Graft(spark)
+    >>> g.create_index(df, CoveringIndexConfig("idx", ["k"], ["v"]))
+    >>> g.indexes().show()
+    """
+
+    def __init__(self, spark):
+        self.spark = spark
+        self._jvm = spark._jvm
+        self._jgraft = self._jvm.graft.Graft(spark._jsparkSession)
+
+    # ------------------------------------------------------------ helpers
+
+    def _to_seq(self, pylist):
+        return self._jvm.PythonUtils.toSeq(pylist)
+
+    def _to_map(self, pydict):
+        return self._jvm.PythonUtils.toScalaMap(pydict)
+
+    def _jconfig(self, config):
+        if isinstance(config, CoveringIndexConfig):
+            return self._jvm.graft.index.covering.CoveringIndexConfig(
+                config.index_name,
+                self._to_seq(config.indexed_columns),
+                self._to_seq(config.included_columns))
+        if isinstance(config, ZOrderIndexConfig):
+            return self._jvm.graft.index.zorder.ZOrderIndexConfig(
+                config.index_name,
+                self._to_seq(config.indexed_columns),
+                self._to_seq(config.included_columns))
+        if isinstance(config, DataSkippingIndexConfig):
+            jsketches = [self._jvm.graft.index.dataskipping.SketchSpec(
+                s.kind, s.expr, self._to_map(s.params)) for s in config.sketches]
+            return self._jvm.graft.index.dataskipping.DataSkippingIndexConfig(
+                config.index_name, self._to_seq(jsketches))
+        raise TypeError("unsupported index config: %r" % (config,))
+
+    def _df(self, jdf):
+        return DataFrame(jdf, self.spark)
+
+    # ---------------------------------------------------------- lifecycle
+
+    def create_index(self, df, config):
+        self._jgraft.createIndex(df._jdf, self._jconfig(config))
+
+    def delete_index(self, name):
+        self._jgraft.deleteIndex(name)
+
+    def restore_index(self, name):
+        self._jgraft.restoreIndex(name)
+
+    def vacuum_index(self, name):
+        self._jgraft.vacuumIndex(name)
+
+    def refresh_index(self, name, mode="full"):
+        """mode: "full" | "incremental" | "quick" (metadata-only delta)."""
+        self._jgraft.refreshIndex(name, mode)
+
+    def optimize_index(self, name, mode="quick"):
+        """mode: "quick" (files under the size threshold only) | "full"."""
+        self._jgraft.optimizeIndex(name, mode)
+
+    def cancel(self, name):
+        self._jgraft.cancel(name)
+
+    # ------------------------------------------------------ introspection
+
+    def indexes(self):
+        return self._df(self._jgraft.indexes())
+
+    def index(self, name):
+        return self._df(self._jgraft.index(name))
+
+    def explain(self, df, verbose=False):
+        return self._jgraft.explain(df._jdf, verbose)
+
+    def why_not(self, df, index_name=None):
+        return self._jgraft.whyNot(df._jdf, index_name)
+
+    def analyze_index_distribution(self, name, column=None):
+        return self._df(self._jgraft.analyzeIndexDistribution(name, column))

@@ -1,0 +1,63 @@
+"""Plain-data index configs mirrored into the JVM by graft.Graft.
+
+Reference analogue: python/hyperspace/indexconfig.py (re-derived: our
+config family also covers data-skipping sketches, which the reference
+wrapper does not expose).
+"""
+
+
+class CoveringIndexConfig:
+    """Covering index: bucketed+sorted vertical slice of the source.
+
+    >>> CoveringIndexConfig("idx", ["k"], ["v1", "v2"])
+    """
+
+    def __init__(self, index_name, indexed_columns, included_columns=None):
+        self.index_name = index_name
+        self.indexed_columns = list(indexed_columns)
+        self.included_columns = list(included_columns or [])
+
+
+class ZOrderIndexConfig:
+    """Z-order covering index: range-clustered on a Morton interleave.
+
+    >>> ZOrderIndexConfig("zidx", ["x", "y"], ["v"])
+    """
+
+    def __init__(self, index_name, indexed_columns, included_columns=None):
+        self.index_name = index_name
+        self.indexed_columns = list(indexed_columns)
+        self.included_columns = list(included_columns or [])
+
+
+class SketchSpec:
+    """One per-file sketch of a data-skipping index."""
+
+    def __init__(self, kind, expr, params=None):
+        self.kind = kind          # "minmax" | "bloom" | "valuelist" | "partition"
+        self.expr = expr          # source column name
+        self.params = dict(params or {})
+
+    @staticmethod
+    def min_max(expr):
+        return SketchSpec("minmax", expr)
+
+    @staticmethod
+    def bloom(expr, expected_items=10000, fpp=0.01):
+        return SketchSpec("bloom", expr,
+                          {"expectedItems": str(expected_items), "fpp": str(fpp)})
+
+    @staticmethod
+    def value_list(expr, max_values=1000):
+        return SketchSpec("valuelist", expr, {"maxValues": str(max_values)})
+
+
+class DataSkippingIndexConfig:
+    """Data-skipping index: one row of sketches per source file.
+
+    >>> DataSkippingIndexConfig("ds", [SketchSpec.min_max("ts")])
+    """
+
+    def __init__(self, index_name, sketches):
+        self.index_name = index_name
+        self.sketches = list(sketches)

@@ -194,11 +194,13 @@ object JoinIndexRule extends GraftIndexRule {
       .getConfString("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
       .toBoolean
     // candidate pair: left index bucketed exactly on the left keys, right
-    // index bucketed on the correspondingly-permuted right keys, equal
-    // bucket counts (different counts would reintroduce a shuffle on one
-    // side; the reference repartitions the smaller side instead —
-    // JoinIndexRanker.scala:34-38 — a refinement that can come later).
-    // Stale sides within hybrid thresholds are eligible via BucketUnion.
+    // index bucketed on the correspondingly-permuted right keys. Unequal
+    // bucket counts are eligible: both scans still claim HashPartitioning
+    // on the keys, and EnsureRequirements shuffles only the side whose
+    // partition count loses — the reference's "repartition one side"
+    // behavior (JoinIndexRanker.scala:34-38) falls out of Spark's own
+    // requirement matching. Stale sides within hybrid thresholds are
+    // eligible via BucketUnion.
     val pairsFound = for {
       lm <- coveringEligible(candidates(lRel), lRel) if lm._2.covers(lNeeded)
       keyPerm <- permutationFor(lm._2.indexedColumns, pairs.map(_._1), resolver).toSeq
@@ -207,15 +209,22 @@ object JoinIndexRule extends GraftIndexRule {
       if rm._2.covers(rNeeded) &&
         rm._2.indexedColumns.size == rKeys.size &&
         rm._2.indexedColumns.zip(rKeys).forall { case (a, b) => resolver(a, b) } &&
-        lm._2.numBuckets == rm._2.numBuckets &&
+        // hybrid legs need aligned BucketUnion partition counts per side;
+        // that holds per side independently, so only the conf gate applies
         (hybridSafe || (lm._1.isExact && rm._1.isExact))
-    } yield (lm._1, rm._1)
-    // exact pairs first, then most still-covered bytes
-    val best = pairsFound.sortBy { case (l, r) =>
-      (!(l.isExact && r.isExact), -(l.commonBytes + r.commonBytes))
+    } yield (lm, rm)
+    // rank (reference: JoinIndexRanker.scala:52-90): exact pairs first,
+    // same bucket count (zero-shuffle join) before mismatched, more
+    // buckets (more parallelism) before fewer, then most still-covered
+    // bytes under hybrid
+    val best = pairsFound.sortBy { case ((l, ld), (r, rd)) =>
+      (!(l.isExact && r.isExact),
+        ld.numBuckets != rd.numBuckets,
+        -math.min(ld.numBuckets, rd.numBuckets),
+        -(l.commonBytes + r.commonBytes))
     }.headOption.getOrElse(return None)
 
-    val (lMatch, rMatch) = best
+    val (lMatch, rMatch) = (best._1._1, best._2._1)
     val newLeft = substitute(spark, join.left, lRel, joinSide(spark, lRel, lMatch))
     val newRight = substitute(spark, join.right, rRel, joinSide(spark, rRel, rMatch))
     val ratio = Seq(lMatch, rMatch).map { m =>

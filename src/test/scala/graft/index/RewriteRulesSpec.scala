@@ -166,6 +166,47 @@ class RewriteRulesSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-join with UNEQUAL bucket counts shuffles only one side") {
+    withGraft { g =>
+      // reference JoinIndexRanker.scala:34-38: mismatched bucket counts
+      // are still a win — Spark repartitions just the losing side
+      spark.conf.set(GraftConf.NumBucketsKey, "4")
+      g.createIndex(lineitem,
+        CoveringIndexConfig("ci_li_ub", Seq("l_orderkey"), Seq("l_quantity")))
+      spark.conf.set(GraftConf.NumBucketsKey, "8")
+      g.createIndex(orders,
+        CoveringIndexConfig("ci_ord_ub", Seq("o_orderkey"), Seq("o_totalprice")))
+      spark.conf.unset(GraftConf.NumBucketsKey)
+
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val li = lineitem
+        val ord = orders
+        def query = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+
+        assert(usesIndex(query, "ci_li_ub") && usesIndex(query, "ci_ord_ub"),
+          "expected both index scans in plan:\n" +
+            query.queryExecution.executedPlan)
+        // one side re-buckets, the other rides its HashPartitioning
+        assert(shuffleCount(query) == 1,
+          "expected exactly one exchange (losing side only):\n" +
+            query.queryExecution.executedPlan)
+
+        spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+        val expected = query.collect()
+        spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+        val actual = query.collect()
+        assert(actual.length == expected.length && expected.nonEmpty)
+        assert(actual.map(_.toString).sorted.sameElements(
+          expected.map(_.toString).sorted))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    }
+  }
+
   test("disableGraft turns rewriting off") {
     import graft.Graft._
     withGraft { g =>
