@@ -86,7 +86,7 @@ object PlanAnalysis {
       if (leaves.isEmpty) reasons += "NO_FILE_BASED_SOURCE: plan has no file-based relation"
       leaves.foreach { leaf =>
         val schemaOk = e.descriptor.referencedColumns.forall(c =>
-          leaf.output.exists(a => resolver(a.name, c)))
+          graft.index.NestedColumns.resolvableIn(leaf.output, c, resolver))
         val m = candidates.get(leaf).flatMap(_.find(_.entry.name == e.name))
         if (!schemaOk) ()
         else m match {
