@@ -12,5 +12,5 @@ object Registry {
     Relational.entries ++ Relational2.entries ++ Relational3.entries ++
       TextOps.entries ++
       Dedup.entries ++ Similarity.entries ++ IndexAccel.entries ++
-      Multimodal.entries
+      Multimodal.entries ++ graft.streaming.StreamingQueries.entries
 }

@@ -57,8 +57,12 @@ object StreamingOps {
     events.toDF()
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLength), col("event_type"))
+      // decimal accumulation: the double sum is then independent of
+      // per-partition accumulation order (and bit-equal to a batch run —
+      // the oracle twin relies on this)
       .agg(count(lit(1)).cast(LongType).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
