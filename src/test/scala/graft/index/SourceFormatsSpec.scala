@@ -72,6 +72,30 @@ class SourceFormatsSpec extends AnyFunSuite {
   test("covering index over json source") { roundTrip("json", Map.empty) }
   test("covering index over orc source") { roundTrip("orc", Map.empty) }
 
+  test("covering index over text source (single value column)") {
+    withGraft { g =>
+      val src = Files.createTempDirectory("graft-fmt-text-").toString
+      sample.select(concat_ws("|", col("l_orderkey"), col("l_returnflag"))
+          .as("value"))
+        .write.mode("overwrite").format("text").save(src)
+      def read = spark.read.format("text").load(src)
+      g.createIndex(read, CoveringIndexConfig("fmt_text", Seq("value")))
+      assert(g.indexManager.getIndexes().head.relations.head.format == "text")
+
+      val q = read.filter(col("value").startsWith("1|"))
+      assert(usesIndex(q, "fmt_text"), "text query not rewritten")
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expected = read.filter(col("value").startsWith("1|"))
+        .collect().map(_.getString(0)).sorted.toSeq
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      assert(q.collect().map(_.getString(0)).sorted.toSeq == expected)
+      assert(expected.nonEmpty)
+    }
+  }
+  // avro is NOT covered: the offline jar set carries avro core but not the
+  // spark-avro external module, so the format is unloadable here. The
+  // generic HadoopFsRelation path (provider SPI) is format-agnostic.
+
   test("cancel rolls an in-flight action back to the last stable state") {
     withGraft { g =>
       g.createIndex(sample, CoveringIndexConfig("c_ok", Seq("l_orderkey")))
