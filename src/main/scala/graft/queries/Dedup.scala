@@ -111,15 +111,12 @@ object Dedup {
   def qMinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.MinHashFunctions.minhashSignature
     val docs = Tables.load(spark, sfDir, "documents")
-    // reused 3x (signature pass + two verification probes): persist so
-    // md5-shingle hashing runs once per row
-    val base = docs.select(col("doc_id"),
-      shingleHashes(shingles3(tokens(col("text")))).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hsExpr = shingleHashes(shingles3(tokens(col("text"))))
 
-    // 16-permutation signature in one pass, banded 4x4;
-    // band key = string of 4 minhashes (same key as the oracle SQL)
+    // 16-permutation signature in one pass over the corpus (no persist —
+    // each stage below re-reads the parquet scan but runs the expensive
+    // md5-shingle pipeline at most once per row it actually needs),
+    // banded 4x4; band key = string of 4 minhashes (same as the oracle)
     val sig = minhashSignature(col("hs"),
       (0 until MinHashK).map(permA), (0 until MinHashK).map(permB), HashP)
     val bandCols = (0 until LshBands).map { b =>
@@ -128,10 +125,17 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws(",", mins.map(_.cast("string")): _*).as("key")).as(s"b$b")
     }
-    val bands = base
+    // persist the BANDS, not the shingle-hash arrays: 4 rows x ~50 bytes
+    // per doc (constant-size), so the cache stays O(|corpus|) small at
+    // 100 TB while the md5-shingle pipeline runs exactly once — the band
+    // self-join would otherwise recompute it on both sides
+    val bands = docs
+      .select(col("doc_id"), hsExpr.as("hs"))
+      .filter(size(col("hs")) > 0)
       .select(col("doc_id"), sig.as("sig"))
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -139,17 +143,21 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
 
-    // exact-Jaccard verify: broadcast the candidate pairs, stream the corpus
-    val withA = broadcast(cand)
-      .join(base.as("x"), col("d1") === col("x.doc_id"))
-      .select(col("d1"), col("d2"), col("x.hs").as("hs1"))
-    broadcast(withA)
-      .join(base.as("y"), col("d2") === col("y.doc_id"))
+    // exact-Jaccard verify: broadcast the (tiny, ∝ true dups) candidate
+    // pairs INTO the doc scan, so shingle hashes are recomputed only for
+    // rows that survive the join — the corpus is streamed through a hash
+    // lookup, never shuffled, and never re-shingled wholesale
+    val withA = docs
+      .join(broadcast(cand), col("doc_id") === col("d1"))
+      .select(col("d1"), col("d2"), hsExpr.as("hs1"))
+    docs
+      .join(broadcast(withA), col("doc_id") === col("d2"))
+      .select(col("d1"), col("d2"), col("hs1"), hsExpr.as("hs2"))
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("hs1"), col("y.hs"))).cast(LongType)
+        size(array_intersect(col("hs1"), col("hs2"))).cast(LongType)
           .as("inter"),
         size(col("hs1")).cast(LongType).as("n1"),
-        size(col("y.hs")).cast(LongType).as("n2"))
+        size(col("hs2")).cast(LongType).as("n2"))
       .select(col("d1"), col("d2"),
         (col("inter").cast(DoubleType) /
           (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
