@@ -85,8 +85,6 @@ object FilterIndexRule extends GraftIndexRule {
     val filterNames = condAccesses
       .map { case (a, p) => NestedColumns.logicalName(a, p) }.distinct
     val resolver = spark.sessionState.conf.resolver
-    val unpartitioned = rel.relation
-      .asInstanceOf[HadoopFsRelation].partitionSchema.isEmpty
 
     val applicable = candidates(rel).filter { m =>
       m.entry.descriptor match {
@@ -94,10 +92,10 @@ object FilterIndexRule extends GraftIndexRule {
           filterNames.exists(n => resolver(n, d.indexedColumns.head)) &&
             d.covers(neededNames) &&
             // hybrid legs re-read the source, where flattened columns
-            // don't exist — nested indexes apply on exact match only
+            // don't exist — nested indexes apply on exact match only;
+            // partitioned sources recover partition values via basePath
             (if (d.hasNested) m.isExact
-             else m.isExact ||
-               (unpartitioned && (m.deleted.isEmpty || d.hasLineage)))
+             else m.isExact || m.deleted.isEmpty || d.hasLineage)
         case _ => false
       }
     }
@@ -258,17 +256,13 @@ object JoinIndexRule extends GraftIndexRule {
 
   private def coveringEligible(
       matches: Seq[CandidateMatch],
-      rel: LogicalRelation): Seq[(CandidateMatch, CoveringIndexDescriptor)] = {
-    val unpartitioned = rel.relation
-      .asInstanceOf[HadoopFsRelation].partitionSchema.isEmpty
+      rel: LogicalRelation): Seq[(CandidateMatch, CoveringIndexDescriptor)] =
     matches.collect {
       case m if m.entry.descriptor.isInstanceOf[CoveringIndexDescriptor] &&
-          (m.isExact ||
-            (unpartitioned && (m.deleted.isEmpty ||
-              m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor].hasLineage))) =>
+          (m.isExact || m.deleted.isEmpty ||
+            m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor].hasLineage) =>
         (m, m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor])
     }
-  }
 
   /** All columns the subtree needs from its relation: everything it
     * outputs plus everything its expressions reference. */

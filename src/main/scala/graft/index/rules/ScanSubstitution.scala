@@ -116,28 +116,72 @@ object ScanSubstitution {
         resolver(a.name, graft.index.NestedColumns.physicalName(c))).get
     }
     val indexLegProjected = Project(projectedCols, indexLeg)
-
-    // ---- appended leg: same relation shape, restricted to new files
-    val hfs = original.relation.asInstanceOf[HadoopFsRelation]
-    val appendedLocation = new InMemoryFileIndex(
-      spark,
-      m.appended.map(f => new Path(f.path)),
-      Map.empty[String, String],
-      Some(hfs.dataSchema),
-      FileStatusCache.getOrCreate(spark),
-      None,
-      None)
-    val appendedHfs = hfs.copy(location = appendedLocation,
-      options = hfs.options + (IndexCandidates.IndexRelationMarker -> entry.name))(spark)
-    val appendedRel = new LogicalRelation(appendedHfs,
-      original.output.map(a => AttributeReference(a.name, a.dataType, a.nullable)()),
-      None, false, None)
-    val appendedCols = d.referencedColumns.map { c =>
-      appendedRel.output.find(a => resolver(a.name, c)).get
-    }
-    val appendedLegProjected = Project(appendedCols, appendedRel)
+    val appendedLegProjected =
+      appendedLeg(spark, original, entry, m, d, projectedCols.map(_.dataType))
 
     Union(Seq(indexLegProjected, appendedLegProjected))
+  }
+
+  /**
+   * Appended-files leg shared by both hybrid scans: a clone of the
+   * original relation restricted to the appended files, projected to the
+   * index's referenced columns (cast to the index leg's types so the
+   * union lines up).
+   *
+   * Partitioned sources read through `spark.read` with the `basePath`
+   * option so partition-column VALUES are recovered from the appended
+   * file paths (reference: CoveringIndexRuleUtils.scala:302-342
+   * `transformPlanToReadAppendedFiles`); inferred partition types can
+   * differ from the logged schema (e.g. date-typed dirs), which the cast
+   * normalizes.
+   */
+  private def appendedLeg(
+      spark: SparkSession,
+      original: LogicalRelation,
+      entry: IndexLogEntry,
+      m: CandidateMatch,
+      d: CoveringIndexDescriptor,
+      targetTypes: Seq[org.apache.spark.sql.types.DataType]): LogicalPlan = {
+    val resolver = spark.sessionState.conf.resolver
+    val hfs = original.relation.asInstanceOf[HadoopFsRelation]
+    val appendedRel: LogicalPlan =
+      if (hfs.partitionSchema.isEmpty) {
+        val appendedLocation = new InMemoryFileIndex(
+          spark,
+          m.appended.map(f => new Path(f.path)),
+          Map.empty[String, String],
+          Some(hfs.dataSchema),
+          FileStatusCache.getOrCreate(spark),
+          None,
+          None)
+        val appendedHfs = hfs.copy(location = appendedLocation,
+          options = hfs.options +
+            (IndexCandidates.IndexRelationMarker -> entry.name))(spark)
+        new LogicalRelation(appendedHfs,
+          original.output.map(a =>
+            AttributeReference(a.name, a.dataType, a.nullable)()),
+          None, false, None)
+      } else {
+        val rel = entry.relations.head
+        val basePath = rel.rootPaths.head
+        spark.read
+          .schema(hfs.dataSchema)
+          .format(rel.format)
+          .options(rel.options.filter { case (k, _) => k.toLowerCase != "path" } +
+            ("basePath" -> basePath) +
+            (IndexCandidates.IndexRelationMarker -> entry.name))
+          .load(m.appended.map(_.path): _*)
+          .queryExecution.analyzed
+      }
+    val appendedCols = d.referencedColumns.zip(targetTypes).map { case (c, dt) =>
+      val attr = appendedRel.output.find(a => resolver(a.name, c)).getOrElse(
+        throw new IllegalStateException(
+          s"appended leg missing column $c for index ${entry.name}"))
+      if (attr.dataType == dt) attr
+      else org.apache.spark.sql.catalyst.expressions.Alias(
+        org.apache.spark.sql.catalyst.expressions.Cast(attr, dt), attr.name)()
+    }
+    Project(appendedCols, appendedRel)
   }
 
   /**
@@ -172,20 +216,8 @@ object ScanSubstitution {
     }
     val indexLegProjected = Project(indexCols, indexLeg)
 
-    val hfs = original.relation.asInstanceOf[HadoopFsRelation]
-    val appendedLocation = new InMemoryFileIndex(
-      spark, m.appended.map(f => new Path(f.path)),
-      Map.empty[String, String], Some(hfs.dataSchema),
-      FileStatusCache.getOrCreate(spark), None, None)
-    val appendedHfs = hfs.copy(location = appendedLocation,
-      options = hfs.options + (IndexCandidates.IndexRelationMarker -> entry.name))(spark)
-    val appendedRel = new LogicalRelation(appendedHfs,
-      original.output.map(a => AttributeReference(a.name, a.dataType, a.nullable)()),
-      None, false, None)
-    val appendedCols = d.referencedColumns.map { c =>
-      appendedRel.output.find(a => resolver(a.name, c)).get
-    }
-    val appendedLegProjected = Project(appendedCols, appendedRel)
+    val appendedLegProjected =
+      appendedLeg(spark, original, entry, m, d, indexCols.map(_.dataType))
     val keyAttrs = d.indexedColumns.map(c =>
       appendedLegProjected.output.find(a => resolver(a.name, c)).get
         .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression])

@@ -93,4 +93,35 @@ class PartitionedSourceSpec extends AnyFunSuite {
       assert(expected.nonEmpty)
     }
   }
+
+  test("hybrid scan over a PARTITIONED source recovers partition values") {
+    withGraft { (g, src) =>
+      val df = spark.read.parquet(src)
+      g.createIndex(df, CoveringIndexConfig("p_hyb",
+        Seq("l_orderkey"), Seq("l_quantity", "l_returnflag")))
+
+      // append new rows into one partition dir (a new file under
+      // l_returnflag=R) — within the 30% hybrid threshold
+      spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+        .filter(col("l_returnflag") === "R").limit(200)
+        .drop("l_returnflag")
+        .coalesce(1).write.mode("append").parquet(s"$src/l_returnflag=R")
+
+      def q = spark.read.parquet(src)
+        .filter(col("l_orderkey") <= 100L)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      assert(graft.index.analysis.PlanAnalysis.appliedIndexes(spark, q)
+        .contains("p_hyb"),
+        "hybrid scan should apply to the partitioned source after append")
+
+      // partition values of appended rows must be recovered from paths
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expected = q.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      assert(q.collect().map(_.toString).sorted.toSeq == expected)
+      assert(expected.nonEmpty)
+      // sanity: some of the appended rows are inside the filter range
+      assert(expected.exists(_.contains("R")))
+    }
+  }
 }
