@@ -82,9 +82,9 @@ object ScanSubstitution {
    * `transformPlanToUseHybridScan` + `transformPlanToReadAppendedFiles`).
    *
    * The union's first child keeps the original attribute ids, so
-   * Filter/Project nodes above the swapped scan stay valid. Only
-   * unpartitioned sources are eligible (partition-value recovery from
-   * appended paths is not implemented).
+   * Filter/Project nodes above the swapped scan stay valid. Partitioned
+   * sources recover partition values from appended paths via basePath
+   * (see [[appendedLeg]]).
    *
    * Scale: the appended slice is bounded by the hybrid thresholds (≤30%
    * of source bytes), so the union's second leg stays small relative to
@@ -95,7 +95,9 @@ object ScanSubstitution {
       original: LogicalRelation,
       m: CandidateMatch): LogicalPlan = {
     val entry = m.entry
-    val d = entry.descriptor.asInstanceOf[CoveringIndexDescriptor]
+    // covering-style descriptors only (covering or z-order); deletes need
+    // lineage, which only covering indexes carry — rules gate on that
+    val refCols = entry.descriptor.referencedColumns
     val resolver = spark.sessionState.conf.resolver
 
     // ---- index leg (original attribute ids), minus deleted-file rows
@@ -111,13 +113,13 @@ object ScanSubstitution {
           Literal(f.id): org.apache.spark.sql.catalyst.expressions.Expression)
         Filter(Not(In(lineage, deletedIds)), indexRel)
       }
-    val projectedCols = d.referencedColumns.map { c =>
+    val projectedCols = refCols.map { c =>
       indexRel.output.find(a =>
         resolver(a.name, graft.index.NestedColumns.physicalName(c))).get
     }
     val indexLegProjected = Project(projectedCols, indexLeg)
     val appendedLegProjected =
-      appendedLeg(spark, original, entry, m, d, projectedCols.map(_.dataType))
+      appendedLeg(spark, original, entry, m, refCols, projectedCols.map(_.dataType))
 
     Union(Seq(indexLegProjected, appendedLegProjected))
   }
@@ -140,7 +142,7 @@ object ScanSubstitution {
       original: LogicalRelation,
       entry: IndexLogEntry,
       m: CandidateMatch,
-      d: CoveringIndexDescriptor,
+      refCols: Seq[String],
       targetTypes: Seq[org.apache.spark.sql.types.DataType]): LogicalPlan = {
     val resolver = spark.sessionState.conf.resolver
     val hfs = original.relation.asInstanceOf[HadoopFsRelation]
@@ -173,7 +175,7 @@ object ScanSubstitution {
           .load(m.appended.map(_.path): _*)
           .queryExecution.analyzed
       }
-    val appendedCols = d.referencedColumns.zip(targetTypes).map { case (c, dt) =>
+    val appendedCols = refCols.zip(targetTypes).map { case (c, dt) =>
       val attr = appendedRel.output.find(a => resolver(a.name, c)).getOrElse(
         throw new IllegalStateException(
           s"appended leg missing column $c for index ${entry.name}"))
@@ -217,7 +219,8 @@ object ScanSubstitution {
     val indexLegProjected = Project(indexCols, indexLeg)
 
     val appendedLegProjected =
-      appendedLeg(spark, original, entry, m, d, indexCols.map(_.dataType))
+      appendedLeg(spark, original, entry, m, d.referencedColumns,
+        indexCols.map(_.dataType))
     val keyAttrs = d.indexedColumns.map(c =>
       appendedLegProjected.output.find(a => resolver(a.name, c)).get
         .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression])

@@ -41,7 +41,10 @@ object ZOrderFilterIndexRule extends GraftIndexRule {
     val resolver = spark.sessionState.conf.resolver
 
     val applicable = candidates(rel).filter { m =>
-      m.isExact && (m.entry.descriptor match {
+      // appended-only staleness rides hybrid scan (the union leg reads the
+      // new files un-clustered — correct, just unclustered for those
+      // rows); deletes would need lineage, which z-order data lacks
+      (m.isExact || m.deleted.isEmpty) && (m.entry.descriptor match {
         case d: ZOrderIndexDescriptor =>
           d.indexedColumns.exists(ic => filterNames.exists(resolver(_, ic))) &&
             d.covers(neededNames)
@@ -50,11 +53,23 @@ object ZOrderFilterIndexRule extends GraftIndexRule {
     }
     if (applicable.isEmpty) return None
 
-    // fewest indexed columns wins: tighter clustering per dimension
-    // (reference: ZOrderFilterIndexRule.scala:82-99)
-    val best = applicable.minBy(
-      _.entry.descriptor.asInstanceOf[ZOrderIndexDescriptor].indexedColumns.size).entry
-    val newScan = ScanSubstitution.indexScan(spark, rel, best, useBucketSpec = false)
+    // exact first, then fewest indexed columns: tighter clustering per
+    // dimension (reference: ZOrderFilterIndexRule.scala:82-99)
+    val best = applicable.minBy(m => (!m.isExact,
+      m.entry.descriptor.asInstanceOf[ZOrderIndexDescriptor].indexedColumns.size))
+    val newScan: LogicalPlan =
+      if (best.isExact)
+        ScanSubstitution.indexScan(spark, rel, best.entry, useBucketSpec = false)
+      else
+        ScanSubstitution.hybridScan(spark, rel, best)
+    val score =
+      if (best.isExact) RuleScores.ZOrderFilterIndex
+      else {
+        val total = best.commonBytes + best.appendedBytes
+        math.max(1, math.round(
+          RuleScores.ZOrderFilterIndex * best.commonBytes.toDouble /
+            math.max(1L, total)).toInt)
+      }
     val rewrittenFilter = filter.copy(child = newScan)
     val rewritten = projectOpt
       .map(p => p.copy(child = rewrittenFilter): LogicalPlan)
@@ -62,6 +77,6 @@ object ZOrderFilterIndexRule extends GraftIndexRule {
         if (newScan.output.map(_.exprId) == filter.output.map(_.exprId)) rewrittenFilter
         else Project(filter.output, rewrittenFilter)
       }
-    Some((rewritten, RuleScores.ZOrderFilterIndex))
+    Some((rewritten, score))
   }
 }

@@ -156,4 +156,40 @@ class OptimizeQuickRefreshSpec extends AnyFunSuite {
         "small post-blessing drift must still be within thresholds")
     }
   }
+
+  test("vacuum keeps version dirs referenced by spanning content") {
+    withGraft { (g, src) =>
+      g.createIndex(spark.read.parquet(src),
+        CoveringIndexConfig("oq_vac", Seq("l_orderkey"), Seq("l_quantity")))
+      val before = g.indexManager.getIndexes().head
+      val sizes = before.content.files.map(_.size).sorted
+      spark.conf.set(GraftConf.OptimizeFileSizeThresholdKey,
+        sizes(sizes.size / 2).toString)
+      g.optimizeIndex("oq_vac") // quick: content now spans v__0 and v__1
+      val spanning = g.indexManager.getIndexes().head
+      val dirs = spanning.content.filePaths
+        .map(p => new org.apache.hadoop.fs.Path(p).getParent.getName).toSet
+      assert(dirs.size == 2, s"expected spanning content, got $dirs")
+
+      g.vacuumIndex("oq_vac") // must NOT delete the still-referenced old dir
+      val fs = g.indexManager.indexRoot("oq_vac")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val live = fs.listStatus(g.indexManager.indexRoot("oq_vac"))
+        .map(_.getPath.getName).filter(_.startsWith("v__")).toSet
+      assert(dirs.subsetOf(live), s"vacuum deleted referenced dirs: $live")
+      assert(indexScanPaths(q(src)).exists(_.contains("/oq_vac/")))
+
+      // full optimize consolidates; vacuum now drops the old dirs
+      g.optimizeIndex("oq_vac", "full")
+      g.vacuumIndex("oq_vac")
+      val after = fs.listStatus(g.indexManager.indexRoot("oq_vac"))
+        .map(_.getPath.getName).filter(_.startsWith("v__")).toSet
+      assert(after.size == 1, s"expected one live dir, got $after")
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expected = q(src).collect().groupBy(identity).view.mapValues(_.length).toMap
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      val actual = q(src).collect().groupBy(identity).view.mapValues(_.length).toMap
+      assert(actual == expected && expected.nonEmpty)
+    }
+  }
 }

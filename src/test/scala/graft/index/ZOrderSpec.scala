@@ -104,4 +104,30 @@ class ZOrderSpec extends AnyFunSuite {
       assert(usesIndex(q, "zo_b"))
     }
   }
+
+  test("z-order hybrid scan: appended files union in, results stay exact") {
+    withGraft { g =>
+      val src = Files.createTempDirectory("graft-zo-hyb-").toString
+      lineitem.limit(2000).repartition(4)
+        .write.mode("overwrite").parquet(src)
+      g.createIndex(spark.read.parquet(src),
+        graft.index.zorder.ZOrderIndexConfig("zo_hyb",
+          Seq("l_partkey", "l_suppkey"), Seq("l_quantity")))
+
+      // append < 30% of bytes
+      lineitem.limit(150).select(spark.read.parquet(src).columns.map(col): _*)
+        .coalesce(1).write.mode("append").parquet(src)
+
+      def q = spark.read.parquet(src)
+        .filter(col("l_suppkey") === 5L)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      assert(usesIndex(q, "zo_hyb"),
+        "z-order index should still apply via hybrid scan after append")
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expected = q.collect().map(_.toString).sorted.toSeq
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      assert(q.collect().map(_.toString).sorted.toSeq == expected)
+      assert(expected.nonEmpty)
+    }
+  }
 }
