@@ -199,4 +199,43 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(SortedArrayUtils.lowerBound(arr, 30L, LongType) == 2)
     assert(SortedArrayUtils.lowerBound(arr, 31L, LongType) == -1)
   }
+
+  test("valuelist range filter survives ANSI mode over an all-null file") {
+    // An all-null sketched column yields an EMPTY value list for that
+    // file; ElementAt on it would throw under spark.sql.ansi.enabled
+    // during the (lazy, scan-time) pruning query. The CaseWhen guard must
+    // instead prune the file (provably no non-null values).
+    val sys = Files.createTempDirectory("graft-ds-ansi-sys-").toString
+    val src = Files.createTempDirectory("graft-ds-ansi-src-").toString
+    spark.conf.set(GraftConf.SystemPathKey, sys)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      import spark.implicits._
+      // file A: values 1..100; file B: all nulls
+      (1L to 100L).map(i => (i, Some(i))).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(src)
+      Seq.fill(50L.toInt)((0L, None: Option[Long]))
+        .zipWithIndex.map { case ((_, v), i) => (200L + i, v) }
+        .toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+
+      val g = new Graft(spark)
+      g.createIndex(spark.read.parquet(src),
+        DataSkippingIndexConfig("ds_ansi",
+          Seq(SketchSpec.valueList("v", maxValues = 1000))))
+
+      val q = spark.read.parquet(src).filter(col("v") < 10L)
+      // must not throw, must prune the all-null file, must be correct
+      assert(scannedFiles(q) == 1L, "all-null file should be pruned")
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expected = spark.read.parquet(src).filter(col("v") < 10L).count()
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      assert(q.count() == expected && expected == 9L)
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+      spark.conf.unset(GraftConf.SystemPathKey)
+      rules.IndexCatalog.invalidate(spark)
+    }
+  }
 }
