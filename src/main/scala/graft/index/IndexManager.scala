@@ -155,15 +155,28 @@ final class IndexManager(spark: SparkSession) {
     if (latest.state == IndexState.Deleted) {
       fs(root).delete(root, true)
     } else if (latest.state == IndexState.Active) {
-      // keep every version dir still referenced by content (after a quick
-      // optimize, kept large files live in older v__ dirs)
-      val referenced = (latest.content.filePaths.map(p =>
-        new Path(p).getParent.getName) :+ new Path(latest.content.root).getName).toSet
+      // Content can span version dirs after a quick optimize, and a
+      // compacted-away small file stays physically in its (still
+      // referenced) old dir — so cleanup is FILE-granular: drop every
+      // data file not in content, then any v__ dir left empty.
+      val referencedFiles = latest.content.filePaths.toSet
+      val currentRoot = new Path(latest.content.root).getName
       val f = fs(root)
       f.listStatus(root).toSeq
-        .filter(s => s.getPath.getName.startsWith("v__") &&
-          !referenced.contains(s.getPath.getName))
-        .foreach(s => f.delete(s.getPath, true))
+        .filter(_.getPath.getName.startsWith("v__"))
+        .foreach { dir =>
+          f.listStatus(dir.getPath).toSeq
+            .filter(s => s.isFile &&
+              !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith(".") &&
+              !referencedFiles.contains(s.getPath.toString))
+            .foreach(s => f.delete(s.getPath, false))
+          // markers (_SUCCESS etc.) don't count as content
+          val remaining = f.listStatus(dir.getPath).filterNot(s =>
+            s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+          if (remaining.isEmpty && dir.getPath.getName != currentRoot)
+            f.delete(dir.getPath, true)
+        }
     }
   }
 
@@ -330,7 +343,12 @@ final class IndexManager(spark: SparkSession) {
           case ds: dataskipping.DataSkippingIndexDescriptor =>
             dataskipping.DataSkippingBuild.write(ctx, compactInput, ds)
           case other =>
-            other.build(ctx, readSource(latest))
+            // z-order re-cluster: rebuild from the LOGGED file set, not a
+            // fresh listing — optimize must never fold in source drift
+            // (relations would go stale and hybrid scan would then union
+            // appended rows a second time)
+            other.build(ctx,
+              readFiles(latest, latest.relations.head.files.map(_.path)))
         }
         latest.copy(descriptor = newDescriptor,
           content = ContentMeta(ctx.dataPath,

@@ -1,7 +1,6 @@
 package graft.index
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 import graft.index.sources.{SourceLeaf, SourceProviders}
 
@@ -18,18 +17,6 @@ object SourceRelation {
     val spark = df.sparkSession
     df.queryExecution.analyzed.collectLeaves()
       .flatMap(SourceProviders.asSourceLeaf(spark, _))
-  }
-
-  /** All file-based leaves of the plan (legacy surface, kept for rules). */
-  def collect(df: DataFrame): Seq[LogicalRelation] =
-    collectLeaves(df).map(_.plan)
-
-  def formatName(rel: HadoopFsRelation): String = {
-    val n = rel.fileFormat.getClass.getSimpleName.toLowerCase
-    n.stripSuffix("fileformat") match {
-      case "" => n
-      case s => s
-    }
   }
 
   /** Capture metadata for one leaf, registering files in the tracker. */

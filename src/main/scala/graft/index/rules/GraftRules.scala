@@ -86,11 +86,18 @@ object FilterIndexRule extends GraftIndexRule {
       .map { case (a, p) => NestedColumns.logicalName(a, p) }.distinct
     val resolver = spark.sessionState.conf.resolver
 
+    // A leaf access `n.k` is satisfied either by a flattened `n.k` index
+    // column or by an index that materializes the WHOLE struct `n` (the
+    // scan then outputs the struct attr with its original exprId and the
+    // GetStructField above stays valid untouched).
+    def rootOf(n: String) = n.split('.').head
     val applicable = candidates(rel).filter { m =>
       m.entry.descriptor match {
         case d: CoveringIndexDescriptor =>
-          filterNames.exists(n => resolver(n, d.indexedColumns.head)) &&
-            d.covers(neededNames) &&
+          filterNames.exists(n => resolver(n, d.indexedColumns.head) ||
+            resolver(rootOf(n), d.indexedColumns.head)) &&
+            neededNames.forall(n =>
+              d.covers(Seq(n)) || d.covers(Seq(rootOf(n)))) &&
             // hybrid legs re-read the source, where flattened columns
             // don't exist — nested indexes apply on exact match only;
             // partitioned sources recover partition values via basePath
@@ -259,7 +266,12 @@ object JoinIndexRule extends GraftIndexRule {
       rel: LogicalRelation): Seq[(CandidateMatch, CoveringIndexDescriptor)] =
     matches.collect {
       case m if m.entry.descriptor.isInstanceOf[CoveringIndexDescriptor] &&
-          (m.isExact || m.deleted.isEmpty ||
+          // nested indexes are exact-only (the hybrid appended leg re-reads
+          // the source, where flattened columns don't exist — the lookup
+          // would throw and ApplyGraft would discard the whole plan)
+          (if (m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor].hasNested)
+            m.isExact
+          else m.isExact || m.deleted.isEmpty ||
             m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor].hasLineage) =>
         (m, m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor])
     }

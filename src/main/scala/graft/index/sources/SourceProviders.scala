@@ -30,7 +30,6 @@ trait SourceLeaf {
   def options: Map[String, String]
   /** (path, size, modifiedTime) of every file the leaf currently reads. */
   def listFiles(): Seq[(String, Long, Long)]
-  def partitionSchemaIsEmpty: Boolean
   /** Fingerprint of the captured state; default = file-stat digest. */
   def signature(files: Seq[FileMeta]): String = Signatures.ofFiles(files)
 }
@@ -68,8 +67,6 @@ final class DefaultFileBasedSource extends SourceProvider {
             other.listFiles(Nil, Nil).flatMap(_.files).map(s =>
               (s.getPath.toString, s.getLen, s.getModificationTime))
         }
-        override def partitionSchemaIsEmpty: Boolean =
-          rel.partitionSchema.isEmpty
       })
     case _ => None
   }

@@ -143,16 +143,21 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
 
-    // exact-Jaccard verify: broadcast the (tiny, ∝ true dups) candidate
-    // pairs INTO the doc scan, so shingle hashes are recomputed only for
-    // rows that survive the join — the corpus is streamed through a hash
-    // lookup, never shuffled, and never re-shingled wholesale
+    // exact-Jaccard verify: broadcast ONLY the bare (d1,d2) pairs into
+    // each doc scan — never rows carrying hash arrays, which a skewed
+    // band key could blow up to broadcast-OOM size. Shingle hashes are
+    // recomputed just for rows that survive each join, and the final
+    // pair-up shuffles only candidate rows (graceful under skew).
     val withA = docs
       .join(broadcast(cand), col("doc_id") === col("d1"))
       .select(col("d1"), col("d2"), hsExpr.as("hs1"))
-    docs
-      .join(broadcast(withA), col("doc_id") === col("d2"))
-      .select(col("d1"), col("d2"), col("hs1"), hsExpr.as("hs2"))
+    val withB = docs
+      .join(broadcast(cand.select(col("d2")).distinct()),
+        col("doc_id") === col("d2"))
+      .select(col("d2").as("bd2"), hsExpr.as("hs2"))
+    withA
+      .join(withB, col("d2") === col("bd2"))
+      .select(col("d1"), col("d2"), col("hs1"), col("hs2"))
       .select(col("d1"), col("d2"),
         size(array_intersect(col("hs1"), col("hs2"))).cast(LongType)
           .as("inter"),

@@ -12,11 +12,4 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
-
-  /** Bucket id embedded in a bucketed-write file name (reference uses the
-    * same seam: actions/OptimizeAction.scala:96-114 groups by
-    * BucketingUtils.getBucketId). */
-  def bucketId(fileName: String): Option[Int] =
-    org.apache.spark.sql.execution.datasources.BucketingUtils
-      .getBucketId(fileName)
 }

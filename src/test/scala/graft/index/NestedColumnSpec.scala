@@ -118,4 +118,25 @@ class NestedColumnSpec extends AnyFunSuite {
       assert(actual == expected && expected.nonEmpty)
     }
   }
+
+  test("whole-struct included column still covers leaf accesses") {
+    withNested { (g, src) =>
+      // index materializes the ENTIRE struct column; a filter/projection
+      // touching meta.kind must still be covered (no flattening needed —
+      // the scan outputs the struct attr and GetStructField stays valid)
+      g.createIndex(spark.read.parquet(src),
+        CoveringIndexConfig("nc_struct", Seq("id"), Seq("meta")))
+      val q = spark.read.parquet(src)
+        .filter(col("id") < 100L)
+        .select(col("meta.kind").as("kind"), col("id"))
+      val paths = indexScanPaths(q)
+      assert(paths.exists(_.contains("/nc_struct/")),
+        s"whole-struct coverage regressed; scanned: $paths")
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expected = q.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      val actual = q.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+      assert(actual == expected && expected.nonEmpty)
+    }
+  }
 }

@@ -177,6 +177,16 @@ class OptimizeQuickRefreshSpec extends AnyFunSuite {
       val live = fs.listStatus(g.indexManager.indexRoot("oq_vac"))
         .map(_.getPath.getName).filter(_.startsWith("v__")).toSet
       assert(dirs.subsetOf(live), s"vacuum deleted referenced dirs: $live")
+      // ...but the compacted-away small files inside the kept dir must be
+      // physically reclaimed (file-granular cleanup, no storage leak)
+      val v0Files = fs.listStatus(new org.apache.hadoop.fs.Path(
+          g.indexManager.indexRoot("oq_vac"), "v__0"))
+        .map(_.getPath.toString)
+        .filterNot(p => p.contains("/_") || p.contains("/."))
+        .toSet
+      assert(v0Files.subsetOf(spanning.content.filePaths.toSet),
+        s"superseded small files leaked in v__0: " +
+          s"${v0Files.diff(spanning.content.filePaths.toSet)}")
       assert(indexScanPaths(q(src)).exists(_.contains("/oq_vac/")))
 
       // full optimize consolidates; vacuum now drops the old dirs

@@ -130,4 +130,33 @@ class ZOrderSpec extends AnyFunSuite {
       assert(expected.nonEmpty)
     }
   }
+
+  test("z-order optimize under source drift does not duplicate rows") {
+    withGraft { g =>
+      val src = Files.createTempDirectory("graft-zo-opt-").toString
+      lineitem.limit(2000).repartition(4)
+        .write.mode("overwrite").parquet(src)
+      g.createIndex(spark.read.parquet(src),
+        graft.index.zorder.ZOrderIndexConfig("zo_opt",
+          Seq("l_partkey", "l_suppkey"), Seq("l_quantity")))
+
+      // drift the source, then optimize: the rebuild must use the LOGGED
+      // snapshot, so the appended rows stay hybrid-only (not baked in AND
+      // unioned a second time)
+      lineitem.limit(150).select(spark.read.parquet(src).columns.map(col): _*)
+        .coalesce(1).write.mode("append").parquet(src)
+      g.optimizeIndex("zo_opt", "full")
+
+      def q = spark.read.parquet(src)
+        .filter(col("l_suppkey") === 5L)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      assert(usesIndex(q, "zo_opt"))
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expected = q.collect().groupBy(identity).view.mapValues(_.length).toMap
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      val actual = q.collect().groupBy(identity).view.mapValues(_.length).toMap
+      assert(actual == expected, "duplicate or missing rows after optimize")
+      assert(expected.nonEmpty)
+    }
+  }
 }
