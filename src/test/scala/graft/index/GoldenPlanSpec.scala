@@ -67,8 +67,26 @@ class GoldenPlanSpec extends AnyFunSuite {
     }
   }
 
-  Seq("idx_covering_filter", "idx_join", "idx_zorder_filter",
-    "idx_dataskip_filter").foreach { q =>
+  // Index-rewrite queries (the original corpus) plus the deterministic
+  // relational/text headliners — a plan-stability net in the spirit of the
+  // reference's 103-query TPC-DS corpus (goldstandard/PlanStabilitySuite).
+  // Queries with runtime-dependent plan text (persist/InMemoryRelation,
+  // streaming) are excluded.
+  Seq(
+    "idx_covering_filter", "idx_join", "idx_zorder_filter",
+    "idx_dataskip_filter",
+    "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_parts", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
+    "q17_small_qty_revenue", "q18_large_orders", "q19_discounted_revenue",
+    "q20_part_promotion", "q21_lone_returner", "q22_idle_rich_customers",
+    "q_rollup", "q_set_ops", "q_semi_anti", "q_window_top_parts",
+    "q_events_daily", "q_event_sessions",
+    "text_stats", "text_lang_id", "text_fingerprint", "text_bpe_tokens",
+    "dedup_exact", "dedup_simhash",
+    "sim_brute_topk", "sim_lsh_buckets").foreach { q =>
     test(s"golden plan: $q") { check(q) }
   }
 }
