@@ -83,28 +83,62 @@ final class IndexLogManager(indexRoot: Path, hadoopConf: Configuration) {
   }
 
   /** Create-if-absent write; returns false if the id already exists
-    * (optimistic concurrency loser). */
+    * (optimistic concurrency loser).
+    *
+    * On HDFS-like filesystems `create(overwrite=false)` is atomic
+    * server-side and is the whole story. On the LOCAL filesystem it is
+    * check-then-act inside ChecksumFileSystem — concurrent writers can
+    * all "win" — so the id is claimed first with an O_EXCL
+    * `Files.createFile` on a `<id>.claim` marker, then the entry is
+    * written to `<id>.tmp` and renamed into place (readers only ever see
+    * complete digit-named files; getLatestId ignores suffixed names). */
   def writeLog(id: Long, entry: IndexLogEntry): Boolean = {
     if (fs.exists(idPath(id))) return false
+    val isLocal = Option(fs.getUri.getScheme).contains("file")
     try {
+      if (isLocal) {
+        fs.mkdirs(logDir)
+        val claim = java.nio.file.Paths.get(
+          new Path(logDir, s"$id.claim").toUri.getPath)
+        try java.nio.file.Files.createFile(claim)
+        catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+        // pure-nio tmp write: going through ChecksumFileSystem here would
+        // strand a stale .crc for the tmp name after the rename
+        val tmp = java.nio.file.Paths.get(
+          new Path(logDir, s"$id.tmp").toUri.getPath)
+        java.nio.file.Files.write(tmp,
+          JsonCodec.write(entry.copy(id = id)).getBytes(StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(idPath(id).toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // the claim file stays as a permanent tombstone: deleting it
+        // would reopen the gate for a writer that passed the fs.exists
+        // precheck before our move, and ATOMIC_MOVE silently replaces
+        // the final file. One empty file per log id is the price.
+        writeStableMarker(id, entry)
+        return true
+      }
       val out = fs.create(idPath(id), /*overwrite=*/ false)
       try out.write(JsonCodec.write(entry.copy(id = id)).getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      if (IndexState.stable.contains(entry.state)) {
-        // refresh the latestStable marker (non-atomic is fine: readers fall
-        // back to a backwards scan)
-        try {
-          val tmp = new Path(logDir, s".latestStable.tmp${System.nanoTime()}")
-          val o = fs.create(tmp, true)
-          try o.write(JsonCodec.write(entry.copy(id = id)).getBytes(StandardCharsets.UTF_8))
-          finally o.close()
-          fs.delete(latestStablePath, false)
-          fs.rename(tmp, latestStablePath)
-        } catch { case NonFatal(_) => () }
-      }
+      writeStableMarker(id, entry)
       true
     } catch {
       case NonFatal(_) => false
     }
   }
+
+  /** Refresh the latestStable marker (best-effort, non-atomic is fine:
+    * readers fall back to a backwards scan). */
+  private def writeStableMarker(id: Long, entry: IndexLogEntry): Unit =
+    if (IndexState.stable.contains(entry.state)) {
+      try {
+        val tmp = new Path(logDir, s".latestStable.tmp${System.nanoTime()}")
+        val o = fs.create(tmp, true)
+        try o.write(JsonCodec.write(entry.copy(id = id)).getBytes(StandardCharsets.UTF_8))
+        finally o.close()
+        fs.delete(latestStablePath, false)
+        fs.rename(tmp, latestStablePath)
+      } catch { case NonFatal(_) => () }
+    }
 }

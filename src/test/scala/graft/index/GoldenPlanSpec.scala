@@ -31,6 +31,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     plan.linesIterator
       .map(_
         .replaceAll("#\\d+L?", "#x")
+        // lambda-variable names carry a session-global counter
+        .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_n")
         .replaceAll("plan_id=\\d+", "plan_id=x")
         .replaceAll("Location: [^,\\]]+", "Location: [scrubbed]")
         .replaceAll("InMemoryFileIndex\\([^)]*\\)[^,\\]]*", "InMemoryFileIndex[scrubbed]")
@@ -43,6 +45,10 @@ class GoldenPlanSpec extends AnyFunSuite {
       .mkString("\n").trim + "\n"
 
   private def check(name: String): Unit = {
+    // metadata strings truncate at maxMetadataStringLength BEFORE our
+    // scrub — with the 100-char default the cut point shifts with exprId
+    // width between sessions, so raise it out of the way while rendering
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
     val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
     // initial physical plan: deterministic (pre-AQE) and captures both the
     // logical rewrite (index scan substitution) and physical properties

@@ -1,0 +1,56 @@
+package graft.index
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.covering.CoveringIndexDescriptor
+
+/** Optimistic-concurrency contract of the metadata log (reference:
+  * actions/Action.scala:77-82 + IndexLogManager create-if-absent):
+  * concurrent writers racing on the same id — exactly one wins. */
+class LogConcurrencySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark // force session init for hadoop conf
+
+  private def entry(id: Long): IndexLogEntry =
+    IndexLogEntry("race", CoveringIndexDescriptor(
+      Seq("k"), Nil, 4, "{}", hasLineage = false),
+      ContentMeta("/tmp/none", Nil), Nil, IndexState.Creating, id, id)
+
+  test("create-if-absent: exactly one of N racing writers wins per id") {
+    val root = new Path(Files.createTempDirectory("graft-log-race-").toString)
+    val log = new IndexLogManager(root, spark.sessionState.newHadoopConf())
+    val n = 16
+    val pool = Executors.newFixedThreadPool(n)
+    (0L until 5L).foreach { id =>
+      val start = new CountDownLatch(1)
+      val results = (0 until n).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = {
+            start.await()
+            log.writeLog(id, entry(id))
+          }
+        })
+      }
+      start.countDown()
+      val wins = results.map(_.get(30, TimeUnit.SECONDS)).count(identity)
+      assert(wins == 1, s"id $id: expected exactly one winner, got $wins")
+      // the losers did not corrupt the entry
+      assert(log.getLog(id).exists(_.name == "race"))
+    }
+    pool.shutdown()
+  }
+
+  test("sequential ids append; stale id is rejected") {
+    val root = new Path(Files.createTempDirectory("graft-log-seq-").toString)
+    val log = new IndexLogManager(root, spark.sessionState.newHadoopConf())
+    assert(log.writeLog(0, entry(0)))
+    assert(log.writeLog(1, entry(1).copy(state = IndexState.Active)))
+    assert(!log.writeLog(1, entry(1)), "existing id must be rejected")
+    assert(log.getLatestId.contains(1L))
+    assert(log.getLatestStableLog.exists(_.state == IndexState.Active))
+  }
+}
