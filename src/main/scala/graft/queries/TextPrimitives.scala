@@ -43,9 +43,12 @@ object TextPrimitives {
   /** Single-space tokenization (matches DuckDB string_split literal ' '). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** 60-bit positive hash of a string: md5 hex prefix as a long. */
+  /** 60-bit positive hash of a string: md5 hex prefix as a long.
+    * Native codegen ([[graft.functions.Md5Prefix60]]) — bit-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)` without the per-token hex
+    * string + base-16 parse (spec-verified parity). */
   def tokenHash(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    graft.functions.HashFunctions.md5Prefix60(c)
 
   /** Distinct 3-token shingles; empty array when the doc is too short. */
   def shingles3(toks: Column): Column =

@@ -86,4 +86,20 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Md5Prefix60 == conv(substring(md5)) builtin chain, arbitrary strings") {
+    import graft.functions.HashFunctions.md5Prefix60
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf("abc", "日本語", "ü", " ", "0", "!?")).map(_.mkString),
+      Gen.const(""))
+    forAll(strGen) { str =>
+      import spark.implicits._
+      val df = Seq(Tuple1(str)).toDF("s")
+      val builtin = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+      val row = df.select(md5Prefix60(col("s")), builtin).head
+      assert(row.getLong(0) == row.getLong(1), s"mismatch for ${str.take(30)}")
+      assert(row.getLong(0) >= 0L)
+    }
+  }
 }
