@@ -73,6 +73,20 @@ class Graft(spark: SparkSession) {
   def index(name: String): DataFrame =
     indexes.filter(org.apache.spark.sql.functions.col("name") === name)
 
+  /** Approximate nearest-neighbor search against an IVF index (see
+    * [[graft.index.ivf.IvfIndexConfig]]): probes the nProbe nearest
+    * codebook cells per query and scores only those partitions.
+    * `queries` needs columns `qid` (long) and `qv` (float/double array).
+    * Returns topK rows per query: (qid, <idColumn>, cosine, rank). */
+  def annSearch(indexName: String, queries: DataFrame,
+      topK: Int = 10, nProbe: Int = 4): DataFrame = {
+    val entry = manager.getIndexes(Set(IndexState.Active))
+      .find(_.name == indexName)
+      .getOrElse(throw new NoSuchElementException(
+        s"IVF index '$indexName' not found or not ACTIVE"))
+    graft.index.ivf.IvfSearch.search(spark, entry, queries, topK, nProbe)
+  }
+
   /** Per-data-file min/max envelope + overlap count for one index column
     * (reference: util/MinMaxAnalysisUtil.scala) — low overlap = good
     * clustering = effective file skipping. Defaults to the head indexed

@@ -21,7 +21,8 @@ object JsonCodec {
   implicit val formats: Formats = Serialization.formats(ShortTypeHints(List(
     classOf[CoveringIndexDescriptor],
     classOf[ZOrderIndexDescriptor],
-    classOf[DataSkippingIndexDescriptor]), "type"))
+    classOf[DataSkippingIndexDescriptor],
+    classOf[graft.index.ivf.IvfIndexDescriptor]), "type"))
 
   def write(entry: IndexLogEntry): String = Serialization.write(entry)
   def read(json: String): IndexLogEntry = Serialization.read[IndexLogEntry](json)

@@ -1,0 +1,146 @@
+package graft.index.ivf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexBuildContext, IndexConfig, IndexDescriptor}
+
+/**
+ * IVF (inverted-file) similarity index: a first-class index kind for
+ * approximate nearest-neighbor search over an embedding column — the
+ * managed-lifecycle upgrade of the fixed-codebook IVF in
+ * `queries/Similarity.scala` (beyond the reference, which has no vector
+ * indexes; part of the LLM-pipeline family).
+ *
+ * Build = small-k k-means on the corpus:
+ *  1. deterministic seeding — the k vectors with the smallest
+ *     (md5-derived hash, id) keys, so rebuilds over identical data start
+ *     identically and no RNG state leaks into the metadata;
+ *  2. `maxIter` Lloyd rounds — assignment is a broadcast-centroid map
+ *     pass; means come from `reduceGroups` over (sumVec, count) pairs
+ *     (associative ⇒ map-side partial aggregation; one small shuffle of
+ *     k partial sums per round);
+ *  3. the corpus is written WITH its cell id, `partitionBy(_cell)` — at
+ *     query time probes touch only nProbe/k of the data via partition
+ *     pruning (static for literal cell sets, dynamic (DPP) for joins).
+ *
+ * The codebook (k × dim doubles) rides in the descriptor JSON — tiny for
+ * IVF-scale k (≤ few hundred); a billion-vector deployment would promote
+ * it to a parquet sidecar and train with k-means|| sampling, which this
+ * build's structure (seed → assign → mean) maps onto directly.
+ */
+final case class IvfIndexDescriptor(
+    idColumn: String,
+    vectorColumn: String,
+    k: Int,
+    maxIter: Int,
+    centroids: Seq[Seq[Double]],
+    schemaJson: String) extends IndexDescriptor {
+
+  override def kind: String = "IvfIndex"
+  override def kindAbbr: String = "IVF"
+  override def indexedColumns: Seq[String] = Seq(vectorColumn)
+  override def referencedColumns: Seq[String] = Seq(idColumn, vectorColumn)
+  override def covers(columns: Seq[String]): Boolean =
+    columns.forall(c => referencedColumns.exists(_.equalsIgnoreCase(c)))
+
+  override def build(ctx: IndexBuildContext, source: DataFrame): IndexDescriptor =
+    IvfBuild.build(ctx, source, this)
+}
+
+/** User-facing config: `IvfIndexConfig("ann", "vec_id", "embedding", k=16)`. */
+final case class IvfIndexConfig(
+    indexName: String,
+    idColumn: String,
+    vectorColumn: String,
+    k: Int = 16,
+    maxIter: Int = 5) extends IndexConfig {
+  require(k > 0 && maxIter >= 0, "k must be positive, maxIter non-negative")
+
+  override def referencedColumns: Seq[String] = Seq(idColumn, vectorColumn)
+
+  override def toDescriptor(source: DataFrame): IndexDescriptor = {
+    val resolved = graft.index.ColumnResolver.resolveAll(source, referencedColumns)
+    require(!resolved.exists(graft.index.NestedColumns.isNested),
+      "IVF indexes take top-level id/vector columns")
+    IvfIndexDescriptor(resolved.head, resolved(1), k, maxIter,
+      centroids = Nil, schemaJson = "")
+  }
+}
+
+object IvfBuild {
+
+  // no leading underscore: partitionBy dirs named `_x=N` would be hidden
+  // from Spark's file listing (hiddenFileFilter) and the data unreadable
+  val CellColumn = "graft__cell"
+
+  private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ctr = centroids(c)
+      var d = 0.0
+      var i = 0
+      while (i < ctr.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def build(ctx: IndexBuildContext, source: DataFrame,
+      d: IvfIndexDescriptor): IndexDescriptor = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val src = source.select(
+      col(d.idColumn).cast("long").as("id"),
+      col(d.vectorColumn).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+
+    // deterministic seeds: smallest (hash, id)
+    val seeds = source.select(
+        graft.functions.HashFunctions.md5Prefix60(
+          col(d.idColumn).cast("string")).as("h"),
+        col(d.idColumn).cast("long").as("id"),
+        col(d.vectorColumn).cast("array<double>").as("v"))
+      .orderBy(col("h"), col("id"))
+      .limit(d.k)
+      .select(col("v")).as[Array[Double]].collect()
+
+    var centroids = seeds
+    (0 until d.maxIter).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      centroids = src
+        .map { case (_, v) => (nearest(bc.value, v), (v, 1L)) }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val (sa, na) = a._2; val (sb, nb) = b._2
+          val s = Array.tabulate(sa.length)(i => sa(i) + sb(i))
+          (a._1, (s, na + nb))
+        }
+        .map { case (_, (_, (sum, n))) => sum.map(_ / n) }
+        .collect()
+      bc.destroy()
+      // empty cells fall out (rare with deterministic seeds); keep k stable
+      // by padding back the seed for any dropped slot
+      if (centroids.length < d.k)
+        centroids = centroids ++ seeds.take(d.k - centroids.length)
+    }
+
+    val bcFinal = spark.sparkContext.broadcast(centroids)
+    val assigned = src
+      .map { case (id, v) => (id, v, nearest(bcFinal.value, v)) }
+      .toDF("id", "v", CellColumn)
+      .withColumnRenamed("id", d.idColumn)
+      .withColumnRenamed("v", d.vectorColumn)
+    assigned
+      .repartition(col(CellColumn))
+      .write.mode("overwrite")
+      .partitionBy(CellColumn)
+      .parquet(ctx.dataPath)
+
+    d.copy(centroids = centroids.map(_.toSeq).toSeq,
+      schemaJson = assigned.schema.json)
+  }
+}

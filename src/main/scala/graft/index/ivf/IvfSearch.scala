@@ -1,0 +1,75 @@
+package graft.index.ivf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexLogEntry
+
+/**
+ * Probe-limited ANN search against an [[IvfIndexDescriptor]] index.
+ *
+ * Scale shape: the query set maps to its nProbe nearest cells using the
+ * broadcast codebook (tiny), the index scan is restricted to the probed
+ * `graft__cell=` partitions — a broadcast join on the PARTITION column,
+ * which Spark prunes dynamically (DPP) — and scoring is the codegen
+ * DotProduct over only nProbe/k of the corpus. The final per-query top-k
+ * is a window over qid (query-count-proportional, not corpus-sized).
+ */
+object IvfSearch {
+
+  private def nearestCells(
+      centroids: Array[Array[Double]], v: Array[Double], n: Int): Seq[Int] =
+    centroids.indices
+      .map { c =>
+        val ctr = centroids(c)
+        var d = 0.0
+        var i = 0
+        while (i < ctr.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+        (d, c)
+      }
+      .sorted.take(n).map(_._2)
+
+  /**
+   * @param queries DataFrame with columns `qid` (long) and `qv`
+   *                (array of float/double)
+   * @return (qid, neighbor id column, cosine, rank) — topK rows per query
+   */
+  def search(
+      spark: SparkSession,
+      entry: IndexLogEntry,
+      queries: DataFrame,
+      topK: Int,
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val d = entry.descriptor.asInstanceOf[IvfIndexDescriptor]
+    val centroids = d.centroids.map(_.toArray).toArray
+    require(centroids.nonEmpty, s"index '${entry.name}' has no codebook")
+    val probe = math.min(math.max(1, nProbe), centroids.length)
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probes = queries
+      .select(col("qid").cast("long"), col("qv").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, v) =>
+        nearestCells(bc.value, v, probe).map(c => (qid, v, c))
+      }
+      .toDF("qid", "qv", "probe_cell")
+
+    val dot = graft.functions.VectorFunctions.dotp _
+    val data = spark.read.parquet(entry.content.root)
+      .select(col(d.idColumn), col(d.vectorColumn).cast("array<double>").as("nv"),
+        col(IvfBuild.CellColumn))
+    val scored = data
+      .join(broadcast(probes), col(IvfBuild.CellColumn) === col("probe_cell"))
+      .withColumn("cosine",
+        dot(col("qv"), col("nv")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("nv"), col("nv")))))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col(d.idColumn))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col(d.idColumn), col("cosine"), col("rank"))
+  }
+}

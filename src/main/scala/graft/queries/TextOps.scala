@@ -170,9 +170,38 @@ object TextOps {
        |  CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE) AS fertility
        |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------ heavy hitters
+  /** Exact corpus-level heavy hitters: top 50 tokens by DOCUMENT
+    * frequency (stopword/boilerplate discovery). Shape at 100 TB:
+    * explode(distinct tokens per doc) → one count shuffle on uniform
+    * token keys (partial+final) → a tiny global top-k sort. The exact
+    * count is the oracle anchor; a count-min/SpaceSaving variant rides
+    * the same plan with a sketch aggregate when exactness can be
+    * traded. */
+  def qHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs
+      .select(explode(array_distinct(tokens(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(50)
+  }
+
+  val qHeavyHittersSql: String =
+    s"""SELECT token, COUNT(*) AS doc_freq FROM (
+       |  SELECT doc_id, unnest(list_distinct(${sqlTokens("text")})) AS token
+       |  FROM documents)
+       |WHERE len(token) > 0
+       |GROUP BY token
+       |ORDER BY doc_freq DESC, token
+       |LIMIT 50""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats" -> (qTextStats _, qTextStatsSql),
     "text_lang_id" -> (qLangId _, qLangIdSql),
     "text_fingerprint" -> (qFingerprint _, qFingerprintSql),
-    "text_bpe_tokens" -> (qBpeTokens _, qBpeTokensSql))
+    "text_bpe_tokens" -> (qBpeTokens _, qBpeTokensSql),
+    "text_heavy_hitters" -> (qHeavyHitters _, qHeavyHittersSql))
 }

@@ -1,0 +1,104 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Graft, TestSpark}
+import graft.index.ivf.{IvfBuild, IvfIndexConfig, IvfIndexDescriptor}
+
+/** IVF similarity index: managed lifecycle + data-derived codebook +
+  * probe-limited search with acceptable recall vs exact brute force. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def withGraft[T](body: Graft => T): T = {
+    val dir = Files.createTempDirectory("graft-ivf-").toString
+    spark.conf.set(GraftConf.SystemPathKey, dir)
+    try body(new Graft(spark))
+    finally {
+      spark.conf.unset(GraftConf.SystemPathKey)
+      rules.IndexCatalog.invalidate(spark)
+    }
+  }
+
+  private def embeddings = spark.read
+    .parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+
+  test("build: codebook trained, data cell-partitioned, catalog lists it") {
+    withGraft { g =>
+      g.createIndex(embeddings, IvfIndexConfig("ann_idx", "vec_id", "embedding",
+        k = 8, maxIter = 3))
+      val e = g.indexManager.getIndexes().head
+      val d = e.descriptor.asInstanceOf[IvfIndexDescriptor]
+      assert(d.centroids.size == 8)
+      assert(d.centroids.forall(_.size == 64))
+      // data is laid out by cell (partition dirs) and complete
+      val data = spark.read.parquet(e.content.root)
+      assert(data.columns.contains(IvfBuild.CellColumn))
+      assert(data.count() == embeddings.count())
+      val cells = data.select(IvfBuild.CellColumn).distinct().count()
+      assert(cells > 1 && cells <= 8, s"degenerate clustering: $cells cells")
+      // catalog surface
+      val row = g.indexes.filter(col("name") === "ann_idx").collect().head
+      assert(row.getAs[String]("kind") == "IvfIndex")
+    }
+  }
+
+  test("search recall vs exact brute force is acceptable; full probe is exact") {
+    withGraft { g =>
+      g.createIndex(embeddings, IvfIndexConfig("ann_rec", "vec_id", "embedding",
+        k = 8, maxIter = 3))
+      val queries = embeddings.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+
+      // exact top-5 by cosine (same tie-break as the index search)
+      val dot = graft.functions.VectorFunctions.dotp _
+      val corpus = embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("nv"))
+      val exact = broadcast(queries).crossJoin(corpus)
+        .withColumn("cosine", dot(col("qv"), col("nv")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("nv"), col("nv")))))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+            .orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val approx = g.annSearch("ann_rec", queries, topK = 5, nProbe = 3)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      assert(recall >= 0.6, s"recall $recall too low for nProbe=3 of 8")
+
+      // probing every cell = exact search
+      val full = g.annSearch("ann_rec", queries, topK = 5, nProbe = 8)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(full == exact, "nProbe=k must reproduce exact top-k")
+    }
+  }
+
+  test("lifecycle: refresh rebuilds, delete hides, restore re-lists") {
+    withGraft { g =>
+      g.createIndex(embeddings, IvfIndexConfig("ann_lc", "vec_id", "embedding",
+        k = 4, maxIter = 2))
+      val v0 = g.indexManager.getIndexes().head.content.root
+      g.refreshIndex("ann_lc", "full")
+      val e = g.indexManager.getIndexes().head
+      assert(e.content.root != v0)
+      assert(e.descriptor.asInstanceOf[IvfIndexDescriptor].centroids.size == 4)
+      g.deleteIndex("ann_lc")
+      intercept[NoSuchElementException] {
+        g.annSearch("ann_lc", embeddings.limit(1)
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qv")))
+      }
+      g.restoreIndex("ann_lc")
+      assert(g.indexManager.getIndexes().map(_.name).contains("ann_lc"))
+    }
+  }
+}

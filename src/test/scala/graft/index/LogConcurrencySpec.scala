@@ -53,4 +53,20 @@ class LogConcurrencySpec extends AnyFunSuite {
     assert(log.getLatestId.contains(1L))
     assert(log.getLatestStableLog.exists(_.state == IndexState.Active))
   }
+
+  test("log entries written before UpdateMeta existed still parse") {
+    // forward-compat of the codec: the quick-refresh delta field is
+    // optional with a None default — a pre-existing JSON document without
+    // it must round-trip
+    val noField = JsonCodec.write(entry(0))
+      .replaceAll(""","update":[^,}]+""", "")
+    assert(!noField.contains("\"update\""))
+    val parsed = JsonCodec.read(noField)
+    assert(parsed.update.isEmpty)
+    // and a populated delta round-trips intact
+    val withDelta = entry(1).copy(update = Some(UpdateMeta(
+      Seq(FileMeta("/a", 1, 2, 3)), Seq(FileMeta("/b", 4, 5, 6)))))
+    val rt = JsonCodec.read(JsonCodec.write(withDelta))
+    assert(rt.update == withDelta.update)
+  }
 }
