@@ -1,6 +1,6 @@
 from .indexconfig import (CoveringIndexConfig, ZOrderIndexConfig,
-                          DataSkippingIndexConfig, SketchSpec)
+                          DataSkippingIndexConfig, SketchSpec, IvfIndexConfig)
 from .graft import Graft
 
 __all__ = ["Graft", "CoveringIndexConfig", "ZOrderIndexConfig",
-           "DataSkippingIndexConfig", "SketchSpec"]
+           "DataSkippingIndexConfig", "SketchSpec", "IvfIndexConfig"]

@@ -17,7 +17,7 @@ DataFrame(jdf, spark)).
 from pyspark.sql import DataFrame
 
 from .indexconfig import (CoveringIndexConfig, ZOrderIndexConfig,
-                          DataSkippingIndexConfig)
+                          DataSkippingIndexConfig, IvfIndexConfig)
 
 
 class Graft:
@@ -52,6 +52,10 @@ class Graft:
                 config.index_name,
                 self._to_seq(config.indexed_columns),
                 self._to_seq(config.included_columns))
+        if isinstance(config, IvfIndexConfig):
+            return self._jvm.graft.index.ivf.IvfIndexConfig(
+                config.index_name, config.id_column, config.vector_column,
+                config.k, config.max_iter)
         if isinstance(config, DataSkippingIndexConfig):
             jsketches = [self._jvm.graft.index.dataskipping.SketchSpec(
                 s.kind, s.expr, self._to_map(s.params)) for s in config.sketches]
@@ -103,3 +107,8 @@ class Graft:
 
     def analyze_index_distribution(self, name, column=None):
         return self._df(self._jgraft.analyzeIndexDistribution(name, column))
+
+    def ann_search(self, index_name, queries, top_k=10, n_probe=4):
+        """ANN search against an IVF index; `queries` needs (qid, qv)."""
+        return self._df(self._jgraft.annSearch(
+            index_name, queries._jdf, top_k, n_probe))

@@ -61,3 +61,17 @@ class DataSkippingIndexConfig:
     def __init__(self, index_name, sketches):
         self.index_name = index_name
         self.sketches = list(sketches)
+
+
+class IvfIndexConfig:
+    """IVF ANN index: k-means codebook + cell-partitioned corpus.
+
+    >>> IvfIndexConfig("ann", "vec_id", "embedding", k=16)
+    """
+
+    def __init__(self, index_name, id_column, vector_column, k=16, max_iter=5):
+        self.index_name = index_name
+        self.id_column = id_column
+        self.vector_column = vector_column
+        self.k = k
+        self.max_iter = max_iter

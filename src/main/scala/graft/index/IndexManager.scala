@@ -288,6 +288,16 @@ final class IndexManager(spark: SparkSession) {
               else keep.unionByName(dataskipping.DataSkippingBuild
                 .sketchRows(ctx, readFiles(latest, appended.map(_.path)), ds))
             dataskipping.DataSkippingBuild.write(ctx, merged, ds)
+          case iv: graft.index.ivf.IvfIndexDescriptor if deleted.isEmpty =>
+            // appended-only incremental: assign NEW vectors with the
+            // FROZEN codebook (no retrain — codebook drift is gradual and
+            // a full refresh re-trains); old cell assignments are reused
+            // verbatim. Deletes have no row→file lineage here, so they
+            // fall through to the full rebuild branch below. Reads its own
+            // content (basePath recovers the cell partition column, which
+            // the generic flat-file read above drops).
+            graft.index.ivf.IvfBuild.appendIncremental(ctx, latest.content,
+              readFiles(latest, appended.map(_.path)), iv)
           case other =>
             // z-order clustering is global: incremental == full rebuild
             other.build(ctx, source)
@@ -322,9 +332,14 @@ final class IndexManager(spark: SparkSession) {
         case m => throw new IllegalArgumentException(s"Unknown optimize mode '$m'")
       }
       val (small, kept) = latest.descriptor match {
-        case _: zorder.ZOrderIndexDescriptor =>
-          (latest.content.files, Nil) // global clustering: always full
-        case _ => latest.content.files.partition(_.size < threshold)
+        case _: covering.CoveringIndexDescriptor |
+             _: dataskipping.DataSkippingIndexDescriptor =>
+          latest.content.files.partition(_.size < threshold)
+        case _ =>
+          // globally-laid-out kinds (z-order clustering, IVF cells) are
+          // rebuilt whole — mixing kept files with a full rewrite would
+          // duplicate rows
+          (latest.content.files, Nil)
       }
       if (small.isEmpty) latest // nothing under the threshold: no-op
       else {

@@ -143,4 +143,38 @@ object IvfBuild {
     d.copy(centroids = centroids.map(_.toSeq).toSeq,
       schemaJson = assigned.schema.json)
   }
+
+  /** Appended-only incremental refresh: new vectors are assigned with the
+    * EXISTING codebook and merged with the untouched old assignments —
+    * reads old index data + appended files only, no retrain. */
+  def appendIncremental(
+      ctx: IndexBuildContext,
+      oldContent: graft.index.ContentMeta,
+      appendedSource: DataFrame,
+      d: IvfIndexDescriptor): IndexDescriptor = {
+    val spark = ctx.spark
+    import spark.implicits._
+    // basePath read: the cell partition column lives in the dir layout
+    val oldData = spark.read.option("basePath", oldContent.root)
+      .parquet(oldContent.filePaths: _*)
+    val centroids = d.centroids.map(_.toArray).toArray
+    require(centroids.nonEmpty, "incremental refresh needs a trained codebook")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val newAssigned = appendedSource.select(
+        col(d.idColumn).cast("long").as("id"),
+        col(d.vectorColumn).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, nearest(bc.value, v)) }
+      .toDF("id", "v", CellColumn)
+      .withColumnRenamed("id", d.idColumn)
+      .withColumnRenamed("v", d.vectorColumn)
+    val cols = Seq(d.idColumn, d.vectorColumn, CellColumn).map(col)
+    oldData.select(cols: _*)
+      .unionByName(newAssigned.select(cols: _*))
+      .repartition(col(CellColumn))
+      .write.mode("overwrite")
+      .partitionBy(CellColumn)
+      .parquet(ctx.dataPath)
+    d
+  }
 }

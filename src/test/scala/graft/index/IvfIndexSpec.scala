@@ -101,4 +101,43 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(g.indexManager.getIndexes().map(_.name).contains("ann_lc"))
     }
   }
+
+  test("incremental refresh assigns appended vectors with the frozen codebook") {
+    val sys = Files.createTempDirectory("graft-ivf-inc-").toString
+    val src = Files.createTempDirectory("graft-ivf-src-").toString
+    spark.conf.set(GraftConf.SystemPathKey, sys)
+    try {
+      val g = new Graft(spark)
+      embeddings.filter(col("vec_id") % 2 === 0).repartition(2)
+        .write.mode("overwrite").parquet(src)
+      g.createIndex(spark.read.parquet(src),
+        IvfIndexConfig("ann_inc", "vec_id", "embedding", k = 4, maxIter = 2))
+      val before = g.indexManager.getIndexes().head
+      val codebook = before.descriptor
+        .asInstanceOf[IvfIndexDescriptor].centroids
+
+      // append the odd half and refresh incrementally
+      embeddings.filter(col("vec_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(src)
+      g.refreshIndex("ann_inc", "incremental")
+      val after = g.indexManager.getIndexes().head
+      assert(after.content.root != before.content.root)
+      // codebook FROZEN (no retrain on incremental)
+      assert(after.descriptor.asInstanceOf[IvfIndexDescriptor].centroids
+        == codebook)
+      // all rows present, partition layout intact
+      val data = spark.read.parquet(after.content.root)
+      assert(data.count() == spark.read.parquet(src).count())
+      assert(data.columns.contains(IvfBuild.CellColumn))
+      // search still works against the refreshed index
+      val queries = embeddings.limit(5)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      assert(g.annSearch("ann_inc", queries, topK = 3, nProbe = 4)
+        .count() == 15)
+    } finally {
+      spark.conf.unset(GraftConf.SystemPathKey)
+      rules.IndexCatalog.invalidate(spark)
+    }
+  }
 }
