@@ -81,9 +81,16 @@ class Graft(spark: SparkSession) {
   def annSearch(indexName: String, queries: DataFrame,
       topK: Int = 10, nProbe: Int = 4): DataFrame = {
     val entry = manager.getIndexes(Set(IndexState.Active))
-      .find(_.name == indexName)
+      .find(e => e.name == indexName &&
+        e.descriptor.isInstanceOf[graft.index.ivf.IvfIndexDescriptor])
       .getOrElse(throw new NoSuchElementException(
-        s"IVF index '$indexName' not found or not ACTIVE"))
+        s"IVF index '$indexName' not found, not ACTIVE, or not an IVF index"))
+    // covering reads honor a quick-refresh delta via hybrid scan; IVF has
+    // no hybrid path yet, so silently serving stale results would be a
+    // correctness trap — demand a refresh instead
+    require(entry.update.isEmpty,
+      s"IVF index '$indexName' has a recorded source delta (quick refresh);" +
+        " run refreshIndex(name, \"incremental\") before searching")
     graft.index.ivf.IvfSearch.search(spark, entry, queries, topK, nProbe)
   }
 

@@ -102,20 +102,41 @@ final class IndexLogManager(indexRoot: Path, hadoopConf: Configuration) {
         val claim = java.nio.file.Paths.get(
           new Path(logDir, s"$id.claim").toUri.getPath)
         try java.nio.file.Files.createFile(claim)
-        catch { case _: java.nio.file.FileAlreadyExistsException => return false }
-        // pure-nio tmp write: going through ChecksumFileSystem here would
-        // strand a stale .crc for the tmp name after the rename
-        val tmp = java.nio.file.Paths.get(
-          new Path(logDir, s"$id.tmp").toUri.getPath)
-        java.nio.file.Files.write(tmp,
-          JsonCodec.write(entry.copy(id = id)).getBytes(StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp,
-          java.nio.file.Paths.get(idPath(id).toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        // the claim file stays as a permanent tombstone: deleting it
-        // would reopen the gate for a writer that passed the fs.exists
-        // precheck before our move, and ATOMIC_MOVE silently replaces
-        // the final file. One empty file per log id is the price.
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // A crashed writer (claimed, never renamed) must not wedge the
+            // id forever: reclaim claims older than the staleness window
+            // when no final entry exists. In-flight writers finish in
+            // milliseconds, so 60s cannot race a live one.
+            val staleMs = 60000L
+            val age = System.currentTimeMillis() -
+              java.nio.file.Files.getLastModifiedTime(claim).toMillis
+            if (fs.exists(idPath(id)) || age < staleMs) return false
+            java.nio.file.Files.deleteIfExists(claim)
+            try java.nio.file.Files.createFile(claim)
+            catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+        }
+        try {
+          // pure-nio tmp write: going through ChecksumFileSystem here would
+          // strand a stale .crc for the tmp name after the rename
+          val tmp = java.nio.file.Paths.get(
+            new Path(logDir, s"$id.tmp").toUri.getPath)
+          java.nio.file.Files.write(tmp,
+            JsonCodec.write(entry.copy(id = id)).getBytes(StandardCharsets.UTF_8))
+          java.nio.file.Files.move(tmp,
+            java.nio.file.Paths.get(idPath(id).toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case NonFatal(e) =>
+            // failure BEFORE the final file exists: release the claim so a
+            // retry (or cancel()) can write this id — leaving it would
+            // poison the log permanently
+            java.nio.file.Files.deleteIfExists(claim)
+            throw e
+        }
+        // success: the claim stays as a tombstone — deleting it would
+        // reopen the gate for a writer that passed the fs.exists precheck
+        // before our move, and ATOMIC_MOVE silently replaces files
         writeStableMarker(id, entry)
         return true
       }

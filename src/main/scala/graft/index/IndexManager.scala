@@ -157,24 +157,30 @@ final class IndexManager(spark: SparkSession) {
     } else if (latest.state == IndexState.Active) {
       // Content can span version dirs after a quick optimize, and a
       // compacted-away small file stays physically in its (still
-      // referenced) old dir — so cleanup is FILE-granular: drop every
-      // data file not in content, then any v__ dir left empty.
+      // referenced) old dir — so cleanup is FILE-granular and RECURSIVE
+      // (IVF data nests under cell-partition subdirs): drop every data
+      // file not in content, then any v__ dir with no data files left.
       val referencedFiles = latest.content.filePaths.toSet
       val currentRoot = new Path(latest.content.root).getName
       val f = fs(root)
+      def dataFiles(dir: Path): Seq[Path] = {
+        val it = f.listFiles(dir, /*recursive=*/ true)
+        val buf = Seq.newBuilder[Path]
+        while (it.hasNext) {
+          val s = it.next()
+          val n = s.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) buf += s.getPath
+        }
+        buf.result()
+      }
       f.listStatus(root).toSeq
         .filter(_.getPath.getName.startsWith("v__"))
         .foreach { dir =>
-          f.listStatus(dir.getPath).toSeq
-            .filter(s => s.isFile &&
-              !s.getPath.getName.startsWith("_") &&
-              !s.getPath.getName.startsWith(".") &&
-              !referencedFiles.contains(s.getPath.toString))
-            .foreach(s => f.delete(s.getPath, false))
-          // markers (_SUCCESS etc.) don't count as content
-          val remaining = f.listStatus(dir.getPath).filterNot(s =>
-            s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
-          if (remaining.isEmpty && dir.getPath.getName != currentRoot)
+          dataFiles(dir.getPath)
+            .filterNot(p => referencedFiles.contains(p.toString))
+            .foreach(p => f.delete(p, false))
+          if (dataFiles(dir.getPath).isEmpty &&
+              dir.getPath.getName != currentRoot)
             f.delete(dir.getPath, true)
         }
     }
@@ -252,7 +258,9 @@ final class IndexManager(spark: SparkSession) {
         val ctx = IndexBuildContext(spark, dataPath.toString, tracker)
         // explicit file list: content may span version dirs after a quick
         // optimize, and root alone would miss the kept files
-        val oldData = spark.read.parquet(latest.content.filePaths: _*)
+        // lazy: schema inference over the whole index is wasted work for
+        // branches (IVF) that re-read with their own basePath options
+        lazy val oldData = spark.read.parquet(latest.content.filePaths: _*)
         val deletedIds = deleted.map(_.id)
 
         val newDescriptor = latest.descriptor match {

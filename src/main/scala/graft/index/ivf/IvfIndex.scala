@@ -111,7 +111,7 @@ object IvfBuild {
     var centroids = seeds
     (0 until d.maxIter).foreach { _ =>
       val bc = spark.sparkContext.broadcast(centroids)
-      centroids = src
+      val means: Map[Int, Array[Double]] = src
         .map { case (_, v) => (nearest(bc.value, v), (v, 1L)) }
         .groupByKey(_._1)
         .reduceGroups { (a, b) =>
@@ -119,13 +119,14 @@ object IvfBuild {
           val s = Array.tabulate(sa.length)(i => sa(i) + sb(i))
           (a._1, (s, na + nb))
         }
-        .map { case (_, (_, (sum, n))) => sum.map(_ / n) }
-        .collect()
+        .map { case (cell, (_, (sum, n))) => (cell, sum.map(_ / n)) }
+        .collect().toMap
       bc.destroy()
-      // empty cells fall out (rare with deterministic seeds); keep k stable
-      // by padding back the seed for any dropped slot
-      if (centroids.length < d.k)
-        centroids = centroids ++ seeds.take(d.k - centroids.length)
+      // a slot whose cell emptied keeps ITS previous centroid (standard
+      // Lloyd handling) — padding with unrelated seeds would create
+      // duplicate centroids and permanently dead cells
+      centroids = Array.tabulate(centroids.length)(c =>
+        means.getOrElse(c, centroids(c)))
     }
 
     val bcFinal = spark.sparkContext.broadcast(centroids)

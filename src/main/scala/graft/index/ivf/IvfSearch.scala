@@ -47,6 +47,7 @@ object IvfSearch {
     require(centroids.nonEmpty, s"index '${entry.name}' has no codebook")
     val probe = math.min(math.max(1, nProbe), centroids.length)
 
+    val dot = graft.functions.VectorFunctions.dotp _
     val bc = spark.sparkContext.broadcast(centroids)
     val probes = queries
       .select(col("qid").cast("long"), col("qv").cast("array<double>"))
@@ -55,16 +56,21 @@ object IvfSearch {
         nearestCells(bc.value, v, probe).map(c => (qid, v, c))
       }
       .toDF("qid", "qv", "probe_cell")
+      // query norm once per probe row (tiny side), not per corpus pair;
+      // zero-norm queries have no defined cosine to anybody — drop them
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .filter(col("qn") > 0.0)
 
-    val dot = graft.functions.VectorFunctions.dotp _
     val data = spark.read.parquet(entry.content.root)
       .select(col(d.idColumn), col(d.vectorColumn).cast("array<double>").as("nv"),
         col(IvfBuild.CellColumn))
+      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+      // zero-norm corpus vectors would score NaN, and NaN sorts ABOVE
+      // every real cosine under desc ordering — they'd surface as rank-1
+      .filter(col("nn") > 0.0)
     val scored = data
       .join(broadcast(probes), col(IvfBuild.CellColumn) === col("probe_cell"))
-      .withColumn("cosine",
-        dot(col("qv"), col("nv")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("nv"), col("nv")))))
+      .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col(d.idColumn))
     scored

@@ -140,4 +140,23 @@ class IvfIndexSpec extends AnyFunSuite {
       rules.IndexCatalog.invalidate(spark)
     }
   }
+
+  test("vacuum reclaims outdated IVF versions despite nested cell dirs") {
+    withGraft { g =>
+      g.createIndex(embeddings, IvfIndexConfig("ann_vac", "vec_id", "embedding",
+        k = 4, maxIter = 1))
+      g.refreshIndex("ann_vac", "full") // v__1 supersedes v__0
+      g.vacuumIndex("ann_vac")
+      val root = g.indexManager.indexRoot("ann_vac")
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val dirs = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("v__")).toSet
+      assert(dirs == Set("v__1"), s"outdated IVF version leaked: $dirs")
+      // index still searchable after vacuum
+      val queries = embeddings.limit(3)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      assert(g.annSearch("ann_vac", queries, topK = 2, nProbe = 4).count() == 6)
+    }
+  }
 }
