@@ -236,9 +236,76 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- simhash hamming ball
+  /** Near-dup pairs within Hamming distance 3 of the 60-bit SimHash,
+    * found via the pigeonhole banding trick: split the fingerprint into
+    * 4 bands of 15 bits — any pair within distance 3 must agree exactly
+    * on at least one band — self-join on (band, bandKey), then verify
+    * `bit_count(xor) <= 3` on the collision rows.
+    *
+    * Scale shape: each row carries ONE long through the band join
+    * (constant payload — the property the minhash variant had to
+    * engineer around), band keys are uniform hash bits (no skew), and
+    * verification is a scalar popcount on collision rows. */
+  def qSimHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val hs = array_distinct(transform(tokens(col("text")), t => tokenHash(t)))
+    val bitTerms: Seq[Column] = (0 until 60).map { b =>
+      val vote = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    val fp = docs.select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), bitTerms.reduce(_ + _).as("simhash"))
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))
+              .as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val qSimHashPairsSql: String = {
+    val bitTerms = (0 until 60).map { b =>
+      s"""CASE WHEN list_sum(list_transform(hs,
+         | h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         | THEN ${1L << b} ELSE 0 END""".stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS key FROM fp"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(${sqlTokens("text")},
+       |      t -> ${sqlTokenHash("t")})) AS hs
+       |  FROM documents),
+       |fp AS (SELECT doc_id, $bitTerms AS simhash FROM base),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "dedup_exact" -> (qDedupExact _, qDedupExactSql),
     "dedup_ngram_jaccard" -> (qNgramJaccard _, qNgramJaccardSql),
     "dedup_minhash_lsh" -> (qMinHashLsh _, qMinHashLshSql),
-    "dedup_simhash" -> (qSimHash _, qSimHashSql))
+    "dedup_simhash" -> (qSimHash _, qSimHashSql),
+    "dedup_simhash_pairs" -> (qSimHashPairs _, qSimHashPairsSql))
 }
