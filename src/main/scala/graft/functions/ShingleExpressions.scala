@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `shingle_hashes60(tokens, p)` — distinct 3-token shingles of a token
+ * array, each hashed to `md5-prefix-60 mod p`, in ONE pass.
+ *
+ * Semantically identical to the composed form the text operators started
+ * from (and that the DuckDB oracles still spell out):
+ * {{{
+ *   transform(array_distinct(transform(sequence(0, n-3),
+ *     i => concat_ws(" ", slice(toks, i+1, 3)))), s => md5p60(s) % p)
+ * }}}
+ * Deduplication happens on the shingle STRINGS (exactly like
+ * `array_distinct` / DuckDB `list_distinct`), so even a 60-bit hash
+ * collision between distinct shingles produces the same duplicate hash
+ * values in both engines. Returns an empty array for < 3 tokens.
+ *
+ * The composed form is a higher-order-function chain — interpreted
+ * lambda evaluation per element plus four intermediate arrays per row.
+ * This expression builds each window into one reused buffer, dedupes via
+ * a per-row hash set, and digests in place; the generated code is a
+ * single static call, so the projection stays inside whole-stage codegen.
+ */
+case class ShingleHashes60(child: Expression, p: Long)
+  extends UnaryExpression {
+
+  require(p > 0, "modulus must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes60.compute(input.asInstanceOf[ArrayData], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks =>
+      s"${ev.value} = graft.functions.ShingleHashes60.compute($toks, ${p}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes60 =
+    copy(child = newChild)
+}
+
+object ShingleHashes60 {
+
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, p: Long): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    // dedupe on the shingle STRING (array_distinct parity), keep insertion
+    // order (array_distinct keeps first occurrences in order)
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var i = 0
+    while (i <= n - 3) {
+      // UTF8String.concatWs SKIPS null inputs — same as the concat_ws
+      // builtin the composed form used
+      seen.add(UTF8String.concatWs(Space,
+        toks.getUTF8String(i), toks.getUTF8String(i + 1),
+        toks.getUTF8String(i + 2)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      out(k) = Md5Prefix60.hash(it.next()) % p
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object ShingleFunctions {
+  /** Column API for [[ShingleHashes60]]. */
+  def shingleHashes60(toks: Column, p: Long): Column =
+    GraftBridge.column(ShingleHashes60(GraftBridge.expression(toks), p))
+}

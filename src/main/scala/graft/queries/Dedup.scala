@@ -56,7 +56,9 @@ object Dedup {
     // the shingle relation feeds the self-join (twice) and the size agg:
     // persist so tokenization+shingling runs once, not three times
     val sh = docs
-      .select(col("doc_id"), explode(shingles3(tokens(col("text")))).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.functions.SimHashFunctions.shingleStrings3(
+          tokens(col("text")))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
@@ -111,7 +113,7 @@ object Dedup {
   def qMinHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.MinHashFunctions.minhashSignature
     val docs = Tables.load(spark, sfDir, "documents")
-    val hsExpr = shingleHashes(shingles3(tokens(col("text"))))
+    val hsExpr = shingleHashSet(col("text"))
 
     // 16-permutation signature in one pass over the corpus (no persist —
     // each stage below re-reads the parquet scan but runs the expensive
@@ -202,19 +204,14 @@ object Dedup {
   /** 60-bit SimHash per document over distinct token hashes, plus
     * duplicate-fingerprint groups (docs sharing a simhash). */
   def qSimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.SimHashFunctions._
     val docs = Tables.load(spark, sfDir, "documents")
-    val hs = array_distinct(
-      transform(tokens(col("text")), t => tokenHash(t)))
-    // bit b of the fingerprint: majority vote of bit b over token hashes
-    val bitTerms: Seq[Column] = (0 until 60).map { b =>
-      val vote = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    docs.select(col("doc_id"), hs.as("hs"))
+    // fused native pipeline: distinct token hashes + 60-bit majority vote
+    // in two codegen passes (the composed HOF form traversed the hash
+    // array once PER BIT; spec-verified parity)
+    docs.select(col("doc_id"), tokenHashes60(tokens(col("text"))).as("hs"))
       .select(col("doc_id"),
-        bitTerms.reduce(_ + _).as("simhash"),
+        simhash60(col("hs")).as("simhash"),
         size(col("hs")).cast(LongType).as("n_distinct_tokens"))
       .orderBy(col("doc_id"))
   }
@@ -248,16 +245,10 @@ object Dedup {
     * engineer around), band keys are uniform hash bits (no skew), and
     * verification is a scalar popcount on collision rows. */
   def qSimHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.SimHashFunctions._
     val docs = Tables.load(spark, sfDir, "documents")
-    val hs = array_distinct(transform(tokens(col("text")), t => tokenHash(t)))
-    val bitTerms: Seq[Column] = (0 until 60).map { b =>
-      val vote = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    val fp = docs.select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), bitTerms.reduce(_ + _).as("simhash"))
+    val fp = docs.select(col("doc_id"),
+      simhash60(tokenHashes60(tokens(col("text")))).as("simhash"))
     val bands = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),

@@ -117,7 +117,7 @@ object TextOps {
     * xor-fold (both order-independent), plus shingle cardinality. */
   def qFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val hs = shingleHashes(shingles3(tokens(col("text"))))
+    val hs = shingleHashSet(col("text"))
     docs.select(
       col("doc_id"),
       size(hs).cast(LongType).as("n_shingles"),

@@ -62,6 +62,12 @@ object TextPrimitives {
   def shingleHashes(sh: Column): Column =
     transform(sh, s => tokenHash(s) % HashP)
 
+  /** Fused `shingleHashes(shingles3(toks))` as ONE native codegen pass
+    * ([[graft.functions.ShingleHashes60]]) — same values, no HOF chain,
+    * no intermediate shingle-string arrays (spec-verified parity). */
+  def shingleHashSet(text: Column): Column =
+    graft.functions.ShingleFunctions.shingleHashes60(tokens(text), HashP)
+
   /** minhash_i = min over hashes of (a_i*x + b_i) mod p. */
   def minHash(hashes: Column, i: Int): Column =
     array_min(transform(hashes,

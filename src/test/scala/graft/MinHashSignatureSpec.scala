@@ -44,4 +44,46 @@ class MinHashSignatureSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [minhash_signature"),
       s"minhash_signature Project not codegen'd in:\n$plan")
   }
+
+  test("fused shingleHashSet == composed shingles3+hash pipeline") {
+    val composed = shingleHashes(shingles3(tokens(col("text"))))
+    val fused = shingleHashSet(col("text"))
+    val diff = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(fused.as("f"), composed.as("c"))
+      .filter(not(col("f") === col("c"))).count()
+    assert(diff === 0L)
+    // edge shapes: short docs, duplicate shingles, empty text
+    import spark.implicits._
+    val edge = Seq("", "a b", "a b c", "a b c a b c a b c", "x x x x")
+      .toDF("text")
+      .select(fused.as("f"), composed.as("c")).collect()
+    edge.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString) }
+  }
+
+  test("fused simhash/token-hash/shingle-string expressions match composed forms") {
+    import graft.functions.SimHashFunctions._
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    // token hashes: distinct-on-hash, first-occurrence order
+    val composedTh = array_distinct(
+      transform(tokens(col("text")), t => tokenHash(t)))
+    assert(docs.select(tokenHashes60(tokens(col("text"))).as("f"),
+        composedTh.as("c"))
+      .filter(not(col("f") === col("c"))).count() === 0L)
+    // simhash: 60-bit majority vote
+    val bitTerms = (0 until 60).map { b =>
+      val vote = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    assert(docs.select(tokenHashes60(tokens(col("text"))).as("hs"))
+      .select(simhash60(col("hs")).as("f"), bitTerms.reduce(_ + _).as("c"))
+      .filter(not(col("f") === col("c"))).count() === 0L)
+    // shingle strings
+    assert(docs.select(
+        shingleStrings3(tokens(col("text"))).as("f"),
+        shingles3(tokens(col("text"))).as("c"))
+      .filter(not(col("f") === col("c"))).count() === 0L)
+  }
 }
