@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.GraftBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -43,12 +44,29 @@ case class ShingleHashes60(child: Expression, p: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes60"
 
-  override protected def nullSafeEval(input: Any): Any =
-    ShingleHashes60.compute(input.asInstanceOf[ArrayData], p)
+  // null input -> EMPTY array, matching the composed form's
+  // `when(size(toks) >= 3, ...).otherwise(array())` (size(null) is null,
+  // so null tokens fall into the else branch): this expression is
+  // therefore never null itself
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, toks =>
-      s"${ev.value} = graft.functions.ShingleHashes60.compute($toks, ${p}L);")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleHashes60.empty
+    else ShingleHashes60.compute(v.asInstanceOf[ArrayData], p)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? graft.functions.ShingleHashes60.empty()
+          : graft.functions.ShingleHashes60.compute(${c.value}, ${p}L);
+      """,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes60 =
     copy(child = newChild)
@@ -58,9 +76,12 @@ object ShingleHashes60 {
 
   private val Space = UTF8String.fromString(" ")
 
+  /** Shared empty result (also referenced from generated code). */
+  def empty(): ArrayData = new GenericArrayData(Array.empty[Long])
+
   def compute(toks: ArrayData, p: Long): ArrayData = {
     val n = toks.numElements()
-    if (n < 3) return new GenericArrayData(Array.empty[Long])
+    if (n < 3) return empty()
     // dedupe on the shingle STRING (array_distinct parity), keep insertion
     // order (array_distinct keeps first occurrences in order)
     val seen = new java.util.LinkedHashSet[UTF8String](n * 2)

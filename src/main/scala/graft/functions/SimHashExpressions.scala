@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.GraftBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -122,12 +123,26 @@ case class ShingleStrings3(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_strings3"
 
-  override protected def nullSafeEval(input: Any): Any =
-    ShingleStrings3.compute(input.asInstanceOf[ArrayData])
+  // null input -> EMPTY array (shingles3's otherwise(array()) branch)
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, toks =>
-      s"${ev.value} = graft.functions.ShingleStrings3.compute($toks);")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleStrings3.empty()
+    else ShingleStrings3.compute(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? graft.functions.ShingleStrings3.empty()
+          : graft.functions.ShingleStrings3.compute(${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleStrings3 =
     copy(child = newChild)
@@ -136,9 +151,12 @@ case class ShingleStrings3(child: Expression) extends UnaryExpression {
 object ShingleStrings3 {
   private val Space = UTF8String.fromString(" ")
 
+  /** Shared empty result (also referenced from generated code). */
+  def empty(): ArrayData = new GenericArrayData(Array.empty[Any])
+
   def compute(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
-    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    if (n < 3) return empty()
     val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
     var i = 0
     while (i <= n - 3) {

@@ -112,7 +112,15 @@ final class IndexLogManager(indexRoot: Path, hadoopConf: Configuration) {
             val age = System.currentTimeMillis() -
               java.nio.file.Files.getLastModifiedTime(claim).toMillis
             if (fs.exists(idPath(id)) || age < staleMs) return false
-            java.nio.file.Files.deleteIfExists(claim)
+            // retire the stale claim by ATOMIC RENAME, never delete:
+            // delete+recreate would let a second reclaimer delete the
+            // first one's FRESH claim and both would "win". Rename can
+            // succeed for exactly one contender; everyone then races on
+            // a normal createFile with single-owner semantics.
+            val retired = claim.resolveSibling(
+              s"$id.claim.stale${System.nanoTime()}")
+            try java.nio.file.Files.move(claim, retired)
+            catch { case _: java.nio.file.NoSuchFileException => () }
             try java.nio.file.Files.createFile(claim)
             catch { case _: java.nio.file.FileAlreadyExistsException => return false }
         }

@@ -176,11 +176,10 @@ final class IndexManager(spark: SparkSession) {
       f.listStatus(root).toSeq
         .filter(_.getPath.getName.startsWith("v__"))
         .foreach { dir =>
-          dataFiles(dir.getPath)
-            .filterNot(p => referencedFiles.contains(p.toString))
-            .foreach(p => f.delete(p, false))
-          if (dataFiles(dir.getPath).isEmpty &&
-              dir.getPath.getName != currentRoot)
+          val (kept, stale) = dataFiles(dir.getPath)
+            .partition(p => referencedFiles.contains(p.toString))
+          stale.foreach(p => f.delete(p, false))
+          if (kept.isEmpty && dir.getPath.getName != currentRoot)
             f.delete(dir.getPath, true)
         }
     }
@@ -225,7 +224,9 @@ final class IndexManager(spark: SparkSession) {
       val currentKeys = current.map(key).toSet
       val appended = current.filterNot(f => loggedKeys.contains(key(f)))
       val deleted = latest.sourceFiles.toSeq.filterNot(f => currentKeys.contains(key(f)))
-      if (appended.isEmpty && deleted.isEmpty) latest
+      // empty delta CLEARS any stale recorded update (drift that nets to
+      // zero must not wedge consumers that refuse stale deltas)
+      if (appended.isEmpty && deleted.isEmpty) latest.copy(update = None)
       else latest.copy(update = Some(UpdateMeta(appended, deleted)))
     }
 
@@ -251,7 +252,7 @@ final class IndexManager(spark: SparkSession) {
       val appended = current.filterNot(f => loggedKeys.contains(key(f)))
       val deleted = latest.sourceFiles.toSeq.filterNot(f => currentKeys.contains(key(f)))
 
-      if (appended.isEmpty && deleted.isEmpty) latest
+      if (appended.isEmpty && deleted.isEmpty) latest.copy(update = None)
       else {
         val version = nextVersion(name)
         val dataPath = dataVersionPath(name, version)

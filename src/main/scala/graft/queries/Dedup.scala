@@ -249,6 +249,8 @@ object Dedup {
     val docs = Tables.load(spark, sfDir, "documents")
     val fp = docs.select(col("doc_id"),
       simhash60(tokenHashes60(tokens(col("text")))).as("simhash"))
+    // persist: constant ~30 bytes/row, and the self-join below would
+    // otherwise run the tokenize+hash+simhash pipeline on BOTH sides
     val bands = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
@@ -257,6 +259,7 @@ object Dedup {
         }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

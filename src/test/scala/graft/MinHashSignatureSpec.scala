@@ -50,14 +50,16 @@ class MinHashSignatureSpec extends AnyFunSuite {
     val fused = shingleHashSet(col("text"))
     val diff = Tables.load(spark, TestSpark.sfDir, "documents")
       .select(fused.as("f"), composed.as("c"))
-      .filter(not(col("f") === col("c"))).count()
+      .filter(not(col("f") <=> col("c"))).count()
     assert(diff === 0L)
     // edge shapes: short docs, duplicate shingles, empty text
     import spark.implicits._
-    val edge = Seq("", "a b", "a b c", "a b c a b c a b c", "x x x x")
+    val edge = Seq(Some(""), Some("a b"), Some("a b c"),
+        Some("a b c a b c a b c"), Some("x x x x"), None)
       .toDF("text")
       .select(fused.as("f"), composed.as("c")).collect()
     edge.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1), s"null divergence: $r")
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString) }
   }
 
@@ -69,7 +71,7 @@ class MinHashSignatureSpec extends AnyFunSuite {
       transform(tokens(col("text")), t => tokenHash(t)))
     assert(docs.select(tokenHashes60(tokens(col("text"))).as("f"),
         composedTh.as("c"))
-      .filter(not(col("f") === col("c"))).count() === 0L)
+      .filter(not(col("f") <=> col("c"))).count() === 0L)
     // simhash: 60-bit majority vote
     val bitTerms = (0 until 60).map { b =>
       val vote = aggregate(col("hs"), lit(0L),
@@ -79,11 +81,11 @@ class MinHashSignatureSpec extends AnyFunSuite {
     }
     assert(docs.select(tokenHashes60(tokens(col("text"))).as("hs"))
       .select(simhash60(col("hs")).as("f"), bitTerms.reduce(_ + _).as("c"))
-      .filter(not(col("f") === col("c"))).count() === 0L)
+      .filter(not(col("f") <=> col("c"))).count() === 0L)
     // shingle strings
     assert(docs.select(
         shingleStrings3(tokens(col("text"))).as("f"),
         shingles3(tokens(col("text"))).as("c"))
-      .filter(not(col("f") === col("c"))).count() === 0L)
+      .filter(not(col("f") <=> col("c"))).count() === 0L)
   }
 }

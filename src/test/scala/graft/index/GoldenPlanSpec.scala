@@ -92,7 +92,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q_events_daily", "q_event_sessions",
     "text_stats", "text_lang_id", "text_fingerprint", "text_bpe_tokens",
     "text_heavy_hitters",
-    "dedup_exact", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_exact", "dedup_simhash",
     "sim_brute_topk", "sim_lsh_buckets").foreach { q =>
     test(s"golden plan: $q") { check(q) }
   }
