@@ -30,13 +30,28 @@ final class DataSkippingFileIndex(
   /** Ids of files the sketch predicate evaluates to FALSE for — provably
     * no matching rows. NULL (unknown) keeps the file. */
   private lazy val prunedIds: Set[Long] = GraftRuleGuard.withRuleDisabled {
-    indexData
-      .filter(GraftBridge.column(
-        EqualNullSafe(translatedPredicate, Literal.FalseLiteral)))
-      .select(Sketches.FileIdColumn)
-      .collect()
-      .map(_.getLong(0))
-      .toSet
+    // runs lazily at SCAN time, outside ApplyGraft's try/catch: any
+    // failure (index data vacuumed between planning and execution, ...)
+    // must degrade to "no pruning", never fail the user query
+    try {
+      // the predicate was translated against standalone schema attributes
+      // (so planning never pays for an index relation it may not use);
+      // bind them to THIS DataFrame's output by name before filtering
+      val out = indexData.queryExecution.analyzed.output
+      val bound = translatedPredicate.transformUp {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          out.find(_.name == a.name).getOrElse(a)
+      }
+      indexData
+        .filter(GraftBridge.column(
+          EqualNullSafe(bound, Literal.FalseLiteral)))
+        .select(Sketches.FileIdColumn)
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+    } catch {
+      case scala.util.control.NonFatal(_) => Set.empty
+    }
   }
 
   override def listFiles(

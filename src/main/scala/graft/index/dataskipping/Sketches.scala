@@ -153,11 +153,14 @@ final case class ValueListSketch(
   override def outputColumns: Seq[String] = Seq(vlCol)
 
   override def aggregates(source: DataFrame): Seq[Column] = {
-    val distinctVals = org.apache.spark.sql.functions.array_sort(
-      org.apache.spark.sql.functions.collect_set(col(sourceColumn)))
-    // over-budget lists collapse to null ("unknown — keep the file")
-    Seq(org.apache.spark.sql.functions
-      .when(org.apache.spark.sql.functions.size(distinctVals) <= maxValues, distinctVals)
+    // cap enforced DURING accumulation (not via when(size<=max) after a
+    // full collect_set, which would materialize every distinct value of a
+    // high-cardinality file before discarding it): over-budget files
+    // evaluate to null — "unknown, keep the file"
+    val child = GraftBridge.expression(col(sourceColumn))
+    Seq(GraftBridge.column(
+      graft.index.dataskipping.expressions
+        .CappedDistinctListAgg(child, maxValues).toAggregateExpression())
       .as(vlCol))
   }
 
@@ -192,7 +195,11 @@ final case class ValueListSketch(
           .map(v => contains(Literal.create(v, e.dataType)): Expression)
         if (vs.isEmpty) Some(Literal.FalseLiteral) else Some(vs.reduce(Or))
       case IsNotNull(e) if isSketched(e) =>
-        Some(GreaterThan(org.apache.spark.sql.catalyst.expressions.Size(vl), Literal(0)))
+        // guard like range(): legacy mode evaluates size(null) to -1, which
+        // would prune an over-budget (null list = UNKNOWN) file
+        Some(CaseWhen(Seq((IsNotNull(vl),
+          GreaterThan(org.apache.spark.sql.catalyst.expressions.Size(vl),
+            Literal(0))))))
       case LessThan(e, l: Literal) if isSketched(e) =>
         Some(range(LessThan(_, l), 1))
       case LessThanOrEqual(e, l: Literal) if isSketched(e) =>

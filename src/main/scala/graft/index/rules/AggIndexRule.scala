@@ -53,7 +53,7 @@ object AggIndexRule extends GraftIndexRule {
           // aggregation's required distribution
           d.indexedColumns.forall(ic =>
             groupAttrs.exists(g => resolver(g.name, ic))) &&
-            d.covers(needed)
+            Coverage.covers(d.referencedColumns, needed, resolver)
         case _ => false
       })
     }

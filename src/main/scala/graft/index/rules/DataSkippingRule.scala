@@ -56,8 +56,14 @@ object DataSkippingRule extends GraftIndexRule {
     val entry = m.entry
     val sketches = Sketches.fromSpecs(d.sketches)
     val indexSchema = DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
-    val indexData = spark.read.schema(indexSchema).parquet(entry.content.filePaths: _*)
-    val indexOutput = indexData.queryExecution.analyzed.output
+    // translate FIRST against the schema fields — instantiating the index
+    // DataFrame (file listing + analysis) for every untranslatable filter
+    // would be wasted per-query planning work. The resulting attributes
+    // are remapped by name onto the relation lazily at scan time
+    // (DataSkippingFileIndex.prunedIds).
+    val indexOutput = indexSchema.fields.toIndexedSeq.map(f =>
+      org.apache.spark.sql.catalyst.expressions
+        .AttributeReference(f.name, f.dataType, f.nullable)())
     val resolver = spark.sessionState.conf.resolver
     def attrOf(name: String): Expression =
       indexOutput.find(a => resolver(a.name, name)).getOrElse(
@@ -65,6 +71,8 @@ object DataSkippingRule extends GraftIndexRule {
 
     Sketches.translate(filter.condition, sketches, attrOf, resolver).map {
       translated =>
+        val indexData =
+          spark.read.schema(indexSchema).parquet(entry.content.filePaths: _*)
         val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
         // only still-current logged files may be pruned: a modified file
         // (same path, new size/mtime) counts as deleted and keeps no

@@ -97,7 +97,8 @@ object FilterIndexRule extends GraftIndexRule {
           filterNames.exists(n => resolver(n, d.indexedColumns.head) ||
             resolver(rootOf(n), d.indexedColumns.head)) &&
             neededNames.forall(n =>
-              d.covers(Seq(n)) || d.covers(Seq(rootOf(n)))) &&
+              Coverage.covers(d.referencedColumns, Seq(n), resolver) ||
+                Coverage.covers(d.referencedColumns, Seq(rootOf(n)), resolver)) &&
             // hybrid legs re-read the source, where flattened columns
             // don't exist — nested indexes apply on exact match only;
             // partitioned sources recover partition values via basePath
@@ -207,11 +208,12 @@ object JoinIndexRule extends GraftIndexRule {
     // requirement matching. Stale sides within hybrid thresholds are
     // eligible via BucketUnion.
     val pairsFound = for {
-      lm <- coveringEligible(candidates(lRel), lRel) if lm._2.covers(lNeeded)
+      lm <- coveringEligible(candidates(lRel), lRel)
+      if Coverage.covers(lm._2.referencedColumns, lNeeded, resolver)
       keyPerm <- permutationFor(lm._2.indexedColumns, pairs.map(_._1), resolver).toSeq
       rKeys = keyPerm.map(i => pairs(i)._2.name)
       rm <- coveringEligible(candidates(rRel), rRel)
-      if rm._2.covers(rNeeded) &&
+      if Coverage.covers(rm._2.referencedColumns, rNeeded, resolver) &&
         rm._2.indexedColumns.size == rKeys.size &&
         rm._2.indexedColumns.zip(rKeys).forall { case (a, b) => resolver(a, b) } &&
         // hybrid legs need aligned BucketUnion partition counts per side;

@@ -26,6 +26,17 @@ final case class CandidateMatch(
   def commonBytes: Long = loggedBytes - deletedBytes
 }
 
+/** Resolver-aware coverage test shared by the rewrite rules: descriptor
+  * `covers` hardcodes case-insensitive matching, but attribute rewiring
+  * uses the SESSION resolver — under spark.sql.caseSensitive=true the two
+  * must agree or a rule can claim a case-variant column it cannot
+  * produce, breaking the rewritten plan past ApplyGraft's fail-safe. */
+private[rules] object Coverage {
+  def covers(refCols: Seq[String], needed: Seq[String],
+      resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Boolean =
+    needed.forall(n => refCols.exists(rc => resolver(rc, n)))
+}
+
 /**
  * Per-source-leaf candidate collection (reference:
  * index/rules/CandidateIndexCollector.scala:28-59 — ColumnSchemaFilter +

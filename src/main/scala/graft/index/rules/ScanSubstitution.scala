@@ -98,10 +98,32 @@ object ScanSubstitution {
     // covering-style descriptors only (covering or z-order); deletes need
     // lineage, which only covering indexes carry — rules gate on that
     val refCols = entry.descriptor.referencedColumns
-    val resolver = spark.sessionState.conf.resolver
+    val indexLeg = indexLegProjected(spark, original, m, refCols,
+      useBucketSpec = false)
+    // deletes-only drift: nothing to union (and a zero-path spark.read on
+    // a partitioned source would fail partition inference)
+    if (m.appended.isEmpty) return indexLeg
+    val appended =
+      appendedLeg(spark, original, entry, m, refCols,
+        indexLeg.output.map(_.dataType))
 
-    // ---- index leg (original attribute ids), minus deleted-file rows
-    val indexRel = indexScan(spark, original, entry, useBucketSpec = false)
+    Union(Seq(indexLeg, appended))
+  }
+
+
+  /** Index leg shared by both hybrid scans: the index scan (original
+    * attribute ids preserved), minus deleted-file rows via the lineage
+    * column, projected to the index's referenced columns under their
+    * physical names. */
+  private def indexLegProjected(
+      spark: SparkSession,
+      original: LogicalRelation,
+      m: CandidateMatch,
+      refCols: Seq[String],
+      useBucketSpec: Boolean): Project = {
+    val entry = m.entry
+    val resolver = spark.sessionState.conf.resolver
+    val indexRel = indexScan(spark, original, entry, useBucketSpec)
     val indexLeg: LogicalPlan =
       if (m.deleted.isEmpty) indexRel
       else {
@@ -114,14 +136,12 @@ object ScanSubstitution {
         Filter(Not(In(lineage, deletedIds)), indexRel)
       }
     val projectedCols = refCols.map { c =>
-      indexRel.output.find(a =>
-        resolver(a.name, graft.index.NestedColumns.physicalName(c))).get
+      val phys = graft.index.NestedColumns.physicalName(c)
+      indexRel.output.find(a => resolver(a.name, phys)).getOrElse(
+        throw new IllegalStateException(
+          s"index ${entry.name} data is missing column $phys"))
     }
-    val indexLegProjected = Project(projectedCols, indexLeg)
-    val appendedLegProjected =
-      appendedLeg(spark, original, entry, m, refCols, projectedCols.map(_.dataType))
-
-    Union(Seq(indexLegProjected, appendedLegProjected))
+    Project(projectedCols, indexLeg)
   }
 
   /**
@@ -202,32 +222,20 @@ object ScanSubstitution {
     val d = entry.descriptor.asInstanceOf[CoveringIndexDescriptor]
     val resolver = spark.sessionState.conf.resolver
 
-    val indexRel = indexScan(spark, original, entry, useBucketSpec = true)
-    val indexLeg: LogicalPlan =
-      if (m.deleted.isEmpty) indexRel
-      else {
-        val lineage = indexRel.output
-          .find(_.name == CoveringIndexDescriptor.LineageColumn).get
-        Filter(Not(In(lineage, m.deleted.map(f =>
-          Literal(f.id): org.apache.spark.sql.catalyst.expressions.Expression))),
-          indexRel)
-      }
-    val indexCols = d.referencedColumns.map { c =>
-      indexRel.output.find(a =>
-        resolver(a.name, graft.index.NestedColumns.physicalName(c))).get
-    }
-    val indexLegProjected = Project(indexCols, indexLeg)
+    val indexLeg = indexLegProjected(spark, original, m, d.referencedColumns,
+      useBucketSpec = true)
+    if (m.appended.isEmpty) return indexLeg
 
-    val appendedLegProjected =
+    val appendedLegProj =
       appendedLeg(spark, original, entry, m, d.referencedColumns,
-        indexCols.map(_.dataType))
+        indexLeg.output.map(_.dataType))
     val keyAttrs = d.indexedColumns.map(c =>
-      appendedLegProjected.output.find(a => resolver(a.name, c)).get
+      appendedLegProj.output.find(a => resolver(a.name, c)).get
         .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression])
     val repartitioned = RepartitionByExpression(
-      keyAttrs, appendedLegProjected, Some(d.numBuckets))
+      keyAttrs, appendedLegProj, Some(d.numBuckets))
 
-    graft.plans.BucketUnion(Seq(indexLegProjected, repartitioned),
+    graft.plans.BucketUnion(Seq(indexLeg, repartitioned),
       d.indexedColumns, d.numBuckets)
   }
 }

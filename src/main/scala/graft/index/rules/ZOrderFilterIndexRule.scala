@@ -47,7 +47,7 @@ object ZOrderFilterIndexRule extends GraftIndexRule {
       (m.isExact || m.deleted.isEmpty) && (m.entry.descriptor match {
         case d: ZOrderIndexDescriptor =>
           d.indexedColumns.exists(ic => filterNames.exists(resolver(_, ic))) &&
-            d.covers(neededNames)
+            Coverage.covers(d.referencedColumns, neededNames, resolver)
         case _ => false
       })
     }
