@@ -27,9 +27,11 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as Long when
     // spark.sql.legacy.parquet.nanosAsLong=true (set by GraftSession).
     // Truncate to microseconds — Spark's native timestamp precision.
+    // integer division: floor(ts/1000) coerces to DOUBLE, and ns epochs
+    // (~1.77e18) exceed 2^53, so the double path can truncate to a
+    // different microsecond than an exact engine would
     if (name == "events")
-      df.withColumn("ts",
-        timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -52,6 +52,11 @@ case class MinHashSignature(
   override def prettyName: String = "minhash_signature"
 
   private def k = a.length
+  // primitive copies for the interpreted path (codegen already gets
+  // long[] via addReferenceObj) — Seq.apply in the inner loop would box
+  // and, for a List, cost O(k) per access
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
 
   override protected def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
@@ -63,7 +68,7 @@ case class MinHashSignature(
       val x = hs.getLong(i)
       var j = 0
       while (j < k) {
-        val v = (a(j) * x + b(j)) % p
+        val v = (aArr(j) * x + bArr(j)) % p
         if (v < mins(j)) mins(j) = v
         j += 1
       }

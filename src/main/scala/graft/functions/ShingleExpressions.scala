@@ -76,8 +76,10 @@ object ShingleHashes60 {
 
   private val Space = UTF8String.fromString(" ")
 
-  /** Shared empty result (also referenced from generated code). */
-  def empty(): ArrayData = new GenericArrayData(Array.empty[Long])
+  private val EmptyResult: ArrayData = new GenericArrayData(Array.empty[Long])
+  /** Shared empty result (also referenced from generated code); consumers
+    * never mutate ArrayData, so one instance serves every row. */
+  def empty(): ArrayData = EmptyResult
 
   def compute(toks: ArrayData, p: Long): ArrayData = {
     val n = toks.numElements()

@@ -17,8 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * full array traversal PER BIT (60 of them):
  *
  *  - `token_hashes60(toks)` ==
- *    `array_distinct(transform(toks, t => md5prefix60(t)))`
- *    — distinct-on-hash, keeping first-occurrence order;
+ *    `array_distinct(transform(toks, t => md5prefix60(t)))` for arrays
+ *    WITHOUT NULL ELEMENTS (split() never produces them) — distinct on
+ *    the hash value in first-occurrence order. Divergence outside that
+ *    domain, deliberate: a null token hashes as "" (the composed Spark
+ *    form keeps a null element; DuckDB list_distinct drops it — the two
+ *    composed forms already disagree there);
  *  - `simhash60(hs)` == the 60-bit majority-vote fingerprint
  *    `sum_b (sum_i sign(bit_b(h_i)) > 0 ? 2^b : 0)`
  *    — one pass accumulating all 60 vote counters per element.
@@ -151,8 +155,10 @@ case class ShingleStrings3(child: Expression) extends UnaryExpression {
 object ShingleStrings3 {
   private val Space = UTF8String.fromString(" ")
 
-  /** Shared empty result (also referenced from generated code). */
-  def empty(): ArrayData = new GenericArrayData(Array.empty[Any])
+  private val EmptyResult: ArrayData = new GenericArrayData(Array.empty[Any])
+  /** Shared empty result (also referenced from generated code); consumers
+    * never mutate ArrayData, so one instance serves every row. */
+  def empty(): ArrayData = EmptyResult
 
   def compute(toks: ArrayData): ArrayData = {
     val n = toks.numElements()

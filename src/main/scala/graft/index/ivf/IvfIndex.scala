@@ -74,15 +74,21 @@ object IvfBuild {
   // from Spark's file listing (hiddenFileFilter) and the data unreadable
   val CellColumn = "graft__cell"
 
+  /** Squared L2 distance — the single metric kernel shared by build-time
+    * assignment and query-time probing (they MUST agree or recall rots). */
+  def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { val t = b(i) - a(i); d += t * t; i += 1 }
+    d
+  }
+
   private def nearest(centroids: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
-      val ctr = centroids(c)
-      var d = 0.0
-      var i = 0
-      while (i < ctr.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+      val d = sqDist(centroids(c), v)
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
@@ -93,9 +99,13 @@ object IvfBuild {
       d: IvfIndexDescriptor): IndexDescriptor = {
     val spark = ctx.spark
     import spark.implicits._
-    val src = source.select(
-      col(d.idColumn).cast("long").as("id"),
-      col(d.vectorColumn).cast("array<double>").as("v"))
+    // rows without a vector cannot be clustered or found: skip them
+    // (mirrors search, which filters zero/absent-norm vectors)
+    val src = source
+      .filter(col(d.vectorColumn).isNotNull)
+      .select(
+        col(d.idColumn).cast("long").as("id"),
+        col(d.vectorColumn).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
 
     // deterministic seeds: smallest (hash, id)
@@ -140,6 +150,7 @@ object IvfBuild {
       .write.mode("overwrite")
       .partitionBy(CellColumn)
       .parquet(ctx.dataPath)
+    bcFinal.destroy()
 
     d.copy(centroids = centroids.map(_.toSeq).toSeq,
       schemaJson = assigned.schema.json)
@@ -161,7 +172,9 @@ object IvfBuild {
     val centroids = d.centroids.map(_.toArray).toArray
     require(centroids.nonEmpty, "incremental refresh needs a trained codebook")
     val bc = spark.sparkContext.broadcast(centroids)
-    val newAssigned = appendedSource.select(
+    val newAssigned = appendedSource
+      .filter(col(d.vectorColumn).isNotNull)
+      .select(
         col(d.idColumn).cast("long").as("id"),
         col(d.vectorColumn).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]

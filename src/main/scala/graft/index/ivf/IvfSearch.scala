@@ -21,13 +21,7 @@ object IvfSearch {
   private def nearestCells(
       centroids: Array[Array[Double]], v: Array[Double], n: Int): Seq[Int] =
     centroids.indices
-      .map { c =>
-        val ctr = centroids(c)
-        var d = 0.0
-        var i = 0
-        while (i < ctr.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
-        (d, c)
-      }
+      .map(c => (IvfBuild.sqDist(centroids(c), v), c))
       .sorted.take(n).map(_._2)
 
   /**
@@ -43,6 +37,10 @@ object IvfSearch {
       nProbe: Int): DataFrame = {
     import spark.implicits._
     val d = entry.descriptor.asInstanceOf[IvfIndexDescriptor]
+    // internal working-column names must not collide with the id column
+    require(!Set("qid", "qv", "qn", "nn", "probe_cell", "cosine", "rank")
+        .contains(d.idColumn),
+      s"IVF id column '${d.idColumn}' collides with a search output column")
     val centroids = d.centroids.map(_.toArray).toArray
     require(centroids.nonEmpty, s"index '${entry.name}' has no codebook")
     val probe = math.min(math.max(1, nProbe), centroids.length)
@@ -61,7 +59,10 @@ object IvfSearch {
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
       .filter(col("qn") > 0.0)
 
-    val data = spark.read.parquet(entry.content.root)
+    // reader invariant (IndexManager): content may span version dirs —
+    // read the explicit file list with basePath for the partition column
+    val data = spark.read.option("basePath", entry.content.root)
+      .parquet(entry.content.filePaths: _*)
       .select(col(d.idColumn), col(d.vectorColumn).cast("array<double>").as("nv"),
         col(IvfBuild.CellColumn))
       .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))

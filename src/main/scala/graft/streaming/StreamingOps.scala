@@ -98,7 +98,12 @@ object StreamingOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                  // an in-watermark but out-of-order event (t < s.last or
+                  // even t < s.start) must never REGRESS the session
+                  // bounds — that would split sessions spuriously and
+                  // emit a wrong session_end
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed ::= UserSession(userId,
                     new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)

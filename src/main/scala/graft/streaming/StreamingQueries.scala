@@ -43,8 +43,9 @@ object StreamingQueries {
     val raw = spark.readStream.schema(rawSchema)
       .parquet(Tables.path(sfDir, "events") + "*")
     val events = raw
-      .withColumn("ts",
-        timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+      // integer division (see Tables.load): double arithmetic is inexact
+      // at nanosecond-epoch magnitude
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[StreamEvent]
 
@@ -56,12 +57,19 @@ object StreamingQueries {
       .start()
     q.awaitTermination()
 
-    spark.table(name)
+    // materialize off the memory sink, then drop it — repeated runs in
+    // one session would otherwise each leak a full result table
+    val result = spark.table(name)
       .select(
         date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
+    val rows = result.collect()
+    val schema = result.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
   /** DuckDB twin: hour-tumbling windows align with date_trunc('hour'). */
