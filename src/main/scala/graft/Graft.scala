@@ -87,9 +87,16 @@ class Graft(spark: SparkSession) {
         s"IVF index '$indexName' not found, not ACTIVE, or not an IVF index"))
     // covering reads honor a quick-refresh delta via hybrid scan; IVF has
     // no hybrid path yet, so silently serving stale results would be a
-    // correctness trap — demand a refresh instead
+    // correctness trap — demand a refresh instead. This guards BOTH a
+    // recorded quick-refresh delta and raw un-refreshed drift (live
+    // file-listing diff, like covering candidate collection does).
     require(entry.update.isEmpty,
       s"IVF index '$indexName' has a recorded source delta (quick refresh);" +
+        " run refreshIndex(name, \"incremental\") before searching")
+    val (appended, deleted) = manager.sourceDrift(entry)
+    require(appended.isEmpty && deleted.isEmpty,
+      s"IVF index '$indexName' is stale: source has ${appended.size} appended" +
+        s" and ${deleted.size} deleted files since the last refresh;" +
         " run refreshIndex(name, \"incremental\") before searching")
     graft.index.ivf.IvfSearch.search(spark, entry, queries, topK, nProbe)
   }

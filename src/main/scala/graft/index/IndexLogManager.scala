@@ -101,13 +101,22 @@ final class IndexLogManager(indexRoot: Path, hadoopConf: Configuration) {
         fs.mkdirs(logDir)
         val claim = java.nio.file.Paths.get(
           new Path(logDir, s"$id.claim").toUri.getPath)
+        // per-writer nonce written INTO the claim: the final rename is
+        // fenced on still owning the claim, so a writer paused past the
+        // staleness window (GC/NFS stall) that got reclaimed aborts
+        // instead of silently replacing the reclaimer's entry
+        val nonce = java.util.UUID.randomUUID().toString
+        def ownsClaim: Boolean =
+          try new String(java.nio.file.Files.readAllBytes(claim),
+            StandardCharsets.UTF_8) == nonce
+          catch { case _: java.io.IOException => false }
         try java.nio.file.Files.createFile(claim)
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             // A crashed writer (claimed, never renamed) must not wedge the
             // id forever: reclaim claims older than the staleness window
             // when no final entry exists. In-flight writers finish in
-            // milliseconds, so 60s cannot race a live one.
+            // milliseconds; one paused longer loses the nonce fence above.
             val staleMs = 60000L
             val age = System.currentTimeMillis() -
               java.nio.file.Files.getLastModifiedTime(claim).toMillis
@@ -124,6 +133,8 @@ final class IndexLogManager(indexRoot: Path, hadoopConf: Configuration) {
             try java.nio.file.Files.createFile(claim)
             catch { case _: java.nio.file.FileAlreadyExistsException => return false }
         }
+        java.nio.file.Files.write(claim,
+          nonce.getBytes(StandardCharsets.UTF_8))
         try {
           // pure-nio tmp write: going through ChecksumFileSystem here would
           // strand a stale .crc for the tmp name after the rename
@@ -131,15 +142,21 @@ final class IndexLogManager(indexRoot: Path, hadoopConf: Configuration) {
             new Path(logDir, s"$id.tmp").toUri.getPath)
           java.nio.file.Files.write(tmp,
             JsonCodec.write(entry.copy(id = id)).getBytes(StandardCharsets.UTF_8))
+          // fence: if the claim no longer carries our nonce we were
+          // reclaimed mid-write — abort, the id belongs to someone else
+          if (!ownsClaim) {
+            java.nio.file.Files.deleteIfExists(tmp)
+            return false
+          }
           java.nio.file.Files.move(tmp,
             java.nio.file.Paths.get(idPath(id).toUri.getPath),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         } catch {
           case NonFatal(e) =>
             // failure BEFORE the final file exists: release the claim so a
-            // retry (or cancel()) can write this id — leaving it would
-            // poison the log permanently
-            java.nio.file.Files.deleteIfExists(claim)
+            // retry (or cancel()) can write this id — but only if it is
+            // still OURS (a reclaimer may own it now)
+            if (ownsClaim) java.nio.file.Files.deleteIfExists(claim)
             throw e
         }
         // success: the claim stays as a tombstone — deleting it would

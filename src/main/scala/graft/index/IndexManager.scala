@@ -236,8 +236,18 @@ final class IndexManager(spark: SparkSession) {
     * index/covering/CoveringIndexTrait.scala:57-106,
     * index/dataskipping/DataSkippingIndex.scala:79-110).
     *
-    * Cost shape at scale: reads (old index data + appended files) only.
-    * The merged index is rewritten bucketed, which doubles as compaction. */
+    * Cost shape at scale — this is the maintenance path that must stay
+    * O(appended), not O(index):
+    *  - append-only drift (the steady-state case) runs in MERGE mode:
+    *    only the appended-files index slice is written to the new version
+    *    dir and the old index data files are kept in content verbatim —
+    *    reads appended source only, writes O(appended). Covering rows
+    *    re-hash to the same bucket ids (same keys, same numBuckets), so
+    *    kept and new files of one bucket coexist under the claimed
+    *    HashPartitioning; small-file accumulation is `optimize`'s job.
+    *  - deletes (compaction churn) fall back to filter-and-rewrite via
+    *    lineage — the reference makes the same Merge-vs-rewrite split
+    *    (CoveringIndexTrait.scala:58-77 Merge mode vs Delete mode). */
   def refreshIncremental(name: String): Unit =
     transition(name, Set(IndexState.Active), IndexState.Refreshing,
       IndexState.Active) { latest =>
@@ -258,22 +268,29 @@ final class IndexManager(spark: SparkSession) {
         val dataPath = dataVersionPath(name, version)
         val ctx = IndexBuildContext(spark, dataPath.toString, tracker)
         // explicit file list: content may span version dirs after a quick
-        // optimize, and root alone would miss the kept files
-        // lazy: schema inference over the whole index is wasted work for
-        // branches (IVF) that re-read with their own basePath options
+        // optimize or a prior merge-mode refresh, and root alone would
+        // miss the kept files
+        // lazy: only the delete/rewrite branches ever read old index data
         lazy val oldData = spark.read.parquet(latest.content.filePaths: _*)
         val deletedIds = deleted.map(_.id)
 
-        val newDescriptor = latest.descriptor match {
+        // (descriptor, kept old index files) — merge-mode branches keep
+        // the old files in content; rewrite branches keep none
+        val (newDescriptor, keptFiles) = latest.descriptor match {
+          case ci: covering.CoveringIndexDescriptor if deleted.isEmpty =>
+            // MERGE mode: index only the appended slice; old files untouched
+            val appendedDf = readFiles(latest, appended.map(_.path))
+            covering.CoveringIndexDescriptor.writeBucketed(
+              spark, covering.CoveringIndexDescriptor.project(ctx, appendedDf, ci),
+              ctx.dataPath, ci.numBuckets, ci.indexedColumns)
+            (ci, latest.content.files)
           case ci: covering.CoveringIndexDescriptor =>
-            require(deleted.isEmpty || ci.hasLineage,
+            require(ci.hasLineage,
               s"incremental refresh of '$name' with deleted source files " +
                 "requires lineage (spark.graft.index.lineage.enabled=true at create)")
-            val keep =
-              if (deleted.isEmpty) oldData
-              else oldData.filter(!org.apache.spark.sql.functions
-                .col(covering.CoveringIndexDescriptor.LineageColumn)
-                .isin(deletedIds: _*))
+            val keep = oldData.filter(!org.apache.spark.sql.functions
+              .col(covering.CoveringIndexDescriptor.LineageColumn)
+              .isin(deletedIds: _*))
             val cols = ci.allIndexColumns.map(org.apache.spark.sql.functions.col)
             val merged =
               if (appended.isEmpty) keep.select(cols: _*)
@@ -285,34 +302,39 @@ final class IndexManager(spark: SparkSession) {
               }
             covering.CoveringIndexDescriptor.writeBucketed(
               spark, merged, ctx.dataPath, ci.numBuckets, ci.indexedColumns)
-            ci
+            (ci, Nil)
+          case ds: dataskipping.DataSkippingIndexDescriptor if deleted.isEmpty =>
+            // MERGE mode: sketch rows are per-source-file, so the appended
+            // files' rows are simply additional rows in a new file
+            (dataskipping.DataSkippingBuild.write(ctx,
+              dataskipping.DataSkippingBuild.sketchRows(
+                ctx, readFiles(latest, appended.map(_.path)), ds), ds),
+              latest.content.files)
           case ds: dataskipping.DataSkippingIndexDescriptor =>
             val fileIdCol = org.apache.spark.sql.functions
               .col(dataskipping.Sketches.FileIdColumn)
-            val keep =
-              if (deleted.isEmpty) oldData
-              else oldData.filter(!fileIdCol.isin(deletedIds: _*))
+            val keep = oldData.filter(!fileIdCol.isin(deletedIds: _*))
             val merged =
               if (appended.isEmpty) keep
               else keep.unionByName(dataskipping.DataSkippingBuild
                 .sketchRows(ctx, readFiles(latest, appended.map(_.path)), ds))
-            dataskipping.DataSkippingBuild.write(ctx, merged, ds)
+            (dataskipping.DataSkippingBuild.write(ctx, merged, ds), Nil)
           case iv: graft.index.ivf.IvfIndexDescriptor if deleted.isEmpty =>
-            // appended-only incremental: assign NEW vectors with the
-            // FROZEN codebook (no retrain — codebook drift is gradual and
-            // a full refresh re-trains); old cell assignments are reused
-            // verbatim. Deletes have no row→file lineage here, so they
-            // fall through to the full rebuild branch below. Reads its own
-            // content (basePath recovers the cell partition column, which
-            // the generic flat-file read above drops).
-            graft.index.ivf.IvfBuild.appendIncremental(ctx, latest.content,
-              readFiles(latest, appended.map(_.path)), iv)
+            // MERGE mode: assign NEW vectors with the FROZEN codebook (no
+            // retrain — codebook drift is gradual and a full refresh
+            // re-trains) and write only their cell files; old cell files
+            // stay in place. Deletes have no row→file lineage here, so
+            // they fall through to the full rebuild branch below.
+            (graft.index.ivf.IvfBuild.appendIncremental(
+              ctx, readFiles(latest, appended.map(_.path)), iv),
+              latest.content.files)
           case other =>
             // z-order clustering is global: incremental == full rebuild
-            other.build(ctx, source)
+            (other.build(ctx, source), Nil)
         }
         latest.copy(descriptor = newDescriptor,
-          content = ContentMeta(ctx.dataPath, listDataFiles(dataPath, tracker)),
+          content = ContentMeta(ctx.dataPath,
+            keptFiles ++ listDataFiles(dataPath, tracker)),
           relations = currentRels, update = None,
           properties = latest.properties + ("dataVersion" -> version.toString))
       }
@@ -380,6 +402,21 @@ final class IndexManager(spark: SparkSession) {
           properties = latest.properties + ("dataVersion" -> version.toString))
       }
     }
+
+  /** Diff CURRENT source files against the logged snapshot:
+    * (appended, deleted). Driver-side file listing only — used by readers
+    * with no hybrid path (annSearch) to refuse silently-stale results. */
+  def sourceDrift(entry: IndexLogEntry): (Seq[FileMeta], Seq[FileMeta]) = {
+    val tracker = new FileIdTracker
+    entry.sourceFiles.foreach(tracker.addKnown)
+    val current = SourceRelation.captureAll(readSource(entry), tracker)
+      .flatMap(_.files)
+    def key(f: FileMeta) = (f.path, f.size, f.modifiedTime)
+    val loggedKeys = entry.sourceFiles.map(key)
+    val currentKeys = current.map(key).toSet
+    (current.filterNot(f => loggedKeys.contains(key(f))),
+      entry.sourceFiles.toSeq.filterNot(f => currentKeys.contains(key(f))))
+  }
 
   /** Reconstruct the source DataFrame from logged relation metadata
     * (reference: actions/RefreshActionBase.scala:54-130). */

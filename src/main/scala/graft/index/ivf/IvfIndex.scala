@@ -108,12 +108,15 @@ object IvfBuild {
         col(d.vectorColumn).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
 
-    // deterministic seeds: smallest (hash, id)
+    // deterministic seeds: smallest (hash, id) — same null-vector filter
+    // as the clustering pass, or a vectorless row whose hash ranks in the
+    // k smallest would become a null centroid and NPE the first nearest()
     val seeds = source.select(
         graft.functions.HashFunctions.md5Prefix60(
           col(d.idColumn).cast("string")).as("h"),
         col(d.idColumn).cast("long").as("id"),
         col(d.vectorColumn).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
       .orderBy(col("h"), col("id"))
       .limit(d.k)
       .select(col("v")).as[Array[Double]].collect()
@@ -156,23 +159,22 @@ object IvfBuild {
       schemaJson = assigned.schema.json)
   }
 
-  /** Appended-only incremental refresh: new vectors are assigned with the
-    * EXISTING codebook and merged with the untouched old assignments —
-    * reads old index data + appended files only, no retrain. */
+  /** Appended-only incremental refresh in MERGE mode: new vectors are
+    * assigned with the EXISTING codebook (no retrain) and ONLY their cell
+    * files are written to the new version dir — old cell files stay in
+    * place untouched, so the refresh reads and writes O(appended), never
+    * O(index). Readers union the version dirs via [[readIndexData]];
+    * small-file accumulation across refreshes is `optimize`'s job. */
   def appendIncremental(
       ctx: IndexBuildContext,
-      oldContent: graft.index.ContentMeta,
       appendedSource: DataFrame,
       d: IvfIndexDescriptor): IndexDescriptor = {
     val spark = ctx.spark
     import spark.implicits._
-    // basePath read: the cell partition column lives in the dir layout
-    val oldData = spark.read.option("basePath", oldContent.root)
-      .parquet(oldContent.filePaths: _*)
     val centroids = d.centroids.map(_.toArray).toArray
     require(centroids.nonEmpty, "incremental refresh needs a trained codebook")
     val bc = spark.sparkContext.broadcast(centroids)
-    val newAssigned = appendedSource
+    appendedSource
       .filter(col(d.vectorColumn).isNotNull)
       .select(
         col(d.idColumn).cast("long").as("id"),
@@ -182,13 +184,33 @@ object IvfBuild {
       .toDF("id", "v", CellColumn)
       .withColumnRenamed("id", d.idColumn)
       .withColumnRenamed("v", d.vectorColumn)
-    val cols = Seq(d.idColumn, d.vectorColumn, CellColumn).map(col)
-    oldData.select(cols: _*)
-      .unionByName(newAssigned.select(cols: _*))
       .repartition(col(CellColumn))
       .write.mode("overwrite")
       .partitionBy(CellColumn)
       .parquet(ctx.dataPath)
+    bc.destroy()
     d
+  }
+
+  /** Read IVF index data whose content spans version dirs (after
+    * merge-mode refreshes). The `graft__cell=` partition column lives in
+    * the directory layout, so each version dir needs its own `basePath`;
+    * files are grouped by their enclosing `v__N` ancestor and the groups
+    * unioned. One version dir (the common case) stays a single read. */
+  def readIndexData(spark: SparkSession,
+      content: graft.index.ContentMeta): DataFrame = {
+    def versionDir(path: String): String = {
+      // file lives at <root>/v__N/graft__cell=C/part-*.parquet — walk up
+      // to the ancestor whose name starts with the version prefix
+      var p = new org.apache.hadoop.fs.Path(path)
+      while (p.getParent != null && !p.getName.startsWith("v__"))
+        p = p.getParent
+      p.toString
+    }
+    content.filePaths.groupBy(versionDir).toSeq.sortBy(_._1)
+      .map { case (base, files) =>
+        spark.read.option("basePath", base).parquet(files: _*)
+      }
+      .reduce(_.unionByName(_))
   }
 }

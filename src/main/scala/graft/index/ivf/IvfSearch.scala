@@ -49,6 +49,9 @@ object IvfSearch {
     val bc = spark.sparkContext.broadcast(centroids)
     val probes = queries
       .select(col("qid").cast("long"), col("qv").cast("array<double>"))
+      // a null query vector has no nearest cell (and would NPE in sqDist
+      // before the zero-norm filter below could drop it)
+      .filter(col("qv").isNotNull)
       .as[(Long, Array[Double])]
       .flatMap { case (qid, v) =>
         nearestCells(bc.value, v, probe).map(c => (qid, v, c))
@@ -59,10 +62,10 @@ object IvfSearch {
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
       .filter(col("qn") > 0.0)
 
-    // reader invariant (IndexManager): content may span version dirs —
-    // read the explicit file list with basePath for the partition column
-    val data = spark.read.option("basePath", entry.content.root)
-      .parquet(entry.content.filePaths: _*)
+    // reader invariant (IndexManager): content may span version dirs
+    // after merge-mode refreshes — each dir carries its own basePath for
+    // the cell partition column, so read per-dir and union
+    val data = IvfBuild.readIndexData(spark, entry.content)
       .select(col(d.idColumn), col(d.vectorColumn).cast("array<double>").as("nv"),
         col(IvfBuild.CellColumn))
       .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))

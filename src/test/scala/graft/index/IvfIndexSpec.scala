@@ -125,8 +125,9 @@ class IvfIndexSpec extends AnyFunSuite {
       // codebook FROZEN (no retrain on incremental)
       assert(after.descriptor.asInstanceOf[IvfIndexDescriptor].centroids
         == codebook)
-      // all rows present, partition layout intact
-      val data = spark.read.parquet(after.content.root)
+      // all rows present, partition layout intact (merge mode: content
+      // spans version dirs, each with its own basePath)
+      val data = IvfBuild.readIndexData(spark, after.content)
       assert(data.count() == spark.read.parquet(src).count())
       assert(data.columns.contains(IvfBuild.CellColumn))
       // search still works against the refreshed index

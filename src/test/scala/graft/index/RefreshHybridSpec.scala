@@ -158,7 +158,8 @@ class RefreshHybridSpec extends AnyFunSuite {
 
       g.refreshIndex("r_ds", "incremental")
       val after = g.indexManager.getIndexes().head
-      val rows = spark.read.parquet(after.content.root).count()
+      // append-only refresh runs in merge mode: content spans version dirs
+      val rows = spark.read.parquet(after.content.filePaths: _*).count()
       // one sketch row per current source file
       assert(rows == spark.read.parquet(src).inputFiles.length)
       assert(rows == before.relations.head.files.size + 1)
