@@ -1,32 +1,58 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Headline benchmark: one untimed warmup pass (JIT + codegen + index
-  * builds reach steady state), then one timed pass per query. Prints a
-  * single JSON line the driver collects. */
+/** Headline benchmark. Per query: one untimed warmup pass (JIT + codegen
+  * + index builds reach steady state), then THREE timed passes — the
+  * reported number is the per-query MEDIAN (min also published), because
+  * a single timed pass on a shared 32-core box carries ±2× noise and
+  * makes round-over-round comparison meaningless. Failures are recorded
+  * under "err" (and excluded from the total), never as a negative time.
+  * Persisted intermediates are released between queries so one query's
+  * cached blocks can't squeeze execution memory for the next. */
 object Bench {
+  private val Passes = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
     val names = SparkEntry.queries.keys.toSeq.sorted
 
-    names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    val timed = names.map { name =>
+      def run(): Unit = SparkEntry.queries(name)(spark, sfDir).count()
+      val (times, err) =
+        try {
+          run() // warmup, untimed
+          val ts = (1 to Passes).map { _ =>
+            val t0 = System.nanoTime()
+            run()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (ts, None)
+        } catch {
+          case e: Throwable =>
+            (Seq.empty[Double], Some(s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200)))
+        } finally {
+          // drop this query's persisted blocks before the next one runs
+          spark.sharedState.cacheManager.clearCache()
+        }
+      (name, times.sorted, err)
     }
-    spark.sharedState.cacheManager.clearCache()
 
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def jsonMap(entries: Seq[(String, String)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ok = timed.filter(_._3.isEmpty)
+    val medians = ok.map { case (n, ts, _) => n -> ts(ts.size / 2) }
+    val mins = ok.map { case (n, ts, _) => n -> ts.head }
+    val errs = timed.collect { case (n, _, Some(e)) =>
+      n -> ("\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") }
+    val total = medians.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""passes":$Passes,""" +
+      s""""queries":${jsonMap(medians.map { case (k, v) => k -> v.toString })},""" +
+      s""""queries_min":${jsonMap(mins.map { case (k, v) => k -> v.toString })},""" +
+      s""""err":${jsonMap(errs)},""" +
+      s""""sf":"$sfDir"}"""
     // stdout for the driver (unprefixed via run/outputStrategy=StdoutOutput)
     // plus a file copy so a prefix-mangled capture can still be recovered
     println(json)
