@@ -67,22 +67,26 @@ object CoveringIndexDescriptor {
       d: CoveringIndexDescriptor): DataFrame = {
     val cols = d.referencedColumns.map(c =>
       col(c).as(graft.index.NestedColumns.physicalName(c)))
-    if (!d.hasLineage) {
-      source.select(cols: _*)
-    } else {
-      val spark = ctx.spark
-      import spark.implicits._
-      // (normalized path -> stable file id); tiny, broadcast to executors
-      val mapping = ctx.tracker.all.toSeq
-        .map { case ((p, _, _), id) => (p, id) }
-        .toDF("_graft_source_path", LineageColumn)
-      val normalize = udf((s: String) =>
-        new org.apache.hadoop.fs.Path(s).toString)
-      source
-        .withColumn("_graft_source_path", normalize(input_file_name()))
-        .join(broadcast(mapping), "_graft_source_path")
-        .select(cols :+ col(LineageColumn): _*)
-    }
+    if (!d.hasLineage) source.select(cols: _*)
+    else attachLineage(ctx, source).select(cols :+ col(LineageColumn): _*)
+  }
+
+  /** Add the `_data_file_id` lineage column to `source`: a broadcast join
+    * of the tiny (normalized path -> stable file id) mapping against
+    * `input_file_name()`. Shared by covering and z-order builds — lineage
+    * is what lets hybrid scan drop deleted files' rows at query time. */
+  def attachLineage(ctx: IndexBuildContext, source: DataFrame): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val mapping = ctx.tracker.all.toSeq
+      .map { case ((p, _, _), id) => (p, id) }
+      .toDF("_graft_source_path", LineageColumn)
+    val normalize = udf((s: String) =>
+      new org.apache.hadoop.fs.Path(s).toString)
+    source
+      .withColumn("_graft_source_path", normalize(input_file_name()))
+      .join(broadcast(mapping), "_graft_source_path")
+      .drop("_graft_source_path")
   }
 
   /**

@@ -99,11 +99,11 @@ object FilterIndexRule extends GraftIndexRule {
             neededNames.forall(n =>
               Coverage.covers(d.referencedColumns, Seq(n), resolver) ||
                 Coverage.covers(d.referencedColumns, Seq(rootOf(n)), resolver)) &&
-            // hybrid legs re-read the source, where flattened columns
-            // don't exist — nested indexes apply on exact match only;
-            // partitioned sources recover partition values via basePath
-            (if (d.hasNested) m.isExact
-             else m.isExact || m.deleted.isEmpty || d.hasLineage)
+            // hybrid legs re-read the source and COMPUTE flattened
+            // columns from the struct paths (ScanSubstitution.appendedLeg),
+            // so nested indexes hybrid-scan like flat ones; partitioned
+            // sources recover partition values via basePath
+            (m.isExact || m.deleted.isEmpty || d.hasLineage)
         case _ => false
       }
     }
@@ -267,13 +267,11 @@ object JoinIndexRule extends GraftIndexRule {
       matches: Seq[CandidateMatch],
       rel: LogicalRelation): Seq[(CandidateMatch, CoveringIndexDescriptor)] =
     matches.collect {
+      // hybrid appended legs compute flattened columns from the source's
+      // struct paths (ScanSubstitution.appendedLeg), so nested indexes
+      // are hybrid-eligible like flat ones
       case m if m.entry.descriptor.isInstanceOf[CoveringIndexDescriptor] &&
-          // nested indexes are exact-only (the hybrid appended leg re-reads
-          // the source, where flattened columns don't exist — the lookup
-          // would throw and ApplyGraft would discard the whole plan)
-          (if (m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor].hasNested)
-            m.isExact
-          else m.isExact || m.deleted.isEmpty ||
+          (m.isExact || m.deleted.isEmpty ||
             m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor].hasLineage) =>
         (m, m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor])
     }

@@ -96,7 +96,7 @@ object ScanSubstitution {
       m: CandidateMatch): LogicalPlan = {
     val entry = m.entry
     // covering-style descriptors only (covering or z-order); deletes need
-    // lineage, which only covering indexes carry — rules gate on that
+    // the lineage column in the index data — rules gate on hasLineage
     val refCols = entry.descriptor.referencedColumns
     val indexLeg = indexLegProjected(spark, original, m, refCols,
       useBucketSpec = false)
@@ -213,12 +213,30 @@ object ScanSubstitution {
           .queryExecution.analyzed
       }
     val appendedCols = refCols.zip(targetTypes).map { case (c, dt) =>
-      val attr = appendedRel.output.find(a => resolver(a.name, c)).getOrElse(
-        throw new IllegalStateException(
-          s"appended leg missing column $c for index ${entry.name}"))
-      if (attr.dataType == dt) attr
-      else org.apache.spark.sql.catalyst.expressions.Alias(
-        org.apache.spark.sql.catalyst.expressions.Cast(attr, dt), attr.name)()
+      // nested paths (`a.b.c`) are computed from the source via a
+      // GetStructField chain and flattened to the index's physical name —
+      // the same shape the index leg carries, so the union lines up
+      val expr: org.apache.spark.sql.catalyst.expressions.Expression =
+        appendedRel.output.find(a => resolver(a.name, c)).getOrElse {
+          val segs = c.split('.')
+          val root =
+            if (segs.length < 2) None
+            else appendedRel.output.find(a => resolver(a.name, segs.head))
+          root.map(r => segs.tail.foldLeft(
+            r: org.apache.spark.sql.catalyst.expressions.Expression)((e, f) =>
+              org.apache.spark.sql.catalyst.expressions.ExtractValue(
+                e, org.apache.spark.sql.catalyst.expressions.Literal(f), resolver)))
+            .getOrElse(throw new IllegalStateException(
+              s"appended leg missing column $c for index ${entry.name}"))
+        }
+      val phys = graft.index.NestedColumns.physicalName(c)
+      expr match {
+        case a: AttributeReference if a.dataType == dt => a
+        case e =>
+          val cast = if (e.dataType == dt) e
+            else org.apache.spark.sql.catalyst.expressions.Cast(e, dt)
+          org.apache.spark.sql.catalyst.expressions.Alias(cast, phys)()
+      }
     }
     Project(appendedCols, appendedRel)
   }
@@ -246,7 +264,7 @@ object ScanSubstitution {
     val appendedLegProj =
       appendedLeg(spark, original, entry, m, d.referencedColumns,
         indexLeg.output.map(_.dataType))
-    val keyAttrs = d.indexedColumns.map(c =>
+    val keyAttrs = d.physicalIndexedColumns.map(c =>
       appendedLegProj.output.find(a => resolver(a.name, c)).get
         .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression])
     val repartitioned = RepartitionByExpression(

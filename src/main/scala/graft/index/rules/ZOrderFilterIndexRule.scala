@@ -43,13 +43,15 @@ object ZOrderFilterIndexRule extends GraftIndexRule {
     val applicable = candidates(rel).filter { m =>
       // appended-only staleness rides hybrid scan (the union leg reads the
       // new files un-clustered — correct, just unclustered for those
-      // rows); deletes would need lineage, which z-order data lacks
-      (m.isExact || m.deleted.isEmpty) && (m.entry.descriptor match {
+      // rows); deletes additionally need the lineage column in the index
+      // data (built when spark.graft.index.lineage.enabled was set)
+      m.entry.descriptor match {
         case d: ZOrderIndexDescriptor =>
-          d.indexedColumns.exists(ic => filterNames.exists(resolver(_, ic))) &&
+          (m.isExact || m.deleted.isEmpty || d.hasLineage) &&
+            d.indexedColumns.exists(ic => filterNames.exists(resolver(_, ic))) &&
             Coverage.covers(d.referencedColumns, neededNames, resolver)
         case _ => false
-      })
+      }
     }
     if (applicable.isEmpty) return None
 

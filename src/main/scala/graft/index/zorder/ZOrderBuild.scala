@@ -51,8 +51,18 @@ object ZOrderBuild {
 
     // ---- pass 2: z-address + range-partitioned sorted write
     val zUdf = udf(new ZAddressFn(boundaries, BitsPerColumn))
-    val projected = source.select(
-      (d.indexedColumns ++ d.includedColumns).map(col): _*)
+    // optional lineage column: lets hybrid scan drop deleted files' rows
+    // at query time, same machinery as covering indexes (reference shares
+    // this across CI/ZCI via the common covering-index base)
+    val projCols = (d.indexedColumns ++ d.includedColumns).map(col) ++
+      (if (d.hasLineage)
+        Seq(col(graft.index.covering.CoveringIndexDescriptor.LineageColumn))
+      else Nil)
+    val base =
+      if (d.hasLineage)
+        graft.index.covering.CoveringIndexDescriptor.attachLineage(ctx, source)
+      else source
+    val projected = base.select(projCols: _*)
     val withZ = projected.withColumn(ZAddrColumn,
       zUdf(array(d.indexedColumns.map(c => toDouble(source, c)): _*)))
 

@@ -13,7 +13,8 @@ final case class ZOrderIndexDescriptor(
     indexedColumns: Seq[String],
     includedColumns: Seq[String],
     numPartitions: Int,
-    schemaJson: String) extends IndexDescriptor {
+    schemaJson: String,
+    hasLineage: Boolean = false) extends IndexDescriptor {
 
   override def kind: String = "ZOrderCoveringIndex"
   override def kindAbbr: String = "ZCI"
@@ -49,6 +50,7 @@ final case class ZOrderIndexConfig(
         val bytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
         math.max(1, (bytes / (1L << 30)).toInt)
       }
-    ZOrderIndexDescriptor(idx, incl, numPartitions, schemaJson = "")
+    ZOrderIndexDescriptor(idx, incl, numPartitions, schemaJson = "",
+      hasLineage = graft.index.GraftConf.lineageEnabled(spark))
   }
 }

@@ -119,6 +119,37 @@ class NestedColumnSpec extends AnyFunSuite {
     }
   }
 
+  test("nested index hybrid scan: appended leg computes flattened struct paths") {
+    withNested { (g, src) =>
+      g.createIndex(spark.read.parquet(src),
+        CoveringIndexConfig("nc_hyb", Seq("meta.geo.country"), Seq("v")))
+
+      // append a small slice with the same nested shape, no refresh
+      spark.range(5000, 5100).toDF("id")
+        .withColumn("meta", struct(
+          struct(concat(lit("C"), col("id") % 7).as("country")).as("geo"),
+          (col("id") % 3).cast("int").as("kind")))
+        .withColumn("v", col("id") * 2)
+        .coalesce(1).write.mode("append").parquet(src)
+
+      val q = spark.read.parquet(src)
+        .filter(col("meta.geo.country") === "C3")
+        .select(col("v"))
+      val paths = indexScanPaths(q)
+      assert(paths.exists(_.contains("/nc_hyb/")),
+        s"nested hybrid scan should still use the index; scanned: $paths")
+
+      // appended rows (id >= 5000 → v >= 10000) must appear in the result
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expected = q.collect().map(_.getLong(0)).sorted.toSeq
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      val actual = q.collect().map(_.getLong(0)).sorted.toSeq
+      assert(actual == expected && expected.nonEmpty)
+      assert(actual.exists(_ >= 10000L),
+        "appended rows missing from nested hybrid scan")
+    }
+  }
+
   test("whole-struct included column still covers leaf accesses") {
     withNested { (g, src) =>
       // index materializes the ENTIRE struct column; a filter/projection

@@ -108,6 +108,40 @@ class RefreshHybridSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order hybrid scan with deleted files uses lineage filter") {
+    withGraft { (g, src) =>
+      spark.conf.set(GraftConf.LineageKey, "true")
+      spark.conf.set("spark.graft.index.zorder.numPartitions", "4")
+      try {
+        g.createIndex(spark.read.parquet(src),
+          graft.index.zorder.ZOrderIndexConfig(
+            "zh_del", Seq("l_orderkey"), Seq("l_quantity")))
+        assert(indexScanPaths(q(src)).exists(_.contains("/zh_del/")))
+
+        // delete one of the 4 source files, no refresh
+        spark.conf.set(GraftConf.HybridMaxDeletedKey, "0.3")
+        val fs = new org.apache.hadoop.fs.Path(src)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val dataFile = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        fs.delete(dataFile, false)
+
+        spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+        val expected = q(src).collect().groupBy(identity).view.mapValues(_.length).toMap
+        spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+        val paths = indexScanPaths(q(src))
+        assert(paths.exists(_.contains("/zh_del/")),
+          s"z-order hybrid scan should use the index after delete; scanned: $paths")
+        val actual = q(src).collect().groupBy(identity).view.mapValues(_.length).toMap
+        assert(actual == expected && expected.nonEmpty)
+      } finally {
+        spark.conf.unset(GraftConf.LineageKey)
+        spark.conf.unset(GraftConf.HybridMaxDeletedKey)
+        spark.conf.unset("spark.graft.index.zorder.numPartitions")
+      }
+    }
+  }
+
   test("incremental refresh folds appended and deleted files into the index") {
     withGraft { (g, src) =>
       spark.conf.set(GraftConf.LineageKey, "true")
