@@ -72,6 +72,93 @@ object StreamingQueries {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
+  /**
+   * Sessionization through the REAL streaming pipeline with event-time
+   * timeouts, verified against a batch islands-SQL oracle.
+   *
+   * Append-mode sessions only emit when the WATERMARK passes their
+   * timeout, and a stream that simply runs out of files never advances
+   * the watermark past the tail sessions — so the events source is
+   * unioned with a single SENTINEL event (user_id -1) whose timestamp
+   * lies beyond every real session's (last + gap + watermark delay).
+   * After the data micro-batch, the no-data flush batch (AvailableNow
+   * runs one when the watermark moved) fires every real user's
+   * event-time timeout and all sessions emit; the sentinel's own
+   * still-open session is filtered out.
+   *
+   * Timestamps are floored to SECONDS before sessionizing so the gap
+   * comparison is integral on both engines, and the per-session value
+   * sum is not emitted (double accumulation order over equal-timestamp
+   * ties is not deterministic — the bounds and counts are).
+   */
+  def qStreamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val glob = Tables.path(sfDir, "events") + "*"
+    val gapMs = 1800L * 1000L
+
+    val maxNs = spark.read.schema(rawSchema).parquet(glob)
+      .agg(max(col("ts"))).head().getLong(0)
+    // sentinel ts: gap (30 min) + watermark delay (10 min) + slack
+    val sentinelNs = maxNs + 2L * 3600L * 1000000000L
+    val sentinelDir = java.nio.file.Files
+      .createTempDirectory("graft-sess-sentinel-").toString
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+          -1L, sentinelNs, -1L, "sentinel", 0.0, "{}")), 1), rawSchema)
+      .write.mode("overwrite").parquet(sentinelDir)
+
+    def fileStream(path: String) =
+      spark.readStream.schema(rawSchema).parquet(path)
+    val events = fileStream(glob).union(fileStream(sentinelDir))
+      // second-floored event time: integral gap arithmetic on both engines
+      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamEvent]
+
+    val name = "stream_sess_" + UUID.randomUUID().toString.replace("-", "")
+    val q = StreamingOps.sessionize(events, gapMs = gapMs)
+      .toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val result = spark.table(name)
+      .filter(col("user_id") >= 0L) // drop the sentinel's open session
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+    val rows = result.collect()
+    val schema = result.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  /** DuckDB twin: gaps-and-islands over second-floored event times. */
+  val qStreamSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |marked AS (
+      |  SELECT user_id, sec,
+      |    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+      |      OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, sec, SUM(new_session)
+      |    OVER (PARTITION BY user_id ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |  strftime(make_timestamp(MIN(sec) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(make_timestamp(MAX(sec) * 1000000), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** DuckDB twin: hour-tumbling windows align with date_trunc('hour'). */
   val qStreamWindowCountsSql: String =
     """SELECT
@@ -85,5 +172,6 @@ object StreamingQueries {
       |ORDER BY 1, 3""".stripMargin
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "stream_window_counts" -> (qStreamWindowCounts _, qStreamWindowCountsSql))
+    "stream_window_counts" -> (qStreamWindowCounts _, qStreamWindowCountsSql),
+    "stream_sessions" -> (qStreamSessions _, qStreamSessionsSql))
 }
