@@ -1,0 +1,62 @@
+package graft.index.sources
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.index.FileMeta
+
+/**
+ * Delta Lake source provider (reference:
+ * sources/delta/DeltaLakeSourceProvider.scala +
+ * sources/delta/DeltaLakeRelation.scala:34-45): recognizes a Delta table's
+ * batch read and fingerprints it by TABLE VERSION + path instead of
+ * per-file stats — the Delta transaction log already names an exact
+ * snapshot, so version equality is both cheaper and stricter than
+ * re-hashing file metadata.
+ *
+ * Entirely REFLECTION-gated: Delta's classes are referenced by name only,
+ * so this compiles and loads without the delta-spark jar and activates
+ * when the jar is present (a Delta batch scan surfaces as
+ * `LogicalRelation(HadoopFsRelation(TahoeLogFileIndex))`, whose class
+ * lives under `org.apache.spark.sql.delta`). Register via
+ * `spark.graft.index.sources.providers =
+ *   graft.index.sources.DeltaLakeSource,graft.index.sources.DefaultFileBasedSource`.
+ */
+final class DeltaLakeSource extends SourceProvider {
+
+  override def asSourceLeaf(leaf: LogicalPlan): Option[SourceLeaf] = leaf match {
+    case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] &&
+        l.relation.asInstanceOf[HadoopFsRelation].location.getClass.getName
+          .startsWith("org.apache.spark.sql.delta") =>
+      val rel = l.relation.asInstanceOf[HadoopFsRelation]
+      val loc = rel.location
+      // TahoeFileIndex exposes tableVersion: Long (snapshot version the
+      // scan is pinned to); absent methods degrade to file-stat signature
+      val tableVersion: Option[Long] =
+        try Some(loc.getClass.getMethod("tableVersion").invoke(loc) match {
+          case n: java.lang.Long => n.longValue
+          case n: java.lang.Integer => n.longValue
+        })
+        catch { case _: ReflectiveOperationException | _: MatchError => None }
+      Some(new SourceLeaf {
+        override def plan: LogicalRelation = l
+        override def rootPaths: Seq[String] = loc.rootPaths.map(_.toString)
+        override def schemaJson: String = rel.schema.json
+        override def format: String = "delta"
+        override def options: Map[String, String] = rel.options
+        override def listFiles(): Seq[(String, Long, Long)] =
+          loc.listFiles(Nil, Nil).flatMap(_.files).map(s =>
+            (s.getPath.toString, s.getLen, s.getModificationTime))
+        override def signature(files: Seq[FileMeta]): String =
+          tableVersion match {
+            case Some(v) =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+              md.update(s"delta|$v|${rootPaths.sorted.mkString(",")}"
+                .getBytes("UTF-8"))
+              md.digest().map("%02x".format(_)).mkString
+            case None => super.signature(files)
+          }
+      })
+    case _ => None
+  }
+}

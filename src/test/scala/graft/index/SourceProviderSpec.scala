@@ -39,6 +39,45 @@ class SourceProviderSpec extends AnyFunSuite {
     }
   }
 
+  test("DeltaLakeSource ignores non-Delta relations (reflection gate)") {
+    // offline-runnable half of the Delta story: the provider must defer
+    // on plain file scans so it can sit FIRST in the provider chain
+    val df = spark.read.parquet(s"${TestSpark.sfDir}/nation.parquet")
+    val leaf = df.queryExecution.analyzed.collectLeaves().head
+    assert(new graft.index.sources.DeltaLakeSource().asSourceLeaf(leaf).isEmpty)
+    // and chained before the default provider it is transparent
+    val key = SourceProviders.ProvidersKey
+    spark.conf.set(key,
+      classOf[graft.index.sources.DeltaLakeSource].getName + "," +
+        classOf[DefaultFileBasedSource].getName)
+    try {
+      val leaves = SourceRelation.collectLeaves(df)
+      assert(leaves.size == 1 && leaves.head.format == "parquet")
+    } finally spark.conf.unset(key)
+  }
+
+  test("DeltaLakeSource recognizes a Delta table scan (needs delta jar)") {
+    // activation path, runnable only where delta-spark is on the
+    // classpath (absent in this offline build -> cancelled): a Delta
+    // batch read surfaces LogicalRelation(HadoopFsRelation(Tahoe*)),
+    // which the provider fingerprints by table version + path
+    assume(
+      try { Class.forName("org.apache.spark.sql.delta.DeltaLog"); true }
+      catch { case _: ClassNotFoundException => false },
+      "delta-spark jar not on classpath")
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-").toString
+    spark.range(10).write.format("delta").save(dir)
+    val df = spark.read.format("delta").load(dir)
+    val leaf = df.queryExecution.analyzed.collectLeaves().head
+    val recognized = new graft.index.sources.DeltaLakeSource().asSourceLeaf(leaf)
+    assert(recognized.nonEmpty)
+    assert(recognized.get.format == "delta")
+    assert(recognized.get.listFiles().nonEmpty)
+    // version-pinned signature: stable across identical captures
+    val files = Nil
+    assert(recognized.get.signature(files) == recognized.get.signature(files))
+  }
+
   test("conf-registered providers are consulted in order") {
     val key = SourceProviders.ProvidersKey
     spark.conf.set(key,
