@@ -29,7 +29,22 @@ final class IndexManager(spark: SparkSession) {
   private def dataVersionPath(name: String, v: Int): Path =
     new Path(indexRoot(name), s"v__$v")
 
-  /** Recursively list data files under a version dir (skips hidden/marker). */
+  /** Is `p` (or any ancestor strictly below `root`) hidden — i.e. a
+    * marker/sidecar like `_SUCCESS` or `_graft_codebook/part-...`? */
+  private def isHiddenUnder(p: Path, root: Path): Boolean = {
+    var cur = p
+    while (cur != null && cur.toUri.getPath != root.toUri.getPath) {
+      val n = cur.getName
+      if (n.startsWith("_") || n.startsWith(".")) return true
+      cur = cur.getParent
+    }
+    false
+  }
+
+  /** Recursively list data files under a version dir, skipping hidden
+    * files AND files under hidden dirs (e.g. the IVF codebook sidecar —
+    * its part files must never enter content or they'd be unioned into
+    * the index data read). */
   private def listDataFiles(dir: Path, tracker: FileIdTracker): Seq[FileMeta] = {
     val f = fs(dir)
     if (!f.exists(dir)) return Nil
@@ -37,8 +52,7 @@ final class IndexManager(spark: SparkSession) {
     val buf = Seq.newBuilder[FileMeta]
     while (it.hasNext) {
       val s = it.next()
-      val n = s.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) {
+      if (!isHiddenUnder(s.getPath, dir)) {
         val id = tracker.addOrGet(s.getPath.toString, s.getLen, s.getModificationTime)
         buf += FileMeta(s.getPath.toString, s.getLen, s.getModificationTime, id)
       }
@@ -163,13 +177,14 @@ final class IndexManager(spark: SparkSession) {
       val referencedFiles = latest.content.filePaths.toSet
       val currentRoot = new Path(latest.content.root).getName
       val f = fs(root)
+      // hidden-dir descendants (codebook sidecar parts) are NOT data
+      // files: treating them as stale would delete a live codebook
       def dataFiles(dir: Path): Seq[Path] = {
         val it = f.listFiles(dir, /*recursive=*/ true)
         val buf = Seq.newBuilder[Path]
         while (it.hasNext) {
           val s = it.next()
-          val n = s.getPath.getName
-          if (!n.startsWith("_") && !n.startsWith(".")) buf += s.getPath
+          if (!isHiddenUnder(s.getPath, dir)) buf += s.getPath
         }
         buf.result()
       }
@@ -319,14 +334,19 @@ final class IndexManager(spark: SparkSession) {
               else keep.unionByName(dataskipping.DataSkippingBuild
                 .sketchRows(ctx, readFiles(latest, appended.map(_.path)), ds))
             (dataskipping.DataSkippingBuild.write(ctx, merged, ds), Nil)
-          case iv: graft.index.ivf.IvfIndexDescriptor if deleted.isEmpty =>
-            // MERGE mode: assign NEW vectors with the FROZEN codebook (no
-            // retrain — codebook drift is gradual and a full refresh
-            // re-trains) and write only their cell files; old cell files
-            // stay in place. Deletes have no row→file lineage here, so
-            // they fall through to the full rebuild branch below.
-            (graft.index.ivf.IvfBuild.appendIncremental(
-              ctx, readFiles(latest, appended.map(_.path)), iv),
+          case iv: graft.index.ivf.IvfIndexDescriptor =>
+            // MERGE mode both ways: appended files are assigned with the
+            // FROZEN codebook (no retrain — codebook drift is gradual and
+            // a full refresh re-trains) and only their cell files are
+            // written; deleted files become TOMBSTONES (their lineage ids
+            // anti-filtered at search time) — no index data is read or
+            // rewritten for a delete. `optimize` compacts tombstones away.
+            val merged =
+              if (appended.isEmpty) iv
+              else graft.index.ivf.IvfBuild.appendIncremental(
+                ctx, readFiles(latest, appended.map(_.path)), iv)
+            (merged.copy(
+              tombstones = (merged.tombstones ++ deletedIds).distinct),
               latest.content.files)
           case other =>
             // z-order clustering is global: incremental == full rebuild

@@ -20,14 +20,26 @@ import graft.index.{IndexBuildContext, IndexConfig, IndexDescriptor}
  *     pass; means come from `reduceGroups` over (sumVec, count) pairs
  *     (associative ⇒ map-side partial aggregation; one small shuffle of
  *     k partial sums per round);
- *  3. the corpus is written WITH its cell id, `partitionBy(_cell)` — at
- *     query time probes touch only nProbe/k of the data via partition
- *     pruning (static for literal cell sets, dynamic (DPP) for joins).
+ *  3. the corpus is written WITH its cell id and source-file lineage,
+ *     `partitionBy(_cell)` — at query time probes touch only nProbe/k of
+ *     the data via partition pruning; lineage lets deletes tombstone
+ *     instead of rebuild.
  *
- * The codebook (k × dim doubles) rides in the descriptor JSON — tiny for
- * IVF-scale k (≤ few hundred); a billion-vector deployment would promote
- * it to a parquet sidecar and train with k-means|| sampling, which this
- * build's structure (seed → assign → mean) maps onto directly.
+ * The codebook lives inline in the descriptor JSON while small
+ * (k × dim ≤ `spark.graft.index.ivf.codebook.inlineMaxDoubles`, default
+ * 4096 doubles) and is promoted to a parquet SIDECAR beside the index
+ * data beyond that — a k=4096 × 768-dim codebook would otherwise bloat
+ * every log entry by ~50 MB of JSON. The sidecar is hidden from data
+ * listings (underscore-prefixed) and rewritten wherever the codebook is
+ * retrained.
+ *
+ * Maintenance cost shape:
+ *  - appended files → MERGE mode (only new cell files written, frozen
+ *    codebook);
+ *  - deleted files → TOMBSTONES (their file ids recorded in the
+ *    descriptor; search anti-filters on the lineage column) — O(listing),
+ *    no data touched;
+ *  - optimize / full refresh → retrain + rewrite, clearing tombstones.
  */
 final case class IvfIndexDescriptor(
     idColumn: String,
@@ -35,7 +47,9 @@ final case class IvfIndexDescriptor(
     k: Int,
     maxIter: Int,
     centroids: Seq[Seq[Double]],
-    schemaJson: String) extends IndexDescriptor {
+    schemaJson: String,
+    centroidsPath: Option[String] = None,
+    tombstones: Seq[Long] = Nil) extends IndexDescriptor {
 
   override def kind: String = "IvfIndex"
   override def kindAbbr: String = "IVF"
@@ -74,6 +88,19 @@ object IvfBuild {
   // from Spark's file listing (hiddenFileFilter) and the data unreadable
   val CellColumn = "graft__cell"
 
+  /** Same lineage column as covering indexes: maps each index row to its
+    * source file id, so file-level deletes tombstone instead of rebuild. */
+  val LineageColumn: String =
+    graft.index.covering.CoveringIndexDescriptor.LineageColumn
+
+  /** Codebook sidecar dir name — underscore-prefixed so data listings and
+    * parquet reads of the version dir never see it. */
+  val CodebookDir = "_graft_codebook"
+
+  val InlineMaxKey = "spark.graft.index.ivf.codebook.inlineMaxDoubles"
+  private def inlineMax(spark: SparkSession): Int =
+    spark.conf.getOption(InlineMaxKey).map(_.toInt).getOrElse(4096)
+
   /** Squared L2 distance — the single metric kernel shared by build-time
     * assignment and query-time probing (they MUST agree or recall rots). */
   def sqDist(a: Array[Double], b: Array[Double]): Double = {
@@ -95,18 +122,90 @@ object IvfBuild {
     best
   }
 
+  /** Resolve the trained codebook: inline from the descriptor, or loaded
+    * from the parquet sidecar for large k. The sidecar dir is hidden
+    * (underscore-prefixed), which Spark's recursive listing skips — so
+    * its part files are enumerated explicitly and read by path. */
+  def centroidsOf(spark: SparkSession, d: IvfIndexDescriptor): Array[Array[Double]] =
+    if (d.centroids.nonEmpty) d.centroids.map(_.toArray).toArray
+    else d.centroidsPath match {
+      case Some(p) =>
+        val dir = new org.apache.hadoop.fs.Path(p)
+        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+        val parts = fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).map(_.toString)
+        spark.read.parquet(parts: _*)
+          .orderBy(col("cell"))
+          .select(col("centroid"))
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+      case None => Array.empty
+    }
+
+  /** Source rows as (id, vector, source-file id), vectorless rows dropped. */
+  private def srcWithLineage(ctx: IndexBuildContext, source: DataFrame,
+      d: IvfIndexDescriptor) = {
+    val spark = ctx.spark
+    import spark.implicits._
+    graft.index.covering.CoveringIndexDescriptor.attachLineage(ctx, source)
+      .filter(col(d.vectorColumn).isNotNull)
+      .select(
+        col(d.idColumn).cast("long").as("id"),
+        col(d.vectorColumn).cast("array<double>").as("v"),
+        col(LineageColumn).cast("long").as("fid"))
+      .as[(Long, Array[Double], Long)]
+  }
+
+  private def writeAssigned(ctx: IndexBuildContext,
+      src: org.apache.spark.sql.Dataset[(Long, Array[Double], Long)],
+      centroids: Array[Array[Double]], d: IvfIndexDescriptor): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assigned = src
+      .map { case (id, v, fid) => (id, v, fid, nearest(bc.value, v)) }
+      .toDF("id", "v", "fid", CellColumn)
+      .withColumnRenamed("id", d.idColumn)
+      .withColumnRenamed("v", d.vectorColumn)
+      .withColumnRenamed("fid", LineageColumn)
+    assigned
+      .repartition(col(CellColumn))
+      .write.mode("overwrite")
+      .partitionBy(CellColumn)
+      .parquet(ctx.dataPath)
+    bc.destroy()
+    assigned
+  }
+
+  /** Persist the codebook inline or as a sidecar, clearing tombstones —
+    * every caller of this has just (re)written the full corpus. */
+  private def finishDescriptor(ctx: IndexBuildContext,
+      centroids: Array[Array[Double]], schemaJson: String,
+      d: IvfIndexDescriptor): IvfIndexDescriptor = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    if (centroids.length * dim <= inlineMax(spark))
+      d.copy(centroids = centroids.map(_.toSeq).toSeq,
+        centroidsPath = None, tombstones = Nil, schemaJson = schemaJson)
+    else {
+      // sidecar AFTER the data write (the partitioned overwrite above
+      // would wipe anything already inside the version dir)
+      val path = ctx.dataPath + "/" + CodebookDir
+      centroids.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      d.copy(centroids = Nil, centroidsPath = Some(path),
+        tombstones = Nil, schemaJson = schemaJson)
+    }
+  }
+
   def build(ctx: IndexBuildContext, source: DataFrame,
       d: IvfIndexDescriptor): IndexDescriptor = {
     val spark = ctx.spark
     import spark.implicits._
-    // rows without a vector cannot be clustered or found: skip them
-    // (mirrors search, which filters zero/absent-norm vectors)
-    val src = source
-      .filter(col(d.vectorColumn).isNotNull)
-      .select(
-        col(d.idColumn).cast("long").as("id"),
-        col(d.vectorColumn).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
+    val src = srcWithLineage(ctx, source, d)
 
     // deterministic seeds: smallest (hash, id) — same null-vector filter
     // as the clustering pass, or a vectorless row whose hash ranks in the
@@ -125,7 +224,7 @@ object IvfBuild {
     (0 until d.maxIter).foreach { _ =>
       val bc = spark.sparkContext.broadcast(centroids)
       val means: Map[Int, Array[Double]] = src
-        .map { case (_, v) => (nearest(bc.value, v), (v, 1L)) }
+        .map { case (_, v, _) => (nearest(bc.value, v), (v, 1L)) }
         .groupByKey(_._1)
         .reduceGroups { (a, b) =>
           val (sa, na) = a._2; val (sb, nb) = b._2
@@ -142,53 +241,23 @@ object IvfBuild {
         means.getOrElse(c, centroids(c)))
     }
 
-    val bcFinal = spark.sparkContext.broadcast(centroids)
-    val assigned = src
-      .map { case (id, v) => (id, v, nearest(bcFinal.value, v)) }
-      .toDF("id", "v", CellColumn)
-      .withColumnRenamed("id", d.idColumn)
-      .withColumnRenamed("v", d.vectorColumn)
-    assigned
-      .repartition(col(CellColumn))
-      .write.mode("overwrite")
-      .partitionBy(CellColumn)
-      .parquet(ctx.dataPath)
-    bcFinal.destroy()
-
-    d.copy(centroids = centroids.map(_.toSeq).toSeq,
-      schemaJson = assigned.schema.json)
+    val assigned = writeAssigned(ctx, src, centroids, d)
+    finishDescriptor(ctx, centroids, assigned.schema.json, d)
   }
 
-  /** Appended-only incremental refresh in MERGE mode: new vectors are
-    * assigned with the EXISTING codebook (no retrain) and ONLY their cell
-    * files are written to the new version dir — old cell files stay in
-    * place untouched, so the refresh reads and writes O(appended), never
-    * O(index). Readers union the version dirs via [[readIndexData]];
-    * small-file accumulation across refreshes is `optimize`'s job. */
+  /** Appended-only slice of an incremental refresh in MERGE mode: new
+    * vectors are assigned with the EXISTING codebook (no retrain) and
+    * ONLY their cell files are written to the new version dir — old cell
+    * files stay in place untouched, so the refresh reads and writes
+    * O(appended), never O(index). Readers union the version dirs via
+    * [[readIndexData]]; small-file accumulation is `optimize`'s job. */
   def appendIncremental(
       ctx: IndexBuildContext,
       appendedSource: DataFrame,
-      d: IvfIndexDescriptor): IndexDescriptor = {
-    val spark = ctx.spark
-    import spark.implicits._
-    val centroids = d.centroids.map(_.toArray).toArray
+      d: IvfIndexDescriptor): IvfIndexDescriptor = {
+    val centroids = centroidsOf(ctx.spark, d)
     require(centroids.nonEmpty, "incremental refresh needs a trained codebook")
-    val bc = spark.sparkContext.broadcast(centroids)
-    appendedSource
-      .filter(col(d.vectorColumn).isNotNull)
-      .select(
-        col(d.idColumn).cast("long").as("id"),
-        col(d.vectorColumn).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, v, nearest(bc.value, v)) }
-      .toDF("id", "v", CellColumn)
-      .withColumnRenamed("id", d.idColumn)
-      .withColumnRenamed("v", d.vectorColumn)
-      .repartition(col(CellColumn))
-      .write.mode("overwrite")
-      .partitionBy(CellColumn)
-      .parquet(ctx.dataPath)
-    bc.destroy()
+    writeAssigned(ctx, srcWithLineage(ctx, appendedSource, d), centroids, d)
     d
   }
 

@@ -41,7 +41,8 @@ object IvfSearch {
     require(!Set("qid", "qv", "qn", "nn", "probe_cell", "cosine", "rank")
         .contains(d.idColumn),
       s"IVF id column '${d.idColumn}' collides with a search output column")
-    val centroids = d.centroids.map(_.toArray).toArray
+    // inline for small k, parquet sidecar for large (driver-side load)
+    val centroids = IvfBuild.centroidsOf(spark, d)
     require(centroids.nonEmpty, s"index '${entry.name}' has no codebook")
     val probe = math.min(math.max(1, nProbe), centroids.length)
 
@@ -65,7 +66,13 @@ object IvfSearch {
     // reader invariant (IndexManager): content may span version dirs
     // after merge-mode refreshes — each dir carries its own basePath for
     // the cell partition column, so read per-dir and union
-    val data = IvfBuild.readIndexData(spark, entry.content)
+    val base = IvfBuild.readIndexData(spark, entry.content)
+    // deleted source files are TOMBSTONED (no data rewrite): anti-filter
+    // their rows via the lineage column; `optimize` compacts them away
+    val live =
+      if (d.tombstones.isEmpty) base
+      else base.filter(!col(IvfBuild.LineageColumn).isin(d.tombstones: _*))
+    val data = live
       .select(col(d.idColumn), col(d.vectorColumn).cast("array<double>").as("nv"),
         col(IvfBuild.CellColumn))
       .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))

@@ -142,6 +142,111 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("deleted source files tombstone: no rebuild, search excludes them") {
+    val sys = Files.createTempDirectory("graft-ivf-del-").toString
+    val src = Files.createTempDirectory("graft-ivf-delsrc-").toString
+    spark.conf.set(GraftConf.SystemPathKey, sys)
+    try {
+      val g = new Graft(spark)
+      embeddings.filter(col("vec_id") % 2 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(src)
+      embeddings.filter(col("vec_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(src)
+      g.createIndex(spark.read.parquet(src),
+        IvfIndexConfig("ann_del", "vec_id", "embedding", k = 4, maxIter = 2))
+      val before = g.indexManager.getIndexes().head
+      val codebook = before.descriptor.asInstanceOf[IvfIndexDescriptor].centroids
+
+      // index data files on disk before the delete
+      def indexDataFiles(): Map[String, (Long, Long)] = {
+        val root = g.indexManager.indexRoot("ann_del")
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val it = fs.listFiles(root, true)
+        val b = Map.newBuilder[String, (Long, Long)]
+        while (it.hasNext) {
+          val s = it.next()
+          if (!s.getPath.getName.startsWith("_") &&
+              !s.getPath.toString.contains("_graft_log"))
+            b += s.getPath.toString -> ((s.getLen, s.getModificationTime))
+        }
+        b.result()
+      }
+      val filesBefore = indexDataFiles()
+
+      // drop the file holding the ODD vectors
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val oddFile = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .find(p => spark.read.parquet(p.toString)
+          .filter(col("vec_id") % 2 === 1).count() > 0).get
+      fs.delete(oddFile, false)
+
+      g.refreshIndex("ann_del", "incremental")
+      val after = g.indexManager.getIndexes().head
+      val d = after.descriptor.asInstanceOf[IvfIndexDescriptor]
+      // no retrain, no data rewrite — a delete is metadata-only
+      assert(d.centroids == codebook, "delete must not retrain the codebook")
+      assert(d.tombstones.nonEmpty, "deleted file ids should be tombstoned")
+      assert(indexDataFiles() == filesBefore,
+        "a delete-only refresh must not touch index data files")
+
+      // search over EVEN queries never surfaces an odd (deleted) neighbor
+      val queries = embeddings.filter(col("vec_id") % 2 === 0).limit(10)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      val hits = g.annSearch("ann_del", queries, topK = 5, nProbe = 4)
+        .select(col("vec_id")).collect().map(_.getLong(0))
+      assert(hits.nonEmpty && hits.forall(_ % 2 == 0),
+        s"tombstoned vectors surfaced: ${hits.filter(_ % 2 == 1).toSeq}")
+
+      // optimize compacts the tombstones away; search unchanged
+      val beforeOpt = hits.toSeq.sorted
+      g.optimizeIndex("ann_del", "full")
+      val dOpt = g.indexManager.getIndexes().head
+        .descriptor.asInstanceOf[IvfIndexDescriptor]
+      assert(dOpt.tombstones.isEmpty, "optimize should clear tombstones")
+      val afterOpt = g.annSearch("ann_del", queries, topK = 5, nProbe = 4)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq.sorted
+      assert(afterOpt.nonEmpty && afterOpt.forall(_ % 2 == 0))
+    } finally {
+      spark.conf.unset(GraftConf.SystemPathKey)
+      rules.IndexCatalog.invalidate(spark)
+    }
+  }
+
+  test("large codebooks move to a parquet sidecar; search results identical") {
+    withGraft { g =>
+      // force the sidecar at toy scale: inline budget of 64 doubles,
+      // k=4 × 64 dims = 256 doubles > 64
+      spark.conf.set(IvfBuild.InlineMaxKey, "64")
+      try {
+        g.createIndex(embeddings, IvfIndexConfig("ann_side", "vec_id",
+          "embedding", k = 4, maxIter = 2))
+        val side = g.indexManager.getIndexes().head
+        val dSide = side.descriptor.asInstanceOf[IvfIndexDescriptor]
+        assert(dSide.centroids.isEmpty && dSide.centroidsPath.nonEmpty,
+          "codebook should have moved to the sidecar")
+        // the log entry stays compact: no centroid array in the JSON
+        val entryJson = JsonCodec.write(side)
+        assert(entryJson.length < 20000, s"log entry bloated: ${entryJson.length}")
+
+        // identical data + deterministic training ⇒ sidecar and inline
+        // codebooks agree, so searches must return identical rows
+        spark.conf.set(IvfBuild.InlineMaxKey, "1000000")
+        g.createIndex(embeddings, IvfIndexConfig("ann_line", "vec_id",
+          "embedding", k = 4, maxIter = 2))
+        val queries = embeddings.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qv"))
+        def rows(idx: String) = g.annSearch(idx, queries, topK = 3, nProbe = 2)
+          .select(col("qid"), col("vec_id"), col("rank"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(rows("ann_side") == rows("ann_line"))
+      } finally spark.conf.unset(IvfBuild.InlineMaxKey)
+    }
+  }
+
   test("vacuum reclaims outdated IVF versions despite nested cell dirs") {
     withGraft { g =>
       g.createIndex(embeddings, IvfIndexConfig("ann_vac", "vec_id", "embedding",
