@@ -63,13 +63,24 @@ class GoldenPlanSpec extends AnyFunSuite {
       assert(Files.exists(file),
         s"golden plan missing: $file (run with GRAFT_REGEN_GOLDEN=1)")
       val expected = new String(Files.readAllBytes(file), StandardCharsets.UTF_8)
-      assert(actual == expected,
-        s"""plan shape changed for $name.
-           |If intentional, regenerate with GRAFT_REGEN_GOLDEN=1.
-           |--- approved ---
-           |$expected
-           |--- actual ---
-           |$actual""".stripMargin)
+      if (actual != expected) {
+        // actionable one-line diff: name the query and the FIRST divergent
+        // plan node, with a little context — not two full plan dumps
+        val exp = expected.linesIterator.toVector
+        val act = actual.linesIterator.toVector
+        val i = exp.zipAll(act, "<absent>", "<absent>")
+          .indexWhere { case (e, a) => e != a }
+        def ctx(v: Vector[String]) =
+          v.slice(math.max(0, i - 1), i + 2).mkString("\n    ")
+        fail(
+          s"""plan shape changed for $name at line ${i + 1}:
+             |  approved:
+             |    ${ctx(exp)}
+             |  actual:
+             |    ${ctx(act)}
+             |(${exp.size} approved lines vs ${act.size} actual; if intentional,
+             |regenerate with GRAFT_REGEN_GOLDEN=1 — full plans in $file)""".stripMargin)
+      }
     }
   }
 
