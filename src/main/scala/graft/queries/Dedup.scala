@@ -296,10 +296,119 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  // -------------------------------------------- duplicate-cluster closure
+  /** Connected components over the SimHash near-dup graph: pairs within
+    * Hamming distance 3 become edges, components are closed transitively,
+    * and each document maps to its cluster's CANONICAL id (the minimum
+    * doc_id in the component) — the cluster/keep-one step every real
+    * dedup pipeline runs after pair generation (pairs alone under-remove:
+    * A~B and B~C must collapse A,B,C together even when A!~C).
+    *
+    * Scale shape: iterative min-label propagation — each round is one
+    * shuffle join of the (node,label) frame with the edge list plus a
+    * min-aggregate, and the label sum is monotonically decreasing so
+    * convergence is a cheap scalar check per round. Rounds needed = graph
+    * diameter, which for near-dup clusters is small (they are
+    * quasi-cliques); a worst-case chain-heavy graph would switch this to
+    * the large-star/small-star algorithm (same join building blocks,
+    * O(log n) rounds guaranteed). Edges and labels are tiny relative to
+    * the corpus (pairs only), so every per-round frame broadcasts or
+    * shuffles in one partition wave at 100 TB corpus scale. */
+  def qDedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.SimHashFunctions._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fp = docs.select(col("doc_id"),
+      simhash60(tokenHashes60(tokens(col("text")))).as("simhash"))
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))
+              .as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint per round TRUNCATES LINEAGE — without it the plan
+    // of round r embeds all r-1 previous rounds and the driver dies
+    // optimizing an exponentially growing tree (the standard iterative-
+    // graph pitfall; a cluster deployment would use a reliable checkpoint
+    // dir instead of local blocks)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("label"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
+    var converged = prevSum == 0L // empty graph: nothing to propagate
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val next = labels.as("l")
+        .join(edges.as("e"), col("e.dst") === col("l.node"))
+        .select(col("e.src").as("node"), col("l.label").as("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum // labels only decrease: equal sum = fixpoint
+      prevSum = s
+      rounds += 1
+    }
+    labels
+      .select(col("node").as("doc_id"), col("label").cast(LongType).as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupComponentsSql: String = {
+    val bitTerms = (0 until 60).map { b =>
+      s"""CASE WHEN list_sum(list_transform(hs,
+         | h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         | THEN ${1L << b} ELSE 0 END""".stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS key FROM fp"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(${sqlTokens("text")},
+       |      t -> ${sqlTokenHash("t")})) AS hs
+       |  FROM documents),
+       |fp AS (SELECT doc_id, $bitTerms AS simhash FROM base),
+       |bands AS (
+       |  $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION SELECT d2, d1 FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT DISTINCT src AS node, src AS label FROM edges
+       |  UNION
+       |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node)
+       |SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "dedup_exact" -> (qDedupExact _, qDedupExactSql),
     "dedup_ngram_jaccard" -> (qNgramJaccard _, qNgramJaccardSql),
     "dedup_minhash_lsh" -> (qMinHashLsh _, qMinHashLshSql),
     "dedup_simhash" -> (qSimHash _, qSimHashSql),
-    "dedup_simhash_pairs" -> (qSimHashPairs _, qSimHashPairsSql))
+    "dedup_simhash_pairs" -> (qSimHashPairs _, qSimHashPairsSql),
+    "dedup_components" -> (qDedupComponents _, qDedupComponentsSql))
 }
