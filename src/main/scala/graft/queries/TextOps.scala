@@ -198,10 +198,59 @@ object TextOps {
        |ORDER BY doc_freq DESC, token
        |LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------- keyword search
+  /** Fixed query terms for the keyword-search operator — chosen from the
+    * corpus vocabulary so the query selects data at every SF. */
+  val KeywordTerms = Seq("vector", "hash", "filter")
+
+  /** Multi-term keyword search: per-document term frequencies for a fixed
+    * query-term set, ranked by (#matched terms, total tf, doc_id), top 20.
+    *
+    * Scale shape: a pure map stage computes the per-term tf vector from
+    * the token array (codegen `filter`/`size`, no explode — the doc never
+    * leaves its partition), then `TakeOrdered(20)` — partial top-k on
+    * every partition, 20 rows to the driver. Integer ranking keys keep it
+    * engine-exact (BM25-style scoring would add floating log/division —
+    * the tf/df components computed here are exactly its inputs). */
+  def qKeywordTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = tokens(col("text"))
+    val tfCols = KeywordTerms.map(t =>
+      size(filter(toks, x => x === t)).cast(LongType).as(s"tf_$t"))
+    val withTf = docs.select(col("doc_id") +: tfCols: _*)
+    val matched = KeywordTerms.map(t =>
+      when(col(s"tf_$t") > 0L, 1L).otherwise(0L)).reduce(_ + _)
+    val totalTf = KeywordTerms.map(t => col(s"tf_$t")).reduce(_ + _)
+    withTf
+      .withColumn("matched", matched)
+      .withColumn("total_tf", totalTf)
+      .filter(col("matched") > 0L)
+      .orderBy(col("matched").desc, col("total_tf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val qKeywordTopKSql: String = {
+    val tfExprs = KeywordTerms.map(t =>
+      s"CAST(len(list_filter(${sqlTokens("text")}, x -> x = '$t')) AS BIGINT) AS tf_$t")
+    val matched = KeywordTerms.map(t =>
+      s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    val total = KeywordTerms.map(t => s"tf_$t").mkString(" + ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, ${tfExprs.mkString(", ")} FROM documents)
+       |SELECT doc_id, ${KeywordTerms.map(t => s"tf_$t").mkString(", ")},
+       |  CAST($matched AS BIGINT) AS matched,
+       |  CAST($total AS BIGINT) AS total_tf
+       |FROM tf
+       |WHERE $matched > 0
+       |ORDER BY matched DESC, total_tf DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats" -> (qTextStats _, qTextStatsSql),
     "text_lang_id" -> (qLangId _, qLangIdSql),
     "text_fingerprint" -> (qFingerprint _, qFingerprintSql),
     "text_bpe_tokens" -> (qBpeTokens _, qBpeTokensSql),
-    "text_heavy_hitters" -> (qHeavyHitters _, qHeavyHittersSql))
+    "text_heavy_hitters" -> (qHeavyHitters _, qHeavyHittersSql),
+    "text_keyword_topk" -> (qKeywordTopK _, qKeywordTopKSql))
 }
