@@ -176,6 +176,14 @@ final class IndexManager(spark: SparkSession) {
       // file not in content, then any v__ dir with no data files left.
       val referencedFiles = latest.content.filePaths.toSet
       val currentRoot = new Path(latest.content.root).getName
+      // a live codebook sidecar can outlive its version dir's data files
+      // (frozen codebook + later compaction moved all data elsewhere):
+      // its host dir must never be reaped while the descriptor points at it
+      val protectedDirs: Set[String] = latest.descriptor match {
+        case iv: graft.index.ivf.IvfIndexDescriptor =>
+          iv.centroidsPath.map(p => new Path(p).getParent.getName).toSet
+        case _ => Set.empty
+      }
       val f = fs(root)
       // hidden-dir descendants (codebook sidecar parts) are NOT data
       // files: treating them as stale would delete a live codebook
@@ -194,7 +202,8 @@ final class IndexManager(spark: SparkSession) {
           val (kept, stale) = dataFiles(dir.getPath)
             .partition(p => referencedFiles.contains(p.toString))
           stale.foreach(p => f.delete(p, false))
-          if (kept.isEmpty && dir.getPath.getName != currentRoot)
+          if (kept.isEmpty && dir.getPath.getName != currentRoot &&
+              !protectedDirs.contains(dir.getPath.getName))
             f.delete(dir.getPath, true)
         }
     }
@@ -384,11 +393,12 @@ final class IndexManager(spark: SparkSession) {
       }
       val (small, kept) = latest.descriptor match {
         case _: covering.CoveringIndexDescriptor |
-             _: dataskipping.DataSkippingIndexDescriptor =>
+             _: dataskipping.DataSkippingIndexDescriptor |
+             _: graft.index.ivf.IvfIndexDescriptor =>
           latest.content.files.partition(_.size < threshold)
         case _ =>
-          // globally-laid-out kinds (z-order clustering, IVF cells) are
-          // rebuilt whole — mixing kept files with a full rewrite would
+          // globally-laid-out kinds (z-order clustering) are rebuilt
+          // whole — mixing kept files with a full rewrite would
           // duplicate rows
           (latest.content.files, Nil)
       }
@@ -397,7 +407,7 @@ final class IndexManager(spark: SparkSession) {
         val version = nextVersion(name)
         val dataPath = dataVersionPath(name, version)
         val ctx = IndexBuildContext(spark, dataPath.toString, tracker)
-        val compactInput = spark.read.parquet(small.map(_.path): _*)
+        lazy val compactInput = spark.read.parquet(small.map(_.path): _*)
         val newDescriptor = latest.descriptor match {
           case ci: covering.CoveringIndexDescriptor =>
             // rows re-hash to their original bucket ids (same key columns,
@@ -408,6 +418,17 @@ final class IndexManager(spark: SparkSession) {
             ci
           case ds: dataskipping.DataSkippingIndexDescriptor =>
             dataskipping.DataSkippingBuild.write(ctx, compactInput, ds)
+          case iv: graft.index.ivf.IvfIndexDescriptor =>
+            // cells are independent: small cell files (merge-refresh
+            // accumulation) compact per cell with the CODEBOOK UNTOUCHED —
+            // no retrain, cost O(small files). Tombstoned rows are
+            // physically dropped from the rewritten slice; the tombstone
+            // list clears only when NOTHING was kept (kept files may
+            // still hold dead rows the search filter must keep masking).
+            // Retraining belongs to refreshIndex("full").
+            graft.index.ivf.IvfBuild.compactCells(
+              ctx, ContentMeta(latest.content.root, small), iv)
+            if (kept.isEmpty) iv.copy(tombstones = Nil) else iv
           case other =>
             // z-order re-cluster: rebuild from the LOGGED file set, not a
             // fresh listing — optimize must never fold in source drift

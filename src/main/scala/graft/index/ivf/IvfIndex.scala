@@ -261,6 +261,26 @@ object IvfBuild {
     d
   }
 
+  /** Per-cell compaction for `optimize`: merge the given (small) cell
+    * files into one file wave per cell in the new version dir, codebook
+    * untouched — cells are independent, so this never retrains and never
+    * reads the kept large files. Tombstoned rows are physically dropped
+    * from the rewritten slice (they are dead either way; the caller keeps
+    * the tombstone list while any un-rewritten file remains). */
+  def compactCells(ctx: IndexBuildContext,
+      smallContent: graft.index.ContentMeta,
+      d: IvfIndexDescriptor): Unit = {
+    val in = readIndexData(ctx.spark, smallContent)
+    val live =
+      if (d.tombstones.isEmpty) in
+      else in.filter(!col(LineageColumn).isin(d.tombstones: _*))
+    live
+      .repartition(col(CellColumn))
+      .write.mode("overwrite")
+      .partitionBy(CellColumn)
+      .parquet(ctx.dataPath)
+  }
+
   /** Read IVF index data whose content spans version dirs (after
     * merge-mode refreshes). The `graft__cell=` partition column lives in
     * the directory layout, so each version dir needs its own `basePath`;

@@ -247,6 +247,78 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("quick optimize compacts cell files without retraining") {
+    val sys = Files.createTempDirectory("graft-ivf-opt-").toString
+    val src = Files.createTempDirectory("graft-ivf-optsrc-").toString
+    spark.conf.set(GraftConf.SystemPathKey, sys)
+    try {
+      val g = new Graft(spark)
+      val embeddingsDf = embeddings
+      embeddingsDf.filter(col("vec_id") % 3 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(src)
+      g.createIndex(spark.read.parquet(src),
+        IvfIndexConfig("ann_opt", "vec_id", "embedding", k = 4, maxIter = 2))
+      // two merge refreshes → three file generations per touched cell
+      embeddingsDf.filter(col("vec_id") % 3 === 1).coalesce(1)
+        .write.mode("append").parquet(src)
+      g.refreshIndex("ann_opt", "incremental")
+      embeddingsDf.filter(col("vec_id") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(src)
+      g.refreshIndex("ann_opt", "incremental")
+      val before = g.indexManager.getIndexes().head
+      val codebook = before.descriptor.asInstanceOf[IvfIndexDescriptor].centroids
+      assert(before.content.files.size > 4, "expected accumulated cell files")
+
+      g.optimizeIndex("ann_opt") // quick: everything is tiny at test scale
+      val after = g.indexManager.getIndexes().head
+      val d = after.descriptor.asInstanceOf[IvfIndexDescriptor]
+      assert(d.centroids == codebook, "optimize must not retrain")
+      assert(after.content.files.size < before.content.files.size)
+      val data = IvfBuild.readIndexData(spark, after.content)
+      assert(data.count() == spark.read.parquet(src).count())
+      // still searchable, all rows reachable
+      val queries = embeddingsDf.limit(4)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      assert(g.annSearch("ann_opt", queries, topK = 3, nProbe = 4).count() == 12)
+    } finally {
+      spark.conf.unset(GraftConf.SystemPathKey)
+      rules.IndexCatalog.invalidate(spark)
+    }
+  }
+
+  test("codebook sidecar survives optimize + vacuum of its version dir") {
+    val sys = Files.createTempDirectory("graft-ivf-sopt-").toString
+    val src = Files.createTempDirectory("graft-ivf-soptsrc-").toString
+    spark.conf.set(GraftConf.SystemPathKey, sys)
+    spark.conf.set(IvfBuild.InlineMaxKey, "64") // force the sidecar
+    try {
+      val g = new Graft(spark)
+      embeddings.coalesce(2).write.mode("overwrite").parquet(src)
+      g.createIndex(spark.read.parquet(src),
+        IvfIndexConfig("ann_sv", "vec_id", "embedding", k = 4, maxIter = 2))
+      val d0 = g.indexManager.getIndexes().head
+        .descriptor.asInstanceOf[IvfIndexDescriptor]
+      assert(d0.centroidsPath.nonEmpty)
+
+      // full optimize moves ALL data files out of v__0; the sidecar stays
+      g.optimizeIndex("ann_sv", "full")
+      g.vacuumIndex("ann_sv")
+      val side = new org.apache.hadoop.fs.Path(d0.centroidsPath.get)
+      val fs = side.getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.exists(side),
+        s"vacuum deleted the live codebook sidecar at $side")
+      val queries = embeddings.limit(3)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      assert(g.annSearch("ann_sv", queries, topK = 2, nProbe = 4).count() == 6)
+    } finally {
+      spark.conf.unset(GraftConf.SystemPathKey)
+      spark.conf.unset(IvfBuild.InlineMaxKey)
+      rules.IndexCatalog.invalidate(spark)
+    }
+  }
+
   test("vacuum reclaims outdated IVF versions despite nested cell dirs") {
     withGraft { g =>
       g.createIndex(embeddings, IvfIndexConfig("ann_vac", "vec_id", "embedding",
