@@ -97,4 +97,28 @@ class PlanAuditSpec extends AnyFunSuite {
     // one pass over documents: no self-joins, no repeated scans
     assert(scans.size == 1, s"expected 1 scan of documents, got ${scans.size}")
   }
+
+  test("sample_stratified: one scan, partial+final aggregate, no extra shuffle") {
+    val nodes = executed(SparkEntry.queries("sample_stratified")(spark, TestSpark.sfDir))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"expected 1 scan of orders, got ${scans.size}")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    // allowed: the stratum aggregate + the presentation sort
+    assert(shuffles <= 2, s"sampling should not shuffle raw rows: $shuffles")
+    val aggs = nodes.count(n => n.isInstanceOf[HashAggregateExec] ||
+      n.isInstanceOf[ObjectHashAggregateExec])
+    assert(aggs >= 2, s"expected partial+final aggregation, found $aggs")
+  }
+
+  test("text_keyword_topk: map-only tf + partial top-k (TakeOrdered)") {
+    val q = SparkEntry.queries("text_keyword_topk")(spark, TestSpark.sfDir)
+    val nodes = executed(q)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "ranked limit should plan as TakeOrderedAndProject (partial per-partition top-k)")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "keyword scoring must not shuffle the corpus")
+  }
 }

@@ -102,7 +102,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q_rollup", "q_set_ops", "q_semi_anti", "q_window_top_parts",
     "q_events_daily", "q_event_sessions",
     "text_stats", "text_lang_id", "text_fingerprint", "text_bpe_tokens",
-    "text_heavy_hitters",
+    "text_heavy_hitters", "text_keyword_topk",
+    "sample_stratified", "q_percentiles_disc",
     "dedup_exact", "dedup_simhash",
     "sim_brute_topk", "sim_lsh_buckets").foreach { q =>
     test(s"golden plan: $q") { check(q) }
