@@ -41,11 +41,22 @@ object Bench {
 
     def jsonMap(entries: Seq[(String, String)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // full JSON string escape incl. control chars: exception messages are
+    // routinely multi-line, and a raw \n would both break the one-line
+    // stdout contract and make the JSON unparseable
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val ok = timed.filter(_._3.isEmpty)
     val medians = ok.map { case (n, ts, _) => n -> ts(ts.size / 2) }
     val mins = ok.map { case (n, ts, _) => n -> ts.head }
-    val errs = timed.collect { case (n, _, Some(e)) =>
-      n -> ("\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"") }
+    val errs = timed.collect { case (n, _, Some(e)) => n -> jsonStr(e) }
     val total = medians.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""passes":$Passes,""" +

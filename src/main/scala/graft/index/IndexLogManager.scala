@@ -101,40 +101,48 @@ final class IndexLogManager(indexRoot: Path, hadoopConf: Configuration) {
         fs.mkdirs(logDir)
         val claim = java.nio.file.Paths.get(
           new Path(logDir, s"$id.claim").toUri.getPath)
-        // per-writer nonce written INTO the claim: the final rename is
-        // fenced on still owning the claim, so a writer paused past the
-        // staleness window (GC/NFS stall) that got reclaimed aborts
-        // instead of silently replacing the reclaimer's entry
+        // per-writer nonce written INTO the claim ATOMICALLY with its
+        // creation (CREATE_NEW: open(O_EXCL)+write in one call, no
+        // separate write a stalled writer could replay later over a
+        // reclaimer's nonce): the final rename is fenced on still owning
+        // the claim, so a writer paused past the staleness window
+        // (GC/NFS stall) that got reclaimed aborts instead of silently
+        // replacing the reclaimer's entry
         val nonce = java.util.UUID.randomUUID().toString
+        val nonceBytes = nonce.getBytes(StandardCharsets.UTF_8)
         def ownsClaim: Boolean =
           try new String(java.nio.file.Files.readAllBytes(claim),
             StandardCharsets.UTF_8) == nonce
           catch { case _: java.io.IOException => false }
-        try java.nio.file.Files.createFile(claim)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            // A crashed writer (claimed, never renamed) must not wedge the
-            // id forever: reclaim claims older than the staleness window
-            // when no final entry exists. In-flight writers finish in
-            // milliseconds; one paused longer loses the nonce fence above.
-            val staleMs = 60000L
-            val age = System.currentTimeMillis() -
+        def claimWithNonce(): Boolean =
+          try {
+            java.nio.file.Files.write(claim, nonceBytes,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        if (!claimWithNonce()) {
+          // A crashed writer (claimed, never renamed) must not wedge the
+          // id forever: reclaim claims older than the staleness window
+          // when no final entry exists. In-flight writers finish in
+          // milliseconds; one paused longer loses the nonce fence above.
+          val staleMs = 60000L
+          val age =
+            try System.currentTimeMillis() -
               java.nio.file.Files.getLastModifiedTime(claim).toMillis
-            if (fs.exists(idPath(id)) || age < staleMs) return false
-            // retire the stale claim by ATOMIC RENAME, never delete:
-            // delete+recreate would let a second reclaimer delete the
-            // first one's FRESH claim and both would "win". Rename can
-            // succeed for exactly one contender; everyone then races on
-            // a normal createFile with single-owner semantics.
-            val retired = claim.resolveSibling(
-              s"$id.claim.stale${System.nanoTime()}")
-            try java.nio.file.Files.move(claim, retired)
-            catch { case _: java.nio.file.NoSuchFileException => () }
-            try java.nio.file.Files.createFile(claim)
-            catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+            catch { case _: java.io.IOException => 0L }
+          if (fs.exists(idPath(id)) || age < staleMs) return false
+          // retire the stale claim by ATOMIC RENAME, never delete:
+          // delete+recreate would let a second reclaimer delete the
+          // first one's FRESH claim and both would "win". Rename can
+          // succeed for exactly one contender; everyone then races on
+          // a create-no-overwrite with single-owner semantics.
+          val retired = claim.resolveSibling(
+            s"$id.claim.stale${System.nanoTime()}")
+          try java.nio.file.Files.move(claim, retired)
+          catch { case _: java.nio.file.NoSuchFileException => () }
+          if (!claimWithNonce()) return false
         }
-        java.nio.file.Files.write(claim,
-          nonce.getBytes(StandardCharsets.UTF_8))
         try {
           // pure-nio tmp write: going through ChecksumFileSystem here would
           // strand a stale .crc for the tmp name after the rename

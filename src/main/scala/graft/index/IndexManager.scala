@@ -470,14 +470,38 @@ final class IndexManager(spark: SparkSession) {
       .load(r.rootPaths: _*)
   }
 
-  /** Read a specific subset of a logged relation's files. */
+  /** Read a specific subset of a logged relation's files.
+    *
+    * Partition-column VALUES live in the directory layout, not the
+    * parquet footers — loading bare file paths would fill them with NULL
+    * (and a merge-mode refresh would then write those NULLs into the
+    * index). Files are grouped under the logged root that contains them
+    * and each group is read with that root as `basePath`, mirroring the
+    * query-time appended leg (ScanSubstitution.appendedLeg). */
   private def readFiles(entry: IndexLogEntry, paths: Seq[String]): DataFrame = {
     val r = entry.relations.head
-    spark.read
-      .schema(DataType.fromJson(r.schemaJson).asInstanceOf[StructType])
-      .format(r.format)
-      .options(r.options.filter { case (k, _) => k.toLowerCase != "path" })
-      .load(paths: _*)
+    val roots = r.rootPaths.map(new Path(_))
+    def isAncestor(root: Path, p: Path): Boolean = {
+      var cur = p
+      while (cur != null) {
+        if (cur == root) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    def readGroup(base: String, files: Seq[String]): DataFrame =
+      spark.read
+        .schema(DataType.fromJson(r.schemaJson).asInstanceOf[StructType])
+        .format(r.format)
+        .options(r.options.filter { case (k, _) => k.toLowerCase != "path" } +
+          ("basePath" -> base))
+        .load(files: _*)
+    paths.groupBy { p =>
+      val hp = new Path(p)
+      roots.find(isAncestor(_, hp)).getOrElse(roots.head).toString
+    }.toSeq.sortBy(_._1)
+      .map { case (base, files) => readGroup(base, files) }
+      .reduce(_.unionByName(_))
   }
 
   // ------------------------------------------------------------ listing

@@ -352,7 +352,13 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = prevSum == 0L // empty graph: nothing to propagate
     var rounds = 0
-    while (!converged && rounds < 25) {
+    // termination is guaranteed: the label sum strictly decreases every
+    // non-converged round (labels only move down), so rounds <= graph
+    // diameter <= node count. The valve below is a sanity bound that
+    // THROWS — silently returning an under-merged clustering would
+    // diverge from the exact recursive-CTE oracle.
+    val maxRounds = 10000
+    while (!converged && rounds < maxRounds) {
       val next = labels.as("l")
         .join(edges.as("e"), col("e.dst") === col("l.node"))
         .select(col("e.src").as("node"), col("l.label").as("label"))
@@ -366,6 +372,7 @@ object Dedup {
       prevSum = s
       rounds += 1
     }
+    require(converged, s"component propagation did not converge in $maxRounds rounds")
     labels
       .select(col("node").as("doc_id"), col("label").cast(LongType).as("component"))
       .orderBy(col("doc_id"))
