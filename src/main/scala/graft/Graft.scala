@@ -90,14 +90,30 @@ class Graft(spark: SparkSession) {
     // correctness trap — demand a refresh instead. This guards BOTH a
     // recorded quick-refresh delta and raw un-refreshed drift (live
     // file-listing diff, like covering candidate collection does).
-    require(entry.update.isEmpty,
-      s"IVF index '$indexName' has a recorded source delta (quick refresh);" +
-        " run refreshIndex(name, \"incremental\") before searching")
-    val (appended, deleted) = manager.sourceDrift(entry)
-    require(appended.isEmpty && deleted.isEmpty,
-      s"IVF index '$indexName' is stale: source has ${appended.size} appended" +
-        s" and ${deleted.size} deleted files since the last refresh;" +
-        " run refreshIndex(name, \"incremental\") before searching")
+    // The drift listing is a full driver-side source walk — expensive on
+    // object stores and advisory anyway (a file can land right after the
+    // check) — so a clean verdict is cached per (index, log id) for
+    // cacheTtlMs under the default `cached` mode; `strict` relists every
+    // call, `off` skips the guard.
+    val staleMode = graft.index.GraftConf.ivfStaleCheck(spark)
+    if (staleMode != "off") {
+      require(entry.update.isEmpty,
+        s"IVF index '$indexName' has a recorded source delta (quick refresh);" +
+          " run refreshIndex(name, \"incremental\") before searching")
+      val cacheKey = (graft.index.GraftConf.systemPath(spark), indexName, entry.id)
+      val ttlNs = graft.index.GraftConf.cacheTtlMs(spark) * 1000000L
+      val now = System.nanoTime()
+      val fresh = staleMode == "cached" &&
+        Option(Graft.driftVerdicts.get(cacheKey)).exists(t => now - t < ttlNs)
+      if (!fresh) {
+        val (appended, deleted) = manager.sourceDrift(entry)
+        require(appended.isEmpty && deleted.isEmpty,
+          s"IVF index '$indexName' is stale: source has ${appended.size} appended" +
+            s" and ${deleted.size} deleted files since the last refresh;" +
+            " run refreshIndex(name, \"incremental\") before searching")
+        Graft.driftVerdicts.put(cacheKey, now)
+      }
+    }
     graft.index.ivf.IvfSearch.search(spark, entry, queries, topK, nProbe)
   }
 
@@ -117,6 +133,13 @@ class Graft(spark: SparkSession) {
 }
 
 object Graft {
+  /** Clean source-drift verdicts: (systemPath, indexName, logId) → nanos
+    * of the last listing that found zero drift (see annSearch). Bounded
+    * by the number of live IVF indexes; entries for superseded log ids
+    * are never consulted again. */
+  private[graft] val driftVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), Long]()
+
   /** SparkSession convenience syntax. */
   implicit class GraftSparkSessionOps(val spark: SparkSession) extends AnyVal {
     def enableGraft(): SparkSession = {

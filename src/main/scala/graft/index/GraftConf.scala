@@ -28,6 +28,15 @@ object GraftConf {
   def cacheTtlMs(spark: SparkSession): Long =
     spark.conf.getOption(CacheTtlKey).map(_.toLong).getOrElse(10000L)
 
+  /** IVF staleness guard on annSearch: `strict` relists the source every
+    * call, `cached` (default) reuses a clean verdict for cacheTtlMs,
+    * `off` skips the listing entirely (for hot search paths where the
+    * caller owns refresh discipline). */
+  val IvfStaleCheckKey = "spark.graft.index.ivf.staleCheck"
+
+  def ivfStaleCheck(spark: SparkSession): String =
+    spark.conf.getOption(IvfStaleCheckKey).getOrElse("cached").toLowerCase
+
   val HybridScanKey = "spark.graft.index.hybridscan.enabled"
   val HybridMaxAppendedKey = "spark.graft.index.hybridscan.maxAppendedRatio"
   val HybridMaxDeletedKey = "spark.graft.index.hybridscan.maxDeletedRatio"

@@ -145,9 +145,12 @@ final class IndexLogManager(indexRoot: Path, hadoopConf: Configuration) {
         }
         try {
           // pure-nio tmp write: going through ChecksumFileSystem here would
-          // strand a stale .crc for the tmp name after the rename
+          // strand a stale .crc for the tmp name after the rename. The tmp
+          // name carries OUR nonce: a stalled original writer and a
+          // reclaimer each stage to their own file, so neither can truncate
+          // the other's in-flight entry or delete it in an abort path.
           val tmp = java.nio.file.Paths.get(
-            new Path(logDir, s"$id.tmp").toUri.getPath)
+            new Path(logDir, s"$id.$nonce.tmp").toUri.getPath)
           java.nio.file.Files.write(tmp,
             JsonCodec.write(entry.copy(id = id)).getBytes(StandardCharsets.UTF_8))
           // fence: if the claim no longer carries our nonce we were
@@ -156,9 +159,28 @@ final class IndexLogManager(indexRoot: Path, hadoopConf: Configuration) {
             java.nio.file.Files.deleteIfExists(tmp)
             return false
           }
-          java.nio.file.Files.move(tmp,
-            java.nio.file.Paths.get(idPath(id).toUri.getPath),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          val dest = java.nio.file.Paths.get(idPath(id).toUri.getPath)
+          try {
+            // commit by hard-link: atomic AND fails if the final file
+            // already exists, unlike rename (which silently replaces and
+            // left a check→move window where a reclaimed writer waking
+            // after the ownsClaim check could overwrite the reclaimer's
+            // committed entry)
+            java.nio.file.Files.createLink(dest, tmp)
+            java.nio.file.Files.deleteIfExists(tmp)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              java.nio.file.Files.deleteIfExists(tmp)
+              return false
+            case _: UnsupportedOperationException =>
+              // no-hardlink FS: fall back to the fenced atomic rename
+              if (!ownsClaim) {
+                java.nio.file.Files.deleteIfExists(tmp)
+                return false
+              }
+              java.nio.file.Files.move(tmp, dest,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
         } catch {
           case NonFatal(e) =>
             // failure BEFORE the final file exists: release the claim so a

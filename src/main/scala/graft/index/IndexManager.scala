@@ -480,15 +480,6 @@ final class IndexManager(spark: SparkSession) {
     * query-time appended leg (ScanSubstitution.appendedLeg). */
   private def readFiles(entry: IndexLogEntry, paths: Seq[String]): DataFrame = {
     val r = entry.relations.head
-    val roots = r.rootPaths.map(new Path(_))
-    def isAncestor(root: Path, p: Path): Boolean = {
-      var cur = p
-      while (cur != null) {
-        if (cur == root) return true
-        cur = cur.getParent
-      }
-      false
-    }
     def readGroup(base: String, files: Seq[String]): DataFrame =
       spark.read
         .schema(DataType.fromJson(r.schemaJson).asInstanceOf[StructType])
@@ -496,10 +487,7 @@ final class IndexManager(spark: SparkSession) {
         .options(r.options.filter { case (k, _) => k.toLowerCase != "path" } +
           ("basePath" -> base))
         .load(files: _*)
-    paths.groupBy { p =>
-      val hp = new Path(p)
-      roots.find(isAncestor(_, hp)).getOrElse(roots.head).toString
-    }.toSeq.sortBy(_._1)
+    SourcePaths.groupByRoot(r.rootPaths, paths)
       .map { case (base, files) => readGroup(base, files) }
       .reduce(_.unionByName(_))
   }

@@ -270,16 +270,23 @@ object IvfBuild {
   def compactCells(ctx: IndexBuildContext,
       smallContent: graft.index.ContentMeta,
       d: IvfIndexDescriptor): Unit = {
-    val in = readIndexData(ctx.spark, smallContent)
-    val live =
-      if (d.tombstones.isEmpty) in
-      else in.filter(!col(LineageColumn).isin(d.tombstones: _*))
+    val live = antiTombstone(readIndexData(ctx.spark, smallContent), d)
     live
       .repartition(col(CellColumn))
       .write.mode("overwrite")
       .partitionBy(CellColumn)
       .parquet(ctx.dataPath)
   }
+
+  /** Drop tombstoned rows. NULL-safe: under `!isin` alone, SQL
+    * three-valued logic silently drops any NULL-lineage row, and index
+    * data written before lineage existed has no such column at all —
+    * both must be RETAINED (a row we cannot attribute to a deleted file
+    * is live until a rewrite proves otherwise). */
+  def antiTombstone(df: DataFrame, d: IvfIndexDescriptor): DataFrame =
+    if (d.tombstones.isEmpty || !df.columns.contains(LineageColumn)) df
+    else df.filter(col(LineageColumn).isNull ||
+      !col(LineageColumn).isin(d.tombstones: _*))
 
   /** Read IVF index data whose content spans version dirs (after
     * merge-mode refreshes). The `graft__cell=` partition column lives in
@@ -294,6 +301,10 @@ object IvfBuild {
       var p = new org.apache.hadoop.fs.Path(path)
       while (p.getParent != null && !p.getName.startsWith("v__"))
         p = p.getParent
+      if (!p.getName.startsWith("v__"))
+        throw new IllegalStateException(
+          s"IVF index file $path has no v__N version-dir ancestor — " +
+            "content metadata is corrupt")
       p.toString
     }
     content.filePaths.groupBy(versionDir).toSeq.sortBy(_._1)

@@ -68,10 +68,9 @@ object IvfSearch {
     // the cell partition column, so read per-dir and union
     val base = IvfBuild.readIndexData(spark, entry.content)
     // deleted source files are TOMBSTONED (no data rewrite): anti-filter
-    // their rows via the lineage column; `optimize` compacts them away
-    val live =
-      if (d.tombstones.isEmpty) base
-      else base.filter(!col(IvfBuild.LineageColumn).isin(d.tombstones: _*))
+    // their rows via the lineage column (NULL-safe — see antiTombstone);
+    // `optimize` compacts them away
+    val live = IvfBuild.antiTombstone(base, d)
     val data = live
       .select(col(d.idColumn), col(d.vectorColumn).cast("array<double>").as("nv"),
         col(IvfBuild.CellColumn))

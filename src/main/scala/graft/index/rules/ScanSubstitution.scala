@@ -188,28 +188,18 @@ object ScanSubstitution {
         // basePath must be an ANCESTOR of every loaded file: a multi-root
         // source (spark.read.parquet(a, b)) gets one load per root, with
         // each appended file grouped under the root that contains it
-        val roots = rel.rootPaths.map(new Path(_))
-        def isAncestor(root: Path, p: Path): Boolean = {
-          var cur = p
-          while (cur != null) {
-            if (cur == root) return true
-            cur = cur.getParent
-          }
-          false
-        }
-        val grouped = m.appended.groupBy { f =>
-          val p = new Path(f.path)
-          roots.find(isAncestor(_, p)).getOrElse(roots.head).toString
-        }
-        grouped.toSeq.sortBy(_._1).map { case (base, files) =>
-          spark.read
-            .schema(hfs.dataSchema)
-            .format(rel.format)
-            .options(rel.options.filter { case (k, _) => k.toLowerCase != "path" } +
-              ("basePath" -> base) +
-              (IndexCandidates.IndexRelationMarker -> entry.name))
-            .load(files.map(_.path): _*)
-        }.reduce(_.unionByName(_))
+        // (qualification-tolerant match — see SourcePaths.groupByRoot)
+        graft.index.SourcePaths
+          .groupByRoot(rel.rootPaths, m.appended.map(_.path))
+          .map { case (base, files) =>
+            spark.read
+              .schema(hfs.dataSchema)
+              .format(rel.format)
+              .options(rel.options.filter { case (k, _) => k.toLowerCase != "path" } +
+                ("basePath" -> base) +
+                (IndexCandidates.IndexRelationMarker -> entry.name))
+              .load(files: _*)
+          }.reduce(_.unionByName(_))
           .queryExecution.analyzed
       }
     val appendedCols = refCols.zip(targetTypes).map { case (c, dt) =>

@@ -96,12 +96,28 @@ object StreamingQueries {
     val glob = Tables.path(sfDir, "events") + "*"
     val gapMs = 1800L * 1000L
 
-    val maxNs = spark.read.schema(rawSchema).parquet(glob)
-      .agg(max(col("ts"))).head().getLong(0)
+    val maxRow = spark.read.schema(rawSchema).parquet(glob)
+      .agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0)) {
+      // empty source: no sessions, and no stream to run
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("session_start",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("session_end",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_events",
+            org.apache.spark.sql.types.LongType))))
+    }
+    val maxNs = maxRow.getLong(0)
     // sentinel ts: gap (30 min) + watermark delay (10 min) + slack
     val sentinelNs = maxNs + 2L * 3600L * 1000000000L
-    val sentinelDir = java.nio.file.Files
-      .createTempDirectory("graft-sess-sentinel-").toString
+    val sentinelPath = java.nio.file.Files
+      .createTempDirectory("graft-sess-sentinel-")
+    val sentinelDir = sentinelPath.toString
     spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
           -1L, sentinelNs, -1L, "sentinel", 0.0, "{}")), 1), rawSchema)
@@ -122,7 +138,17 @@ object StreamingQueries {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally {
+      // the sentinel parquet dir is per-run scratch — delete it so
+      // repeated invocations in one JVM don't accumulate temp dirs
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(sentinelPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
 
     val result = spark.table(name)
       .filter(col("user_id") >= 0L) // drop the sentinel's open session
