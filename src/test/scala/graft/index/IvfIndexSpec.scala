@@ -337,4 +337,55 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(g.annSearch("ann_vac", queries, topK = 2, nProbe = 4).count() == 6)
     }
   }
+
+  test("antiTombstone retains NULL-lineage and lineage-less rows") {
+    import spark.implicits._
+    val d = IvfIndexDescriptor("id", "v", k = 2, maxIter = 1,
+      centroids = Seq(Seq(0.0), Seq(1.0)), schemaJson = "",
+      tombstones = Seq(7L))
+    // lineage present: tombstoned id dropped, NULL lineage RETAINED
+    // (three-valued logic under a bare `!isin` would silently drop it)
+    val withLineage = Seq(
+      (1L, Some(7L)), (2L, Some(8L)), (3L, Option.empty[Long]))
+      .toDF("id", IvfBuild.LineageColumn)
+    val kept = IvfBuild.antiTombstone(withLineage, d)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+    // no lineage column at all (pre-lineage index data): untouched
+    val legacy = Seq(1L, 2L).toDF("id")
+    assert(IvfBuild.antiTombstone(legacy, d).count() == 2)
+  }
+
+  test("staleCheck modes: cached verdict serves, strict relists, off skips") {
+    // source in a writable temp dir so we can drift it after indexing
+    val srcDir = Files.createTempDirectory("graft-ivf-src-").toString
+    embeddings.limit(200).write.mode("overwrite").parquet(srcDir)
+    withGraft { g =>
+      g.createIndex(spark.read.parquet(srcDir),
+        IvfIndexConfig("ann_stale", "vec_id", "embedding", k = 4, maxIter = 1))
+      val queries = embeddings.limit(2)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      // clean search caches a clean-drift verdict (default mode = cached)
+      assert(g.annSearch("ann_stale", queries, topK = 2, nProbe = 4)
+        .count() == 4)
+      // drift the source: append new files
+      embeddings.limit(10).write.mode("append").parquet(srcDir)
+      // cached: verdict still fresh (TTL 10s) — search serves without relist
+      assert(g.annSearch("ann_stale", queries, topK = 2, nProbe = 4)
+        .count() == 4)
+      // strict: relists and refuses the stale index
+      spark.conf.set(GraftConf.IvfStaleCheckKey, "strict")
+      try {
+        val ex = intercept[IllegalArgumentException] {
+          g.annSearch("ann_stale", queries, topK = 2, nProbe = 4)
+        }
+        assert(ex.getMessage.contains("stale"))
+        // off: search proceeds against the indexed snapshot regardless
+        spark.conf.set(GraftConf.IvfStaleCheckKey, "off")
+        assert(g.annSearch("ann_stale", queries, topK = 2, nProbe = 4)
+          .count() == 4)
+      } finally spark.conf.unset(GraftConf.IvfStaleCheckKey)
+    }
+  }
 }
