@@ -58,7 +58,20 @@ object Bench {
     val mins = ok.map { case (n, ts, _) => n -> ts.head }
     val errs = timed.collect { case (n, _, Some(e)) => n -> jsonStr(e) }
     val total = medians.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    // The driver keeps only the LAST 2000 chars of stdout (an sbt
+    // "[success] ..." line lands after us inside that window) and parses
+    // the JSON from there — rounds 1/3/4 lost their bench numbers because
+    // full-precision doubles + a duplicate queries_min map pushed the line
+    // past the window and truncated its head. The stdout line therefore
+    // carries 3-decimal medians only; full precision + per-pass mins go to
+    // bench_out.json.
+    def short(v: Double): String = f"$v%.3f"
+    val json = s"""{"metric":"total","value":${short(total)},"unit":"sec",""" +
+      s""""passes":$Passes,""" +
+      s""""queries":${jsonMap(medians.map { case (k, v) => k -> short(v) })},""" +
+      s""""err":${jsonMap(errs)},""" +
+      s""""sf":"$sfDir"}"""
+    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""passes":$Passes,""" +
       s""""queries":${jsonMap(medians.map { case (k, v) => k -> v.toString })},""" +
       s""""queries_min":${jsonMap(mins.map { case (k, v) => k -> v.toString })},""" +
@@ -68,7 +81,7 @@ object Bench {
     // plus a file copy so a prefix-mangled capture can still be recovered
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+      java.nio.file.Paths.get("bench_out.json"), jsonFull + "\n")
     spark.stop()
   }
 }

@@ -24,12 +24,14 @@ object IndexAccel {
   private def sqlMoneySum(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
 
-  /** Per-sfDir system path so indexes built at one scale factor never
-    * leak into another. */
+  /** Per-(sfDir, numBuckets) system path so indexes built at one scale
+    * factor or bucket config never leak into another — a 32-bucket Bench
+    * build and a 4-bucket test build must not reuse each other's layout. */
   private def ensureSystemPath(spark: SparkSession, sfDir: String): Unit = {
     val h = Integer.toHexString(sfDir.hashCode)
+    val b = GraftConf.numBuckets(spark)
     spark.conf.set(GraftConf.SystemPathKey,
-      sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_accel_$h")
+      sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_accel_${h}_b$b")
   }
 
   private def ensureIndex(spark: SparkSession, sfDir: String,
