@@ -78,8 +78,8 @@ object PlanAnalysis {
 
   private def notAppliedReasons(
       e: IndexLogEntry,
-      leaves: Seq[LogicalRelation],
-      candidates: Map[LogicalRelation, Seq[CandidateMatch]],
+      leaves: Seq[LogicalPlan],
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       resolver: org.apache.spark.sql.catalyst.analysis.Resolver,
       plan: LogicalPlan): String = {
       val reasons = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -108,7 +108,7 @@ object PlanAnalysis {
 
   private def shapeReasons(
       plan: LogicalPlan,
-      leaf: LogicalRelation,
+      leaf: LogicalPlan,
       m: CandidateMatch,
       resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Seq[String] = {
     val filters = plan.collect {

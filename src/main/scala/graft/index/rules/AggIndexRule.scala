@@ -26,7 +26,7 @@ object AggIndexRule extends GraftIndexRule {
   override def apply(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[CandidateMatch]],
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
     val agg = plan match {
       case a: Aggregate => a

@@ -21,7 +21,7 @@ object DataSkippingRule extends GraftIndexRule {
   override def apply(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[CandidateMatch]],
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
     val filter = plan match {
       case f: Filter => f

@@ -25,7 +25,7 @@ trait GraftIndexRule {
   def apply(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[CandidateMatch]],
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)]
 }
 
@@ -57,15 +57,17 @@ object FilterIndexRule extends GraftIndexRule {
   override def apply(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[CandidateMatch]],
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
     val (projectOpt, filter) = plan match {
       case p @ Project(_, f: Filter) => (Some(p), f)
       case f: Filter => (None, f)
       case _ => return None
     }
+    // any provider-recognized leaf qualifies — file-based sources are
+    // LogicalRelation; a table-format source (Iceberg) is a DSv2 leaf
     val rel = filter.child match {
-      case r: LogicalRelation if candidates.contains(r) => r
+      case r if r.children.isEmpty && candidates.contains(r) => r
       case _ => return None
     }
     if (!filter.condition.deterministic) return None
@@ -169,7 +171,7 @@ object JoinIndexRule extends GraftIndexRule {
   override def apply(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[CandidateMatch]],
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
     val join = plan match {
       case j @ Join(_, _, Inner, Some(_), hint) if hint == JoinHint.NONE => j
@@ -245,19 +247,20 @@ object JoinIndexRule extends GraftIndexRule {
 
   private def joinSide(
       spark: SparkSession,
-      rel: LogicalRelation,
+      rel: LogicalPlan,
       m: CandidateMatch): LogicalPlan =
     if (m.isExact)
       ScanSubstitution.indexScan(spark, rel, m.entry, useBucketSpec = true)
     else
       ScanSubstitution.hybridBucketedScan(spark, rel, m)
 
-  /** The single file-based relation under a linear Project/Filter chain. */
+  /** The single provider-recognized leaf under a linear Project/Filter
+    * chain. */
   private def linearRelation(
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[CandidateMatch]]): Option[LogicalRelation] =
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]]): Option[LogicalPlan] =
     plan match {
-      case r: LogicalRelation => candidates.get(r).map(_ => r)
+      case r if r.children.isEmpty => candidates.get(r).map(_ => r)
       case p: Project => linearRelation(p.child, candidates)
       case f: Filter if f.condition.deterministic => linearRelation(f.child, candidates)
       case _ => None
@@ -265,7 +268,7 @@ object JoinIndexRule extends GraftIndexRule {
 
   private def coveringEligible(
       matches: Seq[CandidateMatch],
-      rel: LogicalRelation): Seq[(CandidateMatch, CoveringIndexDescriptor)] =
+      rel: LogicalPlan): Seq[(CandidateMatch, CoveringIndexDescriptor)] =
     matches.collect {
       // hybrid appended legs compute flattened columns from the source's
       // struct paths (ScanSubstitution.appendedLeg), so nested indexes
@@ -342,10 +345,10 @@ object JoinIndexRule extends GraftIndexRule {
   private def substitute(
       spark: SparkSession,
       plan: LogicalPlan,
-      target: LogicalRelation,
+      target: LogicalPlan,
       replacement: LogicalPlan): LogicalPlan =
     plan.transformUp {
-      case r: LogicalRelation if r.fastEquals(target) =>
+      case r if r.fastEquals(target) =>
         val covered = r.output.filter(a => replacement.outputSet.contains(a))
         if (replacement.output.map(_.exprId) == covered.map(_.exprId)) replacement
         else Project(covered, replacement)
@@ -365,7 +368,7 @@ object ScoreBasedOptimizer {
   def optimize(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[CandidateMatch]]): LogicalPlan = {
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]]): LogicalPlan = {
     val memo = mutable.HashMap.empty[LogicalPlan, (LogicalPlan, Int)]
 
     def rec(p: LogicalPlan): (LogicalPlan, Int) = memo.getOrElseUpdate(p, {

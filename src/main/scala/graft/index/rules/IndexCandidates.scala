@@ -47,8 +47,11 @@ object IndexCandidates {
   /** Marker option set on relations we created — never re-index those. */
   val IndexRelationMarker = "graft.indexrelation"
 
-  def isIndexRelation(l: LogicalRelation): Boolean = l.relation match {
-    case h: HadoopFsRelation => h.options.contains(IndexRelationMarker)
+  def isIndexRelation(p: LogicalPlan): Boolean = p match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation => h.options.contains(IndexRelationMarker)
+      case _ => false
+    }
     case _ => false
   }
 
@@ -79,7 +82,7 @@ object IndexCandidates {
   def collect(
       spark: SparkSession,
       plan: LogicalPlan,
-      indexes: Seq[IndexLogEntry]): Map[LogicalRelation, Seq[CandidateMatch]] = {
+      indexes: Seq[IndexLogEntry]): Map[LogicalPlan, Seq[CandidateMatch]] = {
     val resolver = spark.sessionState.conf.resolver
     val hybridEnabled = GraftConf.hybridScanEnabled(spark)
     val maxAppendedRatio = GraftConf.hybridMaxAppendedRatio(spark)

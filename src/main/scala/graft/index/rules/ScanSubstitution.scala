@@ -34,7 +34,7 @@ object ScanSubstitution {
     * (covering or z-order descriptor). */
   def indexScan(
       spark: SparkSession,
-      original: LogicalRelation,
+      original: LogicalPlan,
       entry: IndexLogEntry,
       useBucketSpec: Boolean): LogicalRelation = {
     val (schemaJson, bucketSpec) = entry.descriptor match {
@@ -66,11 +66,12 @@ object ScanSubstitution {
       options = Map(IndexCandidates.IndexRelationMarker -> entry.name))(spark)
 
     val resolver = spark.sessionState.conf.resolver
-    val output = indexSchema.fields.toIndexedSeq.map { f =>
-      original.output
-        .find(a => resolver(a.name, f.name))
-        .getOrElse(AttributeReference(f.name, f.dataType, f.nullable)())
-    }
+    val output: Seq[AttributeReference] =
+      indexSchema.fields.toIndexedSeq.map { f =>
+        original.output
+          .collectFirst { case a: AttributeReference if resolver(a.name, f.name) => a }
+          .getOrElse(AttributeReference(f.name, f.dataType, f.nullable)())
+      }
     new LogicalRelation(relation, output, None, false, None)
   }
 
@@ -92,7 +93,7 @@ object ScanSubstitution {
    */
   def hybridScan(
       spark: SparkSession,
-      original: LogicalRelation,
+      original: LogicalPlan,
       m: CandidateMatch): LogicalPlan = {
     val entry = m.entry
     // covering-style descriptors only (covering or z-order); deletes need
@@ -117,7 +118,7 @@ object ScanSubstitution {
     * physical names. */
   private def indexLegProjected(
       spark: SparkSession,
-      original: LogicalRelation,
+      original: LogicalPlan,
       m: CandidateMatch,
       refCols: Seq[String],
       useBucketSpec: Boolean): Project = {
@@ -159,15 +160,26 @@ object ScanSubstitution {
    */
   private def appendedLeg(
       spark: SparkSession,
-      original: LogicalRelation,
+      original: LogicalPlan,
       entry: IndexLogEntry,
       m: CandidateMatch,
       refCols: Seq[String],
       targetTypes: Seq[org.apache.spark.sql.types.DataType]): LogicalPlan = {
     val resolver = spark.sessionState.conf.resolver
-    val hfs = original.relation.asInstanceOf[HadoopFsRelation]
+    // file-based sources clone their HadoopFsRelation; a table-format
+    // leaf (DSv2 Iceberg) has none, so its appended files are read
+    // directly through spark.read from the LOGGED relation metadata —
+    // Iceberg/Delta data files are plain parquet underneath
+    val hfsOpt = original match {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => Some((l, h))
+        case _ => None
+      }
+      case _ => None
+    }
     val appendedRel: LogicalPlan =
-      if (hfs.partitionSchema.isEmpty) {
+      if (hfsOpt.exists(_._2.partitionSchema.isEmpty)) {
+        val (orig, hfs) = hfsOpt.get
         val appendedLocation = new InMemoryFileIndex(
           spark,
           m.appended.map(f => new Path(f.path)),
@@ -180,11 +192,18 @@ object ScanSubstitution {
           options = hfs.options +
             (IndexCandidates.IndexRelationMarker -> entry.name))(spark)
         new LogicalRelation(appendedHfs,
-          original.output.map(a =>
+          orig.output.map(a =>
             AttributeReference(a.name, a.dataType, a.nullable)()),
           None, false, None)
       } else {
         val rel = entry.relations.head
+        val dataSchema = hfsOpt.map(_._2.dataSchema).getOrElse(
+          org.apache.spark.sql.types.DataType.fromJson(rel.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        val readFormat = rel.format match {
+          case "iceberg" | "delta" => "parquet"
+          case f => f
+        }
         // basePath must be an ANCESTOR of every loaded file: a multi-root
         // source (spark.read.parquet(a, b)) gets one load per root, with
         // each appended file grouped under the root that contains it
@@ -193,8 +212,8 @@ object ScanSubstitution {
           .groupByRoot(rel.rootPaths, m.appended.map(_.path))
           .map { case (base, files) =>
             spark.read
-              .schema(hfs.dataSchema)
-              .format(rel.format)
+              .schema(dataSchema)
+              .format(readFormat)
               .options(rel.options.filter { case (k, _) => k.toLowerCase != "path" } +
                 ("basePath" -> base) +
                 (IndexCandidates.IndexRelationMarker -> entry.name))
@@ -241,7 +260,7 @@ object ScanSubstitution {
    */
   def hybridBucketedScan(
       spark: SparkSession,
-      original: LogicalRelation,
+      original: LogicalPlan,
       m: CandidateMatch): LogicalPlan = {
     val entry = m.entry
     val d = entry.descriptor.asInstanceOf[CoveringIndexDescriptor]

@@ -20,7 +20,7 @@ object ZOrderFilterIndexRule extends GraftIndexRule {
   override def apply(
       spark: SparkSession,
       plan: LogicalPlan,
-      candidates: Map[LogicalRelation, Seq[CandidateMatch]],
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
     val (projectOpt, filter) = plan match {
       case p @ Project(_, f: Filter) => (Some(p), f)
@@ -28,7 +28,7 @@ object ZOrderFilterIndexRule extends GraftIndexRule {
       case _ => return None
     }
     val rel = filter.child match {
-      case r: LogicalRelation if candidates.contains(r) => r
+      case r if r.children.isEmpty && candidates.contains(r) => r
       case _ => return None
     }
     if (!filter.condition.deterministic) return None

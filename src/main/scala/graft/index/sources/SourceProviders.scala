@@ -22,8 +22,11 @@ import graft.index.{FileMeta, Signatures}
  * stats; reference: sources/delta/DeltaLakeRelation.scala:34-45).
  */
 trait SourceLeaf {
-  /** The relation node rewrite rules substitute. */
-  def plan: LogicalRelation
+  /** The leaf node rewrite rules substitute. File-based providers return
+    * a `LogicalRelation`; table-format providers (Iceberg) may return a
+    * DSv2 relation — the rules key candidates by this node and swap it
+    * for the index scan wholesale. */
+  def plan: LogicalPlan
   def rootPaths: Seq[String]
   def schemaJson: String
   def format: String
