@@ -15,7 +15,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
+    // Optional comma-separated query filter (local iteration only; the
+    // driver always runs the full suite).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     val timed = names.map { name =>
       def run(): Unit = SparkEntry.queries(name)(spark, sfDir).count()

@@ -34,6 +34,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracleSql keys without queries: $extra")
   }
 
+  test("dedup_components: local union-find == distributed propagation") {
+    // the adaptive threshold picks driver union-find on small edge lists;
+    // force the distributed pointer-doubling path and assert identical
+    // (doc_id, component) output
+    val local = graft.queries.Dedup.qDedupComponents(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "-1")
+    try {
+      val dist = graft.queries.Dedup.qDedupComponents(spark, TestSpark.sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(local.nonEmpty && local == dist)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
   test("queries produce data (not degenerate empty results) at sf0.001") {
     // every hashed comparison is meaningless on empty results; make sure
     // the filters actually select data at the smallest SF
