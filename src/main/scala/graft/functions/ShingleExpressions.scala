@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * `shingle_hashes60(tokens, p)` — distinct 3-token shingles of a token
+ * `shingle_hashes60(tokens, p[, n])` — distinct n-token shingles (default 3) of a token
  * array, each hashed to `md5-prefix-60 mod p`, in ONE pass.
  *
  * Semantically identical to the composed form the text operators started
@@ -30,11 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * This expression builds each window into one reused buffer, dedupes via
  * a per-row hash set, and digests in place; the generated code is a
  * single static call, so the projection stays inside whole-stage codegen.
+ * Returns an empty array for fewer than n tokens.
  */
-case class ShingleHashes60(child: Expression, p: Long)
+case class ShingleHashes60(child: Expression, p: Long, n: Int = 3)
   extends UnaryExpression {
 
   require(p > 0, "modulus must be positive")
+  require(n >= 1, "shingle width must be >= 1")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -53,7 +55,7 @@ case class ShingleHashes60(child: Expression, p: Long)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) ShingleHashes60.empty
-    else ShingleHashes60.compute(v.asInstanceOf[ArrayData], p)
+    else ShingleHashes60.compute(v.asInstanceOf[ArrayData], p, n)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -63,7 +65,7 @@ case class ShingleHashes60(child: Expression, p: Long)
         ${c.code}
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           ${c.isNull} ? graft.functions.ShingleHashes60.empty()
-          : graft.functions.ShingleHashes60.compute(${c.value}, ${p}L);
+          : graft.functions.ShingleHashes60.compute(${c.value}, ${p}L, ${n});
       """,
       isNull = FalseLiteral)
   }
@@ -81,19 +83,20 @@ object ShingleHashes60 {
     * never mutate ArrayData, so one instance serves every row. */
   def empty(): ArrayData = EmptyResult
 
-  def compute(toks: ArrayData, p: Long): ArrayData = {
+  def compute(toks: ArrayData, p: Long, width: Int): ArrayData = {
     val n = toks.numElements()
-    if (n < 3) return empty()
+    if (n < width) return empty()
     // dedupe on the shingle STRING (array_distinct parity), keep insertion
     // order (array_distinct keeps first occurrences in order)
     val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    val window = new Array[UTF8String](width)
     var i = 0
-    while (i <= n - 3) {
+    while (i <= n - width) {
+      var j = 0
+      while (j < width) { window(j) = toks.getUTF8String(i + j); j += 1 }
       // UTF8String.concatWs SKIPS null inputs — same as the concat_ws
       // builtin the composed form used
-      seen.add(UTF8String.concatWs(Space,
-        toks.getUTF8String(i), toks.getUTF8String(i + 1),
-        toks.getUTF8String(i + 2)))
+      seen.add(UTF8String.concatWs(Space, window: _*))
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -108,7 +111,11 @@ object ShingleHashes60 {
 }
 
 object ShingleFunctions {
-  /** Column API for [[ShingleHashes60]]. */
+  /** Column API for [[ShingleHashes60]] (3-token shingles). */
   def shingleHashes60(toks: Column, p: Long): Column =
     GraftBridge.column(ShingleHashes60(GraftBridge.expression(toks), p))
+
+  /** [[ShingleHashes60]] with an explicit shingle width. */
+  def shingleHashes60(toks: Column, p: Long, n: Int): Column =
+    GraftBridge.column(ShingleHashes60(GraftBridge.expression(toks), p, n))
 }

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+import graft.queries.TextPrimitives._
+
+/**
+ * Training-data pipeline operators, tranche 3 (beyond the reference —
+ * SURVEY.md §2.6b): corpus quality signals, benchmark decontamination,
+ * token-budget shard packing, and an as-of join.
+ *
+ * Scale design notes per operator are on the methods; every metric/oracle
+ * pair follows the engine-parity rules (BIGINT casts, IEEE-identical
+ * double division, no raw timestamps in hashed output).
+ */
+object Pipeline {
+
+  // -------------------------------------------------- text_quality
+  /** Per-document repetition/quality signals — the Gopher-style filters a
+    * corpus pipeline runs before training: token count, distinct-token
+    * ratio, most-frequent-token share, duplicate-bigram share.
+    *
+    * Scale shape: the array-expression metrics (counts, distinct sizes)
+    * are a pure codegen map over the scan; only the top-token share
+    * needs a (doc_id, token) aggregation, which partial-aggregates
+    * map-side and shuffles one row per distinct token per doc. The final
+    * doc-granular join co-partitions on doc_id. No UDFs, no collect. */
+  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bigrams = expr(
+      "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")
+    val exprMetrics = base.select(
+      col("doc_id"),
+      size(col("toks")).cast(LongType).as("n_tokens"),
+      size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+      when(size(col("toks")) >= 2, size(array_distinct(bigrams)).cast(LongType))
+        .otherwise(0L).as("d_bigram"),
+      when(size(col("toks")) >= 2, (size(col("toks")) - 1).cast(LongType))
+        .otherwise(0L).as("n_bigram"),
+      col("toks"))
+    val topTok = exprMetrics
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).cast(LongType).as("top_cnt"))
+    exprMetrics.drop("toks")
+      .join(topTok, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_cnt"),
+        (col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("distinct_ratio"),
+        (col("top_cnt").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("top_token_ratio"),
+        when(col("n_bigram") > 0L,
+          (col("n_bigram") - col("d_bigram")).cast(DoubleType) /
+            col("n_bigram").cast(DoubleType))
+          .otherwise(0.0).as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextQualitySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |m1 AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |    CAST(CASE WHEN len(toks) >= 2 THEN len(list_distinct(
+       |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
+       |      ELSE 0 END AS BIGINT) AS d_bigram,
+       |    CAST(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS BIGINT)
+       |      AS n_bigram
+       |  FROM base),
+       |top AS (
+       |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_cnt FROM (
+       |    SELECT doc_id, t, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+       |    GROUP BY doc_id, t)
+       |  GROUP BY doc_id)
+       |SELECT m1.doc_id, n_tokens, n_distinct, top_cnt,
+       |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+       |  CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_ratio,
+       |  CASE WHEN n_bigram > 0
+       |    THEN CAST(n_bigram - d_bigram AS DOUBLE) / CAST(n_bigram AS DOUBLE)
+       |    ELSE 0.0 END AS dup_bigram_ratio
+       |FROM m1 JOIN top ON m1.doc_id = top.doc_id
+       |ORDER BY m1.doc_id""".stripMargin
+
+  // ------------------------------------------------ decontam_ngram
+  /** Benchmark decontamination: flag training documents sharing any
+    * 4-token shingle with the held-out benchmark slice (deterministic
+    * `doc_id % 97 = 0`, ~1%). Real pipelines run exactly this shape
+    * before training so eval numbers aren't inflated by leaked data.
+    *
+    * Scale shape: benchmark shingles are the SMALL side (1% of docs,
+    * distinct hashes only) and are broadcast; the corpus streams through
+    * one explode + broadcast-hash-join + per-doc partial aggregate —
+    * never shuffled as full text. Shingle hashing is the fused
+    * [[graft.functions.ShingleHashes60]] codegen pass at width 4. */
+  def qDecontamNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = 4
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sh = docs.select(col("doc_id"),
+      graft.functions.ShingleFunctions
+        .shingleHashes60(tokens(col("text")), HashP, n).as("hs"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("hs")).as("h"), col("doc_id").as("bench_id"))
+      .distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    train.join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).cast(LongType).as("n_bench_docs"),
+        countDistinct(col("h")).cast(LongType).as("n_shared_ngrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDecontamNgramSql: String = {
+    val sh = sqlShinglesN("toks", 4)
+    s"""WITH base AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${sqlShingleHashes(sh)} AS hs FROM base),
+       |bench AS (
+       |  SELECT DISTINCT unnest(hs) AS h, doc_id AS bench_id
+       |  FROM sh WHERE doc_id % 97 = 0),
+       |train AS (
+       |  SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % 97 <> 0)
+       |SELECT t.doc_id,
+       |  CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs,
+       |  CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared_ngrams
+       |FROM train t JOIN bench b ON t.h = b.h
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------- pack_shards
+  /** Token-budget shard packing: documents in deterministic doc_id order
+    * are packed into consecutive training shards of `Budget` tokens —
+    * `shard = floor(preceding-token-sum / Budget)` — the layout step
+    * that turns a filtered corpus into fixed-size training inputs.
+    *
+    * Scale shape: a global running sum WITHOUT a global sort. The corpus
+    * is range-partitioned on doc_id and sorted only within partitions;
+    * per-partition token totals (one row per partition) come back to the
+    * driver, their prefix sums become per-partition offsets, and a
+    * broadcast join + per-partition window finishes the cumulative sum.
+    * This is the standard distributed prefix-sum: the only global data
+    * movement is the range shuffle, and the window never sees more than
+    * one partition — no single-reducer `Window.orderBy` scale-killer. */
+  def qPackShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val Budget = 2048L
+    val nParts = math.max(spark.sparkContext.defaultParallelism / 4, 4)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val parted = docs
+      .repartitionByRange(nParts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per partition — driver-side prefix sum over ~nParts values
+    val perPart = parted.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("psum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = perPart.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
+      (pid, acc + s)
+    }.init.zip(perPart).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "offset")
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    val out = parted.join(broadcast(offDf), "pid")
+      .withColumn("cum", sum(col("n_tokens")).over(w) + col("offset"))
+      // `div`: exact integral division — long/long `/` would detour
+      // through DOUBLE and lose exactness past 2^53 total tokens
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $Budget").cast(LongType).as("shard"))
+      .orderBy(col("doc_id"))
+    // materialized by the caller; persist released by the harness cache clear
+    out
+  }
+
+  val qPackShardsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT doc_id, n_tokens,
+       |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------- q_asof_join
+  /** As-of join — for every purchase event, the most recent click at or
+    * before it by the same user (Spark has no ASOF JOIN operator; this
+    * composes it from a union + running last-non-null, the plan shape
+    * that beats an inequality join at any scale).
+    *
+    * Scale shape: both event types flow through ONE hash shuffle on
+    * user_id and one within-partition sort — the window never crosses
+    * users, so there is no single-reducer bottleneck and no O(n²)
+    * inequality-join explosion. Ties (click and purchase in the same
+    * second) order clicks first — "at or before" semantics — and among
+    * same-second clicks the highest event_id wins, deterministically. */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"),
+        col("ts").cast(LongType).as("sec"),
+        col("event_id"), col("value"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_click_sec",
+        last(when(col("tag") === 0L, col("sec")), ignoreNulls = true).over(w))
+      .withColumn("last_click_value",
+        last(when(col("tag") === 0L, col("value")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1L)
+      .select(col("event_id"), col("user_id"),
+        col("sec").as("purchase_sec"),
+        coalesce(col("last_click_sec"), lit(-1L)).as("click_sec"),
+        coalesce(col("last_click_value"), lit(0.0)).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    event_id, value,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |m AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN tag = 0 THEN sec END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY sec, tag, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_sec,
+      |    last_value(CASE WHEN tag = 0 THEN value END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY sec, tag, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+      |  FROM e)
+      |SELECT event_id, user_id, sec AS purchase_sec,
+      |  COALESCE(last_click_sec, -1) AS click_sec,
+      |  COALESCE(last_click_value, 0.0) AS click_value
+      |FROM m WHERE tag = 1 ORDER BY event_id""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "text_quality" -> (qTextQuality _, qTextQualitySql),
+    "decontam_ngram" -> (qDecontamNgram _, qDecontamNgramSql),
+    "pack_shards" -> (qPackShards _, qPackShardsSql),
+    "q_asof_join" -> (qAsofJoin _, qAsofJoinSql))
+}

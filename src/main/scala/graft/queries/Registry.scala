@@ -10,7 +10,7 @@ object Registry {
 
   def all: Map[String, Entry] =
     Relational.entries ++ Relational2.entries ++ Relational3.entries ++
-      TextOps.entries ++ Sampling.entries ++
+      TextOps.entries ++ Sampling.entries ++ Pipeline.entries ++
       Dedup.entries ++ Similarity.entries ++ IndexAccel.entries ++
       Multimodal.entries ++ graft.streaming.StreamingQueries.entries
 }

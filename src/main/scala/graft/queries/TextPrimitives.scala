@@ -80,6 +80,16 @@ object TextPrimitives {
   def sqlTokenHash(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** DuckDB twin of an n-token shingle set (1-based list indexing,
+    * end-exclusive range) — generic width for the decontamination op. */
+  def sqlShinglesN(toksExpr: String, n: Int): String = {
+    val concat = (0 until n).map(j => s"$toksExpr[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($toksExpr) >= $n THEN
+       | list_distinct(list_transform(range(1, len($toksExpr) - ${n - 2}),
+       |   i -> $concat))
+       | ELSE [] END""".stripMargin.replaceAll("\n", " ")
+  }
+
   /** DuckDB twin of [[shingles3]] (1-based list indexing, end-exclusive range). */
   def sqlShingles3(toksExpr: String): String =
     s"""CASE WHEN len($toksExpr) >= 3 THEN

@@ -111,6 +111,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(aggs >= 2, s"expected partial+final aggregation, found $aggs")
   }
 
+  test("decontam_ngram: benchmark shingles are broadcast, corpus not self-shuffled") {
+    val nodes = planned(SparkEntry.queries("decontam_ngram")(spark, TestSpark.sfDir))
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "benchmark side not broadcast")
+  }
+
+  test("q_asof_join: one user_id hash shuffle, no inequality join") {
+    val nodes = planned(SparkEntry.queries("q_asof_join")(spark, TestSpark.sfDir))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // composed as union + running last-non-null: no join node at all, and
+    // the only shuffles are the user_id window partitioning + output sort
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "as-of must not plan an inequality join")
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 2, s"as-of should shuffle once on user_id (+sort): $shuffles")
+  }
+
+  test("pack_shards: windows are partition-local (no global-sort window)") {
+    val df = SparkEntry.queries("pack_shards")(spark, TestSpark.sfDir)
+    val nodes = executed(df)
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected a window for the running sum")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "running sum must be per-partition (global-order window = single reducer)")
+  }
+
+  test("text_quality: aggregations run partial + final") {
+    val nodes = executed(SparkEntry.queries("text_quality")(spark, TestSpark.sfDir))
+    val aggs = nodes.count(n => n.isInstanceOf[HashAggregateExec] ||
+      n.isInstanceOf[ObjectHashAggregateExec])
+    assert(aggs >= 2, s"expected partial+final aggregation, found $aggs")
+  }
+
   test("text_keyword_topk: map-only tf + partial top-k (TakeOrdered)") {
     val q = SparkEntry.queries("text_keyword_topk")(spark, TestSpark.sfDir)
     val nodes = executed(q)
