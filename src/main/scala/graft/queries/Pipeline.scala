@@ -196,6 +196,55 @@ object Pipeline {
        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- text_rarity
+  /** Corpus-relative token-rarity profile — the unigram-LM "surprisal"
+    * quality filter, computed from EXACT integer statistics (token
+    * corpus-frequencies, their per-doc sum/min, and the count of tokens
+    * rarer than 1/40 of the corpus mass). A float −log2(p) average would
+    * be the textbook form, but `log` is not bit-identical across libm
+    * implementations and float summation is order-sensitive — integer
+    * frequency sums carry the same signal and hash identically in any
+    * engine; the consumer can take logs of the exact sums if it wants
+    * bits.
+    *
+    * Scale shape: two passes — a vocabulary-sized frequency aggregate
+    * (partial+final; vocabulary ≪ corpus), broadcast back onto the
+    * exploded token stream with the corpus total riding a broadcast
+    * single-row cross join (no driver round trip), then one per-doc
+    * partial+final aggregate. The corpus is never self-joined or
+    * shuffled as text. */
+  def qTextRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).as("n"))
+    tok.join(broadcast(freq), "t")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(col("c")).cast(LongType).as("sum_freq"),
+        min(col("c")).cast(LongType).as("min_freq"),
+        countDistinct(when(col("c") * 40L < col("n"), col("t")))
+          .cast(LongType).as("n_rare"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextRaritySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM base),
+       |freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(c) AS BIGINT) AS sum_freq,
+       |  CAST(MIN(c) AS BIGINT) AS min_freq,
+       |  CAST(COUNT(DISTINCT CASE WHEN c * 40 < n THEN t END) AS BIGINT) AS n_rare
+       |FROM tok JOIN freq USING (t) CROSS JOIN tot
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------- q_asof_join
   /** As-of join — for every purchase event, the most recent click at or
     * before it by the same user (Spark has no ASOF JOIN operator; this
@@ -253,6 +302,7 @@ object Pipeline {
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_quality" -> (qTextQuality _, qTextQualitySql),
+    "text_rarity" -> (qTextRarity _, qTextRaritySql),
     "decontam_ngram" -> (qDecontamNgram _, qDecontamNgramSql),
     "pack_shards" -> (qPackShards _, qPackShardsSql),
     "q_asof_join" -> (qAsofJoin _, qAsofJoinSql))
