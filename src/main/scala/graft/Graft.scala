@@ -95,26 +95,66 @@ class Graft(spark: SparkSession) {
     // check) — so a clean verdict is cached per (index, log id) for
     // cacheTtlMs under the default `cached` mode; `strict` relists every
     // call, `off` skips the guard.
-    val staleMode = graft.index.GraftConf.ivfStaleCheck(spark)
-    if (staleMode != "off") {
-      require(entry.update.isEmpty,
-        s"IVF index '$indexName' has a recorded source delta (quick refresh);" +
-          " run refreshIndex(name, \"incremental\") before searching")
-      val cacheKey = (graft.index.GraftConf.systemPath(spark), indexName, entry.id)
-      val ttlNs = graft.index.GraftConf.cacheTtlMs(spark) * 1000000L
-      val now = System.nanoTime()
-      val fresh = staleMode == "cached" &&
-        Option(Graft.driftVerdicts.get(cacheKey)).exists(t => now - t < ttlNs)
-      if (!fresh) {
-        val (appended, deleted) = manager.sourceDrift(entry)
-        require(appended.isEmpty && deleted.isEmpty,
-          s"IVF index '$indexName' is stale: source has ${appended.size} appended" +
-            s" and ${deleted.size} deleted files since the last refresh;" +
-            " run refreshIndex(name, \"incremental\") before searching")
-        Graft.driftVerdicts.put(cacheKey, now)
-      }
-    }
+    requireFresh(entry)
     graft.index.ivf.IvfSearch.search(spark, entry, queries, topK, nProbe)
+  }
+
+  /** Shared staleness gate for the directly-served index kinds (IVF,
+    * MinHash): unlike covering reads — which honor drift via hybrid
+    * scan — these serve results straight from index data, so silently
+    * serving stale results would be a correctness trap. Modes via
+    * `spark.graft.index.ivf.staleCheck`: `cached` (default; a clean
+    * drift listing is cached per (index, log id) for cacheTtlMs),
+    * `strict` (relist every call), `off`. */
+  private def requireFresh(entry: graft.index.IndexLogEntry): Unit = {
+    val staleMode = graft.index.GraftConf.ivfStaleCheck(spark)
+    if (staleMode == "off") return
+    val name = entry.name
+    require(entry.update.isEmpty,
+      s"Index '$name' has a recorded source delta (quick refresh);" +
+        " run refreshIndex(name, \"incremental\") before searching")
+    val cacheKey = (graft.index.GraftConf.systemPath(spark), name, entry.id)
+    val ttlNs = graft.index.GraftConf.cacheTtlMs(spark) * 1000000L
+    val now = System.nanoTime()
+    val fresh = staleMode == "cached" &&
+      Option(Graft.driftVerdicts.get(cacheKey)).exists(t => now - t < ttlNs)
+    if (!fresh) {
+      val (appended, deleted) = manager.sourceDrift(entry)
+      require(appended.isEmpty && deleted.isEmpty,
+        s"Index '$name' is stale: source has ${appended.size} appended" +
+          s" and ${deleted.size} deleted files since the last refresh;" +
+          " run refreshIndex(name, \"incremental\") before searching")
+      Graft.driftVerdicts.put(cacheKey, now)
+    }
+  }
+
+  private def minHashEntry(indexName: String): graft.index.IndexLogEntry =
+    manager.getIndexes(Set(IndexState.Active))
+      .find(e => e.name == indexName &&
+        e.descriptor.isInstanceOf[graft.index.minhash.MinHashIndexDescriptor])
+      .getOrElse(throw new NoSuchElementException(
+        s"MinHash index '$indexName' not found, not ACTIVE, or not a MinHash index"))
+
+  /** All near-duplicate pairs within a MinHash-indexed corpus (see
+    * [[graft.index.minhash.MinHashIndexConfig]]): LSH band collisions
+    * verified by the signature estimate. Returns
+    * (id1, id2, est_jaccard >= minEstJaccard). */
+  def nearDuplicates(indexName: String, minEstJaccard: Double = 0.5): DataFrame = {
+    val entry = minHashEntry(indexName)
+    requireFresh(entry)
+    graft.index.minhash.MinHashSearch.pairs(spark, entry, minEstJaccard)
+  }
+
+  /** Incremental dedup of a NEW batch against a MinHash-indexed corpus —
+    * the batch is signed on the fly; the corpus is never re-signed.
+    * Returns (batch_id, corpus_id, est_jaccard >= minEstJaccard). */
+  def dedupBatch(indexName: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val entry = minHashEntry(indexName)
+    requireFresh(entry)
+    graft.index.minhash.MinHashSearch.dedupAgainst(
+      spark, entry, batch, idCol, textCol, minEstJaccard)
   }
 
   /** Per-data-file min/max envelope + overlap count for one index column

@@ -22,7 +22,8 @@ object JsonCodec {
     classOf[CoveringIndexDescriptor],
     classOf[ZOrderIndexDescriptor],
     classOf[DataSkippingIndexDescriptor],
-    classOf[graft.index.ivf.IvfIndexDescriptor]), "type"))
+    classOf[graft.index.ivf.IvfIndexDescriptor],
+    classOf[graft.index.minhash.MinHashIndexDescriptor]), "type"))
 
   def write(entry: IndexLogEntry): String = Serialization.write(entry)
   def read(json: String): IndexLogEntry = Serialization.read[IndexLogEntry](json)

@@ -357,6 +357,15 @@ final class IndexManager(spark: SparkSession) {
             (merged.copy(
               tombstones = (merged.tombstones ++ deletedIds).distinct),
               latest.content.files)
+          case mh: graft.index.minhash.MinHashIndexDescriptor =>
+            // MERGE mode both ways, same contract as IVF: appended docs
+            // are signed and written as new files only; deleted files
+            // become lineage tombstones — no index data read or rewritten
+            if (appended.nonEmpty)
+              graft.index.minhash.MinHashBuild.appendIncremental(
+                ctx, readFiles(latest, appended.map(_.path)), mh)
+            (mh.copy(tombstones = (mh.tombstones ++ deletedIds).distinct),
+              latest.content.files)
           case other =>
             // z-order clustering is global: incremental == full rebuild
             (other.build(ctx, source), Nil)
@@ -394,7 +403,8 @@ final class IndexManager(spark: SparkSession) {
       val (small, kept) = latest.descriptor match {
         case _: covering.CoveringIndexDescriptor |
              _: dataskipping.DataSkippingIndexDescriptor |
-             _: graft.index.ivf.IvfIndexDescriptor =>
+             _: graft.index.ivf.IvfIndexDescriptor |
+             _: graft.index.minhash.MinHashIndexDescriptor =>
           latest.content.files.partition(_.size < threshold)
         case _ =>
           // globally-laid-out kinds (z-order clustering) are rebuilt
@@ -429,6 +439,13 @@ final class IndexManager(spark: SparkSession) {
             graft.index.ivf.IvfBuild.compactCells(
               ctx, ContentMeta(latest.content.root, small), iv)
             if (kept.isEmpty) iv.copy(tombstones = Nil) else iv
+          case mh: graft.index.minhash.MinHashIndexDescriptor =>
+            // signature rows are independent: plain small-file rewrite,
+            // tombstoned rows dropped from the rewritten slice; the list
+            // clears only when nothing was kept (same contract as IVF)
+            graft.index.minhash.MinHashBuild.compact(
+              ctx, ContentMeta(latest.content.root, small), mh)
+            if (kept.isEmpty) mh.copy(tombstones = Nil) else mh
           case other =>
             // z-order re-cluster: rebuild from the LOGGED file set, not a
             // fresh listing — optimize must never fold in source drift

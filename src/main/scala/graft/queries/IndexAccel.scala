@@ -113,7 +113,53 @@ object IndexAccel {
       |FROM lineitem
       |WHERE l_orderkey <= 500 AND l_suppkey IN (1, 2, 3)""".stripMargin
 
+  // ------------------------------------------------ minhash near-dup
+  /** Near-duplicate pairs served from the PERSISTED MinHash index (built
+    * once per sfDir, reused across runs) — the oracle recomputes the
+    * same signatures/bands/estimates from the raw documents table, so a
+    * match proves the persisted signatures reproduce the from-scratch
+    * pipeline exactly. */
+  def idxMinHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "documents",
+      graft.index.minhash.MinHashIndexConfig("accel_mh_docs", "doc_id", "text"))
+    ensureSystemPath(spark, sfDir)
+    new graft.Graft(spark).nearDuplicates("accel_mh_docs", minEstJaccard = 0.5)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val idxMinHashPairsSql: String = {
+    import TextPrimitives._
+    val hs = sqlShingleHashes(sqlShingles3(sqlTokens("text")))
+    val slots = (0 until MinHashK).map(i => sqlMinHash("hs", i)).mkString("[", ", ", "]")
+    val bandRows = (0 until LshBands).map { b =>
+      val mins = (0 until LshRows)
+        .map(r => s"CAST(s[${b * LshRows + r + 1}] AS VARCHAR)")
+      s"SELECT doc_id, $b AS band, ${mins.mkString(" || ',' || ")} AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (
+       |  SELECT doc_id, $hs AS hs FROM documents),
+       |sig AS (
+       |  SELECT doc_id, $slots AS s FROM base WHERE len(hs) > 0),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT id1, id2,
+       |    CAST(list_sum(list_transform(range(1, ${MinHashK + 1}),
+       |      i -> CASE WHEN x.s[i] = y.s[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |      / ${MinHashK}.0 AS est_jaccard
+       |  FROM cand JOIN sig x ON cand.id1 = x.doc_id
+       |            JOIN sig y ON cand.id2 = y.doc_id)
+       |SELECT id1, id2, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_covering_filter" -> (idxCoveringFilter _, idxCoveringFilterSql),
     "idx_join" -> (idxJoin _, idxJoinSql),
     "idx_zorder_filter" -> (idxZOrderFilter _, idxZOrderFilterSql),

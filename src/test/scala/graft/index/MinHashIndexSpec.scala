@@ -1,0 +1,203 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Graft, TestSpark}
+import graft.index.minhash.{MinHashBuild, MinHashIndexConfig}
+import graft.queries.TextPrimitives._
+
+/**
+ * MinHash near-duplicate index: build/search parity with the from-scratch
+ * pipeline, merge-mode append refresh (byte-identical old files),
+ * incremental batch dedup, delete tombstones, and optimize compaction.
+ */
+class MinHashIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def withDirs[T](body: (Graft, String) => T): T = {
+    val sys = Files.createTempDirectory("graft-mh-sys-").toString
+    val src = Files.createTempDirectory("graft-mh-src-").toString
+    spark.conf.set(GraftConf.SystemPathKey, sys)
+    try body(new Graft(spark), src)
+    finally {
+      spark.conf.unset(GraftConf.SystemPathKey)
+      rules.IndexCatalog.invalidate(spark)
+    }
+  }
+
+  private def writeDocs(src: String, parts: Int = 2): Unit =
+    spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .repartition(parts).write.mode("overwrite").parquet(src)
+
+  private def diskFiles(g: Graft, name: String): Map[String, (Long, Long)] = {
+    val root = g.indexManager.indexRoot(name)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(root, true)
+    val buf = Map.newBuilder[String, (Long, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".") &&
+          !s.getPath.toString.contains("_graft_log"))
+        buf += s.getPath.toString -> ((s.getLen, s.getModificationTime))
+    }
+    buf.result()
+  }
+
+  /** From-scratch band-collision candidate pairs over a doc frame — the
+    * operator-side derivation the persisted index must reproduce. */
+  private def scratchCandidates(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    val sig = graft.functions.MinHashFunctions.minhashSignature(
+      shingleHashSet(col("text")),
+      (0 until MinHashK).map(permA), (0 until MinHashK).map(permB), HashP)
+    val bandCols = (0 until LshBands).map { b =>
+      val mins = (0 until LshRows)
+        .map(r => element_at(col("sig"), b * LshRows + r + 1))
+      struct(lit(b).as("band"),
+        concat_ws(",", mins.map(_.cast("string")): _*).as("key")).as(s"b$b")
+    }
+    val bands = df.select(col("doc_id"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("pairs from the persisted index == from-scratch band collisions") {
+    withDirs { (g, src) =>
+      writeDocs(src)
+      g.createIndex(spark.read.parquet(src),
+        MinHashIndexConfig("mh_base", "doc_id", "text"))
+      val fromIndex = g.nearDuplicates("mh_base", minEstJaccard = 0.0)
+        .select(col("id1"), col("id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val scratch = scratchCandidates(spark.read.parquet(src))
+      assert(scratch.nonEmpty, "test corpus has no near-dup candidates")
+      assert(fromIndex == scratch)
+      // identical-signature pairs score est 1.0; every estimate is in [0,1]
+      val ests = g.nearDuplicates("mh_base", 0.0)
+        .select(col("est_jaccard")).collect().map(_.getDouble(0))
+      assert(ests.forall(e => e >= 0.0 && e <= 1.0))
+    }
+  }
+
+  test("append-only incremental refresh is merge-mode; new docs join the corpus") {
+    withDirs { (g, src) =>
+      writeDocs(src)
+      g.createIndex(spark.read.parquet(src),
+        MinHashIndexConfig("mh_app", "doc_id", "text"))
+      val before = diskFiles(g, "mh_app")
+
+      // append copies of 3 docs under shifted ids: guaranteed est-1.0 dups
+      spark.read.parquet(src)
+        .filter(col("doc_id").isin(1L, 2L, 3L))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .coalesce(1).write.mode("append").parquet(src)
+
+      g.refreshIndex("mh_app", "incremental")
+      val after = diskFiles(g, "mh_app")
+      before.foreach { case (p, meta) =>
+        assert(after.get(p).contains(meta),
+          s"pre-existing index file rewritten or dropped: $p")
+      }
+      assert(after.size > before.size, "refresh added no new index files")
+
+      val dups = g.nearDuplicates("mh_app", minEstJaccard = 1.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Seq(1L, 2L, 3L).foreach(id =>
+        assert(dups.contains((id, id + 100000L)),
+          s"appended copy of doc $id not detected"))
+    }
+  }
+
+  test("dedupBatch: new batch dedups against the corpus without re-signing it") {
+    withDirs { (g, src) =>
+      writeDocs(src)
+      g.createIndex(spark.read.parquet(src),
+        MinHashIndexConfig("mh_batch", "doc_id", "text"))
+      import spark.implicits._
+      val copies = spark.read.parquet(src)
+        .filter(col("doc_id").isin(5L, 6L))
+        .select((col("doc_id") + 900000L).as("new_id"), col("text"))
+      val shorty = Seq((999999L, "too short")).toDF("new_id", "text")
+      val batch = copies.unionByName(shorty)
+      val hits = g.dedupBatch("mh_batch", batch, "new_id", "text",
+          minEstJaccard = 1.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((900005L, 5L)) && hits.contains((900006L, 6L)))
+      // a sub-shingle-length doc has no signature: silently no candidates
+      assert(!hits.exists(_._1 == 999999L))
+    }
+  }
+
+  test("deletes tombstone (no data rewrite); optimize full compacts them away") {
+    withDirs { (g, src) =>
+      writeDocs(src, parts = 2)
+      g.createIndex(spark.read.parquet(src),
+        MinHashIndexConfig("mh_del", "doc_id", "text"))
+      val allDocs = spark.read.parquet(src)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+      // delete one source part file
+      val dir = new org.apache.hadoop.fs.Path(src)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val part = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).head
+      fs.delete(part, false)
+      val remaining = spark.read.parquet(src)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(remaining.size < allDocs.size)
+
+      val before = diskFiles(g, "mh_del")
+      g.refreshIndex("mh_del", "incremental")
+      val after = diskFiles(g, "mh_del")
+      assert(before == after, "delete-only refresh must be metadata-only")
+
+      val ids = g.nearDuplicates("mh_del", 0.0)
+        .select(col("id1"), col("id2"))
+        .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      assert(ids.subsetOf(remaining),
+        "tombstoned docs still surface in near-dup pairs")
+
+      val pairsBefore = g.nearDuplicates("mh_del", 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      g.optimizeIndex("mh_del", "full")
+      val e = g.indexManager.getIndexes().head
+      assert(e.descriptor
+        .asInstanceOf[graft.index.minhash.MinHashIndexDescriptor]
+        .tombstones.isEmpty, "full optimize should clear tombstones")
+      val pairsAfter = g.nearDuplicates("mh_del", 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairsBefore == pairsAfter)
+      // compacted data physically dropped the tombstoned rows
+      val live = MinHashBuild.readIndexData(spark, e.content)
+      val storedIds = live.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(storedIds.subsetOf(remaining))
+    }
+  }
+
+  test("stale index refuses to serve (drift gate)") {
+    withDirs { (g, src) =>
+      writeDocs(src)
+      g.createIndex(spark.read.parquet(src),
+        MinHashIndexConfig("mh_stale", "doc_id", "text"))
+      spark.read.parquet(src).limit(5)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .coalesce(1).write.mode("append").parquet(src)
+      spark.conf.set(GraftConf.IvfStaleCheckKey, "strict")
+      try {
+        val ex = intercept[IllegalArgumentException](
+          g.nearDuplicates("mh_stale", 0.5).collect())
+        assert(ex.getMessage.contains("stale"))
+      } finally spark.conf.unset(GraftConf.IvfStaleCheckKey)
+    }
+  }
+}
