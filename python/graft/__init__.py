@@ -1,6 +1,8 @@
 from .indexconfig import (CoveringIndexConfig, ZOrderIndexConfig,
-                          DataSkippingIndexConfig, SketchSpec, IvfIndexConfig)
+                          DataSkippingIndexConfig, SketchSpec, IvfIndexConfig,
+                          MinHashIndexConfig)
 from .graft import Graft
 
 __all__ = ["Graft", "CoveringIndexConfig", "ZOrderIndexConfig",
-           "DataSkippingIndexConfig", "SketchSpec", "IvfIndexConfig"]
+           "DataSkippingIndexConfig", "SketchSpec", "IvfIndexConfig",
+           "MinHashIndexConfig"]

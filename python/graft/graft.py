@@ -17,7 +17,8 @@ DataFrame(jdf, spark)).
 from pyspark.sql import DataFrame
 
 from .indexconfig import (CoveringIndexConfig, ZOrderIndexConfig,
-                          DataSkippingIndexConfig, IvfIndexConfig)
+                          DataSkippingIndexConfig, IvfIndexConfig,
+                          MinHashIndexConfig)
 
 
 class Graft:
@@ -56,6 +57,10 @@ class Graft:
             return self._jvm.graft.index.ivf.IvfIndexConfig(
                 config.index_name, config.id_column, config.vector_column,
                 config.k, config.max_iter)
+        if isinstance(config, MinHashIndexConfig):
+            return self._jvm.graft.index.minhash.MinHashIndexConfig(
+                config.index_name, config.id_column, config.text_column,
+                config.num_perm, config.bands)
         if isinstance(config, DataSkippingIndexConfig):
             jsketches = [self._jvm.graft.index.dataskipping.SketchSpec(
                 s.kind, s.expr, self._to_map(s.params)) for s in config.sketches]
@@ -112,3 +117,13 @@ class Graft:
         """ANN search against an IVF index; `queries` needs (qid, qv)."""
         return self._df(self._jgraft.annSearch(
             index_name, queries._jdf, top_k, n_probe))
+
+    def near_duplicates(self, index_name, min_est_jaccard=0.5):
+        """Near-duplicate pairs within a MinHash-indexed corpus."""
+        return self._df(self._jgraft.nearDuplicates(index_name, min_est_jaccard))
+
+    def dedup_batch(self, index_name, batch, id_col, text_col,
+                    min_est_jaccard=0.5):
+        """Incremental dedup of a new batch against a MinHash-indexed corpus."""
+        return self._df(self._jgraft.dedupBatch(
+            index_name, batch._jdf, id_col, text_col, min_est_jaccard))

@@ -75,3 +75,18 @@ class IvfIndexConfig:
         self.vector_column = vector_column
         self.k = k
         self.max_iter = max_iter
+
+
+class MinHashIndexConfig:
+    """MinHash near-duplicate index: persisted signatures + LSH band keys.
+
+    >>> MinHashIndexConfig("dedup", "doc_id", "text")
+    """
+
+    def __init__(self, index_name, id_column, text_column,
+                 num_perm=16, bands=4):
+        self.index_name = index_name
+        self.id_column = id_column
+        self.text_column = text_column
+        self.num_perm = num_perm
+        self.bands = bands
