@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
 import graft.queries.TextPrimitives._
@@ -300,10 +300,64 @@ object Pipeline {
       |  COALESCE(last_click_value, 0.0) AS click_value
       |FROM m WHERE tag = 1 ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------- q_range_join
+  /** Temporal range join WITHOUT an equi key: for every error event, the
+    * count and value-sum of click events (any user) within ±30 s — the
+    * incident-correlation shape. Spark has no range-join operator; the
+    * naive plan is a broadcast nested-loop (O(n·m) compares).
+    *
+    * Scale shape: interval BUCKETING turns the inequality join into an
+    * equi join — each error expands to the ≤3 30-second buckets its
+    * window overlaps, each click maps to exactly ONE bucket, so a
+    * matching pair meets in exactly one bucket (no dedup pass needed)
+    * and the exchange is a uniform-key hash join that scales linearly.
+    * The residual |Δt| ≤ 30 filter runs post-join on collision rows
+    * only. Zero-match errors ride back in on one broadcast left join. */
+  def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 30L // half-window seconds; also the bucket width
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"),
+        col("ts").cast(LongType).as("sec"), col("value"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("sec"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("sec").as("csec"), col("value"))
+    val errB = errors.withColumn("bucket",
+      explode(sequence(expr(s"(sec - $W) div $W"), expr(s"(sec + $W) div $W"))))
+    val clickB = clicks.withColumn("bucket", expr(s"csec div $W"))
+    val matched = errB.join(clickB, "bucket")
+      .filter(abs(col("csec") - col("sec")) <= W)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_clicks"),
+        sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType)
+          .as("sum_value"))
+    errors.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("sec").as("error_sec"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    value
+      |  FROM events),
+      |err AS (SELECT event_id, sec FROM e WHERE event_type = 'error'),
+      |clk AS (SELECT sec AS csec, value FROM e WHERE event_type = 'click')
+      |SELECT err.event_id, err.sec AS error_sec,
+      |  CAST(COUNT(clk.csec) AS BIGINT) AS n_clicks,
+      |  COALESCE(CAST(SUM(CAST(clk.value AS DECIMAL(28,6))) AS DOUBLE), 0.0)
+      |    AS sum_value
+      |FROM err LEFT JOIN clk ON clk.csec BETWEEN err.sec - 30 AND err.sec + 30
+      |GROUP BY err.event_id, err.sec
+      |ORDER BY err.event_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_quality" -> (qTextQuality _, qTextQualitySql),
     "text_rarity" -> (qTextRarity _, qTextRaritySql),
     "decontam_ngram" -> (qDecontamNgram _, qDecontamNgramSql),
     "pack_shards" -> (qPackShards _, qPackShardsSql),
-    "q_asof_join" -> (qAsofJoin _, qAsofJoinSql))
+    "q_asof_join" -> (qAsofJoin _, qAsofJoinSql),
+    "q_range_join" -> (qRangeJoin _, qRangeJoinSql))
 }

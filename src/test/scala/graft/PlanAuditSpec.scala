@@ -129,6 +129,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"as-of should shuffle once on user_id (+sort): $shuffles")
   }
 
+  test("q_range_join: bucketed equi join, no nested-loop compare") {
+    val nodes = planned(SparkEntry.queries("q_range_join")(spark, TestSpark.sfDir))
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the ±30s window must ride the bucket equi join; a nested-loop or
+    // cartesian plan would be the O(n·m) shape bucketing exists to avoid
+    assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[CartesianProductExec]),
+      "range join planned as nested-loop/cartesian")
+  }
+
   test("pack_shards: windows are partition-local (no global-sort window)") {
     val df = SparkEntry.queries("pack_shards")(spark, TestSpark.sfDir)
     val nodes = executed(df)

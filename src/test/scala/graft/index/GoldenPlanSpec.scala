@@ -113,7 +113,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     // decontam_ngram is excluded: its two COUNT(DISTINCT ...) branches get
     // gid-tagged by RewriteDistinctAggregates in exprId order, which varies
     // with session history — PlanAuditSpec pins its broadcast shape instead
-    "text_quality", "q_asof_join",
+    "text_quality", "text_rarity", "q_asof_join", "q_range_join",
     "sim_brute_topk", "sim_lsh_buckets").foreach { q =>
     test(s"golden plan: $q") { check(q) }
   }
