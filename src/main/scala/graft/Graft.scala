@@ -85,47 +85,61 @@ class Graft(spark: SparkSession) {
         e.descriptor.isInstanceOf[graft.index.ivf.IvfIndexDescriptor])
       .getOrElse(throw new NoSuchElementException(
         s"IVF index '$indexName' not found, not ACTIVE, or not an IVF index"))
-    // covering reads honor a quick-refresh delta via hybrid scan; IVF has
-    // no hybrid path yet, so silently serving stale results would be a
-    // correctness trap — demand a refresh instead. This guards BOTH a
-    // recorded quick-refresh delta and raw un-refreshed drift (live
-    // file-listing diff, like covering candidate collection does).
-    // The drift listing is a full driver-side source walk — expensive on
-    // object stores and advisory anyway (a file can land right after the
-    // check) — so a clean verdict is cached per (index, log id) for
-    // cacheTtlMs under the default `cached` mode; `strict` relists every
-    // call, `off` skips the guard.
-    requireFresh(entry)
-    graft.index.ivf.IvfSearch.search(spark, entry, queries, topK, nProbe)
+    val (appendedDf, droppedFids) = resolveDrift(entry)
+    graft.index.ivf.IvfSearch.search(spark, entry, queries, topK, nProbe,
+      appendedDf, droppedFids)
   }
 
-  /** Shared staleness gate for the directly-served index kinds (IVF,
+  /** Staleness resolution for the directly-served index kinds (IVF,
     * MinHash): unlike covering reads — which honor drift via hybrid
     * scan — these serve results straight from index data, so silently
-    * serving stale results would be a correctness trap. Modes via
+    * serving stale results would be a correctness trap. Check modes via
     * `spark.graft.index.ivf.staleCheck`: `cached` (default; a clean
     * drift listing is cached per (index, log id) for cacheTtlMs),
-    * `strict` (relist every call), `off`. */
-  private def requireFresh(entry: graft.index.IndexLogEntry): Unit = {
+    * `strict` (relist every call), `off` (serve as-is, no listing).
+    *
+    * When drift IS found and `spark.graft.index.serve.hybridDrift` is on
+    * (default), the caller receives a HYBRID answer instead of an error:
+    * the appended source slice (to fold in at query time) and the
+    * deleted file ids (to anti-filter like tombstones) — bounded by the
+    * covering hybrid-scan ratios, beyond which the stale error returns
+    * (a drifted-past-recognition index needs a real refresh). */
+  private def resolveDrift(entry: graft.index.IndexLogEntry)
+      : (Option[DataFrame], Seq[Long]) = {
     val staleMode = graft.index.GraftConf.ivfStaleCheck(spark)
-    if (staleMode == "off") return
+    if (staleMode == "off") return (None, Nil)
     val name = entry.name
-    require(entry.update.isEmpty,
-      s"Index '$name' has a recorded source delta (quick refresh);" +
-        " run refreshIndex(name, \"incremental\") before searching")
     val cacheKey = (graft.index.GraftConf.systemPath(spark), name, entry.id)
     val ttlNs = graft.index.GraftConf.cacheTtlMs(spark) * 1000000L
     val now = System.nanoTime()
-    val fresh = staleMode == "cached" &&
+    val fresh = staleMode == "cached" && entry.update.isEmpty &&
       Option(Graft.driftVerdicts.get(cacheKey)).exists(t => now - t < ttlNs)
-    if (!fresh) {
-      val (appended, deleted) = manager.sourceDrift(entry)
-      require(appended.isEmpty && deleted.isEmpty,
-        s"Index '$name' is stale: source has ${appended.size} appended" +
-          s" and ${deleted.size} deleted files since the last refresh;" +
-          " run refreshIndex(name, \"incremental\") before searching")
+    if (fresh) return (None, Nil)
+    // a quick-refresh delta recorded in entry.update needs no special
+    // handling: the live listing below re-derives it against the logged
+    // source files, so it flows through the same hybrid/error paths
+    val (appended, deleted) = manager.sourceDrift(entry)
+    if (appended.isEmpty && deleted.isEmpty) {
       Graft.driftVerdicts.put(cacheKey, now)
+      return (None, Nil)
     }
+    def stale(reason: String): Nothing = throw new IllegalArgumentException(
+      s"Index '$name' is stale ($reason): source has ${appended.size} appended" +
+        s" and ${deleted.size} deleted files since the last refresh;" +
+        " run refreshIndex(name, \"incremental\")")
+    if (!graft.index.GraftConf.serveHybridDrift(spark))
+      stale("hybrid drift serving disabled")
+    val totalBytes = math.max(entry.sourceFiles.map(_.size).sum, 1L)
+    val appendedRatio = appended.map(_.size).sum.toDouble / totalBytes
+    val deletedRatio = deleted.map(_.size).sum.toDouble / totalBytes
+    if (appendedRatio > graft.index.GraftConf.hybridMaxAppendedRatio(spark) ||
+        deletedRatio > graft.index.GraftConf.hybridMaxDeletedRatio(spark))
+      stale(f"drift beyond hybrid bounds: appended $appendedRatio%.2f," +
+        f" deleted $deletedRatio%.2f of source bytes")
+    (if (appended.nonEmpty)
+       Some(manager.readFiles(entry, appended.map(_.path)))
+     else None,
+      deleted.map(_.id))
   }
 
   private def minHashEntry(indexName: String): graft.index.IndexLogEntry =
@@ -141,8 +155,9 @@ class Graft(spark: SparkSession) {
     * (id1, id2, est_jaccard >= minEstJaccard). */
   def nearDuplicates(indexName: String, minEstJaccard: Double = 0.5): DataFrame = {
     val entry = minHashEntry(indexName)
-    requireFresh(entry)
-    graft.index.minhash.MinHashSearch.pairs(spark, entry, minEstJaccard)
+    val (appendedDf, droppedFids) = resolveDrift(entry)
+    graft.index.minhash.MinHashSearch.pairs(spark, entry, minEstJaccard,
+      appendedDf, droppedFids)
   }
 
   /** Incremental dedup of a NEW batch against a MinHash-indexed corpus —
@@ -152,9 +167,10 @@ class Graft(spark: SparkSession) {
       idCol: String, textCol: String,
       minEstJaccard: Double = 0.5): DataFrame = {
     val entry = minHashEntry(indexName)
-    requireFresh(entry)
+    val (appendedDf, droppedFids) = resolveDrift(entry)
     graft.index.minhash.MinHashSearch.dedupAgainst(
-      spark, entry, batch, idCol, textCol, minEstJaccard)
+      spark, entry, batch, idCol, textCol, minEstJaccard,
+      appendedDf, droppedFids)
   }
 
   /** Per-data-file min/max envelope + overlap count for one index column

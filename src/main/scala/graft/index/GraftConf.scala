@@ -37,6 +37,17 @@ object GraftConf {
   def ivfStaleCheck(spark: SparkSession): String =
     spark.conf.getOption(IvfStaleCheckKey).getOrElse("cached").toLowerCase
 
+  val ServeHybridDriftKey = "spark.graft.index.serve.hybridDrift"
+
+  /** Directly-served kinds (IVF annSearch, MinHash nearDuplicates): when
+    * the source has drifted, fold appended files in at query time and
+    * anti-filter deleted file ids instead of refusing to serve — the
+    * hybrid-scan philosophy applied to API-served indexes. Bounded by the
+    * same maxAppendedRatio/maxDeletedRatio as covering hybrid scan;
+    * beyond the bounds the stale error returns. */
+  def serveHybridDrift(spark: SparkSession): Boolean =
+    spark.conf.getOption(ServeHybridDriftKey).forall(_.toBoolean)
+
   val HybridScanKey = "spark.graft.index.hybridscan.enabled"
   val HybridMaxAppendedKey = "spark.graft.index.hybridscan.maxAppendedRatio"
   val HybridMaxDeletedKey = "spark.graft.index.hybridscan.maxDeletedRatio"

@@ -495,7 +495,7 @@ final class IndexManager(spark: SparkSession) {
     * index). Files are grouped under the logged root that contains them
     * and each group is read with that root as `basePath`, mirroring the
     * query-time appended leg (ScanSubstitution.appendedLeg). */
-  private def readFiles(entry: IndexLogEntry, paths: Seq[String]): DataFrame = {
+  private[graft] def readFiles(entry: IndexLogEntry, paths: Seq[String]): DataFrame = {
     val r = entry.relations.head
     def readGroup(base: String, files: Seq[String]): DataFrame =
       spark.read

@@ -29,12 +29,20 @@ object IvfSearch {
    *                (array of float/double)
    * @return (qid, neighbor id column, cosine, rank) — topK rows per query
    */
+  /** Hybrid-serve inputs (both default empty = serve the index as-is):
+    * `appended` — a source slice not yet indexed; it has no cell
+    * assignment, so it is scored BRUTE-FORCE against every query (the
+    * slice is ratio-bounded small) and unioned in before the top-k.
+    * `droppedFids` — source files deleted since the last refresh,
+    * anti-filtered via lineage exactly like tombstones. */
   def search(
       spark: SparkSession,
       entry: IndexLogEntry,
       queries: DataFrame,
       topK: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      appended: Option[DataFrame] = None,
+      droppedFids: Seq[Long] = Nil): DataFrame = {
     import spark.implicits._
     val d = entry.descriptor.asInstanceOf[IvfIndexDescriptor]
     // internal working-column names must not collide with the id column
@@ -70,7 +78,12 @@ object IvfSearch {
     // deleted source files are TOMBSTONED (no data rewrite): anti-filter
     // their rows via the lineage column (NULL-safe — see antiTombstone);
     // `optimize` compacts them away
-    val live = IvfBuild.antiTombstone(base, d)
+    val live0 = IvfBuild.antiTombstone(base, d)
+    val live =
+      if (droppedFids.isEmpty || !live0.columns.contains(IvfBuild.LineageColumn))
+        live0
+      else live0.filter(col(IvfBuild.LineageColumn).isNull ||
+        !col(IvfBuild.LineageColumn).isin(droppedFids: _*))
     val data = live
       .select(col(d.idColumn), col(d.vectorColumn).cast("array<double>").as("nv"),
         col(IvfBuild.CellColumn))
@@ -81,9 +94,27 @@ object IvfSearch {
     val scored = data
       .join(broadcast(probes), col(IvfBuild.CellColumn) === col("probe_cell"))
       .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .select(col("qid"), col(d.idColumn), col("cosine"))
+    // appended leg: no cells, so every query scores the (small) slice —
+    // each query appears once in `q1` (probes fan it out nProbe times)
+    val all = appended match {
+      case Some(app) =>
+        val q1 = probes.select(col("qid"), col("qv"), col("qn")).distinct()
+        val appScored = app
+          .filter(col(d.vectorColumn).isNotNull)
+          .select(col(d.idColumn).cast("long").as(d.idColumn),
+            col(d.vectorColumn).cast("array<double>").as("nv"))
+          .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+          .filter(col("nn") > 0.0)
+          .crossJoin(broadcast(q1))
+          .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .select(col("qid"), col(d.idColumn), col("cosine"))
+        scored.unionByName(appScored)
+      case None => scored
+    }
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col(d.idColumn))
-    scored
+    all
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("qid"), col(d.idColumn), col("cosine"), col("rank"))

@@ -32,11 +32,35 @@ object MinHashSearch {
     size(filter(zip_with(s1, s2, (x, y) => x === y), b => b))
       .cast(DoubleType) / numPerm.toDouble
 
-  /** Live `(id, sig)` rows and exploded `(id, band, key)` rows. */
-  private def tables(spark: SparkSession, entry: IndexLogEntry)
+  /** Live `(id, sig)` rows and exploded `(id, band, key)` rows.
+    *
+    * Hybrid-serve inputs: `appended` (a source slice not yet indexed) is
+    * signed ON THE FLY and unioned in — one codegen pass over only the
+    * drifted files; `droppedFids` (source files deleted since the last
+    * refresh) anti-filter exactly like tombstones. Together they let a
+    * drifted index serve exact results with zero maintenance I/O. */
+  private def tables(spark: SparkSession, entry: IndexLogEntry,
+      appended: Option[DataFrame], droppedFids: Seq[Long])
       : (DataFrame, DataFrame) = {
     val d = desc(entry)
-    val data = antiTombstone(readIndexData(spark, entry.content), d)
+    val persisted0 = antiTombstone(readIndexData(spark, entry.content), d)
+    val persisted =
+      if (droppedFids.isEmpty || !persisted0.columns.contains(LineageColumn))
+        persisted0
+      else persisted0.filter(col(LineageColumn).isNull ||
+        !col(LineageColumn).isin(droppedFids: _*))
+    val shape = col(d.idColumn) +: col(SigColumn) +:
+      (0 until d.bands).map(b => col(bandColumn(b)))
+    val data = appended match {
+      case Some(app) =>
+        val fresh = app
+          .select(col(d.idColumn).cast("long").as(d.idColumn),
+            sigCol(d, col(d.textColumn)).as(SigColumn))
+          .filter(col(SigColumn).isNotNull && size(col(SigColumn)) > 0)
+          .select(col(d.idColumn) +: col(SigColumn) +: bandCols(d): _*)
+        persisted.select(shape: _*).unionByName(fresh)
+      case None => persisted.select(shape: _*)
+    }
     val sigs = data.select(col(d.idColumn), col(SigColumn))
     val bands = data.select(col(d.idColumn),
       explode(array((0 until d.bands).map(b =>
@@ -47,10 +71,11 @@ object MinHashSearch {
 
   /** All near-duplicate pairs within the indexed corpus:
     * `(id1, id2, est_jaccard)` with `est_jaccard >= minEst`. */
-  def pairs(spark: SparkSession, entry: IndexLogEntry,
-      minEst: Double): DataFrame = {
+  def pairs(spark: SparkSession, entry: IndexLogEntry, minEst: Double,
+      appended: Option[DataFrame] = None,
+      droppedFids: Seq[Long] = Nil): DataFrame = {
     val d = desc(entry)
-    val (sigs, bands) = tables(spark, entry)
+    val (sigs, bands) = tables(spark, entry, appended, droppedFids)
     val id = d.idColumn
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -75,10 +100,11 @@ object MinHashSearch {
     * not yet ingested), so no `id1 < id2` dedup applies — every
     * (batch, corpus) collision is a candidate. */
   def dedupAgainst(spark: SparkSession, entry: IndexLogEntry,
-      batch: DataFrame, idCol: String, textCol: String,
-      minEst: Double): DataFrame = {
+      batch: DataFrame, idCol: String, textCol: String, minEst: Double,
+      appended: Option[DataFrame] = None,
+      droppedFids: Seq[Long] = Nil): DataFrame = {
     val d = desc(entry)
-    val (sigs, bands) = tables(spark, entry)
+    val (sigs, bands) = tables(spark, entry, appended, droppedFids)
     val id = d.idColumn
     val signed = batch
       .select(col(idCol).cast("long").as("batch_id"),

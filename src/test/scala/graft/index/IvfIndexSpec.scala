@@ -142,6 +142,47 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("drifted index serves hybrid: appended vectors searchable without refresh") {
+    val sys = Files.createTempDirectory("graft-ivf-hyb-").toString
+    val src = Files.createTempDirectory("graft-ivf-hsrc-").toString
+    spark.conf.set(GraftConf.SystemPathKey, sys)
+    spark.conf.set(GraftConf.IvfStaleCheckKey, "strict")
+    try {
+      val g = new Graft(spark)
+      embeddings.filter(col("vec_id") < 400).repartition(2)
+        .write.mode("overwrite").parquet(src)
+      g.createIndex(spark.read.parquet(src),
+        IvfIndexConfig("ann_hyb", "vec_id", "embedding", k = 4, maxIter = 2))
+      // drift: append more vectors, never refresh
+      embeddings.filter(col("vec_id") >= 400).limit(20)
+        .coalesce(1).write.mode("append").parquet(src)
+      val appendedIds = spark.read.parquet(src)
+        .filter(col("vec_id") >= 400)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      assert(appendedIds.nonEmpty)
+      // query WITH an appended vector: hybrid serve must surface it as
+      // its own exact nearest neighbor (cosine 1.0 to itself)
+      val qid = appendedIds.head
+      val queries = spark.read.parquet(src).filter(col("vec_id") === qid)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      val top = g.annSearch("ann_hyb", queries, topK = 1, nProbe = 4)
+        .collect().head
+      assert(top.getLong(1) == qid, s"appended vector $qid not surfaced: $top")
+      assert(math.abs(top.getDouble(2) - 1.0) < 1e-9)
+      // with hybrid disabled the same drift refuses to serve
+      spark.conf.set(GraftConf.ServeHybridDriftKey, "false")
+      val ex = intercept[IllegalArgumentException](
+        g.annSearch("ann_hyb", queries).collect())
+      assert(ex.getMessage.contains("stale"))
+    } finally {
+      spark.conf.unset(GraftConf.SystemPathKey)
+      spark.conf.unset(GraftConf.IvfStaleCheckKey)
+      spark.conf.unset(GraftConf.ServeHybridDriftKey)
+      rules.IndexCatalog.invalidate(spark)
+    }
+  }
+
   test("deleted source files tombstone: no rebuild, search excludes them") {
     val sys = Files.createTempDirectory("graft-ivf-del-").toString
     val src = Files.createTempDirectory("graft-ivf-delsrc-").toString
@@ -374,9 +415,14 @@ class IvfIndexSpec extends AnyFunSuite {
       // cached: verdict still fresh (TTL 10s) — search serves without relist
       assert(g.annSearch("ann_stale", queries, topK = 2, nProbe = 4)
         .count() == 4)
-      // strict: relists and refuses the stale index
+      // strict + hybrid (default): relists, folds the appended slice in,
+      // still serves full results
       spark.conf.set(GraftConf.IvfStaleCheckKey, "strict")
       try {
+        assert(g.annSearch("ann_stale", queries, topK = 2, nProbe = 4)
+          .count() == 4)
+        // strict + hybrid disabled: refuses the stale index
+        spark.conf.set(GraftConf.ServeHybridDriftKey, "false")
         val ex = intercept[IllegalArgumentException] {
           g.annSearch("ann_stale", queries, topK = 2, nProbe = 4)
         }
@@ -385,7 +431,10 @@ class IvfIndexSpec extends AnyFunSuite {
         spark.conf.set(GraftConf.IvfStaleCheckKey, "off")
         assert(g.annSearch("ann_stale", queries, topK = 2, nProbe = 4)
           .count() == 4)
-      } finally spark.conf.unset(GraftConf.IvfStaleCheckKey)
+      } finally {
+        spark.conf.unset(GraftConf.IvfStaleCheckKey)
+        spark.conf.unset(GraftConf.ServeHybridDriftKey)
+      }
     }
   }
 }

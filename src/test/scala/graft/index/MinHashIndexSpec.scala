@@ -184,19 +184,62 @@ class MinHashIndexSpec extends AnyFunSuite {
     }
   }
 
-  test("stale index refuses to serve (drift gate)") {
+  test("drifted index serves HYBRID results; refuses when hybrid disabled") {
     withDirs { (g, src) =>
       writeDocs(src)
       g.createIndex(spark.read.parquet(src),
         MinHashIndexConfig("mh_stale", "doc_id", "text"))
-      spark.read.parquet(src).limit(5)
+      // drift: copies of docs 1,2 under new ids, never refreshed
+      spark.read.parquet(src).filter(col("doc_id").isin(1L, 2L))
         .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
         .coalesce(1).write.mode("append").parquet(src)
       spark.conf.set(GraftConf.IvfStaleCheckKey, "strict")
       try {
+        // hybrid serve (default): appended docs join the corpus at query
+        // time — est-1.0 pairs to their originals appear, no refresh run
+        val dups = g.nearDuplicates("mh_stale", minEstJaccard = 1.0)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(dups.contains((1L, 500001L)) && dups.contains((2L, 500002L)))
+        // and dedupBatch sees the appended leg too
+        import spark.implicits._
+        val probe = spark.read.parquet(src).filter(col("doc_id") === 500001L)
+          .select(lit(7L).as("new_id"), col("text"))
+        val hits = g.dedupBatch("mh_stale", probe, "new_id", "text", 1.0)
+          .collect().map(_.getLong(1)).toSet
+        assert(hits.contains(500001L), "batch dedup missed the appended doc")
+
+        spark.conf.set(GraftConf.ServeHybridDriftKey, "false")
         val ex = intercept[IllegalArgumentException](
           g.nearDuplicates("mh_stale", 0.5).collect())
         assert(ex.getMessage.contains("stale"))
+      } finally {
+        spark.conf.unset(GraftConf.IvfStaleCheckKey)
+        spark.conf.unset(GraftConf.ServeHybridDriftKey)
+      }
+    }
+  }
+
+  test("hybrid serve anti-filters files deleted since the last refresh") {
+    withDirs { (g, src) =>
+      // 8 parts: one deleted file is ~12% of source bytes, inside the
+      // hybrid maxDeletedRatio bound (one of two would be 50% -> refusal)
+      writeDocs(src, parts = 8)
+      g.createIndex(spark.read.parquet(src),
+        MinHashIndexConfig("mh_hdel", "doc_id", "text"))
+      val dir = new org.apache.hadoop.fs.Path(src)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val part = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).head
+      fs.delete(part, false)
+      val remaining = spark.read.parquet(src)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      spark.conf.set(GraftConf.IvfStaleCheckKey, "strict")
+      try {
+        val ids = g.nearDuplicates("mh_hdel", 0.0)
+          .select(col("id1"), col("id2"))
+          .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+        assert(ids.nonEmpty && ids.subsetOf(remaining),
+          "hybrid serve surfaced docs from a deleted source file")
       } finally spark.conf.unset(GraftConf.IvfStaleCheckKey)
     }
   }
