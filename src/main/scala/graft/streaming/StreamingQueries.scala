@@ -197,7 +197,60 @@ object StreamingQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 3""".stripMargin
 
+  /** documents.parquet physical schema. */
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /**
+   * Streaming-ingest exact dedup: a file stream of documents drops
+   * content duplicates (`dropDuplicates` on the text digest) as they
+   * arrive — the shape a crawl-feed ingester runs so downstream batch
+   * jobs only ever see unique docs. Only TEXT-DERIVED columns are
+   * emitted (digest, char length): which physical row of a duplicate set
+   * is kept is arrival-order-dependent, but the kept set's text is not —
+   * that determinism boundary is exactly what the oracle pins.
+   *
+   * State is the digest set; a production feed bounds it with
+   * `dropDuplicatesWithinWatermark` (crawl re-fetches cluster in time).
+   * The gate corpus fits one AvailableNow batch, where the unbounded
+   * variant is exact.
+   */
+  def qStreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.readStream.schema(docSchema)
+      .parquet(Tables.path(sfDir, "documents") + "*")
+    val deduped = raw
+      .select(md5(col("text")).as("digest"),
+        length(col("text")).cast(LongType).as("char_len"))
+      .dropDuplicates("digest")
+
+    val name = "stream_dedup_" + UUID.randomUUID().toString.replace("-", "")
+    val q = deduped
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val result = spark.table(name).orderBy(col("digest"))
+    val rows = result.collect()
+    val schema = result.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  val qStreamDedupSql: String =
+    """SELECT DISTINCT md5(text) AS digest,
+      |  CAST(length(text) AS BIGINT) AS char_len
+      |FROM documents
+      |ORDER BY digest""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "stream_window_counts" -> (qStreamWindowCounts _, qStreamWindowCountsSql),
-    "stream_sessions" -> (qStreamSessions _, qStreamSessionsSql))
+    "stream_sessions" -> (qStreamSessions _, qStreamSessionsSql),
+    "stream_dedup" -> (qStreamDedup _, qStreamDedupSql))
 }
