@@ -443,7 +443,10 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").cast(LongType).as("component"))
   }
 
-  val qDedupComponentsSql: String = {
+  /** The components CTE chain (everything after `WITH RECURSIVE`, through
+    * `comp`), exposed so composite oracles (pipeline_curate) can splice
+    * the identical closure into a larger query. */
+  val componentsCtesSql: String = {
     val bitTerms = (0 until 60).map { b =>
       s"""CASE WHEN list_sum(list_transform(hs,
          | h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
@@ -452,29 +455,34 @@ object Dedup {
     val bandRows = (0 until 4).map { b =>
       s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS key FROM fp"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH RECURSIVE base AS (
+    s"""cc_base AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(${sqlTokens("text")},
        |      t -> ${sqlTokenHash("t")})) AS hs
        |  FROM documents),
-       |fp AS (SELECT doc_id, $bitTerms AS simhash FROM base),
-       |bands AS (
+       |fp AS (SELECT doc_id, $bitTerms AS simhash FROM cc_base),
+       |cc_bands AS (
        |  $bandRows),
-       |pairs AS (
+       |cc_pairs AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b
+       |  FROM cc_bands a JOIN cc_bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-       |edges AS (
-       |  SELECT d1 AS src, d2 AS dst FROM pairs
-       |  UNION SELECT d2, d1 FROM pairs),
+       |cc_edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM cc_pairs
+       |  UNION SELECT d2, d1 FROM cc_pairs),
        |reach(node, label) AS (
-       |  SELECT DISTINCT src AS node, src AS label FROM edges
+       |  SELECT DISTINCT src AS node, src AS label FROM cc_edges
        |  UNION
-       |  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node)
-       |SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
-       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+       |  SELECT e.src, r.label FROM reach r JOIN cc_edges e ON e.dst = r.node),
+       |comp AS (
+       |  SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+       |  FROM reach GROUP BY node)""".stripMargin
   }
+
+  val qDedupComponentsSql: String =
+    s"""WITH RECURSIVE $componentsCtesSql
+       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "dedup_exact" -> (qDedupExact _, qDedupExactSql),

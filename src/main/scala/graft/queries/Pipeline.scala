@@ -20,17 +20,17 @@ import graft.queries.TextPrimitives._
 object Pipeline {
 
   // -------------------------------------------------- text_quality
-  /** Per-document repetition/quality signals — the Gopher-style filters a
-    * corpus pipeline runs before training: token count, distinct-token
-    * ratio, most-frequent-token share, duplicate-bigram share.
+  /** Integer quality metrics per doc — `(doc_id, n_tokens, n_distinct,
+    * d_bigram, n_bigram, top_cnt)`, shared by text_quality and the
+    * composite curation pipeline. These are the Gopher-style repetition
+    * signals a corpus pipeline gates on before training.
     *
     * Scale shape: the array-expression metrics (counts, distinct sizes)
     * are a pure codegen map over the scan; only the top-token share
     * needs a (doc_id, token) aggregation, which partial-aggregates
     * map-side and shuffles one row per distinct token per doc. The final
     * doc-granular join co-partitions on doc_id. No UDFs, no collect. */
-  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
+  def qualityMetrics(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
     val bigrams = expr(
       "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")
@@ -47,8 +47,11 @@ object Pipeline {
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).cast(LongType).as("top_cnt"))
-    exprMetrics.drop("toks")
-      .join(topTok, "doc_id")
+    exprMetrics.drop("toks").join(topTok, "doc_id")
+  }
+
+  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    qualityMetrics(Tables.load(spark, sfDir, "documents"))
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_cnt"),
         (col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType))
@@ -153,10 +156,15 @@ object Pipeline {
     * movement is the range shuffle, and the window never sees more than
     * one partition — no single-reducer `Window.orderBy` scale-killer. */
   def qPackShards(spark: SparkSession, sfDir: String): DataFrame = {
-    val Budget = 2048L
-    val nParts = math.max(spark.sparkContext.defaultParallelism / 4, 4)
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+    packByBudget(spark, docs, 2048L)
+  }
+
+  /** Distributed prefix-sum shard assignment over `(doc_id, n_tokens)`
+    * rows (see [[qPackShards]] for the cost-shape discussion). */
+  def packByBudget(spark: SparkSession, docs: DataFrame, Budget: Long): DataFrame = {
+    val nParts = math.max(spark.sparkContext.defaultParallelism / 4, 4)
     val parted = docs
       .repartitionByRange(nParts, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
@@ -353,11 +361,79 @@ object Pipeline {
       |GROUP BY err.event_id, err.sec
       |ORDER BY err.event_id""".stripMargin
 
+  // ------------------------------------------------ pipeline_curate
+  /** The END-TO-END curation pipeline in one query — exactly what a
+    * training-data job runs nightly, composed from the suite's own
+    * operators:
+    *  1. QUALITY GATE: integer-exact Gopher-style thresholds (≥20
+    *     tokens, top token ≤20% of the doc, duplicate bigrams ≤25%) —
+    *     integer comparisons so both engines agree bit-for-bit;
+    *  2. DEDUP: near-dup clusters (SimHash Hamming≤3 closure, the
+    *     dedup_components machinery) keep only their canonical min-id
+    *     doc; unclustered docs pass through;
+    *  3. LAYOUT: survivors pack into 2048-token shards in doc_id order
+    *     via the distributed prefix-sum (no global sort).
+    * Output: one row per surviving doc with its shard assignment.
+    *
+    * Composing through DataFrames means Catalyst fuses the stages —
+    * quality metrics and fingerprints read the corpus once each, the
+    * cluster table (pairs-sized, tiny) joins in, and the only
+    * corpus-wide movement is the range shuffle of survivors. */
+  def qPipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val quality = qualityMetrics(docs)
+      .filter(col("n_tokens") >= 20L &&
+        col("top_cnt") * 5L <= col("n_tokens") &&
+        (col("n_bigram") - col("d_bigram")) * 4L <= col("n_bigram"))
+    val comps = Dedup.qDedupComponents(spark, sfDir) // (doc_id, component)
+    val kept = quality
+      .join(comps, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("component") === col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"))
+    packByBudget(spark, kept, 2048L)
+  }
+
+  val qPipelineCurateSql: String =
+    s"""WITH RECURSIVE ${Dedup.componentsCtesSql},
+       |q_base AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |q_tok AS (SELECT doc_id, unnest(toks) AS t FROM q_base),
+       |q_top AS (
+       |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_cnt FROM (
+       |    SELECT doc_id, t, COUNT(*) AS c FROM q_tok GROUP BY doc_id, t)
+       |  GROUP BY doc_id),
+       |q_m AS (
+       |  SELECT b.doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(CASE WHEN len(toks) >= 2 THEN len(list_distinct(
+       |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
+       |      ELSE 0 END AS BIGINT) AS d_bigram,
+       |    CAST(CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS BIGINT)
+       |      AS n_bigram,
+       |    top_cnt
+       |  FROM q_base b JOIN q_top ON b.doc_id = q_top.doc_id),
+       |kept AS (
+       |  SELECT m.doc_id, m.n_tokens
+       |  FROM q_m m LEFT JOIN comp ON m.doc_id = comp.doc_id
+       |  WHERE m.n_tokens >= 20
+       |    AND m.top_cnt * 5 <= m.n_tokens
+       |    AND (m.n_bigram - m.d_bigram) * 4 <= m.n_bigram
+       |    AND (comp.component IS NULL OR comp.component = m.doc_id)),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM kept)
+       |SELECT doc_id, n_tokens,
+       |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_quality" -> (qTextQuality _, qTextQualitySql),
     "text_rarity" -> (qTextRarity _, qTextRaritySql),
     "decontam_ngram" -> (qDecontamNgram _, qDecontamNgramSql),
     "pack_shards" -> (qPackShards _, qPackShardsSql),
     "q_asof_join" -> (qAsofJoin _, qAsofJoinSql),
-    "q_range_join" -> (qRangeJoin _, qRangeJoinSql))
+    "q_range_join" -> (qRangeJoin _, qRangeJoinSql),
+    "pipeline_curate" -> (qPipelineCurate _, qPipelineCurateSql))
 }
