@@ -82,6 +82,15 @@ object PlanAnalysis {
       candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       resolver: org.apache.spark.sql.catalyst.analysis.Resolver,
       plan: LogicalPlan): String = {
+      e.descriptor match {
+        case _: graft.index.ivf.IvfIndexDescriptor =>
+          return "API_SERVED: IVF indexes do not rewrite plans; " +
+            "query via Graft.annSearch"
+        case _: graft.index.minhash.MinHashIndexDescriptor =>
+          return "API_SERVED: MinHash indexes do not rewrite plans; " +
+            "query via Graft.nearDuplicates / dedupBatch"
+        case _ => ()
+      }
       val reasons = scala.collection.mutable.ArrayBuffer.empty[String]
       if (leaves.isEmpty) reasons += "NO_FILE_BASED_SOURCE: plan has no file-based relation"
       leaves.foreach { leaf =>

@@ -64,6 +64,17 @@ class PlanAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("whyNot labels API-served kinds instead of misleading rewrite reasons") {
+    withGraft { g =>
+      val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      g.createIndex(docs,
+        graft.index.minhash.MinHashIndexConfig("pa_mh", "doc_id", "text"))
+      val out = g.whyNot(docs.filter(col("doc_id") > 5))
+      assert(out.contains("pa_mh") && out.contains("API_SERVED"),
+        s"expected API_SERVED label, got: $out")
+    }
+  }
+
   test("whyNot reports column mismatch against unrelated table") {
     withGraft { g =>
       g.createIndex(lineitem,
