@@ -127,3 +127,9 @@ class Graft:
         """Incremental dedup of a new batch against a MinHash-indexed corpus."""
         return self._df(self._jgraft.dedupBatch(
             index_name, batch._jdf, id_col, text_col, min_est_jaccard))
+
+    def curate_batch(self, index_name, batch, id_col, text_col,
+                     min_est_jaccard=0.5):
+        """Quality-gate + corpus-dedup + batch-internal-dedup a new batch."""
+        return self._df(self._jgraft.curateBatch(
+            index_name, batch._jdf, id_col, text_col, min_est_jaccard))

@@ -173,6 +173,47 @@ class Graft(spark: SparkSession) {
       appendedDf, droppedFids)
   }
 
+  /** Incremental CURATION of a new batch against a MinHash-indexed
+    * corpus — the nightly ingest step, composed from the suite's own
+    * pieces:
+    *  1. quality gate (integer-exact Gopher thresholds: ≥20 tokens, top
+    *     token ≤20%, duplicate bigrams ≤25%);
+    *  2. drop docs near-duplicating the INDEXED CORPUS (the corpus is
+    *     never re-signed — [[dedupBatch]] machinery, hybrid-drift aware);
+    *  3. pairwise dedup WITHIN the batch (of each colliding pair the
+    *     smaller id survives — pairwise greedy, not transitive closure:
+    *     batches are small and re-collide against the corpus once
+    *     ingested, where the closure runs at corpus scale).
+    * Returns the surviving batch rows (original columns preserved). */
+  def curateBatch(indexName: String, batch: DataFrame,
+      idCol: String, textCol: String,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val entry = minHashEntry(indexName)
+    val d = entry.descriptor
+      .asInstanceOf[graft.index.minhash.MinHashIndexDescriptor]
+    val (appendedDf, droppedFids) = resolveDrift(entry)
+    import org.apache.spark.sql.functions.col
+    val std = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val quality = graft.queries.Pipeline
+      .qualityGate(graft.queries.Pipeline.qualityMetrics(std))
+      .select(col("doc_id"))
+    val clean = std.join(quality, "doc_id")
+    val corpusDups = graft.index.minhash.MinHashSearch.dedupAgainst(
+        spark, entry, clean, "doc_id", "text", minEstJaccard,
+        appendedDf, droppedFids)
+      .select(col("batch_id").as("doc_id")).distinct()
+    val internalDups = graft.index.minhash.MinHashSearch.selfPairs(
+        spark, d, clean, "doc_id", "text", minEstJaccard)
+      .select(col("id2").as("doc_id")).distinct()
+    val keptIds = clean.select(col("doc_id"))
+      .join(corpusDups, Seq("doc_id"), "left_anti")
+      .join(internalDups, Seq("doc_id"), "left_anti")
+    batch.join(keptIds.select(col("doc_id").as("__graft_kept_id")),
+        col(idCol).cast("long") === col("__graft_kept_id"))
+      .drop("__graft_kept_id")
+  }
+
   /** Per-data-file min/max envelope + overlap count for one index column
     * (reference: util/MinMaxAnalysisUtil.scala) — low overlap = good
     * clustering = effective file skipping. Defaults to the head indexed

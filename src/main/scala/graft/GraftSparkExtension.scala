@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.index.rules.ApplyGraft
 
@@ -12,11 +14,65 @@ import graft.index.rules.ApplyGraft
  * HyperspaceSparkSessionExtension.scala:44-68, but injects the real rule
  * gated on conf instead of a swapped dummy rule). The pre-CBO slot runs
  * the rule exactly once per query on the operator-optimized plan.
+ *
+ * Also registers the engine's codegen expressions as SQL functions, so
+ * pure-SQL users (`spark.sql`, thrift, notebooks) get the same fused
+ * text/hash/vector kernels the DataFrame operators use:
+ * {{{
+ *   SELECT graft_simhash60(graft_token_hashes60(split(text, ' '))) FROM docs
+ *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
+ * }}}
  */
 class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftSparkExtension].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case _ => throw new IllegalArgumentException(s"$what must be a literal integer")
+  }
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectPreCBORule(spark => new ApplyGraft(spark))
     extensions.injectPlannerStrategy(spark =>
       new graft.execution.BucketUnionStrategy(spark))
+
+    import graft.functions._
+    extensions.injectFunction((
+      FunctionIdentifier("graft_md5_prefix60"),
+      info("graft_md5_prefix60", "_FUNC_(str) - 60-bit md5-prefix hash as BIGINT"),
+      (args: Seq[Expression]) => Md5Prefix60(args.head)))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_token_hashes60"),
+      info("graft_token_hashes60",
+        "_FUNC_(array<string>) - distinct 60-bit token hashes"),
+      (args: Seq[Expression]) => TokenHashes60(args.head)))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      info("graft_simhash60", "_FUNC_(array<bigint>) - 60-bit SimHash fingerprint"),
+      (args: Seq[Expression]) => SimHash60(args.head)))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes60"),
+      info("graft_shingle_hashes60",
+        "_FUNC_(tokens, p[, n]) - distinct n-token (default 3) shingle hashes mod p"),
+      (args: Seq[Expression]) => ShingleHashes60(args.head,
+        longLit(args(1), "modulus p"),
+        if (args.length > 2) longLit(args(2), "shingle width n").toInt else 3)))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_minhash_signature"),
+      info("graft_minhash_signature",
+        "_FUNC_(hashes) - 16-slot MinHash signature (suite-standard permutations)"),
+      (args: Seq[Expression]) => {
+        import graft.queries.TextPrimitives._
+        MinHashSignature(args.head,
+          (0 until MinHashK).map(permA), (0 until MinHashK).map(permB), HashP)
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "_FUNC_(array<numeric>, array<numeric>) - dot product"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
   }
 }

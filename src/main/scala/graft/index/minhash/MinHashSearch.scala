@@ -90,6 +90,35 @@ object MinHashSearch {
       .filter(col("est_jaccard") >= minEst)
   }
 
+  /** Near-duplicate pairs WITHIN a standalone `(id, text)` frame (no
+    * index involved): sign, band, collide, estimate — the batch-internal
+    * leg of incremental curation. Returns `(id1, id2, est_jaccard)`
+    * with `id1 < id2`. */
+  def selfPairs(spark: SparkSession, d: MinHashIndexDescriptor,
+      docs: DataFrame, idCol: String, textCol: String,
+      minEst: Double): DataFrame = {
+    val rows = docs
+      .select(col(idCol).cast("long").as("id"),
+        sigCol(d, col(textCol)).as(SigColumn))
+      .filter(col(SigColumn).isNotNull && size(col(SigColumn)) > 0)
+      .select(col("id") +: col(SigColumn) +: bandCols(d): _*)
+    val bands = rows.select(col("id"),
+      explode(array((0 until d.bands).map(b =>
+        struct(lit(b).as("band"), col(bandColumn(b)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val sigs = rows.select(col("id"), col(SigColumn))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+      .join(sigs.select(col("id").as("id1"), col(SigColumn).as("s1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col(SigColumn).as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        estJaccard(col("s1"), col("s2"), d.numPerm).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
   /** Incremental dedup: near-duplicates of a NEW batch against the
     * indexed corpus without re-signing the corpus. The batch is signed
     * on the fly (`idCol`/`textCol` name its columns) and its band keys —

@@ -50,6 +50,13 @@ object Pipeline {
     exprMetrics.drop("toks").join(topTok, "doc_id")
   }
 
+  /** The integer-exact Gopher gate shared by pipeline_curate and
+    * Graft.curateBatch: ≥20 tokens, top token ≤20%, dup bigrams ≤25%. */
+  def qualityGate(metrics: DataFrame): DataFrame =
+    metrics.filter(col("n_tokens") >= 20L &&
+      col("top_cnt") * 5L <= col("n_tokens") &&
+      (col("n_bigram") - col("d_bigram")) * 4L <= col("n_bigram"))
+
   def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
     qualityMetrics(Tables.load(spark, sfDir, "documents"))
       .select(
@@ -381,10 +388,7 @@ object Pipeline {
     * corpus-wide movement is the range shuffle of survivors. */
   def qPipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val quality = qualityMetrics(docs)
-      .filter(col("n_tokens") >= 20L &&
-        col("top_cnt") * 5L <= col("n_tokens") &&
-        (col("n_bigram") - col("d_bigram")) * 4L <= col("n_bigram"))
+    val quality = qualityGate(qualityMetrics(docs))
     val comps = Dedup.qDedupComponents(spark, sfDir) // (doc_id, component)
     val kept = quality
       .join(comps, Seq("doc_id"), "left")

@@ -138,6 +138,31 @@ class MinHashIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("curateBatch: quality gate + corpus dedup + batch-internal dedup") {
+    withDirs { (g, src) =>
+      writeDocs(src)
+      g.createIndex(spark.read.parquet(src),
+        MinHashIndexConfig("mh_cur", "doc_id", "text"))
+      import spark.implicits._
+      val corpusCopy = spark.read.parquet(src)
+        .filter(col("doc_id") === 3L)
+        .select(lit(10L).as("new_id"), col("text"))
+      val cleanText = (0 until 25).map(i => s"uniq$i").mkString(" ")
+      val twinText = (0 until 25).map(i => s"twin$i").mkString(" ")
+      val local = Seq(
+        (1L, cleanText),             // clean + unique: KEPT
+        (2L, twinText),              // identical pair: min id KEPT
+        (9L, twinText),              //                 larger id dropped
+        (4L, Seq.fill(30)("junk").mkString(" ")) // top-token 100%: dropped
+      ).toDF("new_id", "text")
+      val kept = g.curateBatch("mh_cur", local.unionByName(corpusCopy),
+          "new_id", "text")
+        .select(col("new_id")).collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L),
+        s"expected {1, 2} to survive curation, got $kept")
+    }
+  }
+
   test("deletes tombstone (no data rewrite); optimize full compacts them away") {
     withDirs { (g, src) =>
       writeDocs(src, parts = 2)
