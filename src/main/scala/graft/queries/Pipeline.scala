@@ -368,6 +368,93 @@ object Pipeline {
       |GROUP BY err.event_id, err.sec
       |ORDER BY err.event_id""".stripMargin
 
+  // ------------------------------------------------ q_json_extract
+  /** Semi-structured extraction: parse the events `props` JSON column
+    * with a SCHEMA'D `from_json` (not per-field string extraction) and
+    * aggregate the extracted field per event type — the "pull typed
+    * facts out of a JSON side-channel" shape every event pipeline has.
+    *
+    * Scale shape: `from_json` is a per-row expression evaluated once
+    * per row inside the scan projection (malformed rows yield NULL, not
+    * failures), followed by one partial+final aggregate on a 5-value
+    * key. Nothing driver-side, nothing quadratic. */
+  def qJsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast(LongType).as("n_events"),
+        count(col("k")).cast(LongType).as("n_with_k"),
+        sum(col("k")).cast(LongType).as("sum_k"),
+        min(col("k")).cast(LongType).as("min_k"),
+        max(col("k")).cast(LongType).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val qJsonExtractSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(k) AS BIGINT) AS n_with_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(MIN(k) AS BIGINT) AS min_k,
+      |  CAST(MAX(k) AS BIGINT) AS max_k
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------- emb_quantize
+  /** Int8 embedding quantization — the ANN-serving prep step: each
+    * vector scales to max|v| = 127 and rounds half-up. Outputs are
+    * integer summaries (quantized sum, saturated-dim count, dims) so
+    * the oracle compare is exact; the arithmetic is float→double cast
+    * (exact), multiply/divide (IEEE-identical), and floor (exact) —
+    * the same bit-portability discipline as text_rarity.
+    *
+    * Scale shape: a pure map pass of array-local lambdas — no shuffle,
+    * no explode; the interpreted higher-order functions are acceptable
+    * here because the pass is map-only and runs once per row (a fused
+    * codegen expression is the upgrade path if this ever becomes hot). */
+  def qEmbQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("maxabs") > 0.0)
+      .withColumn("q", transform(col("v"),
+        x => floor((x * lit(127.0)) / col("maxabs") + lit(0.5)).cast(LongType)))
+      .select(col("vec_id"),
+        size(col("q")).cast(LongType).as("n_dims"),
+        aggregate(col("q"), lit(0L), (acc, e) => acc + e).as("sum_q"),
+        size(filter(col("q"), e => abs(e) === 127L)).cast(LongType).as("n_sat"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qEmbQuantizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS maxabs
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(floor((x * 127.0) / maxabs + 0.5) AS BIGINT))
+      |      AS qv
+      |  FROM m WHERE maxabs > 0.0)
+      |SELECT vec_id,
+      |  CAST(len(qv) AS BIGINT) AS n_dims,
+      |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+      |  CAST(len(list_filter(qv, e -> abs(e) = 127)) AS BIGINT) AS n_sat
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------ pipeline_curate
   /** The END-TO-END curation pipeline in one query — exactly what a
     * training-data job runs nightly, composed from the suite's own
@@ -439,5 +526,7 @@ object Pipeline {
     "pack_shards" -> (qPackShards _, qPackShardsSql),
     "q_asof_join" -> (qAsofJoin _, qAsofJoinSql),
     "q_range_join" -> (qRangeJoin _, qRangeJoinSql),
+    "q_json_extract" -> (qJsonExtract _, qJsonExtractSql),
+    "emb_quantize" -> (qEmbQuantize _, qEmbQuantizeSql),
     "pipeline_curate" -> (qPipelineCurate _, qPipelineCurateSql))
 }
