@@ -249,8 +249,55 @@ object StreamingQueries {
       |FROM documents
       |ORDER BY digest""".stripMargin
 
+  /**
+   * Stream-static enrichment: the event stream joins the STATIC customer
+   * dimension mid-flight (Spark plans this as a broadcast join per
+   * micro-batch — no stream-side state for the join) and aggregates
+   * revenue per market segment and event type. This is the canonical
+   * "enrich the firehose with a dimension table" shape; the value sum
+   * rides the decimal-accumulation contract so the complete-mode result
+   * is bit-equal to the batch oracle.
+   */
+  def qStreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.readStream.schema(rawSchema)
+      .parquet(Tables.path(sfDir, "events") + "*")
+      .select(col("user_id"), col("event_type"), col("value"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = raw
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType)
+          .as("sum_value"))
+
+    val name = "stream_enrich_" + UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val result = spark.table(name)
+      .orderBy(col("c_mktsegment"), col("event_type"))
+    val rows = result.collect()
+    val schema = result.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  val qStreamEnrichSql: String =
+    """SELECT c_mktsegment, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "stream_window_counts" -> (qStreamWindowCounts _, qStreamWindowCountsSql),
     "stream_sessions" -> (qStreamSessions _, qStreamSessionsSql),
-    "stream_dedup" -> (qStreamDedup _, qStreamDedupSql))
+    "stream_dedup" -> (qStreamDedup _, qStreamDedupSql),
+    "stream_enrich" -> (qStreamEnrich _, qStreamEnrichSql))
 }

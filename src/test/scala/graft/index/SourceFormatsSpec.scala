@@ -72,6 +72,21 @@ class SourceFormatsSpec extends AnyFunSuite {
   test("covering index over json source") { roundTrip("json", Map.empty) }
   test("covering index over orc source") { roundTrip("orc", Map.empty) }
 
+  test("covering index over avro source (cancelled unless spark-avro jar present)") {
+    // spark-avro is a separate module jar, absent in this offline build.
+    // The source path is the same generic HadoopFsRelation round trip as
+    // csv/json/orc — when the jar is on the classpath this test runs the
+    // identical contract against it; until then it documents the gate.
+    assume(
+      try {
+        org.apache.spark.sql.execution.datasources.DataSource
+          .lookupDataSource("avro", spark.sessionState.conf)
+        true
+      } catch { case _: Exception => false },
+      "avro data source not resolvable (spark-avro module jar absent)")
+    roundTrip("avro", Map.empty)
+  }
+
   test("covering index over text source (single value column)") {
     withGraft { g =>
       val src = Files.createTempDirectory("graft-fmt-text-").toString
