@@ -81,8 +81,16 @@ object CoveringIndexDescriptor {
     val mapping = ctx.tracker.all.toSeq
       .map { case ((p, _, _), id) => (p, id) }
       .toDF("_graft_source_path", LineageColumn)
-    val normalize = udf((s: String) =>
-      new org.apache.hadoop.fs.Path(s).toString)
+    val normalize = udf((s: String) => {
+      // empty = input_file_name() lost its value, which happens when a
+      // shuffle (limit/repartition/join) sits between the file read and
+      // the build — surface WHY instead of Path's bare complaint
+      require(s != null && s.nonEmpty,
+        "row has no source file (input_file_name() is empty): the indexed " +
+          "DataFrame must be a direct file-source read — no limit/shuffle " +
+          "between the read and createIndex")
+      new org.apache.hadoop.fs.Path(s).toString
+    })
     source
       .withColumn("_graft_source_path", normalize(input_file_name()))
       .join(broadcast(mapping), "_graft_source_path")

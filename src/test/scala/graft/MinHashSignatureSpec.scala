@@ -63,6 +63,38 @@ class MinHashSignatureSpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString) }
   }
 
+  test("width-n shingle hashes match the composed HOF form (n = 4, 5)") {
+    Seq(4, 5).foreach { n =>
+      // composed twin of ShingleHashes60 at width n: n-token windows,
+      // string-distinct, md5-prefix mod p
+      val toks = col("toks")
+      val composed = when(size(toks) >= n,
+        transform(
+          array_distinct(expr(
+            s"""transform(sequence(0, size(toks) - $n),
+               | i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i + $j]").mkString(", ")}))"""
+              .stripMargin.replaceAll("\n", " "))),
+          s => tokenHash(s) % HashP))
+        .otherwise(array().cast("array<bigint>"))
+      val fused = graft.functions.ShingleFunctions
+        .shingleHashes60(col("toks"), HashP, n)
+      val diff = Tables.load(spark, TestSpark.sfDir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(fused.as("f"), composed.as("c"))
+        .filter(not(col("f") <=> col("c"))).count()
+      assert(diff === 0L, s"width-$n parity failed")
+      import spark.implicits._
+      val edge = Seq(Some("a b c"), Some(("w " * n).trim), Some(""), None)
+        .toDF("text")
+        .select(tokens(col("text")).as("toks"))
+        .select(fused.as("f"), composed.as("c")).collect()
+      edge.foreach { r =>
+        assert(!r.isNullAt(0), s"fused null at width $n: $r")
+        val c = if (r.isNullAt(1)) Seq.empty[Long] else r.getSeq[Long](1)
+        assert(r.getSeq[Long](0) == c, s"width-$n edge divergence: $r") }
+    }
+  }
+
   test("fused simhash/token-hash/shingle-string expressions match composed forms") {
     import graft.functions.SimHashFunctions._
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")

@@ -138,6 +138,27 @@ class MinHashIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog lists every index kind side by side") {
+    withDirs { (g, src) =>
+      writeDocs(src)
+      val docs = spark.read.parquet(src)
+      g.createIndex(docs, MinHashIndexConfig("cat_mh", "doc_id", "text"))
+      // no .limit before createIndex: a limit inserts a shuffle after
+      // which input_file_name() (the lineage source) is empty
+      val li = spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      g.createIndex(li, graft.index.covering.CoveringIndexConfig(
+        "cat_ci", Seq("l_orderkey"), Seq("l_quantity")))
+      val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      g.createIndex(emb, graft.index.ivf.IvfIndexConfig(
+        "cat_ivf", "vec_id", "embedding", k = 2, maxIter = 1))
+      val byName = g.indexes.collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(byName("cat_mh") == "MinHashIndex")
+      assert(byName("cat_ci") == "CoveringIndex")
+      assert(byName("cat_ivf") == "IvfIndex")
+    }
+  }
+
   test("curateBatch: quality gate + corpus dedup + batch-internal dedup") {
     withDirs { (g, src) =>
       writeDocs(src)
