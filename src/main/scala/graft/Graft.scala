@@ -94,9 +94,11 @@ class Graft(spark: SparkSession) {
     * MinHash): unlike covering reads — which honor drift via hybrid
     * scan — these serve results straight from index data, so silently
     * serving stale results would be a correctness trap. Check modes via
-    * `spark.graft.index.ivf.staleCheck`: `cached` (default; a clean
-    * drift listing is cached per (index, log id) for cacheTtlMs),
-    * `strict` (relist every call), `off` (serve as-is, no listing).
+    * `spark.graft.index.ivf.staleCheck`: `cached` (default; the drift
+    * LISTING RESULT — clean or drifted — is cached per (index, log id)
+    * for cacheTtlMs, so steady drift costs one source walk per TTL, not
+    * per query), `strict` (relist every call), `off` (serve as-is, no
+    * listing).
     *
     * When drift IS found and `spark.graft.index.serve.hybridDrift` is on
     * (default), the caller receives a HYBRID answer instead of an error:
@@ -109,26 +111,45 @@ class Graft(spark: SparkSession) {
     val staleMode = graft.index.GraftConf.ivfStaleCheck(spark)
     if (staleMode == "off") return (None, Nil)
     val name = entry.name
+    def serve(appendedPaths: Seq[String], droppedFids: Seq[Long])
+        : (Option[DataFrame], Seq[Long]) =
+      (if (appendedPaths.nonEmpty)
+         Some(manager.readFiles(entry, appendedPaths))
+       else None,
+        droppedFids)
+    def requireHybridOn(nApp: Int, nDel: Int): Unit =
+      if (!graft.index.GraftConf.serveHybridDrift(spark))
+        throw new IllegalArgumentException(
+          s"Index '$name' is stale (hybrid drift serving disabled): source " +
+            s"has $nApp appended and $nDel deleted files since the last " +
+            "refresh; run refreshIndex(name, \"incremental\")")
     val cacheKey = (graft.index.GraftConf.systemPath(spark), name, entry.id)
     val ttlNs = graft.index.GraftConf.cacheTtlMs(spark) * 1000000L
     val now = System.nanoTime()
-    val fresh = staleMode == "cached" && entry.update.isEmpty &&
-      Option(Graft.driftVerdicts.get(cacheKey)).exists(t => now - t < ttlNs)
-    if (fresh) return (None, Nil)
+    // the cache stores the listing RESULT (clean or drifted), so under
+    // steady drift the expensive source walk amortizes over the TTL
+    // instead of re-running on every query until someone refreshes
+    if (staleMode == "cached")
+      Option(Graft.driftVerdicts.get(cacheKey))
+        .filter { case (t, _, _) => now - t < ttlNs }
+        .foreach { case (_, paths, fids) =>
+          if (paths.nonEmpty || fids.nonEmpty)
+            requireHybridOn(paths.size, fids.size)
+          return serve(paths, fids)
+        }
     // a quick-refresh delta recorded in entry.update needs no special
     // handling: the live listing below re-derives it against the logged
     // source files, so it flows through the same hybrid/error paths
     val (appended, deleted) = manager.sourceDrift(entry)
     if (appended.isEmpty && deleted.isEmpty) {
-      Graft.driftVerdicts.put(cacheKey, now)
+      Graft.driftVerdicts.put(cacheKey, (now, Nil, Nil))
       return (None, Nil)
     }
     def stale(reason: String): Nothing = throw new IllegalArgumentException(
       s"Index '$name' is stale ($reason): source has ${appended.size} appended" +
         s" and ${deleted.size} deleted files since the last refresh;" +
         " run refreshIndex(name, \"incremental\")")
-    if (!graft.index.GraftConf.serveHybridDrift(spark))
-      stale("hybrid drift serving disabled")
+    requireHybridOn(appended.size, deleted.size)
     val totalBytes = math.max(entry.sourceFiles.map(_.size).sum, 1L)
     val appendedRatio = appended.map(_.size).sum.toDouble / totalBytes
     val deletedRatio = deleted.map(_.size).sum.toDouble / totalBytes
@@ -136,10 +157,9 @@ class Graft(spark: SparkSession) {
         deletedRatio > graft.index.GraftConf.hybridMaxDeletedRatio(spark))
       stale(f"drift beyond hybrid bounds: appended $appendedRatio%.2f," +
         f" deleted $deletedRatio%.2f of source bytes")
-    (if (appended.nonEmpty)
-       Some(manager.readFiles(entry, appended.map(_.path)))
-     else None,
-      deleted.map(_.id))
+    Graft.driftVerdicts.put(cacheKey,
+      (now, appended.map(_.path), deleted.map(_.id)))
+    serve(appended.map(_.path), deleted.map(_.id))
   }
 
   private def minHashEntry(indexName: String): graft.index.IndexLogEntry =
@@ -230,12 +250,14 @@ class Graft(spark: SparkSession) {
 }
 
 object Graft {
-  /** Clean source-drift verdicts: (systemPath, indexName, logId) → nanos
-    * of the last listing that found zero drift (see annSearch). Bounded
-    * by the number of live IVF indexes; entries for superseded log ids
+  /** Source-drift listing results: (systemPath, indexName, logId) →
+    * (nanos of the listing, appended file paths, deleted file ids) —
+    * empty seqs mean a clean verdict (see resolveDrift). Bounded by the
+    * number of live API-served indexes; entries for superseded log ids
     * are never consulted again. */
   private[graft] val driftVerdicts =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), Long]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String, Long), (Long, Seq[String], Seq[Long])]()
 
   /** SparkSession convenience syntax. */
   implicit class GraftSparkSessionOps(val spark: SparkSession) extends AnyVal {

@@ -35,6 +35,12 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     case _ => throw new IllegalArgumentException(s"$what must be a literal integer")
   }
 
+  private def arity(name: String, args: Seq[Expression], lo: Int,
+      hi: Int): Unit =
+    require(args.length >= lo && args.length <= hi,
+      s"$name expects ${if (lo == hi) s"$lo" else s"$lo to $hi"} " +
+        s"argument(s), got ${args.length}")
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectPreCBORule(spark => new ApplyGraft(spark))
     extensions.injectPlannerStrategy(spark =>
@@ -44,28 +50,34 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction((
       FunctionIdentifier("graft_md5_prefix60"),
       info("graft_md5_prefix60", "_FUNC_(str) - 60-bit md5-prefix hash as BIGINT"),
-      (args: Seq[Expression]) => Md5Prefix60(args.head)))
+      (args: Seq[Expression]) => {
+        arity("graft_md5_prefix60", args, 1, 1); Md5Prefix60(args.head) }))
     extensions.injectFunction((
       FunctionIdentifier("graft_token_hashes60"),
       info("graft_token_hashes60",
         "_FUNC_(array<string>) - distinct 60-bit token hashes"),
-      (args: Seq[Expression]) => TokenHashes60(args.head)))
+      (args: Seq[Expression]) => {
+        arity("graft_token_hashes60", args, 1, 1); TokenHashes60(args.head) }))
     extensions.injectFunction((
       FunctionIdentifier("graft_simhash60"),
       info("graft_simhash60", "_FUNC_(array<bigint>) - 60-bit SimHash fingerprint"),
-      (args: Seq[Expression]) => SimHash60(args.head)))
+      (args: Seq[Expression]) => {
+        arity("graft_simhash60", args, 1, 1); SimHash60(args.head) }))
     extensions.injectFunction((
       FunctionIdentifier("graft_shingle_hashes60"),
       info("graft_shingle_hashes60",
         "_FUNC_(tokens, p[, n]) - distinct n-token (default 3) shingle hashes mod p"),
-      (args: Seq[Expression]) => ShingleHashes60(args.head,
-        longLit(args(1), "modulus p"),
-        if (args.length > 2) longLit(args(2), "shingle width n").toInt else 3)))
+      (args: Seq[Expression]) => {
+        arity("graft_shingle_hashes60", args, 2, 3)
+        ShingleHashes60(args.head,
+          longLit(args(1), "modulus p"),
+          if (args.length > 2) longLit(args(2), "shingle width n").toInt else 3) }))
     extensions.injectFunction((
       FunctionIdentifier("graft_minhash_signature"),
       info("graft_minhash_signature",
         "_FUNC_(hashes) - 16-slot MinHash signature (suite-standard permutations)"),
       (args: Seq[Expression]) => {
+        arity("graft_minhash_signature", args, 1, 1)
         import graft.queries.TextPrimitives._
         MinHashSignature(args.head,
           (0 until MinHashK).map(permA), (0 until MinHashK).map(permB), HashP)
@@ -73,6 +85,7 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "_FUNC_(array<numeric>, array<numeric>) - dot product"),
-      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+      (args: Seq[Expression]) => {
+        arity("graft_dot", args, 2, 2); DotProduct(args.head, args(1)) }))
   }
 }

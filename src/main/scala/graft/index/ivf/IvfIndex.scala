@@ -278,15 +278,19 @@ object IvfBuild {
       .parquet(ctx.dataPath)
   }
 
-  /** Drop tombstoned rows. NULL-safe: under `!isin` alone, SQL
-    * three-valued logic silently drops any NULL-lineage row, and index
-    * data written before lineage existed has no such column at all —
-    * both must be RETAINED (a row we cannot attribute to a deleted file
-    * is live until a rewrite proves otherwise). */
-  def antiTombstone(df: DataFrame, d: IvfIndexDescriptor): DataFrame =
-    if (d.tombstones.isEmpty || !df.columns.contains(LineageColumn)) df
+  /** Drop tombstoned rows (plus any `extraFids` — query-time drift
+    * deletes use the same semantics). NULL-safe: under `!isin` alone,
+    * SQL three-valued logic silently drops any NULL-lineage row, and
+    * index data written before lineage existed has no such column at
+    * all — both must be RETAINED (a row we cannot attribute to a
+    * deleted file is live until a rewrite proves otherwise). */
+  def antiTombstone(df: DataFrame, d: IvfIndexDescriptor,
+      extraFids: Seq[Long] = Nil): DataFrame = {
+    val dead = (d.tombstones ++ extraFids).distinct
+    if (dead.isEmpty || !df.columns.contains(LineageColumn)) df
     else df.filter(col(LineageColumn).isNull ||
-      !col(LineageColumn).isin(d.tombstones: _*))
+      !col(LineageColumn).isin(dead: _*))
+  }
 
   /** Read IVF index data whose content spans version dirs (after
     * merge-mode refreshes). The `graft__cell=` partition column lives in

@@ -78,12 +78,7 @@ object IvfSearch {
     // deleted source files are TOMBSTONED (no data rewrite): anti-filter
     // their rows via the lineage column (NULL-safe — see antiTombstone);
     // `optimize` compacts them away
-    val live0 = IvfBuild.antiTombstone(base, d)
-    val live =
-      if (droppedFids.isEmpty || !live0.columns.contains(IvfBuild.LineageColumn))
-        live0
-      else live0.filter(col(IvfBuild.LineageColumn).isNull ||
-        !col(IvfBuild.LineageColumn).isin(droppedFids: _*))
+    val live = IvfBuild.antiTombstone(base, d, droppedFids)
     val data = live
       .select(col(d.idColumn), col(d.vectorColumn).cast("array<double>").as("nv"),
         col(IvfBuild.CellColumn))

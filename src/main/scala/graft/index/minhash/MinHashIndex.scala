@@ -148,12 +148,17 @@ object MinHashBuild {
       content: graft.index.ContentMeta): DataFrame =
     spark.read.parquet(content.filePaths: _*)
 
-  /** Drop tombstoned rows, NULL-safe (same contract as IVF: rows we
-    * cannot attribute to a deleted file stay live until a rewrite). */
-  def antiTombstone(df: DataFrame, d: MinHashIndexDescriptor): DataFrame =
-    if (d.tombstones.isEmpty || !df.columns.contains(LineageColumn)) df
+  /** Drop tombstoned rows (plus any `extraFids` — query-time drift
+    * deletes use the same semantics), NULL-safe (same contract as IVF:
+    * rows we cannot attribute to a deleted file stay live until a
+    * rewrite proves otherwise). */
+  def antiTombstone(df: DataFrame, d: MinHashIndexDescriptor,
+      extraFids: Seq[Long] = Nil): DataFrame = {
+    val dead = (d.tombstones ++ extraFids).distinct
+    if (dead.isEmpty || !df.columns.contains(LineageColumn)) df
     else df.filter(col(LineageColumn).isNull ||
-      !col(LineageColumn).isin(d.tombstones: _*))
+      !col(LineageColumn).isin(dead: _*))
+  }
 
   /** Compact the given small files for `optimize`: plain rewrite of the
     * slice (rows are independent), tombstoned rows physically dropped. */

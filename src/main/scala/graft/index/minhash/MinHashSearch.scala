@@ -9,14 +9,14 @@ import graft.index.IndexLogEntry
 /**
  * Near-duplicate queries against a [[MinHashIndexDescriptor]] index.
  *
- * Both entry points share the LSH shape that keeps 100 TB tractable:
+ * Every entry point shares the LSH shape that keeps 100 TB tractable:
  * band keys collide only for likely-duplicates, the band join exchanges
- * constant-size `(id, band, key)` rows, candidate pairs are distinct-ed
- * before verification, and the signature re-join touches only surviving
- * pairs. Verification is the MinHash ESTIMATE (fraction of equal
- * signature slots) — the point of persisting signatures is that no text
- * is ever re-read; callers wanting exact Jaccard confirmation re-join
- * the (tiny) result against the corpus text themselves.
+ * constant-size `(id, band, key)` rows — SIGNATURES NEVER RIDE A
+ * SHUFFLE: candidate pairs distinct on bare ids and the signatures
+ * re-join onto surviving pairs only — and verification is the MinHash
+ * ESTIMATE (fraction of equal signature slots), so no text is ever
+ * re-read. Callers wanting exact Jaccard confirmation re-join the
+ * (tiny) result against the corpus text themselves.
  */
 object MinHashSearch {
 
@@ -26,98 +26,91 @@ object MinHashSearch {
     entry.descriptor.asInstanceOf[MinHashIndexDescriptor]
 
   /** Estimated Jaccard between two signature columns: the fraction of
-    * equal slots. Runs only on collision pairs (post-band-join), so the
-    * higher-order function stays off the corpus-sized hot path. */
+    * equal slots. Runs only on verified candidate pairs (post-distinct),
+    * so the higher-order function stays off the corpus-sized hot path. */
   private def estJaccard(s1: Column, s2: Column, numPerm: Int): Column =
     size(filter(zip_with(s1, s2, (x, y) => x === y), b => b))
       .cast(DoubleType) / numPerm.toDouble
 
-  /** Live `(id, sig)` rows and exploded `(id, band, key)` rows.
-    *
-    * Hybrid-serve inputs: `appended` (a source slice not yet indexed) is
-    * signed ON THE FLY and unioned in — one codegen pass over only the
-    * drifted files; `droppedFids` (source files deleted since the last
-    * refresh) anti-filter exactly like tombstones. Together they let a
+  /** Sign a raw `(id, text)` slice into the uniform
+    * `(<alias>, sig, band0..B-1)` row shape. */
+  private def signedRows(d: MinHashIndexDescriptor, docs: DataFrame,
+      idCol: String, textCol: String, idAlias: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as(idAlias),
+        sigCol(d, col(textCol)).as(SigColumn))
+      .filter(col(SigColumn).isNotNull && size(col(SigColumn)) > 0)
+      .select(col(idAlias) +: col(SigColumn) +: bandCols(d): _*)
+
+  /** Live index rows in the uniform shape, with hybrid-serve inputs
+    * folded in: `appended` (a source slice not yet indexed) is signed ON
+    * THE FLY — one codegen pass over only the drifted files — and
+    * `droppedFids` anti-filter like tombstones. Together they let a
     * drifted index serve exact results with zero maintenance I/O. */
-  private def tables(spark: SparkSession, entry: IndexLogEntry,
-      appended: Option[DataFrame], droppedFids: Seq[Long])
-      : (DataFrame, DataFrame) = {
+  private def liveRows(spark: SparkSession, entry: IndexLogEntry,
+      appended: Option[DataFrame], droppedFids: Seq[Long]): DataFrame = {
     val d = desc(entry)
-    val persisted0 = antiTombstone(readIndexData(spark, entry.content), d)
     val persisted =
-      if (droppedFids.isEmpty || !persisted0.columns.contains(LineageColumn))
-        persisted0
-      else persisted0.filter(col(LineageColumn).isNull ||
-        !col(LineageColumn).isin(droppedFids: _*))
+      antiTombstone(readIndexData(spark, entry.content), d, droppedFids)
     val shape = col(d.idColumn) +: col(SigColumn) +:
       (0 until d.bands).map(b => col(bandColumn(b)))
-    val data = appended match {
+    appended match {
       case Some(app) =>
-        val fresh = app
-          .select(col(d.idColumn).cast("long").as(d.idColumn),
-            sigCol(d, col(d.textColumn)).as(SigColumn))
-          .filter(col(SigColumn).isNotNull && size(col(SigColumn)) > 0)
-          .select(col(d.idColumn) +: col(SigColumn) +: bandCols(d): _*)
-        persisted.select(shape: _*).unionByName(fresh)
+        persisted.select(shape: _*).unionByName(
+          signedRows(d, app, d.idColumn, d.textColumn, d.idColumn))
       case None => persisted.select(shape: _*)
     }
-    val sigs = data.select(col(d.idColumn), col(SigColumn))
-    val bands = data.select(col(d.idColumn),
+  }
+
+  /** Exploded `(<id>, band, key)` from uniform rows. */
+  private def bandsOf(d: MinHashIndexDescriptor, rows: DataFrame,
+      idName: String): DataFrame =
+    rows.select(col(idName),
       explode(array((0 until d.bands).map(b =>
         struct(lit(b).as("band"), col(bandColumn(b)).as("key"))): _*)).as("bk"))
-      .select(col(d.idColumn), col("bk.band").as("band"), col("bk.key").as("key"))
-    (sigs, bands)
+      .select(col(idName), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Bare candidate id pairs → signature re-join → estimate filter. */
+  private def verified(d: MinHashIndexDescriptor, cand: DataFrame,
+      leftSigs: DataFrame, rightSigs: DataFrame,
+      left: String, right: String, minEst: Double): DataFrame =
+    cand
+      .join(leftSigs, left)
+      .join(rightSigs, right)
+      .select(col(left), col(right),
+        estJaccard(col("__s1"), col("__s2"), d.numPerm).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+
+  /** Self-join near-dup pairs over uniform rows: `(id1, id2, est)`. */
+  private def pairsOver(d: MinHashIndexDescriptor, rows: DataFrame,
+      idName: String, minEst: Double): DataFrame = {
+    val bands = bandsOf(d, rows, idName)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idName") < col(s"b.$idName"))
+      .select(col(s"a.$idName").as("id1"), col(s"b.$idName").as("id2"))
+      .distinct()
+    verified(d, cand,
+      rows.select(col(idName).as("id1"), col(SigColumn).as("__s1")),
+      rows.select(col(idName).as("id2"), col(SigColumn).as("__s2")),
+      "id1", "id2", minEst)
   }
 
   /** All near-duplicate pairs within the indexed corpus:
     * `(id1, id2, est_jaccard)` with `est_jaccard >= minEst`. */
   def pairs(spark: SparkSession, entry: IndexLogEntry, minEst: Double,
       appended: Option[DataFrame] = None,
-      droppedFids: Seq[Long] = Nil): DataFrame = {
-    val d = desc(entry)
-    val (sigs, bands) = tables(spark, entry, appended, droppedFids)
-    val id = d.idColumn
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"))
-      .distinct()
-    cand
-      .join(sigs.select(col(id).as("id1"), col(SigColumn).as("s1")), "id1")
-      .join(sigs.select(col(id).as("id2"), col(SigColumn).as("s2")), "id2")
-      .select(col("id1"), col("id2"),
-        estJaccard(col("s1"), col("s2"), d.numPerm).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEst)
-  }
+      droppedFids: Seq[Long] = Nil): DataFrame =
+    pairsOver(desc(entry), liveRows(spark, entry, appended, droppedFids),
+      desc(entry).idColumn, minEst)
 
   /** Near-duplicate pairs WITHIN a standalone `(id, text)` frame (no
-    * index involved): sign, band, collide, estimate — the batch-internal
-    * leg of incremental curation. Returns `(id1, id2, est_jaccard)`
-    * with `id1 < id2`. */
+    * index involved) — the batch-internal leg of incremental curation.
+    * Returns `(id1, id2, est_jaccard)` with `id1 < id2`. */
   def selfPairs(spark: SparkSession, d: MinHashIndexDescriptor,
       docs: DataFrame, idCol: String, textCol: String,
-      minEst: Double): DataFrame = {
-    val rows = docs
-      .select(col(idCol).cast("long").as("id"),
-        sigCol(d, col(textCol)).as(SigColumn))
-      .filter(col(SigColumn).isNotNull && size(col(SigColumn)) > 0)
-      .select(col("id") +: col(SigColumn) +: bandCols(d): _*)
-    val bands = rows.select(col("id"),
-      explode(array((0 until d.bands).map(b =>
-        struct(lit(b).as("band"), col(bandColumn(b)).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val sigs = rows.select(col("id"), col(SigColumn))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-      .join(sigs.select(col("id").as("id1"), col(SigColumn).as("s1")), "id1")
-      .join(sigs.select(col("id").as("id2"), col(SigColumn).as("s2")), "id2")
-      .select(col("id1"), col("id2"),
-        estJaccard(col("s1"), col("s2"), d.numPerm).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEst)
-  }
+      minEst: Double): DataFrame =
+    pairsOver(d, signedRows(d, docs, idCol, textCol, "id"), "id", minEst)
 
   /** Incremental dedup: near-duplicates of a NEW batch against the
     * indexed corpus without re-signing the corpus. The batch is signed
@@ -133,28 +126,15 @@ object MinHashSearch {
       appended: Option[DataFrame] = None,
       droppedFids: Seq[Long] = Nil): DataFrame = {
     val d = desc(entry)
-    val (sigs, bands) = tables(spark, entry, appended, droppedFids)
-    val id = d.idColumn
-    val signed = batch
-      .select(col(idCol).cast("long").as("batch_id"),
-        sigCol(d, col(textCol)).as(SigColumn))
-      .filter(col(SigColumn).isNotNull && size(col(SigColumn)) > 0)
-      .select(col("batch_id") +: col(SigColumn).as("bsig") +:
-        bandCols(d).zipWithIndex.map { case (c, i) => c.as(s"bk$i") }: _*)
-    val batchBands = signed.select(col("batch_id"), col("bsig"),
-      explode(array((0 until d.bands).map(b =>
-        struct(lit(b).as("band"), col(s"bk$b").as("key"))): _*)).as("bk"))
-      .select(col("batch_id"), col("bsig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands
-      .join(broadcast(batchBands), Seq("band", "key"))
-      .select(col("batch_id"), col(id).as("corpus_id"), col("bsig"))
+    val corpus = liveRows(spark, entry, appended, droppedFids)
+    val signed = signedRows(d, batch, idCol, textCol, "batch_id")
+    val cand = bandsOf(d, corpus, d.idColumn)
+      .join(broadcast(bandsOf(d, signed, "batch_id")), Seq("band", "key"))
+      .select(col("batch_id"), col(d.idColumn).as("corpus_id"))
       .distinct()
-    cand
-      .join(sigs.select(col(id).as("corpus_id"), col(SigColumn).as("csig")),
-        "corpus_id")
-      .select(col("batch_id"), col("corpus_id"),
-        estJaccard(col("bsig"), col("csig"), d.numPerm).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEst)
+    verified(d, cand,
+      signed.select(col("batch_id"), col(SigColumn).as("__s1")),
+      corpus.select(col(d.idColumn).as("corpus_id"), col(SigColumn).as("__s2")),
+      "batch_id", "corpus_id", minEst)
   }
 }

@@ -341,16 +341,23 @@ object Dedup {
     // band join), so below a threshold the cheapest correct plan is a
     // driver-side union-find over the collected edges — the same
     // "edge list fits one machine" observation every production dedup
-    // pipeline exploits. Above the threshold (~16 B/edge; the default
-    // 50M edges ≈ 800 MB) we fall back to distributed min-label
-    // propagation with pointer doubling. Both paths produce the
-    // identical (doc_id, min-id component) mapping — spec-asserted.
+    // pipeline exploits. Collected edges cost ~100 B each (Row + two
+    // boxed longs + HashMap entries), so the default 5M-edge threshold
+    // budgets ~500 MB of driver heap; raise it only with driver memory
+    // to match. Above the threshold we fall back to distributed
+    // min-label propagation with pointer doubling. Both paths produce
+    // the identical (doc_id, min-id component) mapping — spec-asserted.
     val localEdgeThreshold = spark.conf
       .getOption("spark.graft.cc.localEdgeThreshold")
-      .map(_.toLong).getOrElse(50000000L)
+      .map(_.toLong).getOrElse(5000000L)
     val labeled =
       if (pairRows.count() <= localEdgeThreshold) componentsLocal(spark, pairRows)
       else componentsDistributed(spark, pairRows)
+    // both paths have materialized their result (collect / eager
+    // localCheckpoint), so the upstream caches release deterministically
+    // here rather than riding until a harness cache clear
+    bands.unpersist()
+    pairRows.unpersist()
     labeled.orderBy(col("doc_id"))
   }
 

@@ -369,22 +369,24 @@ object Pipeline {
       |ORDER BY err.event_id""".stripMargin
 
   // ------------------------------------------------ q_json_extract
-  /** Semi-structured extraction: parse the events `props` JSON column
-    * with a SCHEMA'D `from_json` (not per-field string extraction) and
-    * aggregate the extracted field per event type — the "pull typed
-    * facts out of a JSON side-channel" shape every event pipeline has.
+  /** Semi-structured extraction: pull a typed field out of the events
+    * `props` JSON column and aggregate it per event type — the "JSON
+    * side-channel" shape every event pipeline has.
     *
-    * Scale shape: `from_json` is a per-row expression evaluated once
-    * per row inside the scan projection (malformed rows yield NULL, not
-    * failures), followed by one partial+final aggregate on a 5-value
-    * key. Nothing driver-side, nothing quadratic. */
+    * Extraction is string-get + `try_cast`, NOT a schema'd `from_json`:
+    * the two engines' typed-JSON parsers disagree on lenient cases
+    * (`{"k": "7"}` is NULL to a LongType `from_json` but 7 to a string
+    * extraction + cast), while string-extract-then-try-cast has
+    * identical semantics in both — malformed JSON and non-numeric
+    * values become NULL, never failures, on BOTH sides of the oracle.
+    *
+    * Scale shape: a per-row expression inside the scan projection,
+    * then one partial+final aggregate on a 5-value key. Nothing
+    * driver-side, nothing quadratic. */
   def qJsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     ev.select(col("event_type"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("k", LongType))))
-          .getField("k").as("k"))
+        expr("try_cast(get_json_object(props, '$.k') AS bigint)").as("k"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).cast(LongType).as("n_events"),
@@ -398,7 +400,7 @@ object Pipeline {
   val qJsonExtractSql: String =
     """WITH e AS (
       |  SELECT event_type,
-      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |  FROM events)
       |SELECT event_type,
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
