@@ -457,6 +457,35 @@ object Pipeline {
       |  CAST(len(list_filter(qv, e -> abs(e) = 127)) AS BIGINT) AS n_sat
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------ q_pivot_events
+  /** Pivot: per-user event-type counts as COLUMNS (`df.pivot` with the
+    * value list given explicitly — an implicit pivot runs an extra
+    * distinct pass over the data to discover values, and its column
+    * order would be data-dependent).
+    *
+    * Scale shape: one partial+final aggregate on (user_id × 5 pivot
+    * values); the pivot is aggregation shaping, not a join. */
+  def qPivotEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = Tables.load(spark, sfDir, "events")
+    val pivoted = ev.groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    pivoted.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).cast(LongType).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  val qPivotEventsSql: String = {
+    val cols = Seq("click", "error", "purchase", "signup", "view")
+      .map(t =>
+        s"CAST(COUNT(*) FILTER (event_type = '$t') AS BIGINT) AS n_$t")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   // ------------------------------------------------ pipeline_curate
   /** The END-TO-END curation pipeline in one query — exactly what a
     * training-data job runs nightly, composed from the suite's own
@@ -530,5 +559,6 @@ object Pipeline {
     "q_range_join" -> (qRangeJoin _, qRangeJoinSql),
     "q_json_extract" -> (qJsonExtract _, qJsonExtractSql),
     "emb_quantize" -> (qEmbQuantize _, qEmbQuantizeSql),
+    "q_pivot_events" -> (qPivotEvents _, qPivotEventsSql),
     "pipeline_curate" -> (qPipelineCurate _, qPipelineCurateSql))
 }

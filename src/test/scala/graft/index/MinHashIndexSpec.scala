@@ -254,10 +254,25 @@ class MinHashIndexSpec extends AnyFunSuite {
           .collect().map(_.getLong(1)).toSet
         assert(hits.contains(500001L), "batch dedup missed the appended doc")
 
+        // cached mode: the drifted LISTING RESULT is cached, so repeated
+        // hybrid serves hit the cache and still return the appended docs
+        spark.conf.set(GraftConf.IvfStaleCheckKey, "cached")
+        (1 to 2).foreach { _ =>
+          val again = g.nearDuplicates("mh_stale", minEstJaccard = 1.0)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(again.contains((1L, 500001L)))
+        }
+        spark.conf.set(GraftConf.IvfStaleCheckKey, "strict")
+
         spark.conf.set(GraftConf.ServeHybridDriftKey, "false")
         val ex = intercept[IllegalArgumentException](
           g.nearDuplicates("mh_stale", 0.5).collect())
         assert(ex.getMessage.contains("stale"))
+        // hybrid-off must also refuse on a CACHED drift verdict
+        spark.conf.set(GraftConf.IvfStaleCheckKey, "cached")
+        val ex2 = intercept[IllegalArgumentException](
+          g.nearDuplicates("mh_stale", 0.5).collect())
+        assert(ex2.getMessage.contains("stale"))
       } finally {
         spark.conf.unset(GraftConf.IvfStaleCheckKey)
         spark.conf.unset(GraftConf.ServeHybridDriftKey)
