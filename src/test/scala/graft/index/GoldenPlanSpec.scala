@@ -114,7 +114,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     // gid-tagged by RewriteDistinctAggregates in exprId order, which varies
     // with session history — PlanAuditSpec pins its broadcast shape instead
     "text_quality", "text_rarity", "q_asof_join", "q_range_join",
-    "q_json_extract", "emb_quantize",
+    "q_json_extract", "emb_quantize", "q_pivot_events",
     "sim_brute_topk", "sim_lsh_buckets").foreach { q =>
     test(s"golden plan: $q") { check(q) }
   }
