@@ -44,9 +44,14 @@ object MinHashSearch {
 
   /** Live index rows in the uniform shape, with hybrid-serve inputs
     * folded in: `appended` (a source slice not yet indexed) is signed ON
-    * THE FLY — one codegen pass over only the drifted files — and
-    * `droppedFids` anti-filter like tombstones. Together they let a
-    * drifted index serve exact results with zero maintenance I/O. */
+    * THE FLY and `droppedFids` anti-filter like tombstones. Together
+    * they let a drifted index serve exact results with zero maintenance
+    * I/O. The appended leg re-signs once per plan subtree that consumes
+    * it (the band self-join + the two signature re-joins — up to 4×);
+    * that stays cheap because drift is ratio-bounded small, and is the
+    * deliberate trade against a library-held persist (which could never
+    * be released safely under a lazy result) — sustained heavy drift is
+    * what `refreshIndex("incremental")` is for. */
   private def liveRows(spark: SparkSession, entry: IndexLogEntry,
       appended: Option[DataFrame], droppedFids: Seq[Long]): DataFrame = {
     val d = desc(entry)

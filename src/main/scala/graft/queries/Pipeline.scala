@@ -486,6 +486,37 @@ object Pipeline {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // ---------------------------------------------- q_unpivot_events
+  /** Unpivot (melt): the per-user type-count matrix back to long form
+    * via `unpivot` — the inverse reshaping of [[qPivotEvents]], zero-count
+    * combinations dropped. Composing pivot → unpivot exercises both
+    * reshape directions against one oracle (the plain long-form counts).
+    *
+    * Scale shape: unpivot is a map-side row expansion (one row in, five
+    * out), no shuffle beyond the upstream pivot aggregate. */
+  def qUnpivotEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    qPivotEvents(spark, sfDir)
+      .unpivot(
+        ids = Array(col("user_id")),
+        values = types.map(t => col(s"n_$t")).toArray,
+        variableColumnName = "event_type",
+        valueColumnName = "n_events")
+      .filter(col("n_events") > 0L)
+      // the unpivot variable carries the pivoted column NAME (n_click);
+      // strip the prefix so the long form round-trips to source values
+      .select(col("user_id"),
+        expr("substring(event_type, 3)").as("event_type"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val qUnpivotEventsSql: String =
+    """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   // ------------------------------------------------ pipeline_curate
   /** The END-TO-END curation pipeline in one query — exactly what a
     * training-data job runs nightly, composed from the suite's own
@@ -560,5 +591,6 @@ object Pipeline {
     "q_json_extract" -> (qJsonExtract _, qJsonExtractSql),
     "emb_quantize" -> (qEmbQuantize _, qEmbQuantizeSql),
     "q_pivot_events" -> (qPivotEvents _, qPivotEventsSql),
+    "q_unpivot_events" -> (qUnpivotEvents _, qUnpivotEventsSql),
     "pipeline_curate" -> (qPipelineCurate _, qPipelineCurateSql))
 }
