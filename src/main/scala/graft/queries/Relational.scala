@@ -313,6 +313,26 @@ object Relational {
        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- cube
+  /** Full CUBE (all 4 grouping sets of returnflag × linestatus) — the
+    * rollup's sibling shape; one aggregate pass, grouping-set expansion
+    * handled by Spark's Expand operator (map-side, no extra scan). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  val qCubeSql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       | ${sqlMoneySum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------------- events
   /** Event-stream style day × type aggregate (date_trunc + conditional agg). */
   def qEventsDaily(spark: SparkSession, sfDir: String): DataFrame = {
@@ -349,5 +369,6 @@ object Relational {
     "q_semi_anti" -> (qSemiAnti _, qSemiAntiSql),
     "q_set_ops" -> (qSetOps _, qSetOpsSql),
     "q_rollup" -> (qRollup _, qRollupSql),
+    "q_cube" -> (qCube _, qCubeSql),
     "q_events_daily" -> (qEventsDaily _, qEventsDailySql))
 }
