@@ -94,11 +94,12 @@ class Graft(spark: SparkSession) {
     * MinHash): unlike covering reads — which honor drift via hybrid
     * scan — these serve results straight from index data, so silently
     * serving stale results would be a correctness trap. Check modes via
-    * `spark.graft.index.ivf.staleCheck`: `cached` (default; the drift
-    * LISTING RESULT — clean or drifted — is cached per (index, log id)
-    * for cacheTtlMs, so steady drift costs one source walk per TTL, not
-    * per query), `strict` (relist every call), `off` (serve as-is, no
-    * listing).
+    * `spark.graft.index.ivf.staleCheck`: `cached` (default; only a CLEAN
+    * listing verdict is cached per (index, log id) for cacheTtlMs — once
+    * drift is seen every call re-lists, so appended files arriving inside
+    * the TTL are picked up immediately and a compacted-away appended file
+    * is never served from a pinned path), `strict` (relist every call),
+    * `off` (serve as-is, no listing).
     *
     * When drift IS found and `spark.graft.index.serve.hybridDrift` is on
     * (default), the caller receives a HYBRID answer instead of an error:
@@ -126,17 +127,18 @@ class Graft(spark: SparkSession) {
     val cacheKey = (graft.index.GraftConf.systemPath(spark), name, entry.id)
     val ttlNs = graft.index.GraftConf.cacheTtlMs(spark) * 1000000L
     val now = System.nanoTime()
-    // the cache stores the listing RESULT (clean or drifted), so under
-    // steady drift the expensive source walk amortizes over the TTL
-    // instead of re-running on every query until someone refreshes
-    if (staleMode == "cached")
-      Option(Graft.driftVerdicts.get(cacheKey))
-        .filter { case (t, _, _) => now - t < ttlNs }
-        .foreach { case (_, paths, fids) =>
-          if (paths.nonEmpty || fids.nonEmpty)
-            requireHybridOn(paths.size, fids.size)
-          return serve(paths, fids)
-        }
+    // only CLEAN verdicts are cached: a drifted verdict pins concrete
+    // appended paths, which go stale within the TTL (compaction removes
+    // them → read failure; later appends stay invisible). Drift is the
+    // transient state — paying a re-list per query until someone
+    // refreshes is the safe trade.
+    val cachedClean = staleMode == "cached" &&
+      (Option(Graft.driftVerdicts.get(cacheKey)) match {
+        case Some((t, paths, fids)) =>
+          now - t < ttlNs && paths.isEmpty && fids.isEmpty
+        case None => false
+      })
+    if (cachedClean) return (None, Nil)
     // a quick-refresh delta recorded in entry.update needs no special
     // handling: the live listing below re-derives it against the logged
     // source files, so it flows through the same hybrid/error paths
@@ -157,8 +159,7 @@ class Graft(spark: SparkSession) {
         deletedRatio > graft.index.GraftConf.hybridMaxDeletedRatio(spark))
       stale(f"drift beyond hybrid bounds: appended $appendedRatio%.2f," +
         f" deleted $deletedRatio%.2f of source bytes")
-    Graft.driftVerdicts.put(cacheKey,
-      (now, appended.map(_.path), deleted.map(_.id)))
+    // drifted verdicts are deliberately NOT cached (see above)
     serve(appended.map(_.path), deleted.map(_.id))
   }
 
@@ -251,10 +252,11 @@ class Graft(spark: SparkSession) {
 
 object Graft {
   /** Source-drift listing results: (systemPath, indexName, logId) →
-    * (nanos of the listing, appended file paths, deleted file ids) —
-    * empty seqs mean a clean verdict (see resolveDrift). Bounded by the
-    * number of live API-served indexes; entries for superseded log ids
-    * are never consulted again. */
+    * (nanos of the listing, appended file paths, deleted file ids).
+    * Only clean verdicts (empty seqs) are ever served from this cache —
+    * a drifted listing is recomputed per call so its file paths can't go
+    * stale (see resolveDrift). Bounded by the number of live API-served
+    * indexes; entries for superseded log ids are never consulted again. */
   private[graft] val driftVerdicts =
     new java.util.concurrent.ConcurrentHashMap[
       (String, String, Long), (Long, Seq[String], Seq[Long])]()

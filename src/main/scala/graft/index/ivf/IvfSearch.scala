@@ -91,7 +91,12 @@ object IvfSearch {
       .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .select(col("qid"), col(d.idColumn), col("cosine"))
     // appended leg: no cells, so every query scores the (small) slice —
-    // each query appears once in `q1` (probes fan it out nProbe times)
+    // each query appears once in `q1` (probes fan it out nProbe times).
+    // An appended file may re-contain an already-indexed id (an
+    // append-rewrite the lister can't pair with a delete); without the
+    // per-(qid, id) dedup below the same neighbor id could occupy two
+    // of the topK slots with different cosines. The appended (fresher)
+    // row wins; the extra window exists only under drift.
     val all = appended match {
       case Some(app) =>
         val q1 = probes.select(col("qid"), col("qv"), col("qn")).distinct()
@@ -104,7 +109,13 @@ object IvfSearch {
           .crossJoin(broadcast(q1))
           .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
           .select(col("qid"), col(d.idColumn), col("cosine"))
-        scored.unionByName(appScored)
+        val dedup = Window.partitionBy(col("qid"), col(d.idColumn))
+          .orderBy(col("__prio").desc)
+        scored.withColumn("__prio", lit(0))
+          .unionByName(appScored.withColumn("__prio", lit(1)))
+          .withColumn("__rn", row_number().over(dedup))
+          .filter(col("__rn") === 1)
+          .drop("__prio", "__rn")
       case None => scored
     }
     val w = Window.partitionBy(col("qid"))

@@ -51,7 +51,16 @@ object MinHashSearch {
     * that stays cheap because drift is ratio-bounded small, and is the
     * deliberate trade against a library-held persist (which could never
     * be released safely under a lazy result) — sustained heavy drift is
-    * what `refreshIndex("incremental")` is for. */
+    * what `refreshIndex("incremental")` is for.
+    *
+    * An appended file may RE-CONTAIN an already-indexed id (an
+    * append-rewrite the lister can't pair with a delete); serving both
+    * rows would multiply the signature re-joins and emit duplicate
+    * (id1, id2) pairs with differing estimates. The union therefore
+    * dedups per id, preferring the appended (fresher) row. The dedup
+    * window shuffles signature rows on id — a cost that exists ONLY
+    * under drift; the steady-state path keeps the signatures-never-
+    * shuffle invariant, and a refresh restores it. */
   private def liveRows(spark: SparkSession, entry: IndexLogEntry,
       appended: Option[DataFrame], droppedFids: Seq[Long]): DataFrame = {
     val d = desc(entry)
@@ -61,8 +70,14 @@ object MinHashSearch {
       (0 until d.bands).map(b => col(bandColumn(b)))
     appended match {
       case Some(app) =>
-        persisted.select(shape: _*).unionByName(
-          signedRows(d, app, d.idColumn, d.textColumn, d.idColumn))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(d.idColumn)).orderBy(col("__prio").desc)
+        persisted.select(shape: _*).withColumn("__prio", lit(0))
+          .unionByName(signedRows(d, app, d.idColumn, d.textColumn, d.idColumn)
+            .withColumn("__prio", lit(1)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__prio", "__rn")
       case None => persisted.select(shape: _*)
     }
   }

@@ -50,16 +50,37 @@ object Dedup {
       |ORDER BY source""".stripMargin
 
   // -------------------------------------------------------- ngram jaccard
-  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join). */
+  /** Default doc-frequency cap on shingles feeding the exact-Jaccard
+    * self-join (`spark.graft.dedup.ngram.maxShingleDf`). Without it a
+    * stop-word trigram in 10⁶ docs makes 10¹² candidate pairs — the
+    * classic inverted-index blowup. Dropping shingles with df > K is the
+    * standard stop-shingle mitigation: Jaccard is then computed over the
+    * FILTERED sets (both intersection and sizes), which only loses pairs
+    * whose similarity rests on shingles shared by >K documents — i.e.
+    * pairs that aren't near-duplicates in any meaningful sense. The
+    * oracle SQL applies the identical cap. */
+  val NgramMaxShingleDfDefault = 10000
+
+  /** Exact 3-gram Jaccard near-dup pairs (inverted-index join), hot
+    * shingles df-capped — see [[NgramMaxShingleDfDefault]]. */
   def qNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxDf = spark.conf.getOption("spark.graft.dedup.ngram.maxShingleDf")
+      .map(_.toLong).getOrElse(NgramMaxShingleDfDefault.toLong)
     val docs = Tables.load(spark, sfDir, "documents")
-    // the shingle relation feeds the self-join (twice) and the size agg:
-    // persist so tokenization+shingling runs once, not three times
-    val sh = docs
+    // the shingle relation feeds the df agg, the self-join (twice) and
+    // the size agg: persist so tokenization+shingling runs once
+    val raw = docs
       .select(col("doc_id"),
         explode(graft.functions.SimHashFunctions.shingleStrings3(
           tokens(col("text")))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stop-shingle filter: df = distinct docs containing the shingle;
+    // the surviving relation is what both the sizes and the join see
+    val hot = raw.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("sh"))
+    val sh = raw.join(hot, Seq("sh"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -77,9 +98,15 @@ object Dedup {
   }
 
   val qNgramJaccardSql: String = {
-    val sh = sqlShingles3(sqlTokens("text"))
-    s"""WITH sh AS (
-       |  SELECT doc_id, unnest($sh) AS sh FROM documents),
+    val shs = sqlShingles3(sqlTokens("text"))
+    s"""WITH raw AS (
+       |  SELECT doc_id, unnest($shs) AS sh FROM documents),
+       |hot AS (
+       |  SELECT sh FROM raw GROUP BY sh
+       |  HAVING COUNT(DISTINCT doc_id) > $NgramMaxShingleDfDefault),
+       |sh AS (
+       |  SELECT doc_id, sh FROM raw
+       |  WHERE sh NOT IN (SELECT sh FROM hot)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter

@@ -171,6 +171,21 @@ object Pipeline {
   /** Distributed prefix-sum shard assignment over `(doc_id, n_tokens)`
     * rows (see [[qPackShards]] for the cost-shape discussion). */
   def packByBudget(spark: SparkSession, docs: DataFrame, Budget: Long): DataFrame = {
+    val (out, parted) = packByBudgetLazy(spark, docs, Budget)
+    // eager localCheckpoint materializes the result while `parted` is
+    // still cached (the pid→offset mapping is only valid against the
+    // cached partitioning), then the cache is released deterministically
+    // so library callers composing this don't leak blocks per invocation
+    val materialized = out.localCheckpoint()
+    parted.unpersist()
+    materialized
+  }
+
+  /** The lazy plan + cached intermediate behind [[packByBudget]] —
+    * exposed so plan-shape audits can assert on the window shape, which
+    * the checkpointed public result no longer carries. */
+  private[graft] def packByBudgetLazy(spark: SparkSession, docs: DataFrame,
+      Budget: Long): (DataFrame, DataFrame) = {
     val nParts = math.max(spark.sparkContext.defaultParallelism / 4, 4)
     val parted = docs
       .repartitionByRange(nParts, col("doc_id"))
@@ -194,8 +209,7 @@ object Pipeline {
       .select(col("doc_id"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $Budget").cast(LongType).as("shard"))
       .orderBy(col("doc_id"))
-    // materialized by the caller; persist released by the harness cache clear
-    out
+    (out, parted)
   }
 
   val qPackShardsSql: String =
@@ -223,17 +237,22 @@ object Pipeline {
     * bits.
     *
     * Scale shape: two passes — a vocabulary-sized frequency aggregate
-    * (partial+final; vocabulary ≪ corpus), broadcast back onto the
-    * exploded token stream with the corpus total riding a broadcast
-    * single-row cross join (no driver round trip), then one per-doc
-    * partial+final aggregate. The corpus is never self-joined or
-    * shuffled as text. */
+    * (partial+final), then the frequencies join back onto the exploded
+    * token stream as a SHUFFLE join on the token (uniform key, no skew):
+    * at web scale the distinct-token table (typos, URLs, code) is
+    * billions of rows, so a forced broadcast of the vocabulary would be
+    * a driver/executor OOM — Catalyst/AQE still auto-broadcasts when
+    * the vocabulary happens to be small, which is the right dynamic
+    * call. Only the single-row corpus total rides an explicit broadcast
+    * cross join (no driver round trip). One per-doc partial+final
+    * aggregate finishes; the corpus is never self-joined or shuffled as
+    * text. */
   def qTextRarity(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val tot = freq.agg(sum(col("c")).as("n"))
-    tok.join(broadcast(freq), "t")
+    tok.join(freq, "t")
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(

@@ -140,13 +140,38 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("pack_shards: windows are partition-local (no global-sort window)") {
-    val df = SparkEntry.queries("pack_shards")(spark, TestSpark.sfDir)
-    val nodes = executed(df)
+    // the public packByBudget returns a checkpointed frame (plan already
+    // materialized) — audit the lazy plan behind it
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"),
+        size(graft.queries.TextPrimitives.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+    val (out, parted) =
+      graft.queries.Pipeline.packByBudgetLazy(spark, docs, 2048L)
+    val nodes = executed(out)
+    parted.unpersist()
     val windows = nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(windows.nonEmpty, "expected a window for the running sum")
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "running sum must be per-partition (global-order window = single reducer)")
+  }
+
+  test("text_rarity: vocabulary is never force-broadcast (only the 1-row total)") {
+    val df = SparkEntry.queries("text_rarity")(spark, TestSpark.sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    // exactly one explicit broadcast hint is allowed: the groupless (i.e.
+    // single-row) corpus-total aggregate. A hint over the vocabulary —
+    // billions of rows at web scale — would OOM the driver at 100 TB;
+    // AQE may still auto-broadcast it when it happens to be small, which
+    // is the correct dynamic call and not what this guards against.
+    assert(hints.size == 1, s"expected 1 broadcast hint, found ${hints.size}")
+    val hinted = hints.head.child.collect {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a }
+    assert(hinted.nonEmpty,
+      "the only allowed broadcast hint is the single-row corpus total")
   }
 
   test("text_quality: aggregations run partial + final") {
