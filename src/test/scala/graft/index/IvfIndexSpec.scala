@@ -437,4 +437,39 @@ class IvfIndexSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("appended file re-containing an indexed id serves the fresh vector, once") {
+    val sys = Files.createTempDirectory("graft-ivf-rw-").toString
+    val src = Files.createTempDirectory("graft-ivf-rwsrc-").toString
+    spark.conf.set(GraftConf.SystemPathKey, sys)
+    spark.conf.set(GraftConf.IvfStaleCheckKey, "strict")
+    try {
+      val g = new Graft(spark)
+      embeddings.filter(col("vec_id") < 400).repartition(2)
+        .write.mode("overwrite").parquet(src)
+      g.createIndex(spark.read.parquet(src),
+        IvfIndexConfig("ann_rw", "vec_id", "embedding", k = 4, maxIter = 2))
+      // append-rewrite: vec 0 reappears in a NEW file with vec 1's vector
+      embeddings.filter(col("vec_id") === 1L)
+        .withColumn("vec_id", lit(0L))
+        .coalesce(1).write.mode("append").parquet(src)
+      // query = vec 1's vector; both ids now carry it (cosine 1.0)
+      val queries = embeddings.filter(col("vec_id") === 1L)
+        .select(lit(100L).as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      val top = g.annSearch("ann_rw", queries, topK = 10, nProbe = 4).collect()
+      // without the per-(qid,id) dedup, the persisted vec-0 row would
+      // occupy a second topK slot with its old cosine
+      val idCounts = top.groupBy(_.getLong(1)).view.mapValues(_.length)
+      assert(idCounts.forall(_._2 == 1),
+        s"neighbor id ranked twice within topK: $idCounts")
+      val cos0 = top.find(_.getLong(1) == 0L).map(_.getDouble(2))
+      assert(cos0.exists(c => math.abs(c - 1.0) < 1e-9),
+        s"appended rewrite of vec 0 not the served row: cosine=$cos0")
+    } finally {
+      spark.conf.unset(GraftConf.SystemPathKey)
+      spark.conf.unset(GraftConf.IvfStaleCheckKey)
+      rules.IndexCatalog.invalidate(spark)
+    }
+  }
 }

@@ -304,4 +304,34 @@ class MinHashIndexSpec extends AnyFunSuite {
       } finally spark.conf.unset(GraftConf.IvfStaleCheckKey)
     }
   }
+
+  test("appended file re-containing an indexed id: the appended row wins, once") {
+    withDirs { (g, src) =>
+      writeDocs(src)
+      g.createIndex(spark.read.parquet(src),
+        MinHashIndexConfig("mh_rewrite", "doc_id", "text"))
+      // an append-rewrite the lister can't pair with a delete: doc 1
+      // reappears in a NEW file, now carrying doc 2's text
+      val doc2Text = spark.read.parquet(src).filter(col("doc_id") === 2L)
+        .select(col("text")).collect().head.getString(0)
+      import spark.implicits._
+      Seq((1L, doc2Text)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      spark.conf.set(GraftConf.IvfStaleCheckKey, "strict")
+      try {
+        val rows = g.nearDuplicates("mh_rewrite", minEstJaccard = 0.0)
+          .select(col("id1"), col("id2"), col("est_jaccard")).collect()
+        // both the persisted and the appended doc-1 rows joining would
+        // emit duplicate (id1,id2) pairs with differing estimates
+        val keys = rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(keys.distinct.length == keys.length,
+          "duplicate (id1,id2) pairs under hybrid serve")
+        // and the APPENDED content won: doc 1 now carries doc 2's text
+        val est12 = rows.collectFirst {
+          case r if r.getLong(0) == 1L && r.getLong(1) == 2L => r.getDouble(2) }
+        assert(est12.contains(1.0),
+          s"appended rewrite of doc 1 not the served row: est=$est12")
+      } finally spark.conf.unset(GraftConf.IvfStaleCheckKey)
+    }
+  }
 }
