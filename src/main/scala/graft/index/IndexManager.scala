@@ -477,9 +477,13 @@ final class IndexManager(spark: SparkSession) {
   }
 
   /** Reconstruct the source DataFrame from logged relation metadata
-    * (reference: actions/RefreshActionBase.scala:54-130). */
+    * (reference: actions/RefreshActionBase.scala:54-130). A Delta
+    * relation re-reads through the log replay so refresh and drift
+    * checks see the table's CURRENT snapshot, not a stale file list. */
   def readSource(entry: IndexLogEntry): DataFrame = {
     val r = entry.relations.head
+    if (r.format == "delta")
+      return graft.index.sources.DeltaTable.read(spark, r.rootPaths.head)
     spark.read
       .schema(DataType.fromJson(r.schemaJson).asInstanceOf[StructType])
       .format(r.format)
@@ -497,10 +501,17 @@ final class IndexManager(spark: SparkSession) {
     * query-time appended leg (ScanSubstitution.appendedLeg). */
   private[graft] def readFiles(entry: IndexLogEntry, paths: Seq[String]): DataFrame = {
     val r = entry.relations.head
+    // table formats store plain parquet data files; reading a specific
+    // file subset bypasses their log (same mapping as the query-time
+    // appended leg, ScanSubstitution.appendedLeg)
+    val readFormat = r.format match {
+      case "delta" | "iceberg" => "parquet"
+      case f => f
+    }
     def readGroup(base: String, files: Seq[String]): DataFrame =
       spark.read
         .schema(DataType.fromJson(r.schemaJson).asInstanceOf[StructType])
-        .format(r.format)
+        .format(readFormat)
         .options(r.options.filter { case (k, _) => k.toLowerCase != "path" } +
           ("basePath" -> base))
         .load(files: _*)

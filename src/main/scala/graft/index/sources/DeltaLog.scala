@@ -1,0 +1,387 @@
+package graft.index.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Minimal Delta Lake TRANSACTION-LOG implementation — reader and writer —
+ * with no dependency on the delta-spark jar. The Delta log is an open
+ * format: `_delta_log/%020d.json` commit files holding one JSON action
+ * per line (`protocol` / `metaData` / `add` / `remove` / `commitInfo`)
+ * plus periodic parquet checkpoints (reference consumes it through the
+ * delta jar: sources/delta/DeltaLakeRelation.scala:34-45 — signature =
+ * table version + path, files from the log; this module re-derives the
+ * log semantics directly so Delta tables index and serve even where the
+ * connector jar can't be shipped).
+ *
+ * Scale note: snapshot state is FILE METADATA (one entry per live data
+ * file), the same driver-side footprint every `FileIndex` already
+ * carries — never row data. Checkpoint parquet is read through Spark;
+ * JSON commits after the checkpoint are driver-parsed (they are small
+ * by construction — that is what checkpoints are for).
+ */
+final case class DeltaFileMeta(path: String, size: Long, modificationTime: Long)
+
+final case class DeltaSnapshot(
+    root: String,
+    version: Long,
+    schemaString: String,
+    partitionColumns: Seq[String],
+    files: Seq[DeltaFileMeta]) {
+  def schema: StructType =
+    DataType.fromJson(schemaString).asInstanceOf[StructType]
+}
+
+object DeltaLog {
+
+  private val CommitRe = """(\d{20})\.json""".r
+  private val CkptSingleRe = """(\d{20})\.checkpoint\.parquet""".r
+  private val CkptMultiRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+
+  def logDir(root: Path): Path = new Path(root, "_delta_log")
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** A directory is a Delta table iff its `_delta_log` holds ≥1 commit. */
+  def isDeltaTable(spark: SparkSession, root: String): Boolean = {
+    val dir = logDir(new Path(root))
+    val fs = fsOf(spark, dir)
+    fs.exists(dir) && fs.listStatus(dir).exists(s =>
+      CommitRe.pattern.matcher(s.getPath.getName).matches())
+  }
+
+  /** Replay the log to the latest version: checkpoint (if any) + the JSON
+    * commits after it, in version order. */
+  def snapshot(spark: SparkSession, rootStr: String): DeltaSnapshot = {
+    val root = new Path(rootStr)
+    val dir = logDir(root)
+    val fs = fsOf(spark, dir)
+    require(fs.exists(dir), s"not a Delta table (no _delta_log): $rootStr")
+
+    val entries = fs.listStatus(dir).toSeq
+    val commits: Map[Long, Path] = entries.flatMap { s =>
+      s.getPath.getName match {
+        case CommitRe(v) => Some(v.toLong -> s.getPath)
+        case _ => None
+      }
+    }.toMap
+    require(commits.nonEmpty, s"Delta log at $rootStr has no commit files")
+    val latest = commits.keys.max
+
+    // checkpoints: single-part files or complete multi-part groups
+    val ckptParts = mutable.Map.empty[Long, mutable.Buffer[(Path, Int)]]
+    entries.foreach { s =>
+      s.getPath.getName match {
+        case CkptSingleRe(v) =>
+          ckptParts.getOrElseUpdate(v.toLong, mutable.Buffer()) += ((s.getPath, 1))
+        case CkptMultiRe(v, _, n) =>
+          ckptParts.getOrElseUpdate(v.toLong, mutable.Buffer()) += ((s.getPath, n.toInt))
+        case _ =>
+      }
+    }
+    val ckptVersion: Option[Long] = ckptParts.toSeq
+      .filter { case (v, parts) => v <= latest && parts.size == parts.head._2 }
+      .map(_._1).sorted.lastOption
+
+    var schemaString: String = null
+    var partitionColumns: Seq[String] = Nil
+    // live files keyed by the RESOLVED absolute path: adds and removes
+    // must cancel even when one writer logged a relative path and
+    // another an absolute one for the same file
+    val live = mutable.LinkedHashMap.empty[String, DeltaFileMeta]
+
+    def addFile(rawPath: String, size: Long, modTime: Long): Unit = {
+      val abs = resolvePath(root, rawPath)
+      live(abs) = DeltaFileMeta(abs, size, modTime)
+    }
+
+    ckptVersion.foreach { cv =>
+      val parts = ckptParts(cv).map(_._1.toString)
+      val ck = spark.read.parquet(parts.toSeq: _*)
+      val cols = ck.schema.fieldNames.toSet
+      if (cols.contains("metaData")) {
+        val md = ck.select("metaData.schemaString", "metaData.partitionColumns")
+          .where("metaData.schemaString is not null").collect().headOption
+        md.foreach { r =>
+          schemaString = r.getString(0)
+          partitionColumns = Option(r.getSeq[String](1)).getOrElse(Nil)
+        }
+      }
+      if (cols.contains("add")) {
+        // remove tombstones in a checkpoint are vacuum bookkeeping, not
+        // live files — only adds constitute the snapshot
+        ck.select("add.path", "add.size", "add.modificationTime")
+          .where("add.path is not null").collect()
+          .foreach(r => addFile(r.getString(0), r.getLong(1), r.getLong(2)))
+      }
+    }
+
+    val replayFrom = ckptVersion.map(_ + 1).getOrElse(0L)
+    (replayFrom to latest).foreach { v =>
+      val p = commits.getOrElse(v, throw new IllegalStateException(
+        s"Delta log at $rootStr is missing commit version $v " +
+          s"(have ${commits.keys.toSeq.sorted.mkString(",")})"))
+      readLines(fs, p).foreach { line =>
+        val j = JsonMethods.parse(line)
+        j \ "metaData" match {
+          case JObject(_) =>
+            (j \ "metaData" \ "schemaString") match {
+              case JString(s) => schemaString = s
+              case _ =>
+            }
+            (j \ "metaData" \ "partitionColumns") match {
+              case JArray(vals) =>
+                partitionColumns = vals.collect { case JString(s) => s }
+              case _ =>
+            }
+          case _ =>
+        }
+        j \ "add" match {
+          case JObject(_) =>
+            val JString(path) = (j \ "add" \ "path"): @unchecked
+            val size = (j \ "add" \ "size") match {
+              case JInt(n) => n.toLong
+              case JLong(n) => n
+              case _ => 0L
+            }
+            val mt = (j \ "add" \ "modificationTime") match {
+              case JInt(n) => n.toLong
+              case JLong(n) => n
+              case _ => 0L
+            }
+            addFile(path, size, mt)
+          case _ =>
+        }
+        j \ "remove" match {
+          case JObject(_) =>
+            (j \ "remove" \ "path") match {
+              case JString(path) => live.remove(resolvePath(root, path))
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    }
+
+    require(schemaString != null,
+      s"Delta log at $rootStr carries no metaData action (corrupt log?)")
+    DeltaSnapshot(rootStr, latest, schemaString, partitionColumns,
+      live.values.toSeq)
+  }
+
+  /** Action paths are URL-encoded and root-relative (absolute paths are
+    * legal for external files). */
+  private def resolvePath(root: Path, raw: String): String = {
+    val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
+    val p = new Path(decoded)
+    if (p.isAbsolute) decoded else new Path(root, decoded).toString
+  }
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+}
+
+// checkpoint row shape (public Delta checkpoint schema, minimal fields)
+private[sources] case class CkptFormat(
+    provider: String, options: Map[String, String])
+private[sources] case class CkptMetaData(
+    id: String, format: CkptFormat, schemaString: String,
+    partitionColumns: Seq[String], configuration: Map[String, String])
+private[sources] case class CkptProtocol(
+    minReaderVersion: Int, minWriterVersion: Int)
+private[sources] case class CkptAdd(
+    path: String, partitionValues: Map[String, String], size: Long,
+    modificationTime: Long, dataChange: Boolean)
+private[sources] case class CkptRemove(
+    path: String, deletionTimestamp: Long, dataChange: Boolean)
+private[sources] case class CkptRow(
+    add: Option[CkptAdd], remove: Option[CkptRemove],
+    metaData: Option[CkptMetaData], protocol: Option[CkptProtocol])
+
+/**
+ * Snapshot-pinned reads and minimal transactional writes of Delta tables
+ * (jarless — see [[DeltaLog]]).
+ */
+object DeltaTable {
+
+  /** Options stamped on reads so [[DeltaLakeSource]] recognizes the leaf
+    * as a Delta scan and fingerprints it by table version. */
+  val RootOption = "graft.delta.root"
+  val VersionOption = "graft.delta.version"
+
+  /** Read the table at its latest version, pinned: the returned frame
+    * keeps reading exactly this snapshot's files even if the table
+    * commits again. Partition values are recovered from the directory
+    * layout via `basePath` (hive-style layout, which [[create]] and the
+    * delta writers both produce). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val s = DeltaLog.snapshot(spark, root)
+    if (s.files.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    }
+    spark.read
+      .schema(s.schema)
+      .option("basePath", root)
+      .option(RootOption, root)
+      .option(VersionOption, s.version.toString)
+      .parquet(s.files.map(_.path): _*)
+  }
+
+  /** Version 0 commit: write `df` as parquet under `root` (optionally
+    * hive-partitioned) and log protocol + metaData + adds. */
+  def create(df: DataFrame, root: String,
+      partitionBy: Seq[String] = Nil): Long =
+    commit(df, root, overwrite = true, partitionBy)
+
+  /** Append commit: new parquet files + their add actions. */
+  def append(df: DataFrame, root: String,
+      partitionBy: Seq[String] = Nil): Long =
+    commit(df, root, overwrite = false, partitionBy)
+
+  /** Shared commit path. This minimal writer supports whole-table
+    * overwrite and append; row-level deletes (remove + rewritten adds)
+    * are a real Delta writer's job. */
+  private def commit(df: DataFrame, rootStr: String, overwrite: Boolean,
+      partitionBy: Seq[String]): Long = {
+    val spark = df.sparkSession
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior: Option[DeltaSnapshot] =
+      if (DeltaLog.isDeltaTable(spark, rootStr))
+        Some(DeltaLog.snapshot(spark, rootStr))
+      else None
+    require(prior.isDefined || overwrite,
+      s"append to a non-Delta directory: $rootStr (create it first)")
+
+    val before = dataFiles(fs, root).map(_.getPath.toString).toSet
+    val writer = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(rootStr)
+    val added = dataFiles(fs, root)
+      .filterNot(s => before.contains(s.getPath.toString))
+
+    val version = prior.map(_.version + 1).getOrElse(0L)
+    val now = System.currentTimeMillis()
+    val rootUri = fs.makeQualified(root).toUri
+
+    def relative(s: FileStatus): String = {
+      val fileUri = s.getPath.toUri
+      rootUri.relativize(fileUri).getPath
+    }
+
+    val lines = mutable.Buffer.empty[JValue]
+    if (version == 0L) {
+      lines += JObject("protocol" -> JObject(
+        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
+    }
+    if (version == 0L || overwrite) {
+      lines += JObject("metaData" -> JObject(
+        "id" -> JString(java.util.UUID.randomUUID().toString),
+        "format" -> JObject(
+          "provider" -> JString("parquet"),
+          "options" -> JObject()),
+        "schemaString" -> JString(df.schema.json),
+        "partitionColumns" -> JArray(partitionBy.map(JString(_)).toList),
+        "configuration" -> JObject(),
+        "createdTime" -> JLong(now)))
+    }
+    if (overwrite) prior.foreach(_.files.foreach { f =>
+      // qualify before relativizing: snapshot paths are scheme-less
+      val rel = rootUri.relativize(
+        fs.makeQualified(new Path(f.path)).toUri).getPath
+      lines += JObject("remove" -> JObject(
+        "path" -> JString(rel),
+        "deletionTimestamp" -> JLong(now),
+        "dataChange" -> JBool(true)))
+    })
+    added.foreach { s =>
+      val rel = relative(s)
+      // hive-layout dirs (`col=value/`) carry the partition values
+      val pvals = rel.split('/').init.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> JString(java.net.URLDecoder.decode(v, "UTF-8")))
+          case _ => None
+        }
+      }.toList
+      lines += JObject("add" -> JObject(
+        "path" -> JString(rel),
+        "partitionValues" -> JObject(pvals),
+        "size" -> JLong(s.getLen),
+        "modificationTime" -> JLong(s.getModificationTime),
+        "dataChange" -> JBool(true)))
+    }
+
+    val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
+    fs.mkdirs(DeltaLog.logDir(root))
+    // create-no-overwrite: two racing writers of the same version — the
+    // loser fails, the Delta optimistic-concurrency contract
+    val out = fs.create(commitPath, false)
+    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    version
+  }
+
+  /** Write a single-part parquet checkpoint at the current version so
+    * replay cost stays bounded as commits accumulate (+ the
+    * `_last_checkpoint` hint file real readers look for). */
+  def checkpoint(spark: SparkSession, rootStr: String): Long = {
+    import spark.implicits._
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val s = DeltaLog.snapshot(spark, rootStr)
+    val rootUri = fs.makeQualified(root).toUri
+    val rows =
+      CkptRow(None, None, None, Some(CkptProtocol(1, 2))) +:
+      CkptRow(None, None, Some(CkptMetaData(
+        java.util.UUID.randomUUID().toString, CkptFormat("parquet", Map()),
+        s.schemaString, s.partitionColumns, Map())), None) +:
+      s.files.map(f => CkptRow(Some(CkptAdd(
+        rootUri.relativize(fs.makeQualified(new Path(f.path)).toUri).getPath,
+        Map(), f.size, f.modificationTime, dataChange = false)),
+        None, None, None))
+    val tmp = new Path(DeltaLog.logDir(root), s".ckpt-tmp-${s.version}")
+    rows.toDS().repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
+    val target = new Path(DeltaLog.logDir(root),
+      f"${s.version}%020d.checkpoint.parquet")
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(part, target)
+    fs.delete(tmp, true)
+    val hint = fs.create(new Path(DeltaLog.logDir(root), "_last_checkpoint"), true)
+    try hint.write(
+      s"""{"version":${s.version},"size":${rows.size}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    s.version
+  }
+
+  private def dataFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {
+    if (!fs.exists(root)) return Nil
+    val buf = mutable.Buffer.empty[FileStatus]
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) { if (n != "_delta_log") walk(st.getPath) }
+      else if (!n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet"))
+        buf += st
+    }
+    walk(root)
+    buf.toSeq
+  }
+}

@@ -77,7 +77,12 @@ final class DefaultFileBasedSource extends SourceProvider {
 
 object SourceProviders {
   val ProvidersKey = "spark.graft.index.sources.providers"
-  private val DefaultProviders = classOf[DefaultFileBasedSource].getName
+  // DeltaLakeSource first: a jarless Delta scan is ALSO a plain
+  // LogicalRelation(HadoopFsRelation), so the more specific provider
+  // must get first refusal (its non-delta check is one options lookup)
+  private val DefaultProviders = Seq(
+    classOf[DeltaLakeSource].getName,
+    classOf[DefaultFileBasedSource].getName).mkString(",")
 
   @volatile private var cached: (String, Seq[SourceProvider]) = ("", Nil)
 

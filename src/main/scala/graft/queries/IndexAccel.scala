@@ -158,8 +158,45 @@ object IndexAccel {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // ------------------------------------------------ delta source
+  /** Covering-index filter over a DELTA table (built jarless from the
+    * log replay — [[graft.index.sources.DeltaLog]]): the fixture table
+    * is the supplier table committed in TWO Delta versions (create +
+    * append), so the oracle match proves multi-commit replay, the
+    * version-signature provider, and the rewrite all compose. The
+    * oracle sees only the plain supplier parquet. */
+  def idxDeltaFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.DeltaTable
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_delta_$h"
+    synchronized {
+      if (!graft.index.sources.DeltaLog.isDeltaTable(spark, root)) {
+        val supplier = Tables.load(spark, sfDir, "supplier")
+        DeltaTable.create(supplier.filter(col("s_suppkey") % 2 === 0), root)
+        DeltaTable.append(supplier.filter(col("s_suppkey") % 2 === 1), root)
+      }
+      ensureSystemPath(spark, sfDir)
+      val mgr = new IndexManager(spark)
+      val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
+      if (!active.contains("accel_ci_delta")) {
+        mgr.create(DeltaTable.read(spark, root), CoveringIndexConfig(
+          "accel_ci_delta", Seq("s_nationkey"), Seq("s_acctbal")))
+      }
+    }
+    DeltaTable.read(spark, root)
+      .filter(col("s_nationkey").between(5L, 15L))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("s_acctbal")).as("sum_bal"))
+  }
+
+  val idxDeltaFilterSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("s_acctbal")} AS sum_bal
+       |FROM supplier WHERE s_nationkey BETWEEN 5 AND 15""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
+    "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
     "idx_covering_filter" -> (idxCoveringFilter _, idxCoveringFilterSql),
     "idx_join" -> (idxJoin _, idxJoinSql),
     "idx_zorder_filter" -> (idxZOrderFilter _, idxZOrderFilterSql),

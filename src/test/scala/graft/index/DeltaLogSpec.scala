@@ -1,0 +1,198 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Graft, TestSpark}
+import graft.index.covering.CoveringIndexConfig
+import graft.index.SourceRelation
+import graft.index.sources.{DeltaLog, DeltaTable}
+
+/**
+ * Jarless Delta Lake support: log replay (commits, checkpoints,
+ * hand-authored logs), snapshot-pinned reads, the minimal writer, and
+ * the full index lifecycle (build → rewrite → hybrid drift → refresh)
+ * over a Delta table. Reference semantics:
+ * sources/delta/DeltaLakeRelation.scala:34-45 (signature = version+path,
+ * files from the log).
+ */
+class DeltaLogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def customer =
+    spark.read.parquet(s"${TestSpark.sfDir}/customer.parquet")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("create + append: versions advance, read sees the union") {
+    val root = tmp("graft-delta-")
+    val a = customer.filter(col("c_custkey") % 2 === 0)
+    val b = customer.filter(col("c_custkey") % 2 === 1)
+    assert(DeltaTable.create(a, root) == 0L)
+    assert(DeltaLog.snapshot(spark, root).version == 0L)
+    assert(DeltaTable.read(spark, root).count() == a.count())
+
+    assert(DeltaTable.append(b, root) == 1L)
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.version == 1L)
+    val got = DeltaTable.read(spark, root)
+    assert(got.count() == customer.count())
+    assert(got.select(sum(col("c_custkey"))).head().getLong(0) ==
+      customer.select(sum(col("c_custkey"))).head().getLong(0))
+  }
+
+  test("overwrite: old files removed from the snapshot, data replaced") {
+    val root = tmp("graft-delta-ow-")
+    DeltaTable.create(customer, root)
+    val replacement = customer.filter(col("c_custkey") <= 10)
+    DeltaTable.create(replacement, root) // version 1, full overwrite
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.version == 1L)
+    assert(DeltaTable.read(spark, root).count() == replacement.count())
+    // removed files are gone from the LOG even though still on disk
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .count(f => f.getPath.getName.endsWith(".parquet"))
+    assert(onDisk > s.files.size, "overwrite should leave unreferenced files")
+  }
+
+  test("replays a hand-authored log it did not write") {
+    val root = tmp("graft-delta-raw-")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // data file written directly, no writer involvement
+    customer.limit(25).coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/staging")
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/staging"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/data%20file.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/staging"), true)
+    val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/data%20file.parquet"))
+    // NOTE: add.path is URL-encoded per the protocol ("%2520" decodes to
+    // the literal "%20" in the on-disk name), exercising the decode path
+    val schemaJson = customer.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val commit =
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"raw-fixture","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}
+         |{"add":{"path":"data%2520file.parquet","partitionValues":{},"size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true}}
+         |{"commitInfo":{"operation":"WRITE"}}
+         |""".stripMargin
+    fs.mkdirs(DeltaLog.logDir(rootPath))
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      DeltaLog.logDir(rootPath), "00000000000000000000.json"), false)
+    out.write(commit.getBytes("UTF-8")); out.close()
+
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.version == 0L && s.files.size == 1)
+    assert(s.files.head.path.endsWith("data%20file.parquet"))
+    assert(DeltaTable.read(spark, root).count() == 25)
+  }
+
+  test("checkpoint bounds replay: snapshot survives pre-checkpoint log cleanup") {
+    val root = tmp("graft-delta-ck-")
+    DeltaTable.create(customer.filter(col("c_custkey") <= 50), root)
+    DeltaTable.append(customer.filter(
+      col("c_custkey") > 50 && col("c_custkey") <= 100), root)
+    DeltaTable.append(customer.filter(col("c_custkey") > 100), root)
+    assert(DeltaTable.checkpoint(spark, root) == 2L)
+    DeltaTable.append(customer.limit(0), root) // empty commit, version 3
+
+    // delete the JSON commits the checkpoint covers (log retention)
+    val logDir = DeltaLog.logDir(new org.apache.hadoop.fs.Path(root))
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to 2L).foreach(v => assert(fs.delete(
+      new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json"), false)))
+
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.version == 3L)
+    assert(DeltaTable.read(spark, root).count() == customer.count())
+  }
+
+  test("partitioned create: hive layout + partition values recovered") {
+    val root = tmp("graft-delta-part-")
+    DeltaTable.create(customer.select(col("c_custkey"), col("c_mktsegment")),
+      root, partitionBy = Seq("c_mktsegment"))
+    val got = DeltaTable.read(spark, root)
+    assert(got.columns.toSet == Set("c_custkey", "c_mktsegment"))
+    val perSeg = got.groupBy(col("c_mktsegment")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = customer.groupBy(col("c_mktsegment")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSeg == expected)
+    // the log's add actions carry the partition values
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.partitionColumns == Seq("c_mktsegment"))
+    assert(s.files.forall(_.path.contains("c_mktsegment=")))
+  }
+
+  test("provider: delta leaf recognized, version-based signature") {
+    val root = tmp("graft-delta-sig-")
+    DeltaTable.create(customer, root)
+    def leaf = SourceRelation.collectLeaves(DeltaTable.read(spark, root)).head
+    val l0 = leaf
+    assert(l0.format == "delta")
+    assert(l0.rootPaths == Seq(root))
+    val tracker = new FileIdTracker
+    val sig0 = SourceRelation.capture(l0, tracker).signature
+    // stable across re-reads of the same version
+    assert(SourceRelation.capture(leaf, new FileIdTracker).signature == sig0)
+    // version bump changes the signature
+    DeltaTable.append(customer.limit(3), root)
+    assert(SourceRelation.capture(leaf, new FileIdTracker).signature != sig0)
+  }
+
+  test("index lifecycle on a Delta table: rewrite, hybrid drift, refresh") {
+    val sys = tmp("graft-delta-sys-")
+    val root = tmp("graft-delta-idx-")
+    spark.conf.set(GraftConf.SystemPathKey, sys)
+    try {
+      val g = new Graft(spark)
+      DeltaTable.create(customer, root)
+      g.createIndex(DeltaTable.read(spark, root),
+        CoveringIndexConfig("ci_delta", Seq("c_nationkey"), Seq("c_acctbal")))
+      val e = g.indexManager.getIndexes().head
+      assert(e.relations.head.format == "delta")
+
+      def query = DeltaTable.read(spark, root)
+        .filter(col("c_nationkey") === 5L)
+        .select(col("c_nationkey"), col("c_acctbal"))
+      def usesIndex(df: org.apache.spark.sql.DataFrame): Boolean = {
+        df.collect()
+        df.queryExecution.executedPlan.collectWithSubqueries {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(
+              _.toString.contains("/ci_delta/")) => s
+        }.nonEmpty
+      }
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expected = query.collect().toSet
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      assert(usesIndex(query), "covering index not applied to delta scan:\n" +
+        query.queryExecution.executedPlan)
+      assert(query.collect().toSet == expected && expected.nonEmpty)
+
+      // drift: commit an append (small, within hybrid ratio) — the index
+      // still applies via hybrid scan and the NEW rows are served
+      val extra = customer.filter(col("c_nationkey") === 5L).limit(2)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      DeltaTable.append(extra, root)
+      val afterDrift = query
+      assert(usesIndex(afterDrift), "hybrid scan did not keep the index:\n" +
+        afterDrift.queryExecution.executedPlan)
+      assert(afterDrift.collect().length == expected.size + 2,
+        "hybrid scan lost the appended delta commit")
+
+      // incremental refresh re-baselines: exact match again
+      g.refreshIndex("ci_delta", "incremental")
+      assert(usesIndex(query))
+      assert(query.collect().length == expected.size + 2)
+    } finally {
+      spark.conf.unset(GraftConf.SystemPathKey)
+      rules.IndexCatalog.invalidate(spark)
+    }
+  }
+}

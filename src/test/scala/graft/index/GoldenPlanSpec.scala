@@ -96,7 +96,7 @@ class GoldenPlanSpec extends AnyFunSuite {
   // streaming) are excluded.
   Seq(
     "idx_covering_filter", "idx_join", "idx_zorder_filter",
-    "idx_dataskip_filter",
+    "idx_dataskip_filter", "idx_delta_filter",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
