@@ -55,107 +55,284 @@ object PlanAnalysis {
   def whyNot(spark: SparkSession, df: DataFrame,
       indexName: Option[String] = None): String = {
     val manager = new IndexManager(spark)
+    // the name filter restricts REPORTING only: candidate collection must
+    // see every active index, or join-pair diagnostics can't tell "the
+    // other side has an index that doesn't align" from "has none"
     val all = manager.getIndexes(Set(IndexState.Active))
-      .filter(e => indexName.forall(_ == e.name))
-    if (all.isEmpty)
+    val report = all.filter(e => indexName.forall(_ == e.name))
+    if (report.isEmpty)
       return indexName.map(n => s"Index '$n' does not exist or is not ACTIVE")
         .getOrElse("No ACTIVE indexes")
 
-    val plan = df.queryExecution.optimizedPlan
     val applied = appliedIndexes(spark, df).toSet
-    val leaves = IndexCandidates.sourceLeaves(spark, plan).map(_.plan)
+    // analyze the PRE-REWRITE optimized plan: once a rewrite fires, the
+    // original relation is gone from df's plan and every not-applied
+    // index would misreport NO_FILE_BASED_SOURCE
+    val prev = spark.conf.getOption(GraftConf.ApplyEnabledKey)
+    spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+    val plan =
+      try spark.sessionState.executePlan(df.queryExecution.logical).optimizedPlan
+      finally prev match {
+        case Some(v) => spark.conf.set(GraftConf.ApplyEnabledKey, v)
+        case None => spark.conf.unset(GraftConf.ApplyEnabledKey)
+      }
+    val leaves = IndexCandidates.sourceLeaves(spark, plan)
     val candidates = IndexCandidates.collect(spark, plan, all)
     val resolver = spark.sessionState.conf.resolver
 
     val sb = new StringBuilder
-    all.foreach { e =>
+    report.foreach { e =>
       sb.append(s"Index '${e.name}' [${e.descriptor.kindAbbr}]: ")
       if (applied.contains(e.name)) sb.append("APPLIED\n")
-      else sb.append(notAppliedReasons(e, leaves, candidates, resolver, plan)).append('\n')
+      else sb.append(notAppliedReasons(spark, e, leaves, candidates, resolver,
+        plan, applied).mkString("; ")).append('\n')
     }
     sb.toString
   }
 
-  private def notAppliedReasons(
+  import Reasons._
+  import graft.index.sources.SourceLeaf
+
+  /** Typed reason list, most specific first (reference:
+    * plananalysis/CandidateIndexAnalyzer.scala:29-346 +
+    * FilterReason.scala:33-158 — same code strings, re-derived). */
+  private[graft] def notAppliedReasons(
+      spark: SparkSession,
       e: IndexLogEntry,
-      leaves: Seq[LogicalPlan],
+      leaves: Seq[SourceLeaf],
       candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       resolver: org.apache.spark.sql.catalyst.analysis.Resolver,
-      plan: LogicalPlan): String = {
-      e.descriptor match {
-        case _: graft.index.ivf.IvfIndexDescriptor =>
-          return "API_SERVED: IVF indexes do not rewrite plans; " +
-            "query via Graft.annSearch"
-        case _: graft.index.minhash.MinHashIndexDescriptor =>
-          return "API_SERVED: MinHash indexes do not rewrite plans; " +
-            "query via Graft.nearDuplicates / dedupBatch"
-        case _ => ()
-      }
-      val reasons = scala.collection.mutable.ArrayBuffer.empty[String]
-      if (leaves.isEmpty) reasons += "NO_FILE_BASED_SOURCE: plan has no file-based relation"
-      leaves.foreach { leaf =>
-        val schemaOk = e.descriptor.referencedColumns.forall(c =>
-          graft.index.NestedColumns.resolvableIn(leaf.output, c, resolver))
-        val m = candidates.get(leaf).flatMap(_.find(_.entry.name == e.name))
-        if (!schemaOk) ()
-        else m match {
-          case None =>
-            reasons += "SOURCE_MISMATCH: indexed files differ from the " +
-              "relation's current files beyond hybrid-scan thresholds"
-          case Some(cm) =>
-            reasons ++= shapeReasons(plan, leaf, cm, resolver)
+      plan: LogicalPlan,
+      applied: Set[String]): Seq[Reason] = {
+    e.descriptor match {
+      case _: graft.index.ivf.IvfIndexDescriptor =>
+        return Seq(ApiServed("IVF", "Graft.annSearch"))
+      case _: graft.index.minhash.MinHashIndexDescriptor =>
+        return Seq(ApiServed("MinHash", "Graft.nearDuplicates / dedupBatch"))
+      case _ => ()
+    }
+    if (leaves.isEmpty) return Seq(NoFileBasedSource())
+
+    val reasons = scala.collection.mutable.ArrayBuffer.empty[Reason]
+    var schemaMatchedSomewhere = false
+    leaves.foreach { leaf =>
+      val schemaOk = e.descriptor.referencedColumns.forall(c =>
+        graft.index.NestedColumns.resolvableIn(leaf.plan.output, c, resolver))
+      if (schemaOk) {
+        schemaMatchedSomewhere = true
+        candidates.get(leaf.plan).flatMap(_.find(_.entry.name == e.name)) match {
+          case None => reasons ++= driftReasons(spark, e, leaf)
+          case Some(cm) => reasons ++= shapeReasons(spark, plan, leaf.plan,
+            cm, candidates, resolver)
         }
       }
-      if (leaves.nonEmpty &&
-          leaves.forall(leaf => !e.descriptor.referencedColumns.forall(c =>
-            leaf.output.exists(a => resolver(a.name, c)))))
-        reasons += "COLUMN_MISMATCH: index columns not present in any scanned relation"
-      if (reasons.isEmpty)
-        reasons += "OUTSCORED: another index or the original plan scored higher"
-      reasons.distinct.mkString("; ")
+    }
+    if (!schemaMatchedSomewhere)
+      reasons += ColSchemaMismatch(
+        leaves.flatMap(_.plan.output.map(_.name)).distinct,
+        e.descriptor.referencedColumns)
+    if (reasons.isEmpty)
+      reasons ++= (applied.toSeq.sorted match {
+        case Seq() => Seq(Outscored())
+        case names => names.map(AnotherIndexApplied(_))
+      })
+    reasons.distinct.toSeq
+  }
+
+  /** Why the file sets kept this index out of the candidate list: the
+    * same appended/deleted math as IndexCandidates.collect, reported by
+    * which bound broke. */
+  private def driftReasons(spark: SparkSession, e: IndexLogEntry,
+      leaf: SourceLeaf): Seq[Reason] = {
+    def key(f: graft.index.FileMeta) = (f.path, f.size, f.modifiedTime)
+    val current = IndexCandidates.currentFiles(leaf)
+    val currentKeys = current.map(key).toSet
+    val logged = e.relations.head.files
+    val loggedKeys = logged.map(key).toSet
+    val appended = current.filterNot(f => loggedKeys.contains(key(f)))
+    val deleted = logged.filterNot(f => currentKeys.contains(key(f)))
+    if (appended.isEmpty && deleted.isEmpty) return Nil // not a drift problem
+    val loggedBytes = math.max(1L, logged.map(_.size).sum)
+    val currentBytes = math.max(1L, current.map(_.size).sum)
+    if (deleted.map(_.size).sum == loggedBytes && logged.nonEmpty)
+      return Seq(NoCommonFiles())
+    if (!GraftConf.hybridScanEnabled(spark)) return Seq(SourceDataChanged())
+    val appendedRatio = appended.map(_.size).sum.toDouble / currentBytes
+    val deletedRatio = deleted.map(_.size).sum.toDouble / loggedBytes
+    val maxApp = GraftConf.hybridMaxAppendedRatio(spark)
+    val maxDel = GraftConf.hybridMaxDeletedRatio(spark)
+    Seq(
+      if (appendedRatio > maxApp) Some(TooMuchAppended(appendedRatio, maxApp)) else None,
+      if (deletedRatio > maxDel) Some(TooMuchDeleted(deletedRatio, maxDel)) else None
+    ).flatten match {
+      case Nil => Seq(SourceDataChanged()) // quick-refresh blessing math differed
+      case rs => rs
+    }
+  }
+
+  /** Filter/Project shapes over `leaf`, each counted once: a
+    * Project(Filter(leaf)) subtree must not ALSO report as its inner
+    * bare Filter — the projection is what defines the needed columns. */
+  private def filterShapes(plan: LogicalPlan, leaf: LogicalPlan)
+      : Seq[(Option[Project], Filter)] = {
+    val projected = plan.collect {
+      case p @ Project(_, f @ Filter(_, r)) if r.fastEquals(leaf) =>
+        (Option(p), f)
+    }
+    val inner = projected.map(_._2)
+    val bare = plan.collect {
+      case f @ Filter(_, r) if r.fastEquals(leaf) && !inner.exists(_ eq f) =>
+        (Option.empty[Project], f)
+    }
+    projected ++ bare
   }
 
   private def shapeReasons(
+      spark: SparkSession,
       plan: LogicalPlan,
       leaf: LogicalPlan,
       m: CandidateMatch,
-      resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Seq[String] = {
-    val filters = plan.collect {
-      case f @ Filter(_, r: LogicalRelation) if r.fastEquals(leaf) => f
-      case p @ Project(_, Filter(_, r: LogicalRelation)) if r.fastEquals(leaf) => p
-    }
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
+      resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Seq[Reason] = {
+    val filters = filterShapes(plan, leaf)
     val joins = plan.collect { case j: Join => j }
     m.entry.descriptor match {
       case d: CoveringIndexDescriptor =>
-        if (filters.isEmpty && joins.isEmpty)
-          Seq("NO_FILTER_OR_JOIN: relation is scanned without an eligible filter/join above it")
+        if (filters.isEmpty && joins.isEmpty) Seq(NoFilterOrJoin())
         else {
-          val fr = filters.flatMap { f =>
-            val filterCond = f.collect { case Filter(c, _) => c }.head
-            val filterNames = filterCond.references.toSeq.map(_.name)
-            val neededNames = (f.references ++ f.outputSet).toSeq.map(_.name)
-            val head = d.indexedColumns.head
-            val r1 = if (!filterNames.exists(resolver(_, head)))
-              Some(s"HEAD_COLUMN_NOT_IN_FILTER: filter does not reference '$head'")
-            else None
-            val r2 = if (!d.covers(neededNames))
-              Some("NOT_COVERING: query needs columns beyond " +
-                d.referencedColumns.mkString("[", ",", "]"))
-            else None
-            Seq(r1, r2).flatten
+          val fr = filters.flatMap { case (projectOpt, f) =>
+            if (!f.condition.deterministic)
+              Seq(IneligibleFilterCondition(f.condition.sql))
+            else {
+              val filterNames = f.condition.references.toSeq.map(_.name).distinct
+              val neededNames = (projectOpt.getOrElse(f).references ++
+                projectOpt.getOrElse(f).outputSet).toSeq.map(_.name).distinct
+              val head = d.indexedColumns.head
+              Seq(
+                if (!filterNames.exists(resolver(_, head)))
+                  Some(NoFirstIndexedColCond(head, filterNames))
+                else None,
+                if (!d.covers(neededNames))
+                  Some(MissingRequiredCol(neededNames, d.referencedColumns))
+                else None,
+                if (m.deleted.nonEmpty && !d.hasLineage)
+                  Some(NoDeleteSupport())
+                else None).flatten
+            }
           }
-          if (fr.isEmpty && joins.nonEmpty)
-            Seq("JOIN_CRITERIA: join sides/keys/buckets did not line up " +
-              "(requires exact-match indexes bucketed on both join key sets)")
-          else fr
+          val jr = joins.flatMap(joinReasons(spark, _, leaf, d, candidates, resolver))
+          fr ++ jr
         }
       case d: ZOrderIndexDescriptor =>
-        if (!m.isExact) Seq("ZORDER_REQUIRES_EXACT_MATCH: source files changed")
-        else if (filters.isEmpty) Seq("NO_FILTER: z-order applies to filter queries")
-        else Seq("NOT_COVERING_OR_NO_INDEXED_COLUMN_IN_FILTER")
+        if (!m.isExact) Seq(ZOrderRequiresExactMatch())
+        else if (filters.isEmpty) Seq(NoFilter("z-order file pruning"))
+        else {
+          val fr = filters.flatMap { case (projectOpt, f) =>
+            val filterNames = f.condition.references.toSeq.map(_.name).distinct
+            val neededNames = (projectOpt.getOrElse(f).references ++
+              projectOpt.getOrElse(f).outputSet).toSeq.map(_.name).distinct
+            Seq(
+              if (!d.indexedColumns.exists(c => filterNames.exists(resolver(_, c))))
+                Some(NoFirstIndexedColCond(d.indexedColumns.mkString("|"), filterNames))
+              else None,
+              if (!d.covers(neededNames))
+                Some(MissingRequiredCol(neededNames, d.referencedColumns))
+              else None).flatten
+          }
+          if (fr.isEmpty) Seq(Outscored()) else fr
+        }
       case _: DataSkippingIndexDescriptor =>
-        if (filters.isEmpty) Seq("NO_FILTER: data skipping applies to filter queries")
-        else Seq("PREDICATE_NOT_TRANSLATABLE: no sketch can evaluate the filter")
+        if (filters.isEmpty) Seq(NoFilter("data skipping"))
+        else Seq(PredicateNotTranslatable())
     }
+  }
+
+  // ------------------------------------------------------ join analysis
+
+  /** The single candidate leaf under a linear Project/Filter chain —
+    * mirrors JoinIndexRule.linearRelation. */
+  private def linearLeaf(plan: LogicalPlan,
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]]): Option[LogicalPlan] =
+    plan match {
+      case r if r.children.isEmpty =>
+        if (candidates.contains(r)) Some(r) else None
+      case p: Project => linearLeaf(p.child, candidates)
+      case f: Filter => linearLeaf(f.child, candidates)
+      case _ => None
+    }
+
+  private def equiPairs(j: Join): Either[String,
+      Seq[(org.apache.spark.sql.catalyst.expressions.AttributeReference,
+           org.apache.spark.sql.catalyst.expressions.AttributeReference)]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    j.condition match {
+      case None => Left("no join condition")
+      case Some(c) =>
+        val pairs = conjuncts(c).map {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            if (j.left.outputSet.contains(a)) (a, b) else (b, a)
+          case other => return Left(s"non-equi conjunct: ${other.sql}")
+        }
+        Right(pairs)
+    }
+  }
+
+  /** Join-specific reasons for why `d` (an index over `leaf`, one side of
+    * `j`) did not produce a join rewrite — reference granularity:
+    * JoinIndexRule eligibility checks surfaced one by one. */
+  private def joinReasons(
+      spark: SparkSession,
+      j: Join,
+      leaf: LogicalPlan,
+      d: CoveringIndexDescriptor,
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
+      resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Seq[Reason] = {
+    import org.apache.spark.sql.catalyst.plans.Inner
+    val lLeaf = linearLeaf(j.left, candidates)
+    val rLeaf = linearLeaf(j.right, candidates)
+    val mySide =
+      if (lLeaf.exists(_.fastEquals(leaf))) "left"
+      else if (rLeaf.exists(_.fastEquals(leaf))) "right"
+      else return Nil // this join doesn't involve the indexed relation
+    if (j.joinType != Inner)
+      return Seq(NotEligibleJoin(s"join type is ${j.joinType}, not Inner"))
+    val pairs = equiPairs(j) match {
+      case Left(why) => return Seq(NotEligibleJoin(why))
+      case Right(ps) => ps
+    }
+    val myKeys =
+      (if (mySide == "left") pairs.map(_._1) else pairs.map(_._2))
+        .map(_.name).distinct
+    // this index must be bucketed on exactly this side's keys
+    val keyReasons: Seq[Reason] =
+      if (!myKeys.forall(k => d.indexedColumns.exists(resolver(_, k))) ||
+          d.indexedColumns.size != myKeys.size) {
+        if (myKeys.forall(k => d.indexedColumns.exists(resolver(_, k))))
+          Seq(NotAllJoinColIndexed(mySide, myKeys, d.indexedColumns))
+        else Seq(MissingIndexedCol(mySide, myKeys, d.indexedColumns))
+      } else Nil
+    // the other side needs its own eligible covering index
+    val otherSide = if (mySide == "left") "right" else "left"
+    val otherLeaf = if (mySide == "left") rLeaf else lLeaf
+    val otherKeys =
+      (if (mySide == "left") pairs.map(_._2) else pairs.map(_._1))
+        .map(_.name).distinct
+    val otherCovering = otherLeaf.toSeq
+      .flatMap(l => candidates.getOrElse(l, Nil))
+      .map(_.entry.descriptor)
+      .collect { case cd: CoveringIndexDescriptor => cd }
+    val pairReasons: Seq[Reason] =
+      if (otherLeaf.isEmpty || otherCovering.isEmpty)
+        Seq(NoAvailJoinIndexPair(otherSide))
+      else if (!otherCovering.exists(cd =>
+          cd.indexedColumns.size == otherKeys.size &&
+            otherKeys.forall(k => cd.indexedColumns.exists(resolver(_, k)))))
+        Seq(NoCompatibleJoinIndexPair())
+      else Nil
+    keyReasons ++ pairReasons
   }
 }

@@ -8,6 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.{Graft, TestSpark}
 import graft.index.covering.CoveringIndexConfig
 
+/**
+ * explain + whyNot, with the reference's typed reason taxonomy
+ * (FilterReason.scala:33-158): each engineered scenario must surface its
+ * EXACT reason code — granular diagnostics are the product here, so a
+ * vague catch-all is a regression even when it's technically true.
+ */
 class PlanAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -23,6 +29,18 @@ class PlanAnalysisSpec extends AnyFunSuite {
 
   private def lineitem =
     spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+  private def orders =
+    spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+
+  /** A private copy of a table so drift scenarios can mutate files. */
+  private def copyOf(df: org.apache.spark.sql.DataFrame, parts: Int = 4): String = {
+    val dir = Files.createTempDirectory("graft-pa-src-").toString
+    df.repartition(parts).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def reasonFor(g: Graft, q: org.apache.spark.sql.DataFrame,
+      index: String): String = g.whyNot(q, index)
 
   test("explain shows applied index and both plans") {
     withGraft { g =>
@@ -47,20 +65,245 @@ class PlanAnalysisSpec extends AnyFunSuite {
     }
   }
 
-  test("whyNot explains head-column and covering failures") {
+  // ------------------------------------------------ filter-shape codes
+
+  test("NO_FIRST_INDEXED_COL_COND: filter on an included, non-head column") {
     withGraft { g =>
       g.createIndex(lineitem,
         CoveringIndexConfig("pa_head", Seq("l_orderkey"), Seq("l_quantity")))
-      // filter on included (non-head) column
-      val q1 = lineitem.filter(col("l_quantity") === 10.0)
+      val q = lineitem.filter(col("l_quantity") === 10.0)
         .select(col("l_orderkey"))
-      assert(g.whyNot(q1).contains("HEAD_COLUMN_NOT_IN_FILTER"))
-      // projection outside the index
-      val q2 = lineitem.filter(col("l_orderkey") === 1L)
+      val out = reasonFor(g, q, "pa_head")
+      assert(out.contains("NO_FIRST_INDEXED_COL_COND") &&
+        out.contains("l_orderkey"), out)
+    }
+  }
+
+  test("MISSING_REQUIRED_COL: projection outside the index, with both column lists") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_cover", Seq("l_orderkey"), Seq("l_quantity")))
+      val q = lineitem.filter(col("l_orderkey") === 1L)
         .select(col("l_extendedprice"))
-      val out2 = g.whyNot(q2)
-      assert(out2.contains("NOT_COVERING") || out2.contains("COLUMN_MISMATCH"),
-        out2)
+      val out = reasonFor(g, q, "pa_cover")
+      assert(out.contains("MISSING_REQUIRED_COL") &&
+        out.contains("l_extendedprice"), out)
+    }
+  }
+
+  test("INELIGIBLE_FILTER_CONDITION: non-deterministic predicate") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_rand", Seq("l_orderkey"), Seq("l_quantity")))
+      val q = lineitem.filter(col("l_orderkey") > rand() * 10)
+        .select(col("l_orderkey"), col("l_quantity"))
+      assert(reasonFor(g, q, "pa_rand").contains("INELIGIBLE_FILTER_CONDITION"))
+    }
+  }
+
+  test("NO_FILTER_OR_JOIN: bare aggregation without filter or join") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_bare", Seq("l_orderkey"), Seq("l_quantity")))
+      // NB: a groupBy here would be APPLIED via AggIndexRule (shuffle-free
+      // bucketed agg), so the truly-bare shape is a plain projection
+      val q = lineitem.select(col("l_orderkey"), col("l_quantity"))
+      assert(reasonFor(g, q, "pa_bare").contains("NO_FILTER_OR_JOIN"))
+    }
+  }
+
+  test("COL_SCHEMA_MISMATCH: query against an unrelated table names both sides") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_col", Seq("l_orderkey"), Seq("l_quantity")))
+      val q = orders.filter(col("o_orderkey") === 1L).select(col("o_totalprice"))
+      val out = reasonFor(g, q, "pa_col")
+      assert(out.contains("COL_SCHEMA_MISMATCH") &&
+        out.contains("indexColumns=[l_orderkey,l_quantity]"), out)
+    }
+  }
+
+  // ----------------------------------------------------- drift codes
+
+  test("SOURCE_DATA_CHANGED: drift with hybrid scan disabled") {
+    withGraft { g =>
+      val src = copyOf(lineitem.limit(400))
+      g.createIndex(spark.read.parquet(src),
+        CoveringIndexConfig("pa_sig", Seq("l_orderkey"), Seq("l_quantity")))
+      lineitem.limit(20).coalesce(1).write.mode("append").parquet(src)
+      spark.conf.set(GraftConf.HybridScanKey, "false")
+      try {
+        val q = spark.read.parquet(src).filter(col("l_orderkey") === 1L)
+          .select(col("l_orderkey"), col("l_quantity"))
+        assert(reasonFor(g, q, "pa_sig").contains("SOURCE_DATA_CHANGED"))
+      } finally spark.conf.unset(GraftConf.HybridScanKey)
+    }
+  }
+
+  test("TOO_MUCH_APPENDED: drift beyond the hybrid append ratio, with the numbers") {
+    withGraft { g =>
+      val src = copyOf(lineitem.limit(200))
+      g.createIndex(spark.read.parquet(src),
+        CoveringIndexConfig("pa_app", Seq("l_orderkey"), Seq("l_quantity")))
+      // append roughly 3x the indexed bytes — way past the 0.3 ratio
+      lineitem.limit(2000).coalesce(1).write.mode("append").parquet(src)
+      val q = spark.read.parquet(src).filter(col("l_orderkey") === 1L)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val out = reasonFor(g, q, "pa_app")
+      assert(out.contains("TOO_MUCH_APPENDED") && out.contains("0.30"), out)
+    }
+  }
+
+  test("TOO_MUCH_DELETED: drift beyond the hybrid delete ratio") {
+    withGraft { g =>
+      val src = copyOf(lineitem.limit(1000), parts = 8)
+      spark.conf.set(GraftConf.LineageKey, "true")
+      try g.createIndex(spark.read.parquet(src),
+        CoveringIndexConfig("pa_del", Seq("l_orderkey"), Seq("l_quantity")))
+      finally spark.conf.unset(GraftConf.LineageKey)
+      // delete 3 of 8 part files (~37% of bytes > 20% bound)
+      val dir = new org.apache.hadoop.fs.Path(src)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).take(3)
+        .foreach(fs.delete(_, false))
+      val q = spark.read.parquet(src).filter(col("l_orderkey") === 1L)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val out = reasonFor(g, q, "pa_del")
+      assert(out.contains("TOO_MUCH_DELETED") && out.contains("0.20"), out)
+    }
+  }
+
+  test("NO_COMMON_FILES: source fully rewritten") {
+    withGraft { g =>
+      val src = copyOf(lineitem.limit(300))
+      g.createIndex(spark.read.parquet(src),
+        CoveringIndexConfig("pa_nocommon", Seq("l_orderkey"), Seq("l_quantity")))
+      lineitem.limit(300).repartition(4).write.mode("overwrite").parquet(src)
+      val q = spark.read.parquet(src).filter(col("l_orderkey") === 1L)
+        .select(col("l_orderkey"), col("l_quantity"))
+      assert(reasonFor(g, q, "pa_nocommon").contains("NO_COMMON_FILES"))
+    }
+  }
+
+  test("NO_DELETE_SUPPORT: deletes within ratio but the index has no lineage") {
+    withGraft { g =>
+      val src = copyOf(lineitem.limit(1000), parts = 8)
+      g.createIndex(spark.read.parquet(src),
+        CoveringIndexConfig("pa_nolin", Seq("l_orderkey"), Seq("l_quantity")))
+      val dir = new org.apache.hadoop.fs.Path(src)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val victim = fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).head
+      fs.delete(victim, false) // ~12% of bytes, inside the 20% bound
+      val q = spark.read.parquet(src).filter(col("l_orderkey") === 1L)
+        .select(col("l_orderkey"), col("l_quantity"))
+      assert(reasonFor(g, q, "pa_nolin").contains("NO_DELETE_SUPPORT"))
+    }
+  }
+
+  // ------------------------------------------------------- join codes
+
+  test("NOT_ELIGIBLE_JOIN: outer join over two indexed sides") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_jl", Seq("l_orderkey"), Seq("l_quantity")))
+      g.createIndex(orders,
+        CoveringIndexConfig("pa_jr", Seq("o_orderkey"), Seq("o_totalprice")))
+      val (li, ord) = (lineitem, orders)
+      val q = li.join(ord,
+        li("l_orderkey") === ord("o_orderkey"), "left_outer")
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      val out = reasonFor(g, q, "pa_jl")
+      assert(out.contains("NOT_ELIGIBLE_JOIN") && out.contains("LeftOuter"), out)
+    }
+  }
+
+  test("NO_AVAIL_JOIN_INDEX_PAIR: inner equi join with an index on one side only") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_only", Seq("l_orderkey"), Seq("l_quantity")))
+      val (li, ord) = (lineitem, orders)
+      // l_extendedprice keeps the FILTER rule from scan-swapping the left
+      // side on the inferred isnotnull — only the join path is in question
+      val q = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("o_totalprice"))
+      val out = reasonFor(g, q, "pa_only")
+      assert(out.contains("NO_AVAIL_JOIN_INDEX_PAIR") && out.contains("right"), out)
+    }
+  }
+
+  test("MISSING_INDEXED_COL: index bucketed on a different column than the join key") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_wrongkey", Seq("l_partkey"),
+          Seq("l_orderkey", "l_quantity")))
+      g.createIndex(orders,
+        CoveringIndexConfig("pa_rkey", Seq("o_orderkey"), Seq("o_totalprice")))
+      val (li, ord) = (lineitem, orders)
+      // no filter on l_partkey: otherwise the FILTER rule applies this
+      // index and the join diagnosis never comes into play
+      val q = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      val out = reasonFor(g, q, "pa_wrongkey")
+      assert(out.contains("MISSING_INDEXED_COL") &&
+        out.contains("requiredIndexedCols=[l_orderkey]"), out)
+    }
+  }
+
+  test("NOT_ALL_JOIN_COL_INDEXED: index carries an extra bucketing column") {
+    withGraft { g =>
+      // no included columns: including l_quantity would let the FILTER
+      // rule scan-swap on the inferred isnotnull and the index APPLIES
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_extra", Seq("l_orderkey", "l_linenumber")))
+      g.createIndex(orders,
+        CoveringIndexConfig("pa_rext", Seq("o_orderkey"), Seq("o_totalprice")))
+      val (li, ord) = (lineitem, orders)
+      val q = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      val out = reasonFor(g, q, "pa_extra")
+      assert(out.contains("NOT_ALL_JOIN_COL_INDEXED") &&
+        out.contains("joinCols=[l_orderkey]"), out)
+    }
+  }
+
+  test("NO_COMPATIBLE_JOIN_INDEX_PAIR: other side's index keyed off the join column") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_goodl", Seq("l_orderkey"), Seq("l_quantity")))
+      // right-side index exists and covers, but is bucketed on o_custkey
+      g.createIndex(orders,
+        CoveringIndexConfig("pa_badr", Seq("o_custkey"),
+          Seq("o_orderkey", "o_totalprice")))
+      val (li, ord) = (lineitem, orders)
+      // l_extendedprice blocks the left filter scan-swap; o_custkey keeps
+      // the right index's bucketing column from being pruned out of the
+      // relation (schema-filtered candidates resolve against the pruned
+      // leaf output)
+      val q = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("o_custkey"), col("o_totalprice"))
+      val out = reasonFor(g, q, "pa_goodl")
+      assert(out.contains("NO_COMPATIBLE_JOIN_INDEX_PAIR"), out)
+    }
+  }
+
+  test("ANOTHER_INDEX_APPLIED: losing index names the winner") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_win", Seq("l_orderkey"), Seq("l_quantity")))
+      // same shape, but carries an extra included column -> bigger data,
+      // ranked behind the tighter index
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_lose", Seq("l_orderkey"),
+          Seq("l_quantity", "l_extendedprice")))
+      val q = lineitem.filter(col("l_orderkey") === 1L)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val out = g.whyNot(q)
+      assert(out.contains("APPLIED"))
+      assert(out.contains("ANOTHER_INDEX_APPLIED"), out)
     }
   }
 
@@ -72,16 +315,6 @@ class PlanAnalysisSpec extends AnyFunSuite {
       val out = g.whyNot(docs.filter(col("doc_id") > 5))
       assert(out.contains("pa_mh") && out.contains("API_SERVED"),
         s"expected API_SERVED label, got: $out")
-    }
-  }
-
-  test("whyNot reports column mismatch against unrelated table") {
-    withGraft { g =>
-      g.createIndex(lineitem,
-        CoveringIndexConfig("pa_col", Seq("l_orderkey"), Seq("l_quantity")))
-      val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
-      val q = orders.filter(col("o_orderkey") === 1L).select(col("o_totalprice"))
-      assert(g.whyNot(q).contains("COLUMN_MISMATCH"))
     }
   }
 }
