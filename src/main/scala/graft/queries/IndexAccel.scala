@@ -158,6 +158,82 @@ object IndexAccel {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // ------------------------------------------ snowflake 2-index join
+  /** Three-way snowflake join (lineitem → orders → customer) through
+    * THREE covering indexes picked together: the lineitem/orders pair
+    * rewrite goes shuffle-free (both sides bucketed on the join key, no
+    * exchange between the two index scans — GoldenPlanSpec pins it), and
+    * the customer dimension scan-swaps to its index under the inferred
+    * not-null filter. Exercises JoinIndexRule pair selection alongside
+    * FilterIndexRule on a third relation in one plan. */
+  def idxSnowflake2(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
+      "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice")))
+    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
+      "accel_ci_ord_snow", Seq("o_orderkey"), Seq("o_custkey")))
+    ensureIndex(spark, sfDir, "customer", CoveringIndexConfig(
+      "accel_ci_cust", Seq("c_custkey"), Seq("c_acctbal")))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+  }
+
+  val idxSnowflake2Sql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("l_extendedprice")} AS sum_price,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  // --------------------------------------------- join ranker tie-break
+  /** Join where TWO lineitem indexes are eligible for the same pair and
+    * the ranker must choose: an 8-bucket and a 32-bucket index both
+    * bucketed on l_orderkey, against a 32-bucket orders index. The
+    * equal-bucket-count (32, 32) pair is the zero-shuffle plan and must
+    * win over (8, 32), which would re-shuffle one side — the golden plan
+    * pins the no-exchange join. */
+  def idxJoinRankTie(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
+      "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice")))
+    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
+      "accel_ci_ord_join", Seq("o_orderkey"), Seq("o_totalprice")))
+    // the decoy: same key and coverage, fewer buckets — created under the
+    // SAME system path (pin it before overriding the bucket conf, which
+    // otherwise keys a different path)
+    synchronized {
+      ensureSystemPath(spark, sfDir)
+      val mgr = new IndexManager(spark)
+      val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
+      if (!active.contains("accel_ci_li_rank8")) {
+        val sysPath = spark.conf.get(GraftConf.SystemPathKey)
+        spark.conf.set(GraftConf.NumBucketsKey, "8")
+        spark.conf.set(GraftConf.SystemPathKey, sysPath)
+        try mgr.create(Tables.load(spark, sfDir, "lineitem"),
+          CoveringIndexConfig("accel_ci_li_rank8",
+            Seq("l_orderkey"), Seq("l_extendedprice")))
+        finally spark.conf.unset(GraftConf.NumBucketsKey)
+      }
+    }
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        moneySum(col("o_totalprice")).as("sum_total"))
+  }
+
+  val idxJoinRankTieSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("l_extendedprice")} AS sum_price,
+       | ${sqlMoneySum("o_totalprice")} AS sum_total
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
   // ------------------------------------------------ delta source
   /** Covering-index filter over a DELTA table (built jarless from the
     * log replay — [[graft.index.sources.DeltaLog]]): the fixture table
@@ -197,6 +273,8 @@ object IndexAccel {
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
+    "q_snowflake_2idx" -> (idxSnowflake2 _, idxSnowflake2Sql),
+    "q_join_rank_tie" -> (idxJoinRankTie _, idxJoinRankTieSql),
     "idx_covering_filter" -> (idxCoveringFilter _, idxCoveringFilterSql),
     "idx_join" -> (idxJoin _, idxJoinSql),
     "idx_zorder_filter" -> (idxZOrderFilter _, idxZOrderFilterSql),

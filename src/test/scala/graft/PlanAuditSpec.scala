@@ -184,6 +184,61 @@ class PlanAuditSpec extends AnyFunSuite {
         scans.map(_.relation.location.rootPaths.mkString(",")).mkString("\n"))
   }
 
+  /** Build + PLAN a query with auto-broadcast off: at audit SF every join
+    * side fits a broadcast, which hides the zero-shuffle bucketed shape
+    * these audits exist to pin (planning is forced inside the conf
+    * window — QueryExecution is lazy). */
+  private def plannedNoBroadcast(name: String) = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      df.queryExecution.executedPlan
+      allNodes(df.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_snowflake_2idx: all three indexes applied, fact join has no exchange") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val nodes = plannedNoBroadcast("q_snowflake_2idx")
+    val scanRoots = nodes.collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.map(_.toString).mkString(",") }
+    def scanned(idx: String) = scanRoots.exists(_.contains(s"/$idx/"))
+    assert(scanned("accel_ci_li_join") && scanned("accel_ci_ord_snow") &&
+      scanned("accel_ci_cust"),
+      s"expected all three index scans, got:\n${scanRoots.mkString("\n")}")
+    // the lineitem/orders pair must meet in a sort-merge join with NO
+    // exchange under it — both index scans claim HashPartitioning on the
+    // join key, which is the whole point of bucketing both sides. (The
+    // OUTER join on o_custkey rightly re-shuffles: the stream is
+    // partitioned by orderkey at that point.)
+    val smj = nodes.collectFirst {
+      case j: SortMergeJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "l_orderkey")) => j
+    }.getOrElse(fail("no sort-merge join on l_orderkey in plan"))
+    val underJoin = allNodes(smj.left) ++ allNodes(smj.right)
+    assert(!underJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "bucketed index join shuffled anyway:\n" + smj)
+  }
+
+  test("q_join_rank_tie: ranker picks the equal-bucket index, not the 8-bucket decoy") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val nodes = plannedNoBroadcast("q_join_rank_tie")
+    val scanRoots = nodes.collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.map(_.toString).mkString(",") }
+    assert(scanRoots.exists(_.contains("/accel_ci_li_join/")),
+      s"32-bucket index not scanned:\n${scanRoots.mkString("\n")}")
+    assert(!scanRoots.exists(_.contains("/accel_ci_li_rank8/")),
+      "ranker picked the 8-bucket decoy (would force a re-shuffle)")
+    val smj = nodes.collectFirst { case j: SortMergeJoinExec => j }
+      .getOrElse(fail("no sort-merge join in plan"))
+    val underJoin = allNodes(smj.left) ++ allNodes(smj.right)
+    assert(!underJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "equal-bucket pair still shuffled:\n" + smj)
+  }
+
   test("text_quality: aggregations run partial + final") {
     val nodes = executed(SparkEntry.queries("text_quality")(spark, TestSpark.sfDir))
     val aggs = nodes.count(n => n.isInstanceOf[HashAggregateExec] ||

@@ -54,7 +54,21 @@ class GoldenPlanSpec extends AnyFunSuite {
     // scrub — with the 100-char default the cut point shifts with exprId
     // width between sessions, so raise it out of the way while rendering
     spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
-    val df = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+    // multi-index join queries: disable auto-broadcast so the golden pins
+    // the zero-shuffle bucketed sort-merge shape (at golden SF everything
+    // fits a broadcast, which would hide the property that matters at
+    // 100 TB — where neither side broadcasts)
+    val noBroadcast = Set("q_snowflake_2idx", "q_join_rank_tie")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    if (noBroadcast(name))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df =
+      try {
+        val d = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+        d.queryExecution.executedPlan // force planning while the conf holds
+        d
+      } finally if (noBroadcast(name))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     // initial physical plan: deterministic (pre-AQE) and captures both the
     // logical rewrite (index scan substitution) and physical properties
     // (bucketed no-shuffle join, exchanges, pushed filters)
@@ -97,6 +111,7 @@ class GoldenPlanSpec extends AnyFunSuite {
   Seq(
     "idx_covering_filter", "idx_join", "idx_zorder_filter",
     "idx_dataskip_filter", "idx_delta_filter",
+    "q_snowflake_2idx", "q_join_rank_tie",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
