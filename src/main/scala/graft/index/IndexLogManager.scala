@@ -46,6 +46,14 @@ final class IndexLogManager(indexRoot: Path, hadoopConf: Configuration) {
   private def idPath(id: Long) = new Path(logDir, id.toString)
   private val latestStablePath = new Path(logDir, "latestStable")
 
+  /** Per-writer staging file for entry `id`: the name must carry the
+    * writer's nonce so a stalled original writer and a reclaimer never
+    * share a staging path (a shared `$id.tmp` lets the loser's abort
+    * delete — or its late write truncate — the winner's in-flight
+    * entry). LogConcurrencySpec pins the isolation. */
+  private[index] def stagedTmp(id: Long, nonce: String): java.nio.file.Path =
+    java.nio.file.Paths.get(new Path(logDir, s"$id.$nonce.tmp").toUri.getPath)
+
   private def readPath(p: Path): Option[IndexLogEntry] = {
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -150,8 +158,7 @@ final class IndexLogManager(indexRoot: Path, hadoopConf: Configuration) {
           // name carries OUR nonce: a stalled original writer and a
           // reclaimer each stage to their own file, so neither can truncate
           // the other's in-flight entry or delete it in an abort path.
-          val tmp = java.nio.file.Paths.get(
-            new Path(logDir, s"$id.$nonce.tmp").toUri.getPath)
+          val tmp = stagedTmp(id, nonce)
           java.nio.file.Files.write(tmp,
             JsonCodec.write(entry.copy(id = id)).getBytes(StandardCharsets.UTF_8))
           // fence: if the claim no longer carries our nonce we were

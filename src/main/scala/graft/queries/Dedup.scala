@@ -369,16 +369,15 @@ object Dedup {
     // driver-side union-find over the collected edges — the same
     // "edge list fits one machine" observation every production dedup
     // pipeline exploits. Collected edges cost ~100 B each (Row + two
-    // boxed longs + HashMap entries), so the default 5M-edge threshold
-    // budgets ~500 MB of driver heap; raise it only with driver memory
-    // to match. Above the threshold we fall back to distributed
-    // min-label propagation with pointer doubling. Both paths produce
-    // the identical (doc_id, min-id component) mapping — spec-asserted.
-    val localEdgeThreshold = spark.conf
-      .getOption("spark.graft.cc.localEdgeThreshold")
-      .map(_.toLong).getOrElse(5000000L)
+    // boxed longs + HashMap entries), so the DEFAULT threshold derives
+    // from the actual driver heap: ~10% of Runtime.maxMemory at 100 B
+    // per edge (a 1 GiB driver gets ~1M edges, a 64 GiB driver ~67M)
+    // instead of a constant that silently assumed a heap size. Above the
+    // threshold we fall back to distributed min-label propagation with
+    // pointer doubling. Both paths produce the identical
+    // (doc_id, min-id component) mapping — spec-asserted.
     val labeled =
-      if (pairRows.count() <= localEdgeThreshold) componentsLocal(spark, pairRows)
+      if (pairRows.count() <= localEdgeThreshold(spark)) componentsLocal(spark, pairRows)
       else componentsDistributed(spark, pairRows)
     // both paths have materialized their result (collect / eager
     // localCheckpoint), so the upstream caches release deterministically
@@ -387,6 +386,15 @@ object Dedup {
     pairRows.unpersist()
     labeled.orderBy(col("doc_id"))
   }
+
+  /** Max edges the driver union-find may collect:
+    * `spark.graft.cc.localEdgeThreshold` if set, else ~10% of the
+    * driver's max heap at ~100 bytes/edge — honest about the actual JVM
+    * instead of a constant that assumed one. */
+  private[graft] def localEdgeThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.localEdgeThreshold")
+      .map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory / 10 / 100)
 
   /** Driver union-find (path-halving + union-by-size) over a collected
     * edge list; representative = min doc_id per component. O(E α(E)). */

@@ -48,6 +48,18 @@ class QueriesSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
 
+  test("cc local-edge threshold derives from the driver heap; conf overrides") {
+    // default = maxMemory / 10 / 100 (~10% of heap at ~100 B/edge): the
+    // budget scales with the JVM actually running, instead of a constant
+    // that silently assumed one
+    val expected = Runtime.getRuntime.maxMemory / 10 / 100
+    assert(graft.queries.Dedup.localEdgeThreshold(spark) == expected)
+    assert(expected > 0)
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "12345")
+    try assert(graft.queries.Dedup.localEdgeThreshold(spark) == 12345L)
+    finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+  }
+
   test("queries produce data (not degenerate empty results) at sf0.001") {
     // every hashed comparison is meaningless on empty results; make sure
     // the filters actually select data at the smallest SF

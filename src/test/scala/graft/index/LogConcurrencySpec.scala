@@ -54,6 +54,26 @@ class LogConcurrencySpec extends AnyFunSuite {
     assert(log.getLatestStableLog.exists(_.state == IndexState.Active))
   }
 
+  test("staged tmp files are per-writer: a loser's abort cannot touch the winner's") {
+    // the shared-name regression ($id.tmp without the nonce) let a
+    // stalled original writer's abort path delete — or its late write
+    // truncate — a reclaimer's in-flight entry
+    val root = new Path(Files.createTempDirectory("graft-log-tmp-").toString)
+    val log = new IndexLogManager(root, spark.sessionState.newHadoopConf())
+    val (nonceA, nonceB) = ("writer-a-nonce", "writer-b-nonce")
+    val tmpA = log.stagedTmp(7L, nonceA)
+    val tmpB = log.stagedTmp(7L, nonceB)
+    assert(tmpA != tmpB,
+      "two writers of the same id share a staging path — the reclaim race is back")
+    // the loser aborting (deleting ITS tmp) must leave the winner's
+    // in-flight bytes intact
+    java.nio.file.Files.createDirectories(tmpB.getParent)
+    java.nio.file.Files.write(tmpB, "winner-in-flight".getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(tmpA) // loser's abort path
+    assert(new String(java.nio.file.Files.readAllBytes(tmpB), "UTF-8")
+      == "winner-in-flight")
+  }
+
   test("log entries written before UpdateMeta existed still parse") {
     // forward-compat of the codec: the quick-refresh delta field is
     // optional with a None default — a pre-existing JSON document without
