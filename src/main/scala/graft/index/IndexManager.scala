@@ -484,6 +484,9 @@ final class IndexManager(spark: SparkSession) {
     val r = entry.relations.head
     if (r.format == "delta")
       return graft.index.sources.DeltaTable.read(spark, r.rootPaths.head)
+    if (r.format == "iceberg" &&
+        graft.index.sources.IcebergMeta.isIcebergTable(spark, r.rootPaths.head))
+      return graft.index.sources.IcebergTable.read(spark, r.rootPaths.head)
     spark.read
       .schema(DataType.fromJson(r.schemaJson).asInstanceOf[StructType])
       .format(r.format)

@@ -1,0 +1,430 @@
+package graft.index.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Minimal Apache Iceberg TABLE-METADATA implementation — reader and
+ * fixture writer — with no dependency on the iceberg-spark runtime jar.
+ * Iceberg's metadata tree is an open format: `.metadata.json` documents
+ * under `metadata/` (schema, snapshots) pointing at avro manifest lists, which
+ * point at avro manifests, which enumerate the data files. The avro
+ * core jars ship with Spark, so the tree is fully parseable jarless
+ * (reference consumes it through the connector:
+ * sources/iceberg/IcebergRelation.scala — signature = snapshot id +
+ * location, files from `planFiles`; this module re-derives the
+ * metadata-walk itself).
+ *
+ * Scope: v1/v2 DATA manifests. Row-level DELETE manifests (v2
+ * `content=1`) are rejected loudly — serving a table while ignoring its
+ * delete files would silently resurrect deleted rows.
+ *
+ * Scale note: one metadata.json read + one manifest-list read + one read
+ * per manifest — the same driver-side walk the connector does; state is
+ * file METADATA only, never row data.
+ */
+final case class IcebergSnapshot(
+    location: String,
+    snapshotId: Long,
+    schema: StructType,
+    files: Seq[DeltaFileMeta]) // (path, size, mtime=0): iceberg files are immutable
+
+object IcebergMeta {
+
+  // ------------------------------------------------------- metadata json
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def metadataDir(location: String): Path = new Path(location, "metadata")
+
+  def isIcebergTable(spark: SparkSession, location: String): Boolean = {
+    val dir = metadataDir(location)
+    val fs = fsOf(spark, dir)
+    fs.exists(dir) && fs.listStatus(dir)
+      .exists(_.getPath.getName.endsWith(".metadata.json"))
+  }
+
+  /** The current metadata document: `version-hint.text` if present (the
+    * hadoop-catalog convention), else the lexicographically-latest
+    * `*.metadata.json` (uuid-suffixed names sort by their version
+    * prefix). */
+  private def currentMetadataFile(fs: FileSystem, location: String): Path = {
+    val dir = metadataDir(location)
+    val hint = new Path(dir, "version-hint.text")
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val p = new Path(dir, s"v$v.metadata.json")
+      if (fs.exists(p)) return p
+    }
+    fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".metadata.json"))
+      .sortBy(_.getName)
+      .lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"not an Iceberg table (no metadata.json under $dir)"))
+  }
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  def snapshot(spark: SparkSession, location: String): IcebergSnapshot = {
+    val fs = fsOf(spark, new Path(location))
+    val metaFile = currentMetadataFile(fs, location)
+    val j = JsonMethods.parse(readString(fs, metaFile))
+
+    val schemaJson: JValue = (j \ "schemas") match {
+      // v2: schemas[] selected by current-schema-id
+      case JArray(schemas) if schemas.nonEmpty =>
+        val currentId = (j \ "current-schema-id") match {
+          case JInt(n) => n.toInt
+          case _ => 0
+        }
+        schemas.find(s => (s \ "schema-id") == JInt(currentId))
+          .getOrElse(schemas.head)
+      // v1: a single inline schema
+      case _ => j \ "schema"
+    }
+    val schema = icebergSchemaToSpark(schemaJson)
+
+    val snapshotId = (j \ "current-snapshot-id") match {
+      case JInt(n) if n.toLong >= 0 => n.toLong
+      case JLong(n) if n >= 0 => n
+      case _ => -1L // empty table: no snapshot yet
+    }
+    if (snapshotId < 0)
+      return IcebergSnapshot(location, -1L, schema, Nil)
+
+    val snap = (j \ "snapshots") match {
+      case JArray(snaps) =>
+        snaps.find(s => (s \ "snapshot-id") match {
+          case JInt(n) => n.toLong == snapshotId
+          case JLong(n) => n == snapshotId
+          case _ => false
+        }).getOrElse(throw new IllegalStateException(
+          s"current-snapshot-id $snapshotId not in snapshots[] of $metaFile"))
+      case _ => throw new IllegalStateException(s"no snapshots[] in $metaFile")
+    }
+
+    // v1 snapshots may carry an inline "manifests" array; v1/v2 normally
+    // carry a "manifest-list" avro file
+    val manifests: Seq[String] = (snap \ "manifest-list") match {
+      case JString(ml) => readManifestList(fs, resolve(location, ml))
+      case _ => (snap \ "manifests") match {
+        case JArray(ms) => ms.collect { case JString(m) => m }
+        case _ => throw new IllegalStateException(
+          s"snapshot $snapshotId has neither manifest-list nor manifests")
+      }
+    }
+
+    val files = manifests.flatMap(m => readManifest(fs, resolve(location, m)))
+    IcebergSnapshot(location, snapshotId, schema, files)
+  }
+
+  /** Iceberg metadata stores absolute URIs; strip `file:` to the same
+    * scheme-less form the rest of the engine uses. */
+  private def resolve(location: String, uri: String): String = {
+    val p = new Path(uri)
+    if (p.isAbsolute || uri.contains(":/")) uri
+    else new Path(location, uri).toString
+  }
+
+  // ----------------------------------------------------------- avro io
+
+  private def readAvro(fs: FileSystem, path: String): Seq[GenericRecord] = {
+    // buffer the (small) metadata file: DataFileReader needs seekable input
+    val p = new Path(path)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val reader = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.toList
+    finally reader.close()
+  }
+
+  private def readManifestList(fs: FileSystem, path: String): Seq[String] =
+    readAvro(fs, path).map { r =>
+      // v2 manifest lists flag delete manifests; refusing beats silently
+      // resurrecting deleted rows
+      val content = Option(r.get("content")).map(_.toString.toInt).getOrElse(0)
+      require(content == 0,
+        s"manifest list $path contains a DELETE manifest (v2 row-level " +
+          "deletes are not supported by the jarless reader)")
+      r.get("manifest_path").toString
+    }
+
+  private def readManifest(fs: FileSystem, path: String): Seq[DeltaFileMeta] =
+    readAvro(fs, path).flatMap { r =>
+      val status = Option(r.get("status")).map(_.toString.toInt).getOrElse(1)
+      if (status == 2) None // DELETED entry
+      else {
+        val df = r.get("data_file").asInstanceOf[GenericRecord]
+        Some(DeltaFileMeta(
+          df.get("file_path").toString,
+          df.get("file_size_in_bytes").toString.toLong,
+          0L))
+      }
+    }
+
+  // ------------------------------------------- iceberg schema <-> spark
+
+  /** Iceberg schema JSON → Spark StructType (primitives + struct/list/map;
+    * reference needs the connector's SparkSchemaUtil for the same job). */
+  def icebergSchemaToSpark(j: JValue): StructType = {
+    def typeOf(t: JValue): DataType = t match {
+      case JString(s) => primitive(s)
+      case obj: JObject => (obj \ "type") match {
+        case JString("struct") => structOf(obj)
+        case JString("list") =>
+          ArrayType(typeOf(obj \ "element"),
+            (obj \ "element-required") != JBool(true))
+        case JString("map") =>
+          MapType(typeOf(obj \ "key"), typeOf(obj \ "value"),
+            (obj \ "value-required") != JBool(true))
+        case other => throw new IllegalArgumentException(
+          s"unsupported iceberg nested type: $other")
+      }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported iceberg type: $other")
+    }
+    def primitive(s: String): DataType = s match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "string" => StringType
+      case "uuid" => StringType
+      case "binary" => BinaryType
+      case "timestamp" | "timestamptz" => TimestampType
+      case d if d.startsWith("decimal(") =>
+        val Array(p, sc) = d.stripPrefix("decimal(").stripSuffix(")").split(",")
+        DecimalType(p.trim.toInt, sc.trim.toInt)
+      case f if f.startsWith("fixed[") => BinaryType
+      case other =>
+        throw new IllegalArgumentException(s"unsupported iceberg primitive: $other")
+    }
+    def structOf(obj: JValue): StructType = StructType(
+      (obj \ "fields") match {
+        case JArray(fields) => fields.map { f =>
+          val JString(name) = (f \ "name"): @unchecked
+          StructField(name, typeOf(f \ "type"),
+            nullable = (f \ "required") != JBool(true))
+        }
+        case _ => Nil
+      })
+    structOf(j)
+  }
+
+  /** Spark StructType → Iceberg schema JSON (fixture writer; primitives
+    * and nested structs/arrays/maps, ids assigned in walk order). */
+  def sparkSchemaToIceberg(schema: StructType): JValue = {
+    var nextId = 0
+    def id(): Int = { nextId += 1; nextId }
+    def typeOf(dt: DataType): JValue = dt match {
+      case BooleanType => JString("boolean")
+      case IntegerType | ShortType | ByteType => JString("int")
+      case LongType => JString("long")
+      case FloatType => JString("float")
+      case DoubleType => JString("double")
+      case DateType => JString("date")
+      case StringType => JString("string")
+      case BinaryType => JString("binary")
+      case TimestampType => JString("timestamptz")
+      case d: DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
+      case s: StructType => structOf(s)
+      case a: ArrayType => JObject(
+        "type" -> JString("list"), "element-id" -> JInt(id()),
+        "element" -> typeOf(a.elementType),
+        "element-required" -> JBool(!a.containsNull))
+      case m: MapType => JObject(
+        "type" -> JString("map"), "key-id" -> JInt(id()),
+        "key" -> typeOf(m.keyType), "value-id" -> JInt(id()),
+        "value" -> typeOf(m.valueType),
+        "value-required" -> JBool(!m.valueContainsNull))
+      case other => throw new IllegalArgumentException(
+        s"cannot map $other to an iceberg type")
+    }
+    def structOf(s: StructType): JValue = JObject(
+      "type" -> JString("struct"),
+      "fields" -> JArray(s.fields.toList.map { f =>
+        JObject("id" -> JInt(id()), "name" -> JString(f.name),
+          "required" -> JBool(!f.nullable), "type" -> typeOf(f.dataType))
+      }))
+    structOf(schema) match {
+      case JObject(kvs) => JObject(("schema-id" -> JInt(0)) :: kvs)
+    }
+  }
+}
+
+/**
+ * Snapshot-pinned reads and minimal fixture-grade writes of Iceberg
+ * tables (jarless — see [[IcebergMeta]]). The writer produces the real
+ * on-disk format (metadata.json + avro manifest list + avro manifest +
+ * parquet data) with the spec's required fields, so the READER path it
+ * exercises is the one real tables hit.
+ */
+object IcebergTable {
+
+  val LocationOption = "graft.iceberg.location"
+  val SnapshotOption = "graft.iceberg.snapshot"
+
+  def read(spark: SparkSession, location: String): DataFrame = {
+    val s = IcebergMeta.snapshot(spark, location)
+    if (s.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    spark.read
+      .schema(s.schema)
+      .option("basePath", s"$location/data")
+      .option(LocationOption, location)
+      .option(SnapshotOption, s.snapshotId.toString)
+      .parquet(s.files.map(_.path): _*)
+  }
+
+  def create(df: DataFrame, location: String): Long =
+    commit(df, location, firstVersion = true)
+
+  def append(df: DataFrame, location: String): Long =
+    commit(df, location, firstVersion = false)
+
+  private val ManifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int"},
+      |  {"name":"snapshot_id","type":["null","long"],"default":null},
+      |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |    {"name":"file_path","type":"string"},
+      |    {"name":"file_format","type":"string"},
+      |    {"name":"record_count","type":"long"},
+      |    {"name":"file_size_in_bytes","type":"long"}
+      |  ]}}
+      |]}""".stripMargin)
+
+  private val ManifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string"},
+      |  {"name":"manifest_length","type":"long"},
+      |  {"name":"partition_spec_id","type":"int"},
+      |  {"name":"content","type":"int","default":0},
+      |  {"name":"added_snapshot_id","type":["null","long"],"default":null}
+      |]}""".stripMargin)
+
+  private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
+      records: Seq[GenericRecord]): Long = {
+    val out = new java.io.ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out)
+    records.foreach(w.append)
+    w.close()
+    val bytes = out.toByteArray
+    val os = fs.create(path, false)
+    try os.write(bytes) finally os.close()
+    bytes.length.toLong
+  }
+
+  private def commit(df: DataFrame, location: String, firstVersion: Boolean): Long = {
+    val spark = df.sparkSession
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = IcebergMeta.metadataDir(location)
+    val dataDir = new Path(root, "data")
+
+    val prior: Option[IcebergSnapshot] =
+      if (IcebergMeta.isIcebergTable(spark, location))
+        Some(IcebergMeta.snapshot(spark, location))
+      else None
+    require(prior.isDefined || firstVersion,
+      s"append to a non-Iceberg directory: $location (create it first)")
+
+    // new data files: diff the data dir around a parquet append
+    def listData(): Map[String, FileStatus] =
+      if (!fs.exists(dataDir)) Map.empty
+      else fs.listStatus(dataDir)
+        .filter(s => s.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.toString -> s).toMap
+    val before = listData()
+    df.write.mode(SaveMode.Append).parquet(dataDir.toString)
+    val added = (listData() -- before.keySet).values.toSeq
+
+    val snapshotId = prior.map(_.snapshotId).getOrElse(0L) + 1L
+    val version = snapshotId // fixture convention: version = snapshot id
+    fs.mkdirs(metaDir)
+
+    // rows from this commit; prior live files carry over as EXISTING
+    def entry(status: Int, path: String, size: Long, rows: Long): GenericRecord = {
+      val dfr = new GenericData.Record(
+        ManifestSchema.getField("data_file").schema())
+      dfr.put("file_path", path)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("record_count", rows)
+      dfr.put("file_size_in_bytes", size)
+      val r = new GenericData.Record(ManifestSchema)
+      r.put("status", status)
+      r.put("snapshot_id", snapshotId)
+      r.put("data_file", dfr)
+      r
+    }
+    val entries =
+      prior.toSeq.flatMap(_.files).map(f => entry(0, f.path, f.size, -1L)) ++
+        added.map(s => entry(1, s.getPath.toString, s.getLen, -1L))
+
+    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
+    val manifestLen = writeAvro(fs, manifestPath, ManifestSchema, entries)
+
+    val mlRec = new GenericData.Record(ManifestListSchema)
+    mlRec.put("manifest_path", manifestPath.toString)
+    mlRec.put("manifest_length", manifestLen)
+    mlRec.put("partition_spec_id", 0)
+    mlRec.put("content", 0)
+    mlRec.put("added_snapshot_id", snapshotId)
+    val manifestList = new Path(metaDir, f"snap-$snapshotId%05d.avro")
+    writeAvro(fs, manifestList, ManifestListSchema, Seq(mlRec))
+
+    val now = System.currentTimeMillis()
+    val meta = JObject(
+      "format-version" -> JInt(2),
+      "table-uuid" -> JString(java.util.UUID.randomUUID().toString),
+      "location" -> JString(location),
+      "last-updated-ms" -> JLong(now),
+      "last-column-id" -> JInt(df.schema.size),
+      "current-schema-id" -> JInt(0),
+      "schemas" -> JArray(List(IcebergMeta.sparkSchemaToIceberg(df.schema))),
+      "default-spec-id" -> JInt(0),
+      "partition-specs" -> JArray(List(JObject(
+        "spec-id" -> JInt(0), "fields" -> JArray(Nil)))),
+      "current-snapshot-id" -> JLong(snapshotId),
+      "snapshots" -> JArray(List(JObject(
+        "snapshot-id" -> JLong(snapshotId),
+        "timestamp-ms" -> JLong(now),
+        "manifest-list" -> JString(manifestList.toString),
+        "summary" -> JObject("operation" -> JString("append"))))))
+    val metaFile = new Path(metaDir, f"v$version%d.metadata.json")
+    val os = fs.create(metaFile, false)
+    try os.write(JsonMethods.pretty(JsonMethods.render(meta))
+      .getBytes(StandardCharsets.UTF_8))
+    finally os.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    snapshotId
+  }
+}

@@ -48,6 +48,36 @@ final class IcebergSource extends SourceProvider {
   import IcebergSource._
 
   override def asSourceLeaf(leaf: LogicalPlan): Option[SourceLeaf] = leaf match {
+    // jarless path: an IcebergTable.read scan, snapshot pinned in options
+    // (backed by the in-repo IcebergMeta metadata walk)
+    case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if l.relation.isInstanceOf[
+             org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+          l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .options.contains(IcebergTable.LocationOption) =>
+      val rel = l.relation.asInstanceOf[
+        org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      val location = rel.options(IcebergTable.LocationOption)
+      val snapshotId = rel.options(IcebergTable.SnapshotOption)
+      Some(new SourceLeaf {
+        override def plan: LogicalPlan = l
+        override def rootPaths: Seq[String] = Seq(location)
+        override def schemaJson: String = rel.schema.json
+        override def format: String = "iceberg"
+        override def options: Map[String, String] = rel.options
+        override def listFiles(): Seq[(String, Long, Long)] =
+          rel.location.listFiles(Nil, Nil).flatMap(_.files).map(s =>
+            // immutable data files: (path, size) is a complete identity,
+            // constant mtime keeps drift detection exact across snapshots
+            (s.getPath.toString, s.getLen, 0L))
+        override def signature(files: Seq[FileMeta]): String = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(s"iceberg|$snapshotId|${rootPaths.sorted.mkString(",")}"
+            .getBytes("UTF-8"))
+          md.digest().map("%02x".format(_)).mkString
+        }
+      })
     case r: DataSourceV2Relation if isIcebergTable(r.table) =>
       Some(mkLeaf(r, r))
     case s: DataSourceV2ScanRelation if isIcebergTable(s.relation.table) =>

@@ -77,11 +77,13 @@ final class DefaultFileBasedSource extends SourceProvider {
 
 object SourceProviders {
   val ProvidersKey = "spark.graft.index.sources.providers"
-  // DeltaLakeSource first: a jarless Delta scan is ALSO a plain
-  // LogicalRelation(HadoopFsRelation), so the more specific provider
-  // must get first refusal (its non-delta check is one options lookup)
+  // Table-format providers first: a jarless Delta/Iceberg scan is ALSO a
+  // plain LogicalRelation(HadoopFsRelation), so the more specific
+  // providers must get first refusal (each non-match is one options
+  // lookup)
   private val DefaultProviders = Seq(
     classOf[DeltaLakeSource].getName,
+    classOf[IcebergSource].getName,
     classOf[DefaultFileBasedSource].getName).mkString(",")
 
   @volatile private var cached: (String, Seq[SourceProvider]) = ("", Nil)

@@ -270,9 +270,45 @@ object IndexAccel {
        | ${sqlMoneySum("s_acctbal")} AS sum_bal
        |FROM supplier WHERE s_nationkey BETWEEN 5 AND 15""".stripMargin
 
+  // ------------------------------------------------ iceberg source
+  /** Covering-index filter over an ICEBERG table (metadata.json + avro
+    * manifests replayed jarless — [[graft.index.sources.IcebergMeta]]):
+    * the fixture is the customer table committed in TWO snapshots, so a
+    * match proves the manifest walk, the snapshot-signature provider,
+    * and the rewrite compose. The oracle sees only customer parquet. */
+  def idxIcebergFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{IcebergMeta, IcebergTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val loc = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_iceberg_$h"
+    synchronized {
+      if (!IcebergMeta.isIcebergTable(spark, loc)) {
+        val cust = Tables.load(spark, sfDir, "customer")
+        IcebergTable.create(cust.filter(col("c_custkey") % 2 === 0), loc)
+        IcebergTable.append(cust.filter(col("c_custkey") % 2 === 1), loc)
+      }
+      ensureSystemPath(spark, sfDir)
+      val mgr = new IndexManager(spark)
+      val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
+      if (!active.contains("accel_ci_iceberg")) {
+        mgr.create(IcebergTable.read(spark, loc), CoveringIndexConfig(
+          "accel_ci_iceberg", Seq("c_nationkey"), Seq("c_acctbal")))
+      }
+    }
+    IcebergTable.read(spark, loc)
+      .filter(col("c_nationkey").between(5L, 15L))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+  }
+
+  val idxIcebergFilterSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer WHERE c_nationkey BETWEEN 5 AND 15""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
+    "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
     "q_snowflake_2idx" -> (idxSnowflake2 _, idxSnowflake2Sql),
     "q_join_rank_tie" -> (idxJoinRankTie _, idxJoinRankTieSql),
     "idx_covering_filter" -> (idxCoveringFilter _, idxCoveringFilterSql),

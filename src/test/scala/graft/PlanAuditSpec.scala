@@ -239,6 +239,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "equal-bucket pair still shuffled:\n" + smj)
   }
 
+  test("idx_iceberg_filter: the iceberg-table query really scans the covering index") {
+    val nodes = executed(SparkEntry.queries("idx_iceberg_filter")(spark, TestSpark.sfDir))
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.relation.location.rootPaths.exists(
+      _.toString.contains("/accel_ci_iceberg/"))),
+      "iceberg query fell back to the source scan:\n" +
+        scans.map(_.relation.location.rootPaths.mkString(",")).mkString("\n"))
+  }
+
   test("text_quality: aggregations run partial + final") {
     val nodes = executed(SparkEntry.queries("text_quality")(spark, TestSpark.sfDir))
     val aggs = nodes.count(n => n.isInstanceOf[HashAggregateExec] ||
