@@ -245,7 +245,7 @@ object JoinIndexRule extends GraftIndexRule {
     Some((join.copy(left = newLeft, right = newRight), score))
   }
 
-  private def joinSide(
+  private[rules] def joinSide(
       spark: SparkSession,
       rel: LogicalPlan,
       m: CandidateMatch): LogicalPlan =
@@ -256,7 +256,7 @@ object JoinIndexRule extends GraftIndexRule {
 
   /** The single provider-recognized leaf under a linear Project/Filter
     * chain. */
-  private def linearRelation(
+  private[rules] def linearRelation(
       plan: LogicalPlan,
       candidates: Map[LogicalPlan, Seq[CandidateMatch]]): Option[LogicalPlan] =
     plan match {
@@ -266,7 +266,7 @@ object JoinIndexRule extends GraftIndexRule {
       case _ => None
     }
 
-  private def coveringEligible(
+  private[rules] def coveringEligible(
       matches: Seq[CandidateMatch],
       rel: LogicalPlan): Seq[(CandidateMatch, CoveringIndexDescriptor)] =
     matches.collect {
@@ -281,14 +281,14 @@ object JoinIndexRule extends GraftIndexRule {
 
   /** All columns the subtree needs from its relation: everything it
     * outputs plus everything its expressions reference. */
-  private def neededColumns(plan: LogicalPlan): Seq[String] = {
+  private[rules] def neededColumns(plan: LogicalPlan): Seq[String] = {
     val refs = plan.collect { case p => p.references }.foldLeft(AttributeSet.empty)(_ ++ _)
     (refs ++ plan.outputSet).toSeq.map(_.name).distinct
   }
 
   /** Split the condition into (leftAttr, rightAttr) equality pairs.
     * Returns None on any non-equality / non-attribute conjunct. */
-  private def equiJoinPairs(
+  private[rules] def equiJoinPairs(
       cond: Expression,
       leftOut: AttributeSet,
       rightOut: AttributeSet): Option[Seq[(AttributeReference, AttributeReference)]] = {
@@ -303,7 +303,7 @@ object JoinIndexRule extends GraftIndexRule {
     Some(pairs)
   }
 
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+  private[rules] def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
@@ -312,7 +312,7 @@ object JoinIndexRule extends GraftIndexRule {
   /** Every left attribute pairs with exactly one right attribute and vice
     * versa (reference: JoinIndexRule.scala:179-318 — required for bucket
     * co-location to be semantics-preserving). */
-  private def isOneToOne(pairs: Seq[(AttributeReference, AttributeReference)]): Boolean = {
+  private[rules] def isOneToOne(pairs: Seq[(AttributeReference, AttributeReference)]): Boolean = {
     val l2r = pairs.groupBy(_._1.exprId).view.mapValues(_.map(_._2.exprId).distinct)
     val r2l = pairs.groupBy(_._2.exprId).view.mapValues(_.map(_._1.exprId).distinct)
     l2r.values.forall(_.size == 1) && r2l.values.forall(_.size == 1)
@@ -320,7 +320,7 @@ object JoinIndexRule extends GraftIndexRule {
 
   /** If `indexedCols` is a permutation of the left-key names, return the
     * pair indices in indexed-column order. */
-  private def permutationFor(
+  private[rules] def permutationFor(
       indexedCols: Seq[String],
       leftAttrs: Seq[AttributeReference],
       resolver: Resolver): Option[Seq[Int]] = {
@@ -342,7 +342,7 @@ object JoinIndexRule extends GraftIndexRule {
     * order whenever the outputs differ (reference:
     * RuleUtils.transformPlanToUseIndexOnlyScan keeps relation order and
     * excludes lineage). An upper Project prunes the extra node for free. */
-  private def substitute(
+  private[rules] def substitute(
       spark: SparkSession,
       plan: LogicalPlan,
       target: LogicalPlan,
@@ -356,14 +356,87 @@ object JoinIndexRule extends GraftIndexRule {
 }
 
 /**
+ * ONE-SIDED join acceleration (beyond the reference, which requires
+ * index pairs): when exactly one side of an inner equi-join reduces to a
+ * relation whose covering index is bucketed on that side's join keys
+ * (and covers its needed columns), swap THAT side for the bucketed index
+ * scan. The scan claims `HashPartitioning(keys, numBuckets)`, so
+ * EnsureRequirements shuffles only the OTHER side to match — at 100 TB
+ * this is the "never shuffle the big indexed dimension" plan: the probe
+ * stream re-partitions, the indexed side streams straight off disk.
+ *
+ * Scores below a two-index pair (JoinIndexRule, which eliminates BOTH
+ * exchanges) so the DP prefers pairs whenever they exist; the
+ * non-indexed side is recursed so its own subtree rewrites still apply.
+ */
+object JoinOneSideIndexRule extends GraftIndexRule {
+  import JoinIndexRule._
+
+  override def apply(
+      spark: SparkSession,
+      plan: LogicalPlan,
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
+      recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
+    val join = plan match {
+      case j @ Join(_, _, Inner, Some(_), hint) if hint == JoinHint.NONE => j
+      case _ => return None
+    }
+    if (!spark.sessionState.conf
+        .getConfString("spark.sql.sources.bucketing.enabled", "true").toBoolean)
+      return None
+    val hybridSafe = !spark.sessionState.conf
+      .getConfString("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      .toBoolean
+    val pairs = equiJoinPairs(join.condition.get, join.left.outputSet,
+      join.right.outputSet).getOrElse(return None)
+    if (pairs.isEmpty || !isOneToOne(pairs)) return None
+    val resolver = spark.sessionState.conf.resolver
+
+    def oneSide(isLeft: Boolean): Option[(LogicalPlan, Int)] = {
+      val subtree = if (isLeft) join.left else join.right
+      val other = if (isLeft) join.right else join.left
+      val keys = (if (isLeft) pairs.map(_._1) else pairs.map(_._2)).distinct
+      val rel = linearRelation(subtree, candidates).getOrElse(return None)
+      val needed = neededColumns(subtree)
+      val eligible = coveringEligible(candidates(rel), rel).filter {
+        case (m, d) =>
+          Coverage.covers(d.referencedColumns, needed, resolver) &&
+            permutationFor(d.indexedColumns, keys, resolver).isDefined &&
+            (hybridSafe || m.isExact)
+      }
+      val best = eligible.sortBy { case (m, d) =>
+        (!m.isExact, -d.numBuckets, -m.commonBytes)
+      }.headOption.getOrElse(return None)
+      val newSide = substitute(spark, subtree, rel,
+        joinSide(spark, rel, best._1))
+      val (newOther, otherScore) = recurse(other)
+      val ratio = {
+        val m = best._1
+        val total = m.commonBytes + m.appendedBytes
+        if (m.isExact || total == 0) 1.0 else m.commonBytes.toDouble / total
+      }
+      val score = math.max(1,
+        math.round(RuleScores.JoinIndexPerSide * ratio).toInt) + otherScore
+      val rewritten =
+        if (isLeft) join.copy(left = newSide, right = newOther)
+        else join.copy(left = newOther, right = newSide)
+      Some((rewritten, score))
+    }
+
+    (oneSide(isLeft = true).toSeq ++ oneSide(isLeft = false).toSeq)
+      .sortBy(-_._2).headOption
+  }
+}
+
+/**
  * Memoized best-score subtree rewrite (reference:
  * index/rules/ScoreBasedIndexPlanOptimizer.scala:31-81).
  */
 object ScoreBasedOptimizer {
 
   private val rules: Seq[GraftIndexRule] =
-    Seq(JoinIndexRule, AggIndexRule, ZOrderFilterIndexRule, FilterIndexRule,
-      DataSkippingRule)
+    Seq(JoinIndexRule, JoinOneSideIndexRule, AggIndexRule,
+      ZOrderFilterIndexRule, FilterIndexRule, DataSkippingRule)
 
   def optimize(
       spark: SparkSession,

@@ -210,9 +210,7 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected all three index scans, got:\n${scanRoots.mkString("\n")}")
     // the lineitem/orders pair must meet in a sort-merge join with NO
     // exchange under it — both index scans claim HashPartitioning on the
-    // join key, which is the whole point of bucketing both sides. (The
-    // OUTER join on o_custkey rightly re-shuffles: the stream is
-    // partitioned by orderkey at that point.)
+    // join key, which is the whole point of bucketing both sides
     val smj = nodes.collectFirst {
       case j: SortMergeJoinExec
         if j.leftKeys.exists(_.references.exists(_.name == "l_orderkey")) => j
@@ -220,6 +218,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val underJoin = allNodes(smj.left) ++ allNodes(smj.right)
     assert(!underJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
       "bucketed index join shuffled anyway:\n" + smj)
+    // the customer dimension is swapped by the ONE-SIDED join rule with
+    // its bucket spec claimed, so only the FACT stream re-shuffles onto
+    // o_custkey — the indexed dimension must not shuffle at all
+    val outer = nodes.collectFirst {
+      case j: SortMergeJoinExec
+        if j.rightKeys.exists(_.references.exists(_.name == "c_custkey")) => j
+    }.getOrElse(fail("no sort-merge join on c_custkey in plan"))
+    assert(!allNodes(outer.right).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "indexed customer dimension shuffled anyway:\n" + outer)
+    assert(allNodes(outer.left).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "fact stream must re-shuffle onto the dimension key")
   }
 
   test("q_join_rank_tie: ranker picks the equal-bucket index, not the 8-bucket decoy") {

@@ -166,6 +166,38 @@ class RewriteRulesSpec extends AnyFunSuite {
     }
   }
 
+  test("one-sided join: an index on a single side halves the exchanges") {
+    withGraft { g =>
+      // only LINEITEM is indexed — the reference's pair rule would bail;
+      // the one-sided rule swaps the indexed side for its bucketed scan
+      // and lets EnsureRequirements shuffle just the orders side
+      g.createIndex(lineitem,
+        CoveringIndexConfig("ci_li_one", Seq("l_orderkey"), Seq("l_quantity")))
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val li = lineitem
+        val ord = orders
+        def query = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+        assert(usesIndex(query, "ci_li_one"),
+          "one-sided index scan missing:\n" + query.queryExecution.executedPlan)
+        assert(shuffleCount(query) == 1,
+          "expected exactly the orders-side exchange:\n" +
+            query.queryExecution.executedPlan)
+        spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+        val expected = query.collect()
+        spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+        val actual = query.collect()
+        assert(actual.length == expected.length && expected.nonEmpty)
+        assert(actual.map(_.toString).sorted.sameElements(
+          expected.map(_.toString).sorted))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
+    }
+  }
+
   test("equi-join with UNEQUAL bucket counts shuffles only one side") {
     withGraft { g =>
       // reference JoinIndexRanker.scala:34-38: mismatched bucket counts
