@@ -234,6 +234,30 @@ object IndexAccel {
        | ${sqlMoneySum("o_totalprice")} AS sum_total
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
+  // ---------------------------------------------- one-sided join
+  /** Join where ONLY the fact side has a covering index (bucketed on the
+    * join key): the reference's pair rule would bail; the
+    * [[graft.index.rules.JoinOneSideIndexRule]] swaps the lineitem side
+    * for its bucketed index scan and only the supplier side shuffles.
+    * The golden plan (auto-broadcast off) pins the single-exchange
+    * shape; the oracle pins the results. */
+  def idxJoinOneSided(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
+      "accel_ci_li_supp", Seq("l_suppkey"), Seq("l_extendedprice")))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val sup = Tables.load(spark, sfDir, "supplier")
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("sum_price"),
+        moneySum(col("s_acctbal")).as("sum_bal"))
+  }
+
+  val idxJoinOneSidedSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("l_extendedprice")} AS sum_price,
+       | ${sqlMoneySum("s_acctbal")} AS sum_bal
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
+
   // ------------------------------------------------ delta source
   /** Covering-index filter over a DELTA table (built jarless from the
     * log replay — [[graft.index.sources.DeltaLog]]): the fixture table
@@ -311,6 +335,7 @@ object IndexAccel {
     "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
     "q_snowflake_2idx" -> (idxSnowflake2 _, idxSnowflake2Sql),
     "q_join_rank_tie" -> (idxJoinRankTie _, idxJoinRankTieSql),
+    "q_join_one_sided" -> (idxJoinOneSided _, idxJoinOneSidedSql),
     "idx_covering_filter" -> (idxCoveringFilter _, idxCoveringFilterSql),
     "idx_join" -> (idxJoin _, idxJoinSql),
     "idx_zorder_filter" -> (idxZOrderFilter _, idxZOrderFilterSql),

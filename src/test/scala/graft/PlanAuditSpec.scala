@@ -258,6 +258,24 @@ class PlanAuditSpec extends AnyFunSuite {
         scans.map(_.relation.location.rootPaths.mkString(",")).mkString("\n"))
   }
 
+  test("q_join_one_sided: indexed fact side joins without shuffling itself") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val nodes = plannedNoBroadcast("q_join_one_sided")
+    val scanRoots = nodes.collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.map(_.toString).mkString(",") }
+    assert(scanRoots.exists(_.contains("/accel_ci_li_supp/")),
+      s"one-sided index not scanned:\n${scanRoots.mkString("\n")}")
+    val smj = nodes.collectFirst { case j: SortMergeJoinExec => j }
+      .getOrElse(fail("no sort-merge join in plan"))
+    // indexed lineitem side: no exchange; supplier side: exactly the one
+    // re-shuffle EnsureRequirements inserts to match the bucketed scan
+    val sides = Seq(smj.left, smj.right).map(s =>
+      allNodes(s).count(_.isInstanceOf[ShuffleExchangeExec]))
+    assert(sides.sorted == Seq(0, 1),
+      s"expected one shuffled side and one bucketed side, got $sides:\n$smj")
+  }
+
   test("text_quality: aggregations run partial + final") {
     val nodes = executed(SparkEntry.queries("text_quality")(spark, TestSpark.sfDir))
     val aggs = nodes.count(n => n.isInstanceOf[HashAggregateExec] ||
