@@ -58,9 +58,11 @@ object DeltaLog {
       CommitRe.pattern.matcher(s.getPath.getName).matches())
   }
 
-  /** Replay the log to the latest version: checkpoint (if any) + the JSON
-    * commits after it, in version order. */
-  def snapshot(spark: SparkSession, rootStr: String): DeltaSnapshot = {
+  /** Replay the log to the latest version — or, with `versionAsOf`, to a
+    * historic one (time travel): checkpoint (if any, at or before the
+    * target) + the JSON commits after it, in version order. */
+  def snapshot(spark: SparkSession, rootStr: String,
+      versionAsOf: Option[Long] = None): DeltaSnapshot = {
     val root = new Path(rootStr)
     val dir = logDir(root)
     val fs = fsOf(spark, dir)
@@ -74,7 +76,13 @@ object DeltaLog {
       }
     }.toMap
     require(commits.nonEmpty, s"Delta log at $rootStr has no commit files")
-    val latest = commits.keys.max
+    val latest = versionAsOf match {
+      case Some(v) =>
+        require(v >= 0 && v <= commits.keys.max,
+          s"version $v out of range [0, ${commits.keys.max}] at $rootStr")
+        v
+      case None => commits.keys.max
+    }
 
     // checkpoints: single-part files or complete multi-part groups
     val ckptParts = mutable.Map.empty[Long, mutable.Buffer[(Path, Int)]]
@@ -221,13 +229,17 @@ object DeltaTable {
   val RootOption = "graft.delta.root"
   val VersionOption = "graft.delta.version"
 
-  /** Read the table at its latest version, pinned: the returned frame
-    * keeps reading exactly this snapshot's files even if the table
-    * commits again. Partition values are recovered from the directory
-    * layout via `basePath` (hive-style layout, which [[create]] and the
-    * delta writers both produce). */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val s = DeltaLog.snapshot(spark, root)
+  /** Read the table at its latest version — or a historic one via
+    * `versionAsOf` (time travel) — pinned: the returned frame keeps
+    * reading exactly this snapshot's files even if the table commits
+    * again. Partition values are recovered from the directory layout via
+    * `basePath` (hive-style layout, which [[create]] and the delta
+    * writers both produce). Historic reads work because Delta never
+    * rewrites data files in place — an overwritten version's files stay
+    * on disk until VACUUM. */
+  def read(spark: SparkSession, root: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val s = DeltaLog.snapshot(spark, root, versionAsOf)
     if (s.files.isEmpty) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)

@@ -112,6 +112,67 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root).count() == customer.count())
   }
 
+  test("time travel: versionAsOf replays to the historic snapshot") {
+    val root = tmp("graft-delta-tt-")
+    val v0data = customer.filter(col("c_custkey") <= 30)
+    DeltaTable.create(v0data, root)                       // v0
+    DeltaTable.append(customer.filter(
+      col("c_custkey") > 30 && col("c_custkey") <= 60), root) // v1
+    DeltaTable.create(customer.filter(col("c_custkey") > 140), root) // v2 overwrite
+    assert(DeltaTable.read(spark, root, Some(0L)).count() == v0data.count())
+    assert(DeltaTable.read(spark, root, Some(1L)).count() ==
+      customer.filter(col("c_custkey") <= 60).count())
+    // latest (v2) is the overwritten slice
+    assert(DeltaTable.read(spark, root).count() ==
+      customer.filter(col("c_custkey") > 140).count())
+    // out-of-range version is a loud error
+    val ex = intercept[IllegalArgumentException](
+      DeltaTable.read(spark, root, Some(9L)))
+    assert(ex.getMessage.contains("out of range"))
+  }
+
+  test("data-skipping index composes over a Delta table") {
+    val sys = tmp("graft-delta-ds-sys-")
+    val root = tmp("graft-delta-ds-")
+    spark.conf.set(GraftConf.SystemPathKey, sys)
+    try {
+      val g = new Graft(spark)
+      // several RANGE-DISJOINT commits -> min/max sketches can prune
+      (0 until 4).foreach { i =>
+        val slice = customer.filter(
+          col("c_custkey") > i * 40L && col("c_custkey") <= (i + 1) * 40L)
+          .coalesce(1)
+        if (i == 0) DeltaTable.create(slice, root)
+        else DeltaTable.append(slice, root)
+      }
+      g.createIndex(DeltaTable.read(spark, root),
+        graft.index.dataskipping.DataSkippingIndexConfig("ds_delta",
+          Seq(graft.index.dataskipping.SketchSpec.minMax("c_custkey"))))
+      val q = DeltaTable.read(spark, root)
+        .filter(col("c_custkey") <= 3)
+        .select(col("c_custkey"), col("c_acctbal"))
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expected = q.collect().toSet
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      val probe = DeltaTable.read(spark, root)
+        .filter(col("c_custkey") <= 3)
+        .select(col("c_custkey"), col("c_acctbal"))
+      assert(probe.collect().toSet == expected && expected.nonEmpty)
+      // the skipping file index pruned at least one of the 4 commit files
+      val scans = probe.queryExecution.executedPlan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      val scanned = scans.map(_.relation.location)
+        .collectFirst {
+          case d: graft.index.dataskipping.DataSkippingFileIndex =>
+            d.listFiles(Nil, Nil).map(_.files.size).sum }
+      assert(scanned.exists(_ < 4),
+        s"data-skipping pruned nothing over the delta table: $scanned")
+    } finally {
+      spark.conf.unset(GraftConf.SystemPathKey)
+      rules.IndexCatalog.invalidate(spark)
+    }
+  }
+
   test("partitioned create: hive layout + partition values recovered") {
     val root = tmp("graft-delta-part-")
     DeltaTable.create(customer.select(col("c_custkey"), col("c_mktsegment")),
