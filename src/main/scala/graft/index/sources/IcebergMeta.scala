@@ -281,6 +281,14 @@ object IcebergMeta {
  * on-disk format (metadata.json + avro manifest list + avro manifest +
  * parquet data) with the spec's required fields, so the READER path it
  * exercises is the one real tables hit.
+ *
+ * Partitioned tables: Iceberg data files are COMPLETE rows — identity
+ * partition columns are stored in the files themselves (unlike
+ * hive-layout tables, where values live only in directory names), so
+ * reading the manifest-listed files directly is correct for any
+ * partition spec. Hidden-partitioning transforms (bucket/truncate/days)
+ * derive bookkeeping values that are not table columns at all and never
+ * appear in query output.
  */
 object IcebergTable {
 
