@@ -72,18 +72,18 @@ class SourceFormatsSpec extends AnyFunSuite {
   test("covering index over json source") { roundTrip("json", Map.empty) }
   test("covering index over orc source") { roundTrip("orc", Map.empty) }
 
-  test("covering index over avro source (cancelled unless spark-avro jar present)") {
-    // spark-avro is a separate module jar, absent in this offline build.
-    // The source path is the same generic HadoopFsRelation round trip as
-    // csv/json/orc — when the jar is on the classpath this test runs the
-    // identical contract against it; until then it documents the gate.
+  test("covering index over avro source (in-repo jarless avro format)") {
+    // spark-avro is a separate module jar, absent in this offline build;
+    // graft.sources.avro.AvroFileFormat implements the container format on
+    // the avro CORE jars and registers the `avro` short name, so this is
+    // the same generic HadoopFsRelation round trip as csv/json/orc.
     assume(
       try {
         org.apache.spark.sql.execution.datasources.DataSource
           .lookupDataSource("avro", spark.sessionState.conf)
         true
       } catch { case _: Exception => false },
-      "avro data source not resolvable (spark-avro module jar absent)")
+      "avro data source not resolvable")
     roundTrip("avro", Map.empty)
   }
 
@@ -107,10 +107,6 @@ class SourceFormatsSpec extends AnyFunSuite {
       assert(expected.nonEmpty)
     }
   }
-  // avro is NOT covered: the offline jar set carries avro core but not the
-  // spark-avro external module, so the format is unloadable here. The
-  // generic HadoopFsRelation path (provider SPI) is format-agnostic.
-
   test("cancel rolls an in-flight action back to the last stable state") {
     withGraft { g =>
       g.createIndex(sample, CoveringIndexConfig("c_ok", Seq("l_orderkey")))
