@@ -68,6 +68,34 @@ object StreamingOps {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /**
+   * Stream-stream inner join with watermarks and a time-range condition
+   * (the click-attribution shape): each `lead` event pairs with every
+   * `follow` event of the same user landing strictly after it and within
+   * `maxLag`. The time bound plus the two watermarks is what makes this
+   * RUN at scale: Spark derives a state-eviction horizon from them, so a
+   * buffered lead row is dropped once the follow side's watermark passes
+   * `lead.ts + maxLag + delay` — per-side state is bounded by
+   * rate × (maxLag + delay) and sharded on the join key across
+   * executors, instead of growing with the stream. Matches emit as they
+   * are found (append mode); the watermark only governs eviction and
+   * late-data drop, so a single-batch replay equals the batch join.
+   */
+  def attributionJoin(
+      lead: Dataset[StreamEvent],
+      follow: Dataset[StreamEvent],
+      maxLag: String = "24 hours",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = lead.toDF().withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("l_user"), col("ts").as("lead_ts"))
+    val f = follow.toDF().withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("f_user"), col("ts").as("follow_ts"))
+    l.join(f, expr(
+        s"l_user = f_user AND follow_ts > lead_ts" +
+          s" AND follow_ts <= lead_ts + interval $maxLag"))
+      .select(col("l_user").as("user_id"), col("lead_ts"), col("follow_ts"))
+  }
+
+  /**
    * Sessionization via `flatMapGroupsWithState` with EVENT-TIME timeout:
    * a session closes `gapMs` after its last event, measured against the
    * stream's watermark — deterministic, replay-safe, and state-bounded

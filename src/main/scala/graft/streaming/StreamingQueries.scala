@@ -295,9 +295,65 @@ object StreamingQueries {
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /**
+   * Stream-stream watermarked join through the REAL streaming pipeline:
+   * view events attribute to the same user's click events within 24
+   * hours ([[StreamingOps.attributionJoin]]). Both sides stream from the
+   * events file; timestamps are floored to seconds so the range
+   * comparison is integral on both engines. The corpus fits one
+   * micro-batch per side, where the inner join emits exactly the batch
+   * join's pairs — which is what the DuckDB twin computes.
+   */
+  def qStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def side(eventType: String) = spark.readStream.schema(rawSchema)
+      .parquet(Tables.path(sfDir, "events") + "*")
+      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+      .filter(col("event_type") === eventType)
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamEvent]
+
+    val joined = StreamingOps.attributionJoin(
+      side("view"), side("click"), maxLag = "24 hours")
+
+    val name = "stream_join_" + UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val result = spark.table(name)
+      .select(col("user_id"),
+        date_format(col("lead_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("follow_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+      .orderBy(col("user_id"), col("view_ts"), col("click_ts"))
+    val rows = result.collect()
+    val schema = result.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  /** DuckDB twin: the same time-range self-join over second-floored ts. */
+  val qStreamJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events)
+      |SELECT a.user_id,
+      |  strftime(make_timestamp(a.sec * 1000000), '%Y-%m-%d %H:%M:%S') AS view_ts,
+      |  strftime(make_timestamp(b.sec * 1000000), '%Y-%m-%d %H:%M:%S') AS click_ts
+      |FROM e a JOIN e b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'view' AND b.event_type = 'click'
+      | AND b.sec > a.sec AND b.sec <= a.sec + 86400
+      |ORDER BY a.user_id, view_ts, click_ts""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "stream_window_counts" -> (qStreamWindowCounts _, qStreamWindowCountsSql),
     "stream_sessions" -> (qStreamSessions _, qStreamSessionsSql),
     "stream_dedup" -> (qStreamDedup _, qStreamDedupSql),
-    "stream_enrich" -> (qStreamEnrich _, qStreamEnrichSql))
+    "stream_enrich" -> (qStreamEnrich _, qStreamEnrichSql),
+    "stream_join" -> (qStreamJoin _, qStreamJoinSql))
 }

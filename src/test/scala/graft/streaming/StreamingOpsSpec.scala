@@ -75,4 +75,32 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(out2.contains((2L, 1L, 5.0)), s"got $out2") // user2
     } finally query.stop()
   }
+
+  test("stream-stream attribution join: strictly-after, lag-bounded, per-user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val leads = MemoryStream[StreamEvent]
+    val follows = MemoryStream[StreamEvent]
+    val query = StreamingOps
+      .attributionJoin(leads.toDS(), follows.toDS(),
+        maxLag = "10 minutes", watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("attr_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      leads.addData(ev(0, 1, "view", 0.0), ev(0, 2, "view", 0.0))
+      follows.addData(
+        ev(0, 1, "click", 0.0),   // equal ts: NOT strictly after -> no pair
+        ev(5, 1, "click", 0.0),   // within lag -> pair
+        ev(10, 1, "click", 0.0),  // boundary: exactly lead + lag -> pair
+        ev(11, 1, "click", 0.0),  // past lag -> no pair
+        ev(5, 3, "click", 0.0))   // no matching user -> no pair
+      query.processAllAvailable()
+
+      val out = spark.table("attr_join")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).getTime / 60000 % 1440))
+        .toSet
+      assert(out == Set((1L, 65L), (1L, 70L)), s"got $out")
+    } finally query.stop()
+  }
 }
