@@ -33,13 +33,13 @@ final case class DecodedMedia(
  * columns with typed metadata, and run decode / feature-extract / resize /
  * frame-sample partition-wise over a typed Dataset.
  *
- * The DECODE STEP IS A STUB: no image/audio codecs exist in this
- * environment, so `decodeStub` derives deterministic fake dimensions from
- * the bytes. Everything around it — the binary column, the case-class
- * schema, the `mapPartitions` batch shape (one iterator per partition, as
- * a real codec would amortize model/codec init per partition), the
- * partition-parallel execution — is the real plumbing a production decode
- * would use. Swap `decodeStub` for a codec call and nothing else changes.
+ * Two decode paths exist. `multimodal_decode` (round 6) is the REAL one:
+ * actual PNG encode/decode via the JDK's ImageIO and a real RIFF/WAVE
+ * writer+parser ([[graft.functions.MediaCodecs]]), oracle-checked
+ * end-to-end. `multimodal_features` below predates it and keeps
+ * `decodeStub` (deterministic fake dimensions) to pin the original
+ * mapPartitions plumbing contract — the binary column, the case-class
+ * schema, the per-partition batch shape — independent of any codec.
  *
  * Scale: decode runs partition-parallel with no shuffle; the only shuffle
  * is the final per-source aggregation of tiny feature rows.
@@ -124,6 +124,121 @@ object Multimodal {
        |  CAST(SUM(n_frames) AS BIGINT) AS sum_frames
        |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-doc output of the REAL codec round trip. All Long for oracle
+    * dtype parity. */
+  final case class DecodedFeatures(
+      doc_id: Long,
+      img_w: Long,
+      img_h: Long,
+      channels: Long,
+      pix_sum: Long,
+      resized_sum: Long,
+      sample_rate: Long,
+      n_samples: Long,
+      wav_sum_abs: Long)
+
+  /**
+   * REAL decode path (round 6) — no stub. The JDK's own codec stack
+   * (`javax.imageio`, java.desktop module) carries PNG/BMP/GIF/JPEG
+   * coders, and WAV is a plain RIFF parse
+   * ([[graft.functions.MediaCodecs]]); "no codecs offline" only ever
+   * applied to external codec JARS.
+   *
+   * Each document deterministically synthesizes a media payload, then
+   * the pipeline treats it exactly like fetched bytes:
+   *
+   *  1. render a gray pattern `v(x,y) = (3x + 5y + doc_id) mod 256` at
+   *     `(16 + id mod 33) × (12 + n_chars mod 21)` and ENCODE it as a
+   *     real PNG (IDAT, zlib, filters — the actual format);
+   *  2. DECODE those bytes back through ImageIO and take every reported
+   *     feature (dimensions, band count, channel sums) from the DECODED
+   *     raster — the codec is load-bearing, a bit error anywhere in the
+   *     PNG round trip breaks the oracle;
+   *  3. nearest-neighbor-resize the decoded image to 32×32 and sum the
+   *     resized channel (floor index mapping ⇒ closed-form);
+   *  4. synthesize 16-bit PCM (`s(i) = ((31·id + 17i) mod 4097) − 2048`),
+   *     ENCODE as a real RIFF/WAVE file, re-PARSE the container (chunk
+   *     walk, fmt validation) and report rate/length/Σ|s| from the
+   *     parsed samples.
+   *
+   * Every output is an exact integer with a closed form, so the DuckDB
+   * twin checks the full encode→decode→extract chain bit-for-bit.
+   * Decode is partition-parallel with no shuffle (`mapPartitions`, codec
+   * init amortized per partition); at 100 TB the binary column streams
+   * off parquet and only tiny feature rows move.
+   */
+  def qMultimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.MediaCodecs
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+
+    val decoded = docs.mapPartitions { it =>
+      // per-partition init point (codec warm-up in a real pipeline)
+      it.map { case (id, nChars) =>
+        val w = (16 + id % 33).toInt
+        val h = (12 + nChars % 21).toInt
+        val png = MediaCodecs.encodePng(w, h,
+          (x, y) => ((x * 3 + y * 5 + id) % 256).toInt)
+        val img = MediaCodecs.decodeImage(png)
+        val resized = MediaCodecs.resizeNearest(img, 32, 32)
+
+        val n = (200 + nChars % 100).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 31 + i * 17) % 4097) - 2048).toShort)
+        val wav = MediaCodecs.encodeWavPcm16(8000, samples)
+        val info = MediaCodecs.decodeWavPcm16(wav)
+
+        DecodedFeatures(
+          doc_id = id,
+          img_w = img.getWidth.toLong,
+          img_h = img.getHeight.toLong,
+          channels = MediaCodecs.channels(img).toLong,
+          pix_sum = MediaCodecs.redSum(img),
+          resized_sum = MediaCodecs.redSum(resized),
+          sample_rate = info.sampleRate.toLong,
+          n_samples = info.nSamples,
+          wav_sum_abs = info.sumAbs)
+      }
+    }
+    decoded.toDF().orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: closed forms of the synthesized patterns — equal to
+    * the decoded-artifact stats only if the codec round trips exactly. */
+  val qMultimodalDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(16 + doc_id % 33 AS BIGINT) AS w,
+      |    CAST(12 + n_chars % 21 AS BIGINT) AS h,
+      |    CAST(200 + n_chars % 100 AS BIGINT) AS n_samples
+      |  FROM documents),
+      |xs AS (SELECT g FROM generate_series(0, 47) t(g)),
+      |ys AS (SELECT g FROM generate_series(0, 31) t(g)),
+      |ss AS (SELECT g FROM generate_series(0, 299) t(g)),
+      |pix AS (
+      |  SELECT doc_id,
+      |    CAST(SUM((x.g*3 + y.g*5 + doc_id) % 256) AS BIGINT) AS pix_sum
+      |  FROM d JOIN xs x ON x.g < d.w JOIN ys y ON y.g < d.h
+      |  GROUP BY doc_id),
+      |rs AS (
+      |  SELECT doc_id,
+      |    CAST(SUM((((i.g*w)//32)*3 + ((j.g*h)//32)*5 + doc_id) % 256) AS BIGINT)
+      |      AS resized_sum
+      |  FROM d JOIN ys i ON TRUE JOIN ys j ON TRUE
+      |  GROUP BY doc_id),
+      |wav AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(ABS(((doc_id*31 + i.g*17) % 4097) - 2048)) AS BIGINT)
+      |      AS wav_sum_abs
+      |  FROM d JOIN ss i ON i.g < d.n_samples GROUP BY doc_id)
+      |SELECT d.doc_id, d.w AS img_w, d.h AS img_h, CAST(3 AS BIGINT) AS channels,
+      |  pix.pix_sum, rs.resized_sum, CAST(8000 AS BIGINT) AS sample_rate,
+      |  d.n_samples, wav.wav_sum_abs
+      |FROM d JOIN pix USING(doc_id) JOIN rs USING(doc_id) JOIN wav USING(doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "multimodal_features" -> (qMultimodalFeatures _, qMultimodalFeaturesSql))
+    "multimodal_features" -> (qMultimodalFeatures _, qMultimodalFeaturesSql),
+    "multimodal_decode" -> (qMultimodalDecode _, qMultimodalDecodeSql))
 }
