@@ -317,11 +317,23 @@ object StreamingQueries {
       side("view"), side("click"), maxLag = "24 hours")
 
     val name = "stream_join_" + UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // stream-stream join state costs scale with the partition count (two
+    // state stores per partition, four puts/gets per row); the gate corpus
+    // is small, so pin a low state partition count for THIS query's fresh
+    // checkpoint. State partitioning is fixed at first run per checkpoint,
+    // so this is a per-checkpoint sizing decision, not a global conf — a
+    // production deployment sizes it to rate × (maxLag + delay) instead.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // micro-batches plan asynchronously after start(): keep the conf
+      // pinned until the query drains so every batch sees it
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
 
     val result = spark.table(name)
       .select(col("user_id"),
