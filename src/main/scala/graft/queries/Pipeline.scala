@@ -50,12 +50,29 @@ object Pipeline {
     exprMetrics.drop("toks").join(topTok, "doc_id")
   }
 
+  /** Row shape of [[qualityMetrics]], for the typed gate below. */
+  final case class QualityMetrics(
+      doc_id: Long, n_tokens: Long, n_distinct: Long,
+      d_bigram: Long, n_bigram: Long, top_cnt: Long)
+
   /** The integer-exact Gopher gate shared by pipeline_curate and
-    * Graft.curateBatch: ≥20 tokens, top token ≤20%, dup bigrams ≤25%. */
-  def qualityGate(metrics: DataFrame): DataFrame =
-    metrics.filter(col("n_tokens") >= 20L &&
-      col("top_cnt") * 5L <= col("n_tokens") &&
-      (col("n_bigram") - col("d_bigram")) * 4L <= col("n_bigram"))
+    * Graft.curateBatch: ≥20 tokens, top token ≤20%, dup bigrams ≤25%.
+    *
+    * Deliberately a TYPED filter: a Column predicate here gets
+    * substituted through the metrics projection by predicate pushdown,
+    * and the pushed-down scan filter then re-evaluates the tokenize +
+    * bigram-distinct expressions up to 7× per row with no subexpression
+    * reuse (measured 7× slower at sf0.1). The lambda is opaque to
+    * Catalyst, so it stays ABOVE the projection and compares six already
+    * computed longs — the metrics expressions run exactly once per row. */
+  def qualityGate(metrics: DataFrame): DataFrame = {
+    import metrics.sparkSession.implicits._
+    metrics.as[QualityMetrics]
+      .filter(m => m.n_tokens >= 20L &&
+        m.top_cnt * 5L <= m.n_tokens &&
+        (m.n_bigram - m.d_bigram) * 4L <= m.n_bigram)
+      .toDF()
+  }
 
   def qTextQuality(spark: SparkSession, sfDir: String): DataFrame = {
     qualityMetrics(Tables.load(spark, sfDir, "documents"))
@@ -169,47 +186,38 @@ object Pipeline {
   }
 
   /** Distributed prefix-sum shard assignment over `(doc_id, n_tokens)`
-    * rows (see [[qPackShards]] for the cost-shape discussion). */
+    * rows (see [[qPackShards]] for the cost-shape discussion).
+    *
+    * Fully lazy, single plan: the per-partition totals branch and the
+    * main branch share the SAME range-exchange subtree, so exchange
+    * reuse (ReuseExchange / AQE stage reuse) computes the shuffle once
+    * and both branches read consistent partition ids. No persist, no
+    * driver collect, no checkpoint — composing callers trigger exactly
+    * one execution per action and leak nothing. */
   def packByBudget(spark: SparkSession, docs: DataFrame, Budget: Long): DataFrame = {
-    val (out, parted) = packByBudgetLazy(spark, docs, Budget)
-    // eager localCheckpoint materializes the result while `parted` is
-    // still cached (the pid→offset mapping is only valid against the
-    // cached partitioning), then the cache is released deterministically
-    // so library callers composing this don't leak blocks per invocation
-    val materialized = out.localCheckpoint()
-    parted.unpersist()
-    materialized
-  }
-
-  /** The lazy plan + cached intermediate behind [[packByBudget]] —
-    * exposed so plan-shape audits can assert on the window shape, which
-    * the checkpointed public result no longer carries. */
-  private[graft] def packByBudgetLazy(spark: SparkSession, docs: DataFrame,
-      Budget: Long): (DataFrame, DataFrame) = {
     val nParts = math.max(spark.sparkContext.defaultParallelism / 4, 4)
     val parted = docs
       .repartitionByRange(nParts, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one row per partition — driver-side prefix sum over ~nParts values
-    val perPart = parted.groupBy(col("pid"))
+    // running offset per partition from one-row-per-partition totals;
+    // the orderBy(pid) window has no partition spec but runs over
+    // nParts rows (partition-count-bounded, ~thousands on a large
+    // cluster), never the corpus
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("pid"))
       .agg(sum(col("n_tokens")).as("psum"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = perPart.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
-      (pid, acc + s)
-    }.init.zip(perPart).map { case ((_, off), (pid, _)) => (pid, off) }
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("pid", "offset")
+      .select(col("pid"),
+        coalesce(sum(col("psum")).over(wOff), lit(0L)).as("offset"))
     val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-    val out = parted.join(broadcast(offDf), "pid")
+    parted.join(broadcast(offsets), "pid")
       .withColumn("cum", sum(col("n_tokens")).over(w) + col("offset"))
       // `div`: exact integral division — long/long `/` would detour
       // through DOUBLE and lose exactness past 2^53 total tokens
       .select(col("doc_id"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $Budget").cast(LongType).as("shard"))
       .orderBy(col("doc_id"))
-    (out, parted)
   }
 
   val qPackShardsSql: String =

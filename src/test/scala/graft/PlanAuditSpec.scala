@@ -139,23 +139,40 @@ class PlanAuditSpec extends AnyFunSuite {
       "range join planned as nested-loop/cartesian")
   }
 
-  test("pack_shards: windows are partition-local (no global-sort window)") {
-    // the public packByBudget returns a checkpointed frame (plan already
-    // materialized) — audit the lazy plan behind it
+  test("pack_shards: corpus windows are partition-local, exchange shared") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
       .select(col("doc_id"),
         size(graft.queries.TextPrimitives.tokens(col("text")))
           .cast("long").as("n_tokens"))
-    val (out, parted) =
-      graft.queries.Pipeline.packByBudgetLazy(spark, docs, 2048L)
+    val out = graft.queries.Pipeline.packByBudget(spark, docs, 2048L)
     val nodes = executed(out)
-    parted.unpersist()
     val windows = nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(windows.nonEmpty, "expected a window for the running sum")
-    assert(windows.forall(_.partitionSpec.nonEmpty),
-      "running sum must be per-partition (global-order window = single reducer)")
+    // a global-order window is only tolerable over the per-partition
+    // TOTALS (one row per partition) — it must sit above the pid
+    // aggregate, never over the corpus
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aboveAgg = allNodes(w).collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.exists(_.name == "pid") => a
+      }
+      assert(aboveAgg.nonEmpty,
+        "global-order window must run over per-partition totals only")
+    }
+    // both branches must READ ONE corpus range shuffle (the offsets
+    // branch via ReusedExchange): a second REPARTITION_BY_NUM exchange
+    // means exchange reuse broke and the corpus (and its upstream) is
+    // shuffled twice. The final orderBy's ENSURE_REQUIREMENTS sort
+    // exchange is distinct and expected.
+    val corpusExchanges = nodes.count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.shuffleOrigin == org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM
+      case _ => false
+    }
+    assert(corpusExchanges == 1,
+      s"expected the corpus range exchange once (shared/reused), saw $corpusExchanges")
   }
 
   test("text_rarity: vocabulary is never force-broadcast (only the 1-row total)") {
