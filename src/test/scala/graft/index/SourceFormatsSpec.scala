@@ -107,6 +107,36 @@ class SourceFormatsSpec extends AnyFunSuite {
       assert(expected.nonEmpty)
     }
   }
+  test("hybrid scan folds appended avro files (non-parquet append leg)") {
+    // the append leg clones the source's HadoopFsRelation, so the union
+    // must read the appended slice through the AVRO format, not parquet
+    withGraft { g =>
+      val src = Files.createTempDirectory("graft-fmt-avro-hyb-").toString
+      val base = spark.read
+        .parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      base.limit(1000).write.mode("overwrite").format("avro").save(src)
+      def read = spark.read.format("avro")
+        .schema(base.schema).load(src)
+      g.createIndex(read, CoveringIndexConfig(
+        "fmt_avro_hyb", Seq("l_orderkey"), Seq("l_quantity")))
+
+      // append a small avro slice (within the hybrid byte-ratio bounds)
+      base.limit(100).coalesce(1)
+        .write.mode("append").format("avro").save(src)
+
+      def q = read.filter(col("l_orderkey") <= 100L)
+        .select(col("l_orderkey"), col("l_quantity"))
+      assert(usesIndex(q, "fmt_avro_hyb"),
+        "drifted avro source should still hybrid-serve the index")
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      val expected = q.collect().groupBy(identity).view.mapValues(_.length).toMap
+      spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+      val actual = q.collect().groupBy(identity).view.mapValues(_.length).toMap
+      assert(actual == expected && expected.nonEmpty)
+    }
+  }
+
   test("cancel rolls an in-flight action back to the last stable state") {
     withGraft { g =>
       g.createIndex(sample, CoveringIndexConfig("c_ok", Seq("l_orderkey")))
