@@ -118,6 +118,15 @@ class Graft:
         return self._df(self._jgraft.annSearch(
             index_name, queries._jdf, top_k, n_probe))
 
+    def ann_recall(self, index_name, queries, top_k=10, n_probe=4):
+        """Recall@k of the probed search vs exact (all-cells) search.
+
+        One row per query: (qid, n_exact, n_hit, recall). The standard
+        nProbe tuning loop: sweep n_probe until recall clears the target.
+        """
+        return self._df(self._jgraft.annRecall(
+            index_name, queries._jdf, top_k, n_probe))
+
     def near_duplicates(self, index_name, min_est_jaccard=0.5):
         """Near-duplicate pairs within a MinHash-indexed corpus."""
         return self._df(self._jgraft.nearDuplicates(index_name, min_est_jaccard))

@@ -90,6 +90,32 @@ class Graft(spark: SparkSession) {
       appendedDf, droppedFids)
   }
 
+  /** Recall@k diagnostic for an IVF index: the probed search against the
+    * EXACT top-k (probing every cell scores the whole corpus — cell
+    * partitions are a complete cover, so all-cells IVF ≡ brute force
+    * over the same served rows, drift included). Returns one row per
+    * query, `(qid, n_exact, n_hit, recall)`, ordered by qid. This is the
+    * standard tuning loop: sweep nProbe until recall clears the target,
+    * then ship that nProbe — cost grows with cells probed, recall with
+    * coverage. */
+  def annRecall(indexName: String, queries: DataFrame,
+      topK: Int = 10, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val approx = annSearch(indexName, queries, topK, nProbe)
+    val exact = annSearch(indexName, queries, topK, nProbe = Int.MaxValue)
+    val idCol = approx.columns(1) // (qid, <idColumn>, cosine, rank)
+    val hits = approx.select(col("qid"), col(idCol))
+      .join(exact.select(col("qid"), col(idCol)), Seq("qid", idCol))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** Staleness resolution for the directly-served index kinds (IVF,
     * MinHash): unlike covering reads — which honor drift via hybrid
     * scan — these serve results straight from index data, so silently

@@ -79,6 +79,18 @@ class IvfIndexSpec extends AnyFunSuite {
         .select(col("qid"), col("vec_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(full == exact, "nProbe=k must reproduce exact top-k")
+
+      // the packaged diagnostic agrees: full probe = recall 1.0
+      // everywhere; the nProbe=3 aggregate matches the hand-computed one
+      val rFull = g.annRecall("ann_rec", queries, topK = 5, nProbe = 8)
+        .collect()
+      assert(rFull.nonEmpty && rFull.forall(_.getAs[Double]("recall") == 1.0))
+      assert(rFull.forall(_.getAs[Long]("n_exact") == 5L))
+      val r3 = g.annRecall("ann_rec", queries, topK = 5, nProbe = 3).collect()
+      val overall = r3.map(_.getAs[Long]("n_hit")).sum.toDouble /
+        r3.map(_.getAs[Long]("n_exact")).sum
+      assert(math.abs(overall - recall) < 1e-9,
+        s"annRecall overall $overall != hand-computed $recall")
     }
   }
 
