@@ -59,7 +59,7 @@ object IcebergMeta {
     * hadoop-catalog convention), else the lexicographically-latest
     * `*.metadata.json` (uuid-suffixed names sort by their version
     * prefix). */
-  private def currentMetadataFile(fs: FileSystem, location: String): Path = {
+  private[sources] def currentMetadataFile(fs: FileSystem, location: String): Path = {
     val dir = metadataDir(location)
     val hint = new Path(dir, "version-hint.text")
     if (fs.exists(hint)) {
@@ -77,13 +77,19 @@ object IcebergMeta {
         s"not an Iceberg table (no metadata.json under $dir)"))
   }
 
-  private def readString(fs: FileSystem, p: Path): String = {
+  private[sources] def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
   }
 
-  def snapshot(spark: SparkSession, location: String): IcebergSnapshot = {
+  /** Resolve a snapshot: the current one, or — TIME TRAVEL — any
+    * snapshot still listed in `snapshots[]` via `snapshotAsOf`. Schema is
+    * the metadata file's current schema (this engine's fixtures never
+    * evolve schemas between snapshots; a schema-id-per-snapshot lookup
+    * would slot in here). */
+  def snapshot(spark: SparkSession, location: String,
+      snapshotAsOf: Option[Long] = None): IcebergSnapshot = {
     val fs = fsOf(spark, new Path(location))
     val metaFile = currentMetadataFile(fs, location)
     val j = JsonMethods.parse(readString(fs, metaFile))
@@ -102,11 +108,12 @@ object IcebergMeta {
     }
     val schema = icebergSchemaToSpark(schemaJson)
 
-    val snapshotId = (j \ "current-snapshot-id") match {
+    val currentId = (j \ "current-snapshot-id") match {
       case JInt(n) if n.toLong >= 0 => n.toLong
       case JLong(n) if n >= 0 => n
       case _ => -1L // empty table: no snapshot yet
     }
+    val snapshotId = snapshotAsOf.getOrElse(currentId)
     if (snapshotId < 0)
       return IcebergSnapshot(location, -1L, schema, Nil)
 
@@ -116,8 +123,12 @@ object IcebergMeta {
           case JInt(n) => n.toLong == snapshotId
           case JLong(n) => n == snapshotId
           case _ => false
-        }).getOrElse(throw new IllegalStateException(
-          s"current-snapshot-id $snapshotId not in snapshots[] of $metaFile"))
+        }).getOrElse(throw new IllegalArgumentException(
+          if (snapshotAsOf.isDefined)
+            s"snapshotAsOf $snapshotId not in snapshots[] of $metaFile " +
+              "(expired or never existed)"
+          else
+            s"current-snapshot-id $snapshotId not in snapshots[] of $metaFile"))
       case _ => throw new IllegalStateException(s"no snapshots[] in $metaFile")
     }
 
@@ -295,8 +306,13 @@ object IcebergTable {
   val LocationOption = "graft.iceberg.location"
   val SnapshotOption = "graft.iceberg.snapshot"
 
-  def read(spark: SparkSession, location: String): DataFrame = {
-    val s = IcebergMeta.snapshot(spark, location)
+  /** Batch read of the table — or, with `snapshotAsOf`, TIME TRAVEL to
+    * any retained snapshot (the iceberg analogue of Delta's
+    * `versionAsOf`: the pinned snapshot's manifest tree alone decides
+    * the file set, so later appends/overwrites are invisible). */
+  def read(spark: SparkSession, location: String,
+      snapshotAsOf: Option[Long] = None): DataFrame = {
+    val s = IcebergMeta.snapshot(spark, location, snapshotAsOf)
     if (s.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
@@ -377,6 +393,19 @@ object IcebergTable {
     val version = snapshotId // fixture convention: version = snapshot id
     fs.mkdirs(metaDir)
 
+    // real Iceberg metadata RETAINS prior snapshots in snapshots[] (until
+    // expiration) — carry them forward so snapshotAsOf time travel can
+    // resolve any retained snapshot's manifest tree
+    val priorSnapshots: List[JValue] =
+      if (prior.isDefined) {
+        val priorMeta = JsonMethods.parse(IcebergMeta.readString(
+          fs, IcebergMeta.currentMetadataFile(fs, location)))
+        (priorMeta \ "snapshots") match {
+          case JArray(snaps) => snaps
+          case _ => Nil
+        }
+      } else Nil
+
     // rows from this commit; prior live files carry over as EXISTING
     def entry(status: Int, path: String, size: Long, rows: Long): GenericRecord = {
       val dfr = new GenericData.Record(
@@ -420,11 +449,11 @@ object IcebergTable {
       "partition-specs" -> JArray(List(JObject(
         "spec-id" -> JInt(0), "fields" -> JArray(Nil)))),
       "current-snapshot-id" -> JLong(snapshotId),
-      "snapshots" -> JArray(List(JObject(
+      "snapshots" -> JArray(priorSnapshots :+ JObject(
         "snapshot-id" -> JLong(snapshotId),
         "timestamp-ms" -> JLong(now),
         "manifest-list" -> JString(manifestList.toString),
-        "summary" -> JObject("operation" -> JString("append"))))))
+        "summary" -> JObject("operation" -> JString("append")))))
     val metaFile = new Path(metaDir, f"v$version%d.metadata.json")
     val os = fs.create(metaFile, false)
     try os.write(JsonMethods.pretty(JsonMethods.render(meta))

@@ -44,6 +44,29 @@ class IcebergMetaSpec extends AnyFunSuite {
     assert(s.schema == customer.schema)
   }
 
+  test("time travel: snapshotAsOf pins a retained snapshot's file set") {
+    val loc = tmp("graft-ice-tt-")
+    val a = customer.filter(col("c_custkey") % 2 === 0)
+    val b = customer.filter(col("c_custkey") % 2 === 1)
+    IcebergTable.create(a, loc)
+    IcebergTable.append(b, loc)
+
+    // latest sees both commits; snapshot 1 sees only the first
+    assert(IcebergTable.read(spark, loc).count() == customer.count())
+    val pinned = IcebergTable.read(spark, loc, snapshotAsOf = Some(1L))
+    assert(pinned.count() == a.count())
+    assert(pinned.select(sum(col("c_custkey"))).head().getLong(0) ==
+      a.select(sum(col("c_custkey"))).head().getLong(0))
+    // pinned frames stay pinned across further commits
+    IcebergTable.append(customer.limit(5), loc)
+    assert(pinned.count() == a.count())
+
+    val err = intercept[IllegalArgumentException] {
+      IcebergTable.read(spark, loc, snapshotAsOf = Some(99L)).count()
+    }
+    assert(err.getMessage.contains("snapshotAsOf 99"))
+  }
+
   test("schema conversion round-trips primitives, decimals, and nesting") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
