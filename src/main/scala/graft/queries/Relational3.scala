@@ -395,7 +395,61 @@ object Relational3 {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
+  // ------------------------------------------------------ salted join
+  /** Skew-mitigated equi join: the fact side gets a DETERMINISTIC salt
+    * (`xxhash64(saltSource) mod salts` — replayable, unlike `rand()`),
+    * the dim side is replicated once per salt value, and the join runs
+    * on `(key, salt)`. A hot key's rows then spread over `salts`
+    * reducers instead of one — the standard remedy when a shuffle join's
+    * largest key exceeds one executor's share and the dim side is too
+    * big to broadcast. Result set is EXACTLY the plain join's (the
+    * oracle pins this); cost is dim × salts replication, so pick
+    * `salts` ≈ the skew factor, not larger. AQE's skew-join splitting
+    * handles moderate skew on its own — explicit salting is for the
+    * extreme tail AQE can't split (a single key bigger than an
+    * executor), and composes with any downstream agg. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int, saltSource: Column): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(salts.toLong)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Salted fact-dim join, aggregated: events x customer on the user
+    * key with 8 salts, revenue per market segment and event type. The
+    * dim side carries a `shuffle_hash` hint so the test actually
+    * exercises the salted SHUFFLE path (a broadcast join would make
+    * salting a no-op — at real scale the dim that needs salting does
+    * not fit a broadcast). Values identical to the unsalted join. */
+  def qSaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      .hint("shuffle_hash")
+    saltedJoin(events, cust, "user_id", salts = 8,
+      saltSource = col("event_id"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  /** DuckDB twin: the PLAIN join — salting must be invisible in the
+    * result. */
+  val qSaltedJoinSql: String =
+    """SELECT c_mktsegment, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_salted_join" -> (qSaltedJoin _, qSaltedJoinSql),
     "q2_top_supplier_per_part" -> (q2TopSupplierPerPart _, q2Sql),
     "q7_volume_shipping" -> (q7VolumeShipping _, q7Sql),
     "q8_market_share" -> (q8MarketShare _, q8Sql),

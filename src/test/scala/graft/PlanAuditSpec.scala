@@ -175,6 +175,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected the corpus range exchange once (shared/reused), saw $corpusExchanges")
   }
 
+  test("q_salted_join: shuffle join on (key, salt), dim replicated, no broadcast") {
+    val df = SparkEntry.queries("q_salted_join")(spark, TestSpark.sfDir)
+    val nodes = planned(df) // static shape: tiny SFs let AQE re-plan
+    val shj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, "salted join must be a shuffled hash join")
+    assert(shj.head.leftKeys.size == 2,
+      s"join must key on (user_id, __salt), got ${shj.head.leftKeys}")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "a broadcast join would make salting a no-op")
+    // the dim side replicates via explode(sequence(...))
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]),
+      "expected the salt-replication Generate on the dim side")
+  }
+
   test("text_rarity: vocabulary is never force-broadcast (only the 1-row total)") {
     val df = SparkEntry.queries("text_rarity")(spark, TestSpark.sfDir)
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
