@@ -175,6 +175,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected the corpus range exchange once (shared/reused), saw $corpusExchanges")
   }
 
+  test("pipeline_curate: quality predicates never re-evaluate in a scan filter") {
+    // the typed qualityGate exists precisely so predicate pushdown can't
+    // substitute the tokenize + bigram-distinct expressions into the scan
+    // Filter (measured 7x slower when it did — each reference re-evaluates
+    // with no subexpression reuse). A scan whose data filters mention
+    // array_distinct means the gate regressed to a pushable Column filter.
+    val df = SparkEntry.queries("pipeline_curate")(spark, TestSpark.sfDir)
+    val nodes = executed(df)
+    val offending = nodes.collect { case s: FileSourceScanExec => s }
+      .filter(_.dataFilters.exists(_.toString.contains("array_distinct")))
+    assert(offending.isEmpty,
+      "quality-gate expressions were pushed into a scan filter")
+  }
+
   test("q_salted_join: shuffle join on (key, salt), dim replicated, no broadcast") {
     val df = SparkEntry.queries("q_salted_join")(spark, TestSpark.sfDir)
     val nodes = planned(df) // static shape: tiny SFs let AQE re-plan
