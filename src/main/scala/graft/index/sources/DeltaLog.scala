@@ -41,7 +41,7 @@ final case class DeltaSnapshot(
 
 object DeltaLog {
 
-  private val CommitRe = """(\d{20})\.json""".r
+  private[sources] val CommitRe = """(\d{20})\.json""".r
   private val CkptSingleRe = """(\d{20})\.checkpoint\.parquet""".r
   private val CkptMultiRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
 
@@ -237,6 +237,31 @@ object DeltaTable {
     * writers both produce). Historic reads work because Delta never
     * rewrites data files in place — an overwritten version's files stay
     * on disk until VACUUM. */
+  /** `timestampAsOf` companion to [[read]]'s `versionAsOf`: resolves to
+    * the LATEST commit whose timestamp is at or before `tsMillis`, then
+    * reads that version. Commit time = the commit file's modification
+    * time, the same fallback OSS Delta uses when commitInfo carries no
+    * in-commit timestamp — monotone per table because versions commit in
+    * order. Fails loudly when `tsMillis` precedes the first commit. */
+  def readTimestampAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): DataFrame = {
+    val dir = DeltaLog.logDir(new Path(root))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir), s"not a Delta table (no _delta_log): $root")
+    val commits = fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case DeltaLog.CommitRe(v) => Some(v.toLong -> st.getModificationTime)
+        case _ => None
+      }
+    }
+    require(commits.nonEmpty, s"Delta log at $root has no commit files")
+    val eligible = commits.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestampAsOf $tsMillis precedes the first commit " +
+        s"(${commits.map(_._2).min}) at $root")
+    read(spark, root, versionAsOf = Some(eligible.map(_._1).max))
+  }
+
   def read(spark: SparkSession, root: String,
       versionAsOf: Option[Long] = None): DataFrame = {
     val s = DeltaLog.snapshot(spark, root, versionAsOf)

@@ -44,6 +44,35 @@ class DeltaLogSpec extends AnyFunSuite {
       customer.select(sum(col("c_custkey"))).head().getLong(0))
   }
 
+  test("timestampAsOf resolves the latest commit at-or-before the timestamp") {
+    val root = tmp("graft-delta-ts-")
+    val a = customer.filter(col("c_custkey") % 2 === 0)
+    val b = customer.filter(col("c_custkey") % 2 === 1)
+    DeltaTable.create(a, root)
+    DeltaTable.append(b, root)
+    // pin deterministic commit mtimes (same-millisecond commits would
+    // make the cut ambiguous)
+    val dir = DeltaLog.logDir(new org.apache.hadoop.fs.Path(root))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val t0 = 1700000000000L
+    val t1 = t0 + 60000L
+    fs.setTimes(new org.apache.hadoop.fs.Path(dir,
+      f"${0L}%020d.json"), t0, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(dir,
+      f"${1L}%020d.json"), t1, -1)
+
+    assert(DeltaTable.readTimestampAsOf(spark, root, t0).count() == a.count())
+    assert(DeltaTable.readTimestampAsOf(spark, root, t1 - 1).count() == a.count())
+    assert(DeltaTable.readTimestampAsOf(spark, root, t1).count() ==
+      customer.count())
+    assert(DeltaTable.readTimestampAsOf(spark, root,
+      System.currentTimeMillis() + 1000000L).count() == customer.count())
+    val err = intercept[IllegalArgumentException] {
+      DeltaTable.readTimestampAsOf(spark, root, t0 - 1)
+    }
+    assert(err.getMessage.contains("precedes the first commit"))
+  }
+
   test("overwrite: old files removed from the snapshot, data replaced") {
     val root = tmp("graft-delta-ow-")
     DeltaTable.create(customer, root)
