@@ -26,6 +26,21 @@ import graft.Tables
  */
 object StreamingQueries {
 
+  /** Streaming state costs scale with the shuffle partition count (a
+    * state store per partition, checkpointed per micro-batch); the gate
+    * corpus is small, so every harness query pins a low count for its
+    * fresh checkpoint and restores the session conf once the stream
+    * drains (micro-batches plan asynchronously after start()). State
+    * partitioning is fixed at first run per checkpoint — this is a
+    * per-checkpoint sizing decision; production sizes it to the rate. */
+  private def withGateStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      body
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** events.parquet physical schema under nanosAsLong (ts: bigint ns). */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -50,12 +65,14 @@ object StreamingQueries {
       .as[StreamEvent]
 
     val name = "stream_win_" + UUID.randomUUID().toString.replace("-", "")
-    val q = StreamingOps.windowedEventCounts(events)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withGateStatePartitions(spark) {
+      val q = StreamingOps.windowedEventCounts(events)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     // materialize off the memory sink, then drop it — repeated runs in
     // one session would otherwise each leak a full result table
@@ -132,13 +149,15 @@ object StreamingQueries {
       .as[StreamEvent]
 
     val name = "stream_sess_" + UUID.randomUUID().toString.replace("-", "")
-    val q = StreamingOps.sessionize(events, gapMs = gapMs)
-      .toDF()
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
+    try withGateStatePartitions(spark) {
+      val q = StreamingOps.sessionize(events, gapMs = gapMs)
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     finally {
       // the sentinel parquet dir is per-run scratch — delete it so
       // repeated invocations in one JVM don't accumulate temp dirs
@@ -228,12 +247,14 @@ object StreamingQueries {
       .dropDuplicates("digest")
 
     val name = "stream_dedup_" + UUID.randomUUID().toString.replace("-", "")
-    val q = deduped
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withGateStatePartitions(spark) {
+      val q = deduped
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     val result = spark.table(name).orderBy(col("digest"))
     val rows = result.collect()
@@ -272,11 +293,13 @@ object StreamingQueries {
           .as("sum_value"))
 
     val name = "stream_enrich_" + UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withGateStatePartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     val result = spark.table(name)
       .orderBy(col("c_mktsegment"), col("event_type"))
