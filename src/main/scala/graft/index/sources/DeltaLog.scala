@@ -29,6 +29,19 @@ import org.json4s.jackson.JsonMethods
  */
 final case class DeltaFileMeta(path: String, size: Long, modificationTime: Long)
 
+/**
+ * Thrown when a Delta table requires reader capabilities this jarless
+ * replay does not implement (deletion vectors, column mapping, v2
+ * checkpoints, …). Refusing loudly is the contract: replaying such a
+ * table as plain add/remove would silently resurrect DV-deleted rows or
+ * mis-read column-mapped schemas. Mirrors the Iceberg leg's loud
+ * rejection of v2 delete manifests (IcebergMeta) and the protocol check
+ * every real Delta reader performs (reference consumes it through the
+ * connector jar: sources/delta/DeltaLakeRelation.scala:34-45).
+ */
+final class UnsupportedDeltaProtocolException(msg: String)
+  extends UnsupportedOperationException(msg)
+
 final case class DeltaSnapshot(
     root: String,
     version: Long,
@@ -40,6 +53,13 @@ final case class DeltaSnapshot(
 }
 
 object DeltaLog {
+
+  /** Reader features this replay genuinely implements. `timestampNtz`
+    * is type-level only (Spark's parquet reader handles TIMESTAMP_NTZ
+    * natively); everything else — deletionVectors, columnMapping,
+    * v2Checkpoint, typeWidening, … — changes how add actions must be
+    * interpreted and MUST be refused. */
+  private val SupportedReaderFeatures = Set("timestampNtz")
 
   private[sources] val CommitRe = """(\d{20})\.json""".r
   private val CkptSingleRe = """(\d{20})\.checkpoint\.parquet""".r
@@ -101,6 +121,9 @@ object DeltaLog {
 
     var schemaString: String = null
     var partitionColumns: Seq[String] = Nil
+    var minReaderVersion: Int = 1
+    var readerFeatures: Set[String] = Set.empty
+    var tableConfiguration: Map[String, String] = Map.empty
     // live files keyed by the RESOLVED absolute path: adds and removes
     // must cancel even when one writer logged a relative path and
     // another an absolute one for the same file
@@ -115,15 +138,47 @@ object DeltaLog {
       val parts = ckptParts(cv).map(_._1.toString)
       val ck = spark.read.parquet(parts.toSeq: _*)
       val cols = ck.schema.fieldNames.toSet
+      if (cols.contains("protocol")) {
+        val protoFields =
+          ck.schema("protocol").dataType.asInstanceOf[StructType].fieldNames.toSet
+        val pr = ck.select("protocol.*")
+          .where("protocol.minReaderVersion is not null").collect().headOption
+        pr.foreach { r =>
+          minReaderVersion = r.getAs[Number]("minReaderVersion").intValue()
+          if (protoFields.contains("readerFeatures")) {
+            readerFeatures = Option(r.getAs[scala.collection.Seq[String]](
+              "readerFeatures")).map(_.toSet).getOrElse(Set.empty)
+          }
+        }
+      }
       if (cols.contains("metaData")) {
-        val md = ck.select("metaData.schemaString", "metaData.partitionColumns")
+        val mdFields =
+          ck.schema("metaData").dataType.asInstanceOf[StructType].fieldNames.toSet
+        val md = ck.select("metaData.*")
           .where("metaData.schemaString is not null").collect().headOption
         md.foreach { r =>
-          schemaString = r.getString(0)
-          partitionColumns = Option(r.getSeq[String](1)).getOrElse(Nil)
+          schemaString = r.getAs[String]("schemaString")
+          partitionColumns = Option(r.getAs[scala.collection.Seq[String]](
+            "partitionColumns")).map(_.toSeq).getOrElse(Nil)
+          if (mdFields.contains("configuration")) {
+            tableConfiguration = Option(r.getAs[Map[String, String]](
+              "configuration")).getOrElse(Map.empty)
+          }
         }
       }
       if (cols.contains("add")) {
+        val addFields =
+          ck.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
+        if (addFields.contains("deletionVector")) {
+          val dvCount = ck.where("add.deletionVector is not null").count()
+          if (dvCount > 0) {
+            throw new UnsupportedDeltaProtocolException(
+              s"Delta table at $rootStr: checkpoint carries $dvCount add " +
+                "action(s) with deletion vectors; the jarless reader would " +
+                "silently resurrect deleted rows. Read this table with the " +
+                "delta-spark connector instead.")
+          }
+        }
         // remove tombstones in a checkpoint are vacuum bookkeeping, not
         // live files — only adds constitute the snapshot
         ck.select("add.path", "add.size", "add.modificationTime")
@@ -139,6 +194,20 @@ object DeltaLog {
           s"(have ${commits.keys.toSeq.sorted.mkString(",")})"))
       readLines(fs, p).foreach { line =>
         val j = JsonMethods.parse(line)
+        j \ "protocol" match {
+          case JObject(_) =>
+            (j \ "protocol" \ "minReaderVersion") match {
+              case JInt(n) => minReaderVersion = n.toInt
+              case JLong(n) => minReaderVersion = n.toInt
+              case _ =>
+            }
+            (j \ "protocol" \ "readerFeatures") match {
+              case JArray(vals) =>
+                readerFeatures = vals.collect { case JString(s) => s }.toSet
+              case _ =>
+            }
+          case _ =>
+        }
         j \ "metaData" match {
           case JObject(_) =>
             (j \ "metaData" \ "schemaString") match {
@@ -150,10 +219,29 @@ object DeltaLog {
                 partitionColumns = vals.collect { case JString(s) => s }
               case _ =>
             }
+            (j \ "metaData" \ "configuration") match {
+              case JObject(fields) =>
+                tableConfiguration = fields.collect {
+                  case (k, JString(v)) => k -> v
+                }.toMap
+              case _ =>
+            }
           case _ =>
         }
         j \ "add" match {
           case JObject(_) =>
+            (j \ "add" \ "deletionVector") match {
+              case JObject(_) =>
+                // defense in depth: a DV add implies protocol v3 +
+                // deletionVectors feature (refused below), but a
+                // non-conforming writer must not slip rows past us
+                throw new UnsupportedDeltaProtocolException(
+                  s"Delta table at $rootStr: commit $v carries an add " +
+                    "action with a deletion vector; the jarless reader " +
+                    "would silently resurrect deleted rows. Read this " +
+                    "table with the delta-spark connector instead.")
+              case _ =>
+            }
             val JString(path) = (j \ "add" \ "path"): @unchecked
             val size = (j \ "add" \ "size") match {
               case JInt(n) => n.toLong
@@ -177,6 +265,38 @@ object DeltaLog {
           case _ =>
         }
       }
+    }
+
+    // protocol gate — refuse loudly rather than serve silently-wrong rows.
+    // minReaderVersion 2 mandates column-mapping awareness; 3 delegates to
+    // readerFeatures. Either way the table is only readable if every
+    // capability it demands is one this replay implements.
+    if (minReaderVersion > 1) {
+      val unsupported = readerFeatures -- SupportedReaderFeatures
+      if (minReaderVersion == 3 && unsupported.isEmpty && readerFeatures.nonEmpty) {
+        // v3 table whose every reader feature is implemented — readable
+      } else {
+        val detail =
+          if (unsupported.nonEmpty) s"unsupported readerFeatures ${unsupported.toSeq.sorted.mkString("[", ", ", "]")}"
+          else s"minReaderVersion $minReaderVersion"
+        throw new UnsupportedDeltaProtocolException(
+          s"Delta table at $rootStr requires $detail; this jarless reader " +
+            "implements protocol 1 (plain add/remove replay" +
+            (if (SupportedReaderFeatures.nonEmpty)
+              s" + ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}" else "") +
+            "). Reading anyway could return wrong results (resurrected " +
+            "deleted rows, mis-mapped columns). Read this table with the " +
+            "delta-spark connector instead.")
+      }
+    }
+    val cmMode = tableConfiguration.getOrElse("delta.columnMapping.mode", "none")
+    if (cmMode != "none") {
+      // defense in depth: columnMapping without the protocol bump is a
+      // non-conforming writer, but mis-read columns are bad enough to guard
+      throw new UnsupportedDeltaProtocolException(
+        s"Delta table at $rootStr uses column mapping mode '$cmMode'; the " +
+          "jarless reader resolves columns by physical name only and would " +
+          "mis-read this table. Read it with the delta-spark connector instead.")
     }
 
     require(schemaString != null,

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.{Graft, TestSpark}
 import graft.index.covering.CoveringIndexConfig
 import graft.index.SourceRelation
-import graft.index.sources.{DeltaLog, DeltaTable}
+import graft.index.sources.{DeltaLog, DeltaTable, UnsupportedDeltaProtocolException}
 
 /**
  * Jarless Delta Lake support: log replay (commits, checkpoints,
@@ -284,5 +284,101 @@ class DeltaLogSpec extends AnyFunSuite {
       spark.conf.unset(GraftConf.SystemPathKey)
       rules.IndexCatalog.invalidate(spark)
     }
+  }
+
+  // --- protocol gate: tables demanding reader capabilities this replay
+  // --- does not implement must refuse loudly, never serve wrong rows
+
+  /** Hand-author a v0 commit with the given action lines. */
+  private def writeRawCommit(root: String, version: Long,
+      lines: Seq[String]): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(DeltaLog.logDir(rootPath))
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      DeltaLog.logDir(rootPath), f"$version%020d.json"), false)
+    out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8")); out.close()
+  }
+
+  private def escapedSchemaJson: String =
+    customer.schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def metaDataLine(config: String = "{}"): String =
+    s"""{"metaData":{"id":"gate-fixture","format":{"provider":"parquet","options":{}},"schemaString":"$escapedSchemaJson","partitionColumns":[],"configuration":$config,"createdTime":1}}"""
+
+  test("protocol gate: deletion-vector table (v3 + readerFeatures) refuses") {
+    val root = tmp("graft-delta-dv-")
+    writeRawCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaDataLine(),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
+    val err = intercept[UnsupportedDeltaProtocolException] {
+      DeltaLog.snapshot(spark, root)
+    }
+    assert(err.getMessage.contains("deletionVectors"))
+  }
+
+  test("protocol gate: minReaderVersion 2 (column mapping era) refuses") {
+    val root = tmp("graft-delta-v2-")
+    writeRawCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaDataLine()))
+    val err = intercept[UnsupportedDeltaProtocolException] {
+      DeltaLog.snapshot(spark, root)
+    }
+    assert(err.getMessage.contains("minReaderVersion 2"))
+  }
+
+  test("protocol gate: columnMapping config refuses even without protocol bump") {
+    val root = tmp("graft-delta-cm-")
+    writeRawCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataLine("""{"delta.columnMapping.mode":"name"}""")))
+    val err = intercept[UnsupportedDeltaProtocolException] {
+      DeltaLog.snapshot(spark, root)
+    }
+    assert(err.getMessage.contains("column mapping"))
+  }
+
+  test("protocol gate: add action carrying a deletionVector refuses (defense in depth)") {
+    val root = tmp("graft-delta-dvadd-")
+    writeRawCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataLine(),
+      """{"add":{"path":"f1.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":40,"cardinality":3}}}"""))
+    val err = intercept[UnsupportedDeltaProtocolException] {
+      DeltaLog.snapshot(spark, root)
+    }
+    assert(err.getMessage.contains("deletion vector"))
+  }
+
+  test("protocol gate: later-commit protocol upgrade refuses a previously readable table") {
+    val root = tmp("graft-delta-upg-")
+    DeltaTable.create(customer.limit(5), root) // version 0, protocol 1
+    assert(DeltaTable.read(spark, root).count() == 5)
+    writeRawCommit(root, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""))
+    intercept[UnsupportedDeltaProtocolException] {
+      DeltaLog.snapshot(spark, root)
+    }
+    // time travel to the pre-upgrade version still reads
+    assert(DeltaTable.read(spark, root, versionAsOf = Some(0L)).count() == 5)
+  }
+
+  test("protocol gate: v3 table whose only reader feature is timestampNtz reads") {
+    val root = tmp("graft-delta-ntz-")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    customer.limit(7).coalesce(1).write.mode("overwrite").parquet(s"$root/staging")
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/staging"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/d.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/staging"), true)
+    val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/d.parquet"))
+    writeRawCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"]}}""",
+      metaDataLine(),
+      s"""{"add":{"path":"d.parquet","partitionValues":{},"size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true}}"""))
+    assert(DeltaTable.read(spark, root).count() == 7)
   }
 }
