@@ -19,7 +19,11 @@ import graft.Tables
  *
  * Scale notes: all queries are pure DataFrame plans — Catalyst pushes
  * filters/projections into the parquet scan, aggregates run partial+final,
- * and small dimension joins are broadcast. No driver-side loops.
+ * and small dimension joins broadcast via AQE size-based planning —
+ * fixed-cardinality dims (nation/region) are hinted, sf-proportional
+ * ones (customer/supplier/part) are not, so plans degrade to shuffle
+ * joins instead of failing when a dim outgrows the broadcast limit.
+ * No driver-side loops.
  */
 object Relational {
 
@@ -82,9 +86,10 @@ object Relational {
       .filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
     val li = Tables.load(spark, sfDir, "lineitem")
       .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
-    // customer is the small side at any SF ratio — broadcast it.
+    // customer is sf-proportional: no hint — AQE broadcasts it while it
+    // fits and falls back to a shuffle join beyond the broadcast limit.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
       .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
@@ -115,10 +120,11 @@ object Relational {
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val li = Tables.load(spark, sfDir, "lineitem")
     val supp = Tables.load(spark, sfDir, "supplier")
-    // dims (region/nation/supplier) broadcast; fact-fact join shuffles on keys.
+    // fixed dims (region/nation) hinted; supplier is sf-proportional so
+    // AQE decides; fact-fact join shuffles on keys.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

@@ -56,7 +56,7 @@ object Relational2 {
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
     val part = Tables.load(spark, sfDir, "part")
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * moneySum(when(col("p_type") === "PROMO", disc)
           .otherwise(lit(0.0))) / moneySum(disc)).as("promo_revenue_pct"),
@@ -78,7 +78,7 @@ object Relational2 {
     val part = Tables.load(spark, sfDir, "part")
       .filter(col("p_size").isin(1, 5, 10, 15, 20, 25))
     val li = Tables.load(spark, sfDir, "lineitem")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
@@ -131,7 +131,7 @@ object Relational2 {
       (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11)) ||
       (col("p_brand") === "Brand#13" && col("l_quantity").between(10, 20)) ||
       (col("p_size").between(1, 15) && col("l_quantity") < 30)
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .filter(cond)
       .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"),

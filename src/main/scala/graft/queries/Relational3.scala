@@ -15,10 +15,14 @@ import graft.Tables
  * per-group average (Q17), nested semi-join chains (Q20), and
  * EXISTS + NOT EXISTS over a self-join (Q21).
  *
- * Scale notes: every dimension join (part/supplier/nation/region and
- * derived per-key aggregates of bounded cardinality) is explicitly
- * `broadcast`-hinted, so the only shuffles left are the final aggregations
- * on lineitem-derived keys; those aggregate partially map-side. Window
+ * Scale notes: only relations of FIXED cardinality (nation 25 rows,
+ * region 5, single-row scalar aggregates) carry explicit `broadcast`
+ * hints. Sf-proportional relations (part/customer/supplier and per-key
+ * aggregates derived from the fact table) are left to AQE's size-based
+ * planning: at small SFs AQE broadcasts them anyway, and at 100× scale
+ * they exceed the broadcast hard limit — a forced hint there fails the
+ * job outright instead of degrading to a shuffle join. Remaining
+ * shuffles aggregate partially map-side. Window
  * functions partition by bounded keys (p_partkey, s_suppkey) — no global
  * sort, no skew beyond the data's own key distribution.
  *
@@ -49,8 +53,8 @@ object Relational3 {
     val reg = Tables.load(spark, sfDir, "region")
       .filter(col("r_name") === "EUROPE")
     val cand = pairs
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
     val w = Window.partitionBy(col("p_partkey"))
@@ -96,8 +100,8 @@ object Relational3 {
     val n2 = Tables.load(spark, sfDir, "nation")
       .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
       .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
       .filter(
@@ -146,10 +150,10 @@ object Relational3 {
     val reg = Tables.load(spark, sfDir, "region")
       .filter(col("r_name") === "ASIA")
     val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
@@ -185,8 +189,8 @@ object Relational3 {
     val nat = Tables.load(spark, sfDir, "nation")
     val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
       col("l_extendedprice") * col("l_tax")
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("l_shipdate")).cast(LongType).as("o_year"))
@@ -216,7 +220,7 @@ object Relational3 {
       .filter(col("n_name") === "NATION_3")
     val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val base = li
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
     val perPart = base.groupBy(col("l_partkey"))
       .agg(moneySum(vol).as("part_value"))
@@ -256,7 +260,7 @@ object Relational3 {
     val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
     rev.crossJoin(broadcast(maxRev))
       .filter(col("total_revenue") === col("max_rev"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))
   }
@@ -286,8 +290,8 @@ object Relational3 {
     val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
       .agg((sum(col("l_quantity").cast(DecimalType(28, 6))).cast(DoubleType) /
         count(col("l_quantity")).cast(DoubleType)).as("avg_qty"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(avgQty), col("l_partkey") === col("ap_key"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_key"))
       .filter(col("l_quantity") < col("avg_qty") * 0.5)
       .agg((moneySum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
         count(lit(1)).cast(LongType).as("n_rows"))
@@ -316,7 +320,7 @@ object Relational3 {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
     val shipped = li
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(part, col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(moneySum(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > 50.0)
@@ -368,7 +372,7 @@ object Relational3 {
         "left_semi")
       .join(l3, col("o_key") === col("k3") && col("s_key") =!= col("s3"),
         "left_anti")
-      .join(broadcast(supp), col("s_key") === col("s_suppkey"))
+      .join(supp, col("s_key") === col("s_suppkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"),
         "left_semi")
       .groupBy(col("s_name"))

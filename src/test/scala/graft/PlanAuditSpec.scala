@@ -45,6 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q3/q5: dimension joins are broadcast") {
+    // sf-proportional dims carry NO hint (see the hint-audit test below):
+    // the broadcast asserted here comes from size-based planning, proving
+    // the de-hinted plans don't regress to shuffle joins at small SF
     Seq("q3_shipping_priority", "q5_local_supplier").foreach { q =>
       val nodes = planned(SparkEntry.queries(q)(spark, TestSpark.sfDir))
       assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]),
@@ -328,6 +331,39 @@ class PlanAuditSpec extends AnyFunSuite {
     val aggs = nodes.count(n => n.isInstanceOf[HashAggregateExec] ||
       n.isInstanceOf[ObjectHashAggregateExec])
     assert(aggs >= 2, s"expected partial+final aggregation, found $aggs")
+  }
+
+  test("TPC-H: no explicit broadcast hint targets an sf-proportional relation") {
+    // A broadcast() hint OVERRIDES size estimation: at 100x scale an
+    // sf-proportional relation (customer/supplier/part, or any aggregate
+    // keyed by a fact-table column) exceeds the 8 GB broadcast hard limit
+    // and the job FAILS rather than degrading to a shuffle join. Hints are
+    // therefore only legal on relations of fixed cardinality: the
+    // nation (25 rows) / region (5 rows) dims and single-row (groupless)
+    // scalar aggregates. AQE still broadcasts the proportional dims while
+    // they fit — that is the correct dynamic call this test preserves.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val tpch = SparkEntry.queries.keys.filter(_.matches("q\\d+_.*")).toSeq.sorted
+    assert(tpch.size >= 20, s"expected the TPC-H suite, found $tpch")
+    tpch.foreach { name =>
+      val analyzed =
+        SparkEntry.queries(name)(spark, TestSpark.sfDir).queryExecution.analyzed
+      analyzed.collect { case h: ResolvedHint => h }.foreach { h =>
+        val singleRow = h.child.collectFirst {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a }.nonEmpty
+        val leafTables = h.child.collect { case l: LeafNode => l }.collect {
+          case r: LogicalRelation =>
+            r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation].location.rootPaths.map(_.getName).mkString(",")
+        }
+        val boundedDim = leafTables.nonEmpty && leafTables.forall(p =>
+          p.contains("nation.parquet") || p.contains("region.parquet"))
+        assert(singleRow || boundedDim,
+          s"$name: broadcast hint over an sf-proportional relation " +
+            s"(leaves: ${leafTables.mkString("; ")}) — would fail at scale")
+      }
+    }
   }
 
   test("text_keyword_topk: map-only tf + partial top-k (TakeOrdered)") {
