@@ -47,7 +47,15 @@ final case class DeltaSnapshot(
     version: Long,
     schemaString: String,
     partitionColumns: Seq[String],
-    files: Seq[DeltaFileMeta]) {
+    files: Seq[DeltaFileMeta],
+    // replayed protocol + table configuration, carried so maintenance
+    // (checkpoint) and the writer gate see the table's REAL capabilities
+    // instead of assuming the minimal ones this writer emits
+    minReaderVersion: Int = 1,
+    minWriterVersion: Int = 2,
+    readerFeatures: Set[String] = Set.empty,
+    writerFeatures: Set[String] = Set.empty,
+    configuration: Map[String, String] = Map.empty) {
   def schema: StructType =
     DataType.fromJson(schemaString).asInstanceOf[StructType]
 }
@@ -122,7 +130,9 @@ object DeltaLog {
     var schemaString: String = null
     var partitionColumns: Seq[String] = Nil
     var minReaderVersion: Int = 1
+    var minWriterVersion: Int = 2
     var readerFeatures: Set[String] = Set.empty
+    var writerFeatures: Set[String] = Set.empty
     var tableConfiguration: Map[String, String] = Map.empty
     // live files keyed by the RESOLVED absolute path: adds and removes
     // must cancel even when one writer logged a relative path and
@@ -145,9 +155,17 @@ object DeltaLog {
           .where("protocol.minReaderVersion is not null").collect().headOption
         pr.foreach { r =>
           minReaderVersion = r.getAs[Number]("minReaderVersion").intValue()
+          if (protoFields.contains("minWriterVersion")) {
+            Option(r.getAs[Number]("minWriterVersion"))
+              .foreach(n => minWriterVersion = n.intValue())
+          }
           if (protoFields.contains("readerFeatures")) {
             readerFeatures = Option(r.getAs[scala.collection.Seq[String]](
               "readerFeatures")).map(_.toSet).getOrElse(Set.empty)
+          }
+          if (protoFields.contains("writerFeatures")) {
+            writerFeatures = Option(r.getAs[scala.collection.Seq[String]](
+              "writerFeatures")).map(_.toSet).getOrElse(Set.empty)
           }
         }
       }
@@ -201,9 +219,19 @@ object DeltaLog {
               case JLong(n) => minReaderVersion = n.toInt
               case _ =>
             }
+            (j \ "protocol" \ "minWriterVersion") match {
+              case JInt(n) => minWriterVersion = n.toInt
+              case JLong(n) => minWriterVersion = n.toInt
+              case _ =>
+            }
             (j \ "protocol" \ "readerFeatures") match {
               case JArray(vals) =>
                 readerFeatures = vals.collect { case JString(s) => s }.toSet
+              case _ =>
+            }
+            (j \ "protocol" \ "writerFeatures") match {
+              case JArray(vals) =>
+                writerFeatures = vals.collect { case JString(s) => s }.toSet
               case _ =>
             }
           case _ =>
@@ -273,8 +301,10 @@ object DeltaLog {
     // capability it demands is one this replay implements.
     if (minReaderVersion > 1) {
       val unsupported = readerFeatures -- SupportedReaderFeatures
-      if (minReaderVersion == 3 && unsupported.isEmpty && readerFeatures.nonEmpty) {
-        // v3 table whose every reader feature is implemented — readable
+      if (minReaderVersion == 3 && unsupported.isEmpty) {
+        // v3 table whose every reader feature is implemented — readable.
+        // An EMPTY readerFeatures set is spec-legal (the table demands no
+        // capabilities) and reads as plain protocol-1.
       } else {
         val detail =
           if (unsupported.nonEmpty) s"unsupported readerFeatures ${unsupported.toSeq.sorted.mkString("[", ", ", "]")}"
@@ -302,7 +332,8 @@ object DeltaLog {
     require(schemaString != null,
       s"Delta log at $rootStr carries no metaData action (corrupt log?)")
     DeltaSnapshot(rootStr, latest, schemaString, partitionColumns,
-      live.values.toSeq)
+      live.values.toSeq, minReaderVersion, minWriterVersion,
+      readerFeatures, writerFeatures, tableConfiguration)
   }
 
   /** Action paths are URL-encoded and root-relative (absolute paths are
@@ -328,7 +359,8 @@ private[sources] case class CkptMetaData(
     id: String, format: CkptFormat, schemaString: String,
     partitionColumns: Seq[String], configuration: Map[String, String])
 private[sources] case class CkptProtocol(
-    minReaderVersion: Int, minWriterVersion: Int)
+    minReaderVersion: Int, minWriterVersion: Int,
+    readerFeatures: Option[Seq[String]], writerFeatures: Option[Seq[String]])
 private[sources] case class CkptAdd(
     path: String, partitionValues: Map[String, String], size: Long,
     modificationTime: Long, dataChange: Boolean)
@@ -408,9 +440,24 @@ object DeltaTable {
       partitionBy: Seq[String] = Nil): Long =
     commit(df, root, overwrite = false, partitionBy)
 
+  /** Writer features this writer can honor. `appendOnly` is honored by
+    * REFUSING overwrite commits; anything else (invariants, CHECK
+    * constraints, generated columns, …) would require evaluating
+    * constraints this minimal writer cannot, so tables demanding them
+    * are refused loudly. */
+  private val SupportedWriterFeatures = Set("appendOnly")
+
   /** Shared commit path. This minimal writer supports whole-table
     * overwrite and append; row-level deletes (remove + rewritten adds)
-    * are a real Delta writer's job. */
+    * are a real Delta writer's job.
+    *
+    * Concurrency: data files are STAGED through a per-writer temp dir and
+    * only the files this writer itself produced are moved in and logged —
+    * a concurrent writer's files landing mid-commit can never be absorbed
+    * into this commit's `add` set (the silent-duplication race a
+    * before/after directory diff invites). The commit file itself is the
+    * fence (create-no-overwrite): the loser's staged files are removed
+    * before rethrowing, so a retry starts clean. */
   private def commit(df: DataFrame, rootStr: String, overwrite: Boolean,
       partitionBy: Seq[String]): Long = {
     val spark = df.sparkSession
@@ -423,12 +470,59 @@ object DeltaTable {
     require(prior.isDefined || overwrite,
       s"append to a non-Delta directory: $rootStr (create it first)")
 
-    val before = dataFiles(fs, root).map(_.getPath.toString).toSet
+    // symmetric writer gate — a table whose protocol or configuration
+    // demands writer capabilities we don't implement must not be written
+    prior.foreach { p =>
+      val unsupportedWf = p.writerFeatures -- SupportedWriterFeatures
+      if (p.minWriterVersion > 2 && !(p.minWriterVersion == 7 && unsupportedWf.isEmpty)) {
+        throw new UnsupportedDeltaProtocolException(
+          s"Delta table at $rootStr requires minWriterVersion " +
+            s"${p.minWriterVersion}" +
+            (if (unsupportedWf.nonEmpty)
+              s" with unsupported writerFeatures ${unsupportedWf.toSeq.sorted.mkString("[", ", ", "]")}"
+            else "") +
+            "; this minimal writer implements protocol 2 (append/overwrite " +
+            "with optimistic concurrency). Writing anyway could violate " +
+            "table invariants. Write with the delta-spark connector instead.")
+      }
+      val constraintKeys = p.configuration.keys.filter(_.startsWith("delta.constraints."))
+      if (constraintKeys.nonEmpty) {
+        throw new UnsupportedDeltaProtocolException(
+          s"Delta table at $rootStr carries CHECK constraints " +
+            s"(${constraintKeys.toSeq.sorted.mkString(", ")}) this minimal " +
+            "writer cannot enforce. Write with the delta-spark connector instead.")
+      }
+      val appendOnly =
+        p.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")) ||
+          p.writerFeatures.contains("appendOnly")
+      if (appendOnly && overwrite) {
+        throw new UnsupportedDeltaProtocolException(
+          s"Delta table at $rootStr is append-only (delta.appendOnly); " +
+            "overwrite would delete rows in violation of the table's " +
+            "configuration. Only append is permitted.")
+      }
+    }
+
+    // stage through a per-writer temp dir: the add set is EXACTLY the
+    // files this writer produced, independent of concurrent activity
+    val stage = new Path(root,
+      s".graft-stage-${java.util.UUID.randomUUID().toString}")
     val writer = df.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(rootStr)
-    val added = dataFiles(fs, root)
-      .filterNot(s => before.contains(s.getPath.toString))
+      .parquet(stage.toString)
+    val staged = dataFiles(fs, stage)
+    val stageUri = fs.makeQualified(stage).toUri
+    val added: Seq[FileStatus] = staged.map { s =>
+      val rel = stageUri.relativize(s.getPath.toUri).getPath
+      val target = new Path(root, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(s.getPath, target)) {
+        throw new IllegalStateException(
+          s"failed to move staged file ${s.getPath} to $target")
+      }
+      fs.getFileStatus(target)
+    }
+    fs.delete(stage, true)
 
     val version = prior.map(_.version + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
@@ -445,6 +539,9 @@ object DeltaTable {
         "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
     }
     if (version == 0L || overwrite) {
+      // an overwrite rewrites schema/partitioning but must NOT erase the
+      // table's configuration — carry it forward from the prior snapshot
+      val cfg = prior.map(_.configuration).getOrElse(Map.empty)
       lines += JObject("metaData" -> JObject(
         "id" -> JString(java.util.UUID.randomUUID().toString),
         "format" -> JObject(
@@ -452,7 +549,8 @@ object DeltaTable {
           "options" -> JObject()),
         "schemaString" -> JString(df.schema.json),
         "partitionColumns" -> JArray(partitionBy.map(JString(_)).toList),
-        "configuration" -> JObject(),
+        "configuration" -> JObject(
+          cfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
         "createdTime" -> JLong(now)))
     }
     if (overwrite) prior.foreach(_.files.foreach { f =>
@@ -485,8 +583,14 @@ object DeltaTable {
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
     fs.mkdirs(DeltaLog.logDir(root))
     // create-no-overwrite: two racing writers of the same version — the
-    // loser fails, the Delta optimistic-concurrency contract
-    val out = fs.create(commitPath, false)
+    // loser fails, the Delta optimistic-concurrency contract. The loser's
+    // already-moved data files are removed so its retry starts clean and
+    // the winner's log never references them.
+    val out = try fs.create(commitPath, false) catch {
+      case e: Throwable =>
+        added.foreach(s => fs.delete(s.getPath, false))
+        throw e
+    }
     try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -502,15 +606,32 @@ object DeltaTable {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val s = DeltaLog.snapshot(spark, rootStr)
     val rootUri = fs.makeQualified(root).toUri
+    // the checkpoint must restate the table's REAL protocol and
+    // configuration — writing minimal constants here would downgrade the
+    // authoritative protocol and erase config for every later replayer
+    // (including external Delta readers consuming _last_checkpoint)
+    val proto = CkptProtocol(s.minReaderVersion, s.minWriterVersion,
+      if (s.readerFeatures.nonEmpty) Some(s.readerFeatures.toSeq.sorted) else None,
+      if (s.writerFeatures.nonEmpty) Some(s.writerFeatures.toSeq.sorted) else None)
+    def partitionValuesOf(rel: String): Map[String, String] =
+      rel.split('/').init.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
     val rows =
-      CkptRow(None, None, None, Some(CkptProtocol(1, 2))) +:
+      CkptRow(None, None, None, Some(proto)) +:
       CkptRow(None, None, Some(CkptMetaData(
         java.util.UUID.randomUUID().toString, CkptFormat("parquet", Map()),
-        s.schemaString, s.partitionColumns, Map())), None) +:
-      s.files.map(f => CkptRow(Some(CkptAdd(
-        rootUri.relativize(fs.makeQualified(new Path(f.path)).toUri).getPath,
-        Map(), f.size, f.modificationTime, dataChange = false)),
-        None, None, None))
+        s.schemaString, s.partitionColumns, s.configuration)), None) +:
+      s.files.map { f =>
+        val rel = rootUri.relativize(
+          fs.makeQualified(new Path(f.path)).toUri).getPath
+        CkptRow(Some(CkptAdd(rel, partitionValuesOf(rel), f.size,
+          f.modificationTime, dataChange = false)), None, None, None)
+      }
     val tmp = new Path(DeltaLog.logDir(root), s".ckpt-tmp-${s.version}")
     rows.toDS().repartition(1).write.mode("overwrite").parquet(tmp.toString)
     val part = fs.listStatus(tmp).map(_.getPath)
@@ -534,7 +655,8 @@ object DeltaTable {
     val buf = mutable.Buffer.empty[FileStatus]
     def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory) { if (n != "_delta_log") walk(st.getPath) }
+      // skip the log and any dot-dir (a concurrent writer's stage)
+      if (st.isDirectory) { if (n != "_delta_log" && !n.startsWith(".")) walk(st.getPath) }
       else if (!n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet"))
         buf += st
     }

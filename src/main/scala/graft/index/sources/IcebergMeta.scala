@@ -56,9 +56,10 @@ object IcebergMeta {
   }
 
   /** The current metadata document: `version-hint.text` if present (the
-    * hadoop-catalog convention), else the lexicographically-latest
-    * `*.metadata.json` (uuid-suffixed names sort by their version
-    * prefix). */
+    * hadoop-catalog convention), else the NUMERICALLY-latest
+    * `*.metadata.json`. The numeric parse matters: a lexicographic sort
+    * over unpadded names resolves `v9` above `v10` — a silent
+    * time-travel to a stale snapshot once a table passes 10 versions. */
   private[sources] def currentMetadataFile(fs: FileSystem, location: String): Path = {
     val dir = metadataDir(location)
     val hint = new Path(dir, "version-hint.text")
@@ -66,12 +67,20 @@ object IcebergMeta {
       val in = fs.open(hint)
       val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      val p = new Path(dir, s"v$v.metadata.json")
-      if (fs.exists(p)) return p
+      // padded (this writer, real hadoop catalogs) then legacy unpadded
+      val candidates = scala.util.Try(v.toLong).toOption.toSeq
+        .map(n => new Path(dir, f"v$n%05d.metadata.json")) :+
+        new Path(dir, s"v$v.metadata.json")
+      candidates.find(fs.exists).foreach(p => return p)
+    }
+    val VersionPrefix = """^v?0*(\d+)\D.*""".r
+    def numericVersion(name: String): Long = name match {
+      case VersionPrefix(digits) => digits.toLong
+      case _ => -1L
     }
     fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".metadata.json"))
-      .sortBy(_.getName)
+      .sortBy(p => (numericVersion(p.getName), p.getName))
       .lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"not an Iceberg table (no metadata.json under $dir)"))
@@ -379,15 +388,25 @@ object IcebergTable {
     require(prior.isDefined || firstVersion,
       s"append to a non-Iceberg directory: $location (create it first)")
 
-    // new data files: diff the data dir around a parquet append
-    def listData(): Map[String, FileStatus] =
-      if (!fs.exists(dataDir)) Map.empty
-      else fs.listStatus(dataDir)
-        .filter(s => s.getPath.getName.endsWith(".parquet"))
-        .map(s => s.getPath.toString -> s).toMap
-    val before = listData()
-    df.write.mode(SaveMode.Append).parquet(dataDir.toString)
-    val added = (listData() -- before.keySet).values.toSeq
+    // stage through a per-writer temp dir: the manifest's ADDED entries
+    // are exactly the files this writer produced — a concurrent writer's
+    // files landing in data/ mid-commit can never be absorbed (the
+    // silent-duplication race a before/after directory diff invites)
+    val stage = new Path(root,
+      s".graft-stage-${java.util.UUID.randomUUID().toString}")
+    df.write.mode(SaveMode.Append).parquet(stage.toString)
+    fs.mkdirs(dataDir)
+    val added: Seq[FileStatus] = fs.listStatus(stage).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val target = new Path(dataDir, s.getPath.getName)
+        if (!fs.rename(s.getPath, target)) {
+          throw new IllegalStateException(
+            s"failed to move staged file ${s.getPath} to $target")
+        }
+        fs.getFileStatus(target)
+      }
+    fs.delete(stage, true)
 
     val snapshotId = prior.map(_.snapshotId).getOrElse(0L) + 1L
     val version = snapshotId // fixture convention: version = snapshot id
@@ -424,7 +443,11 @@ object IcebergTable {
       prior.toSeq.flatMap(_.files).map(f => entry(0, f.path, f.size, -1L)) ++
         added.map(s => entry(1, s.getPath.toString, s.getLen, -1L))
 
-    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
+    // per-writer unique names (like real Iceberg's uuid-suffixed
+    // manifests): racing writers never collide here, so the metadata
+    // file below is the SINGLE commit fence and cleanup is exact
+    val writerTag = java.util.UUID.randomUUID().toString.take(8)
+    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d-$writerTag.avro")
     val manifestLen = writeAvro(fs, manifestPath, ManifestSchema, entries)
 
     val mlRec = new GenericData.Record(ManifestListSchema)
@@ -433,7 +456,7 @@ object IcebergTable {
     mlRec.put("partition_spec_id", 0)
     mlRec.put("content", 0)
     mlRec.put("added_snapshot_id", snapshotId)
-    val manifestList = new Path(metaDir, f"snap-$snapshotId%05d.avro")
+    val manifestList = new Path(metaDir, f"snap-$snapshotId%05d-$writerTag.avro")
     writeAvro(fs, manifestList, ManifestListSchema, Seq(mlRec))
 
     val now = System.currentTimeMillis()
@@ -454,8 +477,21 @@ object IcebergTable {
         "timestamp-ms" -> JLong(now),
         "manifest-list" -> JString(manifestList.toString),
         "summary" -> JObject("operation" -> JString("append")))))
-    val metaFile = new Path(metaDir, f"v$version%d.metadata.json")
-    val os = fs.create(metaFile, false)
+    // zero-padded like the manifest names above: the hint-less fallback
+    // sorts correctly even lexicographically, and numeric-parse readers
+    // are unaffected
+    val metaFile = new Path(metaDir, f"v$version%05d.metadata.json")
+    // create-no-overwrite is the commit fence: two racing writers of the
+    // same version — the loser fails. Its staged data files, manifest and
+    // manifest list are removed so a retry starts clean and no later
+    // commit can absorb them.
+    val os = try fs.create(metaFile, false) catch {
+      case e: Throwable =>
+        added.foreach(s => fs.delete(s.getPath, false))
+        fs.delete(manifestPath, false)
+        fs.delete(manifestList, false)
+        throw e
+    }
     try os.write(JsonMethods.pretty(JsonMethods.render(meta))
       .getBytes(StandardCharsets.UTF_8))
     finally os.close()

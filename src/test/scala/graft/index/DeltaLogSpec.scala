@@ -365,6 +365,290 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root, versionAsOf = Some(0L)).count() == 5)
   }
 
+  test("protocol gate: v3 table with EMPTY readerFeatures is spec-legal and reads") {
+    val root = tmp("graft-delta-v3empty-")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    customer.limit(4).coalesce(1).write.mode("overwrite").parquet(s"$root/staging")
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/staging"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/d.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/staging"), true)
+    val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$root/d.parquet"))
+    writeRawCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[],"writerFeatures":[]}}""",
+      metaDataLine(),
+      s"""{"add":{"path":"d.parquet","partitionValues":{},"size":${st.getLen},"modificationTime":${st.getModificationTime},"dataChange":true}}"""))
+    assert(DeltaTable.read(spark, root).count() == 4)
+  }
+
+  // --- writer gate: protocol/config-demanded writer capabilities we
+  // --- don't implement must refuse the WRITE, not just the read
+
+  test("writer gate: minWriterVersion > 2 refuses append") {
+    val root = tmp("graft-delta-wv-")
+    writeRawCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""",
+      metaDataLine()))
+    val err = intercept[UnsupportedDeltaProtocolException] {
+      DeltaTable.append(customer.limit(2), root)
+    }
+    assert(err.getMessage.contains("minWriterVersion 5"))
+  }
+
+  test("writer gate: unsupported writerFeatures refuse; appendOnly feature permits append, refuses overwrite") {
+    val rootBad = tmp("graft-delta-wf-")
+    writeRawCommit(rootBad, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["checkConstraints"]}}""",
+      metaDataLine()))
+    val err = intercept[UnsupportedDeltaProtocolException] {
+      DeltaTable.append(customer.limit(2), rootBad)
+    }
+    assert(err.getMessage.contains("checkConstraints"))
+
+    val rootAo = tmp("graft-delta-wfao-")
+    writeRawCommit(rootAo, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly"]}}""",
+      metaDataLine()))
+    assert(DeltaTable.append(customer.limit(2), rootAo) == 1L)
+    val err2 = intercept[UnsupportedDeltaProtocolException] {
+      DeltaTable.create(customer.limit(2), rootAo)
+    }
+    assert(err2.getMessage.contains("append-only"))
+  }
+
+  test("writer gate: delta.appendOnly config refuses overwrite, permits append") {
+    val root = tmp("graft-delta-ao-")
+    writeRawCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataLine("""{"delta.appendOnly":"true"}""")))
+    assert(DeltaTable.append(customer.limit(3), root) == 1L)
+    assert(DeltaTable.read(spark, root).count() == 3)
+    intercept[UnsupportedDeltaProtocolException] {
+      DeltaTable.create(customer.limit(3), root)
+    }
+    // append preserves the configuration for later replayers
+    assert(DeltaLog.snapshot(spark, root)
+      .configuration.get("delta.appendOnly").contains("true"))
+  }
+
+  test("writer gate: delta.constraints.* refuses all writes") {
+    val root = tmp("graft-delta-ck-")
+    writeRawCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataLine("""{"delta.constraints.posbal":"c_acctbal >= 0"}""")))
+    val err = intercept[UnsupportedDeltaProtocolException] {
+      DeltaTable.append(customer.limit(2), root)
+    }
+    assert(err.getMessage.toLowerCase.contains("constraint"))
+  }
+
+  test("overwrite carries the table configuration forward (no erasure)") {
+    val root = tmp("graft-delta-cfg-")
+    writeRawCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataLine("""{"custom.owner":"graft-spec"}""")))
+    DeltaTable.create(customer.limit(5), root) // overwrite commit, v1
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.version == 1L)
+    assert(s.configuration.get("custom.owner").contains("graft-spec"))
+  }
+
+  // --- commit staging: the add set is exactly this writer's files
+
+  /** Run `append` while a watcher thread interferes as soon as the
+    * writer's stage dir appears. The slow column widens the staging
+    * window so the interference lands mid-commit deterministically. */
+  private def appendWithInterference(root: String, rows: Int)(
+      interfere: () => Unit): Either[Throwable, Long] = {
+    val slow = udf((i: Long) => { Thread.sleep(15); i })
+    val df = customer.limit(rows).repartition(1)
+      .withColumn("c_slow", slow(col("c_custkey")))
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    @volatile var fired = false
+    val watcher = new Thread(() => {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!fired && System.currentTimeMillis() < deadline) {
+        val staging = fs.exists(rootPath) && fs.listStatus(rootPath)
+          .exists(_.getPath.getName.startsWith(".graft-stage-"))
+        if (staging) { interfere(); fired = true }
+        else Thread.sleep(5)
+      }
+    })
+    watcher.start()
+    val out = try Right(DeltaTable.append(df, root))
+      catch { case t: Throwable => Left(t) }
+    fired = true
+    watcher.join()
+    out
+  }
+
+  test("commit race: a concurrent writer's data file is never absorbed into this commit") {
+    val root = tmp("graft-delta-race1-")
+    val base = customer.limit(10).repartition(1)
+      .withColumn("c_slow", col("c_custkey"))
+    DeltaTable.create(base, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a foreign parquet landing in the table dir mid-commit (another
+    // writer's in-flight data file)
+    val res = appendWithInterference(root, 5) { () =>
+      base.limit(3).coalesce(1).write.mode("overwrite").parquet(s"$root/.foreign")
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/.foreign"))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$root/foreign-inflight.parquet"))
+    }
+    assert(res.isRight, s"append failed: $res")
+    val dir = DeltaLog.logDir(rootPath)
+    val logText = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }.mkString("\n")
+    assert(!logText.contains("foreign-inflight"),
+      "a concurrent writer's file was absorbed into the commit log")
+    assert(DeltaTable.read(spark, root).count() == 15)
+  }
+
+  test("commit race: the fence loser removes its staged files and retries cleanly") {
+    val root = tmp("graft-delta-race2-")
+    val base = customer.limit(10).repartition(1)
+      .withColumn("c_slow", col("c_custkey"))
+    DeltaTable.create(base, root)
+    // a concurrent writer wins version 1 while this writer is staging
+    val res = appendWithInterference(root, 5) { () =>
+      writeRawCommit(root, 1L, Seq("""{"commitInfo":{"operation":"WRITE"}}"""))
+    }
+    assert(res.isLeft, "the fence loser must fail, not silently double-commit")
+    // loser's staged files are gone: on-disk parquet == logged snapshot
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.version == 1L)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def diskParquet(dir: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) { if (n != "_delta_log" && !n.startsWith(".")) diskParquet(st.getPath) else Nil }
+        else if (n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")) Seq(st.getPath.toString)
+        else Nil
+      }
+    def bare(p: String): String = p.stripPrefix("file:")
+    assert(diskParquet(rootPath).map(bare).toSet == s.files.map(f => bare(f.path)).toSet,
+      "fence loser left orphan staged files in the table dir")
+    // retry lands cleanly at version 2 with no duplicate rows
+    assert(DeltaTable.append(base.limit(5), root) == 2L)
+    assert(DeltaTable.read(spark, root).count() == 15)
+  }
+
+  // --- checkpoint fidelity: protocol/config survive checkpointing
+
+  test("checkpoint persists the table's real protocol and configuration") {
+    val root = tmp("graft-delta-ckproto-")
+    DeltaTable.create(customer.limit(6), root)
+    writeRawCommit(root, 1L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["appendOnly"]}}""",
+      metaDataLine("""{"delta.appendOnly":"true"}""")))
+    DeltaTable.checkpoint(spark, root)
+    // drop the JSON commits: replay must reconstruct protocol + config
+    // from the checkpoint alone
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    writeRawCommit(root, 2L, Seq("""{"commitInfo":{"operation":"NOOP"}}"""))
+    fs.delete(new org.apache.hadoop.fs.Path(DeltaLog.logDir(rootPath), f"${0L}%020d.json"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(DeltaLog.logDir(rootPath), f"${1L}%020d.json"), false)
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.minReaderVersion == 3)
+    assert(s.minWriterVersion == 7)
+    assert(s.readerFeatures == Set("timestampNtz"))
+    assert(s.writerFeatures == Set("appendOnly"))
+    assert(s.configuration.get("delta.appendOnly").contains("true"))
+    // and the writer gate keeps enforcing append-only from the checkpoint
+    intercept[UnsupportedDeltaProtocolException] {
+      DeltaTable.create(customer.limit(2), root)
+    }
+  }
+
+  test("checkpoint carries partition values for a partitioned table") {
+    val root = tmp("graft-delta-ckpv-")
+    val df = customer.limit(50).withColumn("seg", col("c_mktsegment"))
+    DeltaTable.create(df, root, partitionBy = Seq("seg"))
+    DeltaTable.checkpoint(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val ck = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(DeltaLog.logDir(rootPath),
+        f"${0L}%020d.checkpoint.parquet").toString)
+    val pvals = ck.where("add.path is not null")
+      .selectExpr("add.partitionValues['seg'] as seg").collect().map(_.getString(0))
+    assert(pvals.nonEmpty && pvals.forall(v => v != null && v.nonEmpty),
+      "checkpoint add rows must carry hive-layout partition values")
+  }
+
+  /** Hand-write a single-part checkpoint parquet with an arbitrary row
+    * shape (to exercise the checkpoint REPLAY path with protocols our
+    * own writer will not produce). */
+  private def writeRawCheckpoint(root: String, version: Long,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = DeltaLog.logDir(rootPath)
+    val tmpDir = new org.apache.hadoop.fs.Path(dir, ".raw-ckpt-tmp")
+    df.repartition(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir,
+      f"$version%020d.checkpoint.parquet"))
+    fs.delete(tmpDir, true)
+  }
+
+  test("protocol gate fires on the checkpoint replay path (unsupported readerFeatures)") {
+    val root = tmp("graft-delta-ckgate1-")
+    DeltaTable.create(customer.limit(5), root)
+    writeRawCheckpoint(root, 0L, spark.sql(
+      s"""select named_struct('minReaderVersion', 3, 'minWriterVersion', 7,
+         |  'readerFeatures', array('deletionVectors')) as protocol,
+         |  cast(null as struct<schemaString:string,
+         |    partitionColumns:array<string>,
+         |    configuration:map<string,string>>) as metaData,
+         |  cast(null as struct<path:string, size:bigint,
+         |    modificationTime:bigint>) as add
+         |union all
+         |select null, named_struct('schemaString', '${customer.schema.json}',
+         |  'partitionColumns', cast(array() as array<string>),
+         |  'configuration', cast(map() as map<string,string>)), null
+         |""".stripMargin))
+    val err = intercept[UnsupportedDeltaProtocolException] {
+      DeltaLog.snapshot(spark, root)
+    }
+    assert(err.getMessage.contains("deletionVectors"))
+  }
+
+  test("protocol gate fires on the checkpoint replay path (DV-bearing add)") {
+    val root = tmp("graft-delta-ckgate2-")
+    DeltaTable.create(customer.limit(5), root)
+    writeRawCheckpoint(root, 0L, spark.sql(
+      s"""select named_struct('minReaderVersion', 1, 'minWriterVersion', 2) as protocol,
+         |  cast(null as struct<schemaString:string,
+         |    partitionColumns:array<string>,
+         |    configuration:map<string,string>>) as metaData,
+         |  cast(null as struct<path:string, size:bigint, modificationTime:bigint,
+         |    deletionVector:struct<storageType:string,cardinality:bigint>>) as add
+         |union all
+         |select null, named_struct('schemaString', '${customer.schema.json}',
+         |  'partitionColumns', cast(array() as array<string>),
+         |  'configuration', cast(map() as map<string,string>)), null
+         |union all
+         |select null, null, named_struct('path', 'f1.parquet',
+         |  'size', cast(10 as bigint), 'modificationTime', cast(1 as bigint),
+         |  'deletionVector', named_struct('storageType', 'u',
+         |    'cardinality', cast(3 as bigint)))
+         |""".stripMargin))
+    val err = intercept[UnsupportedDeltaProtocolException] {
+      DeltaLog.snapshot(spark, root)
+    }
+    assert(err.getMessage.contains("deletion vector"))
+  }
+
   test("protocol gate: v3 table whose only reader feature is timestampNtz reads") {
     val root = tmp("graft-delta-ntz-")
     val rootPath = new org.apache.hadoop.fs.Path(root)

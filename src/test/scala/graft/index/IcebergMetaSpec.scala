@@ -91,7 +91,8 @@ class IcebergMetaSpec extends AnyFunSuite {
     // flip the manifest list's content flag to 1 by rewriting the avro
     import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableFileInput}
     import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
-    val mlPath = new java.io.File(s"$loc/metadata/snap-00001.avro")
+    val mlPath = new java.io.File(s"$loc/metadata").listFiles()
+      .find(f => f.getName.startsWith("snap-00001") && f.getName.endsWith(".avro")).get
     val rd = new DataFileReader[GenericRecord](
       new SeekableFileInput(mlPath), new GenericDatumReader[GenericRecord]())
     val schema = rd.getSchema
@@ -104,10 +105,148 @@ class IcebergMetaSpec extends AnyFunSuite {
     recs.forEach(r => w.append(r))
     w.close()
     // the raw rewrite bypassed ChecksumFileSystem — drop the stale .crc
-    new java.io.File(s"$loc/metadata/.snap-00001.avro.crc").delete()
+    new java.io.File(s"$loc/metadata/.${mlPath.getName}.crc").delete()
     val ex = intercept[IllegalArgumentException](
       IcebergMeta.snapshot(spark, loc))
     assert(ex.getMessage.contains("DELETE manifest"))
+  }
+
+  test("hint-less resolution past 10 versions: numeric sort, not lexicographic") {
+    val loc = tmp("graft-ice-v10-")
+    val one = customer.limit(1)
+    IcebergTable.create(one, loc)
+    (2 to 12).foreach(_ => IcebergTable.append(one, loc))
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // stale/missing hint is exactly when the fallback sort decides —
+    // a lexicographic sort would resolve v9 above v12
+    fs.delete(new org.apache.hadoop.fs.Path(s"$loc/metadata/version-hint.text"), false)
+    val s = IcebergMeta.snapshot(spark, loc)
+    assert(s.snapshotId == 12L, s"fallback resolved snapshot ${s.snapshotId}, not 12")
+    assert(IcebergTable.read(spark, loc).count() == 12)
+  }
+
+  test("hint-less resolution handles legacy UNPADDED metadata names numerically") {
+    val loc = tmp("graft-ice-legacy-")
+    val one = customer.limit(1)
+    IcebergTable.create(one, loc)
+    (2 to 11).foreach(_ => IcebergTable.append(one, loc))
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // strip the zero padding (tables written by older graft versions)
+    // and the hint: v10/v11 must still sort above v9
+    val dir = new org.apache.hadoop.fs.Path(s"$loc/metadata")
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".metadata.json")) {
+        val ver = n.stripPrefix("v").takeWhile(_.isDigit).toLong
+        val unpadded = s"v$ver.metadata.json"
+        if (unpadded != n) {
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, unpadded))
+          new java.io.File(s"$loc/metadata/.$n.crc").delete()
+        }
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$loc/metadata/version-hint.text"), false)
+    val s = IcebergMeta.snapshot(spark, loc)
+    assert(s.snapshotId == 11L, s"fallback resolved snapshot ${s.snapshotId}, not 11")
+  }
+
+  // --- commit staging: the manifest's added entries are exactly this
+  // --- writer's files, and the fence loser cleans up after itself
+
+  /** Run `append` while a watcher thread interferes once the writer's
+    * stage dir appears (the slow column widens the staging window). */
+  private def appendWithInterference(loc: String, rows: Int, sleepMs: Int = 15)(
+      interfere: () => Unit): Either[Throwable, Long] = {
+    val slow = udf((i: Long) => { Thread.sleep(sleepMs); i })
+    val df = customer.limit(rows).repartition(1)
+      .withColumn("c_slow", slow(col("c_custkey")))
+    val rootPath = new org.apache.hadoop.fs.Path(loc)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    @volatile var fired = false
+    val watcher = new Thread(() => {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!fired && System.currentTimeMillis() < deadline) {
+        val staging = fs.exists(rootPath) && fs.listStatus(rootPath)
+          .exists(_.getPath.getName.startsWith(".graft-stage-"))
+        if (staging) {
+          try interfere() catch { case _: Throwable => }
+          fired = true
+        } else Thread.sleep(5)
+      }
+    })
+    watcher.start()
+    val out = try Right(IcebergTable.append(df, loc))
+      catch { case t: Throwable => Left(t) }
+    fired = true
+    watcher.join()
+    out
+  }
+
+  test("commit race: a concurrent writer's data file is never absorbed into the manifest") {
+    val loc = tmp("graft-ice-race1-")
+    val base = customer.limit(10).repartition(1)
+      .withColumn("c_slow", col("c_custkey"))
+    IcebergTable.create(base, loc)
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val res = appendWithInterference(loc, 5) { () =>
+      base.limit(3).coalesce(1).write.mode("overwrite").parquet(s"$loc/.foreign")
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$loc/.foreign"))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$loc/data/foreign-inflight.parquet"))
+    }
+    assert(res.isRight, s"append failed: $res")
+    val s = IcebergMeta.snapshot(spark, loc)
+    assert(!s.files.exists(_.path.contains("foreign-inflight")),
+      "a concurrent writer's file was absorbed into the manifest")
+    assert(IcebergTable.read(spark, loc).count() == 15)
+  }
+
+  test("commit race: the fence loser cleans its data files, manifests, and retries cleanly") {
+    // a REAL concurrent append races the slow writer: the watcher fires
+    // only after the slow writer has read its prior snapshot (stage dir
+    // visible), so if the fast append completes first both target
+    // snapshot 2 and the slow writer must lose the fence. The wide sleep
+    // window makes that ordering near-certain; bounded attempts absorb
+    // scheduler jitter without ever accepting a wrong outcome.
+    val attempts = (1 to 3).iterator.map { _ =>
+      val loc = tmp("graft-ice-race2-")
+      val base = customer.limit(10).repartition(1)
+        .withColumn("c_slow", col("c_custkey"))
+      IcebergTable.create(base, loc)
+      val winnerRows = customer.limit(2).repartition(1)
+        .withColumn("c_slow", col("c_custkey"))
+      val res = appendWithInterference(loc, 5, sleepMs = 250) { () =>
+        IcebergTable.append(winnerRows, loc)
+      }
+      (loc, res)
+    }
+    val (loc, res) = attempts.find(_._2.isLeft).getOrElse(
+      fail("slow writer never lost the fence in 3 attempts"))
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // winner's commit stands: create(10) + winner append(2)
+    val s = IcebergMeta.snapshot(spark, loc)
+    assert(s.snapshotId == 2L)
+    assert(IcebergTable.read(spark, loc).count() == 12)
+    // loser's staged data files and manifest/manifest-list are gone:
+    // disk holds exactly the snapshot's files
+    val dataOnDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$loc/data"))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+      .map(_.stripPrefix("file:")).toSet
+    assert(dataOnDisk == s.files.map(_.path.stripPrefix("file:")).toSet,
+      "fence loser left orphan data files")
+    // exactly one manifest/manifest-list pair for snapshot 2 (the winner's)
+    val m2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$loc/metadata"))
+      .map(_.getPath.getName).filter(_.startsWith("manifest-00002"))
+    assert(m2.length == 1, s"expected the winner's single manifest, got: ${m2.mkString(",")}")
+    // retry lands cleanly at snapshot 3 with no duplicate rows
+    val retryRows = customer.limit(5).repartition(1)
+      .withColumn("c_slow", col("c_custkey"))
+    assert(IcebergTable.append(retryRows, loc) == 3L)
+    assert(IcebergTable.read(spark, loc).count() == 17)
   }
 
   test("provider: iceberg leaf recognized, snapshot-based signature") {
