@@ -37,7 +37,10 @@ final case class IcebergSnapshot(
     location: String,
     snapshotId: Long,
     schema: StructType,
-    files: Seq[DeltaFileMeta]) // (path, size, mtime=0): iceberg files are immutable
+    files: Seq[DeltaFileMeta], // (path, size, mtime=0): iceberg files are immutable
+    // v2 merge-on-read: positional-delete files (file_path, pos rows)
+    // that must be anti-joined away from `files` at read time
+    deleteFiles: Seq[DeltaFileMeta] = Nil)
 
 object IcebergMeta {
 
@@ -142,18 +145,22 @@ object IcebergMeta {
     }
 
     // v1 snapshots may carry an inline "manifests" array; v1/v2 normally
-    // carry a "manifest-list" avro file
-    val manifests: Seq[String] = (snap \ "manifest-list") match {
+    // carry a "manifest-list" avro file. Entries are (path, content):
+    // content 0 = data manifest, 1 = delete manifest (v2 merge-on-read).
+    val manifests: Seq[(String, Int)] = (snap \ "manifest-list") match {
       case JString(ml) => readManifestList(fs, resolve(location, ml))
       case _ => (snap \ "manifests") match {
-        case JArray(ms) => ms.collect { case JString(m) => m }
+        case JArray(ms) => ms.collect { case JString(m) => m -> 0 }
         case _ => throw new IllegalStateException(
           s"snapshot $snapshotId has neither manifest-list nor manifests")
       }
     }
 
-    val files = manifests.flatMap(m => readManifest(fs, resolve(location, m)))
-    IcebergSnapshot(location, snapshotId, schema, files)
+    val files = manifests.collect { case (m, 0) => m }
+      .flatMap(m => readManifest(fs, resolve(location, m)))
+    val deleteFiles = manifests.collect { case (m, 1) => m }
+      .flatMap(m => readDeleteManifest(fs, resolve(location, m)))
+    IcebergSnapshot(location, snapshotId, schema, files, deleteFiles)
   }
 
   /** Iceberg metadata stores absolute URIs; strip `file:` to the same
@@ -179,23 +186,57 @@ object IcebergMeta {
     finally reader.close()
   }
 
-  private def readManifestList(fs: FileSystem, path: String): Seq[String] =
+  /** Schema-aware optional field read: avro GenericData.Record.get
+    * throws on a field the writer schema never had. */
+  private def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
+    Option(r.getSchema.getField(name)).flatMap(f => Option(r.get(f.pos)))
+
+  private def readManifestList(fs: FileSystem, path: String): Seq[(String, Int)] =
     readAvro(fs, path).map { r =>
-      // v2 manifest lists flag delete manifests; refusing beats silently
-      // resurrecting deleted rows
-      val content = Option(r.get("content")).map(_.toString.toInt).getOrElse(0)
-      require(content == 0,
-        s"manifest list $path contains a DELETE manifest (v2 row-level " +
-          "deletes are not supported by the jarless reader)")
-      r.get("manifest_path").toString
+      val content = fieldOpt(r, "content").map(_.toString.toInt).getOrElse(0)
+      require(content == 0 || content == 1,
+        s"manifest list $path carries manifest content=$content " +
+          "(only data=0 and delete=1 manifests exist in the v2 spec)")
+      r.get("manifest_path").toString -> content
     }
 
   private def readManifest(fs: FileSystem, path: String): Seq[DeltaFileMeta] =
     readAvro(fs, path).flatMap { r =>
-      val status = Option(r.get("status")).map(_.toString.toInt).getOrElse(1)
+      val status = fieldOpt(r, "status").map(_.toString.toInt).getOrElse(1)
       if (status == 2) None // DELETED entry
       else {
         val df = r.get("data_file").asInstanceOf[GenericRecord]
+        Some(DeltaFileMeta(
+          df.get("file_path").toString,
+          df.get("file_size_in_bytes").toString.toLong,
+          0L))
+      }
+    }
+
+  /** A DELETE manifest's entries are delete FILES. Positional deletes
+    * (data_file.content=1: rows of `file_path`,`pos`) are applied at
+    * read time; equality deletes (content=2) would require evaluating
+    * equality predicates against every data row and are refused loudly —
+    * serving the table while ignoring them would resurrect deleted
+    * rows. An entry without delete content is a corrupt tree (a data
+    * file listed in a delete manifest), also refused. */
+  private def readDeleteManifest(fs: FileSystem, path: String): Seq[DeltaFileMeta] =
+    readAvro(fs, path).flatMap { r =>
+      val status = fieldOpt(r, "status").map(_.toString.toInt).getOrElse(1)
+      if (status == 2) None // DELETED entry
+      else {
+        val df = r.get("data_file").asInstanceOf[GenericRecord]
+        val content = fieldOpt(df, "content").map(_.toString.toInt).getOrElse(0)
+        if (content == 2) {
+          throw new IllegalArgumentException(
+            s"delete manifest $path carries an EQUALITY delete file " +
+              s"(${df.get("file_path")}); equality deletes are not supported " +
+              "by the jarless reader — read this table with the iceberg " +
+              "connector instead")
+        }
+        require(content == 1,
+          s"delete manifest $path entry ${df.get("file_path")} has " +
+            s"content=$content — not a positional-delete file (corrupt tree?)")
         Some(DeltaFileMeta(
           df.get("file_path").toString,
           df.get("file_size_in_bytes").toString.toLong,
@@ -318,19 +359,45 @@ object IcebergTable {
   /** Batch read of the table — or, with `snapshotAsOf`, TIME TRAVEL to
     * any retained snapshot (the iceberg analogue of Delta's
     * `versionAsOf`: the pinned snapshot's manifest tree alone decides
-    * the file set, so later appends/overwrites are invisible). */
+    * the file set, so later appends/overwrites are invisible).
+    *
+    * v2 MERGE-ON-READ: when the snapshot carries positional-delete
+    * files, deleted rows are filtered out with an anti-join of
+    * (`_metadata.file_path`, `_metadata.row_index`) against the delete
+    * rows — the exact (file, position) semantics of the spec. The
+    * anti-join build side is the delete rows (tiny relative to data by
+    * construction — deletes accumulate until compaction), so Spark's
+    * size-based planning broadcasts it; no shuffle of the data side. */
   def read(spark: SparkSession, location: String,
       snapshotAsOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
     val s = IcebergMeta.snapshot(spark, location, snapshotAsOf)
     if (s.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    spark.read
+    val data = spark.read
       .schema(s.schema)
       .option("basePath", s"$location/data")
       .option(LocationOption, location)
       .option(SnapshotOption, s.snapshotId.toString)
       .parquet(s.files.map(_.path): _*)
+    if (s.deleteFiles.isEmpty) data
+    else {
+      // scheme-normalize both sides: manifests/delete rows may carry
+      // `file:`-qualified or bare paths depending on the writer
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^file:/+", "/")
+      val dels = spark.read.parquet(s.deleteFiles.map(_.path): _*)
+        .select(norm(col("file_path")).as("__del_path"),
+          col("pos").cast("long").as("__del_pos"))
+      val withPos = data
+        .withColumn("__path", norm(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      withPos.join(dels,
+        withPos("__path") === dels("__del_path") &&
+          withPos("__pos") === dels("__del_pos"), "left_anti")
+        .drop("__path", "__pos")
+    }
   }
 
   def create(df: DataFrame, location: String): Long =
@@ -344,6 +411,21 @@ object IcebergTable {
       |  {"name":"status","type":"int"},
       |  {"name":"snapshot_id","type":["null","long"],"default":null},
       |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |    {"name":"file_path","type":"string"},
+      |    {"name":"file_format","type":"string"},
+      |    {"name":"record_count","type":"long"},
+      |    {"name":"file_size_in_bytes","type":"long"}
+      |  ]}}
+      |]}""".stripMargin)
+
+  /** DELETE-manifest entries carry the spec's `content` discriminator
+    * in data_file (1 = positional deletes, 2 = equality deletes). */
+  private val DeleteManifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int"},
+      |  {"name":"snapshot_id","type":["null","long"],"default":null},
+      |  {"name":"data_file","type":{"type":"record","name":"r2d","fields":[
+      |    {"name":"content","type":"int","default":0},
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
       |    {"name":"record_count","type":"long"},
@@ -408,6 +490,83 @@ object IcebergTable {
       }
     fs.delete(stage, true)
 
+    publishSnapshot(spark, location, prior, df.schema, "append",
+      dataExisting = prior.toSeq.flatMap(_.files),
+      dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L)),
+      deleteExisting = prior.toSeq.flatMap(_.deleteFiles),
+      deleteAdded = Nil)
+  }
+
+  /** v2 MERGE-ON-READ row-level DELETE: write a positional-delete file
+    * (rows of `file_path`,`pos` per the spec) for every current row
+    * matching `predicate` and commit a snapshot whose manifest list
+    * carries it (content=1). Data files are untouched — that is the
+    * point of merge-on-read; [[read]] anti-joins the deletes back out.
+    * The position rows are computed and written DISTRIBUTED (metadata
+    * columns + a filtered write), never collected to the driver. */
+  def deleteWhere(spark: SparkSession, location: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = new Path(root, "data")
+    require(IcebergMeta.isIcebergTable(spark, location),
+      s"deleteWhere on a non-Iceberg directory: $location")
+    val prior = IcebergMeta.snapshot(spark, location)
+    require(prior.files.nonEmpty, s"deleteWhere on an empty table: $location")
+
+    // positions of the doomed rows, straight from the parquet reader's
+    // metadata columns — (file, ordinal position), the spec's coordinates.
+    // Paths are stored scheme-normalized, the form real writers use.
+    val doomed = spark.read
+      .schema(prior.schema)
+      .option("basePath", s"$location/data")
+      .parquet(prior.files.map(_.path): _*)
+      .filter(predicate)
+      .select(
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    val stage = new Path(root,
+      s".graft-stage-${java.util.UUID.randomUUID().toString}")
+    // delete files are sorted by (file_path, pos) per the spec's
+    // recommendation; one file per delete commit at fixture scale (a
+    // partitioned table would write one per partition)
+    doomed.repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.parquet(stage.toString)
+    val stagedParts = fs.listStatus(stage).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val added: Seq[DeltaFileMeta] = stagedParts.zipWithIndex.map { case (s, i) =>
+      val target = new Path(dataDir,
+        f"delete-${prior.snapshotId + 1}%05d-$i%d-${s.getPath.getName}")
+      if (!fs.rename(s.getPath, target)) {
+        throw new IllegalStateException(
+          s"failed to move staged delete file ${s.getPath} to $target")
+      }
+      val st = fs.getFileStatus(target)
+      DeltaFileMeta(st.getPath.toString, st.getLen, 0L)
+    }
+    fs.delete(stage, true)
+
+    publishSnapshot(spark, location, Some(prior), prior.schema, "delete",
+      dataExisting = prior.files,
+      dataAdded = Nil,
+      deleteExisting = prior.deleteFiles,
+      deleteAdded = added)
+  }
+
+  /** Shared commit tail: write the data manifest (+ a delete manifest
+    * when positional deletes are in force), the manifest list, and the
+    * metadata document. The metadata file's create-no-overwrite is the
+    * SINGLE commit fence — manifest names carry a per-writer uuid so
+    * racing writers never collide before it — and the loser removes its
+    * added files and manifests so a retry starts clean. */
+  private def publishSnapshot(spark: SparkSession, location: String,
+      prior: Option[IcebergSnapshot], schema: StructType, operation: String,
+      dataExisting: Seq[DeltaFileMeta], dataAdded: Seq[DeltaFileMeta],
+      deleteExisting: Seq[DeltaFileMeta], deleteAdded: Seq[DeltaFileMeta]): Long = {
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaDir = IcebergMeta.metadataDir(location)
     val snapshotId = prior.map(_.snapshotId).getOrElse(0L) + 1L
     val version = snapshotId // fixture convention: version = snapshot id
     fs.mkdirs(metaDir)
@@ -425,39 +584,56 @@ object IcebergTable {
         }
       } else Nil
 
-    // rows from this commit; prior live files carry over as EXISTING
-    def entry(status: Int, path: String, size: Long, rows: Long): GenericRecord = {
+    def entry(schema: Schema, status: Int, content: Option[Int],
+        path: String, size: Long): GenericRecord = {
       val dfr = new GenericData.Record(
-        ManifestSchema.getField("data_file").schema())
+        schema.getField("data_file").schema())
+      content.foreach(c => dfr.put("content", c))
       dfr.put("file_path", path)
       dfr.put("file_format", "PARQUET")
-      dfr.put("record_count", rows)
+      dfr.put("record_count", -1L)
       dfr.put("file_size_in_bytes", size)
-      val r = new GenericData.Record(ManifestSchema)
+      val r = new GenericData.Record(schema)
       r.put("status", status)
       r.put("snapshot_id", snapshotId)
       r.put("data_file", dfr)
       r
     }
-    val entries =
-      prior.toSeq.flatMap(_.files).map(f => entry(0, f.path, f.size, -1L)) ++
-        added.map(s => entry(1, s.getPath.toString, s.getLen, -1L))
+    // prior live files carry over as EXISTING (0); this commit's as ADDED (1)
+    val dataEntries =
+      dataExisting.map(f => entry(ManifestSchema, 0, None, f.path, f.size)) ++
+        dataAdded.map(f => entry(ManifestSchema, 1, None, f.path, f.size))
+    val deleteEntries =
+      deleteExisting.map(f => entry(DeleteManifestSchema, 0, Some(1), f.path, f.size)) ++
+        deleteAdded.map(f => entry(DeleteManifestSchema, 1, Some(1), f.path, f.size))
 
     // per-writer unique names (like real Iceberg's uuid-suffixed
     // manifests): racing writers never collide here, so the metadata
     // file below is the SINGLE commit fence and cleanup is exact
     val writerTag = java.util.UUID.randomUUID().toString.take(8)
     val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d-$writerTag.avro")
-    val manifestLen = writeAvro(fs, manifestPath, ManifestSchema, entries)
+    val manifestLen = writeAvro(fs, manifestPath, ManifestSchema, dataEntries)
+    val deleteManifest: Option[(Path, Long)] =
+      if (deleteEntries.isEmpty) None
+      else {
+        val dm = new Path(metaDir,
+          f"delete-manifest-$snapshotId%05d-$writerTag.avro")
+        Some((dm, writeAvro(fs, dm, DeleteManifestSchema, deleteEntries)))
+      }
 
-    val mlRec = new GenericData.Record(ManifestListSchema)
-    mlRec.put("manifest_path", manifestPath.toString)
-    mlRec.put("manifest_length", manifestLen)
-    mlRec.put("partition_spec_id", 0)
-    mlRec.put("content", 0)
-    mlRec.put("added_snapshot_id", snapshotId)
+    def mlEntry(path: Path, len: Long, content: Int): GenericRecord = {
+      val r = new GenericData.Record(ManifestListSchema)
+      r.put("manifest_path", path.toString)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("added_snapshot_id", snapshotId)
+      r
+    }
     val manifestList = new Path(metaDir, f"snap-$snapshotId%05d-$writerTag.avro")
-    writeAvro(fs, manifestList, ManifestListSchema, Seq(mlRec))
+    writeAvro(fs, manifestList, ManifestListSchema,
+      Seq(mlEntry(manifestPath, manifestLen, 0)) ++
+        deleteManifest.map { case (p, l) => mlEntry(p, l, 1) })
 
     val now = System.currentTimeMillis()
     val meta = JObject(
@@ -465,9 +641,9 @@ object IcebergTable {
       "table-uuid" -> JString(java.util.UUID.randomUUID().toString),
       "location" -> JString(location),
       "last-updated-ms" -> JLong(now),
-      "last-column-id" -> JInt(df.schema.size),
+      "last-column-id" -> JInt(schema.size),
       "current-schema-id" -> JInt(0),
-      "schemas" -> JArray(List(IcebergMeta.sparkSchemaToIceberg(df.schema))),
+      "schemas" -> JArray(List(IcebergMeta.sparkSchemaToIceberg(schema))),
       "default-spec-id" -> JInt(0),
       "partition-specs" -> JArray(List(JObject(
         "spec-id" -> JInt(0), "fields" -> JArray(Nil)))),
@@ -476,19 +652,20 @@ object IcebergTable {
         "snapshot-id" -> JLong(snapshotId),
         "timestamp-ms" -> JLong(now),
         "manifest-list" -> JString(manifestList.toString),
-        "summary" -> JObject("operation" -> JString("append")))))
+        "summary" -> JObject("operation" -> JString(operation)))))
     // zero-padded like the manifest names above: the hint-less fallback
     // sorts correctly even lexicographically, and numeric-parse readers
     // are unaffected
     val metaFile = new Path(metaDir, f"v$version%05d.metadata.json")
     // create-no-overwrite is the commit fence: two racing writers of the
-    // same version — the loser fails. Its staged data files, manifest and
+    // same version — the loser fails. Its added files, manifests and
     // manifest list are removed so a retry starts clean and no later
     // commit can absorb them.
     val os = try fs.create(metaFile, false) catch {
       case e: Throwable =>
-        added.foreach(s => fs.delete(s.getPath, false))
+        (dataAdded ++ deleteAdded).foreach(f => fs.delete(new Path(f.path), false))
         fs.delete(manifestPath, false)
+        deleteManifest.foreach { case (p, _) => fs.delete(p, false) }
         fs.delete(manifestList, false)
         throw e
     }

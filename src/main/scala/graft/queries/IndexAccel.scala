@@ -329,10 +329,39 @@ object IndexAccel {
        | ${sqlMoneySum("c_acctbal")} AS sum_bal
        |FROM customer WHERE c_nationkey BETWEEN 5 AND 15""".stripMargin
 
+  /** Iceberg v2 MERGE-ON-READ: the fixture table takes a positional
+    * row-level DELETE (`deleteWhere`), so a matching aggregate proves
+    * the delete manifest walk and the (file, position) anti-join
+    * resurrect nothing and drop nothing. The oracle sees only customer
+    * parquet and re-applies the delete predicate. */
+  def idxIcebergV2Filter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{IcebergMeta, IcebergTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val loc = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_iceberg_v2_$h"
+    synchronized {
+      if (!IcebergMeta.isIcebergTable(spark, loc)) {
+        val cust = Tables.load(spark, sfDir, "customer")
+        IcebergTable.create(cust, loc)
+        IcebergTable.deleteWhere(spark, loc, col("c_custkey") % 7 === 3)
+      }
+    }
+    IcebergTable.read(spark, loc)
+      .filter(col("c_nationkey").between(5L, 15L))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+  }
+
+  val idxIcebergV2FilterSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer
+       |WHERE c_nationkey BETWEEN 5 AND 15 AND NOT (c_custkey % 7 = 3)""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
     "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
+    "idx_iceberg_v2_filter" -> (idxIcebergV2Filter _, idxIcebergV2FilterSql),
     "q_snowflake_2idx" -> (idxSnowflake2 _, idxSnowflake2Sql),
     "q_join_rank_tie" -> (idxJoinRankTie _, idxJoinRankTieSql),
     "q_join_one_sided" -> (idxJoinOneSided _, idxJoinOneSidedSql),

@@ -32,8 +32,8 @@ class BenchGuardSpec extends AnyFunSuite {
   }
 
   test("isContended: threshold is a factor over the reference") {
-    assert(!BenchGuard.isContended(0.039, 0.020))
-    assert(BenchGuard.isContended(0.041, 0.020))
+    assert(!BenchGuard.isContended(0.059, 0.020))
+    assert(BenchGuard.isContended(0.061, 0.020))
   }
 
   test("probe detects a deliberately loaded box") {

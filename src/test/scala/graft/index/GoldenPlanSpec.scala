@@ -112,6 +112,7 @@ class GoldenPlanSpec extends AnyFunSuite {
   Seq(
     "idx_covering_filter", "idx_join", "idx_zorder_filter",
     "idx_dataskip_filter", "idx_delta_filter", "idx_iceberg_filter",
+    "idx_iceberg_v2_filter",
     "q_snowflake_2idx", "q_join_rank_tie", "q_join_one_sided",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",

@@ -85,30 +85,91 @@ class IcebergMetaSpec extends AnyFunSuite {
     assert(rt == schema)
   }
 
-  test("delete manifests (v2 content=1) are rejected, not silently ignored") {
-    val loc = tmp("graft-ice-del-")
-    IcebergTable.create(customer.limit(10), loc)
-    // flip the manifest list's content flag to 1 by rewriting the avro
+  /** Rewrite an avro file in place through a record mutation. */
+  private def rewriteAvro(f: java.io.File)(
+      mutate: org.apache.avro.generic.GenericRecord => Unit): Unit = {
     import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableFileInput}
     import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
-    val mlPath = new java.io.File(s"$loc/metadata").listFiles()
-      .find(f => f.getName.startsWith("snap-00001") && f.getName.endsWith(".avro")).get
     val rd = new DataFileReader[GenericRecord](
-      new SeekableFileInput(mlPath), new GenericDatumReader[GenericRecord]())
+      new SeekableFileInput(f), new GenericDatumReader[GenericRecord]())
     val schema = rd.getSchema
     val recs = new java.util.ArrayList[GenericRecord]()
-    while (rd.hasNext) { val r = rd.next(); r.put("content", 1); recs.add(r) }
+    while (rd.hasNext) { val r = rd.next(); mutate(r); recs.add(r) }
     rd.close()
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
-    w.create(schema, mlPath)
+    w.create(schema, f)
     recs.forEach(r => w.append(r))
     w.close()
     // the raw rewrite bypassed ChecksumFileSystem — drop the stale .crc
-    new java.io.File(s"$loc/metadata/.${mlPath.getName}.crc").delete()
+    new java.io.File(f.getParent, s".${f.getName}.crc").delete()
+  }
+
+  test("a data manifest mislabeled as a delete manifest is refused, not misread") {
+    val loc = tmp("graft-ice-del-")
+    IcebergTable.create(customer.limit(10), loc)
+    // flip the manifest list's content flag to 1: the pointed-to manifest
+    // holds DATA entries, which a delete-manifest walk must refuse
+    val mlPath = new java.io.File(s"$loc/metadata").listFiles()
+      .find(f => f.getName.startsWith("snap-00001") && f.getName.endsWith(".avro")).get
+    rewriteAvro(mlPath)(_.put("content", 1))
     val ex = intercept[IllegalArgumentException](
       IcebergMeta.snapshot(spark, loc))
-    assert(ex.getMessage.contains("DELETE manifest"))
+    assert(ex.getMessage.contains("not a positional-delete file"))
+  }
+
+  // --- v2 merge-on-read: positional deletes applied, equality refused
+
+  test("deleteWhere: positional deletes drop exactly the matching rows") {
+    val loc = tmp("graft-ice-mor-")
+    IcebergTable.create(customer, loc)
+    val snap = IcebergTable.deleteWhere(spark, loc, col("c_custkey") % 7 === 3)
+    assert(snap == 2L)
+    val expected = customer.filter(!(col("c_custkey") % 7 === 3))
+    val got = IcebergTable.read(spark, loc)
+    assert(got.count() == expected.count())
+    assert(got.select(sum(col("c_custkey"))).head().getLong(0) ==
+      expected.select(sum(col("c_custkey"))).head().getLong(0))
+    // data files untouched (merge-on-read): the snapshot still lists them
+    assert(IcebergMeta.snapshot(spark, loc).files.nonEmpty)
+    assert(IcebergMeta.snapshot(spark, loc).deleteFiles.nonEmpty)
+  }
+
+  test("deletes stay in force across a later append; time travel sees pre-delete rows") {
+    val loc = tmp("graft-ice-mor2-")
+    val old = customer.filter(col("c_custkey") <= 100)
+    val more = customer.filter(col("c_custkey") > 100 && col("c_custkey") <= 120)
+    IcebergTable.create(old, loc)                                  // snap 1
+    IcebergTable.deleteWhere(spark, loc, col("c_custkey") <= 10)   // snap 2
+    IcebergTable.append(more, loc)                                 // snap 3
+    val got = IcebergTable.read(spark, loc)
+    assert(got.count() == old.filter(col("c_custkey") > 10).count() + more.count())
+    assert(got.filter(col("c_custkey") <= 10).count() == 0,
+      "append resurrected positionally-deleted rows")
+    // a second delete composes with the first
+    IcebergTable.deleteWhere(spark, loc, col("c_custkey") > 110)   // snap 4
+    assert(IcebergTable.read(spark, loc).count() ==
+      old.filter(col("c_custkey") > 10).count() +
+        more.filter(col("c_custkey") <= 110).count())
+    // time travel to the pre-delete snapshot still sees every row
+    assert(IcebergTable.read(spark, loc, snapshotAsOf = Some(1L)).count() ==
+      old.count())
+  }
+
+  test("equality delete files (content=2) are refused loudly") {
+    val loc = tmp("graft-ice-eq-")
+    IcebergTable.create(customer.limit(20), loc)
+    IcebergTable.deleteWhere(spark, loc, col("c_custkey") === 1L)
+    // flip the delete manifest's entries to equality deletes
+    val dmPath = new java.io.File(s"$loc/metadata").listFiles()
+      .find(f => f.getName.startsWith("delete-manifest-00002")).get
+    rewriteAvro(dmPath) { r =>
+      r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .put("content", 2)
+    }
+    val ex = intercept[IllegalArgumentException](
+      IcebergMeta.snapshot(spark, loc))
+    assert(ex.getMessage.contains("EQUALITY"))
   }
 
   test("hint-less resolution past 10 versions: numeric sort, not lexicographic") {
