@@ -30,25 +30,70 @@ object PlanAnalysis {
   def explain(spark: SparkSession, df: DataFrame, verbose: Boolean = false): String = {
     val withQe = df.queryExecution
     val withPlan = withQe.optimizedPlan
-    val prev = spark.conf.getOption(GraftConf.ApplyEnabledKey)
-    spark.conf.set(GraftConf.ApplyEnabledKey, "false")
-    val withoutPlan =
-      try spark.sessionState.executePlan(withQe.logical).optimizedPlan
-      finally prev match {
-        case Some(v) => spark.conf.set(GraftConf.ApplyEnabledKey, v)
-        case None => spark.conf.unset(GraftConf.ApplyEnabledKey)
-      }
+    // re-plan without index rewrites under the THREAD-LOCAL guard, never
+    // by toggling the shared session conf: a concurrent query planned in
+    // that window would silently lose all index acceleration
+    val withoutPlan = graft.index.GraftRuleGuard.withRuleDisabled {
+      spark.sessionState.executePlan(withQe.logical).optimizedPlan
+    }
     val applied = appliedIndexes(spark, df)
     val sb = new StringBuilder
     sb.append("=== Graft: applied indexes ===\n")
     sb.append(if (applied.isEmpty) "(none)\n" else applied.mkString(", ") + "\n")
     sb.append("\n=== Plan with indexes ===\n").append(withPlan.treeString)
     sb.append("\n=== Plan without indexes ===\n").append(withoutPlan.treeString)
+    sb.append("\n").append(operatorDiffTable(spark, withQe))
     if (verbose) {
       sb.append("\n=== Physical plan with indexes ===\n")
         .append(withQe.executedPlan.toString)
     }
     sb.toString
+  }
+
+  /** Physical-operator count comparison between the accelerated and
+    * unaccelerated plans (reference:
+    * plananalysis/PhysicalOperatorAnalyzer.scala — same with/without
+    * op-count table, re-derived). Rows where the count changed are
+    * starred; sorting is by name for stable golden text. */
+  private def operatorDiffTable(spark: SparkSession,
+      withQe: org.apache.spark.sql.execution.QueryExecution): String = {
+    def counts(p: org.apache.spark.sql.execution.SparkPlan): Map[String, Int] = {
+      // compare the deterministic pre-AQE plan (AdaptiveSparkPlanExec
+      // hides its real tree from collect, and the final plan depends on
+      // runtime stats)
+      val unwrapped = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          // the current (initial, pre-execution) physical plan — exchanges
+          // already placed by EnsureRequirements, no runtime re-plan yet
+          a.executedPlan
+        case other => other
+      }
+      unwrapped.collect { case n => n.nodeName }
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+    }
+    val withCounts = counts(withQe.executedPlan)
+    val withoutCounts = graft.index.GraftRuleGuard.withRuleDisabled {
+      counts(spark.sessionState.executePlan(withQe.logical).executedPlan)
+    }
+    val names = (withCounts.keySet ++ withoutCounts.keySet).toSeq.sorted
+    val rows = names.map { n =>
+      val w = withCounts.getOrElse(n, 0)
+      val wo = withoutCounts.getOrElse(n, 0)
+      (n, wo.toString, w.toString,
+        (if (w != wo) f"${w - wo}%+d *" else "0"))
+    }
+    val header = ("Physical Operator", "Without Index", "With Index", "Difference")
+    val all = header +: rows
+    def width(f: ((String, String, String, String)) => String): Int =
+      all.map(f(_).length).max
+    val (w1, w2, w3, w4) =
+      (width(_._1), width(_._2), width(_._3), width(_._4))
+    def line(r: (String, String, String, String)): String =
+      s"| ${r._1.padTo(w1, ' ')} | ${r._2.reverse.padTo(w2, ' ').reverse} | " +
+        s"${r._3.reverse.padTo(w3, ' ').reverse} | ${r._4.reverse.padTo(w4, ' ').reverse} |"
+    val sep = s"+${"-" * (w1 + 2)}+${"-" * (w2 + 2)}+${"-" * (w3 + 2)}+${"-" * (w4 + 2)}+"
+    (Seq("=== Physical operator stats (with vs without indexes) ===",
+      sep, line(header), sep) ++ rows.map(line) :+ sep).mkString("", "\n", "\n")
   }
 
   /** Per-index reasons why each ACTIVE index was / was not applied. */
@@ -67,15 +112,11 @@ object PlanAnalysis {
     val applied = appliedIndexes(spark, df).toSet
     // analyze the PRE-REWRITE optimized plan: once a rewrite fires, the
     // original relation is gone from df's plan and every not-applied
-    // index would misreport NO_FILE_BASED_SOURCE
-    val prev = spark.conf.getOption(GraftConf.ApplyEnabledKey)
-    spark.conf.set(GraftConf.ApplyEnabledKey, "false")
-    val plan =
-      try spark.sessionState.executePlan(df.queryExecution.logical).optimizedPlan
-      finally prev match {
-        case Some(v) => spark.conf.set(GraftConf.ApplyEnabledKey, v)
-        case None => spark.conf.unset(GraftConf.ApplyEnabledKey)
-      }
+    // index would misreport NO_FILE_BASED_SOURCE. Thread-local guard,
+    // not a session-conf toggle — concurrent planning must keep rewrites.
+    val plan = graft.index.GraftRuleGuard.withRuleDisabled {
+      spark.sessionState.executePlan(df.queryExecution.logical).optimizedPlan
+    }
     val leaves = IndexCandidates.sourceLeaves(spark, plan)
     val candidates = IndexCandidates.collect(spark, plan, all)
     val resolver = spark.sessionState.conf.resolver

@@ -65,6 +65,60 @@ class PlanAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("explain renders the physical-operator diff table; removed shuffles starred") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_oj_l", Seq("l_orderkey"), Seq("l_quantity")))
+      g.createIndex(orders,
+        CoveringIndexConfig("pa_oj_o", Seq("o_orderkey"), Seq("o_totalprice")))
+      val q = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_quantity"), col("o_totalprice"))
+      // force the shuffle-join shape so the bucketed-index rewrite's
+      // removed Exchanges show up in the diff regardless of table size
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = try g.explain(q)
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      assert(out.contains("=== Physical operator stats (with vs without indexes) ==="))
+      assert(out.contains("Physical Operator"))
+      val exchangeRow = out.linesIterator.find(_.startsWith("| Exchange"))
+      assert(exchangeRow.isDefined, "no Exchange row in the operator table")
+      assert(exchangeRow.get.contains("*"),
+        s"bucketed index join should remove Exchanges: ${exchangeRow.get}")
+    }
+  }
+
+  test("explain/whyNot never leak their rewrite-off state to concurrent planning") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_conc", Seq("l_orderkey"), Seq("l_quantity")))
+      def q = lineitem.filter(col("l_orderkey") === 1L)
+        .select(col("l_orderkey"), col("l_quantity"))
+      def usesIndex: Boolean =
+        graft.index.analysis.PlanAnalysis.appliedIndexes(spark, q)
+          .contains("pa_conc")
+      assert(usesIndex)
+      // hammer explain + whyNot on background threads; every plan built
+      // concurrently on THIS thread must still get the rewrite — the
+      // old session-conf toggle opened a window where it silently didn't
+      @volatile var stop = false
+      val analyzers = (1 to 2).map { _ =>
+        val t = new Thread(() => {
+          while (!stop) { g.explain(q); g.whyNot(q) }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      try {
+        val lost = (1 to 40).count(_ => !usesIndex)
+        assert(lost == 0,
+          s"$lost/40 concurrent plans lost the index rewrite during analysis")
+      } finally {
+        stop = true
+        analyzers.foreach(_.join(2000))
+      }
+    }
+  }
+
   // ------------------------------------------------ filter-shape codes
 
   test("NO_FIRST_INDEXED_COL_COND: filter on an included, non-head column") {
