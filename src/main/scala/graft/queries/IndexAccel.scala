@@ -191,6 +191,103 @@ object IndexAccel {
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  // ------------------------------------- deep-snowflake plan corpus
+  // TPC-DS-shaped multi-index queries: several covering indexes,
+  // JoinOneSideIndexRule and AggIndexRule are eligible AT ONCE and the
+  // score-based optimizer must pick the global-best combination. Golden
+  // plans pin the exchange-minimal shapes; oracles pin the values.
+
+  /** 4-table snowflake chain (lineitem → orders → customer → nation)
+    * grouped by nation: three join legs with index pairs on the first
+    * two, a one-sided leg into tiny nation. At 100 TB the first two
+    * joins are the data movers — bucketed index pairs make them
+    * exchange-free on the fact side. */
+  def idxSnowflake3(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
+      "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice")))
+    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
+      "accel_ci_ord_snow", Seq("o_orderkey"), Seq("o_custkey")))
+    ensureIndex(spark, sfDir, "customer", CoveringIndexConfig(
+      "accel_ci_cust_nat", Seq("c_custkey"), Seq("c_nationkey", "c_acctbal")))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nat = Tables.load(spark, sfDir, "nation")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("n_name"))
+  }
+
+  val idxSnowflake3Sql: String =
+    s"""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Star + aggregate: the per-customer spend aggregation runs
+    * SHUFFLE-FREE off the o_custkey-bucketed index (AggIndexRule), and
+    * the join into customer uses the customer index one-sided
+    * (JoinOneSideIndexRule) — both rules fire in ONE plan, which is the
+    * whole point of the score-based combination search. */
+  def idxStarAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
+      "accel_ci_ord_agg", Seq("o_custkey"), Seq("o_totalprice")))
+    ensureIndex(spark, sfDir, "customer", CoveringIndexConfig(
+      "accel_ci_cust", Seq("c_custkey"), Seq("c_acctbal")))
+    val ord = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val perCust = ord.groupBy(col("o_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("cust_spend"))
+    perCust.join(cust, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).cast(LongType).as("n_cust"),
+        moneySum(col("cust_spend")).as("sum_spend"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+  }
+
+  val idxStarAggSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+       | ${sqlMoneySum("cust_spend")} AS sum_spend,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM (
+       |  SELECT o_custkey, ${sqlMoneySum("o_totalprice")} AS cust_spend
+       |  FROM orders GROUP BY o_custkey
+       |) per_cust
+       |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** Rule rivalry on ONE scan: the lineitem leaf is eligible for BOTH a
+    * filter-index rewrite (score 50) and a join-index pair rewrite
+    * (score 140) — the memoized tree search must take the join pair, not
+    * greedily grab the filter index it sees first. The golden plan pins
+    * the winner by index name. */
+  def idxRuleRivalry(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
+      "accel_ci_li", Seq("l_orderkey"), Seq("l_quantity", "l_extendedprice")))
+    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
+      "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice")))
+    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
+      "accel_ci_ord_snow", Seq("o_orderkey"), Seq("o_custkey")))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    li.filter(col("l_orderkey").between(100L, 5000L))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val idxRuleRivalrySql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_orderkey BETWEEN 100 AND 5000""".stripMargin
+
   // --------------------------------------------- join ranker tie-break
   /** Join where TWO lineitem indexes are eligible for the same pair and
     * the ranker must choose: an 8-bucket and a 32-bucket index both
@@ -363,6 +460,9 @@ object IndexAccel {
     "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
     "idx_iceberg_v2_filter" -> (idxIcebergV2Filter _, idxIcebergV2FilterSql),
     "q_snowflake_2idx" -> (idxSnowflake2 _, idxSnowflake2Sql),
+    "q_snowflake_3idx" -> (idxSnowflake3 _, idxSnowflake3Sql),
+    "q_star_agg_idx" -> (idxStarAgg _, idxStarAggSql),
+    "q_rule_rivalry" -> (idxRuleRivalry _, idxRuleRivalrySql),
     "q_join_rank_tie" -> (idxJoinRankTie _, idxJoinRankTieSql),
     "q_join_one_sided" -> (idxJoinOneSided _, idxJoinOneSidedSql),
     "idx_covering_filter" -> (idxCoveringFilter _, idxCoveringFilterSql),

@@ -281,6 +281,49 @@ class PlanAuditSpec extends AnyFunSuite {
       "fact stream must re-shuffle onto the dimension key")
   }
 
+  test("q_star_agg_idx: AggIndexRule and JoinOneSideIndexRule fire in ONE plan") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val nodes = plannedNoBroadcast("q_star_agg_idx")
+    val scanRoots = nodes.collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.map(_.toString).mkString(",") }
+    def scanned(idx: String) = scanRoots.exists(_.contains(s"/$idx/"))
+    assert(scanned("accel_ci_ord_agg") && scanned("accel_ci_cust"),
+      s"expected both index scans, got:\n${scanRoots.mkString("\n")}")
+    // the per-customer aggregation runs off the o_custkey-bucketed index:
+    // partial+final with NO exchange between them, and the join consumes
+    // it with NO exchange on either side — the only shuffle in the whole
+    // plan is the final single-partition scalar aggregate
+    val smj = nodes.collectFirst { case j: SortMergeJoinExec => j }
+      .getOrElse(fail("no sort-merge join in plan"))
+    assert(!(allNodes(smj.left) ++ allNodes(smj.right))
+      .exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "bucketed agg+join pipeline shuffled anyway:\n" + smj)
+    val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1 &&
+      shuffles.head.outputPartitioning.numPartitions == 1,
+      s"expected only the final single-partition exchange, got:\n$shuffles")
+  }
+
+  test("q_rule_rivalry: the join pair outscores the filter index on the same scan") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val nodes = plannedNoBroadcast("q_rule_rivalry")
+    val scanRoots = nodes.collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.map(_.toString).mkString(",") }
+    // the memoized search must take the JOIN pair (score 140) over the
+    // filter-index rewrite (score 50) that is also eligible on lineitem
+    val smj = nodes.collectFirst { case j: SortMergeJoinExec => j }
+      .getOrElse(fail("no sort-merge join in plan — filter index won?"))
+    assert(!(allNodes(smj.left) ++ allNodes(smj.right))
+      .exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "join-pair rewrite should leave the join exchange-free:\n" + smj)
+    // any compatible o_orderkey-bucketed orders index closes the pair
+    // (the shared fixture path holds several; the ranker picks by size)
+    assert(scanRoots.exists(_.contains("/accel_ci_ord")),
+      s"orders side of the pair not substituted:\n${scanRoots.mkString("\n")}")
+  }
+
   test("q_join_rank_tie: ranker picks the equal-bucket index, not the 8-bucket decoy") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

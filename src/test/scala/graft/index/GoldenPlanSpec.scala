@@ -59,7 +59,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     // fits a broadcast, which would hide the property that matters at
     // 100 TB — where neither side broadcasts)
     val noBroadcast = Set("q_snowflake_2idx", "q_join_rank_tie",
-      "q_join_one_sided")
+      "q_join_one_sided", "q_snowflake_3idx", "q_star_agg_idx",
+      "q_rule_rivalry")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     if (noBroadcast(name))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -114,6 +115,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "idx_dataskip_filter", "idx_delta_filter", "idx_iceberg_filter",
     "idx_iceberg_v2_filter",
     "q_snowflake_2idx", "q_join_rank_tie", "q_join_one_sided",
+    "q_snowflake_3idx", "q_star_agg_idx", "q_rule_rivalry",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
