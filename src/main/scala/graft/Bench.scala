@@ -152,16 +152,25 @@ object Bench {
     // raw passes, and probe detail go to bench_out.json.
     // adaptive precision: 3 decimals unless the line would crowd the
     // 2000-char window (new queries keep joining the suite), then 2
+    // probe evidence rides the tracked record itself (BENCH_rN.json is
+    // parsed from this line): the reference probe, the picked statistic,
+    // and WHICH queries never saw a clean pass — so a contended round's
+    // per-query blame survives even after bench_out.json is overwritten
+    val contendedNames = picked.collect { case (n, _, true) => n -> "true" }
+    def short3(v: Double): String = f"$v%.3f"
     val json = Iterator(3, 2, 1).map { dp =>
       def short(v: Double): String = s"%.${dp}f".format(v)
       s"""{"metric":"total","value":${short(total)},"unit":"sec",""" +
-        s""""contended":$contended,""" +
+        s""""stat":"min_clean","contended":$contended,""" +
+        s""""probe_ref":${short3(globalRef)},""" +
+        s""""contended_queries":${jsonMap(contendedNames)},""" +
         s""""queries":${jsonMap(mins.map { case (k, v) => k -> short(v) })},""" +
         s""""err":${jsonMap(errs)},""" +
         s""""sf":"$sfDir"}"""
     }.find(_.length <= 1850).getOrElse(
-      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"sf":"$sfDir"}""")
-    def short3(v: Double): String = f"$v%.3f"
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_clean",""" +
+        s""""contended":$contended,"probe_ref":${short3(globalRef)},""" +
+        s""""sf":"$sfDir"}""")
     val passDetail = jsonMap(ok.map { case (n, ps, _) =>
       n -> ps.map { case (p, t) => s"[${short3(p)},${short3(t)}]" }
         .mkString("[", ",", "]")

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /**
  * Access to the TPC-H-ish test tables (see TESTDATA.md). Every table is a
@@ -24,18 +25,94 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(sfDir, name))
-    // events.ts is parquet TIMESTAMP(NANOS); Spark reads it as Long when
-    // spark.sql.legacy.parquet.nanosAsLong=true (set by GraftSession).
-    // Truncate to microseconds — Spark's native timestamp precision.
-    // integer division: floor(ts/1000) coerces to DOUBLE, and ns epochs
-    // (~1.77e18) exceed 2^53, so the double path can truncate to a
-    // different microsecond than an exact engine would
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    // generations and TIMESTAMP_MICROS (NTZ) in others; normalize whatever
+    // the file actually holds to the session-standard TimestampType.
+    if (name == "events") EventTs.of(df.schema("ts").dataType).micros(df)
     else df
   }
 
   /** Register all tables as temp views named after themselves. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+}
+
+/**
+ * Schema-adaptive handling of the `events.ts` column. Fixture generators
+ * (and real users' writers) vary in the physical parquet timestamp they
+ * produce; the engine accepts every encoding Spark can read and
+ * normalizes to the session-standard `TimestampType` (session TZ is UTC,
+ * so TIMESTAMP_NTZ values map to the identical instant):
+ *
+ *  - parquet TIMESTAMP(NANOS) → Spark reads `LongType` nanosecond epochs
+ *    under `spark.sql.legacy.parquet.nanosAsLong=true`
+ *  - parquet TIMESTAMP_MICROS with isAdjustedToUTC=false → `TimestampNTZType`
+ *  - parquet TIMESTAMP_MICROS/MILLIS adjusted to UTC → `TimestampType`
+ *
+ * All arithmetic is integral (`div`, `unix_micros`): floor(ts/1000) via
+ * doubles is inexact at nanosecond-epoch magnitude (~1.77e18 > 2^53).
+ */
+object EventTs {
+
+  sealed trait Variant {
+    /** Physical Spark type of the raw `ts` column for this variant. */
+    def tsType: DataType
+    /** Normalize raw `ts` → `TimestampType` at microsecond precision. */
+    def micros(df: DataFrame): DataFrame
+    /** Normalize raw `ts` → `TimestampType` floored to whole seconds
+      * (integral gap/range arithmetic on both engines). */
+    def seconds(df: DataFrame): DataFrame
+    /** External (Row-encoder) value for a synthetic event at `us`
+      * microseconds since epoch, typed to match `tsType`. */
+    def rowValue(us: Long): Any
+  }
+
+  /** TIMESTAMP(NANOS) read as Long ns epochs (legacy nanosAsLong). */
+  case object NanosLong extends Variant {
+    val tsType: DataType = LongType
+    def micros(df: DataFrame): DataFrame =
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def seconds(df: DataFrame): DataFrame =
+      df.withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+    def rowValue(us: Long): Any = java.lang.Long.valueOf(Math.multiplyExact(us, 1000L))
+  }
+
+  /** TIMESTAMP (with local TZ) — already the session-standard type. */
+  case object Micros extends Variant {
+    val tsType: DataType = TimestampType
+    def micros(df: DataFrame): DataFrame = df
+    def seconds(df: DataFrame): DataFrame =
+      df.withColumn("ts", timestamp_seconds(expr("unix_micros(ts) div 1000000")))
+    def rowValue(us: Long): Any =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L)
+  }
+
+  /** TIMESTAMP_NTZ — identical instants under the UTC session TZ. */
+  case object MicrosNtz extends Variant {
+    val tsType: DataType = TimestampNTZType
+    def micros(df: DataFrame): DataFrame =
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    def seconds(df: DataFrame): DataFrame =
+      df.withColumn("ts",
+        timestamp_seconds(expr("unix_micros(cast(ts as timestamp)) div 1000000")))
+    def rowValue(us: Long): Any =
+      java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L),
+        java.time.ZoneOffset.UTC)
+  }
+
+  def of(dt: DataType): Variant = dt match {
+    case LongType          => NanosLong
+    case TimestampType     => Micros
+    case TimestampNTZType  => MicrosNtz
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported physical type $other; " +
+        "expected TIMESTAMP(NANOS)-as-long, TIMESTAMP, or TIMESTAMP_NTZ")
+  }
+
+  /** Probe the on-disk variant via a footer-only batch schema read. */
+  def probe(spark: SparkSession, sfDir: String): Variant =
+    of(spark.read.parquet(Tables.path(sfDir, "events")).schema("ts").dataType)
 }

@@ -41,26 +41,37 @@ object StreamingQueries {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** events.parquet physical schema under nanosAsLong (ts: bigint ns). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /**
+   * events.parquet physical schema, probed per run: the `ts` column has
+   * shipped as TIMESTAMP(NANOS)-as-long in some fixture generations and
+   * TIMESTAMP_MICROS (NTZ) in others. `readStream` needs an explicit
+   * schema, so a footer-only batch schema read picks the
+   * [[graft.EventTs.Variant]] and the matching raw schema before the
+   * stream starts. At production scale this probe is one footer read —
+   * negligible against the stream itself.
+   */
+  private def eventsRaw(spark: SparkSession, sfDir: String)
+      : (StructType, graft.EventTs.Variant) = {
+    val variant = graft.EventTs.probe(spark, sfDir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", variant.tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    (schema, variant)
+  }
 
   def qStreamWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // glob, not the bare path: events.parquet is a single FILE and the
     // file stream source requires its basePath to be a directory — the
     // glob makes basePath resolve to sfDir
+    val (rawSchema, variant) = eventsRaw(spark, sfDir)
     val raw = spark.readStream.schema(rawSchema)
       .parquet(Tables.path(sfDir, "events") + "*")
-    val events = raw
-      // integer division (see Tables.load): double arithmetic is inexact
-      // at nanosecond-epoch magnitude
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = variant.micros(raw)
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[StreamEvent]
 
@@ -112,9 +123,10 @@ object StreamingQueries {
     import spark.implicits._
     val glob = Tables.path(sfDir, "events") + "*"
     val gapMs = 1800L * 1000L
+    val (rawSchema, variant) = eventsRaw(spark, sfDir)
 
-    val maxRow = spark.read.schema(rawSchema).parquet(glob)
-      .agg(max(col("ts"))).head()
+    val maxRow = variant.micros(spark.read.schema(rawSchema).parquet(glob))
+      .agg(max(unix_micros(col("ts")))).head()
     if (maxRow.isNullAt(0)) {
       // empty source: no sessions, and no stream to run
       return spark.createDataFrame(
@@ -129,22 +141,22 @@ object StreamingQueries {
           org.apache.spark.sql.types.StructField("n_events",
             org.apache.spark.sql.types.LongType))))
     }
-    val maxNs = maxRow.getLong(0)
+    val maxUs = maxRow.getLong(0)
     // sentinel ts: gap (30 min) + watermark delay (10 min) + slack
-    val sentinelNs = maxNs + 2L * 3600L * 1000000000L
+    val sentinelUs = maxUs + 2L * 3600L * 1000000L
     val sentinelPath = java.nio.file.Files
       .createTempDirectory("graft-sess-sentinel-")
     val sentinelDir = sentinelPath.toString
     spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
-          -1L, sentinelNs, -1L, "sentinel", 0.0, "{}")), 1), rawSchema)
+          -1L, variant.rowValue(sentinelUs), -1L, "sentinel", 0.0, "{}")), 1),
+        rawSchema)
       .write.mode("overwrite").parquet(sentinelDir)
 
     def fileStream(path: String) =
       spark.readStream.schema(rawSchema).parquet(path)
-    val events = fileStream(glob).union(fileStream(sentinelDir))
-      // second-floored event time: integral gap arithmetic on both engines
-      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+    // second-floored event time: integral gap arithmetic on both engines
+    val events = variant.seconds(fileStream(glob).union(fileStream(sentinelDir)))
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[StreamEvent]
 
@@ -280,6 +292,7 @@ object StreamingQueries {
    * is bit-equal to the batch oracle.
    */
   def qStreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawSchema, _) = eventsRaw(spark, sfDir)
     val raw = spark.readStream.schema(rawSchema)
       .parquet(Tables.path(sfDir, "events") + "*")
       .select(col("user_id"), col("event_type"), col("value"))
@@ -329,9 +342,10 @@ object StreamingQueries {
    */
   def qStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    def side(eventType: String) = spark.readStream.schema(rawSchema)
-      .parquet(Tables.path(sfDir, "events") + "*")
-      .withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+    val (rawSchema, variant) = eventsRaw(spark, sfDir)
+    def side(eventType: String) = variant.seconds(
+        spark.readStream.schema(rawSchema)
+          .parquet(Tables.path(sfDir, "events") + "*"))
       .filter(col("event_type") === eventType)
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[StreamEvent]
