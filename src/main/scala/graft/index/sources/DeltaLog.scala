@@ -27,7 +27,8 @@ import org.json4s.jackson.JsonMethods
  * JSON commits after the checkpoint are driver-parsed (they are small
  * by construction — that is what checkpoints are for).
  */
-final case class DeltaFileMeta(path: String, size: Long, modificationTime: Long)
+final case class DeltaFileMeta(path: String, size: Long, modificationTime: Long,
+    dv: Option[DvDescriptor] = None)
 
 /**
  * Thrown when a Delta table requires reader capabilities this jarless
@@ -64,10 +65,12 @@ object DeltaLog {
 
   /** Reader features this replay genuinely implements. `timestampNtz`
     * is type-level only (Spark's parquet reader handles TIMESTAMP_NTZ
-    * natively); everything else — deletionVectors, columnMapping,
-    * v2Checkpoint, typeWidening, … — changes how add actions must be
-    * interpreted and MUST be refused. */
-  private val SupportedReaderFeatures = Set("timestampNtz")
+    * natively); `deletionVectors` is merge-on-read via the
+    * (`_metadata.file_path`, `row_index`) anti-join in
+    * [[DeltaTable.read]]. Everything else — columnMapping, v2Checkpoint,
+    * typeWidening, … — changes how actions must be interpreted and MUST
+    * be refused. */
+  private val SupportedReaderFeatures = Set("timestampNtz", "deletionVectors")
 
   private[sources] val CommitRe = """(\d{20})\.json""".r
   private val CkptSingleRe = """(\d{20})\.checkpoint\.parquet""".r
@@ -139,9 +142,10 @@ object DeltaLog {
     // another an absolute one for the same file
     val live = mutable.LinkedHashMap.empty[String, DeltaFileMeta]
 
-    def addFile(rawPath: String, size: Long, modTime: Long): Unit = {
+    def addFile(rawPath: String, size: Long, modTime: Long,
+        dv: Option[DvDescriptor] = None): Unit = {
       val abs = resolvePath(root, rawPath)
-      live(abs) = DeltaFileMeta(abs, size, modTime)
+      live(abs) = DeltaFileMeta(abs, size, modTime, dv)
     }
 
     ckptVersion.foreach { cv =>
@@ -187,21 +191,26 @@ object DeltaLog {
       if (cols.contains("add")) {
         val addFields =
           ck.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
-        if (addFields.contains("deletionVector")) {
-          val dvCount = ck.where("add.deletionVector is not null").count()
-          if (dvCount > 0) {
-            throw new UnsupportedDeltaProtocolException(
-              s"Delta table at $rootStr: checkpoint carries $dvCount add " +
-                "action(s) with deletion vectors; the jarless reader would " +
-                "silently resurrect deleted rows. Read this table with the " +
-                "delta-spark connector instead.")
-          }
-        }
         // remove tombstones in a checkpoint are vacuum bookkeeping, not
         // live files — only adds constitute the snapshot
-        ck.select("add.path", "add.size", "add.modificationTime")
-          .where("add.path is not null").collect()
-          .foreach(r => addFile(r.getString(0), r.getLong(1), r.getLong(2)))
+        if (addFields.contains("deletionVector")) {
+          ck.select("add.path", "add.size", "add.modificationTime",
+              "add.deletionVector.storageType", "add.deletionVector.pathOrInlineDv",
+              "add.deletionVector.offset", "add.deletionVector.sizeInBytes",
+              "add.deletionVector.cardinality")
+            .where("add.path is not null").collect()
+            .foreach { r =>
+              val dv = if (r.isNullAt(3)) None
+                else Some(DvDescriptor(r.getString(3), r.getString(4),
+                  if (r.isNullAt(5)) None else Some(r.getInt(5)),
+                  r.getInt(6), r.getLong(7)))
+              addFile(r.getString(0), r.getLong(1), r.getLong(2), dv)
+            }
+        } else {
+          ck.select("add.path", "add.size", "add.modificationTime")
+            .where("add.path is not null").collect()
+            .foreach(r => addFile(r.getString(0), r.getLong(1), r.getLong(2)))
+        }
       }
     }
 
@@ -258,17 +267,24 @@ object DeltaLog {
         }
         j \ "add" match {
           case JObject(_) =>
-            (j \ "add" \ "deletionVector") match {
+            val dv = (j \ "add" \ "deletionVector") match {
               case JObject(_) =>
-                // defense in depth: a DV add implies protocol v3 +
-                // deletionVectors feature (refused below), but a
-                // non-conforming writer must not slip rows past us
-                throw new UnsupportedDeltaProtocolException(
-                  s"Delta table at $rootStr: commit $v carries an add " +
-                    "action with a deletion vector; the jarless reader " +
-                    "would silently resurrect deleted rows. Read this " +
-                    "table with the delta-spark connector instead.")
-              case _ =>
+                def str(f: String): String = (j \ "add" \ "deletionVector" \ f) match {
+                  case JString(s) => s
+                  case other => throw new IllegalStateException(
+                    s"deletionVector.$f is $other in commit $v at $rootStr")
+                }
+                def num(f: String): Option[Long] =
+                  (j \ "add" \ "deletionVector" \ f) match {
+                    case JInt(n) => Some(n.toLong)
+                    case JLong(n) => Some(n)
+                    case _ => None
+                  }
+                Some(DvDescriptor(str("storageType"), str("pathOrInlineDv"),
+                  num("offset").map(_.toInt),
+                  num("sizeInBytes").getOrElse(0L).toInt,
+                  num("cardinality").getOrElse(0L)))
+              case _ => None
             }
             val JString(path) = (j \ "add" \ "path"): @unchecked
             val size = (j \ "add" \ "size") match {
@@ -281,7 +297,7 @@ object DeltaLog {
               case JLong(n) => n
               case _ => 0L
             }
-            addFile(path, size, mt)
+            addFile(path, size, mt, dv)
           case _ =>
         }
         j \ "remove" match {
@@ -361,9 +377,13 @@ private[sources] case class CkptMetaData(
 private[sources] case class CkptProtocol(
     minReaderVersion: Int, minWriterVersion: Int,
     readerFeatures: Option[Seq[String]], writerFeatures: Option[Seq[String]])
+private[sources] case class CkptDv(
+    storageType: String, pathOrInlineDv: String, offset: Option[Int],
+    sizeInBytes: Int, cardinality: Long)
 private[sources] case class CkptAdd(
     path: String, partitionValues: Map[String, String], size: Long,
-    modificationTime: Long, dataChange: Boolean)
+    modificationTime: Long, dataChange: Boolean,
+    deletionVector: Option[CkptDv] = None)
 private[sources] case class CkptRemove(
     path: String, deletionTimestamp: Long, dataChange: Boolean)
 private[sources] case class CkptRow(
@@ -421,13 +441,67 @@ object DeltaTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     }
-    spark.read
+    val data = spark.read
       .schema(s.schema)
       .option("basePath", root)
       .option(RootOption, root)
       .option(VersionOption, s.version.toString)
       .parquet(s.files.map(_.path): _*)
+    val withDv = s.files.filter(_.dv.exists(_.cardinality > 0L))
+    if (withDv.isEmpty) data
+    else {
+      // DELETION-VECTOR merge-on-read: drop (file, position) pairs named
+      // by the DVs with an anti-join on (`_metadata.file_path`,
+      // `_metadata.row_index`) — the mirror of the Iceberg v2
+      // positional-delete path (IcebergTable.read). The build side is
+      // the decoded DV positions (small relative to data by
+      // construction — DVs accumulate until compaction), so Spark's
+      // size-based planning broadcasts it; the data side never shuffles.
+      // DV files are decoded ON EXECUTORS via the binaryFile source
+      // (one task per DV file), so a large delete never bottlenecks the
+      // driver; inline DVs are spec-bounded tiny and decode locally.
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, regexp_replace}
+      val rootPath = new Path(root)
+      val (inline, fileBacked) = withDv.partition(_.dv.get.storageType == "i")
+      val byDvFile: Map[String, Seq[(String, DvDescriptor)]] = fileBacked
+        .map(f => (f.dv.get.absolutePath(rootPath).get.toString,
+          (normPath(f.path), f.dv.get)))
+        .groupBy(_._1).map { case (k, v) => normPath(k) -> v.map(_._2) }
+      val fromFiles: org.apache.spark.sql.Dataset[(String, Long)] =
+        if (byDvFile.isEmpty) spark.emptyDataset[(String, Long)]
+        else spark.read.format("binaryFile")
+          .load(byDvFile.keys.toSeq: _*)
+          .select(col("path"), col("content")).as[(String, Array[Byte])]
+          .flatMap { case (p, bytes) =>
+            byDvFile(normPath(p)).iterator.flatMap { case (dataPath, d) =>
+              DeltaDeletionVectors.positionsOf(d, Some(bytes)).iterator
+                .map(pos => (dataPath, pos))
+            }
+          }
+      val fromInline = spark.createDataset(inline.flatMap(f =>
+        DeltaDeletionVectors.positionsOf(f.dv.get, None)
+          .map(pos => (normPath(f.path), pos))))
+      val dels = fromFiles.union(fromInline)
+        .toDF("__del_path", "__del_pos")
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^file:/+", "/")
+      val withPos = data
+        .withColumn("__path", norm(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      withPos.join(dels,
+        withPos("__path") === dels("__del_path") &&
+          withPos("__pos") === dels("__del_pos"), "left_anti")
+        .drop("__path", "__pos")
+    }
   }
+
+  /** Scheme-normalize a path string the way the read-side columns are
+    * normalized (`_metadata.file_path` and binaryFile's `path` are
+    * `file:`-qualified; log paths are usually bare). Serializable-pure:
+    * used inside executor closures. */
+  private[sources] def normPath(p: String): String =
+    p.replaceFirst("^file:/+", "/")
 
   /** Version 0 commit: write `df` as parquet under `root` (optionally
     * hive-partitioned) and log protocol + metaData + adds. */
@@ -440,16 +514,192 @@ object DeltaTable {
       partitionBy: Seq[String] = Nil): Long =
     commit(df, root, overwrite = false, partitionBy)
 
+  /**
+   * Row-level DELETE via deletion vectors (merge-on-read): rows matching
+   * `condition` are marked deleted WITHOUT rewriting any data file —
+   * each affected file is re-added with a `deletionVector` descriptor
+   * pointing into a freshly-written DV file, and the table's protocol is
+   * upgraded to (3, 7) + `deletionVectors` on first use. The Delta
+   * mirror of `IcebergTable.deleteWhere` (positional delete files).
+   *
+   * Scale: matching positions are gathered and bitmapped PER FILE on
+   * executors (`groupByKey(file).mapGroups` — one roaring bitmap per
+   * file, never an all-positions list on the driver); only the
+   * serialized bitmaps (compressed, metadata-scale) are collected, the
+   * same driver footprint as the commit JSON that must list every
+   * re-added file. A repeat delete UNIONS into the existing DV, so
+   * deletes compose without rewriting earlier vectors' files.
+   */
+  def deleteWhere(spark: SparkSession, rootStr: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = true, kind = "deleteWhere")
+    if (prior.files.isEmpty) return prior.version
+
+    def normC(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+    // evaluate the predicate over the RAW snapshot (previously-deleted
+    // rows may re-match; the union below makes that a no-op)
+    val matched = spark.read
+      .schema(prior.schema)
+      .option("basePath", rootStr)
+      .parquet(prior.files.map(_.path): _*)
+      .filter(condition)
+      .select(normC(col("_metadata.file_path")).as("p"),
+        col("_metadata.row_index").as("pos"))
+      .as[(String, Long)]
+    val blobs: Array[(String, Array[Byte], Long)] =
+      matched.groupByKey(_._1).mapGroups { (path, rows) =>
+        val (bytes, card) =
+          DeltaDeletionVectors.serializePositions(rows.map(_._2))
+        (path, bytes, card)
+      }.collect()
+    if (blobs.isEmpty) return prior.version // no matching rows: no commit
+
+    // merge into any existing DV (bitmap union — driver-side, bounded by
+    // the compressed bitmap size of the affected files)
+    val byNorm: Map[String, DeltaFileMeta] =
+      prior.files.map(f => normPath(f.path) -> f).toMap
+    val dvFileCache = mutable.Map.empty[String, Array[Byte]]
+    def dvBytes(d: DvDescriptor): Option[Array[Byte]] =
+      d.absolutePath(root).map { p =>
+        dvFileCache.getOrElseUpdate(p.toString, {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          val in = fs.open(p)
+          try in.readFully(0, buf) finally in.close()
+          buf
+        })
+      }
+    val merged: Seq[(DeltaFileMeta, Array[Byte], Long)] = blobs.toSeq.map {
+      case (p, bytes, card) =>
+        val f = byNorm.getOrElse(p, throw new IllegalStateException(
+          s"matched file $p is not in the snapshot of $rootStr"))
+        f.dv match {
+          case Some(old) if old.cardinality > 0L =>
+            val union = DeltaDeletionVectors.positionsOf(old, dvBytes(old)).iterator ++
+              DeltaDeletionVectors.deserializePositions(bytes).iterator
+            val (mb, mc) = DeltaDeletionVectors.serializePositions(union)
+            (f, mb, mc)
+          case _ => (f, bytes, card)
+        }
+    }
+    val (dvPath, descriptors) = DeltaDeletionVectors.writeDvFile(
+      fs, root, merged.map { case (f, b, c) => (normPath(f.path), b, c) })
+
+    val version = prior.version + 1
+    val now = System.currentTimeMillis()
+    val rootUri = fs.makeQualified(root).toUri
+    def relOf(path: String): String =
+      rootUri.relativize(fs.makeQualified(new Path(path)).toUri).getPath
+    def partitionValuesOf(rel: String): List[(String, JValue)] =
+      rel.split('/').init.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> (JString(java.net.URLDecoder.decode(v, "UTF-8")): JValue))
+          case _ => None
+        }
+      }.toList
+
+    val lines = mutable.Buffer.empty[JValue]
+    val hasDvProtocol = prior.minReaderVersion >= 3 &&
+      prior.readerFeatures.contains("deletionVectors")
+    if (!hasDvProtocol) {
+      lines += JObject("protocol" -> JObject(
+        "minReaderVersion" -> JInt(3),
+        "minWriterVersion" -> JInt(7),
+        "readerFeatures" -> JArray(
+          (prior.readerFeatures + "deletionVectors").toList.sorted.map(JString(_))),
+        "writerFeatures" -> JArray(
+          (prior.writerFeatures + "deletionVectors").toList.sorted.map(JString(_)))))
+    }
+    merged.foreach { case (f, _, _) =>
+      val rel = relOf(f.path)
+      val d = descriptors(normPath(f.path))
+      val dvJson = JObject(
+        "storageType" -> JString(d.storageType),
+        "pathOrInlineDv" -> JString(d.pathOrInlineDv),
+        "offset" -> JInt(BigInt(d.offset.get)),
+        "sizeInBytes" -> JInt(BigInt(d.sizeInBytes)),
+        "cardinality" -> JLong(d.cardinality))
+      lines += JObject("remove" -> JObject(
+        "path" -> JString(rel),
+        "deletionTimestamp" -> JLong(now),
+        "dataChange" -> JBool(true)))
+      lines += JObject("add" -> JObject(
+        "path" -> JString(rel),
+        "partitionValues" -> JObject(partitionValuesOf(rel)),
+        "size" -> JLong(f.size),
+        "modificationTime" -> JLong(f.modificationTime),
+        "dataChange" -> JBool(true),
+        "deletionVector" -> dvJson))
+    }
+
+    val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
+    // same create-no-overwrite fence as commit(): the loser's DV file is
+    // removed so a retry starts clean
+    val out = try fs.create(commitPath, false) catch {
+      case e: Throwable =>
+        fs.delete(dvPath, false)
+        throw e
+    }
+    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    version
+  }
+
   /** Writer features this writer can honor. `appendOnly` is honored by
-    * REFUSING overwrite commits; anything else (invariants, CHECK
-    * constraints, generated columns, …) would require evaluating
-    * constraints this minimal writer cannot, so tables demanding them
-    * are refused loudly. */
-  private val SupportedWriterFeatures = Set("appendOnly")
+    * REFUSING overwrite commits (and row deletes); `deletionVectors` is
+    * honored by [[deleteWhere]] writing spec-shaped DV files. Anything
+    * else (invariants, CHECK constraints, generated columns, …) would
+    * require evaluating constraints this minimal writer cannot, so
+    * tables demanding them are refused loudly. */
+  private val SupportedWriterFeatures = Set("appendOnly", "deletionVectors")
+
+  /** Symmetric writer gate — shared by [[commit]] and [[deleteWhere]]:
+    * a table whose protocol or configuration demands writer capabilities
+    * we don't implement must not be written. */
+  private def writerGate(p: DeltaSnapshot, rootStr: String,
+      deletesRows: Boolean, kind: String): Unit = {
+    val unsupportedWf = p.writerFeatures -- SupportedWriterFeatures
+    if (p.minWriterVersion > 2 && !(p.minWriterVersion == 7 && unsupportedWf.isEmpty)) {
+      throw new UnsupportedDeltaProtocolException(
+        s"Delta table at $rootStr requires minWriterVersion " +
+          s"${p.minWriterVersion}" +
+          (if (unsupportedWf.nonEmpty)
+            s" with unsupported writerFeatures ${unsupportedWf.toSeq.sorted.mkString("[", ", ", "]")}"
+          else "") +
+          "; this minimal writer implements protocol 2 (append/overwrite " +
+          "with optimistic concurrency) plus deletion vectors. Writing " +
+          "anyway could violate table invariants. Write with the " +
+          "delta-spark connector instead.")
+    }
+    val constraintKeys = p.configuration.keys.filter(_.startsWith("delta.constraints."))
+    if (constraintKeys.nonEmpty) {
+      throw new UnsupportedDeltaProtocolException(
+        s"Delta table at $rootStr carries CHECK constraints " +
+          s"(${constraintKeys.toSeq.sorted.mkString(", ")}) this minimal " +
+          "writer cannot enforce. Write with the delta-spark connector instead.")
+    }
+    val appendOnly =
+      p.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")) ||
+        p.writerFeatures.contains("appendOnly")
+    if (appendOnly && deletesRows) {
+      throw new UnsupportedDeltaProtocolException(
+        s"Delta table at $rootStr is append-only (delta.appendOnly); " +
+          s"$kind would delete rows in violation of the table's " +
+          "configuration. Only append is permitted.")
+    }
+  }
 
   /** Shared commit path. This minimal writer supports whole-table
-    * overwrite and append; row-level deletes (remove + rewritten adds)
-    * are a real Delta writer's job.
+    * overwrite and append; row-level deletes go through [[deleteWhere]]
+    * (deletion vectors, merge-on-read).
     *
     * Concurrency: data files are STAGED through a per-writer temp dir and
     * only the files this writer itself produced are moved in and logged —
@@ -472,36 +722,8 @@ object DeltaTable {
 
     // symmetric writer gate — a table whose protocol or configuration
     // demands writer capabilities we don't implement must not be written
-    prior.foreach { p =>
-      val unsupportedWf = p.writerFeatures -- SupportedWriterFeatures
-      if (p.minWriterVersion > 2 && !(p.minWriterVersion == 7 && unsupportedWf.isEmpty)) {
-        throw new UnsupportedDeltaProtocolException(
-          s"Delta table at $rootStr requires minWriterVersion " +
-            s"${p.minWriterVersion}" +
-            (if (unsupportedWf.nonEmpty)
-              s" with unsupported writerFeatures ${unsupportedWf.toSeq.sorted.mkString("[", ", ", "]")}"
-            else "") +
-            "; this minimal writer implements protocol 2 (append/overwrite " +
-            "with optimistic concurrency). Writing anyway could violate " +
-            "table invariants. Write with the delta-spark connector instead.")
-      }
-      val constraintKeys = p.configuration.keys.filter(_.startsWith("delta.constraints."))
-      if (constraintKeys.nonEmpty) {
-        throw new UnsupportedDeltaProtocolException(
-          s"Delta table at $rootStr carries CHECK constraints " +
-            s"(${constraintKeys.toSeq.sorted.mkString(", ")}) this minimal " +
-            "writer cannot enforce. Write with the delta-spark connector instead.")
-      }
-      val appendOnly =
-        p.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")) ||
-          p.writerFeatures.contains("appendOnly")
-      if (appendOnly && overwrite) {
-        throw new UnsupportedDeltaProtocolException(
-          s"Delta table at $rootStr is append-only (delta.appendOnly); " +
-            "overwrite would delete rows in violation of the table's " +
-            "configuration. Only append is permitted.")
-      }
-    }
+    prior.foreach(p => writerGate(p, rootStr, deletesRows = overwrite,
+      kind = if (overwrite) "overwrite" else "append"))
 
     // stage through a per-writer temp dir: the add set is EXACTLY the
     // files this writer produced, independent of concurrent activity
@@ -629,8 +851,12 @@ object DeltaTable {
       s.files.map { f =>
         val rel = rootUri.relativize(
           fs.makeQualified(new Path(f.path)).toUri).getPath
+        // DV descriptors MUST survive the checkpoint: dropping one here
+        // would resurrect its deleted rows for every later replayer
+        val dv = f.dv.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
+          d.offset, d.sizeInBytes, d.cardinality))
         CkptRow(Some(CkptAdd(rel, partitionValuesOf(rel), f.size,
-          f.modificationTime, dataChange = false)), None, None, None)
+          f.modificationTime, dataChange = false, dv)), None, None, None)
       }
     val tmp = new Path(DeltaLog.logDir(root), s".ckpt-tmp-${s.version}")
     rows.toDS().repartition(1).write.mode("overwrite").parquet(tmp.toString)

@@ -391,6 +391,35 @@ object IndexAccel {
        | ${sqlMoneySum("s_acctbal")} AS sum_bal
        |FROM supplier WHERE s_nationkey BETWEEN 5 AND 15""".stripMargin
 
+  /** Delta DELETION-VECTOR merge-on-read: the fixture table takes a
+    * row-level DELETE (`DeltaTable.deleteWhere` — DV file + re-added
+    * `add` actions, protocol (3,7)+deletionVectors), so a matching
+    * aggregate proves the DV decode and the (`_metadata.file_path`,
+    * `row_index`) anti-join drop exactly the deleted rows. The oracle
+    * sees only supplier parquet and re-applies the delete predicate. */
+  def idxDeltaDvFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.DeltaTable
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_delta_dv_$h"
+    synchronized {
+      if (!graft.index.sources.DeltaLog.isDeltaTable(spark, root)) {
+        val supplier = Tables.load(spark, sfDir, "supplier")
+        DeltaTable.create(supplier, root)
+        DeltaTable.deleteWhere(spark, root, col("s_suppkey") % 7 === 3)
+      }
+    }
+    DeltaTable.read(spark, root)
+      .filter(col("s_nationkey").between(5L, 15L))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("s_acctbal")).as("sum_bal"))
+  }
+
+  val idxDeltaDvFilterSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("s_acctbal")} AS sum_bal
+       |FROM supplier
+       |WHERE s_nationkey BETWEEN 5 AND 15 AND NOT (s_suppkey % 7 = 3)""".stripMargin
+
   // ------------------------------------------------ iceberg source
   /** Covering-index filter over an ICEBERG table (metadata.json + avro
     * manifests replayed jarless — [[graft.index.sources.IcebergMeta]]):
@@ -457,6 +486,7 @@ object IndexAccel {
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
+    "idx_delta_dv_filter" -> (idxDeltaDvFilter _, idxDeltaDvFilterSql),
     "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
     "idx_iceberg_v2_filter" -> (idxIcebergV2Filter _, idxIcebergV2FilterSql),
     "q_snowflake_2idx" -> (idxSnowflake2 _, idxSnowflake2Sql),

@@ -34,6 +34,8 @@ class GoldenPlanSpec extends AnyFunSuite {
         // lambda-variable names carry a session-global counter
         .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_n")
         .replaceAll("plan_id=\\d+", "plan_id=x")
+        // JVM lambda identities (typed MapPartitions etc.) vary per session
+        .replaceAll("\\$\\$+Lambda[$/][^\\s,@]*(@[0-9a-fA-F]+)?", "\\$\\$Lambda[scrubbed]")
         .replaceAll("Location: [^,\\]]+", "Location: [scrubbed]")
         .replaceAll("InMemoryFileIndex\\([^)]*\\)[^,\\]]*", "InMemoryFileIndex[scrubbed]")
         .replaceAll("file:[^,\\s\\]]+", "[path]")
@@ -113,7 +115,7 @@ class GoldenPlanSpec extends AnyFunSuite {
   Seq(
     "idx_covering_filter", "idx_join", "idx_zorder_filter",
     "idx_dataskip_filter", "idx_delta_filter", "idx_iceberg_filter",
-    "idx_iceberg_v2_filter",
+    "idx_iceberg_v2_filter", "idx_delta_dv_filter",
     "q_snowflake_2idx", "q_join_rank_tie", "q_join_one_sided",
     "q_snowflake_3idx", "q_star_agg_idx", "q_rule_rivalry",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",

@@ -71,6 +71,28 @@ class MetadataGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("MOR safety holds on the Delta deletion-vector leg too") {
+    import graft.index.sources.DeltaTable
+    withGraft { g =>
+      val loc = Files.createTempDirectory("graft-mor-dv-").toString
+      DeltaTable.create(customer, loc)
+      g.createIndex(DeltaTable.read(spark, loc),
+        CoveringIndexConfig("ci_mor_dv", Seq("c_nationkey"),
+          customer.columns.filterNot(_ == "c_nationkey").toSeq))
+      DeltaTable.deleteWhere(spark, loc, col("c_custkey") % 7 === 3)
+
+      val q = DeltaTable.read(spark, loc)
+        .filter(col("c_nationkey") === 5)
+        .select(col("c_acctbal"))
+      val expected = customer
+        .filter(col("c_custkey") % 7 =!= 3 && col("c_nationkey") === 5)
+        .count()
+      assert(q.count() == expected)
+      assert(!q.queryExecution.executedPlan.toString.contains("ci_mor_dv"),
+        "index must not substitute a scan whose _metadata is consumed")
+    }
+  }
+
   test("control: the same index accelerates the pre-delete (non-MOR) snapshot") {
     withGraft { g =>
       val loc = Files.createTempDirectory("graft-mor-ctl-").toString
