@@ -193,12 +193,33 @@ object DeltaLog {
           ck.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
         // remove tombstones in a checkpoint are vacuum bookkeeping, not
         // live files — only adds constitute the snapshot
-        if (addFields.contains("deletionVector")) {
-          ck.select("add.path", "add.size", "add.modificationTime",
+        val dvStructFields: Set[String] =
+          if (!addFields.contains("deletionVector")) Set.empty
+          else ck.schema("add").dataType.asInstanceOf[StructType]("deletionVector")
+            .dataType match {
+              case s: StructType => s.fieldNames.toSet
+              case _ => Set.empty
+            }
+        val dvNeeded = Set("storageType", "pathOrInlineDv", "sizeInBytes", "cardinality")
+        if (addFields.contains("deletionVector") && !dvNeeded.subsetOf(dvStructFields) &&
+            ck.where("add.deletionVector is not null").count() > 0) {
+          // a DV struct we cannot fully decode: serving the table would
+          // resurrect deleted rows — refuse, don't guess
+          throw new UnsupportedDeltaProtocolException(
+            s"Delta checkpoint at $rootStr carries deletionVector structs " +
+              s"missing ${(dvNeeded -- dvStructFields).toSeq.sorted.mkString(", ")}; " +
+              "cannot decode the deletion vectors. Read this table with the " +
+              "delta-spark connector instead.")
+        }
+        if (dvNeeded.subsetOf(dvStructFields)) {
+          val hasOffset = dvStructFields.contains("offset")
+          val offsetCol = if (hasOffset) "add.deletionVector.offset"
+            else "cast(null as int) as offset"
+          ck.selectExpr("add.path", "add.size", "add.modificationTime",
               "add.deletionVector.storageType", "add.deletionVector.pathOrInlineDv",
-              "add.deletionVector.offset", "add.deletionVector.sizeInBytes",
+              offsetCol, "add.deletionVector.sizeInBytes",
               "add.deletionVector.cardinality")
-            .where("add.path is not null").collect()
+            .where("path is not null").collect()
             .foreach { r =>
               val dv = if (r.isNullAt(3)) None
                 else Some(DvDescriptor(r.getString(3), r.getString(4),

@@ -25,22 +25,39 @@ import org.json4s.jackson.JsonMethods
  * location, files from `planFiles`; this module re-derives the
  * metadata-walk itself).
  *
- * Scope: v1/v2 DATA manifests. Row-level DELETE manifests (v2
- * `content=1`) are rejected loudly — serving a table while ignoring its
- * delete files would silently resurrect deleted rows.
+ * Scope: v1/v2 DATA manifests plus v2 row-level DELETE manifests —
+ * positional (content=1) AND equality (content=2) delete files, both
+ * applied merge-on-read by [[IcebergTable.read]].
  *
  * Scale note: one metadata.json read + one manifest-list read + one read
  * per manifest — the same driver-side walk the connector does; state is
  * file METADATA only, never row data.
  */
+
+/** A v2 row-level delete file: positional (`content=1`, rows of
+  * `file_path`,`pos`) or equality (`content=2`, rows of the columns
+  * named by `equalityIds`). `seq` is the DATA SEQUENCE NUMBER of the
+  * commit that added it — the spec's ordering rule: an equality delete
+  * applies only to data files with a strictly smaller sequence, so a
+  * key re-inserted AFTER the delete survives. */
+final case class IceDeleteFile(
+    path: String, size: Long, content: Int,
+    equalityIds: Seq[Int], seq: Long)
+
 final case class IcebergSnapshot(
     location: String,
     snapshotId: Long,
     schema: StructType,
     files: Seq[DeltaFileMeta], // (path, size, mtime=0): iceberg files are immutable
-    // v2 merge-on-read: positional-delete files (file_path, pos rows)
-    // that must be anti-joined away from `files` at read time
-    deleteFiles: Seq[DeltaFileMeta] = Nil)
+    // v2 merge-on-read: delete files that must be anti-joined away from
+    // `files` at read time
+    deleteFiles: Seq[IceDeleteFile] = Nil,
+    // per-data-file sequence numbers (path → seq), for the equality-
+    // delete ordering rule; legacy manifests without the field read as 0
+    dataSeq: Map[String, Long] = Map.empty,
+    // top-level field id → column name, from the snapshot's own schema
+    // JSON (resolves equality_ids against external tables' real ids)
+    fieldIdToName: Map[Int, String] = Map.empty)
 
 object IcebergMeta {
 
@@ -156,11 +173,21 @@ object IcebergMeta {
       }
     }
 
-    val files = manifests.collect { case (m, 0) => m }
+    val dataEntries = manifests.collect { case (m, 0) => m }
       .flatMap(m => readManifest(fs, resolve(location, m)))
     val deleteFiles = manifests.collect { case (m, 1) => m }
       .flatMap(m => readDeleteManifest(fs, resolve(location, m)))
-    IcebergSnapshot(location, snapshotId, schema, files, deleteFiles)
+    val fieldIds: Map[Int, String] = (schemaJson \ "fields") match {
+      case JArray(fields) => fields.flatMap { f =>
+        ((f \ "id"), (f \ "name")) match {
+          case (JInt(i), JString(n)) => Some(i.toInt -> n)
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+    IcebergSnapshot(location, snapshotId, schema, dataEntries.map(_._1),
+      deleteFiles, dataEntries.map(e => e._1.path -> e._2).toMap, fieldIds)
   }
 
   /** Iceberg metadata stores absolute URIs; strip `file:` to the same
@@ -200,47 +227,54 @@ object IcebergMeta {
       r.get("manifest_path").toString -> content
     }
 
-  private def readManifest(fs: FileSystem, path: String): Seq[DeltaFileMeta] =
+  /** Per-entry data sequence number; legacy manifests without the field
+    * (or with null, meaning "inherit") read as 0 — ordering-neutral for
+    * positional deletes, and conservative (always-applies) for equality
+    * deletes over legacy data. */
+  private def entrySeq(r: GenericRecord): Long =
+    fieldOpt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L)
+
+  private def readManifest(fs: FileSystem, path: String): Seq[(DeltaFileMeta, Long)] =
     readAvro(fs, path).flatMap { r =>
       val status = fieldOpt(r, "status").map(_.toString.toInt).getOrElse(1)
       if (status == 2) None // DELETED entry
       else {
         val df = r.get("data_file").asInstanceOf[GenericRecord]
-        Some(DeltaFileMeta(
+        Some((DeltaFileMeta(
           df.get("file_path").toString,
           df.get("file_size_in_bytes").toString.toLong,
-          0L))
+          0L), entrySeq(r)))
       }
     }
 
-  /** A DELETE manifest's entries are delete FILES. Positional deletes
-    * (data_file.content=1: rows of `file_path`,`pos`) are applied at
-    * read time; equality deletes (content=2) would require evaluating
-    * equality predicates against every data row and are refused loudly —
-    * serving the table while ignoring them would resurrect deleted
-    * rows. An entry without delete content is a corrupt tree (a data
-    * file listed in a delete manifest), also refused. */
-  private def readDeleteManifest(fs: FileSystem, path: String): Seq[DeltaFileMeta] =
+  /** A DELETE manifest's entries are delete FILES: positional
+    * (data_file.content=1: rows of `file_path`,`pos`) or equality
+    * (content=2: rows of the columns in `equality_ids`), both applied at
+    * read time by [[IcebergTable.read]]. An entry without delete content
+    * is a corrupt tree (a data file listed in a delete manifest),
+    * refused; so is an equality entry without its ids. */
+  private def readDeleteManifest(fs: FileSystem, path: String): Seq[IceDeleteFile] =
     readAvro(fs, path).flatMap { r =>
       val status = fieldOpt(r, "status").map(_.toString.toInt).getOrElse(1)
       if (status == 2) None // DELETED entry
       else {
         val df = r.get("data_file").asInstanceOf[GenericRecord]
         val content = fieldOpt(df, "content").map(_.toString.toInt).getOrElse(0)
-        if (content == 2) {
-          throw new IllegalArgumentException(
-            s"delete manifest $path carries an EQUALITY delete file " +
-              s"(${df.get("file_path")}); equality deletes are not supported " +
-              "by the jarless reader — read this table with the iceberg " +
-              "connector instead")
-        }
-        require(content == 1,
+        require(content == 1 || content == 2,
           s"delete manifest $path entry ${df.get("file_path")} has " +
-            s"content=$content — not a positional-delete file (corrupt tree?)")
-        Some(DeltaFileMeta(
+            s"content=$content — not a delete file (corrupt tree?)")
+        val ids: Seq[Int] = fieldOpt(df, "equality_ids") match {
+          case Some(l: java.util.List[_]) =>
+            l.asScala.map(_.toString.toInt).toSeq
+          case _ => Nil
+        }
+        if (content == 2) require(ids.nonEmpty,
+          s"equality delete file ${df.get("file_path")} in $path names no " +
+            "equality_ids (corrupt tree?)")
+        Some(IceDeleteFile(
           df.get("file_path").toString,
           df.get("file_size_in_bytes").toString.toLong,
-          0L))
+          content, ids, entrySeq(r)))
       }
     }
 
@@ -381,23 +415,61 @@ object IcebergTable {
       .option(LocationOption, location)
       .option(SnapshotOption, s.snapshotId.toString)
       .parquet(s.files.map(_.path): _*)
-    if (s.deleteFiles.isEmpty) data
-    else {
-      // scheme-normalize both sides: manifests/delete rows may carry
-      // `file:`-qualified or bare paths depending on the writer
-      def norm(c: org.apache.spark.sql.Column) =
-        regexp_replace(c, "^file:/+", "/")
-      val dels = spark.read.parquet(s.deleteFiles.map(_.path): _*)
+    val posDeletes = s.deleteFiles.filter(_.content == 1)
+    val eqDeletes = s.deleteFiles.filter(_.content == 2)
+    if (posDeletes.isEmpty && eqDeletes.isEmpty) return data
+
+    // scheme-normalize both sides: manifests/delete rows may carry
+    // `file:`-qualified or bare paths depending on the writer
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+    var cur = data.withColumn("__path", norm(col("_metadata.file_path")))
+
+    if (posDeletes.nonEmpty) {
+      val dels = spark.read.parquet(posDeletes.map(_.path): _*)
         .select(norm(col("file_path")).as("__del_path"),
           col("pos").cast("long").as("__del_pos"))
-      val withPos = data
-        .withColumn("__path", norm(col("_metadata.file_path")))
-        .withColumn("__pos", col("_metadata.row_index"))
-      withPos.join(dels,
-        withPos("__path") === dels("__del_path") &&
-          withPos("__pos") === dels("__del_pos"), "left_anti")
-        .drop("__path", "__pos")
+      cur = cur.withColumn("__pos", col("_metadata.row_index"))
+      cur = cur.join(dels,
+        cur("__path") === dels("__del_path") &&
+          cur("__pos") === dels("__del_pos"), "left_anti")
+        .drop("__pos")
     }
+
+    if (eqDeletes.nonEmpty) {
+      // EQUALITY deletes (content=2): anti-join on the columns named by
+      // equality_ids, restricted by the spec's SEQUENCE rule — a delete
+      // applies only to rows from data files committed strictly before
+      // it (seq(data) < seq(delete)), so later re-inserts of the same
+      // key survive. The per-row sequence rides a broadcast-joined
+      // (path → seq) map (one row per data FILE — metadata-scale); each
+      // delete row carries its file's seq so one anti-join per distinct
+      // equality-column-set handles every delete generation at once.
+      import org.apache.spark.sql.functions.{broadcast, lit}
+      val seqDf = spark.createDataFrame(
+        s.files.map(f => (DeltaTable.normPath(f.path),
+          s.dataSeq.getOrElse(f.path, 0L)))).toDF("__seq_path", "__seq")
+      cur = cur.join(broadcast(seqDf), cur("__path") === seqDf("__seq_path"), "left")
+        .drop("__seq_path")
+      eqDeletes.groupBy(_.equalityIds.sorted).foreach { case (ids, group) =>
+        val cols = ids.map(id => s.fieldIdToName.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"equality delete names field id $id, which is not a " +
+              s"top-level column of the schema at ${s.location} — nested " +
+              "or dropped columns are not supported by the jarless reader")))
+        val delRows = group.map { d =>
+          spark.read.parquet(d.path)
+            .select(cols.map(c => col(c).as(s"__del_$c")): _*)
+            .withColumn("__del_seq", lit(d.seq))
+        }.reduce(_ unionByName _)
+        // null-safe equality: the spec matches null keys to null values
+        val cond = cols.map(c => cur(c) <=> delRows(s"__del_$c"))
+          .reduce(_ && _) && cur("__seq") < delRows("__del_seq")
+        cur = cur.join(delRows, cond, "left_anti")
+      }
+      cur = cur.drop("__seq")
+    }
+    cur.drop("__path")
   }
 
   def create(df: DataFrame, location: String): Long =
@@ -410,6 +482,7 @@ object IcebergTable {
     """{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int"},
       |  {"name":"snapshot_id","type":["null","long"],"default":null},
+      |  {"name":"sequence_number","type":["null","long"],"default":null},
       |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
@@ -419,17 +492,20 @@ object IcebergTable {
       |]}""".stripMargin)
 
   /** DELETE-manifest entries carry the spec's `content` discriminator
-    * in data_file (1 = positional deletes, 2 = equality deletes). */
+    * in data_file (1 = positional deletes, 2 = equality deletes) and,
+    * for equality deletes, the field ids of the match columns. */
   private val DeleteManifestSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int"},
       |  {"name":"snapshot_id","type":["null","long"],"default":null},
+      |  {"name":"sequence_number","type":["null","long"],"default":null},
       |  {"name":"data_file","type":{"type":"record","name":"r2d","fields":[
       |    {"name":"content","type":"int","default":0},
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
       |    {"name":"record_count","type":"long"},
-      |    {"name":"file_size_in_bytes","type":"long"}
+      |    {"name":"file_size_in_bytes","type":"long"},
+      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
       |  ]}}
       |]}""".stripMargin)
 
@@ -491,7 +567,8 @@ object IcebergTable {
     fs.delete(stage, true)
 
     publishSnapshot(spark, location, prior, df.schema, "append",
-      dataExisting = prior.toSeq.flatMap(_.files),
+      dataExisting = prior.toSeq.flatMap(p =>
+        p.files.map(f => (f, p.dataSeq.getOrElse(f.path, 0L)))),
       dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L)),
       deleteExisting = prior.toSeq.flatMap(_.deleteFiles),
       deleteAdded = Nil)
@@ -535,7 +612,7 @@ object IcebergTable {
       .write.parquet(stage.toString)
     val stagedParts = fs.listStatus(stage).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
-    val added: Seq[DeltaFileMeta] = stagedParts.zipWithIndex.map { case (s, i) =>
+    val added: Seq[IceDeleteFile] = stagedParts.zipWithIndex.map { case (s, i) =>
       val target = new Path(dataDir,
         f"delete-${prior.snapshotId + 1}%05d-$i%d-${s.getPath.getName}")
       if (!fs.rename(s.getPath, target)) {
@@ -543,12 +620,71 @@ object IcebergTable {
           s"failed to move staged delete file ${s.getPath} to $target")
       }
       val st = fs.getFileStatus(target)
-      DeltaFileMeta(st.getPath.toString, st.getLen, 0L)
+      IceDeleteFile(st.getPath.toString, st.getLen, content = 1, Nil,
+        seq = prior.snapshotId + 1)
     }
     fs.delete(stage, true)
 
     publishSnapshot(spark, location, Some(prior), prior.schema, "delete",
-      dataExisting = prior.files,
+      dataExisting = prior.files.map(f =>
+        (f, prior.dataSeq.getOrElse(f.path, 0L))),
+      dataAdded = Nil,
+      deleteExisting = prior.deleteFiles,
+      deleteAdded = added)
+  }
+
+  /**
+   * v2 EQUALITY DELETE (content=2): delete every row whose values in
+   * `keys`' columns match ANY row of `keys` — the shape CDC writers
+   * (Flink upserts) produce, where the deleted key set is known but the
+   * rows' positions are not. Data files are untouched; [[read]] applies
+   * the delete as an anti-join on the equality columns, restricted by
+   * the spec's SEQUENCE rule: only data files committed strictly BEFORE
+   * this delete are affected, so a key re-inserted later survives.
+   *
+   * `keys` must project top-level columns of the table schema; its rows
+   * are written verbatim (deduplicated) as the delete file.
+   */
+  def deleteWhereEquality(spark: SparkSession, location: String,
+      keys: DataFrame): Long = {
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = new Path(root, "data")
+    require(IcebergMeta.isIcebergTable(spark, location),
+      s"deleteWhereEquality on a non-Iceberg directory: $location")
+    val prior = IcebergMeta.snapshot(spark, location)
+    val nameToId: Map[String, Int] =
+      prior.fieldIdToName.map { case (i, n) => n -> i }
+    val ids: Seq[Int] = keys.columns.toSeq.map { c =>
+      nameToId.getOrElse(c, throw new IllegalArgumentException(
+        s"equality-delete column '$c' is not a top-level column of the " +
+          s"table at $location (have ${nameToId.keys.toSeq.sorted.mkString(", ")})"))
+    }
+
+    val stage = new Path(root,
+      s".graft-stage-${java.util.UUID.randomUUID().toString}")
+    keys.dropDuplicates(keys.columns.toSeq)
+      .repartition(1).sortWithinPartitions(keys.columns.head,
+        keys.columns.tail: _*)
+      .write.parquet(stage.toString)
+    val stagedParts = fs.listStatus(stage).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val added: Seq[IceDeleteFile] = stagedParts.zipWithIndex.map { case (s, i) =>
+      val target = new Path(dataDir,
+        f"eq-delete-${prior.snapshotId + 1}%05d-$i%d-${s.getPath.getName}")
+      if (!fs.rename(s.getPath, target)) {
+        throw new IllegalStateException(
+          s"failed to move staged delete file ${s.getPath} to $target")
+      }
+      val st = fs.getFileStatus(target)
+      IceDeleteFile(st.getPath.toString, st.getLen, content = 2, ids,
+        seq = prior.snapshotId + 1)
+    }
+    fs.delete(stage, true)
+
+    publishSnapshot(spark, location, Some(prior), prior.schema, "delete",
+      dataExisting = prior.files.map(f =>
+        (f, prior.dataSeq.getOrElse(f.path, 0L))),
       dataAdded = Nil,
       deleteExisting = prior.deleteFiles,
       deleteAdded = added)
@@ -562,8 +698,8 @@ object IcebergTable {
     * added files and manifests so a retry starts clean. */
   private def publishSnapshot(spark: SparkSession, location: String,
       prior: Option[IcebergSnapshot], schema: StructType, operation: String,
-      dataExisting: Seq[DeltaFileMeta], dataAdded: Seq[DeltaFileMeta],
-      deleteExisting: Seq[DeltaFileMeta], deleteAdded: Seq[DeltaFileMeta]): Long = {
+      dataExisting: Seq[(DeltaFileMeta, Long)], dataAdded: Seq[DeltaFileMeta],
+      deleteExisting: Seq[IceDeleteFile], deleteAdded: Seq[IceDeleteFile]): Long = {
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = IcebergMeta.metadataDir(location)
@@ -585,7 +721,8 @@ object IcebergTable {
       } else Nil
 
     def entry(schema: Schema, status: Int, content: Option[Int],
-        path: String, size: Long): GenericRecord = {
+        path: String, size: Long, seq: Long,
+        equalityIds: Seq[Int] = Nil): GenericRecord = {
       val dfr = new GenericData.Record(
         schema.getField("data_file").schema())
       content.foreach(c => dfr.put("content", c))
@@ -593,19 +730,31 @@ object IcebergTable {
       dfr.put("file_format", "PARQUET")
       dfr.put("record_count", -1L)
       dfr.put("file_size_in_bytes", size)
+      if (equalityIds.nonEmpty) {
+        dfr.put("equality_ids",
+          java.util.Arrays.asList(equalityIds.map(Int.box): _*))
+      }
       val r = new GenericData.Record(schema)
       r.put("status", status)
       r.put("snapshot_id", snapshotId)
+      // explicit per-entry sequence numbers (never null-inherited):
+      // existing entries keep the seq of the commit that added them —
+      // the equality-delete ordering rule depends on this surviving the
+      // single-manifest-per-commit rewrite this writer does
+      r.put("sequence_number", seq)
       r.put("data_file", dfr)
       r
     }
     // prior live files carry over as EXISTING (0); this commit's as ADDED (1)
     val dataEntries =
-      dataExisting.map(f => entry(ManifestSchema, 0, None, f.path, f.size)) ++
-        dataAdded.map(f => entry(ManifestSchema, 1, None, f.path, f.size))
+      dataExisting.map { case (f, seq) =>
+        entry(ManifestSchema, 0, None, f.path, f.size, seq) } ++
+        dataAdded.map(f => entry(ManifestSchema, 1, None, f.path, f.size, snapshotId))
     val deleteEntries =
-      deleteExisting.map(f => entry(DeleteManifestSchema, 0, Some(1), f.path, f.size)) ++
-        deleteAdded.map(f => entry(DeleteManifestSchema, 1, Some(1), f.path, f.size))
+      deleteExisting.map(f => entry(DeleteManifestSchema, 0, Some(f.content),
+        f.path, f.size, f.seq, f.equalityIds)) ++
+        deleteAdded.map(f => entry(DeleteManifestSchema, 1, Some(f.content),
+          f.path, f.size, f.seq, f.equalityIds))
 
     // per-writer unique names (like real Iceberg's uuid-suffixed
     // manifests): racing writers never collide here, so the metadata
@@ -663,7 +812,8 @@ object IcebergTable {
     // commit can absorb them.
     val os = try fs.create(metaFile, false) catch {
       case e: Throwable =>
-        (dataAdded ++ deleteAdded).foreach(f => fs.delete(new Path(f.path), false))
+        (dataAdded.map(_.path) ++ deleteAdded.map(_.path))
+          .foreach(p => fs.delete(new Path(p), false))
         fs.delete(manifestPath, false)
         deleteManifest.foreach { case (p, _) => fs.delete(p, false) }
         fs.delete(manifestList, false)

@@ -483,12 +483,45 @@ object IndexAccel {
        |FROM customer
        |WHERE c_nationkey BETWEEN 5 AND 15 AND NOT (c_custkey % 7 = 3)""".stripMargin
 
+  /** Iceberg v2 EQUALITY deletes composing with positional ones: the
+    * fixture takes a positional DELETE (`deleteWhere`) and then an
+    * equality DELETE (`deleteWhereEquality` on `c_custkey`, content=2 +
+    * equality_ids + sequence numbers), so a matching aggregate proves
+    * both anti-joins (position and key, sequence-gated) stack. The
+    * oracle re-applies both predicates on plain customer parquet. */
+  def idxIcebergEqFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{IcebergMeta, IcebergTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val loc = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_iceberg_eq_$h"
+    synchronized {
+      if (!IcebergMeta.isIcebergTable(spark, loc)) {
+        val cust = Tables.load(spark, sfDir, "customer")
+        IcebergTable.create(cust, loc)
+        IcebergTable.deleteWhere(spark, loc, col("c_custkey") % 7 === 3)
+        IcebergTable.deleteWhereEquality(spark, loc,
+          cust.filter(col("c_custkey") % 5 === 1).select(col("c_custkey")))
+      }
+    }
+    IcebergTable.read(spark, loc)
+      .filter(col("c_nationkey").between(5L, 15L))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+  }
+
+  val idxIcebergEqFilterSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer
+       |WHERE c_nationkey BETWEEN 5 AND 15
+       |  AND NOT (c_custkey % 7 = 3) AND NOT (c_custkey % 5 = 1)""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
     "idx_delta_dv_filter" -> (idxDeltaDvFilter _, idxDeltaDvFilterSql),
     "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
     "idx_iceberg_v2_filter" -> (idxIcebergV2Filter _, idxIcebergV2FilterSql),
+    "idx_iceberg_eq_filter" -> (idxIcebergEqFilter _, idxIcebergEqFilterSql),
     "q_snowflake_2idx" -> (idxSnowflake2 _, idxSnowflake2Sql),
     "q_snowflake_3idx" -> (idxSnowflake3 _, idxSnowflake3Sql),
     "q_star_agg_idx" -> (idxStarAgg _, idxStarAggSql),

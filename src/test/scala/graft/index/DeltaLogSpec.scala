@@ -306,16 +306,23 @@ class DeltaLogSpec extends AnyFunSuite {
   private def metaDataLine(config: String = "{}"): String =
     s"""{"metaData":{"id":"gate-fixture","format":{"provider":"parquet","options":{}},"schemaString":"$escapedSchemaJson","partitionColumns":[],"configuration":$config,"createdTime":1}}"""
 
-  test("protocol gate: deletion-vector table (v3 + readerFeatures) refuses") {
+  test("protocol gate: v3 + deletionVectors is now implemented and reads; " +
+      "v2Checkpoint still refuses") {
     val root = tmp("graft-delta-dv-")
     writeRawCommit(root, 0L, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
       metaDataLine(),
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
+    assert(DeltaLog.snapshot(spark, root).readerFeatures.contains("deletionVectors"))
+
+    val root2 = tmp("graft-delta-v2ck-")
+    writeRawCommit(root2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      metaDataLine()))
     val err = intercept[UnsupportedDeltaProtocolException] {
-      DeltaLog.snapshot(spark, root)
+      DeltaLog.snapshot(spark, root2)
     }
-    assert(err.getMessage.contains("deletionVectors"))
+    assert(err.getMessage.contains("v2Checkpoint"))
   }
 
   test("protocol gate: minReaderVersion 2 (column mapping era) refuses") {
@@ -340,16 +347,15 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("column mapping"))
   }
 
-  test("protocol gate: add action carrying a deletionVector refuses (defense in depth)") {
+  test("add action carrying a deletionVector replays into the snapshot") {
     val root = tmp("graft-delta-dvadd-")
     writeRawCommit(root, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       metaDataLine(),
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":40,"cardinality":3}}}"""))
-    val err = intercept[UnsupportedDeltaProtocolException] {
-      DeltaLog.snapshot(spark, root)
-    }
-    assert(err.getMessage.contains("deletion vector"))
+    val s = DeltaLog.snapshot(spark, root)
+    val dv = s.files.head.dv
+    assert(dv.contains(graft.index.sources.DvDescriptor("u", "x", Some(1), 40, 3L)))
   }
 
   test("protocol gate: later-commit protocol upgrade refuses a previously readable table") {
@@ -357,7 +363,7 @@ class DeltaLogSpec extends AnyFunSuite {
     DeltaTable.create(customer.limit(5), root) // version 0, protocol 1
     assert(DeltaTable.read(spark, root).count() == 5)
     writeRawCommit(root, 1L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}"""))
     intercept[UnsupportedDeltaProtocolException] {
       DeltaLog.snapshot(spark, root)
     }
@@ -606,7 +612,7 @@ class DeltaLogSpec extends AnyFunSuite {
     DeltaTable.create(customer.limit(5), root)
     writeRawCheckpoint(root, 0L, spark.sql(
       s"""select named_struct('minReaderVersion', 3, 'minWriterVersion', 7,
-         |  'readerFeatures', array('deletionVectors')) as protocol,
+         |  'readerFeatures', array('v2Checkpoint')) as protocol,
          |  cast(null as struct<schemaString:string,
          |    partitionColumns:array<string>,
          |    configuration:map<string,string>>) as metaData,
@@ -620,10 +626,10 @@ class DeltaLogSpec extends AnyFunSuite {
     val err = intercept[UnsupportedDeltaProtocolException] {
       DeltaLog.snapshot(spark, root)
     }
-    assert(err.getMessage.contains("deletionVectors"))
+    assert(err.getMessage.contains("v2Checkpoint"))
   }
 
-  test("protocol gate fires on the checkpoint replay path (DV-bearing add)") {
+  test("checkpoint replay refuses a DV struct it cannot fully decode") {
     val root = tmp("graft-delta-ckgate2-")
     DeltaTable.create(customer.limit(5), root)
     writeRawCheckpoint(root, 0L, spark.sql(
@@ -643,10 +649,12 @@ class DeltaLogSpec extends AnyFunSuite {
          |  'deletionVector', named_struct('storageType', 'u',
          |    'cardinality', cast(3 as bigint)))
          |""".stripMargin))
+    // the checkpoint's DV struct carries only (storageType, cardinality):
+    // decoding is impossible, and guessing would resurrect deleted rows
     val err = intercept[UnsupportedDeltaProtocolException] {
       DeltaLog.snapshot(spark, root)
     }
-    assert(err.getMessage.contains("deletion vector"))
+    assert(err.getMessage.contains("deletionVector structs missing"))
   }
 
   test("protocol gate: v3 table whose only reader feature is timestampNtz reads") {

@@ -115,10 +115,10 @@ class IcebergMetaSpec extends AnyFunSuite {
     rewriteAvro(mlPath)(_.put("content", 1))
     val ex = intercept[IllegalArgumentException](
       IcebergMeta.snapshot(spark, loc))
-    assert(ex.getMessage.contains("not a positional-delete file"))
+    assert(ex.getMessage.contains("not a delete file"))
   }
 
-  // --- v2 merge-on-read: positional deletes applied, equality refused
+  // --- v2 merge-on-read: positional + equality deletes applied
 
   test("deleteWhere: positional deletes drop exactly the matching rows") {
     val loc = tmp("graft-ice-mor-")
@@ -156,11 +156,12 @@ class IcebergMetaSpec extends AnyFunSuite {
       old.count())
   }
 
-  test("equality delete files (content=2) are refused loudly") {
+  test("an equality delete entry without equality_ids is refused (corrupt tree)") {
     val loc = tmp("graft-ice-eq-")
     IcebergTable.create(customer.limit(20), loc)
     IcebergTable.deleteWhere(spark, loc, col("c_custkey") === 1L)
-    // flip the delete manifest's entries to equality deletes
+    // flip the delete manifest's entries to equality WITHOUT providing
+    // ids: applying such a delete would be guesswork, so it must refuse
     val dmPath = new java.io.File(s"$loc/metadata").listFiles()
       .find(f => f.getName.startsWith("delete-manifest-00002")).get
     rewriteAvro(dmPath) { r =>
@@ -169,7 +170,7 @@ class IcebergMetaSpec extends AnyFunSuite {
     }
     val ex = intercept[IllegalArgumentException](
       IcebergMeta.snapshot(spark, loc))
-    assert(ex.getMessage.contains("EQUALITY"))
+    assert(ex.getMessage.contains("equality_ids"))
   }
 
   test("hint-less resolution past 10 versions: numeric sort, not lexicographic") {
