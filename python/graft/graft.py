@@ -8,9 +8,12 @@ their `_jdf` handles.
 Requires the graft jar on the driver classpath and (for transparent
 acceleration) `spark.sql.extensions=graft.GraftSparkExtension`.
 
-NOTE: this container has no pyspark on the library path, so the wrapper is
-exercised only by its JVM twin's Scala tests; the py4j plumbing follows
-the standard pyspark SQLContext conventions (spark._jvm / spark._jsparkSession /
+Executed end-to-end by graft.index.PythonWrapperSpec: a py4j
+GatewayServer wired to the test JVM's SparkSession runs
+python/tests/wrapper_drive.py, which imports this module with the real
+pyspark library and drives createIndex / indexes / annSearch / annRecall
+/ deleteIndex across the bridge. The py4j plumbing follows the standard
+pyspark conventions (spark._jvm / spark._jsparkSession /
 DataFrame(jdf, spark)).
 """
 

@@ -1,0 +1,79 @@
+"""End-to-end drive of the python wrapper over a LIVE py4j gateway.
+
+Launched by graft.index.PythonWrapperSpec, which hosts a
+py4j GatewayServer wired to the test JVM's SparkSession:
+
+    python3 wrapper_drive.py <gateway-port> <sf-dir>
+
+The pyspark library is used exactly as a real driver would use it
+(pyspark.sql.DataFrame over `_jdf` handles); only the session object is a
+shim, because the JVM was started by sbt, not spark-submit. Everything the
+wrapper touches — `spark._jvm`, `spark._jsparkSession`, DataFrame
+round-trips — is the real py4j surface.
+
+Prints WRAPPER_OK <n_indexes> on success; any failure raises and exits
+non-zero (the Scala spec asserts both).
+"""
+import sys
+
+from py4j.java_gateway import JavaGateway, GatewayParameters, java_import
+
+port = int(sys.argv[1])
+sf_dir = sys.argv[2]
+
+gateway = JavaGateway(gateway_parameters=GatewayParameters(
+    port=port, auto_convert=True))
+jvm = gateway.jvm
+# the same imports pyspark's java_gateway registers (PythonUtils lives in
+# org.apache.spark.api.python)
+java_import(jvm, "org.apache.spark.api.python.*")
+java_import(jvm, "org.apache.spark.sql.*")
+
+jspark = gateway.entry_point.getSparkSession()
+
+
+class ShimSession(object):
+    """Just enough SparkSession surface for the wrapper + DataFrame."""
+    def __init__(self, jvm, jsession):
+        self._jvm = jvm
+        self._jsparkSession = jsession
+        self._sc = None  # classic DataFrame.__init__ reads it; unused after
+
+
+spark = ShimSession(jvm, jspark)
+
+from pyspark.sql import DataFrame  # noqa: E402
+from graft.graft import Graft  # noqa: E402
+from graft.indexconfig import CoveringIndexConfig, IvfIndexConfig  # noqa: E402
+
+g = Graft(spark)
+
+# --- covering index lifecycle through the wrapper
+customer = DataFrame(jspark.read().parquet(sf_dir + "/customer.parquet"), spark)
+g.create_index(customer, CoveringIndexConfig(
+    "py_ci", ["c_nationkey"], ["c_acctbal"]))
+n_indexes = g.indexes().count()
+assert n_indexes >= 1, "createIndex through the wrapper left no index"
+listing = g.index("py_ci")
+assert listing.count() == 1
+
+# --- IVF build + ANN search through the wrapper
+embeddings = DataFrame(
+    jspark.read().parquet(sf_dir + "/embeddings.parquet"), spark)
+g.create_index(embeddings, IvfIndexConfig(
+    "py_ivf", "vec_id", "embedding", k=4, max_iter=2))
+queries = DataFrame(
+    jspark.sql("select vec_id as qid, embedding as qv from parquet.`" +
+               sf_dir + "/embeddings.parquet` order by vec_id limit 3"),
+    spark)
+hits = g.ann_search("py_ivf", queries, top_k=3, n_probe=2)
+n_hits = hits.count()
+assert n_hits == 9, "expected 3 queries x top_k=3 hits, got %d" % n_hits
+recall = g.ann_recall("py_ivf", queries, top_k=3, n_probe=4)
+assert recall.count() == 3
+
+# --- delete through the wrapper
+g.delete_index("py_ci")
+g.delete_index("py_ivf")
+
+print("WRAPPER_OK %d" % n_indexes)
