@@ -158,13 +158,21 @@ object Bench {
     // per-query blame survives even after bench_out.json is overwritten
     val contendedNames = picked.collect { case (n, _, true) => n -> "true" }
     def short3(v: Double): String = f"$v%.3f"
-    val json = Iterator(3, 2, 1).map { dp =>
-      def short(v: Double): String = s"%.${dp}f".format(v)
-      s"""{"metric":"total","value":${short(total)},"unit":"sec",""" +
+    // The suite outgrew the window: a full per-query map no longer fits
+    // 1850 chars at any precision. Degrade by EVIDENCE VALUE instead of
+    // digits — keep the slowest queries (the ones perf review needs),
+    // count the omitted fast tail, and always keep the probe evidence.
+    // Full per-query detail stays in bench_out.json.
+    val byCost = mins.sortBy(-_._2)
+    val json = Iterator.range(byCost.size, -1, -1).map { keep =>
+      val kept = byCost.take(keep)
+      val omitted = byCost.size - keep
+      s"""{"metric":"total","value":${short3(total)},"unit":"sec",""" +
         s""""stat":"min_clean","contended":$contended,""" +
         s""""probe_ref":${short3(globalRef)},""" +
         s""""contended_queries":${jsonMap(contendedNames)},""" +
-        s""""queries":${jsonMap(mins.map { case (k, v) => k -> short(v) })},""" +
+        s""""queries":${jsonMap(kept.map { case (k, v) => k -> short3(v) })},""" +
+        s""""queries_omitted":$omitted,""" +
         s""""err":${jsonMap(errs)},""" +
         s""""sf":"$sfDir"}"""
     }.find(_.length <= 1850).getOrElse(

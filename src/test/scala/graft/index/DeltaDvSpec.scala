@@ -116,6 +116,26 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root).count() == expected)
   }
 
+  test("descriptors spanning MULTIPLE DV files decode together") {
+    // two appends → (at least) two data-file sets; two disjoint deletes
+    // each touching ONE set → the snapshot's descriptors point into TWO
+    // different DV files, and the read must decode both
+    val root = Files.createTempDirectory("graft-delta-dv2-").toString
+    val lowHalf = customer.filter(col("c_custkey") < 75L)
+    val highHalf = customer.filter(col("c_custkey") >= 75L)
+    DeltaTable.create(lowHalf, root)
+    DeltaTable.append(highHalf, root)
+    DeltaTable.deleteWhere(spark, root, col("c_custkey") === 10L)
+    DeltaTable.deleteWhere(spark, root, col("c_custkey") === 100L)
+    val dvFiles = DeltaLog.snapshot(spark, root).files
+      .flatMap(_.dv).map(_.pathOrInlineDv).distinct
+    assert(dvFiles.size == 2,
+      s"expected descriptors into two DV files, got $dvFiles")
+    assert(DeltaTable.read(spark, root).count() == customer.count() - 2)
+    assert(DeltaTable.read(spark, root)
+      .filter(col("c_custkey").isin(10L, 100L)).count() == 0)
+  }
+
   test("deleteWhere matching nothing commits nothing") {
     val root = freshTable()
     val v = DeltaTable.deleteWhere(spark, root, col("c_custkey") === -1L)
