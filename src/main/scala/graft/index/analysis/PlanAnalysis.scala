@@ -159,7 +159,16 @@ object PlanAnalysis {
     leaves.foreach { leaf =>
       val schemaOk = e.descriptor.referencedColumns.forall(c =>
         graft.index.NestedColumns.resolvableIn(leaf.plan.output, c, resolver))
-      if (schemaOk) {
+      // merge-on-read plans: AddMetadataColumns materializes `_metadata`
+      // into the relation output when the delete anti-join consumes it —
+      // the exact condition under which every coverage check refuses
+      // (MetadataGuardSpec pins the refusal; this names the reason)
+      if (leaf.plan.output.exists(_.name == "_metadata")) {
+        // a schema-level mismatch report would mislead here — the real
+        // blocker is the MOR anti-join, not column resolution
+        schemaMatchedSomewhere = true
+        reasons += MergeOnReadMetadata()
+      } else if (schemaOk) {
         schemaMatchedSomewhere = true
         candidates.get(leaf.plan).flatMap(_.find(_.entry.name == e.name)) match {
           case None => reasons ++= driftReasons(spark, e, leaf)

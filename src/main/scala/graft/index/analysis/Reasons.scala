@@ -33,6 +33,12 @@ object Reasons {
       extends Reason("ANOTHER_INDEX_APPLIED") {
     def detail = s"another candidate index is applied: $appliedIndex"
   }
+  final case class MergeOnReadMetadata()
+      extends Reason("MERGE_ON_READ_METADATA") {
+    def detail = "plan consumes _metadata columns (merge-on-read delete " +
+      "anti-join: Iceberg v2 / Delta deletion vectors); substituting the " +
+      "scan would perturb (file_path, row_index) and resurrect deleted rows"
+  }
   final case class Outscored()
       extends Reason("OUTSCORED") {
     def detail = "the original plan scored higher than any rewrite"

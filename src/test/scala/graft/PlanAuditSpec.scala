@@ -234,6 +234,29 @@ class PlanAuditSpec extends AnyFunSuite {
         scans.map(_.relation.location.rootPaths.mkString(",")).mkString("\n"))
   }
 
+  test("MOR queries: delete anti-joins broadcast, data side never shuffles") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the property that matters at 100 TB: applying row-level deletes
+    // (Delta DVs, Iceberg positional + equality) must never shuffle the
+    // DATA side — deletes are the broadcast build side, full stop
+    Seq("idx_delta_dv_filter", "idx_iceberg_eq_filter").foreach { q =>
+      val nodes = planned(SparkEntry.queries(q)(spark, TestSpark.sfDir))
+      val antis = nodes.collect {
+        case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT ANTI" => j }
+      assert(antis.nonEmpty, s"$q: no broadcast anti-join in plan")
+      antis.foreach { j =>
+        val streamed = j.buildSide match {
+          case BuildRight => j.left
+          case BuildLeft => j.right
+        }
+        assert(!allNodes(streamed).exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"$q: data side of the MOR anti-join shuffled:\n$j")
+      }
+    }
+  }
+
   /** Build + PLAN a query with auto-broadcast off: at audit SF every join
     * side fits a broadcast, which hides the zero-shuffle bucketed shape
     * these audits exist to pin (planning is forced inside the conf

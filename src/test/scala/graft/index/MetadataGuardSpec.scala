@@ -90,6 +90,10 @@ class MetadataGuardSpec extends AnyFunSuite {
       assert(q.count() == expected)
       assert(!q.queryExecution.executedPlan.toString.contains("ci_mor_dv"),
         "index must not substitute a scan whose _metadata is consumed")
+      // and whyNot NAMES the blocker instead of a generic schema excuse
+      val why = g.whyNot(q, "ci_mor_dv")
+      assert(why.contains("MERGE_ON_READ_METADATA"),
+        s"whyNot should name the MOR blocker, got:\n$why")
     }
   }
 
