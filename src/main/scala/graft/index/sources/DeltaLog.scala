@@ -682,6 +682,22 @@ object DeltaTable {
     * tables demanding them are refused loudly. */
   private val SupportedWriterFeatures = Set("appendOnly", "deletionVectors")
 
+  /**
+   * MERGE-ON-READ COMPACTION (Delta's REORG PURGE analogue): when the
+   * table carries deletion vectors, materialize the surviving rows into
+   * fresh files and commit them as an overwrite — the result is a
+   * DV-free snapshot whose reads are plain scans again (and whose index
+   * rewrites are no longer blocked by the MOR metadata guard; refresh
+   * the index against the new snapshot to re-accelerate). A no-op when
+   * no DV is in force. Old files stay on disk for time travel.
+   */
+  def purge(spark: SparkSession, root: String): Long = {
+    val s = DeltaLog.snapshot(spark, root)
+    if (!s.files.exists(_.dv.exists(_.cardinality > 0L))) return s.version
+    commit(read(spark, root), root, overwrite = true,
+      partitionBy = s.partitionColumns)
+  }
+
   /** Symmetric writer gate — shared by [[commit]] and [[deleteWhere]]:
     * a table whose protocol or configuration demands writer capabilities
     * we don't implement must not be written. */

@@ -690,6 +690,47 @@ object IcebergTable {
       deleteAdded = added)
   }
 
+  /**
+   * MERGE-ON-READ COMPACTION (Iceberg's rewriteDataFiles/`REPLACE`
+   * analogue): when delete files are in force, materialize the
+   * surviving rows (positional + equality deletes applied) into fresh
+   * data files and publish a snapshot that references ONLY them — no
+   * delete manifests, plain scans again. Prior snapshots stay in
+   * `snapshots[]`, so time travel still sees the merge-on-read history.
+   * A no-op when the table carries no delete files.
+   */
+  def compact(spark: SparkSession, location: String): Long = {
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = new Path(root, "data")
+    val prior = IcebergMeta.snapshot(spark, location)
+    if (prior.deleteFiles.isEmpty) return prior.snapshotId
+
+    val survivors = read(spark, location)
+    val stage = new Path(root,
+      s".graft-stage-${java.util.UUID.randomUUID().toString}")
+    survivors.write.mode(SaveMode.Append).parquet(stage.toString)
+    fs.mkdirs(dataDir)
+    val added: Seq[FileStatus] = fs.listStatus(stage).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val target = new Path(dataDir,
+          s"compact-${prior.snapshotId + 1}-${s.getPath.getName}")
+        if (!fs.rename(s.getPath, target)) {
+          throw new IllegalStateException(
+            s"failed to move staged file ${s.getPath} to $target")
+        }
+        fs.getFileStatus(target)
+      }
+    fs.delete(stage, true)
+
+    publishSnapshot(spark, location, Some(prior), prior.schema, "replace",
+      dataExisting = Nil,
+      dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L)),
+      deleteExisting = Nil,
+      deleteAdded = Nil)
+  }
+
   /** Shared commit tail: write the data manifest (+ a delete manifest
     * when positional deletes are in force), the manifest list, and the
     * metadata document. The metadata file's create-no-overwrite is the

@@ -175,6 +175,26 @@ class DeltaDvSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root).count() == expected)
   }
 
+  test("purge compacts DVs away; history keeps the MOR snapshots") {
+    val root = freshTable()
+    DeltaTable.deleteWhere(spark, root, col("c_custkey") % 7 === 3)
+    val expected = customer.filter(col("c_custkey") % 7 =!= 3).count()
+    val v = DeltaTable.purge(spark, root)
+    assert(v == 2L)
+    val s = DeltaLog.snapshot(spark, root)
+    assert(!s.files.exists(_.dv.isDefined), "purge left deletion vectors")
+    assert(DeltaTable.read(spark, root).count() == expected)
+    // the purged read is a plain scan — no MOR anti-join in the plan
+    assert(!DeltaTable.read(spark, root).queryExecution.executedPlan
+      .toString.contains("LeftAnti"))
+    // time travel: v1 still applies the DV, v0 sees every row
+    assert(DeltaTable.read(spark, root, versionAsOf = Some(1L)).count() == expected)
+    assert(DeltaTable.read(spark, root, versionAsOf = Some(0L)).count() ==
+      customer.count())
+    // idempotent: no DVs → no-op, same version
+    assert(DeltaTable.purge(spark, root) == 2L)
+  }
+
   test("writer gate: append-only tables refuse deleteWhere") {
     val root = Files.createTempDirectory("graft-delta-ao-").toString
     DeltaTable.create(customer, root)

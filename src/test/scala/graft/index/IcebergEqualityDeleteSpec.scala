@@ -102,6 +102,29 @@ class IcebergEqualityDeleteSpec extends AnyFunSuite {
     assert(IcebergTable.read(spark, loc).count() == expected)
   }
 
+  test("compact rewrites merge-on-read state into plain data files") {
+    val loc = freshTable()
+    IcebergTable.deleteWhere(spark, loc, col("c_custkey") % 7 === 3)
+    IcebergTable.deleteWhereEquality(spark, loc,
+      customer.filter(col("c_custkey") % 5 === 1).select(col("c_custkey")))
+    val expected = customer
+      .filter(col("c_custkey") % 7 =!= 3 && col("c_custkey") % 5 =!= 1)
+      .count()
+    val snap = IcebergTable.compact(spark, loc)
+    val s = IcebergMeta.snapshot(spark, loc)
+    assert(s.snapshotId == snap && s.deleteFiles.isEmpty,
+      "compact left delete files in force")
+    assert(IcebergTable.read(spark, loc).count() == expected)
+    // plain scan again: no anti-join in the compacted read
+    assert(!IcebergTable.read(spark, loc).queryExecution.executedPlan
+      .toString.contains("LeftAnti"))
+    // time travel: the pre-compact snapshot still applies both deletes
+    assert(IcebergTable.read(spark, loc, snapshotAsOf = Some(3L)).count()
+      == expected)
+    // idempotent no-op without deletes
+    assert(IcebergTable.compact(spark, loc) == snap)
+  }
+
   test("unknown equality column is refused loudly") {
     val loc = freshTable()
     val e = intercept[IllegalArgumentException](

@@ -97,6 +97,31 @@ class MetadataGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("purge + refresh restores index acceleration after a DV delete") {
+    import graft.index.sources.DeltaTable
+    withGraft { g =>
+      val loc = Files.createTempDirectory("graft-mor-purge-").toString
+      DeltaTable.create(customer, loc)
+      g.createIndex(DeltaTable.read(spark, loc),
+        CoveringIndexConfig("ci_purge", Seq("c_nationkey"), Seq("c_acctbal")))
+      DeltaTable.deleteWhere(spark, loc, col("c_custkey") % 7 === 3)
+      // MOR read: guard blocks the rewrite (previous test pins this).
+      // Purge rewrites survivors into plain files; a full refresh then
+      // re-anchors the index on the DV-free snapshot and rewrites resume.
+      DeltaTable.purge(spark, loc)
+      g.refreshIndex("ci_purge", "full")
+      val q = DeltaTable.read(spark, loc)
+        .filter(col("c_nationkey") === 5)
+        .select(col("c_acctbal"))
+      val expected = customer
+        .filter(col("c_custkey") % 7 =!= 3 && col("c_nationkey") === 5)
+        .count()
+      assert(q.count() == expected)
+      assert(q.queryExecution.executedPlan.toString.contains("ci_purge"),
+        "index must re-apply once the table is DV-free and refreshed")
+    }
+  }
+
   test("control: the same index accelerates the pre-delete (non-MOR) snapshot") {
     withGraft { g =>
       val loc = Files.createTempDirectory("graft-mor-ctl-").toString
