@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -28,7 +28,7 @@ import org.json4s.jackson.JsonMethods
  * by construction — that is what checkpoints are for).
  */
 final case class DeltaFileMeta(path: String, size: Long, modificationTime: Long,
-    dv: Option[DvDescriptor] = None)
+    dv: Option[DvDescriptor] = None, stats: Option[String] = None)
 
 /**
  * Thrown when a Delta table requires reader capabilities this jarless
@@ -143,9 +143,9 @@ object DeltaLog {
     val live = mutable.LinkedHashMap.empty[String, DeltaFileMeta]
 
     def addFile(rawPath: String, size: Long, modTime: Long,
-        dv: Option[DvDescriptor] = None): Unit = {
+        dv: Option[DvDescriptor] = None, stats: Option[String] = None): Unit = {
       val abs = resolvePath(root, rawPath)
-      live(abs) = DeltaFileMeta(abs, size, modTime, dv)
+      live(abs) = DeltaFileMeta(abs, size, modTime, dv, stats)
     }
 
     ckptVersion.foreach { cv =>
@@ -211,6 +211,8 @@ object DeltaLog {
               "cannot decode the deletion vectors. Read this table with the " +
               "delta-spark connector instead.")
         }
+        val statsCol = if (addFields.contains("stats")) "add.stats"
+          else "cast(null as string) as stats"
         if (dvNeeded.subsetOf(dvStructFields)) {
           val hasOffset = dvStructFields.contains("offset")
           val offsetCol = if (hasOffset) "add.deletionVector.offset"
@@ -218,19 +220,21 @@ object DeltaLog {
           ck.selectExpr("add.path", "add.size", "add.modificationTime",
               "add.deletionVector.storageType", "add.deletionVector.pathOrInlineDv",
               offsetCol, "add.deletionVector.sizeInBytes",
-              "add.deletionVector.cardinality")
+              "add.deletionVector.cardinality", statsCol)
             .where("path is not null").collect()
             .foreach { r =>
               val dv = if (r.isNullAt(3)) None
                 else Some(DvDescriptor(r.getString(3), r.getString(4),
                   if (r.isNullAt(5)) None else Some(r.getInt(5)),
                   r.getInt(6), r.getLong(7)))
-              addFile(r.getString(0), r.getLong(1), r.getLong(2), dv)
+              addFile(r.getString(0), r.getLong(1), r.getLong(2), dv,
+                if (r.isNullAt(8)) None else Some(r.getString(8)))
             }
         } else {
-          ck.select("add.path", "add.size", "add.modificationTime")
-            .where("add.path is not null").collect()
-            .foreach(r => addFile(r.getString(0), r.getLong(1), r.getLong(2)))
+          ck.selectExpr("add.path", "add.size", "add.modificationTime", statsCol)
+            .where("path is not null").collect()
+            .foreach(r => addFile(r.getString(0), r.getLong(1), r.getLong(2),
+              None, if (r.isNullAt(3)) None else Some(r.getString(3))))
         }
       }
     }
@@ -318,7 +322,11 @@ object DeltaLog {
               case JLong(n) => n
               case _ => 0L
             }
-            addFile(path, size, mt, dv)
+            val stats = (j \ "add" \ "stats") match {
+              case JString(s) => Some(s)
+              case _ => None
+            }
+            addFile(path, size, mt, dv, stats)
           case _ =>
         }
         j \ "remove" match {
@@ -389,6 +397,116 @@ object DeltaLog {
   }
 }
 
+/**
+ * Delta `add.stats` JSON ⇄ [[FileStats]] — the per-file statistics every
+ * real Delta writer embeds (`{"numRecords":N,"minValues":{...},
+ * "maxValues":{...},"nullCount":{...}}`) and every real Delta reader
+ * skips files with. Values follow Delta's JSON conventions: numbers as
+ * numbers, dates as `yyyy-MM-dd`, timestamps as ISO-8601 strings.
+ * Top-level columns only (nested stats parse as unknown → no pruning of
+ * nested predicates, which [[StatsPredicate]] doesn't model anyway).
+ */
+object DeltaStats {
+  import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+  import java.time.format.DateTimeFormatter
+
+  private val TsFmt = DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+  def render(fs: FileStats, schema: StructType): Option[String] = {
+    if (fs.numRecords.isEmpty) return None
+    def valJson(v: Any, dt: DataType): Option[JValue] = (v, dt) match {
+      case (n: Long, DateType) =>
+        Some(JString(LocalDate.ofEpochDay(n).toString))
+      case (n: Long, TimestampType) =>
+        Some(JString(DateTimeFormatter.ISO_INSTANT.format(
+          Instant.ofEpochSecond(Math.floorDiv(n, 1000000L),
+            Math.floorMod(n, 1000000L) * 1000L))))
+      case (n: Long, TimestampNTZType) =>
+        Some(JString(TsFmt.format(
+          LocalDateTime.ofEpochSecond(Math.floorDiv(n, 1000000L),
+            (Math.floorMod(n, 1000000L) * 1000L).toInt, ZoneOffset.UTC))))
+      case (n: Long, _) => Some(JLong(n))
+      case (d: Double, _) => Some(JDouble(d))
+      case (d: java.math.BigDecimal, _) => Some(JDecimal(BigDecimal(d)))
+      case (s: String, _) => Some(JString(s))
+      case (b: Boolean, _) => Some(JBool(b))
+      case _ => None
+    }
+    def section(pick: FileColStats => Option[Any]): JObject = JObject(
+      schema.fields.toList.flatMap { f =>
+        fs.cols.get(f.name).flatMap(pick).flatMap(valJson(_, f.dataType))
+          .map(f.name -> _)
+      })
+    Some(JsonMethods.compact(JObject(
+      "numRecords" -> JLong(fs.numRecords.get),
+      "minValues" -> section(_.min),
+      "maxValues" -> section(_.max),
+      "nullCount" -> JObject(schema.fields.toList.flatMap(f =>
+        fs.cols.get(f.name).flatMap(_.nullCount).map(n =>
+          f.name -> (JLong(n): JValue)))))))
+  }
+
+  def parse(json: String, schema: StructType): Option[FileStats] =
+    try {
+      val j = JsonMethods.parse(json)
+      val numRecords = (j \ "numRecords") match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case _ => None
+      }
+      def domain(v: JValue, dt: DataType): Option[Any] = (v, dt) match {
+        case (JString(s), DateType) =>
+          Some(LocalDate.parse(s).toEpochDay)
+        case (JString(s), TimestampType) =>
+          val i = Instant.parse(s)
+          Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        case (JString(s), TimestampNTZType) =>
+          val ldt = LocalDateTime.parse(s)
+          Some(ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L)
+        case (JInt(n), ByteType | ShortType | IntegerType | LongType) =>
+          Some(n.toLong)
+        case (JLong(n), ByteType | ShortType | IntegerType | LongType) =>
+          Some(n)
+        case (jn, FloatType | DoubleType) => jn match {
+          case JDouble(d) => Some(d)
+          case JDecimal(d) => Some(d.toDouble)
+          case JInt(n) => Some(n.toDouble)
+          case JLong(n) => Some(n.toDouble)
+          case _ => None
+        }
+        case (jn, _: DecimalType) => jn match {
+          case JDecimal(d) => Some(d.bigDecimal)
+          case JDouble(d) => Some(java.math.BigDecimal.valueOf(d))
+          case JInt(n) => Some(new java.math.BigDecimal(n.bigInteger))
+          case JLong(n) => Some(java.math.BigDecimal.valueOf(n))
+          case _ => None
+        }
+        case (JString(s), StringType) => Some(s)
+        case (JBool(b), BooleanType) => Some(b)
+        case _ => None
+      }
+      def section(name: String): Map[String, JValue] = (j \ name) match {
+        case JObject(fields) => fields.toMap
+        case _ => Map.empty
+      }
+      val (mins, maxs, nulls) =
+        (section("minValues"), section("maxValues"), section("nullCount"))
+      val cols = schema.fields.toSeq.flatMap { f =>
+        val mn = mins.get(f.name).flatMap(domain(_, f.dataType))
+        val mx = maxs.get(f.name).flatMap(domain(_, f.dataType))
+        val nc = nulls.get(f.name).collect {
+          case JInt(n) => n.toLong
+          case JLong(n) => n
+        }
+        if (mn.isEmpty && mx.isEmpty && nc.isEmpty) None
+        else Some(f.name -> FileColStats(mn, mx, nc))
+      }.toMap
+      Some(FileStats(numRecords, cols))
+    } catch { case scala.util.control.NonFatal(_) => None }
+}
+
 // checkpoint row shape (public Delta checkpoint schema, minimal fields)
 private[sources] case class CkptFormat(
     provider: String, options: Map[String, String])
@@ -404,7 +522,7 @@ private[sources] case class CkptDv(
 private[sources] case class CkptAdd(
     path: String, partitionValues: Map[String, String], size: Long,
     modificationTime: Long, dataChange: Boolean,
-    deletionVector: Option[CkptDv] = None)
+    deletionVector: Option[CkptDv] = None, stats: Option[String] = None)
 private[sources] case class CkptRemove(
     path: String, deletionTimestamp: Long, dataChange: Boolean)
 private[sources] case class CkptRow(
@@ -462,12 +580,20 @@ object DeltaTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     }
-    val data = spark.read
+    val raw = spark.read
       .schema(s.schema)
       .option("basePath", root)
       .option(RootOption, root)
       .option(VersionOption, s.version.toString)
       .parquet(s.files.map(_.path): _*)
+    // log-level FILE SKIPPING: filtered scans list only the files whose
+    // `add.stats` ranges can match the pushed-down predicates — at
+    // 100 TB this, not the scan, is the difference between a point
+    // lookup and a full-table read
+    val statsByPath: Map[String, FileStats] = s.files.flatMap(f =>
+      f.stats.flatMap(DeltaStats.parse(_, s.schema))
+        .map(fs => normPath(f.path) -> fs)).toMap
+    val data = StatsPruning.wrap(raw, statsByPath)
     val withDv = s.files.filter(_.dv.exists(_.cardinality > 0L))
     if (withDv.isEmpty) data
     else {
@@ -652,12 +778,16 @@ object DeltaTable {
         "deletionTimestamp" -> JLong(now),
         "dataChange" -> JBool(true)))
       lines += JObject("add" -> JObject(
-        "path" -> JString(rel),
-        "partitionValues" -> JObject(partitionValuesOf(rel)),
-        "size" -> JLong(f.size),
-        "modificationTime" -> JLong(f.modificationTime),
-        "dataChange" -> JBool(true),
-        "deletionVector" -> dvJson))
+        List(
+          "path" -> (JString(rel): JValue),
+          "partitionValues" -> (JObject(partitionValuesOf(rel)): JValue),
+          "size" -> (JLong(f.size): JValue),
+          "modificationTime" -> (JLong(f.modificationTime): JValue),
+          "dataChange" -> (JBool(true): JValue),
+          "deletionVector" -> (dvJson: JValue)) ++
+          // stats describe the file's PHYSICAL rows (Delta convention:
+          // numRecords counts DV-deleted rows too), so they carry forward
+          f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList))
     }
 
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
@@ -821,6 +951,13 @@ object DeltaTable {
         "deletionTimestamp" -> JLong(now),
         "dataChange" -> JBool(true)))
     })
+    // per-file stats from the parquet footers just written (metadata-only
+    // reads, distributed when the commit is large) — the skipping payload
+    // every real Delta reader expects in `add.stats`
+    val statsSchema = StructType(df.schema.filterNot(f =>
+      partitionBy.contains(f.name)))
+    val statsByPath: Map[String, FileStats] = ParquetFooterStats
+      .collect(spark, added.map(_.getPath.toString), statsSchema)
     added.foreach { s =>
       val rel = relative(s)
       // hive-layout dirs (`col=value/`) carry the partition values
@@ -831,12 +968,16 @@ object DeltaTable {
           case _ => None
         }
       }.toList
+      val statsJson = statsByPath.get(s.getPath.toString)
+        .flatMap(DeltaStats.render(_, statsSchema))
       lines += JObject("add" -> JObject(
-        "path" -> JString(rel),
-        "partitionValues" -> JObject(pvals),
-        "size" -> JLong(s.getLen),
-        "modificationTime" -> JLong(s.getModificationTime),
-        "dataChange" -> JBool(true)))
+        List(
+          "path" -> (JString(rel): JValue),
+          "partitionValues" -> (JObject(pvals): JValue),
+          "size" -> (JLong(s.getLen): JValue),
+          "modificationTime" -> (JLong(s.getModificationTime): JValue),
+          "dataChange" -> (JBool(true): JValue)) ++
+          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
     }
 
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
@@ -893,7 +1034,7 @@ object DeltaTable {
         val dv = f.dv.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
           d.offset, d.sizeInBytes, d.cardinality))
         CkptRow(Some(CkptAdd(rel, partitionValuesOf(rel), f.size,
-          f.modificationTime, dataChange = false, dv)), None, None, None)
+          f.modificationTime, dataChange = false, dv, f.stats)), None, None, None)
       }
     val tmp = new Path(DeltaLog.logDir(root), s".ckpt-tmp-${s.version}")
     rows.toDS().repartition(1).write.mode("overwrite").parquet(tmp.toString)

@@ -420,6 +420,36 @@ object IndexAccel {
        |FROM supplier
        |WHERE s_nationkey BETWEEN 5 AND 15 AND NOT (s_suppkey % 7 = 3)""".stripMargin
 
+  /** Log-level FILE SKIPPING over a Delta table: the table is written
+    * range-partitioned on `o_orderkey` (8 files with disjoint ranges,
+    * each add action carrying min/max/nullCount stats), so the narrow
+    * key-range filter lists only the 1-2 files whose stats admit it —
+    * the pruning a real Delta reader does from `add.stats`, exercised
+    * end-to-end (DeltaStatsSkipSpec asserts the scanned-file count; this
+    * oracle pins the answer). */
+  def idxDeltaStatsFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.DeltaTable
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_delta_stats_$h"
+    synchronized {
+      if (!graft.index.sources.DeltaLog.isDeltaTable(spark, root)) {
+        val orders = Tables.load(spark, sfDir, "orders")
+          .repartitionByRange(8, col("o_orderkey"))
+        DeltaTable.create(orders, root)
+      }
+    }
+    DeltaTable.read(spark, root)
+      .filter(col("o_orderkey").between(100L, 2000L))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val idxDeltaStatsFilterSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE o_orderkey BETWEEN 100 AND 2000""".stripMargin
+
   // ------------------------------------------------ iceberg source
   /** Covering-index filter over an ICEBERG table (metadata.json + avro
     * manifests replayed jarless — [[graft.index.sources.IcebergMeta]]):
@@ -519,6 +549,7 @@ object IndexAccel {
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
     "idx_delta_dv_filter" -> (idxDeltaDvFilter _, idxDeltaDvFilterSql),
+    "idx_delta_stats_filter" -> (idxDeltaStatsFilter _, idxDeltaStatsFilterSql),
     "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
     "idx_iceberg_v2_filter" -> (idxIcebergV2Filter _, idxIcebergV2FilterSql),
     "idx_iceberg_eq_filter" -> (idxIcebergEqFilter _, idxIcebergEqFilterSql),
