@@ -59,6 +59,68 @@ final case class IcebergSnapshot(
     // JSON (resolves equality_ids against external tables' real ids)
     fieldIdToName: Map[Int, String] = Map.empty)
 
+/**
+ * Iceberg SINGLE-VALUE SERIALIZATION (spec appendix D) for manifest
+ * bounds: little-endian fixed-width numerics, UTF-8 strings, big-endian
+ * unscaled decimals. Values travel in the [[FileStats]] comparison
+ * domain (Long / Double / String / BigDecimal / Boolean) so both
+ * jarless sources share one pruning evaluator.
+ */
+private[graft] object IceSingleValue {
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  def serialize(v: Any, dt: DataType): Option[Array[Byte]] = (v, dt) match {
+    case (n: Long, ByteType | ShortType | IntegerType | DateType)
+        if n >= Int.MinValue && n <= Int.MaxValue =>
+      Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(n.toInt).array())
+    case (n: Long, LongType | TimestampType | TimestampNTZType) =>
+      Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putLong(n).array())
+    case (d: Double, FloatType) =>
+      Some(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putFloat(d.toFloat).array())
+    case (d: Double, DoubleType) =>
+      Some(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        .putDouble(d).array())
+    case (s: String, StringType) =>
+      Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case (b: Boolean, BooleanType) =>
+      Some(Array[Byte](if (b) 1 else 0))
+    case (d: java.math.BigDecimal, dec: DecimalType) =>
+      Some(d.setScale(dec.scale).unscaledValue.toByteArray)
+    case _ => None
+  }
+
+  def deserialize(bytes: Array[Byte], dt: DataType): Option[Any] = dt match {
+    case ByteType | ShortType | IntegerType | DateType if bytes.length == 4 =>
+      Some(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        .getInt.toLong)
+    case LongType | TimestampType | TimestampNTZType if bytes.length == 8 =>
+      Some(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong)
+    case FloatType if bytes.length == 4 =>
+      Some(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        .getFloat.toDouble)
+    case DoubleType if bytes.length == 8 =>
+      Some(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getDouble)
+    case StringType =>
+      Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    case BooleanType if bytes.length == 1 => Some(bytes(0) != 0)
+    case dec: DecimalType =>
+      Some(new java.math.BigDecimal(
+        new java.math.BigInteger(bytes), dec.scale))
+    case _ => None
+  }
+}
+
+/** Raw per-entry metrics as read from a data manifest (field-id keyed,
+  * bounds still single-value-serialized). */
+private[sources] final case class RawBounds(
+    recordCount: Long,
+    nullCounts: Map[Int, Long],
+    lower: Map[Int, Array[Byte]],
+    upper: Map[Int, Array[Byte]])
+
 object IcebergMeta {
 
   // ------------------------------------------------------- metadata json
@@ -173,7 +235,7 @@ object IcebergMeta {
       }
     }
 
-    val dataEntries = manifests.collect { case (m, 0) => m }
+    val rawEntries = manifests.collect { case (m, 0) => m }
       .flatMap(m => readManifest(fs, resolve(location, m)))
     val deleteFiles = manifests.collect { case (m, 1) => m }
       .flatMap(m => readDeleteManifest(fs, resolve(location, m)))
@@ -185,6 +247,25 @@ object IcebergMeta {
         }
       }.toMap
       case _ => Map.empty
+    }
+    // decode manifest bounds into the shared stats dialect (carried on
+    // DeltaFileMeta.stats like the Delta leg, so both sources prune
+    // through one evaluator and re-publish existing entries losslessly)
+    val dataEntries = rawEntries.map { case (f, seq, bounds) =>
+      val statsJson = bounds.flatMap { b =>
+        val cols = b.lower.keySet ++ b.upper.keySet ++ b.nullCounts.keySet
+        val byName = cols.toSeq.flatMap { id =>
+          for {
+            name <- fieldIds.get(id)
+            field <- schema.fields.find(_.name == name)
+          } yield name -> FileColStats(
+            b.lower.get(id).flatMap(IceSingleValue.deserialize(_, field.dataType)),
+            b.upper.get(id).flatMap(IceSingleValue.deserialize(_, field.dataType)),
+            b.nullCounts.get(id))
+        }.toMap
+        DeltaStats.render(FileStats(Some(b.recordCount), byName), schema)
+      }
+      (f.copy(stats = statsJson), seq)
     }
     IcebergSnapshot(location, snapshotId, schema, dataEntries.map(_._1),
       deleteFiles, dataEntries.map(e => e._1.path -> e._2).toMap, fieldIds)
@@ -234,16 +315,44 @@ object IcebergMeta {
   private def entrySeq(r: GenericRecord): Long =
     fieldOpt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L)
 
-  private def readManifest(fs: FileSystem, path: String): Seq[(DeltaFileMeta, Long)] =
+  /** An avro map-as-array field (`[{key, value}, …]`) → Scala map. */
+  private def avroMap[V](r: GenericRecord, name: String)(
+      conv: AnyRef => Option[V]): Map[Int, V] =
+    fieldOpt(r, name) match {
+      case Some(l: java.util.List[_]) => l.asScala.collect {
+        case kv: GenericRecord =>
+          conv(kv.get("value")).map(v => kv.get("key").toString.toInt -> v)
+      }.flatten.toMap
+      case _ => Map.empty
+    }
+
+  private def bytesOf(v: AnyRef): Option[Array[Byte]] = v match {
+    case b: java.nio.ByteBuffer =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); Some(arr)
+    case b: Array[Byte] => Some(b)
+    case _ => None
+  }
+
+  private def readManifest(fs: FileSystem, path: String)
+      : Seq[(DeltaFileMeta, Long, Option[RawBounds])] =
     readAvro(fs, path).flatMap { r =>
       val status = fieldOpt(r, "status").map(_.toString.toInt).getOrElse(1)
       if (status == 2) None // DELETED entry
       else {
         val df = r.get("data_file").asInstanceOf[GenericRecord]
+        val lower = avroMap(df, "lower_bounds")(bytesOf)
+        val upper = avroMap(df, "upper_bounds")(bytesOf)
+        val nulls = avroMap(df, "null_value_counts")(v =>
+          Option(v).map(_.toString.toLong))
+        val rc = fieldOpt(df, "record_count").map(_.toString.toLong).getOrElse(-1L)
+        val bounds =
+          if (rc >= 0L && (lower.nonEmpty || upper.nonEmpty || nulls.nonEmpty))
+            Some(RawBounds(rc, nulls, lower, upper))
+          else None
         Some((DeltaFileMeta(
           df.get("file_path").toString,
           df.get("file_size_in_bytes").toString.toLong,
-          0L), entrySeq(r)))
+          0L), entrySeq(r), bounds))
       }
     }
 
@@ -309,7 +418,10 @@ object IcebergMeta {
       case "string" => StringType
       case "uuid" => StringType
       case "binary" => BinaryType
-      case "timestamp" | "timestamptz" => TimestampType
+      // spec: `timestamp` is zone-less (Spark NTZ), `timestamptz` is UTC-
+      // adjusted — both µs precision
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
       case d if d.startsWith("decimal(") =>
         val Array(p, sc) = d.stripPrefix("decimal(").stripSuffix(")").split(",")
         DecimalType(p.trim.toInt, sc.trim.toInt)
@@ -344,6 +456,7 @@ object IcebergMeta {
       case StringType => JString("string")
       case BinaryType => JString("binary")
       case TimestampType => JString("timestamptz")
+      case TimestampNTZType => JString("timestamp")
       case d: DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
       case s: StructType => structOf(s)
       case a: ArrayType => JObject(
@@ -409,12 +522,19 @@ object IcebergTable {
     if (s.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    val data = spark.read
+    val raw = spark.read
       .schema(s.schema)
       .option("basePath", s"$location/data")
       .option(LocationOption, location)
       .option(SnapshotOption, s.snapshotId.toString)
       .parquet(s.files.map(_.path): _*)
+    // manifest-bounds FILE SKIPPING: list only the files whose
+    // lower/upper bounds admit the pushed-down predicates (sound for
+    // MOR too — deletes only remove rows, never widen a file's range)
+    val statsByPath: Map[String, FileStats] = s.files.flatMap(f =>
+      f.stats.flatMap(DeltaStats.parse(_, s.schema))
+        .map(fs => DeltaTable.normPath(f.path) -> fs)).toMap
+    val data = StatsPruning.wrap(raw, statsByPath)
     val posDeletes = s.deleteFiles.filter(_.content == 1)
     val eqDeletes = s.deleteFiles.filter(_.content == 2)
     if (posDeletes.isEmpty && eqDeletes.isEmpty) return data
@@ -478,6 +598,12 @@ object IcebergTable {
   def append(df: DataFrame, location: String): Long =
     commit(df, location, firstVersion = false)
 
+  /** Data-manifest entries carry the spec's per-field metrics maps
+    * (avro map-as-array encoding, like real Iceberg manifests):
+    * `value_counts`/`null_value_counts` keyed by field id, and
+    * `lower_bounds`/`upper_bounds` holding single-value-serialized
+    * min/max — the payload [[IcebergTable.read]] prunes files with.
+    * All optional-with-null-default so pre-stats manifests replay. */
   private val ManifestSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int"},
@@ -487,7 +613,23 @@ object IcebergTable {
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
       |    {"name":"record_count","type":"long"},
-      |    {"name":"file_size_in_bytes","type":"long"}
+      |    {"name":"file_size_in_bytes","type":"long"},
+      |    {"name":"value_counts","type":["null",{"type":"array","items":
+      |      {"type":"record","name":"k119_v120","fields":[
+      |        {"name":"key","type":"int"},{"name":"value","type":"long"}]},
+      |      "logicalType":"map"}],"default":null},
+      |    {"name":"null_value_counts","type":["null",{"type":"array","items":
+      |      {"type":"record","name":"k121_v122","fields":[
+      |        {"name":"key","type":"int"},{"name":"value","type":"long"}]},
+      |      "logicalType":"map"}],"default":null},
+      |    {"name":"lower_bounds","type":["null",{"type":"array","items":
+      |      {"type":"record","name":"k126_v127","fields":[
+      |        {"name":"key","type":"int"},{"name":"value","type":"bytes"}]},
+      |      "logicalType":"map"}],"default":null},
+      |    {"name":"upper_bounds","type":["null",{"type":"array","items":
+      |      {"type":"record","name":"k128_v129","fields":[
+      |        {"name":"key","type":"int"},{"name":"value","type":"bytes"}]},
+      |      "logicalType":"map"}],"default":null}
       |  ]}}
       |]}""".stripMargin)
 
@@ -566,10 +708,17 @@ object IcebergTable {
       }
     fs.delete(stage, true)
 
+    // per-file stats from the freshly-written footers (metadata-only
+    // reads) → manifest bounds, the payload every real Iceberg reader
+    // prunes files with
+    val statsByPath = ParquetFooterStats.collect(
+      spark, added.map(_.getPath.toString), df.schema)
     publishSnapshot(spark, location, prior, df.schema, "append",
       dataExisting = prior.toSeq.flatMap(p =>
         p.files.map(f => (f, p.dataSeq.getOrElse(f.path, 0L)))),
-      dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L)),
+      dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L,
+        stats = statsByPath.get(s.getPath.toString)
+          .flatMap(DeltaStats.render(_, df.schema)))),
       deleteExisting = prior.toSeq.flatMap(_.deleteFiles),
       deleteAdded = Nil)
   }
@@ -761,21 +910,69 @@ object IcebergTable {
         }
       } else Nil
 
-    def entry(schema: Schema, status: Int, content: Option[Int],
+    // top-level field ids of the schema being published (the ids the
+    // manifest's bounds maps must key by)
+    val topFieldIds: Map[String, Int] =
+      (IcebergMeta.sparkSchemaToIceberg(schema) \ "fields") match {
+        case JArray(fields) => fields.flatMap { f =>
+          ((f \ "id"), (f \ "name")) match {
+            case (JInt(i), JString(n)) => Some(n -> i.toInt)
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty
+      }
+
+    def entry(avroSchema: Schema, status: Int, content: Option[Int],
         path: String, size: Long, seq: Long,
-        equalityIds: Seq[Int] = Nil): GenericRecord = {
-      val dfr = new GenericData.Record(
-        schema.getField("data_file").schema())
+        equalityIds: Seq[Int] = Nil,
+        statsJson: Option[String] = None): GenericRecord = {
+      val dfSchema = avroSchema.getField("data_file").schema()
+      val dfr = new GenericData.Record(dfSchema)
       content.foreach(c => dfr.put("content", c))
       dfr.put("file_path", path)
       dfr.put("file_format", "PARQUET")
-      dfr.put("record_count", -1L)
       dfr.put("file_size_in_bytes", size)
+      val parsed = statsJson.flatMap(DeltaStats.parse(_, schema))
+      dfr.put("record_count",
+        parsed.flatMap(_.numRecords).getOrElse(-1L))
+      parsed.foreach { fsStats =>
+        def mapRec(field: String, key: Int, value: AnyRef): GenericRecord = {
+          val itemSchema = dfSchema.getField(field).schema()
+            .getTypes.get(1).getElementType
+          val kv = new GenericData.Record(itemSchema)
+          kv.put("key", key)
+          kv.put("value", value)
+          kv
+        }
+        def put(field: String, entries: Seq[GenericRecord]): Unit =
+          if (entries.nonEmpty)
+            dfr.put(field, java.util.Arrays.asList(entries: _*))
+        val byId = fsStats.cols.toSeq.flatMap { case (name, cs) =>
+          for {
+            id <- topFieldIds.get(name)
+            f <- schema.fields.find(_.name == name)
+          } yield (id, f.dataType, cs)
+        }.sortBy(_._1)
+        put("lower_bounds", byId.flatMap { case (id, dt, cs) =>
+          cs.min.flatMap(IceSingleValue.serialize(_, dt))
+            .map(b => mapRec("lower_bounds", id, java.nio.ByteBuffer.wrap(b)))
+        })
+        put("upper_bounds", byId.flatMap { case (id, dt, cs) =>
+          cs.max.flatMap(IceSingleValue.serialize(_, dt))
+            .map(b => mapRec("upper_bounds", id, java.nio.ByteBuffer.wrap(b)))
+        })
+        put("null_value_counts", byId.flatMap { case (id, _, cs) =>
+          cs.nullCount.map(n => mapRec("null_value_counts", id, Long.box(n)))
+        })
+        put("value_counts", fsStats.numRecords.toSeq.flatMap(n =>
+          byId.map { case (id, _, _) => mapRec("value_counts", id, Long.box(n)) }))
+      }
       if (equalityIds.nonEmpty) {
         dfr.put("equality_ids",
           java.util.Arrays.asList(equalityIds.map(Int.box): _*))
       }
-      val r = new GenericData.Record(schema)
+      val r = new GenericData.Record(avroSchema)
       r.put("status", status)
       r.put("snapshot_id", snapshotId)
       // explicit per-entry sequence numbers (never null-inherited):
@@ -789,8 +986,9 @@ object IcebergTable {
     // prior live files carry over as EXISTING (0); this commit's as ADDED (1)
     val dataEntries =
       dataExisting.map { case (f, seq) =>
-        entry(ManifestSchema, 0, None, f.path, f.size, seq) } ++
-        dataAdded.map(f => entry(ManifestSchema, 1, None, f.path, f.size, snapshotId))
+        entry(ManifestSchema, 0, None, f.path, f.size, seq, Nil, f.stats) } ++
+        dataAdded.map(f =>
+          entry(ManifestSchema, 1, None, f.path, f.size, snapshotId, Nil, f.stats))
     val deleteEntries =
       deleteExisting.map(f => entry(DeleteManifestSchema, 0, Some(f.content),
         f.path, f.size, f.seq, f.equalityIds)) ++

@@ -545,6 +545,31 @@ object IndexAccel {
        |WHERE c_nationkey BETWEEN 5 AND 15
        |  AND NOT (c_custkey % 7 = 3) AND NOT (c_custkey % 5 = 1)""".stripMargin
 
+  /** Manifest-bounds FILE SKIPPING over an ICEBERG table: the mirror of
+    * `idx_delta_stats_filter` — 8 range-disjoint files whose manifest
+    * entries carry single-value-serialized lower/upper bounds, a narrow
+    * key-range filter that lists only the admissible files
+    * (IcebergStatsSkipSpec asserts the scanned-file count; this oracle
+    * pins the answer). */
+  def idxIcebergStatsFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{IcebergMeta, IcebergTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_ice_stats_$h"
+    synchronized {
+      if (!IcebergMeta.isIcebergTable(spark, root)) {
+        val orders = Tables.load(spark, sfDir, "orders")
+          .repartitionByRange(8, col("o_orderkey"))
+        IcebergTable.create(orders, root)
+      }
+    }
+    IcebergTable.read(spark, root)
+      .filter(col("o_orderkey").between(100L, 2000L))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val idxIcebergStatsFilterSql: String = idxDeltaStatsFilterSql
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
@@ -553,6 +578,7 @@ object IndexAccel {
     "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
     "idx_iceberg_v2_filter" -> (idxIcebergV2Filter _, idxIcebergV2FilterSql),
     "idx_iceberg_eq_filter" -> (idxIcebergEqFilter _, idxIcebergEqFilterSql),
+    "idx_iceberg_stats_filter" -> (idxIcebergStatsFilter _, idxIcebergStatsFilterSql),
     "q_snowflake_2idx" -> (idxSnowflake2 _, idxSnowflake2Sql),
     "q_snowflake_3idx" -> (idxSnowflake3 _, idxSnowflake3Sql),
     "q_star_agg_idx" -> (idxStarAgg _, idxStarAggSql),
