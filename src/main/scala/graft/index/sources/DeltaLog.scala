@@ -67,10 +67,12 @@ object DeltaLog {
     * is type-level only (Spark's parquet reader handles TIMESTAMP_NTZ
     * natively); `deletionVectors` is merge-on-read via the
     * (`_metadata.file_path`, `row_index`) anti-join in
-    * [[DeltaTable.read]]. Everything else — columnMapping, v2Checkpoint,
-    * typeWidening, … — changes how actions must be interpreted and MUST
-    * be refused. */
-  private val SupportedReaderFeatures = Set("timestampNtz", "deletionVectors")
+    * [[DeltaTable.read]]; `columnMapping` resolves scans by
+    * physicalName ([[DeltaColumnMapping]]). Everything else —
+    * v2Checkpoint, typeWidening, … — changes how actions must be
+    * interpreted and MUST be refused. */
+  private val SupportedReaderFeatures =
+    Set("timestampNtz", "deletionVectors", "columnMapping")
 
   private[sources] val CommitRe = """(\d{20})\.json""".r
   private val CkptSingleRe = """(\d{20})\.checkpoint\.parquet""".r
@@ -341,15 +343,17 @@ object DeltaLog {
     }
 
     // protocol gate — refuse loudly rather than serve silently-wrong rows.
-    // minReaderVersion 2 mandates column-mapping awareness; 3 delegates to
-    // readerFeatures. Either way the table is only readable if every
-    // capability it demands is one this replay implements.
+    // minReaderVersion 2 mandates column-mapping awareness (implemented:
+    // DeltaColumnMapping); 3 delegates to readerFeatures. Either way the
+    // table is only readable if every capability it demands is one this
+    // replay implements.
     if (minReaderVersion > 1) {
       val unsupported = readerFeatures -- SupportedReaderFeatures
-      if (minReaderVersion == 3 && unsupported.isEmpty) {
-        // v3 table whose every reader feature is implemented — readable.
-        // An EMPTY readerFeatures set is spec-legal (the table demands no
-        // capabilities) and reads as plain protocol-1.
+      if ((minReaderVersion == 2 || minReaderVersion == 3) && unsupported.isEmpty) {
+        // readable: v2's mandated capability (column mapping) is
+        // implemented; a v3 table whose every reader feature is
+        // implemented reads too. An EMPTY readerFeatures set is
+        // spec-legal (the table demands no capabilities).
       } else {
         val detail =
           if (unsupported.nonEmpty) s"unsupported readerFeatures ${unsupported.toSeq.sorted.mkString("[", ", ", "]")}"
@@ -364,14 +368,27 @@ object DeltaLog {
             "delta-spark connector instead.")
       }
     }
-    val cmMode = tableConfiguration.getOrElse("delta.columnMapping.mode", "none")
-    if (cmMode != "none") {
-      // defense in depth: columnMapping without the protocol bump is a
-      // non-conforming writer, but mis-read columns are bad enough to guard
-      throw new UnsupportedDeltaProtocolException(
-        s"Delta table at $rootStr uses column mapping mode '$cmMode'; the " +
-          "jarless reader resolves columns by physical name only and would " +
-          "mis-read this table. Read it with the delta-spark connector instead.")
+    val cmMode = tableConfiguration.getOrElse(DeltaColumnMapping.ModeKey, "none")
+    cmMode match {
+      case "none" =>
+      case "name" | "id" =>
+        // both modes require (and every conforming writer stores) a
+        // physicalName on every field — resolution goes by it. A partial
+        // mapping would mis-read columns: refuse, don't guess.
+        require(schemaString != null,
+          s"Delta log at $rootStr carries no metaData action (corrupt log?)")
+        val sch = DataType.fromJson(schemaString).asInstanceOf[StructType]
+        if (!DeltaColumnMapping.fullyMapped(sch)) {
+          throw new UnsupportedDeltaProtocolException(
+            s"Delta table at $rootStr declares column mapping mode '$cmMode' " +
+              "but not every field carries delta.columnMapping.physicalName " +
+              "metadata (non-conforming writer). Read it with the " +
+              "delta-spark connector instead.")
+        }
+      case other =>
+        throw new UnsupportedDeltaProtocolException(
+          s"Delta table at $rootStr uses unknown column mapping mode " +
+            s"'$other'; refusing rather than mis-reading columns.")
     }
 
     require(schemaString != null,
@@ -580,8 +597,16 @@ object DeltaTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     }
+    // under column mapping the FILES spell physical names; scan with the
+    // physical schema and restore logical names at the end (stats JSON
+    // keys and pushed-down filter attributes are physical too, so the
+    // skipping below stays consistent)
+    val cmMode = DeltaColumnMapping.mode(s.configuration)
+    val readSchema =
+      if (cmMode == "none") s.schema
+      else DeltaColumnMapping.physicalSchema(s.schema)
     val raw = spark.read
-      .schema(s.schema)
+      .schema(readSchema)
       .option("basePath", root)
       .option(RootOption, root)
       .option(VersionOption, s.version.toString)
@@ -591,11 +616,11 @@ object DeltaTable {
     // 100 TB this, not the scan, is the difference between a point
     // lookup and a full-table read
     val statsByPath: Map[String, FileStats] = s.files.flatMap(f =>
-      f.stats.flatMap(DeltaStats.parse(_, s.schema))
+      f.stats.flatMap(DeltaStats.parse(_, readSchema))
         .map(fs => normPath(f.path) -> fs)).toMap
     val data = StatsPruning.wrap(raw, statsByPath)
     val withDv = s.files.filter(_.dv.exists(_.cardinality > 0L))
-    if (withDv.isEmpty) data
+    val afterDv = if (withDv.isEmpty) data
     else {
       // DELETION-VECTOR merge-on-read: drop (file, position) pairs named
       // by the DVs with an anti-join on (`_metadata.file_path`,
@@ -641,6 +666,8 @@ object DeltaTable {
           withPos("__pos") === dels("__del_pos"), "left_anti")
         .drop("__path", "__pos")
     }
+    if (cmMode == "none") afterDv
+    else DeltaColumnMapping.toLogical(afterDv, s.schema)
   }
 
   /** Scheme-normalize a path string the way the read-side columns are
@@ -690,11 +717,19 @@ object DeltaTable {
     def normC(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^file:/+", "/")
     // evaluate the predicate over the RAW snapshot (previously-deleted
-    // rows may re-match; the union below makes that a no-op)
-    val matched = spark.read
-      .schema(prior.schema)
+    // rows may re-match; the union below makes that a no-op); under
+    // column mapping, scan physical names, restore logical ones for the
+    // user's predicate, and keep `_metadata` riding along
+    val cmMode = DeltaColumnMapping.mode(prior.configuration)
+    val base = spark.read
+      .schema(if (cmMode == "none") prior.schema
+        else DeltaColumnMapping.physicalSchema(prior.schema))
       .option("basePath", rootStr)
       .parquet(prior.files.map(_.path): _*)
+    val logical = if (cmMode == "none") base
+      else DeltaColumnMapping.toLogical(base, prior.schema,
+        keep = Seq("_metadata"))
+    val matched = logical
       .filter(condition)
       .select(normC(col("_metadata.file_path")).as("p"),
         col("_metadata.row_index").as("pos"))
@@ -804,13 +839,94 @@ object DeltaTable {
     version
   }
 
+  /** Enable COLUMN MAPPING (mode `name`) on an existing table — a
+    * metadata-only commit: every field gets its current name as its
+    * stable physicalName (so existing data files and their stats stay
+    * valid as-is) plus a column id, and the protocol is raised to
+    * (2, 5) — or gains the `columnMapping` feature on a
+    * features-protocol table. Renames become metadata operations from
+    * here on. A no-op if mapping is already enabled. */
+  def enableColumnMapping(spark: SparkSession, rootStr: String): Long = {
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    if (DeltaColumnMapping.mode(prior.configuration) != "none")
+      return prior.version
+    writerGate(prior, rootStr, deletesRows = false, kind = "enableColumnMapping")
+    val (mapped, maxId) = DeltaColumnMapping.assignMapping(prior.schema)
+    val cfg = prior.configuration +
+      (DeltaColumnMapping.ModeKey -> "name") +
+      (DeltaColumnMapping.MaxIdKey -> maxId.toString)
+    commitMetadata(spark, rootStr, prior, mapped, prior.partitionColumns, cfg)
+  }
+
+  /** Rename a column WITHOUT rewriting any data file (the
+    * column-mapping user story): enables mapping if the table has
+    * none, then commits the new logical name — physicalName, files,
+    * and per-file stats untouched. */
+  def renameColumn(spark: SparkSession, rootStr: String,
+      oldName: String, newName: String): Long = {
+    enableColumnMapping(spark, rootStr)
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = false, kind = "renameColumn")
+    val renamed = DeltaColumnMapping.renameField(prior.schema, oldName, newName)
+    val parts = prior.partitionColumns.map(c => if (c == oldName) newName else c)
+    commitMetadata(spark, rootStr, prior, renamed, parts, prior.configuration)
+  }
+
+  /** Metadata-only commit (protocol upgrade if needed + new metaData) —
+    * the shape of every schema-evolution commit. Same
+    * create-no-overwrite fence as data commits. */
+  private def commitMetadata(spark: SparkSession, rootStr: String,
+      prior: DeltaSnapshot, schema: StructType,
+      partitionColumns: Seq[String], cfg: Map[String, String]): Long = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val version = prior.version + 1
+    val lines = mutable.Buffer.empty[JValue]
+    val onFeatures = prior.minReaderVersion >= 3 ||
+      prior.readerFeatures.nonEmpty || prior.writerFeatures.nonEmpty
+    if (onFeatures) {
+      if (!prior.readerFeatures.contains("columnMapping")) {
+        lines += JObject("protocol" -> JObject(
+          "minReaderVersion" -> JInt(3),
+          "minWriterVersion" -> JInt(7),
+          "readerFeatures" -> JArray(
+            (prior.readerFeatures + "columnMapping").toList.sorted.map(JString(_))),
+          "writerFeatures" -> JArray(
+            (prior.writerFeatures + "columnMapping").toList.sorted.map(JString(_)))))
+      }
+    } else if (prior.minReaderVersion < 2 || prior.minWriterVersion < 5) {
+      // legacy scheme: (2, 5) is the column-mapping protocol
+      lines += JObject("protocol" -> JObject(
+        "minReaderVersion" -> JInt(math.max(prior.minReaderVersion, 2)),
+        "minWriterVersion" -> JInt(math.max(prior.minWriterVersion, 5))))
+    }
+    lines += JObject("metaData" -> JObject(
+      "id" -> JString(java.util.UUID.randomUUID().toString),
+      "format" -> JObject(
+        "provider" -> JString("parquet"), "options" -> JObject()),
+      "schemaString" -> JString(schema.json),
+      "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
+      "configuration" -> JObject(
+        cfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
+      "createdTime" -> JLong(System.currentTimeMillis())))
+    val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
+    val out = fs.create(commitPath, false)
+    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    version
+  }
+
   /** Writer features this writer can honor. `appendOnly` is honored by
     * REFUSING overwrite commits (and row deletes); `deletionVectors` is
-    * honored by [[deleteWhere]] writing spec-shaped DV files. Anything
-    * else (invariants, CHECK constraints, generated columns, …) would
-    * require evaluating constraints this minimal writer cannot, so
-    * tables demanding them are refused loudly. */
-  private val SupportedWriterFeatures = Set("appendOnly", "deletionVectors")
+    * honored by [[deleteWhere]] writing spec-shaped DV files;
+    * `columnMapping` by writing data under physical names
+    * ([[DeltaColumnMapping.toPhysical]]). Anything else (invariants,
+    * CHECK constraints, generated columns, …) would require evaluating
+    * constraints this minimal writer cannot, so tables demanding them
+    * are refused loudly. */
+  private val SupportedWriterFeatures =
+    Set("appendOnly", "deletionVectors", "columnMapping")
 
   /**
    * MERGE-ON-READ COMPACTION (Delta's REORG PURGE analogue): when the
@@ -834,17 +950,45 @@ object DeltaTable {
   private def writerGate(p: DeltaSnapshot, rootStr: String,
       deletesRows: Boolean, kind: String): Unit = {
     val unsupportedWf = p.writerFeatures -- SupportedWriterFeatures
-    if (p.minWriterVersion > 2 && !(p.minWriterVersion == 7 && unsupportedWf.isEmpty)) {
+    // legacy writer versions ≤ 6 are cumulative CAPABILITY demands
+    // (3 constraints, 4 generated columns + CDF, 5 column mapping,
+    // 6 identity columns) — each is enforced below only where the
+    // feature is actually IN USE, which is what the spec requires
+    val legacyOk = p.minWriterVersion <= 6
+    if (!(legacyOk || (p.minWriterVersion == 7 && unsupportedWf.isEmpty))) {
       throw new UnsupportedDeltaProtocolException(
         s"Delta table at $rootStr requires minWriterVersion " +
           s"${p.minWriterVersion}" +
           (if (unsupportedWf.nonEmpty)
             s" with unsupported writerFeatures ${unsupportedWf.toSeq.sorted.mkString("[", ", ", "]")}"
           else "") +
-          "; this minimal writer implements protocol 2 (append/overwrite " +
-          "with optimistic concurrency) plus deletion vectors. Writing " +
-          "anyway could violate table invariants. Write with the " +
-          "delta-spark connector instead.")
+          "; this minimal writer implements append/overwrite with " +
+          "optimistic concurrency plus deletion vectors and column " +
+          "mapping. Writing anyway could violate table invariants. " +
+          "Write with the delta-spark connector instead.")
+    }
+    // generated / identity columns: values must be derived or assigned by
+    // the writer — refuse rather than write rows that violate them
+    val fields = p.schema.fields
+    if (fields.exists(_.metadata.contains("delta.generationExpression"))) {
+      throw new UnsupportedDeltaProtocolException(
+        s"Delta table at $rootStr has GENERATED columns this minimal " +
+          "writer cannot derive. Write with the delta-spark connector instead.")
+    }
+    if (fields.exists(f => f.metadata.contains("delta.identity.start") ||
+        f.metadata.contains("delta.identity.allowExplicitInsert"))) {
+      throw new UnsupportedDeltaProtocolException(
+        s"Delta table at $rootStr has IDENTITY columns this minimal " +
+          "writer cannot assign. Write with the delta-spark connector instead.")
+    }
+    // change data feed: row deletes / overwrites must emit change files
+    // this writer does not produce; plain appends are their own change data
+    if (deletesRows && p.configuration.get("delta.enableChangeDataFeed")
+        .exists(_.equalsIgnoreCase("true"))) {
+      throw new UnsupportedDeltaProtocolException(
+        s"Delta table at $rootStr has Change Data Feed enabled; $kind " +
+          "would need CDC files this minimal writer does not produce. " +
+          "Only append is permitted.")
     }
     val constraintKeys = p.configuration.keys.filter(_.startsWith("delta.constraints."))
     if (constraintKeys.nonEmpty) {
@@ -892,12 +1036,39 @@ object DeltaTable {
     prior.foreach(p => writerGate(p, rootStr, deletesRows = overwrite,
       kind = if (overwrite) "overwrite" else "append"))
 
+    // COLUMN MAPPING: appends write under the table's physical names;
+    // an overwrite re-assigns a fresh mapping over the new schema
+    // (continuing maxColumnId) so the table STAYS mapped — that keeps
+    // purge() and schema-replacing loads working on mapped tables
+    val cmMode = prior.map(p => DeltaColumnMapping.mode(p.configuration))
+      .getOrElse("none")
+    val priorMaxId: Int = prior
+      .flatMap(_.configuration.get(DeltaColumnMapping.MaxIdKey))
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(0)
+    val (physDf, physPartitionBy, metaSchemaJson, metaCfg) =
+      if (cmMode == "none") {
+        (df, partitionBy, df.schema.json,
+          prior.map(_.configuration).getOrElse(Map.empty[String, String]))
+      } else if (!overwrite) {
+        val ps = prior.get.schema
+        val physByLogical = ps.fields
+          .map(f => f.name -> DeltaColumnMapping.physicalName(f)).toMap
+        (DeltaColumnMapping.toPhysical(df, ps),
+          partitionBy.map(n => physByLogical.getOrElse(n, n)),
+          prior.get.schemaString, prior.get.configuration)
+      } else {
+        val (mapped, maxId) =
+          DeltaColumnMapping.assignMapping(df.schema, priorMaxId)
+        (df, partitionBy, mapped.json, prior.get.configuration +
+          (DeltaColumnMapping.MaxIdKey -> maxId.toString))
+      }
+
     // stage through a per-writer temp dir: the add set is EXACTLY the
     // files this writer produced, independent of concurrent activity
     val stage = new Path(root,
       s".graft-stage-${java.util.UUID.randomUUID().toString}")
-    val writer = df.write.mode(SaveMode.Append)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+    val writer = physDf.write.mode(SaveMode.Append)
+    (if (physPartitionBy.nonEmpty) writer.partitionBy(physPartitionBy: _*) else writer)
       .parquet(stage.toString)
     val staged = dataFiles(fs, stage)
     val stageUri = fs.makeQualified(stage).toUri
@@ -930,16 +1101,16 @@ object DeltaTable {
     if (version == 0L || overwrite) {
       // an overwrite rewrites schema/partitioning but must NOT erase the
       // table's configuration — carry it forward from the prior snapshot
-      val cfg = prior.map(_.configuration).getOrElse(Map.empty)
+      // (for a mapped table, with a freshly-assigned mapping + maxColumnId)
       lines += JObject("metaData" -> JObject(
         "id" -> JString(java.util.UUID.randomUUID().toString),
         "format" -> JObject(
           "provider" -> JString("parquet"),
           "options" -> JObject()),
-        "schemaString" -> JString(df.schema.json),
+        "schemaString" -> JString(metaSchemaJson),
         "partitionColumns" -> JArray(partitionBy.map(JString(_)).toList),
         "configuration" -> JObject(
-          cfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
+          metaCfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
         "createdTime" -> JLong(now)))
     }
     if (overwrite) prior.foreach(_.files.foreach { f =>
@@ -954,8 +1125,8 @@ object DeltaTable {
     // per-file stats from the parquet footers just written (metadata-only
     // reads, distributed when the commit is large) — the skipping payload
     // every real Delta reader expects in `add.stats`
-    val statsSchema = StructType(df.schema.filterNot(f =>
-      partitionBy.contains(f.name)))
+    val statsSchema = StructType(physDf.schema.filterNot(f =>
+      physPartitionBy.contains(f.name)))
     val statsByPath: Map[String, FileStats] = ParquetFooterStats
       .collect(spark, added.map(_.getPath.toString), statsSchema)
     added.foreach { s =>

@@ -545,6 +545,37 @@ object IndexAccel {
        |WHERE c_nationkey BETWEEN 5 AND 15
        |  AND NOT (c_custkey % 7 = 3) AND NOT (c_custkey % 5 = 1)""".stripMargin
 
+  /** COLUMN MAPPING end-to-end: the Delta table gets a column RENAMED
+    * (metadata-only commit — mode `name`, physicalName kept, zero data
+    * rewrites), then a row-level DV delete against the NEW name, and the
+    * query aggregates under the new name. The oracle sees only the base
+    * parquet under the ORIGINAL name — matching results prove the
+    * physical→logical resolution, the mapped-table DV anti-join, and the
+    * renamed filter's pushdown all agree with plain-column semantics. */
+  def idxDeltaCmFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.DeltaTable
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_delta_cm_$h"
+    synchronized {
+      if (!graft.index.sources.DeltaLog.isDeltaTable(spark, root)) {
+        DeltaTable.create(Tables.load(spark, sfDir, "customer"), root)
+        DeltaTable.renameColumn(spark, root, "c_acctbal", "balance")
+        DeltaTable.deleteWhere(spark, root, col("c_custkey") % 11 === 4)
+      }
+    }
+    DeltaTable.read(spark, root)
+      .filter(col("c_mktsegment") === "BUILDING" && col("balance") > 0)
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("balance")).as("sum_bal"))
+  }
+
+  val idxDeltaCmFilterSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer
+       |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+       |  AND NOT (c_custkey % 11 = 4)""".stripMargin
+
   /** Manifest-bounds FILE SKIPPING over an ICEBERG table: the mirror of
     * `idx_delta_stats_filter` — 8 range-disjoint files whose manifest
     * entries carry single-value-serialized lower/upper bounds, a narrow
@@ -575,6 +606,7 @@ object IndexAccel {
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
     "idx_delta_dv_filter" -> (idxDeltaDvFilter _, idxDeltaDvFilterSql),
     "idx_delta_stats_filter" -> (idxDeltaStatsFilter _, idxDeltaStatsFilterSql),
+    "idx_delta_cm_filter" -> (idxDeltaCmFilter _, idxDeltaCmFilterSql),
     "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
     "idx_iceberg_v2_filter" -> (idxIcebergV2Filter _, idxIcebergV2FilterSql),
     "idx_iceberg_eq_filter" -> (idxIcebergEqFilter _, idxIcebergEqFilterSql),

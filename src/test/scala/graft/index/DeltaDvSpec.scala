@@ -222,12 +222,12 @@ class DeltaDvSpec extends AnyFunSuite {
     val out = fs.create(new Path(logDir, f"${1L}%020d.json"), false)
     try out.write(
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors","columnMapping"],""" +
-        """"writerFeatures":["deletionVectors","columnMapping"]}}""" + "\n")
+        """"readerFeatures":["deletionVectors","v2Checkpoint"],""" +
+        """"writerFeatures":["deletionVectors","v2Checkpoint"]}}""" + "\n")
         .getBytes("UTF-8"))
     finally out.close()
     val e = intercept[UnsupportedDeltaProtocolException](
       DeltaTable.read(spark, root))
-    assert(e.getMessage.contains("columnMapping"))
+    assert(e.getMessage.contains("v2Checkpoint"))
   }
 }

@@ -325,15 +325,23 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(err.getMessage.contains("v2Checkpoint"))
   }
 
-  test("protocol gate: minReaderVersion 2 (column mapping era) refuses") {
+  test("protocol gate: minReaderVersion 2 reads (column mapping implemented); " +
+      "a declared mapping without physicalNames still refuses") {
+    // (2,5) with NO mapping in force: replays as plain — readable
     val root = tmp("graft-delta-v2-")
     writeRawCommit(root, 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       metaDataLine()))
+    assert(DeltaLog.snapshot(spark, root).minReaderVersion == 2)
+    // (2,5) + mode=name but an UNMAPPED schema: non-conforming, refuse
+    val root2 = tmp("graft-delta-v2bad-")
+    writeRawCommit(root2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaDataLine("""{"delta.columnMapping.mode":"name"}""")))
     val err = intercept[UnsupportedDeltaProtocolException] {
-      DeltaLog.snapshot(spark, root)
+      DeltaLog.snapshot(spark, root2)
     }
-    assert(err.getMessage.contains("minReaderVersion 2"))
+    assert(err.getMessage.contains("physicalName"))
   }
 
   test("protocol gate: columnMapping config refuses even without protocol bump") {
@@ -363,7 +371,7 @@ class DeltaLogSpec extends AnyFunSuite {
     DeltaTable.create(customer.limit(5), root) // version 0, protocol 1
     assert(DeltaTable.read(spark, root).count() == 5)
     writeRawCommit(root, 1L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}"""))
     intercept[UnsupportedDeltaProtocolException] {
       DeltaLog.snapshot(spark, root)
     }
@@ -391,15 +399,51 @@ class DeltaLogSpec extends AnyFunSuite {
   // --- writer gate: protocol/config-demanded writer capabilities we
   // --- don't implement must refuse the WRITE, not just the read
 
-  test("writer gate: minWriterVersion > 2 refuses append") {
+  test("writer gate: legacy versions write when no feature is in use; " +
+      "in-use capabilities and unknown versions refuse") {
+    // minWriterVersion 5, nothing in use → append is legal now
     val root = tmp("graft-delta-wv-")
     writeRawCommit(root, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":5}}""",
       metaDataLine()))
+    assert(DeltaTable.append(customer.limit(2), root) == 1L)
+    // an unknown future version still refuses
+    val root2 = tmp("graft-delta-wv8-")
+    writeRawCommit(root2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":8}}""",
+      metaDataLine()))
     val err = intercept[UnsupportedDeltaProtocolException] {
-      DeltaTable.append(customer.limit(2), root)
+      DeltaTable.append(customer.limit(2), root2)
     }
-    assert(err.getMessage.contains("minWriterVersion 5"))
+    assert(err.getMessage.contains("minWriterVersion 8"))
+    // a GENERATED column in the schema refuses any write
+    val genSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.generationExpression", "a + 1").build())))
+    val root3 = tmp("graft-delta-gen-")
+    val escaped = genSchema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeRawCommit(root3, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"id":"g","format":{"provider":"parquet","options":{}},"schemaString":"$escaped","partitionColumns":[],"configuration":{},"createdTime":1}}"""))
+    val err3 = intercept[UnsupportedDeltaProtocolException] {
+      DeltaTable.append(spark.range(2).selectExpr("id as a", "id+1 as b"), root3)
+    }
+    assert(err3.getMessage.contains("GENERATED"))
+    // CDF: append permitted, row deletes refused
+    val root4 = tmp("graft-delta-cdf-")
+    writeRawCommit(root4, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      metaDataLine("""{"delta.enableChangeDataFeed":"true"}""")))
+    assert(DeltaTable.append(customer.limit(2), root4) == 1L)
+    val err4 = intercept[UnsupportedDeltaProtocolException] {
+      DeltaTable.deleteWhere(spark, root4,
+        org.apache.spark.sql.functions.col("c_custkey") === 1L)
+    }
+    assert(err4.getMessage.contains("Change Data Feed"))
   }
 
   test("writer gate: unsupported writerFeatures refuse; appendOnly feature permits append, refuses overwrite") {
