@@ -57,7 +57,18 @@ final case class IcebergSnapshot(
     dataSeq: Map[String, Long] = Map.empty,
     // top-level field id → column name, from the snapshot's own schema
     // JSON (resolves equality_ids against external tables' real ids)
-    fieldIdToName: Map[Int, String] = Map.empty)
+    fieldIdToName: Map[Int, String] = Map.empty,
+    // the current iceberg schema JSON verbatim (compact) — republishing
+    // entries and schema EVOLUTION must preserve its field ids
+    schemaJsonStr: String = "",
+    // table properties (metadata.json "properties")
+    properties: Map[String, String] = Map.empty,
+    // metadata.json last-column-id: ids of DROPPED columns stay retired
+    lastColumnId: Int = 0,
+    // the metadata.json version this snapshot was read from — the COMMIT
+    // FENCE base: a commit publishes exactly version+1, so two writers
+    // sharing a prior collide on the create-no-overwrite, never fork
+    metadataVersion: Long = 0L)
 
 /**
  * Iceberg SINGLE-VALUE SERIALIZATION (spec appendix D) for manifest
@@ -206,7 +217,15 @@ object IcebergMeta {
     }
     val snapshotId = snapshotAsOf.getOrElse(currentId)
     if (snapshotId < 0)
-      return IcebergSnapshot(location, -1L, schema, Nil)
+      return IcebergSnapshot(location, -1L, schema, Nil,
+        schemaJsonStr = JsonMethods.compact(JsonMethods.render(schemaJson)),
+        properties = (j \ "properties") match {
+          case JObject(fields) => fields.collect {
+            case (k, JString(v)) => k -> v
+          }.toMap
+          case _ => Map.empty
+        },
+        metadataVersion = metadataVersionOf(metaFile.getName))
 
     val snap = (j \ "snapshots") match {
       case JArray(snaps) =>
@@ -267,8 +286,58 @@ object IcebergMeta {
       }
       (f.copy(stats = statsJson), seq)
     }
+    val properties: Map[String, String] = (j \ "properties") match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty
+    }
+    val lastColId = (j \ "last-column-id") match {
+      case JInt(n) => n.toInt
+      case _ => 0
+    }
     IcebergSnapshot(location, snapshotId, schema, dataEntries.map(_._1),
-      deleteFiles, dataEntries.map(e => e._1.path -> e._2).toMap, fieldIds)
+      deleteFiles, dataEntries.map(e => e._1.path -> e._2).toMap, fieldIds,
+      JsonMethods.compact(JsonMethods.render(schemaJson)), properties,
+      lastColId, metadataVersionOf(metaFile.getName))
+  }
+
+  /** Version number encoded in a metadata.json file name. */
+  private[sources] def metadataVersionOf(name: String): Long = {
+    val VersionPrefix = """^v?0*(\d+)\D.*""".r
+    name match {
+      case VersionPrefix(d) => d.toLong
+      case _ => 0L
+    }
+  }
+
+  private[sources] def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).toSeq ==
+      b.fields.map(f => (f.name, f.dataType)).toSeq
+
+  /** The schema JSON a commit must publish: the PRIOR one verbatim when
+    * the logical shape is unchanged — preserving its field ids, which
+    * evolution and the manifests' bounds keys depend on — and a freshly
+    * id-assigned one only for schema-replacing commits. */
+  private[sources] def publishedSchemaJson(prior: Option[IcebergSnapshot],
+      schema: StructType): JValue = prior match {
+    case Some(p) if p.schemaJsonStr.nonEmpty && sameShape(schema, p.schema) =>
+      JsonMethods.parse(p.schemaJsonStr)
+    case _ => sparkSchemaToIceberg(schema)
+  }
+
+  /** Max field id anywhere in an iceberg schema JSON (last-column-id). */
+  private[sources] def maxFieldId(j: JValue): Int = {
+    def walk(v: JValue): Seq[Int] = v match {
+      case JObject(fields) => fields.flatMap {
+        case (("id" | "element-id" | "key-id" | "value-id"), JInt(n)) =>
+          Seq(n.toInt)
+        case (_, child) => walk(child)
+      }
+      case JArray(items) => items.flatMap(walk)
+      case _ => Nil
+    }
+    (0 +: walk(j)).max
   }
 
   /** Iceberg metadata stores absolute URIs; strip `file:` to the same
@@ -391,7 +460,7 @@ object IcebergMeta {
 
   /** Iceberg schema JSON → Spark StructType (primitives + struct/list/map;
     * reference needs the connector's SparkSchemaUtil for the same job). */
-  def icebergSchemaToSpark(j: JValue): StructType = {
+  def icebergSchemaToSpark(j: JValue, withFieldIds: Boolean = false): StructType = {
     def typeOf(t: JValue): DataType = t match {
       case JString(s) => primitive(s)
       case obj: JObject => (obj \ "type") match {
@@ -433,13 +502,31 @@ object IcebergMeta {
       (obj \ "fields") match {
         case JArray(fields) => fields.map { f =>
           val JString(name) = (f \ "name"): @unchecked
-          StructField(name, typeOf(f \ "type"),
+          val base = StructField(name, typeOf(f \ "type"),
             nullable = (f \ "required") != JBool(true))
+          if (!withFieldIds) base
+          else (f \ "id") match {
+            case JInt(id) => base.copy(metadata = new MetadataBuilder()
+              .putLong(ParquetFieldId, id.toLong).build())
+            case _ => base
+          }
         }
         case _ => Nil
       })
     structOf(j)
   }
+
+  /** Parquet's field-id metadata key (what Spark's reader/writer honor
+    * when `spark.sql.parquet.fieldId.{read,write}.enabled` are on). */
+  val ParquetFieldId = "parquet.field.id"
+
+  /** Like [[icebergSchemaToSpark]] but with each struct field carrying
+    * its iceberg field id as `parquet.field.id` metadata — the read
+    * schema for ID-BASED column resolution of EVOLVED tables (renamed
+    * columns resolve to the files' original names; dropped-then-readded
+    * names do NOT resurrect old data, because the new id differs). */
+  def icebergSchemaToSparkWithIds(j: JValue): StructType =
+    icebergSchemaToSpark(j, withFieldIds = true)
 
   /** Spark StructType → Iceberg schema JSON (fixture writer; primitives
     * and nested structs/arrays/maps, ids assigned in walk order). */
@@ -522,8 +609,21 @@ object IcebergTable {
     if (s.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    // ID-BASED column resolution when the table guarantees field ids in
+    // every data file (`graft.field-ids`): renamed columns resolve to
+    // the files' original spellings, added columns read as null from
+    // older files, dropped-then-readded names don't resurrect old data.
+    // Tables without the guarantee keep plain name resolution.
+    val useIds = s.properties.get("graft.field-ids").contains("true")
+    val readSchema =
+      if (!useIds) s.schema
+      else {
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        IcebergMeta.icebergSchemaToSparkWithIds(
+          JsonMethods.parse(s.schemaJsonStr))
+      }
     val raw = spark.read
-      .schema(s.schema)
+      .schema(readSchema)
       .option("basePath", s"$location/data")
       .option(LocationOption, location)
       .option(SnapshotOption, s.snapshotId.toString)
@@ -578,7 +678,11 @@ object IcebergTable {
               s"top-level column of the schema at ${s.location} — nested " +
               "or dropped columns are not supported by the jarless reader")))
         val delRows = group.map { d =>
-          spark.read.parquet(d.path)
+          // delete files resolve by field id too: an equality delete
+          // written before a rename still matches after it
+          val reader = if (!useIds) spark.read
+            else spark.read.schema(StructType(cols.map(c => readSchema(c))))
+          reader.parquet(d.path)
             .select(cols.map(c => col(c).as(s"__del_$c")): _*)
             .withColumn("__del_seq", lit(d.seq))
         }.reduce(_ unionByName _)
@@ -590,6 +694,158 @@ object IcebergTable {
       cur = cur.drop("__seq")
     }
     cur.drop("__path")
+  }
+
+  // ------------------------------------------------ schema evolution
+
+  /** Replace/insert top-level fields of a JSON object. */
+  private def setFields(o: JValue, kvs: (String, JValue)*): JValue = o match {
+    case JObject(fields) =>
+      val keys = kvs.map(_._1).toSet
+      JObject(fields.filterNot(kv => keys.contains(kv._1)) ++ kvs.toList)
+    case other => other
+  }
+
+  /** Rename a column WITHOUT rewriting any data file: a metadata-only
+    * update appending a new schema (field id KEPT) to schemas[] and
+    * repointing current-schema-id. Requires the table's field-id
+    * guarantee (`graft.field-ids`) — files are then resolved by id, so
+    * every file keeps serving under its original spelling. */
+  def renameColumn(spark: SparkSession, location: String,
+      oldName: String, newName: String): Long = {
+    val prior = IcebergMeta.snapshot(spark, location)
+    require(prior.properties.get("graft.field-ids").contains("true"),
+      s"renameColumn on $location needs id-resolvable data files " +
+        "(table property graft.field-ids); tables written before the " +
+        "field-id writer must be rewritten (compact) first")
+    require(prior.schema.fieldNames.contains(oldName),
+      s"no column '$oldName' at $location " +
+        s"(have ${prior.schema.fieldNames.mkString(", ")})")
+    require(!prior.schema.fieldNames.contains(newName),
+      s"column '$newName' already exists at $location")
+    updateSchema(spark, location) { (fields, lastColId) =>
+      (fields.map {
+        case f if (f \ "name") == JString(oldName) =>
+          setFields(f, "name" -> JString(newName))
+        case f => f
+      }, lastColId)
+    }
+  }
+
+  /** Add a nullable column (fresh field id): older files read it as
+    * null; appends from now on fill it. Metadata-only. */
+  def addColumn(spark: SparkSession, location: String,
+      name: String, dataType: DataType): Long = {
+    val prior = IcebergMeta.snapshot(spark, location)
+    require(!prior.schema.fieldNames.contains(name),
+      s"column '$name' already exists at $location")
+    require(!dataType.isInstanceOf[StructType] &&
+      !dataType.isInstanceOf[ArrayType] && !dataType.isInstanceOf[MapType],
+      "addColumn supports primitive types (a nested type's inner ids " +
+        "would need allocation against last-column-id)")
+    val typeName: JValue = IcebergMeta.sparkSchemaToIceberg(
+      StructType(Seq(StructField(name, dataType)))) \ "fields" match {
+      case JArray(f :: Nil) => f \ "type"
+      case _ => throw new IllegalArgumentException(s"cannot map $dataType")
+    }
+    updateSchema(spark, location) { (fields, lastColId) =>
+      val newId = lastColId + 1
+      (fields :+ (JObject("id" -> JInt(newId), "name" -> JString(name),
+        "required" -> JBool(false), "type" -> typeName): JValue), newId)
+    }
+  }
+
+  /** Drop a column: metadata-only; the field id is RETIRED
+    * (last-column-id never decreases), so re-adding the same name later
+    * gets a fresh id and does NOT resurrect the old values. Refused
+    * while an equality delete still references the column. */
+  def dropColumn(spark: SparkSession, location: String,
+      name: String): Long = {
+    val prior = IcebergMeta.snapshot(spark, location)
+    require(prior.schema.fieldNames.contains(name),
+      s"no column '$name' at $location")
+    val nameToId = prior.fieldIdToName.map { case (i, n) => n -> i }
+    val id = nameToId(name)
+    val referencedBy = prior.deleteFiles
+      .filter(d => d.content == 2 && d.equalityIds.contains(id))
+    require(referencedBy.isEmpty,
+      s"cannot drop '$name': ${referencedBy.size} equality delete " +
+        "file(s) still reference it — compact first")
+    updateSchema(spark, location) { (fields, lastColId) =>
+      (fields.filterNot(f => (f \ "name") == JString(name)), lastColId)
+    }
+  }
+
+  /** Shared metadata-only schema update: append the transformed schema
+    * to schemas[] under a fresh schema-id, repoint current-schema-id,
+    * advance last-column-id, publish the next metadata version (same
+    * create-no-overwrite fence as snapshots; the snapshot tree is
+    * untouched). */
+  private def updateSchema(spark: SparkSession, location: String)(
+      transform: (List[JValue], Int) => (List[JValue], Int)): Long = {
+    val fs = new Path(location)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val metaFile = IcebergMeta.currentMetadataFile(fs, location)
+    val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
+    val schemas: List[JValue] = (j \ "schemas") match {
+      case JArray(ss) if ss.nonEmpty => ss
+      case _ => throw new UnsupportedOperationException(
+        s"schema evolution needs a v2 schemas[] list at $location " +
+          "(v1 inline-schema tables are read-only here)")
+    }
+    val currentId = (j \ "current-schema-id") match {
+      case JInt(n) => n.toInt
+      case _ => 0
+    }
+    val current = schemas.find(s => (s \ "schema-id") == JInt(currentId))
+      .getOrElse(schemas.head)
+    val lastColId = (j \ "last-column-id") match {
+      case JInt(n) => n.toInt
+      case _ => 0
+    }
+    val fields: List[JValue] = (current \ "fields") match {
+      case JArray(fs0) => fs0
+      case _ => Nil
+    }
+    val (newFields, newLastColId) = transform(fields, lastColId)
+    val maxSchemaId = schemas.map(s => (s \ "schema-id") match {
+      case JInt(n) => n.toInt
+      case _ => 0
+    }).max
+    val newSchema: JValue = setFields(current,
+      "schema-id" -> JInt(maxSchemaId + 1),
+      "fields" -> JArray(newFields))
+    val version = IcebergMeta.metadataVersionOf(metaFile.getName) + 1L
+    val updated = setFields(j,
+      "schemas" -> JArray(schemas :+ newSchema),
+      "current-schema-id" -> JInt(maxSchemaId + 1),
+      "last-column-id" -> JInt(math.max(lastColId, newLastColId)),
+      "last-updated-ms" -> JLong(System.currentTimeMillis()))
+    val metaDir = IcebergMeta.metadataDir(location)
+    val metaOut = new Path(metaDir, f"v$version%05d.metadata.json")
+    val os = fs.create(metaOut, false)
+    try os.write(JsonMethods.pretty(JsonMethods.render(updated))
+      .getBytes(StandardCharsets.UTF_8))
+    finally os.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    version
+  }
+
+  /** Attach each top-level column's iceberg field id as
+    * `parquet.field.id` metadata so the files this writer produces are
+    * ID-RESOLVABLE — the substrate schema evolution stands on. */
+  private def withIdMetadata(df: DataFrame,
+      schemaJson: JValue): DataFrame = {
+    val ids = IcebergMeta.icebergSchemaToSparkWithIds(schemaJson)
+    val byName = ids.fields.map(f => f.name -> f.metadata).toMap
+    df.select(df.schema.fieldNames.toSeq.map { n =>
+      byName.get(n) match {
+        case Some(md) => df.col(n).as(n, md)
+        case None => df.col(n)
+      }
+    }: _*)
   }
 
   def create(df: DataFrame, location: String): Long =
@@ -694,7 +950,9 @@ object IcebergTable {
     // silent-duplication race a before/after directory diff invites)
     val stage = new Path(root,
       s".graft-stage-${java.util.UUID.randomUUID().toString}")
-    df.write.mode(SaveMode.Append).parquet(stage.toString)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    withIdMetadata(df, IcebergMeta.publishedSchemaJson(prior, df.schema))
+      .write.mode(SaveMode.Append).parquet(stage.toString)
     fs.mkdirs(dataDir)
     val added: Seq[FileStatus] = fs.listStatus(stage).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -812,7 +1070,14 @@ object IcebergTable {
 
     val stage = new Path(root,
       s".graft-stage-${java.util.UUID.randomUUID().toString}")
-    keys.dropDuplicates(keys.columns.toSeq)
+    // equality-delete files are read back under the CURRENT column names;
+    // field ids keep them resolvable across later renames
+    val keysWithIds = keys.select(keys.columns.toSeq.map { c =>
+      keys.col(c).as(c, new MetadataBuilder()
+        .putLong(IcebergMeta.ParquetFieldId, nameToId(c).toLong).build())
+    }: _*)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    keysWithIds.dropDuplicates(keys.columns.toSeq)
       .repartition(1).sortWithinPartitions(keys.columns.head,
         keys.columns.tail: _*)
       .write.parquet(stage.toString)
@@ -858,7 +1123,10 @@ object IcebergTable {
     val survivors = read(spark, location)
     val stage = new Path(root,
       s".graft-stage-${java.util.UUID.randomUUID().toString}")
-    survivors.write.mode(SaveMode.Append).parquet(stage.toString)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    withIdMetadata(survivors,
+      IcebergMeta.publishedSchemaJson(Some(prior), prior.schema))
+      .write.mode(SaveMode.Append).parquet(stage.toString)
     fs.mkdirs(dataDir)
     val added: Seq[FileStatus] = fs.listStatus(stage).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
@@ -873,9 +1141,13 @@ object IcebergTable {
       }
     fs.delete(stage, true)
 
+    val statsByPath = ParquetFooterStats.collect(
+      spark, added.map(_.getPath.toString), prior.schema)
     publishSnapshot(spark, location, Some(prior), prior.schema, "replace",
       dataExisting = Nil,
-      dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L)),
+      dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L,
+        stats = statsByPath.get(s.getPath.toString)
+          .flatMap(DeltaStats.render(_, prior.schema)))),
       deleteExisting = Nil,
       deleteAdded = Nil)
   }
@@ -894,8 +1166,21 @@ object IcebergTable {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = IcebergMeta.metadataDir(location)
     val snapshotId = prior.map(_.snapshotId).getOrElse(0L) + 1L
-    val version = snapshotId // fixture convention: version = snapshot id
+    // metadata versions advance independently of snapshot ids (schema
+    // evolution writes metadata-only versions) but are pinned to the
+    // PRIOR snapshot's version: racing writers share a prior, so they
+    // collide on the same target file — the commit fence
+    val version = prior.map(_.metadataVersion).getOrElse(0L) + 1L
     fs.mkdirs(metaDir)
+    val schemaJson = IcebergMeta.publishedSchemaJson(prior, schema)
+    // `graft.field-ids` guarantees every data file carries parquet field
+    // ids, unlocking id-based resolution (schema evolution). A commit
+    // whose files are all fresh (create / replace / first append) can
+    // assert it; appends to a table without it keep it absent.
+    val tblProperties: Map[String, String] = {
+      val base = prior.map(_.properties).getOrElse(Map.empty)
+      if (dataExisting.isEmpty) base + ("graft.field-ids" -> "true") else base
+    }
 
     // real Iceberg metadata RETAINS prior snapshots in snapshots[] (until
     // expiration) — carry them forward so snapshotAsOf time travel can
@@ -913,7 +1198,7 @@ object IcebergTable {
     // top-level field ids of the schema being published (the ids the
     // manifest's bounds maps must key by)
     val topFieldIds: Map[String, Int] =
-      (IcebergMeta.sparkSchemaToIceberg(schema) \ "fields") match {
+      (schemaJson \ "fields") match {
         case JArray(fields) => fields.flatMap { f =>
           ((f \ "id"), (f \ "name")) match {
             case (JInt(i), JString(n)) => Some(n -> i.toInt)
@@ -1029,9 +1314,15 @@ object IcebergTable {
       "table-uuid" -> JString(java.util.UUID.randomUUID().toString),
       "location" -> JString(location),
       "last-updated-ms" -> JLong(now),
-      "last-column-id" -> JInt(schema.size),
-      "current-schema-id" -> JInt(0),
-      "schemas" -> JArray(List(IcebergMeta.sparkSchemaToIceberg(schema))),
+      "last-column-id" -> JInt(math.max(IcebergMeta.maxFieldId(schemaJson),
+        prior.map(_.lastColumnId).getOrElse(0))),
+      "current-schema-id" -> JInt((schemaJson \ "schema-id") match {
+        case JInt(n) => n.toInt
+        case _ => 0
+      }),
+      "schemas" -> JArray(List(schemaJson)),
+      "properties" -> JObject(tblProperties.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) }),
       "default-spec-id" -> JInt(0),
       "partition-specs" -> JArray(List(JObject(
         "spec-id" -> JInt(0), "fields" -> JArray(Nil)))),

@@ -601,6 +601,38 @@ object IndexAccel {
 
   val idxIcebergStatsFilterSql: String = idxDeltaStatsFilterSql
 
+  /** Iceberg SCHEMA EVOLUTION end-to-end: rename a column (metadata-only
+    * — field id kept, files resolved by parquet field id), equality-
+    * delete keys under the ORIGINAL name beforehand, then aggregate
+    * under the NEW name. The oracle sees only the base parquet under the
+    * original name — matching results prove id-based resolution, the
+    * pre-rename delete's continued effect, and renamed-filter pushdown. */
+  def idxIcebergEvoFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{IcebergMeta, IcebergTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_ice_evo_$h"
+    synchronized {
+      if (!IcebergMeta.isIcebergTable(spark, root)) {
+        val customer = Tables.load(spark, sfDir, "customer")
+        IcebergTable.create(customer, root)
+        IcebergTable.deleteWhereEquality(spark, root,
+          customer.filter(col("c_custkey") % 9 === 2).select("c_custkey"))
+        IcebergTable.renameColumn(spark, root, "c_acctbal", "balance")
+      }
+    }
+    IcebergTable.read(spark, root)
+      .filter(col("c_mktsegment") === "MACHINERY" && col("balance") > 0)
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("balance")).as("sum_bal"))
+  }
+
+  val idxIcebergEvoFilterSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer
+       |WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 0
+       |  AND NOT (c_custkey % 9 = 2)""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
@@ -611,6 +643,7 @@ object IndexAccel {
     "idx_iceberg_v2_filter" -> (idxIcebergV2Filter _, idxIcebergV2FilterSql),
     "idx_iceberg_eq_filter" -> (idxIcebergEqFilter _, idxIcebergEqFilterSql),
     "idx_iceberg_stats_filter" -> (idxIcebergStatsFilter _, idxIcebergStatsFilterSql),
+    "idx_iceberg_evo_filter" -> (idxIcebergEvoFilter _, idxIcebergEvoFilterSql),
     "q_snowflake_2idx" -> (idxSnowflake2 _, idxSnowflake2Sql),
     "q_snowflake_3idx" -> (idxSnowflake3 _, idxSnowflake3Sql),
     "q_star_agg_idx" -> (idxStarAgg _, idxStarAggSql),
