@@ -406,7 +406,7 @@ object DeltaLog {
     if (p.isAbsolute) decoded else new Path(root, decoded).toString
   }
 
-  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+  private[sources] def readLines(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
@@ -677,11 +677,245 @@ object DeltaTable {
   private[sources] def normPath(p: String): String =
     p.replaceFirst("^file:/+", "/")
 
+  /** Stage `df` (data columns + a trailing `_change_type`) as CDC
+    * parquet under `_change_data/` — hive-partitioned like the data when
+    * the table is partitioned, so external CDF readers recover partition
+    * values from the action's `partitionValues` exactly as for adds.
+    * Returns the commit's `cdc` action lines plus the written file paths
+    * (so a lost commit race can clean up). Always produces at least one
+    * (possibly footer-only) file: a commit that deletes rows on a CDF
+    * table must stay self-describing even when zero rows matched. */
+  private def writeCdc(spark: SparkSession, fs: FileSystem, root: Path,
+      df: DataFrame, partitionBy: Seq[String]): (Seq[JValue], Seq[Path]) = {
+    val stage = new Path(root,
+      s".graft-cdc-stage-${java.util.UUID.randomUUID().toString}")
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
+    var staged = dataFiles(fs, stage)
+    if (staged.isEmpty) {
+      // zero changed rows still need a cdc action (see scaladoc)
+      df.limit(0).repartition(1).write.mode(SaveMode.Overwrite)
+        .parquet(stage.toString)
+      staged = dataFiles(fs, stage)
+    }
+    val stageUri = fs.makeQualified(stage).toUri
+    val moved = staged.map { s =>
+      val rel = stageUri.relativize(s.getPath.toUri).getPath
+      val target = new Path(root, "_change_data/" + rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(s.getPath, target)) {
+        throw new IllegalStateException(
+          s"failed to move staged cdc file ${s.getPath} to $target")
+      }
+      (rel, fs.getFileStatus(target))
+    }
+    fs.delete(stage, true)
+    val actions: Seq[JValue] = moved.map { case (rel, st) =>
+      val pvals = rel.split('/').init.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> (JString(java.net.URLDecoder.decode(v, "UTF-8")): JValue))
+          case _ => None
+        }
+      }.toList
+      JObject("cdc" -> JObject(
+        "path" -> JString("_change_data/" + rel),
+        "partitionValues" -> JObject(pvals),
+        "size" -> JLong(st.getLen),
+        "dataChange" -> JBool(false)))
+    }
+    (actions, moved.map(_._2.getPath))
+  }
+
+  /** CHANGE DATA FEED read: every row-level change committed in versions
+    * `[startVersion, endVersion]` (inclusive; default latest), with
+    * `_change_type` (`insert` / `delete` / `update_preimage` /
+    * `update_postimage`), `_commit_version`, and `_commit_timestamp`
+    * appended — the jarless `table_changes(...)`.
+    *
+    * Per-commit sourcing follows the Delta protocol: a commit that
+    * carries `cdc` actions is served FROM THOSE FILES EXCLUSIVELY (its
+    * add/remove actions are rewrite bookkeeping); a cdc-less commit of
+    * only dataChange adds is served as inserts from the added files; one
+    * of only dataChange removes as deletes from the removed files (still
+    * on disk until VACUUM, minus any rows their deletion vectors had
+    * already dropped). A cdc-less commit that both adds and removes data
+    * is not reconstructible and fails loudly, as does a version whose
+    * data changed while CDF was not enabled.
+    *
+    * Scale: the per-version action walk is driver-side metadata (the
+    * same cost as snapshot replay); the change rows themselves stream
+    * straight from the listed parquet — no shuffle, predicate pushdown
+    * intact through the final union. */
+  def changes(spark: SparkSession, rootStr: String, startVersion: Long,
+      endVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = new Path(rootStr)
+    val dir = DeltaLog.logDir(root)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir), s"not a Delta table (no _delta_log): $rootStr")
+    val commits: Map[Long, FileStatus] = fs.listStatus(dir).flatMap { st =>
+      st.getPath.getName match {
+        case DeltaLog.CommitRe(v) => Some(v.toLong -> st)
+        case _ => None
+      }
+    }.toMap
+    require(commits.nonEmpty, s"Delta log at $rootStr has no commit files")
+    val end = endVersion.getOrElse(commits.keys.max)
+    require(startVersion >= 0 && startVersion <= end && end <= commits.keys.max,
+      s"changes range [$startVersion, $end] out of bounds " +
+        s"[0, ${commits.keys.max}] at $rootStr")
+
+    val endSnap = DeltaLog.snapshot(spark, rootStr, Some(end))
+    val cmMode = DeltaColumnMapping.mode(endSnap.configuration)
+    val logicalSchema = endSnap.schema
+    val physSchema = if (cmMode == "none") logicalSchema
+      else DeltaColumnMapping.physicalSchema(logicalSchema)
+    val physPartCols = endSnap.partitionColumns.map { n =>
+      if (cmMode == "none") n
+      else logicalSchema.fields.find(_.name == n)
+        .map(DeltaColumnMapping.physicalName).getOrElse(n)
+    }
+    val cdcReadSchema = StructType(
+      physSchema.fields :+ StructField("_change_type", StringType))
+
+    // one pass over the commit JSONs from 0 (cheap driver-side metadata):
+    // tracks table configuration so per-version CDF enablement is exact
+    final case class VActs(ts: Long, cdc: Seq[String],
+        addsDc: Seq[String], removesDc: Seq[String], cdfOn: Boolean)
+    var cfg = Map.empty[String, String]
+    val perVersion: Seq[(Long, VActs)] = (0L to end).map { v =>
+      val st = commits.getOrElse(v, throw new IllegalStateException(
+        s"Delta log at $rootStr is missing commit version $v"))
+      var ts = st.getModificationTime
+      val cdc = mutable.Buffer.empty[String]
+      val addsDc = mutable.Buffer.empty[String]
+      val removesDc = mutable.Buffer.empty[String]
+      DeltaLog.readLines(fs, st.getPath).foreach { line =>
+        val j = JsonMethods.parse(line)
+        (j \ "commitInfo" \ "timestamp") match {
+          case JInt(n) => ts = n.toLong
+          case JLong(n) => ts = n
+          case _ =>
+        }
+        (j \ "metaData" \ "configuration") match {
+          case JObject(fields) =>
+            cfg = fields.collect { case (k, JString(s)) => k -> s }.toMap
+          case _ =>
+        }
+        def pathOf(kind: String): Option[String] = (j \ kind \ "path") match {
+          case JString(p) => Some(p)
+          case _ => None
+        }
+        def dataChange(kind: String): Boolean = (j \ kind \ "dataChange") match {
+          case JBool(b) => b
+          case _ => true // absent defaults to a data change
+        }
+        pathOf("cdc").foreach(cdc += _)
+        pathOf("add").foreach(p => if (dataChange("add")) addsDc += p)
+        pathOf("remove").foreach(p => if (dataChange("remove")) removesDc += p)
+      }
+      v -> VActs(ts, cdc.toSeq, addsDc.toSeq, removesDc.toSeq,
+        cdfEnabled(cfg))
+    }
+
+    def resolve(raw: String): String = {
+      val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
+      val p = new Path(decoded)
+      if (p.isAbsolute) decoded else new Path(root, decoded).toString
+    }
+    def stamp(df: DataFrame, v: Long, ts: Long): DataFrame = df
+      .withColumn("_commit_version", lit(v))
+      .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(ts)))
+
+    val parts: Seq[DataFrame] = perVersion
+      .filter { case (v, _) => v >= startVersion }
+      .flatMap { case (v, a) =>
+        val hasData = a.cdc.nonEmpty || a.addsDc.nonEmpty || a.removesDc.nonEmpty
+        if (!hasData) None
+        else if (!a.cdfOn) {
+          throw new UnsupportedDeltaProtocolException(
+            s"change data was not recorded for version $v at $rootStr " +
+              "(delta.enableChangeDataFeed was not set when it committed); " +
+              s"start the range at a later version or read the snapshot.")
+        } else if (a.cdc.nonEmpty) {
+          Some(stamp(spark.read.schema(cdcReadSchema)
+            .option("basePath", new Path(root, "_change_data").toString)
+            .parquet(a.cdc.map(resolve): _*), v, a.ts))
+        } else if (a.removesDc.isEmpty) {
+          Some(stamp(spark.read.schema(physSchema)
+            .option("basePath", rootStr)
+            .parquet(a.addsDc.map(resolve): _*)
+            .withColumn("_change_type", lit("insert")), v, a.ts))
+        } else if (a.addsDc.isEmpty) {
+          // deletes of whole files: rows come off the removed files,
+          // minus positions their DVs (at v-1) had already deleted
+          val removed = spark.read.schema(physSchema)
+            .option("basePath", rootStr)
+            .parquet(a.removesDc.map(resolve): _*)
+          val priorDv = DeltaLog.snapshot(spark, rootStr, Some(v - 1)).files
+            .filter(f => a.removesDc.map(resolve).map(normPath)
+              .contains(normPath(f.path)))
+            .filter(_.dv.exists(_.cardinality > 0L))
+          val alive = if (priorDv.isEmpty) removed
+          else {
+            import spark.implicits._
+            import org.apache.spark.sql.functions.regexp_replace
+            val dels = spark.createDataset(priorDv.flatMap { f =>
+              val bytes = f.dv.flatMap(_.absolutePath(root)).map { p =>
+                val len = fs.getFileStatus(p).getLen.toInt
+                val buf = new Array[Byte](len)
+                val in = fs.open(p)
+                try in.readFully(0, buf) finally in.close()
+                buf
+              }
+              DeltaDeletionVectors.positionsOf(f.dv.get, bytes)
+                .map(pos => (normPath(f.path), pos))
+            }).toDF("__del_path", "__del_pos")
+            val withPos = removed
+              .withColumn("__path",
+                regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+              .withColumn("__pos", col("_metadata.row_index"))
+            withPos.join(dels,
+              withPos("__path") === dels("__del_path") &&
+                withPos("__pos") === dels("__del_pos"), "left_anti")
+              .drop("__path", "__pos")
+          }
+          Some(stamp(alive.withColumn("_change_type", lit("delete")), v, a.ts))
+        } else {
+          throw new UnsupportedDeltaProtocolException(
+            s"version $v at $rootStr both adds and removes data without " +
+              "cdc files; its change data cannot be reconstructed. " +
+              "Read it with the delta-spark connector instead.")
+        }
+      }
+
+    val ordered: Seq[String] = physSchema.fieldNames.toSeq ++
+      Seq("_change_type", "_commit_version", "_commit_timestamp")
+    val unioned = parts
+      .map(df => df.select(ordered.map(col): _*))
+      .reduceOption(_.union(_))
+      .getOrElse {
+        val empty = StructType(cdcReadSchema.fields ++ Seq(
+          StructField("_commit_version", LongType),
+          StructField("_commit_timestamp", TimestampType)))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+      }
+    if (cmMode == "none") unioned
+    else DeltaColumnMapping.toLogical(unioned, logicalSchema,
+      keep = Seq("_change_type", "_commit_version", "_commit_timestamp"))
+  }
+
   /** Version 0 commit: write `df` as parquet under `root` (optionally
-    * hive-partitioned) and log protocol + metaData + adds. */
+    * hive-partitioned) and log protocol + metaData + adds. Table
+    * properties (e.g. `delta.enableChangeDataFeed=true`) land in the
+    * version-0 `metaData.configuration`. */
   def create(df: DataFrame, root: String,
-      partitionBy: Seq[String] = Nil): Long =
-    commit(df, root, overwrite = true, partitionBy)
+      partitionBy: Seq[String] = Nil,
+      configuration: Map[String, String] = Map.empty): Long =
+    commit(df, root, overwrite = true, partitionBy, configuration)
 
   /** Append commit: new parquet files + their add actions. */
   def append(df: DataFrame, root: String,
@@ -773,6 +1007,25 @@ object DeltaTable {
     val (dvPath, descriptors) = DeltaDeletionVectors.writeDvFile(
       fs, root, merged.map { case (f, b, c) => (normPath(f.path), b, c) })
 
+    // CHANGE DATA FEED: record the deleted rows as cdc files. Sourced
+    // from the POST-DV read so rows a previous delete already removed
+    // never re-appear as change rows when the predicate re-matches them.
+    val (cdcLines, cdcPaths): (Seq[JValue], Seq[Path]) =
+      if (!cdfEnabled(prior.configuration)) (Nil, Nil)
+      else {
+        import org.apache.spark.sql.functions.lit
+        val deleted = read(spark, rootStr).filter(condition)
+        val phys = if (cmMode == "none") deleted
+          else DeltaColumnMapping.toPhysical(deleted, prior.schema)
+        val physParts = prior.partitionColumns.map { n =>
+          if (cmMode == "none") n
+          else prior.schema.fields.find(_.name == n)
+            .map(DeltaColumnMapping.physicalName).getOrElse(n)
+        }
+        writeCdc(spark, fs, root,
+          phys.withColumn("_change_type", lit("delete")), physParts)
+      }
+
     val version = prior.version + 1
     val now = System.currentTimeMillis()
     val rootUri = fs.makeQualified(root).toUri
@@ -825,12 +1078,15 @@ object DeltaTable {
           f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList))
     }
 
+    lines ++= cdcLines
+
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
-    // same create-no-overwrite fence as commit(): the loser's DV file is
-    // removed so a retry starts clean
+    // same create-no-overwrite fence as commit(): the loser's DV and cdc
+    // files are removed so a retry starts clean
     val out = try fs.create(commitPath, false) catch {
       case e: Throwable =>
         fs.delete(dvPath, false)
+        cdcPaths.foreach(fs.delete(_, false))
         throw e
     }
     try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
@@ -858,6 +1114,27 @@ object DeltaTable {
     commitMetadata(spark, rootStr, prior, mapped, prior.partitionColumns, cfg)
   }
 
+  /** Is CHANGE DATA FEED recording enabled by this configuration? */
+  private[sources] def cdfEnabled(cfg: Map[String, String]): Boolean =
+    cfg.get("delta.enableChangeDataFeed").exists(_.equalsIgnoreCase("true"))
+
+  /** Enable CHANGE DATA FEED on an existing table — a metadata-only
+    * commit setting `delta.enableChangeDataFeed=true` and raising the
+    * protocol (legacy floor writer 4; features-protocol tables gain the
+    * `changeDataFeed` writer feature — CDF has no reader feature: the
+    * cdc files are invisible to plain snapshot reads). From this commit
+    * on, [[deleteWhere]] and overwrites record their row-level changes
+    * as `_change_data/` cdc files and [[changes]] serves them. */
+  def enableChangeDataFeed(spark: SparkSession, rootStr: String): Long = {
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    if (cdfEnabled(prior.configuration)) return prior.version
+    writerGate(prior, rootStr, deletesRows = false, kind = "enableChangeDataFeed")
+    commitMetadata(spark, rootStr, prior, prior.schema, prior.partitionColumns,
+      prior.configuration + ("delta.enableChangeDataFeed" -> "true"),
+      readerFeature = None, writerFeature = Some("changeDataFeed"),
+      legacyReader = 1, legacyWriter = 4)
+  }
+
   /** Rename a column WITHOUT rewriting any data file (the
     * column-mapping user story): enables mapping if the table has
     * none, then commits the new logical name — physicalName, files,
@@ -873,11 +1150,17 @@ object DeltaTable {
   }
 
   /** Metadata-only commit (protocol upgrade if needed + new metaData) —
-    * the shape of every schema-evolution commit. Same
+    * the shape of every schema-evolution / table-property commit. The
+    * protocol upgrade is feature-parameterized: on a features-protocol
+    * table the named reader/writer features are added; on a legacy table
+    * the version floor `(legacyReader, legacyWriter)` is enforced. Same
     * create-no-overwrite fence as data commits. */
   private def commitMetadata(spark: SparkSession, rootStr: String,
       prior: DeltaSnapshot, schema: StructType,
-      partitionColumns: Seq[String], cfg: Map[String, String]): Long = {
+      partitionColumns: Seq[String], cfg: Map[String, String],
+      readerFeature: Option[String] = Some("columnMapping"),
+      writerFeature: Option[String] = Some("columnMapping"),
+      legacyReader: Int = 2, legacyWriter: Int = 5): Long = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val version = prior.version + 1
@@ -885,20 +1168,22 @@ object DeltaTable {
     val onFeatures = prior.minReaderVersion >= 3 ||
       prior.readerFeatures.nonEmpty || prior.writerFeatures.nonEmpty
     if (onFeatures) {
-      if (!prior.readerFeatures.contains("columnMapping")) {
+      val needsReader = readerFeature.exists(f => !prior.readerFeatures.contains(f))
+      val needsWriter = writerFeature.exists(f => !prior.writerFeatures.contains(f))
+      if (needsReader || needsWriter) {
         lines += JObject("protocol" -> JObject(
           "minReaderVersion" -> JInt(3),
           "minWriterVersion" -> JInt(7),
           "readerFeatures" -> JArray(
-            (prior.readerFeatures + "columnMapping").toList.sorted.map(JString(_))),
+            (prior.readerFeatures ++ readerFeature).toList.sorted.map(JString(_))),
           "writerFeatures" -> JArray(
-            (prior.writerFeatures + "columnMapping").toList.sorted.map(JString(_)))))
+            (prior.writerFeatures ++ writerFeature).toList.sorted.map(JString(_)))))
       }
-    } else if (prior.minReaderVersion < 2 || prior.minWriterVersion < 5) {
-      // legacy scheme: (2, 5) is the column-mapping protocol
+    } else if (prior.minReaderVersion < legacyReader ||
+        prior.minWriterVersion < legacyWriter) {
       lines += JObject("protocol" -> JObject(
-        "minReaderVersion" -> JInt(math.max(prior.minReaderVersion, 2)),
-        "minWriterVersion" -> JInt(math.max(prior.minWriterVersion, 5))))
+        "minReaderVersion" -> JInt(math.max(prior.minReaderVersion, legacyReader)),
+        "minWriterVersion" -> JInt(math.max(prior.minWriterVersion, legacyWriter))))
     }
     lines += JObject("metaData" -> JObject(
       "id" -> JString(java.util.UUID.randomUUID().toString),
@@ -921,12 +1206,13 @@ object DeltaTable {
     * REFUSING overwrite commits (and row deletes); `deletionVectors` is
     * honored by [[deleteWhere]] writing spec-shaped DV files;
     * `columnMapping` by writing data under physical names
-    * ([[DeltaColumnMapping.toPhysical]]). Anything else (invariants,
-    * CHECK constraints, generated columns, …) would require evaluating
-    * constraints this minimal writer cannot, so tables demanding them
-    * are refused loudly. */
+    * ([[DeltaColumnMapping.toPhysical]]); `changeDataFeed` by recording
+    * row-level changes as `_change_data/` cdc files on deletes and
+    * overwrites. Anything else (invariants, CHECK constraints, generated
+    * columns, …) would require evaluating constraints this minimal
+    * writer cannot, so tables demanding them are refused loudly. */
   private val SupportedWriterFeatures =
-    Set("appendOnly", "deletionVectors", "columnMapping")
+    Set("appendOnly", "deletionVectors", "columnMapping", "changeDataFeed")
 
   /**
    * MERGE-ON-READ COMPACTION (Delta's REORG PURGE analogue): when the
@@ -981,15 +1267,9 @@ object DeltaTable {
         s"Delta table at $rootStr has IDENTITY columns this minimal " +
           "writer cannot assign. Write with the delta-spark connector instead.")
     }
-    // change data feed: row deletes / overwrites must emit change files
-    // this writer does not produce; plain appends are their own change data
-    if (deletesRows && p.configuration.get("delta.enableChangeDataFeed")
-        .exists(_.equalsIgnoreCase("true"))) {
-      throw new UnsupportedDeltaProtocolException(
-        s"Delta table at $rootStr has Change Data Feed enabled; $kind " +
-          "would need CDC files this minimal writer does not produce. " +
-          "Only append is permitted.")
-    }
+    // change data feed: supported — deleteWhere and overwrite commits on
+    // CDF tables record their row-level changes as `_change_data/` cdc
+    // files (see writeCdc), and plain appends are their own change data
     val constraintKeys = p.configuration.keys.filter(_.startsWith("delta.constraints."))
     if (constraintKeys.nonEmpty) {
       throw new UnsupportedDeltaProtocolException(
@@ -1020,7 +1300,8 @@ object DeltaTable {
     * fence (create-no-overwrite): the loser's staged files are removed
     * before rethrowing, so a retry starts clean. */
   private def commit(df: DataFrame, rootStr: String, overwrite: Boolean,
-      partitionBy: Seq[String]): Long = {
+      partitionBy: Seq[String],
+      createConfiguration: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1048,7 +1329,7 @@ object DeltaTable {
     val (physDf, physPartitionBy, metaSchemaJson, metaCfg) =
       if (cmMode == "none") {
         (df, partitionBy, df.schema.json,
-          prior.map(_.configuration).getOrElse(Map.empty[String, String]))
+          prior.map(_.configuration).getOrElse(createConfiguration))
       } else if (!overwrite) {
         val ps = prior.get.schema
         val physByLogical = ps.fields
@@ -1083,6 +1364,47 @@ object DeltaTable {
       fs.getFileStatus(target)
     }
     fs.delete(stage, true)
+
+    // CHANGE DATA FEED: an overwrite on a CDF table records its full
+    // row-level effect as cdc files — pre-image rows as deletes plus the
+    // new rows as inserts (a commit carrying cdc actions is served from
+    // them exclusively, so both sides must be present). Appends need no
+    // cdc: their adds ARE the change data. The doubled write volume is
+    // inherent to CDF overwrites.
+    val (cdcLines, cdcPaths): (Seq[JValue], Seq[Path]) =
+      if (!overwrite || prior.isEmpty ||
+          !cdfEnabled(prior.get.configuration)) (Nil, Nil)
+      else {
+        import org.apache.spark.sql.functions.lit
+        val p = prior.get
+        val priorCm = DeltaColumnMapping.mode(p.configuration)
+        val pre =
+          if (p.files.isEmpty) None
+          else {
+            // prior snapshot is still current: the new files are on disk
+            // but unlogged, so read() serves exactly the pre-image
+            val logical = read(spark, rootStr)
+            val phys = if (priorCm == "none") logical
+              else DeltaColumnMapping.toPhysical(logical, p.schema)
+            val priorParts = p.partitionColumns.map { n =>
+              if (priorCm == "none") n
+              else p.schema.fields.find(_.name == n)
+                .map(DeltaColumnMapping.physicalName).getOrElse(n)
+            }
+            Some(writeCdc(spark, fs, root,
+              phys.withColumn("_change_type", lit("delete")), priorParts))
+          }
+        // insert side reads back the just-moved files (one extra scan of
+        // the new data; avoids recomputing a possibly-expensive `df`)
+        val post =
+          if (added.isEmpty) None
+          else Some(writeCdc(spark, fs, root,
+            spark.read.schema(physDf.schema).option("basePath", rootStr)
+              .parquet(added.map(_.getPath.toString): _*)
+              .withColumn("_change_type", lit("insert")), physPartitionBy))
+        val both = pre.toSeq ++ post.toSeq
+        (both.flatMap(_._1), both.flatMap(_._2))
+      }
 
     val version = prior.map(_.version + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
@@ -1151,15 +1473,18 @@ object DeltaTable {
           statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
     }
 
+    lines ++= cdcLines
+
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
     fs.mkdirs(DeltaLog.logDir(root))
     // create-no-overwrite: two racing writers of the same version — the
     // loser fails, the Delta optimistic-concurrency contract. The loser's
-    // already-moved data files are removed so its retry starts clean and
-    // the winner's log never references them.
+    // already-moved data and cdc files are removed so its retry starts
+    // clean and the winner's log never references them.
     val out = try fs.create(commitPath, false) catch {
       case e: Throwable =>
         added.foreach(s => fs.delete(s.getPath, false))
+        cdcPaths.foreach(fs.delete(_, false))
         throw e
     }
     try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
@@ -1230,8 +1555,9 @@ object DeltaTable {
     val buf = mutable.Buffer.empty[FileStatus]
     def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      // skip the log and any dot-dir (a concurrent writer's stage)
-      if (st.isDirectory) { if (n != "_delta_log" && !n.startsWith(".")) walk(st.getPath) }
+      // skip the log, `_change_data`, and any dot-dir (a concurrent
+      // writer's stage) — `_`-prefixed dirs are metadata by convention
+      if (st.isDirectory) { if (!n.startsWith("_") && !n.startsWith(".")) walk(st.getPath) }
       else if (!n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet"))
         buf += st
     }

@@ -420,6 +420,46 @@ object IndexAccel {
        |FROM supplier
        |WHERE s_nationkey BETWEEN 5 AND 15 AND NOT (s_suppkey % 7 = 3)""".stripMargin
 
+  /** Delta CHANGE DATA FEED: the fixture table is created CDF-enabled
+    * (v0 = half the customers, v1 = append of the other half, v2 = a
+    * row-level `deleteWhere` that records its victims as `_change_data/`
+    * cdc files), and the query aggregates `DeltaTable.changes(0..)` by
+    * change type. A match proves the cdc writer, the per-commit sourcing
+    * rules (derived inserts for cdc-less appends, cdc-exclusive serving
+    * for the delete commit), and the version/timestamp stamping compose
+    * into exactly the feed a CDF subscriber would replay. The oracle
+    * sees only customer parquet: every insert = every customer row,
+    * every delete = the predicate's rows. */
+  def idxDeltaCdfChanges(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.DeltaTable
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_delta_cdf_$h"
+    synchronized {
+      if (!graft.index.sources.DeltaLog.isDeltaTable(spark, root)) {
+        val customer = Tables.load(spark, sfDir, "customer")
+        DeltaTable.create(customer.filter(col("c_custkey") % 2 === 0), root,
+          configuration = Map("delta.enableChangeDataFeed" -> "true"))
+        DeltaTable.append(customer.filter(col("c_custkey") % 2 === 1), root)
+        DeltaTable.deleteWhere(spark, root, col("c_nationkey") < 5)
+      }
+    }
+    DeltaTable.changes(spark, root, 0L)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("change_type"))
+  }
+
+  val idxDeltaCdfChangesSql: String =
+    s"""SELECT 'delete' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer WHERE c_nationkey < 5
+       |UNION ALL
+       |SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer
+       |ORDER BY change_type""".stripMargin
+
   /** Log-level FILE SKIPPING over a Delta table: the table is written
     * range-partitioned on `o_orderkey` (8 files with disjoint ranges,
     * each add action carrying min/max/nullCount stats), so the narrow
@@ -639,6 +679,7 @@ object IndexAccel {
     "idx_delta_dv_filter" -> (idxDeltaDvFilter _, idxDeltaDvFilterSql),
     "idx_delta_stats_filter" -> (idxDeltaStatsFilter _, idxDeltaStatsFilterSql),
     "idx_delta_cm_filter" -> (idxDeltaCmFilter _, idxDeltaCmFilterSql),
+    "idx_delta_cdf_changes" -> (idxDeltaCdfChanges _, idxDeltaCdfChangesSql),
     "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
     "idx_iceberg_v2_filter" -> (idxIcebergV2Filter _, idxIcebergV2FilterSql),
     "idx_iceberg_eq_filter" -> (idxIcebergEqFilter _, idxIcebergEqFilterSql),
