@@ -2,6 +2,7 @@ package graft.index.sources
 
 import java.nio.charset.StandardCharsets
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema

@@ -490,6 +490,40 @@ object IndexAccel {
        |FROM orders
        |WHERE o_orderkey BETWEEN 100 AND 2000""".stripMargin
 
+  /** Iceberg INCREMENTAL APPEND scan: the fixture commits the customer
+    * table in two append snapshots (evens, then odds) and the query
+    * aggregates `IcebergTable.incrementalAppends(0..)` per snapshot. A
+    * match proves the parent-snapshot-id lineage walk, the per-snapshot
+    * manifest diff, and the snapshot stamping reconstruct exactly the
+    * append history. The oracle sees only customer parquet. */
+  def idxIcebergIncAppends(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{IcebergMeta, IcebergTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_ice_inc_$h"
+    synchronized {
+      if (!IcebergMeta.isIcebergTable(spark, root)) {
+        val customer = Tables.load(spark, sfDir, "customer")
+        IcebergTable.create(customer.filter(col("c_custkey") % 2 === 0), root)
+        IcebergTable.append(customer.filter(col("c_custkey") % 2 === 1), root)
+      }
+    }
+    IcebergTable.incrementalAppends(spark, root, 0L)
+      .groupBy(col("_commit_snapshot_id").as("snap_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("snap_id"))
+  }
+
+  val idxIcebergIncAppendsSql: String =
+    s"""SELECT CAST(1 AS BIGINT) AS snap_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer WHERE c_custkey % 2 = 0
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT) AS snap_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer WHERE c_custkey % 2 = 1
+       |ORDER BY snap_id""".stripMargin
+
   // ------------------------------------------------ iceberg source
   /** Covering-index filter over an ICEBERG table (metadata.json + avro
     * manifests replayed jarless — [[graft.index.sources.IcebergMeta]]):
@@ -685,6 +719,7 @@ object IndexAccel {
     "idx_iceberg_eq_filter" -> (idxIcebergEqFilter _, idxIcebergEqFilterSql),
     "idx_iceberg_stats_filter" -> (idxIcebergStatsFilter _, idxIcebergStatsFilterSql),
     "idx_iceberg_evo_filter" -> (idxIcebergEvoFilter _, idxIcebergEvoFilterSql),
+    "idx_iceberg_inc_appends" -> (idxIcebergIncAppends _, idxIcebergIncAppendsSql),
     "q_snowflake_2idx" -> (idxSnowflake2 _, idxSnowflake2Sql),
     "q_snowflake_3idx" -> (idxSnowflake3 _, idxSnowflake3Sql),
     "q_star_agg_idx" -> (idxStarAgg _, idxStarAggSql),
