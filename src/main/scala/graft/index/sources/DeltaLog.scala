@@ -568,9 +568,10 @@ object DeltaTable {
   /** `timestampAsOf` companion to [[read]]'s `versionAsOf`: resolves to
     * the LATEST commit whose timestamp is at or before `tsMillis`, then
     * reads that version. Commit time = the commit file's modification
-    * time, the same fallback OSS Delta uses when commitInfo carries no
-    * in-commit timestamp — monotone per table because versions commit in
-    * order. Fails loudly when `tsMillis` precedes the first commit. */
+    * time — OSS Delta's DEFAULT clock for time travel (the commitInfo
+    * timestamp is informational; in-commit timestamps are a separate
+    * gated table feature) — monotone per table because versions commit
+    * in order. Fails loudly when `tsMillis` precedes the first commit. */
   def readTimestampAsOf(spark: SparkSession, root: String,
       tsMillis: Long): DataFrame = {
     val dir = DeltaLog.logDir(new Path(root))
@@ -1041,6 +1042,7 @@ object DeltaTable {
       }.toList
 
     val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(now, "DELETE", Map.empty)
     val hasDvProtocol = prior.minReaderVersion >= 3 &&
       prior.readerFeatures.contains("deletionVectors")
     if (!hasDvProtocol) {
@@ -1160,11 +1162,13 @@ object DeltaTable {
       partitionColumns: Seq[String], cfg: Map[String, String],
       readerFeature: Option[String] = Some("columnMapping"),
       writerFeature: Option[String] = Some("columnMapping"),
-      legacyReader: Int = 2, legacyWriter: Int = 5): Long = {
+      legacyReader: Int = 2, legacyWriter: Int = 5,
+      operation: String = "SET TBLPROPERTIES"): Long = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val version = prior.version + 1
     val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(System.currentTimeMillis(), operation, Map.empty)
     val onFeatures = prior.minReaderVersion >= 3 ||
       prior.readerFeatures.nonEmpty || prior.writerFeatures.nonEmpty
     if (onFeatures) {
@@ -1416,6 +1420,9 @@ object DeltaTable {
     }
 
     val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(now,
+      if (version == 0L) "CREATE TABLE AS SELECT" else "WRITE",
+      Map("mode" -> (if (overwrite) "Overwrite" else "Append")))
     if (version == 0L) {
       lines += JObject("protocol" -> JObject(
         "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
@@ -1491,6 +1498,97 @@ object DeltaTable {
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     version
+  }
+
+  /** The `commitInfo` action every real Delta writer leads its commit
+    * with: in-commit timestamp + operation provenance, consumed by
+    * [[history]] and by the CDF reader's `_commit_timestamp`. */
+  private def commitInfoLine(tsMillis: Long, operation: String,
+      parameters: Map[String, String]): JValue =
+    JObject("commitInfo" -> JObject(
+      "timestamp" -> JLong(tsMillis),
+      "operation" -> JString(operation),
+      "operationParameters" -> JObject(parameters.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) })))
+
+  /** Table HISTORY — one row per commit (newest first): version,
+    * in-commit timestamp (file mtime for commits without commitInfo),
+    * and operation (`null` when unrecorded) — the jarless
+    * `DESCRIBE HISTORY`. Driver-side metadata walk, same cost class as
+    * snapshot replay. */
+  def history(spark: SparkSession, rootStr: String): DataFrame = {
+    val root = new Path(rootStr)
+    val dir = DeltaLog.logDir(root)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir), s"not a Delta table (no _delta_log): $rootStr")
+    val rows = fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case DeltaLog.CommitRe(v) =>
+          var ts = st.getModificationTime
+          var op: String = null
+          DeltaLog.readLines(fs, st.getPath).foreach { line =>
+            val j = JsonMethods.parse(line)
+            (j \ "commitInfo" \ "timestamp") match {
+              case JInt(n) => ts = n.toLong
+              case JLong(n) => ts = n
+              case _ =>
+            }
+            (j \ "commitInfo" \ "operation") match {
+              case JString(s) => op = s
+              case _ =>
+            }
+          }
+          Some((v.toLong, new java.sql.Timestamp(ts), op))
+        case _ => None
+      }
+    }.sortBy(-_._1)
+    import spark.implicits._
+    rows.toDF("version", "timestamp", "operation")
+  }
+
+  /** VACUUM — delete data, DV, and cdc files that are (a) not referenced
+    * by the CURRENT snapshot and (b) older than `retentionMs` — the
+    * physical-cleanup half of the Delta lifecycle ([[checkpoint]] bounds
+    * the log; vacuum bounds the data directory, without which a 100 TB
+    * table's storage grows with every overwrite forever). Time travel to
+    * versions whose files are vacuumed stops working, exactly as for
+    * real VACUUM; retention is the knob. Returns the deleted paths
+    * (empty on `dryRun = false` with nothing eligible). */
+  def vacuum(spark: SparkSession, rootStr: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val s = DeltaLog.snapshot(spark, rootStr)
+    // live = the current snapshot's data files + their DV files; nothing
+    // else is needed to serve the table at its head version
+    val live: Set[String] = s.files.map(f => normPath(f.path)).toSet ++
+      s.files.flatMap(_.dv.flatMap(_.absolutePath(root))
+        .map(p => normPath(p.toString)))
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val doomed = mutable.Buffer.empty[String]
+    def walk(dir: Path, underChangeData: Boolean): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (n == "_change_data") walk(st.getPath, underChangeData = true)
+          else if (!n.startsWith("_") && !n.startsWith(".")) {
+            walk(st.getPath, underChangeData)
+            // prune now-empty hive partition dirs
+            if (!dryRun && fs.listStatus(st.getPath).isEmpty)
+              fs.delete(st.getPath, false)
+          }
+        } else if (!n.startsWith(".") && !n.startsWith("_") &&
+            st.getModificationTime < cutoff &&
+            // cdc files are never "live": they serve only CDF reads
+            // within retention, the same rule real VACUUM applies
+            (underChangeData || !live.contains(normPath(st.getPath.toString)))) {
+          doomed += st.getPath.toString
+          if (!dryRun) fs.delete(st.getPath, false)
+        }
+      }
+    walk(root, underChangeData = false)
+    doomed.toSeq
   }
 
   /** Write a single-part parquet checkpoint at the current version so

@@ -343,7 +343,7 @@ object IcebergMeta {
 
   /** Iceberg metadata stores absolute URIs; strip `file:` to the same
     * scheme-less form the rest of the engine uses. */
-  private def resolve(location: String, uri: String): String = {
+  private[sources] def resolve(location: String, uri: String): String = {
     val p = new Path(uri)
     if (p.isAbsolute || uri.contains(":/")) uri
     else new Path(location, uri).toString
@@ -369,7 +369,7 @@ object IcebergMeta {
   private def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
     Option(r.getSchema.getField(name)).flatMap(f => Option(r.get(f.pos)))
 
-  private def readManifestList(fs: FileSystem, path: String): Seq[(String, Int)] =
+  private[sources] def readManifestList(fs: FileSystem, path: String): Seq[(String, Int)] =
     readAvro(fs, path).map { r =>
       val content = fieldOpt(r, "content").map(_.toString.toInt).getOrElse(0)
       require(content == 0 || content == 1,
@@ -761,6 +761,12 @@ object IcebergTable {
     val chain = mutable.Buffer.empty[Long]
     var cursor: Option[Long] = Some(to)
     while (cursor.isDefined && cursor.get != fromSnapshotId) {
+      if (!byId.contains(cursor.get)) {
+        throw new IllegalArgumentException(
+          s"snapshot ${cursor.get} in the lineage of $to has been " +
+            s"EXPIRED from $location; the incremental range " +
+            s"($fromSnapshotId, $to] is no longer reconstructible")
+      }
       chain += cursor.get
       cursor = parentOf(cursor.get)
     }
@@ -1290,6 +1296,91 @@ object IcebergTable {
           .flatMap(DeltaStats.render(_, prior.schema)))),
       deleteExisting = Nil,
       deleteAdded = Nil)
+  }
+
+  /** EXPIRE SNAPSHOTS — the metadata half of the Iceberg lifecycle
+    * ([[compact]] rewrites data; this bounds history): drop every
+    * snapshot except the current one, the `keepLast` most recent, and
+    * any newer than `olderThanMs`, publishing a metadata version whose
+    * snapshots[] holds only the survivors. With `deleteFiles` (default),
+    * the data files, delete files, manifests, and manifest lists
+    * referenced ONLY by expired snapshots are removed from disk — on a
+    * 100 TB table this, not the metadata trim, is the storage relief:
+    * every compaction's pre-image stays fully on disk until expired.
+    * Time travel and incremental scans into the expired range fail
+    * loudly afterward, exactly as for real `expireSnapshots`. Returns
+    * the deleted (or would-delete) paths. */
+  def expireSnapshots(spark: SparkSession, location: String,
+      keepLast: Int = 1, olderThanMs: Option[Long] = None,
+      deleteFiles: Boolean = true): Seq[String] = {
+    require(keepLast >= 1, "keepLast must retain at least the current snapshot")
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaFile = IcebergMeta.currentMetadataFile(fs, location)
+    val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
+    val snaps: List[JValue] = (j \ "snapshots") match {
+      case JArray(s) => s
+      case _ => return Nil // no snapshots: nothing to expire
+    }
+    def idOf(s: JValue): Long = (s \ "snapshot-id") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case other => throw new IllegalStateException(s"snapshot-id is $other")
+    }
+    def tsOf(s: JValue): Long = (s \ "timestamp-ms") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case _ => 0L
+    }
+    val current = (j \ "current-snapshot-id") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case _ => -1L
+    }
+    // newest-first by commit timestamp (file order as tiebreak)
+    val newestFirst = snaps.zipWithIndex
+      .sortBy { case (s, i) => (-tsOf(s), -i) }.map(_._1)
+    val retainIds: Set[Long] =
+      newestFirst.take(keepLast).map(idOf).toSet ++
+        olderThanMs.map(cut => snaps.filter(tsOf(_) >= cut).map(idOf))
+          .getOrElse(Nil) + current
+    val (retained, expired) = snaps.partition(s => retainIds.contains(idOf(s)))
+    if (expired.isEmpty) return Nil
+
+    // file references per snapshot group: manifest list + manifests +
+    // data/delete files (all metadata-scale reads)
+    def refsOf(group: Seq[JValue]): Set[String] = group.flatMap { s =>
+      (s \ "manifest-list") match {
+        case JString(ml) =>
+          val mlPath = IcebergMeta.resolve(location, ml)
+          val manifests = IcebergMeta.readManifestList(fs, mlPath)
+          val snap = IcebergMeta.snapshot(spark, location, Some(idOf(s)))
+          Seq(mlPath) ++
+            manifests.map(m => IcebergMeta.resolve(location, m._1)) ++
+            snap.files.map(_.path) ++ snap.deleteFiles.map(_.path)
+        case _ => Nil
+      }
+    }.map(DeltaTable.normPath).toSet
+    val keepRefs = refsOf(retained)
+    val doomed = (refsOf(expired) -- keepRefs).toSeq.sorted
+
+    // publish the trimmed metadata (version fence, like every commit)
+    val version = IcebergMeta.metadataVersionOf(metaFile.getName) + 1L
+    val newMeta = setFields(j,
+      "snapshots" -> JArray(retained),
+      "last-updated-ms" -> JLong(System.currentTimeMillis()))
+    val metaDir = IcebergMeta.metadataDir(location)
+    val target = new Path(metaDir, f"v$version%05d.metadata.json")
+    val os = fs.create(target, false)
+    try os.write(JsonMethods.pretty(JsonMethods.render(newMeta))
+      .getBytes(StandardCharsets.UTF_8))
+    finally os.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+
+    if (deleteFiles) doomed.foreach(p => fs.delete(new Path(p), false))
+    doomed
   }
 
   /** Shared commit tail: write the data manifest (+ a delete manifest

@@ -433,17 +433,19 @@ class DeltaLogSpec extends AnyFunSuite {
       DeltaTable.append(spark.range(2).selectExpr("id as a", "id+1 as b"), root3)
     }
     assert(err3.getMessage.contains("GENERATED"))
-    // CDF: append permitted, row deletes refused
+    // CDF: append permitted, and since round 9 row deletes are too —
+    // the delete records its victims as cdc files (DeltaCdfSpec owns
+    // the feed semantics; this pins that the GATE no longer refuses)
     val root4 = tmp("graft-delta-cdf-")
     writeRawCommit(root4, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
       metaDataLine("""{"delta.enableChangeDataFeed":"true"}""")))
     assert(DeltaTable.append(customer.limit(2), root4) == 1L)
-    val err4 = intercept[UnsupportedDeltaProtocolException] {
-      DeltaTable.deleteWhere(spark, root4,
-        org.apache.spark.sql.functions.col("c_custkey") === 1L)
-    }
-    assert(err4.getMessage.contains("Change Data Feed"))
+    assert(DeltaTable.deleteWhere(spark, root4,
+      org.apache.spark.sql.functions.col("c_custkey") === 1L) == 2L)
+    val fs4 = new org.apache.hadoop.fs.Path(root4)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs4.exists(new org.apache.hadoop.fs.Path(root4, "_change_data")))
   }
 
   test("writer gate: unsupported writerFeatures refuse; appendOnly feature permits append, refuses overwrite") {

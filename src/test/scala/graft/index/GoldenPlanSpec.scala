@@ -41,6 +41,9 @@ class GoldenPlanSpec extends AnyFunSuite {
         .replaceAll("file:[^,\\s\\]]+", "[path]")
         .replaceAll("/[-_/a-zA-Z0-9.]+/(graft[-_a-zA-Z0-9]*|testdata)[^,\\s\\]]*", "[path]")
         .replaceAll("Statistics\\([^)]*\\)", "Statistics[scrubbed]")
+        // CDF/incremental feeds stamp fixture-creation-time literals
+        .replaceAll("[^\\s,\\[(]+( [^\\s,\\[(]+)? AS _commit_timestamp",
+          "[ts] AS _commit_timestamp")
         // bucket/file COUNTS vary with spark.sql.shuffle.partitions and
         // the number of written files — environment, not plan shape
         .replaceAll("SelectedBucketsCount: \\d+ out of \\d+",
@@ -116,6 +119,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "idx_covering_filter", "idx_join", "idx_zorder_filter",
     "idx_dataskip_filter", "idx_delta_filter", "idx_iceberg_filter",
     "idx_iceberg_v2_filter", "idx_delta_dv_filter", "idx_iceberg_eq_filter",
+    "idx_delta_cdf_changes", "idx_iceberg_inc_appends",
     "q_snowflake_2idx", "q_join_rank_tie", "q_join_one_sided",
     "q_snowflake_3idx", "q_star_agg_idx", "q_rule_rivalry",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
