@@ -68,15 +68,20 @@ object DeltaLog {
     * natively); `deletionVectors` is merge-on-read via the
     * (`_metadata.file_path`, `row_index`) anti-join in
     * [[DeltaTable.read]]; `columnMapping` resolves scans by
-    * physicalName ([[DeltaColumnMapping]]). Everything else —
-    * v2Checkpoint, typeWidening, … — changes how actions must be
-    * interpreted and MUST be refused. */
+    * physicalName ([[DeltaColumnMapping]]); `v2Checkpoint` replays
+    * UUID-named checkpoints and their `_sidecars/` add-files (the
+    * format modern Databricks writers default to). Everything else —
+    * typeWidening, … — changes how actions must be interpreted and
+    * MUST be refused. */
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "deletionVectors", "columnMapping")
+    Set("timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint")
 
   private[sources] val CommitRe = """(\d{20})\.json""".r
   private val CkptSingleRe = """(\d{20})\.checkpoint\.parquet""".r
   private val CkptMultiRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  // v2 spec checkpoints are uuid-named; the uuid never parses as the
+  // multi-part regex's all-digit groups, so the three stay disjoint
+  private val CkptV2Re = """(\d{20})\.checkpoint\.[0-9a-zA-Z-]+\.parquet""".r
 
   def logDir(root: Path): Path = new Path(root, "_delta_log")
 
@@ -117,7 +122,8 @@ object DeltaLog {
       case None => commits.keys.max
     }
 
-    // checkpoints: single-part files or complete multi-part groups
+    // checkpoints: single-part files, complete multi-part groups, or
+    // uuid-named v2 spec checkpoints (one file + optional sidecars)
     val ckptParts = mutable.Map.empty[Long, mutable.Buffer[(Path, Int)]]
     entries.foreach { s =>
       s.getPath.getName match {
@@ -125,6 +131,8 @@ object DeltaLog {
           ckptParts.getOrElseUpdate(v.toLong, mutable.Buffer()) += ((s.getPath, 1))
         case CkptMultiRe(v, _, n) =>
           ckptParts.getOrElseUpdate(v.toLong, mutable.Buffer()) += ((s.getPath, n.toInt))
+        case CkptV2Re(v) =>
+          ckptParts.getOrElseUpdate(v.toLong, mutable.Buffer()) += ((s.getPath, 1))
         case _ =>
       }
     }
@@ -190,21 +198,24 @@ object DeltaLog {
           }
         }
       }
-      if (cols.contains("add")) {
+      // absorbs `add` rows from a checkpoint frame — the checkpoint file
+      // itself, or (v2 spec) each sidecar file it points at. Remove
+      // tombstones in a checkpoint are vacuum bookkeeping, not live
+      // files — only adds constitute the snapshot.
+      def absorbCheckpointAdds(ckf: org.apache.spark.sql.DataFrame): Unit = {
+        if (!ckf.schema.fieldNames.contains("add")) return
         val addFields =
-          ck.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
-        // remove tombstones in a checkpoint are vacuum bookkeeping, not
-        // live files — only adds constitute the snapshot
+          ckf.schema("add").dataType.asInstanceOf[StructType].fieldNames.toSet
         val dvStructFields: Set[String] =
           if (!addFields.contains("deletionVector")) Set.empty
-          else ck.schema("add").dataType.asInstanceOf[StructType]("deletionVector")
+          else ckf.schema("add").dataType.asInstanceOf[StructType]("deletionVector")
             .dataType match {
               case s: StructType => s.fieldNames.toSet
               case _ => Set.empty
             }
         val dvNeeded = Set("storageType", "pathOrInlineDv", "sizeInBytes", "cardinality")
         if (addFields.contains("deletionVector") && !dvNeeded.subsetOf(dvStructFields) &&
-            ck.where("add.deletionVector is not null").count() > 0) {
+            ckf.where("add.deletionVector is not null").count() > 0) {
           // a DV struct we cannot fully decode: serving the table would
           // resurrect deleted rows — refuse, don't guess
           throw new UnsupportedDeltaProtocolException(
@@ -219,7 +230,7 @@ object DeltaLog {
           val hasOffset = dvStructFields.contains("offset")
           val offsetCol = if (hasOffset) "add.deletionVector.offset"
             else "cast(null as int) as offset"
-          ck.selectExpr("add.path", "add.size", "add.modificationTime",
+          ckf.selectExpr("add.path", "add.size", "add.modificationTime",
               "add.deletionVector.storageType", "add.deletionVector.pathOrInlineDv",
               offsetCol, "add.deletionVector.sizeInBytes",
               "add.deletionVector.cardinality", statsCol)
@@ -233,11 +244,25 @@ object DeltaLog {
                 if (r.isNullAt(8)) None else Some(r.getString(8)))
             }
         } else {
-          ck.selectExpr("add.path", "add.size", "add.modificationTime", statsCol)
+          ckf.selectExpr("add.path", "add.size", "add.modificationTime", statsCol)
             .where("path is not null").collect()
             .foreach(r => addFile(r.getString(0), r.getLong(1), r.getLong(2),
               None, if (r.isNullAt(3)) None else Some(r.getString(3))))
         }
+      }
+      absorbCheckpointAdds(ck)
+      // v2 spec checkpoints park their adds in `_sidecars/` parquet files
+      // named by `sidecar` actions; relative paths resolve against it
+      if (cols.contains("sidecar")) {
+        val sidecarPaths = ck.selectExpr("sidecar.path")
+          .where("path is not null").collect().map(_.getString(0))
+          .map { raw =>
+            val p = new Path(java.net.URLDecoder.decode(raw, "UTF-8"))
+            if (p.isAbsolute) p.toString
+            else new Path(new Path(dir, "_sidecars"), raw).toString
+          }
+        if (sidecarPaths.nonEmpty)
+          absorbCheckpointAdds(spark.read.parquet(sidecarPaths.toSeq: _*))
       }
     }
 
@@ -1212,11 +1237,15 @@ object DeltaTable {
     * `columnMapping` by writing data under physical names
     * ([[DeltaColumnMapping.toPhysical]]); `changeDataFeed` by recording
     * row-level changes as `_change_data/` cdc files on deletes and
-    * overwrites. Anything else (invariants, CHECK constraints, generated
-    * columns, …) would require evaluating constraints this minimal
-    * writer cannot, so tables demanding them are refused loudly. */
+    * overwrites; `v2Checkpoint` by honoring data commits as usual while
+    * [[checkpoint]] itself refuses (it writes the classic format the
+    * feature forbids). Anything else (invariants, CHECK constraints,
+    * generated columns, …) would require evaluating constraints this
+    * minimal writer cannot, so tables demanding them are refused
+    * loudly. */
   private val SupportedWriterFeatures =
-    Set("appendOnly", "deletionVectors", "columnMapping", "changeDataFeed")
+    Set("appendOnly", "deletionVectors", "columnMapping", "changeDataFeed",
+      "v2Checkpoint")
 
   /**
    * MERGE-ON-READ COMPACTION (Delta's REORG PURGE analogue): when the
@@ -1599,6 +1628,15 @@ object DeltaTable {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val s = DeltaLog.snapshot(spark, rootStr)
+    if (s.writerFeatures.contains("v2Checkpoint")) {
+      // the feature forbids classic-format checkpoints; data commits on
+      // such tables are fine, but this writer cannot produce v2 spec
+      // checkpoint manifests — refuse rather than violate the contract
+      throw new UnsupportedDeltaProtocolException(
+        s"Delta table at $rootStr carries the v2Checkpoint writer " +
+          "feature; this writer produces classic checkpoints only. " +
+          "Checkpoint with the delta-spark connector instead.")
+    }
     val rootUri = fs.makeQualified(root).toUri
     // the checkpoint must restate the table's REAL protocol and
     // configuration — writing minimal constants here would downgrade the

@@ -222,12 +222,12 @@ class DeltaDvSpec extends AnyFunSuite {
     val out = fs.create(new Path(logDir, f"${1L}%020d.json"), false)
     try out.write(
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors","v2Checkpoint"],""" +
-        """"writerFeatures":["deletionVectors","v2Checkpoint"]}}""" + "\n")
+        """"readerFeatures":["deletionVectors","typeWidening"],""" +
+        """"writerFeatures":["deletionVectors","typeWidening"]}}""" + "\n")
         .getBytes("UTF-8"))
     finally out.close()
     val e = intercept[UnsupportedDeltaProtocolException](
       DeltaTable.read(spark, root))
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
   }
 }

@@ -307,7 +307,7 @@ class DeltaLogSpec extends AnyFunSuite {
     s"""{"metaData":{"id":"gate-fixture","format":{"provider":"parquet","options":{}},"schemaString":"$escapedSchemaJson","partitionColumns":[],"configuration":$config,"createdTime":1}}"""
 
   test("protocol gate: v3 + deletionVectors is now implemented and reads; " +
-      "v2Checkpoint still refuses") {
+      "typeWidening still refuses") {
     val root = tmp("graft-delta-dv-")
     writeRawCommit(root, 0L, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
@@ -315,14 +315,14 @@ class DeltaLogSpec extends AnyFunSuite {
       """{"add":{"path":"f1.parquet","partitionValues":{},"size":10,"modificationTime":1,"dataChange":true}}"""))
     assert(DeltaLog.snapshot(spark, root).readerFeatures.contains("deletionVectors"))
 
-    val root2 = tmp("graft-delta-v2ck-")
+    val root2 = tmp("graft-delta-tw-")
     writeRawCommit(root2, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
       metaDataLine()))
     val err = intercept[UnsupportedDeltaProtocolException] {
       DeltaLog.snapshot(spark, root2)
     }
-    assert(err.getMessage.contains("v2Checkpoint"))
+    assert(err.getMessage.contains("typeWidening"))
   }
 
   test("protocol gate: minReaderVersion 2 reads (column mapping implemented); " +
@@ -371,7 +371,7 @@ class DeltaLogSpec extends AnyFunSuite {
     DeltaTable.create(customer.limit(5), root) // version 0, protocol 1
     assert(DeltaTable.read(spark, root).count() == 5)
     writeRawCommit(root, 1L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}"""))
     intercept[UnsupportedDeltaProtocolException] {
       DeltaLog.snapshot(spark, root)
     }
@@ -658,7 +658,7 @@ class DeltaLogSpec extends AnyFunSuite {
     DeltaTable.create(customer.limit(5), root)
     writeRawCheckpoint(root, 0L, spark.sql(
       s"""select named_struct('minReaderVersion', 3, 'minWriterVersion', 7,
-         |  'readerFeatures', array('v2Checkpoint')) as protocol,
+         |  'readerFeatures', array('typeWidening')) as protocol,
          |  cast(null as struct<schemaString:string,
          |    partitionColumns:array<string>,
          |    configuration:map<string,string>>) as metaData,
@@ -672,7 +672,7 @@ class DeltaLogSpec extends AnyFunSuite {
     val err = intercept[UnsupportedDeltaProtocolException] {
       DeltaLog.snapshot(spark, root)
     }
-    assert(err.getMessage.contains("v2Checkpoint"))
+    assert(err.getMessage.contains("typeWidening"))
   }
 
   test("checkpoint replay refuses a DV struct it cannot fully decode") {

@@ -1,0 +1,179 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.sources.{DeltaLog, DeltaTable, UnsupportedDeltaProtocolException}
+
+/**
+ * Delta V2 SPEC CHECKPOINTS (uuid-named manifest + `_sidecars/`
+ * add-files — the format modern Databricks writers default to): replay
+ * of sidecar-backed and inline-add v2 checkpoints, the protocol gate's
+ * acceptance of the `v2Checkpoint` reader feature, layered JSON-commit
+ * replay on top, and the classic-checkpoint writer's refusal on tables
+ * whose writer features demand v2.
+ */
+class DeltaV2CheckpointSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def customer =
+    spark.read.parquet(s"${TestSpark.sfDir}/customer.parquet")
+
+  /** Write `df` as exactly one parquet file at `target`. */
+  private def writeOneFile(df: org.apache.spark.sql.DataFrame, target: Path): Unit = {
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = new Path(target.getParent,
+      s".stage-${java.util.UUID.randomUUID().toString}")
+    df.repartition(1).write.parquet(stage.toString)
+    val part = fs.listStatus(stage)
+      .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+    fs.mkdirs(target.getParent)
+    assert(fs.rename(part, target))
+    fs.delete(stage, true)
+  }
+
+  private val protocolType = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType),
+    StructField("readerFeatures", ArrayType(StringType)),
+    StructField("writerFeatures", ArrayType(StringType))))
+  private val metaDataType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("format", StructType(Seq(
+      StructField("provider", StringType),
+      StructField("options", MapType(StringType, StringType))))),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration", MapType(StringType, StringType)),
+    StructField("createdTime", LongType)))
+  private val addType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues", MapType(StringType, StringType)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("stats", StringType)))
+  private val sidecarType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("sizeInBytes", LongType),
+    StructField("modificationTime", LongType)))
+  private val ckptMetaType = StructType(Seq(
+    StructField("version", LongType)))
+
+  private def protoRow = Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint"))
+  private def metaRow(schemaJson: String) = Row(
+    java.util.UUID.randomUUID().toString, Row("parquet", Map.empty[String, String]),
+    schemaJson, Seq.empty[String], Map.empty[String, String], 1L)
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+
+  /** The adds of the CURRENT snapshot as v2-spec add rows (relative paths). */
+  private def addRowsOf(root: String): Seq[Row] = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val rootUri = fs.makeQualified(new Path(root)).toUri
+    DeltaLog.snapshot(spark, root).files.map { f =>
+      val rel = rootUri.relativize(
+        fs.makeQualified(new Path(f.path)).toUri).getPath
+      Row(rel, Map.empty[String, String], f.size, f.modificationTime, true,
+        f.stats.orNull)
+    }
+  }
+
+  test("v2 checkpoint with sidecars replays; commits layer on top") {
+    val root = Files.createTempDirectory("graft-v2ck-").toString
+    DeltaTable.create(customer.filter(col("c_custkey") < 100), root)   // v0
+    DeltaTable.append(
+      customer.filter(col("c_custkey").between(100, 129)), root)       // v1
+    val schemaJson = DeltaLog.snapshot(spark, root).schemaString
+    val adds = addRowsOf(root)
+    assert(adds.size >= 2)
+
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(root, "_delta_log")
+    // split adds across TWO sidecars to prove multi-sidecar union
+    val (aHalf, bHalf) = adds.splitAt(adds.size / 2)
+    val sidecars = Seq(aHalf, bHalf).zipWithIndex.map { case (half, i) =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      writeOneFile(
+        df(StructType(Seq(StructField("add", addType))), half.map(Row(_)): _*),
+        new Path(logDir, s"_sidecars/$name"))
+      name
+    }
+    val ckRows =
+      Seq(Row(protoRow, null, null, null),
+        Row(null, metaRow(schemaJson), null, null),
+        Row(null, null, Row(1L), null)) ++
+        sidecars.map(n => Row(null, null, null, Row(n, 1L, 1L)))
+    writeOneFile(
+      df(StructType(Seq(
+        StructField("protocol", protocolType),
+        StructField("metaData", metaDataType),
+        StructField("checkpointMetadata", ckptMetaType),
+        StructField("sidecar", sidecarType))), ckRows: _*),
+      new Path(logDir,
+        f"${1L}%020d.checkpoint.${java.util.UUID.randomUUID()}%s.parquet"))
+    // force checkpoint-based replay: drop commit 0 entirely
+    assert(fs.delete(new Path(logDir, f"${0L}%020d.json"), false))
+
+    val viaCkpt = DeltaTable.read(spark, root)
+    assert(viaCkpt.count() == customer.filter(col("c_custkey") < 130).count())
+
+    // a JSON commit after the checkpoint still layers on top — and the
+    // writer gate accepts the v2Checkpoint writer feature for commits
+    DeltaTable.append(customer.filter(col("c_custkey") >= 130), root)  // v2
+    assert(DeltaTable.read(spark, root).count() == customer.count())
+  }
+
+  test("uuid-named checkpoint with inline adds (no sidecars) replays") {
+    val root = Files.createTempDirectory("graft-v2ck-inline-").toString
+    DeltaTable.create(customer.filter(col("c_custkey") < 100), root)   // v0
+    val schemaJson = DeltaLog.snapshot(spark, root).schemaString
+    val adds = addRowsOf(root)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(root, "_delta_log")
+    val rows =
+      Seq(Row(protoRow, null, null),
+        Row(null, metaRow(schemaJson), null)) ++
+        adds.map(a => Row(null, null, a))
+    writeOneFile(
+      df(StructType(Seq(
+        StructField("protocol", protocolType),
+        StructField("metaData", metaDataType),
+        StructField("add", addType))), rows: _*),
+      new Path(logDir,
+        f"${0L}%020d.checkpoint.${java.util.UUID.randomUUID()}%s.parquet"))
+    // the checkpoint alone must reconstruct v0 (commit 0 stays for the
+    // latest-version pointer; its actions are not needed)
+    assert(DeltaTable.read(spark, root).count() ==
+      customer.filter(col("c_custkey") < 100).count())
+  }
+
+  test("classic checkpoint writer refuses v2Checkpoint-feature tables") {
+    val root = Files.createTempDirectory("graft-v2ck-refuse-").toString
+    DeltaTable.create(customer.limit(10), root)
+    // upgrade the protocol to demand v2 checkpoints
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(root, "_delta_log/00000000000000000001.json"), false)
+    try out.write(
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""" + "\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[UnsupportedDeltaProtocolException] {
+      DeltaTable.checkpoint(spark, root)
+    }
+    assert(e.getMessage.contains("v2Checkpoint"))
+    // reads and data commits remain fine
+    assert(DeltaTable.read(spark, root).count() == 10)
+    DeltaTable.append(customer.limit(5), root)
+    assert(DeltaTable.read(spark, root).count() == 15)
+  }
+}
