@@ -592,19 +592,37 @@ object DeltaTable {
     * on disk until VACUUM. */
   /** `timestampAsOf` companion to [[read]]'s `versionAsOf`: resolves to
     * the LATEST commit whose timestamp is at or before `tsMillis`, then
-    * reads that version. Commit time = the commit file's modification
-    * time — OSS Delta's DEFAULT clock for time travel (the commitInfo
-    * timestamp is informational; in-commit timestamps are a separate
-    * gated table feature) — monotone per table because versions commit
-    * in order. Fails loudly when `tsMillis` precedes the first commit. */
+    * reads that version. Commit time = `commitInfo.inCommitTimestamp`
+    * when the commit carries one (the IN-COMMIT TIMESTAMPS feature —
+    * the authoritative clock, immune to log copies/restores), else the
+    * commit file's modification time, OSS Delta's default clock — both
+    * monotone per table. Mixed histories (feature enabled mid-table)
+    * resolve each commit by its own clock, which is the spec's rule.
+    * Fails loudly when `tsMillis` precedes the first commit. */
   def readTimestampAsOf(spark: SparkSession, root: String,
       tsMillis: Long): DataFrame = {
     val dir = DeltaLog.logDir(new Path(root))
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(dir), s"not a Delta table (no _delta_log): $root")
+    // ICT only needs the per-commit file peeked when the head snapshot
+    // says the feature is on — the common case stays one listStatus
+    val ictOn = ictEnabled(
+      DeltaLog.snapshot(spark, root).configuration)
     val commits = fs.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case DeltaLog.CommitRe(v) => Some(v.toLong -> st.getModificationTime)
+        case DeltaLog.CommitRe(v) =>
+          val ict: Option[Long] =
+            if (!ictOn) None
+            else DeltaLog.readLines(fs, st.getPath).iterator
+              .map(JsonMethods.parse(_))
+              .collectFirst(Function.unlift { j =>
+                (j \ "commitInfo" \ "inCommitTimestamp") match {
+                  case JInt(n) => Some(n.toLong)
+                  case JLong(n) => Some(n)
+                  case _ => None
+                }
+              })
+          Some(v.toLong -> ict.getOrElse(st.getModificationTime))
         case _ => None
       }
     }
@@ -1067,7 +1085,9 @@ object DeltaTable {
       }.toList
 
     val lines = mutable.Buffer.empty[JValue]
-    lines += commitInfoLine(now, "DELETE", Map.empty)
+    lines += commitInfoLine(now, "DELETE", Map.empty,
+      if (ictEnabled(prior.configuration))
+        Some(nextIct(fs, root, prior.version, now)) else None)
     val hasDvProtocol = prior.minReaderVersion >= 3 &&
       prior.readerFeatures.contains("deletionVectors")
     if (!hasDvProtocol) {
@@ -1188,13 +1208,19 @@ object DeltaTable {
       readerFeature: Option[String] = Some("columnMapping"),
       writerFeature: Option[String] = Some("columnMapping"),
       legacyReader: Int = 2, legacyWriter: Int = 5,
-      operation: String = "SET TBLPROPERTIES"): Long = {
+      operation: String = "SET TBLPROPERTIES",
+      forceFeatures: Boolean = false): Long = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val version = prior.version + 1
+    val now = System.currentTimeMillis()
+    // the enablement commit itself already carries an ICT (cfg holds the
+    // new configuration when this is the enable commit)
+    val ict = if (ictEnabled(cfg) || ictEnabled(prior.configuration))
+      Some(nextIct(fs, root, prior.version, now)) else None
     val lines = mutable.Buffer.empty[JValue]
-    lines += commitInfoLine(System.currentTimeMillis(), operation, Map.empty)
-    val onFeatures = prior.minReaderVersion >= 3 ||
+    lines += commitInfoLine(now, operation, Map.empty, ict)
+    val onFeatures = forceFeatures || prior.minReaderVersion >= 3 ||
       prior.readerFeatures.nonEmpty || prior.writerFeatures.nonEmpty
     if (onFeatures) {
       val needsReader = readerFeature.exists(f => !prior.readerFeatures.contains(f))
@@ -1245,7 +1271,7 @@ object DeltaTable {
     * loudly. */
   private val SupportedWriterFeatures =
     Set("appendOnly", "deletionVectors", "columnMapping", "changeDataFeed",
-      "v2Checkpoint")
+      "v2Checkpoint", "inCommitTimestamp")
 
   /**
    * MERGE-ON-READ COMPACTION (Delta's REORG PURGE analogue): when the
@@ -1451,7 +1477,8 @@ object DeltaTable {
     val lines = mutable.Buffer.empty[JValue]
     lines += commitInfoLine(now,
       if (version == 0L) "CREATE TABLE AS SELECT" else "WRITE",
-      Map("mode" -> (if (overwrite) "Overwrite" else "Append")))
+      Map("mode" -> (if (overwrite) "Overwrite" else "Append")),
+      if (ictEnabled(metaCfg)) Some(nextIct(fs, root, version - 1, now)) else None)
     if (version == 0L) {
       lines += JObject("protocol" -> JObject(
         "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
@@ -1530,15 +1557,66 @@ object DeltaTable {
   }
 
   /** The `commitInfo` action every real Delta writer leads its commit
-    * with: in-commit timestamp + operation provenance, consumed by
-    * [[history]] and by the CDF reader's `_commit_timestamp`. */
+    * with: timestamp + operation provenance, consumed by [[history]]
+    * and by the CDF reader's `_commit_timestamp`. When the table runs
+    * IN-COMMIT TIMESTAMPS, the monotone `inCommitTimestamp` field rides
+    * along and becomes the table's authoritative clock. */
   private def commitInfoLine(tsMillis: Long, operation: String,
-      parameters: Map[String, String]): JValue =
+      parameters: Map[String, String], ict: Option[Long] = None): JValue =
     JObject("commitInfo" -> JObject(
-      "timestamp" -> JLong(tsMillis),
-      "operation" -> JString(operation),
-      "operationParameters" -> JObject(parameters.toList.sortBy(_._1)
-        .map { case (k, v) => k -> (JString(v): JValue) })))
+      List[(String, JValue)](
+        "timestamp" -> JLong(tsMillis),
+        "operation" -> JString(operation),
+        "operationParameters" -> JObject(parameters.toList.sortBy(_._1)
+          .map { case (k, v) => k -> (JString(v): JValue) })) ++
+        ict.map(t => "inCommitTimestamp" -> (JLong(t): JValue))))
+
+  /** Is the IN-COMMIT TIMESTAMPS feature enabled by this configuration? */
+  private[sources] def ictEnabled(cfg: Map[String, String]): Boolean =
+    cfg.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
+
+  /** The monotone in-commit timestamp for the NEXT commit: wall clock,
+    * but never at or below the prior commit's ICT (the spec's
+    * `max(now, prior + 1)` rule — the table clock never goes backward
+    * even when the wall clock does). */
+  private def nextIct(fs: FileSystem, root: Path, priorVersion: Long,
+      now: Long): Long = {
+    val p = new Path(DeltaLog.logDir(root), f"$priorVersion%020d.json")
+    val prior: Option[Long] =
+      if (!fs.exists(p)) None
+      else DeltaLog.readLines(fs, p).iterator.map(JsonMethods.parse(_))
+        .collectFirst(Function.unlift { j =>
+          (j \ "commitInfo" \ "inCommitTimestamp") match {
+            case JInt(n) => Some(n.toLong)
+            case JLong(n) => Some(n)
+            case _ => None
+          }
+        })
+    math.max(now, prior.getOrElse(Long.MinValue) + 1)
+  }
+
+  /** Enable IN-COMMIT TIMESTAMPS — a metadata-only commit setting
+    * `delta.enableInCommitTimestamps=true` (+ the spec's enablement
+    * provenance properties) and adding the `inCommitTimestamp` writer
+    * feature. From this commit on, every commit carries a monotone
+    * `commitInfo.inCommitTimestamp` and [[readTimestampAsOf]] resolves
+    * by IT rather than file mtimes — which survive neither log copies
+    * nor restores. */
+  def enableInCommitTimestamps(spark: SparkSession, rootStr: String): Long = {
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    if (ictEnabled(prior.configuration)) return prior.version
+    writerGate(prior, rootStr, deletesRows = false,
+      kind = "enableInCommitTimestamps")
+    val v = prior.version + 1
+    commitMetadata(spark, rootStr, prior, prior.schema, prior.partitionColumns,
+      prior.configuration +
+        ("delta.enableInCommitTimestamps" -> "true") +
+        ("delta.inCommitTimestampEnablementVersion" -> v.toString) +
+        ("delta.inCommitTimestampEnablementTimestamp" ->
+          System.currentTimeMillis().toString),
+      readerFeature = None, writerFeature = Some("inCommitTimestamp"),
+      legacyReader = 1, legacyWriter = 7, forceFeatures = true)
+  }
 
   /** Table HISTORY — one row per commit (newest first): version,
     * in-commit timestamp (file mtime for commits without commitInfo),
@@ -1558,6 +1636,12 @@ object DeltaTable {
           DeltaLog.readLines(fs, st.getPath).foreach { line =>
             val j = JsonMethods.parse(line)
             (j \ "commitInfo" \ "timestamp") match {
+              case JInt(n) => ts = n.toLong
+              case JLong(n) => ts = n
+              case _ =>
+            }
+            // the monotone table clock outranks the informational stamp
+            (j \ "commitInfo" \ "inCommitTimestamp") match {
               case JInt(n) => ts = n.toLong
               case JLong(n) => ts = n
               case _ =>

@@ -89,6 +89,51 @@ class TableLifecycleSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root).count() == expect)
   }
 
+  // ---------------------------------------------- in-commit timestamps
+
+  test("ICT: time travel resolves by the table clock, not file mtimes") {
+    val root = Files.createTempDirectory("graft-ict-").toString
+    DeltaTable.create(customer.filter(col("c_custkey") < 100), root)  // v0
+    DeltaTable.enableInCommitTimestamps(spark, root)                  // v1
+    DeltaTable.append(customer.filter(col("c_custkey") >= 100), root) // v2
+
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.writerFeatures.contains("inCommitTimestamp"))
+    assert(s.configuration.get("delta.inCommitTimestampEnablementVersion")
+      .contains("1"))
+
+    // sabotage every commit file's mtime: a restore/copy would do this
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new Path(root, "_delta_log")
+    (0L to 2L).foreach { v =>
+      fs.setTimes(new Path(dir, f"$v%020d.json"), 1000L + v, -1)
+    }
+    // the ICT commits (v1, v2) still resolve by their in-commit clock:
+    // a timestamp far in the future lands on the head version with all
+    // rows — under mtime resolution the same query would also pick the
+    // head, so pin the mixed boundary instead: just BEFORE v2's ICT
+    // must serve v1's content (the pre-append table)
+    val h = DeltaTable.history(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(h(2L) > h(1L), "ICTs must be strictly increasing")
+    assert(DeltaTable.readTimestampAsOf(spark, root, h(2L)).count() ==
+      customer.count())
+    assert(DeltaTable.readTimestampAsOf(spark, root, h(2L) - 1).count() ==
+      customer.filter(col("c_custkey") < 100).count())
+  }
+
+  test("ICT: monotone even when the wall clock repeats a millisecond") {
+    val root = Files.createTempDirectory("graft-ict-mono-").toString
+    DeltaTable.create(customer.limit(10), root)
+    DeltaTable.enableInCommitTimestamps(spark, root)
+    // commits faster than the clock ticks: ICTs must still be strict
+    (1 to 3).foreach(_ => DeltaTable.append(customer.limit(1), root))
+    val ts = DeltaTable.history(spark, root).collect()
+      .sortBy(_.getLong(0)).drop(1).map(_.getTimestamp(1).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a < b },
+      s"ICTs not strictly increasing: ${ts.mkString(",")}")
+  }
+
   // ------------------------------------------------- expireSnapshots
 
   test("expireSnapshots trims history and deletes only-expired files") {
