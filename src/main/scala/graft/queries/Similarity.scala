@@ -306,9 +306,151 @@ object Similarity {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // ------------------------------------------------------------- PQ topk
+  /** PRODUCT QUANTIZATION ANN: every corpus vector is compressed to
+    * [[PqM]] sub-codes (argmin over [[PqK]] codewords per 8-dim
+    * subspace) plus its exact norm, and queries rank candidates by the
+    * ASYMMETRIC dot product (query sub-vectors against the corpus's
+    * CODEWORDS — the corpus's raw floats are never touched during
+    * ranking). The top-ranked candidates are then reranked with the
+    * exact cosine — the standard shortlist-and-rerank PQ serving shape.
+    *
+    * Scale path: the ranking pass reads 8 code bytes + 8 norm bytes per
+    * vector instead of 512 B of raw floats — a 16x scan-IO reduction
+    * that is THE reason PQ exists at 100 TB; encoding is map-only, the
+    * query side broadcasts, the corpus never shuffles, and the exact
+    * rerank touches only |queries| x 5 rows. Fixed formula codewords
+    * here keep the DuckDB oracle bit-exact; a production build trains
+    * them per-subspace on a bounded sample (FAISS-style) and the
+    * encode/rank algebra below is unchanged. */
+  private val PqM = 8    // subspaces of 8 dims each
+  private val PqK = 16   // codewords per subspace (4-bit codes)
+
+  /** Fixed codeword component: integer in [-5, 5], nonlinear in
+    * (m, k, i) so codewords don't alias across subspaces. */
+  private def pqVal(m: Int, k: Int, i: Int): Int =
+    ((104729 * k * k + 7919 * m + 31 * k * i + 17 * i * i + 5) % 11 + 11) % 11 - 5
+
+  /** Spark-side codes: for each subspace, first-occurrence argmin of the
+    * strict-fold squared L2 distance to each codeword (1-based, matching
+    * DuckDB's list_position). */
+  private def pqCodes(v: Column): Column =
+    array((0 until PqM).map { m =>
+      val sub = slice(v, m * 8 + 1, 8)
+      val dists = array((0 until PqK).map { k =>
+        val cw = array((0 until 8).map(i => lit(pqVal(m, k, i).toDouble)): _*)
+        aggregate(zip_with(sub, cw, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t)
+      }: _*)
+      array_position(dists, array_min(dists))
+    }: _*)
+
+  private def sqlPqCodes(vExpr: String): String =
+    (0 until PqM).map { m =>
+      val sub = s"$vExpr[${m * 8 + 1}:${m * 8 + 8}]"
+      val dists = (0 until PqK).map { k =>
+        val cw = (0 until 8).map(i => s"${pqVal(m, k, i)}.0").mkString("[", ", ", "]")
+        s"""list_reduce(list_transform(list_zip($sub, $cw),
+           | p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, t) -> acc + t)"""
+          .stripMargin.replaceAll("\n", " ")
+      }.mkString("[", ", ", "]")
+      s"list_position($dists, list_min($dists))"
+    }.mkString("[", ", ", "]")
+
+  /** Per-query lookup table: dot(query sub-vector, codeword) for every
+    * (subspace, codeword) — the classic ADC table, PqM x PqK doubles. */
+  private def pqQueryTable(qv: Column): Column =
+    array((0 until PqM).map { m =>
+      val sub = slice(qv, m * 8 + 1, 8)
+      array((0 until PqK).map { k =>
+        val cw = array((0 until 8).map(i => lit(pqVal(m, k, i).toDouble)): _*)
+        aggregate(zip_with(sub, cw, (x, y) => x * y),
+          lit(0.0), (acc, t) => acc + t)
+      }: _*)
+    }: _*)
+
+  private def sqlPqQueryTable(vExpr: String): String =
+    (0 until PqM).map { m =>
+      val sub = s"$vExpr[${m * 8 + 1}:${m * 8 + 8}]"
+      (0 until PqK).map { k =>
+        val cw = (0 until 8).map(i => s"${pqVal(m, k, i)}.0").mkString("[", ", ", "]")
+        s"""list_reduce(list_transform(list_zip($sub, $cw),
+           | p -> p[1] * p[2]), (acc, t) -> acc + t)"""
+          .stripMargin.replaceAll("\n", " ")
+      }.mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+
+  /** Top-5 per query by PQ approximate cosine, exact-cosine reranked. */
+  def qPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // the serving-side artifact: codes + exact norm, raw floats dropped
+    val codes = emb.select(col("vec_id").as("nid"),
+      pqCodes(col("v")).as("codes"), col("nrm").as("nn"))
+    val queries = emb.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("nrm").as("qn"),
+        pqQueryTable(col("v")).as("qtab"))
+    // ADC: sum the per-subspace table entries the codes select
+    val approx = broadcast(queries).crossJoin(codes)
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (aggregate(
+          zip_with(col("codes"), col("qtab"),
+            (c, row) => element_at(row, c.cast("int"))),
+          lit(0.0), (acc, t) => acc + t) / (col("qn") * col("nn")))
+          .as("cosine_adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cosine_adc").desc, col("nid"))
+    val shortlist = approx
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+    // exact rerank touches only |queries| x 5 raw vectors
+    val qv = emb.select(col("vec_id").as("qid2"), col("v").as("qvv"),
+      col("nrm").as("qn2"))
+    val nv = emb.select(col("vec_id").as("nid2"), col("v").as("nvv"),
+      col("nrm").as("nn2"))
+    shortlist
+      .join(qv, col("qid") === col("qid2"))
+      .join(nv, col("nid") === col("nid2"))
+      .select(col("qid"), col("nid"), col("rank"), col("cosine_adc"),
+        (dot(col("qvv"), col("nvv")) / (col("qn2") * col("nn2")))
+          .as("cosine_exact"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val qPqTopKSql: String = {
+    val d = sqlDot("q.v", "n.v")
+    val nq = sqlDot("q.v", "q.v")
+    val nn = sqlDot("n.v", "n.v")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nrm AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e),
+       |codes AS (SELECT vec_id AS nid, ${sqlPqCodes("v")} AS codes, nrm AS nn
+       |  FROM nrm),
+       |q AS (SELECT vec_id AS qid, nrm AS qn, ${sqlPqQueryTable("v")} AS qtab
+       |  FROM nrm WHERE vec_id % $QueryMod = 0),
+       |approx AS (
+       |  SELECT qid, nid,
+       |    list_reduce(list_transform(list_zip(codes, qtab),
+       |      p -> (p[2])[CAST(p[1] AS INT)]), (acc, t) -> acc + t)
+       |      / (qn * nn) AS cosine_adc
+       |  FROM q, codes WHERE qid <> nid),
+       |ranked AS (SELECT qid, nid, cosine_adc,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_adc DESC, nid) AS rank
+       |  FROM approx)
+       |SELECT r.qid, r.nid, r.rank, r.cosine_adc,
+       |  $d / (sqrt($nq) * sqrt($nn)) AS cosine_exact
+       |FROM ranked r
+       |JOIN e q ON r.qid = q.vec_id
+       |JOIN e n ON r.nid = n.vec_id
+       |WHERE r.rank <= 5
+       |ORDER BY r.qid, r.rank""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "sim_brute_topk" -> (qBruteForceTopK _, qBruteForceTopKSql),
     "sim_lsh_buckets" -> (qLshBuckets _, qLshBucketsSql),
     "sim_embedding_neardup" -> (qEmbeddingNearDup _, qEmbeddingNearDupSql),
-    "sim_ivf_topk" -> (qIvfTopK _, qIvfTopKSql))
+    "sim_ivf_topk" -> (qIvfTopK _, qIvfTopKSql),
+    "sim_pq_topk" -> (qPqTopK _, qPqTopKSql))
 }
