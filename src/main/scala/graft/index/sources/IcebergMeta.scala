@@ -1298,6 +1298,47 @@ object IcebergTable {
       deleteAdded = Nil)
   }
 
+  /** Table HISTORY — one row per retained snapshot (newest first):
+    * snapshot id, commit timestamp, and summary operation — the Iceberg
+    * sibling of [[DeltaTable.history]]. Driver-side metadata. */
+  def history(spark: SparkSession, location: String): DataFrame = {
+    val fs = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaFile = IcebergMeta.currentMetadataFile(fs, location)
+    val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
+    val rows = ((j \ "snapshots") match {
+      case JArray(snaps) => snaps
+      case _ => Nil
+    }).flatMap { s =>
+      ((s \ "snapshot-id"), (s \ "timestamp-ms")) match {
+        case (JInt(id), ts) =>
+          val tsMs = ts match {
+            case JInt(n) => n.toLong
+            case JLong(n) => n
+            case _ => 0L
+          }
+          val op = (s \ "summary" \ "operation") match {
+            case JString(o) => o
+            case _ => null
+          }
+          Some((id.toLong, new java.sql.Timestamp(tsMs), op))
+        case (JLong(id), ts) =>
+          val tsMs = ts match {
+            case JInt(n) => n.toLong
+            case JLong(n) => n
+            case _ => 0L
+          }
+          val op = (s \ "summary" \ "operation") match {
+            case JString(o) => o
+            case _ => null
+          }
+          Some((id, new java.sql.Timestamp(tsMs), op))
+        case _ => None
+      }
+    }.sortBy(-_._1)
+    import spark.implicits._
+    rows.toDF("snapshot_id", "timestamp", "operation")
+  }
+
   /** EXPIRE SNAPSHOTS — the metadata half of the Iceberg lifecycle
     * ([[compact]] rewrites data; this bounds history): drop every
     * snapshot except the current one, the `keepLast` most recent, and

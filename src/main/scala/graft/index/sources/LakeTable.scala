@@ -1,0 +1,88 @@
+package graft.index.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/**
+ * Format-dispatching facade over the two jarless lakehouse sources: one
+ * entry point that detects whether a path is a DELTA or ICEBERG table
+ * and routes to the matching implementation, so pipeline code written
+ * against it is table-format-agnostic — the practical shape of a
+ * migration between formats (or a mixed estate) at 100 TB, where the
+ * calling job should not care which log format a dataset landed in.
+ *
+ * The per-format modules ([[DeltaTable]], [[IcebergTable]]) stay the
+ * richer, format-specific surface; this facade covers the operations
+ * with a clean common meaning. Format-specific column names are
+ * preserved (`_commit_version` vs `_commit_snapshot_id` in [[changes]])
+ * — papering over them would hide which clock the feed is keyed by.
+ */
+object LakeTable {
+
+  /** "delta" | "iceberg" — loud error for anything else. */
+  def formatOf(spark: SparkSession, path: String): String =
+    if (DeltaLog.isDeltaTable(spark, path)) "delta"
+    else if (IcebergMeta.isIcebergTable(spark, path)) "iceberg"
+    else throw new IllegalArgumentException(
+      s"$path is neither a Delta table (_delta_log) nor an Iceberg table " +
+        "(metadata/*.metadata.json)")
+
+  /** Snapshot read at the head version. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.read(spark, path)
+      case _ => IcebergTable.read(spark, path)
+    }
+
+  /** TIME TRAVEL — `asOf` is a Delta version or an Iceberg snapshot id,
+    * whichever the table's format keys history by. */
+  def readAsOf(spark: SparkSession, path: String, asOf: Long): DataFrame =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.read(spark, path, versionAsOf = Some(asOf))
+      case _ => IcebergTable.read(spark, path, snapshotAsOf = Some(asOf))
+    }
+
+  /** Commit history, newest first: (version-or-snapshot id, timestamp,
+    * operation). */
+  def history(spark: SparkSession, path: String): DataFrame =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.history(spark, path)
+      case _ => IcebergTable.history(spark, path)
+    }
+
+  /** INCREMENTAL CHANGES after `fromId` (exclusive): Delta routes to the
+    * change data feed (all change types when CDF is enabled), Iceberg to
+    * the incremental append scan (appends; strict refusal on row
+    * deletes). Both stamp `_change_type` and `_commit_timestamp`. */
+  def changes(spark: SparkSession, path: String, fromId: Long): DataFrame =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.changes(spark, path, fromId + 1)
+      case _ => IcebergTable.incrementalAppends(spark, path, fromId)
+    }
+
+  /** Row-level DELETE, merge-on-read in both formats (Delta deletion
+    * vectors / Iceberg positional delete files). */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.deleteWhere(spark, path, cond)
+      case _ => IcebergTable.deleteWhere(spark, path, cond)
+    }
+
+  /** MERGE-ON-READ COMPACTION: fold accumulated delete state into fresh
+    * data files (Delta REORG PURGE / Iceberg rewriteDataFiles). */
+  def compact(spark: SparkSession, path: String): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.purge(spark, path)
+      case _ => IcebergTable.compact(spark, path)
+    }
+
+  /** Storage cleanup: delete files no retained version references —
+    * Delta VACUUM (age-gated) / Iceberg expireSnapshots (history-gated).
+    * Returns the removed paths. */
+  def cleanup(spark: SparkSession, path: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.vacuum(spark, path, retentionMs)
+      case _ => IcebergTable.expireSnapshots(spark, path, keepLast = 1,
+        olderThanMs = Some(System.currentTimeMillis() - retentionMs))
+    }
+}

@@ -339,6 +339,41 @@ object Relational {
        |GROUP BY CUBE (l_returnflag, l_linestatus)
        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** TPC-H Q12 (adapted to the fixture's columns): one shipping year of
+    * line items joined to their orders, counting high- vs low-priority
+    * lines per line status — the canonical big-join +
+    * conditional-aggregation shape. The fixture carries no
+    * `l_shipmode`/`l_commitdate`, so `l_linestatus` plays the grouping
+    * role and the one-year `l_shipdate` window the receipt window.
+    * Scale: the filter prunes lineitem before the shuffle join on
+    * orderkey; the aggregation is partial map-side (2 groups). */
+  def q12ShippedPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+    val ord = Tables.load(spark, sfDir, "orders")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(hi: _*), lit(1L))
+          .otherwise(lit(0L))).cast(LongType).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin(hi: _*), lit(1L))
+          .otherwise(lit(0L))).cast(LongType).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   // ------------------------------------------------------------- events
   /** Event-stream style day × type aggregate (date_trunc + conditional agg). */
   def qEventsDaily(spark: SparkSession, sfDir: String): DataFrame = {
@@ -370,6 +405,7 @@ object Relational {
     "q5_local_supplier" -> (q5LocalSupplier _, q5Sql),
     "q6_revenue_delta" -> (q6RevenueDelta _, q6Sql),
     "q10_returned_items" -> (q10ReturnedItems _, q10Sql),
+    "q12_shipped_priority" -> (q12ShippedPriority _, q12Sql),
     "q13_order_distribution" -> (q13OrderDistribution _, q13Sql),
     "q_window_top_parts" -> (qWindowTopParts _, qWindowTopPartsSql),
     "q_semi_anti" -> (qSemiAnti _, qSemiAntiSql),

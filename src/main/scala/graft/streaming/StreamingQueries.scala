@@ -283,6 +283,49 @@ object StreamingQueries {
       |ORDER BY digest""".stripMargin
 
   /**
+   * WATERMARK-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`):
+   * the first event per (user_id, event_type) key is emitted and later
+   * duplicates within the watermark horizon are dropped — the
+   * production-shape dedup whose state is EVICTED as event time
+   * advances, unlike [[qStreamDedup]]'s grow-forever digest set. Only
+   * KEY columns are emitted (which physical row arrives first is
+   * arrival-order-dependent; the kept key set is not). The gate corpus
+   * fits one AvailableNow batch, where the bounded variant equals the
+   * exact distinct — which is what the oracle pins.
+   */
+  def qStreamDedupWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawSchema, variant) = eventsRaw(spark, sfDir)
+    val raw = spark.readStream.schema(rawSchema)
+      .parquet(Tables.path(sfDir, "events") + "*")
+    val deduped = variant.micros(raw)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+    val name = "stream_dedup_wm_" + UUID.randomUUID().toString.replace("-", "")
+    withGateStatePartitions(spark) {
+      val q = deduped
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val result = spark.table(name).orderBy(col("user_id"), col("event_type"))
+    val rows = result.collect()
+    val schema = result.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  val qStreamDedupWatermarkSql: String =
+    """SELECT DISTINCT user_id, event_type
+      |FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /**
    * Stream-static enrichment: the event stream joins the STATIC customer
    * dimension mid-flight (Spark plans this as a broadcast join per
    * micro-batch — no stream-side state for the join) and aggregates
@@ -403,6 +446,7 @@ object StreamingQueries {
     "stream_window_counts" -> (qStreamWindowCounts _, qStreamWindowCountsSql),
     "stream_sessions" -> (qStreamSessions _, qStreamSessionsSql),
     "stream_dedup" -> (qStreamDedup _, qStreamDedupSql),
+    "stream_dedup_watermark" -> (qStreamDedupWatermark _, qStreamDedupWatermarkSql),
     "stream_enrich" -> (qStreamEnrich _, qStreamEnrichSql),
     "stream_join" -> (qStreamJoin _, qStreamJoinSql))
 }

@@ -94,6 +94,40 @@ class PlanAuditSpec extends AnyFunSuite {
       "queries side not broadcast")
   }
 
+  test("sim_pq_topk: ranking pass is code-only, corpus never shuffles pre-topk") {
+    val nodes = executed(SparkEntry.queries("sim_pq_topk")(spark, TestSpark.sfDir))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // queries (with their ADC tables) broadcast against the corpus codes
+    assert(nodes.exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "query/ADC-table side not broadcast")
+    // the ADC ranking itself is map-side: shuffles are only the window
+    // top-k on qid, the rerank joins' build sides, and the output sort
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 4,
+      s"PQ ranking should be map-only before topk, got ${shuffles.size} shuffles")
+  }
+
+  test("idx_delta_cdf_changes: feed is a pruned union, one aggregation shuffle") {
+    val nodes = executed(SparkEntry.queries("idx_delta_cdf_changes")(spark, TestSpark.sfDir))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
+    // column pruning reaches every change-feed scan: only the aggregated
+    // column (+ cdc's _change_type) is read, never the full row
+    scans.foreach { s =>
+      val rs = s.metadata.getOrElse("ReadSchema", "")
+      assert(!rs.contains("c_name") && !rs.contains("c_address"),
+        s"change-feed scan over-reads: $rs")
+    }
+    // no joins anywhere: derivation stamps literals, cdc rows come as-is
+    assert(shufflesOnlyAggAndSort(nodes), "expected only agg+sort shuffles")
+  }
+
+  private def shufflesOnlyAggAndSort(
+      nodes: Seq[org.apache.spark.sql.execution.SparkPlan]): Boolean = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    nodes.collect { case s: ShuffleExchangeExec => s }.size <= 2
+  }
+
   test("dedup_exact: single shuffle on the digest") {
     val nodes = executed(SparkEntry.queries("dedup_exact")(spark, TestSpark.sfDir))
     val scans = nodes.collect { case s: FileSourceScanExec => s }

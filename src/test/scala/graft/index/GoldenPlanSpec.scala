@@ -125,7 +125,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_parts", "q13_order_distribution",
+    "q10_returned_items", "q11_important_parts", "q12_shipped_priority",
+    "q13_order_distribution",
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_cnt",
     "q17_small_qty_revenue", "q18_large_orders", "q19_discounted_revenue",
     "q20_part_promotion", "q21_lone_returner", "q22_idle_rich_customers",

@@ -1,0 +1,63 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.sources.{DeltaTable, IcebergTable, LakeTable}
+
+/**
+ * Format-dispatching facade: the same pipeline code drives a Delta and
+ * an Iceberg table through detection, reads, time travel, history,
+ * incremental changes, row deletes, compaction, and cleanup.
+ */
+class LakeTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def customer =
+    spark.read.parquet(s"${TestSpark.sfDir}/customer.parquet")
+
+  test("one code path drives both formats through the full lifecycle") {
+    val delta = Files.createTempDirectory("graft-lake-d-").toString
+    val ice = Files.createTempDirectory("graft-lake-i-").toString
+    DeltaTable.create(customer.filter(col("c_custkey") < 100), delta,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaTable.append(customer.filter(col("c_custkey") >= 100), delta)
+    IcebergTable.create(customer.filter(col("c_custkey") < 100), ice)
+    IcebergTable.append(customer.filter(col("c_custkey") >= 100), ice)
+
+    assert(LakeTable.formatOf(spark, delta) == "delta")
+    assert(LakeTable.formatOf(spark, ice) == "iceberg")
+    intercept[IllegalArgumentException] {
+      LakeTable.formatOf(spark, TestSpark.sfDir)
+    }
+
+    Seq(delta, ice).foreach { path =>
+      assert(LakeTable.read(spark, path).count() == customer.count())
+      // time travel to the first id (Delta v0 / Iceberg snapshot 1)
+      val firstId = if (path == delta) 0L else 1L
+      assert(LakeTable.readAsOf(spark, path, firstId).count() ==
+        customer.filter(col("c_custkey") < 100).count())
+      // history: 2 data commits (+ the CDF property commit is v0 config)
+      val h = LakeTable.history(spark, path).collect()
+      assert(h.length == 2)
+      assert(h.head.getLong(0) > h.last.getLong(0), "newest first")
+      // incremental changes since the first id = the appended half
+      val inc = LakeTable.changes(spark, path, firstId)
+      assert(inc.filter(col("_change_type") === "insert").count() ==
+        customer.filter(col("c_custkey") >= 100).count())
+      // row-level delete, then compaction folds it away
+      LakeTable.deleteWhere(spark, path, col("c_nationkey") < 3)
+      val expect = customer.filter(col("c_nationkey") >= 3).count()
+      assert(LakeTable.read(spark, path).count() == expect)
+      LakeTable.compact(spark, path)
+      assert(LakeTable.read(spark, path).count() == expect)
+      // cleanup with zero retention reclaims the pre-compaction files
+      val removed = LakeTable.cleanup(spark, path, retentionMs = 0L)
+      assert(removed.nonEmpty, s"cleanup removed nothing at $path")
+      assert(LakeTable.read(spark, path).count() == expect)
+    }
+  }
+}
