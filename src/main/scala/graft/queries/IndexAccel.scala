@@ -524,6 +524,58 @@ object IndexAccel {
        |FROM customer WHERE c_custkey % 2 = 1
        |ORDER BY snap_id""".stripMargin
 
+  /** STREAM THE TABLE: the `graft-delta` Structured Streaming source
+    * drains a two-commit Delta fixture through a real streaming
+    * aggregation (memory sink, AvailableNow) — a matching aggregate
+    * proves the v1 source's offset arithmetic, per-commit file
+    * discovery, and streaming-frame construction serve exactly the
+    * table's rows. The oracle sees only customer parquet. */
+  def streamDeltaSource(spark: SparkSession, sfDir: String): DataFrame =
+    streamSourceAgg(spark, sfDir, "graft-delta", isIceberg = false)
+
+  /** Iceberg sibling: the `graft-iceberg` source over two snapshots. */
+  def streamIcebergSource(spark: SparkSession, sfDir: String): DataFrame =
+    streamSourceAgg(spark, sfDir, "graft-iceberg", isIceberg = true)
+
+  private def streamSourceAgg(spark: SparkSession, sfDir: String,
+      format: String, isIceberg: Boolean): DataFrame = {
+    import graft.index.sources.{DeltaTable, IcebergMeta, IcebergTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val tag = if (isIceberg) "ice" else "delta"
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") +
+      s"/graft_stream_src_${tag}_$h"
+    synchronized {
+      val exists = if (isIceberg) IcebergMeta.isIcebergTable(spark, root)
+        else graft.index.sources.DeltaLog.isDeltaTable(spark, root)
+      if (!exists) {
+        val customer = Tables.load(spark, sfDir, "customer")
+        val even = customer.filter(col("c_custkey") % 2 === 0)
+        val odd = customer.filter(col("c_custkey") % 2 === 1)
+        if (isIceberg) { IcebergTable.create(even, root); IcebergTable.append(odd, root) }
+        else { DeltaTable.create(even, root); DeltaTable.append(odd, root) }
+      }
+    }
+    val name = "stream_src_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format(format).load(root)
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table(name).collect()
+    val schema = spark.table(name).schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  val streamSourceAggSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer""".stripMargin
+
   // ------------------------------------------------ iceberg source
   /** Covering-index filter over an ICEBERG table (metadata.json + avro
     * manifests replayed jarless — [[graft.index.sources.IcebergMeta]]):
@@ -714,6 +766,8 @@ object IndexAccel {
     "idx_delta_stats_filter" -> (idxDeltaStatsFilter _, idxDeltaStatsFilterSql),
     "idx_delta_cm_filter" -> (idxDeltaCmFilter _, idxDeltaCmFilterSql),
     "idx_delta_cdf_changes" -> (idxDeltaCdfChanges _, idxDeltaCdfChangesSql),
+    "stream_delta_source" -> (streamDeltaSource _, streamSourceAggSql),
+    "stream_iceberg_source" -> (streamIcebergSource _, streamSourceAggSql),
     "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
     "idx_iceberg_v2_filter" -> (idxIcebergV2Filter _, idxIcebergV2FilterSql),
     "idx_iceberg_eq_filter" -> (idxIcebergEqFilter _, idxIcebergEqFilterSql),

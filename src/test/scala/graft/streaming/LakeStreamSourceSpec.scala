@@ -1,0 +1,152 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.sources.{DeltaTable, IcebergTable}
+
+/**
+ * Structured Streaming over the jarless lakehouse logs: the
+ * `graft-delta` / `graft-iceberg` v1 sources serve each commit's
+ * appended rows as micro-batches, resume from the checkpoint without
+ * re-serving, refuse row-deleting commits loudly (or skip them with
+ * `skipChangeCommits=true`), and honor `startingVersion=latest`.
+ */
+class LakeStreamSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def customer =
+    spark.read.parquet(s"${TestSpark.sfDir}/customer.parquet")
+
+  /** Drain the stream into a parquet sink with AvailableNow; returns the
+    * sink's current row count. */
+  private def drain(format: String, table: String, out: String, ckpt: String,
+      options: Map[String, String] = Map.empty): Long = {
+    var reader = spark.readStream.format(format)
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val df = reader.load(table)
+    val schema = df.schema
+    val q = df
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // explicit schema: a zero-batch drain leaves the sink file-less
+    spark.read.schema(schema).parquet(out).count()
+  }
+
+  test("graft-delta: per-commit batches, checkpoint resume, no re-serving") {
+    val root = Files.createTempDirectory("graft-dstream-").toString
+    val out = Files.createTempDirectory("graft-dstream-out-").toString
+    val ckpt = Files.createTempDirectory("graft-dstream-ck-").toString
+    val first = customer.filter(col("c_custkey") < 100)
+    DeltaTable.create(first, root)
+
+    assert(drain("graft-delta", root, out, ckpt) == first.count())
+    // nothing new: a second drain serves zero additional rows
+    assert(drain("graft-delta", root, out, ckpt) == first.count())
+
+    DeltaTable.append(customer.filter(col("c_custkey") >= 100), root)
+    assert(drain("graft-delta", root, out, ckpt) == customer.count())
+
+    // the streamed rows are exactly the table rows (no dupes, no loss)
+    val got = spark.read.parquet(out).select(sum(col("c_custkey"))).head().getLong(0)
+    val want = customer.select(sum(col("c_custkey"))).head().getLong(0)
+    assert(got == want)
+  }
+
+  test("graft-delta: row-deleting commits refuse; skipChangeCommits skips") {
+    val root = Files.createTempDirectory("graft-dstream-del-").toString
+    val out = Files.createTempDirectory("graft-dstream-del-out-").toString
+    val ckpt = Files.createTempDirectory("graft-dstream-del-ck-").toString
+    DeltaTable.create(customer.filter(col("c_custkey") < 100), root)
+    assert(drain("graft-delta", root, out, ckpt) == 100)
+
+    DeltaTable.deleteWhere(spark, root, col("c_custkey") < 10)
+    val late = customer.filter(col("c_custkey") >= 100)
+    DeltaTable.append(late, root)
+
+    val e = intercept[StreamingQueryException] {
+      drain("graft-delta", root, out, ckpt)
+    }
+    assert(e.getMessage.contains("append stream cannot represent") ||
+      Option(e.getCause).exists(_.getMessage.contains("append stream cannot represent")))
+
+    // with the skip option the delete commit is passed over, appends flow
+    val out2 = Files.createTempDirectory("graft-dstream-del-out2-").toString
+    val ckpt2 = Files.createTempDirectory("graft-dstream-del-ck2-").toString
+    val n = drain("graft-delta", root, out2, ckpt2,
+      Map("skipChangeCommits" -> "true"))
+    assert(n == 100 + late.count())
+  }
+
+  test("graft-delta: startingVersion=latest serves only post-start commits") {
+    val root = Files.createTempDirectory("graft-dstream-late-").toString
+    val out = Files.createTempDirectory("graft-dstream-late-out-").toString
+    val ckpt = Files.createTempDirectory("graft-dstream-late-ck-").toString
+    DeltaTable.create(customer.filter(col("c_custkey") < 100), root)
+    // stream created AFTER v0: drains nothing yet
+    assert(drain("graft-delta", root, out, ckpt,
+      Map("startingVersion" -> "latest")) == 0L)
+    val late = customer.filter(col("c_custkey") >= 100)
+    DeltaTable.append(late, root)
+    assert(drain("graft-delta", root, out, ckpt,
+      Map("startingVersion" -> "latest")) == late.count())
+  }
+
+  test("graft-delta readChangeFeed: deletes stream as first-class change rows") {
+    val root = Files.createTempDirectory("graft-dstream-cdc-").toString
+    val out = Files.createTempDirectory("graft-dstream-cdc-out-").toString
+    val ckpt = Files.createTempDirectory("graft-dstream-cdc-ck-").toString
+    DeltaTable.create(customer, root,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val opts = Map("readChangeFeed" -> "true")
+    assert(drain("graft-delta", root, out, ckpt, opts) == customer.count())
+
+    DeltaTable.deleteWhere(spark, root, col("c_nationkey") < 5)
+    val nDel = customer.filter(col("c_nationkey") < 5).count()
+    // no refusal in CDC mode: the delete arrives as change rows
+    assert(drain("graft-delta", root, out, ckpt, opts) ==
+      customer.count() + nDel)
+    val byType = spark.read.parquet(out)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") == customer.count())
+    assert(byType("delete") == nDel)
+    // stamps ride along
+    assert(spark.read.parquet(out)
+      .filter(col("_commit_timestamp").isNull ||
+        col("_commit_version").isNull).count() == 0)
+  }
+
+  test("graft-iceberg: snapshot-id offsets, resume, strict delete refusal") {
+    val loc = Files.createTempDirectory("graft-istream-").toString
+    val out = Files.createTempDirectory("graft-istream-out-").toString
+    val ckpt = Files.createTempDirectory("graft-istream-ck-").toString
+    val first = customer.filter(col("c_custkey") < 100)
+    IcebergTable.create(first, loc)
+
+    assert(drain("graft-iceberg", loc, out, ckpt) == first.count())
+    IcebergTable.append(customer.filter(col("c_custkey") >= 100), loc)
+    assert(drain("graft-iceberg", loc, out, ckpt) == customer.count())
+    assert(drain("graft-iceberg", loc, out, ckpt) == customer.count())
+
+    IcebergTable.deleteWhere(spark, loc, col("c_custkey") < 10)
+    IcebergTable.append(customer.limit(5), loc)
+    val e = intercept[StreamingQueryException] {
+      drain("graft-iceberg", loc, out, ckpt)
+    }
+    assert(e.getMessage.contains("appends-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("appends-only")))
+    // skipping the delete snapshot serves the trailing append
+    val n = drain("graft-iceberg", loc, out, ckpt,
+      Map("skipChangeCommits" -> "true"))
+    assert(n == customer.count() + 5)
+  }
+}
