@@ -25,4 +25,16 @@ public final class SparkStreamingInternals {
         return ((org.apache.spark.sql.classic.SparkSession) spark)
             .internalCreateDataFrame(rdd, schema, true);
     }
+
+    /**
+     * The sink-side inverse: re-anchor a micro-batch's already-planned
+     * rows ({@code data.queryExecution.toRdd}) as a plain BATCH frame so
+     * the sink can push it through ordinary writers — the same move
+     * Spark's own ForeachBatchSink makes.
+     */
+    public static Dataset<Row> batchDataFrame(
+            SparkSession spark, RDD<InternalRow> rdd, StructType schema) {
+        return ((org.apache.spark.sql.classic.SparkSession) spark)
+            .internalCreateDataFrame(rdd, schema, false);
+    }
 }

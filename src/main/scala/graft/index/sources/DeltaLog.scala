@@ -56,7 +56,11 @@ final case class DeltaSnapshot(
     minWriterVersion: Int = 2,
     readerFeatures: Set[String] = Set.empty,
     writerFeatures: Set[String] = Set.empty,
-    configuration: Map[String, String] = Map.empty) {
+    configuration: Map[String, String] = Map.empty,
+    // streaming-writer idempotence: latest `txn` version per appId —
+    // the Delta action an exactly-once sink checks before re-applying
+    // a possibly-replayed micro-batch
+    transactions: Map[String, Long] = Map.empty) {
   def schema: StructType =
     DataType.fromJson(schemaString).asInstanceOf[StructType]
 }
@@ -147,6 +151,7 @@ object DeltaLog {
     var readerFeatures: Set[String] = Set.empty
     var writerFeatures: Set[String] = Set.empty
     var tableConfiguration: Map[String, String] = Map.empty
+    val transactions = mutable.Map.empty[String, Long]
     // live files keyed by the RESOLVED absolute path: adds and removes
     // must cancel even when one writer logged a relative path and
     // another an absolute one for the same file
@@ -249,6 +254,12 @@ object DeltaLog {
             .foreach(r => addFile(r.getString(0), r.getLong(1), r.getLong(2),
               None, if (r.isNullAt(3)) None else Some(r.getString(3))))
         }
+      }
+      if (cols.contains("txn")) {
+        ck.selectExpr("txn.appId", "txn.version")
+          .where("appId is not null").collect()
+          .foreach(r => transactions(r.getString(0)) =
+            r.getAs[Number](1).longValue())
       }
       absorbCheckpointAdds(ck)
       // v2 spec checkpoints park their adds in `_sidecars/` parquet files
@@ -364,6 +375,15 @@ object DeltaLog {
             }
           case _ =>
         }
+        j \ "txn" match {
+          case JObject(_) =>
+            ((j \ "txn" \ "appId"), (j \ "txn" \ "version")) match {
+              case (JString(app), JInt(v)) => transactions(app) = v.toLong
+              case (JString(app), JLong(v)) => transactions(app) = v
+              case _ =>
+            }
+          case _ =>
+        }
       }
     }
 
@@ -420,7 +440,8 @@ object DeltaLog {
       s"Delta log at $rootStr carries no metaData action (corrupt log?)")
     DeltaSnapshot(rootStr, latest, schemaString, partitionColumns,
       live.values.toSeq, minReaderVersion, minWriterVersion,
-      readerFeatures, writerFeatures, tableConfiguration)
+      readerFeatures, writerFeatures, tableConfiguration,
+      transactions.toMap)
   }
 
   /** Action paths are URL-encoded and root-relative (absolute paths are
@@ -567,9 +588,11 @@ private[sources] case class CkptAdd(
     deletionVector: Option[CkptDv] = None, stats: Option[String] = None)
 private[sources] case class CkptRemove(
     path: String, deletionTimestamp: Long, dataChange: Boolean)
+private[sources] case class CkptTxn(appId: String, version: Long)
 private[sources] case class CkptRow(
     add: Option[CkptAdd], remove: Option[CkptRemove],
-    metaData: Option[CkptMetaData], protocol: Option[CkptProtocol])
+    metaData: Option[CkptMetaData], protocol: Option[CkptProtocol],
+    txn: Option[CkptTxn] = None)
 
 /**
  * Snapshot-pinned reads and minimal transactional writes of Delta tables
@@ -958,13 +981,18 @@ object DeltaTable {
     * version-0 `metaData.configuration`. */
   def create(df: DataFrame, root: String,
       partitionBy: Seq[String] = Nil,
-      configuration: Map[String, String] = Map.empty): Long =
-    commit(df, root, overwrite = true, partitionBy, configuration)
+      configuration: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Long =
+    commit(df, root, overwrite = true, partitionBy, configuration, txn)
 
-  /** Append commit: new parquet files + their add actions. */
+  /** Append commit: new parquet files + their add actions. `txn`
+    * stamps the commit with a (appId, version) transaction action — the
+    * idempotence watermark an exactly-once streaming sink checks before
+    * re-applying a replayed micro-batch. */
   def append(df: DataFrame, root: String,
-      partitionBy: Seq[String] = Nil): Long =
-    commit(df, root, overwrite = false, partitionBy)
+      partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long =
+    commit(df, root, overwrite = false, partitionBy, txn = txn)
 
   /**
    * Row-level DELETE via deletion vectors (merge-on-read): rows matching
@@ -1360,7 +1388,8 @@ object DeltaTable {
     * before rethrowing, so a retry starts clean. */
   private def commit(df: DataFrame, rootStr: String, overwrite: Boolean,
       partitionBy: Seq[String],
-      createConfiguration: Map[String, String] = Map.empty): Long = {
+      createConfiguration: Map[String, String] = Map.empty,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1479,6 +1508,11 @@ object DeltaTable {
       if (version == 0L) "CREATE TABLE AS SELECT" else "WRITE",
       Map("mode" -> (if (overwrite) "Overwrite" else "Append")),
       if (ictEnabled(metaCfg)) Some(nextIct(fs, root, version - 1, now)) else None)
+    txn.foreach { case (app, v) =>
+      lines += JObject("txn" -> JObject(
+        "appId" -> JString(app), "version" -> JLong(v),
+        "lastUpdated" -> JLong(now)))
+    }
     if (version == 0L) {
       lines += JObject("protocol" -> JObject(
         "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
@@ -1742,6 +1776,11 @@ object DeltaTable {
       CkptRow(None, None, Some(CkptMetaData(
         java.util.UUID.randomUUID().toString, CkptFormat("parquet", Map()),
         s.schemaString, s.partitionColumns, s.configuration)), None) +:
+      // txn watermarks MUST survive the checkpoint: dropping one would
+      // let a replayed streaming micro-batch double-apply after cleanup
+      (s.transactions.toSeq.sorted.map { case (app, v) =>
+        CkptRow(None, None, None, None, Some(CkptTxn(app, v)))
+      } ++
       s.files.map { f =>
         val rel = rootUri.relativize(
           fs.makeQualified(new Path(f.path)).toUri).getPath
@@ -1751,7 +1790,7 @@ object DeltaTable {
           d.offset, d.sizeInBytes, d.cardinality))
         CkptRow(Some(CkptAdd(rel, partitionValuesOf(rel), f.size,
           f.modificationTime, dataChange = false, dv, f.stats)), None, None, None)
-      }
+      })
     val tmp = new Path(DeltaLog.logDir(root), s".ckpt-tmp-${s.version}")
     rows.toDS().repartition(1).write.mode("overwrite").parquet(tmp.toString)
     val part = fs.listStatus(tmp).map(_.getPath)

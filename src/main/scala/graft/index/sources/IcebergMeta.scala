@@ -994,11 +994,23 @@ object IcebergTable {
     }: _*)
   }
 
-  def create(df: DataFrame, location: String): Long =
-    commit(df, location, firstVersion = true)
+  def create(df: DataFrame, location: String,
+      txn: Option[(String, Long)] = None): Long =
+    commit(df, location, firstVersion = true, txn = txn)
 
-  def append(df: DataFrame, location: String): Long =
-    commit(df, location, firstVersion = false)
+  /** `txn` stamps the commit with an idempotence watermark in the
+    * table properties (`graft.txn.<appId>` = version) — the pattern
+    * Iceberg streaming writers use via snapshot/table metadata, checked
+    * by the exactly-once sink before re-applying a replayed batch. */
+  def append(df: DataFrame, location: String,
+      txn: Option[(String, Long)] = None): Long =
+    commit(df, location, firstVersion = false, txn = txn)
+
+  /** Latest committed txn version per appId (from table properties). */
+  def transactions(spark: SparkSession, location: String): Map[String, Long] =
+    IcebergMeta.snapshot(spark, location).properties.collect {
+      case (k, v) if k.startsWith("graft.txn.") => k.drop(10) -> v.toLong
+    }
 
   /** Data-manifest entries carry the spec's per-field metrics maps
     * (avro map-as-array encoding, like real Iceberg manifests):
@@ -1076,7 +1088,8 @@ object IcebergTable {
     bytes.length.toLong
   }
 
-  private def commit(df: DataFrame, location: String, firstVersion: Boolean): Long = {
+  private def commit(df: DataFrame, location: String, firstVersion: Boolean,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1124,7 +1137,10 @@ object IcebergTable {
         stats = statsByPath.get(s.getPath.toString)
           .flatMap(DeltaStats.render(_, df.schema)))),
       deleteExisting = prior.toSeq.flatMap(_.deleteFiles),
-      deleteAdded = Nil)
+      deleteAdded = Nil,
+      extraProperties = txn
+        .map { case (app, v) => Map(s"graft.txn.$app" -> v.toString) }
+        .getOrElse(Map.empty))
   }
 
   /** v2 MERGE-ON-READ row-level DELETE: write a positional-delete file
@@ -1433,7 +1449,8 @@ object IcebergTable {
   private def publishSnapshot(spark: SparkSession, location: String,
       prior: Option[IcebergSnapshot], schema: StructType, operation: String,
       dataExisting: Seq[(DeltaFileMeta, Long)], dataAdded: Seq[DeltaFileMeta],
-      deleteExisting: Seq[IceDeleteFile], deleteAdded: Seq[IceDeleteFile]): Long = {
+      deleteExisting: Seq[IceDeleteFile], deleteAdded: Seq[IceDeleteFile],
+      extraProperties: Map[String, String] = Map.empty): Long = {
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = IcebergMeta.metadataDir(location)
@@ -1451,7 +1468,8 @@ object IcebergTable {
     // assert it; appends to a table without it keep it absent.
     val tblProperties: Map[String, String] = {
       val base = prior.map(_.properties).getOrElse(Map.empty)
-      if (dataExisting.isEmpty) base + ("graft.field-ids" -> "true") else base
+      (if (dataExisting.isEmpty) base + ("graft.field-ids" -> "true") else base) ++
+        extraProperties
     }
 
     // real Iceberg metadata RETAINS prior snapshots in snapshots[] (until

@@ -2,10 +2,11 @@ package graft.index.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -29,8 +30,18 @@ import org.json4s.jackson.JsonMethods
  * each micro-batch plans a plain parquet scan of just the new files —
  * partition-parallel, pushdown intact, no state beyond the checkpoint.
  */
-final class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
+final class DeltaStreamProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName: String = "graft-delta"
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-delta sink supports Append output mode only, got $outputMode")
+    new LakeStreamSink(sqlContext.sparkSession, pathOf(parameters),
+      partitionColumns, parameters, iceberg = false)
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -176,8 +187,21 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
 
 /** Iceberg sibling: offsets are snapshot ids, batches come from the
   * incremental append scan's lineage walk ([[IcebergTable.incrementalAppends]]). */
-final class IcebergStreamProvider extends StreamSourceProvider with DataSourceRegister {
+final class IcebergStreamProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName: String = "graft-iceberg"
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-iceberg sink supports Append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft-iceberg sink writes unpartitioned layouts (identity " +
+        "partition values live in the data files)")
+    new LakeStreamSink(sqlContext.sparkSession, pathOf(parameters),
+      Nil, parameters, iceberg = true)
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -193,6 +217,56 @@ final class IcebergStreamProvider extends StreamSourceProvider with DataSourceRe
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+}
+
+/**
+ * EXACTLY-ONCE streaming SINK into a Delta or Iceberg table: each
+ * micro-batch commits as an append stamped with a per-query
+ * (appId, batchId) transaction watermark — Delta's `txn` action /
+ * an Iceberg `graft.txn.<appId>` table property — and a replayed batch
+ * (failure between sink commit and checkpoint advance) is recognized by
+ * `batchId <= committed watermark` and skipped, never double-applied.
+ * This is the mechanism real Delta streaming writes use for their
+ * idempotence guarantee. First batch creates the table.
+ */
+final class LakeStreamSink(spark: SparkSession, rootStr: String,
+    partitionColumns: Seq[String], options: Map[String, String],
+    iceberg: Boolean) extends Sink {
+
+  private def appId: String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .orElse(options.get("txnAppId"))
+      .getOrElse(throw new IllegalStateException(
+        "no streaming queryId in scope and no txnAppId option set"))
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val app = appId
+    val exists =
+      if (iceberg) IcebergMeta.isIcebergTable(spark, rootStr)
+      else DeltaLog.isDeltaTable(spark, rootStr)
+    if (exists) {
+      val committed =
+        if (iceberg) IcebergTable.transactions(spark, rootStr).get(app)
+        else DeltaLog.snapshot(spark, rootStr).transactions.get(app)
+      if (committed.exists(_ >= batchId)) return // replayed batch: skip
+    }
+    // re-anchor the engine's incremental frame as a plain batch frame
+    // (ForeachBatchSink's move: the already-planned InternalRow RDD,
+    // wrapped non-streaming, pushes through the ordinary writers)
+    val batch = graft.streaming.SparkStreamingInternals.batchDataFrame(
+      spark, data.queryExecution.toRdd, data.schema)
+    val txn = Some(app -> batchId)
+    if (iceberg) {
+      if (exists) IcebergTable.append(batch, rootStr, txn)
+      else IcebergTable.create(batch, rootStr, txn)
+    } else {
+      if (exists) DeltaTable.append(batch, rootStr, partitionColumns, txn)
+      else DeltaTable.create(batch, rootStr, partitionColumns, txn = txn)
+    }
+  }
+
+  override def toString: String =
+    s"LakeStreamSink[${if (iceberg) "iceberg" else "delta"}]($rootStr)"
 }
 
 final class IcebergStreamSource(spark: SparkSession, location: String,

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.sources.{DeltaLog, DeltaTable, IcebergTable, LakeStreamSink}
+
+/**
+ * Exactly-once streaming sinks into the jarless lakehouse tables: the
+ * (appId, batchId) transaction watermark makes replayed micro-batches
+ * no-ops, per-batch commits append through the normal transactional
+ * writers, and the end-to-end file-stream → table pipeline lands every
+ * source row exactly once across restarts.
+ */
+class LakeStreamSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def customer =
+    spark.read.parquet(s"${TestSpark.sfDir}/customer.parquet")
+
+  private def drainInto(format: String, srcDir: String, dst: String,
+      ckpt: String): Unit = {
+    val q = spark.readStream.schema(customer.schema).parquet(srcDir + "/*")
+      .writeStream.format(format)
+      .option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("graft-delta sink: file stream lands exactly once across drains") {
+    val src = Files.createTempDirectory("graft-dsink-src-").toString
+    val dst = Files.createTempDirectory("graft-dsink-dst-").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-dsink-ck-").toString
+    val first = customer.filter(col("c_custkey") < 100)
+    first.write.parquet(src + "/b0")
+
+    drainInto("graft-delta", src, dst, ckpt)
+    assert(DeltaTable.read(spark, dst).count() == first.count())
+    // the batch commit carries the txn watermark
+    val s = DeltaLog.snapshot(spark, dst)
+    assert(s.transactions.nonEmpty && s.transactions.values.max >= 0L)
+
+    // no new source data: a re-drain commits nothing
+    drainInto("graft-delta", src, dst, ckpt)
+    assert(DeltaTable.read(spark, dst).count() == first.count())
+
+    customer.filter(col("c_custkey") >= 100).write.parquet(src + "/b1")
+    drainInto("graft-delta", src, dst, ckpt)
+    assert(DeltaTable.read(spark, dst).count() == customer.count())
+    val got = DeltaTable.read(spark, dst)
+      .select(sum(col("c_custkey"))).head().getLong(0)
+    assert(got == customer.select(sum(col("c_custkey"))).head().getLong(0))
+  }
+
+  test("replayed micro-batch is recognized by the watermark and skipped") {
+    val dst = Files.createTempDirectory("graft-dsink-replay-").toString + "/t"
+    val sink = new LakeStreamSink(spark, dst, Nil,
+      Map("txnAppId" -> "replay-test"), iceberg = false)
+    val half = customer.filter(col("c_custkey") < 75)
+    sink.addBatch(0, half)
+    sink.addBatch(0, half) // replay: between-commit-and-checkpoint failure
+    assert(DeltaTable.read(spark, dst).count() == half.count())
+    sink.addBatch(1, customer.filter(col("c_custkey") >= 75))
+    assert(DeltaTable.read(spark, dst).count() == customer.count())
+    // stale replay of an OLD batch after progress: still skipped
+    sink.addBatch(0, half)
+    assert(DeltaTable.read(spark, dst).count() == customer.count())
+    assert(DeltaLog.snapshot(spark, dst).transactions("replay-test") == 1L)
+  }
+
+  test("graft-iceberg sink: exactly-once via table-property watermark") {
+    val dst = Files.createTempDirectory("graft-isink-").toString + "/t"
+    val sink = new LakeStreamSink(spark, dst, Nil,
+      Map("txnAppId" -> "ice-test"), iceberg = true)
+    val half = customer.filter(col("c_custkey") < 75)
+    sink.addBatch(0, half)
+    sink.addBatch(0, half)
+    assert(IcebergTable.read(spark, dst).count() == half.count())
+    sink.addBatch(1, customer.filter(col("c_custkey") >= 75))
+    sink.addBatch(1, customer.filter(col("c_custkey") >= 75))
+    assert(IcebergTable.read(spark, dst).count() == customer.count())
+    assert(IcebergTable.transactions(spark, dst)("ice-test") == 1L)
+  }
+
+  test("sink-written table round-trips through the matching stream source") {
+    val src = Files.createTempDirectory("graft-rt-src-").toString
+    val dst = Files.createTempDirectory("graft-rt-dst-").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-rt-ck-").toString
+    customer.write.parquet(src + "/b0")
+    drainInto("graft-delta", src, dst, ckpt)
+    // the written table streams back out through graft-delta
+    val out = Files.createTempDirectory("graft-rt-out-").toString
+    val ckpt2 = Files.createTempDirectory("graft-rt-ck2-").toString
+    val q = spark.readStream.format("graft-delta").load(dst)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.schema(customer.schema).parquet(out).count() ==
+      customer.count())
+  }
+}
