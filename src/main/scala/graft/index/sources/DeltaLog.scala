@@ -991,8 +991,10 @@ object DeltaTable {
     * re-applying a replayed micro-batch. */
   def append(df: DataFrame, root: String,
       partitionBy: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Long =
-    commit(df, root, overwrite = false, partitionBy, txn = txn)
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Long =
+    commit(df, root, overwrite = false, partitionBy, txn = txn,
+      mergeSchema = mergeSchema)
 
   /**
    * Row-level DELETE via deletion vectors (merge-on-read): rows matching
@@ -1389,7 +1391,8 @@ object DeltaTable {
   private def commit(df: DataFrame, rootStr: String, overwrite: Boolean,
       partitionBy: Seq[String],
       createConfiguration: Map[String, String] = Map.empty,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1414,12 +1417,50 @@ object DeltaTable {
     val priorMaxId: Int = prior
       .flatMap(_.configuration.get(DeltaColumnMapping.MaxIdKey))
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(0)
+    // APPEND SCHEMA ENFORCEMENT: a frame whose columns disagree with the
+    // table must not write silently — extra columns would be invisible
+    // to every reader and conflicting types would corrupt. Additive
+    // evolution (new nullable columns) is opt-in via `mergeSchema`;
+    // missing columns are fine (readers see nulls), type changes refuse.
+    val evolvedSchema: Option[StructType] =
+      if (overwrite || prior.isEmpty || cmMode != "none") None
+      else {
+        val table = prior.get.schema
+        val byName = table.fields.map(f => f.name -> f).toMap
+        df.schema.fields.foreach { f =>
+          byName.get(f.name).foreach { tf =>
+            require(tf.dataType == f.dataType,
+              s"append to $rootStr: column '${f.name}' is " +
+                s"${f.dataType.simpleString} but the table declares " +
+                s"${tf.dataType.simpleString}; cast it or overwrite")
+          }
+        }
+        val newFields = df.schema.fields.filterNot(f => byName.contains(f.name))
+        if (newFields.isEmpty) None
+        else if (!mergeSchema) {
+          throw new IllegalArgumentException(
+            s"append to $rootStr adds columns " +
+              s"${newFields.map(_.name).mkString(", ")} the table does not " +
+              "declare; pass mergeSchema = true to evolve additively, or " +
+              "drop them")
+        } else Some(StructType(table.fields ++ newFields.map(_.copy(nullable = true))))
+      }
+
     val (physDf, physPartitionBy, metaSchemaJson, metaCfg) =
       if (cmMode == "none") {
         (df, partitionBy, df.schema.json,
           prior.map(_.configuration).getOrElse(createConfiguration))
       } else if (!overwrite) {
         val ps = prior.get.schema
+        val extra = df.schema.fields
+          .filterNot(f => ps.fieldNames.contains(f.name))
+        if (extra.nonEmpty) {
+          throw new IllegalArgumentException(
+            s"append to $rootStr adds columns " +
+              s"${extra.map(_.name).mkString(", ")} the column-mapped table " +
+              "does not declare; this writer evolves mapped schemas only " +
+              "through renameColumn/overwrite")
+        }
         val physByLogical = ps.fields
           .map(f => f.name -> DeltaColumnMapping.physicalName(f)).toMap
         (DeltaColumnMapping.toPhysical(df, ps),
@@ -1517,17 +1558,22 @@ object DeltaTable {
       lines += JObject("protocol" -> JObject(
         "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
     }
-    if (version == 0L || overwrite) {
+    if (version == 0L || overwrite || evolvedSchema.isDefined) {
       // an overwrite rewrites schema/partitioning but must NOT erase the
       // table's configuration — carry it forward from the prior snapshot
-      // (for a mapped table, with a freshly-assigned mapping + maxColumnId)
+      // (for a mapped table, with a freshly-assigned mapping + maxColumnId);
+      // a mergeSchema append republishes the ADDITIVELY-evolved schema
+      // while keeping the table's partitioning
       lines += JObject("metaData" -> JObject(
         "id" -> JString(java.util.UUID.randomUUID().toString),
         "format" -> JObject(
           "provider" -> JString("parquet"),
           "options" -> JObject()),
-        "schemaString" -> JString(metaSchemaJson),
-        "partitionColumns" -> JArray(partitionBy.map(JString(_)).toList),
+        "schemaString" -> JString(
+          evolvedSchema.map(_.json).getOrElse(metaSchemaJson)),
+        "partitionColumns" -> JArray(
+          (if (evolvedSchema.isDefined) prior.get.partitionColumns
+           else partitionBy).map(JString(_)).toList),
         "configuration" -> JObject(
           metaCfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
         "createdTime" -> JLong(now)))

@@ -1102,6 +1102,19 @@ object IcebergTable {
       else None
     require(prior.isDefined || firstVersion,
       s"append to a non-Iceberg directory: $location (create it first)")
+    // APPEND SCHEMA ENFORCEMENT: a shape-mismatched frame would fall off
+    // the published-schema fast path and silently REPUBLISH the table
+    // schema with fresh field ids — corrupting id-based resolution for
+    // every earlier file. Iceberg evolves schemas through explicit
+    // metadata operations (addColumn / renameColumn / dropColumn), so a
+    // mismatched append refuses loudly instead.
+    if (!firstVersion) prior.foreach { p =>
+      require(IcebergMeta.sameShape(df.schema, p.schema),
+        s"append to $location: frame schema " +
+          s"${df.schema.simpleString} does not match the table schema " +
+          s"${p.schema.simpleString}; evolve with addColumn/renameColumn/" +
+          "dropColumn first, then append matching frames")
+    }
 
     // stage through a per-writer temp dir: the manifest's ADDED entries
     // are exactly the files this writer produced — a concurrent writer's
