@@ -145,3 +145,60 @@ class Graft:
         """Quality-gate + corpus-dedup + batch-internal-dedup a new batch."""
         return self._df(self._jgraft.curateBatch(
             index_name, batch._jdf, id_col, text_col, min_est_jaccard))
+
+
+class LakeTable:
+    """Format-dispatching Delta/Iceberg table operations, mirroring
+    Scala `graft.index.sources.LakeTable`: one code path for reads, time
+    travel, history, incremental changes, row deletes, compaction, and
+    storage cleanup over either jarless lakehouse format. The matching
+    Structured Streaming endpoints need no wrapper at all:
+    ``spark.readStream.format("graft-delta").load(path)`` and
+    ``df.writeStream.format("graft-iceberg")...`` resolve through
+    Spark's DataSource registry from any language.
+
+    >>> t = LakeTable(spark)
+    >>> t.format_of(path)      # "delta" | "iceberg"
+    >>> t.history(path).show()
+    """
+
+    def __init__(self, spark):
+        self.spark = spark
+        self._jvm = spark._jvm
+        self._jt = self._jvm.graft.index.sources.LakeTable
+        self._jspark = spark._jsparkSession
+
+    def _df(self, jdf):
+        return DataFrame(jdf, self.spark)
+
+    def format_of(self, path):
+        return self._jt.formatOf(self._jspark, path)
+
+    def read(self, path):
+        return self._df(self._jt.read(self._jspark, path))
+
+    def read_as_of(self, path, as_of):
+        """Time travel to a Delta version / Iceberg snapshot id."""
+        return self._df(self._jt.readAsOf(self._jspark, path, as_of))
+
+    def history(self, path):
+        return self._df(self._jt.history(self._jspark, path))
+
+    def changes(self, path, from_id):
+        """Incremental changes after from_id (CDF for Delta, append scan
+        for Iceberg), stamped with _change_type/_commit_timestamp."""
+        return self._df(self._jt.changes(self._jspark, path, from_id))
+
+    def delete_where(self, path, condition_sql):
+        """Row-level merge-on-read delete; condition is a SQL expression."""
+        jcond = self._jvm.org.apache.spark.sql.functions.expr(condition_sql)
+        return self._jt.deleteWhere(self._jspark, path, jcond)
+
+    def compact(self, path):
+        """Fold merge-on-read delete state into fresh data files."""
+        return self._jt.compact(self._jspark, path)
+
+    def cleanup(self, path, retention_ms=7 * 24 * 3600 * 1000):
+        """Delete files no retained version references; returns paths."""
+        removed = self._jt.cleanup(self._jspark, path, retention_ms)
+        return [removed.apply(i) for i in range(removed.size())]

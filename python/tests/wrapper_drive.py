@@ -76,4 +76,41 @@ assert recall.count() == 3
 g.delete_index("py_ci")
 g.delete_index("py_ivf")
 
+# --- LakeTable facade: the lakehouse lifecycle from python
+import tempfile
+from graft import LakeTable
+
+t = LakeTable(spark)
+droot = tempfile.mkdtemp(prefix="graft-py-lake-") + "/t"
+jdf_even = jspark.sql(
+    "select * from parquet.`" + sf_dir + "/customer.parquet` "
+    "where c_custkey % 2 = 0")
+jdf_odd = jspark.sql(
+    "select * from parquet.`" + sf_dir + "/customer.parquet` "
+    "where c_custkey % 2 = 1")
+nil_seq = jvm.PythonUtils.toSeq([])
+cdf_map = jvm.PythonUtils.toScalaMap(
+    {"delta.enableChangeDataFeed": "true"})
+none = jvm.scala.Option.empty()
+jvm.graft.index.sources.DeltaTable.create(
+    jdf_even, droot, nil_seq, cdf_map, none)
+jvm.graft.index.sources.DeltaTable.append(
+    jdf_odd, droot, nil_seq, none, False)
+
+assert t.format_of(droot) == "delta", t.format_of(droot)
+n_all = t.read(droot).count()
+n_even = DataFrame(jdf_even, spark).count()
+assert t.read_as_of(droot, 0).count() == n_even
+hist = t.history(droot)
+assert hist.count() == 2, "expected 2 history rows"
+assert t.changes(droot, 0).count() == n_all - n_even
+t.delete_where(droot, "c_nationkey < 3")
+n_after = t.read(droot).count()
+assert n_after < n_all
+t.compact(droot)
+assert t.read(droot).count() == n_after
+removed = t.cleanup(droot, 0)
+assert len(removed) > 0, "cleanup reclaimed nothing"
+assert t.read(droot).count() == n_after
+
 print("WRAPPER_OK %d" % n_indexes)

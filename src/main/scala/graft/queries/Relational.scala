@@ -398,6 +398,49 @@ object Relational {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** ORDERED-FUNNEL analysis: how many users progressed view → click →
+    * purchase, each step strictly after the previous one — the
+    * product-analytics shape (and, for training-data pipelines, the
+    * session-quality signal behind interaction-filtered corpora). Each
+    * step is a groupBy-min over a progressively SHRINKING user set
+    * joined on user_id — no self-join of the full event table, no
+    * window over the whole stream; at 100 TB the chain is three
+    * user-keyed shuffles whose right sides AQE broadcasts as they
+    * shrink. Second-floored timestamps keep the strict-after compare
+    * integral on both engines. */
+  def qEventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"),
+        col("event_type"),
+        expr("unix_micros(ts) div 1000000").as("sec"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("sec") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("sec") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t3"))
+    s1.agg(count(lit(1)).cast(LongType).as("n_view"))
+      .crossJoin(s2.agg(count(lit(1)).cast(LongType).as("n_view_click")))
+      .crossJoin(s3.agg(count(lit(1)).cast(LongType).as("n_full_funnel")))
+  }
+
+  val qEventFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+      |s1 AS (SELECT user_id, MIN(sec) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(sec) AS t2 FROM e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE event_type = 'click' AND sec > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(sec) AS t3 FROM e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE event_type = 'purchase' AND sec > t2 GROUP BY e.user_id)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_view_click,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_full_funnel""".stripMargin
+
   /** All relational queries + oracles, keyed by public name. */
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _, q1Sql),
@@ -406,6 +449,7 @@ object Relational {
     "q6_revenue_delta" -> (q6RevenueDelta _, q6Sql),
     "q10_returned_items" -> (q10ReturnedItems _, q10Sql),
     "q12_shipped_priority" -> (q12ShippedPriority _, q12Sql),
+    "q_event_funnel" -> (qEventFunnel _, qEventFunnelSql),
     "q13_order_distribution" -> (q13OrderDistribution _, q13Sql),
     "q_window_top_parts" -> (qWindowTopParts _, qWindowTopPartsSql),
     "q_semi_anti" -> (qSemiAnti _, qSemiAntiSql),

@@ -131,7 +131,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q17_small_qty_revenue", "q18_large_orders", "q19_discounted_revenue",
     "q20_part_promotion", "q21_lone_returner", "q22_idle_rich_customers",
     "q_rollup", "q_cube", "q_set_ops", "q_semi_anti", "q_window_top_parts",
-    "q_events_daily", "q_event_sessions",
+    "q_events_daily", "q_event_sessions", "q_event_funnel",
     "text_stats", "text_lang_id", "text_fingerprint", "text_bpe_tokens",
     "text_heavy_hitters", "text_keyword_topk",
     "sample_stratified", "q_percentiles_disc",
