@@ -1172,6 +1172,126 @@ object DeltaTable {
     version
   }
 
+  /** RESTORE the table to a historic version — the undo operation: a
+    * METADATA-ONLY commit that removes the current file set and
+    * re-adds the target version's (files are immutable and still on
+    * disk until VACUUM, so no data moves), plus the target's
+    * metaData so schema changes roll back too. History is preserved —
+    * the restore is itself a new version, and time travel into the
+    * undone range still works. Fails loudly when the target's files
+    * have been vacuumed away. */
+  def restore(spark: SparkSession, rootStr: String, version: Long): Long = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val current = DeltaLog.snapshot(spark, rootStr)
+    writerGate(current, rootStr, deletesRows = true, kind = "restore")
+    if (version == current.version) return current.version
+    val target = DeltaLog.snapshot(spark, rootStr, Some(version))
+    target.files.foreach { f =>
+      require(fs.exists(new Path(f.path)),
+        s"cannot restore $rootStr to version $version: data file " +
+          s"${f.path} has been vacuumed away")
+    }
+    val now = System.currentTimeMillis()
+    val newVersion = current.version + 1
+    val rootUri = fs.makeQualified(root).toUri
+    def relOf(p: String): String =
+      rootUri.relativize(fs.makeQualified(new Path(p)).toUri).getPath
+    def pvalsOf(rel: String): List[(String, JValue)] =
+      rel.split('/').init.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> (JString(java.net.URLDecoder.decode(v, "UTF-8")): JValue))
+          case _ => None
+        }
+      }.toList
+    val currentPaths = current.files.map(f => normPath(f.path)).toSet
+    val targetPaths = target.files.map(f => normPath(f.path)).toSet
+    val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(now, "RESTORE",
+      Map("version" -> version.toString),
+      if (ictEnabled(current.configuration))
+        Some(nextIct(fs, root, current.version, now)) else None)
+    lines += JObject("metaData" -> JObject(
+      "id" -> JString(java.util.UUID.randomUUID().toString),
+      "format" -> JObject(
+        "provider" -> JString("parquet"), "options" -> JObject()),
+      "schemaString" -> JString(target.schemaString),
+      "partitionColumns" -> JArray(
+        target.partitionColumns.map(JString(_)).toList),
+      "configuration" -> JObject(current.configuration.toList.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) }),
+      "createdTime" -> JLong(now)))
+    current.files.filterNot(f => targetPaths.contains(normPath(f.path)))
+      .foreach { f =>
+        lines += JObject("remove" -> JObject(
+          "path" -> JString(relOf(f.path)),
+          "deletionTimestamp" -> JLong(now),
+          "dataChange" -> JBool(true)))
+      }
+    target.files.foreach { f =>
+      // every target file is (re-)added: files the current version also
+      // holds keep their entry, dropped ones come back — and target-era
+      // DVs and stats ride along so the restored state is exact
+      if (!currentPaths.contains(normPath(f.path)) ||
+          current.files.find(c => normPath(c.path) == normPath(f.path))
+            .exists(c => c.dv != f.dv)) {
+        val rel = relOf(f.path)
+        val dvJson: List[(String, JValue)] = f.dv.map { d =>
+          "deletionVector" -> (JObject(
+            "storageType" -> JString(d.storageType),
+            "pathOrInlineDv" -> JString(d.pathOrInlineDv),
+            "offset" -> d.offset.map(o => JInt(BigInt(o)): JValue)
+              .getOrElse(JNothing),
+            "sizeInBytes" -> JInt(BigInt(d.sizeInBytes)),
+            "cardinality" -> JLong(d.cardinality)): JValue)
+        }.toList
+        lines += JObject("add" -> JObject(
+          List(
+            "path" -> (JString(rel): JValue),
+            "partitionValues" -> (JObject(pvalsOf(rel)): JValue),
+            "size" -> (JLong(f.size): JValue),
+            "modificationTime" -> (JLong(f.modificationTime): JValue),
+            "dataChange" -> (JBool(true): JValue)) ++ dvJson ++
+            f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList))
+      }
+    }
+    // a CDF table's restore records its full row-level effect (current
+    // rows out, target rows back in) — without this the mixed commit
+    // would be unreconstructible for change-feed readers
+    val (cdcLines, cdcPaths): (Seq[JValue], Seq[Path]) =
+      if (!cdfEnabled(current.configuration)) (Nil, Nil)
+      else {
+        if (DeltaColumnMapping.mode(current.configuration) != "none") {
+          throw new UnsupportedDeltaProtocolException(
+            s"restore of $rootStr: change-data-feed recording under " +
+              "column mapping is not supported by this writer. Restore " +
+              "with the delta-spark connector instead.")
+        }
+        import org.apache.spark.sql.functions.lit
+        val pre = writeCdc(spark, fs, root,
+          read(spark, rootStr).withColumn("_change_type", lit("delete")),
+          current.partitionColumns)
+        val post = writeCdc(spark, fs, root,
+          read(spark, rootStr, versionAsOf = Some(version))
+            .withColumn("_change_type", lit("insert")),
+          target.partitionColumns)
+        (pre._1 ++ post._1, pre._2 ++ post._2)
+      }
+    lines ++= cdcLines
+
+    val commitPath = new Path(DeltaLog.logDir(root), f"$newVersion%020d.json")
+    val out = try fs.create(commitPath, false) catch {
+      case e: Throwable =>
+        cdcPaths.foreach(fs.delete(_, false))
+        throw e
+    }
+    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    newVersion
+  }
+
   /** Enable COLUMN MAPPING (mode `name`) on an existing table — a
     * metadata-only commit: every field gets its current name as its
     * stable physicalName (so existing data files and their stats stay

@@ -1368,6 +1368,77 @@ object IcebergTable {
     rows.toDF("snapshot_id", "timestamp", "operation")
   }
 
+  /** ROLLBACK to a retained ANCESTOR snapshot — the undo operation,
+    * metadata-only: `current-snapshot-id` is repointed at the target
+    * (whose manifest tree is untouched on disk) in a fenced new
+    * metadata version; every snapshot stays retained, so the undone
+    * range remains time-travelable until [[expireSnapshots]]. The next
+    * append branches from the rolled-back state with a fresh id (ids
+    * clear every RETAINED snapshot, so lineage never forks onto a
+    * reused id). Fails loudly for ids not in snapshots[] or not on the
+    * current lineage. */
+  def rollback(spark: SparkSession, location: String, snapshotId: Long): Long = {
+    val fs = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaFile = IcebergMeta.currentMetadataFile(fs, location)
+    val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
+    val snaps: List[JValue] = (j \ "snapshots") match {
+      case JArray(s) => s
+      case _ => throw new IllegalStateException(s"no snapshots[] in $metaFile")
+    }
+    def idOf(s: JValue): Option[Long] = (s \ "snapshot-id") match {
+      case JInt(n) => Some(n.toLong)
+      case JLong(n) => Some(n)
+      case _ => None
+    }
+    val ids = snaps.flatMap(idOf).toSet
+    require(ids.contains(snapshotId),
+      s"rollback target $snapshotId not in snapshots[] of $metaFile " +
+        "(expired or never existed)")
+    val current = (j \ "current-snapshot-id") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case _ => -1L
+    }
+    if (current == snapshotId) return snapshotId
+    // ancestry check along parent-snapshot-id (file order as fallback)
+    val byId = snaps.flatMap(s => idOf(s).map(_ -> s)).toMap
+    val ordered = snaps.flatMap(idOf)
+    def parentOf(id: Long): Option[Long] =
+      (byId(id) \ "parent-snapshot-id") match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case _ => ordered.indexOf(id) match {
+          case i if i > 0 => Some(ordered(i - 1))
+          case _ => None
+        }
+      }
+    var cursor: Option[Long] = Some(current)
+    var isAncestor = false
+    while (cursor.isDefined && !isAncestor) {
+      if (cursor.get == snapshotId) isAncestor = true
+      else cursor = cursor.flatMap(c =>
+        if (byId.contains(c)) parentOf(c) else None)
+    }
+    require(isAncestor,
+      s"rollback target $snapshotId is not an ancestor of the current " +
+        s"snapshot $current at $location")
+
+    val version = IcebergMeta.metadataVersionOf(metaFile.getName) + 1L
+    val newMeta = setFields(j,
+      "current-snapshot-id" -> JLong(snapshotId),
+      "last-updated-ms" -> JLong(System.currentTimeMillis()))
+    val metaDir = IcebergMeta.metadataDir(location)
+    val target = new Path(metaDir, f"v$version%05d.metadata.json")
+    val os = fs.create(target, false)
+    try os.write(JsonMethods.pretty(JsonMethods.render(newMeta))
+      .getBytes(StandardCharsets.UTF_8))
+    finally os.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+    snapshotId
+  }
+
   /** EXPIRE SNAPSHOTS — the metadata half of the Iceberg lifecycle
     * ([[compact]] rewrites data; this bounds history): drop every
     * snapshot except the current one, the `keepLast` most recent, and
@@ -1467,7 +1538,6 @@ object IcebergTable {
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = IcebergMeta.metadataDir(location)
-    val snapshotId = prior.map(_.snapshotId).getOrElse(0L) + 1L
     // metadata versions advance independently of snapshot ids (schema
     // evolution writes metadata-only versions) but are pinned to the
     // PRIOR snapshot's version: racing writers share a prior, so they
@@ -1497,6 +1567,15 @@ object IcebergTable {
           case _ => Nil
         }
       } else Nil
+    // next id clears EVERY retained snapshot, not just the current one:
+    // after a rollback the current snapshot is an ancestor and
+    // current+1 would collide with a retained (undone) id
+    val snapshotId = (0L +: prior.map(_.snapshotId).toSeq ++:
+      priorSnapshots.flatMap(s => (s \ "snapshot-id") match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case _ => None
+      })).max + 1L
 
     // top-level field ids of the schema being published (the ids the
     // manifest's bounds maps must key by)
