@@ -1172,6 +1172,170 @@ object DeltaTable {
     version
   }
 
+  /** OPTIMIZE — the small-file medicine a 100 TB table needs after
+    * streaming ingest or many small appends: DV-less data files are
+    * BIN-PACKED per hive partition into ~`targetSizeBytes` rewrites
+    * (only bins of 2+ files rewrite; lone or large files stay), or,
+    * with `zorderBy`, EVERY candidate file is rewritten clustered by
+    * the interleaved-quantile z-address (the OPTIMIZE ZORDER BY shape —
+    * multi-column range queries then prune via the per-file stats the
+    * rewrite tightens). All removes/adds carry `dataChange = false`:
+    * the logical content is untouched, so change feeds and append
+    * streams correctly serve nothing for the commit. Files carrying
+    * deletion vectors are left to [[purge]]; z-ordering a
+    * hive-partitioned table is refused (cluster within partitions by
+    * running per-partition). Returns the committed version (the prior
+    * one when nothing qualified). */
+  def optimizeCompact(spark: SparkSession, rootStr: String,
+      targetSizeBytes: Long = 128L << 20,
+      zorderBy: Seq[String] = Nil): Long = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = false, kind = "optimize")
+    val cmMode = DeltaColumnMapping.mode(prior.configuration)
+    val physSchema = if (cmMode == "none") prior.schema
+      else DeltaColumnMapping.physicalSchema(prior.schema)
+    val physPartCols = prior.partitionColumns.map { n =>
+      if (cmMode == "none") n
+      else prior.schema.fields.find(_.name == n)
+        .map(DeltaColumnMapping.physicalName).getOrElse(n)
+    }
+    if (zorderBy.nonEmpty) {
+      require(prior.partitionColumns.isEmpty,
+        s"OPTIMIZE ZORDER BY on hive-partitioned $rootStr is not " +
+          "supported; z-order within partitions by running per-partition")
+      zorderBy.foreach(c => require(prior.schema.fieldNames.contains(c),
+        s"z-order column '$c' is not a column of $rootStr"))
+    }
+    val rootUri = fs.makeQualified(root).toUri
+    def relOf(p: String): String =
+      rootUri.relativize(fs.makeQualified(new Path(p)).toUri).getPath
+    def pvalsOf(rel: String): List[(String, JValue)] =
+      rel.split('/').init.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> (JString(java.net.URLDecoder.decode(v, "UTF-8")): JValue))
+          case _ => None
+        }
+      }.toList
+
+    // candidates: DV-less files (DV'd ones are purge's job)
+    val candidates = prior.files.filter(_.dv.forall(_.cardinality == 0L))
+    val rewriteGroups: Seq[Seq[DeltaFileMeta]] =
+      if (zorderBy.nonEmpty) {
+        if (candidates.size < 1) Nil else Seq(candidates)
+      } else {
+        // bin-pack per partition dir: first-fit over size-sorted smalls
+        candidates.filter(_.size < targetSizeBytes)
+          .groupBy(f => relOf(f.path).split('/').init.mkString("/"))
+          .values.toSeq.flatMap { group =>
+            val bins = mutable.Buffer.empty[(mutable.Buffer[DeltaFileMeta], Long)]
+            group.sortBy(-_.size).foreach { f =>
+              bins.find(_._2 + f.size <= targetSizeBytes) match {
+                case Some(bin) =>
+                  bin._1 += f
+                  val i = bins.indexOf(bin)
+                  bins(i) = (bin._1, bin._2 + f.size)
+                case None => bins += ((mutable.Buffer(f), f.size))
+              }
+            }
+            bins.map(_._1.toSeq).filter(_.size >= 2)
+          }
+      }
+    if (rewriteGroups.isEmpty) return prior.version
+
+    // rewrite each group through a stage dir, then move in (commit shape)
+    val stage = new Path(root,
+      s".graft-optimize-${java.util.UUID.randomUUID().toString}")
+    val zCols = zorderBy.map { c =>
+      if (cmMode == "none") c
+      else DeltaColumnMapping.physicalName(prior.schema(c))
+    }
+    rewriteGroups.zipWithIndex.foreach { case (group, i) =>
+      val df = spark.read.schema(physSchema).option("basePath", rootStr)
+        .parquet(group.map(_.path): _*)
+      val groupStage = new Path(stage, i.toString)
+      if (zorderBy.isEmpty) {
+        val w = df.coalesce(1).write
+        (if (physPartCols.nonEmpty) w.partitionBy(physPartCols: _*) else w)
+          .parquet(groupStage.toString)
+      } else {
+        import org.apache.spark.sql.functions.{array, col, udf}
+        val bits = graft.index.zorder.ZOrderBuild.BitsPerColumn
+        val asDouble = zCols.map(c => df.col(c).cast("double"))
+        val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+        val boundaries = df
+          .select(zCols.zip(asDouble).map { case (n, c) => c.as(n) }: _*)
+          .stat.approxQuantile(zCols.toArray, probs, 0.001)
+        val zUdf = udf(new graft.index.zorder.ZAddressFn(boundaries, bits))
+        val nFiles = math.max(1L,
+          (group.map(_.size).sum + targetSizeBytes - 1) / targetSizeBytes).toInt
+        df.withColumn("_graft_zaddr", zUdf(array(asDouble: _*)))
+          .repartitionByRange(nFiles, col("_graft_zaddr"))
+          .sortWithinPartitions("_graft_zaddr")
+          .drop("_graft_zaddr")
+          .write.parquet(groupStage.toString)
+      }
+    }
+    val staged = dataFiles(fs, stage)
+    val stageUri = fs.makeQualified(stage).toUri
+    val added: Seq[FileStatus] = staged.map { s =>
+      // rel path under the numbered group dir → table-relative
+      val rel = stageUri.relativize(s.getPath.toUri).getPath
+        .split('/').drop(1).mkString("/")
+      val target = new Path(root, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(s.getPath, target)) {
+        throw new IllegalStateException(
+          s"failed to move optimized file ${s.getPath} to $target")
+      }
+      fs.getFileStatus(target)
+    }
+    fs.delete(stage, true)
+
+    val statsSchema = StructType(physSchema.filterNot(f =>
+      physPartCols.contains(f.name)))
+    val statsByPath = ParquetFooterStats.collect(
+      spark, added.map(_.getPath.toString), statsSchema)
+    val now = System.currentTimeMillis()
+    val version = prior.version + 1
+    val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(now, "OPTIMIZE",
+      if (zorderBy.isEmpty) Map.empty else Map("zOrderBy" -> zorderBy.mkString(",")),
+      if (ictEnabled(prior.configuration))
+        Some(nextIct(fs, root, prior.version, now)) else None)
+    rewriteGroups.flatten.foreach { f =>
+      lines += JObject("remove" -> JObject(
+        "path" -> JString(relOf(f.path)),
+        "deletionTimestamp" -> JLong(now),
+        "dataChange" -> JBool(false)))
+    }
+    added.foreach { s =>
+      val rel = relOf(s.getPath.toString)
+      val statsJson = statsByPath.get(s.getPath.toString)
+        .flatMap(DeltaStats.render(_, statsSchema))
+      lines += JObject("add" -> JObject(
+        List(
+          "path" -> (JString(rel): JValue),
+          "partitionValues" -> (JObject(pvalsOf(rel)): JValue),
+          "size" -> (JLong(s.getLen): JValue),
+          "modificationTime" -> (JLong(s.getModificationTime): JValue),
+          "dataChange" -> (JBool(false): JValue)) ++
+          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
+    }
+    val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
+    val out = try fs.create(commitPath, false) catch {
+      case e: Throwable =>
+        added.foreach(s => fs.delete(s.getPath, false))
+        throw e
+    }
+    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    version
+  }
+
   /** RESTORE the table to a historic version — the undo operation: a
     * METADATA-ONLY commit that removes the current file set and
     * re-adds the target version's (files are immutable and still on

@@ -1,0 +1,114 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.sources.{DeltaLog, DeltaTable}
+
+/**
+ * Delta OPTIMIZE: bin-packed small-file compaction (per partition,
+ * dataChange=false so change feeds and append streams serve nothing),
+ * OPTIMIZE ZORDER BY clustering that tightens per-file stats for
+ * multi-column pruning, and the no-op/refusal edges.
+ */
+class DeltaOptimizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def orders =
+    spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+
+  private def dataFileCount(root: String): Int =
+    DeltaLog.snapshot(spark, root).files.size
+
+  test("bin-pack: many small files collapse, content identical, feeds silent") {
+    val root = Files.createTempDirectory("graft-opt-").toString
+    DeltaTable.create(orders.repartition(8), root,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    assert(dataFileCount(root) == 8)
+    val before = DeltaTable.read(spark, root)
+      .select(sum(col("o_orderkey"))).head().getLong(0)
+
+    val v = DeltaTable.optimizeCompact(spark, root)
+    assert(v == 1L)
+    assert(dataFileCount(root) < 8, "small files should have been packed")
+    assert(DeltaTable.read(spark, root)
+      .select(sum(col("o_orderkey"))).head().getLong(0) == before)
+    // dataChange=false: the CDF serves NOTHING for the optimize commit
+    assert(DeltaTable.changes(spark, root, 1L).count() == 0)
+    // a second optimize finds nothing to do
+    assert(DeltaTable.optimizeCompact(spark, root) <=
+      DeltaLog.snapshot(spark, root).version)
+    // history names the operation
+    assert(DeltaTable.history(spark, root).collect()
+      .map(_.getString(2)).contains("OPTIMIZE"))
+  }
+
+  test("bin-pack respects hive partitions (no cross-partition packing)") {
+    val root = Files.createTempDirectory("graft-opt-part-").toString
+    DeltaTable.create(
+      orders.withColumn("bucket", col("o_orderkey") % 2).repartition(6),
+      root, partitionBy = Seq("bucket"))
+    val before = dataFileCount(root)
+    DeltaTable.optimizeCompact(spark, root)
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.files.size < before)
+    // every packed file still lives under a single bucket dir
+    s.files.foreach { f =>
+      assert(f.path.contains("bucket="), s"file outside partition dirs: ${f.path}")
+    }
+    assert(DeltaTable.read(spark, root).count() == orders.count())
+  }
+
+  test("zorder: clustered rewrite tightens per-file key ranges") {
+    val root = Files.createTempDirectory("graft-opt-z-").toString
+    // shuffled layout: every file spans nearly the whole key range
+    DeltaTable.create(orders.repartition(6), root)
+    def spans(): Seq[(Long, Long)] =
+      DeltaLog.snapshot(spark, root).files.flatMap(_.stats)
+        .flatMap(graft.index.sources.DeltaStats.parse(_, orders.schema))
+        .flatMap { fsx =>
+          for {
+            c <- fsx.cols.get("o_orderkey")
+            lo <- c.min.collect { case n: Long => n }
+            hi <- c.max.collect { case n: Long => n }
+          } yield (lo, hi)
+        }
+    val wideBefore = spans().map { case (lo, hi) => hi - lo }.max
+
+    DeltaTable.optimizeCompact(spark, root,
+      targetSizeBytes = 8L << 10, zorderBy = Seq("o_orderkey"))
+    val after = spans()
+    assert(after.size > 1, "zorder should have produced multiple files")
+    // clustered files cover disjoint-ish, much tighter ranges
+    assert(after.map { case (lo, hi) => hi - lo }.max < wideBefore / 2,
+      s"ranges not tightened: before width $wideBefore, after $after")
+    assert(DeltaTable.read(spark, root).count() == orders.count())
+  }
+
+  test("zorder on a partitioned table refuses; DV files are left to purge") {
+    val root = Files.createTempDirectory("graft-opt-refuse-").toString
+    DeltaTable.create(
+      orders.withColumn("bucket", col("o_orderkey") % 2),
+      root, partitionBy = Seq("bucket"))
+    intercept[IllegalArgumentException] {
+      DeltaTable.optimizeCompact(spark, root, zorderBy = Seq("o_orderkey"))
+    }
+
+    val root2 = Files.createTempDirectory("graft-opt-dv-").toString
+    DeltaTable.create(orders.repartition(4), root2)
+    DeltaTable.deleteWhere(spark, root2, col("o_orderkey") % 10 === 0)
+    val withDv = DeltaLog.snapshot(spark, root2).files
+      .count(_.dv.exists(_.cardinality > 0))
+    assert(withDv > 0)
+    DeltaTable.optimizeCompact(spark, root2)
+    // DV-carrying files were not touched by optimize
+    assert(DeltaLog.snapshot(spark, root2).files
+      .count(_.dv.exists(_.cardinality > 0)) == withDv)
+    assert(DeltaTable.read(spark, root2).count() ==
+      orders.filter(!(col("o_orderkey") % 10 === 0)).count())
+  }
+}
