@@ -1327,6 +1327,76 @@ object IcebergTable {
       deleteAdded = Nil)
   }
 
+  /** SMALL-FILE COMPACTION (rewriteDataFiles binpack analogue, the
+    * Iceberg sibling of [[DeltaTable.optimizeCompact]]): data files
+    * under `targetSizeBytes` are bin-packed per first-fit and each
+    * 2+-file bin rewrites into one file, published as a `replace`
+    * snapshot (row-transparent: incremental scans and the streaming
+    * source serve nothing for it). Only legal while NO delete files
+    * are in force — a positional delete names (file, position) pairs a
+    * rewrite would invalidate — so MOR state routes through [[compact]]
+    * first; refused loudly otherwise. Returns the new snapshot id (the
+    * current one when nothing qualified). */
+  def compactSmall(spark: SparkSession, location: String,
+      targetSizeBytes: Long = 128L << 20): Long = {
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = IcebergMeta.snapshot(spark, location)
+    require(prior.deleteFiles.isEmpty,
+      s"compactSmall at $location: delete files are in force; their " +
+        "(file, position) references would dangle across a rewrite — " +
+        "run compact() first")
+    val smalls = prior.files.filter(_.size < targetSizeBytes)
+    val bins = mutable.Buffer.empty[(mutable.Buffer[DeltaFileMeta], Long)]
+    smalls.sortBy(-_.size).foreach { f =>
+      bins.find(_._2 + f.size <= targetSizeBytes) match {
+        case Some(bin) =>
+          bin._1 += f
+          val i = bins.indexOf(bin)
+          bins(i) = (bin._1, bin._2 + f.size)
+        case None => bins += ((mutable.Buffer(f), f.size))
+      }
+    }
+    val packs = bins.map(_._1.toSeq).filter(_.size >= 2).toSeq
+    if (packs.isEmpty) return prior.snapshotId
+
+    val dataDir = new Path(root, "data")
+    val stage = new Path(root,
+      s".graft-binpack-${java.util.UUID.randomUUID().toString}")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val added = packs.zipWithIndex.flatMap { case (pack, i) =>
+      val df = spark.read.schema(prior.schema).parquet(pack.map(_.path): _*)
+      withIdMetadata(df, JsonMethods.parse(prior.schemaJsonStr))
+        .coalesce(1).write.parquet(new Path(stage, i.toString).toString)
+      fs.listStatus(new Path(stage, i.toString)).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map { s =>
+          val target = new Path(dataDir,
+            s"binpack-${prior.snapshotId + 1}-$i-${s.getPath.getName}")
+          if (!fs.rename(s.getPath, target)) {
+            throw new IllegalStateException(
+              s"failed to move staged file ${s.getPath} to $target")
+          }
+          fs.getFileStatus(target)
+        }
+    }
+    fs.delete(stage, true)
+
+    val packed = packs.flatten.map(f => DeltaTable.normPath(f.path)).toSet
+    val kept = prior.files.filterNot(f =>
+      packed.contains(DeltaTable.normPath(f.path)))
+    val statsByPath = ParquetFooterStats.collect(
+      spark, added.map(_.getPath.toString), prior.schema)
+    publishSnapshot(spark, location, Some(prior), prior.schema, "replace",
+      dataExisting = kept.map(f =>
+        (f, prior.dataSeq.getOrElse(f.path, 0L))),
+      dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L,
+        stats = statsByPath.get(s.getPath.toString)
+          .flatMap(DeltaStats.render(_, prior.schema)))),
+      deleteExisting = Nil,
+      deleteAdded = Nil)
+  }
+
   /** Table HISTORY — one row per retained snapshot (newest first):
     * snapshot id, commit timestamp, and summary operation — the Iceberg
     * sibling of [[DeltaTable.history]]. Driver-side metadata. */

@@ -75,6 +75,24 @@ object LakeTable {
       case _ => IcebergTable.compact(spark, path)
     }
 
+  /** SMALL-FILE OPTIMIZE: bin-pack under-sized data files toward the
+    * target (Delta OPTIMIZE / Iceberg rewriteDataFiles binpack) —
+    * row-transparent in both formats. */
+  def optimize(spark: SparkSession, path: String,
+      targetSizeBytes: Long = 128L << 20): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.optimizeCompact(spark, path, targetSizeBytes)
+      case _ => IcebergTable.compactSmall(spark, path, targetSizeBytes)
+    }
+
+  /** UNDO: restore a Delta table to a version / roll an Iceberg table
+    * back to a retained ancestor snapshot. */
+  def undoTo(spark: SparkSession, path: String, id: Long): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.restore(spark, path, id)
+      case _ => IcebergTable.rollback(spark, path, id)
+    }
+
   /** Storage cleanup: delete files no retained version references —
     * Delta VACUUM (age-gated) / Iceberg expireSnapshots (history-gated).
     * Returns the removed paths. */

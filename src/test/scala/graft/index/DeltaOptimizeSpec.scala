@@ -89,6 +89,33 @@ class DeltaOptimizeSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root).count() == orders.count())
   }
 
+  test("iceberg compactSmall: bins collapse, deletes-in-force refuse") {
+    import graft.index.sources.{IcebergMeta, IcebergTable, LakeTable}
+    val loc = Files.createTempDirectory("graft-iopt-").toString
+    IcebergTable.create(orders.repartition(8), loc)
+    assert(IcebergMeta.snapshot(spark, loc).files.size == 8)
+    val before = IcebergTable.read(spark, loc)
+      .select(sum(col("o_orderkey"))).head().getLong(0)
+
+    LakeTable.optimize(spark, loc) // facade routes to compactSmall
+    val s = IcebergMeta.snapshot(spark, loc)
+    assert(s.files.size < 8, "small files should have been packed")
+    assert(IcebergTable.read(spark, loc)
+      .select(sum(col("o_orderkey"))).head().getLong(0) == before)
+    // the replace snapshot is row-transparent to incremental scans
+    assert(IcebergTable.incrementalAppends(
+      spark, loc, s.snapshotId - 1).count() == 0)
+
+    // MOR state in force: compactSmall refuses, compact() is the route
+    val loc2 = Files.createTempDirectory("graft-iopt-dv-").toString
+    IcebergTable.create(orders.repartition(4), loc2)
+    IcebergTable.deleteWhere(spark, loc2, col("o_orderkey") % 10 === 0)
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.compactSmall(spark, loc2)
+    }
+    assert(e.getMessage.contains("compact() first"))
+  }
+
   test("zorder on a partitioned table refuses; DV files are left to purge") {
     val root = Files.createTempDirectory("graft-opt-refuse-").toString
     DeltaTable.create(
