@@ -202,3 +202,11 @@ class LakeTable:
         """Delete files no retained version references; returns paths."""
         removed = self._jt.cleanup(self._jspark, path, retention_ms)
         return [removed.apply(i) for i in range(removed.size())]
+
+    def optimize(self, path, target_size_bytes=128 << 20):
+        """Bin-pack small data files (Delta OPTIMIZE / Iceberg binpack)."""
+        return self._jt.optimize(self._jspark, path, target_size_bytes)
+
+    def undo_to(self, path, id):
+        """Restore a Delta version / roll back to an Iceberg snapshot."""
+        return self._jt.undoTo(self._jspark, path, id)

@@ -842,6 +842,167 @@ object IcebergTable {
     }
   }
 
+  /** INCREMENTAL CHANGELOG scan — [[incrementalAppends]] upgraded to a
+    * FULL change feed: `append` snapshots contribute inserts, `delete`
+    * snapshots contribute the rows their newly-added POSITIONAL delete
+    * files removed (the inverse of the merge-on-read anti-join: a
+    * semi-join of the parent snapshot's rows against the new
+    * (`file_path`, `pos`) pairs), `replace` snapshots are transparent
+    * — the Iceberg twin of `DeltaTable.changes`. Equality-delete
+    * snapshots refuse loudly (their victims depend on the sequence
+    * rule against the parent state; read full snapshots instead), as
+    * do `overwrite`s. Same stamps as the Delta feed: `_change_type`,
+    * `_commit_snapshot_id`, `_commit_timestamp`. */
+  def incrementalChanges(spark: SparkSession, location: String,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    val fs = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaFile = IcebergMeta.currentMetadataFile(fs, location)
+    val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
+    val snapsInOrder: Seq[JValue] = (j \ "snapshots") match {
+      case JArray(snaps) => snaps
+      case _ => throw new IllegalStateException(s"no snapshots[] in $metaFile")
+    }
+    def idOf(s: JValue): Long = (s \ "snapshot-id") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case other => throw new IllegalStateException(s"snapshot-id is $other")
+    }
+    val byId = snapsInOrder.map(s => idOf(s) -> s).toMap
+    val orderedIds = snapsInOrder.map(idOf)
+    val current = (j \ "current-snapshot-id") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case _ => throw new IllegalStateException(s"no current snapshot at $location")
+    }
+    val to = toSnapshotId.getOrElse(current)
+    require(byId.contains(to), s"toSnapshotId $to not in snapshots[] of $metaFile")
+    require(fromSnapshotId == 0L || byId.contains(fromSnapshotId),
+      s"fromSnapshotId $fromSnapshotId not in snapshots[] of $metaFile")
+    def parentOf(id: Long): Option[Long] = (byId(id) \ "parent-snapshot-id") match {
+      case JInt(n) => Some(n.toLong)
+      case JLong(n) => Some(n)
+      case _ => orderedIds.indexOf(id) match {
+        case i if i > 0 => Some(orderedIds(i - 1))
+        case _ => None
+      }
+    }
+    val chain = mutable.Buffer.empty[Long]
+    var cursor: Option[Long] = Some(to)
+    while (cursor.isDefined && cursor.get != fromSnapshotId) {
+      require(byId.contains(cursor.get),
+        s"snapshot ${cursor.get} in the lineage of $to has been EXPIRED " +
+          s"from $location; the range ($fromSnapshotId, $to] is gone")
+      chain += cursor.get
+      cursor = parentOf(cursor.get)
+    }
+    require(cursor.isDefined || fromSnapshotId == 0L,
+      s"fromSnapshotId $fromSnapshotId is not an ancestor of $to at $location")
+    val ordered = chain.reverse.toSeq
+
+    val toSnap = IcebergMeta.snapshot(spark, location, Some(to))
+    val stamps = Seq("_change_type", "_commit_snapshot_id", "_commit_timestamp")
+    def stamp(df: DataFrame, tpe: String, sid: Long, tsMs: Long): DataFrame = df
+      .withColumn("_change_type", lit(tpe))
+      .withColumn("_commit_snapshot_id", lit(sid))
+      .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(tsMs)))
+      .select((toSnap.schema.fieldNames.toSeq ++ stamps).map(col): _*)
+
+    var prevFiles: Set[String] = Set.empty
+    var prevDeletes: Set[String] = Set.empty
+    var prevSnapFiles: Seq[DeltaFileMeta] = Nil
+    var prevDeleteMetas: Seq[IceDeleteFile] = Nil
+    if (fromSnapshotId != 0L) {
+      val base = IcebergMeta.snapshot(spark, location, Some(fromSnapshotId))
+      prevFiles = base.files.map(f => DeltaTable.normPath(f.path)).toSet
+      prevDeletes = base.deleteFiles.map(d => DeltaTable.normPath(d.path)).toSet
+      prevSnapFiles = base.files
+      prevDeleteMetas = base.deleteFiles
+    }
+    val parts = mutable.Buffer.empty[DataFrame]
+    ordered.foreach { sid =>
+      val snapJ = byId(sid)
+      val op = (snapJ \ "summary" \ "operation") match {
+        case JString(s) => s
+        case _ => "append"
+      }
+      val tsMs = (snapJ \ "timestamp-ms") match {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case _ => 0L
+      }
+      val s = IcebergMeta.snapshot(spark, location, Some(sid))
+      op match {
+        case "append" =>
+          val added = s.files.filterNot(f =>
+            prevFiles.contains(DeltaTable.normPath(f.path)))
+          if (added.nonEmpty) {
+            parts += stamp(spark.read.schema(toSnap.schema)
+              .option("basePath", s"$location/data")
+              .parquet(added.map(_.path): _*), "insert", sid, tsMs)
+          }
+        case "replace" => // row-transparent
+        case "delete" =>
+          val newDeletes = s.deleteFiles.filterNot(d =>
+            prevDeletes.contains(DeltaTable.normPath(d.path)))
+          if (newDeletes.exists(_.content == 2)) {
+            throw new UnsupportedOperationException(
+              s"snapshot $sid at $location adds EQUALITY delete files; " +
+                "their victims depend on the sequence rule against the " +
+                "parent state and cannot be replayed by this changelog " +
+                "scan. Read full snapshots instead.")
+          }
+          if (newDeletes.nonEmpty) {
+            // inverse of the MOR anti-join: keep exactly the named rows
+            val dels = spark.read.parquet(newDeletes.map(_.path): _*)
+              .select(regexp_replace(col("file_path"), "^file:/+", "/")
+                .as("__del_path"),
+                col("pos").cast("long").as("__del_pos"))
+            var parent = spark.read.schema(toSnap.schema)
+              .option("basePath", s"$location/data")
+              .parquet(prevSnapFiles.map(_.path): _*)
+              .withColumn("__path",
+                regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+              .withColumn("__pos", col("_metadata.row_index"))
+            // positions the PARENT state had already deleted are not
+            // victims again, even if a non-conforming writer re-names
+            // them in a later delete file
+            val priorPos = prevDeleteMetas.filter(_.content == 1)
+            if (priorPos.nonEmpty) {
+              val prior = spark.read.parquet(priorPos.map(_.path): _*)
+                .select(regexp_replace(col("file_path"), "^file:/+", "/")
+                  .as("__old_path"),
+                  col("pos").cast("long").as("__old_pos"))
+              parent = parent.join(prior,
+                parent("__path") === prior("__old_path") &&
+                  parent("__pos") === prior("__old_pos"), "left_anti")
+            }
+            val victims = parent.join(dels,
+              parent("__path") === dels("__del_path") &&
+                parent("__pos") === dels("__del_pos"), "left_semi")
+              .drop("__path", "__pos")
+            parts += stamp(victims, "delete", sid, tsMs)
+          }
+        case other =>
+          throw new UnsupportedOperationException(
+            s"snapshot $sid at $location is a '$other' operation; this " +
+              "changelog scan replays appends and positional deletes only.")
+      }
+      prevFiles = s.files.map(f => DeltaTable.normPath(f.path)).toSet
+      prevDeletes = s.deleteFiles.map(d => DeltaTable.normPath(d.path)).toSet
+      prevSnapFiles = s.files
+      prevDeleteMetas = s.deleteFiles
+    }
+    parts.reduceOption(_.union(_)).getOrElse {
+      val empty = StructType(toSnap.schema.fields ++ Seq(
+        StructField("_change_type", StringType),
+        StructField("_commit_snapshot_id", LongType),
+        StructField("_commit_timestamp", TimestampType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+    }
+  }
+
   // ------------------------------------------------ schema evolution
 
   /** Replace/insert top-level fields of a JSON object. */

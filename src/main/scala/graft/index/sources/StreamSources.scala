@@ -209,9 +209,20 @@ final class IcebergStreamProvider extends StreamSourceProvider
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
+      parameters: Map[String, String]): (String, StructType) = {
+    val base =
+      IcebergMeta.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema
     (shortName,
-      IcebergMeta.snapshot(sqlContext.sparkSession, pathOf(parameters)).schema)
+      if (!parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true")))
+        base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType))))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -273,7 +284,20 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
     options: Map[String, String]) extends Source {
 
   private val initial = IcebergMeta.snapshot(spark, location)
-  override val schema: StructType = initial.schema
+  /** CDC mode: serve the full changelog (inserts AND positional-delete
+    * victims, stamped) via [[IcebergTable.incrementalChanges]] — the
+    * Iceberg twin of the Delta source's `readChangeFeed`. */
+  private val cdc =
+    options.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+  override val schema: StructType =
+    if (cdc) StructType(initial.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType)))
+    else initial.schema
 
   private val skipChanges =
     options.get("skipChangeCommits").exists(_.equalsIgnoreCase("true"))
@@ -295,6 +319,9 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
       if (from == endId)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else if (cdc)
+        IcebergTable.incrementalChanges(spark, location, from, Some(endId))
+          .select(schema.fieldNames.map(col(_)).toIndexedSeq: _*)
       else IcebergTable.incrementalAppends(spark, location, from,
           Some(endId), strict = !skipChanges)
         .select(schema.fieldNames.map(col(_)).toIndexedSeq: _*)
