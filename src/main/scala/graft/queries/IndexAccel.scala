@@ -576,6 +576,40 @@ object IndexAccel {
        | ${sqlMoneySum("c_acctbal")} AS sum_bal
        |FROM customer""".stripMargin
 
+  /** Iceberg CHANGELOG scan: create + append + positional deleteWhere,
+    * then aggregate `incrementalChanges(0..)` by change type — a match
+    * proves the lineage walk, the per-snapshot manifest diff, and the
+    * inverse-MOR victim recovery compose into exactly the feed a CDC
+    * subscriber would replay. Oracle sees only customer parquet. */
+  def idxIcebergChangelog(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{IcebergMeta, IcebergTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_ice_chg_$h"
+    synchronized {
+      if (!IcebergMeta.isIcebergTable(spark, root)) {
+        val customer = Tables.load(spark, sfDir, "customer")
+        IcebergTable.create(customer.filter(col("c_custkey") % 2 === 0), root)
+        IcebergTable.append(customer.filter(col("c_custkey") % 2 === 1), root)
+        IcebergTable.deleteWhere(spark, root, col("c_nationkey") < 5)
+      }
+    }
+    IcebergTable.incrementalChanges(spark, root, 0L)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("change_type"))
+  }
+
+  val idxIcebergChangelogSql: String =
+    s"""SELECT 'delete' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer WHERE c_nationkey < 5
+       |UNION ALL
+       |SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer
+       |ORDER BY change_type""".stripMargin
+
   // ------------------------------------------------ iceberg source
   /** Covering-index filter over an ICEBERG table (metadata.json + avro
     * manifests replayed jarless — [[graft.index.sources.IcebergMeta]]):
@@ -774,6 +808,7 @@ object IndexAccel {
     "idx_iceberg_stats_filter" -> (idxIcebergStatsFilter _, idxIcebergStatsFilterSql),
     "idx_iceberg_evo_filter" -> (idxIcebergEvoFilter _, idxIcebergEvoFilterSql),
     "idx_iceberg_inc_appends" -> (idxIcebergIncAppends _, idxIcebergIncAppendsSql),
+    "idx_iceberg_changelog" -> (idxIcebergChangelog _, idxIcebergChangelogSql),
     "q_snowflake_2idx" -> (idxSnowflake2 _, idxSnowflake2Sql),
     "q_snowflake_3idx" -> (idxSnowflake3 _, idxSnowflake3Sql),
     "q_star_agg_idx" -> (idxStarAgg _, idxStarAggSql),
