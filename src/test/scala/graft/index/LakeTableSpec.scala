@@ -60,4 +60,21 @@ class LakeTableSpec extends AnyFunSuite {
       assert(LakeTable.read(spark, path).count() == expect)
     }
   }
+
+  test("undoTo dispatches: restore a Delta version, roll back an Iceberg snapshot") {
+    val delta = Files.createTempDirectory("graft-lake-undo-d-").toString
+    val ice = Files.createTempDirectory("graft-lake-undo-i-").toString
+    val first = customer.filter(col("c_custkey") < 100)
+    DeltaTable.create(first, delta)
+    DeltaTable.append(customer.filter(col("c_custkey") >= 100), delta)
+    IcebergTable.create(first, ice)
+    IcebergTable.append(customer.filter(col("c_custkey") >= 100), ice)
+
+    LakeTable.undoTo(spark, delta, 0L)
+    LakeTable.undoTo(spark, ice, 1L)
+    Seq(delta, ice).foreach { path =>
+      assert(LakeTable.read(spark, path).count() == first.count(),
+        s"undo at $path did not restore the first state")
+    }
+  }
 }

@@ -88,6 +88,32 @@ class LakeStreamSinkSpec extends AnyFunSuite {
     assert(IcebergTable.transactions(spark, dst)("ice-test") == 1L)
   }
 
+  test("graft-delta sink: partitionBy lands a hive-partitioned table") {
+    val src = Files.createTempDirectory("graft-psink-src-").toString
+    val dst = Files.createTempDirectory("graft-psink-dst-").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-psink-ck-").toString
+    customer.withColumn("bucket", col("c_custkey") % 3)
+      .write.parquet(src + "/b0")
+    val schema = spark.read.parquet(src + "/b0").schema
+    val q = spark.readStream.schema(schema).parquet(src + "/*")
+      .writeStream.format("graft-delta")
+      .partitionBy("bucket")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val s = DeltaLog.snapshot(spark, dst)
+    assert(s.partitionColumns == Seq("bucket"))
+    assert(s.files.forall(_.path.contains("bucket=")),
+      "data files should live under hive partition dirs")
+    val got = DeltaTable.read(spark, dst)
+    assert(got.count() == customer.count())
+    // partition values survive the dir round-trip
+    assert(got.filter(col("bucket") === col("c_custkey") % 3).count() ==
+      customer.count())
+  }
+
   test("sink-written table round-trips through the matching stream source") {
     val src = Files.createTempDirectory("graft-rt-src-").toString
     val dst = Files.createTempDirectory("graft-rt-dst-").toString + "/t"
