@@ -51,12 +51,13 @@ object LakeTable {
 
   /** INCREMENTAL CHANGES after `fromId` (exclusive): Delta routes to the
     * change data feed (all change types when CDF is enabled), Iceberg to
-    * the incremental append scan (appends; strict refusal on row
-    * deletes). Both stamp `_change_type` and `_commit_timestamp`. */
+    * the CHANGELOG scan (appends + positional-delete victims; equality
+    * deletes refuse). Both stamp `_change_type` and
+    * `_commit_timestamp`. */
   def changes(spark: SparkSession, path: String, fromId: Long): DataFrame =
     formatOf(spark, path) match {
       case "delta" => DeltaTable.changes(spark, path, fromId + 1)
-      case _ => IcebergTable.incrementalAppends(spark, path, fromId)
+      case _ => IcebergTable.incrementalChanges(spark, path, fromId)
     }
 
   /** Row-level DELETE, merge-on-read in both formats (Delta deletion

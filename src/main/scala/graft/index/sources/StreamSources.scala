@@ -267,11 +267,16 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
     val batch = graft.streaming.SparkStreamingInternals.batchDataFrame(
       spark, data.queryExecution.toRdd, data.schema)
     val txn = Some(app -> batchId)
+    // an evolving source stream widens the table additively when the
+    // user opts in (Delta's sink option of the same name); without it
+    // the append-time schema enforcement refuses loudly
+    val merge = options.get("mergeSchema").exists(_.equalsIgnoreCase("true"))
     if (iceberg) {
       if (exists) IcebergTable.append(batch, rootStr, txn)
       else IcebergTable.create(batch, rootStr, txn)
     } else {
-      if (exists) DeltaTable.append(batch, rootStr, partitionColumns, txn)
+      if (exists) DeltaTable.append(batch, rootStr, partitionColumns, txn,
+        mergeSchema = merge)
       else DeltaTable.create(batch, rootStr, partitionColumns, txn = txn)
     }
   }
