@@ -127,22 +127,41 @@ object DeltaLog {
     }
 
     // checkpoints: single-part files, complete multi-part groups, or
-    // uuid-named v2 spec checkpoints (one file + optional sidecars)
-    val ckptParts = mutable.Map.empty[Long, mutable.Buffer[(Path, Int)]]
+    // uuid-named v2 spec checkpoints (one file + optional sidecars).
+    // A version may legally hold SEVERAL instances — a classic AND a v2
+    // checkpoint, or two v2 checkpoints from racing writers — so
+    // candidates are grouped per instance, not pooled per version: any
+    // complete instance at the highest version <= latest wins.
+    val ckptSingles = mutable.Map.empty[Long, mutable.Buffer[Path]]
+    val ckptMulti = mutable.Map.empty[Long, mutable.Buffer[(Path, Int)]]
     entries.foreach { s =>
       s.getPath.getName match {
         case CkptSingleRe(v) =>
-          ckptParts.getOrElseUpdate(v.toLong, mutable.Buffer()) += ((s.getPath, 1))
+          ckptSingles.getOrElseUpdate(v.toLong, mutable.Buffer()) += s.getPath
         case CkptMultiRe(v, _, n) =>
-          ckptParts.getOrElseUpdate(v.toLong, mutable.Buffer()) += ((s.getPath, n.toInt))
+          ckptMulti.getOrElseUpdate(v.toLong, mutable.Buffer()) += ((s.getPath, n.toInt))
         case CkptV2Re(v) =>
-          ckptParts.getOrElseUpdate(v.toLong, mutable.Buffer()) += ((s.getPath, 1))
+          ckptSingles.getOrElseUpdate(v.toLong, mutable.Buffer()) += s.getPath
         case _ =>
       }
     }
-    val ckptVersion: Option[Long] = ckptParts.toSeq
-      .filter { case (v, parts) => v <= latest && parts.size == parts.head._2 }
-      .map(_._1).sorted.lastOption
+    def completeInstanceAt(v: Long): Option[Seq[Path]] = {
+      // a single-part or uuid v2 file is complete alone; multi-part
+      // groups (keyed by declared part count) need all n distinct parts
+      ckptSingles.get(v).map(ps => Seq(ps.minBy(_.getName)))
+        .orElse(ckptMulti.get(v).flatMap { parts =>
+          parts.groupBy(_._2).collectFirst {
+            case (n, ps) if ps.map(_._1.getName).distinct.size == n =>
+              ps.map(_._1).distinct.toSeq
+          }
+        })
+    }
+    val ckptChoice: Option[(Long, Seq[Path])] =
+      (ckptSingles.keySet ++ ckptMulti.keySet).filter(_ <= latest)
+        .toSeq.sorted.reverseIterator
+        .map(v => (v, completeInstanceAt(v)))
+        .collectFirst { case (v, Some(fs)) => (v, fs) }
+    val ckptVersion: Option[Long] = ckptChoice.map(_._1)
 
     var schemaString: String = null
     var partitionColumns: Seq[String] = Nil
@@ -163,9 +182,9 @@ object DeltaLog {
       live(abs) = DeltaFileMeta(abs, size, modTime, dv, stats)
     }
 
-    ckptVersion.foreach { cv =>
-      val parts = ckptParts(cv).map(_._1.toString)
-      val ck = spark.read.parquet(parts.toSeq: _*)
+    ckptChoice.foreach { case (_, instanceFiles) =>
+      val parts = instanceFiles.map(_.toString)
+      val ck = spark.read.parquet(parts: _*)
       val cols = ck.schema.fieldNames.toSet
       if (cols.contains("protocol")) {
         val protoFields =
@@ -446,7 +465,7 @@ object DeltaLog {
 
   /** Action paths are URL-encoded and root-relative (absolute paths are
     * legal for external files). */
-  private def resolvePath(root: Path, raw: String): String = {
+  private[sources] def resolvePath(root: Path, raw: String): String = {
     val decoded = java.net.URLDecoder.decode(raw, "UTF-8")
     val p = new Path(decoded)
     if (p.isAbsolute) decoded else new Path(root, decoded).toString
@@ -862,6 +881,14 @@ object DeltaTable {
       DeltaLog.readLines(fs, st.getPath).foreach { line =>
         val j = JsonMethods.parse(line)
         (j \ "commitInfo" \ "timestamp") match {
+          case JInt(n) => ts = n.toLong
+          case JLong(n) => ts = n
+          case _ =>
+        }
+        // on ICT tables the monotone table clock outranks the
+        // informational stamp, keeping CDF agreed with history() and
+        // readTimestampAsOf()
+        (j \ "commitInfo" \ "inCommitTimestamp") match {
           case JInt(n) => ts = n.toLong
           case JLong(n) => ts = n
           case _ =>
@@ -2042,6 +2069,34 @@ object DeltaTable {
     val live: Set[String] = s.files.map(f => normPath(f.path)).toSet ++
       s.files.flatMap(_.dv.flatMap(_.absolutePath(root))
         .map(p => normPath(p.toString)))
+    // retention keys off the TOMBSTONE (remove-action deletionTimestamp),
+    // not the data file's mtime: a file written long ago but removed
+    // minutes ago must stay for the full window so time travel and
+    // concurrent snapshot readers keep working. Files with no tombstone
+    // (failed-write junk, or removes compacted away by log cleanup) fall
+    // back to the mtime gate.
+    val tombstoneTs = mutable.Map.empty[String, Long]
+    fs.listStatus(DeltaLog.logDir(root)).foreach { st =>
+      st.getPath.getName match {
+        case DeltaLog.CommitRe(_) =>
+          DeltaLog.readLines(fs, st.getPath).foreach { line =>
+            val j = JsonMethods.parse(line)
+            (j \ "remove" \ "path") match {
+              case JString(raw) =>
+                val abs = normPath(DeltaLog.resolvePath(root, raw))
+                val ts = (j \ "remove" \ "deletionTimestamp") match {
+                  case JInt(n) => n.toLong
+                  case JLong(n) => n
+                  case _ => Long.MaxValue // undated tombstone: never expire
+                }
+                // the LATEST removal governs a re-added-then-re-removed file
+                tombstoneTs(abs) = math.max(tombstoneTs.getOrElse(abs, 0L), ts)
+              case _ =>
+            }
+          }
+        case _ =>
+      }
+    }
     val cutoff = System.currentTimeMillis() - retentionMs
     val doomed = mutable.Buffer.empty[String]
     def walk(dir: Path, underChangeData: Boolean): Unit =
@@ -2056,10 +2111,15 @@ object DeltaTable {
               fs.delete(st.getPath, false)
           }
         } else if (!n.startsWith(".") && !n.startsWith("_") &&
-            st.getModificationTime < cutoff &&
             // cdc files are never "live": they serve only CDF reads
             // within retention, the same rule real VACUUM applies
-            (underChangeData || !live.contains(normPath(st.getPath.toString)))) {
+            (underChangeData || !live.contains(normPath(st.getPath.toString))) && {
+              val expired = tombstoneTs.get(normPath(st.getPath.toString)) match {
+                case Some(ts) => ts < cutoff
+                case None => st.getModificationTime < cutoff
+              }
+              expired
+            }) {
           doomed += st.getPath.toString
           if (!dryRun) fs.delete(st.getPath, false)
         }

@@ -56,7 +56,20 @@ object LakeTable {
     * `_commit_timestamp`. */
   def changes(spark: SparkSession, path: String, fromId: Long): DataFrame =
     formatOf(spark, path) match {
-      case "delta" => DeltaTable.changes(spark, path, fromId + 1)
+      case "delta" =>
+        // the normal no-new-changes poll (fromId == head) must return an
+        // empty feed, not trip the range check
+        val snap = DeltaLog.snapshot(spark, path)
+        if (fromId >= snap.version) {
+          import org.apache.spark.sql.types._
+          val base = snap.schema
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(base.fields ++ Seq(
+              StructField("_change_type", StringType),
+              StructField("_commit_version", LongType),
+              StructField("_commit_timestamp", TimestampType))))
+        } else DeltaTable.changes(spark, path, fromId + 1)
       case _ => IcebergTable.incrementalChanges(spark, path, fromId)
     }
 

@@ -244,9 +244,13 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
     partitionColumns: Seq[String], options: Map[String, String],
     iceberg: Boolean) extends Sink {
 
+  // an EXPLICIT txnAppId outranks the auto queryId (delta-spark's
+  // precedence): a user pinning txnAppId keeps idempotence across a
+  // checkpoint-reset restart, where the queryId changes
   private def appId: String =
-    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-      .orElse(options.get("txnAppId"))
+    options.get("txnAppId")
+      .orElse(Option(
+        spark.sparkContext.getLocalProperty("sql.streaming.queryId")))
       .getOrElse(throw new IllegalStateException(
         "no streaming queryId in scope and no txnAppId option set"))
 
@@ -272,6 +276,11 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
     // the append-time schema enforcement refuses loudly
     val merge = options.get("mergeSchema").exists(_.equalsIgnoreCase("true"))
     if (iceberg) {
+      // reject rather than silently drop the option: an Iceberg schema
+      // merge needs new field ids minted in table metadata, which this
+      // writer does not do mid-stream
+      require(!merge, "graft-iceberg sink does not support mergeSchema; " +
+        "evolve the table schema before starting the stream")
       if (exists) IcebergTable.append(batch, rootStr, txn)
       else IcebergTable.create(batch, rootStr, txn)
     } else {

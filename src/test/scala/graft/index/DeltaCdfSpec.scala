@@ -175,6 +175,28 @@ class DeltaCdfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot be reconstructed"))
   }
 
+  test("ICT table: changes() stamps the in-commit clock, agreeing with history") {
+    val root = Files.createTempDirectory("graft-cdf-ict-").toString
+    DeltaTable.create(customer.filter(col("c_custkey") < 100), root,
+      configuration = CdfOn)                                          // v0
+    DeltaTable.enableInCommitTimestamps(spark, root)                  // v1
+    DeltaTable.append(customer.filter(col("c_custkey") >= 100), root) // v2
+    // sabotage commit mtimes: the CDF clock must come from the ICT,
+    // not the file, or it disagrees with history()/readTimestampAsOf()
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to 2L).foreach { v =>
+      fs.setTimes(new Path(root, f"_delta_log/$v%020d.json"), 1000L + v, -1)
+    }
+    val histTs = DeltaTable.history(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val cdfTs = DeltaTable.changes(spark, root, 2L)
+      .select("_commit_version", "_commit_timestamp").distinct().collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(cdfTs(2L) == histTs(2L),
+      s"CDF clock ${cdfTs(2L)} disagrees with history ${histTs(2L)} on an ICT commit")
+    assert(cdfTs(2L) > 1000000L, "CDF fell back to the sabotaged mtime")
+  }
+
   test("delete matching zero live rows still serves an empty, well-typed feed") {
     val root = Files.createTempDirectory("graft-cdf-zero-").toString
     DeltaTable.create(customer, root, configuration = CdfOn)

@@ -156,6 +156,27 @@ class DeltaV2CheckpointSpec extends AnyFunSuite {
       customer.filter(col("c_custkey") < 100).count())
   }
 
+  test("classic + uuid checkpoints at one version: a complete instance serves") {
+    // both are legal at the same version (e.g. racing writers, or a
+    // connector writing classic alongside another's v2); pooling their
+    // files as "parts of one group" would judge the version incomplete
+    // and fail outright once older commits are cleaned up
+    val root = Files.createTempDirectory("graft-ck-dual-").toString
+    DeltaTable.create(customer.filter(col("c_custkey") < 100), root)   // v0
+    DeltaTable.append(customer.filter(col("c_custkey") >= 100), root)  // v1
+    DeltaTable.checkpoint(spark, root)                                 // classic @ v1
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(root, "_delta_log")
+    val classic = new Path(logDir, f"${1L}%020d.checkpoint.parquet")
+    val uuidTwin = new Path(logDir,
+      f"${1L}%020d.checkpoint.${java.util.UUID.randomUUID()}%s.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, classic, fs, uuidTwin, false,
+      spark.sessionState.newHadoopConf())
+    // log cleanup: the checkpoint is now the only route to v0
+    assert(fs.delete(new Path(logDir, f"${0L}%020d.json"), false))
+    assert(DeltaTable.read(spark, root).count() == customer.count())
+  }
+
   test("classic checkpoint writer refuses v2Checkpoint-feature tables") {
     val root = Files.createTempDirectory("graft-v2ck-refuse-").toString
     DeltaTable.create(customer.limit(10), root)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
-import graft.index.sources.{DeltaTable, IcebergTable, LakeTable}
+import graft.index.sources.{DeltaLog, DeltaTable, IcebergTable, LakeTable}
 
 /**
  * Format-dispatching facade: the same pipeline code drives a Delta and
@@ -59,6 +59,24 @@ class LakeTableSpec extends AnyFunSuite {
       assert(removed.nonEmpty, s"cleanup removed nothing at $path")
       assert(LakeTable.read(spark, path).count() == expect)
     }
+  }
+
+  test("changes at the head id is the normal no-new-changes poll: empty feed") {
+    val delta = Files.createTempDirectory("graft-lake-poll-d-").toString
+    val ice = Files.createTempDirectory("graft-lake-poll-i-").toString
+    DeltaTable.create(customer.limit(10), delta,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    IcebergTable.create(customer.limit(10), ice)
+    val dHead = DeltaLog.snapshot(spark, delta).version
+    val iHead = LakeTable.history(spark, ice).collect().map(_.getLong(0)).max
+    Seq(delta -> dHead, ice -> iHead).foreach { case (path, head) =>
+      val feed = LakeTable.changes(spark, path, head)
+      assert(feed.count() == 0, s"head poll at $path served rows")
+      // schema keeps the stamps so downstream unions don't break
+      assert(feed.columns.contains("_change_type"))
+    }
+    // past the head is equally quiet (a reader that cached a stale head)
+    assert(LakeTable.changes(spark, delta, dHead + 5).count() == 0)
   }
 
   test("undoTo dispatches: restore a Delta version, roll back an Iceberg snapshot") {

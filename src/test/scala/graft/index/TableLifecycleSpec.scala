@@ -89,6 +89,27 @@ class TableLifecycleSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root).count() == expect)
   }
 
+  test("vacuum keys retention off the tombstone, not the file's mtime") {
+    val root = Files.createTempDirectory("graft-vac-ts-").toString
+    DeltaTable.create(customer.filter(col("c_custkey") < 100), root)   // v0
+    // age the v0 DATA files far past any retention window
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(root))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach(st => fs.setTimes(st.getPath, 1000L, -1))
+    DeltaTable.create(customer.filter(col("c_custkey") >= 100), root)  // v1: tombstones v0 NOW
+    // files written long ago but removed minutes ago must survive the
+    // window — time travel and concurrent snapshot readers depend on it
+    assert(DeltaTable.vacuum(spark, root, retentionMs = 3600 * 1000L).isEmpty)
+    assert(DeltaTable.read(spark, root, versionAsOf = Some(0L)).count() ==
+      customer.filter(col("c_custkey") < 100).count())
+    // once the TOMBSTONE ages out they go
+    assert(DeltaTable.vacuum(spark, root, retentionMs = 0L).nonEmpty)
+    intercept[Exception] {
+      DeltaTable.read(spark, root, versionAsOf = Some(0L)).collect()
+    }
+  }
+
   // ---------------------------------------------- in-commit timestamps
 
   test("ICT: time travel resolves by the table clock, not file mtimes") {

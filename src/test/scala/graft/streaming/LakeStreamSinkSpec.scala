@@ -88,6 +88,40 @@ class LakeStreamSinkSpec extends AnyFunSuite {
     assert(IcebergTable.transactions(spark, dst)("ice-test") == 1L)
   }
 
+  test("explicit txnAppId outranks the streaming queryId") {
+    // a user pins txnAppId to keep idempotence across a checkpoint-reset
+    // restart (where the queryId changes); preferring the queryId would
+    // silently ignore the pin
+    val src = Files.createTempDirectory("graft-txnid-src-").toString
+    val dst = Files.createTempDirectory("graft-txnid-dst-").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-txnid-ck-").toString
+    customer.limit(20).write.parquet(src + "/b0")
+    val q = spark.readStream.schema(customer.schema).parquet(src + "/*")
+      .writeStream.format("graft-delta")
+      .option("path", dst)
+      .option("txnAppId", "pinned-app")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val txns = DeltaLog.snapshot(spark, dst).transactions
+    assert(txns.contains("pinned-app"),
+      s"expected the pinned txnAppId in the watermark map, got ${txns.keys}")
+    // a fresh checkpoint (new queryId) with the same pin: batch 0 is
+    // recognized as already-committed and skipped
+    val ckpt2 = Files.createTempDirectory("graft-txnid-ck2-").toString
+    val q2 = spark.readStream.schema(customer.schema).parquet(src + "/*")
+      .writeStream.format("graft-delta")
+      .option("path", dst)
+      .option("txnAppId", "pinned-app")
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(DeltaTable.read(spark, dst).count() == 20,
+      "checkpoint-reset replay with a pinned txnAppId must not double-apply")
+  }
+
   test("graft-delta sink: partitionBy lands a hive-partitioned table") {
     val src = Files.createTempDirectory("graft-psink-src-").toString
     val dst = Files.createTempDirectory("graft-psink-dst-").toString + "/t"
