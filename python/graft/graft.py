@@ -59,7 +59,8 @@ class Graft:
         if isinstance(config, IvfIndexConfig):
             return self._jvm.graft.index.ivf.IvfIndexConfig(
                 config.index_name, config.id_column, config.vector_column,
-                config.k, config.max_iter)
+                config.k, config.max_iter,
+                getattr(config, "pq_m", 0), getattr(config, "pq_iter", 0))
         if isinstance(config, MinHashIndexConfig):
             return self._jvm.graft.index.minhash.MinHashIndexConfig(
                 config.index_name, config.id_column, config.text_column,

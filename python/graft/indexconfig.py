@@ -66,15 +66,24 @@ class DataSkippingIndexConfig:
 class IvfIndexConfig:
     """IVF ANN index: k-means codebook + cell-partitioned corpus.
 
+    pq_m > 0 adds product quantization (IVFADC serving: ADC ranking over
+    stored codes in the probed cells + exact rerank); the vector
+    dimension must divide evenly by pq_m. pq_iter refines the sampled PQ
+    codebook with per-subspace Lloyd rounds.
+
     >>> IvfIndexConfig("ann", "vec_id", "embedding", k=16)
+    >>> IvfIndexConfig("ann", "vec_id", "embedding", k=16, pq_m=16)
     """
 
-    def __init__(self, index_name, id_column, vector_column, k=16, max_iter=5):
+    def __init__(self, index_name, id_column, vector_column, k=16, max_iter=5,
+                 pq_m=0, pq_iter=0):
         self.index_name = index_name
         self.id_column = id_column
         self.vector_column = vector_column
         self.k = k
         self.max_iter = max_iter
+        self.pq_m = pq_m
+        self.pq_iter = pq_iter
 
 
 class MinHashIndexConfig:

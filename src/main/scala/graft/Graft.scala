@@ -79,7 +79,11 @@ class Graft(spark: SparkSession) {
     * `queries` needs columns `qid` (long) and `qv` (float/double array).
     * Returns topK rows per query: (qid, <idColumn>, cosine, rank). */
   def annSearch(indexName: String, queries: DataFrame,
-      topK: Int = 10, nProbe: Int = 4): DataFrame = {
+      topK: Int = 10, nProbe: Int = 4): DataFrame =
+    annSearchImpl(indexName, queries, topK, nProbe, usePq = true)
+
+  private def annSearchImpl(indexName: String, queries: DataFrame,
+      topK: Int, nProbe: Int, usePq: Boolean): DataFrame = {
     val entry = manager.getIndexes(Set(IndexState.Active))
       .find(e => e.name == indexName &&
         e.descriptor.isInstanceOf[graft.index.ivf.IvfIndexDescriptor])
@@ -87,7 +91,7 @@ class Graft(spark: SparkSession) {
         s"IVF index '$indexName' not found, not ACTIVE, or not an IVF index"))
     val (appendedDf, droppedFids) = resolveDrift(entry)
     graft.index.ivf.IvfSearch.search(spark, entry, queries, topK, nProbe,
-      appendedDf, droppedFids)
+      appendedDf, droppedFids, usePq)
   }
 
   /** Recall@k diagnostic for an IVF index: the probed search against the
@@ -102,7 +106,11 @@ class Graft(spark: SparkSession) {
       topK: Int = 10, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.functions._
     val approx = annSearch(indexName, queries, topK, nProbe)
-    val exact = annSearch(indexName, queries, topK, nProbe = Int.MaxValue)
+    // the exact leg bypasses PQ as well as probing: all cells scored on
+    // RAW vectors, so for an IVFADC index the recall measures the full
+    // serving approximation (cell pruning + quantization + shortlist cut)
+    val exact = annSearchImpl(indexName, queries, topK,
+      nProbe = Int.MaxValue, usePq = false)
     val idCol = approx.columns(1) // (qid, <idColumn>, cosine, rank)
     val hits = approx.select(col("qid"), col(idCol))
       .join(exact.select(col("qid"), col(idCol)), Seq("qid", idCol))

@@ -37,6 +37,15 @@ object GraftConf {
   def ivfStaleCheck(spark: SparkSession): String =
     spark.conf.getOption(IvfStaleCheckKey).getOrElse("cached").toLowerCase
 
+  /** IVFADC shortlist size = topK x this multiplier: the ADC pass keeps
+    * that many candidates per query for the exact rerank. Larger = more
+    * recall headroom against quantization error, more raw-vector rows
+    * fetched; 3 is the conventional serving default. */
+  val IvfPqRerankKey = "spark.graft.index.ivf.pq.rerankMultiplier"
+
+  def ivfPqRerankMultiplier(spark: SparkSession): Int =
+    spark.conf.getOption(IvfPqRerankKey).map(_.toInt).getOrElse(3)
+
   val ServeHybridDriftKey = "spark.graft.index.serve.hybridDrift"
 
   /** Directly-served kinds (IVF annSearch, MinHash nearDuplicates): when

@@ -49,7 +49,10 @@ final case class IvfIndexDescriptor(
     centroids: Seq[Seq[Double]],
     schemaJson: String,
     centroidsPath: Option[String] = None,
-    tombstones: Seq[Long] = Nil) extends IndexDescriptor {
+    tombstones: Seq[Long] = Nil,
+    pqM: Option[Int] = None,
+    pqIter: Int = 0,
+    pqCodebook: Seq[Seq[Seq[Double]]] = Nil) extends IndexDescriptor {
 
   override def kind: String = "IvfIndex"
   override def kindAbbr: String = "IVF"
@@ -62,14 +65,25 @@ final case class IvfIndexDescriptor(
     IvfBuild.build(ctx, source, this)
 }
 
-/** User-facing config: `IvfIndexConfig("ann", "vec_id", "embedding", k=16)`. */
+/** User-facing config: `IvfIndexConfig("ann", "vec_id", "embedding", k=16)`.
+  * `pqM > 0` additionally PRODUCT-QUANTIZES each stored vector into pqM
+  * sub-codes (the vector dimension must divide evenly by pqM): search
+  * then serves the IVFADC shape — ADC ranking over codes in the probed
+  * cells, exact rerank of the shortlist only. The PQ codebook is
+  * initialized from deterministically-sampled corpus rows and refined by
+  * `pqIter` per-subspace Lloyd rounds (0 = sample-anchored, fully
+  * oracle-reproducible). */
 final case class IvfIndexConfig(
     indexName: String,
     idColumn: String,
     vectorColumn: String,
     k: Int = 16,
-    maxIter: Int = 5) extends IndexConfig {
+    maxIter: Int = 5,
+    pqM: Int = 0,
+    pqIter: Int = 0) extends IndexConfig {
   require(k > 0 && maxIter >= 0, "k must be positive, maxIter non-negative")
+  require(pqM >= 0, "pqM must be non-negative (0 = no product quantization)")
+  require(pqIter >= 0, "pqIter must be non-negative")
 
   override def referencedColumns: Seq[String] = Seq(idColumn, vectorColumn)
 
@@ -78,7 +92,8 @@ final case class IvfIndexConfig(
     require(!resolved.exists(graft.index.NestedColumns.isNested),
       "IVF indexes take top-level id/vector columns")
     IvfIndexDescriptor(resolved.head, resolved(1), k, maxIter,
-      centroids = Nil, schemaJson = "")
+      centroids = Nil, schemaJson = "",
+      pqM = if (pqM > 0) Some(pqM) else None, pqIter = pqIter)
   }
 }
 
@@ -87,6 +102,13 @@ object IvfBuild {
   // no leading underscore: partitionBy dirs named `_x=N` would be hidden
   // from Spark's file listing (hiddenFileFilter) and the data unreadable
   val CellColumn = "graft__cell"
+
+  /** PQ sidecar columns (present only when the descriptor sets `pqM`):
+    * per-row sub-codes + the exact vector norm — together they are all
+    * the ADC ranking pass reads, so column pruning keeps the raw vector
+    * out of the ranking scan entirely. */
+  val CodesColumn = "graft__pq_codes"
+  val NormColumn = "graft__norm"
 
   /** Same lineage column as covering indexes: maps each index row to its
     * source file id, so file-level deletes tombstone instead of rebuild. */
@@ -168,13 +190,27 @@ object IvfBuild {
       .withColumnRenamed("id", d.idColumn)
       .withColumnRenamed("v", d.vectorColumn)
       .withColumnRenamed("fid", LineageColumn)
-    assigned
+    // PQ leg: encode codes + exact norm INLINE in the same write pass
+    // (both are codegen column expressions — no extra scan, no shuffle)
+    val withPq = d.pqM match {
+      case Some(_) =>
+        require(d.pqCodebook.nonEmpty,
+          "PQ-enabled IVF index has no codebook (build order bug)")
+        val dot = graft.functions.VectorFunctions.dotp _
+        assigned
+          .withColumn(CodesColumn,
+            PqCodec.codesCol(col(d.vectorColumn), d.pqCodebook))
+          .withColumn(NormColumn,
+            sqrt(dot(col(d.vectorColumn), col(d.vectorColumn))))
+      case None => assigned
+    }
+    withPq
       .repartition(col(CellColumn))
       .write.mode("overwrite")
       .partitionBy(CellColumn)
       .parquet(ctx.dataPath)
     bc.destroy()
-    assigned
+    withPq
   }
 
   /** Persist the codebook inline or as a sidecar, clearing tombstones —
@@ -201,24 +237,97 @@ object IvfBuild {
     }
   }
 
-  def build(ctx: IndexBuildContext, source: DataFrame,
-      d: IvfIndexDescriptor): IndexDescriptor = {
-    val spark = ctx.spark
+  /** Deterministic data sample: the `n` rows with the smallest
+    * (md5-derived hash, id) keys — shared by the IVF seed pass and the
+    * PQ codebook init, so rebuilds over identical data are identical and
+    * an external oracle can re-derive both. Null vectors are filtered
+    * (same as the clustering pass) or a vectorless row whose hash ranks
+    * among the smallest would become a null centroid/codeword. */
+  private def hashSample(source: DataFrame, d: IvfIndexDescriptor,
+      n: Int): Array[Array[Double]] = {
+    val spark = source.sparkSession
     import spark.implicits._
-    val src = srcWithLineage(ctx, source, d)
-
-    // deterministic seeds: smallest (hash, id) — same null-vector filter
-    // as the clustering pass, or a vectorless row whose hash ranks in the
-    // k smallest would become a null centroid and NPE the first nearest()
-    val seeds = source.select(
+    source.select(
         graft.functions.HashFunctions.md5Prefix60(
           col(d.idColumn).cast("string")).as("h"),
         col(d.idColumn).cast("long").as("id"),
         col(d.vectorColumn).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
       .orderBy(col("h"), col("id"))
-      .limit(d.k)
+      .limit(n)
       .select(col("v")).as[Array[Double]].collect()
+  }
+
+  /** Per-subspace Lloyd refinement of a PQ codebook: each round assigns
+    * every (row, subspace) pair to its nearest codeword in ONE map pass
+    * over the corpus and shuffles only M x K partial (sum, count) pairs
+    * (map-side combined) — the same cost shape as the IVF centroid
+    * rounds, run for all subspaces at once. Emptied codewords keep their
+    * previous value (standard Lloyd handling). */
+  private def refinePqCodebook(
+      src: org.apache.spark.sql.Dataset[(Long, Array[Double], Long)],
+      init: Seq[Seq[Seq[Double]]], iters: Int): Seq[Seq[Seq[Double]]] = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    var cb: Array[Array[Array[Double]]] =
+      init.map(_.map(_.toArray).toArray).toArray
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cb)
+      val means = src
+        .flatMap { case (_, v, _) =>
+          val cbl = bc.value
+          cbl.indices.iterator.map { m =>
+            val s = cbl(m)(0).length
+            val sub = java.util.Arrays.copyOfRange(v, m * s, m * s + s)
+            var best = 0
+            var bestD = Double.MaxValue
+            var k = 0
+            while (k < cbl(m).length) {
+              val dd = sqDist(cbl(m)(k), sub)
+              if (dd < bestD) { bestD = dd; best = k }
+              k += 1
+            }
+            ((m, best), (sub, 1L))
+          }
+        }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val (sa, na) = a._2; val (sb, nb) = b._2
+          val s = Array.tabulate(sa.length)(i => sa(i) + sb(i))
+          (a._1, (s, na + nb))
+        }
+        .map { case ((m, k), (_, (sum, n))) => (m, k, sum.map(_ / n)) }
+        .collect()
+      bc.destroy()
+      val next = cb.map(_.clone())
+      means.foreach { case (m, k, mean) => next(m)(k) = mean }
+      cb = next
+    }
+    cb.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
+  def build(ctx: IndexBuildContext, source: DataFrame,
+      d0: IvfIndexDescriptor): IndexDescriptor = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val src = srcWithLineage(ctx, source, d0)
+
+    // PQ codebook (when enabled): sample-anchored, optionally refined —
+    // computed BEFORE the write so the encode pass uses the final book
+    val d = d0.pqM match {
+      case Some(m) =>
+        val sample = hashSample(source, d0, PqCodec.K)
+        require(sample.nonEmpty, "cannot train a PQ codebook on an empty corpus")
+        val dim = sample.head.length
+        require(dim % m == 0,
+          s"pqM=$m does not divide the ${dim}-dim '${d0.vectorColumn}' vectors")
+        val init = PqCodec.codebookFromSamples(sample.map(_.toSeq).toSeq, m)
+        d0.copy(pqCodebook =
+          if (d0.pqIter == 0) init else refinePqCodebook(src, init, d0.pqIter))
+      case None => d0
+    }
+
+    val seeds = hashSample(source, d, d.k)
 
     var centroids = seeds
     (0 until d.maxIter).foreach { _ =>

@@ -42,11 +42,13 @@ object IvfSearch {
       topK: Int,
       nProbe: Int,
       appended: Option[DataFrame] = None,
-      droppedFids: Seq[Long] = Nil): DataFrame = {
+      droppedFids: Seq[Long] = Nil,
+      usePq: Boolean = true): DataFrame = {
     import spark.implicits._
     val d = entry.descriptor.asInstanceOf[IvfIndexDescriptor]
     // internal working-column names must not collide with the id column
-    require(!Set("qid", "qv", "qn", "nn", "probe_cell", "cosine", "rank")
+    require(!Set("qid", "qv", "qn", "nn", "probe_cell", "cosine", "rank",
+        "qtab", "codes", "srank", "cosine_adc", "nv")
         .contains(d.idColumn),
       s"IVF id column '${d.idColumn}' collides with a search output column")
     // inline for small k, parquet sidecar for large (driver-side load)
@@ -79,17 +81,65 @@ object IvfSearch {
     // their rows via the lineage column (NULL-safe — see antiTombstone);
     // `optimize` compacts them away
     val live = IvfBuild.antiTombstone(base, d, droppedFids)
-    val data = live
-      .select(col(d.idColumn), col(d.vectorColumn).cast("array<double>").as("nv"),
-        col(IvfBuild.CellColumn))
-      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
-      // zero-norm corpus vectors would score NaN, and NaN sorts ABOVE
-      // every real cosine under desc ordering — they'd surface as rank-1
-      .filter(col("nn") > 0.0)
-    val scored = data
-      .join(broadcast(probes), col(IvfBuild.CellColumn) === col("probe_cell"))
-      .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .select(col("qid"), col(d.idColumn), col("cosine"))
+    val scored: DataFrame = d.pqM match {
+      case Some(m) if usePq =>
+        // IVFADC: rank the probed cells by the ASYMMETRIC dot product
+        // over the STORED PQ codes — the ranking scan reads only
+        // (id, codes, norm, cell); column pruning keeps the raw vector
+        // column out of it entirely — then exact-rerank the per-query
+        // shortlist, fetching raw vectors for shortlist rows only (the
+        // rerank scan is pruned to the same probed cells, and its join
+        // against the broadcast shortlist materializes |q| x rerankK
+        // rows, never a cell's full contents).
+        val rerankK = math.max(topK,
+          topK * graft.index.GraftConf.ivfPqRerankMultiplier(spark))
+        require(d.pqCodebook.nonEmpty && d.pqCodebook.length == m,
+          s"IVF index '${entry.name}' is PQ-enabled but carries no codebook")
+        val probesPq = probes.withColumn("qtab",
+          PqCodec.queryTableCol(col("qv"), d.pqCodebook))
+        val codes = live
+          .select(col(d.idColumn), col(IvfBuild.CodesColumn).as("codes"),
+            col(IvfBuild.NormColumn).as("nn"), col(IvfBuild.CellColumn))
+          // zero-norm vectors have no cosine to anybody (NaN sorts above
+          // every real value under desc ordering) — drop, as below
+          .filter(col("nn") > 0.0)
+        val adc = codes
+          .join(broadcast(probesPq.select(col("qid"), col("qtab"), col("qn"),
+            col("probe_cell"))), col(IvfBuild.CellColumn) === col("probe_cell"))
+          .withColumn("cosine_adc",
+            PqCodec.adcDot(col("codes"), col("qtab")) / (col("qn") * col("nn")))
+        val sw = Window.partitionBy(col("qid"))
+          .orderBy(col("cosine_adc").desc, col(d.idColumn))
+        val shortlist = adc
+          .withColumn("srank", row_number().over(sw))
+          .filter(col("srank") <= rerankK)
+          .select(col("qid"), col(d.idColumn), col(IvfBuild.CellColumn))
+        val vecs = live
+          .select(col(d.idColumn),
+            col(d.vectorColumn).cast("array<double>").as("nv"),
+            col(IvfBuild.NormColumn).as("nn"), col(IvfBuild.CellColumn))
+        val q1 = probes.select(col("qid"), col("qv"), col("qn")).distinct()
+        vecs
+          .join(broadcast(shortlist), Seq(d.idColumn, IvfBuild.CellColumn))
+          .join(broadcast(q1), Seq("qid"))
+          .withColumn("cosine",
+            dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .select(col("qid"), col(d.idColumn), col("cosine"))
+      case _ =>
+        val data = live
+          .select(col(d.idColumn),
+            col(d.vectorColumn).cast("array<double>").as("nv"),
+            col(IvfBuild.CellColumn))
+          .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+          // zero-norm corpus vectors would score NaN, and NaN sorts ABOVE
+          // every real cosine under desc ordering — they'd surface as rank-1
+          .filter(col("nn") > 0.0)
+        data
+          .join(broadcast(probes), col(IvfBuild.CellColumn) === col("probe_cell"))
+          .withColumn("cosine",
+            dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .select(col("qid"), col(d.idColumn), col("cosine"))
+    }
     // appended leg: no cells, so every query scores the (small) slice —
     // each query appears once in `q1` (probes fan it out nProbe times).
     // An appended file may re-contain an already-indexed id (an

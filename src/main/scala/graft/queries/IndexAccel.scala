@@ -38,8 +38,24 @@ object IndexAccel {
       table: String, config: IndexConfig): Unit = synchronized {
     ensureSystemPath(spark, sfDir)
     val mgr = new IndexManager(spark)
-    val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
-    if (!active.contains(config.indexName)) {
+    val active = mgr.getIndexes(Set(IndexState.Active))
+      .find(_.name == config.indexName)
+    // a persisted index whose DEFINITION drifted from the config (an
+    // older build of this suite) must rebuild, not serve stale shape
+    val stale = active.exists { e =>
+      (config, e.descriptor) match {
+        case (c: graft.index.ivf.IvfIndexConfig,
+              d: graft.index.ivf.IvfIndexDescriptor) =>
+          d.k != c.k || d.maxIter != c.maxIter || d.pqIter != c.pqIter ||
+            d.pqM != (if (c.pqM > 0) Some(c.pqM) else None)
+        case _ => false
+      }
+    }
+    if (stale) {
+      mgr.delete(config.indexName)
+      mgr.vacuum(config.indexName)
+    }
+    if (active.isEmpty || stale) {
       mgr.create(Tables.load(spark, sfDir, table), config)
     }
   }
@@ -156,6 +172,105 @@ object IndexAccel {
        |SELECT id1, id2, est_jaccard FROM est
        |WHERE est_jaccard >= 0.5
        |ORDER BY id1, id2""".stripMargin
+  }
+
+  // ------------------------------------------------ IVFADC ann search
+  /** Top-5 ANN served from the persisted IVF+PQ index (IVFADC): queries
+    * probe their 2 nearest cells, the ADC pass ranks ONLY those cells'
+    * stored PQ codes (the raw vector column never enters the ranking
+    * scan — GoldenPlanSpec pins both the cell pruning and the pruned
+    * ReadSchema), and the exact rerank touches just the per-query
+    * shortlist. Everything is oracle-reproducible: `maxIter = 0`
+    * freezes the IVF codebook at the deterministic md5-seeded vectors,
+    * and `pqIter = 0` anchors the PQ codewords at sub-slices of the 16
+    * md5-smallest corpus rows (same deterministic ordering). */
+  def idxIvfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "embeddings", graft.index.ivf.IvfIndexConfig(
+      "accel_ivfpq_emb", "vec_id", "embedding", k = 8, maxIter = 0,
+      pqM = 16, pqIter = 0))
+    ensureSystemPath(spark, sfDir)
+    val queries = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    new graft.Graft(spark).annSearch("accel_ivfpq_emb", queries,
+        topK = 5, nProbe = 2)
+      .select(col("qid"), col("vec_id").as("nid"),
+        col("rank").cast(LongType).as("rank"), col("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val idxIvfPqTopKSql: String = {
+    def sqlDot(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (acc, t) -> acc + t)"
+    def sqlSqDist(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, t) -> acc + t)"
+    val h = "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    // sub-vector m (4-wide) of x, m coming from a range() table column
+    def sub(x: String, m: String) = s"$x[CAST($m*4+1 AS INT):CAST($m*4+4 AS INT)]"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nrm AS (SELECT vec_id, v, sqrt(${sqlDot("v", "v")}) AS nrm FROM e),
+       |ord AS (SELECT v AS cv,
+       |    ROW_NUMBER() OVER (ORDER BY $h, vec_id) - 1 AS r FROM e),
+       |seeds AS (SELECT cv, r AS cell FROM ord WHERE r < 8),
+       |asg AS (
+       |  SELECT vec_id, v, nrm, cell FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${sqlSqDist("n.v", "c.cv")}, c.cell) AS rn
+       |    FROM nrm n CROSS JOIN seeds c) WHERE rn = 1),
+       |cw AS (SELECT t.m, k.r AS k, ${sub("k.cv", "t.m")} AS w
+       |  FROM range(0, 16) t(m), (SELECT cv, r FROM ord WHERE r < 16) k),
+       |cdist AS (
+       |  SELECT a.vec_id, c.m, c.k,
+       |    ${sqlSqDist(sub("a.v", "c.m"), "c.w")} AS dd
+       |  FROM asg a CROSS JOIN cw c),
+       |code1 AS (
+       |  SELECT vec_id, m, k + 1 AS code FROM (
+       |    SELECT vec_id, m, k, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dd, k) AS rn FROM cdist) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id AS nid, list(code ORDER BY m) AS codes
+       |  FROM code1 GROUP BY vec_id),
+       |q0 AS (SELECT vec_id AS qid, v, nrm AS qn FROM nrm
+       |  WHERE vec_id % 10 = 0),
+       |qtd AS (
+       |  SELECT q.qid, c.m, c.k, ${sqlDot(sub("q.v", "c.m"), "c.w")} AS qd
+       |  FROM q0 q CROSS JOIN cw c),
+       |qtrow AS (
+       |  SELECT qid, m, list(qd ORDER BY k) AS row FROM qtd GROUP BY qid, m),
+       |qt AS (
+       |  SELECT qid, list(row ORDER BY m) AS qtab FROM qtrow GROUP BY qid),
+       |qprobe AS (
+       |  SELECT qid, qn, cell AS pcell FROM (
+       |    SELECT q.qid, q.qn, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${sqlSqDist("q.v", "c.cv")}, c.cell) AS prn
+       |    FROM q0 q CROSS JOIN seeds c) WHERE prn <= 2),
+       |adc AS (
+       |  SELECT p.qid, a.vec_id AS nid,
+       |    list_reduce(list_transform(list_zip(n.codes, t.qtab),
+       |      x -> (x[2])[CAST(x[1] AS INT)]), (acc, t) -> acc + t)
+       |      / (p.qn * a.nrm) AS cosine_adc
+       |  FROM qprobe p
+       |  JOIN asg a ON a.cell = p.pcell
+       |  JOIN codes n ON n.nid = a.vec_id
+       |  JOIN qt t ON t.qid = p.qid),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cosine_adc DESC, nid) AS srank FROM adc)
+       |  WHERE srank <= 15),
+       |exact AS (
+       |  SELECT s.qid, s.nid,
+       |    ${sqlDot("qe.v", "ne.v")} / (qe.nrm * ne.nrm) AS cosine
+       |  FROM short s
+       |  JOIN nrm qe ON s.qid = qe.vec_id
+       |  JOIN nrm ne ON s.nid = ne.vec_id)
+       |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cosine FROM (
+       |  SELECT qid, nid, cosine, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, nid) AS rank FROM exact)
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
   }
 
   // ------------------------------------------ snowflake 2-index join
@@ -795,6 +910,7 @@ object IndexAccel {
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
+    "idx_ivfpq_topk" -> (idxIvfPqTopK _, idxIvfPqTopKSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
     "idx_delta_dv_filter" -> (idxDeltaDvFilter _, idxDeltaDvFilterSql),
     "idx_delta_stats_filter" -> (idxDeltaStatsFilter _, idxDeltaStatsFilterSql),

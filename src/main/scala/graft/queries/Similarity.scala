@@ -324,26 +324,21 @@ object Similarity {
     * them per-subspace on a bounded sample (FAISS-style) and the
     * encode/rank algebra below is unchanged. */
   private val PqM = 8    // subspaces of 8 dims each
-  private val PqK = 16   // codewords per subspace (4-bit codes)
+  private val PqK = graft.index.ivf.PqCodec.K // codewords per subspace
 
-  /** Fixed codeword component: integer in [-5, 5], nonlinear in
-    * (m, k, i) so codewords don't alias across subspaces. */
+  /** Fixed codeword component — shared with the IVFADC index path
+    * ([[graft.index.ivf.PqCodec]]) so both serve the same algebra. */
   private def pqVal(m: Int, k: Int, i: Int): Int =
-    ((104729 * k * k + 7919 * m + 31 * k * i + 17 * i * i + 5) % 11 + 11) % 11 - 5
+    graft.index.ivf.PqCodec.codeword(m, k, i)
+
+  private lazy val pqFormulaCb =
+    graft.index.ivf.PqCodec.formulaCodebook(PqM, 8)
 
   /** Spark-side codes: for each subspace, first-occurrence argmin of the
     * strict-fold squared L2 distance to each codeword (1-based, matching
     * DuckDB's list_position). */
   private def pqCodes(v: Column): Column =
-    array((0 until PqM).map { m =>
-      val sub = slice(v, m * 8 + 1, 8)
-      val dists = array((0 until PqK).map { k =>
-        val cw = array((0 until 8).map(i => lit(pqVal(m, k, i).toDouble)): _*)
-        aggregate(zip_with(sub, cw, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, t) => acc + t)
-      }: _*)
-      array_position(dists, array_min(dists))
-    }: _*)
+    graft.index.ivf.PqCodec.codesCol(v, pqFormulaCb)
 
   private def sqlPqCodes(vExpr: String): String =
     (0 until PqM).map { m =>
@@ -360,14 +355,7 @@ object Similarity {
   /** Per-query lookup table: dot(query sub-vector, codeword) for every
     * (subspace, codeword) — the classic ADC table, PqM x PqK doubles. */
   private def pqQueryTable(qv: Column): Column =
-    array((0 until PqM).map { m =>
-      val sub = slice(qv, m * 8 + 1, 8)
-      array((0 until PqK).map { k =>
-        val cw = array((0 until 8).map(i => lit(pqVal(m, k, i).toDouble)): _*)
-        aggregate(zip_with(sub, cw, (x, y) => x * y),
-          lit(0.0), (acc, t) => acc + t)
-      }: _*)
-    }: _*)
+    graft.index.ivf.PqCodec.queryTableCol(qv, pqFormulaCb)
 
   private def sqlPqQueryTable(vExpr: String): String =
     (0 until PqM).map { m =>
@@ -395,11 +383,8 @@ object Similarity {
     val approx = broadcast(queries).crossJoin(codes)
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (aggregate(
-          zip_with(col("codes"), col("qtab"),
-            (c, row) => element_at(row, c.cast("int"))),
-          lit(0.0), (acc, t) => acc + t) / (col("qn") * col("nn")))
-          .as("cosine_adc"))
+        (graft.index.ivf.PqCodec.adcDot(col("codes"), col("qtab")) /
+          (col("qn") * col("nn"))).as("cosine_adc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cosine_adc").desc, col("nid"))
     val shortlist = approx

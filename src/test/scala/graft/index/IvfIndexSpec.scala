@@ -154,6 +154,123 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC: codes + norms stored; ADC ranking scan never reads vectors") {
+    withGraft { g =>
+      g.createIndex(embeddings, IvfIndexConfig("ann_pq", "vec_id", "embedding",
+        k = 8, maxIter = 3, pqM = 16))
+      val e = g.indexManager.getIndexes().head
+      val d = e.descriptor.asInstanceOf[IvfIndexDescriptor]
+      assert(d.pqM.contains(16))
+      assert(d.pqCodebook.length == 16 &&
+        d.pqCodebook.forall(cw => cw.size == graft.index.ivf.PqCodec.K &&
+          cw.forall(_.size == 4)))
+      val data = spark.read.parquet(e.content.root)
+      assert(data.columns.contains(IvfBuild.CodesColumn))
+      assert(data.columns.contains(IvfBuild.NormColumn))
+      // every row: 16 sub-codes, each a 1-based codeword slot in [1, 16]
+      val bad = data.select(col(IvfBuild.CodesColumn).as("c"))
+        .filter(size(col("c")) =!= 16 ||
+          exists(col("c"), x => x < 1 || x > graft.index.ivf.PqCodec.K))
+        .count()
+      assert(bad == 0, s"$bad rows with malformed PQ codes")
+
+      val queries = embeddings.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      val res = g.annSearch("ann_pq", queries, topK = 5, nProbe = 3)
+      // the ADC ranking scan reads (id, codes, norm, cell) ONLY — column
+      // pruning must keep the raw vector out of it; the rerank scan is
+      // the only reader of the vector column
+      spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+      val plan = res.queryExecution.executedPlan.toString
+      val readSchemas = plan.linesIterator
+        .filter(_.contains("ReadSchema")).toSeq
+      val adcScans = readSchemas.filter(_.contains(IvfBuild.CodesColumn))
+      assert(adcScans.nonEmpty, "no scan reads the PQ codes column")
+      assert(adcScans.forall(!_.contains("embedding")),
+        s"ADC ranking scan reads raw vectors:\n${adcScans.mkString("\n")}")
+      assert(res.count() > 0)
+    }
+  }
+
+  test("IVFADC: exact rerank keeps recall high; annRecall measures the PQ path") {
+    withGraft { g =>
+      g.createIndex(embeddings, IvfIndexConfig("ann_pqr", "vec_id", "embedding",
+        k = 8, maxIter = 3, pqM = 16))
+      val queries = embeddings.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      // full probe isolates the PQ approximation (no cell misses): the
+      // only loss left is a true neighbor falling outside the ADC
+      // shortlist — the exact rerank repairs ordering inside it
+      val rFull = g.annRecall("ann_pqr", queries, topK = 5, nProbe = 8)
+        .collect()
+      assert(rFull.nonEmpty && rFull.forall(_.getAs[Long]("n_exact") == 5L))
+      val overall = rFull.map(_.getAs[Long]("n_hit")).sum.toDouble /
+        rFull.map(_.getAs[Long]("n_exact")).sum
+      assert(overall >= 0.6,
+        s"IVFADC full-probe recall@5 $overall below floor")
+      // served cosines are EXACT (rerank recomputes from raw vectors):
+      // every served (q, n) cosine matches the brute-force value
+      val dot = graft.functions.VectorFunctions.dotp _
+      val served = g.annSearch("ann_pqr", queries, topK = 5, nProbe = 8)
+      val corpus = embeddings.select(col("vec_id").as("nid2"),
+        col("embedding").cast("array<double>").as("nv"))
+      val mismatch = served
+        .join(corpus, col("vec_id") === col("nid2"))
+        .join(queries.withColumnRenamed("qid", "qid2"),
+          col("qid") === col("qid2"))
+        .withColumn("cosine_bf", dot(col("qv"), col("nv")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("nv"), col("nv")))))
+        .filter(abs(col("cosine") - col("cosine_bf")) > 1e-12)
+        .count()
+      assert(mismatch == 0, s"$mismatch served cosines are not exact")
+    }
+  }
+
+  test("IVFADC: incremental refresh encodes appended vectors with codes") {
+    val sys = Files.createTempDirectory("graft-ivfpq-inc-").toString
+    val src = Files.createTempDirectory("graft-ivfpq-src-").toString
+    spark.conf.set(GraftConf.SystemPathKey, sys)
+    try {
+      val g = new Graft(spark)
+      embeddings.filter(col("vec_id") % 2 === 0).repartition(2)
+        .write.mode("overwrite").parquet(src)
+      g.createIndex(spark.read.parquet(src),
+        IvfIndexConfig("ann_pqi", "vec_id", "embedding",
+          k = 4, maxIter = 2, pqM = 16))
+      embeddings.filter(col("vec_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(src)
+      g.refreshIndex("ann_pqi", "incremental")
+      val after = g.indexManager.getIndexes().head
+      val data = IvfBuild.readIndexData(spark, after.content)
+      assert(data.count() == spark.read.parquet(src).count())
+      // appended rows carry codes too (merge-mode write goes through the
+      // same encode pass) — no null-codes stragglers for ADC to drop
+      assert(data.filter(col(IvfBuild.CodesColumn).isNull).count() == 0)
+      val queries = embeddings.filter(col("vec_id") % 2 === 1).limit(3)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+      // appended (odd) ids are servable through the PQ path
+      val got = g.annSearch("ann_pqi", queries, topK = 3, nProbe = 4)
+      assert(got.count() == 9)
+    } finally {
+      spark.conf.unset(GraftConf.SystemPathKey)
+      rules.IndexCatalog.invalidate(spark)
+    }
+  }
+
+  test("pqM validation: wrong vector dimension refuses at build") {
+    withGraft { g =>
+      val e = intercept[Exception] {
+        g.createIndex(embeddings, IvfIndexConfig("ann_bad", "vec_id",
+          "embedding", k = 4, maxIter = 0, pqM = 5)) // 5*8=40 != 64
+      }
+      assert(e.getMessage.contains("dim") || e.getMessage.contains("pqM"),
+        s"unexpected error: ${e.getMessage}")
+    }
+  }
+
   test("drifted index serves hybrid: appended vectors searchable without refresh") {
     val sys = Files.createTempDirectory("graft-ivf-hyb-").toString
     val src = Files.createTempDirectory("graft-ivf-hsrc-").toString
