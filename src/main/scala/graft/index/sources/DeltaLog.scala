@@ -1069,44 +1069,12 @@ object DeltaTable {
       .select(normC(col("_metadata.file_path")).as("p"),
         col("_metadata.row_index").as("pos"))
       .as[(String, Long)]
-    val blobs: Array[(String, Array[Byte], Long)] =
-      matched.groupByKey(_._1).mapGroups { (path, rows) =>
-        val (bytes, card) =
-          DeltaDeletionVectors.serializePositions(rows.map(_._2))
-        (path, bytes, card)
-      }.collect()
-    if (blobs.isEmpty) return prior.version // no matching rows: no commit
-
-    // merge into any existing DV (bitmap union — driver-side, bounded by
-    // the compressed bitmap size of the affected files)
-    val byNorm: Map[String, DeltaFileMeta] =
-      prior.files.map(f => normPath(f.path) -> f).toMap
-    val dvFileCache = mutable.Map.empty[String, Array[Byte]]
-    def dvBytes(d: DvDescriptor): Option[Array[Byte]] =
-      d.absolutePath(root).map { p =>
-        dvFileCache.getOrElseUpdate(p.toString, {
-          val len = fs.getFileStatus(p).getLen.toInt
-          val buf = new Array[Byte](len)
-          val in = fs.open(p)
-          try in.readFully(0, buf) finally in.close()
-          buf
-        })
-      }
-    val merged: Seq[(DeltaFileMeta, Array[Byte], Long)] = blobs.toSeq.map {
-      case (p, bytes, card) =>
-        val f = byNorm.getOrElse(p, throw new IllegalStateException(
-          s"matched file $p is not in the snapshot of $rootStr"))
-        f.dv match {
-          case Some(old) if old.cardinality > 0L =>
-            val union = DeltaDeletionVectors.positionsOf(old, dvBytes(old)).iterator ++
-              DeltaDeletionVectors.deserializePositions(bytes).iterator
-            val (mb, mc) = DeltaDeletionVectors.serializePositions(union)
-            (f, mb, mc)
-          case _ => (f, bytes, card)
-        }
-    }
-    val (dvPath, descriptors) = DeltaDeletionVectors.writeDvFile(
-      fs, root, merged.map { case (f, b, c) => (normPath(f.path), b, c) })
+    val merged: Seq[(DeltaFileMeta, DvDescriptor)] =
+      writeDvs(spark, rootStr, prior, matched)
+    if (merged.isEmpty) return prior.version // no matching rows: no commit
+    val dvPaths: Seq[Path] =
+      merged.flatMap(_._2.absolutePath(root).map(_.toString)).distinct
+        .map(new Path(_))
 
     // CHANGE DATA FEED: record the deleted rows as cdc files. Sourced
     // from the POST-DV read so rows a previous delete already removed
@@ -1129,6 +1097,49 @@ object DeltaTable {
 
     val version = prior.version + 1
     val now = System.currentTimeMillis()
+
+    val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(now, "DELETE", Map.empty,
+      if (ictEnabled(prior.configuration))
+        Some(nextIct(fs, root, prior.version, now)) else None)
+    dvProtocolLine(prior).foreach(lines += _)
+    lines ++= dvAddRemoveLines(fs, root, merged, now)
+    lines ++= cdcLines
+
+    val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
+    // same create-no-overwrite fence as commit(): the loser's DV and cdc
+    // files are removed so a retry starts clean
+    val out = try fs.create(commitPath, false) catch {
+      case e: Throwable =>
+        dvPaths.foreach(fs.delete(_, false))
+        cdcPaths.foreach(fs.delete(_, false))
+        throw e
+    }
+    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    version
+  }
+
+  /** Protocol-upgrade action for a commit that introduces deletion
+    * vectors on a table not yet at (3, 7) + `deletionVectors`. */
+  private def dvProtocolLine(prior: DeltaSnapshot): Option[JValue] = {
+    val hasDvProtocol = prior.minReaderVersion >= 3 &&
+      prior.readerFeatures.contains("deletionVectors")
+    if (hasDvProtocol) None
+    else Some(JObject("protocol" -> JObject(
+      "minReaderVersion" -> JInt(3),
+      "minWriterVersion" -> JInt(7),
+      "readerFeatures" -> JArray(
+        (prior.readerFeatures + "deletionVectors").toList.sorted.map(JString(_))),
+      "writerFeatures" -> JArray(
+        (prior.writerFeatures + "deletionVectors").toList.sorted.map(JString(_))))))
+  }
+
+  /** remove + add(withDV) action pairs for files whose deletion vector
+    * this commit replaces (the merge-on-read re-add shape). */
+  private def dvAddRemoveLines(fs: FileSystem, root: Path,
+      merged: Seq[(DeltaFileMeta, DvDescriptor)], now: Long): Seq[JValue] = {
     val rootUri = fs.makeQualified(root).toUri
     def relOf(path: String): String =
       rootUri.relativize(fs.makeQualified(new Path(path)).toUri).getPath
@@ -1140,56 +1151,301 @@ object DeltaTable {
           case _ => None
         }
       }.toList
-
-    val lines = mutable.Buffer.empty[JValue]
-    lines += commitInfoLine(now, "DELETE", Map.empty,
-      if (ictEnabled(prior.configuration))
-        Some(nextIct(fs, root, prior.version, now)) else None)
-    val hasDvProtocol = prior.minReaderVersion >= 3 &&
-      prior.readerFeatures.contains("deletionVectors")
-    if (!hasDvProtocol) {
-      lines += JObject("protocol" -> JObject(
-        "minReaderVersion" -> JInt(3),
-        "minWriterVersion" -> JInt(7),
-        "readerFeatures" -> JArray(
-          (prior.readerFeatures + "deletionVectors").toList.sorted.map(JString(_))),
-        "writerFeatures" -> JArray(
-          (prior.writerFeatures + "deletionVectors").toList.sorted.map(JString(_)))))
-    }
-    merged.foreach { case (f, _, _) =>
+    merged.flatMap { case (f, d) =>
       val rel = relOf(f.path)
-      val d = descriptors(normPath(f.path))
       val dvJson = JObject(
         "storageType" -> JString(d.storageType),
         "pathOrInlineDv" -> JString(d.pathOrInlineDv),
         "offset" -> JInt(BigInt(d.offset.get)),
         "sizeInBytes" -> JInt(BigInt(d.sizeInBytes)),
         "cardinality" -> JLong(d.cardinality))
-      lines += JObject("remove" -> JObject(
-        "path" -> JString(rel),
-        "deletionTimestamp" -> JLong(now),
-        "dataChange" -> JBool(true)))
+      Seq(
+        JObject("remove" -> JObject(
+          "path" -> JString(rel),
+          "deletionTimestamp" -> JLong(now),
+          "dataChange" -> JBool(true))),
+        JObject("add" -> JObject(
+          List(
+            "path" -> (JString(rel): JValue),
+            "partitionValues" -> (JObject(partitionValuesOf(rel)): JValue),
+            "size" -> (JLong(f.size): JValue),
+            "modificationTime" -> (JLong(f.modificationTime): JValue),
+            "dataChange" -> (JBool(true): JValue),
+            "deletionVector" -> (dvJson: JValue)) ++
+            // stats describe the file's PHYSICAL rows (Delta convention:
+            // numRecords counts DV-deleted rows too), so they carry forward
+            f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList)))
+    }
+  }
+
+  /**
+   * Build per-file deletion bitmaps for `matched` (normalized-path,
+   * position) rows, union each with the file's existing DV, and write
+   * the DV files FROM EXECUTORS — one DV file per non-empty partition
+   * of the grouped build, holding the blobs of the data files that
+   * partition handled. The driver collects only (path → descriptor)
+   * pairs — O(affected files) metadata, the same cost class as the
+   * commit JSON that must list every re-added file — never the bitmap
+   * bytes, so a delete touching 10^6 files funnels no blobs through the
+   * driver. Existing DVs are read and unioned on the executors too.
+   */
+  private def writeDvs(spark: SparkSession, rootStr: String,
+      prior: DeltaSnapshot,
+      matched: org.apache.spark.sql.Dataset[(String, Long)])
+      : Seq[(DeltaFileMeta, DvDescriptor)] = {
+    import spark.implicits._
+    val existing: Map[String, DvDescriptor] = prior.files.flatMap(f =>
+      f.dv.filter(_.cardinality > 0L).map(d => normPath(f.path) -> d)).toMap
+    val existingB = spark.sparkContext.broadcast(existing)
+    val confW = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
+    val collected: Array[(String, DvDescriptor)] = matched
+      .groupByKey(_._1)
+      .mapGroups { (path, rows) =>
+        val (bytes, card) =
+          DeltaDeletionVectors.serializePositions(rows.map(_._2))
+        (path, bytes, card)
+      }
+      .mapPartitions { it =>
+        val items = it.toArray
+        if (items.isEmpty) Iterator.empty
+        else {
+          val tableRoot = new Path(rootStr)
+          val fs = tableRoot.getFileSystem(confW.value)
+          val dvCache = mutable.Map.empty[String, Array[Byte]]
+          def fileBytes(p: Path): Array[Byte] =
+            dvCache.getOrElseUpdate(p.toString, {
+              val len = fs.getFileStatus(p).getLen.toInt
+              val buf = new Array[Byte](len)
+              val in = fs.open(p)
+              try in.readFully(0, buf) finally in.close()
+              buf
+            })
+          val merged = items.toSeq.map { case (p, bytes, card) =>
+            existingB.value.get(p) match {
+              case Some(old) =>
+                val union = DeltaDeletionVectors.positionsOf(old,
+                  old.absolutePath(tableRoot).map(fileBytes)).iterator ++
+                  DeltaDeletionVectors.deserializePositions(bytes).iterator
+                val (mb, mc) = DeltaDeletionVectors.serializePositions(union)
+                (p, mb, mc)
+              case None => (p, bytes, card)
+            }
+          }
+          DeltaDeletionVectors.writeDvFile(fs, tableRoot, merged)._2.iterator
+        }
+      }.collect()
+    val byNorm: Map[String, DeltaFileMeta] =
+      prior.files.map(f => normPath(f.path) -> f).toMap
+    collected.toSeq.map { case (p, d) =>
+      (byNorm.getOrElse(p, throw new IllegalStateException(
+        s"matched file $p is not in the snapshot of $rootStr")), d)
+    }
+  }
+
+  /**
+   * MERGE — the CDC-upsert verb (reference-era Delta predates it; this
+   * is the `MERGE INTO target USING source ON keys` shape every
+   * change-capture ingest pipeline lands on). `source` rows are keyed
+   * by `keys` (equality, SQL semantics: null keys match nothing):
+   *
+   *  - rows where `deleteCondition` holds are DELETE MARKERS — a
+   *    matched target row is removed; an unmatched marker is a no-op;
+   *  - every other source row UPSERTS — matched target rows are
+   *    replaced by the source version, unmatched rows insert.
+   *
+   * One commit: matched target rows are deletion-vector-deleted (no
+   * data-file rewrite — the merge-on-read shape), upsert rows land as
+   * fresh data files, and on a CDF table the row-level effect is
+   * recorded as cdc files (`delete`, `update_preimage`/
+   * `update_postimage`, `insert`), so [[changes]] replays the merge
+   * exactly. Refuses a source with duplicate keys (the protocol's
+   * "multiple source rows matched" ambiguity).
+   *
+   * Scale: the matched-position scan is one pass over the table
+   * (key-semi-join, pushdown intact), DV bitmaps are built and written
+   * on executors, and the insert leg is a plain staged append. Without
+   * CDF nothing else touches the table; CDF adds the pre-image read
+   * that change capture inherently costs.
+   */
+  def merge(spark: SparkSession, rootStr: String, source: DataFrame,
+      keys: Seq[String],
+      deleteCondition: Option[org.apache.spark.sql.Column] = None,
+      txn: Option[(String, Long)] = None): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace}
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = true, kind = "merge")
+    require(keys.nonEmpty, s"merge into $rootStr: no key columns given")
+    val tableCols = prior.schema.fieldNames.toSeq
+    keys.foreach(k => require(tableCols.contains(k),
+      s"merge into $rootStr: key column '$k' is not a table column " +
+        s"(have ${tableCols.mkString(", ")})"))
+    require(source.columns.toSet == tableCols.toSet,
+      s"merge into $rootStr: source columns " +
+        s"${source.columns.mkString(", ")} must match the table columns " +
+        s"${tableCols.mkString(", ")} exactly")
+    val src = source.select(tableCols.map(source.col): _*)
+    prior.schema.fields.zip(src.schema.fields).foreach { case (tf, sf) =>
+      require(tf.dataType == sf.dataType,
+        s"merge into $rootStr: column '${tf.name}' is " +
+          s"${sf.dataType.simpleString} in the source but the table " +
+          s"declares ${tf.dataType.simpleString}; cast it first")
+    }
+
+    // a source with duplicate keys would update one target row twice —
+    // the ambiguity real MERGE refuses ("multiple source rows matched")
+    val dupes = src.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupes == 0L,
+      s"merge into $rootStr: source has duplicate values of " +
+        s"(${keys.mkString(", ")}); deduplicate the source first")
+
+    val delFlag = deleteCondition
+      .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+    val flagged = src.withColumn("__graft_is_delete", delFlag)
+    val dels = flagged.filter(col("__graft_is_delete"))
+      .drop("__graft_is_delete")
+    val ups = flagged.filter(!col("__graft_is_delete"))
+      .drop("__graft_is_delete")
+
+    val cmMode = DeltaColumnMapping.mode(prior.configuration)
+    val physParts = prior.partitionColumns.map { n =>
+      if (cmMode == "none") n
+      else prior.schema.fields.find(_.name == n)
+        .map(DeltaColumnMapping.physicalName).getOrElse(n)
+    }
+
+    // ---- matched target positions → deletion vectors (both marker and
+    // upsert keys delete the old row; re-marking rows an earlier DV
+    // already dropped is a no-op via the executor-side union) ----
+    def normC(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+    val merged: Seq[(DeltaFileMeta, DvDescriptor)] =
+      if (prior.files.isEmpty) Nil
+      else {
+        val base = spark.read
+          .schema(if (cmMode == "none") prior.schema
+            else DeltaColumnMapping.physicalSchema(prior.schema))
+          .option("basePath", rootStr)
+          .parquet(prior.files.map(_.path): _*)
+        val logical = if (cmMode == "none") base
+          else DeltaColumnMapping.toLogical(base, prior.schema,
+            keep = Seq("_metadata"))
+        val srcKeys = src.select(keys.map(col): _*)
+        val matched = logical
+          .join(srcKeys,
+            keys.map(k => logical(k) === srcKeys(k)).reduce(_ && _),
+            "left_semi")
+          .select(normC(col("_metadata.file_path")).as("p"),
+            col("_metadata.row_index").as("pos"))
+          .as[(String, Long)]
+        writeDvs(spark, rootStr, prior, matched)
+      }
+    val dvPaths: Seq[Path] =
+      merged.flatMap(_._2.absolutePath(root).map(_.toString)).distinct
+        .map(new Path(_))
+
+    // ---- insert leg: EVERY upsert row lands as new data (matched ones
+    // are the post-image versions of their DV-deleted predecessors) ----
+    val physUps = if (cmMode == "none") ups
+      else DeltaColumnMapping.toPhysical(ups, prior.schema)
+    val stage = new Path(root,
+      s".graft-stage-${java.util.UUID.randomUUID().toString}")
+    val writer = physUps.write.mode(SaveMode.Append)
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
+      .parquet(stage.toString)
+    val stageUri = fs.makeQualified(stage).toUri
+    val added: Seq[FileStatus] = dataFiles(fs, stage).map { s =>
+      val rel = stageUri.relativize(s.getPath.toUri).getPath
+      val target = new Path(root, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(s.getPath, target)) {
+        throw new IllegalStateException(
+          s"failed to move staged file ${s.getPath} to $target")
+      }
+      fs.getFileStatus(target)
+    }
+    fs.delete(stage, true)
+    if (merged.isEmpty && added.isEmpty) return prior.version // no-op merge
+
+    // ---- CDF: classify the merge's row-level effect against the LIVE
+    // pre-image (matched-vs-inserted is a CDF concern only — the data
+    // path above never needs it) ----
+    val (cdcLines, cdcPaths): (Seq[JValue], Seq[Path]) =
+      if (!cdfEnabled(prior.configuration)) (Nil, Nil)
+      else {
+        val live = read(spark, rootStr)
+        val liveKeys = live.select(keys.map(col): _*)
+        val legs = Seq(
+          live.join(dels.select(keys.map(col): _*), keys, "left_semi") ->
+            "delete",
+          live.join(ups.select(keys.map(col): _*), keys, "left_semi") ->
+            "update_preimage",
+          ups.join(liveKeys, keys, "left_semi") -> "update_postimage",
+          ups.join(liveKeys, keys, "left_anti") -> "insert")
+        val changeRows = legs.map { case (df, tpe) =>
+          val phys = if (cmMode == "none") df
+            else DeltaColumnMapping.toPhysical(df, prior.schema)
+          phys.withColumn("_change_type", lit(tpe))
+        }.reduce(_ unionByName _)
+        writeCdc(spark, fs, root, changeRows, physParts)
+      }
+
+    val version = prior.version + 1
+    val now = System.currentTimeMillis()
+    val rootUri = fs.makeQualified(root).toUri
+
+    val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(now, "MERGE",
+      Map("matchedCount" -> merged.map(_._1).size.toString),
+      if (ictEnabled(prior.configuration))
+        Some(nextIct(fs, root, prior.version, now)) else None)
+    txn.foreach { case (app, v) =>
+      lines += JObject("txn" -> JObject(
+        "appId" -> JString(app), "version" -> JLong(v),
+        "lastUpdated" -> JLong(now)))
+    }
+    if (merged.nonEmpty) dvProtocolLine(prior).foreach(lines += _)
+    lines ++= dvAddRemoveLines(fs, root, merged, now)
+
+    val statsSchema = StructType(
+      (if (cmMode == "none") prior.schema
+       else DeltaColumnMapping.physicalSchema(prior.schema))
+        .filterNot(f => physParts.contains(f.name)))
+    val statsByPath: Map[String, FileStats] = ParquetFooterStats
+      .collect(spark, added.map(_.getPath.toString), statsSchema)
+    added.foreach { s =>
+      val rel = rootUri.relativize(s.getPath.toUri).getPath
+      val pvals = rel.split('/').init.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> JString(java.net.URLDecoder.decode(v, "UTF-8")))
+          case _ => None
+        }
+      }.toList
+      val statsJson = statsByPath.get(s.getPath.toString)
+        .flatMap(DeltaStats.render(_, statsSchema))
       lines += JObject("add" -> JObject(
         List(
           "path" -> (JString(rel): JValue),
-          "partitionValues" -> (JObject(partitionValuesOf(rel)): JValue),
-          "size" -> (JLong(f.size): JValue),
-          "modificationTime" -> (JLong(f.modificationTime): JValue),
-          "dataChange" -> (JBool(true): JValue),
-          "deletionVector" -> (dvJson: JValue)) ++
-          // stats describe the file's PHYSICAL rows (Delta convention:
-          // numRecords counts DV-deleted rows too), so they carry forward
-          f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList))
+          "partitionValues" -> (JObject(pvals): JValue),
+          "size" -> (JLong(s.getLen): JValue),
+          "modificationTime" -> (JLong(s.getModificationTime): JValue),
+          "dataChange" -> (JBool(true): JValue)) ++
+          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
     }
 
     lines ++= cdcLines
 
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
-    // same create-no-overwrite fence as commit(): the loser's DV and cdc
-    // files are removed so a retry starts clean
+    fs.mkdirs(DeltaLog.logDir(root))
     val out = try fs.create(commitPath, false) catch {
       case e: Throwable =>
-        fs.delete(dvPath, false)
+        dvPaths.foreach(fs.delete(_, false))
+        added.foreach(s => fs.delete(s.getPath, false))
         cdcPaths.foreach(fs.delete(_, false))
         throw e
     }
@@ -2199,7 +2455,7 @@ object DeltaTable {
     s.version
   }
 
-  private def dataFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {
+  private[sources] def dataFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {
     if (!fs.exists(root)) return Nil
     val buf = mutable.Buffer.empty[FileStatus]
     def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>

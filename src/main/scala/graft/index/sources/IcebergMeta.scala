@@ -69,7 +69,11 @@ final case class IcebergSnapshot(
     // the metadata.json version this snapshot was read from — the COMMIT
     // FENCE base: a commit publishes exactly version+1, so two writers
     // sharing a prior collide on the create-no-overwrite, never fork
-    metadataVersion: Long = 0L)
+    metadataVersion: Long = 0L,
+    // identity-transform partition columns of the default partition spec
+    // (source-id resolved against the current schema); empty = spec 0 /
+    // unpartitioned. The spec is fixed at create and every write honors it.
+    partitionColumns: Seq[String] = Nil)
 
 /**
  * Iceberg SINGLE-VALUE SERIALIZATION (spec appendix D) for manifest
@@ -210,6 +214,56 @@ object IcebergMeta {
       case _ => j \ "schema"
     }
     val schema = icebergSchemaToSpark(schemaJson)
+    val fieldIdsEarly: Map[Int, String] = (schemaJson \ "fields") match {
+      case JArray(fields) => fields.flatMap { f =>
+        ((f \ "id"), (f \ "name")) match {
+          case (JInt(i), JString(n)) => Some(i.toInt -> n)
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+    // default partition spec → identity column names. Non-identity
+    // transforms (bucket/truncate/days/…) refuse loudly: a jarless write
+    // against them would publish files the spec's partition tuple can't
+    // describe, and reads planned here would mis-prune.
+    val partCols: Seq[String] = {
+      val specId = (j \ "default-spec-id") match {
+        case JInt(n) => n.toInt
+        case _ => 0
+      }
+      (j \ "partition-specs") match {
+        case JArray(specs) =>
+          specs.find(s => (s \ "spec-id") == JInt(specId)).toSeq.flatMap {
+            s => (s \ "fields") match {
+              case JArray(fs) => fs.map { f =>
+                val transform = (f \ "transform") match {
+                  case JString(t) => t
+                  case _ => "identity"
+                }
+                require(transform == "identity",
+                  s"partition spec of $location uses transform " +
+                    s"'$transform'; the jarless source supports identity " +
+                    "transforms only")
+                (f \ "source-id") match {
+                  case JInt(sid) => fieldIdsEarly.getOrElse(sid.toInt,
+                    throw new IllegalArgumentException(
+                      s"partition spec of $location names source-id $sid, " +
+                        "not a top-level column of the current schema"))
+                  case _ => (f \ "name") match {
+                    case JString(n) => n
+                    case _ => throw new IllegalArgumentException(
+                      s"partition spec field of $location has neither " +
+                        "source-id nor name")
+                  }
+                }
+              }
+              case _ => Nil
+            }
+          }
+        case _ => Nil
+      }
+    }
 
     val currentId = (j \ "current-snapshot-id") match {
       case JInt(n) if n.toLong >= 0 => n.toLong
@@ -226,7 +280,8 @@ object IcebergMeta {
           }.toMap
           case _ => Map.empty
         },
-        metadataVersion = metadataVersionOf(metaFile.getName))
+        metadataVersion = metadataVersionOf(metaFile.getName),
+        partitionColumns = partCols)
 
     val snap = (j \ "snapshots") match {
       case JArray(snaps) =>
@@ -300,7 +355,7 @@ object IcebergMeta {
     IcebergSnapshot(location, snapshotId, schema, dataEntries.map(_._1),
       deleteFiles, dataEntries.map(e => e._1.path -> e._2).toMap, fieldIds,
       JsonMethods.compact(JsonMethods.render(schemaJson)), properties,
-      lastColId, metadataVersionOf(metaFile.getName))
+      lastColId, metadataVersionOf(metaFile.getName), partCols)
   }
 
   /** Version number encoded in a metadata.json file name. */
@@ -912,12 +967,14 @@ object IcebergTable {
     var prevDeletes: Set[String] = Set.empty
     var prevSnapFiles: Seq[DeltaFileMeta] = Nil
     var prevDeleteMetas: Seq[IceDeleteFile] = Nil
+    var prevSid: Option[Long] = None
     if (fromSnapshotId != 0L) {
       val base = IcebergMeta.snapshot(spark, location, Some(fromSnapshotId))
       prevFiles = base.files.map(f => DeltaTable.normPath(f.path)).toSet
       prevDeletes = base.deleteFiles.map(d => DeltaTable.normPath(d.path)).toSet
       prevSnapFiles = base.files
       prevDeleteMetas = base.deleteFiles
+      prevSid = Some(fromSnapshotId)
     }
     val parts = mutable.Buffer.empty[DataFrame]
     ordered.foreach { sid =>
@@ -942,19 +999,25 @@ object IcebergTable {
               .parquet(added.map(_.path): _*), "insert", sid, tsMs)
           }
         case "replace" => // row-transparent
-        case "delete" =>
+        case "delete" | "overwrite" =>
+          // a rewriting overwrite (data files REMOVED) has no row-level
+          // replay; merge/delete snapshots only carry adds + delete files
+          val removedData = prevFiles --
+            s.files.map(f => DeltaTable.normPath(f.path)).toSet
+          if (removedData.nonEmpty) {
+            throw new UnsupportedOperationException(
+              s"snapshot $sid at $location is a rewriting '$op' (it drops " +
+                s"${removedData.size} data file(s)); its row-level effect " +
+                "cannot be replayed by this changelog scan. Read full " +
+                "snapshots instead.")
+          }
           val newDeletes = s.deleteFiles.filterNot(d =>
             prevDeletes.contains(DeltaTable.normPath(d.path)))
-          if (newDeletes.exists(_.content == 2)) {
-            throw new UnsupportedOperationException(
-              s"snapshot $sid at $location adds EQUALITY delete files; " +
-                "their victims depend on the sequence rule against the " +
-                "parent state and cannot be replayed by this changelog " +
-                "scan. Read full snapshots instead.")
-          }
-          if (newDeletes.nonEmpty) {
+          val posNew = newDeletes.filter(_.content == 1)
+          val eqNew = newDeletes.filter(_.content == 2)
+          if (posNew.nonEmpty) {
             // inverse of the MOR anti-join: keep exactly the named rows
-            val dels = spark.read.parquet(newDeletes.map(_.path): _*)
+            val dels = spark.read.parquet(posNew.map(_.path): _*)
               .select(regexp_replace(col("file_path"), "^file:/+", "/")
                 .as("__del_path"),
                 col("pos").cast("long").as("__del_pos"))
@@ -983,15 +1046,52 @@ object IcebergTable {
               .drop("__path", "__pos")
             parts += stamp(victims, "delete", sid, tsMs)
           }
+          if (eqNew.nonEmpty) {
+            // EQUALITY-delete victims (the merge/CDC shape): the rows of
+            // the parent LIVE state whose key columns match any delete
+            // row. The parent MOR read already excludes rows earlier
+            // deletes killed; the spec's sequence rule holds because
+            // every parent file's seq <= parent snapshot id < the new
+            // delete's seq (this writer commits delete seq = prior+1).
+            val parentSid = prevSid.orElse(parentOf(sid))
+            parentSid.foreach { p =>
+              val parentLive = read(spark, location, Some(p))
+              eqNew.groupBy(_.equalityIds.sorted).foreach { case (eids, group) =>
+                val cols = eids.map(id => toSnap.fieldIdToName.getOrElse(id,
+                  throw new IllegalArgumentException(
+                    s"equality delete names field id $id, which is not a " +
+                      s"top-level column of the schema at $location")))
+                val delRows = group.map { d =>
+                  spark.read.parquet(d.path)
+                    .select(cols.map(c => col(c).as(s"__del_$c")): _*)
+                }.reduce(_ unionByName _)
+                val cond = cols.map(c => parentLive(c) <=> delRows(s"__del_$c"))
+                  .reduce(_ && _)
+                parts += stamp(
+                  parentLive.join(delRows, cond, "left_semi"),
+                  "delete", sid, tsMs)
+              }
+            }
+          }
+          // the merge upsert leg: data files ADDED alongside the deletes
+          val added = s.files.filterNot(f =>
+            prevFiles.contains(DeltaTable.normPath(f.path)))
+          if (added.nonEmpty) {
+            parts += stamp(spark.read.schema(toSnap.schema)
+              .option("basePath", s"$location/data")
+              .parquet(added.map(_.path): _*), "insert", sid, tsMs)
+          }
         case other =>
           throw new UnsupportedOperationException(
             s"snapshot $sid at $location is a '$other' operation; this " +
-              "changelog scan replays appends and positional deletes only.")
+              "changelog scan replays appends, merges, and row-level " +
+              "deletes only.")
       }
       prevFiles = s.files.map(f => DeltaTable.normPath(f.path)).toSet
       prevDeletes = s.deleteFiles.map(d => DeltaTable.normPath(d.path)).toSet
       prevSnapFiles = s.files
       prevDeleteMetas = s.deleteFiles
+      prevSid = Some(sid)
     }
     parts.reduceOption(_.union(_)).getOrElse {
       val empty = StructType(toSnap.schema.fields ++ Seq(
@@ -1155,17 +1255,35 @@ object IcebergTable {
     }: _*)
   }
 
+  /** `partitionColumns` declares an IDENTITY partition spec, fixed at
+    * create: data files land hive-laid-out under `data/<col>=<val>/…`
+    * with the partition columns dropped from the files (reconstructed
+    * from the path by every reader via `basePath` — the layout Spark's
+    * own partitioned sources use), the published metadata carries a real
+    * partition spec (spec-id 0, identity fields), and each manifest
+    * entry records the file's partition tuple plus min=max partition
+    * bounds, so filtered reads prune partitioned files from metadata
+    * alone. Reference counterpart: the reference's Iceberg relation
+    * serves partitioned tables end to end
+    * (sources/iceberg/IcebergRelation.scala:77-86). */
   def create(df: DataFrame, location: String,
-      txn: Option[(String, Long)] = None): Long =
-    commit(df, location, firstVersion = true, txn = txn)
+      txn: Option[(String, Long)] = None,
+      partitionColumns: Seq[String] = Nil): Long =
+    commit(df, location, firstVersion = true, txn = txn,
+      partitionColumns = partitionColumns)
 
   /** `txn` stamps the commit with an idempotence watermark in the
     * table properties (`graft.txn.<appId>` = version) — the pattern
     * Iceberg streaming writers use via snapshot/table metadata, checked
-    * by the exactly-once sink before re-applying a replayed batch. */
+    * by the exactly-once sink before re-applying a replayed batch.
+    * `partitionColumns`, when given, must NAME the table's existing
+    * spec (the spec is fixed at create); appends always write the
+    * table's layout either way. */
   def append(df: DataFrame, location: String,
-      txn: Option[(String, Long)] = None): Long =
-    commit(df, location, firstVersion = false, txn = txn)
+      txn: Option[(String, Long)] = None,
+      partitionColumns: Seq[String] = Nil): Long =
+    commit(df, location, firstVersion = false, txn = txn,
+      partitionColumns = partitionColumns)
 
   /** Latest committed txn version per appId (from table properties). */
   def transactions(spark: SparkSession, location: String): Map[String, Long] =
@@ -1232,8 +1350,126 @@ object IcebergTable {
       |  {"name":"manifest_length","type":"long"},
       |  {"name":"partition_spec_id","type":"int"},
       |  {"name":"content","type":"int","default":0},
-      |  {"name":"added_snapshot_id","type":["null","long"],"default":null}
+      |  {"name":"added_snapshot_id","type":["null","long"],"default":null},
+      |  {"name":"partitions","type":["null",{"type":"array","items":
+      |    {"type":"record","name":"field_summary","fields":[
+      |      {"name":"contains_null","type":"boolean"},
+      |      {"name":"lower_bound","type":["null","bytes"],"default":null},
+      |      {"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
+      |   "default":null}
       |]}""".stripMargin)
+
+  // ------------------------------------------ identity partition support
+
+  /** Partition column types the jarless writer can round-trip through a
+    * hive path segment AND the manifest partition tuple. */
+  private[sources] def partitionable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         BooleanType | DateType => true
+    case _ => false
+  }
+
+  /** Avro type name for a partition record field. */
+  private def avroPartType(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | DateType => "int"
+    case LongType => "long"
+    case BooleanType => "boolean"
+    case StringType => "string"
+    case other => throw new IllegalArgumentException(
+      s"unpartitionable type ${other.simpleString}")
+  }
+
+  /** Data-manifest schema with the spec's per-entry `partition` record
+    * (one nullable field per identity partition column); the static
+    * [[ManifestSchema]] when the table is unpartitioned. Built by
+    * splicing a `partition` field into the entry record programmatically
+    * (avro Schema objects are immutable — rebuild field lists). */
+  private def manifestSchemaFor(parts: Seq[(String, DataType)]): Schema = {
+    import scala.jdk.CollectionConverters._
+    if (parts.isEmpty) return ManifestSchema
+    val partFields = parts.map { case (n, dt) =>
+      new Schema.Field(n,
+        Schema.createUnion(Schema.create(Schema.Type.NULL),
+          Schema.create(Schema.Type.valueOf(avroPartType(dt).toUpperCase))),
+        null, Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    val partRecord = Schema.createRecord("r102", null, null, false,
+      partFields.asJava)
+    def copyField(f: Schema.Field): Schema.Field =
+      if (f.hasDefaultValue)
+        new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal())
+      else new Schema.Field(f.name(), f.schema(), f.doc())
+    val oldDf = ManifestSchema.getField("data_file").schema()
+    val dfFields = oldDf.getFields.asScala.toSeq.map(copyField) :+
+      new Schema.Field("partition", partRecord, null)
+    val newDf = Schema.createRecord(oldDf.getName, null, null, false,
+      dfFields.asJava)
+    val entryFields = ManifestSchema.getFields.asScala.toSeq.map { f =>
+      if (f.name() == "data_file") new Schema.Field("data_file", newDf, null)
+      else copyField(f)
+    }
+    Schema.createRecord(ManifestSchema.getName, null, null, false,
+      entryFields.asJava)
+  }
+
+  /** Decode one hive path segment value (`%XX`-escaped by Spark's
+    * partitioned writer; `__HIVE_DEFAULT_PARTITION__` = null). */
+  private[sources] def unescapeHive(s: String): Option[String] = {
+    if (s == "__HIVE_DEFAULT_PARTITION__") return None
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    Some(sb.toString)
+  }
+
+  /** Identity partition values of a data file, parsed from its hive
+    * path segments relative to `data/` — returned in BOTH shapes needed
+    * downstream: the stats comparison domain (for bounds/pruning) and
+    * the avro record domain (for the manifest partition tuple). */
+  private[sources] def hivePartitionValues(path: String,
+      parts: Seq[(String, DataType)]): Map[String, Option[Any]] = {
+    if (parts.isEmpty) return Map.empty
+    val segs = path.split('/').toSeq
+    val byName: Map[String, Option[String]] = segs.flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k -> unescapeHive(v))
+        case _ => None
+      }
+    }.toMap
+    parts.map { case (n, dt) =>
+      n -> byName.getOrElse(n, throw new IllegalArgumentException(
+        s"data file $path carries no hive segment for partition " +
+          s"column '$n'")).map(castPartValue(_, dt))
+    }.toMap
+  }
+
+  /** Hive string → stats-domain value (Long / String / Boolean; dates
+    * as epoch days — the [[FileStats]] comparison domain). */
+  private[sources] def castPartValue(s: String, dt: DataType): Any = dt match {
+    case ByteType | ShortType | IntegerType | LongType => s.toLong
+    case BooleanType => s.toBoolean
+    case DateType => java.sql.Date.valueOf(s).toLocalDate.toEpochDay
+    case _ => s
+  }
+
+  /** Stats-domain partition value → the avro value the manifest's
+    * partition record carries. */
+  private def avroPartValue(v: Any, dt: DataType): AnyRef = (v, dt) match {
+    case (n: Long, ByteType | ShortType | IntegerType | DateType) =>
+      Int.box(n.toInt)
+    case (n: Long, LongType) => Long.box(n)
+    case (b: Boolean, BooleanType) => Boolean.box(b)
+    case (s: String, _) => s
+    case (other, _) => other.asInstanceOf[AnyRef]
+  }
 
   private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
       records: Seq[GenericRecord]): Long = {
@@ -1250,7 +1486,8 @@ object IcebergTable {
   }
 
   private def commit(df: DataFrame, location: String, firstVersion: Boolean,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      partitionColumns: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1263,6 +1500,29 @@ object IcebergTable {
       else None
     require(prior.isDefined || firstVersion,
       s"append to a non-Iceberg directory: $location (create it first)")
+    // partition spec resolution: fixed at create, appends must conform
+    val parts: Seq[String] = prior match {
+      case Some(p) =>
+        require(partitionColumns.isEmpty || partitionColumns == p.partitionColumns,
+          s"append to $location: partitionBy(${partitionColumns.mkString(", ")}) " +
+            s"does not match the table's partition spec " +
+            s"(${if (p.partitionColumns.isEmpty) "unpartitioned"
+               else p.partitionColumns.mkString(", ")}); the spec is fixed " +
+            "at create")
+        p.partitionColumns
+      case None =>
+        partitionColumns.foreach { c =>
+          val f = df.schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"create at $location: partition column '$c' is not in the " +
+                s"frame schema ${df.schema.simpleString}"))
+          require(partitionable(f.dataType),
+            s"create at $location: partition column '$c' has type " +
+              s"${f.dataType.simpleString}; identity partitioning supports " +
+              "integral, string, boolean and date columns")
+        }
+        partitionColumns
+    }
     // APPEND SCHEMA ENFORCEMENT: a shape-mismatched frame would fall off
     // the published-schema fast path and silently REPUBLISH the table
     // schema with fresh field ids — corrupting id-based resolution for
@@ -1284,26 +1544,18 @@ object IcebergTable {
     val stage = new Path(root,
       s".graft-stage-${java.util.UUID.randomUUID().toString}")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    withIdMetadata(df, IcebergMeta.publishedSchemaJson(prior, df.schema))
-      .write.mode(SaveMode.Append).parquet(stage.toString)
-    fs.mkdirs(dataDir)
-    val added: Seq[FileStatus] = fs.listStatus(stage).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val target = new Path(dataDir, s.getPath.getName)
-        if (!fs.rename(s.getPath, target)) {
-          throw new IllegalStateException(
-            s"failed to move staged file ${s.getPath} to $target")
-        }
-        fs.getFileStatus(target)
-      }
-    fs.delete(stage, true)
+    val idDf = withIdMetadata(df, IcebergMeta.publishedSchemaJson(prior, df.schema))
+    val w = idDf.write.mode(SaveMode.Append)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(stage.toString)
+    val added = moveStagedData(fs, stage, dataDir)
 
     // per-file stats from the freshly-written footers (metadata-only
     // reads) → manifest bounds, the payload every real Iceberg reader
-    // prunes files with
-    val statsByPath = ParquetFooterStats.collect(
-      spark, added.map(_.getPath.toString), df.schema)
+    // prunes files with. Partitioned files carry only the non-partition
+    // columns; the partition columns' min=max=value bounds are injected
+    // from the hive path, so the one pruning evaluator covers both.
+    val statsByPath = partitionedFooterStats(spark, df.schema, parts,
+      added.map(_.getPath.toString))
     publishSnapshot(spark, location, prior, df.schema, "append",
       dataExisting = prior.toSeq.flatMap(p =>
         p.files.map(f => (f, p.dataSeq.getOrElse(f.path, 0L)))),
@@ -1314,7 +1566,54 @@ object IcebergTable {
       deleteAdded = Nil,
       extraProperties = txn
         .map { case (app, v) => Map(s"graft.txn.$app" -> v.toString) }
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      createPartitionColumns = parts)
+  }
+
+  /** Move every staged data file into `dataDir`, PRESERVING hive
+    * partition subdirectories, and return the landed statuses. */
+  private def moveStagedData(fs: FileSystem, stage: Path,
+      dataDir: Path): Seq[FileStatus] = {
+    fs.mkdirs(dataDir)
+    val stageUri = fs.makeQualified(stage).toUri
+    val moved = DeltaTable.dataFiles(fs, stage).map { s =>
+      val rel = stageUri.relativize(s.getPath.toUri).getPath
+      val target = new Path(dataDir, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(s.getPath, target)) {
+        throw new IllegalStateException(
+          s"failed to move staged file ${s.getPath} to $target")
+      }
+      fs.getFileStatus(target)
+    }
+    fs.delete(stage, true)
+    moved
+  }
+
+  /** Footer stats over the FILE columns (table schema minus partition
+    * columns), augmented with the hive-path partition values as
+    * min = max = value bounds (null partition → all-null column). */
+  private def partitionedFooterStats(spark: SparkSession,
+      schema: StructType, parts: Seq[String],
+      paths: Seq[String]): Map[String, FileStats] = {
+    val partFields: Seq[(String, DataType)] =
+      parts.map(n => n -> schema(n).dataType)
+    val fileSchema =
+      if (parts.isEmpty) schema
+      else StructType(schema.filterNot(f => parts.contains(f.name)))
+    val base = ParquetFooterStats.collect(spark, paths, fileSchema)
+    if (parts.isEmpty) return base
+    paths.map { p =>
+      val fsStats = base.getOrElse(p, FileStats(None, Map.empty))
+      val vals = hivePartitionValues(p, partFields)
+      val partCols = partFields.map { case (n, _) =>
+        n -> (vals.getOrElse(n, None) match {
+          case Some(v) => FileColStats(Some(v), Some(v), Some(0L))
+          case None => FileColStats(None, None, fsStats.numRecords)
+        })
+      }.toMap
+      p -> fsStats.copy(cols = fsStats.cols ++ partCols)
+    }.toMap
   }
 
   /** v2 MERGE-ON-READ row-level DELETE: write a positional-delete file
@@ -1441,6 +1740,109 @@ object IcebergTable {
   }
 
   /**
+   * MERGE — the CDC-upsert verb, in the exact shape Flink's Iceberg
+   * upsert writer commits: ONE snapshot carrying an EQUALITY-DELETE
+   * file on `keys` (covering every source key) plus fresh data files
+   * holding the upsert rows. The spec's sequence rule does the rest:
+   * the delete (seq = prior+1) removes every OLDER row with a source
+   * key, while the new data files (committed at the same sequence) are
+   * strictly NOT older, so the upserted versions survive — matched
+   * rows are replaced, unmatched rows insert, and rows where
+   * `deleteCondition` holds are pure delete markers (their key is in
+   * the delete file, no new version lands).
+   *
+   * Refuses a source with duplicate keys (ambiguous upsert). Data
+   * files are untouched — merge-on-read; [[compact]] materializes.
+   */
+  def merge(spark: SparkSession, location: String, source: DataFrame,
+      keys: Seq[String],
+      deleteCondition: Option[org.apache.spark.sql.Column] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = new Path(root, "data")
+    require(IcebergMeta.isIcebergTable(spark, location),
+      s"merge into a non-Iceberg directory: $location (create it first)")
+    val prior = IcebergMeta.snapshot(spark, location)
+    require(keys.nonEmpty, s"merge into $location: no key columns given")
+    val tableCols = prior.schema.fieldNames.toSeq
+    keys.foreach(k => require(tableCols.contains(k),
+      s"merge into $location: key column '$k' is not a table column " +
+        s"(have ${tableCols.mkString(", ")})"))
+    require(source.columns.toSet == tableCols.toSet,
+      s"merge into $location: source columns " +
+        s"${source.columns.mkString(", ")} must match the table columns " +
+        s"${tableCols.mkString(", ")} exactly")
+    val src = source.select(tableCols.map(source.col): _*)
+    require(IcebergMeta.sameShape(src.schema, prior.schema),
+      s"merge into $location: source schema ${src.schema.simpleString} " +
+        s"does not match the table schema ${prior.schema.simpleString}")
+    val dupes = src.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupes == 0L,
+      s"merge into $location: source has duplicate values of " +
+        s"(${keys.mkString(", ")}); deduplicate the source first")
+
+    val delFlag = deleteCondition
+      .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+    val ups = src.withColumn("__graft_is_delete", delFlag)
+      .filter(!col("__graft_is_delete")).drop("__graft_is_delete")
+
+    // ---- upsert data files (same staged write as append, honoring the
+    // table's partition spec) ----
+    val stage = new Path(root,
+      s".graft-stage-${java.util.UUID.randomUUID().toString}")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val upsW = withIdMetadata(ups,
+      IcebergMeta.publishedSchemaJson(Some(prior), prior.schema))
+      .write.mode(SaveMode.Append)
+    (if (prior.partitionColumns.nonEmpty)
+      upsW.partitionBy(prior.partitionColumns: _*) else upsW)
+      .parquet(stage.toString)
+    val added = moveStagedData(fs, stage, dataDir)
+
+    // ---- equality-delete file over EVERY source key (upserts AND
+    // markers — the Flink upsert shape; unmatched keys are no-ops) ----
+    val nameToId: Map[String, Int] =
+      prior.fieldIdToName.map { case (i, n) => n -> i }
+    val ids: Seq[Int] = keys.map(nameToId)
+    val keyRows = src.select(keys.map { c =>
+      src.col(c).as(c, new MetadataBuilder()
+        .putLong(IcebergMeta.ParquetFieldId, nameToId(c).toLong).build())
+    }: _*)
+    val delStage = new Path(root,
+      s".graft-stage-${java.util.UUID.randomUUID().toString}")
+    keyRows.dropDuplicates(keys)
+      .repartition(1).sortWithinPartitions(keys.head, keys.tail: _*)
+      .write.parquet(delStage.toString)
+    val delAdded: Seq[IceDeleteFile] = fs.listStatus(delStage).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (s, i) =>
+        val target = new Path(dataDir,
+          f"eq-delete-${prior.snapshotId + 1}%05d-$i%d-${s.getPath.getName}")
+        if (!fs.rename(s.getPath, target)) {
+          throw new IllegalStateException(
+            s"failed to move staged delete file ${s.getPath} to $target")
+        }
+        val st = fs.getFileStatus(target)
+        IceDeleteFile(st.getPath.toString, st.getLen, content = 2, ids,
+          seq = prior.snapshotId + 1)
+      }
+    fs.delete(delStage, true)
+
+    val statsByPath = partitionedFooterStats(spark, prior.schema,
+      prior.partitionColumns, added.map(_.getPath.toString))
+    publishSnapshot(spark, location, Some(prior), prior.schema, "overwrite",
+      dataExisting = prior.files.map(f =>
+        (f, prior.dataSeq.getOrElse(f.path, 0L))),
+      dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L,
+        stats = statsByPath.get(s.getPath.toString)
+          .flatMap(DeltaStats.render(_, prior.schema)))),
+      deleteExisting = prior.deleteFiles,
+      deleteAdded = delAdded)
+  }
+
+  /**
    * MERGE-ON-READ COMPACTION (Iceberg's rewriteDataFiles/`REPLACE`
    * analogue): when delete files are in force, materialize the
    * surviving rows (positional + equality deletes applied) into fresh
@@ -1460,25 +1862,16 @@ object IcebergTable {
     val stage = new Path(root,
       s".graft-stage-${java.util.UUID.randomUUID().toString}")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    withIdMetadata(survivors,
+    val survW = withIdMetadata(survivors,
       IcebergMeta.publishedSchemaJson(Some(prior), prior.schema))
-      .write.mode(SaveMode.Append).parquet(stage.toString)
-    fs.mkdirs(dataDir)
-    val added: Seq[FileStatus] = fs.listStatus(stage).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val target = new Path(dataDir,
-          s"compact-${prior.snapshotId + 1}-${s.getPath.getName}")
-        if (!fs.rename(s.getPath, target)) {
-          throw new IllegalStateException(
-            s"failed to move staged file ${s.getPath} to $target")
-        }
-        fs.getFileStatus(target)
-      }
-    fs.delete(stage, true)
+      .write.mode(SaveMode.Append)
+    (if (prior.partitionColumns.nonEmpty)
+      survW.partitionBy(prior.partitionColumns: _*) else survW)
+      .parquet(stage.toString)
+    val added = moveStagedData(fs, stage, dataDir)
 
-    val statsByPath = ParquetFooterStats.collect(
-      spark, added.map(_.getPath.toString), prior.schema)
+    val statsByPath = partitionedFooterStats(spark, prior.schema,
+      prior.partitionColumns, added.map(_.getPath.toString))
     publishSnapshot(spark, location, Some(prior), prior.schema, "replace",
       dataExisting = Nil,
       dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L,
@@ -1508,31 +1901,42 @@ object IcebergTable {
         "(file, position) references would dangle across a rewrite — " +
         "run compact() first")
     val smalls = prior.files.filter(_.size < targetSizeBytes)
-    val bins = mutable.Buffer.empty[(mutable.Buffer[DeltaFileMeta], Long)]
+    // bins never cross a partition: a rewritten file must keep a single
+    // partition tuple (one hive directory), so packing groups by the
+    // file's parent directory first
+    val bins = mutable.Buffer.empty[(String, mutable.Buffer[DeltaFileMeta], Long)]
     smalls.sortBy(-_.size).foreach { f =>
-      bins.find(_._2 + f.size <= targetSizeBytes) match {
-        case Some(bin) =>
-          bin._1 += f
-          val i = bins.indexOf(bin)
-          bins(i) = (bin._1, bin._2 + f.size)
-        case None => bins += ((mutable.Buffer(f), f.size))
+      val dir = new Path(f.path).getParent.toString
+      bins.zipWithIndex.find { case ((d, _, sz), _) =>
+        d == dir && sz + f.size <= targetSizeBytes } match {
+        case Some(((d, bin, sz), i)) =>
+          bin += f
+          bins(i) = (d, bin, sz + f.size)
+        case None => bins += ((dir, mutable.Buffer(f), f.size))
       }
     }
-    val packs = bins.map(_._1.toSeq).filter(_.size >= 2).toSeq
+    val packs: Seq[(String, Seq[DeltaFileMeta])] =
+      bins.collect { case (d, b, _) if b.size >= 2 => (d, b.toSeq) }.toSeq
     if (packs.isEmpty) return prior.snapshotId
 
     val dataDir = new Path(root, "data")
+    val fileSchema =
+      if (prior.partitionColumns.isEmpty) prior.schema
+      else StructType(prior.schema.filterNot(f =>
+        prior.partitionColumns.contains(f.name)))
     val stage = new Path(root,
       s".graft-binpack-${java.util.UUID.randomUUID().toString}")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    val added = packs.zipWithIndex.flatMap { case (pack, i) =>
-      val df = spark.read.schema(prior.schema).parquet(pack.map(_.path): _*)
+    val added = packs.zipWithIndex.flatMap { case ((dir, pack), i) =>
+      // read WITHOUT basePath: rewrite exactly the file columns, then
+      // land the packed file back in the same partition directory
+      val df = spark.read.schema(fileSchema).parquet(pack.map(_.path): _*)
       withIdMetadata(df, JsonMethods.parse(prior.schemaJsonStr))
         .coalesce(1).write.parquet(new Path(stage, i.toString).toString)
       fs.listStatus(new Path(stage, i.toString)).toSeq
         .filter(_.getPath.getName.endsWith(".parquet"))
         .map { s =>
-          val target = new Path(dataDir,
+          val target = new Path(new Path(dir),
             s"binpack-${prior.snapshotId + 1}-$i-${s.getPath.getName}")
           if (!fs.rename(s.getPath, target)) {
             throw new IllegalStateException(
@@ -1543,11 +1947,11 @@ object IcebergTable {
     }
     fs.delete(stage, true)
 
-    val packed = packs.flatten.map(f => DeltaTable.normPath(f.path)).toSet
+    val packed = packs.flatMap(_._2).map(f => DeltaTable.normPath(f.path)).toSet
     val kept = prior.files.filterNot(f =>
       packed.contains(DeltaTable.normPath(f.path)))
-    val statsByPath = ParquetFooterStats.collect(
-      spark, added.map(_.getPath.toString), prior.schema)
+    val statsByPath = partitionedFooterStats(spark, prior.schema,
+      prior.partitionColumns, added.map(_.getPath.toString))
     publishSnapshot(spark, location, Some(prior), prior.schema, "replace",
       dataExisting = kept.map(f =>
         (f, prior.dataSeq.getOrElse(f.path, 0L))),
@@ -1765,7 +2169,18 @@ object IcebergTable {
       prior: Option[IcebergSnapshot], schema: StructType, operation: String,
       dataExisting: Seq[(DeltaFileMeta, Long)], dataAdded: Seq[DeltaFileMeta],
       deleteExisting: Seq[IceDeleteFile], deleteAdded: Seq[IceDeleteFile],
-      extraProperties: Map[String, String] = Map.empty): Long = {
+      extraProperties: Map[String, String] = Map.empty,
+      createPartitionColumns: Seq[String] = Nil): Long = {
+    // the table's partition spec: fixed at create (prior wins; the
+    // explicit columns only seed the FIRST metadata version)
+    val parts: Seq[String] =
+      prior.map(_.partitionColumns).getOrElse(createPartitionColumns)
+    val partFields: Seq[(String, DataType)] = parts.map { n =>
+      n -> schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$n' of $location is not in the published " +
+            s"schema ${schema.simpleString}")).dataType
+    }
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = IcebergMeta.metadataDir(location)
@@ -1870,6 +2285,17 @@ object IcebergTable {
         dfr.put("equality_ids",
           java.util.Arrays.asList(equalityIds.map(Int.box): _*))
       }
+      // the spec's per-entry partition tuple (identity values parsed
+      // back from the file's hive path — the writer put them there)
+      Option(dfSchema.getField("partition")).foreach { pf =>
+        val rec = new GenericData.Record(pf.schema())
+        val vals = hivePartitionValues(path, partFields)
+        partFields.foreach { case (n, dt) =>
+          rec.put(n, vals.getOrElse(n, None)
+            .map(avroPartValue(_, dt)).orNull)
+        }
+        dfr.put("partition", rec)
+      }
       val r = new GenericData.Record(avroSchema)
       r.put("status", status)
       r.put("snapshot_id", snapshotId)
@@ -1882,11 +2308,12 @@ object IcebergTable {
       r
     }
     // prior live files carry over as EXISTING (0); this commit's as ADDED (1)
+    val dataManifestSchema = manifestSchemaFor(partFields)
     val dataEntries =
       dataExisting.map { case (f, seq) =>
-        entry(ManifestSchema, 0, None, f.path, f.size, seq, Nil, f.stats) } ++
+        entry(dataManifestSchema, 0, None, f.path, f.size, seq, Nil, f.stats) } ++
         dataAdded.map(f =>
-          entry(ManifestSchema, 1, None, f.path, f.size, snapshotId, Nil, f.stats))
+          entry(dataManifestSchema, 1, None, f.path, f.size, snapshotId, Nil, f.stats))
     val deleteEntries =
       deleteExisting.map(f => entry(DeleteManifestSchema, 0, Some(f.content),
         f.path, f.size, f.seq, f.equalityIds)) ++
@@ -1898,13 +2325,47 @@ object IcebergTable {
     // file below is the SINGLE commit fence and cleanup is exact
     val writerTag = java.util.UUID.randomUUID().toString.take(8)
     val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d-$writerTag.avro")
-    val manifestLen = writeAvro(fs, manifestPath, ManifestSchema, dataEntries)
+    val manifestLen = writeAvro(fs, manifestPath, dataManifestSchema, dataEntries)
     val deleteManifest: Option[(Path, Long)] =
       if (deleteEntries.isEmpty) None
       else {
         val dm = new Path(metaDir,
           f"delete-manifest-$snapshotId%05d-$writerTag.avro")
         Some((dm, writeAvro(fs, dm, DeleteManifestSchema, deleteEntries)))
+      }
+
+    // per-partition-field summaries for the DATA manifest (the spec's
+    // manifest-level pruning payload: contains_null + serialized
+    // lower/upper across every entry in the manifest)
+    val partSummaries: Option[java.util.List[GenericRecord]] =
+      if (partFields.isEmpty) None
+      else {
+        val itemSchema = ManifestListSchema.getField("partitions").schema()
+          .getTypes.get(1).getElementType
+        val allPaths = dataExisting.map(_._1.path) ++ dataAdded.map(_.path)
+        def cmpDom(a: Any, b: Any): Int = (a, b) match {
+          case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+          case (x: String, y: String) => x.compareTo(y)
+          case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+          case _ => 0
+        }
+        val recs = partFields.map { case (n, dt) =>
+          val vs = allPaths.map(p =>
+            hivePartitionValues(p, Seq(n -> dt)).getOrElse(n, None))
+          val defined = vs.flatten
+          val r = new GenericData.Record(itemSchema)
+          r.put("contains_null", Boolean.box(vs.exists(_.isEmpty)))
+          if (defined.nonEmpty) {
+            val lo = defined.reduce((a, b) => if (cmpDom(a, b) <= 0) a else b)
+            val hi = defined.reduce((a, b) => if (cmpDom(a, b) >= 0) a else b)
+            IceSingleValue.serialize(lo, dt).foreach(b =>
+              r.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+            IceSingleValue.serialize(hi, dt).foreach(b =>
+              r.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+          }
+          r
+        }
+        Some(java.util.Arrays.asList(recs: _*))
       }
 
     def mlEntry(path: Path, len: Long, content: Int): GenericRecord = {
@@ -1914,6 +2375,7 @@ object IcebergTable {
       r.put("partition_spec_id", 0)
       r.put("content", content)
       r.put("added_snapshot_id", snapshotId)
+      if (content == 0) partSummaries.foreach(r.put("partitions", _))
       r
     }
     val manifestList = new Path(metaDir, f"snap-$snapshotId%05d-$writerTag.avro")
@@ -1938,7 +2400,14 @@ object IcebergTable {
         .map { case (k, v) => k -> (JString(v): JValue) }),
       "default-spec-id" -> JInt(0),
       "partition-specs" -> JArray(List(JObject(
-        "spec-id" -> JInt(0), "fields" -> JArray(Nil)))),
+        "spec-id" -> JInt(0),
+        "fields" -> JArray(parts.zipWithIndex.toList.map { case (n, i) =>
+          JObject(
+            "name" -> JString(n),
+            "transform" -> JString("identity"),
+            "source-id" -> JInt(BigInt(topFieldIds.getOrElse(n, -1))),
+            "field-id" -> JInt(1000 + i)): JValue
+        })))),
       "current-snapshot-id" -> JLong(snapshotId),
       "snapshots" -> JArray(priorSnapshots :+ JObject(
         List[(String, JValue)](

@@ -51,8 +51,8 @@ object LakeTable {
 
   /** INCREMENTAL CHANGES after `fromId` (exclusive): Delta routes to the
     * change data feed (all change types when CDF is enabled), Iceberg to
-    * the CHANGELOG scan (appends + positional-delete victims; equality
-    * deletes refuse). Both stamp `_change_type` and
+    * the CHANGELOG scan (appends, merge upserts, positional- and
+    * equality-delete victims). Both stamp `_change_type` and
     * `_commit_timestamp`. */
   def changes(spark: SparkSession, path: String, fromId: Long): DataFrame =
     formatOf(spark, path) match {
@@ -71,6 +71,22 @@ object LakeTable {
               StructField("_commit_timestamp", TimestampType))))
         } else DeltaTable.changes(spark, path, fromId + 1)
       case _ => IcebergTable.incrementalChanges(spark, path, fromId)
+    }
+
+  /** MERGE — the CDC upsert verb, format-agnostic: source rows keyed by
+    * `keys` replace matched target rows and insert unmatched ones; rows
+    * where `deleteCondition` holds are delete markers. One commit in
+    * both formats: Delta DV-deletes matched rows and appends the new
+    * versions (CDF records delete / update pre+post / insert); Iceberg
+    * commits an equality-delete file plus the upsert data files (the
+    * changelog replays delete + insert). */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], deleteCondition: Option[Column] = None): Long =
+    formatOf(spark, path) match {
+      case "delta" =>
+        DeltaTable.merge(spark, path, source, keys, deleteCondition)
+      case _ =>
+        IcebergTable.merge(spark, path, source, keys, deleteCondition)
     }
 
   /** Row-level DELETE, merge-on-read in both formats (Delta deletion

@@ -196,11 +196,8 @@ final class IcebergStreamProvider extends StreamSourceProvider
       outputMode: OutputMode): Sink = {
     require(outputMode == OutputMode.Append(),
       s"graft-iceberg sink supports Append output mode only, got $outputMode")
-    require(partitionColumns.isEmpty,
-      "graft-iceberg sink writes unpartitioned layouts (identity " +
-        "partition values live in the data files)")
     new LakeStreamSink(sqlContext.sparkSession, pathOf(parameters),
-      Nil, parameters, iceberg = true)
+      partitionColumns, parameters, iceberg = true)
   }
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -281,8 +278,10 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
       // writer does not do mid-stream
       require(!merge, "graft-iceberg sink does not support mergeSchema; " +
         "evolve the table schema before starting the stream")
-      if (exists) IcebergTable.append(batch, rootStr, txn)
-      else IcebergTable.create(batch, rootStr, txn)
+      // partitionBy declares the identity spec on first-batch create;
+      // later batches must name the table's spec (enforced in append)
+      if (exists) IcebergTable.append(batch, rootStr, txn, partitionColumns)
+      else IcebergTable.create(batch, rootStr, txn, partitionColumns)
     } else {
       if (exists) DeltaTable.append(batch, rootStr, partitionColumns, txn,
         mergeSchema = merge)

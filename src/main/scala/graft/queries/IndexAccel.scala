@@ -760,6 +760,41 @@ object IndexAccel {
        | ${sqlMoneySum("c_acctbal")} AS sum_bal
        |FROM customer WHERE c_nationkey BETWEEN 5 AND 15""".stripMargin
 
+  /** IDENTITY-PARTITIONED Iceberg: the fixture is created with a real
+    * partition spec (`partitionColumns = c_mktsegment`), data files land
+    * hive-laid-out with the partition column dropped from the files, and
+    * the filtered aggregate groups ACROSS partition and file columns —
+    * a hash match proves path-reconstructed partition values line up
+    * row-for-row with the file columns, and the scan only opens the
+    * matching partitions' files (asserted in IcebergPartitionedSpec). */
+  def idxIcebergPartFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{IcebergMeta, IcebergTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val loc = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_iceberg_part_$h"
+    synchronized {
+      if (!IcebergMeta.isIcebergTable(spark, loc)) {
+        val cust = Tables.load(spark, sfDir, "customer")
+        IcebergTable.create(cust.filter(col("c_custkey") % 2 === 0), loc,
+          partitionColumns = Seq("c_mktsegment"))
+        IcebergTable.append(cust.filter(col("c_custkey") % 2 === 1), loc)
+      }
+    }
+    IcebergTable.read(spark, loc)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY") &&
+        col("c_nationkey") < 20)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("segment"))
+  }
+
+  val idxIcebergPartFilterSql: String =
+    s"""SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer
+       |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_nationkey < 20
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Iceberg v2 MERGE-ON-READ: the fixture table takes a positional
     * row-level DELETE (`deleteWhere`), so a matching aggregate proves
     * the delete manifest walk and the (file, position) anti-join
@@ -908,7 +943,116 @@ object IndexAccel {
        |WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 0
        |  AND NOT (c_custkey % 9 = 2)""".stripMargin
 
+  /** MERGE (CDC upsert) on the jarless Delta writer, end-to-end: the
+    * fixture table holds the even customers, the source upserts every
+    * third customer with a bumped balance (rows with `c_nationkey >= 20`
+    * are delete markers), and the query aggregates the POST-MERGE table
+    * per segment. A hash match proves the one-commit DV-delete + append
+    * composition produced exactly the upsert semantics: matched rows
+    * replaced, markers removed, unmatched rows inserted. The oracle sees
+    * only raw customer parquet and replays the merge in SQL. */
+  def idxDeltaMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.DeltaTable
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_delta_merge_$h"
+    synchronized {
+      if (!graft.index.sources.DeltaLog.isDeltaTable(spark, root)) {
+        val customer = Tables.load(spark, sfDir, "customer")
+        DeltaTable.create(customer.filter(col("c_custkey") % 2 === 0), root,
+          configuration = Map("delta.enableChangeDataFeed" -> "true"))
+        val source = customer.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        DeltaTable.merge(spark, root, source, Seq("c_custkey"),
+          deleteCondition = Some(col("c_nationkey") >= 20))
+      }
+    }
+    DeltaTable.read(spark, root)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("segment"))
+  }
+
+  private val mergeOracleCte: String =
+    """WITH merged AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000
+      |         ELSE c_acctbal END AS bal
+      |  FROM customer
+      |  WHERE (c_custkey % 2 = 0
+      |         AND NOT (c_custkey % 3 = 0 AND c_nationkey >= 20))
+      |     OR (c_custkey % 2 = 1 AND c_custkey % 3 = 0 AND c_nationkey < 20)
+      |)""".stripMargin
+
+  val idxDeltaMergeSql: String =
+    s"""$mergeOracleCte
+       |SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("bal")} AS sum_bal
+       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The CDF of the Delta merge commit, aggregated by change type — a
+    * hash match proves the cdc writer recorded exactly the merge's
+    * row-level effect (delete / update pre+post / insert classification
+    * against the live pre-image). */
+  def idxDeltaMergeCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.DeltaTable
+    idxDeltaMerge(spark, sfDir).count() // ensure the fixture exists
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_delta_merge_$h"
+    DeltaTable.changes(spark, root, 1L)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("change_type"))
+  }
+
+  val idxDeltaMergeCdfSql: String =
+    s"""WITH legs AS (
+       |  SELECT 'delete' AS change_type, c_acctbal AS bal FROM customer
+       |   WHERE c_custkey % 2 = 0 AND c_custkey % 3 = 0 AND c_nationkey >= 20
+       |  UNION ALL
+       |  SELECT 'update_preimage', c_acctbal FROM customer
+       |   WHERE c_custkey % 2 = 0 AND c_custkey % 3 = 0 AND c_nationkey < 20
+       |  UNION ALL
+       |  SELECT 'update_postimage', c_acctbal + 1000 FROM customer
+       |   WHERE c_custkey % 2 = 0 AND c_custkey % 3 = 0 AND c_nationkey < 20
+       |  UNION ALL
+       |  SELECT 'insert', c_acctbal + 1000 FROM customer
+       |   WHERE c_custkey % 2 = 1 AND c_custkey % 3 = 0 AND c_nationkey < 20
+       |)
+       |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("bal")} AS sum_bal
+       |FROM legs GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The same merge over the jarless Iceberg writer — one snapshot
+    * carrying an equality-delete file plus the upsert data files; the
+    * sequence rule yields identical upsert semantics to the Delta leg,
+    * and the same SQL oracle pins it. */
+  def idxIcebergMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{IcebergMeta, IcebergTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_ice_merge_$h"
+    synchronized {
+      if (!IcebergMeta.isIcebergTable(spark, root)) {
+        val customer = Tables.load(spark, sfDir, "customer")
+        IcebergTable.create(customer.filter(col("c_custkey") % 2 === 0), root)
+        val source = customer.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        IcebergTable.merge(spark, root, source, Seq("c_custkey"),
+          deleteCondition = Some(col("c_nationkey") >= 20))
+      }
+    }
+    IcebergTable.read(spark, root)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("segment"))
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "idx_delta_merge" -> (idxDeltaMerge _, idxDeltaMergeSql),
+    "idx_delta_merge_cdf" -> (idxDeltaMergeCdf _, idxDeltaMergeCdfSql),
+    "idx_iceberg_merge" -> (idxIcebergMerge _, idxDeltaMergeSql),
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_ivfpq_topk" -> (idxIvfPqTopK _, idxIvfPqTopKSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
@@ -919,6 +1063,7 @@ object IndexAccel {
     "stream_delta_source" -> (streamDeltaSource _, streamSourceAggSql),
     "stream_iceberg_source" -> (streamIcebergSource _, streamSourceAggSql),
     "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
+    "idx_iceberg_part_filter" -> (idxIcebergPartFilter _, idxIcebergPartFilterSql),
     "idx_iceberg_v2_filter" -> (idxIcebergV2Filter _, idxIcebergV2FilterSql),
     "idx_iceberg_eq_filter" -> (idxIcebergEqFilter _, idxIcebergEqFilterSql),
     "idx_iceberg_stats_filter" -> (idxIcebergStatsFilter _, idxIcebergStatsFilterSql),

@@ -1,0 +1,172 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.sources.{DeltaLog, DeltaTable}
+
+/**
+ * MERGE (CDC upsert) on the jarless Delta writer: matched rows are
+ * DV-deleted and re-landed as fresh files in ONE commit, delete markers
+ * remove, unmatched rows insert, CDF records the exact row-level effect
+ * (delete / update_preimage / update_postimage / insert), duplicate
+ * source keys refuse, and the executor-side DV write leaves only
+ * descriptors on the driver (multiple DV files across partitions).
+ */
+class DeltaMergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def customer =
+    spark.read.parquet(s"${TestSpark.sfDir}/customer.parquet")
+
+  test("merge: update + insert + delete markers land in one commit") {
+    val root = Files.createTempDirectory("graft-delta-merge-").toString
+    val target = customer.filter($"c_custkey" % 2 === 0)
+    DeltaTable.create(target, root)
+    // source: every third customer, balance bumped; nationkey>=20 rows
+    // are delete markers
+    val source = customer.filter($"c_custkey" % 3 === 0)
+      .withColumn("c_acctbal", $"c_acctbal" + 1000)
+    val v = DeltaTable.merge(spark, root, source, Seq("c_custkey"),
+      deleteCondition = Some($"c_nationkey" >= 20))
+    assert(v == 1L)
+
+    val got = DeltaTable.read(spark, root)
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)]
+      .collect().toMap
+    val base = customer
+      .select($"c_custkey", $"c_acctbal", $"c_nationkey")
+      .as[(Long, Double, Long)].collect()
+    val expected = base.flatMap { case (k, bal, nat) =>
+      val even = k % 2 == 0
+      val inSrc = k % 3 == 0
+      val isDel = nat >= 20
+      if (even && inSrc && isDel) None // matched delete marker
+      else if (even && inSrc) Some(k -> (bal + 1000))
+      else if (even) Some(k -> bal) // untouched
+      else if (inSrc && !isDel) Some(k -> (bal + 1000))
+      else None // odd, not upserted
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, bal) =>
+      assert(math.abs(got(k) - bal) < 1e-6, s"key $k: ${got(k)} != $bal")
+    }
+    // single commit: exactly one new version in the log
+    assert(DeltaLog.snapshot(spark, root).version == 1L)
+  }
+
+  test("merge CDF: changes() replays delete/update pre+post/insert exactly") {
+    val root = Files.createTempDirectory("graft-delta-merge-cdf-").toString
+    val target = customer.filter($"c_custkey" % 2 === 0)
+    DeltaTable.create(target, root,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val source = customer.filter($"c_custkey" % 3 === 0)
+      .withColumn("c_acctbal", $"c_acctbal" + 1000)
+    DeltaTable.merge(spark, root, source, Seq("c_custkey"),
+      deleteCondition = Some($"c_nationkey" >= 20))
+
+    val feed = DeltaTable.changes(spark, root, 1L)
+      .select($"_change_type", $"c_custkey").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val base = customer.select($"c_custkey", $"c_nationkey")
+      .as[(Long, Long)].collect()
+    val expDeletes = base.collect {
+      case (k, nat) if k % 2 == 0 && k % 3 == 0 && nat >= 20 => k }.sorted.toSeq
+    val expUpdates = base.collect {
+      case (k, nat) if k % 2 == 0 && k % 3 == 0 && nat < 20 => k }.sorted.toSeq
+    val expInserts = base.collect {
+      case (k, nat) if k % 2 == 1 && k % 3 == 0 && nat < 20 => k }.sorted.toSeq
+    assert(feed.getOrElse("delete", Nil) == expDeletes)
+    assert(feed.getOrElse("update_preimage", Nil) == expUpdates)
+    assert(feed.getOrElse("update_postimage", Nil) == expUpdates)
+    assert(feed.getOrElse("insert", Nil) == expInserts)
+    // postimages carry the NEW balance, preimages the old
+    val pre = DeltaTable.changes(spark, root, 1L)
+      .filter($"_change_type" === "update_preimage")
+      .select(sum($"c_acctbal")).as[Double].head()
+    val post = DeltaTable.changes(spark, root, 1L)
+      .filter($"_change_type" === "update_postimage")
+      .select(sum($"c_acctbal")).as[Double].head()
+    assert(math.abs((post - pre) - 1000.0 * expUpdates.size) < 1e-3)
+  }
+
+  test("merge refuses duplicate source keys") {
+    val root = Files.createTempDirectory("graft-delta-merge-dup-").toString
+    DeltaTable.create(customer.limit(100), root)
+    val dup = customer.limit(10).union(customer.limit(10))
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.merge(spark, root, dup, Seq("c_custkey"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("merge on a partitioned table keeps partition values on all adds") {
+    // fixture keys span 0..149 at sf0.001
+    val root = Files.createTempDirectory("graft-delta-merge-part-").toString
+    DeltaTable.create(customer.filter($"c_custkey" < 100), root,
+      partitionBy = Seq("c_mktsegment"))
+    val source = customer.filter($"c_custkey".between(60L, 130L))
+      .withColumn("c_acctbal", lit(42.0))
+    DeltaTable.merge(spark, root, source, Seq("c_custkey"))
+    val got = DeltaTable.read(spark, root)
+    assert(got.count() == customer.filter($"c_custkey" < 131).count())
+    // partition pruning still works post-merge: a segment filter reads rows
+    val seg = got.filter($"c_mktsegment" === "BUILDING")
+    assert(seg.count() > 0)
+    // all rows in 60..130 carry the merged balance
+    val bals = got.filter($"c_custkey".between(60L, 130L))
+      .select($"c_acctbal").distinct().as[Double].collect()
+    assert(bals.toSeq == Seq(42.0))
+  }
+
+  test("repeat merges union into existing DVs; pure-insert merge appends") {
+    val root = Files.createTempDirectory("graft-delta-merge-rep-").toString
+    DeltaTable.create(customer.filter($"c_custkey" < 100), root)
+    // first merge: update keys 0..49
+    DeltaTable.merge(spark, root,
+      customer.filter($"c_custkey" < 50)
+        .withColumn("c_acctbal", $"c_acctbal" + 1), Seq("c_custkey"))
+    // second merge: update keys 30..79 (files already carrying DVs)
+    DeltaTable.merge(spark, root,
+      customer.filter($"c_custkey".between(30L, 79L))
+        .withColumn("c_acctbal", $"c_acctbal" + 2), Seq("c_custkey"))
+    // pure-insert merge: keys beyond the table
+    val v = DeltaTable.merge(spark, root,
+      customer.filter($"c_custkey".between(100L, 129L)), Seq("c_custkey"))
+    assert(v == 3L)
+    val got = DeltaTable.read(spark, root)
+    assert(got.count() == customer.filter($"c_custkey" < 130).count())
+    val bal = got.filter($"c_custkey" === 40L)
+      .select($"c_acctbal").as[Double].head()
+    val orig = customer.filter($"c_custkey" === 40L)
+      .select($"c_acctbal").as[Double].head()
+    assert(math.abs(bal - orig - 2) < 1e-6) // second merge won
+  }
+
+  test("DV write is executor-side: a many-file delete writes multiple DV files") {
+    val root = Files.createTempDirectory("graft-delta-merge-dv-").toString
+    // 16 files so the grouped DV build spans several shuffle partitions
+    // (AQE would coalesce the tiny shuffle to one partition — and one DV
+    // file; disable it to surface the per-partition write path)
+    DeltaTable.create(customer.repartition(16), root)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try DeltaTable.deleteWhere(spark, root, $"c_custkey" % 2 === 0)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dvFiles = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("deletion_vector_"))
+    assert(dvFiles.length > 1,
+      s"expected per-partition DV files, got ${dvFiles.toSeq}")
+    // every snapshot descriptor resolves into one of them, and the read
+    // serves the right answer
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.files.forall(_.dv.isDefined))
+    assert(DeltaTable.read(spark, root).count() ==
+      customer.filter($"c_custkey" % 2 === 1).count())
+  }
+}

@@ -52,7 +52,7 @@ class IcebergChangelogSpec extends AnyFunSuite {
       customer.filter(col("c_nationkey") >= 5 && col("c_nationkey") < 8).count())
   }
 
-  test("changelog: compaction transparent; equality deletes refuse") {
+  test("changelog: compaction transparent; equality-delete victims replay") {
     val loc = Files.createTempDirectory("graft-ichg-eq-").toString
     IcebergTable.create(customer.filter(col("c_custkey") < 100), loc) // 1
     IcebergTable.deleteWhere(spark, loc, col("c_custkey") < 10)       // 2
@@ -62,12 +62,20 @@ class IcebergChangelogSpec extends AnyFunSuite {
     // since the compaction: only the append shows
     assert(IcebergTable.incrementalChanges(spark, loc, 3L).count() == late.count())
 
+    // equality-delete snapshots serve their victims against the parent
+    // LIVE state (here: one key, present, alive → exactly one delete row)
     IcebergTable.deleteWhereEquality(spark, loc,
       customer.filter(col("c_custkey") === 120).select("c_custkey")) // 5
-    val e = intercept[UnsupportedOperationException] {
-      IcebergTable.incrementalChanges(spark, loc, 4L).collect()
-    }
-    assert(e.getMessage.contains("EQUALITY"))
+    val feed = IcebergTable.incrementalChanges(spark, loc, 4L)
+    val rows = feed.select("_change_type", "c_custkey").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("delete", 120L)))
+    // a key an earlier delete already removed is NOT a victim again
+    IcebergTable.deleteWhereEquality(spark, loc,
+      customer.filter(col("c_custkey").isin(5L, 121L)).select("c_custkey")) // 6
+    val feed2 = IcebergTable.incrementalChanges(spark, loc, 5L)
+      .select("c_custkey").collect().map(_.getLong(0)).toSeq
+    assert(feed2 == Seq(121L)) // key 5 was deleted in snapshot 2
   }
 
   test("graft-iceberg readChangeFeed: deletes stream as change rows") {

@@ -95,4 +95,26 @@ class LakeTableSpec extends AnyFunSuite {
         s"undo at $path did not restore the first state")
     }
   }
+
+  test("merge dispatches: the same upsert drives both formats identically") {
+    val delta = Files.createTempDirectory("graft-lake-merge-d-").toString
+    val ice = Files.createTempDirectory("graft-lake-merge-i-").toString
+    val target = customer.filter(col("c_custkey") % 2 === 0)
+    DeltaTable.create(target, delta)
+    IcebergTable.create(target, ice)
+    val source = customer.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000)
+    Seq(delta, ice).foreach { path =>
+      LakeTable.merge(spark, path, source, Seq("c_custkey"),
+        deleteCondition = Some(col("c_nationkey") >= 20))
+    }
+    val a = LakeTable.read(spark, delta)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val b = LakeTable.read(spark, ice)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(a.nonEmpty && a == b,
+      "Delta and Iceberg merges diverged on the same source")
+  }
 }
