@@ -897,6 +897,56 @@ object IcebergTable {
     }
   }
 
+  /** Per-snapshot ADMISSION LOAD along the lineage `(fromSnapshotId,
+    * toSnapshotId]` — (snapshot id, files added, bytes added), file-set
+    * diffed against each parent. Metadata-only (manifest replay per
+    * snapshot in the chain); the streaming source's rate limiter picks
+    * how far one micro-batch's offset may advance from this. */
+  private[sources] def lineageLoad(spark: SparkSession, location: String,
+      fromSnapshotId: Long, toSnapshotId: Long): Seq[(Long, Long, Long)] = {
+    val fs = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaFile = IcebergMeta.currentMetadataFile(fs, location)
+    val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
+    val snaps: Seq[JValue] = (j \ "snapshots") match {
+      case JArray(s) => s
+      case _ => return Nil
+    }
+    def idOf(s: JValue): Long = (s \ "snapshot-id") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case other => throw new IllegalStateException(s"snapshot-id is $other")
+    }
+    val byId = snaps.map(s => idOf(s) -> s).toMap
+    val orderedIds = snaps.map(idOf)
+    def parentOf(id: Long): Option[Long] =
+      (byId(id) \ "parent-snapshot-id") match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case _ => orderedIds.indexOf(id) match {
+          case i if i > 0 => Some(orderedIds(i - 1))
+          case _ => None
+        }
+      }
+    val chain = mutable.Buffer.empty[Long]
+    var cursor: Option[Long] = Some(toSnapshotId)
+    while (cursor.isDefined && cursor.get != fromSnapshotId) {
+      if (!byId.contains(cursor.get)) return Nil // expired mid-walk
+      chain += cursor.get
+      cursor = parentOf(cursor.get)
+    }
+    var prevPaths: Set[String] =
+      if (fromSnapshotId == 0L || !byId.contains(fromSnapshotId)) Set.empty
+      else IcebergMeta.snapshot(spark, location, Some(fromSnapshotId))
+        .files.map(f => DeltaTable.normPath(f.path)).toSet
+    chain.reverse.toSeq.map { sid =>
+      val s = IcebergMeta.snapshot(spark, location, Some(sid))
+      val added = s.files.filterNot(f =>
+        prevPaths.contains(DeltaTable.normPath(f.path)))
+      prevPaths = s.files.map(f => DeltaTable.normPath(f.path)).toSet
+      (sid, added.size.toLong, added.map(_.size).sum)
+    }
+  }
+
   /** INCREMENTAL CHANGELOG scan — [[incrementalAppends]] upgraded to a
     * FULL change feed: `append` snapshots contribute inserts, `delete`
     * snapshots contribute the rows their newly-added POSITIONAL delete

@@ -62,7 +62,98 @@ final class DeltaStreamProvider extends StreamSourceProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+    new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      parameters, metadataPath)
+}
+
+/** Rate-limit plumbing shared by both lakehouse stream sources. */
+private[sources] object StreamRateLimit {
+
+  /** `maxBytesPerTrigger` accepts a plain byte count or a k/m/g suffix
+    * (the delta-spark option's dialect). */
+  def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) = t.last match {
+      case 'k' => (t.init, 1L << 10)
+      case 'm' => (t.init, 1L << 20)
+      case 'g' => (t.init, 1L << 30)
+      case _ => (t, 1L)
+    }
+    val v = num.toLong * mult
+    require(v > 0, s"maxBytesPerTrigger must be positive, got $s")
+    v
+  }
+
+  /** Admit commits in order while the caps hold — ALWAYS at least one
+    * (a single commit larger than the cap must still make progress;
+    * commits are the admission granule, like the Iceberg connector's
+    * snapshot-granular streaming). Returns the last admitted id. */
+  def admit(stats: Seq[(Long, Long, Long)], maxFiles: Option[Long],
+      maxBytes: Option[Long]): Option[Long] = {
+    var files = 0L
+    var bytes = 0L
+    var admitted: Option[Long] = None
+    val it = stats.iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val (id, f, b) = it.next()
+      if (admitted.isDefined &&
+          (maxFiles.exists(m => files + f > m) ||
+            maxBytes.exists(m => bytes + b > m))) {
+        stop = true
+      } else {
+        files += f; bytes += b; admitted = Some(id)
+      }
+    }
+    admitted
+  }
+}
+
+/**
+ * Durable floor for rate-limited offsets, stored next to the source's
+ * checkpoint metadata. Written at getBatch time — AFTER the engine has
+ * durably logged the batch's end offset — so a crash replays exactly
+ * that range (never skips); read at getOffset time so a restart resumes
+ * capped pacing from the last handed-out offset instead of re-offering
+ * ground the checkpoint already committed (offsets must never regress —
+ * the engine treats ANY change as new data, and a regressed entry in the
+ * offset log would re-serve old commits after the next restart).
+ */
+private[sources] final class OffsetFloor(
+    spark: SparkSession, metadataPath: String) {
+  private val floorPath = new Path(metadataPath, "graft-rate-floor")
+  private val fs =
+    floorPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def read(): Option[Long] =
+    if (!fs.exists(floorPath)) None
+    else {
+      val len = fs.getFileStatus(floorPath).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(floorPath)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .trim.toLong)
+    }
+
+  def write(v: Long): Unit = {
+    val tmp = new Path(metadataPath,
+      s".graft-rate-floor-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(floorPath, false)
+    if (!fs.rename(tmp, floorPath)) fs.delete(tmp, false)
+  }
+
+  /** True when the enclosing checkpoint already has offset-log entries —
+    * a restart of a PRE-rate-limit checkpoint (no floor file). The one
+    * safe move there is to offer the head uncapped: a capped offer could
+    * sit below the committed offset and regress the log. */
+  def checkpointHasOffsets: Boolean = {
+    val offsets = new Path(new Path(metadataPath).getParent.getParent, "offsets")
+    fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
+  }
 }
 
 object DeltaStreamSource {
@@ -77,7 +168,7 @@ object DeltaStreamSource {
 }
 
 final class DeltaStreamSource(spark: SparkSession, rootStr: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String], metadataPath: String = "") extends Source {
 
   private val root = new Path(rootStr)
   private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -107,8 +198,67 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
     case None => 0L
   }
 
-  override def getOffset: Option[Offset] =
-    Some(LongOffset(DeltaLog.snapshot(spark, rootStr).version))
+  // RATE LIMITING (delta-spark's options of the same names): cap how
+  // far each micro-batch's offset advances, commit-granular, so a
+  // restart against a deep backlog — or a fresh stream over a 100 TB
+  // table — drains in bounded batches instead of planning one giant one.
+  private val maxFiles: Option[Long] =
+    options.get("maxFilesPerTrigger").map(_.toLong)
+  private val maxBytes: Option[Long] =
+    options.get("maxBytesPerTrigger").map(StreamRateLimit.parseBytes)
+  private val rateLimited = maxFiles.isDefined || maxBytes.isDefined
+  maxFiles.foreach(m => require(m > 0,
+    s"maxFilesPerTrigger must be positive, got $m"))
+  private val floor: Option[OffsetFloor] =
+    if (rateLimited && metadataPath.nonEmpty)
+      Some(new OffsetFloor(spark, metadataPath)) else None
+  /** Highest version already offered or served this run. */
+  private var lastOffered: Long = -1L
+
+  /** (files, bytes) a commit adds — admission metadata, one log-JSON
+    * parse per version (driver-side, metadata-scale). */
+  private def commitLoad(v: Long): (Long, Long) = {
+    val p = new Path(DeltaLog.logDir(root), f"$v%020d.json")
+    var files = 0L
+    var bytes = 0L
+    DeltaLog.readLines(fs, p).foreach { line =>
+      val j = JsonMethods.parse(line)
+      (j \ "add" \ "path") match {
+        case JString(_) =>
+          files += 1
+          (j \ "add" \ "size") match {
+            case JInt(n) => bytes += n.toLong
+            case JLong(n) => bytes += n
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    (files, bytes)
+  }
+
+  override def getOffset: Option[Offset] = {
+    val head = DeltaLog.snapshot(spark, rootStr).version
+    if (!rateLimited) return Some(LongOffset(head))
+    val known = math.max(lastOffered, floor.flatMap(_.read()).getOrElse(-1L))
+    val from =
+      if (known >= 0) known + 1
+      else if (floor.exists(_.checkpointHasOffsets)) {
+        // pre-rate-limit checkpoint, no floor yet: offering below the
+        // committed offset would regress the log; serve the head once
+        // (uncapped) and let the floor take over from getBatch on
+        return Some(LongOffset(head))
+      } else startingVersion
+    if (from > head) return Some(LongOffset(math.max(head, known)))
+    val stats = (from to head).map { v =>
+      val (f, b) = commitLoad(v)
+      (v, f, b)
+    }
+    val admitted = StreamRateLimit.admit(stats, maxFiles, maxBytes)
+      .getOrElse(head)
+    lastOffered = math.max(lastOffered, admitted)
+    Some(LongOffset(admitted))
+  }
 
   private def versionOf(o: Offset): Long = o.json.toLong
 
@@ -147,6 +297,13 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
     // would silently skip commits that arrived between runs)
     val from = start.map(versionOf(_) + 1).getOrElse(startingVersion)
     val endV = versionOf(end)
+    if (rateLimited) {
+      // the engine has durably logged `end` before calling getBatch, so
+      // persisting it as the floor is crash-safe: a restart either
+      // replays exactly (start, end] or has committed it
+      lastOffered = math.max(lastOffered, endV)
+      floor.foreach(_.write(lastOffered))
+    }
     if (cdc) {
       val batch =
         if (from > endV)
@@ -224,7 +381,8 @@ final class IcebergStreamProvider extends StreamSourceProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+    new IcebergStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      parameters, metadataPath)
 }
 
 /**
@@ -294,7 +452,7 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
 }
 
 final class IcebergStreamSource(spark: SparkSession, location: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String], metadataPath: String = "") extends Source {
 
   private val initial = IcebergMeta.snapshot(spark, location)
   /** CDC mode: serve the full changelog (inserts AND positional-delete
@@ -320,14 +478,53 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
     case None => 0L
   }
 
+  // RATE LIMITING, snapshot-granular (the Iceberg connector's
+  // streaming options of the same intent): cap each micro-batch's
+  // offset advance by files/bytes added along the snapshot lineage
+  private val maxFiles: Option[Long] =
+    options.get("maxFilesPerTrigger").map(_.toLong)
+  private val maxBytes: Option[Long] =
+    options.get("maxBytesPerTrigger").map(StreamRateLimit.parseBytes)
+  private val rateLimited = maxFiles.isDefined || maxBytes.isDefined
+  maxFiles.foreach(m => require(m > 0,
+    s"maxFilesPerTrigger must be positive, got $m"))
+  private val floor: Option[OffsetFloor] =
+    if (rateLimited && metadataPath.nonEmpty)
+      Some(new OffsetFloor(spark, metadataPath)) else None
+  /** Latest snapshot id already offered or served this run. */
+  private var lastOffered: Option[Long] = None
+
   override def getOffset: Option[Offset] = {
     val cur = IcebergMeta.snapshot(spark, location).snapshotId
-    if (cur < 0) None else Some(LongOffset(cur))
+    if (cur < 0) return None
+    if (!rateLimited) return Some(LongOffset(cur))
+    val known: Option[Long] = lastOffered.orElse(floor.flatMap(_.read()))
+    val from = known match {
+      case Some(k) => k
+      case None if floor.exists(_.checkpointHasOffsets) =>
+        // pre-rate-limit checkpoint, no floor: a capped offer below the
+        // committed offset would regress the log — serve the head once
+        return Some(LongOffset(cur))
+      case None => startingSnapshot
+    }
+    if (from == cur) return Some(LongOffset(cur))
+    val stats = IcebergTable.lineageLoad(spark, location, from, cur)
+    val admitted = StreamRateLimit.admit(stats, maxFiles, maxBytes)
+      .getOrElse(cur)
+    lastOffered = Some(admitted)
+    Some(LongOffset(admitted))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(_.json.toLong).getOrElse(startingSnapshot)
     val endId = end.json.toLong
+    if (rateLimited) {
+      // `end` is durably in the offset log before getBatch runs, so
+      // persisting it as the floor never skips: a restart either
+      // replays (start, end] exactly or has committed it
+      lastOffered = Some(endId)
+      floor.foreach(_.write(endId))
+    }
     val batch =
       if (from == endId)
         spark.createDataFrame(

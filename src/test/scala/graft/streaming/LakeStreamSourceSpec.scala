@@ -149,4 +149,106 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       Map("skipChangeCommits" -> "true"))
     assert(n == customer.count() + 5)
   }
+
+  test("graft-delta: maxFilesPerTrigger drains a deep backlog in " +
+      "bounded per-commit batches with checkpoint resume mid-backlog") {
+    val root = Files.createTempDirectory("graft-dstream-rate-").toString
+    val out = Files.createTempDirectory("graft-dstream-rate-out-").toString
+    val ckpt = Files.createTempDirectory("graft-dstream-rate-ck-").toString
+    // 3 commits × 2 files each — the backlog a restart would face
+    val c0 = customer.filter(col("c_custkey") < 50)
+    val c1 = customer.filter(col("c_custkey") >= 50 && col("c_custkey") < 100)
+    val c2 = customer.filter(col("c_custkey") >= 100)
+    DeltaTable.create(c0.repartition(2), root)
+    DeltaTable.append(c1.repartition(2), root)
+    DeltaTable.append(c2.repartition(2), root)
+
+    val opts = Map("maxFilesPerTrigger" -> "2")
+    // each drain is ONE capped micro-batch (AvailableNow falls back to
+    // single-batch for v1 sources) and a full stop/restart from the
+    // checkpoint — exactly the resume-mid-backlog shape
+    assert(drain("graft-delta", root, out, ckpt, opts) == c0.count())
+    assert(drain("graft-delta", root, out, ckpt, opts) ==
+      c0.count() + c1.count())
+    assert(drain("graft-delta", root, out, ckpt, opts) == customer.count())
+    // drained: a further capped drain serves nothing new
+    assert(drain("graft-delta", root, out, ckpt, opts) == customer.count())
+    // no dupes, no loss
+    assert(spark.read.parquet(out).select(sum(col("c_custkey")))
+      .head().getLong(0) ==
+      customer.select(sum(col("c_custkey"))).head().getLong(0))
+  }
+
+  test("graft-delta: a wider files cap admits multiple commits per batch; " +
+      "a tiny bytes cap still makes progress (at least one commit)") {
+    val root = Files.createTempDirectory("graft-dstream-rate2-").toString
+    val c0 = customer.filter(col("c_custkey") < 50)
+    val c1 = customer.filter(col("c_custkey") >= 50 && col("c_custkey") < 100)
+    val c2 = customer.filter(col("c_custkey") >= 100)
+    DeltaTable.create(c0.repartition(2), root)
+    DeltaTable.append(c1.repartition(2), root)
+    DeltaTable.append(c2.repartition(2), root)
+
+    // 4 files ⇒ first batch = commits 0+1, second = commit 2
+    val out = Files.createTempDirectory("graft-dstream-rate2-out-").toString
+    val ckpt = Files.createTempDirectory("graft-dstream-rate2-ck-").toString
+    val opts = Map("maxFilesPerTrigger" -> "4")
+    assert(drain("graft-delta", root, out, ckpt, opts) ==
+      c0.count() + c1.count())
+    assert(drain("graft-delta", root, out, ckpt, opts) == customer.count())
+
+    // 1-byte cap: every commit exceeds it, yet each batch admits one
+    // commit (progress is never starved)
+    val out2 = Files.createTempDirectory("graft-dstream-rate2b-out-").toString
+    val ckpt2 = Files.createTempDirectory("graft-dstream-rate2b-ck-").toString
+    val opts2 = Map("maxBytesPerTrigger" -> "1")
+    assert(drain("graft-delta", root, out2, ckpt2, opts2) == c0.count())
+    assert(drain("graft-delta", root, out2, ckpt2, opts2) ==
+      c0.count() + c1.count())
+    assert(drain("graft-delta", root, out2, ckpt2, opts2) == customer.count())
+  }
+
+  test("graft-iceberg: maxFilesPerTrigger paces the snapshot lineage") {
+    val loc = Files.createTempDirectory("graft-istream-rate-").toString
+    val out = Files.createTempDirectory("graft-istream-rate-out-").toString
+    val ckpt = Files.createTempDirectory("graft-istream-rate-ck-").toString
+    val c0 = customer.filter(col("c_custkey") < 50)
+    val c1 = customer.filter(col("c_custkey") >= 50 && col("c_custkey") < 100)
+    val c2 = customer.filter(col("c_custkey") >= 100)
+    IcebergTable.create(c0.repartition(2), loc)
+    IcebergTable.append(c1.repartition(2), loc)
+    IcebergTable.append(c2.repartition(2), loc)
+
+    val opts = Map("maxFilesPerTrigger" -> "2")
+    assert(drain("graft-iceberg", loc, out, ckpt, opts) == c0.count())
+    assert(drain("graft-iceberg", loc, out, ckpt, opts) ==
+      c0.count() + c1.count())
+    assert(drain("graft-iceberg", loc, out, ckpt, opts) == customer.count())
+    assert(drain("graft-iceberg", loc, out, ckpt, opts) == customer.count())
+    assert(spark.read.parquet(out).select(sum(col("c_custkey")))
+      .head().getLong(0) ==
+      customer.select(sum(col("c_custkey"))).head().getLong(0))
+  }
+
+  test("rate floor survives a checkpoint with history; an uncapped " +
+      "checkpoint upgraded to caps never regresses the offset log") {
+    val root = Files.createTempDirectory("graft-dstream-upg-").toString
+    val out = Files.createTempDirectory("graft-dstream-upg-out-").toString
+    val ckpt = Files.createTempDirectory("graft-dstream-upg-ck-").toString
+    val c0 = customer.filter(col("c_custkey") < 100)
+    DeltaTable.create(c0.repartition(2), root)
+    // first drain UNCAPPED: the checkpoint has offsets but no floor file
+    assert(drain("graft-delta", root, out, ckpt) == c0.count())
+    DeltaTable.append(
+      customer.filter(col("c_custkey") >= 100).repartition(2), root)
+    // adding caps on the existing checkpoint: the first capped drain may
+    // serve the head uncapped (no floor yet — regression safety), but
+    // never re-serves committed commits
+    val n = drain("graft-delta", root, out, ckpt,
+      Map("maxFilesPerTrigger" -> "2"))
+    assert(n == customer.count())
+    assert(spark.read.parquet(out).select(sum(col("c_custkey")))
+      .head().getLong(0) ==
+      customer.select(sum(col("c_custkey"))).head().getLong(0))
+  }
 }
