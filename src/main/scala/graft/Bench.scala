@@ -83,6 +83,33 @@ object Bench {
     (1 to 5).foreach(_ => probe())
     def runningRef: Double = probes.min
 
+    // STARTUP GATE: the per-pass guard is RELATIVE (vs the run's best
+    // probe), so a box that is contended for the WHOLE run can slip
+    // through with every pass "clean" against an inflated reference —
+    // the shape of the two driver rounds that self-flagged. The probe
+    // has an absolute anchor (~20 ms uncontended on this box's 32
+    // threads), so a startup whose best-of-5 probes exceeds an absolute
+    // ceiling is a contended BOX, not jitter: wait briefly, re-probe,
+    // and if it persists REFUSE the run (exit nonzero with a parseable
+    // "contended_startup" line) so the driver retries instead of
+    // publishing a flagged round.
+    val probeCeiling = sys.env.get("SPARK_GRAFT_PROBE_CEILING")
+      .map(_.toDouble).getOrElse(0.25)
+    var gateAttempts = 0
+    while (probes.min > probeCeiling && gateAttempts < 3) {
+      gateAttempts += 1
+      Thread.sleep(2000)
+      probes = Nil
+      (1 to 5).foreach(_ => probe())
+    }
+    if (probes.min > probeCeiling) {
+      println(s"""{"metric":"error","reason":"contended_startup",""" +
+        s""""probe_ref":${probes.min},"ceiling":$probeCeiling,""" +
+        s""""attempts":$gateAttempts,"sf":"$sfDir"}""")
+      spark.stop()
+      sys.exit(1)
+    }
+
     val timed = names.map { name =>
       def run(): Unit = SparkEntry.queries(name)(spark, sfDir).count()
       val (passes, err) =

@@ -74,11 +74,16 @@ object DeltaLog {
     * [[DeltaTable.read]]; `columnMapping` resolves scans by
     * physicalName ([[DeltaColumnMapping]]); `v2Checkpoint` replays
     * UUID-named checkpoints and their `_sidecars/` add-files (the
-    * format modern Databricks writers default to). Everything else —
-    * typeWidening, … — changes how actions must be interpreted and
-    * MUST be refused. */
+    * format modern Databricks writers default to); `typeWidening` (and
+    * its preview name) is additive metadata — files written BEFORE a
+    * widening keep the narrower physical type and Spark's parquet
+    * readers upcast them to the current logical schema at scan time
+    * (int→long, float→double, …), which is exactly how delta-spark
+    * reads widened tables. Everything else changes how actions must be
+    * interpreted and MUST be refused. */
   private val SupportedReaderFeatures =
-    Set("timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint")
+    Set("timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint",
+      "typeWidening", "typeWidening-preview")
 
   private[sources] val CommitRe = """(\d{20})\.json""".r
   private val CkptSingleRe = """(\d{20})\.checkpoint\.parquet""".r

@@ -901,9 +901,16 @@ object IcebergTable {
     * toSnapshotId]` — (snapshot id, files added, bytes added), file-set
     * diffed against each parent. Metadata-only (manifest replay per
     * snapshot in the chain); the streaming source's rate limiter picks
-    * how far one micro-batch's offset may advance from this. */
+    * how far one micro-batch's offset may advance from this. `memo`
+    * (caller-held, per stream) caches per-snapshot loads: with a deep
+    * backlog paced a few snapshots per trigger, each trigger re-walks
+    * the remaining chain, and snapshots already measured — always a
+    * chain PREFIX, since admission takes prefixes — replay no
+    * manifests again (one anchor snapshot read seeds the diff). */
   private[sources] def lineageLoad(spark: SparkSession, location: String,
-      fromSnapshotId: Long, toSnapshotId: Long): Seq[(Long, Long, Long)] = {
+      fromSnapshotId: Long, toSnapshotId: Long,
+      memo: mutable.Map[Long, (Long, Long)] = mutable.Map.empty)
+      : Seq[(Long, Long, Long)] = {
     val fs = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
     val metaFile = IcebergMeta.currentMetadataFile(fs, location)
     val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
@@ -934,17 +941,36 @@ object IcebergTable {
       chain += cursor.get
       cursor = parentOf(cursor.get)
     }
-    var prevPaths: Set[String] =
-      if (fromSnapshotId == 0L || !byId.contains(fromSnapshotId)) Set.empty
-      else IcebergMeta.snapshot(spark, location, Some(fromSnapshotId))
+    val ordered = chain.reverse.toSeq
+    val (cachedIds, freshIds) = ordered.span(memo.contains)
+    def fileSet(sid: Long): Set[String] =
+      IcebergMeta.snapshot(spark, location, Some(sid))
         .files.map(f => DeltaTable.normPath(f.path)).toSet
-    chain.reverse.toSeq.map { sid =>
-      val s = IcebergMeta.snapshot(spark, location, Some(sid))
-      val added = s.files.filterNot(f =>
-        prevPaths.contains(DeltaTable.normPath(f.path)))
-      prevPaths = s.files.map(f => DeltaTable.normPath(f.path)).toSet
-      (sid, added.size.toLong, added.map(_.size).sum)
-    }
+    val fresh: Seq[(Long, Long, Long)] =
+      if (freshIds.isEmpty) Nil
+      else {
+        // anchor the diff at the last measured snapshot (or the range
+        // start) — ONE snapshot replay, then one per unmeasured link
+        var prevPaths: Set[String] = cachedIds.lastOption match {
+          case Some(anchor) => fileSet(anchor)
+          case None if fromSnapshotId != 0L && byId.contains(fromSnapshotId) =>
+            fileSet(fromSnapshotId)
+          case None => Set.empty
+        }
+        freshIds.map { sid =>
+          val s = IcebergMeta.snapshot(spark, location, Some(sid))
+          val added = s.files.filterNot(f =>
+            prevPaths.contains(DeltaTable.normPath(f.path)))
+          prevPaths = s.files.map(f => DeltaTable.normPath(f.path)).toSet
+          val load = (added.size.toLong, added.map(_.size).sum)
+          memo(sid) = load
+          (sid, load._1, load._2)
+        }
+      }
+    cachedIds.map { sid =>
+      val (f, b) = memo(sid)
+      (sid, f, b)
+    } ++ fresh
   }
 
   /** INCREMENTAL CHANGELOG scan — [[incrementalAppends]] upgraded to a

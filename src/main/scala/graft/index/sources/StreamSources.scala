@@ -216,8 +216,15 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
   private var lastOffered: Long = -1L
 
   /** (files, bytes) a commit adds — admission metadata, one log-JSON
-    * parse per version (driver-side, metadata-scale). */
-  private def commitLoad(v: Long): (Long, Long) = {
+    * parse per version (driver-side, metadata-scale). Memoized: with a
+    * deep backlog paced N commits per trigger, every trigger re-walks
+    * the remaining range — the memo keeps that walk O(backlog) total
+    * instead of O(backlog²) parses. Commits are immutable, so entries
+    * never invalidate. */
+  private val commitLoadMemo = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+  private def commitLoad(v: Long): (Long, Long) =
+    commitLoadMemo.getOrElseUpdate(v, commitLoadUncached(v))
+  private def commitLoadUncached(v: Long): (Long, Long) = {
     val p = new Path(DeltaLog.logDir(root), f"$v%020d.json")
     var files = 0L
     var bytes = 0L
@@ -493,6 +500,9 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
       Some(new OffsetFloor(spark, metadataPath)) else None
   /** Latest snapshot id already offered or served this run. */
   private var lastOffered: Option[Long] = None
+  /** Per-snapshot admission loads measured so far (see lineageLoad). */
+  private val loadMemo =
+    scala.collection.mutable.Map.empty[Long, (Long, Long)]
 
   override def getOffset: Option[Offset] = {
     val cur = IcebergMeta.snapshot(spark, location).snapshotId
@@ -508,7 +518,7 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
       case None => startingSnapshot
     }
     if (from == cur) return Some(LongOffset(cur))
-    val stats = IcebergTable.lineageLoad(spark, location, from, cur)
+    val stats = IcebergTable.lineageLoad(spark, location, from, cur, loadMemo)
     val admitted = StreamRateLimit.admit(stats, maxFiles, maxBytes)
       .getOrElse(cur)
     lastOffered = Some(admitted)

@@ -222,12 +222,12 @@ class DeltaDvSpec extends AnyFunSuite {
     val out = fs.create(new Path(logDir, f"${1L}%020d.json"), false)
     try out.write(
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors","typeWidening"],""" +
-        """"writerFeatures":["deletionVectors","typeWidening"]}}""" + "\n")
+        """"readerFeatures":["deletionVectors","collations"],""" +
+        """"writerFeatures":["deletionVectors","collations"]}}""" + "\n")
         .getBytes("UTF-8"))
     finally out.close()
     val e = intercept[UnsupportedDeltaProtocolException](
       DeltaTable.read(spark, root))
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("collations"))
   }
 }

@@ -307,7 +307,7 @@ class DeltaLogSpec extends AnyFunSuite {
     s"""{"metaData":{"id":"gate-fixture","format":{"provider":"parquet","options":{}},"schemaString":"$escapedSchemaJson","partitionColumns":[],"configuration":$config,"createdTime":1}}"""
 
   test("protocol gate: v3 + deletionVectors is now implemented and reads; " +
-      "typeWidening still refuses") {
+      "collations still refuses") {
     val root = tmp("graft-delta-dv-")
     writeRawCommit(root, 0L, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
@@ -317,12 +317,12 @@ class DeltaLogSpec extends AnyFunSuite {
 
     val root2 = tmp("graft-delta-tw-")
     writeRawCommit(root2, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["collations"],"writerFeatures":["collations"]}}""",
       metaDataLine()))
     val err = intercept[UnsupportedDeltaProtocolException] {
       DeltaLog.snapshot(spark, root2)
     }
-    assert(err.getMessage.contains("typeWidening"))
+    assert(err.getMessage.contains("collations"))
   }
 
   test("protocol gate: minReaderVersion 2 reads (column mapping implemented); " +
@@ -371,7 +371,7 @@ class DeltaLogSpec extends AnyFunSuite {
     DeltaTable.create(customer.limit(5), root) // version 0, protocol 1
     assert(DeltaTable.read(spark, root).count() == 5)
     writeRawCommit(root, 1L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}"""))
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["collations"]}}"""))
     intercept[UnsupportedDeltaProtocolException] {
       DeltaLog.snapshot(spark, root)
     }
@@ -658,7 +658,7 @@ class DeltaLogSpec extends AnyFunSuite {
     DeltaTable.create(customer.limit(5), root)
     writeRawCheckpoint(root, 0L, spark.sql(
       s"""select named_struct('minReaderVersion', 3, 'minWriterVersion', 7,
-         |  'readerFeatures', array('typeWidening')) as protocol,
+         |  'readerFeatures', array('collations')) as protocol,
          |  cast(null as struct<schemaString:string,
          |    partitionColumns:array<string>,
          |    configuration:map<string,string>>) as metaData,
@@ -672,7 +672,7 @@ class DeltaLogSpec extends AnyFunSuite {
     val err = intercept[UnsupportedDeltaProtocolException] {
       DeltaLog.snapshot(spark, root)
     }
-    assert(err.getMessage.contains("typeWidening"))
+    assert(err.getMessage.contains("collations"))
   }
 
   test("checkpoint replay refuses a DV struct it cannot fully decode") {
