@@ -1288,11 +1288,21 @@ object DeltaTable {
     keys.foreach(k => require(tableCols.contains(k),
       s"merge into $rootStr: key column '$k' is not a table column " +
         s"(have ${tableCols.mkString(", ")})"))
-    require(source.columns.toSet == tableCols.toSet,
+    // a pre-flagged source (the streaming CDC-apply sink's shape) may
+    // carry the reserved marker column instead of a deleteCondition
+    val (markerless, delCondEff) =
+      if (source.columns.contains(LakeMerge.DeleteMarker)) {
+        require(deleteCondition.isEmpty,
+          s"merge into $rootStr: pass EITHER a ${LakeMerge.DeleteMarker} " +
+            "column or a deleteCondition, not both")
+        (source.drop(LakeMerge.DeleteMarker),
+          Some(col(LakeMerge.DeleteMarker)))
+      } else (source, deleteCondition)
+    require(markerless.columns.toSet == tableCols.toSet,
       s"merge into $rootStr: source columns " +
-        s"${source.columns.mkString(", ")} must match the table columns " +
+        s"${markerless.columns.mkString(", ")} must match the table columns " +
         s"${tableCols.mkString(", ")} exactly")
-    val src = source.select(tableCols.map(source.col): _*)
+    val src = markerless.select(tableCols.map(markerless.col): _*)
     prior.schema.fields.zip(src.schema.fields).foreach { case (tf, sf) =>
       require(tf.dataType == sf.dataType,
         s"merge into $rootStr: column '${tf.name}' is " +
@@ -1308,13 +1318,15 @@ object DeltaTable {
       s"merge into $rootStr: source has duplicate values of " +
         s"(${keys.mkString(", ")}); deduplicate the source first")
 
-    val delFlag = deleteCondition
+    val delFlag = delCondEff
       .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
-    val flagged = src.withColumn("__graft_is_delete", delFlag)
+    // flag against `source` (the marker column, if any, lives there),
+    // then project down to the table columns
+    val flagged = source.withColumn("__graft_is_delete", delFlag)
     val dels = flagged.filter(col("__graft_is_delete"))
-      .drop("__graft_is_delete")
+      .select(tableCols.map(col): _*)
     val ups = flagged.filter(!col("__graft_is_delete"))
-      .drop("__graft_is_delete")
+      .select(tableCols.map(col): _*)
 
     val cmMode = DeltaColumnMapping.mode(prior.configuration)
     val physParts = prior.partitionColumns.map { n =>

@@ -1832,7 +1832,8 @@ object IcebergTable {
    */
   def merge(spark: SparkSession, location: String, source: DataFrame,
       keys: Seq[String],
-      deleteCondition: Option[org.apache.spark.sql.Column] = None): Long = {
+      deleteCondition: Option[org.apache.spark.sql.Column] = None,
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1845,11 +1846,21 @@ object IcebergTable {
     keys.foreach(k => require(tableCols.contains(k),
       s"merge into $location: key column '$k' is not a table column " +
         s"(have ${tableCols.mkString(", ")})"))
-    require(source.columns.toSet == tableCols.toSet,
+    // a pre-flagged source (the streaming CDC-apply sink's shape) may
+    // carry the reserved marker column instead of a deleteCondition
+    val (markerless, delCondEff) =
+      if (source.columns.contains(LakeMerge.DeleteMarker)) {
+        require(deleteCondition.isEmpty,
+          s"merge into $location: pass EITHER a ${LakeMerge.DeleteMarker} " +
+            "column or a deleteCondition, not both")
+        (source.drop(LakeMerge.DeleteMarker),
+          Some(col(LakeMerge.DeleteMarker)))
+      } else (source, deleteCondition)
+    require(markerless.columns.toSet == tableCols.toSet,
       s"merge into $location: source columns " +
-        s"${source.columns.mkString(", ")} must match the table columns " +
+        s"${markerless.columns.mkString(", ")} must match the table columns " +
         s"${tableCols.mkString(", ")} exactly")
-    val src = source.select(tableCols.map(source.col): _*)
+    val src = markerless.select(tableCols.map(markerless.col): _*)
     require(IcebergMeta.sameShape(src.schema, prior.schema),
       s"merge into $location: source schema ${src.schema.simpleString} " +
         s"does not match the table schema ${prior.schema.simpleString}")
@@ -1859,10 +1870,11 @@ object IcebergTable {
       s"merge into $location: source has duplicate values of " +
         s"(${keys.mkString(", ")}); deduplicate the source first")
 
-    val delFlag = deleteCondition
+    val delFlag = delCondEff
       .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
-    val ups = src.withColumn("__graft_is_delete", delFlag)
-      .filter(!col("__graft_is_delete")).drop("__graft_is_delete")
+    val ups = source.withColumn("__graft_is_delete", delFlag)
+      .filter(!col("__graft_is_delete"))
+      .select(tableCols.map(col): _*)
 
     // ---- upsert data files (same staged write as append, honoring the
     // table's partition spec) ----
@@ -1915,7 +1927,10 @@ object IcebergTable {
         stats = statsByPath.get(s.getPath.toString)
           .flatMap(DeltaStats.render(_, prior.schema)))),
       deleteExisting = prior.deleteFiles,
-      deleteAdded = delAdded)
+      deleteAdded = delAdded,
+      extraProperties = txn
+        .map { case (app, v) => Map(s"graft.txn.$app" -> v.toString) }
+        .getOrElse(Map.empty))
   }
 
   /**

@@ -16,6 +16,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * preserved (`_commit_version` vs `_commit_snapshot_id` in [[changes]])
  * — papering over them would hide which clock the feed is keyed by.
  */
+/** Shared MERGE vocabulary for both lakehouse legs. */
+object LakeMerge {
+  /** Reserved boolean column a PRE-FLAGGED merge source may carry
+    * instead of a `deleteCondition` — rows where it holds are delete
+    * markers. The streaming CDC-apply sink uses this to classify rows
+    * from `_change_type` BEFORE the stamps are dropped (the merge
+    * source schema must match the table exactly). */
+  val DeleteMarker = "__graft_delete"
+}
+
 object LakeTable {
 
   /** "delta" | "iceberg" — loud error for anything else. */

@@ -433,6 +433,10 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
     val batch = graft.streaming.SparkStreamingInternals.batchDataFrame(
       spark, data.queryExecution.toRdd, data.schema)
     val txn = Some(app -> batchId)
+    if (options.getOrElse("mode", "append").equalsIgnoreCase("merge")) {
+      applyMergeBatch(batch, txn, exists)
+      return
+    }
     // an evolving source stream widens the table additively when the
     // user opts in (Delta's sink option of the same name); without it
     // the append-time schema enforcement refuses loudly
@@ -451,6 +455,74 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
       if (exists) DeltaTable.append(batch, rootStr, partitionColumns, txn,
         mergeSchema = merge)
       else DeltaTable.create(batch, rootStr, partitionColumns, txn = txn)
+    }
+  }
+
+  /**
+   * STREAMING CDC APPLY (`mode=merge` + `mergeKeys=k1,k2`): each
+   * micro-batch UPSERTS into the target through the table's MERGE verb
+   * instead of appending — the replication / materialized-view shape
+   * every change-capture pipeline lands on, closing the loop with the
+   * `readChangeFeed=true` sources: stream table A's change feed, merge
+   * it into table B, and B converges to A.
+   *
+   * Batch preparation: CDF input (`_change_type` present) drops
+   * `update_preimage` rows (the postimage carries the new state), keeps
+   * only the LAST change per key across the batch's commits (ordered by
+   * the commit stamp; on a same-commit tie the non-delete row wins —
+   * a delete+re-insert commit leaves the key present), and classifies
+   * `delete` rows as delete markers. Plain input upserts every row,
+   * with an optional `deleteWhen=<sql expr>` marking deletes. The
+   * marker is computed BEFORE the stamps are dropped (the merge source
+   * schema must match the table exactly) and rides the reserved
+   * [[LakeMerge.DeleteMarker]] column.
+   *
+   * Exactly-once: merges stamp the same (appId, batchId) transaction
+   * watermark appends do, so replayed batches are recognized upstream
+   * in [[addBatch]] and skipped — an upsert batch is applied once even
+   * across a failure between sink commit and checkpoint advance.
+   */
+  private def applyMergeBatch(batch: DataFrame,
+      txn: Option[(String, Long)], exists: Boolean): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, row_number, when}
+    val keys = options.get("mergeKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"sink mode=merge at $rootStr needs " +
+          "mergeKeys=<comma-separated key columns>"))
+    var df = batch
+    val hasCdf = df.columns.contains("_change_type")
+    if (hasCdf) df = df.filter(col("_change_type") =!= "update_preimage")
+    val verCol = Seq("_commit_version", "_commit_snapshot_id")
+      .find(df.columns.contains)
+    verCol.foreach { v =>
+      val tieBreak =
+        if (hasCdf) when(col("_change_type") === "delete", 1).otherwise(0)
+        else lit(0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col(v).desc, tieBreak.asc)
+      df = df.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    }
+    val delExpr =
+      if (hasCdf) col("_change_type") === "delete"
+      else options.get("deleteWhen").map(expr).getOrElse(lit(false))
+    df = df.withColumn(LakeMerge.DeleteMarker, coalesce(delExpr, lit(false)))
+      .drop("_change_type", "_commit_version", "_commit_snapshot_id",
+        "_commit_timestamp")
+    if (!exists) {
+      // first batch CREATES the target from the surviving upserts
+      // (markers against a non-existent table are no-ops)
+      val inserts = df.filter(!col(LakeMerge.DeleteMarker))
+        .drop(LakeMerge.DeleteMarker)
+      if (iceberg) IcebergTable.create(inserts, rootStr, txn, partitionColumns)
+      else DeltaTable.create(inserts, rootStr, partitionColumns, txn = txn)
+    } else if (iceberg) {
+      IcebergTable.merge(spark, rootStr, df, keys, txn = txn)
+    } else {
+      DeltaTable.merge(spark, rootStr, df, keys, txn = txn)
     }
   }
 

@@ -1024,6 +1024,46 @@ object IndexAccel {
        | ${sqlMoneySum("bal")} AS sum_bal
        |FROM legs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** STREAMING CDC APPLY, end to end: table A is the Delta merge
+    * fixture (create + one MERGE, CDF recording every row-level
+    * change); the pipeline STREAMS A's change feed
+    * (`readChangeFeed=true` from version 0) and MERGES it into a fresh
+    * table B (`mode=merge` sink — preimages dropped, last change per
+    * key wins, deletes become markers), so B converges to A through
+    * changes alone — the replication shape every CDC pipeline lands
+    * on. The aggregate over B matches the SAME DuckDB oracle that pins
+    * A: proof the feed's replay is exact. */
+  def streamLakeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{DeltaLog, DeltaTable}
+    idxDeltaMerge(spark, sfDir).count() // ensure the CDF-recorded fixture
+    val h = Integer.toHexString(sfDir.hashCode)
+    val src = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_delta_merge_$h"
+    val dst = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_lake_upsert_$h"
+    synchronized {
+      if (!DeltaLog.isDeltaTable(spark, dst)) {
+        // a crashed prior run may have left a checkpoint without the
+        // table — its offsets would make this drain skip everything
+        val ckptPath = new org.apache.hadoop.fs.Path(dst + "_ckpt")
+        val fs = ckptPath.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(ckptPath)) fs.delete(ckptPath, true)
+        val q = spark.readStream.format("graft-delta")
+          .option("readChangeFeed", "true").load(src)
+          .writeStream.format("graft-delta")
+          .option("mode", "merge").option("mergeKeys", "c_custkey")
+          .option("path", dst)
+          .option("checkpointLocation", dst + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    }
+    DeltaTable.read(spark, dst)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("segment"))
+  }
+
   /** The same merge over the jarless Iceberg writer — one snapshot
     * carrying an equality-delete file plus the upsert data files; the
     * sequence rule yields identical upsert semantics to the Delta leg,
@@ -1053,6 +1093,7 @@ object IndexAccel {
     "idx_delta_merge" -> (idxDeltaMerge _, idxDeltaMergeSql),
     "idx_delta_merge_cdf" -> (idxDeltaMergeCdf _, idxDeltaMergeCdfSql),
     "idx_iceberg_merge" -> (idxIcebergMerge _, idxDeltaMergeSql),
+    "stream_lake_upsert" -> (streamLakeUpsert _, idxDeltaMergeSql),
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_ivfpq_topk" -> (idxIvfPqTopK _, idxIvfPqTopKSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),

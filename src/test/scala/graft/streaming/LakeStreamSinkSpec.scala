@@ -165,4 +165,123 @@ class LakeStreamSinkSpec extends AnyFunSuite {
     assert(spark.read.schema(customer.schema).parquet(out).count() ==
       customer.count())
   }
+
+  /** Stream `srcTable`'s change feed into `dstTable` via mode=merge. */
+  private def cdcApply(srcFormat: String, srcTable: String,
+      dstFormat: String, dstTable: String, ckpt: String): Unit = {
+    val q = spark.readStream.format(srcFormat)
+      .option("readChangeFeed", "true").load(srcTable)
+      .writeStream.format(dstFormat)
+      .option("mode", "merge").option("mergeKeys", "c_custkey")
+      .option("path", dstTable)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("c_custkey").collect().toSeq
+
+  test("mode=merge: a Delta CDF stream CDC-applies; target converges " +
+      "to source across multi-commit batches and incremental drains") {
+    val srcT = Files.createTempDirectory("graft-cdc-src-").toString + "/a"
+    val dstT = Files.createTempDirectory("graft-cdc-dst-").toString + "/b"
+    val ckpt = Files.createTempDirectory("graft-cdc-ck-").toString
+    // source history: create + merge (update/insert/delete) — the CDF
+    // records every row-level change
+    DeltaTable.create(customer.filter(col("c_custkey") % 2 === 0), srcT,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaTable.merge(spark, srcT,
+      customer.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000),
+      Seq("c_custkey"), deleteCondition = Some(col("c_nationkey") >= 20))
+
+    // ONE drain carries both commits: last change per key must win
+    cdcApply("graft-delta", srcT, "graft-delta", dstT, ckpt)
+    assert(sortedRows(DeltaTable.read(spark, dstT)) ==
+      sortedRows(DeltaTable.read(spark, srcT)))
+
+    // more source changes; an incremental drain converges again
+    DeltaTable.deleteWhere(spark, srcT, col("c_custkey") % 10 === 4)
+    DeltaTable.merge(spark, srcT,
+      customer.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_mktsegment", lit("CDCSEG")),
+      Seq("c_custkey"))
+    cdcApply("graft-delta", srcT, "graft-delta", dstT, ckpt)
+    assert(sortedRows(DeltaTable.read(spark, dstT)) ==
+      sortedRows(DeltaTable.read(spark, srcT)))
+  }
+
+  test("mode=merge: an Iceberg changelog stream CDC-applies into an " +
+      "Iceberg target") {
+    val srcT = Files.createTempDirectory("graft-cdci-src-").toString + "/a"
+    val dstT = Files.createTempDirectory("graft-cdci-dst-").toString + "/b"
+    val ckpt = Files.createTempDirectory("graft-cdci-ck-").toString
+    IcebergTable.create(customer.filter(col("c_custkey") % 2 === 0), srcT)
+    IcebergTable.deleteWhere(spark, srcT, col("c_custkey") % 10 === 6)
+    IcebergTable.append(customer.filter(col("c_custkey") % 2 === 1), srcT)
+
+    cdcApply("graft-iceberg", srcT, "graft-iceberg", dstT, ckpt)
+    assert(sortedRows(IcebergTable.read(spark, dstT)) ==
+      sortedRows(IcebergTable.read(spark, srcT)))
+  }
+
+  test("mode=merge: plain (non-CDF) stream upserts; deleteWhen marks " +
+      "deletes") {
+    val src = Files.createTempDirectory("graft-mrg-src-").toString
+    val dstT = Files.createTempDirectory("graft-mrg-dst-").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-mrg-ck-").toString
+    customer.filter(col("c_custkey") <= 100).write.parquet(src + "/b0")
+    def drainMerge(): Unit = {
+      val q = spark.readStream.schema(customer.schema).parquet(src + "/*")
+        .writeStream.format("graft-delta")
+        .option("mode", "merge").option("mergeKeys", "c_custkey")
+        .option("deleteWhen", "c_nationkey >= 20")
+        .option("path", dstT).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drainMerge()
+    val afterFirst = DeltaTable.read(spark, dstT)
+    assert(afterFirst.count() ==
+      customer.filter(col("c_custkey") <= 100 && col("c_nationkey") < 20).count())
+
+    // second batch UPDATES half the rows and INSERTS new ones; rows
+    // matching deleteWhen remove their targets
+    customer.filter(col("c_custkey") > 100 && col("c_custkey") <= 150)
+      .union(customer.filter(col("c_custkey") <= 50)
+        .withColumn("c_acctbal", col("c_acctbal") + 777))
+      .write.parquet(src + "/b1")
+    drainMerge()
+    val got = DeltaTable.read(spark, dstT)
+    val want = customer.filter(col("c_custkey") <= 150)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") <= 50, col("c_acctbal") + 777)
+          .otherwise(col("c_acctbal")))
+      .filter(col("c_nationkey") < 20)
+    assert(got.count() == want.count())
+    assert(got.select(sum(col("c_acctbal").cast("decimal(18,2)"))).head() ==
+      want.select(sum(col("c_acctbal").cast("decimal(18,2)"))).head())
+  }
+
+  test("mode=merge: a replayed upsert batch is skipped by the txn " +
+      "watermark (no new version, no double-apply)") {
+    val dstT = Files.createTempDirectory("graft-mrgrpl-").toString + "/t"
+    val sink = new LakeStreamSink(spark, dstT, Nil,
+      Map("txnAppId" -> "merge-replay", "mode" -> "merge",
+        "mergeKeys" -> "c_custkey"), iceberg = false)
+    sink.addBatch(0, customer.filter(col("c_custkey") <= 50))
+    sink.addBatch(1, customer.filter(col("c_custkey") <= 50)
+      .withColumn("c_acctbal", col("c_acctbal") + 100))
+    val vAfter = DeltaLog.snapshot(spark, dstT).version
+    val balAfter = DeltaTable.read(spark, dstT)
+      .select(sum(col("c_acctbal").cast("decimal(18,2)"))).head()
+    // replay of batch 1: recognized, skipped — nothing moves
+    sink.addBatch(1, customer.filter(col("c_custkey") <= 50)
+      .withColumn("c_acctbal", col("c_acctbal") + 100))
+    assert(DeltaLog.snapshot(spark, dstT).version == vAfter)
+    assert(DeltaTable.read(spark, dstT)
+      .select(sum(col("c_acctbal").cast("decimal(18,2)"))).head() == balAfter)
+  }
 }
