@@ -1061,11 +1061,19 @@ object DeltaTable {
     // column mapping, scan physical names, restore logical ones for the
     // user's predicate, and keep `_metadata` riding along
     val cmMode = DeltaColumnMapping.mode(prior.configuration)
-    val base = spark.read
+    val raw = spark.read
       .schema(if (cmMode == "none") prior.schema
         else DeltaColumnMapping.physicalSchema(prior.schema))
       .option("basePath", rootStr)
       .parquet(prior.files.map(_.path): _*)
+    // log-stats FILE SKIPPING for the doomed-row scan (same wrap the
+    // batch read uses): a narrow delete against a wide table opens only
+    // the files whose [min, max] ranges admit the pushed-down predicate
+    val base =
+      if (cmMode != "none") raw // cm stats key physically; keep-all
+      else StatsPruning.wrap(raw, prior.files.flatMap(f =>
+        f.stats.flatMap(DeltaStats.parse(_, prior.schema))
+          .map(fs => normPath(f.path) -> fs)).toMap)
     val logical = if (cmMode == "none") base
       else DeltaColumnMapping.toLogical(base, prior.schema,
         keep = Seq("_metadata"))
@@ -1340,14 +1348,23 @@ object DeltaTable {
     // already dropped is a no-op via the executor-side union) ----
     def normC(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^file:/+", "/")
-    val merged: Seq[(DeltaFileMeta, DvDescriptor)] =
+    // DYNAMIC FILE PRUNING: only files whose log stats admit a key in
+    // the source's [min, max] range can hold matched rows — a narrow
+    // merge against a 100 TB table scans O(affected files), not the
+    // table (the same move production MERGE engines make). One tiny
+    // agg over the source pays for it.
+    val candidates =
       if (prior.files.isEmpty) Nil
+      else MergePruning.candidates(
+        spark, prior.files, prior.schema, keys, src, cmMode)
+    val merged: Seq[(DeltaFileMeta, DvDescriptor)] =
+      if (candidates.isEmpty) Nil
       else {
         val base = spark.read
           .schema(if (cmMode == "none") prior.schema
             else DeltaColumnMapping.physicalSchema(prior.schema))
           .option("basePath", rootStr)
-          .parquet(prior.files.map(_.path): _*)
+          .parquet(candidates.map(_.path): _*)
         val logical = if (cmMode == "none") base
           else DeltaColumnMapping.toLogical(base, prior.schema,
             keep = Seq("_metadata"))

@@ -250,6 +250,57 @@ object StatsPruning {
 }
 
 /**
+ * DYNAMIC FILE PRUNING for MERGE: a merge's matched-position scan only
+ * needs the target files whose log stats admit a key inside the
+ * source's [min, max] key range — everything else provably holds no
+ * matched row. One small aggregate over the source buys an
+ * O(affected-files) scan instead of an O(table) one, the decisive
+ * difference for a narrow merge against a 100 TB table. Sound by
+ * construction: missing stats, null bounds (empty or all-null-key
+ * source), unmodeled types, and column-mapped stats all degrade to
+ * KEEP — pruning is an optimization, never a correctness gate.
+ */
+private[graft] object MergePruning {
+
+  /** Target files that may hold a row matching some source key. */
+  def candidates(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[DeltaFileMeta], schema: StructType, keys: Seq[String],
+      source: DataFrame, cmMode: String = "none"): Seq[DeltaFileMeta] = {
+    // column-mapped tables key their stats by PHYSICAL name; the parse
+    // below would miss and keep-all anyway — skip the agg entirely
+    if (cmMode != "none") return files
+    import org.apache.spark.sql.functions.{col, max, min}
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+    val row = source.select(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*).head()
+    val boundsExpr: Option[Expression] = {
+      val perKey = keys.zipWithIndex.map { case (k, i) =>
+        val dt = schema(k).dataType
+        val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
+        if (mn == null || mx == null) None // empty / all-null-key source
+        else Some(And(
+          GreaterThanOrEqual(AttributeReference(k, dt)(), Literal.create(mn, dt)),
+          LessThanOrEqual(AttributeReference(k, dt)(), Literal.create(mx, dt))))
+      }
+      if (perKey.exists(_.isEmpty)) None
+      else Some(perKey.flatten.reduce(And))
+    }
+    boundsExpr match {
+      case None => files
+      case Some(expr) => files.filter { f =>
+        f.stats.flatMap(DeltaStats.parse(_, schema)) match {
+          case None => true // no stats: must keep
+          case Some(st) =>
+            try StatsPredicate.mayMatch(st, expr)
+            catch { case NonFatal(_) => true }
+        }
+      }
+    }
+  }
+}
+
+/**
  * Writer-side stats collection from parquet FOOTERS — metadata-only
  * reads (no row data), the same numbers the writer's row groups already
  * recorded. Distributed over executors above a small threshold so a

@@ -1713,10 +1713,16 @@ object IcebergTable {
     // positions of the doomed rows, straight from the parquet reader's
     // metadata columns — (file, ordinal position), the spec's coordinates.
     // Paths are stored scheme-normalized, the form real writers use.
-    val doomed = spark.read
+    // Manifest-bounds FILE SKIPPING wraps the scan (same as [[read]]):
+    // a narrow delete opens only the files whose ranges admit the
+    // pushed-down predicate.
+    val rawDoomed = spark.read
       .schema(prior.schema)
       .option("basePath", s"$location/data")
       .parquet(prior.files.map(_.path): _*)
+    val doomed = StatsPruning.wrap(rawDoomed, prior.files.flatMap(f =>
+        f.stats.flatMap(DeltaStats.parse(_, prior.schema))
+          .map(fs => DeltaTable.normPath(f.path) -> fs)).toMap)
       .filter(predicate)
       .select(
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("file_path"),

@@ -169,4 +169,65 @@ class DeltaMergeSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root).count() ==
       customer.filter($"c_custkey" % 2 === 1).count())
   }
+
+  test("dynamic file pruning: a narrow merge scans only the key-range " +
+      "candidate files, and the result is still exact") {
+    import graft.index.sources.MergePruning
+    val root = Files.createTempDirectory("graft-delta-merge-dfp-").toString
+    // 8 files with DISJOINT key ranges (range partitioning → tight
+    // per-file min/max stats in the log)
+    DeltaTable.create(
+      customer.repartitionByRange(8, $"c_custkey"), root)
+    val prior = DeltaLog.snapshot(spark, root)
+    assert(prior.files.size == 8)
+    assert(prior.files.forall(_.stats.isDefined))
+
+    // a source touching only the lowest ~6% of the key space
+    val lo = customer.select(min($"c_custkey")).as[Long].head()
+    val narrow = customer.filter($"c_custkey" <= lo + 80)
+      .withColumn("c_acctbal", $"c_acctbal" + 5)
+    val cands = MergePruning.candidates(
+      spark, prior.files, prior.schema, Seq("c_custkey"), narrow)
+    assert(cands.size < prior.files.size,
+      s"expected pruning, got ${cands.size}/${prior.files.size}")
+    assert(cands.nonEmpty)
+
+    // and the merge through that path computes the exact upsert
+    DeltaTable.merge(spark, root, narrow, Seq("c_custkey"))
+    val got = DeltaTable.read(spark, root)
+    assert(got.count() == customer.count())
+    val want = customer.withColumn("c_acctbal",
+      when($"c_custkey" <= lo + 80, $"c_acctbal" + 5)
+        .otherwise($"c_acctbal"))
+    assert(got.select(sum($"c_acctbal".cast("decimal(18,2)"))).head() ==
+      want.select(sum($"c_acctbal".cast("decimal(18,2)"))).head())
+    // only the candidate files took DVs
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.files.count(_.dv.exists(_.cardinality > 0)) <= cands.size)
+  }
+
+  test("pruning is sound-by-default: no stats, null bounds, and " +
+      "multi-key conjunctions all keep files") {
+    import graft.index.sources.MergePruning
+    val root = Files.createTempDirectory("graft-delta-merge-dfp2-").toString
+    DeltaTable.create(customer.repartitionByRange(4, $"c_custkey"), root)
+    val prior = DeltaLog.snapshot(spark, root)
+
+    // empty source → null bounds → keep everything
+    val empty = customer.filter(lit(false))
+    assert(MergePruning.candidates(spark, prior.files, prior.schema,
+      Seq("c_custkey"), empty).size == prior.files.size)
+
+    // stats stripped → keep everything
+    val statless = prior.files.map(_.copy(stats = None))
+    val lo = customer.select(min($"c_custkey")).as[Long].head()
+    val narrow = customer.filter($"c_custkey" <= lo + 10)
+    assert(MergePruning.candidates(spark, statless, prior.schema,
+      Seq("c_custkey"), narrow).size == statless.size)
+
+    // two-key conjunction still prunes (both ranges must overlap)
+    val cands2 = MergePruning.candidates(spark, prior.files, prior.schema,
+      Seq("c_custkey", "c_nationkey"), narrow)
+    assert(cands2.size < prior.files.size)
+  }
 }
