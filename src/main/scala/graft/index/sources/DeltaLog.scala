@@ -1256,6 +1256,189 @@ object DeltaTable {
     }
   }
 
+  /** Stage-write `physRows` (hive `partitionBy` when `physParts`
+    * nonEmpty), move the produced files into the table preserving
+    * partition subpaths, and return the landed statuses. */
+  private def stageNewFiles(fs: FileSystem, root: Path,
+      physRows: DataFrame, physParts: Seq[String]): Seq[FileStatus] = {
+    val stage = new Path(root,
+      s".graft-stage-${java.util.UUID.randomUUID().toString}")
+    val writer = physRows.write.mode(SaveMode.Append)
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
+      .parquet(stage.toString)
+    val stageUri = fs.makeQualified(stage).toUri
+    val added = dataFiles(fs, stage).map { s =>
+      val rel = stageUri.relativize(s.getPath.toUri).getPath
+      val target = new Path(root, rel)
+      fs.mkdirs(target.getParent)
+      if (!fs.rename(s.getPath, target)) {
+        throw new IllegalStateException(
+          s"failed to move staged file ${s.getPath} to $target")
+      }
+      fs.getFileStatus(target)
+    }
+    fs.delete(stage, true)
+    added
+  }
+
+  /** `add` action lines for freshly-landed files: hive partition values
+    * from the relative path, footer stats over the file columns. */
+  private def addActionLines(spark: SparkSession, fs: FileSystem,
+      root: Path, added: Seq[FileStatus], prior: DeltaSnapshot,
+      cmMode: String, physParts: Seq[String]): Seq[JValue] = {
+    val rootUri = fs.makeQualified(root).toUri
+    val statsSchema = StructType(
+      (if (cmMode == "none") prior.schema
+       else DeltaColumnMapping.physicalSchema(prior.schema))
+        .filterNot(f => physParts.contains(f.name)))
+    val statsByPath: Map[String, FileStats] = ParquetFooterStats
+      .collect(spark, added.map(_.getPath.toString), statsSchema)
+    added.map { s =>
+      val rel = rootUri.relativize(s.getPath.toUri).getPath
+      val pvals = rel.split('/').init.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> JString(java.net.URLDecoder.decode(v, "UTF-8")))
+          case _ => None
+        }
+      }.toList
+      val statsJson = statsByPath.get(s.getPath.toString)
+        .flatMap(DeltaStats.render(_, statsSchema))
+      JObject("add" -> JObject(
+        List(
+          "path" -> (JString(rel): JValue),
+          "partitionValues" -> (JObject(pvals): JValue),
+          "size" -> (JLong(s.getLen): JValue),
+          "modificationTime" -> (JLong(s.getModificationTime): JValue),
+          "dataChange" -> (JBool(true): JValue)) ++
+          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
+    }
+  }
+
+  /**
+   * Row-level UPDATE — the remaining DML verb: rows matching
+   * `condition` are replaced by versions with `set`'s expressions
+   * applied (each evaluated against the OLD row), in ONE merge-on-read
+   * commit: matched positions are deletion-vector-deleted (no data-file
+   * rewrite), the updated versions land as fresh data files, and on a
+   * CDF table the effect is recorded as `update_preimage` /
+   * `update_postimage` pairs, so [[changes]] replays the update
+   * exactly. The matched-position scan wraps log-stats file skipping,
+   * and the updated versions come from the POST-DV read, so rows an
+   * earlier delete removed are never resurrected. Set expressions must
+   * preserve each column's type (cast in the expression otherwise).
+   */
+  def update(spark: SparkSession, rootStr: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      txn: Option[(String, Long)] = None): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = true, kind = "update")
+    require(set.nonEmpty, s"update at $rootStr: no SET expressions given")
+    val tableCols = prior.schema.fieldNames.toSeq
+    set.keys.foreach(k => require(tableCols.contains(k),
+      s"update at $rootStr: SET column '$k' is not a table column " +
+        s"(have ${tableCols.mkString(", ")})"))
+    if (prior.files.isEmpty) return prior.version
+    val cmMode = DeltaColumnMapping.mode(prior.configuration)
+    val physParts = prior.partitionColumns.map { n =>
+      if (cmMode == "none") n
+      else prior.schema.fields.find(_.name == n)
+        .map(DeltaColumnMapping.physicalName).getOrElse(n)
+    }
+    require(!set.keys.exists(prior.partitionColumns.contains),
+      s"update at $rootStr: SET touches a partition column " +
+        "(rewrites rows across partitions); use merge instead")
+
+    // ---- matched positions → deletion vectors (stats-pruned scan) ----
+    def normC(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+    val raw = spark.read
+      .schema(if (cmMode == "none") prior.schema
+        else DeltaColumnMapping.physicalSchema(prior.schema))
+      .option("basePath", rootStr)
+      .parquet(prior.files.map(_.path): _*)
+    val base =
+      if (cmMode != "none") raw
+      else StatsPruning.wrap(raw, prior.files.flatMap(f =>
+        f.stats.flatMap(DeltaStats.parse(_, prior.schema))
+          .map(fst => normPath(f.path) -> fst)).toMap)
+    val logical = if (cmMode == "none") base
+      else DeltaColumnMapping.toLogical(base, prior.schema,
+        keep = Seq("_metadata"))
+    val matched = logical.filter(condition)
+      .select(normC(col("_metadata.file_path")).as("p"),
+        col("_metadata.row_index").as("pos"))
+      .as[(String, Long)]
+    val merged: Seq[(DeltaFileMeta, DvDescriptor)] =
+      writeDvs(spark, rootStr, prior, matched)
+    if (merged.isEmpty) return prior.version // nothing matched: no commit
+    val dvPaths: Seq[Path] =
+      merged.flatMap(_._2.absolutePath(root).map(_.toString)).distinct
+        .map(new Path(_))
+
+    // ---- updated versions: POST-DV matched rows with SET applied ----
+    val old = read(spark, rootStr).filter(condition)
+    val updated = set.foldLeft(old) { case (df, (k, c)) =>
+      df.withColumn(k, c) }.select(tableCols.map(col): _*)
+    prior.schema.fields.zip(updated.schema.fields).foreach { case (tf, uf) =>
+      require(tf.dataType == uf.dataType,
+        s"update at $rootStr: SET makes column '${tf.name}' " +
+          s"${uf.dataType.simpleString} but the table declares " +
+          s"${tf.dataType.simpleString}; cast inside the expression")
+    }
+    val physUpd = if (cmMode == "none") updated
+      else DeltaColumnMapping.toPhysical(updated, prior.schema)
+    val added = stageNewFiles(fs, root, physUpd, physParts)
+
+    // ---- CDF: exact pre/post pairs ----
+    val (cdcLines, cdcPaths): (Seq[JValue], Seq[Path]) =
+      if (!cdfEnabled(prior.configuration)) (Nil, Nil)
+      else {
+        val legs = Seq(old -> "update_preimage", updated -> "update_postimage")
+        val changeRows = legs.map { case (df, tpe) =>
+          val phys = if (cmMode == "none") df
+            else DeltaColumnMapping.toPhysical(df, prior.schema)
+          phys.withColumn("_change_type", lit(tpe))
+        }.reduce(_ unionByName _)
+        writeCdc(spark, fs, root, changeRows, physParts)
+      }
+
+    val version = prior.version + 1
+    val now = System.currentTimeMillis()
+    val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(now, "UPDATE",
+      Map("matchedFiles" -> merged.size.toString),
+      if (ictEnabled(prior.configuration))
+        Some(nextIct(fs, root, prior.version, now)) else None)
+    txn.foreach { case (app, v) =>
+      lines += JObject("txn" -> JObject(
+        "appId" -> JString(app), "version" -> JLong(v),
+        "lastUpdated" -> JLong(now)))
+    }
+    dvProtocolLine(prior).foreach(lines += _)
+    lines ++= dvAddRemoveLines(fs, root, merged, now)
+    lines ++= addActionLines(spark, fs, root, added, prior, cmMode, physParts)
+    lines ++= cdcLines
+
+    val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
+    val out = try fs.create(commitPath, false) catch {
+      case e: Throwable =>
+        dvPaths.foreach(fs.delete(_, false))
+        added.foreach(s => fs.delete(s.getPath, false))
+        cdcPaths.foreach(fs.delete(_, false))
+        throw e
+    }
+    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    version
+  }
+
   /**
    * MERGE — the CDC-upsert verb (reference-era Delta predates it; this
    * is the `MERGE INTO target USING source ON keys` shape every
@@ -1386,23 +1569,7 @@ object DeltaTable {
     // are the post-image versions of their DV-deleted predecessors) ----
     val physUps = if (cmMode == "none") ups
       else DeltaColumnMapping.toPhysical(ups, prior.schema)
-    val stage = new Path(root,
-      s".graft-stage-${java.util.UUID.randomUUID().toString}")
-    val writer = physUps.write.mode(SaveMode.Append)
-    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
-      .parquet(stage.toString)
-    val stageUri = fs.makeQualified(stage).toUri
-    val added: Seq[FileStatus] = dataFiles(fs, stage).map { s =>
-      val rel = stageUri.relativize(s.getPath.toUri).getPath
-      val target = new Path(root, rel)
-      fs.mkdirs(target.getParent)
-      if (!fs.rename(s.getPath, target)) {
-        throw new IllegalStateException(
-          s"failed to move staged file ${s.getPath} to $target")
-      }
-      fs.getFileStatus(target)
-    }
-    fs.delete(stage, true)
+    val added = stageNewFiles(fs, root, physUps, physParts)
     if (merged.isEmpty && added.isEmpty) return prior.version // no-op merge
 
     // ---- CDF: classify the merge's row-level effect against the LIVE
@@ -1430,7 +1597,6 @@ object DeltaTable {
 
     val version = prior.version + 1
     val now = System.currentTimeMillis()
-    val rootUri = fs.makeQualified(root).toUri
 
     val lines = mutable.Buffer.empty[JValue]
     lines += commitInfoLine(now, "MERGE",
@@ -1444,34 +1610,7 @@ object DeltaTable {
     }
     if (merged.nonEmpty) dvProtocolLine(prior).foreach(lines += _)
     lines ++= dvAddRemoveLines(fs, root, merged, now)
-
-    val statsSchema = StructType(
-      (if (cmMode == "none") prior.schema
-       else DeltaColumnMapping.physicalSchema(prior.schema))
-        .filterNot(f => physParts.contains(f.name)))
-    val statsByPath: Map[String, FileStats] = ParquetFooterStats
-      .collect(spark, added.map(_.getPath.toString), statsSchema)
-    added.foreach { s =>
-      val rel = rootUri.relativize(s.getPath.toUri).getPath
-      val pvals = rel.split('/').init.flatMap { seg =>
-        seg.split("=", 2) match {
-          case Array(k, v) =>
-            Some(k -> JString(java.net.URLDecoder.decode(v, "UTF-8")))
-          case _ => None
-        }
-      }.toList
-      val statsJson = statsByPath.get(s.getPath.toString)
-        .flatMap(DeltaStats.render(_, statsSchema))
-      lines += JObject("add" -> JObject(
-        List(
-          "path" -> (JString(rel): JValue),
-          "partitionValues" -> (JObject(pvals): JValue),
-          "size" -> (JLong(s.getLen): JValue),
-          "modificationTime" -> (JLong(s.getModificationTime): JValue),
-          "dataChange" -> (JBool(true): JValue)) ++
-          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
-    }
-
+    lines ++= addActionLines(spark, fs, root, added, prior, cmMode, physParts)
     lines ++= cdcLines
 
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")

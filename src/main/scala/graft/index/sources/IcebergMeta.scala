@@ -1758,6 +1758,108 @@ object IcebergTable {
   }
 
   /**
+   * Row-level UPDATE — positional-delete the matched rows AND land
+   * their updated versions (each SET expression evaluated against the
+   * OLD row) in ONE `overwrite` snapshot, so the changelog replays the
+   * effect as delete + insert and time travel sees the pre-update
+   * state. Matched positions come from the stats-pruned MOR read
+   * (rows earlier deletes removed are never resurrected: the new
+   * versions are computed from the LIVE read). SET expressions must
+   * preserve column types; partition columns refuse (a cross-partition
+   * rewrite is a merge). Honors the table's partition spec for the
+   * rewritten files.
+   */
+  def update(spark: SparkSession, location: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = new Path(root, "data")
+    require(IcebergMeta.isIcebergTable(spark, location),
+      s"update on a non-Iceberg directory: $location")
+    val prior = IcebergMeta.snapshot(spark, location)
+    require(set.nonEmpty, s"update at $location: no SET expressions given")
+    val tableCols = prior.schema.fieldNames.toSeq
+    set.keys.foreach(k => require(tableCols.contains(k),
+      s"update at $location: SET column '$k' is not a table column " +
+        s"(have ${tableCols.mkString(", ")})"))
+    require(!set.keys.exists(prior.partitionColumns.contains),
+      s"update at $location: SET touches a partition column " +
+        "(rewrites rows across partitions); use merge instead")
+    if (prior.files.isEmpty) return prior.snapshotId
+
+    // matched LIVE rows (MOR read — earlier deletes already excluded)
+    val live = read(spark, location).filter(condition)
+    val updated = set.foldLeft(live) { case (df, (k, c)) =>
+      df.withColumn(k, c) }.select(tableCols.map(col): _*)
+    prior.schema.fields.zip(updated.schema.fields).foreach { case (tf, uf) =>
+      require(tf.dataType == uf.dataType,
+        s"update at $location: SET makes column '${tf.name}' " +
+          s"${uf.dataType.simpleString} but the table declares " +
+          s"${tf.dataType.simpleString}; cast inside the expression")
+    }
+
+    // positional delete file over the matched LIVE positions
+    val rawScan = spark.read
+      .schema(prior.schema)
+      .option("basePath", s"$location/data")
+      .parquet(prior.files.map(_.path): _*)
+    val doomed = StatsPruning.wrap(rawScan, prior.files.flatMap(f =>
+        f.stats.flatMap(DeltaStats.parse(_, prior.schema))
+          .map(fst => DeltaTable.normPath(f.path) -> fst)).toMap)
+      .filter(condition)
+      .select(
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+    val delStage = new Path(root,
+      s".graft-stage-${java.util.UUID.randomUUID().toString}")
+    doomed.repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.parquet(delStage.toString)
+    val delAdded: Seq[IceDeleteFile] = fs.listStatus(delStage).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (s, i) =>
+        val target = new Path(dataDir,
+          f"delete-${prior.snapshotId + 1}%05d-u$i%d-${s.getPath.getName}")
+        if (!fs.rename(s.getPath, target)) {
+          throw new IllegalStateException(
+            s"failed to move staged delete file ${s.getPath} to $target")
+        }
+        val st = fs.getFileStatus(target)
+        IceDeleteFile(st.getPath.toString, st.getLen, content = 1, Nil,
+          seq = prior.snapshotId + 1)
+      }
+    fs.delete(delStage, true)
+
+    // updated versions land as fresh data files (table partition spec)
+    val stage = new Path(root,
+      s".graft-stage-${java.util.UUID.randomUUID().toString}")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val updW = withIdMetadata(updated,
+      IcebergMeta.publishedSchemaJson(Some(prior), prior.schema))
+      .write.mode(SaveMode.Append)
+    (if (prior.partitionColumns.nonEmpty)
+      updW.partitionBy(prior.partitionColumns: _*) else updW)
+      .parquet(stage.toString)
+    val added = moveStagedData(fs, stage, dataDir)
+
+    val statsByPath = partitionedFooterStats(spark, prior.schema,
+      prior.partitionColumns, added.map(_.getPath.toString))
+    publishSnapshot(spark, location, Some(prior), prior.schema, "overwrite",
+      dataExisting = prior.files.map(f =>
+        (f, prior.dataSeq.getOrElse(f.path, 0L))),
+      dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L,
+        stats = statsByPath.get(s.getPath.toString)
+          .flatMap(DeltaStats.render(_, prior.schema)))),
+      deleteExisting = prior.deleteFiles,
+      deleteAdded = delAdded,
+      extraProperties = txn
+        .map { case (app, v) => Map(s"graft.txn.$app" -> v.toString) }
+        .getOrElse(Map.empty))
+  }
+
+  /**
    * v2 EQUALITY DELETE (content=2): delete every row whose values in
    * `keys`' columns match ANY row of `keys` — the shape CDC writers
    * (Flink upserts) produce, where the deleted key set is known but the

@@ -99,6 +99,19 @@ object LakeTable {
         IcebergTable.merge(spark, path, source, keys, deleteCondition)
     }
 
+  /** Row-level UPDATE — rows matching `condition` are replaced by
+    * versions with `set`'s expressions applied (evaluated on the old
+    * row), one merge-on-read commit in both formats: Delta DV-deletes
+    * the matched positions (CDF records update pre/post pairs), Iceberg
+    * publishes a positional delete plus the rewritten rows in one
+    * `overwrite` snapshot (the changelog replays delete + insert). */
+  def update(spark: SparkSession, path: String, condition: Column,
+      set: Map[String, Column]): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.update(spark, path, condition, set)
+      case _ => IcebergTable.update(spark, path, condition, set)
+    }
+
   /** Row-level DELETE, merge-on-read in both formats (Delta deletion
     * vectors / Iceberg positional delete files). */
   def deleteWhere(spark: SparkSession, path: String, cond: Column): Long =

@@ -1024,6 +1024,42 @@ object IndexAccel {
        | ${sqlMoneySum("bal")} AS sum_bal
        |FROM legs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Row-level UPDATE on the jarless Delta writer: the fixture takes
+    * one UPDATE (matched rows DV-deleted + rewritten versions landed in
+    * the same commit), and the post-update aggregate must hash-match a
+    * DuckDB replay of the SET expression over raw parquet — proof the
+    * rewrite replaced exactly the matched rows and resurrected
+    * nothing. */
+  def lakeUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{DeltaLog, DeltaTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_lake_update_$h"
+    synchronized {
+      if (!DeltaLog.isDeltaTable(spark, root)) {
+        DeltaTable.create(Tables.load(spark, sfDir, "customer"), root)
+        DeltaTable.update(spark, root,
+          col("c_mktsegment") === "BUILDING" && col("c_nationkey") < 13,
+          Map("c_acctbal" -> (col("c_acctbal") + 250)))
+      }
+    }
+    DeltaTable.read(spark, root)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("segment"))
+  }
+
+  val lakeUpdateSql: String =
+    s"""WITH updated AS (
+       |  SELECT c_mktsegment,
+       |    CASE WHEN c_mktsegment = 'BUILDING' AND c_nationkey < 13
+       |         THEN c_acctbal + 250 ELSE c_acctbal END AS bal
+       |  FROM customer
+       |)
+       |SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("bal")} AS sum_bal
+       |FROM updated GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** STREAMING CDC APPLY, end to end: table A is the Delta merge
     * fixture (create + one MERGE, CDF recording every row-level
     * change); the pipeline STREAMS A's change feed
@@ -1094,6 +1130,7 @@ object IndexAccel {
     "idx_delta_merge_cdf" -> (idxDeltaMergeCdf _, idxDeltaMergeCdfSql),
     "idx_iceberg_merge" -> (idxIcebergMerge _, idxDeltaMergeSql),
     "stream_lake_upsert" -> (streamLakeUpsert _, idxDeltaMergeSql),
+    "lake_update" -> (lakeUpdate _, lakeUpdateSql),
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_ivfpq_topk" -> (idxIvfPqTopK _, idxIvfPqTopKSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
