@@ -195,6 +195,34 @@ class LakeTable:
         jcond = self._jvm.org.apache.spark.sql.functions.expr(condition_sql)
         return self._jt.deleteWhere(self._jspark, path, jcond)
 
+    def merge(self, path, source_df, keys, delete_condition_sql=None):
+        """MERGE (CDC upsert): ``source_df`` rows keyed by ``keys``
+        replace matched target rows and insert unmatched ones; rows
+        where ``delete_condition_sql`` holds are delete markers. One
+        commit (Delta: DV-delete + append, CDF-recorded) / one snapshot
+        (Iceberg: equality-delete + append). Returns the new version or
+        snapshot id."""
+        jkeys = self._jvm.PythonUtils.toSeq(list(keys))
+        if delete_condition_sql is None:
+            jcond = getattr(self._jvm.scala.Option, "empty")()
+        else:
+            jcond = self._jvm.scala.Option.apply(
+                self._jvm.org.apache.spark.sql.functions.expr(
+                    delete_condition_sql))
+        return self._jt.merge(self._jspark, path, source_df._jdf,
+                              jkeys, jcond)
+
+    def update(self, path, condition_sql, set_exprs):
+        """Row-level UPDATE: rows matching ``condition_sql`` get each
+        column of ``set_exprs`` (``{column: sql_expression}``, evaluated
+        on the old row) applied, in one merge-on-read commit. SET
+        expressions must preserve the column's type."""
+        fns = self._jvm.org.apache.spark.sql.functions
+        jcond = fns.expr(condition_sql)
+        jset = self._jvm.PythonUtils.toScalaMap(
+            {k: fns.expr(v) for k, v in set_exprs.items()})
+        return self._jt.update(self._jspark, path, jcond, jset)
+
     def compact(self, path):
         """Fold merge-on-read delete state into fresh data files."""
         return self._jt.compact(self._jspark, path)

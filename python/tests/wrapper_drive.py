@@ -107,10 +107,38 @@ assert t.changes(droot, 0).count() == n_all - n_even
 t.delete_where(droot, "c_nationkey < 3")
 n_after = t.read(droot).count()
 assert n_after < n_all
-t.compact(droot)
+
+# --- row-level UPDATE through the wrapper (DML verb)
+def lake_sum():
+    t.read(droot)._jdf.createOrReplaceTempView("py_lake_t")
+    jrow = jspark.sql(
+        "select cast(sum(c_acctbal) as decimal(18,2)) from py_lake_t").head()
+    return float(str(jrow.get(0)))
+
+bal_before = lake_sum()
+n_updated = t.read(droot).where("c_nationkey = 9").count()
+assert n_updated > 0
+t.update(droot, "c_nationkey = 9", {"c_acctbal": "c_acctbal + 100"})
+bal_after = lake_sum()
+assert abs((bal_after - bal_before) - 100.0 * n_updated) < 1e-6, \
+    (bal_before, bal_after, n_updated)
 assert t.read(droot).count() == n_after
+
+# --- MERGE (CDC upsert) through the wrapper
+src = DataFrame(jspark.sql(
+    "select * from parquet.`" + sf_dir + "/customer.parquet` "
+    "where c_custkey % 7 = 0"), spark)
+t.merge(droot, src, ["c_custkey"],
+        delete_condition_sql="c_nationkey >= 20")
+merged = t.read(droot)
+assert merged.where("c_custkey % 7 = 0 and c_nationkey >= 20").count() == 0
+n_sev = src.where("c_nationkey < 20").count()
+assert merged.where("c_custkey % 7 = 0").count() == n_sev
+
+t.compact(droot)
+n_final = t.read(droot).count()
 removed = t.cleanup(droot, 0)
 assert len(removed) > 0, "cleanup reclaimed nothing"
-assert t.read(droot).count() == n_after
+assert t.read(droot).count() == n_final
 
 print("WRAPPER_OK %d" % n_indexes)
