@@ -118,4 +118,48 @@ class IcebergMergeSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("columns"))
   }
+
+  test("commit-fence race: a losing merge removes its data, delete " +
+      "files, and manifests — a retry against the new head succeeds") {
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-ice-merge-race-").toString
+    IcebergTable.create(customer, loc)
+    val rootPath = new org.apache.hadoop.fs.Path(loc)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def tableFiles(): Set[String] = {
+      val buf = scala.collection.mutable.Buffer.empty[String]
+      def walk(d: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(d).foreach { st =>
+          if (st.isDirectory) walk(st.getPath) else buf += st.getPath.toString
+        }
+      walk(rootPath)
+      buf.toSet
+    }
+    // a racing writer already published metadata v2 (same content as
+    // v1 — a valid, readable head) → this merge's fence create fails
+    val metaDir = new org.apache.hadoop.fs.Path(loc, "metadata")
+    val v1 = fs.listStatus(metaDir).map(_.getPath)
+      .find(_.getName.endsWith(".metadata.json")).get
+    val len = fs.getFileStatus(v1).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(v1); try in.readFully(0, bytes) finally in.close()
+    val v2 = new org.apache.hadoop.fs.Path(metaDir, "v00002.metadata.json")
+    val out = fs.create(v2, false)
+    try out.write(bytes) finally out.close()
+    val before = tableFiles()
+
+    val source = customer.filter($"c_custkey" % 3 === 0)
+      .withColumn("c_acctbal", $"c_acctbal" + 1)
+    intercept[Throwable] {
+      IcebergTable.merge(spark, loc, source, Seq("c_custkey"))
+    }
+    assert(tableFiles() == before,
+      s"stray files after a lost race: ${(tableFiles() -- before).toSeq.sorted}")
+    // once the winner's hint lands (here: hint removed → numeric-latest
+    // fallback finds v2), the retry reads the advanced head and commits
+    fs.delete(new org.apache.hadoop.fs.Path(metaDir, "version-hint.text"),
+      false)
+    IcebergTable.merge(spark, loc, source, Seq("c_custkey"))
+    assert(IcebergTable.read(spark, loc).count() == customer.count())
+  }
 }
