@@ -1535,11 +1535,14 @@ object DeltaTable {
     // the source's [min, max] range can hold matched rows — a narrow
     // merge against a 100 TB table scans O(affected files), not the
     // table (the same move production MERGE engines make). One tiny
-    // agg over the source pays for it.
+    // agg over the source pays for it; the same bounds later restrict
+    // the CDF classification scans.
+    val keyBounds =
+      if (prior.files.isEmpty) None
+      else MergePruning.bounds(src, prior.schema, keys, cmMode)
     val candidates =
       if (prior.files.isEmpty) Nil
-      else MergePruning.candidates(
-        spark, prior.files, prior.schema, keys, src, cmMode)
+      else MergePruning.candidates(prior.files, prior.schema, keyBounds)
     val merged: Seq[(DeltaFileMeta, DvDescriptor)] =
       if (candidates.isEmpty) Nil
       else {
@@ -1578,7 +1581,14 @@ object DeltaTable {
     val (cdcLines, cdcPaths): (Seq[JValue], Seq[Path]) =
       if (!cdfEnabled(prior.configuration)) (Nil, Nil)
       else {
-        val live = read(spark, rootStr)
+        // the key-range filter pushes down into every classification
+        // scan: live rows outside the source's key range can match no
+        // source key, so the four legs read only the candidate slice
+        val live = keyBounds match {
+          case Some(b) =>
+            read(spark, rootStr).filter(MergePruning.rangeFilter(b))
+          case None => read(spark, rootStr)
+        }
         val liveKeys = live.select(keys.map(col): _*)
         val legs = Seq(
           live.join(dels.select(keys.map(col): _*), keys, "left_semi") ->

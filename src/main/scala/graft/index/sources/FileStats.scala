@@ -262,41 +262,55 @@ object StatsPruning {
  */
 private[graft] object MergePruning {
 
-  /** Target files that may hold a row matching some source key. */
-  def candidates(spark: org.apache.spark.sql.SparkSession,
-      files: Seq[DeltaFileMeta], schema: StructType, keys: Seq[String],
-      source: DataFrame, cmMode: String = "none"): Seq[DeltaFileMeta] = {
-    // column-mapped tables key their stats by PHYSICAL name; the parse
-    // below would miss and keep-all anyway — skip the agg entirely
-    if (cmMode != "none") return files
+  /** Per-key [min, max] of the source's key columns — the merge's
+    * pruning evidence. None when any key's bound is null (empty or
+    * all-null-key source) or the table is column-mapped (its stats key
+    * physically; the parse would keep-all anyway). One small agg. */
+  def bounds(source: DataFrame, schema: StructType, keys: Seq[String],
+      cmMode: String = "none"): Option[Seq[(String, Any, Any)]] = {
+    if (cmMode != "none") return None
     import org.apache.spark.sql.functions.{col, max, min}
     val aggs = keys.flatMap(k =>
       Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
     val row = source.select(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*).head()
-    val boundsExpr: Option[Expression] = {
-      val perKey = keys.zipWithIndex.map { case (k, i) =>
-        val dt = schema(k).dataType
-        val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
-        if (mn == null || mx == null) None // empty / all-null-key source
-        else Some(And(
-          GreaterThanOrEqual(AttributeReference(k, dt)(), Literal.create(mn, dt)),
-          LessThanOrEqual(AttributeReference(k, dt)(), Literal.create(mx, dt))))
-      }
-      if (perKey.exists(_.isEmpty)) None
-      else Some(perKey.flatten.reduce(And))
+    val perKey = keys.zipWithIndex.map { case (k, i) =>
+      val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
+      if (mn == null || mx == null) None else Some((k, mn, mx))
     }
-    boundsExpr match {
+    if (perKey.exists(_.isEmpty)) None else Some(perKey.flatten)
+  }
+
+  /** Target files that may hold a row matching some source key. */
+  def candidates(files: Seq[DeltaFileMeta], schema: StructType,
+      kb: Option[Seq[(String, Any, Any)]]): Seq[DeltaFileMeta] =
+    kb match {
       case None => files
-      case Some(expr) => files.filter { f =>
-        f.stats.flatMap(DeltaStats.parse(_, schema)) match {
-          case None => true // no stats: must keep
-          case Some(st) =>
-            try StatsPredicate.mayMatch(st, expr)
-            catch { case NonFatal(_) => true }
+      case Some(b) =>
+        val expr = b.map { case (k, mn, mx) =>
+          val dt = schema(k).dataType
+          And(
+            GreaterThanOrEqual(AttributeReference(k, dt)(), Literal.create(mn, dt)),
+            LessThanOrEqual(AttributeReference(k, dt)(), Literal.create(mx, dt)))
+        }.reduce(And(_, _))
+        files.filter { f =>
+          f.stats.flatMap(DeltaStats.parse(_, schema)) match {
+            case None => true // no stats: must keep
+            case Some(st) =>
+              try StatsPredicate.mayMatch(st, expr)
+              catch { case NonFatal(_) => true }
+          }
         }
-      }
     }
+
+  /** The same bounds as a pushable Column filter — restricts the CDF
+    * classification scans to rows that could match a source key (a
+    * live row outside every key's range can match nothing). */
+  def rangeFilter(kb: Seq[(String, Any, Any)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    kb.map { case (k, mn, mx) =>
+      col(k) >= lit(mn) && col(k) <= lit(mx)
+    }.reduce(_ && _)
   }
 }
 

@@ -186,8 +186,8 @@ class DeltaMergeSpec extends AnyFunSuite {
     val lo = customer.select(min($"c_custkey")).as[Long].head()
     val narrow = customer.filter($"c_custkey" <= lo + 80)
       .withColumn("c_acctbal", $"c_acctbal" + 5)
-    val cands = MergePruning.candidates(
-      spark, prior.files, prior.schema, Seq("c_custkey"), narrow)
+    val cands = MergePruning.candidates(prior.files, prior.schema,
+      MergePruning.bounds(narrow, prior.schema, Seq("c_custkey")))
     assert(cands.size < prior.files.size,
       s"expected pruning, got ${cands.size}/${prior.files.size}")
     assert(cands.nonEmpty)
@@ -215,19 +215,22 @@ class DeltaMergeSpec extends AnyFunSuite {
 
     // empty source → null bounds → keep everything
     val empty = customer.filter(lit(false))
-    assert(MergePruning.candidates(spark, prior.files, prior.schema,
-      Seq("c_custkey"), empty).size == prior.files.size)
+    assert(MergePruning.candidates(prior.files, prior.schema,
+      MergePruning.bounds(empty, prior.schema, Seq("c_custkey")))
+      .size == prior.files.size)
 
     // stats stripped → keep everything
     val statless = prior.files.map(_.copy(stats = None))
     val lo = customer.select(min($"c_custkey")).as[Long].head()
     val narrow = customer.filter($"c_custkey" <= lo + 10)
-    assert(MergePruning.candidates(spark, statless, prior.schema,
-      Seq("c_custkey"), narrow).size == statless.size)
+    assert(MergePruning.candidates(statless, prior.schema,
+      MergePruning.bounds(narrow, prior.schema, Seq("c_custkey")))
+      .size == statless.size)
 
     // two-key conjunction still prunes (both ranges must overlap)
-    val cands2 = MergePruning.candidates(spark, prior.files, prior.schema,
-      Seq("c_custkey", "c_nationkey"), narrow)
+    val cands2 = MergePruning.candidates(prior.files, prior.schema,
+      MergePruning.bounds(narrow, prior.schema,
+        Seq("c_custkey", "c_nationkey")))
     assert(cands2.size < prior.files.size)
   }
 }
