@@ -1206,6 +1206,13 @@ object IcebergTable {
         s"(have ${prior.schema.fieldNames.mkString(", ")})")
     require(!prior.schema.fieldNames.contains(newName),
       s"column '$newName' already exists at $location")
+    // partition values are reconstructed from hive path segments that
+    // carry the ORIGINAL column name — a rename would orphan every
+    // existing directory. Real Iceberg renames partition sources via
+    // spec evolution; this writer's spec is fixed at create: refuse.
+    require(!prior.partitionColumns.contains(oldName),
+      s"cannot rename '$oldName': it is a partition column of $location " +
+        "(hive directories carry its name); rewrite into a new table instead")
     updateSchema(spark, location) { (fields, lastColId) =>
       (fields.map {
         case f if (f \ "name") == JString(oldName) =>
@@ -1254,6 +1261,12 @@ object IcebergTable {
     require(referencedBy.isEmpty,
       s"cannot drop '$name': ${referencedBy.size} equality delete " +
         "file(s) still reference it — compact first")
+    // the partition spec resolves by source-id against the CURRENT
+    // schema: dropping a partition column would leave the spec dangling
+    // and every later snapshot() unreadable — refuse loudly instead
+    require(!prior.partitionColumns.contains(name),
+      s"cannot drop '$name': it is a partition column of $location " +
+        "(the spec is fixed at create); rewrite into a new table instead")
     updateSchema(spark, location) { (fields, lastColId) =>
       (fields.filterNot(f => (f \ "name") == JString(name)), lastColId)
     }

@@ -228,17 +228,23 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
     val p = new Path(DeltaLog.logDir(root), f"$v%020d.json")
     var files = 0L
     var bytes = 0L
+    // CDC batches read cdc files instead of (some) adds — count both
+    // action kinds in cdc mode so the admission weight tracks what the
+    // batch will actually scan
+    val kinds = if (cdc) Seq("add", "cdc") else Seq("add")
     DeltaLog.readLines(fs, p).foreach { line =>
       val j = JsonMethods.parse(line)
-      (j \ "add" \ "path") match {
-        case JString(_) =>
-          files += 1
-          (j \ "add" \ "size") match {
-            case JInt(n) => bytes += n.toLong
-            case JLong(n) => bytes += n
-            case _ =>
-          }
-        case _ =>
+      kinds.foreach { kind =>
+        (j \ kind \ "path") match {
+          case JString(_) =>
+            files += 1
+            (j \ kind \ "size") match {
+              case JInt(n) => bytes += n.toLong
+              case JLong(n) => bytes += n
+              case _ =>
+            }
+          case _ =>
+        }
       }
     }
     (files, bytes)

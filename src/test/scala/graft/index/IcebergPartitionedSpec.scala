@@ -249,6 +249,25 @@ class IcebergPartitionedSpec extends AnyFunSuite {
       .orderBy("c_mktsegment").collect().toSeq == exp)
   }
 
+  test("schema evolution refuses to drop or rename a partition column " +
+      "(the spec would dangle / hive dirs would orphan)") {
+    val loc = tmp("graft-ice-part-evo-")
+    IcebergTable.create(customer, loc, partitionColumns = Seq("c_mktsegment"))
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergTable.dropColumn(spark, loc, "c_mktsegment")
+    }
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergTable.renameColumn(spark, loc, "c_mktsegment", "segment")
+    }
+    assert(e2.getMessage.contains("partition column"))
+    // non-partition columns still evolve, and the table stays readable
+    IcebergTable.renameColumn(spark, loc, "c_name", "customer_name")
+    val got = IcebergTable.read(spark, loc)
+    assert(got.columns.contains("customer_name"))
+    assert(got.count() == customer.count())
+  }
+
   test("graft-iceberg sink accepts partitionBy and lands the spec") {
     val src = Files.createTempDirectory("graft-ice-psink-src-").toString
     val dst = Files.createTempDirectory("graft-ice-psink-dst-").toString + "/t"
