@@ -1045,6 +1045,10 @@ object DeltaTable {
    * deletes compose without rewriting earlier vectors' files.
    */
   def deleteWhere(spark: SparkSession, rootStr: String,
+      condition: org.apache.spark.sql.Column): Long =
+    CommitRetry() { deleteWhereOnce(spark, rootStr, condition) }
+
+  private def deleteWhereOnce(spark: SparkSession, rootStr: String,
       condition: org.apache.spark.sql.Column): Long = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, regexp_replace}
@@ -1331,12 +1335,21 @@ object DeltaTable {
   def update(spark: SparkSession, rootStr: String,
       condition: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None): Long =
+    CommitRetry() { updateOnce(spark, rootStr, condition, set, txn) }
+
+  private def updateOnce(spark: SparkSession, rootStr: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      txn: Option[(String, Long)]): Long = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, regexp_replace}
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = DeltaLog.snapshot(spark, rootStr)
+    txn.foreach { case (app, v) =>
+      if (prior.transactions.get(app).exists(_ >= v)) return prior.version
+    }
     writerGate(prior, rootStr, deletesRows = true, kind = "update")
     require(set.nonEmpty, s"update at $rootStr: no SET expressions given")
     val tableCols = prior.schema.fieldNames.toSeq
@@ -1467,12 +1480,24 @@ object DeltaTable {
   def merge(spark: SparkSession, rootStr: String, source: DataFrame,
       keys: Seq[String],
       deleteCondition: Option[org.apache.spark.sql.Column] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None): Long =
+    CommitRetry() { mergeOnce(spark, rootStr, source, keys, deleteCondition, txn) }
+
+  private def mergeOnce(spark: SparkSession, rootStr: String,
+      source: DataFrame, keys: Seq[String],
+      deleteCondition: Option[org.apache.spark.sql.Column],
+      txn: Option[(String, Long)]): Long = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace}
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = DeltaLog.snapshot(spark, rootStr)
+    // (appId, version) idempotence INSIDE the retry loop: if the racing
+    // winner was this very transaction's twin (a replayed micro-batch),
+    // re-applying would double-commit — recognize and no-op instead
+    txn.foreach { case (app, v) =>
+      if (prior.transactions.get(app).exists(_ >= v)) return prior.version
+    }
     writerGate(prior, rootStr, deletesRows = true, kind = "merge")
     require(keys.nonEmpty, s"merge into $rootStr: no key columns given")
     val tableCols = prior.schema.fieldNames.toSeq

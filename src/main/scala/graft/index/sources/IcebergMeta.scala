@@ -1713,6 +1713,10 @@ object IcebergTable {
     * The position rows are computed and written DISTRIBUTED (metadata
     * columns + a filtered write), never collected to the driver. */
   def deleteWhere(spark: SparkSession, location: String,
+      predicate: org.apache.spark.sql.Column): Long =
+    CommitRetry() { deleteWhereOnce(spark, location, predicate) }
+
+  private def deleteWhereOnce(spark: SparkSession, location: String,
       predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val root = new Path(location)
@@ -1785,7 +1789,13 @@ object IcebergTable {
   def update(spark: SparkSession, location: String,
       condition: org.apache.spark.sql.Column,
       set: Map[String, org.apache.spark.sql.Column],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None): Long =
+    CommitRetry() { updateOnce(spark, location, condition, set, txn) }
+
+  private def updateOnce(spark: SparkSession, location: String,
+      condition: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      txn: Option[(String, Long)]): Long = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1793,6 +1803,10 @@ object IcebergTable {
     require(IcebergMeta.isIcebergTable(spark, location),
       s"update on a non-Iceberg directory: $location")
     val prior = IcebergMeta.snapshot(spark, location)
+    txn.foreach { case (app, v) =>
+      if (prior.properties.get(s"graft.txn.$app").exists(_.toLong >= v))
+        return prior.snapshotId
+    }
     require(set.nonEmpty, s"update at $location: no SET expressions given")
     val tableCols = prior.schema.fieldNames.toSeq
     set.keys.foreach(k => require(tableCols.contains(k),
@@ -1954,7 +1968,13 @@ object IcebergTable {
   def merge(spark: SparkSession, location: String, source: DataFrame,
       keys: Seq[String],
       deleteCondition: Option[org.apache.spark.sql.Column] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None): Long =
+    CommitRetry() { mergeOnce(spark, location, source, keys, deleteCondition, txn) }
+
+  private def mergeOnce(spark: SparkSession, location: String,
+      source: DataFrame, keys: Seq[String],
+      deleteCondition: Option[org.apache.spark.sql.Column],
+      txn: Option[(String, Long)]): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1962,6 +1982,12 @@ object IcebergTable {
     require(IcebergMeta.isIcebergTable(spark, location),
       s"merge into a non-Iceberg directory: $location (create it first)")
     val prior = IcebergMeta.snapshot(spark, location)
+    // (appId, version) idempotence inside the retry loop (see the
+    // Delta twin): a replayed twin transaction no-ops, never re-applies
+    txn.foreach { case (app, v) =>
+      if (prior.properties.get(s"graft.txn.$app").exists(_.toLong >= v))
+        return prior.snapshotId
+    }
     require(keys.nonEmpty, s"merge into $location: no key columns given")
     val tableCols = prior.schema.fieldNames.toSeq
     keys.foreach(k => require(tableCols.contains(k),

@@ -16,6 +16,40 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * preserved (`_commit_version` vs `_commit_snapshot_id` in [[changes]])
  * — papering over them would hide which clock the feed is keyed by.
  */
+/**
+ * Bounded AUTO-RETRY for optimistic-concurrency losers: the commit
+ * fence (create-no-overwrite of the next log/metadata version) throws
+ * when a racing writer won; the loser has already cleaned up its staged
+ * files, so the correct retry is simply to RE-RUN the verb — each
+ * attempt reads a fresh snapshot, recomputing matched rows against the
+ * winner's state (the strictest conflict resolution: full re-execution,
+ * what a caller would do by hand). Only fence collisions retry;
+ * validation and IO errors propagate on the first throw.
+ */
+private[sources] object CommitRetry {
+  val DefaultAttempts = 3
+
+  def isFenceCollision(e: Throwable): Boolean = e match {
+    case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+    case _: java.nio.file.FileAlreadyExistsException => true
+    case io: java.io.IOException =>
+      Option(io.getMessage).exists(_.toLowerCase.contains("exist"))
+    case _ => false
+  }
+
+  def apply[T](attempts: Int = DefaultAttempts)(body: => T): T = {
+    var n = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if n < attempts - 1 && isFenceCollision(e) =>
+          n += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 /** Shared MERGE vocabulary for both lakehouse legs. */
 object LakeMerge {
   /** Reserved boolean column a PRE-FLAGGED merge source may carry

@@ -206,6 +206,33 @@ class DeltaMergeSpec extends AnyFunSuite {
     assert(snap.files.count(_.dv.exists(_.cardinality > 0)) <= cands.size)
   }
 
+  test("concurrent merges both land: the fence loser auto-retries " +
+      "against the winner's committed state") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = Files.createTempDirectory("graft-delta-merge-conc-").toString
+    DeltaTable.create(customer, root)
+    // two disjoint-key merges racing on the same table: whoever loses
+    // the create-no-overwrite fence re-runs against the winner's state
+    val a = Future(DeltaTable.merge(spark, root,
+      customer.filter($"c_custkey" < 50)
+        .withColumn("c_acctbal", $"c_acctbal" + 1), Seq("c_custkey")))
+    val b = Future(DeltaTable.merge(spark, root,
+      customer.filter($"c_custkey".between(50L, 99L))
+        .withColumn("c_acctbal", $"c_acctbal" + 2), Seq("c_custkey")))
+    val (va, vb) = (Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+    assert(Set(va, vb) == Set(1L, 2L), s"got versions $va, $vb")
+    val got = DeltaTable.read(spark, root)
+    assert(got.count() == customer.count())
+    val want = customer.withColumn("c_acctbal",
+      when($"c_custkey" < 50, $"c_acctbal" + 1)
+        .when($"c_custkey".between(50L, 99L), $"c_acctbal" + 2)
+        .otherwise($"c_acctbal"))
+    assert(got.select(sum($"c_acctbal".cast("decimal(18,2)"))).head() ==
+      want.select(sum($"c_acctbal".cast("decimal(18,2)"))).head())
+  }
+
   test("pruning is sound-by-default: no stats, null bounds, and " +
       "multi-key conjunctions all keep files") {
     import graft.index.sources.MergePruning
