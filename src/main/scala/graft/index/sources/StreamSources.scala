@@ -448,15 +448,36 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
     // the append-time schema enforcement refuses loudly
     val merge = options.get("mergeSchema").exists(_.equalsIgnoreCase("true"))
     if (iceberg) {
-      // reject rather than silently drop the option: an Iceberg schema
-      // merge needs new field ids minted in table metadata, which this
-      // writer does not do mid-stream
-      require(!merge, "graft-iceberg sink does not support mergeSchema; " +
-        "evolve the table schema before starting the stream")
       // partitionBy declares the identity spec on first-batch create;
       // later batches must name the table's spec (enforced in append)
-      if (exists) IcebergTable.append(batch, rootStr, txn, partitionColumns)
-      else IcebergTable.create(batch, rootStr, txn, partitionColumns)
+      if (!exists) IcebergTable.create(batch, rootStr, txn, partitionColumns)
+      else if (!merge) IcebergTable.append(batch, rootStr, txn, partitionColumns)
+      else {
+        // ADDITIVE schema evolution mid-stream: new batch columns get
+        // real field ids minted through the metadata operation
+        // (addColumn — old files read them as null), conflicting types
+        // refuse, and the batch is aligned to the evolved table order
+        // (missing table columns fill with nulls, Delta mergeSchema's
+        // contract). The spec is fixed at create either way.
+        import org.apache.spark.sql.functions.{col, lit}
+        val table = IcebergMeta.snapshot(spark, rootStr).schema
+        val tByName = table.fields.map(f => f.name -> f.dataType).toMap
+        batch.schema.fields.foreach { f =>
+          tByName.get(f.name).foreach(dt => require(dt == f.dataType,
+            s"graft-iceberg sink mergeSchema at $rootStr: column " +
+              s"'${f.name}' is ${f.dataType.simpleString} in the stream " +
+              s"but ${dt.simpleString} in the table; conflicting types " +
+              "never merge"))
+        }
+        batch.schema.fields.filterNot(f => tByName.contains(f.name))
+          .foreach(f => IcebergTable.addColumn(spark, rootStr, f.name, f.dataType))
+        val evolved = IcebergMeta.snapshot(spark, rootStr).schema
+        val aligned = batch.select(evolved.fields.toSeq.map { f =>
+          if (batch.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+        IcebergTable.append(aligned, rootStr, txn, partitionColumns)
+      }
     } else {
       if (exists) DeltaTable.append(batch, rootStr, partitionColumns, txn,
         mergeSchema = merge)

@@ -227,6 +227,32 @@ class LakeStreamSinkSpec extends AnyFunSuite {
       sortedRows(IcebergTable.read(spark, srcT)))
   }
 
+  test("mode=merge CROSS-FORMAT: an Iceberg changelog replicates into a " +
+      "Delta target (live format migration)") {
+    val srcT = Files.createTempDirectory("graft-cdcx-src-").toString + "/a"
+    val dstT = Files.createTempDirectory("graft-cdcx-dst-").toString + "/b"
+    val ckpt = Files.createTempDirectory("graft-cdcx-ck-").toString
+    IcebergTable.create(customer.filter(col("c_custkey") % 2 === 0), srcT)
+    IcebergTable.deleteWhere(spark, srcT, col("c_custkey") % 10 === 2)
+    IcebergTable.merge(spark, srcT,
+      customer.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 9),
+      Seq("c_custkey"))
+
+    val q = spark.readStream.format("graft-iceberg")
+      .option("readChangeFeed", "true").load(srcT)
+      .writeStream.format("graft-delta")
+      .option("mode", "merge").option("mergeKeys", "c_custkey")
+      .option("path", dstT)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the Delta replica converges to the Iceberg source
+    assert(sortedRows(DeltaTable.read(spark, dstT)) ==
+      sortedRows(IcebergTable.read(spark, srcT)))
+  }
+
   test("mode=merge: plain (non-CDF) stream upserts; deleteWhen marks " +
       "deletes") {
     val src = Files.createTempDirectory("graft-mrg-src-").toString
@@ -263,6 +289,33 @@ class LakeStreamSinkSpec extends AnyFunSuite {
     assert(got.count() == want.count())
     assert(got.select(sum(col("c_acctbal").cast("decimal(18,2)"))).head() ==
       want.select(sum(col("c_acctbal").cast("decimal(18,2)"))).head())
+  }
+
+  test("graft-iceberg sink mergeSchema=true evolves the table " +
+      "additively mid-stream; conflicting types refuse") {
+    import graft.index.sources.{IcebergMeta, LakeStreamSink}
+    val dst = Files.createTempDirectory("graft-isink-evo-").toString + "/t"
+    val sink = new LakeStreamSink(spark, dst, Nil,
+      Map("txnAppId" -> "evo-test", "mergeSchema" -> "true"), iceberg = true)
+    sink.addBatch(0, customer.filter(col("c_custkey") < 50))
+    // the stream widens: a new column appears mid-stream
+    sink.addBatch(1, customer.filter(col("c_custkey") >= 50)
+      .withColumn("tier", (col("c_custkey") % 3).cast("int")))
+    val got = IcebergTable.read(spark, dst)
+    assert(got.columns.contains("tier"))
+    assert(got.count() == customer.count())
+    // pre-evolution rows read the new column as null
+    assert(got.filter(col("tier").isNull).count() == 50)
+    assert(got.filter(col("tier").isNotNull).count() ==
+      customer.count() - 50)
+    // the column has a REAL field id in the table metadata
+    assert(IcebergMeta.snapshot(spark, dst).schema.fieldNames.contains("tier"))
+    // a conflicting type never merges
+    val e = intercept[IllegalArgumentException] {
+      sink.addBatch(2, customer.limit(1)
+        .withColumn("tier", lit("not-an-int")))
+    }
+    assert(e.getMessage.contains("conflicting"))
   }
 
   test("mode=merge: a replayed upsert batch is skipped by the txn " +
