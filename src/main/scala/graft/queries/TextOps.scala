@@ -246,7 +246,61 @@ object TextOps {
        |LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------------------ PII scrub
+  /** PII REDACTION — the pre-training hygiene pass every large text
+    * corpus needs: emails, IPv4 addresses, and long digit runs (phone
+    * shapes) replaced with typed placeholders. Pure chained
+    * `regexp_replace` (codegen built-ins, zero UDFs) — a map-only stage
+    * at 100 TB. The fixture corpus is synthetic and PII-free, so the
+    * query PLANTS deterministic PII derived from `doc_id` into the text
+    * first and the DuckDB oracle replays the same planting + scrub —
+    * the patterns must behave identically in Java regex and RE2 for
+    * the hash to match, which is itself part of the pin (portable
+    * patterns only). */
+  def qPiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val planted = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com"),
+      lit(" host 10.0."), (col("doc_id") % 256).cast("long"), lit(".7"),
+      lit(" tel +1555"), (col("doc_id") % 10000 + 1000000).cast("long"))
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(planted,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+          "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+        "\\+\\d{7,15}", "<PHONE>")
+    docs.select(
+      col("doc_id").cast(LongType).as("doc_id"),
+      scrubbed.as("scrubbed"),
+      (length(planted) - length(scrubbed)).cast(LongType).as("chars_removed"))
+      .filter(col("doc_id") < 500)
+      .orderBy(col("doc_id"))
+  }
+
+  val qPiiScrubSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@example.com host 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |    '.7 tel +1555' || CAST(doc_id % 10000 + 1000000 AS VARCHAR) AS t
+      |  FROM documents WHERE doc_id < 500
+      |), scrubbed AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\+\d{7,15}', '<PHONE>', 'g') AS s,
+      |    t
+      |  FROM planted
+      |)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, s AS scrubbed,
+      |  CAST(length(t) - length(s) AS BIGINT) AS chars_removed
+      |FROM scrubbed ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "text_pii_scrub" -> (qPiiScrub _, qPiiScrubSql),
     "text_stats" -> (qTextStats _, qTextStatsSql),
     "text_lang_id" -> (qLangId _, qLangIdSql),
     "text_fingerprint" -> (qFingerprint _, qFingerprintSql),
