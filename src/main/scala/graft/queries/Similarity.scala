@@ -322,7 +322,14 @@ object Similarity {
     * rerank touches only |queries| x 5 rows. Fixed formula codewords
     * here keep the DuckDB oracle bit-exact; a production build trains
     * them per-subspace on a bounded sample (FAISS-style) and the
-    * encode/rank algebra below is unchanged. */
+    * encode/rank algebra below is unchanged.
+    *
+    * This is the FLAT-PQ labeled baseline: the ADC pass still scans the
+    * whole (16x-smaller) code table. The SERVING path at 100 TB is
+    * IVFADC — the same codec riding the cell-partitioned IvfIndex
+    * (`IvfIndexConfig(pqM, ...)` + `Graft.annSearch`; oracle
+    * `idx_ivfpq_topk`), where ADC ranks only the probed cells' codes
+    * and the golden plan pins the cell pruning. */
   private val PqM = 8    // subspaces of 8 dims each
   private val PqK = graft.index.ivf.PqCodec.K // codewords per subspace
 
