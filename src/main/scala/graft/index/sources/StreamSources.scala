@@ -2,6 +2,7 @@ package graft.index.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
@@ -109,52 +110,6 @@ private[sources] object StreamRateLimit {
   }
 }
 
-/**
- * Durable floor for rate-limited offsets, stored next to the source's
- * checkpoint metadata. Written at getBatch time — AFTER the engine has
- * durably logged the batch's end offset — so a crash replays exactly
- * that range (never skips); read at getOffset time so a restart resumes
- * capped pacing from the last handed-out offset instead of re-offering
- * ground the checkpoint already committed (offsets must never regress —
- * the engine treats ANY change as new data, and a regressed entry in the
- * offset log would re-serve old commits after the next restart).
- */
-private[sources] final class OffsetFloor(
-    spark: SparkSession, metadataPath: String) {
-  private val floorPath = new Path(metadataPath, "graft-rate-floor")
-  private val fs =
-    floorPath.getFileSystem(spark.sessionState.newHadoopConf())
-
-  def read(): Option[Long] =
-    if (!fs.exists(floorPath)) None
-    else {
-      val len = fs.getFileStatus(floorPath).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(floorPath)
-      try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-        .trim.toLong)
-    }
-
-  def write(v: Long): Unit = {
-    val tmp = new Path(metadataPath,
-      s".graft-rate-floor-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(floorPath, false)
-    if (!fs.rename(tmp, floorPath)) fs.delete(tmp, false)
-  }
-
-  /** True when the enclosing checkpoint already has offset-log entries —
-    * a restart of a PRE-rate-limit checkpoint (no floor file). The one
-    * safe move there is to offer the head uncapped: a capped offer could
-    * sit below the committed offset and regress the log. */
-  def checkpointHasOffsets: Boolean = {
-    val offsets = new Path(new Path(metadataPath).getParent.getParent, "offsets")
-    fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
-  }
-}
 
 object DeltaStreamSource {
   /** Change-feed schema: the data columns + the CDF stamps. */
@@ -168,7 +123,9 @@ object DeltaStreamSource {
 }
 
 final class DeltaStreamSource(spark: SparkSession, rootStr: String,
-    options: Map[String, String], metadataPath: String = "") extends Source {
+    options: Map[String, String], metadataPath: String = "")
+    extends Source with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val root = new Path(rootStr)
   private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -202,6 +159,12 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
   // far each micro-batch's offset advances, commit-granular, so a
   // restart against a deep backlog — or a fresh stream over a 100 TB
   // table — drains in bounded batches instead of planning one giant one.
+  // Implemented through the engine's ADMISSION-CONTROL protocol
+  // (SupportsAdmissionControl.latestOffset(start, limit) — the engine
+  // supplies the authoritative start offset, so pacing is crash-safe by
+  // construction), and SupportsTriggerAvailableNow pins the head at
+  // query start so Trigger.AvailableNow DRAINS the whole backlog in
+  // bounded batches and then stops (the FileStreamSource contract).
   private val maxFiles: Option[Long] =
     options.get("maxFilesPerTrigger").map(_.toLong)
   private val maxBytes: Option[Long] =
@@ -209,11 +172,9 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
   private val rateLimited = maxFiles.isDefined || maxBytes.isDefined
   maxFiles.foreach(m => require(m > 0,
     s"maxFilesPerTrigger must be positive, got $m"))
-  private val floor: Option[OffsetFloor] =
-    if (rateLimited && metadataPath.nonEmpty)
-      Some(new OffsetFloor(spark, metadataPath)) else None
-  /** Highest version already offered or served this run. */
-  private var lastOffered: Long = -1L
+  /** Trigger.AvailableNow: versions committed AFTER query start are out
+    * of scope — the drain finishes at this pinned head. */
+  private var availableNowCap: Option[Long] = None
 
   /** (files, bytes) a commit adds — admission metadata, one log-JSON
     * parse per version (driver-side, metadata-scale). Memoized: with a
@@ -250,27 +211,35 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
     (files, bytes)
   }
 
-  override def getOffset: Option[Offset] = {
-    val head = DeltaLog.snapshot(spark, rootStr).version
-    if (!rateLimited) return Some(LongOffset(head))
-    val known = math.max(lastOffered, floor.flatMap(_.read()).getOrElse(-1L))
-    val from =
-      if (known >= 0) known + 1
-      else if (floor.exists(_.checkpointHasOffsets)) {
-        // pre-rate-limit checkpoint, no floor yet: offering below the
-        // committed offset would regress the log; serve the head once
-        // (uncapped) and let the floor take over from getBatch on
-        return Some(LongOffset(head))
-      } else startingVersion
-    if (from > head) return Some(LongOffset(math.max(head, known)))
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "getOffset is unused: this source implements " +
+        "SupportsAdmissionControl (latestOffset)")
+
+  /** The offset BEFORE any data this stream should serve: batches start
+    * at `startingVersion`. */
+  override def initialOffset(): OffsetV2 = LongOffset(startingVersion - 1)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): OffsetV2 =
+    LongOffset(DeltaLog.snapshot(spark, rootStr).version)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(DeltaLog.snapshot(spark, rootStr).version)
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val head0 = DeltaLog.snapshot(spark, rootStr).version
+    val head = availableNowCap.fold(head0)(math.min(head0, _))
+    // the engine passes the previous end offset — or NULL on a fresh
+    // stream's first trigger (v1 sources never see initialOffset)
+    val from = Option(start).map(_.json.toLong + 1).getOrElse(startingVersion)
+    if (!rateLimited || from > head) return LongOffset(math.max(head, from - 1))
     val stats = (from to head).map { v =>
       val (f, b) = commitLoad(v)
       (v, f, b)
     }
-    val admitted = StreamRateLimit.admit(stats, maxFiles, maxBytes)
-      .getOrElse(head)
-    lastOffered = math.max(lastOffered, admitted)
-    Some(LongOffset(admitted))
+    LongOffset(StreamRateLimit.admit(stats, maxFiles, maxBytes).getOrElse(head))
   }
 
   private def versionOf(o: Offset): Long = o.json.toLong
@@ -310,13 +279,6 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
     // would silently skip commits that arrived between runs)
     val from = start.map(versionOf(_) + 1).getOrElse(startingVersion)
     val endV = versionOf(end)
-    if (rateLimited) {
-      // the engine has durably logged `end` before calling getBatch, so
-      // persisting it as the floor is crash-safe: a restart either
-      // replays exactly (start, end] or has committed it
-      lastOffered = math.max(lastOffered, endV)
-      floor.foreach(_.write(lastOffered))
-    }
     if (cdc) {
       val batch =
         if (from > endV)
@@ -558,7 +520,9 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
 }
 
 final class IcebergStreamSource(spark: SparkSession, location: String,
-    options: Map[String, String], metadataPath: String = "") extends Source {
+    options: Map[String, String], metadataPath: String = "")
+    extends Source with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val initial = IcebergMeta.snapshot(spark, location)
   /** CDC mode: serve the full changelog (inserts AND positional-delete
@@ -584,9 +548,11 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
     case None => 0L
   }
 
-  // RATE LIMITING, snapshot-granular (the Iceberg connector's
-  // streaming options of the same intent): cap each micro-batch's
-  // offset advance by files/bytes added along the snapshot lineage
+  // RATE LIMITING, snapshot-granular, through the engine's
+  // ADMISSION-CONTROL protocol (see the Delta source): the engine
+  // supplies the authoritative start offset per trigger, and
+  // Trigger.AvailableNow drains to the head pinned at query start in
+  // bounded batches.
   private val maxFiles: Option[Long] =
     options.get("maxFilesPerTrigger").map(_.toLong)
   private val maxBytes: Option[Long] =
@@ -594,46 +560,46 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
   private val rateLimited = maxFiles.isDefined || maxBytes.isDefined
   maxFiles.foreach(m => require(m > 0,
     s"maxFilesPerTrigger must be positive, got $m"))
-  private val floor: Option[OffsetFloor] =
-    if (rateLimited && metadataPath.nonEmpty)
-      Some(new OffsetFloor(spark, metadataPath)) else None
-  /** Latest snapshot id already offered or served this run. */
-  private var lastOffered: Option[Long] = None
   /** Per-snapshot admission loads measured so far (see lineageLoad). */
   private val loadMemo =
     scala.collection.mutable.Map.empty[Long, (Long, Long)]
+  private var availableNowCap: Option[Long] = None
 
-  override def getOffset: Option[Offset] = {
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "getOffset is unused: this source implements " +
+        "SupportsAdmissionControl (latestOffset)")
+
+  override def initialOffset(): OffsetV2 = LongOffset(startingSnapshot)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): OffsetV2 = {
     val cur = IcebergMeta.snapshot(spark, location).snapshotId
-    if (cur < 0) return None
-    if (!rateLimited) return Some(LongOffset(cur))
-    val known: Option[Long] = lastOffered.orElse(floor.flatMap(_.read()))
-    val from = known match {
-      case Some(k) => k
-      case None if floor.exists(_.checkpointHasOffsets) =>
-        // pre-rate-limit checkpoint, no floor: a capped offer below the
-        // committed offset would regress the log — serve the head once
-        return Some(LongOffset(cur))
-      case None => startingSnapshot
-    }
-    if (from == cur) return Some(LongOffset(cur))
+    LongOffset(if (cur < 0) startingSnapshot else cur)
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val cur = IcebergMeta.snapshot(spark, location).snapshotId
+    if (cur >= 0) availableNowCap = Some(cur)
+  }
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val cur0 = IcebergMeta.snapshot(spark, location).snapshotId
+    // previous end offset, or NULL on a fresh stream's first trigger
+    val from = Option(start).map(_.json.toLong).getOrElse(startingSnapshot)
+    if (cur0 < 0) return LongOffset(from) // empty table: echo = no new data
+    // the AvailableNow pin is an ID on the lineage, not a number line:
+    // serve toward it, not past it
+    val cur = availableNowCap.getOrElse(cur0)
+    if (from == cur || !rateLimited) return LongOffset(cur)
     val stats = IcebergTable.lineageLoad(spark, location, from, cur, loadMemo)
-    val admitted = StreamRateLimit.admit(stats, maxFiles, maxBytes)
-      .getOrElse(cur)
-    lastOffered = Some(admitted)
-    Some(LongOffset(admitted))
+    LongOffset(StreamRateLimit.admit(stats, maxFiles, maxBytes).getOrElse(cur))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(_.json.toLong).getOrElse(startingSnapshot)
     val endId = end.json.toLong
-    if (rateLimited) {
-      // `end` is durably in the offset log before getBatch runs, so
-      // persisting it as the floor never skips: a restart either
-      // replays (start, end] exactly or has committed it
-      lastOffered = Some(endId)
-      floor.foreach(_.write(endId))
-    }
     val batch =
       if (from == endId)
         spark.createDataFrame(

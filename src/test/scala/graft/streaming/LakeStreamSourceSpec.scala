@@ -150,8 +150,13 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     assert(n == customer.count() + 5)
   }
 
-  test("graft-delta: maxFilesPerTrigger drains a deep backlog in " +
-      "bounded per-commit batches with checkpoint resume mid-backlog") {
+  /** Completed micro-batches recorded in the checkpoint's offset log. */
+  private def batchCount(ckpt: String): Int =
+    new java.io.File(ckpt, "offsets").list()
+      .count(n => n.forall(_.isDigit))
+
+  test("graft-delta: maxFilesPerTrigger — Trigger.AvailableNow DRAINS " +
+      "the whole backlog in bounded per-commit batches") {
     val root = Files.createTempDirectory("graft-dstream-rate-").toString
     val out = Files.createTempDirectory("graft-dstream-rate-out-").toString
     val ckpt = Files.createTempDirectory("graft-dstream-rate-ck-").toString
@@ -163,20 +168,21 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     DeltaTable.append(c1.repartition(2), root)
     DeltaTable.append(c2.repartition(2), root)
 
+    // ONE AvailableNow run drains everything — the admission-control
+    // protocol paces it as one micro-batch per commit under the cap
     val opts = Map("maxFilesPerTrigger" -> "2")
-    // each drain is ONE capped micro-batch (AvailableNow falls back to
-    // single-batch for v1 sources) and a full stop/restart from the
-    // checkpoint — exactly the resume-mid-backlog shape
-    assert(drain("graft-delta", root, out, ckpt, opts) == c0.count())
+    assert(drain("graft-delta", root, out, ckpt, opts) == customer.count())
+    assert(batchCount(ckpt) == 3,
+      s"expected 3 capped batches, got ${batchCount(ckpt)}")
+    // drained: a further capped run serves nothing new
+    assert(drain("graft-delta", root, out, ckpt, opts) == customer.count())
+    // RESUME MID-BACKLOG: new commits drain from the checkpointed
+    // offset in capped batches, never re-serving
+    DeltaTable.append(customer.limit(30).repartition(2), root)
+    DeltaTable.append(customer.limit(20).repartition(2), root)
     assert(drain("graft-delta", root, out, ckpt, opts) ==
-      c0.count() + c1.count())
-    assert(drain("graft-delta", root, out, ckpt, opts) == customer.count())
-    // drained: a further capped drain serves nothing new
-    assert(drain("graft-delta", root, out, ckpt, opts) == customer.count())
-    // no dupes, no loss
-    assert(spark.read.parquet(out).select(sum(col("c_custkey")))
-      .head().getLong(0) ==
-      customer.select(sum(col("c_custkey"))).head().getLong(0))
+      customer.count() + 50)
+    assert(spark.read.parquet(out).count() == customer.count() + 50)
   }
 
   test("graft-delta: a wider files cap admits multiple commits per batch; " +
@@ -189,26 +195,24 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     DeltaTable.append(c1.repartition(2), root)
     DeltaTable.append(c2.repartition(2), root)
 
-    // 4 files ⇒ first batch = commits 0+1, second = commit 2
+    // 4-file cap ⇒ batch 1 = commits 0+1, batch 2 = commit 2
     val out = Files.createTempDirectory("graft-dstream-rate2-out-").toString
     val ckpt = Files.createTempDirectory("graft-dstream-rate2-ck-").toString
-    val opts = Map("maxFilesPerTrigger" -> "4")
-    assert(drain("graft-delta", root, out, ckpt, opts) ==
-      c0.count() + c1.count())
-    assert(drain("graft-delta", root, out, ckpt, opts) == customer.count())
+    assert(drain("graft-delta", root, out, ckpt,
+      Map("maxFilesPerTrigger" -> "4")) == customer.count())
+    assert(batchCount(ckpt) == 2)
 
     // 1-byte cap: every commit exceeds it, yet each batch admits one
-    // commit (progress is never starved)
+    // commit (progress is never starved) — 3 batches, full drain
     val out2 = Files.createTempDirectory("graft-dstream-rate2b-out-").toString
     val ckpt2 = Files.createTempDirectory("graft-dstream-rate2b-ck-").toString
-    val opts2 = Map("maxBytesPerTrigger" -> "1")
-    assert(drain("graft-delta", root, out2, ckpt2, opts2) == c0.count())
-    assert(drain("graft-delta", root, out2, ckpt2, opts2) ==
-      c0.count() + c1.count())
-    assert(drain("graft-delta", root, out2, ckpt2, opts2) == customer.count())
+    assert(drain("graft-delta", root, out2, ckpt2,
+      Map("maxBytesPerTrigger" -> "1")) == customer.count())
+    assert(batchCount(ckpt2) == 3)
   }
 
-  test("graft-iceberg: maxFilesPerTrigger paces the snapshot lineage") {
+  test("graft-iceberg: maxFilesPerTrigger paces the snapshot lineage " +
+      "and AvailableNow drains it fully") {
     val loc = Files.createTempDirectory("graft-istream-rate-").toString
     val out = Files.createTempDirectory("graft-istream-rate-out-").toString
     val ckpt = Files.createTempDirectory("graft-istream-rate-ck-").toString
@@ -220,30 +224,27 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     IcebergTable.append(c2.repartition(2), loc)
 
     val opts = Map("maxFilesPerTrigger" -> "2")
-    assert(drain("graft-iceberg", loc, out, ckpt, opts) == c0.count())
-    assert(drain("graft-iceberg", loc, out, ckpt, opts) ==
-      c0.count() + c1.count())
     assert(drain("graft-iceberg", loc, out, ckpt, opts) == customer.count())
+    assert(batchCount(ckpt) == 3,
+      s"expected 3 capped batches, got ${batchCount(ckpt)}")
     assert(drain("graft-iceberg", loc, out, ckpt, opts) == customer.count())
     assert(spark.read.parquet(out).select(sum(col("c_custkey")))
       .head().getLong(0) ==
       customer.select(sum(col("c_custkey"))).head().getLong(0))
   }
 
-  test("rate floor survives a checkpoint with history; an uncapped " +
-      "checkpoint upgraded to caps never regresses the offset log") {
+  test("an uncapped checkpoint upgraded to caps resumes from the " +
+      "committed offset — no regression, no re-serving") {
     val root = Files.createTempDirectory("graft-dstream-upg-").toString
     val out = Files.createTempDirectory("graft-dstream-upg-out-").toString
     val ckpt = Files.createTempDirectory("graft-dstream-upg-ck-").toString
     val c0 = customer.filter(col("c_custkey") < 100)
     DeltaTable.create(c0.repartition(2), root)
-    // first drain UNCAPPED: the checkpoint has offsets but no floor file
     assert(drain("graft-delta", root, out, ckpt) == c0.count())
     DeltaTable.append(
       customer.filter(col("c_custkey") >= 100).repartition(2), root)
-    // adding caps on the existing checkpoint: the first capped drain may
-    // serve the head uncapped (no floor yet — regression safety), but
-    // never re-serves committed commits
+    // caps added on the live checkpoint: the engine hands the source
+    // its committed offset, so pacing starts exactly there
     val n = drain("graft-delta", root, out, ckpt,
       Map("maxFilesPerTrigger" -> "2"))
     assert(n == customer.count())
