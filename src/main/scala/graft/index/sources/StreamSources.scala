@@ -85,6 +85,19 @@ private[sources] object StreamRateLimit {
     v
   }
 
+  /** The configured caps as the engine's ReadLimit vocabulary — what
+    * `getDefaultReadLimit` advertises (progress reporting and the
+    * AvailableNow machinery read it); admission itself interprets the
+    * same caps commit-granularly in [[admit]]. */
+  def toReadLimit(maxFiles: Option[Long], maxBytes: Option[Long]): ReadLimit =
+    (maxFiles, maxBytes) match {
+      case (Some(f), Some(b)) => ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(f.toInt), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f.toInt)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case (None, None) => ReadLimit.allAvailable()
+    }
+
   /** Admit commits in order while the caps hold — ALWAYS at least one
     * (a single commit larger than the cap must still make progress;
     * commits are the admission granule, like the Iceberg connector's
@@ -220,7 +233,8 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
     * at `startingVersion`. */
   override def initialOffset(): OffsetV2 = LongOffset(startingVersion - 1)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    StreamRateLimit.toReadLimit(maxFiles, maxBytes)
 
   override def reportLatestOffset(): OffsetV2 =
     LongOffset(DeltaLog.snapshot(spark, rootStr).version)
@@ -572,7 +586,8 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
 
   override def initialOffset(): OffsetV2 = LongOffset(startingSnapshot)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    StreamRateLimit.toReadLimit(maxFiles, maxBytes)
 
   override def reportLatestOffset(): OffsetV2 = {
     val cur = IcebergMeta.snapshot(spark, location).snapshotId
