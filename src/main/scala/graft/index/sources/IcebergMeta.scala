@@ -2200,6 +2200,72 @@ object IcebergTable {
       deleteAdded = Nil)
   }
 
+  /**
+   * Z-ORDER COMPACTION (rewriteDataFiles sort/zorder analogue — the
+   * Iceberg sibling of [[DeltaTable.optimizeCompact]]'s `zorderBy`):
+   * EVERY data file is rewritten clustered by the interleaved z-address
+   * of `zorderBy`, range-partitioned toward `targetSizeBytes`, and
+   * published as a row-transparent `replace` snapshot — per-file
+   * manifest bounds on every z-order column tighten, so multi-column
+   * filtered scans prune files they previously had to open. Refused
+   * while delete files are in force (their positional references would
+   * dangle — run [[compact]] first) and on partitioned tables
+   * (z-order within a partition by running per-partition, the same
+   * posture as the Delta leg).
+   */
+  def compactSort(spark: SparkSession, location: String,
+      zorderBy: Seq[String],
+      targetSizeBytes: Long = 128L << 20): Long = {
+    import org.apache.spark.sql.functions.{array, col, udf}
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = new Path(root, "data")
+    val prior = IcebergMeta.snapshot(spark, location)
+    require(zorderBy.nonEmpty, s"compactSort at $location: no z-order columns")
+    zorderBy.foreach(c => require(prior.schema.fieldNames.contains(c),
+      s"z-order column '$c' is not a column of $location"))
+    require(prior.deleteFiles.isEmpty,
+      s"compactSort at $location: delete files are in force; run compact() first")
+    require(prior.partitionColumns.isEmpty,
+      s"compactSort on partitioned $location is not supported; z-order " +
+        "within partitions by running per-partition")
+    if (prior.files.isEmpty) return prior.snapshotId
+
+    val df = spark.read.schema(prior.schema)
+      .option("basePath", s"$location/data")
+      .parquet(prior.files.map(_.path): _*)
+    val bits = graft.index.zorder.ZOrderBuild.BitsPerColumn
+    val asDouble = zorderBy.map(c => df.col(c).cast("double"))
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val boundaries = df
+      .select(zorderBy.zip(asDouble).map { case (n, c) => c.as(n) }: _*)
+      .stat.approxQuantile(zorderBy.toArray, probs, 0.001)
+    val zUdf = udf(new graft.index.zorder.ZAddressFn(boundaries, bits))
+    val nFiles = math.max(1L,
+      (prior.files.map(_.size).sum + targetSizeBytes - 1) / targetSizeBytes).toInt
+
+    val stage = new Path(root,
+      s".graft-zsort-${java.util.UUID.randomUUID().toString}")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val clustered = df.withColumn("_graft_zaddr", zUdf(array(asDouble: _*)))
+      .repartitionByRange(nFiles, col("_graft_zaddr"))
+      .sortWithinPartitions("_graft_zaddr")
+      .drop("_graft_zaddr")
+    withIdMetadata(clustered, JsonMethods.parse(prior.schemaJsonStr))
+      .write.parquet(stage.toString)
+    val added = moveStagedData(fs, stage, dataDir)
+
+    val statsByPath = ParquetFooterStats.collect(
+      spark, added.map(_.getPath.toString), prior.schema)
+    publishSnapshot(spark, location, Some(prior), prior.schema, "replace",
+      dataExisting = Nil,
+      dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L,
+        stats = statsByPath.get(s.getPath.toString)
+          .flatMap(DeltaStats.render(_, prior.schema)))),
+      deleteExisting = Nil,
+      deleteAdded = Nil)
+  }
+
   /** Table HISTORY — one row per retained snapshot (newest first):
     * snapshot id, commit timestamp, and summary operation — the Iceberg
     * sibling of [[DeltaTable.history]]. Driver-side metadata. */

@@ -166,9 +166,13 @@ object LakeTable {
     * target (Delta OPTIMIZE / Iceberg rewriteDataFiles binpack) —
     * row-transparent in both formats. */
   def optimize(spark: SparkSession, path: String,
-      targetSizeBytes: Long = 128L << 20): Long =
+      targetSizeBytes: Long = 128L << 20,
+      zorderBy: Seq[String] = Nil): Long =
     formatOf(spark, path) match {
-      case "delta" => DeltaTable.optimizeCompact(spark, path, targetSizeBytes)
+      case "delta" =>
+        DeltaTable.optimizeCompact(spark, path, targetSizeBytes, zorderBy)
+      case _ if zorderBy.nonEmpty =>
+        IcebergTable.compactSort(spark, path, zorderBy, targetSizeBytes)
       case _ => IcebergTable.compactSmall(spark, path, targetSizeBytes)
     }
 

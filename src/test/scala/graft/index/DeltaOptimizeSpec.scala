@@ -89,6 +89,56 @@ class DeltaOptimizeSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root).count() == orders.count())
   }
 
+  test("iceberg compactSort (zorder): per-file bounds tighten and " +
+      "filtered scans prune more files") {
+    import graft.index.sources.{IcebergMeta, IcebergTable, LakeTable}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val loc = Files.createTempDirectory("graft-iopt-z-").toString
+    // shuffled layout: every file spans nearly the whole key range
+    IcebergTable.create(orders.repartition(6), loc)
+    def spans(): Seq[(Long, Long)] =
+      IcebergMeta.snapshot(spark, loc).files.flatMap(_.stats)
+        .flatMap(graft.index.sources.DeltaStats.parse(_, orders.schema))
+        .flatMap { fsx =>
+          for {
+            c <- fsx.cols.get("o_orderkey")
+            lo <- c.min.collect { case n: Long => n }
+            hi <- c.max.collect { case n: Long => n }
+          } yield (lo, hi)
+        }
+    def scanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+          case f: FileSourceScanExec => f
+        }
+        case f: FileSourceScanExec => Seq(f)
+      }.flatten.map(_.metrics("numFiles").value).sum
+    }
+    val wideBefore = spans().map { case (lo, hi) => hi - lo }.max
+    val lo = orders.select(min(col("o_orderkey"))).head().getLong(0)
+    def narrowScan() = IcebergTable.read(spark, loc)
+      .filter(col("o_orderkey") < lo + 100)
+    val scannedBefore = scanned(narrowScan())
+
+    LakeTable.optimize(spark, loc, targetSizeBytes = 8L << 10,
+      zorderBy = Seq("o_orderkey"))
+    val after = spans()
+    assert(after.size > 1, "zorder should have produced multiple files")
+    assert(after.map { case (lo2, hi) => hi - lo2 }.max < wideBefore / 2,
+      s"ranges not tightened: before width $wideBefore, after $after")
+    // the replace is row-transparent and the narrow scan prunes harder
+    assert(IcebergTable.read(spark, loc).count() == orders.count())
+    assert(scanned(narrowScan()) < scannedBefore,
+      "the clustered layout should prune the narrow scan harder")
+    // guards: deletes-in-force and partitioned tables refuse
+    IcebergTable.deleteWhere(spark, loc, col("o_orderkey") === lo)
+    intercept[IllegalArgumentException] {
+      IcebergTable.compactSort(spark, loc, Seq("o_orderkey"))
+    }
+  }
+
   test("iceberg compactSmall: bins collapse, deletes-in-force refuse") {
     import graft.index.sources.{IcebergMeta, IcebergTable, LakeTable}
     val loc = Files.createTempDirectory("graft-iopt-").toString
