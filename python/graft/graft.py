@@ -232,9 +232,12 @@ class LakeTable:
         removed = self._jt.cleanup(self._jspark, path, retention_ms)
         return [removed.apply(i) for i in range(removed.size())]
 
-    def optimize(self, path, target_size_bytes=128 << 20):
-        """Bin-pack small data files (Delta OPTIMIZE / Iceberg binpack)."""
-        return self._jt.optimize(self._jspark, path, target_size_bytes)
+    def optimize(self, path, target_size_bytes=128 << 20, zorder_by=None):
+        """Bin-pack small data files (Delta OPTIMIZE / Iceberg binpack),
+        or — with ``zorder_by`` — rewrite clustered by the interleaved
+        z-address of those columns so multi-column scans prune files."""
+        jz = self._jvm.PythonUtils.toSeq(list(zorder_by or []))
+        return self._jt.optimize(self._jspark, path, target_size_bytes, jz)
 
     def undo_to(self, path, id):
         """Restore a Delta version / roll back to an Iceberg snapshot."""
