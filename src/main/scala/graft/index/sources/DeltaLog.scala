@@ -1025,8 +1025,12 @@ object DeltaTable {
       partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       mergeSchema: Boolean = false): Long =
-    commit(df, root, overwrite = false, partitionBy, txn = txn,
-      mergeSchema = mergeSchema)
+    // concurrent ingest: an append losing the commit fence has already
+    // cleaned its staged files — re-run against the winner's snapshot
+    CommitRetry() {
+      commit(df, root, overwrite = false, partitionBy, txn = txn,
+        mergeSchema = mergeSchema)
+    }
 
   /**
    * Row-level DELETE via deletion vectors (merge-on-read): rows matching
@@ -1126,7 +1130,7 @@ object DeltaTable {
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
     // same create-no-overwrite fence as commit(): the loser's DV and cdc
     // files are removed so a retry starts clean
-    val out = try fs.create(commitPath, false) catch {
+    val out = try CommitFence.create(fs, commitPath) catch {
       case e: Throwable =>
         dvPaths.foreach(fs.delete(_, false))
         cdcPaths.foreach(fs.delete(_, false))
@@ -1439,7 +1443,7 @@ object DeltaTable {
     lines ++= cdcLines
 
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
-    val out = try fs.create(commitPath, false) catch {
+    val out = try CommitFence.create(fs, commitPath) catch {
       case e: Throwable =>
         dvPaths.foreach(fs.delete(_, false))
         added.foreach(s => fs.delete(s.getPath, false))
@@ -1650,7 +1654,7 @@ object DeltaTable {
 
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
     fs.mkdirs(DeltaLog.logDir(root))
-    val out = try fs.create(commitPath, false) catch {
+    val out = try CommitFence.create(fs, commitPath) catch {
       case e: Throwable =>
         dvPaths.foreach(fs.delete(_, false))
         added.foreach(s => fs.delete(s.getPath, false))
@@ -1816,7 +1820,7 @@ object DeltaTable {
           statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
     }
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
-    val out = try fs.create(commitPath, false) catch {
+    val out = try CommitFence.create(fs, commitPath) catch {
       case e: Throwable =>
         added.foreach(s => fs.delete(s.getPath, false))
         throw e
@@ -1936,7 +1940,7 @@ object DeltaTable {
     lines ++= cdcLines
 
     val commitPath = new Path(DeltaLog.logDir(root), f"$newVersion%020d.json")
-    val out = try fs.create(commitPath, false) catch {
+    val out = try CommitFence.create(fs, commitPath) catch {
       case e: Throwable =>
         cdcPaths.foreach(fs.delete(_, false))
         throw e
@@ -2055,7 +2059,7 @@ object DeltaTable {
         cfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
       "createdTime" -> JLong(System.currentTimeMillis())))
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
-    val out = fs.create(commitPath, false)
+    val out = CommitFence.create(fs, commitPath)
     try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -2177,6 +2181,13 @@ object DeltaTable {
       else None
     require(prior.isDefined || overwrite,
       s"append to a non-Delta directory: $rootStr (create it first)")
+    // txn idempotence inside the retry loop: if the racing winner was
+    // this transaction's own replayed twin, no-op instead of re-applying
+    txn.foreach { case (app, v) =>
+      prior.foreach { p =>
+        if (p.transactions.get(app).exists(_ >= v)) return p.version
+      }
+    }
 
     // symmetric writer gate — a table whose protocol or configuration
     // demands writer capabilities we don't implement must not be written
@@ -2399,7 +2410,7 @@ object DeltaTable {
     // loser fails, the Delta optimistic-concurrency contract. The loser's
     // already-moved data and cdc files are removed so its retry starts
     // clean and the winner's log never references them.
-    val out = try fs.create(commitPath, false) catch {
+    val out = try CommitFence.create(fs, commitPath) catch {
       case e: Throwable =>
         added.foreach(s => fs.delete(s.getPath, false))
         cdcPaths.foreach(fs.delete(_, false))

@@ -1319,7 +1319,7 @@ object IcebergTable {
       "last-updated-ms" -> JLong(System.currentTimeMillis()))
     val metaDir = IcebergMeta.metadataDir(location)
     val metaOut = new Path(metaDir, f"v$version%05d.metadata.json")
-    val os = fs.create(metaOut, false)
+    val os = CommitFence.create(fs, metaOut)
     try os.write(JsonMethods.pretty(JsonMethods.render(updated))
       .getBytes(StandardCharsets.UTF_8))
     finally os.close()
@@ -1371,8 +1371,12 @@ object IcebergTable {
   def append(df: DataFrame, location: String,
       txn: Option[(String, Long)] = None,
       partitionColumns: Seq[String] = Nil): Long =
-    commit(df, location, firstVersion = false, txn = txn,
-      partitionColumns = partitionColumns)
+    // concurrent ingest: a loser of the metadata-version fence has
+    // cleaned its staged files — re-run against the winner's snapshot
+    CommitRetry() {
+      commit(df, location, firstVersion = false, txn = txn,
+        partitionColumns = partitionColumns)
+    }
 
   /** Latest committed txn version per appId (from table properties). */
   def transactions(spark: SparkSession, location: String): Map[String, Long] =
@@ -1589,6 +1593,13 @@ object IcebergTable {
       else None
     require(prior.isDefined || firstVersion,
       s"append to a non-Iceberg directory: $location (create it first)")
+    // txn idempotence inside the retry loop (see the Delta twin)
+    txn.foreach { case (app, v) =>
+      prior.foreach { p =>
+        if (p.properties.get(s"graft.txn.$app").exists(_.toLong >= v))
+          return p.snapshotId
+      }
+    }
     // partition spec resolution: fixed at create, appends must conform
     val parts: Seq[String] = prior match {
       case Some(p) =>
@@ -2368,7 +2379,7 @@ object IcebergTable {
       "last-updated-ms" -> JLong(System.currentTimeMillis()))
     val metaDir = IcebergMeta.metadataDir(location)
     val target = new Path(metaDir, f"v$version%05d.metadata.json")
-    val os = fs.create(target, false)
+    val os = CommitFence.create(fs, target)
     try os.write(JsonMethods.pretty(JsonMethods.render(newMeta))
       .getBytes(StandardCharsets.UTF_8))
     finally os.close()
@@ -2451,7 +2462,7 @@ object IcebergTable {
       "last-updated-ms" -> JLong(System.currentTimeMillis()))
     val metaDir = IcebergMeta.metadataDir(location)
     val target = new Path(metaDir, f"v$version%05d.metadata.json")
-    val os = fs.create(target, false)
+    val os = CommitFence.create(fs, target)
     try os.write(JsonMethods.pretty(JsonMethods.render(newMeta))
       .getBytes(StandardCharsets.UTF_8))
     finally os.close()
@@ -2729,7 +2740,7 @@ object IcebergTable {
     // same version — the loser fails. Its added files, manifests and
     // manifest list are removed so a retry starts clean and no later
     // commit can absorb them.
-    val os = try fs.create(metaFile, false) catch {
+    val os = try CommitFence.create(fs, metaFile) catch {
       case e: Throwable =>
         (dataAdded.map(_.path) ++ deleteAdded.map(_.path))
           .foreach(p => fs.delete(new Path(p), false))

@@ -1,5 +1,6 @@
 package graft.index.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /**
@@ -16,6 +17,30 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * preserved (`_commit_version` vs `_commit_snapshot_id` in [[changes]])
  * — papering over them would hide which clock the feed is keyed by.
  */
+/**
+ * The COMMIT FENCE itself: create-no-overwrite of the next log /
+ * metadata version. Hadoop's local filesystem implements
+ * `create(path, overwrite = false)` as a NON-ATOMIC exists-check then
+ * create, so two threads racing in one JVM can both pass — and Spark
+ * table commits happen on the driver, one JVM, so a JVM-wide mutex
+ * around the check+create closes exactly the gap that matters. On
+ * HDFS-like stores create-no-overwrite is atomic server-side and the
+ * mutex is redundant but harmless (commits are rare, the lock is
+ * held for a metadata create only).
+ */
+private[sources] object CommitFence {
+  private val lock = new Object
+  def create(fs: org.apache.hadoop.fs.FileSystem,
+      path: Path): org.apache.hadoop.fs.FSDataOutputStream =
+    lock.synchronized {
+      if (fs.exists(path)) {
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"commit fence: $path already exists (a racing writer won)")
+      }
+      fs.create(path, false)
+    }
+}
+
 /**
  * Bounded AUTO-RETRY for optimistic-concurrency losers: the commit
  * fence (create-no-overwrite of the next log/metadata version) throws

@@ -572,10 +572,12 @@ class DeltaLogSpec extends AnyFunSuite {
     val res = appendWithInterference(root, 5) { () =>
       writeRawCommit(root, 1L, Seq("""{"commitInfo":{"operation":"WRITE"}}"""))
     }
-    assert(res.isLeft, "the fence loser must fail, not silently double-commit")
-    // loser's staged files are gone: on-disk parquet == logged snapshot
+    // the fence loser AUTO-RETRIES against the winner's state and lands
+    // at version 2 — never a silent double-commit of version 1
+    assert(res == Right(2L), s"expected retried commit at v2, got $res")
+    // no orphans: on-disk parquet == logged snapshot
     val s = DeltaLog.snapshot(spark, root)
-    assert(s.version == 1L)
+    assert(s.version == 2L)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     def diskParquet(dir: org.apache.hadoop.fs.Path): Seq[String] =
@@ -588,9 +590,10 @@ class DeltaLogSpec extends AnyFunSuite {
     def bare(p: String): String = p.stripPrefix("file:")
     assert(diskParquet(rootPath).map(bare).toSet == s.files.map(f => bare(f.path)).toSet,
       "fence loser left orphan staged files in the table dir")
-    // retry lands cleanly at version 2 with no duplicate rows
-    assert(DeltaTable.append(base.limit(5), root) == 2L)
+    // exactly once: the retried append's rows appear once
     assert(DeltaTable.read(spark, root).count() == 15)
+    assert(DeltaTable.append(base.limit(5), root) == 3L)
+    assert(DeltaTable.read(spark, root).count() == 20)
   }
 
   // --- checkpoint fidelity: protocol/config survive checkpointing

@@ -206,6 +206,35 @@ class DeltaMergeSpec extends AnyFunSuite {
     assert(snap.files.count(_.dv.exists(_.cardinality > 0)) <= cands.size)
   }
 
+  test("concurrent appends both land on both legs (ingest never loses " +
+      "data to a fence race)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.index.sources.{IcebergMeta, IcebergTable}
+    val droot = Files.createTempDirectory("graft-dapp-conc-").toString
+    DeltaTable.create(customer.limit(1), droot)
+    val da = Future(DeltaTable.append(
+      customer.filter($"c_custkey" >= 1 && $"c_custkey" < 50), droot))
+    val db = Future(DeltaTable.append(
+      customer.filter($"c_custkey" >= 50 && $"c_custkey" < 100), droot))
+    Await.result(da, 120.seconds); Await.result(db, 120.seconds)
+    assert(DeltaTable.read(spark, droot).count() ==
+      1 + customer.filter($"c_custkey" >= 1 && $"c_custkey" < 100).count())
+
+    val iroot = Files.createTempDirectory("graft-iapp-conc-").toString
+    IcebergTable.create(customer.limit(1), iroot)
+    val ia = Future(IcebergTable.append(
+      customer.filter($"c_custkey" >= 1 && $"c_custkey" < 50), iroot))
+    val ib = Future(IcebergTable.append(
+      customer.filter($"c_custkey" >= 50 && $"c_custkey" < 100), iroot))
+    Await.result(ia, 120.seconds); Await.result(ib, 120.seconds)
+    assert(IcebergTable.read(spark, iroot).count() ==
+      1 + customer.filter($"c_custkey" >= 1 && $"c_custkey" < 100).count())
+    // both snapshots retained (two real commits, whatever the order)
+    assert(IcebergMeta.snapshot(spark, iroot).snapshotId == 3L)
+  }
+
   test("concurrent merges both land: the fence loser auto-retries " +
       "against the winner's committed state") {
     import scala.concurrent.{Await, Future}

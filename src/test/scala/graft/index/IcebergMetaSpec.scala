@@ -273,42 +273,41 @@ class IcebergMetaSpec extends AnyFunSuite {
     // snapshot 2 and the slow writer must lose the fence. The wide sleep
     // window makes that ordering near-certain; bounded attempts absorb
     // scheduler jitter without ever accepting a wrong outcome.
-    val attempts = (1 to 3).iterator.map { _ =>
-      val loc = tmp("graft-ice-race2-")
-      val base = customer.limit(10).repartition(1)
-        .withColumn("c_slow", col("c_custkey"))
-      IcebergTable.create(base, loc)
-      val winnerRows = customer.limit(2).repartition(1)
-        .withColumn("c_slow", col("c_custkey"))
-      val res = appendWithInterference(loc, 5, sleepMs = 250) { () =>
-        IcebergTable.append(winnerRows, loc)
-      }
-      (loc, res)
+    val loc = tmp("graft-ice-race2-")
+    val base = customer.limit(10).repartition(1)
+      .withColumn("c_slow", col("c_custkey"))
+    IcebergTable.create(base, loc)
+    val winnerRows = customer.limit(2).repartition(1)
+      .withColumn("c_slow", col("c_custkey"))
+    val res = appendWithInterference(loc, 5, sleepMs = 250) { () =>
+      IcebergTable.append(winnerRows, loc)
     }
-    val (loc, res) = attempts.find(_._2.isLeft).getOrElse(
-      fail("slow writer never lost the fence in 3 attempts"))
+    // the fence loser AUTO-RETRIES against the winner's state: both
+    // appends land (whichever order), never a lost or duplicated row
+    assert(res.isRight, s"append should retry and land, got $res")
     val fs = new org.apache.hadoop.fs.Path(loc)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // winner's commit stands: create(10) + winner append(2)
     val s = IcebergMeta.snapshot(spark, loc)
-    assert(s.snapshotId == 2L)
-    assert(IcebergTable.read(spark, loc).count() == 12)
-    // loser's staged data files and manifest/manifest-list are gone:
+    assert(s.snapshotId == 3L) // create + winner + retried loser
+    assert(IcebergTable.read(spark, loc).count() == 17)
+    // the lost attempt's staged data files and manifests are gone:
     // disk holds exactly the snapshot's files
     val dataOnDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$loc/data"))
       .map(_.getPath.toString).filter(_.endsWith(".parquet"))
       .map(_.stripPrefix("file:")).toSet
     assert(dataOnDisk == s.files.map(_.path.stripPrefix("file:")).toSet,
       "fence loser left orphan data files")
-    // exactly one manifest/manifest-list pair for snapshot 2 (the winner's)
-    val m2 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$loc/metadata"))
-      .map(_.getPath.getName).filter(_.startsWith("manifest-00002"))
-    assert(m2.length == 1, s"expected the winner's single manifest, got: ${m2.mkString(",")}")
-    // retry lands cleanly at snapshot 3 with no duplicate rows
+    // exactly one manifest per committed snapshot id
+    Seq("manifest-00002", "manifest-00003").foreach { pre =>
+      val ms = fs.listStatus(new org.apache.hadoop.fs.Path(s"$loc/metadata"))
+        .map(_.getPath.getName).filter(_.startsWith(pre))
+      assert(ms.length == 1, s"expected one $pre manifest, got: ${ms.mkString(",")}")
+    }
+    // a further append lands cleanly at snapshot 4
     val retryRows = customer.limit(5).repartition(1)
       .withColumn("c_slow", col("c_custkey"))
-    assert(IcebergTable.append(retryRows, loc) == 3L)
-    assert(IcebergTable.read(spark, loc).count() == 17)
+    assert(IcebergTable.append(retryRows, loc) == 4L)
+    assert(IcebergTable.read(spark, loc).count() == 22)
   }
 
   test("provider: iceberg leaf recognized, snapshot-based signature") {
