@@ -482,7 +482,8 @@ object IndexAccel {
     val h = Integer.toHexString(sfDir.hashCode)
     val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_delta_$h"
     synchronized {
-      if (!graft.index.sources.DeltaLog.isDeltaTable(spark, root)) {
+      val tableCreated = !graft.index.sources.DeltaLog.isDeltaTable(spark, root)
+      if (tableCreated) {
         val supplier = Tables.load(spark, sfDir, "supplier")
         DeltaTable.create(supplier.filter(col("s_suppkey") % 2 === 0), root)
         DeltaTable.append(supplier.filter(col("s_suppkey") % 2 === 1), root)
@@ -490,7 +491,13 @@ object IndexAccel {
       ensureSystemPath(spark, sfDir)
       val mgr = new IndexManager(spark)
       val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
-      if (!active.contains("accel_ci_delta")) {
+      if (tableCreated && active.contains("accel_ci_delta")) {
+        // the fixture table was wiped and re-created: a surviving index
+        // points at dead files and would (correctly) never apply — rebuild
+        mgr.delete("accel_ci_delta")
+        mgr.vacuum("accel_ci_delta")
+      }
+      if (tableCreated || !active.contains("accel_ci_delta")) {
         mgr.create(DeltaTable.read(spark, root), CoveringIndexConfig(
           "accel_ci_delta", Seq("s_nationkey"), Seq("s_acctbal")))
       }
@@ -736,7 +743,8 @@ object IndexAccel {
     val h = Integer.toHexString(sfDir.hashCode)
     val loc = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_iceberg_$h"
     synchronized {
-      if (!IcebergMeta.isIcebergTable(spark, loc)) {
+      val tableCreated = !IcebergMeta.isIcebergTable(spark, loc)
+      if (tableCreated) {
         val cust = Tables.load(spark, sfDir, "customer")
         IcebergTable.create(cust.filter(col("c_custkey") % 2 === 0), loc)
         IcebergTable.append(cust.filter(col("c_custkey") % 2 === 1), loc)
@@ -744,7 +752,12 @@ object IndexAccel {
       ensureSystemPath(spark, sfDir)
       val mgr = new IndexManager(spark)
       val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
-      if (!active.contains("accel_ci_iceberg")) {
+      if (tableCreated && active.contains("accel_ci_iceberg")) {
+        // wiped-and-recreated fixture: rebuild the index (see delta twin)
+        mgr.delete("accel_ci_iceberg")
+        mgr.vacuum("accel_ci_iceberg")
+      }
+      if (tableCreated || !active.contains("accel_ci_iceberg")) {
         mgr.create(IcebergTable.read(spark, loc), CoveringIndexConfig(
           "accel_ci_iceberg", Seq("c_nationkey"), Seq("c_acctbal")))
       }
