@@ -281,7 +281,12 @@ private[graft] object MergePruning {
     if (perKey.exists(_.isEmpty)) None else Some(perKey.flatten)
   }
 
-  /** Target files that may hold a row matching some source key. */
+  /** Target files that may hold a row matching some source key. Log
+    * stats cover the FILE columns; a key that is a hive PARTITION
+    * column has no stats entry, so its single value is recovered from
+    * the file's `k=v` path segment (min = max = value) — a merge keyed
+    * on a partition column (the date-partitioned CDC shape) prunes to
+    * the matching partitions. */
   def candidates(files: Seq[DeltaFileMeta], schema: StructType,
       kb: Option[Seq[(String, Any, Any)]]): Seq[DeltaFileMeta] =
     kb match {
@@ -293,14 +298,48 @@ private[graft] object MergePruning {
             GreaterThanOrEqual(AttributeReference(k, dt)(), Literal.create(mn, dt)),
             LessThanOrEqual(AttributeReference(k, dt)(), Literal.create(mx, dt)))
         }.reduce(And(_, _))
+        val keyNames = b.map(_._1)
         files.filter { f =>
-          f.stats.flatMap(DeltaStats.parse(_, schema)) match {
-            case None => true // no stats: must keep
-            case Some(st) =>
-              try StatsPredicate.mayMatch(st, expr)
-              catch { case NonFatal(_) => true }
+          val base = f.stats.flatMap(DeltaStats.parse(_, schema))
+            .getOrElse(FileStats(None, Map.empty))
+          val withParts = base.copy(cols = base.cols ++ pathValues(
+            f.path, keyNames.filterNot(base.cols.contains), schema))
+          if (withParts.cols.isEmpty) true // nothing provable: keep
+          else {
+            try StatsPredicate.mayMatch(withParts, expr)
+            catch { case NonFatal(_) => true }
           }
         }
+    }
+
+  /** Hive `k=v` path segments for `names` → single-value column stats
+    * in the comparison domain; unparseable values are skipped (keep). */
+  private def pathValues(path: String, names: Seq[String],
+      schema: StructType): Map[String, FileColStats] =
+    if (names.isEmpty) Map.empty
+    else {
+      val segs: Map[String, String] = path.split('/').flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if names.contains(k) =>
+            Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap
+      names.flatMap { n =>
+        for {
+          raw <- segs.get(n)
+          if raw != "__HIVE_DEFAULT_PARTITION__"
+          dt = schema(n).dataType
+          v <- try Some(dt match {
+            case ByteType | ShortType | IntegerType | LongType => raw.toLong
+            case StringType => raw
+            case BooleanType => raw.toBoolean
+            case DateType =>
+              java.sql.Date.valueOf(raw).toLocalDate.toEpochDay
+            case _ => null
+          }).filter(_ != null) catch { case NonFatal(_) => None }
+        } yield n -> FileColStats(Some(v), Some(v), Some(0L))
+      }.toMap
     }
 
   /** The same bounds as a pushable Column filter — restricts the CDF

@@ -206,6 +206,36 @@ class DeltaMergeSpec extends AnyFunSuite {
     assert(snap.files.count(_.dv.exists(_.cardinality > 0)) <= cands.size)
   }
 
+  test("dynamic file pruning on a PARTITION-column key: hive path " +
+      "values substitute for the missing stats") {
+    import graft.index.sources.MergePruning
+    val root = Files.createTempDirectory("graft-delta-merge-pdfp-").toString
+    DeltaTable.create(customer, root, partitionBy = Seq("c_mktsegment"))
+    val prior = DeltaLog.snapshot(spark, root)
+    assert(prior.files.size > 1)
+    // a merge keyed on (c_mktsegment, c_custkey): the segment is a
+    // partition column (no stats entry), its value comes from the path
+    val src = customer.filter($"c_mktsegment" === "BUILDING" &&
+      $"c_custkey" < 50)
+    val cands = MergePruning.candidates(prior.files, prior.schema,
+      MergePruning.bounds(src, prior.schema,
+        Seq("c_mktsegment", "c_custkey")))
+    assert(cands.nonEmpty && cands.size < prior.files.size,
+      s"expected partition pruning, got ${cands.size}/${prior.files.size}")
+    assert(cands.forall(_.path.contains("c_mktsegment=BUILDING")))
+    // and the merge through that path stays exact
+    DeltaTable.merge(spark, root,
+      src.withColumn("c_acctbal", $"c_acctbal" + 3),
+      Seq("c_mktsegment", "c_custkey"))
+    val got = DeltaTable.read(spark, root)
+    val want = customer.withColumn("c_acctbal",
+      when($"c_mktsegment" === "BUILDING" && $"c_custkey" < 50,
+        $"c_acctbal" + 3).otherwise($"c_acctbal"))
+    assert(got.count() == customer.count())
+    assert(got.select(sum($"c_acctbal".cast("decimal(18,2)"))).head() ==
+      want.select(sum($"c_acctbal".cast("decimal(18,2)"))).head())
+  }
+
   test("concurrent appends both land on both legs (ingest never loses " +
       "data to a fence race)") {
     import scala.concurrent.{Await, Future}
