@@ -57,8 +57,11 @@ private[sources] object CommitRetry {
   def isFenceCollision(e: Throwable): Boolean = e match {
     case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
     case _: java.nio.file.FileAlreadyExistsException => true
+    case _: java.io.FileNotFoundException => false // "does not exist"!
     case io: java.io.IOException =>
-      Option(io.getMessage).exists(_.toLowerCase.contains("exist"))
+      // a remote FS may surface the fence as a plain IOException; match
+      // the ALREADY-exists wording only (never "does not exist")
+      Option(io.getMessage).exists(_.toLowerCase.contains("already exists"))
     case _ => false
   }
 
