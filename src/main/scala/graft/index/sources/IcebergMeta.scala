@@ -70,10 +70,21 @@ final case class IcebergSnapshot(
     // FENCE base: a commit publishes exactly version+1, so two writers
     // sharing a prior collide on the create-no-overwrite, never fork
     metadataVersion: Long = 0L,
-    // identity-transform partition columns of the default partition spec
-    // (source-id resolved against the current schema); empty = spec 0 /
-    // unpartitioned. The spec is fixed at create and every write honors it.
-    partitionColumns: Seq[String] = Nil)
+    // the default partition spec's fields (source-id resolved against
+    // the current schema) — identity AND hidden-partitioning transforms
+    // (bucket/truncate/year/month/day/hour, see [[IceTransforms]]);
+    // empty = spec 0 / unpartitioned. Fixed at create; every write honors it.
+    partitionFields: Seq[IcePartField] = Nil,
+    // per-data-file partition tuple from the manifests (normPath →
+    // field name → value in the stats domain; None = null partition) —
+    // the read-side pruning evidence for transform fields
+    partitionValues: Map[String, Map[String, Option[Any]]] = Map.empty) {
+
+  /** Identity partition columns — the ones whose SOURCE column is
+    * path-encoded (data files drop it; reads reconstruct it). */
+  def partitionColumns: Seq[String] =
+    partitionFields.collect { case f if f.kind == TIdentity => f.sourceCol }
+}
 
 /**
  * Iceberg SINGLE-VALUE SERIALIZATION (spec appendix D) for manifest
@@ -223,11 +234,12 @@ object IcebergMeta {
       }.toMap
       case _ => Map.empty
     }
-    // default partition spec → identity column names. Non-identity
-    // transforms (bucket/truncate/days/…) refuse loudly: a jarless write
-    // against them would publish files the spec's partition tuple can't
+    // default partition spec → [[IcePartField]]s: identity AND hidden-
+    // partitioning transforms (bucket[N]/truncate[W]/year/month/day/
+    // hour/void); an unknown transform still refuses loudly — a write
+    // against it would publish files its partition tuple can't
     // describe, and reads planned here would mis-prune.
-    val partCols: Seq[String] = {
+    val partFieldsParsed: Seq[IcePartField] = {
       val specId = (j \ "default-spec-id") match {
         case JInt(n) => n.toInt
         case _ => 0
@@ -236,16 +248,14 @@ object IcebergMeta {
         case JArray(specs) =>
           specs.find(s => (s \ "spec-id") == JInt(specId)).toSeq.flatMap {
             s => (s \ "fields") match {
-              case JArray(fs) => fs.map { f =>
+              case JArray(fs) => fs.zipWithIndex.map { case (f, i) =>
                 val transform = (f \ "transform") match {
                   case JString(t) => t
                   case _ => "identity"
                 }
-                require(transform == "identity",
-                  s"partition spec of $location uses transform " +
-                    s"'$transform'; the jarless source supports identity " +
-                    "transforms only")
-                (f \ "source-id") match {
+                // canonicality check — throws on unsupported transforms
+                IceTransforms.parseTransform(transform)
+                val src = (f \ "source-id") match {
                   case JInt(sid) => fieldIdsEarly.getOrElse(sid.toInt,
                     throw new IllegalArgumentException(
                       s"partition spec of $location names source-id $sid, " +
@@ -257,6 +267,15 @@ object IcebergMeta {
                         "source-id nor name")
                   }
                 }
+                val name = (f \ "name") match {
+                  case JString(n) => n
+                  case _ => src
+                }
+                val fieldId = (f \ "field-id") match {
+                  case JInt(n) => n.toInt
+                  case _ => 1000 + i
+                }
+                IcePartField(name, src, transform, fieldId)
               }
               case _ => Nil
             }
@@ -281,7 +300,7 @@ object IcebergMeta {
           case _ => Map.empty
         },
         metadataVersion = metadataVersionOf(metaFile.getName),
-        partitionColumns = partCols)
+        partitionFields = partFieldsParsed)
 
     val snap = (j \ "snapshots") match {
       case JArray(snaps) =>
@@ -312,6 +331,17 @@ object IcebergMeta {
 
     val rawEntries = manifests.collect { case (m, 0) => m }
       .flatMap(m => readManifest(fs, resolve(location, m)))
+    // per-file partition tuples (only fields of the CURRENT spec are
+    // kept — entries written under other spec ids contribute what they
+    // share; missing fields just don't prune)
+    val partValues: Map[String, Map[String, Option[Any]]] =
+      if (partFieldsParsed.isEmpty) Map.empty
+      else rawEntries.flatMap { case (f, _, _, tuple) =>
+        tuple.map { t =>
+          DeltaTable.normPath(f.path) ->
+            t.view.filterKeys(partFieldsParsed.map(_.name).toSet).toMap
+        }
+      }.toMap
     val deleteFiles = manifests.collect { case (m, 1) => m }
       .flatMap(m => readDeleteManifest(fs, resolve(location, m)))
     val fieldIds: Map[Int, String] = (schemaJson \ "fields") match {
@@ -326,7 +356,7 @@ object IcebergMeta {
     // decode manifest bounds into the shared stats dialect (carried on
     // DeltaFileMeta.stats like the Delta leg, so both sources prune
     // through one evaluator and re-publish existing entries losslessly)
-    val dataEntries = rawEntries.map { case (f, seq, bounds) =>
+    val dataEntries = rawEntries.map { case (f, seq, bounds, _) =>
       val statsJson = bounds.flatMap { b =>
         val cols = b.lower.keySet ++ b.upper.keySet ++ b.nullCounts.keySet
         val byName = cols.toSeq.flatMap { id =>
@@ -355,7 +385,8 @@ object IcebergMeta {
     IcebergSnapshot(location, snapshotId, schema, dataEntries.map(_._1),
       deleteFiles, dataEntries.map(e => e._1.path -> e._2).toMap, fieldIds,
       JsonMethods.compact(JsonMethods.render(schemaJson)), properties,
-      lastColId, metadataVersionOf(metaFile.getName), partCols)
+      lastColId, metadataVersionOf(metaFile.getName), partFieldsParsed,
+      partValues)
   }
 
   /** Version number encoded in a metadata.json file name. */
@@ -459,7 +490,8 @@ object IcebergMeta {
   }
 
   private def readManifest(fs: FileSystem, path: String)
-      : Seq[(DeltaFileMeta, Long, Option[RawBounds])] =
+      : Seq[(DeltaFileMeta, Long, Option[RawBounds],
+             Option[Map[String, Option[Any]]])] =
     readAvro(fs, path).flatMap { r =>
       val status = fieldOpt(r, "status").map(_.toString.toInt).getOrElse(1)
       if (status == 2) None // DELETED entry
@@ -474,10 +506,25 @@ object IcebergMeta {
           if (rc >= 0L && (lower.nonEmpty || upper.nonEmpty || nulls.nonEmpty))
             Some(RawBounds(rc, nulls, lower, upper))
           else None
+        // the entry's partition tuple (field name → value, normalized
+        // to the stats domain) — the hidden-partition pruning evidence
+        val tuple: Option[Map[String, Option[Any]]] =
+          fieldOpt(df, "partition").collect { case p: GenericRecord =>
+            import scala.jdk.CollectionConverters._
+            p.getSchema.getFields.asScala.map { f =>
+              f.name() -> (p.get(f.name()) match {
+                case null => None
+                case n: java.lang.Integer => Some(n.longValue: Any)
+                case n: java.lang.Long => Some(n.longValue: Any)
+                case b: java.lang.Boolean => Some(b.booleanValue: Any)
+                case s => Some(s.toString: Any)
+              })
+            }.toMap
+          }
         Some((DeltaFileMeta(
           df.get("file_path").toString,
           df.get("file_size_in_bytes").toString.toLong,
-          0L), entrySeq(r), bounds))
+          0L), entrySeq(r), bounds, tuple))
       }
     }
 
@@ -690,10 +737,28 @@ object IcebergTable {
     val statsByPath: Map[String, FileStats] = s.files.flatMap(f =>
       f.stats.flatMap(DeltaStats.parse(_, s.schema))
         .map(fs => DeltaTable.normPath(f.path) -> fs)).toMap
-    val data = StatsPruning.wrap(raw, statsByPath)
+    // HIDDEN-PARTITION pruning: predicates on a transform's SOURCE
+    // column translate into checks against the per-file partition tuple
+    // — the only pruning path a bucket transform has (its data-file
+    // min/max are scrambled by design)
+    val data = IceTransformPruning.wrap(
+      StatsPruning.wrap(raw, statsByPath),
+      s.partitionFields, s.partitionValues, s.schema)
+    // a transform's DERIVED hive directory (e.g. `ts_day=…`) surfaces
+    // as an extra inferred column next to the explicit schema — it is
+    // spec bookkeeping, not a table column: strip it from the output
+    // and restore the published column order (a partition dir not in
+    // the explicit schema makes Spark append ALL partition columns,
+    // identity ones included, after the data columns)
+    val derivedDirs: Seq[String] = s.partitionFields
+      .filter(_.kind != TIdentity).map(_.name)
+    def stripDerived(d: DataFrame): DataFrame =
+      if (derivedDirs.isEmpty) d
+      else d.drop(derivedDirs: _*)
+        .select(readSchema.fieldNames.map(col(_)).toSeq: _*)
     val posDeletes = s.deleteFiles.filter(_.content == 1)
     val eqDeletes = s.deleteFiles.filter(_.content == 2)
-    if (posDeletes.isEmpty && eqDeletes.isEmpty) return data
+    if (posDeletes.isEmpty && eqDeletes.isEmpty) return stripDerived(data)
 
     // scheme-normalize both sides: manifests/delete rows may carry
     // `file:`-qualified or bare paths depending on the writer
@@ -749,7 +814,7 @@ object IcebergTable {
       }
       cur = cur.drop("__seq")
     }
-    cur.drop("__path")
+    stripDerived(cur.drop("__path"))
   }
 
   /** INCREMENTAL APPEND scan — the rows committed by every `append`
@@ -1210,9 +1275,10 @@ object IcebergTable {
     // carry the ORIGINAL column name — a rename would orphan every
     // existing directory. Real Iceberg renames partition sources via
     // spec evolution; this writer's spec is fixed at create: refuse.
-    require(!prior.partitionColumns.contains(oldName),
-      s"cannot rename '$oldName': it is a partition column of $location " +
-        "(hive directories carry its name); rewrite into a new table instead")
+    require(!prior.partitionFields.exists(_.sourceCol == oldName),
+      s"cannot rename '$oldName': it is a partition source column of " +
+        s"$location (hive directories carry its name); rewrite into a new " +
+        "table instead")
     updateSchema(spark, location) { (fields, lastColId) =>
       (fields.map {
         case f if (f \ "name") == JString(oldName) =>
@@ -1262,10 +1328,11 @@ object IcebergTable {
       s"cannot drop '$name': ${referencedBy.size} equality delete " +
         "file(s) still reference it — compact first")
     // the partition spec resolves by source-id against the CURRENT
-    // schema: dropping a partition column would leave the spec dangling
-    // and every later snapshot() unreadable — refuse loudly instead
-    require(!prior.partitionColumns.contains(name),
-      s"cannot drop '$name': it is a partition column of $location " +
+    // schema: dropping a partition SOURCE column (identity or
+    // transform) would leave the spec dangling and every later
+    // snapshot() unreadable — refuse loudly instead
+    require(!prior.partitionFields.exists(_.sourceCol == name),
+      s"cannot drop '$name': it is a partition source column of $location " +
         "(the spec is fixed at create); rewrite into a new table instead")
     updateSchema(spark, location) { (fields, lastColId) =>
       (fields.filterNot(f => (f \ "name") == JString(name)), lastColId)
@@ -1344,16 +1411,21 @@ object IcebergTable {
     }: _*)
   }
 
-  /** `partitionColumns` declares an IDENTITY partition spec, fixed at
-    * create: data files land hive-laid-out under `data/<col>=<val>/…`
-    * with the partition columns dropped from the files (reconstructed
-    * from the path by every reader via `basePath` — the layout Spark's
-    * own partitioned sources use), the published metadata carries a real
-    * partition spec (spec-id 0, identity fields), and each manifest
-    * entry records the file's partition tuple plus min=max partition
-    * bounds, so filtered reads prune partitioned files from metadata
-    * alone. Reference counterpart: the reference's Iceberg relation
-    * serves partitioned tables end to end
+  /** `partitionColumns` declares the partition spec, fixed at create.
+    * Each entry is either a plain column name (IDENTITY: data files
+    * land hive-laid-out under `data/<col>=<val>/…` with the column
+    * dropped from the files and reconstructed from the path via
+    * `basePath` — the layout Spark's own partitioned sources use) or a
+    * HIDDEN-PARTITIONING transform in Iceberg SQL syntax —
+    * `"bucket(16, id)"`, `"truncate(4, name)"`, `"days(ts)"`,
+    * `"months(ts)"`, `"years(ts)"`, `"hours(ts)"` — whose DERIVED value
+    * partitions the layout while the source column stays in the data
+    * files. The published metadata carries the real spec (spec-id 0),
+    * each manifest entry records the file's partition tuple, and
+    * filtered reads prune through the transforms from metadata alone
+    * ([[IceTransforms.pruningPredicate]]). Reference counterpart: the
+    * reference's Iceberg relation surfaces identity partitions and
+    * delegates transforms to the iceberg jar
     * (sources/iceberg/IcebergRelation.scala:77-86). */
   def create(df: DataFrame, location: String,
       txn: Option[(String, Long)] = None,
@@ -1600,28 +1672,37 @@ object IcebergTable {
           return p.snapshotId
       }
     }
-    // partition spec resolution: fixed at create, appends must conform
-    val parts: Seq[String] = prior match {
+    // partition spec resolution: fixed at create, appends must conform.
+    // Spec strings parse through [[IceTransforms.parseFieldSpec]]:
+    // plain names are identity; "bucket(16, id)" / "days(ts)" / … are
+    // hidden-partitioning transforms.
+    val parts: Seq[IcePartField] = prior match {
       case Some(p) =>
-        require(partitionColumns.isEmpty || partitionColumns == p.partitionColumns,
-          s"append to $location: partitionBy(${partitionColumns.mkString(", ")}) " +
-            s"does not match the table's partition spec " +
-            s"(${if (p.partitionColumns.isEmpty) "unpartitioned"
-               else p.partitionColumns.mkString(", ")}); the spec is fixed " +
-            "at create")
-        p.partitionColumns
-      case None =>
-        partitionColumns.foreach { c =>
-          val f = df.schema.fields.find(_.name == c).getOrElse(
-            throw new IllegalArgumentException(
-              s"create at $location: partition column '$c' is not in the " +
-                s"frame schema ${df.schema.simpleString}"))
-          require(partitionable(f.dataType),
-            s"create at $location: partition column '$c' has type " +
-              s"${f.dataType.simpleString}; identity partitioning supports " +
-              "integral, string, boolean and date columns")
+        val given = partitionColumns.zipWithIndex.map { case (s, i) =>
+          IceTransforms.parseFieldSpec(s, df.schema, i)
         }
-        partitionColumns
+        def sig(fs: Seq[IcePartField]) =
+          fs.map(f => (f.name, f.sourceCol, f.transform))
+        require(given.isEmpty || sig(given) == sig(p.partitionFields),
+          s"append to $location: partitionBy(${given.mkString(", ")}) " +
+            s"does not match the table's partition spec " +
+            s"(${if (p.partitionFields.isEmpty) "unpartitioned"
+               else p.partitionFields.mkString(", ")}); the spec is fixed " +
+            "at create")
+        p.partitionFields
+      case None =>
+        val fields = partitionColumns.zipWithIndex.map { case (s, i) =>
+          IceTransforms.parseFieldSpec(s, df.schema, i)
+        }
+        fields.filter(_.kind != TIdentity).foreach { f =>
+          require(!df.schema.fieldNames.contains(f.name),
+            s"create at $location: derived partition field '${f.name}' " +
+              s"collides with a data column; rename the column or the field")
+        }
+        require(fields.map(_.name).distinct.size == fields.size,
+          s"create at $location: duplicate partition field names in " +
+            partitionColumns.mkString(", "))
+        fields
     }
     // APPEND SCHEMA ENFORCEMENT: a shape-mismatched frame would fall off
     // the published-schema fast path and silently REPUBLISH the table
@@ -1645,8 +1726,7 @@ object IcebergTable {
       s".graft-stage-${java.util.UUID.randomUUID().toString}")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val idDf = withIdMetadata(df, IcebergMeta.publishedSchemaJson(prior, df.schema))
-    val w = idDf.write.mode(SaveMode.Append)
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(stage.toString)
+    writePartitionedStage(idDf, parts, stage)
     val added = moveStagedData(fs, stage, dataDir)
 
     // per-file stats from the freshly-written footers (metadata-only
@@ -1667,7 +1747,23 @@ object IcebergTable {
       extraProperties = txn
         .map { case (app, v) => Map(s"graft.txn.$app" -> v.toString) }
         .getOrElse(Map.empty),
-      createPartitionColumns = parts)
+      createPartitionFields = parts)
+  }
+
+  /** Stage-write `df` under the table's partition spec: identity
+    * fields partition by the source column itself; transform fields
+    * partition by a DERIVED bookkeeping column (computed per row as a
+    * codegen'd Catalyst column, stripped from the files by
+    * `partitionBy` — it exists only in the path and the manifest's
+    * partition tuple, never in the data, which keeps the source column
+    * in the files as the spec requires). */
+  private def writePartitionedStage(idDf: DataFrame,
+      fields: Seq[IcePartField], stage: Path): Unit = {
+    val withDerived = fields.filter(_.kind != TIdentity)
+      .foldLeft(idDf)((d, f) => d.withColumn(f.name, IceTransforms.column(f, d)))
+    val w = withDerived.write.mode(SaveMode.Append)
+    (if (fields.nonEmpty) w.partitionBy(fields.map(_.partitionByName): _*) else w)
+      .parquet(stage.toString)
   }
 
   /** Move every staged data file into `dataDir`, PRESERVING hive
@@ -1694,15 +1790,19 @@ object IcebergTable {
     * columns), augmented with the hive-path partition values as
     * min = max = value bounds (null partition → all-null column). */
   private def partitionedFooterStats(spark: SparkSession,
-      schema: StructType, parts: Seq[String],
+      schema: StructType, fields: Seq[IcePartField],
       paths: Seq[String]): Map[String, FileStats] = {
+    // identity sources are DROPPED from the data files (path-encoded);
+    // transform sources stay in the files and get real footer stats
+    val identityCols: Seq[String] =
+      fields.collect { case f if f.kind == TIdentity => f.sourceCol }
     val partFields: Seq[(String, DataType)] =
-      parts.map(n => n -> schema(n).dataType)
+      identityCols.map(n => n -> schema(n).dataType)
     val fileSchema =
-      if (parts.isEmpty) schema
-      else StructType(schema.filterNot(f => parts.contains(f.name)))
+      if (identityCols.isEmpty) schema
+      else StructType(schema.filterNot(f => identityCols.contains(f.name)))
     val base = ParquetFooterStats.collect(spark, paths, fileSchema)
-    if (parts.isEmpty) return base
+    if (identityCols.isEmpty) return base
     paths.map { p =>
       val fsStats = base.getOrElse(p, FileStats(None, Map.empty))
       val vals = hivePartitionValues(p, partFields)
@@ -1713,6 +1813,38 @@ object IcebergTable {
         })
       }.toMap
       p -> fsStats.copy(cols = fsStats.cols ++ partCols)
+    }.toMap
+  }
+
+  /** A data file's partition TUPLE (field name → stats-domain value)
+    * parsed back from its hive path segments — identity values by the
+    * source column's type, transform values by the transform's RESULT
+    * type. Lenient: a missing or unparseable segment yields no entry
+    * (pruning treats the file as unknown — sound). */
+  private def partitionTupleFromPath(path: String,
+      fields: Seq[IcePartField], schema: StructType): Map[String, Option[Any]] = {
+    if (fields.isEmpty) return Map.empty
+    val segs: Map[String, Option[String]] = path.split('/').flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) => Some(k -> unescapeHive(v))
+        case _ => None
+      }
+    }.toMap
+    fields.flatMap { f =>
+      val st = schema.fields.find(_.name == f.sourceCol).map(_.dataType)
+      segs.get(f.partitionByName).flatMap {
+        case None => Some(f.name -> (None: Option[Any])) // null partition
+        case Some(raw) => st match {
+          case Some(t) => f.kind match {
+            case TIdentity =>
+              try Some(f.name -> Some(castPartValue(raw, t)))
+              catch { case scala.util.control.NonFatal(_) => None }
+            case _ => IceTransforms.pathToDomain(f, t, raw)
+              .map(v => f.name -> Some(v))
+          }
+          case None => None
+        }
+      }
     }.toMap
   }
 
@@ -1823,8 +1955,9 @@ object IcebergTable {
     set.keys.foreach(k => require(tableCols.contains(k),
       s"update at $location: SET column '$k' is not a table column " +
         s"(have ${tableCols.mkString(", ")})"))
-    require(!set.keys.exists(prior.partitionColumns.contains),
-      s"update at $location: SET touches a partition column " +
+    require(!set.keys.exists(k =>
+        prior.partitionFields.exists(_.sourceCol == k)),
+      s"update at $location: SET touches a partition source column " +
         "(rewrites rows across partitions); use merge instead")
     if (prior.files.isEmpty) return prior.snapshotId
 
@@ -1874,16 +2007,13 @@ object IcebergTable {
     val stage = new Path(root,
       s".graft-stage-${java.util.UUID.randomUUID().toString}")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    val updW = withIdMetadata(updated,
-      IcebergMeta.publishedSchemaJson(Some(prior), prior.schema))
-      .write.mode(SaveMode.Append)
-    (if (prior.partitionColumns.nonEmpty)
-      updW.partitionBy(prior.partitionColumns: _*) else updW)
-      .parquet(stage.toString)
+    writePartitionedStage(withIdMetadata(updated,
+      IcebergMeta.publishedSchemaJson(Some(prior), prior.schema)),
+      prior.partitionFields, stage)
     val added = moveStagedData(fs, stage, dataDir)
 
     val statsByPath = partitionedFooterStats(spark, prior.schema,
-      prior.partitionColumns, added.map(_.getPath.toString))
+      prior.partitionFields, added.map(_.getPath.toString))
     publishSnapshot(spark, location, Some(prior), prior.schema, "overwrite",
       dataExisting = prior.files.map(f =>
         (f, prior.dataSeq.getOrElse(f.path, 0L))),
@@ -2039,12 +2169,9 @@ object IcebergTable {
     val stage = new Path(root,
       s".graft-stage-${java.util.UUID.randomUUID().toString}")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    val upsW = withIdMetadata(ups,
-      IcebergMeta.publishedSchemaJson(Some(prior), prior.schema))
-      .write.mode(SaveMode.Append)
-    (if (prior.partitionColumns.nonEmpty)
-      upsW.partitionBy(prior.partitionColumns: _*) else upsW)
-      .parquet(stage.toString)
+    writePartitionedStage(withIdMetadata(ups,
+      IcebergMeta.publishedSchemaJson(Some(prior), prior.schema)),
+      prior.partitionFields, stage)
     val added = moveStagedData(fs, stage, dataDir)
 
     // ---- equality-delete file over EVERY source key (upserts AND
@@ -2077,7 +2204,7 @@ object IcebergTable {
     fs.delete(delStage, true)
 
     val statsByPath = partitionedFooterStats(spark, prior.schema,
-      prior.partitionColumns, added.map(_.getPath.toString))
+      prior.partitionFields, added.map(_.getPath.toString))
     publishSnapshot(spark, location, Some(prior), prior.schema, "overwrite",
       dataExisting = prior.files.map(f =>
         (f, prior.dataSeq.getOrElse(f.path, 0L))),
@@ -2111,16 +2238,13 @@ object IcebergTable {
     val stage = new Path(root,
       s".graft-stage-${java.util.UUID.randomUUID().toString}")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    val survW = withIdMetadata(survivors,
-      IcebergMeta.publishedSchemaJson(Some(prior), prior.schema))
-      .write.mode(SaveMode.Append)
-    (if (prior.partitionColumns.nonEmpty)
-      survW.partitionBy(prior.partitionColumns: _*) else survW)
-      .parquet(stage.toString)
+    writePartitionedStage(withIdMetadata(survivors,
+      IcebergMeta.publishedSchemaJson(Some(prior), prior.schema)),
+      prior.partitionFields, stage)
     val added = moveStagedData(fs, stage, dataDir)
 
     val statsByPath = partitionedFooterStats(spark, prior.schema,
-      prior.partitionColumns, added.map(_.getPath.toString))
+      prior.partitionFields, added.map(_.getPath.toString))
     publishSnapshot(spark, location, Some(prior), prior.schema, "replace",
       dataExisting = Nil,
       dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L,
@@ -2200,7 +2324,7 @@ object IcebergTable {
     val kept = prior.files.filterNot(f =>
       packed.contains(DeltaTable.normPath(f.path)))
     val statsByPath = partitionedFooterStats(spark, prior.schema,
-      prior.partitionColumns, added.map(_.getPath.toString))
+      prior.partitionFields, added.map(_.getPath.toString))
     publishSnapshot(spark, location, Some(prior), prior.schema, "replace",
       dataExisting = kept.map(f =>
         (f, prior.dataSeq.getOrElse(f.path, 0L))),
@@ -2237,7 +2361,7 @@ object IcebergTable {
       s"z-order column '$c' is not a column of $location"))
     require(prior.deleteFiles.isEmpty,
       s"compactSort at $location: delete files are in force; run compact() first")
-    require(prior.partitionColumns.isEmpty,
+    require(prior.partitionFields.isEmpty,
       s"compactSort on partitioned $location is not supported; z-order " +
         "within partitions by running per-partition")
     if (prior.files.isEmpty) return prior.snapshotId
@@ -2485,17 +2609,27 @@ object IcebergTable {
       dataExisting: Seq[(DeltaFileMeta, Long)], dataAdded: Seq[DeltaFileMeta],
       deleteExisting: Seq[IceDeleteFile], deleteAdded: Seq[IceDeleteFile],
       extraProperties: Map[String, String] = Map.empty,
-      createPartitionColumns: Seq[String] = Nil): Long = {
+      createPartitionFields: Seq[IcePartField] = Nil): Long = {
     // the table's partition spec: fixed at create (prior wins; the
-    // explicit columns only seed the FIRST metadata version)
-    val parts: Seq[String] =
-      prior.map(_.partitionColumns).getOrElse(createPartitionColumns)
-    val partFields: Seq[(String, DataType)] = parts.map { n =>
-      n -> schema.fields.find(_.name == n).getOrElse(
+    // explicit fields only seed the FIRST metadata version)
+    val parts: Seq[IcePartField] =
+      prior.map(_.partitionFields).getOrElse(createPartitionFields)
+    // partition field name → its RESULT type (the manifest tuple's and
+    // path segment's type; identity = source type, bucket/time = int)
+    val partFields: Seq[(String, DataType)] = parts.map { f =>
+      val srcType = schema.fields.find(_.name == f.sourceCol).getOrElse(
         throw new IllegalArgumentException(
-          s"partition column '$n' of $location is not in the published " +
-            s"schema ${schema.simpleString}")).dataType
+          s"partition source column '${f.sourceCol}' of $location is not " +
+            s"in the published schema ${schema.simpleString}")).dataType
+      f.name -> IceTransforms.resultType(f, srcType)
     }
+    // partition tuples: prior entries keep their manifest-carried
+    // values; freshly added files parse theirs from the staged path
+    val priorTuples: Map[String, Map[String, Option[Any]]] =
+      prior.map(_.partitionValues).getOrElse(Map.empty)
+    def tupleOf(path: String): Map[String, Option[Any]] =
+      priorTuples.getOrElse(DeltaTable.normPath(path),
+        partitionTupleFromPath(path, parts, schema))
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = IcebergMeta.metadataDir(location)
@@ -2600,11 +2734,11 @@ object IcebergTable {
         dfr.put("equality_ids",
           java.util.Arrays.asList(equalityIds.map(Int.box): _*))
       }
-      // the spec's per-entry partition tuple (identity values parsed
-      // back from the file's hive path — the writer put them there)
+      // the spec's per-entry partition tuple: prior entries keep their
+      // manifest values; added files' values parse from the staged path
       Option(dfSchema.getField("partition")).foreach { pf =>
         val rec = new GenericData.Record(pf.schema())
-        val vals = hivePartitionValues(path, partFields)
+        val vals = tupleOf(path)
         partFields.foreach { case (n, dt) =>
           rec.put(n, vals.getOrElse(n, None)
             .map(avroPartValue(_, dt)).orNull)
@@ -2665,8 +2799,7 @@ object IcebergTable {
           case _ => 0
         }
         val recs = partFields.map { case (n, dt) =>
-          val vs = allPaths.map(p =>
-            hivePartitionValues(p, Seq(n -> dt)).getOrElse(n, None))
+          val vs = allPaths.map(p => tupleOf(p).getOrElse(n, None))
           val defined = vs.flatten
           val r = new GenericData.Record(itemSchema)
           r.put("contains_null", Boolean.box(vs.exists(_.isEmpty)))
@@ -2716,12 +2849,12 @@ object IcebergTable {
       "default-spec-id" -> JInt(0),
       "partition-specs" -> JArray(List(JObject(
         "spec-id" -> JInt(0),
-        "fields" -> JArray(parts.zipWithIndex.toList.map { case (n, i) =>
+        "fields" -> JArray(parts.toList.map { f =>
           JObject(
-            "name" -> JString(n),
-            "transform" -> JString("identity"),
-            "source-id" -> JInt(BigInt(topFieldIds.getOrElse(n, -1))),
-            "field-id" -> JInt(1000 + i)): JValue
+            "name" -> JString(f.name),
+            "transform" -> JString(f.transform),
+            "source-id" -> JInt(BigInt(topFieldIds.getOrElse(f.sourceCol, -1))),
+            "field-id" -> JInt(f.fieldId)): JValue
         })))),
       "current-snapshot-id" -> JLong(snapshotId),
       "snapshots" -> JArray(priorSnapshots :+ JObject(

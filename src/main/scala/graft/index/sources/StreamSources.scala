@@ -385,8 +385,27 @@ final class IcebergStreamProvider extends StreamSourceProvider
  * idempotence guarantee. First batch creates the table.
  */
 final class LakeStreamSink(spark: SparkSession, rootStr: String,
-    partitionColumns: Seq[String], options: Map[String, String],
+    partitionByColumns: Seq[String], options: Map[String, String],
     iceberg: Boolean) extends Sink {
+
+  // `partitionBy(...)` carries identity columns (the engine validates
+  // them against the schema before the sink sees them — transform
+  // specs can't pass through it); the `partitionSpec` OPTION carries
+  // the full Iceberg transform syntax ("bucket(16, id), days(ts)").
+  // Iceberg-only: Delta has no partition transforms.
+  private val partitionColumns: Seq[String] =
+    options.get("partitionSpec") match {
+      case Some(spec) =>
+        require(iceberg,
+          "partitionSpec (Iceberg partition transforms) is not supported " +
+            "by the graft-delta sink; use partitionBy for hive columns")
+        require(partitionByColumns.isEmpty,
+          "pass EITHER partitionBy(...) or the partitionSpec option, not both")
+        // split on commas OUTSIDE parentheses: "bucket(16, id), days(ts)"
+        // is two fields, the comma inside bucket(…) is an argument
+        spec.split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => partitionByColumns
+    }
 
   // an EXPLICIT txnAppId outranks the auto queryId (delta-spark's
   // precedence): a user pinning txnAppId keeps idempotence across a

@@ -808,6 +808,77 @@ object IndexAccel {
        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_nationkey < 20
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** HIDDEN-PARTITIONED Iceberg (months(o_orderdate) + bucket(8,
+    * o_custkey)): the fixture's layout is the DERIVED transform values
+    * — the spec's month ordinals and bucket hashes — while the source
+    * columns stay in the data files. The query filters on the SOURCE
+    * columns only (a date range that prunes months via the transform's
+    * monotonicity, plus custkey equalities that each open one bucket);
+    * a hash match proves the transform write/read round-trip loses and
+    * duplicates nothing across the pruning boundaries. Pruning itself
+    * (files actually skipped) is pinned in IcebergHiddenPartitionSpec.
+    * The oracle sees only orders parquet. */
+  def idxIcebergHiddenFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val loc = icebergHiddenFixture(spark, sfDir)
+    import graft.index.sources.IcebergTable
+    IcebergTable.read(spark, loc)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("month"))
+  }
+
+  val idxIcebergHiddenFilterSql: String =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       | CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Point lookups on the bucket(8, o_custkey) leg of the same fixture:
+    * each key's rows live in exactly one bucket directory, and min/max
+    * stats CANNOT prune a bucket layout (the hash scrambles ranges) —
+    * the partition-tuple translation is the only pruning evidence. */
+  def idxIcebergBucketPoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val loc = icebergHiddenFixture(spark, sfDir)
+    import graft.index.sources.IcebergTable
+    IcebergTable.read(spark, loc)
+      .filter(col("o_custkey").isin(7L, 13L, 37L, 43L))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val idxIcebergBucketPointSql: String =
+    s"""SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("o_totalprice")} AS sum_price
+       |FROM orders WHERE o_custkey IN (7, 13, 37, 43)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared fixture: orders as an Iceberg table hidden-partitioned by
+    * months(o_orderdate) and bucket(8, o_custkey), built in two writes
+    * so appended files conform to the fixed spec. */
+  private def icebergHiddenFixture(spark: SparkSession, sfDir: String): String = {
+    import graft.index.sources.{IcebergMeta, IcebergTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val loc = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_iceberg_hidden_$h"
+    synchronized {
+      if (!IcebergMeta.isIcebergTable(spark, loc)) {
+        val ord = Tables.load(spark, sfDir, "orders")
+        IcebergTable.create(ord.filter(col("o_orderkey") % 2 === 0), loc,
+          partitionColumns =
+            Seq("months(o_orderdate)", "bucket(8, o_custkey)"))
+        IcebergTable.append(ord.filter(col("o_orderkey") % 2 === 1), loc)
+      }
+    }
+    loc
+  }
+
   /** Iceberg v2 MERGE-ON-READ: the fixture table takes a positional
     * row-level DELETE (`deleteWhere`), so a matching aggregate proves
     * the delete manifest walk and the (file, position) anti-join
@@ -1155,6 +1226,8 @@ object IndexAccel {
     "stream_iceberg_source" -> (streamIcebergSource _, streamSourceAggSql),
     "idx_iceberg_filter" -> (idxIcebergFilter _, idxIcebergFilterSql),
     "idx_iceberg_part_filter" -> (idxIcebergPartFilter _, idxIcebergPartFilterSql),
+    "idx_iceberg_hidden_filter" -> (idxIcebergHiddenFilter _, idxIcebergHiddenFilterSql),
+    "idx_iceberg_bucket_point" -> (idxIcebergBucketPoint _, idxIcebergBucketPointSql),
     "idx_iceberg_v2_filter" -> (idxIcebergV2Filter _, idxIcebergV2FilterSql),
     "idx_iceberg_eq_filter" -> (idxIcebergEqFilter _, idxIcebergEqFilterSql),
     "idx_iceberg_stats_filter" -> (idxIcebergStatsFilter _, idxIcebergStatsFilterSql),

@@ -256,11 +256,11 @@ class IcebergPartitionedSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException] {
       IcebergTable.dropColumn(spark, loc, "c_mktsegment")
     }
-    assert(e1.getMessage.contains("partition column"))
+    assert(e1.getMessage.contains("partition source column"))
     val e2 = intercept[IllegalArgumentException] {
       IcebergTable.renameColumn(spark, loc, "c_mktsegment", "segment")
     }
-    assert(e2.getMessage.contains("partition column"))
+    assert(e2.getMessage.contains("partition source column"))
     // non-partition columns still evolve, and the table stays readable
     IcebergTable.renameColumn(spark, loc, "c_name", "customer_name")
     val got = IcebergTable.read(spark, loc)
