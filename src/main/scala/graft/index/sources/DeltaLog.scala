@@ -613,10 +613,13 @@ private[sources] case class CkptAdd(
 private[sources] case class CkptRemove(
     path: String, deletionTimestamp: Long, dataChange: Boolean)
 private[sources] case class CkptTxn(appId: String, version: Long)
+private[sources] case class CkptCheckpointMetadata(
+    version: Long, tags: Option[Map[String, String]] = None)
 private[sources] case class CkptRow(
     add: Option[CkptAdd], remove: Option[CkptRemove],
     metaData: Option[CkptMetaData], protocol: Option[CkptProtocol],
-    txn: Option[CkptTxn] = None)
+    txn: Option[CkptTxn] = None,
+    checkpointMetadata: Option[CkptCheckpointMetadata] = None)
 
 /**
  * Snapshot-pinned reads and minimal transactional writes of Delta tables
@@ -2605,21 +2608,22 @@ object DeltaTable {
 
   /** Write a single-part parquet checkpoint at the current version so
     * replay cost stays bounded as commits accumulate (+ the
-    * `_last_checkpoint` hint file real readers look for). */
+    * `_last_checkpoint` hint file real readers look for). Tables whose
+    * protocol demands V2 SPEC CHECKPOINTS (the `v2Checkpoint` writer
+    * feature, or `delta.checkpointPolicy = v2`) get the v2 format: a
+    * uuid-named manifest (`<v>.checkpoint.<uuid>.parquet`) carrying the
+    * mandatory `checkpointMetadata` action with the file actions
+    * INLINE — the spec's sidecar-less shape, legal and what a
+    * single-manifest writer should emit (no sidecar fan-out needed at
+    * this writer's file counts; readers that replay sidecars replay
+    * inline adds identically). */
   def checkpoint(spark: SparkSession, rootStr: String): Long = {
     import spark.implicits._
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val s = DeltaLog.snapshot(spark, rootStr)
-    if (s.writerFeatures.contains("v2Checkpoint")) {
-      // the feature forbids classic-format checkpoints; data commits on
-      // such tables are fine, but this writer cannot produce v2 spec
-      // checkpoint manifests — refuse rather than violate the contract
-      throw new UnsupportedDeltaProtocolException(
-        s"Delta table at $rootStr carries the v2Checkpoint writer " +
-          "feature; this writer produces classic checkpoints only. " +
-          "Checkpoint with the delta-spark connector instead.")
-    }
+    val v2 = s.writerFeatures.contains("v2Checkpoint") ||
+      s.configuration.get("delta.checkpointPolicy").contains("v2")
     val rootUri = fs.makeQualified(root).toUri
     // the checkpoint must restate the table's REAL protocol and
     // configuration — writing minimal constants here would downgrade the
@@ -2636,7 +2640,13 @@ object DeltaTable {
           case _ => None
         }
       }.toMap
-    val rows =
+    val v2Meta: Seq[CkptRow] =
+      if (!v2) Nil
+      // the spec's mandatory CheckpointMetadata action — v2 readers
+      // key on it to recognize the manifest
+      else Seq(CkptRow(None, None, None, None, None,
+        Some(CkptCheckpointMetadata(s.version))))
+    val rows = v2Meta ++ (
       CkptRow(None, None, None, Some(proto)) +:
       CkptRow(None, None, Some(CkptMetaData(
         java.util.UUID.randomUUID().toString, CkptFormat("parquet", Map()),
@@ -2655,14 +2665,16 @@ object DeltaTable {
           d.offset, d.sizeInBytes, d.cardinality))
         CkptRow(Some(CkptAdd(rel, partitionValuesOf(rel), f.size,
           f.modificationTime, dataChange = false, dv, f.stats)), None, None, None)
-      })
+      }))
     val tmp = new Path(DeltaLog.logDir(root), s".ckpt-tmp-${s.version}")
     rows.toDS().repartition(1).write.mode("overwrite").parquet(tmp.toString)
     val part = fs.listStatus(tmp).map(_.getPath)
       .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
     val target = new Path(DeltaLog.logDir(root),
-      f"${s.version}%020d.checkpoint.parquet")
+      if (v2)
+        f"${s.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
+      else f"${s.version}%020d.checkpoint.parquet")
     if (fs.exists(target)) fs.delete(target, false)
     fs.rename(part, target)
     fs.delete(tmp, true)

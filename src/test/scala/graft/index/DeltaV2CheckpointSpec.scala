@@ -177,8 +177,8 @@ class DeltaV2CheckpointSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root).count() == customer.count())
   }
 
-  test("classic checkpoint writer refuses v2Checkpoint-feature tables") {
-    val root = Files.createTempDirectory("graft-v2ck-refuse-").toString
+  test("checkpoint writer emits the V2 FORMAT on v2Checkpoint-feature tables") {
+    val root = Files.createTempDirectory("graft-v2ck-write-").toString
     DeltaTable.create(customer.limit(10), root)
     // upgrade the protocol to demand v2 checkpoints
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -188,13 +188,45 @@ class DeltaV2CheckpointSpec extends AnyFunSuite {
         """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""" + "\n")
         .getBytes("UTF-8"))
     finally out.close()
-    val e = intercept[UnsupportedDeltaProtocolException] {
-      DeltaTable.checkpoint(spark, root)
-    }
-    assert(e.getMessage.contains("v2Checkpoint"))
-    // reads and data commits remain fine
-    assert(DeltaTable.read(spark, root).count() == 10)
     DeltaTable.append(customer.limit(5), root)
+    DeltaTable.checkpoint(spark, root)
+
+    // a uuid-named v2 manifest landed (NOT the classic name), carrying
+    // the spec's mandatory checkpointMetadata action at the version
+    val logDir = new Path(root, "_delta_log")
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    val v2Re = """^(\d{20})\.checkpoint\.[0-9a-f-]{36}\.parquet$""".r
+    val v2Name = names.collectFirst { case n @ v2Re(_) => n }
+    assert(v2Name.isDefined, s"no uuid v2 checkpoint among ${names.mkString(", ")}")
+    assert(!names.exists(_.matches("""^\d{20}\.checkpoint\.parquet$""")))
+    val ckf = spark.read.parquet(new Path(logDir, v2Name.get).toString)
+    assert(ckf.schema.fieldNames.contains("checkpointMetadata"))
+    val ckMetaVersions = ckf
+      .where("checkpointMetadata is not null")
+      .selectExpr("checkpointMetadata.version").collect().map(_.getLong(0))
+    assert(ckMetaVersions.toSeq == Seq(2L))
+
+    // the checkpoint reconstructs the snapshot: drop the commits BELOW
+    // it (what metadata cleanup deletes — replay starts after the
+    // checkpoint version, so only the latest commit must survive as the
+    // version anchor) and replay still serves every row
+    (0L to 1L).foreach { v =>
+      fs.delete(new Path(logDir, f"$v%020d.json"), false)
+    }
     assert(DeltaTable.read(spark, root).count() == 15)
+    // and commits layered on top keep working
+    DeltaTable.append(customer.limit(3), root)
+    assert(DeltaTable.read(spark, root).count() == 18)
+  }
+
+  test("delta.checkpointPolicy=v2 property also selects the v2 format") {
+    val root = Files.createTempDirectory("graft-v2ck-policy-").toString
+    DeltaTable.create(customer.limit(8), root,
+      configuration = Map("delta.checkpointPolicy" -> "v2"))
+    DeltaTable.checkpoint(spark, root)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(new Path(root, "_delta_log")).map(_.getPath.getName)
+    assert(names.exists(_.matches("""^\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet$""")))
+    assert(DeltaTable.read(spark, root).count() == 8)
   }
 }
