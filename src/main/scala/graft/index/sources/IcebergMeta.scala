@@ -1761,7 +1761,16 @@ object IcebergTable {
       fields: Seq[IcePartField], stage: Path): Unit = {
     val withDerived = fields.filter(_.kind != TIdentity)
       .foldLeft(idDf)((d, f) => d.withColumn(f.name, IceTransforms.column(f, d)))
-    val w = withDerived.write.mode(SaveMode.Append)
+    // HASH-DISTRIBUTE on the partition values before the write (real
+    // Iceberg's write.distribution-mode=hash, its default): every
+    // partition combo lands in exactly one task, so a write emits ONE
+    // file per partition instead of tasks x partitions tiny files — the
+    // difference between a scan listing 10^3 and 10^6 files at scale.
+    val clustered =
+      if (fields.isEmpty) withDerived
+      else withDerived.repartition(
+        fields.map(f => withDerived.col(f.partitionByName)): _*)
+    val w = clustered.write.mode(SaveMode.Append)
     (if (fields.nonEmpty) w.partitionBy(fields.map(_.partitionByName): _*) else w)
       .parquet(stage.toString)
   }

@@ -861,8 +861,11 @@ object IndexAccel {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared fixture: orders as an Iceberg table hidden-partitioned by
-    * months(o_orderdate) and bucket(8, o_custkey), built in two writes
-    * so appended files conform to the fixed spec. */
+    * years(o_orderdate) and bucket(4, o_custkey), built in two writes
+    * so appended files conform to the fixed spec. Year-not-month
+    * granularity keeps the partition count proportionate to the data
+    * (the sizing judgment a real table needs too — transform choice IS
+    * the small-files knob under hash-distributed writes). */
   private def icebergHiddenFixture(spark: SparkSession, sfDir: String): String = {
     import graft.index.sources.{IcebergMeta, IcebergTable}
     val h = Integer.toHexString(sfDir.hashCode)
@@ -872,7 +875,7 @@ object IndexAccel {
         val ord = Tables.load(spark, sfDir, "orders")
         IcebergTable.create(ord.filter(col("o_orderkey") % 2 === 0), loc,
           partitionColumns =
-            Seq("months(o_orderdate)", "bucket(8, o_custkey)"))
+            Seq("years(o_orderdate)", "bucket(4, o_custkey)"))
         IcebergTable.append(ord.filter(col("o_orderkey") % 2 === 1), loc)
       }
     }
