@@ -783,7 +783,11 @@ object DeltaTable {
       df: DataFrame, partitionBy: Seq[String]): (Seq[JValue], Seq[Path]) = {
     val stage = new Path(root,
       s".graft-cdc-stage-${java.util.UUID.randomUUID().toString}")
-    val w = df.write.mode(SaveMode.Append)
+    // same hash distribution as the data write (see stageNewFiles)
+    val clustered =
+      if (partitionBy.isEmpty) df
+      else df.repartition(partitionBy.map(df.col): _*)
+    val w = clustered.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(stage.toString)
     var staged = dataFiles(fs, stage)
@@ -1274,7 +1278,13 @@ object DeltaTable {
       physRows: DataFrame, physParts: Seq[String]): Seq[FileStatus] = {
     val stage = new Path(root,
       s".graft-stage-${java.util.UUID.randomUUID().toString}")
-    val writer = physRows.write.mode(SaveMode.Append)
+    // hash-distribute on the partition values first (delta-spark's
+    // optimizedWrites): one file per partition per write, not
+    // tasks x partitions tiny files
+    val clustered =
+      if (physParts.isEmpty) physRows
+      else physRows.repartition(physParts.map(physRows.col): _*)
+    val writer = clustered.write.mode(SaveMode.Append)
     (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
       .parquet(stage.toString)
     val stageUri = fs.makeQualified(stage).toUri
