@@ -625,11 +625,36 @@ private[sources] case class CkptRow(
  * Snapshot-pinned reads and minimal transactional writes of Delta tables
  * (jarless — see [[DeltaLog]]).
  */
-object DeltaTable {
+object DeltaTable extends org.apache.spark.internal.Logging {
 
   /** Options stamped on reads so [[DeltaLakeSource]] recognizes the leaf
     * as a Delta scan and fingerprints it by table version. */
   val RootOption = "graft.delta.root"
+
+  /** Finish a fenced commit: write the body, close the fence, then fire
+    * the AUTO-CHECKPOINT cadence — every `delta.checkpointInterval`
+    * commits (default 10, `<= 0` disables; delta-spark's own default),
+    * so replay cost stays bounded on long-lived tables without anyone
+    * calling [[checkpoint]] by hand. Best-effort: a checkpoint failure
+    * never fails the already-published commit — the next cadence hit
+    * (or a manual call) retries. */
+  private def finishCommit(spark: SparkSession, rootStr: String,
+      out: java.io.OutputStream, lines: Seq[JValue], version: Long,
+      conf: Map[String, String]): Long = {
+    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val interval = conf.get("delta.checkpointInterval")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(10)
+    if (interval > 0 && version > 0 && version % interval == 0) {
+      try checkpoint(spark, rootStr)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"auto-checkpoint at $rootStr v$version failed: $e")
+      }
+    }
+    version
+  }
   val VersionOption = "graft.delta.version"
 
   /** Read the table at its latest version — or a historic one via
@@ -1143,10 +1168,8 @@ object DeltaTable {
         cdcPaths.foreach(fs.delete(_, false))
         throw e
     }
-    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    version
+    finishCommit(spark, rootStr, out, lines.toSeq, version,
+      prior.configuration)
   }
 
   /** Protocol-upgrade action for a commit that introduces deletion
@@ -1463,10 +1486,8 @@ object DeltaTable {
         cdcPaths.foreach(fs.delete(_, false))
         throw e
     }
-    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    version
+    finishCommit(spark, rootStr, out, lines.toSeq, version,
+      prior.configuration)
   }
 
   /**
@@ -1674,10 +1695,8 @@ object DeltaTable {
         cdcPaths.foreach(fs.delete(_, false))
         throw e
     }
-    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    version
+    finishCommit(spark, rootStr, out, lines.toSeq, version,
+      prior.configuration)
   }
 
   /** OPTIMIZE — the small-file medicine a 100 TB table needs after
@@ -1838,10 +1857,8 @@ object DeltaTable {
         added.foreach(s => fs.delete(s.getPath, false))
         throw e
     }
-    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    version
+    finishCommit(spark, rootStr, out, lines.toSeq, version,
+      prior.configuration)
   }
 
   /** RESTORE the table to a historic version — the undo operation: a
@@ -1958,10 +1975,8 @@ object DeltaTable {
         cdcPaths.foreach(fs.delete(_, false))
         throw e
     }
-    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    newVersion
+    finishCommit(spark, rootStr, out, lines.toSeq, newVersion,
+      current.configuration)
   }
 
   /** Enable COLUMN MAPPING (mode `name`) on an existing table — a
@@ -2073,10 +2088,8 @@ object DeltaTable {
       "createdTime" -> JLong(System.currentTimeMillis())))
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
     val out = CommitFence.create(fs, commitPath)
-    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    version
+    finishCommit(spark, rootStr, out, lines.toSeq, version,
+      cfg)
   }
 
   /** Writer features this writer can honor. `appendOnly` is honored by
@@ -2429,10 +2442,8 @@ object DeltaTable {
         cdcPaths.foreach(fs.delete(_, false))
         throw e
     }
-    try out.write(lines.map(JsonMethods.compact).mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    version
+    finishCommit(spark, rootStr, out, lines.toSeq, version,
+      prior.map(_.configuration).getOrElse(createConfiguration))
   }
 
   /** The `commitInfo` action every real Delta writer leads its commit
@@ -2693,7 +2704,57 @@ object DeltaTable {
       s"""{"version":${s.version},"size":${rows.size}}"""
         .getBytes(StandardCharsets.UTF_8))
     finally hint.close()
+    cleanupExpiredLogs(fs, root, s.version, s.configuration)
     s.version
+  }
+
+  /** Parse Delta's duration-property dialect (`interval 30 days`,
+    * `interval 12 hours`, …; bare numbers are millis). None = unknown
+    * form — caller falls back to the default. */
+  private[sources] def parseDuration(v: String): Option[Long] = {
+    val IntervalRe = """(?i)^\s*(?:interval\s+)?(\d+)\s*(day|days|hour|hours|minute|minutes|second|seconds|week|weeks)\s*$""".r
+    v.trim match {
+      case IntervalRe(n, unit) =>
+        val ms = unit.toLowerCase.stripSuffix("s") match {
+          case "week" => 7L * 24 * 3600 * 1000
+          case "day" => 24L * 3600 * 1000
+          case "hour" => 3600L * 1000
+          case "minute" => 60L * 1000
+          case "second" => 1000L
+        }
+        Some(n.toLong * ms)
+      case n if n.nonEmpty && n.forall(_.isDigit) => Some(n.toLong)
+      case _ => None
+    }
+  }
+
+  /** METADATA CLEANUP at checkpoint time (what delta-spark does when
+    * `delta.enableExpiredLogCleanup` is on — its default): delete
+    * commit JSONs and older checkpoints STRICTLY BELOW the fresh
+    * checkpoint once they age past `delta.logRetentionDuration`
+    * (default 30 days). Replay never needs them again — the checkpoint
+    * covers their state — and on a 100 TB table the log would otherwise
+    * grow by one file per commit forever. Time travel reaches back only
+    * as far as retention, the same contract real Delta documents. */
+  private def cleanupExpiredLogs(fs: FileSystem, root: Path,
+      ckptVersion: Long, conf: Map[String, String]): Unit = {
+    if (conf.get("delta.enableExpiredLogCleanup").exists(_.trim.equalsIgnoreCase("false")))
+      return
+    val retentionMs = conf.get("delta.logRetentionDuration")
+      .flatMap(parseDuration).getOrElse(30L * 24 * 3600 * 1000)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val dir = DeltaLog.logDir(root)
+    val CommitRe = """^(\d{20})\.json$""".r
+    val CkptRe = """^(\d{20})\.checkpoint(?:\.|$).*""".r
+    fs.listStatus(dir).foreach { st =>
+      val doomed = st.getPath.getName match {
+        case CommitRe(v) => v.toLong < ckptVersion
+        case CkptRe(v) => v.toLong < ckptVersion
+        case _ => false
+      }
+      if (doomed && st.getModificationTime < cutoff)
+        fs.delete(st.getPath, false)
+    }
   }
 
   private[sources] def dataFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {

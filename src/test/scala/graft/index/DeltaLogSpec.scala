@@ -141,6 +141,59 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root).count() == customer.count())
   }
 
+  test("auto-checkpoint: the delta.checkpointInterval cadence fires on commits") {
+    val fsp = (root: String) => DeltaLog.logDir(new org.apache.hadoop.fs.Path(root))
+    def ckpts(root: String): Seq[String] = {
+      val d = fsp(root)
+      val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(d).map(_.getPath.getName).filter(_.contains(".checkpoint."))
+        .toSeq.sorted
+    }
+    // explicit interval 3: versions 3 and 6 checkpoint, nothing else
+    val a = tmp("graft-delta-autock-")
+    DeltaTable.create(customer.limit(10), a,
+      configuration = Map("delta.checkpointInterval" -> "3"))
+    (1 to 6).foreach(_ => DeltaTable.append(customer.limit(2), a))
+    assert(ckpts(a) == Seq(
+      f"${3L}%020d.checkpoint.parquet", f"${6L}%020d.checkpoint.parquet"))
+    assert(DeltaTable.read(spark, a).count() == 22)
+    // disabled: no checkpoints however many commits land
+    val b = tmp("graft-delta-autock-off-")
+    DeltaTable.create(customer.limit(5), b,
+      configuration = Map("delta.checkpointInterval" -> "-1"))
+    (1 to 4).foreach(_ => DeltaTable.append(customer.limit(1), b))
+    assert(ckpts(b).isEmpty)
+  }
+
+  test("checkpoint-time metadata cleanup honors delta.logRetentionDuration") {
+    def logNames(root: String): Seq[String] = {
+      val d = DeltaLog.logDir(new org.apache.hadoop.fs.Path(root))
+      val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(d).map(_.getPath.getName).toSeq.sorted
+    }
+    // zero retention: pre-checkpoint commits vanish at checkpoint time
+    val a = tmp("graft-delta-logclean-")
+    DeltaTable.create(customer.limit(10), a,
+      configuration = Map("delta.logRetentionDuration" -> "interval 0 seconds"))
+    DeltaTable.append(customer.limit(2), a)
+    DeltaTable.append(customer.limit(2), a)
+    DeltaTable.checkpoint(spark, a)
+    val after = logNames(a)
+    assert(!after.exists(_.matches("""^0{19}0\.json$""")))
+    assert(!after.exists(_.matches("""^0{19}1\.json$""")))
+    assert(after.contains(f"${2L}%020d.json")) // the anchor survives
+    assert(DeltaTable.read(spark, a).count() == 14)
+    // cleanup off: everything stays
+    val b = tmp("graft-delta-logclean-off-")
+    DeltaTable.create(customer.limit(5), b,
+      configuration = Map(
+        "delta.logRetentionDuration" -> "interval 0 seconds",
+        "delta.enableExpiredLogCleanup" -> "false"))
+    DeltaTable.append(customer.limit(1), b)
+    DeltaTable.checkpoint(spark, b)
+    assert(logNames(b).count(_.endsWith(".json")) == 2)
+  }
+
   test("time travel: versionAsOf replays to the historic snapshot") {
     val root = tmp("graft-delta-tt-")
     val v0data = customer.filter(col("c_custkey") <= 30)
