@@ -1729,9 +1729,9 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         .map(DeltaColumnMapping.physicalName).getOrElse(n)
     }
     if (zorderBy.nonEmpty) {
-      require(prior.partitionColumns.isEmpty,
-        s"OPTIMIZE ZORDER BY on hive-partitioned $rootStr is not " +
-          "supported; z-order within partitions by running per-partition")
+      require(!zorderBy.exists(prior.partitionColumns.contains),
+        s"OPTIMIZE ZORDER BY at $rootStr: z-ordering by a partition " +
+          "column is a no-op (it is constant within each file); drop it")
       zorderBy.foreach(c => require(prior.schema.fieldNames.contains(c),
         s"z-order column '$c' is not a column of $rootStr"))
     }
@@ -1798,11 +1798,18 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         val zUdf = udf(new graft.index.zorder.ZAddressFn(boundaries, bits))
         val nFiles = math.max(1L,
           (group.map(_.size).sum + targetSizeBytes - 1) / targetSizeBytes).toInt
-        df.withColumn("_graft_zaddr", zUdf(array(asDouble: _*)))
-          .repartitionByRange(nFiles, col("_graft_zaddr"))
-          .sortWithinPartitions("_graft_zaddr")
+        // partitioned tables z-order WITHIN partitions: range-cluster on
+        // (partition values, z-address) in one pass — partitionBy splits
+        // any straddling range boundary into per-partition files
+        val withZ = df.withColumn("_graft_zaddr", zUdf(array(asDouble: _*)))
+        val keys = physPartCols.map(withZ.col) :+ col("_graft_zaddr")
+        val zw = withZ
+          .repartitionByRange(nFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
           .drop("_graft_zaddr")
-          .write.parquet(groupStage.toString)
+          .write
+        (if (physPartCols.nonEmpty) zw.partitionBy(physPartCols: _*) else zw)
+          .parquet(groupStage.toString)
       }
     }
     val staged = dataFiles(fs, stage)

@@ -9,7 +9,7 @@ import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -2370,9 +2370,11 @@ object IcebergTable {
       s"z-order column '$c' is not a column of $location"))
     require(prior.deleteFiles.isEmpty,
       s"compactSort at $location: delete files are in force; run compact() first")
-    require(prior.partitionFields.isEmpty,
-      s"compactSort on partitioned $location is not supported; z-order " +
-        "within partitions by running per-partition")
+    require(!prior.partitionFields.exists(f =>
+        zorderBy.contains(f.partitionByName) ||
+          (f.kind == TIdentity && zorderBy.contains(f.sourceCol))),
+      s"compactSort at $location: z-ordering by a partition column is a " +
+        "no-op (it is constant within each file); drop it from zorderBy")
     if (prior.files.isEmpty) return prior.snapshotId
 
     val df = spark.read.schema(prior.schema)
@@ -2391,16 +2393,32 @@ object IcebergTable {
     val stage = new Path(root,
       s".graft-zsort-${java.util.UUID.randomUUID().toString}")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    val clustered = df.withColumn("_graft_zaddr", zUdf(array(asDouble: _*)))
-      .repartitionByRange(nFiles, col("_graft_zaddr"))
-      .sortWithinPartitions("_graft_zaddr")
+    // Z-ORDER WITHIN PARTITIONS on a partitioned table: range-cluster
+    // on (partition values, z-address) in ONE distributed pass — rows
+    // stay in their hive/hidden partition (partitionBy splits any
+    // range boundary that straddles two partitions into separate
+    // files) and are z-clustered inside it, the same rewrite
+    // rewriteDataFiles(zorder) performs per partition.
+    val parts = prior.partitionFields
+    val withZ = df.withColumn("_graft_zaddr", zUdf(array(asDouble: _*)))
+    val withDerived = parts.filter(_.kind != TIdentity)
+      .foldLeft(withZ)((d, f) => d.withColumn(f.name, IceTransforms.column(f, d)))
+    val clusterKeys: Seq[Column] =
+      parts.map(f => withDerived.col(f.partitionByName)) :+ col("_graft_zaddr")
+    val clustered = withDerived
+      .repartitionByRange(nFiles, clusterKeys: _*)
+      .sortWithinPartitions(clusterKeys: _*)
       .drop("_graft_zaddr")
-    withIdMetadata(clustered, JsonMethods.parse(prior.schemaJsonStr))
-      .write.parquet(stage.toString)
+    val w = withIdMetadata(clustered, JsonMethods.parse(prior.schemaJsonStr)).write
+    (if (parts.nonEmpty) w.partitionBy(parts.map(_.partitionByName): _*) else w)
+      .parquet(stage.toString)
     val added = moveStagedData(fs, stage, dataDir)
 
-    val statsByPath = ParquetFooterStats.collect(
-      spark, added.map(_.getPath.toString), prior.schema)
+    val statsByPath =
+      if (parts.isEmpty) ParquetFooterStats.collect(
+        spark, added.map(_.getPath.toString), prior.schema)
+      else partitionedFooterStats(spark, prior.schema, parts,
+        added.map(_.getPath.toString))
     publishSnapshot(spark, location, Some(prior), prior.schema, "replace",
       dataExisting = Nil,
       dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L,

@@ -139,6 +139,64 @@ class DeltaOptimizeSpec extends AnyFunSuite {
     }
   }
 
+  test("iceberg compactSort z-orders WITHIN partitions; layout and tuples survive") {
+    import graft.index.sources.{IcebergMeta, IcebergTable}
+    val loc = Files.createTempDirectory("graft-iopt-zpart-").toString
+    // partitioned + shuffled: several wide-span files per partition
+    IcebergTable.create(orders.repartition(6), loc,
+      partitionColumns = Seq("o_orderstatus"))
+    (1 to 2).foreach(_ => IcebergTable.append(orders.limit(500), loc))
+    val before = IcebergTable.read(spark, loc)
+      .agg(sum(col("o_orderkey"))).head().getLong(0)
+
+    // z-ordering BY the partition column is refused (constant per file)
+    intercept[IllegalArgumentException] {
+      IcebergTable.compactSort(spark, loc, Seq("o_orderstatus"))
+    }
+    IcebergTable.compactSort(spark, loc, Seq("o_orderkey", "o_totalprice"),
+      targetSizeBytes = 64L << 10)
+
+    val s = IcebergMeta.snapshot(spark, loc)
+    assert(s.partitionFields.map(_.transform) == Seq("identity"))
+    assert(s.deleteFiles.isEmpty)
+    // every rewritten file still lives under its partition directory
+    assert(s.files.nonEmpty &&
+      s.files.forall(_.path.contains("o_orderstatus=")))
+    // content identical
+    assert(IcebergTable.read(spark, loc)
+      .agg(sum(col("o_orderkey"))).head().getLong(0) == before)
+    // partition pruning still prunes after the rewrite
+    val statuses = orders.select("o_orderstatus").distinct
+      .collect().map(_.getString(0))
+    statuses.foreach { st =>
+      val expected = orders.filter(col("o_orderstatus") === st).count() +
+        2 * orders.limit(500).filter(col("o_orderstatus") === st).count()
+      assert(IcebergTable.read(spark, loc)
+        .filter(col("o_orderstatus") === st).count() == expected)
+    }
+    // z-clustering tightened o_orderkey spans within each partition:
+    // each partition's files are near-disjoint in key ranges
+    val spansByPart = s.files.groupBy(f =>
+      f.path.split('/').find(_.startsWith("o_orderstatus=")).get)
+      .view.mapValues(_.flatMap(_.stats)
+        .flatMap(graft.index.sources.DeltaStats.parse(_, s.schema))
+        .flatMap(fsx => for {
+          c <- fsx.cols.get("o_orderkey")
+          lo <- c.min.collect { case n: Long => n }
+          hi <- c.max.collect { case n: Long => n }
+        } yield (lo, hi)))
+    spansByPart.filter(_._2.size > 1).foreach { case (_, spans) =>
+      val sorted = spans.sortBy(_._1)
+      val overlaps = sorted.zip(sorted.tail).count {
+        case ((_, hi1), (lo2, _)) => lo2 < hi1
+      }
+      // z-order on 2 cols is not a total key sort; require MOSTLY
+      // disjoint (shuffled layout would overlap everywhere)
+      assert(overlaps <= sorted.size / 2,
+        s"expected near-disjoint spans, got $sorted")
+    }
+  }
+
   test("iceberg compactSmall: bins collapse, deletes-in-force refuse") {
     import graft.index.sources.{IcebergMeta, IcebergTable, LakeTable}
     val loc = Files.createTempDirectory("graft-iopt-").toString
@@ -166,14 +224,27 @@ class DeltaOptimizeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("compact() first"))
   }
 
-  test("zorder on a partitioned table refuses; DV files are left to purge") {
-    val root = Files.createTempDirectory("graft-opt-refuse-").toString
+  test("zorder on a partitioned table clusters WITHIN partitions; DV files are left to purge") {
+    val root = Files.createTempDirectory("graft-opt-zpart-").toString
     DeltaTable.create(
-      orders.withColumn("bucket", col("o_orderkey") % 2),
+      orders.repartition(4).withColumn("bucket", col("o_orderkey") % 2),
       root, partitionBy = Seq("bucket"))
+    // z-ordering BY the partition column itself is refused
     intercept[IllegalArgumentException] {
-      DeltaTable.optimizeCompact(spark, root, zorderBy = Seq("o_orderkey"))
+      DeltaTable.optimizeCompact(spark, root, zorderBy = Seq("bucket"))
     }
+    val before = DeltaTable.read(spark, root)
+      .agg(sum(col("o_totalprice"))).head().getDouble(0)
+    DeltaTable.optimizeCompact(spark, root,
+      zorderBy = Seq("o_orderkey"), targetSizeBytes = 64L << 10)
+    val s = DeltaLog.snapshot(spark, root)
+    // rewritten files still live under their partition directories
+    assert(s.files.nonEmpty && s.files.forall(_.path.contains("bucket=")))
+    assert(math.abs(DeltaTable.read(spark, root)
+      .agg(sum(col("o_totalprice"))).head().getDouble(0) - before) < 1e-6)
+    // partition values reconstruct on read
+    assert(DeltaTable.read(spark, root).filter(col("bucket") === 0).count() ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
 
     val root2 = Files.createTempDirectory("graft-opt-dv-").toString
     DeltaTable.create(orders.repartition(4), root2)
