@@ -190,6 +190,16 @@ class LakeTable:
         for Iceberg), stamped with _change_type/_commit_timestamp."""
         return self._df(self._jt.changes(self._jspark, path, from_id))
 
+    def detail(self, path):
+        """One-row DESCRIBE DETAIL: format, current id, file/byte
+        counts, partition spec, properties, protocol."""
+        return self._df(self._jt.detail(self._jspark, path))
+
+    def inspect(self, path, table):
+        """Metadata tables: ``files``, ``delete_files``,
+        ``partitions`` — driver-side metadata, never a data scan."""
+        return self._df(self._jt.inspect(self._jspark, path, table))
+
     def delete_where(self, path, condition_sql):
         """Row-level merge-on-read delete; condition is a SQL expression."""
         jcond = self._jvm.org.apache.spark.sql.functions.expr(condition_sql)

@@ -141,4 +141,14 @@ removed = t.cleanup(droot, 0)
 assert len(removed) > 0, "cleanup reclaimed nothing"
 assert t.read(droot).count() == n_final
 
+# --- inspection surface (jdf access: this session has no local _sc)
+jdrow = t.detail(droot)._jdf.head()
+assert jdrow.getString(jdrow.fieldIndex("format")) == "delta"
+num_files = jdrow.getLong(jdrow.fieldIndex("num_files"))
+assert num_files > 0
+assert t.inspect(droot, "files").count() == num_files
+t.inspect(droot, "partitions")._jdf.createOrReplaceTempView("py_lake_parts")
+jprow = jspark.sql("select sum(file_count) from py_lake_parts").head()
+assert int(str(jprow.get(0))) == num_files
+
 print("WRAPPER_OK %d" % n_indexes)

@@ -121,6 +121,23 @@ object LakeTable {
       case _ => IcebergTable.history(spark, path)
     }
 
+  /** One-row `DESCRIBE DETAIL`: format, current id, file/byte counts,
+    * partition spec, properties, protocol ([[LakeInspect.detail]]). */
+  def detail(spark: SparkSession, path: String): DataFrame =
+    LakeInspect.detail(spark, path)
+
+  /** Metadata tables — `"files"`, `"delete_files"`, `"partitions"`
+    * ([[LakeInspect]]): driver-side metadata already held by snapshot
+    * replay, O(files) rows at most, never a data scan. */
+  def inspect(spark: SparkSession, path: String, table: String): DataFrame =
+    table match {
+      case "files" => LakeInspect.files(spark, path)
+      case "delete_files" => LakeInspect.deleteFiles(spark, path)
+      case "partitions" => LakeInspect.partitions(spark, path)
+      case other => throw new IllegalArgumentException(
+        s"unknown inspection table '$other' (files, delete_files, partitions)")
+    }
+
   /** INCREMENTAL CHANGES after `fromId` (exclusive): Delta routes to the
     * change data feed (all change types when CDF is enabled), Iceberg to
     * the CHANGELOG scan (appends, merge upserts, positional- and
