@@ -242,12 +242,20 @@ class LakeTable:
         removed = self._jt.cleanup(self._jspark, path, retention_ms)
         return [removed.apply(i) for i in range(removed.size())]
 
-    def optimize(self, path, target_size_bytes=128 << 20, zorder_by=None):
+    def optimize(self, path, target_size_bytes=128 << 20, zorder_by=None,
+                 where_sql=None):
         """Bin-pack small data files (Delta OPTIMIZE / Iceberg binpack),
         or — with ``zorder_by`` — rewrite clustered by the interleaved
-        z-address of those columns so multi-column scans prune files."""
+        z-address of those columns so multi-column scans prune files.
+        ``where_sql`` scopes the rewrite to matching partitions
+        (OPTIMIZE ... WHERE)."""
         jz = self._jvm.PythonUtils.toSeq(list(zorder_by or []))
-        return self._jt.optimize(self._jspark, path, target_size_bytes, jz)
+        if where_sql is None:
+            jw = getattr(self._jvm.scala.Option, "empty")()
+        else:
+            jw = self._jvm.scala.Option.apply(
+                self._jvm.org.apache.spark.sql.functions.expr(where_sql))
+        return self._jt.optimize(self._jspark, path, target_size_bytes, jz, jw)
 
     def undo_to(self, path, id):
         """Restore a Delta version / roll back to an Iceberg snapshot."""

@@ -1715,7 +1715,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     * one when nothing qualified). */
   def optimizeCompact(spark: SparkSession, rootStr: String,
       targetSizeBytes: Long = 128L << 20,
-      zorderBy: Seq[String] = Nil): Long = {
+      zorderBy: Seq[String] = Nil,
+      where: Option[org.apache.spark.sql.Column] = None): Long = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = DeltaLog.snapshot(spark, rootStr)
@@ -1747,8 +1748,50 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         }
       }.toList
 
-    // candidates: DV-less files (DV'd ones are purge's job)
-    val candidates = prior.files.filter(_.dv.forall(_.cardinality == 0L))
+    // candidates: DV-less files (DV'd ones are purge's job), scoped by
+    // the OPTIMIZE ... WHERE partition predicate when given — at 100 TB
+    // you optimize the hot partition, not the table. Evaluated EXACTLY:
+    // a one-row-per-file frame of the files' typed partition values is
+    // filtered by the user's predicate (Catalyst semantics, not string
+    // matching), so `date_col >= '2024-01-01'` scopes correctly.
+    val unscoped = prior.files.filter(_.dv.forall(_.cardinality == 0L))
+    val candidates = where match {
+      case None => unscoped
+      case Some(w) =>
+        require(prior.partitionColumns.nonEmpty,
+          s"OPTIMIZE WHERE at $rootStr: the table is unpartitioned")
+        import org.apache.spark.sql.functions.col
+        val hiveNull = "__HIVE_DEFAULT_PARTITION__"
+        val rows: Seq[org.apache.spark.sql.Row] = unscoped.map { f =>
+          val m = relOf(f.path).split('/').init.flatMap { seg =>
+            seg.split("=", 2) match {
+              case Array(k, v) =>
+                Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+              case _ => None
+            }
+          }.toMap
+          org.apache.spark.sql.Row.fromSeq(f.path +: physPartCols.map(pc =>
+            m.get(pc).filterNot(_ == hiveNull).orNull))
+        }
+        val rawSchema = StructType(StructField("__path", StringType) +:
+          prior.partitionColumns.map(n => StructField(n, StringType)))
+        val typed = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), rawSchema)
+          .select(col("__path") +: prior.partitionColumns.map { n =>
+            col(n).cast(prior.schema(n).dataType).as(n)
+          }: _*)
+        val kept =
+          try typed.filter(w).select("__path").collect()
+            .map(_.getString(0)).toSet
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"OPTIMIZE WHERE at $rootStr must reference partition " +
+                  s"columns only (${prior.partitionColumns.mkString(", ")})",
+                e)
+          }
+        unscoped.filter(f => kept.contains(f.path))
+    }
     val rewriteGroups: Seq[Seq[DeltaFileMeta]] =
       if (zorderBy.nonEmpty) {
         if (candidates.size < 1) Nil else Seq(candidates)

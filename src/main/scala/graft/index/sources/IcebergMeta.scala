@@ -2273,8 +2273,62 @@ object IcebergTable {
     * rewrite would invalidate — so MOR state routes through [[compact]]
     * first; refused loudly otherwise. Returns the new snapshot id (the
     * current one when nothing qualified). */
+  /** Scope `files` to those whose partition values satisfy `where` —
+    * the `rewriteDataFiles(filter)` shape: identity fields are
+    * referenced by their source column name, transform fields by the
+    * DERIVED field name (`ts_year`, `id_bucket`, … — the names the
+    * partitions inspection table shows) typed by the transform's result.
+    * Exact Catalyst evaluation over a one-row-per-file frame of
+    * path-parsed values; O(files) driver metadata, no data scan. */
+  private def scopeByPartition(spark: SparkSession, prior: IcebergSnapshot,
+      files: Seq[DeltaFileMeta],
+      where: Option[org.apache.spark.sql.Column],
+      verb: String): Seq[DeltaFileMeta] = where match {
+    case None => files
+    case Some(w) =>
+      require(prior.partitionFields.nonEmpty,
+        s"$verb WHERE at ${prior.location}: the table is unpartitioned")
+      import org.apache.spark.sql.functions.col
+      val colTypes: Seq[(String, DataType)] = prior.partitionFields.map { f =>
+        val srcType = prior.schema.fields.find(_.name == f.sourceCol)
+          .map(_.dataType).getOrElse(StringType)
+        f.partitionByName -> IceTransforms.resultType(f, srcType)
+      }
+      val hiveNull = "__HIVE_DEFAULT_PARTITION__"
+      val rows: Seq[org.apache.spark.sql.Row] = files.map { f =>
+        val m = f.path.split('/').init.flatMap { seg =>
+          seg.split("=", 2) match {
+            case Array(k, v) =>
+              Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+            case _ => None
+          }
+        }.toMap
+        org.apache.spark.sql.Row.fromSeq(f.path +: colTypes.map {
+          case (n, _) => m.get(n).filterNot(_ == hiveNull).orNull
+        })
+      }
+      val rawSchema = StructType(StructField("__path", StringType) +:
+        colTypes.map { case (n, _) => StructField(n, StringType) })
+      val typed = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), rawSchema)
+        .select(col("__path") +: colTypes.map { case (n, dt) =>
+          col(n).cast(dt).as(n)
+        }: _*)
+      val kept =
+        try typed.filter(w).select("__path").collect()
+          .map(_.getString(0)).toSet
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"$verb WHERE at ${prior.location} must reference partition " +
+                s"fields only (${colTypes.map(_._1).mkString(", ")})", e)
+        }
+      files.filter(f => kept.contains(f.path))
+  }
+
   def compactSmall(spark: SparkSession, location: String,
-      targetSizeBytes: Long = 128L << 20): Long = {
+      targetSizeBytes: Long = 128L << 20,
+      where: Option[org.apache.spark.sql.Column] = None): Long = {
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = IcebergMeta.snapshot(spark, location)
@@ -2282,7 +2336,8 @@ object IcebergTable {
       s"compactSmall at $location: delete files are in force; their " +
         "(file, position) references would dangle across a rewrite — " +
         "run compact() first")
-    val smalls = prior.files.filter(_.size < targetSizeBytes)
+    val smalls = scopeByPartition(spark, prior,
+      prior.files.filter(_.size < targetSizeBytes), where, "compactSmall")
     // bins never cross a partition: a rewritten file must keep a single
     // partition tuple (one hive directory), so packing groups by the
     // file's parent directory first
@@ -2359,7 +2414,8 @@ object IcebergTable {
    */
   def compactSort(spark: SparkSession, location: String,
       zorderBy: Seq[String],
-      targetSizeBytes: Long = 128L << 20): Long = {
+      targetSizeBytes: Long = 128L << 20,
+      where: Option[org.apache.spark.sql.Column] = None): Long = {
     import org.apache.spark.sql.functions.{array, col, udf}
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -2375,11 +2431,14 @@ object IcebergTable {
           (f.kind == TIdentity && zorderBy.contains(f.sourceCol))),
       s"compactSort at $location: z-ordering by a partition column is a " +
         "no-op (it is constant within each file); drop it from zorderBy")
-    if (prior.files.isEmpty) return prior.snapshotId
+    // WHERE scopes the rewrite to matching partitions; the rest of the
+    // table re-publishes untouched
+    val scoped = scopeByPartition(spark, prior, prior.files, where, "compactSort")
+    if (scoped.isEmpty) return prior.snapshotId
 
     val df = spark.read.schema(prior.schema)
       .option("basePath", s"$location/data")
-      .parquet(prior.files.map(_.path): _*)
+      .parquet(scoped.map(_.path): _*)
     val bits = graft.index.zorder.ZOrderBuild.BitsPerColumn
     val asDouble = zorderBy.map(c => df.col(c).cast("double"))
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
@@ -2388,7 +2447,7 @@ object IcebergTable {
       .stat.approxQuantile(zorderBy.toArray, probs, 0.001)
     val zUdf = udf(new graft.index.zorder.ZAddressFn(boundaries, bits))
     val nFiles = math.max(1L,
-      (prior.files.map(_.size).sum + targetSizeBytes - 1) / targetSizeBytes).toInt
+      (scoped.map(_.size).sum + targetSizeBytes - 1) / targetSizeBytes).toInt
 
     val stage = new Path(root,
       s".graft-zsort-${java.util.UUID.randomUUID().toString}")
@@ -2419,8 +2478,10 @@ object IcebergTable {
         spark, added.map(_.getPath.toString), prior.schema)
       else partitionedFooterStats(spark, prior.schema, parts,
         added.map(_.getPath.toString))
+    val scopedPaths = scoped.map(_.path).toSet
     publishSnapshot(spark, location, Some(prior), prior.schema, "replace",
-      dataExisting = Nil,
+      dataExisting = prior.files.filterNot(f => scopedPaths.contains(f.path))
+        .map(f => (f, prior.dataSeq.getOrElse(f.path, 0L))),
       dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L,
         stats = statsByPath.get(s.getPath.toString)
           .flatMap(DeltaStats.render(_, prior.schema)))),

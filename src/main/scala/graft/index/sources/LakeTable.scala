@@ -209,16 +209,22 @@ object LakeTable {
 
   /** SMALL-FILE OPTIMIZE: bin-pack under-sized data files toward the
     * target (Delta OPTIMIZE / Iceberg rewriteDataFiles binpack) —
-    * row-transparent in both formats. */
+    * row-transparent in both formats. `where` scopes the rewrite to
+    * matching partitions (OPTIMIZE ... WHERE / rewriteDataFiles
+    * filter): at 100 TB you optimize the hot partition, not the
+    * table. */
   def optimize(spark: SparkSession, path: String,
       targetSizeBytes: Long = 128L << 20,
-      zorderBy: Seq[String] = Nil): Long =
+      zorderBy: Seq[String] = Nil,
+      where: Option[org.apache.spark.sql.Column] = None): Long =
     formatOf(spark, path) match {
       case "delta" =>
-        DeltaTable.optimizeCompact(spark, path, targetSizeBytes, zorderBy)
+        DeltaTable.optimizeCompact(spark, path, targetSizeBytes, zorderBy,
+          where)
       case _ if zorderBy.nonEmpty =>
-        IcebergTable.compactSort(spark, path, zorderBy, targetSizeBytes)
-      case _ => IcebergTable.compactSmall(spark, path, targetSizeBytes)
+        IcebergTable.compactSort(spark, path, zorderBy, targetSizeBytes,
+          where)
+      case _ => IcebergTable.compactSmall(spark, path, targetSizeBytes, where)
     }
 
   /** UNDO: restore a Delta table to a version / roll an Iceberg table

@@ -21,6 +21,9 @@ class DeltaOptimizeSpec extends AnyFunSuite {
   private def orders =
     spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
 
+  private def customer =
+    spark.read.parquet(s"${TestSpark.sfDir}/customer.parquet")
+
   private def dataFileCount(root: String): Int =
     DeltaLog.snapshot(spark, root).files.size
 
@@ -195,6 +198,47 @@ class DeltaOptimizeSpec extends AnyFunSuite {
       assert(overlaps <= sorted.size / 2,
         s"expected near-disjoint spans, got $sorted")
     }
+  }
+
+  test("OPTIMIZE ... WHERE scopes the rewrite to matching partitions (both formats)") {
+    import graft.index.sources.{IcebergMeta, IcebergTable, LakeTable}
+    // Delta: two partitions, many smalls each; scope to one segment
+    val d = Files.createTempDirectory("graft-opt-where-d-").toString
+    val twoSeg = customer.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    DeltaTable.create(twoSeg.repartition(4), d, partitionBy = Seq("c_mktsegment"))
+    (1 to 2).foreach(_ =>
+      DeltaTable.append(twoSeg.limit(40), d, partitionBy = Seq("c_mktsegment")))
+    def filesIn(seg: String): Int =
+      DeltaLog.snapshot(spark, d).files.count(_.path.contains(s"c_mktsegment=$seg"))
+    val (bBefore, mBefore) = (filesIn("BUILDING"), filesIn("MACHINERY"))
+    assert(bBefore >= 3 && mBefore >= 3)
+    DeltaTable.optimizeCompact(spark, d,
+      where = Some(col("c_mktsegment") === "BUILDING"))
+    assert(filesIn("BUILDING") < bBefore, "scoped partition should compact")
+    assert(filesIn("MACHINERY") == mBefore, "out-of-scope partition untouched")
+    assert(DeltaTable.read(spark, d).count() ==
+      twoSeg.count() + 2 * twoSeg.limit(40).count())
+    // predicate on a non-partition column is refused loudly
+    intercept[IllegalArgumentException] {
+      DeltaTable.optimizeCompact(spark, d, where = Some(col("c_acctbal") > 0))
+    }
+
+    // Iceberg: hidden-partitioned; scope compactSmall by the derived field
+    val i = Files.createTempDirectory("graft-opt-where-i-").toString
+    IcebergTable.create(customer.limit(200), i,
+      partitionColumns = Seq("bucket(2, c_custkey)"))
+    (1 to 2).foreach(_ => IcebergTable.append(customer.limit(50), i))
+    def iFilesIn(b: Int): Int =
+      IcebergMeta.snapshot(spark, i).files.count(_.path.contains(s"c_custkey_bucket=$b"))
+    val (i0, i1) = (iFilesIn(0), iFilesIn(1))
+    assert(i0 >= 3 && i1 >= 3)
+    val expected = customer.limit(200).count() + 2 * customer.limit(50).count()
+    assert(IcebergTable.read(spark, i).count() == expected)
+    LakeTable.optimize(spark, i,
+      where = Some(col("c_custkey_bucket") === 0))
+    assert(iFilesIn(0) < i0)
+    assert(iFilesIn(1) == i1)
+    assert(IcebergTable.read(spark, i).count() == expected)
   }
 
   test("iceberg compactSmall: bins collapse, deletes-in-force refuse") {
