@@ -724,11 +724,10 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     val readSchema =
       if (cmMode == "none") s.schema
       else DeltaColumnMapping.physicalSchema(s.schema)
-    val raw = spark.read
+    val raw = maybeBasePath(spark, root, spark.read
       .schema(readSchema)
-      .option("basePath", root)
       .option(RootOption, root)
-      .option(VersionOption, s.version.toString)
+      .option(VersionOption, s.version.toString), s.files.map(_.path))
       .parquet(s.files.map(_.path): _*)
     // log-level FILE SKIPPING: filtered scans list only the files whose
     // `add.stats` ranges can match the pushed-down predicates — at
@@ -795,6 +794,23 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     * used inside executor closures. */
   private[sources] def normPath(p: String): String =
     p.replaceFirst("^file:/+", "/")
+
+  /** `basePath` (hive partition-value reconstruction; Spark requires it
+    * be an ancestor of every input) only when all paths live under the
+    * root — a SHALLOW CLONE's adds reference absolute paths under the
+    * SOURCE table, where it must be omitted (clones are unpartitioned
+    * by construction, so nothing is lost). */
+  private[sources] def maybeBasePath(spark: SparkSession, rootStr: String,
+      reader: org.apache.spark.sql.DataFrameReader,
+      paths: Seq[String]): org.apache.spark.sql.DataFrameReader = {
+    val p = new Path(rootStr)
+    val rootNorm = normPath(
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(p).toString)
+    if (paths.forall(f => normPath(f).startsWith(rootNorm + "/")))
+      reader.option("basePath", rootStr)
+    else reader
+  }
 
   /** Stage `df` (data columns + a trailing `_change_type`) as CDC
     * parquet under `_change_data/` — hive-partitioned like the data when
@@ -1101,10 +1117,10 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     // column mapping, scan physical names, restore logical ones for the
     // user's predicate, and keep `_metadata` riding along
     val cmMode = DeltaColumnMapping.mode(prior.configuration)
-    val raw = spark.read
+    val raw = maybeBasePath(spark, rootStr, spark.read
       .schema(if (cmMode == "none") prior.schema
-        else DeltaColumnMapping.physicalSchema(prior.schema))
-      .option("basePath", rootStr)
+        else DeltaColumnMapping.physicalSchema(prior.schema)),
+      prior.files.map(_.path))
       .parquet(prior.files.map(_.path): _*)
     // log-stats FILE SKIPPING for the doomed-row scan (same wrap the
     // batch read uses): a narrow delete against a wide table opens only
@@ -1410,10 +1426,10 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     // ---- matched positions → deletion vectors (stats-pruned scan) ----
     def normC(c: org.apache.spark.sql.Column) =
       regexp_replace(c, "^file:/+", "/")
-    val raw = spark.read
+    val raw = maybeBasePath(spark, rootStr, spark.read
       .schema(if (cmMode == "none") prior.schema
-        else DeltaColumnMapping.physicalSchema(prior.schema))
-      .option("basePath", rootStr)
+        else DeltaColumnMapping.physicalSchema(prior.schema)),
+      prior.files.map(_.path))
       .parquet(prior.files.map(_.path): _*)
     val base =
       if (cmMode != "none") raw
@@ -1609,10 +1625,10 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     val merged: Seq[(DeltaFileMeta, DvDescriptor)] =
       if (candidates.isEmpty) Nil
       else {
-        val base = spark.read
+        val base = maybeBasePath(spark, rootStr, spark.read
           .schema(if (cmMode == "none") prior.schema
-            else DeltaColumnMapping.physicalSchema(prior.schema))
-          .option("basePath", rootStr)
+            else DeltaColumnMapping.physicalSchema(prior.schema)),
+          candidates.map(_.path))
           .parquet(candidates.map(_.path): _*)
         val logical = if (cmMode == "none") base
           else DeltaColumnMapping.toLogical(base, prior.schema,
@@ -1909,6 +1925,97 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     }
     finishCommit(spark, rootStr, out, lines.toSeq, version,
       prior.configuration)
+  }
+
+  /** SHALLOW CLONE — an instant, zero-copy table copy: the clone's
+    * version-0 commit references the source's CURRENT data files by
+    * ABSOLUTE path (no bytes move — cloning a 100 TB table costs one
+    * metadata write), restating the source's schema, configuration and
+    * protocol. The clone then evolves independently: appends land under
+    * the clone root, deletes lay fresh DVs over the referenced files,
+    * and the source never sees any of it — while source VACUUM remains
+    * the one documented hazard (it may remove files the clone still
+    * references; the same caveat real shallow clones carry). Clone
+    * VACUUM is safe: it walks only the clone root, never source files.
+    * Source DVs are preserved with their absolute paths (storageType
+    * `p`). Partitioned sources refuse: identity partition values are
+    * path-reconstructed under `basePath`, which cannot span two roots.
+    * `versionAsOf` clones a historic version — time travel + clone in
+    * one verb. */
+  def clone(spark: SparkSession, sourceRoot: String, targetRoot: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val s = DeltaLog.snapshot(spark, sourceRoot, versionAsOf)
+    require(!DeltaLog.isDeltaTable(spark, targetRoot),
+      s"clone target $targetRoot is already a Delta table")
+    require(s.partitionColumns.isEmpty,
+      s"shallow clone of partitioned $sourceRoot is not supported: " +
+        "partition values are path-reconstructed under basePath, which " +
+        "cannot span the source and clone roots; copy with " +
+        "create(read(source), target, partitionBy) instead")
+    val srcRoot = new Path(sourceRoot)
+    val srcFs = srcRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val root = new Path(targetRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val now = System.currentTimeMillis()
+    val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(now, "CLONE",
+      Map("source" -> sourceRoot, "sourceVersion" -> s.version.toString))
+    // the clone inherits the source's REAL protocol — its files may
+    // depend on every reader/writer feature the source declares
+    lines += JObject("protocol" -> JObject(
+      List(
+        "minReaderVersion" -> (JInt(s.minReaderVersion): JValue),
+        "minWriterVersion" -> (JInt(s.minWriterVersion): JValue)) ++
+        (if (s.readerFeatures.nonEmpty)
+          List("readerFeatures" -> (JArray(
+            s.readerFeatures.toList.sorted.map(JString(_))): JValue))
+        else Nil) ++
+        (if (s.writerFeatures.nonEmpty)
+          List("writerFeatures" -> (JArray(
+            s.writerFeatures.toList.sorted.map(JString(_))): JValue))
+        else Nil)))
+    lines += JObject("metaData" -> JObject(
+      "id" -> JString(java.util.UUID.randomUUID().toString),
+      "format" -> JObject(
+        "provider" -> JString("parquet"), "options" -> JObject()),
+      "schemaString" -> JString(s.schemaString),
+      "partitionColumns" -> JArray(Nil),
+      "configuration" -> JObject(
+        s.configuration.toList.sortBy(_._1).map { case (k, v) =>
+          k -> JString(v) }),
+      "createdTime" -> JLong(now)))
+    s.files.foreach { f =>
+      val abs = srcFs.makeQualified(new Path(f.path)).toString
+      // a source DV resolves against the SOURCE root; rewrite its
+      // descriptor absolute (storageType p) so the clone's reads find
+      // it. Inline DVs carry their bytes and copy verbatim.
+      val dv: Option[JValue] = f.dv.map { d =>
+        val (st, pv) = d.storageType match {
+          case "u" => ("p", d.absolutePath(srcRoot).get.toString)
+          case other => (other, d.pathOrInlineDv)
+        }
+        JObject(List(
+          "storageType" -> (JString(st): JValue),
+          "pathOrInlineDv" -> (JString(pv): JValue)) ++
+          d.offset.map(o => "offset" -> (JInt(BigInt(o)): JValue)).toList ++
+          List(
+            "sizeInBytes" -> (JInt(BigInt(d.sizeInBytes)): JValue),
+            "cardinality" -> (JLong(d.cardinality): JValue)))
+      }
+      lines += JObject("add" -> JObject(
+        List(
+          "path" -> (JString(abs): JValue),
+          "partitionValues" -> (JObject(): JValue),
+          "size" -> (JLong(f.size): JValue),
+          "modificationTime" -> (JLong(f.modificationTime): JValue),
+          "dataChange" -> (JBool(true): JValue)) ++
+          dv.map(d => "deletionVector" -> d).toList ++
+          f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList))
+    }
+    val commitPath = new Path(DeltaLog.logDir(root), f"${0L}%020d.json")
+    fs.mkdirs(DeltaLog.logDir(root))
+    val out = CommitFence.create(fs, commitPath)
+    finishCommit(spark, targetRoot, out, lines.toSeq, 0L, s.configuration)
   }
 
   /** RESTORE the table to a historic version — the undo operation: a
