@@ -674,8 +674,12 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     * monotone per table. Mixed histories (feature enabled mid-table)
     * resolve each commit by its own clock, which is the spec's rule.
     * Fails loudly when `tsMillis` precedes the first commit. */
-  def readTimestampAsOf(spark: SparkSession, root: String,
-      tsMillis: Long): DataFrame = {
+  /** Every commit's (version, wall-clock millis) — the in-commit
+    * timestamp when the table runs ICT, the commit file's mtime
+    * otherwise. Driver-side listing, one JSON peek per commit only
+    * under ICT. */
+  private[sources] def commitTimes(spark: SparkSession,
+      root: String): Seq[(Long, Long)] = {
     val dir = DeltaLog.logDir(new Path(root))
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(dir), s"not a Delta table (no _delta_log): $root")
@@ -702,6 +706,22 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       }
     }
     require(commits.nonEmpty, s"Delta log at $root has no commit files")
+    commits
+  }
+
+  /** First version committed AT OR AFTER `tsMillis` — the streaming
+    * `startingTimestamp` contract. A timestamp past the last commit
+    * resolves to latest+1 (serve only future commits). */
+  private[sources] def firstVersionAtOrAfter(spark: SparkSession,
+      root: String, tsMillis: Long): Long = {
+    val commits = commitTimes(spark, root)
+    commits.filter(_._2 >= tsMillis).map(_._1).minOption
+      .getOrElse(commits.map(_._1).max + 1)
+  }
+
+  def readTimestampAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): DataFrame = {
+    val commits = commitTimes(spark, root)
     val eligible = commits.filter(_._2 <= tsMillis)
     require(eligible.nonEmpty,
       s"timestampAsOf $tsMillis precedes the first commit " +

@@ -2492,6 +2492,31 @@ object IcebergTable {
   /** Table HISTORY — one row per retained snapshot (newest first):
     * snapshot id, commit timestamp, and summary operation — the Iceberg
     * sibling of [[DeltaTable.history]]. Driver-side metadata. */
+  /** Every retained snapshot's (id, timestamp-ms), oldest-first —
+    * driver-side metadata (one JSON read). */
+  private[sources] def snapshotTimes(spark: SparkSession,
+      location: String): Seq[(Long, Long)] = {
+    val fs = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaFile = IcebergMeta.currentMetadataFile(fs, location)
+    val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
+    ((j \ "snapshots") match {
+      case JArray(snaps) => snaps
+      case _ => Nil
+    }).flatMap { s =>
+      val id = (s \ "snapshot-id") match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case _ => None
+      }
+      val ts = (s \ "timestamp-ms") match {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case _ => 0L
+      }
+      id.map(_ -> ts)
+    }.sortBy(_._2)
+  }
+
   def history(spark: SparkSession, location: String): DataFrame = {
     val fs = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
     val metaFile = IcebergMeta.currentMetadataFile(fs, location)

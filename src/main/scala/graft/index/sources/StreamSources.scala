@@ -85,6 +85,21 @@ private[sources] object StreamRateLimit {
     v
   }
 
+  /** `startingTimestamp` accepts epoch millis, `yyyy-MM-dd`,
+    * `yyyy-MM-dd HH:mm:ss[.fff]`, or an ISO-8601 instant. */
+  def parseTimestamp(s: String): Long = {
+    val t = s.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else scala.util.Try(java.sql.Timestamp.valueOf(t).getTime)
+      .orElse(scala.util.Try(
+        java.sql.Date.valueOf(t).toLocalDate
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli))
+      .orElse(scala.util.Try(java.time.Instant.parse(t).toEpochMilli))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse startingTimestamp '$s' (epoch millis, " +
+          "yyyy-MM-dd, yyyy-MM-dd HH:mm:ss, or ISO-8601 instant)"))
+  }
+
   /** The configured caps as the engine's ReadLimit vocabulary — what
     * `getDefaultReadLimit` advertises (progress reporting and the
     * AvailableNow machinery read it); admission itself interprets the
@@ -160,13 +175,19 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
 
   private val skipChanges =
     options.get("skipChangeCommits").exists(_.equalsIgnoreCase("true"))
-  /** First version served: 0 (full history), a number, or "latest"
-    * (only commits after stream start). */
-  private val startingVersion: Long = options.get("startingVersion") match {
-    case Some(v) if v.equalsIgnoreCase("latest") => initial.version + 1
-    case Some(v) => v.toLong
-    case None => 0L
-  }
+  /** First version served: 0 (full history), a number, "latest" (only
+    * commits after stream start), or — via `startingTimestamp` — the
+    * first version committed at or after a wall-clock time. */
+  private val startingVersion: Long =
+    (options.get("startingVersion"), options.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "pass either startingVersion or startingTimestamp, not both")
+      case (Some(v), _) if v.equalsIgnoreCase("latest") => initial.version + 1
+      case (Some(v), _) => v.toLong
+      case (None, Some(ts)) => DeltaTable.firstVersionAtOrAfter(
+        spark, rootStr, StreamRateLimit.parseTimestamp(ts))
+      case _ => 0L
+    }
 
   // RATE LIMITING (delta-spark's options of the same names): cap how
   // far each micro-batch's offset advances, commit-granular, so a
@@ -575,11 +596,21 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
 
   private val skipChanges =
     options.get("skipChangeCommits").exists(_.equalsIgnoreCase("true"))
-  private val startingSnapshot: Long = options.get("startingSnapshotId") match {
-    case Some(v) if v.equalsIgnoreCase("latest") => initial.snapshotId
-    case Some(v) => v.toLong
-    case None => 0L
-  }
+  private val startingSnapshot: Long =
+    (options.get("startingSnapshotId"), options.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "pass either startingSnapshotId or startingTimestamp, not both")
+      case (Some(v), _) if v.equalsIgnoreCase("latest") => initial.snapshotId
+      case (Some(v), _) => v.toLong
+      case (None, Some(ts)) =>
+        // serve snapshots committed at or after `ts`: the EXCLUSIVE
+        // start is the newest snapshot strictly before it (0 = full
+        // history when none is)
+        val t = StreamRateLimit.parseTimestamp(ts)
+        IcebergTable.snapshotTimes(spark, location)
+          .filter(_._2 < t).sortBy(_._2).lastOption.map(_._1).getOrElse(0L)
+      case _ => 0L
+    }
 
   // RATE LIMITING, snapshot-granular, through the engine's
   // ADMISSION-CONTROL protocol (see the Delta source): the engine

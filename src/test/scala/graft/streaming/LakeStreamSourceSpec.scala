@@ -252,4 +252,45 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       .head().getLong(0) ==
       customer.select(sum(col("c_custkey"))).head().getLong(0))
   }
+
+  test("startingTimestamp: both sources serve only commits at/after the time") {
+    // Delta: v0, pause, v1 — a timestamp between the two serves only v1
+    val root = Files.createTempDirectory("graft-dstream-ts-").toString
+    val a = customer.filter(col("c_custkey") < 80)
+    val b = customer.filter(col("c_custkey") >= 80)
+    DeltaTable.create(a, root)
+    Thread.sleep(1500)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(1500)
+    DeltaTable.append(b, root)
+    val out = Files.createTempDirectory("graft-dstream-ts-out-").toString
+    val ckpt = Files.createTempDirectory("graft-dstream-ts-ck-").toString
+    assert(drain("graft-delta", root, out, ckpt,
+      Map("startingTimestamp" -> mid.toString)) == b.count())
+    // a future timestamp serves nothing yet, then picks up new commits
+    val out2 = Files.createTempDirectory("graft-dstream-ts2-out-").toString
+    val ckpt2 = Files.createTempDirectory("graft-dstream-ts2-ck-").toString
+    val future = (System.currentTimeMillis() + 3600 * 1000L).toString
+    assert(drain("graft-delta", root, out2, ckpt2,
+      Map("startingTimestamp" -> future)) == 0L)
+    // both options together refuse
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain("graft-delta", root,
+        Files.createTempDirectory("graft-dstream-ts3-out-").toString,
+        Files.createTempDirectory("graft-dstream-ts3-ck-").toString,
+        Map("startingTimestamp" -> mid.toString, "startingVersion" -> "0"))
+    }
+
+    // Iceberg: same shape over snapshot timestamps
+    val iroot = Files.createTempDirectory("graft-istream-ts-").toString
+    IcebergTable.create(a, iroot)
+    Thread.sleep(1500)
+    val imid = System.currentTimeMillis()
+    Thread.sleep(1500)
+    IcebergTable.append(b, iroot)
+    val iout = Files.createTempDirectory("graft-istream-ts-out-").toString
+    val ickpt = Files.createTempDirectory("graft-istream-ts-ck-").toString
+    assert(drain("graft-iceberg", iroot, iout, ickpt,
+      Map("startingTimestamp" -> imid.toString)) == b.count())
+  }
 }
