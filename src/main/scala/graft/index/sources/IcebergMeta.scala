@@ -725,11 +725,12 @@ object IcebergTable {
         IcebergMeta.icebergSchemaToSparkWithIds(
           JsonMethods.parse(s.schemaJsonStr))
       }
-    val raw = spark.read
+    // a zero-copy clone's files live under the SOURCE root — basePath
+    // (ancestor-of-all-inputs) only when everything is under this table
+    val raw = DeltaTable.maybeBasePath(spark, s"$location/data", spark.read
       .schema(readSchema)
-      .option("basePath", s"$location/data")
       .option(LocationOption, location)
-      .option(SnapshotOption, s.snapshotId.toString)
+      .option(SnapshotOption, s.snapshotId.toString), s.files.map(_.path))
       .parquet(s.files.map(_.path): _*)
     // manifest-bounds FILE SKIPPING: list only the files whose
     // lower/upper bounds admit the pushed-down predicates (sound for
@@ -945,8 +946,8 @@ object IcebergTable {
           JsonMethods.parse(toSnap.schemaJsonStr))
       }
     val parts = slices.toSeq.map { sl =>
-      spark.read.schema(readSchema)
-        .option("basePath", s"$location/data")
+      DeltaTable.maybeBasePath(spark, s"$location/data",
+        spark.read.schema(readSchema), sl.paths)
         .parquet(sl.paths: _*)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_snapshot_id", lit(sl.id))
@@ -1135,8 +1136,9 @@ object IcebergTable {
           val added = s.files.filterNot(f =>
             prevFiles.contains(DeltaTable.normPath(f.path)))
           if (added.nonEmpty) {
-            parts += stamp(spark.read.schema(toSnap.schema)
-              .option("basePath", s"$location/data")
+            parts += stamp(DeltaTable.maybeBasePath(spark,
+              s"$location/data", spark.read.schema(toSnap.schema),
+              added.map(_.path))
               .parquet(added.map(_.path): _*), "insert", sid, tsMs)
           }
         case "replace" => // row-transparent
@@ -1162,8 +1164,9 @@ object IcebergTable {
               .select(regexp_replace(col("file_path"), "^file:/+", "/")
                 .as("__del_path"),
                 col("pos").cast("long").as("__del_pos"))
-            var parent = spark.read.schema(toSnap.schema)
-              .option("basePath", s"$location/data")
+            var parent = DeltaTable.maybeBasePath(spark,
+              s"$location/data", spark.read.schema(toSnap.schema),
+              prevSnapFiles.map(_.path))
               .parquet(prevSnapFiles.map(_.path): _*)
               .withColumn("__path",
                 regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
@@ -1218,8 +1221,9 @@ object IcebergTable {
           val added = s.files.filterNot(f =>
             prevFiles.contains(DeltaTable.normPath(f.path)))
           if (added.nonEmpty) {
-            parts += stamp(spark.read.schema(toSnap.schema)
-              .option("basePath", s"$location/data")
+            parts += stamp(DeltaTable.maybeBasePath(spark,
+              s"$location/data", spark.read.schema(toSnap.schema),
+              added.map(_.path))
               .parquet(added.map(_.path): _*), "insert", sid, tsMs)
           }
         case other =>
@@ -1885,9 +1889,8 @@ object IcebergTable {
     // Manifest-bounds FILE SKIPPING wraps the scan (same as [[read]]):
     // a narrow delete opens only the files whose ranges admit the
     // pushed-down predicate.
-    val rawDoomed = spark.read
-      .schema(prior.schema)
-      .option("basePath", s"$location/data")
+    val rawDoomed = DeltaTable.maybeBasePath(spark, s"$location/data",
+      spark.read.schema(prior.schema), prior.files.map(_.path))
       .parquet(prior.files.map(_.path): _*)
     val doomed = StatsPruning.wrap(rawDoomed, prior.files.flatMap(f =>
         f.stats.flatMap(DeltaStats.parse(_, prior.schema))
@@ -1982,9 +1985,8 @@ object IcebergTable {
     }
 
     // positional delete file over the matched LIVE positions
-    val rawScan = spark.read
-      .schema(prior.schema)
-      .option("basePath", s"$location/data")
+    val rawScan = DeltaTable.maybeBasePath(spark, s"$location/data",
+      spark.read.schema(prior.schema), prior.files.map(_.path))
       .parquet(prior.files.map(_.path): _*)
     val doomed = StatsPruning.wrap(rawScan, prior.files.flatMap(f =>
         f.stats.flatMap(DeltaStats.parse(_, prior.schema))
@@ -2436,8 +2438,8 @@ object IcebergTable {
     val scoped = scopeByPartition(spark, prior, prior.files, where, "compactSort")
     if (scoped.isEmpty) return prior.snapshotId
 
-    val df = spark.read.schema(prior.schema)
-      .option("basePath", s"$location/data")
+    val df = DeltaTable.maybeBasePath(spark, s"$location/data",
+      spark.read.schema(prior.schema), scoped.map(_.path))
       .parquet(scoped.map(_.path): _*)
     val bits = graft.index.zorder.ZOrderBuild.BitsPerColumn
     val asDouble = zorderBy.map(c => df.col(c).cast("double"))
@@ -2492,6 +2494,46 @@ object IcebergTable {
   /** Table HISTORY — one row per retained snapshot (newest first):
     * snapshot id, commit timestamp, and summary operation — the Iceberg
     * sibling of [[DeltaTable.history]]. Driver-side metadata. */
+  /** ZERO-COPY CLONE (the `snapshot` table-procedure shape): publish a
+    * fresh table at `target` whose first snapshot references the
+    * source's CURRENT data and delete files by ABSOLUTE path — no
+    * bytes move at any size. The source's schema JSON republishes
+    * VERBATIM (field ids keep matching the referenced files), per-file
+    * sequence numbers carry over (equality deletes keep applying to
+    * exactly the files they applied to), and the clone then evolves
+    * independently; its expireSnapshots/compact never touch source
+    * files (their rewrites land under the clone root). Source
+    * expireSnapshots remains the documented hazard, as with Delta
+    * [[DeltaTable.clone]]. Partitioned sources refuse — identity
+    * values are path-reconstructed under basePath, which cannot span
+    * two roots. */
+  def cloneFrom(spark: SparkSession, sourceLoc: String, targetLoc: String,
+      snapshotAsOf: Option[Long] = None): Long = {
+    val s = IcebergMeta.snapshot(spark, sourceLoc, snapshotAsOf)
+    require(!IcebergMeta.isIcebergTable(spark, targetLoc),
+      s"clone target $targetLoc is already an Iceberg table")
+    require(s.partitionFields.isEmpty,
+      s"zero-copy clone of partitioned $sourceLoc is not supported: " +
+        "partition values are path-reconstructed under basePath, which " +
+        "cannot span the source and clone roots; rewrite with " +
+        "create(read(source), target, partitionColumns) instead")
+    val srcFs = new Path(sourceLoc)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def abs(p: String): String = srcFs.makeQualified(new Path(p)).toString
+    publishSnapshot(spark, targetLoc, None, s.schema, "clone",
+      dataExisting = s.files.map(f =>
+        (f.copy(path = abs(f.path)), s.dataSeq.getOrElse(f.path, 0L))),
+      dataAdded = Nil,
+      deleteExisting = s.deleteFiles.map(d => d.copy(path = abs(d.path))),
+      deleteAdded = Nil,
+      extraProperties = s.properties +
+        ("graft.clone.source" -> sourceLoc) +
+        ("graft.clone.source-snapshot" -> s.snapshotId.toString),
+      schemaJsonOverride =
+        if (s.schemaJsonStr.nonEmpty) Some(JsonMethods.parse(s.schemaJsonStr))
+        else None)
+  }
+
   /** Every retained snapshot's (id, timestamp-ms), oldest-first —
     * driver-side metadata (one JSON read). */
   private[sources] def snapshotTimes(spark: SparkSession,
@@ -2722,7 +2764,10 @@ object IcebergTable {
       dataExisting: Seq[(DeltaFileMeta, Long)], dataAdded: Seq[DeltaFileMeta],
       deleteExisting: Seq[IceDeleteFile], deleteAdded: Seq[IceDeleteFile],
       extraProperties: Map[String, String] = Map.empty,
-      createPartitionFields: Seq[IcePartField] = Nil): Long = {
+      createPartitionFields: Seq[IcePartField] = Nil,
+      // clone: republish the SOURCE's schema JSON verbatim so field ids
+      // keep matching the referenced files' parquet metadata
+      schemaJsonOverride: Option[JValue] = None): Long = {
     // the table's partition spec: fixed at create (prior wins; the
     // explicit fields only seed the FIRST metadata version)
     val parts: Seq[IcePartField] =
@@ -2752,7 +2797,8 @@ object IcebergTable {
     // collide on the same target file — the commit fence
     val version = prior.map(_.metadataVersion).getOrElse(0L) + 1L
     fs.mkdirs(metaDir)
-    val schemaJson = IcebergMeta.publishedSchemaJson(prior, schema)
+    val schemaJson = schemaJsonOverride.getOrElse(
+      IcebergMeta.publishedSchemaJson(prior, schema))
     // `graft.field-ids` guarantees every data file carries parquet field
     // ids, unlocking id-based resolution (schema evolution). A commit
     // whose files are all fresh (create / replace / first append) can

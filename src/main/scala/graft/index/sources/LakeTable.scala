@@ -121,6 +121,17 @@ object LakeTable {
       case _ => IcebergTable.history(spark, path)
     }
 
+  /** ZERO-COPY CLONE: a metadata-only copy of `source` at `target`
+    * referencing the source's files by absolute path (Delta SHALLOW
+    * CLONE / the Iceberg `snapshot` procedure shape). `asOf` clones a
+    * historic Delta version / Iceberg snapshot id. */
+  def clone(spark: SparkSession, source: String, target: String,
+      asOf: Option[Long] = None): Long =
+    formatOf(spark, source) match {
+      case "delta" => DeltaTable.clone(spark, source, target, asOf)
+      case _ => IcebergTable.cloneFrom(spark, source, target, asOf)
+    }
+
   /** One-row `DESCRIBE DETAIL`: format, current id, file/byte counts,
     * partition spec, properties, protocol ([[LakeInspect.detail]]). */
   def detail(spark: SparkSession, path: String): DataFrame =
