@@ -190,6 +190,17 @@ class LakeTable:
         for Iceberg), stamped with _change_type/_commit_timestamp."""
         return self._df(self._jt.changes(self._jspark, path, from_id))
 
+    def clone(self, source, target, as_of=None):
+        """Zero-copy metadata-only clone (Delta SHALLOW CLONE / Iceberg
+        snapshot procedure); ``as_of`` clones a historic version or
+        snapshot id. Unpartitioned sources only."""
+        if as_of is None:
+            jas = getattr(self._jvm.scala.Option, "empty")()
+        else:
+            jas = self._jvm.scala.Option.apply(
+                self._jvm.java.lang.Long(int(as_of)))
+        return self._jt.clone(self._jspark, source, target, jas)
+
     def detail(self, path):
         """One-row DESCRIBE DETAIL: format, current id, file/byte
         counts, partition spec, properties, protocol."""

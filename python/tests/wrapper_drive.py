@@ -151,4 +151,10 @@ t.inspect(droot, "partitions")._jdf.createOrReplaceTempView("py_lake_parts")
 jprow = jspark.sql("select sum(file_count) from py_lake_parts").head()
 assert int(str(jprow.get(0))) == num_files
 
+# --- zero-copy clone
+croot = tempfile.mkdtemp(prefix="graft-py-clone-") + "/t"
+t.clone(droot, croot)
+assert t.read(croot).count() == t.read(droot).count()
+assert t.format_of(croot) == "delta"
+
 print("WRAPPER_OK %d" % n_indexes)

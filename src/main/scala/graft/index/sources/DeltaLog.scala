@@ -184,7 +184,10 @@ object DeltaLog {
     def addFile(rawPath: String, size: Long, modTime: Long,
         dv: Option[DvDescriptor] = None, stats: Option[String] = None): Unit = {
       val abs = resolvePath(root, rawPath)
-      live(abs) = DeltaFileMeta(abs, size, modTime, dv, stats)
+      // key scheme-normalized: an add spelled `file:/x` (a clone's
+      // qualified absolute) and a remove spelled `/x` (URI.getPath of
+      // the same file) MUST cancel
+      live(DeltaTable.normPath(abs)) = DeltaFileMeta(abs, size, modTime, dv, stats)
     }
 
     ckptChoice.foreach { case (_, instanceFiles) =>
@@ -394,7 +397,8 @@ object DeltaLog {
         j \ "remove" match {
           case JObject(_) =>
             (j \ "remove" \ "path") match {
-              case JString(path) => live.remove(resolvePath(root, path))
+              case JString(path) =>
+                live.remove(DeltaTable.normPath(resolvePath(root, path)))
               case _ =>
             }
           case _ =>

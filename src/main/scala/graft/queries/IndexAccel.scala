@@ -1147,6 +1147,54 @@ object IndexAccel {
        | ${sqlMoneySum("bal")} AS sum_bal
        |FROM updated GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ZERO-COPY CLONE, oracle-gated: the fixture clones a Delta table
+    * that carries DV delete state, then UPDATEs the CLONE — the final
+    * aggregate must hash-match a DuckDB replay of delete+update over
+    * raw parquet, proving the clone served the source's exact MOR
+    * state through absolute-path references and then diverged
+    * independently (no bytes were copied; the update's DVs and
+    * rewrites landed under the clone root). */
+  def lakeClone(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{DeltaLog, DeltaTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val tmp = sys.props("java.io.tmpdir").stripSuffix("/")
+    val src = tmp + s"/graft_lake_clone_src_$h"
+    val dst = tmp + s"/graft_lake_clone_dst_$h/t"
+    synchronized {
+      val srcCreated = !DeltaLog.isDeltaTable(spark, src)
+      if (srcCreated) {
+        DeltaTable.create(Tables.load(spark, sfDir, "customer"), src)
+        DeltaTable.deleteWhere(spark, src, col("c_acctbal") < 0)
+      }
+      // a recreated source invalidates a cached clone (its absolute
+      // references point at the wiped generation's files)
+      if (srcCreated || !DeltaLog.isDeltaTable(spark, dst)) {
+        val fs = new org.apache.hadoop.fs.Path(dst)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+        DeltaTable.clone(spark, src, dst)
+        DeltaTable.update(spark, dst, col("c_nationkey") === 7,
+          Map("c_acctbal" -> (col("c_acctbal") + 500)))
+      }
+    }
+    DeltaTable.read(spark, dst)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("segment"))
+  }
+
+  val lakeCloneSql: String =
+    s"""WITH cloned AS (
+       |  SELECT c_mktsegment,
+       |    CASE WHEN c_nationkey = 7 THEN c_acctbal + 500
+       |         ELSE c_acctbal END AS bal
+       |  FROM customer WHERE c_acctbal >= 0
+       |)
+       |SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("bal")} AS sum_bal
+       |FROM cloned GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** STREAMING CDC APPLY, end to end: table A is the Delta merge
     * fixture (create + one MERGE, CDF recording every row-level
     * change); the pipeline STREAMS A's change feed
@@ -1218,6 +1266,7 @@ object IndexAccel {
     "idx_iceberg_merge" -> (idxIcebergMerge _, idxDeltaMergeSql),
     "stream_lake_upsert" -> (streamLakeUpsert _, idxDeltaMergeSql),
     "lake_update" -> (lakeUpdate _, lakeUpdateSql),
+    "lake_clone" -> (lakeClone _, lakeCloneSql),
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_ivfpq_topk" -> (idxIvfPqTopK _, idxIvfPqTopKSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),

@@ -73,6 +73,14 @@ class DeltaCloneSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, dst).count() == atClone + 10)
     assert(DeltaTable.read(spark, src).count() == atClone + 25)
 
+    // UPDATE on a clone must REPLACE the referenced file's entry, not
+    // duplicate it (regression: an add spelled `file:/x` and a remove
+    // spelled `/x` must cancel in replay — scheme-normalized keying)
+    val preUpdate = DeltaTable.read(spark, dst).count()
+    DeltaTable.update(spark, dst, col("c_nationkey") === 9,
+      Map("c_acctbal" -> (col("c_acctbal") + 1)))
+    assert(DeltaTable.read(spark, dst).count() == preUpdate)
+
     // a clone-side delete lays DVs over source-referenced files without
     // changing the source
     DeltaTable.deleteWhere(spark, dst, col("c_nationkey") === 5)
