@@ -190,6 +190,20 @@ class LakeTable:
         for Iceberg), stamped with _change_type/_commit_timestamp."""
         return self._df(self._jt.changes(self._jspark, path, from_id))
 
+    def convert_to_delta(self, path, partition_by=None):
+        """Upgrade a plain parquet directory to Delta IN PLACE (no data
+        moves; footer stats collected). ``partition_by`` names hive
+        partition columns carried by the directory layout."""
+        jp = self._jvm.PythonUtils.toSeq(list(partition_by or []))
+        return self._jvm.graft.index.sources.DeltaTable.convert(
+            self._jspark, path, jp)
+
+    def migrate_to_iceberg(self, path):
+        """Upgrade a plain (unpartitioned) parquet directory to Iceberg
+        IN PLACE — the `migrate` procedure shape."""
+        return self._jvm.graft.index.sources.IcebergTable.migrate(
+            self._jspark, path)
+
     def clone(self, source, target, as_of=None):
         """Zero-copy metadata-only clone (Delta SHALLOW CLONE / Iceberg
         snapshot procedure); ``as_of`` clones a historic version or

@@ -1951,6 +1951,74 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       prior.configuration)
   }
 
+  /** CONVERT TO DELTA — upgrade a plain parquet directory (flat or
+    * hive-partitioned) to a Delta table IN PLACE: files stay where
+    * they are, one version-0 commit records them as adds with
+    * footer-collected stats (distributed, one metadata RPC per file —
+    * converting a 100 TB directory moves no data and scans no rows).
+    * `partitionBy` names the hive partition columns; their values come
+    * from the path segments, their types from Spark's partition
+    * inference. After conversion every Delta verb works — reads,
+    * DML, time travel (from v0), streaming. */
+  def convert(spark: SparkSession, rootStr: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(!DeltaLog.isDeltaTable(spark, rootStr),
+      s"$rootStr is already a Delta table")
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = dataFiles(fs, root)
+    require(files.nonEmpty, s"convert at $rootStr: no parquet files found")
+    // schema (and partition-column types) from Spark's own inference
+    val inferred = spark.read.parquet(rootStr).schema
+    partitionBy.foreach(c => require(inferred.fieldNames.contains(c),
+      s"convert at $rootStr: partition column '$c' not found " +
+        s"(inferred ${inferred.simpleString}); hive dirs must carry it"))
+    val dataSchema = StructType(
+      inferred.filterNot(f => partitionBy.contains(f.name)))
+    val statsByPath = ParquetFooterStats.collect(
+      spark, files.map(_.getPath.toString), dataSchema)
+    val rootUri = fs.makeQualified(root).toUri
+    val now = System.currentTimeMillis()
+    val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(now, "CONVERT",
+      Map("numFiles" -> files.size.toString))
+    lines += JObject("protocol" -> JObject(
+      "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
+    lines += JObject("metaData" -> JObject(
+      "id" -> JString(java.util.UUID.randomUUID().toString),
+      "format" -> JObject(
+        "provider" -> JString("parquet"), "options" -> JObject()),
+      "schemaString" -> JString(inferred.json),
+      "partitionColumns" -> JArray(partitionBy.map(JString(_)).toList),
+      "configuration" -> JObject(),
+      "createdTime" -> JLong(now)))
+    files.foreach { st =>
+      val rel = rootUri.relativize(
+        fs.makeQualified(st.getPath).toUri).getPath
+      val pvals: List[(String, JValue)] = rel.split('/').init.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if partitionBy.contains(k) =>
+            Some(k -> (JString(java.net.URLDecoder.decode(v, "UTF-8")): JValue))
+          case _ => None
+        }
+      }.toList
+      val statsJson = statsByPath.get(st.getPath.toString)
+        .flatMap(DeltaStats.render(_, dataSchema))
+      lines += JObject("add" -> JObject(
+        List(
+          "path" -> (JString(rel): JValue),
+          "partitionValues" -> (JObject(pvals): JValue),
+          "size" -> (JLong(st.getLen): JValue),
+          "modificationTime" -> (JLong(st.getModificationTime): JValue),
+          "dataChange" -> (JBool(true): JValue)) ++
+          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
+    }
+    val commitPath = new Path(DeltaLog.logDir(root), f"${0L}%020d.json")
+    fs.mkdirs(DeltaLog.logDir(root))
+    val out = CommitFence.create(fs, commitPath)
+    finishCommit(spark, rootStr, out, lines.toSeq, 0L, Map.empty)
+  }
+
   /** SHALLOW CLONE — an instant, zero-copy table copy: the clone's
     * version-0 commit references the source's CURRENT data files by
     * ABSOLUTE path (no bytes move — cloning a 100 TB table costs one

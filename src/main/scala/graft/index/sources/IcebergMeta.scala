@@ -2494,6 +2494,44 @@ object IcebergTable {
   /** Table HISTORY — one row per retained snapshot (newest first):
     * snapshot id, commit timestamp, and summary operation — the Iceberg
     * sibling of [[DeltaTable.history]]. Driver-side metadata. */
+  /** MIGRATE — upgrade a plain parquet directory to an Iceberg table
+    * IN PLACE (the `migrate` procedure shape): files stay where they
+    * are, referenced by absolute path from the first snapshot's
+    * manifest, with footer-collected bounds so filtered reads prune
+    * from day one. Unpartitioned directories only (hive layouts carry
+    * values in paths, not files — convert those with
+    * `create(spark.read.parquet(dir), …, partitionColumns)`). New
+    * writes land under `location/data` alongside; mixed file sets read
+    * fine — manifests store absolute paths. */
+  def migrate(spark: SparkSession, location: String): Long = {
+    require(!IcebergMeta.isIcebergTable(spark, location),
+      s"$location is already an Iceberg table")
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = DeltaTable.dataFiles(fs, root)
+    require(files.nonEmpty, s"migrate at $location: no parquet files found")
+    val rootUri = fs.makeQualified(root).toUri
+    files.foreach { st =>
+      val rel = rootUri.relativize(fs.makeQualified(st.getPath).toUri).getPath
+      require(!rel.contains("="),
+        s"migrate at $location: hive-partitioned layout ($rel) is not " +
+          "supported in place; rewrite with create(spark.read.parquet(dir), " +
+          "target, partitionColumns = …)")
+    }
+    val schema = spark.read.parquet(location).schema
+    val paths = files.map(st => fs.makeQualified(st.getPath).toString)
+    val statsByPath = ParquetFooterStats.collect(spark, paths, schema)
+    publishSnapshot(spark, location, None, schema, "append",
+      dataExisting = Nil,
+      dataAdded = files.map { st =>
+        val p = fs.makeQualified(st.getPath).toString
+        DeltaFileMeta(p, st.getLen, 0L,
+          stats = statsByPath.get(p).flatMap(DeltaStats.render(_, schema)))
+      },
+      deleteExisting = Nil,
+      deleteAdded = Nil)
+  }
+
   /** ZERO-COPY CLONE (the `snapshot` table-procedure shape): publish a
     * fresh table at `target` whose first snapshot references the
     * source's CURRENT data and delete files by ABSOLUTE path — no

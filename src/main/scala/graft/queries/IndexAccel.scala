@@ -1195,6 +1195,38 @@ object IndexAccel {
        | ${sqlMoneySum("bal")} AS sum_bal
        |FROM cloned GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CONVERT TO DELTA, oracle-gated: a plain parquet copy of orders is
+    * converted IN PLACE (no data moves; footer stats collected), then
+    * takes a row-level delete — the aggregate must hash-match DuckDB
+    * replaying the same delete over the raw table, proving conversion
+    * registered every file exactly once and DML over converted files
+    * is sound. */
+  def lakeConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.{DeltaLog, DeltaTable}
+    val h = Integer.toHexString(sfDir.hashCode)
+    val dir = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_lake_convert_$h"
+    synchronized {
+      if (!DeltaLog.isDeltaTable(spark, dir)) {
+        Tables.load(spark, sfDir, "orders").repartition(4)
+          .write.mode("overwrite").parquet(dir)
+        DeltaTable.convert(spark, dir)
+        DeltaTable.deleteWhere(spark, dir, col("o_orderstatus") === "F")
+      }
+    }
+    DeltaTable.read(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("priority"))
+  }
+
+  val lakeConvertSql: String =
+    s"""SELECT o_orderpriority AS priority,
+       | CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("o_totalprice")} AS sum_price
+       |FROM orders WHERE o_orderstatus <> 'F'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** STREAMING CDC APPLY, end to end: table A is the Delta merge
     * fixture (create + one MERGE, CDF recording every row-level
     * change); the pipeline STREAMS A's change feed
@@ -1267,6 +1299,7 @@ object IndexAccel {
     "stream_lake_upsert" -> (streamLakeUpsert _, idxDeltaMergeSql),
     "lake_update" -> (lakeUpdate _, lakeUpdateSql),
     "lake_clone" -> (lakeClone _, lakeCloneSql),
+    "lake_convert" -> (lakeConvert _, lakeConvertSql),
     "idx_minhash_pairs" -> (idxMinHashPairs _, idxMinHashPairsSql),
     "idx_ivfpq_topk" -> (idxIvfPqTopK _, idxIvfPqTopKSql),
     "idx_delta_filter" -> (idxDeltaFilter _, idxDeltaFilterSql),
