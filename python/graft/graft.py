@@ -190,6 +190,13 @@ class LakeTable:
         for Iceberg), stamped with _change_type/_commit_timestamp."""
         return self._df(self._jt.changes(self._jspark, path, from_id))
 
+    def compute_stats(self, path):
+        """Backfill add.stats for Delta files lacking them (footer
+        reads only, one dataChange=false commit) so filtered reads
+        prune files."""
+        return self._jvm.graft.index.sources.DeltaTable.computeStats(
+            self._jspark, path)
+
     def convert_to_delta(self, path, partition_by=None):
         """Upgrade a plain parquet directory to Delta IN PLACE (no data
         moves; footer stats collected). ``partition_by`` names hive

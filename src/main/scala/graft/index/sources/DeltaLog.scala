@@ -1951,6 +1951,81 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       prior.configuration)
   }
 
+  /** ANALYZE — backfill `add.stats` for live files that lack them
+    * (tables written by minimal external writers, or pre-stats
+    * versions of this one): footers are read DISTRIBUTED (one metadata
+    * RPC per file, no row scans) and the files re-add with stats in a
+    * single `dataChange = false` commit — change feeds and append
+    * streams correctly serve nothing, and every later filtered read
+    * gains log-level file skipping. Files that already carry stats are
+    * untouched. Returns the committed version (prior when nothing
+    * lacked stats). */
+  def computeStats(spark: SparkSession, rootStr: String): Long = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = false, kind = "analyze")
+    val missing = prior.files.filter(_.stats.isEmpty)
+    if (missing.isEmpty) return prior.version
+    val cmMode = DeltaColumnMapping.mode(prior.configuration)
+    val physSchema = if (cmMode == "none") prior.schema
+      else DeltaColumnMapping.physicalSchema(prior.schema)
+    val physPartCols = prior.partitionColumns.map { n =>
+      if (cmMode == "none") n
+      else prior.schema.fields.find(_.name == n)
+        .map(DeltaColumnMapping.physicalName).getOrElse(n)
+    }
+    val statsSchema = StructType(physSchema.filterNot(f =>
+      physPartCols.contains(f.name)))
+    val statsByPath = ParquetFooterStats.collect(
+      spark, missing.map(_.path), statsSchema)
+    val rootUri = fs.makeQualified(root).toUri
+    def relOf(p: String): String =
+      rootUri.relativize(fs.makeQualified(new Path(p)).toUri).getPath
+    def pvalsOf(rel: String): List[(String, JValue)] =
+      rel.split('/').init.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> (JString(java.net.URLDecoder.decode(v, "UTF-8")): JValue))
+          case _ => None
+        }
+      }.toList
+    val now = System.currentTimeMillis()
+    val version = prior.version + 1
+    val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(now, "ANALYZE",
+      Map("numFiles" -> missing.size.toString),
+      if (ictEnabled(prior.configuration))
+        Some(nextIct(fs, root, prior.version, now)) else None)
+    missing.foreach { f =>
+      val rel = relOf(f.path)
+      val statsJson = statsByPath.get(f.path)
+        .flatMap(DeltaStats.render(_, statsSchema))
+      val dv = f.dv.map { d =>
+        JObject(List(
+          "storageType" -> (JString(d.storageType): JValue),
+          "pathOrInlineDv" -> (JString(d.pathOrInlineDv): JValue)) ++
+          d.offset.map(o => "offset" -> (JInt(BigInt(o)): JValue)).toList ++
+          List(
+            "sizeInBytes" -> (JInt(BigInt(d.sizeInBytes)): JValue),
+            "cardinality" -> (JLong(d.cardinality): JValue)))
+      }
+      lines += JObject("add" -> JObject(
+        List(
+          "path" -> (JString(rel): JValue),
+          "partitionValues" -> (JObject(pvalsOf(rel)): JValue),
+          "size" -> (JLong(f.size): JValue),
+          "modificationTime" -> (JLong(f.modificationTime): JValue),
+          "dataChange" -> (JBool(false): JValue)) ++
+          dv.map(d => "deletionVector" -> d).toList ++
+          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
+    }
+    val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
+    val out = CommitFence.create(fs, commitPath)
+    finishCommit(spark, rootStr, out, lines.toSeq, version,
+      prior.configuration)
+  }
+
   /** CONVERT TO DELTA — upgrade a plain parquet directory (flat or
     * hive-partitioned) to a Delta table IN PLACE: files stay where
     * they are, one version-0 commit records them as adds with
