@@ -157,4 +157,22 @@ t.clone(droot, croot)
 assert t.read(croot).count() == t.read(droot).count()
 assert t.format_of(croot) == "delta"
 
+# --- in-place conversion + stats backfill
+pdir = tempfile.mkdtemp(prefix="graft-py-convert-")
+DataFrame(jspark.sql(
+    "select * from parquet.`" + sf_dir + "/nation.parquet`"), spark) \
+    ._jdf.write().mode("overwrite").parquet(pdir + "/t")
+t.convert_to_delta(pdir + "/t")
+assert t.format_of(pdir + "/t") == "delta"
+n_nation = t.read(pdir + "/t").count()
+assert n_nation > 0
+assert t.compute_stats(pdir + "/t") >= 0
+mdir = tempfile.mkdtemp(prefix="graft-py-migrate-")
+DataFrame(jspark.sql(
+    "select * from parquet.`" + sf_dir + "/region.parquet`"), spark) \
+    ._jdf.write().mode("overwrite").parquet(mdir + "/t")
+t.migrate_to_iceberg(mdir + "/t")
+assert t.format_of(mdir + "/t") == "iceberg"
+assert t.read(mdir + "/t").count() > 0
+
 print("WRAPPER_OK %d" % n_indexes)
