@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissi
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.json4s._
@@ -32,8 +32,28 @@ import org.json4s.jackson.JsonMethods
  * partition-parallel, pushdown intact, no state beyond the checkpoint.
  */
 final class DeltaStreamProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider with DataSourceRegister {
   override def shortName: String = "graft-delta"
+
+  /** BATCH read — the standard reader syntax
+    * (`spark.read.format("graft-delta").load(path)`), with
+    * `versionAsOf` / `timestampAsOf` time travel. Delegates to
+    * [[DeltaTable.read]], so stats skipping and DV merge-on-read apply
+    * unchanged; pushed filters re-apply inside for file pruning. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val df = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "pass either versionAsOf or timestampAsOf, not both")
+      case (Some(v), _) => DeltaTable.read(spark, path, versionAsOf = Some(v.toLong))
+      case (_, Some(ts)) => DeltaTable.readTimestampAsOf(spark, path,
+        StreamRateLimit.parseTimestamp(ts))
+      case _ => DeltaTable.read(spark, path)
+    }
+    new LakeBatchRelation(sqlContext, df)
+  }
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -68,6 +88,62 @@ final class DeltaStreamProvider extends StreamSourceProvider
 }
 
 /** Rate-limit plumbing shared by both lakehouse stream sources. */
+/**
+ * Batch-read `BaseRelation` wrapping an already-optimized lake
+ * DataFrame: the relation's scan IS the inner plan (stats skipping,
+ * hidden-partition pruning, MOR anti-joins all intact). Pushed filters
+ * re-apply to the inner frame — that is what lets log-level FILE
+ * SKIPPING see them; Spark still re-evaluates every filter above
+ * (`unhandledFilters` = all), so partial translation is always sound.
+ * Column pruning projects the inner frame, narrowing the parquet
+ * ReadSchema. `needConversion = false`: the scan emits the inner
+ * plan's InternalRows directly — no per-row conversion.
+ */
+private[sources] final class LakeBatchRelation(
+    override val sqlContext: SQLContext, df: DataFrame)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def schema: StructType = df.schema
+  override def needConversion: Boolean = false
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(c(a) === lit(v))
+      case GreaterThan(a, v) => Some(c(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case LessThan(a, v) => Some(c(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case In(a, vs) => Some(c(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(c(a).isNull)
+      case IsNotNull(a) => Some(c(a).isNotNull)
+      case StringStartsWith(a, p) => Some(c(a).startsWith(p))
+      case And(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case Not(inner) => toColumn(inner).map(!_)
+      case _ => None // skipped here; Spark evaluates it above
+    }
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val filtered = filters.foldLeft(df)((d, f) =>
+      toColumn(f).map(d.filter).getOrElse(d))
+    // ALWAYS project to exactly the requested columns — the scan's
+    // declared output is requiredColumns, and with needConversion=false
+    // the InternalRow layout must match it (zero-column projections
+    // included: count(*) requests no columns)
+    val projected =
+      filtered.select(requiredColumns.toIndexedSeq.map(filtered.col): _*)
+    projected.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
+}
+
 private[sources] object StreamRateLimit {
 
   /** `maxBytesPerTrigger` accepts a plain byte count or a k/m/g suffix
@@ -355,8 +431,20 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
 /** Iceberg sibling: offsets are snapshot ids, batches come from the
   * incremental append scan's lineage walk ([[IcebergTable.incrementalAppends]]). */
 final class IcebergStreamProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider with DataSourceRegister {
   override def shortName: String = "graft-iceberg"
+
+  /** BATCH read (`spark.read.format("graft-iceberg").load(path)`) with
+    * `snapshotAsOf` time travel — delegates to [[IcebergTable.read]]
+    * (manifest-bounds skipping, hidden-partition pruning, MOR). */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val df = IcebergTable.read(spark, path,
+      snapshotAsOf = parameters.get("snapshotAsOf").map(_.toLong))
+    new LakeBatchRelation(sqlContext, df)
+  }
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
