@@ -2445,7 +2445,7 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     val s = DeltaLog.snapshot(spark, root)
     if (!s.files.exists(_.dv.exists(_.cardinality > 0L))) return s.version
     commit(read(spark, root), root, overwrite = true,
-      partitionBy = s.partitionColumns)
+      partitionByGiven = s.partitionColumns)
   }
 
   /** Symmetric writer gate — shared by [[commit]] and [[deleteWhere]]:
@@ -2518,7 +2518,7 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     * fence (create-no-overwrite): the loser's staged files are removed
     * before rethrowing, so a retry starts clean. */
   private def commit(df: DataFrame, rootStr: String, overwrite: Boolean,
-      partitionBy: Seq[String],
+      partitionByGiven: Seq[String],
       createConfiguration: Map[String, String] = Map.empty,
       txn: Option[(String, Long)] = None,
       mergeSchema: Boolean = false): Long = {
@@ -2531,6 +2531,22 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       else None
     require(prior.isDefined || overwrite,
       s"append to a non-Delta directory: $rootStr (create it first)")
+    // APPENDS INHERIT the table's partition layout (delta-spark never
+    // asks appenders to restate it): an omitted partitionBy takes the
+    // prior's, a conflicting one refuses — a silently-unpartitioned
+    // file in a partitioned layout would be invisible to the
+    // basePath-reconstructing read. Overwrites may re-partition.
+    val partitionBy: Seq[String] =
+      if (overwrite || prior.isEmpty) partitionByGiven
+      else if (partitionByGiven.isEmpty) prior.get.partitionColumns
+      else {
+        require(partitionByGiven == prior.get.partitionColumns,
+          s"append to $rootStr: partitionBy(${partitionByGiven.mkString(", ")}) " +
+            "conflicts with the table's partition columns " +
+            s"(${if (prior.get.partitionColumns.isEmpty) "unpartitioned"
+               else prior.get.partitionColumns.mkString(", ")})")
+        partitionByGiven
+      }
     // txn idempotence inside the retry loop: if the racing winner was
     // this transaction's own replayed twin, no-op instead of re-applying
     txn.foreach { case (app, v) =>

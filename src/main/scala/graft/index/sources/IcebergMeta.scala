@@ -1437,6 +1437,17 @@ object IcebergTable {
     commit(df, location, firstVersion = true, txn = txn,
       partitionColumns = partitionColumns)
 
+  /** OVERWRITE — replace the table's data with `df` in one snapshot
+    * (prior files drop from the manifest, stay on disk for time travel
+    * until expireSnapshots; the changelog diffs the replacement).
+    * Creates the table when absent. The partition spec stays fixed at
+    * create, like every other write. */
+  def overwrite(df: DataFrame, location: String,
+      txn: Option[(String, Long)] = None,
+      partitionColumns: Seq[String] = Nil): Long =
+    commit(df, location, firstVersion = true, txn = txn,
+      partitionColumns = partitionColumns, replaceData = true)
+
   /** `txn` stamps the commit with an idempotence watermark in the
     * table properties (`graft.txn.<appId>` = version) — the pattern
     * Iceberg streaming writers use via snapshot/table metadata, checked
@@ -1656,7 +1667,8 @@ object IcebergTable {
 
   private def commit(df: DataFrame, location: String, firstVersion: Boolean,
       txn: Option[(String, Long)] = None,
-      partitionColumns: Seq[String] = Nil): Long = {
+      partitionColumns: Seq[String] = Nil,
+      replaceData: Boolean = false): Long = {
     val spark = df.sparkSession
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1740,13 +1752,17 @@ object IcebergTable {
     // from the hive path, so the one pruning evaluator covers both.
     val statsByPath = partitionedFooterStats(spark, df.schema, parts,
       added.map(_.getPath.toString))
-    publishSnapshot(spark, location, prior, df.schema, "append",
-      dataExisting = prior.toSeq.flatMap(p =>
-        p.files.map(f => (f, p.dataSeq.getOrElse(f.path, 0L)))),
+    publishSnapshot(spark, location, prior, df.schema,
+      if (replaceData && prior.isDefined) "overwrite" else "append",
+      dataExisting =
+        if (replaceData) Nil
+        else prior.toSeq.flatMap(p =>
+          p.files.map(f => (f, p.dataSeq.getOrElse(f.path, 0L)))),
       dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L,
         stats = statsByPath.get(s.getPath.toString)
           .flatMap(DeltaStats.render(_, df.schema)))),
-      deleteExisting = prior.toSeq.flatMap(_.deleteFiles),
+      deleteExisting =
+        if (replaceData) Nil else prior.toSeq.flatMap(_.deleteFiles),
       deleteAdded = Nil,
       extraProperties = txn
         .map { case (app, v) => Map(s"graft.txn.$app" -> v.toString) }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissi
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.{SaveMode => BatchSaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.json4s._
@@ -32,8 +33,35 @@ import org.json4s.jackson.JsonMethods
  * partition-parallel, pushdown intact, no state beyond the checkpoint.
  */
 final class DeltaStreamProvider extends StreamSourceProvider
-    with StreamSinkProvider with RelationProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName: String = "graft-delta"
+
+  /** BATCH write — `df.write.format("graft-delta").mode(m).save(path)`.
+    * Partition columns ride the `partitionBy` OPTION (comma-separated;
+    * the writer's own partitionBy() is a file-source feature the v1
+    * provider API does not deliver here). */
+  override def createRelation(sqlContext: SQLContext, mode: BatchSaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val parts = LakeBatchWrite.partitionsOf(parameters)
+    val exists = DeltaLog.isDeltaTable(spark, path)
+    mode match {
+      case BatchSaveMode.Overwrite =>
+        DeltaTable.create(data, path, parts)
+      case BatchSaveMode.Append =>
+        if (exists) DeltaTable.append(data, path, parts)
+        else DeltaTable.create(data, path, parts)
+      case BatchSaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"$path is already a Delta table (SaveMode.ErrorIfExists)")
+        else DeltaTable.create(data, path, parts)
+      case BatchSaveMode.Ignore =>
+        if (!exists) DeltaTable.create(data, path, parts)
+    }
+    createRelation(sqlContext, parameters - "partitionBy")
+  }
 
   /** BATCH read — the standard reader syntax
     * (`spark.read.format("graft-delta").load(path)`), with
@@ -142,6 +170,15 @@ private[sources] final class LakeBatchRelation(
     projected.queryExecution.toRdd
       .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }
+}
+
+private[sources] object LakeBatchWrite {
+  /** The batch writers' `partitionBy` OPTION: a comma list split
+    * outside parentheses, so the Iceberg transform syntax
+    * (`"bucket(16, id), days(ts)"`) passes through whole. */
+  def partitionsOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("partitionBy").toSeq
+      .flatMap(_.split(",(?![^(]*\\))")).map(_.trim).filter(_.nonEmpty)
 }
 
 private[sources] object StreamRateLimit {
@@ -431,8 +468,34 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
 /** Iceberg sibling: offsets are snapshot ids, batches come from the
   * incremental append scan's lineage walk ([[IcebergTable.incrementalAppends]]). */
 final class IcebergStreamProvider extends StreamSourceProvider
-    with StreamSinkProvider with RelationProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName: String = "graft-iceberg"
+
+  /** BATCH write — `df.write.format("graft-iceberg").mode(m).save(p)`;
+    * the `partitionBy` option accepts the full transform syntax
+    * (`"bucket(16, id), days(ts)"`). */
+  override def createRelation(sqlContext: SQLContext, mode: BatchSaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val parts = LakeBatchWrite.partitionsOf(parameters)
+    val exists = IcebergMeta.isIcebergTable(spark, path)
+    mode match {
+      case BatchSaveMode.Overwrite =>
+        IcebergTable.overwrite(data, path, partitionColumns = parts)
+      case BatchSaveMode.Append =>
+        if (exists) IcebergTable.append(data, path, partitionColumns = parts)
+        else IcebergTable.create(data, path, partitionColumns = parts)
+      case BatchSaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"$path is already an Iceberg table (SaveMode.ErrorIfExists)")
+        else IcebergTable.create(data, path, partitionColumns = parts)
+      case BatchSaveMode.Ignore =>
+        if (!exists) IcebergTable.create(data, path, partitionColumns = parts)
+    }
+    createRelation(sqlContext, parameters - "partitionBy")
+  }
 
   /** BATCH read (`spark.read.format("graft-iceberg").load(path)`) with
     * `snapshotAsOf` time travel — delegates to [[IcebergTable.read]]

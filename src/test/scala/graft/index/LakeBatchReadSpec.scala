@@ -49,6 +49,40 @@ class LakeBatchReadSpec extends AnyFunSuite {
     }
   }
 
+  test("batch writer syntax: save modes on both formats, partitionBy option") {
+    val d = tmp("graft-batchw-delta-")
+    customer.limit(50).write.format("graft-delta")
+      .option("partitionBy", "c_mktsegment").save(d)
+    assert(DeltaTable.read(spark, d).count() == 50)
+    customer.orderBy(desc("c_custkey")).limit(20).write.format("graft-delta")
+      .mode("append").save(d)
+    assert(DeltaTable.read(spark, d).count() == 70)
+    intercept[IllegalArgumentException] {
+      customer.limit(5).write.format("graft-delta")
+        .mode("errorifexists").save(d)
+    }
+    customer.limit(5).write.format("graft-delta").mode("ignore").save(d)
+    assert(DeltaTable.read(spark, d).count() == 70)
+    customer.limit(30).write.format("graft-delta").mode("overwrite").save(d)
+    assert(DeltaTable.read(spark, d).count() == 30)
+
+    val i = tmp("graft-batchw-ice-")
+    customer.limit(40).write.format("graft-iceberg")
+      .option("partitionBy", "bucket(4, c_custkey)").save(i)
+    assert(IcebergTable.read(spark, i).count() == 40)
+    assert(graft.index.sources.IcebergMeta.snapshot(spark, i)
+      .partitionFields.map(_.transform) == Seq("bucket[4]"))
+    customer.orderBy(desc("c_custkey")).limit(10).write
+      .format("graft-iceberg").mode("append").save(i)
+    assert(IcebergTable.read(spark, i).count() == 50)
+    // true overwrite: data replaced, table history (time travel) kept
+    val preOverwrite = graft.index.sources.IcebergMeta.snapshot(spark, i).snapshotId
+    customer.limit(15).write.format("graft-iceberg").mode("overwrite").save(i)
+    assert(IcebergTable.read(spark, i).count() == 15)
+    assert(IcebergTable.read(spark, i,
+      snapshotAsOf = Some(preOverwrite)).count() == 50)
+  }
+
   test("graft-iceberg batch read: hidden-partition table + snapshotAsOf") {
     val root = tmp("graft-batch-ice-")
     val s1 = IcebergTable.create(customer.limit(100), root,
