@@ -175,4 +175,12 @@ t.migrate_to_iceberg(mdir + "/t")
 assert t.format_of(mdir + "/t") == "iceberg"
 assert t.read(mdir + "/t").count() > 0
 
+# --- standard provider syntax resolves from python too (registry-based)
+bdir = tempfile.mkdtemp(prefix="graft-py-batchfmt-") + "/t"
+jspark.sql("select * from parquet.`" + sf_dir + "/nation.parquet`") \
+    .write().format("graft-delta").save(bdir)
+jread = jspark.read().format("graft-delta").load(bdir)
+assert jread.count() == n_nation
+assert t.format_of(bdir) == "delta"
+
 print("WRAPPER_OK %d" % n_indexes)

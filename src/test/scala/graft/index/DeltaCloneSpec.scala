@@ -110,6 +110,22 @@ class DeltaCloneSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, src).count() == 70)
   }
 
+  test("clone of a COLUMN-MAPPED table: physical-name resolution carries over") {
+    val src = tmp("graft-clone-cm-src-")
+    DeltaTable.create(customer.limit(40), src)
+    DeltaTable.enableColumnMapping(spark, src)
+    DeltaTable.renameColumn(spark, src, "c_name", "customer_name")
+    val dst = tmp("graft-clone-cm-dst-") + "/t"
+    DeltaTable.clone(spark, src, dst)
+    val back = DeltaTable.read(spark, dst)
+    // the clone inherits the mapping config + schema: logical names
+    // resolve against the source files' physical columns
+    assert(back.schema.fieldNames.contains("customer_name"))
+    assert(back.count() == 40)
+    assert(back.agg(sum("c_custkey")).head.getLong(0) ==
+      DeltaTable.read(spark, src).agg(sum("c_custkey")).head.getLong(0))
+  }
+
   test("partitioned source and existing target refuse") {
     val src = tmp("graft-clone-part-src-")
     DeltaTable.create(customer.limit(40), src, partitionBy = Seq("c_mktsegment"))
