@@ -1877,6 +1877,75 @@ object IcebergTable {
     }.toMap
   }
 
+  /** Band `rows` across up to `maxShards` executor tasks keyed on
+    * `bandCols`, write ONE SORTED parquet delete file per non-empty
+    * band into `dataDir`, and return the descriptors only — the
+    * distributed shape of the Delta DV write (`DeltaLog`'s executor-
+    * side bitmap writes): delete positions/keys never funnel through a
+    * single task or the driver. `maxShards <= 1` degenerates to the
+    * one-file layout small tables want. Empty staged parts are
+    * dropped (Spark always materializes partition 0's file, rows or
+    * not), so a predicate matching nothing adds no delete files. */
+  private def writeDeleteFiles(spark: SparkSession, fs: FileSystem,
+      root: Path, dataDir: Path, rows: DataFrame, bandCols: Seq[String],
+      sortCols: Seq[String], maxShards: Int, namePrefix: String,
+      content: Int, equalityIds: Seq[Int], seq: Long): Seq[IceDeleteFile] = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val stage = new Path(root,
+      s".graft-stage-${java.util.UUID.randomUUID().toString}")
+    // band on an EXPLICIT derived column, not bandCols directly: an
+    // upstream shuffle on the same keys (dropDuplicates) would make a
+    // bandCols repartition redundant, and the surviving
+    // ENSURE_REQUIREMENTS exchange is AQE-coalescible — collapsing the
+    // bands back into one task. A REPARTITION_BY_NUM exchange on a
+    // fresh column survives both the optimizer and AQE.
+    val banded =
+      if (maxShards <= 1) rows.repartition(1)
+      else rows
+        .withColumn("_graft_band",
+          pmod(hash(bandCols.map(col): _*), lit(maxShards)))
+        .repartition(maxShards, col("_graft_band"))
+    banded.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      .drop("_graft_band")
+      .write.parquet(stage.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    fs.mkdirs(dataDir)
+    val added = fs.listStatus(stage).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .filter { s =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(s.getPath, conf))
+        try r.getRecordCount > 0L finally r.close()
+      }
+      .zipWithIndex.map { case (s, i) =>
+        val target = new Path(dataDir, s"$namePrefix$i-${s.getPath.getName}")
+        if (!fs.rename(s.getPath, target)) {
+          throw new IllegalStateException(
+            s"failed to move staged delete file ${s.getPath} to $target")
+        }
+        val st = fs.getFileStatus(target)
+        IceDeleteFile(st.getPath.toString, st.getLen, content, equalityIds, seq)
+      }
+    fs.delete(stage, true)
+    added
+  }
+
+  /** Shard count for an equality-delete key frame: 1 (the single tidy
+    * file CDC writers produce) until the optimizer's size estimate for
+    * the frame exceeds one write task's worth (`maxPartitionBytes`),
+    * then one band per task's worth, capped at the shuffle width. The
+    * estimate costs no job — it reads the plan's statistics. */
+  private def eqDeleteShards(spark: SparkSession, keys: DataFrame): Int = {
+    val band = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    val est = keys.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= band) 1
+    else ((est + band - 1) / band)
+      .min(BigInt(spark.sessionState.conf.numShufflePartitions))
+      .max(BigInt(1)).toInt
+  }
+
   /** v2 MERGE-ON-READ row-level DELETE: write a positional-delete file
     * (rows of `file_path`,`pos` per the spec) for every current row
     * matching `predicate` and commit a snapshot whose manifest list
@@ -1915,27 +1984,17 @@ object IcebergTable {
       .select(
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("file_path"),
         col("_metadata.row_index").as("pos"))
-    val stage = new Path(root,
-      s".graft-stage-${java.util.UUID.randomUUID().toString}")
     // delete files are sorted by (file_path, pos) per the spec's
-    // recommendation; one file per delete commit at fixture scale (a
-    // partitioned table would write one per partition)
-    doomed.repartition(1).sortWithinPartitions("file_path", "pos")
-      .write.parquet(stage.toString)
-    val stagedParts = fs.listStatus(stage).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-    val added: Seq[IceDeleteFile] = stagedParts.zipWithIndex.map { case (s, i) =>
-      val target = new Path(dataDir,
-        f"delete-${prior.snapshotId + 1}%05d-$i%d-${s.getPath.getName}")
-      if (!fs.rename(s.getPath, target)) {
-        throw new IllegalStateException(
-          s"failed to move staged delete file ${s.getPath} to $target")
-      }
-      val st = fs.getFileStatus(target)
-      IceDeleteFile(st.getPath.toString, st.getLen, content = 1, Nil,
-        seq = prior.snapshotId + 1)
-    }
-    fs.delete(stage, true)
+    // recommendation, BANDED on file_path across executor tasks — one
+    // sorted file per non-empty band, never a single-task funnel: a
+    // wide delete on a 100 TB table writes its positions in parallel
+    // and the driver sees only the (path, size) descriptors
+    val added = writeDeleteFiles(spark, fs, root, dataDir, doomed,
+      bandCols = Seq("file_path"), sortCols = Seq("file_path", "pos"),
+      maxShards = math.min(spark.sessionState.conf.numShufflePartitions,
+        prior.files.size),
+      namePrefix = f"delete-${prior.snapshotId + 1}%05d-",
+      content = 1, equalityIds = Nil, seq = prior.snapshotId + 1)
 
     publishSnapshot(spark, location, Some(prior), prior.schema, "delete",
       dataExisting = prior.files.map(f =>
@@ -2011,24 +2070,13 @@ object IcebergTable {
       .select(
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("file_path"),
         col("_metadata.row_index").as("pos"))
-    val delStage = new Path(root,
-      s".graft-stage-${java.util.UUID.randomUUID().toString}")
-    doomed.repartition(1).sortWithinPartitions("file_path", "pos")
-      .write.parquet(delStage.toString)
-    val delAdded: Seq[IceDeleteFile] = fs.listStatus(delStage).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.map { case (s, i) =>
-        val target = new Path(dataDir,
-          f"delete-${prior.snapshotId + 1}%05d-u$i%d-${s.getPath.getName}")
-        if (!fs.rename(s.getPath, target)) {
-          throw new IllegalStateException(
-            s"failed to move staged delete file ${s.getPath} to $target")
-        }
-        val st = fs.getFileStatus(target)
-        IceDeleteFile(st.getPath.toString, st.getLen, content = 1, Nil,
-          seq = prior.snapshotId + 1)
-      }
-    fs.delete(delStage, true)
+    // file_path-banded executor-side write, same shape as deleteWhere
+    val delAdded = writeDeleteFiles(spark, fs, root, dataDir, doomed,
+      bandCols = Seq("file_path"), sortCols = Seq("file_path", "pos"),
+      maxShards = math.min(spark.sessionState.conf.numShufflePartitions,
+        prior.files.size),
+      namePrefix = f"delete-${prior.snapshotId + 1}%05d-u",
+      content = 1, equalityIds = Nil, seq = prior.snapshotId + 1)
 
     // updated versions land as fresh data files (table partition spec)
     val stage = new Path(root,
@@ -2082,8 +2130,6 @@ object IcebergTable {
           s"table at $location (have ${nameToId.keys.toSeq.sorted.mkString(", ")})"))
     }
 
-    val stage = new Path(root,
-      s".graft-stage-${java.util.UUID.randomUUID().toString}")
     // equality-delete files are read back under the CURRENT column names;
     // field ids keep them resolvable across later renames
     val keysWithIds = keys.select(keys.columns.toSeq.map { c =>
@@ -2091,24 +2137,12 @@ object IcebergTable {
         .putLong(IcebergMeta.ParquetFieldId, nameToId(c).toLong).build())
     }: _*)
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    keysWithIds.dropDuplicates(keys.columns.toSeq)
-      .repartition(1).sortWithinPartitions(keys.columns.head,
-        keys.columns.tail: _*)
-      .write.parquet(stage.toString)
-    val stagedParts = fs.listStatus(stage).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-    val added: Seq[IceDeleteFile] = stagedParts.zipWithIndex.map { case (s, i) =>
-      val target = new Path(dataDir,
-        f"eq-delete-${prior.snapshotId + 1}%05d-$i%d-${s.getPath.getName}")
-      if (!fs.rename(s.getPath, target)) {
-        throw new IllegalStateException(
-          s"failed to move staged delete file ${s.getPath} to $target")
-      }
-      val st = fs.getFileStatus(target)
-      IceDeleteFile(st.getPath.toString, st.getLen, content = 2, ids,
-        seq = prior.snapshotId + 1)
-    }
-    fs.delete(stage, true)
+    val added = writeDeleteFiles(spark, fs, root, dataDir,
+      keysWithIds.dropDuplicates(keys.columns.toSeq),
+      bandCols = keys.columns.toSeq, sortCols = keys.columns.toSeq,
+      maxShards = eqDeleteShards(spark, keys),
+      namePrefix = f"eq-delete-${prior.snapshotId + 1}%05d-",
+      content = 2, equalityIds = ids, seq = prior.snapshotId + 1)
 
     publishSnapshot(spark, location, Some(prior), prior.schema, "delete",
       dataExisting = prior.files.map(f =>
@@ -2210,25 +2244,15 @@ object IcebergTable {
       src.col(c).as(c, new MetadataBuilder()
         .putLong(IcebergMeta.ParquetFieldId, nameToId(c).toLong).build())
     }: _*)
-    val delStage = new Path(root,
-      s".graft-stage-${java.util.UUID.randomUUID().toString}")
-    keyRows.dropDuplicates(keys)
-      .repartition(1).sortWithinPartitions(keys.head, keys.tail: _*)
-      .write.parquet(delStage.toString)
-    val delAdded: Seq[IceDeleteFile] = fs.listStatus(delStage).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .zipWithIndex.map { case (s, i) =>
-        val target = new Path(dataDir,
-          f"eq-delete-${prior.snapshotId + 1}%05d-$i%d-${s.getPath.getName}")
-        if (!fs.rename(s.getPath, target)) {
-          throw new IllegalStateException(
-            s"failed to move staged delete file ${s.getPath} to $target")
-        }
-        val st = fs.getFileStatus(target)
-        IceDeleteFile(st.getPath.toString, st.getLen, content = 2, ids,
-          seq = prior.snapshotId + 1)
-      }
-    fs.delete(delStage, true)
+    // banded when the key frame exceeds one write task's worth —
+    // a 100 TB CDC merge's delete keys write in parallel, a small
+    // batch keeps the single tidy file real Flink writers produce
+    val delAdded = writeDeleteFiles(spark, fs, root, dataDir,
+      keyRows.dropDuplicates(keys),
+      bandCols = keys, sortCols = keys,
+      maxShards = eqDeleteShards(spark, keyRows),
+      namePrefix = f"eq-delete-${prior.snapshotId + 1}%05d-",
+      content = 2, equalityIds = ids, seq = prior.snapshotId + 1)
 
     val statsByPath = partitionedFooterStats(spark, prior.schema,
       prior.partitionFields, added.map(_.getPath.toString))

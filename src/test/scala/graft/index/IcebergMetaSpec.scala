@@ -156,6 +156,73 @@ class IcebergMetaSpec extends AnyFunSuite {
       old.count())
   }
 
+  test("deleteWhere on a many-file table bands the delete write: " +
+      ">=2 sorted delete files, no single-task funnel") {
+    val loc = tmp("graft-ice-band-")
+    // 8 data files so the positions shard across file_path bands
+    IcebergTable.create(customer.repartition(8), loc)
+    assert(IcebergMeta.snapshot(spark, loc).files.size == 8)
+    IcebergTable.deleteWhere(spark, loc, col("c_custkey") % 2 === 0)
+    val snap = IcebergMeta.snapshot(spark, loc)
+    val dels = snap.deleteFiles.filter(_.content == 1)
+    assert(dels.size >= 2,
+      s"expected the delete write banded across files, got ${dels.size} file(s)")
+    // each band is internally sorted by (file_path, pos) per the spec
+    dels.foreach { d =>
+      val rows = spark.read.parquet(d.path)
+        .select("file_path", "pos").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == rows.sorted, s"delete file ${d.path} is not sorted")
+      assert(rows.nonEmpty, s"empty delete file ${d.path} was committed")
+    }
+    // a file's positions all live in exactly one band (hash on file_path)
+    val byFile = dels.flatMap(d => spark.read.parquet(d.path)
+      .select("file_path").distinct().collect().map(_.getString(0) -> d.path))
+    assert(byFile.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1),
+      "a data file's delete positions were split across bands")
+    // and the read still applies them all
+    val got = IcebergTable.read(spark, loc)
+    val expected = customer.filter(col("c_custkey") % 2 =!= 0)
+    assert(got.count() == expected.count())
+    assert(got.select(sum(col("c_custkey"))).head().getLong(0) ==
+      expected.select(sum(col("c_custkey"))).head().getLong(0))
+  }
+
+  test("deleteWhere matching nothing commits no delete files") {
+    val loc = tmp("graft-ice-noop-")
+    IcebergTable.create(customer.limit(50), loc)
+    IcebergTable.deleteWhere(spark, loc, col("c_custkey") < 0)
+    val snap = IcebergMeta.snapshot(spark, loc)
+    assert(snap.deleteFiles.isEmpty,
+      "a no-match delete committed an empty delete file")
+    assert(IcebergTable.read(spark, loc).count() == 50)
+  }
+
+  test("equality-delete keys band across files past the size threshold") {
+    val loc = tmp("graft-ice-eqband-")
+    IcebergTable.create(customer, loc)
+    val keys = customer.filter(col("c_custkey") % 3 === 0).select("c_custkey")
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // shrink one task's worth so the fixture-sized key frame exceeds it
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+      IcebergTable.deleteWhereEquality(spark, loc, keys)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+    val snap = IcebergMeta.snapshot(spark, loc)
+    val dels = snap.deleteFiles.filter(_.content == 2)
+    assert(dels.size >= 2,
+      s"expected the key write banded, got ${dels.size} file(s)")
+    dels.foreach { d =>
+      val ks = spark.read.parquet(d.path).collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"eq-delete file ${d.path} is not sorted")
+    }
+    val got = IcebergTable.read(spark, loc)
+    val expected = customer.filter(col("c_custkey") % 3 =!= 0)
+    assert(got.count() == expected.count())
+    assert(got.select(sum(col("c_custkey"))).head().getLong(0) ==
+      expected.select(sum(col("c_custkey"))).head().getLong(0))
+  }
+
   test("an equality delete entry without equality_ids is refused (corrupt tree)") {
     val loc = tmp("graft-ice-eq-")
     IcebergTable.create(customer.limit(20), loc)
