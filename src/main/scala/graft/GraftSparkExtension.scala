@@ -46,6 +46,15 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     extensions.injectPlannerStrategy(spark =>
       new graft.execution.BucketUnionStrategy(spark))
 
+    // SQL-statement surface for the lakehouse verbs (delta-spark's
+    // DeltaSqlParser pattern): OPTIMIZE / VACUUM / DESCRIBE
+    // DETAIL|HISTORY get a small delegating parser; MERGE / UPDATE /
+    // DELETE parse through Spark's own grammar and are routed onto the
+    // LakeTable verbs by a resolution rule.
+    extensions.injectParser((_, delegate) =>
+      new graft.sql.GraftSqlParser(delegate))
+    extensions.injectResolutionRule(_ => new graft.sql.LakeDmlResolution)
+
     import graft.functions._
     extensions.injectFunction((
       FunctionIdentifier("graft_md5_prefix60"),

@@ -35,6 +35,10 @@ private[sources] case class LakeDeleteFileRow(
 
 object LakeInspect {
 
+  /** Static schema of [[detail]], for the SQL command's fixed output. */
+  val detailSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[LakeDetailRow].schema
+
   /** One-row `DESCRIBE DETAIL`: format, current id/version, file and
     * byte counts, partition spec, properties, protocol. */
   def detail(spark: SparkSession, path: String): DataFrame = {

@@ -1071,6 +1071,38 @@ object IndexAccel {
       |     OR (c_custkey % 2 = 1 AND c_custkey % 3 = 0 AND c_nationkey < 20)
       |)""".stripMargin
 
+  /** The SAME merge as [[idxDeltaMerge]], driven through the SQL
+    * statement surface (`MERGE INTO graft_delta.\`path\` ...` via the
+    * session extension's parser + resolution rule) instead of the API
+    * verb — shares [[idxDeltaMergeSql]] as its oracle, so a hash match
+    * proves the two entry points are the same code path. */
+  def lakeSqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.DeltaTable
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_lake_sql_merge_$h"
+    synchronized {
+      if (!graft.index.sources.DeltaLog.isDeltaTable(spark, root)) {
+        val customer = Tables.load(spark, sfDir, "customer")
+        DeltaTable.create(customer.filter(col("c_custkey") % 2 === 0), root,
+          configuration = Map("delta.enableChangeDataFeed" -> "true"))
+        customer.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000)
+          .createOrReplaceTempView("lake_sql_merge_src")
+        spark.sql(
+          s"""MERGE INTO graft_delta.`$root` t USING lake_sql_merge_src s
+             |ON t.c_custkey = s.c_custkey
+             |WHEN MATCHED AND s.c_nationkey >= 20 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+    }
+    DeltaTable.read(spark, root)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("segment"))
+  }
+
   val idxDeltaMergeSql: String =
     s"""$mergeOracleCte
        |SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1294,6 +1326,7 @@ object IndexAccel {
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "idx_delta_merge" -> (idxDeltaMerge _, idxDeltaMergeSql),
+    "lake_sql_merge" -> (lakeSqlMerge _, idxDeltaMergeSql),
     "idx_delta_merge_cdf" -> (idxDeltaMergeCdf _, idxDeltaMergeCdfSql),
     "idx_iceberg_merge" -> (idxIcebergMerge _, idxDeltaMergeSql),
     "stream_lake_upsert" -> (streamLakeUpsert _, idxDeltaMergeSql),

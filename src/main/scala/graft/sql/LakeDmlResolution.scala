@@ -1,0 +1,147 @@
+package graft.sql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.GraftBridge
+
+/**
+ * Routes Spark-parsed DML statements targeting `graft_delta.` /
+ * `graft_iceberg.` / `graft_lake.`-qualified paths onto the
+ * [[graft.index.sources.LakeTable]] verbs, BEFORE the analyzer would
+ * fail the unresolvable relation. Spark's own grammar does all the
+ * expression parsing; this rule only pattern-matches the statement
+ * shape and refuses — loudly, with the supported shape in the message —
+ * anything [[graft.index.sources.LakeTable]]'s CDC-upsert merge can't
+ * express (delta-spark's MERGE is general; ours is the Flink-upsert
+ * subset both formats commit in one snapshot).
+ */
+class LakeDmlResolution extends Rule[LogicalPlan] {
+
+  /** Unwraps `[alias.]graft_<fmt>.`path`` → (path, alias). */
+  private def graftTarget(p: LogicalPlan): Option[(String, Option[String])] =
+    p match {
+      case SubqueryAlias(ident, child) =>
+        graftTarget(child).map { case (path, _) => (path, Some(ident.name)) }
+      case u: UnresolvedRelation => u.multipartIdentifier match {
+        case Seq(ns, path)
+            if GraftSqlParser.Providers.contains(ns.toLowerCase) =>
+          Some((path, None))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def sourceAlias(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(ident, _) => Some(ident.name)
+    case _ => None
+  }
+
+  /** Drop `t.`/`s.` qualifiers the underlying verb resolves without. */
+  private def stripQuals(e: Expression, aliases: Set[String]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+          aliases.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(a.nameParts.tail)
+    }
+
+  private def asColumn(e: Expression, aliases: Set[String]): Column =
+    GraftBridge.column(stripQuals(e, aliases))
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft lake SQL: $msg. Supported MERGE shape: MERGE INTO <lake> t " +
+        "USING <src> s ON t.k = s.k [AND ...] [WHEN MATCHED AND <cond> " +
+        "THEN DELETE] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
+        "THEN INSERT *")
+
+  /** `ON t.k = s.k AND ...` → the merge key column names. */
+  private def mergeKeys(cond: Expression): Seq[String] =
+    conjuncts(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        a.nameParts.last
+      case other => fail("the ON clause must be a conjunction of " +
+        s"target.key = source.key equalities on same-named columns, got: " +
+        other.sql)
+    }
+
+  private def convertMerge(m: MergeIntoTable, path: String,
+      targetAlias: Option[String]): LogicalPlan = {
+    val srcAlias = sourceAlias(m.sourceTable)
+    val aliases = (targetAlias.toSeq ++ srcAlias.toSeq).map(_.toLowerCase).toSet
+    val keys = mergeKeys(m.mergeCondition)
+
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    val (deletes, updates) =
+      m.matchedActions.partition(_.isInstanceOf[DeleteAction])
+    updates match {
+      case Seq(UpdateStarAction(None)) => ()
+      case _ => fail("matched rows must be handled by exactly one " +
+        "unconditional WHEN MATCHED THEN UPDATE SET *")
+    }
+    if (deletes.nonEmpty && !m.matchedActions.head.isInstanceOf[DeleteAction])
+      fail("a WHEN MATCHED ... DELETE clause must precede the UPDATE " +
+        "clause (SQL first-match-wins semantics)")
+    val deleteCondition = deletes match {
+      case Nil => None
+      case Seq(DeleteAction(Some(c))) =>
+        // evaluated over SOURCE rows by LakeTable.merge — a target-
+        // qualified reference would silently resolve against the source
+        targetAlias.filter(t => !srcAlias.exists(_.equalsIgnoreCase(t)))
+          .foreach { t =>
+            c.foreach {
+              case a: UnresolvedAttribute
+                  if a.nameParts.length > 1 &&
+                    a.nameParts.head.equalsIgnoreCase(t) =>
+                fail(s"the DELETE condition must reference source columns " +
+                  s"only, got target-qualified ${a.sql}")
+              case _ => ()
+            }
+          }
+        Some(asColumn(c, aliases))
+      case _ => fail("only WHEN MATCHED AND <condition> THEN DELETE is " +
+        "supported (one conditional delete clause)")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => ()
+      case _ => fail("unmatched rows must be handled by exactly one " +
+        "unconditional WHEN NOT MATCHED THEN INSERT *")
+    }
+    GraftMergeCommand(path, m.sourceTable, keys, deleteCondition)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable =>
+      graftTarget(m.targetTable)
+        .map { case (path, alias) => convertMerge(m, path, alias) }
+        .getOrElse(plan)
+    case u: UpdateTable =>
+      graftTarget(u.table).map { case (path, alias) =>
+        val aliases = alias.map(_.toLowerCase).toSet
+        val set = u.assignments.map { a =>
+          val name = a.key match {
+            case k: UnresolvedAttribute => k.nameParts.last
+            case other => fail(s"SET must assign plain columns, got ${other.sql}")
+          }
+          name -> asColumn(a.value, aliases)
+        }
+        GraftUpdateCommand(path, set, u.condition.map(asColumn(_, aliases)))
+      }.getOrElse(plan)
+    case d: DeleteFromTable =>
+      graftTarget(d.table).map { case (path, alias) =>
+        val aliases = alias.map(_.toLowerCase).toSet
+        GraftDeleteCommand(path,
+          Option(d.condition).map(asColumn(_, aliases)))
+      }.getOrElse(plan)
+    case _ => plan
+  }
+}

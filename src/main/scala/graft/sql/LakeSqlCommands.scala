@@ -1,0 +1,115 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+
+import graft.index.sources.{LakeInspect, LakeTable}
+
+/**
+ * SQL-statement surface for the lakehouse verbs: each command is the
+ * thinnest possible shim from a parsed statement onto the existing
+ * [[LakeTable]] API, so `spark.sql("MERGE INTO graft_delta.`/p` ...")`
+ * and `LakeTable.merge(...)` are the SAME code path (one oracle row,
+ * `lake_sql_merge`, pins them hash-identical). Commands execute
+ * eagerly on `spark.sql(...)` like every Spark command.
+ *
+ * delta-spark's SQL extension is the model (DeltaSqlParser routing
+ * OPTIMIZE/VACUUM/DESCRIBE DETAIL to table commands); the reference
+ * itself is API-only, so this is parity-plus usability.
+ */
+private[sql] object LakeSqlCommands {
+  /** Single `id` column: the committed version / snapshot id. */
+  def idOutput: Seq[Attribute] =
+    Seq(AttributeReference("id", LongType, nullable = false)())
+}
+
+/** `MERGE INTO <lake> [t] USING <src> [s] ON t.k = s.k WHEN [MATCHED AND
+  * c THEN DELETE] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+  * INSERT *` — the CDC-upsert shape [[LakeTable.merge]] implements.
+  * `source` is resolved at run time (temp views, subqueries, and other
+  * lake paths all work). */
+case class GraftMergeCommand(path: String, source: LogicalPlan,
+    keys: Seq[String], deleteCondition: Option[Column])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = GraftBridge.ofRows(spark, source)
+    Seq(Row(LakeTable.merge(spark, path, src, keys, deleteCondition)))
+  }
+}
+
+/** `UPDATE <lake> SET c = e, ... [WHERE cond]` → [[LakeTable.update]]. */
+case class GraftUpdateCommand(path: String,
+    set: Seq[(String, Column)], condition: Option[Column])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.update(spark, path,
+      condition.getOrElse(lit(true)), set.toMap)))
+}
+
+/** `DELETE FROM <lake> [WHERE cond]` → [[LakeTable.deleteWhere]]. */
+case class GraftDeleteCommand(path: String, condition: Option[Column])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.deleteWhere(spark, path,
+      condition.getOrElse(lit(true)))))
+}
+
+/** `OPTIMIZE <lake> [WHERE pred] [ZORDER BY (c, ...)]` →
+  * [[LakeTable.optimize]] (bin-pack, or z-order when columns given;
+  * WHERE scopes the rewrite to matching partitions). The predicate
+  * text parses lazily at run so it resolves against the table. */
+case class GraftOptimizeCommand(path: String, zorderBy: Seq[String],
+    whereSql: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.optimize(spark, path, zorderBy = zorderBy,
+      where = whereSql.map(expr))))
+}
+
+/** `VACUUM <lake> [RETAIN n HOURS]` → [[LakeTable.cleanup]]; returns
+  * one row per physically removed file, like delta-spark's VACUUM
+  * returns the vacuumed path. */
+case class GraftVacuumCommand(path: String, retainHours: Option[Double])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("removed_path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val retentionMs = retainHours
+      .map(h => (h * 3600 * 1000).toLong)
+      .getOrElse(7L * 24 * 3600 * 1000)
+    LakeTable.cleanup(spark, path, retentionMs).map(Row(_))
+  }
+}
+
+/** `DESCRIBE DETAIL <lake>` → [[LakeInspect.detail]] (one row). */
+case class GraftDescribeDetailCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    LakeInspect.detailSchema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+  override def run(spark: SparkSession): Seq[Row] =
+    LakeInspect.detail(spark, path).collect().toSeq
+}
+
+/** `DESCRIBE HISTORY <lake>` → [[LakeTable.history]], newest first.
+  * The id column is the Delta version / Iceberg snapshot id, named
+  * `id` uniformly (the statement can't know the format statically). */
+case class GraftDescribeHistoryCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("id", LongType, nullable = false)(),
+    AttributeReference("timestamp", TimestampType)(),
+    AttributeReference("operation", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    LakeTable.history(spark, path)
+      .toDF("id", "timestamp", "operation").collect().toSeq
+}

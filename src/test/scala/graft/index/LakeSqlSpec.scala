@@ -1,0 +1,217 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.sources.{DeltaLog, DeltaTable, IcebergMeta, IcebergTable, LakeTable}
+
+/**
+ * SQL-statement surface for the lake verbs (GraftSqlParser +
+ * LakeDmlResolution): every statement must be the SAME code path as
+ * the API verb it routes to — MERGE/UPDATE/DELETE through Spark's own
+ * DML grammar, OPTIMIZE/VACUUM/DESCRIBE DETAIL|HISTORY through the
+ * delegating parser. delta-spark's SQL surface is the model; the
+ * reference is API-only, so this is parity-plus.
+ */
+class LakeSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def customer =
+    spark.read.parquet(s"${TestSpark.sfDir}/customer.parquet")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("MERGE INTO graft_delta hashes identically to the API verb") {
+    val sqlRoot = tmp("graft-sql-merge-d-")
+    val apiRoot = tmp("graft-api-merge-d-")
+    val target = customer.filter($"c_custkey" % 2 === 0)
+    DeltaTable.create(target, sqlRoot)
+    DeltaTable.create(target, apiRoot)
+    val source = customer.filter($"c_custkey" % 3 === 0)
+      .withColumn("c_acctbal", $"c_acctbal" + 1000)
+    source.createOrReplaceTempView("merge_src")
+
+    val res = spark.sql(
+      s"""MERGE INTO graft_delta.`$sqlRoot` t USING merge_src s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED AND s.c_nationkey >= 20 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(res.columns.toSeq == Seq("id"))
+    assert(res.head().getLong(0) == 1L)
+
+    LakeTable.merge(spark, apiRoot, source, Seq("c_custkey"),
+      deleteCondition = Some($"c_nationkey" >= 20))
+
+    val a = DeltaTable.read(spark, sqlRoot).orderBy("c_custkey").collect().toSeq
+    val b = DeltaTable.read(spark, apiRoot).orderBy("c_custkey").collect().toSeq
+    assert(a == b, "SQL merge and API merge diverged")
+  }
+
+  test("MERGE INTO graft_iceberg routes to the equality-delete merge") {
+    val root = tmp("graft-sql-merge-i-")
+    IcebergTable.create(customer.filter($"c_custkey" <= 100), root)
+    customer.filter($"c_custkey" > 90 && $"c_custkey" <= 110)
+      .withColumn("c_acctbal", lit(0.0))
+      .createOrReplaceTempView("merge_src_i")
+    spark.sql(
+      s"""MERGE INTO graft_iceberg.`$root` t USING merge_src_i s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = IcebergTable.read(spark, root)
+    val targetKeys = customer.filter($"c_custkey" <= 100)
+      .select("c_custkey").as[Long].collect().toSet
+    val srcKeys = customer.filter($"c_custkey" > 90 && $"c_custkey" <= 110)
+      .select("c_custkey").as[Long].collect().toSet
+    assert(got.count() == (targetKeys ++ srcKeys).size)
+    assert(got.filter($"c_custkey".isin(srcKeys.toSeq: _*) &&
+      $"c_acctbal" =!= 0.0).count() == 0)
+    // one commit, equality-delete file present
+    val snap = IcebergMeta.snapshot(spark, root)
+    assert(snap.snapshotId == 2L)
+    assert(snap.deleteFiles.exists(_.content == 2))
+  }
+
+  test("unsupported MERGE shapes are refused loudly") {
+    val root = tmp("graft-sql-merge-bad-")
+    DeltaTable.create(customer.limit(10), root)
+    customer.limit(5).createOrReplaceTempView("merge_src_bad")
+    def refused(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)),
+        s"expected refusal mentioning '$frag', got: ${msgs(e).mkString(" | ")}")
+    }
+    // non-equi ON
+    refused(
+      s"""MERGE INTO graft_delta.`$root` t USING merge_src_bad s
+         |ON t.c_custkey < s.c_custkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "ON clause")
+    // column-list update instead of SET *
+    refused(
+      s"""MERGE INTO graft_delta.`$root` t USING merge_src_bad s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED THEN UPDATE SET c_name = s.c_name
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "UPDATE SET *")
+    // matched-delete after the unconditional update never fires —
+    // Spark's own grammar already rejects this ordering
+    refused(
+      s"""MERGE INTO graft_delta.`$root` t USING merge_src_bad s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN MATCHED AND s.c_nationkey > 5 THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "only the last MATCHED clause")
+    // delete condition over target columns
+    refused(
+      s"""MERGE INTO graft_delta.`$root` t USING merge_src_bad s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED AND t.c_nationkey > 5 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "source columns")
+  }
+
+  test("UPDATE and DELETE FROM route to the row-level verbs (both formats)") {
+    val droot = tmp("graft-sql-upd-d-")
+    val iroot = tmp("graft-sql-upd-i-")
+    DeltaTable.create(customer.limit(100), droot)
+    IcebergTable.create(customer.limit(100), iroot)
+
+    for ((tag, root, read) <- Seq(
+        ("graft_delta", droot, () => DeltaTable.read(spark, droot)),
+        ("graft_iceberg", iroot, () => IcebergTable.read(spark, iroot)))) {
+      val r1 = spark.sql(
+        s"UPDATE $tag.`$root` SET c_acctbal = c_acctbal + 100 " +
+          "WHERE c_nationkey = 3")
+      assert(r1.columns.toSeq == Seq("id"))
+      val bumped = read().filter($"c_nationkey" === 3)
+      assert(bumped.count() > 0)
+      val base = customer.limit(100).filter($"c_nationkey" === 3)
+        .select($"c_custkey", ($"c_acctbal" + 100).as("b"))
+        .as[(Long, Double)].collect().toMap
+      bumped.select($"c_custkey", $"c_acctbal").as[(Long, Double)]
+        .collect().foreach { case (k, b) =>
+          assert(math.abs(b - base(k)) < 1e-6, s"$tag key $k not updated")
+        }
+      spark.sql(s"DELETE FROM $tag.`$root` WHERE c_nationkey = 3")
+      assert(read().filter($"c_nationkey" === 3).count() == 0)
+      assert(read().count() == 100 - base.size)
+    }
+  }
+
+  test("graft_lake auto-detects the format") {
+    val root = tmp("graft-sql-lake-")
+    IcebergTable.create(customer.filter($"c_custkey" <= 30), root)
+    spark.sql(s"DELETE FROM graft_lake.`$root` WHERE c_custkey <= 10")
+    assert(IcebergTable.read(spark, root).count() == 20)
+    val detail = spark.sql(s"DESCRIBE DETAIL graft_lake.`$root`")
+    assert(detail.select("format").head().getString(0) == "iceberg")
+  }
+
+  test("OPTIMIZE bin-packs; ZORDER BY and WHERE parse and apply") {
+    val root = tmp("graft-sql-opt-")
+    DeltaTable.create(customer.limit(60).repartition(6), root)
+    assert(DeltaLog.snapshot(spark, root).files.size == 6)
+    val r = spark.sql(s"OPTIMIZE graft_delta.`$root`")
+    assert(r.columns.toSeq == Seq("id"))
+    assert(DeltaLog.snapshot(spark, root).files.size < 6)
+    assert(DeltaTable.read(spark, root).count() == 60)
+
+    // zorder form (clustered rewrite, row-transparent)
+    val zroot = tmp("graft-sql-optz-")
+    DeltaTable.create(customer.limit(60).repartition(4), zroot)
+    spark.sql(
+      s"OPTIMIZE graft_delta.`$zroot` ZORDER BY (c_nationkey, c_custkey)")
+    assert(DeltaTable.read(spark, zroot).count() == 60)
+
+    // WHERE scope on a partitioned table: only the matching partition
+    // is rewritten
+    val proot = tmp("graft-sql-optw-")
+    DeltaTable.create(customer.limit(60).repartition(3), proot,
+      partitionBy = Seq("c_mktsegment"))
+    val before = DeltaLog.snapshot(spark, proot).files
+      .filterNot(_.path.contains("c_mktsegment=BUILDING")).map(_.path).toSet
+    spark.sql(
+      s"OPTIMIZE graft_delta.`$proot` WHERE c_mktsegment = 'BUILDING'")
+    val after = DeltaLog.snapshot(spark, proot).files
+      .filterNot(_.path.contains("c_mktsegment=BUILDING")).map(_.path).toSet
+    assert(before == after, "OPTIMIZE WHERE rewrote out-of-scope partitions")
+    assert(DeltaTable.read(spark, proot).count() == 60)
+  }
+
+  test("VACUUM RETAIN 0 HOURS returns the removed paths") {
+    val root = tmp("graft-sql-vac-")
+    DeltaTable.create(customer.limit(40), root)
+    // orphan the original files behind a full overwrite
+    DeltaTable.create(customer.limit(20), root) // overwrite commit
+    val removed = spark.sql(s"VACUUM graft_delta.`$root` RETAIN 0 HOURS")
+    assert(removed.columns.toSeq == Seq("removed_path"))
+    assert(removed.count() > 0, "expected orphaned files vacuumed")
+    assert(DeltaTable.read(spark, root).count() == 20)
+  }
+
+  test("DESCRIBE DETAIL and DESCRIBE HISTORY surface the metadata") {
+    val root = tmp("graft-sql-desc-")
+    DeltaTable.create(customer.limit(30), root)
+    DeltaTable.append(customer.limit(10), root)
+    val detail = spark.sql(s"DESCRIBE DETAIL graft_delta.`$root`")
+    val d = detail.head()
+    assert(d.getAs[String]("format") == "delta")
+    assert(d.getAs[Long]("num_files") >= 1L)
+    val hist = spark.sql(s"DESC HISTORY graft_delta.`$root`")
+    assert(hist.columns.toSeq == Seq("id", "timestamp", "operation"))
+    val ids = hist.select("id").as[Long].collect().toSeq
+    assert(ids == Seq(1L, 0L), s"history not newest-first: $ids")
+  }
+}
