@@ -2430,7 +2430,15 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     * loudly. */
   private val SupportedWriterFeatures =
     Set("appendOnly", "deletionVectors", "columnMapping", "changeDataFeed",
-      "v2Checkpoint", "inCommitTimestamp")
+      "v2Checkpoint", "inCommitTimestamp",
+      // typeWidening: the writer maintains `delta.typeChanges` field
+      // metadata (widenColumnTypes / mergeSchema widening) and upcasts
+      // narrower incoming data to the declared type — the conforming-
+      // writer obligations. `invariants` is declared because a legacy
+      // minWriterVersion=2 protocol implies it on upgrade to table
+      // features; ACTUAL invariant usage (delta.invariants field
+      // metadata) is refused in writerGate below.
+      "typeWidening", "typeWidening-preview", "invariants")
 
   /**
    * MERGE-ON-READ COMPACTION (Delta's REORG PURGE analogue): when the
@@ -2485,6 +2493,13 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         s"Delta table at $rootStr has IDENTITY columns this minimal " +
           "writer cannot assign. Write with the delta-spark connector instead.")
     }
+    // the invariants FEATURE is declared (legacy protocol upgrades imply
+    // it); actual column invariants would need enforcement we don't have
+    if (fields.exists(_.metadata.contains("delta.invariants"))) {
+      throw new UnsupportedDeltaProtocolException(
+        s"Delta table at $rootStr declares column INVARIANTS this minimal " +
+          "writer cannot enforce. Write with the delta-spark connector instead.")
+    }
     // change data feed: supported — deleteWhere and overwrite commits on
     // CDF tables record their row-level changes as `_change_data/` cdc
     // files (see writeCdc), and plain appends are their own change data
@@ -2517,6 +2532,124 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     * before/after directory diff invites). The commit file itself is the
     * fence (create-no-overwrite): the loser's staged files are removed
     * before rethrowing, so a retry starts clean. */
+  /** Spec-eligible type widenings (the stable `typeWidening` feature's
+    * primitive chains): byte→short→int→long, float→double. */
+  private val WideningTargets: Map[DataType, Seq[DataType]] = Map(
+    ByteType -> Seq(ShortType, IntegerType, LongType),
+    ShortType -> Seq(IntegerType, LongType),
+    IntegerType -> Seq(LongType),
+    FloatType -> Seq(DoubleType))
+
+  private[sources] def isWidening(from: DataType, to: DataType): Boolean =
+    WideningTargets.get(from).exists(_.contains(to))
+
+  /** Widen a field's declared type and append the change to its
+    * `delta.typeChanges` history. Prior entries round-trip from either
+    * representation found in the wild — delta-spark's metadata ARRAY of
+    * `{fromType, toType}` objects, or string-encoded JSON. */
+  private def widenField(tf: StructField, from: DataType,
+      to: DataType): StructField = {
+    val priorEntries: Seq[(String, String)] =
+      if (!tf.metadata.contains("delta.typeChanges")) Nil
+      else scala.util.Try {
+        tf.metadata.getMetadataArray("delta.typeChanges").toSeq
+          .map(m => (m.getString("fromType"), m.getString("toType")))
+      }.orElse(scala.util.Try {
+        JsonMethods.parse(tf.metadata.getString("delta.typeChanges")) match {
+          case JArray(vs) => vs.flatMap { v =>
+            (v \ "fromType", v \ "toType") match {
+              case (JString(f), JString(t)) => Some((f, t))
+              case _ => None
+            }
+          }
+          case _ => Nil
+        }
+      }).getOrElse(Nil)
+    val entries = priorEntries :+ ((from.typeName, to.typeName))
+    val mb = new MetadataBuilder().withMetadata(tf.metadata)
+    mb.putMetadataArray("delta.typeChanges", entries.map { case (f, t) =>
+      new MetadataBuilder()
+        .putString("fromType", f).putString("toType", t).build()
+    }.toArray)
+    tf.copy(dataType = to, metadata = mb.build())
+  }
+
+  /** Legacy protocol versions are cumulative feature bundles; upgrading
+    * to table features must restate them explicitly (the spec's
+    * upgrade rule, same table capabilities before and after). */
+  private def legacyReaderFeatures(v: Int): Set[String] =
+    if (v >= 2) Set("columnMapping") else Set.empty
+  private def legacyWriterFeatures(v: Int): Set[String] =
+    Seq(2 -> Set("appendOnly", "invariants"),
+      3 -> Set("checkConstraints"),
+      4 -> Set("generatedColumns", "changeDataFeed"),
+      5 -> Set("columnMapping"),
+      6 -> Set("identityColumns"))
+      .filter(_._1 <= v).flatMap(_._2).toSet
+
+  /**
+   * ALTER-style TYPE WIDENING (`ALTER TABLE ... ALTER COLUMN ... TYPE`):
+   * upgrade the protocol to table features carrying `typeWidening` and
+   * republish metaData with each named column widened and the change
+   * recorded in `delta.typeChanges` — after which appends/merges keep
+   * working (the writer gate accepts the feature, narrower incoming
+   * data upcasts). Files written before the widening keep their
+   * narrower physical types; readers upcast at scan
+   * (DeltaTypeWideningSpec pins the read side). Narrowing and
+   * non-eligible changes refuse.
+   */
+  def widenColumnTypes(spark: SparkSession, rootStr: String,
+      changes: Map[String, DataType]): Long = CommitRetry() {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = false, kind = "widenColumnTypes")
+    require(changes.nonEmpty, s"widenColumnTypes at $rootStr: no changes")
+    val table = prior.schema
+    changes.foreach { case (name, to) =>
+      val tf = table.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"widenColumnTypes at $rootStr: no column '$name'"))
+      require(isWidening(tf.dataType, to),
+        s"widenColumnTypes at $rootStr: ${tf.dataType.simpleString} -> " +
+          s"${to.simpleString} on '$name' is not a spec-eligible widening " +
+          "(byte->short->int->long, float->double); narrowing is refused")
+    }
+    val widened = StructType(table.fields.toSeq.map { tf =>
+      changes.get(tf.name)
+        .map(to => widenField(tf, tf.dataType, to)).getOrElse(tf)
+    })
+    val readers = (if (prior.minReaderVersion >= 3) prior.readerFeatures
+      else legacyReaderFeatures(prior.minReaderVersion)) + "typeWidening"
+    val writers = (if (prior.minWriterVersion >= 7) prior.writerFeatures
+      else legacyWriterFeatures(prior.minWriterVersion)) + "typeWidening"
+    val now = System.currentTimeMillis()
+    val version = prior.version + 1
+    val lines = Seq[JValue](
+      commitInfoLine(now, "CHANGE COLUMN",
+        Map("typeWidening" -> changes.keys.toSeq.sorted.mkString(",")),
+        if (ictEnabled(prior.configuration))
+          Some(nextIct(fs, root, prior.version, now)) else None),
+      JObject("protocol" -> JObject(
+        "minReaderVersion" -> JInt(3), "minWriterVersion" -> JInt(7),
+        "readerFeatures" -> JArray(readers.toList.sorted.map(JString(_))),
+        "writerFeatures" -> JArray(writers.toList.sorted.map(JString(_))))),
+      JObject("metaData" -> JObject(
+        "id" -> JString(java.util.UUID.randomUUID().toString),
+        "format" -> JObject(
+          "provider" -> JString("parquet"), "options" -> JObject()),
+        "schemaString" -> JString(widened.json),
+        "partitionColumns" -> JArray(
+          prior.partitionColumns.toList.map(JString(_))),
+        "configuration" -> JObject(
+          prior.configuration.toList.sortBy(_._1)
+            .map { case (k, v) => k -> JString(v) }),
+        "createdTime" -> JLong(now))))
+    val out = CommitFence.create(fs,
+      new Path(DeltaLog.logDir(root), f"$version%020d.json"))
+    finishCommit(spark, rootStr, out, lines, version, prior.configuration)
+  }
+
   private def commit(df: DataFrame, rootStr: String, overwrite: Boolean,
       partitionByGiven: Seq[String],
       createConfiguration: Map[String, String] = Map.empty,
@@ -2574,33 +2707,61 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     // to every reader and conflicting types would corrupt. Additive
     // evolution (new nullable columns) is opt-in via `mergeSchema`;
     // missing columns are fine (readers see nulls), type changes refuse.
-    val evolvedSchema: Option[StructType] =
-      if (overwrite || prior.isEmpty || cmMode != "none") None
+    // On a `typeWidening` table the conforming-writer obligations apply:
+    // incoming data NARROWER than the declared type upcasts before the
+    // write (old files already carry narrower physical types), and a
+    // `mergeSchema` append may WIDEN a declared type along the spec's
+    // eligible chains, recording the change in `delta.typeChanges`.
+    val typeWideningOn = prior.exists(p =>
+      p.writerFeatures.contains("typeWidening") ||
+        p.writerFeatures.contains("typeWidening-preview"))
+    val (evolvedSchema, dfAligned): (Option[StructType], DataFrame) =
+      if (overwrite || prior.isEmpty || cmMode != "none") (None, df)
       else {
         val table = prior.get.schema
         val byName = table.fields.map(f => f.name -> f).toMap
+        val upcasts = mutable.Map.empty[String, DataType]
+        val widenedCols = mutable.Map.empty[String, (DataType, DataType)]
         df.schema.fields.foreach { f =>
           byName.get(f.name).foreach { tf =>
-            require(tf.dataType == f.dataType,
+            if (tf.dataType == f.dataType) ()
+            else if (typeWideningOn && isWidening(f.dataType, tf.dataType))
+              upcasts += f.name -> tf.dataType
+            else if (typeWideningOn && mergeSchema &&
+                isWidening(tf.dataType, f.dataType))
+              widenedCols += f.name -> (tf.dataType -> f.dataType)
+            else require(false,
               s"append to $rootStr: column '${f.name}' is " +
                 s"${f.dataType.simpleString} but the table declares " +
                 s"${tf.dataType.simpleString}; cast it or overwrite")
           }
         }
         val newFields = df.schema.fields.filterNot(f => byName.contains(f.name))
-        if (newFields.isEmpty) None
-        else if (!mergeSchema) {
+        if (newFields.nonEmpty && !mergeSchema) {
           throw new IllegalArgumentException(
             s"append to $rootStr adds columns " +
               s"${newFields.map(_.name).mkString(", ")} the table does not " +
               "declare; pass mergeSchema = true to evolve additively, or " +
               "drop them")
-        } else Some(StructType(table.fields ++ newFields.map(_.copy(nullable = true))))
+        }
+        val evolved =
+          if (newFields.isEmpty && widenedCols.isEmpty) None
+          else Some(StructType(table.fields.toSeq.map { tf =>
+            widenedCols.get(tf.name) match {
+              case Some((from, to)) => widenField(tf, from, to)
+              case None => tf
+            }
+          } ++ newFields.map(_.copy(nullable = true))))
+        val aligned = upcasts.foldLeft(df) { case (d, (n, t)) =>
+          import org.apache.spark.sql.functions.col
+          d.withColumn(n, col(n).cast(t))
+        }
+        (evolved, aligned)
       }
 
     val (physDf, physPartitionBy, metaSchemaJson, metaCfg) =
       if (cmMode == "none") {
-        (df, partitionBy, df.schema.json,
+        (dfAligned, partitionBy, dfAligned.schema.json,
           prior.map(_.configuration).getOrElse(createConfiguration))
       } else if (!overwrite) {
         val ps = prior.get.schema

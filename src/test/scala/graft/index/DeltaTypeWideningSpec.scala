@@ -98,13 +98,137 @@ class DeltaTypeWideningSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root).count() == customer.count())
   }
 
-  test("the minimal writer refuses a widened table (writer gate)") {
+  test("append to a widened table works and preserves the type-change history") {
     val root = widenedFixture()
-    val e = intercept[UnsupportedDeltaProtocolException] {
-      DeltaTable.append(
-        DeltaTable.read(spark, root).limit(1), root)
+    val before = DeltaTable.read(spark, root).count()
+    // wide-typed rows (the read shape) append directly
+    DeltaTable.append(DeltaTable.read(spark, root).limit(5), root)
+    assert(DeltaTable.read(spark, root).count() == before + 5)
+    // NARROWER incoming data (the pre-widening shape) upcasts at write
+    val narrow = customer.limit(3).select(
+      col("c_custkey").cast("int").as("c_custkey"),
+      col("c_acctbal").cast("float").as("c_acctbal"),
+      col("c_mktsegment"))
+    DeltaTable.append(narrow, root)
+    val got = DeltaTable.read(spark, root)
+    assert(got.count() == before + 8)
+    assert(got.schema("c_custkey").dataType == LongType)
+    // the standing metaData still carries delta.typeChanges
+    val sch = DeltaLog.snapshot(spark, root).schema
+    assert(sch("c_custkey").metadata.contains("delta.typeChanges"))
+    assert(sch("c_acctbal").metadata.contains("delta.typeChanges"))
+  }
+
+  test("merge on a widened table works (writer gate accepts the feature)") {
+    val root = widenedFixture()
+    val source = DeltaTable.read(spark, root)
+      .filter(col("c_custkey") <= 10)
+      .withColumn("c_acctbal", lit(0.0))
+    DeltaTable.merge(spark, root, source, Seq("c_custkey"))
+    val got = DeltaTable.read(spark, root)
+    assert(got.filter(col("c_custkey") <= 10 &&
+      col("c_acctbal") =!= 0.0).count() == 0)
+    assert(got.count() == customer.count())
+  }
+
+  test("widenColumnTypes: ALTER-style widening, then appends keep working") {
+    val root = Files.createTempDirectory("graft-delta-widen-alter-").toString
+    val narrow = customer.select(
+      col("c_custkey").cast("int").as("c_custkey"),
+      col("c_acctbal").cast("float").as("c_acctbal"),
+      col("c_mktsegment"))
+    DeltaTable.create(narrow, root)
+    DeltaTable.widenColumnTypes(spark, root,
+      Map("c_custkey" -> LongType, "c_acctbal" -> DoubleType))
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.schema("c_custkey").dataType == LongType)
+    assert(s.schema("c_acctbal").dataType == DoubleType)
+    assert(s.readerFeatures.contains("typeWidening"))
+    assert(s.writerFeatures.contains("typeWidening"))
+    // the recorded change history
+    val tc = s.schema("c_custkey").metadata
+      .getMetadataArray("delta.typeChanges").toSeq
+    assert(tc.map(m => (m.getString("fromType"), m.getString("toType"))) ==
+      Seq(("integer", "long")))
+    // old narrow files upcast; new wide rows append
+    assert(DeltaTable.read(spark, root).count() == customer.count())
+    DeltaTable.append(customer.limit(4).select(
+      col("c_custkey"), col("c_acctbal"), col("c_mktsegment")), root)
+    assert(DeltaTable.read(spark, root).count() == customer.count() + 4)
+
+    // a SECOND widening would append to the history; int->long again is
+    // no longer eligible (already long) and narrowing refuses
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.widenColumnTypes(spark, root, Map("c_custkey" -> IntegerType))
     }
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("narrowing is refused"))
+  }
+
+  test("mergeSchema append widens a declared type and records the change") {
+    val root = Files.createTempDirectory("graft-delta-widen-ms-").toString
+    val narrow = customer.select(
+      col("c_custkey").cast("int").as("c_custkey"),
+      col("c_acctbal").cast("float").as("c_acctbal"),
+      col("c_mktsegment"))
+    DeltaTable.create(narrow, root)
+    val wide = customer.limit(5).select(
+      col("c_custkey").cast("int").as("c_custkey"),
+      col("c_acctbal"), // double — wider than the declared float
+      col("c_mktsegment"))
+    // a plain minWriter=2 table refuses type changes exactly as before
+    val e0 = intercept[IllegalArgumentException] {
+      DeltaTable.append(wide, root, mergeSchema = true)
+    }
+    assert(e0.getMessage.contains("cast it or overwrite"))
+    // enable the feature (any eligible widening upgrades the protocol)
+    DeltaTable.widenColumnTypes(spark, root, Map("c_custkey" -> LongType))
+    // now the mergeSchema append widens float -> double in-place
+    DeltaTable.append(wide, root, mergeSchema = true)
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.schema("c_acctbal").dataType == DoubleType)
+    val tc = s.schema("c_acctbal").metadata
+      .getMetadataArray("delta.typeChanges").toSeq
+    assert(tc.map(m => (m.getString("fromType"), m.getString("toType"))) ==
+      Seq(("float", "double")))
+    // without mergeSchema the same wide frame still refuses
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaTable.append(customer.limit(2).select(
+        col("c_custkey").cast("int").as("c_custkey"),
+        col("c_acctbal").cast("decimal(12,2)").as("c_acctbal"),
+        col("c_mktsegment")), root)
+    }
+    assert(e1.getMessage.contains("cast it or overwrite"))
+    // everything still reads, old narrow files upcast twice over
+    val got = DeltaTable.read(spark, root)
+    assert(got.count() == customer.count() + 5)
+    assert(got.schema("c_custkey").dataType == LongType)
+    assert(got.schema("c_acctbal").dataType == DoubleType)
+  }
+
+  test("a column with delta.invariants metadata refuses writes (usage gate)") {
+    val root = Files.createTempDirectory("graft-delta-inv-").toString
+    DeltaTable.create(customer.limit(10)
+      .select(col("c_custkey"), col("c_mktsegment")), root)
+    // hand-publish a metaData whose field carries an invariant
+    val invSchema = StructType(Seq(
+      StructField("c_custkey", LongType, nullable = true,
+        new MetadataBuilder().putString("delta.invariants",
+          """{"expression":{"expression":"c_custkey > 0"}}""").build()),
+      StructField("c_mktsegment", StringType)))
+    def esc(s: String): String = s
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val lines = Seq(
+      """{"commitInfo":{"timestamp":0,"operation":"CHANGE COLUMN"}}""",
+      s"""{"metaData":{"id":"inv-fixture","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":"${esc(invSchema.json)}",""" +
+        s""""partitionColumns":[],"configuration":{}}}""")
+    Files.write(
+      Paths.get(root, "_delta_log", f"${1L}%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val e = intercept[UnsupportedDeltaProtocolException] {
+      DeltaTable.append(DeltaTable.read(spark, root).limit(1), root)
+    }
+    assert(e.getMessage.contains("INVARIANTS"))
   }
 
   test("an UNKNOWN reader feature alongside typeWidening still refuses") {
