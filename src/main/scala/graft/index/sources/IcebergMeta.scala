@@ -45,6 +45,13 @@ final case class IceDeleteFile(
     path: String, size: Long, content: Int,
     equalityIds: Seq[Int], seq: Long)
 
+/** A named snapshot ref (`refs` in table metadata): a `branch` moves
+  * with writes targeting it, a `tag` is immutable. `main` is NOT
+  * stored here — `current-snapshot-id` is authoritative for it (real
+  * readers treat it so), which keeps every metadata-only repoint
+  * (rollback, expire) consistent for free. */
+final case class IceRef(snapshotId: Long, refType: String)
+
 final case class IcebergSnapshot(
     location: String,
     snapshotId: Long,
@@ -78,7 +85,10 @@ final case class IcebergSnapshot(
     // per-data-file partition tuple from the manifests (normPath →
     // field name → value in the stats domain; None = null partition) —
     // the read-side pruning evidence for transform fields
-    partitionValues: Map[String, Map[String, Option[Any]]] = Map.empty) {
+    partitionValues: Map[String, Map[String, Option[Any]]] = Map.empty,
+    // named branch/tag refs (metadata.json "refs", minus main — see
+    // [[IceRef]]): the write-audit-publish surface
+    refs: Map[String, IceRef] = Map.empty) {
 
   /** Identity partition columns — the ones whose SOURCE column is
     * path-encoded (data files drop it; reads reconstruct it). */
@@ -300,7 +310,7 @@ object IcebergMeta {
           case _ => Map.empty
         },
         metadataVersion = metadataVersionOf(metaFile.getName),
-        partitionFields = partFieldsParsed)
+        partitionFields = partFieldsParsed, refs = parseRefs(j))
 
     val snap = (j \ "snapshots") match {
       case JArray(snaps) =>
@@ -386,8 +396,30 @@ object IcebergMeta {
       deleteFiles, dataEntries.map(e => e._1.path -> e._2).toMap, fieldIds,
       JsonMethods.compact(JsonMethods.render(schemaJson)), properties,
       lastColId, metadataVersionOf(metaFile.getName), partFieldsParsed,
-      partValues)
+      partValues, refs = parseRefs(j))
   }
+
+  /** Parse metadata `refs` (branches/tags) — `main` entries are dropped
+    * in favor of the authoritative `current-snapshot-id`. */
+  private[sources] def parseRefs(j: JValue): Map[String, IceRef] =
+    (j \ "refs") match {
+      case JObject(fields) => fields.flatMap { case (name, v) =>
+        if (name == "main") None
+        else {
+          val id = (v \ "snapshot-id") match {
+            case JInt(n) => Some(n.toLong)
+            case JLong(n) => Some(n)
+            case _ => None
+          }
+          val tpe = (v \ "type") match {
+            case JString(t) => t
+            case _ => "branch"
+          }
+          id.map(i => name -> IceRef(i, tpe))
+        }
+      }.toMap
+      case _ => Map.empty
+    }
 
   /** Version number encoded in a metadata.json file name. */
   private[sources] def metadataVersionOf(name: String): Long = {
@@ -1457,12 +1489,16 @@ object IcebergTable {
     * table's layout either way. */
   def append(df: DataFrame, location: String,
       txn: Option[(String, Long)] = None,
-      partitionColumns: Seq[String] = Nil): Long =
+      partitionColumns: Seq[String] = Nil,
+      // WAP: target a branch — main (current-snapshot-id) stays put
+      // until [[fastForward]] publishes the audited head
+      branch: Option[String] = None): Long =
     // concurrent ingest: a loser of the metadata-version fence has
     // cleaned its staged files — re-run against the winner's snapshot
     CommitRetry() {
       commit(df, location, firstVersion = false, txn = txn,
-        partitionColumns = partitionColumns)
+        partitionColumns = partitionColumns,
+        branch = branch.filterNot(_ == "main"))
     }
 
   /** Latest committed txn version per appId (from table properties). */
@@ -1668,19 +1704,32 @@ object IcebergTable {
   private def commit(df: DataFrame, location: String, firstVersion: Boolean,
       txn: Option[(String, Long)] = None,
       partitionColumns: Seq[String] = Nil,
-      replaceData: Boolean = false): Long = {
+      replaceData: Boolean = false,
+      branch: Option[String] = None): Long = {
     val spark = df.sparkSession
     val root = new Path(location)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val metaDir = IcebergMeta.metadataDir(location)
     val dataDir = new Path(root, "data")
 
+    // a branch-targeted write stacks on the BRANCH head (created at the
+    // current head on first write); a main write on the current head
     val prior: Option[IcebergSnapshot] =
-      if (IcebergMeta.isIcebergTable(spark, location))
-        Some(IcebergMeta.snapshot(spark, location))
-      else None
+      if (IcebergMeta.isIcebergTable(spark, location)) {
+        val head = IcebergMeta.snapshot(spark, location)
+        branch.flatMap(head.refs.get) match {
+          case Some(r) =>
+            require(r.refType == "branch",
+              s"write to ref '${branch.get}' of $location refused: it is " +
+                "a tag (tags are immutable); target a branch")
+            Some(IcebergMeta.snapshot(spark, location, Some(r.snapshotId)))
+          case None => Some(head)
+        }
+      } else None
     require(prior.isDefined || firstVersion,
       s"append to a non-Iceberg directory: $location (create it first)")
+    require(branch.isEmpty || prior.exists(_.snapshotId >= 0),
+      s"branch write to $location: the table has no snapshot yet")
     // txn idempotence inside the retry loop (see the Delta twin)
     txn.foreach { case (app, v) =>
       prior.foreach { p =>
@@ -1767,7 +1816,8 @@ object IcebergTable {
       extraProperties = txn
         .map { case (app, v) => Map(s"graft.txn.$app" -> v.toString) }
         .getOrElse(Map.empty),
-      createPartitionFields = parts)
+      createPartitionFields = parts,
+      branch = branch)
   }
 
   /** Stage-write `df` under the table's partition spec: identity
@@ -2758,6 +2808,142 @@ object IcebergTable {
     * Time travel and incremental scans into the expired range fail
     * loudly afterward, exactly as for real `expireSnapshots`. Returns
     * the deleted (or would-delete) paths. */
+  // ---- snapshot refs: branches + tags (write-audit-publish) ----
+
+  /** Fenced metadata-only publish: read the current metadata.json,
+    * apply `mutate`, write version+1 (create-no-overwrite fence) and
+    * repoint the hint — the [[rollback]] shape, shared by the ref
+    * verbs. O(metadata), no data or manifest writes. */
+  private def publishMetadataOnly(spark: SparkSession, location: String)(
+      mutate: JValue => JValue): Unit = {
+    val fs = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaFile = IcebergMeta.currentMetadataFile(fs, location)
+    val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
+    val newMeta = setFields(mutate(j),
+      "last-updated-ms" -> JLong(System.currentTimeMillis()))
+    val version = IcebergMeta.metadataVersionOf(metaFile.getName) + 1L
+    val metaDir = IcebergMeta.metadataDir(location)
+    val target = new Path(metaDir, f"v$version%05d.metadata.json")
+    val os = CommitFence.create(fs, target)
+    try os.write(JsonMethods.pretty(JsonMethods.render(newMeta))
+      .getBytes(StandardCharsets.UTF_8))
+    finally os.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes(StandardCharsets.UTF_8))
+    finally hint.close()
+  }
+
+  private def renderRefs(refs: Map[String, IceRef]): JValue =
+    JObject("refs" -> JObject(refs.toList.sortBy(_._1).map { case (n, r) =>
+      n -> (JObject(
+        "snapshot-id" -> JLong(r.snapshotId),
+        "type" -> JString(r.refType)): JValue)
+    }))
+
+  /** Create (or repoint) a BRANCH or TAG at `at` (default: the current
+    * head). A tag may not be repointed (immutable); a branch may. */
+  def createRef(spark: SparkSession, location: String, name: String,
+      refType: String = "branch", at: Option[Long] = None): Long =
+    CommitRetry() {
+      require(refType == "branch" || refType == "tag",
+        s"ref type must be 'branch' or 'tag', got '$refType'")
+      require(name != "main", "'main' is the table head itself")
+      val snap = IcebergMeta.snapshot(spark, location)
+      val target = at.getOrElse(snap.snapshotId)
+      require(target >= 0, s"createRef at $location: the table has no snapshot")
+      // pin must resolve (throws for expired/unknown ids)
+      if (target != snap.snapshotId)
+        IcebergMeta.snapshot(spark, location, Some(target))
+      snap.refs.get(name).foreach(r => require(r.refType == "branch",
+        s"ref '$name' of $location is a tag and cannot be repointed"))
+      publishMetadataOnly(spark, location) { j =>
+        setFields(j) merge renderRefs(
+          snap.refs + (name -> IceRef(target, refType)))
+      }
+      target
+    }
+
+  /** Drop a branch or tag. Unknown names are a no-op. */
+  def dropRef(spark: SparkSession, location: String, name: String): Unit =
+    CommitRetry() {
+      val snap = IcebergMeta.snapshot(spark, location)
+      if (snap.refs.contains(name)) {
+        val kept = snap.refs - name
+        publishMetadataOnly(spark, location) { j =>
+          // json4s merge can't REMOVE a key: rewrite refs wholesale
+          JObject((j match {
+            case JObject(fields) => fields.filterNot(_._1 == "refs")
+            case _ => Nil
+          }) ++ (renderRefs(kept) match {
+            case JObject(f) if kept.nonEmpty => f
+            case _ => Nil
+          }))
+        }
+      }
+    }
+
+  /** FAST-FORWARD publish (the WAP third act): repoint main at a
+    * branch's head, REQUIRING the current head to be an ancestor of it
+    * — exactly Iceberg's `fast_forward` procedure. Audited snapshots
+    * become the table; a diverged branch refuses (merge or rebuild it
+    * instead of silently dropping main's commits). */
+  def fastForward(spark: SparkSession, location: String,
+      branchName: String): Long = CommitRetry() {
+    val snap = IcebergMeta.snapshot(spark, location)
+    val ref = snap.refs.getOrElse(branchName,
+      throw new IllegalArgumentException(
+        s"fastForward at $location: no such branch '$branchName' " +
+          s"(have ${snap.refs.keys.toSeq.sorted.mkString(", ")})"))
+    require(ref.refType == "branch",
+      s"fastForward at $location: '$branchName' is a tag")
+    val current = snap.snapshotId
+    if (ref.snapshotId == current) return current
+    // current must be an ANCESTOR of the branch head
+    val fs = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+    val j = JsonMethods.parse(IcebergMeta.readString(
+      fs, IcebergMeta.currentMetadataFile(fs, location)))
+    val byId: Map[Long, JValue] = (j \ "snapshots") match {
+      case JArray(snaps) => snaps.flatMap(s => ((s \ "snapshot-id") match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case _ => None
+      }).map(_ -> s)).toMap
+      case _ => Map.empty
+    }
+    var cursor: Option[Long] = Some(ref.snapshotId)
+    var isAncestor = false
+    while (cursor.isDefined && !isAncestor) {
+      if (cursor.get == current) isAncestor = true
+      else cursor = cursor.flatMap(c => byId.get(c).flatMap(s =>
+        (s \ "parent-snapshot-id") match {
+          case JInt(n) => Some(n.toLong)
+          case JLong(n) => Some(n)
+          case _ => None
+        }))
+    }
+    require(isAncestor || current < 0,
+      s"fastForward at $location: main ($current) is not an ancestor of " +
+        s"branch '$branchName' (${ref.snapshotId}); the branch has " +
+        "diverged — merge it instead")
+    publishMetadataOnly(spark, location)(
+      setFields(_, "current-snapshot-id" -> JLong(ref.snapshotId)))
+    ref.snapshotId
+  }
+
+  /** Time travel by REF NAME: read the snapshot a branch or tag pins. */
+  def readRef(spark: SparkSession, location: String,
+      name: String): DataFrame = {
+    val snap = IcebergMeta.snapshot(spark, location)
+    if (name == "main") read(spark, location)
+    else {
+      val ref = snap.refs.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"readRef at $location: no such ref '$name' " +
+            s"(have ${snap.refs.keys.toSeq.sorted.mkString(", ")})"))
+      read(spark, location, snapshotAsOf = Some(ref.snapshotId))
+    }
+  }
+
   def expireSnapshots(spark: SparkSession, location: String,
       keepLast: Int = 1, olderThanMs: Option[Long] = None,
       deleteFiles: Boolean = true): Seq[String] = {
@@ -2791,7 +2977,9 @@ object IcebergTable {
     val retainIds: Set[Long] =
       newestFirst.take(keepLast).map(idOf).toSet ++
         olderThanMs.map(cut => snaps.filter(tsOf(_) >= cut).map(idOf))
-          .getOrElse(Nil) + current
+          .getOrElse(Nil) ++
+        // branch/tag-pinned snapshots never expire while the ref lives
+        IcebergMeta.parseRefs(j).values.map(_.snapshotId) + current
     val (retained, expired) = snaps.partition(s => retainIds.contains(idOf(s)))
     if (expired.isEmpty) return Nil
 
@@ -2845,7 +3033,11 @@ object IcebergTable {
       createPartitionFields: Seq[IcePartField] = Nil,
       // clone: republish the SOURCE's schema JSON verbatim so field ids
       // keep matching the referenced files' parquet metadata
-      schemaJsonOverride: Option[JValue] = None): Long = {
+      schemaJsonOverride: Option[JValue] = None,
+      // WAP: a write targeting a BRANCH moves only that ref —
+      // `current-snapshot-id` (main) stays where it was; `prior` must
+      // then be the snapshot pinned at the branch head
+      branch: Option[String] = None): Long = {
     // the table's partition spec: fixed at create (prior wins; the
     // explicit fields only seed the FIRST metadata version)
     val parts: Seq[IcePartField] =
@@ -2889,16 +3081,24 @@ object IcebergTable {
 
     // real Iceberg metadata RETAINS prior snapshots in snapshots[] (until
     // expiration) — carry them forward so snapshotAsOf time travel can
-    // resolve any retained snapshot's manifest tree
-    val priorSnapshots: List[JValue] =
+    // resolve any retained snapshot's manifest tree. The CURRENT head
+    // (main) is read from the same file: a branch-targeted commit must
+    // leave it untouched.
+    val (priorSnapshots, priorCurrentId): (List[JValue], Long) =
       if (prior.isDefined) {
         val priorMeta = JsonMethods.parse(IcebergMeta.readString(
           fs, IcebergMeta.currentMetadataFile(fs, location)))
-        (priorMeta \ "snapshots") match {
-          case JArray(snaps) => snaps
+        val snaps = (priorMeta \ "snapshots") match {
+          case JArray(s) => s
           case _ => Nil
         }
-      } else Nil
+        val cur = (priorMeta \ "current-snapshot-id") match {
+          case JInt(n) => n.toLong
+          case JLong(n) => n
+          case _ => -1L
+        }
+        (snaps, cur)
+      } else (Nil, -1L)
     // next id clears EVERY retained snapshot, not just the current one:
     // after a rollback the current snapshot is an ancestor and
     // current+1 would collide with a retained (undone) id
@@ -3069,6 +3269,19 @@ object IcebergTable {
         deleteManifest.map { case (p, l) => mlEntry(p, l, 1) })
 
     val now = System.currentTimeMillis()
+    // carried-forward refs, plus the targeted branch repointed at the
+    // new snapshot (created on first write); a TAG target refuses
+    val refsOut: Map[String, IceRef] = {
+      val carried = prior.map(_.refs).getOrElse(Map.empty)
+      branch match {
+        case None => carried
+        case Some(b) =>
+          carried.get(b).foreach(r => require(r.refType == "branch",
+            s"write to ref '$b' of $location refused: it is a tag " +
+              "(tags are immutable); target a branch"))
+          carried + (b -> IceRef(snapshotId, "branch"))
+      }
+    }
     val meta = JObject(
       "format-version" -> JInt(2),
       "table-uuid" -> JString(java.util.UUID.randomUUID().toString),
@@ -3093,7 +3306,11 @@ object IcebergTable {
             "source-id" -> JInt(BigInt(topFieldIds.getOrElse(f.sourceCol, -1))),
             "field-id" -> JInt(f.fieldId)): JValue
         })))),
-      "current-snapshot-id" -> JLong(snapshotId),
+      "current-snapshot-id" -> JLong(branch match {
+        // a branch write moves its ref only; main stays put
+        case Some(_) => priorCurrentId
+        case None => snapshotId
+      }),
       "snapshots" -> JArray(priorSnapshots :+ JObject(
         List[(String, JValue)](
           "snapshot-id" -> JLong(snapshotId),
@@ -3102,6 +3319,14 @@ object IcebergTable {
           "summary" -> JObject("operation" -> JString(operation))) ++
           // lineage for incremental scans (and real Iceberg readers)
           prior.map(p => "parent-snapshot-id" -> (JLong(p.snapshotId): JValue)))))
+    val metaWithRefs =
+      if (refsOut.isEmpty) meta
+      else meta merge JObject("refs" -> JObject(
+        refsOut.toList.sortBy(_._1).map { case (n, r) =>
+          n -> (JObject(
+            "snapshot-id" -> JLong(r.snapshotId),
+            "type" -> JString(r.refType)): JValue)
+        }))
     // zero-padded like the manifest names above: the hint-less fallback
     // sorts correctly even lexicographically, and numeric-parse readers
     // are unaffected
@@ -3119,7 +3344,7 @@ object IcebergTable {
         fs.delete(manifestList, false)
         throw e
     }
-    try os.write(JsonMethods.pretty(JsonMethods.render(meta))
+    try os.write(JsonMethods.pretty(JsonMethods.render(metaWithRefs))
       .getBytes(StandardCharsets.UTF_8))
     finally os.close()
     val hint = fs.create(new Path(metaDir, "version-hint.text"), true)

@@ -1,0 +1,148 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.sources.{IcebergMeta, IcebergTable}
+
+/**
+ * Iceberg snapshot refs — branches and tags — and the WRITE-AUDIT-
+ * PUBLISH cycle modern pipelines run on them: write to a branch (main
+ * untouched), audit the branch by ref, fast-forward main to the
+ * audited head; non-ancestor fast-forwards refuse, tags are immutable
+ * bookmarks, and expiration never drops a ref-pinned snapshot.
+ * Beyond the reference (it consumes Iceberg through the connector
+ * jar); semantics follow the Iceberg spec's `refs` metadata and the
+ * `fast_forward` procedure.
+ */
+class IcebergRefsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def customer =
+    spark.read.parquet(s"${TestSpark.sfDir}/customer.parquet")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("write-audit-publish: branch write leaves main untouched, " +
+      "fastForward publishes the audited snapshot") {
+    val loc = tmp("graft-ice-wap-")
+    val base = customer.filter($"c_custkey" <= 100)
+    val audit = customer.filter($"c_custkey" > 100 && $"c_custkey" <= 120)
+    IcebergTable.create(base, loc)                                // snap 1
+
+    // WRITE: append lands on the branch (auto-created at main's head)
+    IcebergTable.append(audit, loc, branch = Some("audit"))       // snap 2
+    val snap = IcebergMeta.snapshot(spark, loc)
+    assert(snap.snapshotId == 1L, "branch write moved main")
+    assert(snap.refs.get("audit").map(_.snapshotId).contains(2L))
+    assert(IcebergTable.read(spark, loc).count() == base.count(),
+      "main read sees unpublished branch rows")
+
+    // AUDIT: the branch serves base + staged rows by ref name
+    val staged = IcebergTable.readRef(spark, loc, "audit")
+    assert(staged.count() == base.count() + audit.count())
+
+    // a second branch write stacks on the BRANCH head
+    IcebergTable.append(
+      customer.filter($"c_custkey" > 120 && $"c_custkey" <= 125),
+      loc, branch = Some("audit"))                                // snap 3
+    assert(IcebergTable.readRef(spark, loc, "audit").count() ==
+      base.count() + audit.count() + 5)
+    assert(IcebergMeta.snapshot(spark, loc).snapshotId == 1L)
+
+    // PUBLISH: main fast-forwards to the audited head
+    val published = IcebergTable.fastForward(spark, loc, "audit")
+    assert(published == 3L)
+    val after = IcebergMeta.snapshot(spark, loc)
+    assert(after.snapshotId == 3L)
+    assert(IcebergTable.read(spark, loc).count() ==
+      base.count() + audit.count() + 5)
+    // idempotent: a second fast-forward is a no-op
+    assert(IcebergTable.fastForward(spark, loc, "audit") == 3L)
+  }
+
+  test("non-ancestor fastForward refuses (diverged branch)") {
+    val loc = tmp("graft-ice-wap-div-")
+    IcebergTable.create(customer.filter($"c_custkey" <= 50), loc)  // snap 1
+    IcebergTable.append(customer.filter($"c_custkey" === 51), loc,
+      branch = Some("wip"))                                        // snap 2
+    // main advances independently → the branch no longer contains main
+    IcebergTable.append(customer.filter($"c_custkey" === 52), loc) // snap 3
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.fastForward(spark, loc, "wip")
+    }
+    assert(e.getMessage.contains("not an ancestor"))
+    // main unchanged by the refusal
+    assert(IcebergMeta.snapshot(spark, loc).snapshotId == 3L)
+  }
+
+  test("tags are immutable bookmarks: time travel works, writes refuse") {
+    val loc = tmp("graft-ice-tag-")
+    val base = customer.filter($"c_custkey" <= 40)
+    IcebergTable.create(base, loc)                                 // snap 1
+    IcebergTable.createRef(spark, loc, "v1.0", refType = "tag")
+    IcebergTable.append(customer.filter($"c_custkey" === 41), loc) // snap 2
+
+    assert(IcebergTable.readRef(spark, loc, "v1.0").count() == base.count())
+    assert(IcebergTable.read(spark, loc).count() == base.count() + 1)
+
+    val e1 = intercept[Exception] {
+      IcebergTable.append(customer.limit(1), loc, branch = Some("v1.0"))
+    }
+    assert(e1.getMessage.contains("tag"))
+    val e2 = intercept[Exception] {
+      IcebergTable.createRef(spark, loc, "v1.0", refType = "tag", at = Some(2L))
+    }
+    assert(e2.getMessage.contains("cannot be repointed"))
+    val e3 = intercept[Exception] {
+      IcebergTable.fastForward(spark, loc, "v1.0")
+    }
+    assert(e3.getMessage.contains("tag"))
+  }
+
+  test("createRef pins historic snapshots; dropRef removes; expiration " +
+      "retains ref-pinned snapshots") {
+    val loc = tmp("graft-ice-refkeep-")
+    val base = customer.filter($"c_custkey" <= 30)
+    IcebergTable.create(base, loc)                                 // snap 1
+    IcebergTable.append(customer.filter($"c_custkey" === 31), loc) // snap 2
+    IcebergTable.append(customer.filter($"c_custkey" === 32), loc) // snap 3
+    IcebergTable.createRef(spark, loc, "keep", refType = "tag", at = Some(1L))
+
+    // expire everything but the head — the tagged snapshot must survive
+    val removed = IcebergTable.expireSnapshots(spark, loc, keepLast = 1)
+    assert(IcebergTable.readRef(spark, loc, "keep").count() == base.count(),
+      "expiration dropped a tag-pinned snapshot")
+    // snap 2 was neither head nor pinned: it expired
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.read(spark, loc, snapshotAsOf = Some(2L)).count()
+    }
+    assert(e.getMessage.contains("expired") || removed.nonEmpty)
+
+    IcebergTable.dropRef(spark, loc, "keep")
+    assert(IcebergMeta.snapshot(spark, loc).refs.isEmpty)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergTable.readRef(spark, loc, "keep")
+    }
+    assert(e2.getMessage.contains("no such ref"))
+    // unknown drop is a no-op
+    IcebergTable.dropRef(spark, loc, "never-existed")
+  }
+
+  test("branch survives unrelated main commits and carries across them") {
+    val loc = tmp("graft-ice-refcarry-")
+    val base = customer.filter($"c_custkey" <= 20)
+    IcebergTable.create(base, loc)                                 // snap 1
+    IcebergTable.createRef(spark, loc, "b1")                       // at 1
+    IcebergTable.append(customer.filter($"c_custkey" === 21), loc) // snap 2
+    val snap = IcebergMeta.snapshot(spark, loc)
+    assert(snap.refs.get("b1").map(_.snapshotId).contains(1L),
+      "a main commit moved or dropped an unrelated branch ref")
+    assert(IcebergTable.readRef(spark, loc, "b1").count() == base.count())
+  }
+}
