@@ -34,7 +34,7 @@ object IndexAccel {
       sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_accel_${h}_b$b")
   }
 
-  private def ensureIndex(spark: SparkSession, sfDir: String,
+  private[queries] def ensureIndex(spark: SparkSession, sfDir: String,
       table: String, config: IndexConfig): Unit = synchronized {
     ensureSystemPath(spark, sfDir)
     val mgr = new IndexManager(spark)

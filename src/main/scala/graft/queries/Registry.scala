@@ -12,5 +12,6 @@ object Registry {
     Relational.entries ++ Relational2.entries ++ Relational3.entries ++
       TextOps.entries ++ Sampling.entries ++ Pipeline.entries ++
       Dedup.entries ++ Similarity.entries ++ IndexAccel.entries ++
+      TpcdsShapes.entries ++
       Multimodal.entries ++ graft.streaming.StreamingQueries.entries
 }

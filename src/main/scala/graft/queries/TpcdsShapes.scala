@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.Tables
+import graft.index.covering.CoveringIndexConfig
+
+/**
+ * TPC-DS-SHAPED rewrite stress over the TPC-H-ish fixture corpus — the
+ * query shapes the reference's plan-stability suite runs its 103-query
+ * TPC-DS corpus through (reference:
+ * src/test/resources/tpcds/queries/q1.sql, q65.sql;
+ * goldstandard/PlanStabilitySuite.scala:83-290): deep date-filtered
+ * snowflakes, reused aggregate CTEs, and a correlated above-average
+ * threshold. Each runs with covering indexes on every join leg, so the
+ * ScoreBasedIndexPlanOptimizer must compose multi-index rewrites
+ * through aggregates and self-joined CTEs — the stress that found real
+ * bugs in earlier rounds' single-join shapes.
+ *
+ * Determinism for the DuckDB oracle: every money aggregate goes
+ * through exact DECIMAL(28,6) sums cast to double, INCLUDING the
+ * second-level averages a threshold compares against — a distributed
+ * double-sum would flip near-threshold rows between runs.
+ */
+object TpcdsShapes {
+
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+  private def sqlMoneySum(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
+
+  import IndexAccel.ensureIndex
+
+  /**
+   * TPC-DS q1 shape (reference tpcds/queries/q1.sql): per-(customer,
+   * dim) totals CTE, correlated above-1.2×-group-average threshold,
+   * dim filter, two dimension joins, ORDER BY + LIMIT. Mapped onto the
+   * fixture corpus: orders(1996) as the returns fact, nation as the
+   * store dim. The DataFrame decorrelates the subquery the way
+   * Catalyst would — a per-nation aggregate joined back on the
+   * correlation key; the oracle keeps TPC-DS's literal correlated form,
+   * so a hash match also proves the decorrelation equivalent.
+   */
+  def qds1ReturnsAboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
+      "accel_ci_ord_bycust", Seq("o_custkey"),
+      Seq("o_totalprice", "o_orderdate")))
+    ensureIndex(spark, sfDir, "customer", CoveringIndexConfig(
+      "accel_ci_cust_dim", Seq("c_custkey"), Seq("c_name", "c_nationkey")))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nation = Tables.load(spark, sfDir, "nation")
+
+    val ctr = ord
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey").as("ctr_cust"),
+        col("c_nationkey").as("ctr_nation"))
+      .agg(moneySum(col("o_totalprice")).as("total"))
+    val thresholds = ctr
+      .groupBy(col("ctr_nation").as("avg_nation"))
+      .agg((moneySum(col("total")) / count(lit(1)) * lit(1.2)).as("thr"))
+    val winners = ctr
+      .join(thresholds, col("ctr_nation") === col("avg_nation"))
+      .filter(col("total") > col("thr"))
+    winners
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("ctr_cust") === col("c_custkey"))
+      .join(nation, col("ctr_nation") === col("n_nationkey"))
+      .filter(col("n_regionkey") === 1)
+      .select(col("c_name"), col("total").as("total_spend"))
+      .orderBy(col("c_name"))
+      .limit(100)
+  }
+
+  val qds1Sql: String =
+    s"""WITH ctr AS (
+       |  SELECT o_custkey AS ctr_cust, c_nationkey AS ctr_nation,
+       |    ${sqlMoneySum("o_totalprice")} AS total
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT c_name, ctr1.total AS total_spend
+       |FROM ctr ctr1
+       |JOIN customer ON ctr1.ctr_cust = c_custkey
+       |JOIN nation ON ctr1.ctr_nation = n_nationkey
+       |WHERE n_regionkey = 1
+       |  AND ctr1.total > (
+       |    SELECT ${sqlMoneySum("ctr2.total")} / COUNT(*) * 1.2
+       |    FROM ctr ctr2 WHERE ctr2.ctr_nation = ctr1.ctr_nation)
+       |ORDER BY c_name LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q65 shape (reference tpcds/queries/q65.sql): a per-(group,
+   * item) revenue aggregate CTE read TWICE — once raw, once re-
+   * aggregated to per-group averages — self-joined on the group key
+   * with an under-10%-of-average threshold, then two dimension joins.
+   * Mapped: lineitem per (suppkey, partkey), supplier and part as the
+   * store/item dims. The reused CTE means the covering index on
+   * lineitem(l_suppkey) serves two distinct aggregate consumers in one
+   * plan.
+   */
+  def qds65UnderperfParts(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
+      "accel_ci_li_bysupp", Seq("l_suppkey"),
+      Seq("l_partkey", "l_extendedprice", "l_discount")))
+    ensureIndex(spark, sfDir, "supplier", CoveringIndexConfig(
+      "accel_ci_supp_dim", Seq("s_suppkey"), Seq("s_name")))
+    ensureIndex(spark, sfDir, "part", CoveringIndexConfig(
+      "accel_ci_part_dim", Seq("p_partkey"), Seq("p_name")))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val sa = li
+      .groupBy(col("l_suppkey").as("sa_supp"), col("l_partkey").as("sa_part"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+    val sb = sa
+      .groupBy(col("sa_supp").as("sb_supp"))
+      .agg((moneySum(col("revenue")) / count(lit(1))).as("ave"))
+    sa.join(sb, col("sa_supp") === col("sb_supp"))
+      .filter(col("revenue") <= col("ave") * lit(0.1))
+      .join(Tables.load(spark, sfDir, "supplier"),
+        col("sa_supp") === col("s_suppkey"))
+      .join(Tables.load(spark, sfDir, "part"),
+        col("sa_part") === col("p_partkey"))
+      .select(col("s_name"), col("p_name"), col("revenue"))
+      // total order: (s_name, p_name) ties exist, and a LIMIT boundary
+      // over a non-total sort is nondeterministic across engines
+      .orderBy(col("s_name"), col("p_name"), col("revenue"))
+      .limit(100)
+  }
+
+  val qds65Sql: String =
+    s"""WITH sa AS (
+       |  SELECT l_suppkey AS sa_supp, l_partkey AS sa_part,
+       |    ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |  FROM lineitem GROUP BY 1, 2),
+       |sb AS (
+       |  SELECT sa_supp AS sb_supp,
+       |    ${sqlMoneySum("revenue")} / COUNT(*) AS ave
+       |  FROM sa GROUP BY 1)
+       |SELECT s_name, p_name, revenue
+       |FROM sa JOIN sb ON sa_supp = sb_supp
+       |JOIN supplier ON sa_supp = s_suppkey
+       |JOIN part ON sa_part = p_partkey
+       |WHERE revenue <= ave * 0.1
+       |ORDER BY s_name, p_name, revenue LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS deep-snowflake shape (q15/q25 family): a 5-table chain —
+   * fact → date-filtered fact → customer → nation → region — with the
+   * selective filter at the FAR end (region name), aggregated by the
+   * middle dim. Four covering indexes, one per join leg: the optimizer
+   * must stack JoinIndexRule at the bottom (bucketed zero-shuffle
+   * lineitem⋈orders) and keep each dim leg index-served up the chain.
+   */
+  def qdsDeepSnowflake(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
+      "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice")))
+    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
+      "accel_ci_ord_snow3", Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderdate")))
+    ensureIndex(spark, sfDir, "customer", CoveringIndexConfig(
+      "accel_ci_cust_dim", Seq("c_custkey"), Seq("c_name", "c_nationkey")))
+    ensureIndex(spark, sfDir, "nation", CoveringIndexConfig(
+      "accel_ci_nation_dim", Seq("n_nationkey"),
+      Seq("n_name", "n_regionkey")))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, sfDir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("n_name"))
+  }
+
+  val qdsDeepSql: String =
+    s"""SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  val entries: Map[String, Registry.Entry] = Map(
+    "qds1_returns_above_avg" -> (qds1ReturnsAboveAvg _, qds1Sql),
+    "qds65_underperf_parts" -> (qds65UnderperfParts _, qds65Sql),
+    "qds_deep_snowflake_4idx" -> (qdsDeepSnowflake _, qdsDeepSql))
+}

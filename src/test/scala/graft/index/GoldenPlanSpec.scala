@@ -65,7 +65,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     // 100 TB — where neither side broadcasts)
     val noBroadcast = Set("q_snowflake_2idx", "q_join_rank_tie",
       "q_join_one_sided", "q_snowflake_3idx", "q_star_agg_idx",
-      "q_rule_rivalry")
+      "q_rule_rivalry", "qds1_returns_above_avg", "qds65_underperf_parts",
+      "qds_deep_snowflake_4idx")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     if (noBroadcast(name))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -125,6 +126,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "lake_update", "lake_clone", "lake_convert",
     "q_snowflake_2idx", "q_join_rank_tie", "q_join_one_sided",
     "q_snowflake_3idx", "q_star_agg_idx", "q_rule_rivalry",
+    "qds1_returns_above_avg", "qds65_underperf_parts",
+    "qds_deep_snowflake_4idx",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",

@@ -1,0 +1,116 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.TpcdsShapes
+
+/**
+ * Exchange-count and index-substitution audits for the TPC-DS-shaped
+ * rewrite-stress queries (TpcdsShapes): golden plans pin the full
+ * operator tree; these assertions pin the two properties that MATTER at
+ * 100 TB in a form a reviewer can read — every join leg serves from its
+ * covering index, and the bottom fact⋈fact join is a bucketed
+ * ZERO-SHUFFLE sort-merge (no exchange under either side).
+ *
+ * Plans are audited pre-AQE (initial executedPlan) with broadcasts off:
+ * at fixture SF everything fits a broadcast, which would hide exactly
+ * the shuffle structure that dominates at scale.
+ */
+class TpcdsShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: allNodes(a.executedPlan) // pre-materialization = initial plan
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(q.plan)
+    case other => p +: other.children.flatMap(allNodes)
+  }
+
+  private def planOf(name: String): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df: DataFrame =
+        TpcdsShapes.entries(name)._1(spark, TestSpark.sfDir)
+      df.queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def indexScans(p: SparkPlan): Seq[String] =
+    allNodes(p).collect { case s: FileSourceScanExec => s }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+      .filter(_.contains("graft_accel"))
+
+  private def shuffles(p: SparkPlan): Int =
+    allNodes(p).count(_.isInstanceOf[ShuffleExchangeExec])
+
+  /** Sort-merge joins with NO exchange beneath either side — the
+    * bucketed co-located joins only index substitution can produce. */
+  private def zeroShuffleJoins(p: SparkPlan): Seq[SortMergeJoinExec] =
+    allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.children.forall(c =>
+            !allNodes(c).exists(_.isInstanceOf[ShuffleExchangeExec])) => j
+    }
+
+  test("qds_deep_snowflake_4idx: all four legs index-served, bottom " +
+      "join zero-shuffle, dims add no exchanges") {
+    val p = planOf("qds_deep_snowflake_4idx")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_join", "accel_ci_ord_snow3", "accel_ci_cust_dim",
+      "accel_ci_nation_dim").forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"no zero-shuffle bucketed join at the bottom of the chain:\n$p")
+    // 3 fact-side re-keys + region + partial/final agg + output sort:
+    // the four dim legs contribute ZERO exchanges
+    assert(shuffles(p) <= 6, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds65_underperf_parts: one bucketed index feeds both aggregate " +
+      "consumers and the self-join without re-shuffling") {
+    val p = planOf("qds65_underperf_parts")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_bysupp", "accel_ci_supp_dim", "accel_ci_part_dim")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    // sa, sb, the sa⋈sb self-join, and both dim joins all align on the
+    // index's l_suppkey buckets — only the final ORDER BY repartitions
+    // (the p_partkey dim leg rides the already-bucketed part index)
+    assert(shuffles(p) <= 2, s"exchange count regressed: ${shuffles(p)}\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"self-join over the shared aggregate re-shuffled:\n$p")
+  }
+
+  test("qds1_returns_above_avg: orders merge-joins customer through " +
+      "both indexes; decorrelated threshold join stays on ctr_nation") {
+    val p = planOf("qds1_returns_above_avg")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_ord_bycust", "accel_ci_cust_dim")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"orders x customer did not join on the shared buckets:\n$p")
+    assert(shuffles(p) <= 5, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds oracle parity holds with indexes DISABLED (rewrites never " +
+      "change results)") {
+    for (name <- TpcdsShapes.entries.keys) {
+      val accel = TpcdsShapes.entries(name)._1(spark, TestSpark.sfDir)
+        .collect().toSeq
+      val plain =
+        try {
+          spark.conf.set(graft.index.GraftConf.ApplyEnabledKey, "false")
+          TpcdsShapes.entries(name)._1(spark, TestSpark.sfDir).collect().toSeq
+        } finally spark.conf.set(graft.index.GraftConf.ApplyEnabledKey, "true")
+      assert(accel == plain, s"$name: index rewrite changed the result")
+    }
+  }
+}
