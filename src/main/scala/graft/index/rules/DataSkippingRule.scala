@@ -41,10 +41,12 @@ object DataSkippingRule extends GraftIndexRule {
     }
     if (dsCandidates.isEmpty) return None
 
-    // most sketches wins (reference: DataSkippingIndexRanker.scala:25-38)
-    dsCandidates.sortBy(-_._2.sketches.size).view.flatMap { case (m, d) =>
-      tryApply(spark, filter, rel, m, d)
-    }.headOption.map(p => (p, RuleScores.DataSkipping))
+    // most sketches wins (reference: DataSkippingIndexRanker.scala:25-38);
+    // index name breaks ties so selection is listing-order independent
+    dsCandidates.sortBy(c => (-c._2.sketches.size, c._1.entry.name))
+      .view.flatMap { case (m, d) =>
+        tryApply(spark, filter, rel, m, d)
+      }.headOption.map(p => (p, RuleScores.DataSkipping))
   }
 
   private def tryApply(

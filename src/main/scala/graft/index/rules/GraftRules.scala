@@ -112,9 +112,12 @@ object FilterIndexRule extends GraftIndexRule {
     if (applicable.isEmpty) return None
 
     // exact matches first (smallest index); then hybrid with the most
-    // still-covered bytes (reference: FilterIndexRanker.scala:43-64)
+    // still-covered bytes (reference: FilterIndexRanker.scala:43-64).
+    // Final name tie-break: equivalent indexes must rank deterministically
+    // regardless of catalog listing order (session-cache / FS dependent).
     val best = applicable
-      .sortBy(m => (!m.isExact, if (m.isExact) m.entry.indexDataSize else -m.commonBytes))
+      .sortBy(m => (!m.isExact,
+        if (m.isExact) m.entry.indexDataSize else -m.commonBytes, m.entry.name))
       .head
 
     val score =
@@ -230,7 +233,12 @@ object JoinIndexRule extends GraftIndexRule {
       (!(l.isExact && r.isExact),
         ld.numBuckets != rd.numBuckets,
         -math.min(ld.numBuckets, rd.numBuckets),
-        -(l.commonBytes + r.commonBytes))
+        -(l.commonBytes + r.commonBytes),
+        // deterministic tie-break between equivalent pairs: smallest
+        // covering indexes first (narrower = less footprint), then name —
+        // selection must not depend on catalog listing order
+        l.entry.indexDataSize + r.entry.indexDataSize,
+        (l.entry.name, r.entry.name))
     }.headOption.getOrElse(return None)
 
     val (lMatch, rMatch) = (best._1._1, best._2._1)
@@ -405,7 +413,11 @@ object JoinOneSideIndexRule extends GraftIndexRule {
             (hybridSafe || m.isExact)
       }
       val best = eligible.sortBy { case (m, d) =>
-        (!m.isExact, -d.numBuckets, -m.commonBytes)
+        // ties broken by smallest covering index then name: two
+        // equivalent one-sided indexes (same buckets, same coverage) must
+        // pick the same winner in every session
+        (!m.isExact, -d.numBuckets, -m.commonBytes,
+          m.entry.indexDataSize, m.entry.name)
       }.headOption.getOrElse(return None)
       val newSide = substitute(spark, subtree, rel,
         joinSide(spark, rel, best._1))

@@ -412,10 +412,23 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val nodes = plannedNoBroadcast("q_join_one_sided")
-    val scanRoots = nodes.collect { case s: FileSourceScanExec =>
-      s.relation.location.rootPaths.map(_.toString).mkString(",") }
-    assert(scanRoots.exists(_.contains("/accel_ci_li_supp/")),
-      s"one-sided index not scanned:\n${scanRoots.mkString("\n")}")
+    // Assert the PROPERTY, not an index name: any equivalent one-sided
+    // covering index bucketed on l_suppkey is a correct pick (the shared
+    // /tmp fixture cache accumulates equivalent indexes across suites, and
+    // the ranker's name tie-break decides which — both plans are right).
+    val indexScans = nodes.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+          .exists(_.toString.contains("/accel_ci_li_")) => s
+    }
+    assert(indexScans.nonEmpty,
+      "no lineitem covering-index scan in plan:\n" + nodes.collect {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.mkString(",")
+      }.mkString("\n"))
+    assert(indexScans.exists(_.relation.bucketSpec.exists(
+        _.bucketColumnNames.exists(_.equalsIgnoreCase("l_suppkey")))),
+      "index scan is not bucketed on the join key l_suppkey:\n" +
+        indexScans.map(_.relation.bucketSpec).mkString("\n"))
     val smj = nodes.collectFirst { case j: SortMergeJoinExec => j }
       .getOrElse(fail("no sort-merge join in plan"))
     // indexed lineitem side: no exchange; supplier side: exactly the one
@@ -424,6 +437,25 @@ class PlanAuditSpec extends AnyFunSuite {
       allNodes(s).count(_.isInstanceOf[ShuffleExchangeExec]))
     assert(sides.sorted == Seq(0, 1),
       s"expected one shuffled side and one bucketed side, got $sides:\n$smj")
+  }
+
+  test("ranker determinism: with an equivalent wider index present, the " +
+      "smallest covering index wins the one-sided tie") {
+    // Reproduce the order that used to flake the suite: qds65 builds
+    // accel_ci_li_bysupp (same key l_suppkey, wider coverage) into the
+    // SHARED fixture, then q_join_one_sided plans. The tie-break must
+    // deterministically pick the narrower accel_ci_li_supp — never
+    // whatever the catalog listed first.
+    SparkEntry.queries("qds65_underperf_parts")(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan // force the bysupp index build
+    val nodes = plannedNoBroadcast("q_join_one_sided")
+    val scanRoots = nodes.collect { case s: FileSourceScanExec =>
+      s.relation.location.rootPaths.map(_.toString).mkString(",") }
+    assert(scanRoots.exists(_.contains("/accel_ci_li_supp/")),
+      "smallest-covering-index tie-break not applied; scans:\n" +
+        scanRoots.mkString("\n"))
+    assert(!scanRoots.exists(_.contains("/accel_ci_li_bysupp/")),
+      "ranker picked the wider equivalent index for the one-sided join")
   }
 
   test("text_quality: aggregations run partial + final") {
