@@ -60,7 +60,12 @@ final case class DeltaSnapshot(
     // streaming-writer idempotence: latest `txn` version per appId —
     // the Delta action an exactly-once sink checks before re-applying
     // a possibly-replayed micro-batch
-    transactions: Map[String, Long] = Map.empty) {
+    transactions: Map[String, Long] = Map.empty,
+    // the table's STABLE unique id (metaData.id). External consumers
+    // (delta-spark streaming sources among them) key continuity on it, so
+    // every commit that republishes metaData must carry it forward; a new
+    // id is only ever minted at table creation / CONVERT / CLONE.
+    tableId: Option[String] = None) {
   def schema: StructType =
     DataType.fromJson(schemaString).asInstanceOf[StructType]
 }
@@ -169,6 +174,7 @@ object DeltaLog {
     val ckptVersion: Option[Long] = ckptChoice.map(_._1)
 
     var schemaString: String = null
+    var tableId: Option[String] = None
     var partitionColumns: Seq[String] = Nil
     var minReaderVersion: Int = 1
     var minWriterVersion: Int = 2
@@ -221,6 +227,7 @@ object DeltaLog {
         val md = ck.select("metaData.*")
           .where("metaData.schemaString is not null").collect().headOption
         md.foreach { r =>
+          if (mdFields.contains("id")) tableId = Option(r.getAs[String]("id"))
           schemaString = r.getAs[String]("schemaString")
           partitionColumns = Option(r.getAs[scala.collection.Seq[String]](
             "partitionColumns")).map(_.toSeq).getOrElse(Nil)
@@ -337,6 +344,10 @@ object DeltaLog {
         }
         j \ "metaData" match {
           case JObject(_) =>
+            (j \ "metaData" \ "id") match {
+              case JString(s) => tableId = Some(s)
+              case _ =>
+            }
             (j \ "metaData" \ "schemaString") match {
               case JString(s) => schemaString = s
               case _ =>
@@ -469,7 +480,7 @@ object DeltaLog {
     DeltaSnapshot(rootStr, latest, schemaString, partitionColumns,
       live.values.toSeq, minReaderVersion, minWriterVersion,
       readerFeatures, writerFeatures, tableConfiguration,
-      transactions.toMap)
+      transactions.toMap, tableId)
   }
 
   /** Action paths are URL-encoded and root-relative (absolute paths are
@@ -619,11 +630,14 @@ private[sources] case class CkptRemove(
 private[sources] case class CkptTxn(appId: String, version: Long)
 private[sources] case class CkptCheckpointMetadata(
     version: Long, tags: Option[Map[String, String]] = None)
+private[sources] case class CkptSidecar(
+    path: String, sizeInBytes: Long, modificationTime: Long)
 private[sources] case class CkptRow(
     add: Option[CkptAdd], remove: Option[CkptRemove],
     metaData: Option[CkptMetaData], protocol: Option[CkptProtocol],
     txn: Option[CkptTxn] = None,
-    checkpointMetadata: Option[CkptCheckpointMetadata] = None)
+    checkpointMetadata: Option[CkptCheckpointMetadata] = None,
+    sidecar: Option[CkptSidecar] = None)
 
 /**
  * Snapshot-pinned reads and minimal transactional writes of Delta tables
@@ -2226,7 +2240,9 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       if (ictEnabled(current.configuration))
         Some(nextIct(fs, root, current.version, now)) else None)
     lines += JObject("metaData" -> JObject(
-      "id" -> JString(java.util.UUID.randomUUID().toString),
+      // RESTORE rewinds state, not identity — keep the table id
+      "id" -> JString(current.tableId
+        .getOrElse(java.util.UUID.randomUUID().toString)),
       "format" -> JObject(
         "provider" -> JString("parquet"), "options" -> JObject()),
       "schemaString" -> JString(target.schemaString),
@@ -2402,7 +2418,10 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         "minWriterVersion" -> JInt(math.max(prior.minWriterVersion, legacyWriter))))
     }
     lines += JObject("metaData" -> JObject(
-      "id" -> JString(java.util.UUID.randomUUID().toString),
+      // metaData.id is the table's stable identity — carry it forward on
+      // every non-create commit or external readers see a table swap
+      "id" -> JString(prior.tableId
+        .getOrElse(java.util.UUID.randomUUID().toString)),
       "format" -> JObject(
         "provider" -> JString("parquet"), "options" -> JObject()),
       "schemaString" -> JString(schema.json),
@@ -2635,7 +2654,9 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         "readerFeatures" -> JArray(readers.toList.sorted.map(JString(_))),
         "writerFeatures" -> JArray(writers.toList.sorted.map(JString(_))))),
       JObject("metaData" -> JObject(
-        "id" -> JString(java.util.UUID.randomUUID().toString),
+        // a type-widening is a metadata change on the SAME table
+        "id" -> JString(prior.tableId
+          .getOrElse(java.util.UUID.randomUUID().toString)),
         "format" -> JObject(
           "provider" -> JString("parquet"), "options" -> JObject()),
         "schemaString" -> JString(widened.json),
@@ -2878,7 +2899,10 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       // a mergeSchema append republishes the ADDITIVELY-evolved schema
       // while keeping the table's partitioning
       lines += JObject("metaData" -> JObject(
-        "id" -> JString(java.util.UUID.randomUUID().toString),
+        // overwrite / mergeSchema republish metadata for the SAME table;
+        // a fresh id is minted only at version 0 (table creation)
+        "id" -> JString(prior.flatMap(_.tableId)
+          .getOrElse(java.util.UUID.randomUUID().toString)),
         "format" -> JObject(
           "provider" -> JString("parquet"),
           "options" -> JObject()),
@@ -3128,17 +3152,22 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     doomed.toSeq
   }
 
-  /** Write a single-part parquet checkpoint at the current version so
-    * replay cost stays bounded as commits accumulate (+ the
-    * `_last_checkpoint` hint file real readers look for). Tables whose
-    * protocol demands V2 SPEC CHECKPOINTS (the `v2Checkpoint` writer
-    * feature, or `delta.checkpointPolicy = v2`) get the v2 format: a
-    * uuid-named manifest (`<v>.checkpoint.<uuid>.parquet`) carrying the
-    * mandatory `checkpointMetadata` action with the file actions
-    * INLINE — the spec's sidecar-less shape, legal and what a
-    * single-manifest writer should emit (no sidecar fan-out needed at
-    * this writer's file counts; readers that replay sidecars replay
-    * inline adds identically). */
+  /** Write a parquet checkpoint at the current version so replay cost
+    * stays bounded as commits accumulate (+ the `_last_checkpoint` hint
+    * file real readers look for). Tables whose protocol demands V2 SPEC
+    * CHECKPOINTS (the `v2Checkpoint` writer feature, or
+    * `delta.checkpointPolicy = v2`) get the v2 format: a uuid-named
+    * manifest (`<v>.checkpoint.<uuid>.parquet`) carrying the mandatory
+    * `checkpointMetadata` action.
+    *
+    * Past `spark.graft.delta.checkpoint.partSize` add actions the state
+    * is written BANDED from executors — classic tables as the spec's
+    * multi-part checkpoint (`<v>.checkpoint.<o>.<p>.parquet`), v2 tables
+    * as `_sidecars/` files behind a small pointer manifest — so a table
+    * with millions of live files never serializes its checkpoint through
+    * one task. Below the threshold both formats stay single-file (v2
+    * with the file actions inline in the manifest — the spec's legal
+    * sidecar-less shape). */
   def checkpoint(spark: SparkSession, rootStr: String): Long = {
     import spark.implicits._
     val root = new Path(rootStr)
@@ -3168,16 +3197,19 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       // key on it to recognize the manifest
       else Seq(CkptRow(None, None, None, None, None,
         Some(CkptCheckpointMetadata(s.version))))
-    val rows = v2Meta ++ (
+    val metaRows: Seq[CkptRow] = v2Meta ++ (
       CkptRow(None, None, None, Some(proto)) +:
       CkptRow(None, None, Some(CkptMetaData(
-        java.util.UUID.randomUUID().toString, CkptFormat("parquet", Map()),
+        // the checkpoint RESTATES table metadata — including its id
+        s.tableId.getOrElse(java.util.UUID.randomUUID().toString),
+        CkptFormat("parquet", Map()),
         s.schemaString, s.partitionColumns, s.configuration)), None) +:
       // txn watermarks MUST survive the checkpoint: dropping one would
       // let a replayed streaming micro-batch double-apply after cleanup
-      (s.transactions.toSeq.sorted.map { case (app, v) =>
+      s.transactions.toSeq.sorted.map { case (app, v) =>
         CkptRow(None, None, None, None, Some(CkptTxn(app, v)))
-      } ++
+      })
+    val addRows: Seq[CkptRow] =
       s.files.map { f =>
         val rel = rootUri.relativize(
           fs.makeQualified(new Path(f.path)).toUri).getPath
@@ -3187,22 +3219,77 @@ object DeltaTable extends org.apache.spark.internal.Logging {
           d.offset, d.sizeInBytes, d.cardinality))
         CkptRow(Some(CkptAdd(rel, partitionValuesOf(rel), f.size,
           f.modificationTime, dataChange = false, dv, f.stats)), None, None, None)
-      }))
-    val tmp = new Path(DeltaLog.logDir(root), s".ckpt-tmp-${s.version}")
-    rows.toDS().repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no part file"))
-    val target = new Path(DeltaLog.logDir(root),
-      if (v2)
-        f"${s.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
-      else f"${s.version}%020d.checkpoint.parquet")
-    if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(part, target)
+      }
+    val dir = DeltaLog.logDir(root)
+    // BANDED writes past a part-size threshold: a streaming-ingest table
+    // accumulates millions of add actions between OPTIMIZEs, and every
+    // `checkpointInterval`th commit would funnel them all through ONE
+    // write task. Shard the state across executors instead (the
+    // IcebergMeta.writeDeleteFiles shape): classic tables get the spec's
+    // multi-part form (`<v>.checkpoint.<o>.<p>.parquet` — the reader
+    // already replays complete groups), v2 tables get `_sidecars/` files
+    // with a small pointer manifest. repartition(n) is REPARTITION_BY_NUM,
+    // which neither the optimizer nor AQE coalesces back to one task.
+    val partSize = math.max(1, spark.sessionState.conf.getConfString(
+      "spark.graft.delta.checkpoint.partSize", "100000").toInt)
+    val nParts = math.max(1, math.min(
+      (addRows.size + partSize - 1) / partSize,
+      spark.sessionState.conf.numShufflePartitions))
+    val tmp = new Path(dir, s".ckpt-tmp-${s.version}")
+    def writeParts(rs: Seq[CkptRow], n: Int): Seq[Path] = {
+      rs.toDS().repartition(n).write.mode("overwrite").parquet(tmp.toString)
+      val parts = fs.listStatus(tmp).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      if (parts.isEmpty)
+        throw new IllegalStateException("checkpoint write produced no part file")
+      parts
+    }
+    def claim(src: Path, target: Path): Unit = {
+      if (fs.exists(target)) fs.delete(target, false)
+      fs.rename(src, target)
+    }
+    val hintParts: Option[Int] =
+      if (v2 && nParts > 1) {
+        // adds stream from executors into _sidecars/; the manifest stays
+        // a single small file of sidecar pointers + table metadata
+        val parts = writeParts(addRows, nParts)
+        val scDir = new Path(dir, "_sidecars")
+        fs.mkdirs(scDir)
+        val sidecarRows = parts.map { p =>
+          val name = s"${java.util.UUID.randomUUID()}.parquet"
+          val t = new Path(scDir, name)
+          claim(p, t)
+          val st = fs.getFileStatus(t)
+          CkptRow(None, None, None, None, None, None,
+            Some(CkptSidecar(name, st.getLen, st.getModificationTime)))
+        }
+        fs.delete(tmp, true)
+        val manifest = writeParts(metaRows ++ sidecarRows, 1)
+        claim(manifest.head, new Path(dir,
+          f"${s.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"))
+        None
+      } else if (!v2 && nParts > 1) {
+        val parts = writeParts(metaRows ++ addRows, nParts)
+        val k = parts.size
+        parts.zipWithIndex.foreach { case (p, i) =>
+          claim(p, new Path(dir,
+            f"${s.version}%020d.checkpoint.${i + 1}%010d.$k%010d.parquet"))
+        }
+        Some(k)
+      } else {
+        val parts = writeParts(metaRows ++ addRows, 1)
+        claim(parts.head, new Path(dir,
+          if (v2)
+            f"${s.version}%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
+          else f"${s.version}%020d.checkpoint.parquet"))
+        None
+      }
     fs.delete(tmp, true)
-    val hint = fs.create(new Path(DeltaLog.logDir(root), "_last_checkpoint"), true)
+    val hint = fs.create(new Path(dir, "_last_checkpoint"), true)
     try hint.write(
-      s"""{"version":${s.version},"size":${rows.size}}"""
+      (s"""{"version":${s.version},"size":${metaRows.size + addRows.size}""" +
+        hintParts.map(p => s""","parts":$p""").getOrElse("") + "}")
         .getBytes(StandardCharsets.UTF_8))
     finally hint.close()
     cleanupExpiredLogs(fs, root, s.version, s.configuration)

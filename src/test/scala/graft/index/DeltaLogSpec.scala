@@ -165,6 +165,56 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(ckpts(b).isEmpty)
   }
 
+  test("banded classic checkpoint: past the part threshold the state " +
+      "writes as a multi-part group that replays") {
+    val root = tmp("graft-delta-mpck-")
+    DeltaTable.create(customer.filter(col("c_custkey") <= 50), root)
+    DeltaTable.append(customer.filter(
+      col("c_custkey") > 50 && col("c_custkey") <= 100), root)
+    DeltaTable.append(customer.filter(col("c_custkey") > 100), root)
+    spark.conf.set("spark.graft.delta.checkpoint.partSize", "1")
+    try assert(DeltaTable.checkpoint(spark, root) == 2L)
+    finally spark.conf.unset("spark.graft.delta.checkpoint.partSize")
+    val logDir = DeltaLog.logDir(new org.apache.hadoop.fs.Path(root))
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val MultiRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val parts = fs.listStatus(logDir).map(_.getPath.getName).collect {
+      case n @ MultiRe(_, o, p) => (n, o.toInt, p.toInt)
+    }.toSeq.sortBy(_._2)
+    assert(parts.size >= 2, s"expected a multi-part checkpoint, got $parts")
+    assert(parts.map(_._3).distinct == Seq(parts.size),
+      s"declared part count wrong: $parts")
+    assert(parts.map(_._2) == (1 to parts.size),
+      s"part ordinals not 1..n: $parts")
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_delta_log", "_last_checkpoint")))
+    assert(hint.contains("\"parts\":" + parts.size), hint)
+    // the group is the ONLY replay source once the commits it covers go
+    DeltaTable.append(customer.limit(0), root) // version anchor on top
+    (0L to 2L).foreach(v => assert(fs.delete(
+      new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json"), false)))
+    assert(DeltaTable.read(spark, root).count() == customer.count())
+    assert(DeltaTable.read(spark, root)
+      .select(sum(col("c_custkey"))).head().getLong(0) ==
+      customer.select(sum(col("c_custkey"))).head().getLong(0))
+  }
+
+  test("metaData.id is stable across the table's life (appends, " +
+      "metadata commits, restore, checkpoint restatement)") {
+    val root = tmp("graft-delta-id-")
+    DeltaTable.create(customer.filter(col("c_custkey") <= 50), root)
+    val id = DeltaLog.snapshot(spark, root).tableId
+    assert(id.nonEmpty, "create minted no metaData.id")
+    DeltaTable.append(customer.filter(col("c_custkey") > 50), root)
+    DeltaTable.enableChangeDataFeed(spark, root) // commitMetadata path
+    DeltaTable.restore(spark, root, 1L)
+    assert(DeltaTable.checkpoint(spark, root) >= 0L)
+    DeltaTable.create(customer.limit(7), root) // overwrite, same table
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.tableId == id,
+      s"table identity drifted: created as $id, now ${s.tableId}")
+  }
+
   test("checkpoint-time metadata cleanup honors delta.logRetentionDuration") {
     def logNames(root: String): Seq[String] = {
       val d = DeltaLog.logDir(new org.apache.hadoop.fs.Path(root))

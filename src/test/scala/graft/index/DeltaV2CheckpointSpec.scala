@@ -219,6 +219,39 @@ class DeltaV2CheckpointSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, root).count() == 18)
   }
 
+  test("banded v2 checkpoint: adds fan out to executor-written sidecars " +
+      "behind a pointer manifest, and the manifest replays them") {
+    val root = Files.createTempDirectory("graft-v2ck-band-").toString
+    DeltaTable.create(customer.filter(col("c_custkey") <= 40), root,
+      configuration = Map("delta.checkpointPolicy" -> "v2"))
+    DeltaTable.append(customer.filter(
+      col("c_custkey") > 40 && col("c_custkey") <= 90), root)
+    DeltaTable.append(customer.filter(col("c_custkey") > 90), root)
+    spark.conf.set("spark.graft.delta.checkpoint.partSize", "1")
+    try DeltaTable.checkpoint(spark, root)
+    finally spark.conf.unset("spark.graft.delta.checkpoint.partSize")
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val logDir = new Path(root, "_delta_log")
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    val v2Name = names.find(
+      _.matches("""^\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet$"""))
+    assert(v2Name.isDefined, s"no v2 manifest among ${names.mkString(", ")}")
+    val sidecarFiles = fs.listStatus(new Path(logDir, "_sidecars"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(sidecarFiles.length >= 2,
+      s"expected sidecar fan-out, got ${sidecarFiles.toSeq}")
+    // the manifest carries NO inline adds — only pointers + metadata
+    val ckf = spark.read.parquet(new Path(logDir, v2Name.get).toString)
+    assert(ckf.where("add is not null").count() == 0)
+    val pointed = ckf.where("sidecar is not null")
+      .selectExpr("sidecar.path").collect().map(_.getString(0)).sorted
+    assert(pointed.toSeq == sidecarFiles.toSeq.sorted)
+    // replay from manifest + sidecars alone
+    (0L to 1L).foreach(v =>
+      fs.delete(new Path(logDir, f"$v%020d.json"), false))
+    assert(DeltaTable.read(spark, root).count() == customer.count())
+  }
+
   test("delta.checkpointPolicy=v2 property also selects the v2 format") {
     val root = Files.createTempDirectory("graft-v2ck-policy-").toString
     DeltaTable.create(customer.limit(8), root,
