@@ -2912,19 +2912,32 @@ object IcebergTable {
     }
     var cursor: Option[Long] = Some(ref.snapshotId)
     var isAncestor = false
-    while (cursor.isDefined && !isAncestor) {
-      if (cursor.get == current) isAncestor = true
-      else cursor = cursor.flatMap(c => byId.get(c).flatMap(s =>
-        (s \ "parent-snapshot-id") match {
+    var expiredGap: Option[Long] = None
+    while (cursor.isDefined && !isAncestor && expiredGap.isEmpty) {
+      val c = cursor.get
+      if (c == current) isAncestor = true
+      else byId.get(c) match {
+        // a chain id missing from snapshots[] was EXPIRED, not forked:
+        // distinguish "unverifiable" from a genuine divergence below
+        case None => expiredGap = Some(c)
+        case Some(s) => cursor = (s \ "parent-snapshot-id") match {
           case JInt(n) => Some(n.toLong)
           case JLong(n) => Some(n)
           case _ => None
-        }))
+        }
+      }
     }
-    require(isAncestor || current < 0,
-      s"fastForward at $location: main ($current) is not an ancestor of " +
-        s"branch '$branchName' (${ref.snapshotId}); the branch has " +
-        "diverged — merge it instead")
+    require(isAncestor || current < 0, expiredGap match {
+      case Some(g) =>
+        s"fastForward at $location: ancestry of branch '$branchName' " +
+          s"(${ref.snapshotId}) is unverifiable — snapshot $g on its " +
+          s"parent chain was expired before reaching main ($current). " +
+          "Expire with ref ancestors retained, or rebuild the branch."
+      case None =>
+        s"fastForward at $location: main ($current) is not an ancestor " +
+          s"of branch '$branchName' (${ref.snapshotId}); the branch has " +
+          "diverged — merge it instead"
+    })
     publishMetadataOnly(spark, location)(
       setFields(_, "current-snapshot-id" -> JLong(ref.snapshotId)))
     ref.snapshotId
@@ -2974,12 +2987,40 @@ object IcebergTable {
     // newest-first by commit timestamp (file order as tiebreak)
     val newestFirst = snaps.zipWithIndex
       .sortBy { case (s, i) => (-tsOf(s), -i) }.map(_._1)
-    val retainIds: Set[Long] =
+    val baseRetain: Set[Long] =
       newestFirst.take(keepLast).map(idOf).toSet ++
         olderThanMs.map(cut => snaps.filter(tsOf(_) >= cut).map(idOf))
           .getOrElse(Nil) ++
         // branch/tag-pinned snapshots never expire while the ref lives
         IcebergMeta.parseRefs(j).values.map(_.snapshotId) + current
+    // ...and neither do an UNPUBLISHED branch head's ANCESTORS back to a
+    // retained snapshot: fastForward verifies publishability by walking
+    // parent-snapshot-id, so expiring a branch's intermediate commits
+    // would make a cleanly-stacked branch look diverged. Only branches
+    // whose head is NOT current need this (main's own history prunes
+    // normally — that is the point of expiration; tags need only their
+    // pinned snapshot). The walk stops at the first retained ancestor,
+    // bounding the extra retention to each branch's unpublished window.
+    val parentOf: Map[Long, Option[Long]] = snaps.map { s =>
+      idOf(s) -> ((s \ "parent-snapshot-id") match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case _ => None
+      })
+    }.toMap
+    val retainIds: Set[Long] = {
+      var keep = baseRetain
+      IcebergMeta.parseRefs(j).values
+        .filter(r => r.refType == "branch" && r.snapshotId != current)
+        .map(_.snapshotId).foreach { head =>
+          var cursor = parentOf.get(head).flatten
+          while (cursor.isDefined && !keep.contains(cursor.get)) {
+            keep += cursor.get
+            cursor = parentOf.get(cursor.get).flatten
+          }
+        }
+      keep
+    }
     val (retained, expired) = snaps.partition(s => retainIds.contains(idOf(s)))
     if (expired.isEmpty) return Nil
 

@@ -134,6 +134,60 @@ class IcebergRefsSpec extends AnyFunSuite {
     IcebergTable.dropRef(spark, loc, "never-existed")
   }
 
+  test("expiration retains an unpublished branch's ancestor chain so " +
+      "fastForward still verifies and publishes") {
+    val loc = tmp("graft-ice-refanc-")
+    val base = customer.filter($"c_custkey" <= 60)
+    IcebergTable.create(base, loc)                                 // snap 1
+    IcebergTable.append(customer.filter($"c_custkey" === 61), loc,
+      branch = Some("stage"))                                      // snap 2
+    IcebergTable.append(customer.filter($"c_custkey" === 62), loc,
+      branch = Some("stage"))                                      // snap 3
+    // keepLast=1 would expire snap 2 (neither head nor pinned) — but it
+    // sits on the stage branch's parent chain between its head and main,
+    // so fastForward ancestry would become unverifiable without it
+    IcebergTable.expireSnapshots(spark, loc, keepLast = 1)
+    assert(IcebergTable.read(spark, loc, snapshotAsOf = Some(2L))
+      .count() == base.count() + 1,
+      "expiration dropped branch-intermediate snapshot 2")
+    assert(IcebergTable.fastForward(spark, loc, "stage") == 3L)
+    assert(IcebergTable.read(spark, loc).count() == base.count() + 2)
+  }
+
+  test("fastForward distinguishes an expired-gap chain from divergence") {
+    val loc = tmp("graft-ice-refgap-")
+    IcebergTable.create(customer.filter($"c_custkey" <= 10), loc)  // snap 1
+    IcebergTable.append(customer.filter($"c_custkey" === 11), loc,
+      branch = Some("b"))                                          // snap 2
+    IcebergTable.append(customer.filter($"c_custkey" === 12), loc,
+      branch = Some("b"))                                          // snap 3
+    // forcibly remove snapshot 2 from metadata (what a pre-fix or
+    // foreign writer's expiration could have done)
+    import org.apache.hadoop.fs.Path
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    val mf = fs.listStatus(new Path(loc, "metadata")).map(_.getPath)
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    val j = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(mf.toUri)), "UTF-8"))
+    val pruned = j.transformField {
+      case ("snapshots", JArray(snaps)) => ("snapshots", JArray(
+        snaps.filterNot(s => (s \ "snapshot-id") == JInt(2) ||
+          (s \ "snapshot-id") == JLong(2L))))
+    }
+    val out = fs.create(mf, true)
+    try out.write(JsonMethods.pretty(JsonMethods.render(pruned))
+      .getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.fastForward(spark, loc, "b")
+    }
+    assert(e.getMessage.contains("unverifiable"), e.getMessage)
+    assert(e.getMessage.contains("expired"), e.getMessage)
+  }
+
   test("branch survives unrelated main commits and carries across them") {
     val loc = tmp("graft-ice-refcarry-")
     val base = customer.filter($"c_custkey" <= 20)
