@@ -62,22 +62,56 @@ class LakeDmlResolution extends Rule[LogicalPlan] {
         "THEN DELETE] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
         "THEN INSERT *")
 
-  /** `ON t.k = s.k AND ...` → the merge key column names. */
-  private def mergeKeys(cond: Expression): Seq[String] =
+  /** A SET key / ON operand must resolve to ONE top-level column:
+    * strip a leading known-alias qualifier, then refuse anything still
+    * multi-part — a wrong alias (`SET x.c = ...`) or a nested field
+    * (`SET address.city = ...`) would otherwise silently resolve to the
+    * last segment's top-level column and touch the wrong data. */
+  private def plainColumn(a: UnresolvedAttribute,
+      aliases: Set[String], what: String): String = {
+    val parts = a.nameParts
+    val stripped =
+      if (parts.length > 1 && aliases.contains(parts.head.toLowerCase))
+        parts.tail
+      else parts
+    if (stripped.length != 1)
+      fail(s"$what must be a plain top-level column" +
+        (if (aliases.nonEmpty)
+          s", optionally qualified by ${aliases.toSeq.sorted.mkString("/")}"
+        else "") + s"; got ${a.sql}")
+    stripped.head
+  }
+
+  /** `ON t.k = s.k AND ...` → the merge key column names. Qualified
+    * operands must name the two DIFFERENT sides — `t.k = t.k` would
+    * vacuously match everything against the source. */
+  private def mergeKeys(cond: Expression, targetAlias: Option[String],
+      srcAlias: Option[String]): Seq[String] = {
+    val known = (targetAlias.toSeq ++ srcAlias.toSeq).map(_.toLowerCase).toSet
     conjuncts(cond).map {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
           if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        Seq(a, b).foreach(x => plainColumn(x, known, "each ON operand"))
+        (a.nameParts, b.nameParts) match {
+          case (qa :: _ :: Nil, qb :: _ :: Nil)
+              if qa.equalsIgnoreCase(qb) =>
+            fail(s"ON ${a.sql} = ${b.sql} qualifies both operands with " +
+              "the same alias — one side must be the target, the other " +
+              "the source")
+          case _ => ()
+        }
         a.nameParts.last
       case other => fail("the ON clause must be a conjunction of " +
         s"target.key = source.key equalities on same-named columns, got: " +
         other.sql)
     }
+  }
 
   private def convertMerge(m: MergeIntoTable, path: String,
       targetAlias: Option[String]): LogicalPlan = {
     val srcAlias = sourceAlias(m.sourceTable)
     val aliases = (targetAlias.toSeq ++ srcAlias.toSeq).map(_.toLowerCase).toSet
-    val keys = mergeKeys(m.mergeCondition)
+    val keys = mergeKeys(m.mergeCondition, targetAlias, srcAlias)
 
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("WHEN NOT MATCHED BY SOURCE is not supported")
@@ -129,7 +163,7 @@ class LakeDmlResolution extends Rule[LogicalPlan] {
         val aliases = alias.map(_.toLowerCase).toSet
         val set = u.assignments.map { a =>
           val name = a.key match {
-            case k: UnresolvedAttribute => k.nameParts.last
+            case k: UnresolvedAttribute => plainColumn(k, aliases, "SET")
             case other => fail(s"SET must assign plain columns, got ${other.sql}")
           }
           name -> asColumn(a.value, aliases)

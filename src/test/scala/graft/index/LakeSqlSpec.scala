@@ -122,6 +122,40 @@ class LakeSqlSpec extends AnyFunSuite {
       "source columns")
   }
 
+  test("SET keys and ON operands must be plain target/source columns " +
+      "(wrong aliases and nested fields refuse, valid aliases strip)") {
+    val root = tmp("graft-sql-setkey-")
+    DeltaTable.create(customer.limit(20), root)
+    customer.limit(5).createOrReplaceTempView("setkey_src")
+    def refused(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)),
+        s"expected refusal mentioning '$frag', got: ${msgs(e).mkString(" | ")}")
+    }
+    // a qualifier that is NOT the target alias must not silently resolve
+    // to the bare trailing column
+    refused(s"UPDATE graft_delta.`$root` t SET x.c_acctbal = 0 " +
+      "WHERE c_custkey = 1", "plain top-level column")
+    // nested-field syntax would also strip to the last segment
+    refused(s"UPDATE graft_delta.`$root` SET address.city = 'x' " +
+      "WHERE c_custkey = 1", "plain top-level column")
+    // ON qualifying both operands with one alias is a self-equality,
+    // not a join condition
+    refused(
+      s"""MERGE INTO graft_delta.`$root` t USING setkey_src s
+         |ON t.c_custkey = t.c_custkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "same alias")
+    // a correctly alias-qualified SET strips and applies
+    spark.sql(s"UPDATE graft_delta.`$root` t SET t.c_acctbal = CAST(0 AS DOUBLE) " +
+      "WHERE t.c_custkey = 1")
+    assert(DeltaTable.read(spark, root).filter($"c_custkey" === 1)
+      .select($"c_acctbal").head().getDouble(0) == 0.0)
+  }
+
   test("UPDATE and DELETE FROM route to the row-level verbs (both formats)") {
     val droot = tmp("graft-sql-upd-d-")
     val iroot = tmp("graft-sql-upd-i-")
