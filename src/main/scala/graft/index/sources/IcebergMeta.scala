@@ -2725,6 +2725,39 @@ object IcebergTable {
     rows.toDF("snapshot_id", "timestamp", "operation")
   }
 
+  /** `TIMESTAMP AS OF` time travel: read the LATEST snapshot whose
+    * `timestamp-ms` is at or before `tsMillis` (the Iceberg spec's
+    * snapshot-log resolution rule). Fails loudly when the timestamp
+    * precedes the first snapshot. */
+  def readTimestampAsOf(spark: SparkSession, location: String,
+      tsMillis: Long): DataFrame = {
+    val fs = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaFile = IcebergMeta.currentMetadataFile(fs, location)
+    val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
+    val snaps: Seq[(Long, Long)] = ((j \ "snapshots") match {
+      case JArray(s) => s
+      case _ => Nil
+    }).flatMap { s =>
+      val id = (s \ "snapshot-id") match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case _ => None
+      }
+      val ts = (s \ "timestamp-ms") match {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case _ => 0L
+      }
+      id.map(_ -> ts)
+    }
+    val eligible = snaps.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestampAsOf $tsMillis precedes the first snapshot " +
+        s"(${if (snaps.isEmpty) "none" else snaps.map(_._2).min.toString}) " +
+        s"at $location")
+    read(spark, location, snapshotAsOf = Some(eligible.maxBy(_._2)._1))
+  }
+
   /** ROLLBACK to a retained ANCESTOR snapshot — the undo operation,
     * metadata-only: `current-snapshot-id` is repointed at the target
     * (whose manifest tree is untouched on disk) in a fenced new

@@ -113,6 +113,26 @@ object LakeTable {
       case _ => IcebergTable.read(spark, path, snapshotAsOf = Some(asOf))
     }
 
+  /** `TIMESTAMP AS OF` time travel — latest version/snapshot committed
+    * at or before `tsMillis`, each format resolved by its own clock. */
+  def readTimestampAsOf(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.readTimestampAsOf(spark, path, tsMillis)
+      case _ => IcebergTable.readTimestampAsOf(spark, path, tsMillis)
+    }
+
+  /** Append / INSERT OVERWRITE, format-agnostic (the SQL INSERT path). */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+      overwrite: Boolean = false): Long =
+    formatOf(spark, path) match {
+      case "delta" =>
+        if (overwrite) DeltaTable.create(df, path) else DeltaTable.append(df, path)
+      case _ =>
+        if (overwrite) IcebergTable.overwrite(df, path)
+        else IcebergTable.append(df, path)
+    }
+
   /** Commit history, newest first: (version-or-snapshot id, timestamp,
     * operation). */
   def history(spark: SparkSession, path: String): DataFrame =

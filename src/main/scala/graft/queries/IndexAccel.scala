@@ -324,6 +324,12 @@ object IndexAccel {
       "accel_ci_ord_snow", Seq("o_orderkey"), Seq("o_custkey")))
     ensureIndex(spark, sfDir, "customer", CoveringIndexConfig(
       "accel_ci_cust_nat", Seq("c_custkey"), Seq("c_nationkey", "c_acctbal")))
+    // the nation leg joins bucketed too (same config as the qds fixture
+    // shares) — without its own ensure the plan silently depended on
+    // WHICH other suite had populated the cached fixture first
+    ensureIndex(spark, sfDir, "nation", CoveringIndexConfig(
+      "accel_ci_nation_dim", Seq("n_nationkey"),
+      Seq("n_name", "n_regionkey")))
     val li = Tables.load(spark, sfDir, "lineitem")
     val ord = Tables.load(spark, sfDir, "orders")
     val cust = Tables.load(spark, sfDir, "customer")
@@ -1109,6 +1115,38 @@ object IndexAccel {
        | ${sqlMoneySum("bal")} AS sum_bal
        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SQL TIME TRAVEL (`SELECT ... FROM graft_delta.\`p\` VERSION AS OF
+    * 0`, resolved by [[graft.sql.LakeDmlResolution]] onto the same
+    * versioned log replay as `DeltaTable.read(versionAsOf)`): the
+    * fixture commits two versions, the query reads v0 THROUGH SQL, and
+    * the oracle pins v0's contents — an append leaking into the
+    * historic read, or the resolution falling back to head, breaks the
+    * hash. LakeSqlSpec additionally pins SQL ≡ API row-identical. */
+  def lakeSqlTimetravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.DeltaTable
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_lake_sql_tt_$h"
+    synchronized {
+      if (!graft.index.sources.DeltaLog.isDeltaTable(spark, root)) {
+        val customer = Tables.load(spark, sfDir, "customer")
+        DeltaTable.create(customer.filter(col("c_custkey") % 2 === 0), root)
+        DeltaTable.append(customer.filter(col("c_custkey") % 2 === 1), root)
+      }
+    }
+    spark.sql(
+      s"""SELECT c_mktsegment AS segment,
+         | CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | ${"CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)"} AS sum_bal
+         |FROM graft_delta.`$root` VERSION AS OF 0
+         |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
+  }
+
+  val lakeSqlTimetravelSql: String =
+    s"""SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer WHERE c_custkey % 2 = 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The CDF of the Delta merge commit, aggregated by change type — a
     * hash match proves the cdc writer recorded exactly the merge's
     * row-level effect (delete / update pre+post / insert classification
@@ -1327,6 +1365,7 @@ object IndexAccel {
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "idx_delta_merge" -> (idxDeltaMerge _, idxDeltaMergeSql),
     "lake_sql_merge" -> (lakeSqlMerge _, idxDeltaMergeSql),
+    "lake_sql_timetravel" -> (lakeSqlTimetravel _, lakeSqlTimetravelSql),
     "idx_delta_merge_cdf" -> (idxDeltaMergeCdf _, idxDeltaMergeCdfSql),
     "idx_iceberg_merge" -> (idxIcebergMerge _, idxDeltaMergeSql),
     "stream_lake_upsert" -> (streamLakeUpsert _, idxDeltaMergeSql),

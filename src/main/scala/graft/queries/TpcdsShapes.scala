@@ -49,6 +49,11 @@ object TpcdsShapes {
       Seq("o_totalprice", "o_orderdate")))
     ensureIndex(spark, sfDir, "customer", CoveringIndexConfig(
       "accel_ci_cust_dim", Seq("c_custkey"), Seq("c_name", "c_nationkey")))
+    // own the nation dim index (shared config with qdsDeepSnowflake) so
+    // the regional filter leg joins bucketed regardless of suite order
+    ensureIndex(spark, sfDir, "nation", CoveringIndexConfig(
+      "accel_ci_nation_dim", Seq("n_nationkey"),
+      Seq("n_name", "n_regionkey")))
     val ord = Tables.load(spark, sfDir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))

@@ -49,8 +49,51 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case _ => GraftDescribeHistoryCommand(target(d))
       }
     }
+    val r = RestoreRe.matcher(sqlText)
+    if (r.matches()) {
+      return Option(r.group("version")) match {
+        case Some(v) => GraftRestoreCommand(target(r), Some(v.toLong), None)
+        case None => GraftRestoreCommand(target(r), None,
+          Some(parseTsMillis(r.group("ts"))))
+      }
+    }
+    val c = ConvertRe.matcher(sqlText)
+    if (c.matches()) {
+      val parts = Option(c.group("partcols")).toSeq
+        .flatMap(_.split(",")).map(stripIdent).filter(_.nonEmpty)
+      return GraftConvertCommand(c.group("path"),
+        c.group("fmt").toLowerCase, parts)
+    }
+    val a = AnalyzeRe.matcher(sqlText)
+    if (a.matches()) return GraftAnalyzeCommand(target(a))
+    val ct = CreateRe.matcher(sqlText)
+    if (ct.matches()) {
+      val parts = Option(ct.group("partcols")).toSeq
+        .flatMap(_.split(",")).map(stripIdent).filter(_.nonEmpty)
+      // the SELECT body parses through Spark's OWN grammar — full
+      // expression/join/CTE syntax for free, like the DML statements
+      return GraftCreateTableCommand(ct.group("path"),
+        ct.group("fmt").toLowerCase, parts,
+        delegate.parseQuery(ct.group("query")))
+    }
     delegate.parsePlan(sqlText)
   }
+
+  /** `'2026-01-02 03:04:05[.fff]'` / `'2026-01-02'` → epoch millis,
+    * interpreted in the session time zone like Spark's own
+    * TIMESTAMP AS OF literal. */
+  private def parseTsMillis(raw: String): Long = {
+    val s = stripQuotes(raw)
+    val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .stringToTimestampAnsi(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        java.time.ZoneId.of(org.apache.spark.sql.internal.SQLConf.get
+          .sessionLocalTimeZone))
+    Math.floorDiv(micros, 1000L)
+  }
+
+  private def stripQuotes(s: String): String =
+    s.trim.stripPrefix("'").stripSuffix("'")
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -90,6 +133,25 @@ object GraftSqlParser {
     s"""VACUUM\\s+$TargetSrc(?:\\s+RETAIN\\s+(?<hours>\\d+(?:\\.\\d+)?)\\s+HOURS?)?""")
   private val DescribeRe = re(
     s"""DESC(?:RIBE)?\\s+(?<what>DETAIL|HISTORY)\\s+$TargetSrc""")
+  // RESTORE [TABLE] <lake> TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
+  private val RestoreRe = re(
+    s"""RESTORE\\s+(?:TABLE\\s+)?$TargetSrc\\s+TO\\s+(?:""" +
+      """VERSION\s+AS\s+OF\s+(?<version>\d+)|""" +
+      """TIMESTAMP\s+AS\s+OF\s+(?<ts>'[^']+'))""")
+  // CONVERT TO DELTA|ICEBERG parquet.`/p` [PARTITIONED BY (c, ...)]
+  private val ConvertRe = re(
+    """CONVERT\s+TO\s+(?<fmt>DELTA|ICEBERG)\s+parquet\s*\.\s*""" +
+      """`(?<path>[^`]+)`""" +
+      """(?:\s+PARTITIONED\s+BY\s*\((?<partcols>[^)]+)\))?""")
+  // ANALYZE TABLE <lake> COMPUTE STATISTICS
+  private val AnalyzeRe = re(
+    s"""ANALYZE\\s+TABLE\\s+$TargetSrc\\s+COMPUTE\\s+STATISTICS""")
+  // CREATE TABLE graft_<fmt>.`/p` [PARTITIONED BY (...)] AS <select>
+  private val CreateRe = re(
+    """CREATE\s+TABLE\s+graft_(?<fmt>delta|iceberg|lake)\s*\.\s*""" +
+      """`(?<path>[^`]+)`""" +
+      """(?:\s+PARTITIONED\s+BY\s*\((?<partcols>[^)]+)\))?""" +
+      """\s+AS\s+(?<query>.+)""")
 
   private def target(m: java.util.regex.Matcher): String = m.group("path")
 

@@ -153,6 +153,53 @@ class LakeDmlResolution extends Rule[LogicalPlan] {
     GraftMergeCommand(path, m.sourceTable, keys, deleteCondition)
   }
 
+  /** SELECT-side resolution: a graft-qualified relation (optionally
+    * time-traveled) becomes the analyzed plan of the corresponding
+    * [[graft.index.sources.LakeTable]] read — `SELECT ... FROM
+    * graft_delta.`/p` VERSION AS OF 3` is the same code path as
+    * `DeltaTable.read(versionAsOf = 3)`. */
+  private def readPlan(path: String, version: Option[String],
+      ts: Option[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.internal.SQLConf
+    import org.apache.spark.sql.types.TimestampType
+    import graft.index.sources.LakeTable
+    val spark = SparkSession.active
+    val df = (version, ts) match {
+      case (Some(v), _) =>
+        val id = try v.toLong catch {
+          case _: NumberFormatException =>
+            fail(s"VERSION AS OF on a lake path must be a numeric " +
+              s"version / snapshot id, got '$v'")
+        }
+        LakeTable.readAsOf(spark, path, id)
+      case (_, Some(e)) =>
+        if (!e.resolved || !e.foldable)
+          fail(s"TIMESTAMP AS OF on a lake path must be a literal, " +
+            s"got ${e.sql}")
+        Cast(e, TimestampType,
+            Some(SQLConf.get.sessionLocalTimeZone)).eval(null) match {
+          case micros: java.lang.Long =>
+            LakeTable.readTimestampAsOf(spark, path,
+              Math.floorDiv(micros, 1000L))
+          case _ =>
+            fail(s"TIMESTAMP AS OF did not evaluate to a timestamp: ${e.sql}")
+        }
+      case _ => LakeTable.read(spark, path)
+    }
+    df.queryExecution.analyzed
+  }
+
+  private def resolveReads(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: UnresolvedRelation, ts, version) if graftTarget(u).isDefined =>
+        readPlan(graftTarget(u).get._1, version, ts)
+      case u: UnresolvedRelation if graftTarget(u).isDefined =>
+        readPlan(graftTarget(u).get._1, None, None)
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable =>
       graftTarget(m.targetTable)
@@ -176,6 +223,14 @@ class LakeDmlResolution extends Rule[LogicalPlan] {
         GraftDeleteCommand(path,
           Option(d.condition).map(asColumn(_, aliases)))
       }.getOrElse(plan)
-    case _ => plan
+    case i: InsertIntoStatement =>
+      graftTarget(i.table).map { case (path, _) =>
+        if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty ||
+            i.ifPartitionNotExists)
+          fail("INSERT into a lake path takes neither a PARTITION spec " +
+            "nor a column list (appends write the table's own layout)")
+        GraftInsertCommand(path, resolveReads(i.query), i.overwrite)
+      }.getOrElse(plan)
+    case _ => resolveReads(plan)
   }
 }

@@ -113,3 +113,91 @@ case class GraftDescribeHistoryCommand(path: String)
     LakeTable.history(spark, path)
       .toDF("id", "timestamp", "operation").collect().toSeq
 }
+
+/** `INSERT [OVERWRITE] INTO <lake> <query>` → [[LakeTable.append]].
+  * The query plan resolves at run time like the MERGE source. */
+case class GraftInsertCommand(path: String, query: LogicalPlan,
+    overwrite: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.append(spark, path,
+      GraftBridge.ofRows(spark, query), overwrite)))
+}
+
+/** `RESTORE [TABLE] <lake> TO VERSION AS OF n | TO TIMESTAMP AS OF ts`
+  * → [[LakeTable.undoTo]] (Delta RESTORE / Iceberg rollback). A
+  * timestamp resolves to the latest id committed at or before it,
+  * using the same clock as time-travel reads. */
+case class GraftRestoreCommand(path: String, version: Option[Long],
+    tsMillis: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, max}
+    val id = version.getOrElse {
+      val ts = new java.sql.Timestamp(tsMillis.get)
+      LakeTable.history(spark, path).toDF("id", "timestamp", "operation")
+        .filter(col("timestamp") <= lit(ts))
+        .agg(max(col("id"))).head() match {
+          case r if r.isNullAt(0) => throw new IllegalArgumentException(
+            s"RESTORE at $path: no commit at or before $ts")
+          case r => r.getLong(0)
+        }
+    }
+    Seq(Row(LakeTable.undoTo(spark, path, id)))
+  }
+}
+
+/** `CONVERT TO DELTA parquet.`/p`` / `CONVERT TO ICEBERG parquet.`/p``
+  * → in-place metadata adoption of an existing parquet directory
+  * ([[graft.index.sources.DeltaTable.convert]] /
+  * [[graft.index.sources.IcebergTable.migrate]]). */
+case class GraftConvertCommand(path: String, toFormat: String,
+    partitionBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] = Seq(Row(toFormat match {
+    case "delta" =>
+      graft.index.sources.DeltaTable.convert(spark, path, partitionBy)
+    case _ =>
+      require(partitionBy.isEmpty, "CONVERT TO ICEBERG does not take " +
+        "PARTITIONED BY (the migrated layout is unpartitioned adoption)")
+      graft.index.sources.IcebergTable.migrate(spark, path)
+  }))
+}
+
+/** `ANALYZE TABLE <lake> COMPUTE STATISTICS` → per-file stats
+  * collection ([[graft.index.sources.DeltaTable.computeStats]]).
+  * Iceberg tables refuse: their manifests carry the stats already. */
+case class GraftAnalyzeCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(LakeTable.formatOf(spark, path) == "delta",
+      s"ANALYZE at $path: Iceberg manifests already carry per-file " +
+        "stats; ANALYZE applies to graft_delta tables only")
+    Seq(Row(graft.index.sources.DeltaTable.computeStats(spark, path)))
+  }
+}
+
+/** `CREATE TABLE graft_<fmt>.`/p` [PARTITIONED BY (...)] AS <select>`
+  * — path-addressed CTAS. Refuses an existing table (CREATE, not
+  * REPLACE); `graft_lake` is refused because a new table has no format
+  * to auto-detect. */
+case class GraftCreateTableCommand(path: String, format: String,
+    partitionBy: Seq[String], query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.index.sources.{DeltaLog, DeltaTable, IcebergMeta, IcebergTable}
+    require(!DeltaLog.isDeltaTable(spark, path) &&
+      !IcebergMeta.isIcebergTable(spark, path),
+      s"CREATE TABLE at $path: a lake table already exists there")
+    val df = GraftBridge.ofRows(spark, query)
+    Seq(Row(format match {
+      case "delta" => DeltaTable.create(df, path, partitionBy)
+      case "iceberg" => IcebergTable.create(df, path,
+        partitionColumns = partitionBy)
+      case other => throw new IllegalArgumentException(
+        s"CREATE TABLE needs an explicit format (graft_delta or " +
+          s"graft_iceberg), got graft_$other")
+    }))
+  }
+}

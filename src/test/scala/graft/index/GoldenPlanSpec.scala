@@ -123,7 +123,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "idx_delta_cdf_changes", "idx_iceberg_inc_appends", "idx_ivfpq_topk",
     "idx_iceberg_part_filter", "idx_delta_merge", "idx_iceberg_merge",
     "idx_iceberg_hidden_filter", "idx_iceberg_bucket_point",
-    "lake_update", "lake_clone", "lake_convert",
+    "lake_update", "lake_clone", "lake_convert", "lake_sql_timetravel",
     "q_snowflake_2idx", "q_join_rank_tie", "q_join_one_sided",
     "q_snowflake_3idx", "q_star_agg_idx", "q_rule_rivalry",
     "qds1_returns_above_avg", "qds65_underperf_parts",

@@ -184,6 +184,128 @@ class LakeSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("SELECT over graft paths: head read, VERSION AS OF, and " +
+      "TIMESTAMP AS OF resolve through the lake readers") {
+    val droot = tmp("graft-sql-tt-d-")
+    val iroot = tmp("graft-sql-tt-i-")
+    DeltaTable.create(customer.filter($"c_custkey" <= 50), droot)   // v0
+    DeltaTable.append(customer.filter($"c_custkey" > 50), droot)    // v1
+    IcebergTable.create(customer.filter($"c_custkey" <= 50), iroot) // snap 1
+    IcebergTable.append(customer.filter($"c_custkey" > 50), iroot)  // snap 2
+
+    // head read, plain SELECT
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_delta.`$droot`")
+      .head().getLong(0) == customer.count())
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_iceberg.`$iroot`")
+      .head().getLong(0) == customer.count())
+    // joins/aliases over a graft relation work like any table
+    assert(spark.sql(s"SELECT max(t.c_custkey) FROM graft_lake.`$droot` t " +
+      "WHERE t.c_custkey <= 10").head().getLong(0) == 10L)
+
+    // VERSION AS OF ≡ the API's versioned read, row-identical
+    val sqlV0 = spark.sql(
+      s"SELECT * FROM graft_delta.`$droot` VERSION AS OF 0")
+      .orderBy("c_custkey").collect().toSeq
+    val apiV0 = DeltaTable.read(spark, droot, versionAsOf = Some(0L))
+      .orderBy("c_custkey").collect().toSeq
+    assert(sqlV0 == apiV0 && sqlV0.size == 51,
+      s"SQL time travel diverged from API (${sqlV0.size} rows)")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_iceberg.`$iroot` VERSION AS OF 1")
+      .head().getLong(0) == 51)
+
+    // TIMESTAMP AS OF: future → head; before the first commit → loud
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_delta.`$droot` " +
+      "TIMESTAMP AS OF '2099-01-01'").head().getLong(0) == customer.count())
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_iceberg.`$iroot` " +
+      "TIMESTAMP AS OF '2099-01-01'").head().getLong(0) == customer.count())
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_delta.`$droot` TIMESTAMP AS OF '1990-01-01'")
+      .collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("precedes the first commit")))
+  }
+
+  test("INSERT INTO appends, INSERT OVERWRITE replaces, column lists refuse") {
+    val droot = tmp("graft-sql-ins-d-")
+    val iroot = tmp("graft-sql-ins-i-")
+    DeltaTable.create(customer.filter($"c_custkey" <= 50), droot)
+    IcebergTable.create(customer.filter($"c_custkey" <= 50), iroot)
+    customer.filter($"c_custkey" > 50).createOrReplaceTempView("ins_src")
+
+    spark.sql(s"INSERT INTO graft_delta.`$droot` SELECT * FROM ins_src")
+    assert(DeltaTable.read(spark, droot).count() == customer.count())
+    spark.sql(s"INSERT INTO graft_iceberg.`$iroot` SELECT * FROM ins_src")
+    assert(IcebergTable.read(spark, iroot).count() == customer.count())
+
+    spark.sql(s"INSERT OVERWRITE graft_delta.`$droot` " +
+      "SELECT * FROM ins_src WHERE c_custkey > 140")
+    val kept = customer.filter($"c_custkey" > 140).count()
+    assert(DeltaTable.read(spark, droot).count() == kept)
+
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_delta.`$droot` (c_custkey) SELECT c_custkey FROM ins_src"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("column list")), msgs(e).mkString("|"))
+  }
+
+  test("RESTORE TABLE ... TO VERSION AS OF rewinds both formats") {
+    val droot = tmp("graft-sql-restore-d-")
+    DeltaTable.create(customer.filter($"c_custkey" <= 40), droot)  // v0
+    DeltaTable.append(customer.filter($"c_custkey" > 40), droot)   // v1
+    val r = spark.sql(
+      s"RESTORE TABLE graft_delta.`$droot` TO VERSION AS OF 0")
+    assert(r.columns.toSeq == Seq("id"))
+    assert(DeltaTable.read(spark, droot).count() == 41)
+    // timestamp form: far future resolves to the CURRENT head (v2, the
+    // restore commit) — a no-op restore — and far past refuses
+    spark.sql(s"RESTORE TABLE graft_delta.`$droot` " +
+      "TO TIMESTAMP AS OF '2099-01-01'")
+    assert(DeltaTable.read(spark, droot).count() == 41)
+    val e = intercept[Exception](spark.sql(
+      s"RESTORE TABLE graft_delta.`$droot` TO TIMESTAMP AS OF '1990-01-01'"))
+    assert(e.getMessage.contains("no commit at or before"))
+  }
+
+  test("CONVERT TO DELTA / ICEBERG adopt a parquet directory; ANALYZE " +
+      "computes Delta stats") {
+    val d = tmp("graft-sql-conv-d-")
+    val i = tmp("graft-sql-conv-i-")
+    customer.limit(30).write.mode("overwrite").parquet(d)
+    customer.limit(30).write.mode("overwrite").parquet(i)
+    spark.sql(s"CONVERT TO DELTA parquet.`$d`")
+    assert(DeltaTable.read(spark, d).count() == 30)
+    spark.sql(s"CONVERT TO ICEBERG parquet.`$i`")
+    assert(IcebergTable.read(spark, i).count() == 30)
+    val r = spark.sql(s"ANALYZE TABLE graft_delta.`$d` COMPUTE STATISTICS")
+    assert(r.columns.toSeq == Seq("id"))
+    val e = intercept[Exception](spark.sql(
+      s"ANALYZE TABLE graft_iceberg.`$i` COMPUTE STATISTICS"))
+    assert(e.getMessage.contains("graft_delta tables only"))
+  }
+
+  test("CREATE TABLE ... AS SELECT writes a new lake table by path") {
+    val d = tmp("graft-sql-ctas-d-") + "/t"
+    val i = tmp("graft-sql-ctas-i-") + "/t"
+    customer.createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE graft_delta.`$d` AS " +
+      "SELECT * FROM ctas_src WHERE c_custkey <= 25")
+    assert(DeltaTable.read(spark, d).count() == 26)
+    spark.sql(s"CREATE TABLE graft_iceberg.`$i` PARTITIONED BY " +
+      "(c_mktsegment) AS SELECT * FROM ctas_src WHERE c_custkey <= 25")
+    assert(IcebergTable.read(spark, i).count() == 26)
+    // CREATE refuses an existing table; graft_lake has no format to detect
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_delta.`$d` AS SELECT * FROM ctas_src"))
+    assert(e1.getMessage.contains("already exists"))
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_lake.`${tmp("graft-sql-ctas-l-")}/t` AS " +
+        "SELECT * FROM ctas_src"))
+    assert(e2.getMessage.contains("explicit format"))
+  }
+
   test("graft_lake auto-detects the format") {
     val root = tmp("graft-sql-lake-")
     IcebergTable.create(customer.filter($"c_custkey" <= 30), root)
