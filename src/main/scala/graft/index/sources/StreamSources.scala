@@ -579,6 +579,17 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
       case None => partitionByColumns
     }
 
+  /** WRITE-AUDIT-PUBLISH ingest: commits land on a NAMED BRANCH (the
+    * ref auto-creates at main's head on the first branch write) while
+    * main keeps serving the last published snapshot; `fastForward`
+    * publishes after audit. Iceberg-only — Delta has no refs. The txn
+    * watermark is a TABLE property, so replay detection (and therefore
+    * exactly-once) survives the branch's later publication. */
+  private val branch: Option[String] = options.get("branch")
+  require(branch.isEmpty || iceberg,
+    "the branch option (write-audit-publish) needs the graft-iceberg " +
+      "sink; Delta has no snapshot refs")
+
   // an EXPLICIT txnAppId outranks the auto queryId (delta-spark's
   // precedence): a user pinning txnAppId keeps idempotence across a
   // checkpoint-reset restart, where the queryId changes
@@ -607,9 +618,16 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
       spark, data.queryExecution.toRdd, data.schema)
     val txn = Some(app -> batchId)
     if (options.getOrElse("mode", "append").equalsIgnoreCase("merge")) {
+      require(branch.isEmpty, "mode=merge cannot target a branch: the " +
+        "merge reads main's live state, which a branch write must not " +
+        "depend on; stream appends to the branch and merge after publish")
       applyMergeBatch(batch, txn, exists)
       return
     }
+    if (branch.isDefined && !exists)
+      throw new IllegalArgumentException(
+        s"branch write at $rootStr needs an existing Iceberg table " +
+          "(create it first, then stream to the branch)")
     // an evolving source stream widens the table additively when the
     // user opts in (Delta's sink option of the same name); without it
     // the append-time schema enforcement refuses loudly
@@ -618,7 +636,8 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
       // partitionBy declares the identity spec on first-batch create;
       // later batches must name the table's spec (enforced in append)
       if (!exists) IcebergTable.create(batch, rootStr, txn, partitionColumns)
-      else if (!merge) IcebergTable.append(batch, rootStr, txn, partitionColumns)
+      else if (!merge) IcebergTable.append(batch, rootStr, txn,
+        partitionColumns, branch = branch)
       else {
         // ADDITIVE schema evolution mid-stream: new batch columns get
         // real field ids minted through the metadata operation
@@ -643,7 +662,8 @@ final class LakeStreamSink(spark: SparkSession, rootStr: String,
           if (batch.columns.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         }: _*)
-        IcebergTable.append(aligned, rootStr, txn, partitionColumns)
+        IcebergTable.append(aligned, rootStr, txn, partitionColumns,
+          branch = branch)
       }
     } else {
       if (exists) DeltaTable.append(batch, rootStr, partitionColumns, txn,
@@ -747,6 +767,20 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
 
   private val skipChanges =
     options.get("skipChangeCommits").exists(_.equalsIgnoreCase("true"))
+  /** Follow a NAMED REF instead of main: the audit side of
+    * write-audit-publish streams the branch while main serves the last
+    * published snapshot. A ref not created yet reads as an empty table
+    * until the first branch write lands. */
+  private val branch: Option[String] = options.get("branch")
+  /** The head this stream follows — main's current-snapshot-id, or the
+    * named ref's pinned snapshot. */
+  private def headId(): Long = {
+    val s = IcebergMeta.snapshot(spark, location)
+    branch match {
+      case None => s.snapshotId
+      case Some(b) => s.refs.get(b).map(_.snapshotId).getOrElse(-1L)
+    }
+  }
   private val startingSnapshot: Long =
     (options.get("startingSnapshotId"), options.get("startingTimestamp")) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
@@ -791,17 +825,17 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
     StreamRateLimit.toReadLimit(maxFiles, maxBytes)
 
   override def reportLatestOffset(): OffsetV2 = {
-    val cur = IcebergMeta.snapshot(spark, location).snapshotId
+    val cur = headId()
     LongOffset(if (cur < 0) startingSnapshot else cur)
   }
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    val cur = IcebergMeta.snapshot(spark, location).snapshotId
+    val cur = headId()
     if (cur >= 0) availableNowCap = Some(cur)
   }
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val cur0 = IcebergMeta.snapshot(spark, location).snapshotId
+    val cur0 = headId()
     // previous end offset, or NULL on a fresh stream's first trigger
     val from = Option(start).map(_.json.toLong).getOrElse(startingSnapshot)
     if (cur0 < 0) return LongOffset(from) // empty table: echo = no new data

@@ -337,4 +337,58 @@ class LakeStreamSinkSpec extends AnyFunSuite {
     assert(DeltaTable.read(spark, dstT)
       .select(sum(col("c_acctbal").cast("decimal(18,2)"))).head() == balAfter)
   }
+
+  test("write-audit-publish: stream to an Iceberg branch, main serves " +
+      "the old snapshot until fastForward; exactly-once survives publish") {
+    import graft.index.sources.{IcebergMeta, LakeTable}
+    val dst = Files.createTempDirectory("graft-isink-wap-").toString + "/t"
+    val base = customer.filter(col("c_custkey") <= 50)
+    IcebergTable.create(base, dst)                                  // snap 1
+
+    val sink = new LakeStreamSink(spark, dst, Nil,
+      Map("txnAppId" -> "wap-ingest", "branch" -> "audit"), iceberg = true)
+    sink.addBatch(0, customer.filter(
+      col("c_custkey") > 50 && col("c_custkey") <= 100))            // snap 2
+    sink.addBatch(1, customer.filter(col("c_custkey") > 100))       // snap 3
+
+    // WRITE landed on the branch; main still serves the published state
+    assert(IcebergTable.read(spark, dst).count() == base.count(),
+      "unaudited branch rows leaked into main")
+    assert(IcebergTable.readRef(spark, dst, "audit").count() ==
+      customer.count())
+    // AUDIT side: a stream source following the ref sees the branch head
+    val srcHead = new graft.index.sources.IcebergStreamSource(
+      spark, dst, Map("branch" -> "audit"), "")
+    assert(srcHead.reportLatestOffset().json.toLong == 3L)
+    val srcMain = new graft.index.sources.IcebergStreamSource(
+      spark, dst, Map.empty, "")
+    assert(srcMain.reportLatestOffset().json.toLong == 1L)
+
+    // replayed batch: the TABLE-level watermark catches it even though
+    // the commits sit on the branch
+    sink.addBatch(1, customer.filter(col("c_custkey") > 100))
+    assert(IcebergMeta.snapshot(spark, dst).refs("audit").snapshotId == 3L,
+      "replayed branch batch committed a new snapshot")
+
+    // PUBLISH: fastForward repoints main at the audited head
+    assert(IcebergTable.fastForward(spark, dst, "audit") == 3L)
+    assert(IcebergTable.read(spark, dst).count() == customer.count())
+    // ...and the watermark still guards after publication
+    sink.addBatch(0, base) // ancient replay: skipped
+    assert(IcebergMeta.snapshot(spark, dst).snapshotId == 3L)
+
+    // misuse refuses loudly
+    val e1 = intercept[IllegalArgumentException] {
+      new LakeStreamSink(spark,
+        Files.createTempDirectory("graft-isink-wap2-").toString + "/t",
+        Nil, Map("txnAppId" -> "x", "branch" -> "b"), iceberg = true)
+        .addBatch(0, base)
+    }
+    assert(e1.getMessage.contains("existing Iceberg table"))
+    val e2 = intercept[IllegalArgumentException] {
+      new LakeStreamSink(spark, dst, Nil,
+        Map("txnAppId" -> "x", "branch" -> "b"), iceberg = false)
+    }
+    assert(e2.getMessage.contains("graft-iceberg"))
+  }
 }
