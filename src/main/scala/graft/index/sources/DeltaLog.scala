@@ -1498,6 +1498,7 @@ object DeltaTable extends org.apache.spark.internal.Logging {
           s"${uf.dataType.simpleString} but the table declares " +
           s"${tf.dataType.simpleString}; cast inside the expression")
     }
+    enforceConstraints(prior, rootStr, updated, "update")
     val physUpd = if (cmMode == "none") updated
       else DeltaColumnMapping.toPhysical(updated, prior.schema)
     val added = stageNewFiles(fs, root, physUpd, physParts)
@@ -1635,6 +1636,9 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       .select(tableCols.map(col): _*)
     val ups = flagged.filter(!col("__graft_is_delete"))
       .select(tableCols.map(col): _*)
+    // upserted rows (updates + inserts) must satisfy the table's rules;
+    // delete markers remove rows and need no check
+    enforceConstraints(prior, rootStr, ups, "merge")
 
     val cmMode = DeltaColumnMapping.mode(prior.configuration)
     val physParts = prior.partitionColumns.map { n =>
@@ -2453,11 +2457,12 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       // typeWidening: the writer maintains `delta.typeChanges` field
       // metadata (widenColumnTypes / mergeSchema widening) and upcasts
       // narrower incoming data to the declared type — the conforming-
-      // writer obligations. `invariants` is declared because a legacy
-      // minWriterVersion=2 protocol implies it on upgrade to table
-      // features; ACTUAL invariant usage (delta.invariants field
-      // metadata) is refused in writerGate below.
-      "typeWidening", "typeWidening-preview", "invariants")
+      // writer obligations. `invariants` and `checkConstraints` are
+      // supported because every row-adding path ENFORCES the declared
+      // rules against incoming rows (enforceConstraints) and refuses
+      // violating writes — the feature's writer obligation.
+      "typeWidening", "typeWidening-preview", "invariants",
+      "checkConstraints")
 
   /**
    * MERGE-ON-READ COMPACTION (Delta's REORG PURGE analogue): when the
@@ -2512,23 +2517,14 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         s"Delta table at $rootStr has IDENTITY columns this minimal " +
           "writer cannot assign. Write with the delta-spark connector instead.")
     }
-    // the invariants FEATURE is declared (legacy protocol upgrades imply
-    // it); actual column invariants would need enforcement we don't have
-    if (fields.exists(_.metadata.contains("delta.invariants"))) {
-      throw new UnsupportedDeltaProtocolException(
-        s"Delta table at $rootStr declares column INVARIANTS this minimal " +
-          "writer cannot enforce. Write with the delta-spark connector instead.")
-    }
+    // column invariants and CHECK constraints are ENFORCED, not
+    // refused: every row-adding path (append/overwrite, update, merge)
+    // evaluates them against the incoming rows via enforceConstraints
+    // and refuses violating writes loudly — the conforming-writer
+    // obligation delta-spark itself implements
     // change data feed: supported — deleteWhere and overwrite commits on
     // CDF tables record their row-level changes as `_change_data/` cdc
     // files (see writeCdc), and plain appends are their own change data
-    val constraintKeys = p.configuration.keys.filter(_.startsWith("delta.constraints."))
-    if (constraintKeys.nonEmpty) {
-      throw new UnsupportedDeltaProtocolException(
-        s"Delta table at $rootStr carries CHECK constraints " +
-          s"(${constraintKeys.toSeq.sorted.mkString(", ")}) this minimal " +
-          "writer cannot enforce. Write with the delta-spark connector instead.")
-    }
     val appendOnly =
       p.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")) ||
         p.writerFeatures.contains("appendOnly")
@@ -2537,6 +2533,57 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         s"Delta table at $rootStr is append-only (delta.appendOnly); " +
           s"$kind would delete rows in violation of the table's " +
           "configuration. Only append is permitted.")
+    }
+  }
+
+  /** The table's row-level write rules: CHECK constraints
+    * (`delta.constraints.<name>` table properties) and column
+    * invariants (`delta.invariants` field metadata, the spec's legacy
+    * `{"expression":{"expression":"<sql>"}}` shape). */
+  private def constraintExprs(p: DeltaSnapshot,
+      rootStr: String): Seq[(String, String)] = {
+    val checks = p.configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (s"CHECK constraint '${k.stripPrefix("delta.constraints.")}'", v)
+    }.sortBy(_._1)
+    val invariants = p.schema.fields.toSeq
+      .filter(_.metadata.contains("delta.invariants")).map { f =>
+        val raw = f.metadata.getString("delta.invariants")
+        val sql = (JsonMethods.parse(raw) \ "expression" \ "expression") match {
+          case JString(s) => s
+          case _ => throw new UnsupportedDeltaProtocolException(
+            s"Delta table at $rootStr: column '${f.name}' carries an " +
+              s"invariant this writer cannot parse ($raw); refusing " +
+              "rather than writing unvalidated rows.")
+        }
+        (s"column invariant on '${f.name}'", sql)
+      }
+    checks ++ invariants
+  }
+
+  /** ENFORCE the table's CHECK constraints and column invariants
+    * against incoming rows — one aggregation pass over the batch for
+    * ALL rules (codegen'd `when` counters, no per-rule job), refusing
+    * the write loudly with the violated rule and its violation count.
+    * NULL results pass, SQL CHECK semantics. The same contract
+    * delta-spark enforces inside its write job. */
+  private def enforceConstraints(p: DeltaSnapshot, rootStr: String,
+      df: DataFrame, kind: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val rules = constraintExprs(p, rootStr)
+    if (rules.isEmpty) return
+    val counters = rules.zipWithIndex.map { case ((_, sql), i) =>
+      sum(when(coalesce(expr(sql).cast(org.apache.spark.sql.types.BooleanType),
+        lit(true)) === false, 1L).otherwise(0L)).as(s"_graft_v$i")
+    }
+    val row = df.agg(counters.head, counters.tail: _*).head()
+    rules.zipWithIndex.foreach { case ((name, sql), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0)
+        throw new IllegalArgumentException(
+          s"$kind at $rootStr violates $name — ($sql) is false for " +
+            s"$bad incoming row${if (bad == 1) "" else "s"}; the write " +
+            "was refused and the table is unchanged.")
     }
   }
 
@@ -2713,6 +2760,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     // demands writer capabilities we don't implement must not be written
     prior.foreach(p => writerGate(p, rootStr, deletesRows = overwrite,
       kind = if (overwrite) "overwrite" else "append"))
+    prior.foreach(p => enforceConstraints(p, rootStr, df,
+      if (overwrite) "overwrite" else "append"))
 
     // COLUMN MAPPING: appends write under the table's physical names;
     // an overwrite re-assigns a fresh mapping over the new schema

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.{Graft, TestSpark}
 import graft.index.covering.CoveringIndexConfig
 import graft.index.SourceRelation
-import graft.index.sources.{DeltaLog, DeltaTable, UnsupportedDeltaProtocolException}
+import graft.index.sources.{DeltaLog, DeltaTable, LakeTable, UnsupportedDeltaProtocolException}
 
 /**
  * Jarless Delta Lake support: log replay (commits, checkpoints,
@@ -554,12 +554,12 @@ class DeltaLogSpec extends AnyFunSuite {
   test("writer gate: unsupported writerFeatures refuse; appendOnly feature permits append, refuses overwrite") {
     val rootBad = tmp("graft-delta-wf-")
     writeRawCommit(rootBad, 0L, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["checkConstraints"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["identityColumns"]}}""",
       metaDataLine()))
     val err = intercept[UnsupportedDeltaProtocolException] {
       DeltaTable.append(customer.limit(2), rootBad)
     }
-    assert(err.getMessage.contains("checkConstraints"))
+    assert(err.getMessage.contains("identityColumns"))
 
     val rootAo = tmp("graft-delta-wfao-")
     writeRawCommit(rootAo, 0L, Seq(
@@ -587,15 +587,66 @@ class DeltaLogSpec extends AnyFunSuite {
       .configuration.get("delta.appendOnly").contains("true"))
   }
 
-  test("writer gate: delta.constraints.* refuses all writes") {
+  test("CHECK constraints are ENFORCED: clean writes land, violating " +
+      "append/update/merge refuse naming the constraint") {
     val root = tmp("graft-delta-ck-")
     writeRawCommit(root, 0L, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
       metaDataLine("""{"delta.constraints.posbal":"c_acctbal >= 0"}""")))
-    val err = intercept[UnsupportedDeltaProtocolException] {
-      DeltaTable.append(customer.limit(2), root)
+    // conforming append lands (the r11 posture refused ALL writes here)
+    val clean = customer.filter(col("c_acctbal") >= 0)
+    assert(DeltaTable.append(clean.limit(20), root) == 1L)
+    assert(DeltaTable.read(spark, root).count() == 20)
+    // violating append refuses, names the constraint and count, and
+    // leaves the table unchanged
+    val dirty = customer.limit(20)
+      .withColumn("c_acctbal", col("c_acctbal") - lit(1e9))
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.append(dirty, root)
     }
-    assert(err.getMessage.toLowerCase.contains("constraint"))
+    assert(e.getMessage.contains("posbal") &&
+      e.getMessage.contains("c_acctbal >= 0"), e.getMessage)
+    assert(DeltaLog.snapshot(spark, root).version == 1L)
+    // UPDATE whose SET violates refuses; a conforming SET applies
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaTable.update(spark, root, col("c_custkey") >= 0,
+        Map("c_acctbal" -> (col("c_acctbal") - lit(1e9))))
+    }
+    assert(e2.getMessage.contains("posbal"))
+    DeltaTable.update(spark, root, col("c_custkey") >= 0,
+      Map("c_acctbal" -> org.apache.spark.sql.functions.abs(col("c_acctbal"))))
+    assert(DeltaTable.read(spark, root)
+      .filter(col("c_acctbal") < 0).count() == 0)
+    // MERGE: violating upsert rows refuse; delete markers need no check
+    val e3 = intercept[IllegalArgumentException] {
+      LakeTable.merge(spark, root, dirty, Seq("c_custkey"))
+    }
+    assert(e3.getMessage.contains("posbal"))
+    LakeTable.merge(spark, root, clean.limit(30), Seq("c_custkey"))
+    assert(DeltaTable.read(spark, root).count() == 30)
+  }
+
+  test("column invariants (delta.invariants field metadata) are " +
+      "enforced on write; unparsable invariants refuse") {
+    import org.apache.spark.sql.types._
+    val root = tmp("graft-delta-inv-")
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_nationkey", IntegerType, nullable = true,
+        new MetadataBuilder().putString("delta.invariants",
+          """{"expression":{"expression":"c_nationkey < 1000"}}""").build())))
+    val escaped = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeRawCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"inv","format":{"provider":"parquet","options":{}},"schemaString":"$escaped","partitionColumns":[],"configuration":{},"createdTime":1}}"""))
+    val ok = customer.select(col("c_custkey"), col("c_nationkey"))
+    assert(DeltaTable.append(ok.limit(10), root) == 1L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.append(ok.limit(5)
+        .withColumn("c_nationkey", col("c_nationkey") + 5000), root)
+    }
+    assert(e.getMessage.contains("invariant") &&
+      e.getMessage.contains("c_nationkey"), e.getMessage)
   }
 
   test("overwrite carries the table configuration forward (no erasure)") {

@@ -205,7 +205,8 @@ class DeltaTypeWideningSpec extends AnyFunSuite {
     assert(got.schema("c_acctbal").dataType == DoubleType)
   }
 
-  test("a column with delta.invariants metadata refuses writes (usage gate)") {
+  test("a column with delta.invariants metadata ENFORCES on write " +
+      "(was a blanket usage-gate refusal before r12)") {
     val root = Files.createTempDirectory("graft-delta-inv-").toString
     DeltaTable.create(customer.limit(10)
       .select(col("c_custkey"), col("c_mktsegment")), root)
@@ -225,10 +226,15 @@ class DeltaTypeWideningSpec extends AnyFunSuite {
     Files.write(
       Paths.get(root, "_delta_log", f"${1L}%020d.json"),
       lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    val e = intercept[UnsupportedDeltaProtocolException] {
-      DeltaTable.append(DeltaTable.read(spark, root).limit(1), root)
+    // conforming rows append; a violating row refuses naming the column
+    assert(DeltaTable.append(DeltaTable.read(spark, root)
+      .filter(col("c_custkey") > 0).limit(1), root) == 2L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.append(DeltaTable.read(spark, root).limit(1)
+        .withColumn("c_custkey", col("c_custkey") * -1), root)
     }
-    assert(e.getMessage.contains("INVARIANTS"))
+    assert(e.getMessage.contains("invariant") &&
+      e.getMessage.contains("c_custkey"), e.getMessage)
   }
 
   test("an UNKNOWN reader feature alongside typeWidening still refuses") {
