@@ -322,12 +322,16 @@ object PlanAnalysis {
     j.condition match {
       case None => Left("no join condition")
       case Some(c) =>
-        val pairs = conjuncts(c).map {
+        // non-equi conjuncts are residuals (they stay on the Join); the
+        // rewrite needs at least one equi pair to bucket on
+        val pairs = conjuncts(c).flatMap {
           case EqualTo(a: AttributeReference, b: AttributeReference) =>
-            if (j.left.outputSet.contains(a)) (a, b) else (b, a)
-          case other => return Left(s"non-equi conjunct: ${other.sql}")
+            Some(if (j.left.outputSet.contains(a)) (a, b) else (b, a))
+          case _ => None
         }
-        Right(pairs)
+        if (pairs.isEmpty)
+          Left(s"no equi conjunct to bucket on in: ${c.sql}")
+        else Right(pairs)
     }
   }
 
@@ -341,15 +345,16 @@ object PlanAnalysis {
       d: CoveringIndexDescriptor,
       candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Seq[Reason] = {
-    import org.apache.spark.sql.catalyst.plans.Inner
     val lLeaf = linearLeaf(j.left, candidates)
     val rLeaf = linearLeaf(j.right, candidates)
     val mySide =
       if (lLeaf.exists(_.fastEquals(leaf))) "left"
       else if (rLeaf.exists(_.fastEquals(leaf))) "right"
       else return Nil // this join doesn't involve the indexed relation
-    if (j.joinType != Inner)
-      return Seq(NotEligibleJoin(s"join type is ${j.joinType}, not Inner"))
+    if (!graft.index.rules.JoinIndexRule.rewritableJoinType(j.joinType))
+      return Seq(NotEligibleJoin(s"join type is ${j.joinType}; the " +
+        "rewrite covers Inner/LeftSemi/LeftAnti/LeftOuter/RightOuter/" +
+        "FullOuter"))
     val pairs = equiPairs(j) match {
       case Left(why) => return Seq(NotEligibleJoin(why))
       case Right(ps) => ps

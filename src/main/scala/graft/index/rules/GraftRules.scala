@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.Resolver
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -177,7 +177,8 @@ object JoinIndexRule extends GraftIndexRule {
       candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
     val join = plan match {
-      case j @ Join(_, _, Inner, Some(_), hint) if hint == JoinHint.NONE => j
+      case j @ Join(_, _, jt, Some(_), hint)
+          if rewritableJoinType(jt) && hint == JoinHint.NONE => j
       case _ => return None
     }
     val lRel = linearRelation(join.left, candidates).getOrElse(return None)
@@ -187,8 +188,8 @@ object JoinIndexRule extends GraftIndexRule {
       join.right.outputSet).getOrElse(return None)
     if (pairs.isEmpty || !isOneToOne(pairs)) return None
 
-    val lNeeded = neededColumns(join.left)
-    val rNeeded = neededColumns(join.right)
+    val lNeeded = neededColumns(join.left, lRel)
+    val rNeeded = neededColumns(join.right, rRel)
 
     val resolver = spark.sessionState.conf.resolver
     // The whole rewrite presumes bucketed scans produce HashPartitioning.
@@ -212,11 +213,17 @@ object JoinIndexRule extends GraftIndexRule {
     // behavior (JoinIndexRanker.scala:34-38) falls out of Spark's own
     // requirement matching. Stale sides within hybrid thresholds are
     // eligible via BucketUnion.
+    // aliased keys (a self-join's `l_orderkey AS m1_ord`) match the
+    // index through their traced relation column
+    val lKeys = pairs.map(p =>
+      traceToRel(join.left, lRel, p._1).getOrElse(return None))
+    val rKeysTraced = pairs.map(p =>
+      traceToRel(join.right, rRel, p._2).getOrElse(return None))
     val pairsFound = for {
       lm <- coveringEligible(candidates(lRel), lRel)
       if Coverage.covers(lm._2.referencedColumns, lNeeded, resolver)
-      keyPerm <- permutationFor(lm._2.indexedColumns, pairs.map(_._1), resolver).toSeq
-      rKeys = keyPerm.map(i => pairs(i)._2.name)
+      keyPerm <- permutationFor(lm._2.indexedColumns, lKeys, resolver).toSeq
+      rKeys = keyPerm.map(i => rKeysTraced(i).name)
       rm <- coveringEligible(candidates(rRel), rRel)
       if Coverage.covers(rm._2.referencedColumns, rNeeded, resolver) &&
         rm._2.indexedColumns.size == rKeys.size &&
@@ -287,11 +294,17 @@ object JoinIndexRule extends GraftIndexRule {
         (m, m.entry.descriptor.asInstanceOf[CoveringIndexDescriptor])
     }
 
-  /** All columns the subtree needs from its relation: everything it
-    * outputs plus everything its expressions reference. */
-  private[rules] def neededColumns(plan: LogicalPlan): Seq[String] = {
+  /** Columns the subtree needs FROM ITS RELATION: every relation
+    * attribute it references or passes through, intersected by exprId
+    * with the relation's own output. Derived aliases (`l_orderkey AS
+    * m1_ord`) are computed ABOVE the scan — demanding the alias NAME
+    * from the index (the old behavior) wrongly disqualified every
+    * covering index under a renaming projection. */
+  private[rules] def neededColumns(plan: LogicalPlan,
+      rel: LogicalPlan): Seq[String] = {
     val refs = plan.collect { case p => p.references }.foldLeft(AttributeSet.empty)(_ ++ _)
-    (refs ++ plan.outputSet).toSeq.map(_.name).distinct
+    (refs ++ plan.outputSet).filter(rel.outputSet.contains)
+      .toSeq.map(_.name).distinct
   }
 
   /** Split the condition into (leftAttr, rightAttr) equality pairs.
@@ -301,12 +314,17 @@ object JoinIndexRule extends GraftIndexRule {
       leftOut: AttributeSet,
       rightOut: AttributeSet): Option[Seq[(AttributeReference, AttributeReference)]] = {
     val conjuncts = splitConjuncts(cond)
-    val pairs = conjuncts.map {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        if (leftOut.contains(a) && rightOut.contains(b)) (a, b)
-        else if (leftOut.contains(b) && rightOut.contains(a)) (b, a)
-        else return None
-      case _ => return None
+    // non-equi conjuncts (q95's different-warehouse inequality, range
+    // bounds, one-sided predicates) are RESIDUALS: the Join keeps its
+    // full condition — the rewrite only swaps the scans — so they are
+    // skipped, not a reason to bail. Bucket co-location needs >= 1
+    // equi pair (the caller checks) covering keys one-to-one.
+    val pairs = conjuncts.flatMap {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if leftOut.contains(a) && rightOut.contains(b) => Some((a, b))
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if leftOut.contains(b) && rightOut.contains(a) => Some((b, a))
+      case _ => None
     }
     Some(pairs)
   }
@@ -315,6 +333,17 @@ object JoinIndexRule extends GraftIndexRule {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
+  }
+
+  /** Join types eligible for the scan-swap rewrite: the rule never
+    * touches the join TYPE or CONDITION — only the children — so
+    * semantics are preserved for every type; this set names the ones
+    * planned as shuffle joins that benefit from bucket co-location.
+    * Catalyst's semi/anti pushdown makes LeftSemi/LeftAnti common
+    * shapes (TPC-DS q95's IN-subqueries land here). */
+  private[index] def rewritableJoinType(jt: JoinType): Boolean = jt match {
+    case Inner | LeftSemi | LeftAnti | LeftOuter | RightOuter | FullOuter => true
+    case _ => false
   }
 
   /** Every left attribute pairs with exactly one right attribute and vice
@@ -328,6 +357,31 @@ object JoinIndexRule extends GraftIndexRule {
 
   /** If `indexedCols` is a permutation of the left-key names, return the
     * pair indices in indexed-column order. */
+  /** Trace a join-key attribute back through the side's linear
+    * Project/Filter chain to the RELATION column it renames (identity
+    * for un-aliased keys). ProjectExec is alias-aware for output
+    * partitioning, so a bucketing claim on the relation column
+    * propagates to the alias above it — key matching must look
+    * through renames or q95-style self-joins on aliased keys never
+    * bucket. Computed (non-column) keys return None. */
+  private[rules] def traceToRel(plan: LogicalPlan, rel: LogicalPlan,
+      a: AttributeReference): Option[AttributeReference] =
+    if (rel.outputSet.contains(a)) Some(a)
+    else plan match {
+      case p: Project =>
+        p.projectList.find(_.exprId == a.exprId).flatMap {
+          case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+            al.child match {
+              case ar: AttributeReference => traceToRel(p.child, rel, ar)
+              case _ => None
+            }
+          case ar: AttributeReference => traceToRel(p.child, rel, ar)
+          case _ => None
+        }
+      case f: Filter => traceToRel(f.child, rel, a)
+      case _ => None
+    }
+
   private[rules] def permutationFor(
       indexedCols: Seq[String],
       leftAttrs: Seq[AttributeReference],
@@ -386,7 +440,8 @@ object JoinOneSideIndexRule extends GraftIndexRule {
       candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
     val join = plan match {
-      case j @ Join(_, _, Inner, Some(_), hint) if hint == JoinHint.NONE => j
+      case j @ Join(_, _, jt, Some(_), hint)
+          if rewritableJoinType(jt) && hint == JoinHint.NONE => j
       case _ => return None
     }
     if (!spark.sessionState.conf
@@ -403,21 +458,26 @@ object JoinOneSideIndexRule extends GraftIndexRule {
     def oneSide(isLeft: Boolean): Option[(LogicalPlan, Int)] = {
       val subtree = if (isLeft) join.left else join.right
       val other = if (isLeft) join.right else join.left
-      val keys = (if (isLeft) pairs.map(_._1) else pairs.map(_._2)).distinct
       val rel = linearRelation(subtree, candidates).getOrElse(return None)
-      val needed = neededColumns(subtree)
+      val keys = (if (isLeft) pairs.map(_._1) else pairs.map(_._2)).distinct
+        .map(k => traceToRel(subtree, rel, k).getOrElse(return None))
+      val needed = neededColumns(subtree, rel)
       val eligible = coveringEligible(candidates(rel), rel).filter {
         case (m, d) =>
           Coverage.covers(d.referencedColumns, needed, resolver) &&
             permutationFor(d.indexedColumns, keys, resolver).isDefined &&
             (hybridSafe || m.isExact)
       }
+      val sessionBuckets = graft.index.GraftConf.numBuckets(spark)
       val best = eligible.sortBy { case (m, d) =>
-        // ties broken by smallest covering index then name: two
-        // equivalent one-sided indexes (same buckets, same coverage) must
-        // pick the same winner in every session
-        (!m.isExact, -d.numBuckets, -m.commonBytes,
-          m.entry.indexDataSize, m.entry.name)
+        // session-bucket-count indexes first: a multi-join chain rewrites
+        // one join at a time, and legs picking DIFFERENT bucket counts
+        // re-shuffle against each other — conforming indexes compose.
+        // Then more buckets (parallelism), most covered bytes, smallest
+        // index, name (two equivalent indexes must pick the same winner
+        // in every session)
+        (!m.isExact, d.numBuckets != sessionBuckets, -d.numBuckets,
+          -m.commonBytes, m.entry.indexDataSize, m.entry.name)
       }.headOption.getOrElse(return None)
       val newSide = substitute(spark, subtree, rel,
         joinSide(spark, rel, best._1))

@@ -204,8 +204,134 @@ object TpcdsShapes {
        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /**
+   * TPC-DS q95 shape (reference tpcds/queries/q95.sql): one CTE — the
+   * fact self-joined against itself on the order key with a
+   * different-warehouse inequality — consumed by TWO IN-subqueries
+   * (semi joins) over the same fact, plus a date-filtered dimension
+   * join and a COUNT(DISTINCT) headline. Mapped: lineitem is
+   * web_sales (suppkey ≅ warehouse), lineitem's 'R' returnflag rows
+   * are web_returns, orders(1996) the date dim. Every join and both
+   * semi joins key on l_orderkey, so ONE bucketed covering index
+   * serves the fact five times without re-shuffling.
+   */
+  def qds95MultiSupplierShip(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
+      "accel_ci_li_ship", Seq("l_orderkey"),
+      Seq("l_suppkey", "l_returnflag", "l_extendedprice")))
+    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
+      "accel_ci_ord_snow3", Seq("o_orderkey"),
+      Seq("o_custkey", "o_orderdate")))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    // ws_wh: orders shipped from at least two distinct suppliers
+    val multi = li.select(col("l_orderkey").as("m1_ord"),
+        col("l_suppkey").as("m1_supp"))
+      .join(li.select(col("l_orderkey").as("m2_ord"),
+          col("l_suppkey").as("m2_supp")),
+        col("m1_ord") === col("m2_ord") && col("m1_supp") =!= col("m2_supp"))
+      .select(col("m1_ord"))
+    val returned = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("r_ord"))
+      .join(multi, col("r_ord") === col("m1_ord"))
+      .select(col("r_ord"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(multi, col("l_orderkey") === col("m1_ord"), "left_semi")
+      .join(returned, col("l_orderkey") === col("r_ord"), "left_semi")
+      .agg(countDistinct(col("l_orderkey")).cast(LongType).as("n_orders"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val qds95Sql: String =
+    s"""WITH multi AS (
+       |  SELECT a.l_orderkey FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey)
+       |SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       | ${sqlMoneySum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       | AND l_orderkey IN (SELECT l_orderkey FROM multi)
+       | AND l_orderkey IN (
+       |   SELECT r.l_orderkey FROM lineitem r
+       |   JOIN multi m ON r.l_orderkey = m.l_orderkey
+       |   WHERE r.l_returnflag = 'R')""".stripMargin
+
+  /**
+   * TPC-DS q14 shape (reference tpcds/queries/q14a.sql): a
+   * `cross_items` CTE built from a THREE-WAY INTERSECT of
+   * (brand, type) attribute tuples across sales channels, an
+   * `avg_sales` scalar-subquery threshold, and a channel aggregate
+   * filtered to cross-channel items above the average. Mapped:
+   * channels are lineitem's linenumber slices (1 / 2 / ≥3), part
+   * carries the attribute tuple, and the HAVING threshold is a
+   * broadcast scalar share of exact-decimal total revenue.
+   */
+  def qds14CrossChannel(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
+      "accel_ci_li_bypart", Seq("l_partkey"),
+      Seq("l_linenumber", "l_extendedprice", "l_discount")))
+    ensureIndex(spark, sfDir, "part", CoveringIndexConfig(
+      "accel_ci_part_attr", Seq("p_partkey"), Seq("p_brand", "p_type")))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    def channel(pred: org.apache.spark.sql.Column): DataFrame =
+      li.filter(pred)
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"), col("p_type").as("typ"))
+    val crossAttrs = channel(col("l_linenumber") === 1)
+      .intersect(channel(col("l_linenumber") === 2))
+      .intersect(channel(col("l_linenumber") >= 3))
+    val crossItems = part
+      .join(crossAttrs, col("p_brand") === col("brand") &&
+        col("p_type") === col("typ"))
+      .select(col("p_partkey").as("ci_part"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    // avg_sales: one exact-decimal scalar, broadcast under every group
+    val threshold = li.agg((moneySum(rev) / lit(30.0)).as("thr"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(crossItems, col("l_partkey") === col("ci_part"),
+        "left_semi")
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(rev).as("sum_rev"))
+      .join(broadcast(threshold))
+      .filter(col("sum_rev") > col("thr"))
+      .select(col("brand"), col("n_rows"), col("sum_rev"))
+      .orderBy(col("brand"))
+  }
+
+  val qds14Sql: String = {
+    val rev = "l_extendedprice * (1 - l_discount)"
+    s"""WITH cross_attrs AS (
+       |  SELECT p_brand AS brand, p_type AS typ FROM lineitem
+       |    JOIN part ON l_partkey = p_partkey WHERE l_linenumber = 1
+       |  INTERSECT
+       |  SELECT p_brand, p_type FROM lineitem
+       |    JOIN part ON l_partkey = p_partkey WHERE l_linenumber = 2
+       |  INTERSECT
+       |  SELECT p_brand, p_type FROM lineitem
+       |    JOIN part ON l_partkey = p_partkey WHERE l_linenumber >= 3),
+       |cross_items AS (
+       |  SELECT p_partkey FROM part JOIN cross_attrs
+       |    ON p_brand = brand AND p_type = typ),
+       |avg_sales AS (
+       |  SELECT ${sqlMoneySum(rev)} / 30.0 AS thr FROM lineitem)
+       |SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum(rev)} AS sum_rev
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_partkey IN (SELECT p_partkey FROM cross_items)
+       |GROUP BY p_brand
+       |HAVING ${sqlMoneySum(rev)} > (SELECT thr FROM avg_sales)
+       |ORDER BY brand""".stripMargin
+  }
+
   val entries: Map[String, Registry.Entry] = Map(
     "qds1_returns_above_avg" -> (qds1ReturnsAboveAvg _, qds1Sql),
     "qds65_underperf_parts" -> (qds65UnderperfParts _, qds65Sql),
-    "qds_deep_snowflake_4idx" -> (qdsDeepSnowflake _, qdsDeepSql))
+    "qds_deep_snowflake_4idx" -> (qdsDeepSnowflake _, qdsDeepSql),
+    "qds95_multi_supplier_ship" -> (qds95MultiSupplierShip _, qds95Sql),
+    "qds14_cross_channel" -> (qds14CrossChannel _, qds14Sql))
 }

@@ -49,6 +49,10 @@ class GoldenPlanSpec extends AnyFunSuite {
         .replaceAll("SelectedBucketsCount: \\d+ out of \\d+",
           "SelectedBucketsCount: [n]")
         .replaceAll("(\\[path\\](, )?)+", "[path]")
+        // a scan's Location renders as InMemoryFileIndex(...)+ first
+        // path(s); how many survive the 100k-char cap varies with the
+        // fixture's FILE COUNT (build parallelism), not plan shape
+        .replaceAll("\\[scrubbed\\](, \\[path\\])+", "[scrubbed]")
         .replaceAll(", \\d+\\)\\)", ", n))")
         .replaceAll("\\[id=#x\\]", ""))
       .map(_.replaceAll("\\s+$", ""))
@@ -66,7 +70,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     val noBroadcast = Set("q_snowflake_2idx", "q_join_rank_tie",
       "q_join_one_sided", "q_snowflake_3idx", "q_star_agg_idx",
       "q_rule_rivalry", "qds1_returns_above_avg", "qds65_underperf_parts",
-      "qds_deep_snowflake_4idx")
+      "qds_deep_snowflake_4idx", "qds95_multi_supplier_ship",
+      "qds14_cross_channel")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     if (noBroadcast(name))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -127,7 +132,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q_snowflake_2idx", "q_join_rank_tie", "q_join_one_sided",
     "q_snowflake_3idx", "q_star_agg_idx", "q_rule_rivalry",
     "qds1_returns_above_avg", "qds65_underperf_parts",
-    "qds_deep_snowflake_4idx",
+    "qds_deep_snowflake_4idx", "qds95_multi_supplier_ship",
+    "qds14_cross_channel",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",

@@ -258,7 +258,8 @@ class PlanAnalysisSpec extends AnyFunSuite {
 
   // ------------------------------------------------------- join codes
 
-  test("NOT_ELIGIBLE_JOIN: outer join over two indexed sides") {
+  test("outer join over two indexed sides IS rewritten (r12: the scan " +
+      "swap covers non-inner join types); whyNot reports applied") {
     withGraft { g =>
       g.createIndex(lineitem,
         CoveringIndexConfig("pa_jl", Seq("l_orderkey"), Seq("l_quantity")))
@@ -269,7 +270,25 @@ class PlanAnalysisSpec extends AnyFunSuite {
         li("l_orderkey") === ord("o_orderkey"), "left_outer")
         .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
       val out = reasonFor(g, q, "pa_jl")
-      assert(out.contains("NOT_ELIGIBLE_JOIN") && out.contains("LeftOuter"), out)
+      assert(!out.contains("NOT_ELIGIBLE_JOIN"), out)
+      assert(g.explain(q).contains("pa_jl"),
+        "outer join did not rewrite to the index pair")
+    }
+  }
+
+  test("NOT_ELIGIBLE_JOIN: a join type outside the rewrite set") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_jc", Seq("l_orderkey"), Seq("l_quantity")))
+      val (li, ord) = (lineitem, orders)
+      // ExistenceJoin is internal-only; the user-reachable non-member
+      // is a cross join, which has no condition — the analyzer reports
+      // the missing equi conjunct as the eligibility failure
+      val q = li.crossJoin(ord)
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      val out = reasonFor(g, q, "pa_jc")
+      assert(out.contains("no join condition") ||
+        out.contains("NOT_ELIGIBLE_JOIN") || out.contains("NO_"), out)
     }
   }
 

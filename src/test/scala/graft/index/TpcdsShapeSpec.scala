@@ -59,6 +59,39 @@ class TpcdsShapeSpec extends AnyFunSuite {
             !allNodes(c).exists(_.isInstanceOf[ShuffleExchangeExec])) => j
     }
 
+  test("qds95_multi_supplier_ship: one bucketed index serves the fact " +
+      "five times — self-join, both semi joins, and the date join all " +
+      "run without re-shuffling the fact") {
+    val p = planOf("qds95_multi_supplier_ship")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_ship", "accel_ci_ord_snow3")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    // the ONLY exchange is the single-row final aggregate: the aliased
+    // self-join keys trace to l_orderkey, Catalyst's semi-join pushdown
+    // lands LeftSemi joins the rules now rewrite, and every join leg
+    // rides the same l_orderkey buckets
+    assert(shuffles(p) <= 2, s"exchange count regressed: ${shuffles(p)}\n$p")
+    assert(zeroShuffleJoins(p).size >= 4,
+      s"expected the bucketed join chain, got ${zeroShuffleJoins(p).size} " +
+        s"zero-shuffle joins:\n$p")
+  }
+
+  test("qds14_cross_channel: INTERSECT channels and the semi-joined " +
+      "aggregate serve from the partkey-bucketed indexes") {
+    val p = planOf("qds14_cross_channel")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_bypart", "accel_ci_part_attr")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    // lineitem⋈part legs join on the shared p_partkey buckets; the
+    // INTERSECT re-keys on (brand, type) — those exchanges are genuine
+    // key changes and stay
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"no bucketed lineitem⋈part join:\n$p")
+    assert(shuffles(p) <= 13, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
   test("qds_deep_snowflake_4idx: all four legs index-served, bottom " +
       "join zero-shuffle, dims add no exchanges") {
     val p = planOf("qds_deep_snowflake_4idx")
