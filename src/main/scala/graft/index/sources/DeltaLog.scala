@@ -1450,6 +1450,18 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     set.keys.foreach(k => require(tableCols.contains(k),
       s"update at $rootStr: SET column '$k' is not a table column " +
         s"(have ${tableCols.mkString(", ")})"))
+    // GENERATED columns derive, IDENTITY columns assign — neither may
+    // be SET directly (the delta-spark refusal); generated columns
+    // re-derive below after SET in case a referenced column changed
+    val genFs = generatedFields(prior.schema)
+    set.keys.foreach { k =>
+      require(!genFs.exists(_.name == k),
+        s"update at $rootStr: column '$k' is GENERATED — its value " +
+          "derives from the declared expression and cannot be SET")
+      require(!identityFields(prior.schema).exists(_.name == k),
+        s"update at $rootStr: column '$k' is an IDENTITY column and " +
+          "cannot be SET")
+    }
     if (prior.files.isEmpty) return prior.version
     val cmMode = DeltaColumnMapping.mode(prior.configuration)
     val physParts = prior.partitionColumns.map { n =>
@@ -1490,8 +1502,15 @@ object DeltaTable extends org.apache.spark.internal.Logging {
 
     // ---- updated versions: POST-DV matched rows with SET applied ----
     val old = read(spark, rootStr).filter(condition)
-    val updated = set.foldLeft(old) { case (df, (k, c)) =>
-      df.withColumn(k, c) }.select(tableCols.map(col): _*)
+    val afterSet = set.foldLeft(old) { case (df, (k, c)) =>
+      df.withColumn(k, c) }
+    // re-derive generated columns: a SET may have changed a column the
+    // generation expression references (deterministic by spec, so
+    // unconditional recomputation equals delta-spark's changed-only one)
+    val updated = genFs.foldLeft(afterSet) { (d, f) =>
+      d.withColumn(f.name, org.apache.spark.sql.functions.expr(
+        f.metadata.getString("delta.generationExpression")).cast(f.dataType))
+    }.select(tableCols.map(col): _*)
     prior.schema.fields.zip(updated.schema.fields).foreach { case (tf, uf) =>
       require(tf.dataType == uf.dataType,
         s"update at $rootStr: SET makes column '${tf.name}' " +
@@ -1593,6 +1612,18 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     }
     writerGate(prior, rootStr, deletesRows = true, kind = "merge")
     require(keys.nonEmpty, s"merge into $rootStr: no key columns given")
+    // merge sources carry full rows, which a GENERATED ALWAYS identity
+    // column forbids; BY DEFAULT accepts the explicit values (they never
+    // move the high watermark — syncIdentity re-aligns). Provided
+    // generated columns are enforced against their expression below.
+    identityFields(prior.schema).foreach { f =>
+      if (!identityAllowsExplicit(f)) {
+        throw new UnsupportedDeltaProtocolException(
+          s"merge into $rootStr: column '${f.name}' is GENERATED ALWAYS " +
+            "AS IDENTITY and merge sources must carry full rows; append " +
+            "assigns identity values automatically")
+      }
+    }
     val tableCols = prior.schema.fieldNames.toSeq
     keys.foreach(k => require(tableCols.contains(k),
       s"merge into $rootStr: key column '$k' is not a table column " +
@@ -2447,10 +2478,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     * row-level changes as `_change_data/` cdc files on deletes and
     * overwrites; `v2Checkpoint` by honoring data commits as usual while
     * [[checkpoint]] itself refuses (it writes the classic format the
-    * feature forbids). Anything else (invariants, CHECK constraints,
-    * generated columns, …) would require evaluating constraints this
-    * minimal writer cannot, so tables demanding them are refused
-    * loudly. */
+    * feature forbids). Features whose writer obligations this writer
+    * cannot meet (row tracking, …) refuse loudly. */
   private val SupportedWriterFeatures =
     Set("appendOnly", "deletionVectors", "columnMapping", "changeDataFeed",
       "v2Checkpoint", "inCommitTimestamp",
@@ -2462,7 +2491,14 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       // rules against incoming rows (enforceConstraints) and refuses
       // violating writes — the feature's writer obligation.
       "typeWidening", "typeWidening-preview", "invariants",
-      "checkConstraints")
+      // generatedColumns: absent columns DERIVE from their declared
+      // expression before the write; provided values are enforced to
+      // match it (deriveGeneratedColumns / enforceConstraints), and
+      // UPDATE re-derives after SET. identityColumns: absent columns
+      // are ASSIGNED contiguous values past the high watermark
+      // (assignIdentity) and the watermark republishes with the
+      // commit; GENERATED ALWAYS refuses explicit values.
+      "checkConstraints", "generatedColumns", "identityColumns")
 
   /**
    * MERGE-ON-READ COMPACTION (Delta's REORG PURGE analogue): when the
@@ -2503,20 +2539,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
           "mapping. Writing anyway could violate table invariants. " +
           "Write with the delta-spark connector instead.")
     }
-    // generated / identity columns: values must be derived or assigned by
-    // the writer — refuse rather than write rows that violate them
-    val fields = p.schema.fields
-    if (fields.exists(_.metadata.contains("delta.generationExpression"))) {
-      throw new UnsupportedDeltaProtocolException(
-        s"Delta table at $rootStr has GENERATED columns this minimal " +
-          "writer cannot derive. Write with the delta-spark connector instead.")
-    }
-    if (fields.exists(f => f.metadata.contains("delta.identity.start") ||
-        f.metadata.contains("delta.identity.allowExplicitInsert"))) {
-      throw new UnsupportedDeltaProtocolException(
-        s"Delta table at $rootStr has IDENTITY columns this minimal " +
-          "writer cannot assign. Write with the delta-spark connector instead.")
-    }
+    // generated columns DERIVE (or enforce, when provided) and identity
+    // columns ASSIGN on every row-adding path — see SupportedWriterFeatures
     // column invariants and CHECK constraints are ENFORCED, not
     // refused: every row-adding path (append/overwrite, update, merge)
     // evaluates them against the incoming rows via enforceConstraints
@@ -2570,7 +2594,15 @@ object DeltaTable extends org.apache.spark.internal.Logging {
   private def enforceConstraints(p: DeltaSnapshot, rootStr: String,
       df: DataFrame, kind: String): Unit = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
-    val rules = constraintExprs(p, rootStr)
+    // a PROVIDED generated column must match its declared expression
+    // (the spec's enforcement contract for explicit generated values);
+    // absent ones were derived before this check and pass trivially
+    val genRules = generatedFields(p.schema)
+      .filter(f => df.columns.contains(f.name)).map { f =>
+        val sql = f.metadata.getString("delta.generationExpression")
+        (s"generated column '${f.name}'", s"`${f.name}` <=> ($sql)")
+      }
+    val rules = constraintExprs(p, rootStr) ++ genRules
     if (rules.isEmpty) return
     val counters = rules.zipWithIndex.map { case ((_, sql), i) =>
       sum(when(coalesce(expr(sql).cast(org.apache.spark.sql.types.BooleanType),
@@ -2585,6 +2617,186 @@ object DeltaTable extends org.apache.spark.internal.Logging {
             s"$bad incoming row${if (bad == 1) "" else "s"}; the write " +
             "was refused and the table is unchanged.")
     }
+  }
+
+  /** Fields declared GENERATED (`delta.generationExpression` metadata). */
+  private def generatedFields(s: StructType): Seq[StructField] =
+    s.fields.toSeq.filter(_.metadata.contains("delta.generationExpression"))
+
+  /** Fields declared as IDENTITY columns (`delta.identity.*` metadata). */
+  private def identityFields(s: StructType): Seq[StructField] =
+    s.fields.toSeq.filter(f => f.metadata.contains("delta.identity.start") ||
+      f.metadata.contains("delta.identity.allowExplicitInsert"))
+
+  private def identityAllowsExplicit(f: StructField): Boolean =
+    f.metadata.contains("delta.identity.allowExplicitInsert") &&
+      f.metadata.getBoolean("delta.identity.allowExplicitInsert")
+
+  /** Materialize absent GENERATED columns from their declared
+    * expressions (deterministic functions of the row's other columns,
+    * by spec). Provided generated columns pass through untouched —
+    * [[enforceConstraints]] checks them against the expression. */
+  private def deriveGeneratedColumns(p: DeltaSnapshot,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    generatedFields(p.schema).foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name,
+        expr(f.metadata.getString("delta.generationExpression"))
+          .cast(f.dataType))
+    }
+  }
+
+  /** ASSIGN an absent identity column: contiguous values past the high
+    * watermark, collision-free across executors. Two passes over the
+    * incoming frame — per-partition row counts first, then cumulative
+    * offsets broadcast-joined back by partition id — O(partitions)
+    * driver state, no global sort, no single-task funnel. The frame
+    * must be deterministic between the two passes (the same caveat
+    * every distributed identity assigner carries). Returns the frame
+    * with the column plus the new high watermark (None when the batch
+    * is empty). */
+  private def assignIdentity(df: DataFrame,
+      f: StructField): (DataFrame, Option[Long]) = {
+    import org.apache.spark.sql.functions._
+    val md = f.metadata
+    val start =
+      if (md.contains("delta.identity.start")) md.getLong("delta.identity.start")
+      else 1L
+    val step =
+      if (md.contains("delta.identity.step")) md.getLong("delta.identity.step")
+      else 1L
+    require(step != 0L,
+      s"identity column '${f.name}' declares step 0; refusing to assign")
+    val base =
+      if (md.contains("delta.identity.highWaterMark"))
+        Math.addExact(md.getLong("delta.identity.highWaterMark"), step)
+      else start
+    val mask = (1L << 33) - 1
+    val withMid = df.withColumn("_graft_idmid", monotonically_increasing_id())
+    val counts = withMid
+      .groupBy(shiftright(col("_graft_idmid"), 33).as("_graft_idpid"))
+      .agg(count(lit(1L)).as("_graft_idn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    if (n == 0L) {
+      return (df.withColumn(f.name, lit(null).cast(f.dataType)), None)
+    }
+    val hwm = Math.addExact(base, Math.multiplyExact(step, n - 1))
+    val offsets = counts.scanLeft(0L)(_ + _._2).init
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = counts.map(_._1).zip(offsets).toSeq
+      .toDF("_graft_idpid", "_graft_idoff")
+    val assigned = withMid
+      .withColumn("_graft_idpid", shiftright(col("_graft_idmid"), 33))
+      .join(broadcast(offDf), Seq("_graft_idpid"))
+      .withColumn(f.name,
+        (lit(base) + lit(step) * (col("_graft_idoff") +
+          col("_graft_idmid").bitwiseAND(lit(mask)))).cast(f.dataType))
+      .select((df.columns.map(col) :+ col(f.name)).toIndexedSeq: _*)
+    (assigned, Some(hwm))
+  }
+
+  /** The spec's declared-rule field metadata (identity state, generation
+    * expressions, invariants) belongs to the TABLE, not the incoming
+    * frame: an overwrite republishing the frame's schema must carry it
+    * forward onto same-named columns, or one overwrite silently strips
+    * the table of its rules. Existing frame metadata keys win. */
+  private val CarriedFieldMetaKeys = Seq("delta.identity.start",
+    "delta.identity.step", "delta.identity.allowExplicitInsert",
+    "delta.identity.highWaterMark", "delta.generationExpression",
+    "delta.invariants")
+  private def carryFieldMetadata(published: StructType,
+      table: StructType): StructType = {
+    val byName = table.fields.map(f => f.name -> f).toMap
+    StructType(published.fields.toSeq.map { pf =>
+      byName.get(pf.name).map { tf =>
+        val mb = new MetadataBuilder().withMetadata(pf.metadata)
+        CarriedFieldMetaKeys.foreach { k =>
+          if (tf.metadata.contains(k) && !pf.metadata.contains(k)) {
+            k match {
+              case "delta.identity.allowExplicitInsert" =>
+                mb.putBoolean(k, tf.metadata.getBoolean(k))
+              case "delta.generationExpression" | "delta.invariants" =>
+                mb.putString(k, tf.metadata.getString(k))
+              case _ => mb.putLong(k, tf.metadata.getLong(k))
+            }
+          }
+        }
+        pf.copy(metadata = mb.build())
+      }.getOrElse(pf)
+    })
+  }
+
+  /** `ALTER TABLE ... SYNC IDENTITY`: re-align each identity column's
+    * high watermark with the values actually in the table (explicit
+    * inserts on GENERATED BY DEFAULT columns don't move it — the
+    * delta-spark posture — so a table fed explicit values re-syncs
+    * here before resuming automatic assignment). One bounded
+    * aggregation over the table; the watermark only ever advances. */
+  def syncIdentity(spark: SparkSession, rootStr: String): Long =
+      CommitRetry() {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = false, kind = "syncIdentity")
+    val idFs = identityFields(prior.schema)
+    require(idFs.nonEmpty,
+      s"syncIdentity at $rootStr: the table declares no identity columns")
+    val aggs = idFs.map { f =>
+      val step = if (f.metadata.contains("delta.identity.step"))
+        f.metadata.getLong("delta.identity.step") else 1L
+      (if (step >= 0) max(col(f.name)) else min(col(f.name)))
+        .cast(LongType).as(f.name)
+    }
+    val row = read(spark, rootStr).agg(aggs.head, aggs.tail: _*).head()
+    val newHwms: Map[String, Long] = idFs.zipWithIndex.flatMap {
+      case (f, i) =>
+        if (row.isNullAt(i)) None
+        else {
+          val observed = row.getLong(i)
+          val step = if (f.metadata.contains("delta.identity.step"))
+            f.metadata.getLong("delta.identity.step") else 1L
+          val cur: Option[Long] =
+            if (f.metadata.contains("delta.identity.highWaterMark"))
+              Some(f.metadata.getLong("delta.identity.highWaterMark"))
+            else None
+          val advances = cur.forall(c =>
+            if (step >= 0) observed > c else observed < c)
+          if (advances) Some(f.name -> observed) else None
+        }
+    }.toMap
+    if (newHwms.isEmpty) return prior.version
+    val synced = StructType(prior.schema.fields.toSeq.map { tf =>
+      newHwms.get(tf.name).map { v =>
+        tf.copy(metadata = new MetadataBuilder().withMetadata(tf.metadata)
+          .putLong("delta.identity.highWaterMark", v).build())
+      }.getOrElse(tf)
+    })
+    val now = System.currentTimeMillis()
+    val version = prior.version + 1
+    val lines = Seq[JValue](
+      commitInfoLine(now, "SYNC IDENTITY",
+        Map("columns" -> newHwms.keys.toSeq.sorted.mkString(",")),
+        if (ictEnabled(prior.configuration))
+          Some(nextIct(fs, root, prior.version, now)) else None),
+      JObject("metaData" -> JObject(
+        "id" -> JString(prior.tableId
+          .getOrElse(java.util.UUID.randomUUID().toString)),
+        "format" -> JObject(
+          "provider" -> JString("parquet"), "options" -> JObject()),
+        "schemaString" -> JString(synced.json),
+        "partitionColumns" -> JArray(
+          prior.partitionColumns.toList.map(JString(_))),
+        "configuration" -> JObject(
+          prior.configuration.toList.sortBy(_._1)
+            .map { case (k, v) => k -> JString(v) }),
+        "createdTime" -> JLong(now))))
+    val out = CommitFence.create(fs,
+      new Path(DeltaLog.logDir(root), f"$version%020d.json"))
+    finishCommit(spark, rootStr, out, lines, version, prior.configuration)
   }
 
   /** Shared commit path. This minimal writer supports whole-table
@@ -2760,7 +2972,32 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     // demands writer capabilities we don't implement must not be written
     prior.foreach(p => writerGate(p, rootStr, deletesRows = overwrite,
       kind = if (overwrite) "overwrite" else "append"))
-    prior.foreach(p => enforceConstraints(p, rootStr, df,
+    // GENERATED columns derive when absent; IDENTITY columns assign when
+    // absent (explicit values legal only under allowExplicitInsert, and
+    // they never move the high watermark — syncIdentity re-aligns it).
+    // Both run BEFORE constraint enforcement so CHECK rules can
+    // reference derived/assigned values.
+    val dfGen = prior.map(p => deriveGeneratedColumns(p, df)).getOrElse(df)
+    val (dfIn, idHwms): (DataFrame, Map[String, Long]) = prior match {
+      case None => (dfGen, Map.empty)
+      case Some(p) =>
+        identityFields(p.schema).foldLeft((dfGen, Map.empty[String, Long])) {
+          case ((d, hw), f) =>
+            if (d.columns.contains(f.name)) {
+              if (!identityAllowsExplicit(f)) {
+                throw new UnsupportedDeltaProtocolException(
+                  s"write to $rootStr: column '${f.name}' is GENERATED " +
+                    "ALWAYS AS IDENTITY — drop it from the frame and the " +
+                    "writer assigns values")
+              }
+              (d, hw)
+            } else {
+              val (assigned, hwm) = assignIdentity(d, f)
+              (assigned, hw ++ hwm.map(f.name -> _))
+            }
+        }
+    }
+    prior.foreach(p => enforceConstraints(p, rootStr, dfIn,
       if (overwrite) "overwrite" else "append"))
 
     // COLUMN MAPPING: appends write under the table's physical names;
@@ -2786,13 +3023,13 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       p.writerFeatures.contains("typeWidening") ||
         p.writerFeatures.contains("typeWidening-preview"))
     val (evolvedSchema, dfAligned): (Option[StructType], DataFrame) =
-      if (overwrite || prior.isEmpty || cmMode != "none") (None, df)
+      if (overwrite || prior.isEmpty || cmMode != "none") (None, dfIn)
       else {
         val table = prior.get.schema
         val byName = table.fields.map(f => f.name -> f).toMap
         val upcasts = mutable.Map.empty[String, DataType]
         val widenedCols = mutable.Map.empty[String, (DataType, DataType)]
-        df.schema.fields.foreach { f =>
+        dfIn.schema.fields.foreach { f =>
           byName.get(f.name).foreach { tf =>
             if (tf.dataType == f.dataType) ()
             else if (typeWideningOn && isWidening(f.dataType, tf.dataType))
@@ -2806,7 +3043,7 @@ object DeltaTable extends org.apache.spark.internal.Logging {
                 s"${tf.dataType.simpleString}; cast it or overwrite")
           }
         }
-        val newFields = df.schema.fields.filterNot(f => byName.contains(f.name))
+        val newFields = dfIn.schema.fields.filterNot(f => byName.contains(f.name))
         if (newFields.nonEmpty && !mergeSchema) {
           throw new IllegalArgumentException(
             s"append to $rootStr adds columns " +
@@ -2822,7 +3059,7 @@ object DeltaTable extends org.apache.spark.internal.Logging {
               case None => tf
             }
           } ++ newFields.map(_.copy(nullable = true))))
-        val aligned = upcasts.foldLeft(df) { case (d, (n, t)) =>
+        val aligned = upcasts.foldLeft(dfIn) { case (d, (n, t)) =>
           import org.apache.spark.sql.functions.col
           d.withColumn(n, col(n).cast(t))
         }
@@ -2835,7 +3072,7 @@ object DeltaTable extends org.apache.spark.internal.Logging {
           prior.map(_.configuration).getOrElse(createConfiguration))
       } else if (!overwrite) {
         val ps = prior.get.schema
-        val extra = df.schema.fields
+        val extra = dfIn.schema.fields
           .filterNot(f => ps.fieldNames.contains(f.name))
         if (extra.nonEmpty) {
           throw new IllegalArgumentException(
@@ -2846,13 +3083,13 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         }
         val physByLogical = ps.fields
           .map(f => f.name -> DeltaColumnMapping.physicalName(f)).toMap
-        (DeltaColumnMapping.toPhysical(df, ps),
+        (DeltaColumnMapping.toPhysical(dfIn, ps),
           partitionBy.map(n => physByLogical.getOrElse(n, n)),
           prior.get.schemaString, prior.get.configuration)
       } else {
         val (mapped, maxId) =
-          DeltaColumnMapping.assignMapping(df.schema, priorMaxId)
-        (df, partitionBy, mapped.json, prior.get.configuration +
+          DeltaColumnMapping.assignMapping(dfIn.schema, priorMaxId)
+        (dfIn, partitionBy, mapped.json, prior.get.configuration +
           (DeltaColumnMapping.MaxIdKey -> maxId.toString))
       }
 
@@ -2938,10 +3175,18 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         "lastUpdated" -> JLong(now)))
     }
     if (version == 0L) {
+      // legacy versions are cumulative capability demands: a created
+      // schema carrying identity (6) or generated (4) field metadata
+      // must declare the matching writer floor for other engines
+      val createWv =
+        if (identityFields(dfAligned.schema).nonEmpty) 6
+        else if (generatedFields(dfAligned.schema).nonEmpty) 4
+        else 2
       lines += JObject("protocol" -> JObject(
-        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
+        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(createWv)))
     }
-    if (version == 0L || overwrite || evolvedSchema.isDefined) {
+    if (version == 0L || overwrite || evolvedSchema.isDefined ||
+        idHwms.nonEmpty) {
       // an overwrite rewrites schema/partitioning but must NOT erase the
       // table's configuration — carry it forward from the prior snapshot
       // (for a mapped table, with a freshly-assigned mapping + maxColumnId);
@@ -2955,10 +3200,31 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         "format" -> JObject(
           "provider" -> JString("parquet"),
           "options" -> JObject()),
-        "schemaString" -> JString(
-          evolvedSchema.map(_.json).getOrElse(metaSchemaJson)),
+        "schemaString" -> JString {
+          // declared-rule field metadata (identity, generation
+          // expressions, invariants) belongs to the TABLE: an
+          // overwrite carries it onto same-named columns of the new
+          // schema; an identity-assigning append republishes the
+          // PRIOR schema with only the high watermark advanced
+          val declared: StructType =
+            if (evolvedSchema.isDefined) evolvedSchema.get
+            else if (!overwrite && idHwms.nonEmpty) prior.get.schema
+            else DataType.fromJson(metaSchemaJson).asInstanceOf[StructType]
+          val carried =
+            if (overwrite && prior.isDefined && cmMode == "none")
+              carryFieldMetadata(declared, prior.get.schema)
+            else declared
+          StructType(carried.fields.toSeq.map { tf =>
+            idHwms.get(tf.name).map { v =>
+              tf.copy(metadata =
+                new MetadataBuilder().withMetadata(tf.metadata)
+                  .putLong("delta.identity.highWaterMark", v).build())
+            }.getOrElse(tf)
+          }).json
+        },
         "partitionColumns" -> JArray(
-          (if (evolvedSchema.isDefined) prior.get.partitionColumns
+          (if (evolvedSchema.isDefined ||
+             (!overwrite && idHwms.nonEmpty)) prior.get.partitionColumns
            else partitionBy).map(JString(_)).toList),
         "configuration" -> JObject(
           metaCfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),

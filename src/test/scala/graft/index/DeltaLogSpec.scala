@@ -519,7 +519,10 @@ class DeltaLogSpec extends AnyFunSuite {
       DeltaTable.append(customer.limit(2), root2)
     }
     assert(err.getMessage.contains("minWriterVersion 8"))
-    // a GENERATED column in the schema refuses any write
+    // a GENERATED column no longer refuses: a conforming explicit
+    // value lands, a mismatching one refuses naming the column
+    // (DeltaGeneratedIdentitySpec owns derivation/identity semantics;
+    // this pins the GATE behavior)
     val genSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("a",
         org.apache.spark.sql.types.LongType),
@@ -532,10 +535,12 @@ class DeltaLogSpec extends AnyFunSuite {
     writeRawCommit(root3, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
       s"""{"metaData":{"id":"g","format":{"provider":"parquet","options":{}},"schemaString":"$escaped","partitionColumns":[],"configuration":{},"createdTime":1}}"""))
-    val err3 = intercept[UnsupportedDeltaProtocolException] {
-      DeltaTable.append(spark.range(2).selectExpr("id as a", "id+1 as b"), root3)
+    assert(DeltaTable.append(
+      spark.range(2).selectExpr("id as a", "id+1 as b"), root3) == 1L)
+    val err3 = intercept[IllegalArgumentException] {
+      DeltaTable.append(spark.range(2).selectExpr("id as a", "id+2 as b"), root3)
     }
-    assert(err3.getMessage.contains("GENERATED"))
+    assert(err3.getMessage.contains("generated column 'b'"))
     // CDF: append permitted, and since round 9 row deletes are too —
     // the delete records its victims as cdc files (DeltaCdfSpec owns
     // the feed semantics; this pins that the GATE no longer refuses)
@@ -554,12 +559,12 @@ class DeltaLogSpec extends AnyFunSuite {
   test("writer gate: unsupported writerFeatures refuse; appendOnly feature permits append, refuses overwrite") {
     val rootBad = tmp("graft-delta-wf-")
     writeRawCommit(rootBad, 0L, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["identityColumns"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
       metaDataLine()))
     val err = intercept[UnsupportedDeltaProtocolException] {
       DeltaTable.append(customer.limit(2), rootBad)
     }
-    assert(err.getMessage.contains("identityColumns"))
+    assert(err.getMessage.contains("rowTracking"))
 
     val rootAo = tmp("graft-delta-wfao-")
     writeRawCommit(rootAo, 0L, Seq(
