@@ -2799,6 +2799,112 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     finishCommit(spark, rootStr, out, lines, version, prior.configuration)
   }
 
+  /** `ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<expr>)`: validate
+    * the EXISTING rows satisfy the rule (one bounded aggregation —
+    * delta-spark's own contract: a constraint may only be declared on
+    * conforming data), then republish metaData with the
+    * `delta.constraints.<name>` property and raise the protocol floor
+    * to the version the feature demands (legacy 3, or the
+    * `checkConstraints` writer feature on a features table). Every
+    * later write enforces it via [[enforceConstraints]]. */
+  def addCheckConstraint(spark: SparkSession, rootStr: String,
+      name: String, exprSql: String): Long = CommitRetry() {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = false, kind = "addConstraint")
+    val key = s"delta.constraints.$name"
+    require(!prior.configuration.contains(key),
+      s"addConstraint at $rootStr: constraint '$name' already exists " +
+        s"(${prior.configuration(key)}); drop it first")
+    if (prior.files.nonEmpty) {
+      val bad = read(spark, rootStr).agg(
+        sum(when(coalesce(expr(exprSql).cast(BooleanType), lit(true))
+          === false, 1L).otherwise(0L)).as("bad")).head()
+      val n = if (bad.isNullAt(0)) 0L else bad.getLong(0)
+      require(n == 0L,
+        s"addConstraint at $rootStr: ($exprSql) is false for $n existing " +
+          s"row${if (n == 1) "" else "s"}; a CHECK constraint may only be " +
+          "declared on conforming data")
+    }
+    val now = System.currentTimeMillis()
+    val version = prior.version + 1
+    val protocolLine: Option[JValue] =
+      if (prior.minWriterVersion >= 7) {
+        if (prior.writerFeatures.contains("checkConstraints")) None
+        else Some(JObject("protocol" -> JObject(
+          "minReaderVersion" -> JInt(prior.minReaderVersion.max(3)),
+          "minWriterVersion" -> JInt(7),
+          "readerFeatures" -> JArray(
+            prior.readerFeatures.toList.sorted.map(JString(_))),
+          "writerFeatures" -> JArray(
+            (prior.writerFeatures + "checkConstraints")
+              .toList.sorted.map(JString(_))))))
+      } else if (prior.minWriterVersion < 3) {
+        Some(JObject("protocol" -> JObject(
+          "minReaderVersion" -> JInt(prior.minReaderVersion),
+          "minWriterVersion" -> JInt(3))))
+      } else None
+    val cfg = prior.configuration + (key -> exprSql)
+    val lines = Seq[JValue](
+      commitInfoLine(now, "ADD CONSTRAINT",
+        Map("name" -> name, "expr" -> exprSql),
+        if (ictEnabled(prior.configuration))
+          Some(nextIct(fs, root, prior.version, now)) else None)) ++
+      protocolLine.toSeq :+
+      (JObject("metaData" -> JObject(
+        "id" -> JString(prior.tableId
+          .getOrElse(java.util.UUID.randomUUID().toString)),
+        "format" -> JObject(
+          "provider" -> JString("parquet"), "options" -> JObject()),
+        "schemaString" -> JString(prior.schemaString),
+        "partitionColumns" -> JArray(
+          prior.partitionColumns.toList.map(JString(_))),
+        "configuration" -> JObject(
+          cfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
+        "createdTime" -> JLong(now))): JValue)
+    val out = CommitFence.create(fs,
+      new Path(DeltaLog.logDir(root), f"$version%020d.json"))
+    finishCommit(spark, rootStr, out, lines, version, cfg)
+  }
+
+  /** `ALTER TABLE ... DROP CONSTRAINT <name>` — remove the property;
+    * refuses an unknown name (delta-spark's non-IF-EXISTS behavior). */
+  def dropConstraint(spark: SparkSession, rootStr: String,
+      name: String): Long = CommitRetry() {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = false, kind = "dropConstraint")
+    val key = s"delta.constraints.$name"
+    require(prior.configuration.contains(key),
+      s"dropConstraint at $rootStr: no constraint named '$name' " +
+        s"(have ${prior.configuration.keys.filter(_.startsWith("delta.constraints."))
+          .map(_.stripPrefix("delta.constraints.")).toSeq.sorted.mkString(", ")})")
+    val cfg = prior.configuration - key
+    val now = System.currentTimeMillis()
+    val version = prior.version + 1
+    val lines = Seq[JValue](
+      commitInfoLine(now, "DROP CONSTRAINT", Map("name" -> name),
+        if (ictEnabled(prior.configuration))
+          Some(nextIct(fs, root, prior.version, now)) else None),
+      JObject("metaData" -> JObject(
+        "id" -> JString(prior.tableId
+          .getOrElse(java.util.UUID.randomUUID().toString)),
+        "format" -> JObject(
+          "provider" -> JString("parquet"), "options" -> JObject()),
+        "schemaString" -> JString(prior.schemaString),
+        "partitionColumns" -> JArray(
+          prior.partitionColumns.toList.map(JString(_))),
+        "configuration" -> JObject(
+          cfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
+        "createdTime" -> JLong(now))))
+    val out = CommitFence.create(fs,
+      new Path(DeltaLog.logDir(root), f"$version%020d.json"))
+    finishCommit(spark, rootStr, out, lines, version, cfg)
+  }
+
   /** Shared commit path. This minimal writer supports whole-table
     * overwrite and append; row-level deletes go through [[deleteWhere]]
     * (deletion vectors, merge-on-read).

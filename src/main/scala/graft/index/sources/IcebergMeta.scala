@@ -1347,6 +1347,50 @@ object IcebergTable {
     }
   }
 
+  /** The Iceberg spec's safe primitive type promotions
+    * (`ALTER TABLE ... ALTER COLUMN ... TYPE`): int→long, float→double,
+    * decimal(P,S)→decimal(P',S) with P'>P. Metadata-only — old files
+    * keep their narrower physical types and the scan upcasts (the same
+    * contract the Delta `typeWidening` reads rely on). Anything else
+    * refuses: a non-spec promotion would corrupt every reader. */
+  def promoteColumnType(spark: SparkSession, location: String,
+      name: String, to: DataType): Long = {
+    val prior = IcebergMeta.snapshot(spark, location)
+    val from = prior.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$name' at $location " +
+          s"(have ${prior.schema.fieldNames.mkString(", ")})")).dataType
+    val ok = (from, to) match {
+      case (IntegerType, LongType) | (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision
+      case _ => false
+    }
+    require(ok,
+      s"promoteColumnType at $location: ${from.simpleString} -> " +
+        s"${to.simpleString} on '$name' is not a spec-safe promotion " +
+        "(int->long, float->double, decimal precision widening); " +
+        "narrowing and cross-family changes are refused")
+    // a partition SOURCE column's transform results are type-sensitive
+    // (bucket hashes differ by physical width in some engines); refuse
+    // rather than silently re-route rows
+    require(!prior.partitionFields.exists(_.sourceCol == name),
+      s"cannot promote '$name': it is a partition source column of " +
+        s"$location; rewrite into a new table instead")
+    val typeJson: JValue = IcebergMeta.sparkSchemaToIceberg(
+      StructType(Seq(StructField(name, to)))) \ "fields" match {
+      case JArray(f :: Nil) => f \ "type"
+      case _ => throw new IllegalArgumentException(s"cannot map $to")
+    }
+    updateSchema(spark, location) { (fields, lastColId) =>
+      (fields.map {
+        case f if (f \ "name") == JString(name) =>
+          setFields(f, "type" -> typeJson)
+        case f => f
+      }, lastColId)
+    }
+  }
+
   /** Drop a column: metadata-only; the field id is RETIRED
     * (last-column-id never decreases), so re-adding the same name later
     * gets a fresh id and does NOT resurrect the old values. Refused

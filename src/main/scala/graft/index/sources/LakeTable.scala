@@ -266,6 +266,49 @@ object LakeTable {
       case _ => IcebergTable.rollback(spark, path, id)
     }
 
+  /** `ALTER TABLE ... ALTER COLUMN ... TYPE` — the spec-safe widenings
+    * of each format (Delta `typeWidening` chains / Iceberg primitive
+    * promotions). Metadata-only in both: old files keep their narrower
+    * physical types and scans upcast. */
+  def widenColumn(spark: SparkSession, path: String, column: String,
+      to: org.apache.spark.sql.types.DataType): Long =
+    formatOf(spark, path) match {
+      case "delta" =>
+        DeltaTable.widenColumnTypes(spark, path, Map(column -> to))
+      case _ => IcebergTable.promoteColumnType(spark, path, column, to)
+    }
+
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` — Delta-only
+    * (Iceberg has no table-level CHECK constraints in its spec). */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      exprSql: String): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.addCheckConstraint(spark, path, name, exprSql)
+      case other => throw new UnsupportedOperationException(
+        s"ADD CONSTRAINT on $path: CHECK constraints are a Delta table " +
+          s"feature; this is an $other table")
+    }
+
+  /** `ALTER TABLE ... DROP CONSTRAINT name` — Delta-only. */
+  def dropConstraint(spark: SparkSession, path: String,
+      name: String): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.dropConstraint(spark, path, name)
+      case other => throw new UnsupportedOperationException(
+        s"DROP CONSTRAINT on $path: CHECK constraints are a Delta table " +
+          s"feature; this is an $other table")
+    }
+
+  /** `ALTER TABLE ... SYNC IDENTITY` — Delta-only (identity columns
+    * are a Delta table feature). */
+  def syncIdentity(spark: SparkSession, path: String): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.syncIdentity(spark, path)
+      case other => throw new UnsupportedOperationException(
+        s"SYNC IDENTITY on $path: identity columns are a Delta table " +
+          s"feature; this is an $other table")
+    }
+
   /** Storage cleanup: delete files no retained version references —
     * Delta VACUUM (age-gated) / Iceberg expireSnapshots (history-gated).
     * Returns the removed paths. */

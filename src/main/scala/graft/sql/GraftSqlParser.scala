@@ -66,6 +66,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
     val a = AnalyzeRe.matcher(sqlText)
     if (a.matches()) return GraftAnalyzeCommand(target(a))
+    val ac = AlterConstraintRe.matcher(sqlText)
+    if (ac.matches()) {
+      return Option(ac.group("addname")) match {
+        case Some(n) =>
+          GraftAddConstraintCommand(target(ac), stripIdent(n),
+            ac.group("check").trim)
+        case None =>
+          GraftDropConstraintCommand(target(ac),
+            stripIdent(ac.group("dropname")))
+      }
+    }
+    val at = AlterColumnTypeRe.matcher(sqlText)
+    if (at.matches()) {
+      return GraftAlterColumnTypeCommand(target(at),
+        stripIdent(at.group("col")),
+        delegate.parseDataType(at.group("dtype")))
+    }
+    val si = SyncIdentityRe.matcher(sqlText)
+    if (si.matches()) return GraftSyncIdentityCommand(target(si))
     val ct = CreateRe.matcher(sqlText)
     if (ct.matches()) {
       val parts = Option(ct.group("partcols")).toSeq
@@ -152,6 +171,19 @@ object GraftSqlParser {
       """`(?<path>[^`]+)`""" +
       """(?:\s+PARTITIONED\s+BY\s*\((?<partcols>[^)]+)\))?""" +
       """\s+AS\s+(?<query>.+)""")
+
+  // ALTER TABLE <lake> ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n
+  private val AlterConstraintRe = re(
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+(?:""" +
+      """ADD\s+CONSTRAINT\s+(?<addname>[\w`]+)\s+CHECK\s*\((?<check>.+)\)|""" +
+      """DROP\s+CONSTRAINT\s+(?<dropname>[\w`]+))""")
+  // ALTER TABLE <lake> ALTER|CHANGE COLUMN c TYPE t
+  private val AlterColumnTypeRe = re(
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+""" +
+      """(?<col>[\w`]+)\s+TYPE\s+(?<dtype>[\w()\s,]+)""")
+  // ALTER TABLE <lake> SYNC IDENTITY
+  private val SyncIdentityRe = re(
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+SYNC\\s+IDENTITY""")
 
   private def target(m: java.util.regex.Matcher): String = m.group("path")
 

@@ -177,6 +177,42 @@ case class GraftAnalyzeCommand(path: String) extends LeafRunnableCommand {
   }
 }
 
+/** `ALTER TABLE <lake> ADD CONSTRAINT n CHECK (expr)` →
+  * [[LakeTable.addConstraint]] — validates existing rows, then every
+  * later write enforces the rule. The expression text passes through
+  * verbatim: it re-parses against the table at each write. */
+case class GraftAddConstraintCommand(path: String, name: String,
+    checkSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.addConstraint(spark, path, name, checkSql)))
+}
+
+/** `ALTER TABLE <lake> DROP CONSTRAINT n` → [[LakeTable.dropConstraint]]. */
+case class GraftDropConstraintCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.dropConstraint(spark, path, name)))
+}
+
+/** `ALTER TABLE <lake> ALTER COLUMN c TYPE t` → [[LakeTable.widenColumn]]
+  * (Delta typeWidening / Iceberg primitive promotion; metadata-only). */
+case class GraftAlterColumnTypeCommand(path: String, column: String,
+    to: org.apache.spark.sql.types.DataType) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.widenColumn(spark, path, column, to)))
+}
+
+/** `ALTER TABLE <lake> SYNC IDENTITY` → [[LakeTable.syncIdentity]]. */
+case class GraftSyncIdentityCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.syncIdentity(spark, path)))
+}
+
 /** `CREATE TABLE graft_<fmt>.`/p` [PARTITIONED BY (...)] AS <select>`
   * — path-addressed CTAS. Refuses an existing table (CREATE, not
   * REPLACE); `graft_lake` is refused because a new table has no format

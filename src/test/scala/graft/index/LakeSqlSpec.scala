@@ -370,4 +370,91 @@ class LakeSqlSpec extends AnyFunSuite {
     val ids = hist.select("id").as[Long].collect().toSeq
     assert(ids == Seq(1L, 0L), s"history not newest-first: $ids")
   }
+
+  test("ADD CONSTRAINT validates existing rows and arms write " +
+      "enforcement; DROP CONSTRAINT disarms it") {
+    val root = tmp("graft-sql-ck-")
+    DeltaTable.create(customer.filter($"c_acctbal" >= 0).limit(20), root)
+    assert(spark.sql(s"ALTER TABLE graft_delta.`$root` ADD CONSTRAINT " +
+      "posbal CHECK (c_acctbal >= 0)").head().getLong(0) == 1L)
+    // armed: a violating append refuses naming the constraint
+    val dirty = customer.limit(5)
+      .withColumn("c_acctbal", $"c_acctbal" - lit(1e9))
+    val e = intercept[IllegalArgumentException] {
+      DeltaTable.append(dirty, root)
+    }
+    assert(e.getMessage.contains("posbal"))
+    // a second constraint over violating existing data refuses
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft_delta.`$root` ADD CONSTRAINT " +
+        "negbal CHECK (c_acctbal < 0)")
+    }
+    assert(e2.getMessage.contains("existing row"))
+    // disarm: the formerly violating append lands
+    spark.sql(s"ALTER TABLE graft_delta.`$root` DROP CONSTRAINT posbal")
+    assert(DeltaTable.append(dirty, root) > 1L)
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft_delta.`$root` DROP CONSTRAINT nope")
+    }
+    assert(e3.getMessage.contains("no constraint named 'nope'"))
+    // Iceberg has no CHECK constraints in its spec
+    val iroot = tmp("graft-sql-ck-ice-")
+    IcebergTable.create(customer.limit(5), iroot)
+    val e4 = intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` ADD CONSTRAINT " +
+        "x CHECK (c_custkey > 0)")
+    }
+    assert(e4.getMessage.contains("Delta table feature"))
+  }
+
+  test("ALTER COLUMN TYPE widens on both legs; unsafe changes refuse") {
+    // Delta: int -> bigint through the typeWidening chain
+    val droot = tmp("graft-sql-wide-d-")
+    DeltaTable.create(customer.limit(20), droot)
+    spark.sql(s"ALTER TABLE graft_delta.`$droot` ALTER COLUMN " +
+      "c_nationkey TYPE BIGINT")
+    val ds = DeltaLog.snapshot(spark, droot)
+    assert(ds.schema("c_nationkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(DeltaTable.read(spark, droot)
+      .select(sum($"c_nationkey")).head().get(0) != null)
+    // Iceberg: the spec's safe promotion, old int32 files still serve
+    val iroot = tmp("graft-sql-wide-i-")
+    IcebergTable.create(customer.limit(20), iroot)
+    val before = IcebergTable.read(spark, iroot)
+      .select(sum($"c_nationkey")).head().getLong(0)
+    spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` ALTER COLUMN " +
+      "c_nationkey TYPE BIGINT")
+    val got = IcebergTable.read(spark, iroot)
+    assert(got.schema("c_nationkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(got.select(sum($"c_nationkey")).head().getLong(0) == before)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` ALTER COLUMN " +
+        "c_custkey TYPE INT")
+    }
+    assert(e.getMessage.contains("not a spec-safe promotion"))
+  }
+
+  test("SYNC IDENTITY re-aligns the watermark through SQL") {
+    import org.apache.spark.sql.types._
+    val root = tmp("graft-sql-sync-")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, new MetadataBuilder()
+        .putLong("delta.identity.start", 1L)
+        .putLong("delta.identity.step", 1L)
+        .putBoolean("delta.identity.allowExplicitInsert", true).build()),
+      StructField("v", LongType)))
+    val framed = spark.createDataFrame(
+      spark.range(3).selectExpr("id + 10 as id", "id as v").rdd, schema)
+    DeltaTable.create(framed, root)
+    spark.sql(s"ALTER TABLE graft_delta.`$root` SYNC IDENTITY")
+    val f = DeltaLog.snapshot(spark, root).schema("id")
+    assert(f.metadata.getLong("delta.identity.highWaterMark") == 12L)
+    // assignment continues past the synced watermark
+    DeltaTable.append(spark.range(2).selectExpr("id as v"), root)
+    val ids = DeltaTable.read(spark, root).select("id")
+      .as[Long].collect().toSeq
+    assert(ids.sorted == Seq(10L, 11L, 12L, 13L, 14L))
+  }
 }
