@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.index.IndexConfig
+import graft.index.covering.CoveringIndexConfig
+import graft.index.dataskipping.{DataSkippingIndexConfig, SketchSpec}
+import graft.index.zorder.ZOrderIndexConfig
+
+/**
+ * The ONE place every plain-parquet accel index is defined. Query
+ * functions ensure the entries they need by reference, and plan-pinning
+ * suites (golden plans, exchange audits) materialize [[all]] of them up
+ * front via [[IndexAccel.ensureCorpus]] — because the ranker correctly
+ * prefers the narrowest covering index, ADDING an index to the shared
+ * cached fixture can legitimately change another query's plan, so a
+ * pinned plan is only deterministic against the FULL corpus (exactly
+ * like a long-lived production deployment, where indexes accumulate and
+ * the plan you audit is the plan under all of them).
+ */
+private[queries] object AccelIndexes {
+  type Entry = (String, IndexConfig)
+
+  // ---- lineitem
+  val li: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li", Seq("l_orderkey"), Seq("l_quantity", "l_extendedprice"))
+  val liJoin: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice"))
+  val liSupp: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_supp", Seq("l_suppkey"), Seq("l_extendedprice"))
+  val liBySupp: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_bysupp", Seq("l_suppkey"),
+    Seq("l_partkey", "l_extendedprice", "l_discount"))
+  val liShip: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_ship", Seq("l_orderkey"),
+    Seq("l_suppkey", "l_returnflag", "l_extendedprice"))
+  val liByPart: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_bypart", Seq("l_partkey"),
+    Seq("l_linenumber", "l_extendedprice", "l_discount"))
+  val liRev: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_rev", Seq("l_orderkey"),
+    Seq("l_extendedprice", "l_discount"))
+  val zoLi: Entry = "lineitem" -> ZOrderIndexConfig(
+    "accel_zo_li", Seq("l_partkey", "l_suppkey"), Seq("l_quantity"))
+  val dsLi: Entry = "lineitem" -> DataSkippingIndexConfig(
+    "accel_ds_li",
+    Seq(SketchSpec.minMax("l_orderkey"), SketchSpec.bloom("l_suppkey")))
+
+  // ---- orders
+  val ordJoin: Entry = "orders" -> CoveringIndexConfig(
+    "accel_ci_ord_join", Seq("o_orderkey"), Seq("o_totalprice"))
+  val ordSnow: Entry = "orders" -> CoveringIndexConfig(
+    "accel_ci_ord_snow", Seq("o_orderkey"), Seq("o_custkey"))
+  val ordSnow3: Entry = "orders" -> CoveringIndexConfig(
+    "accel_ci_ord_snow3", Seq("o_orderkey"),
+    Seq("o_custkey", "o_orderdate"))
+  val ordAgg: Entry = "orders" -> CoveringIndexConfig(
+    "accel_ci_ord_agg", Seq("o_custkey"), Seq("o_totalprice"))
+  val ordByCust: Entry = "orders" -> CoveringIndexConfig(
+    "accel_ci_ord_bycust", Seq("o_custkey"),
+    Seq("o_totalprice", "o_orderdate"))
+
+  // ---- customer
+  val cust: Entry = "customer" -> CoveringIndexConfig(
+    "accel_ci_cust", Seq("c_custkey"), Seq("c_acctbal"))
+  val custNat: Entry = "customer" -> CoveringIndexConfig(
+    "accel_ci_cust_nat", Seq("c_custkey"), Seq("c_nationkey", "c_acctbal"))
+  val custDim: Entry = "customer" -> CoveringIndexConfig(
+    "accel_ci_cust_dim", Seq("c_custkey"), Seq("c_name", "c_nationkey"))
+  val custSeg: Entry = "customer" -> CoveringIndexConfig(
+    "accel_ci_cust_seg", Seq("c_custkey"),
+    Seq("c_nationkey", "c_mktsegment"))
+
+  // ---- dims
+  val suppDim: Entry = "supplier" -> CoveringIndexConfig(
+    "accel_ci_supp_dim", Seq("s_suppkey"), Seq("s_name"))
+  val partDim: Entry = "part" -> CoveringIndexConfig(
+    "accel_ci_part_dim", Seq("p_partkey"), Seq("p_name"))
+  val partAttr: Entry = "part" -> CoveringIndexConfig(
+    "accel_ci_part_attr", Seq("p_partkey"), Seq("p_brand", "p_type"))
+  val nationDim: Entry = "nation" -> CoveringIndexConfig(
+    "accel_ci_nation_dim", Seq("n_nationkey"),
+    Seq("n_name", "n_regionkey"))
+
+  /** Every entry above. The rank-tie decoy (8-bucket twin of liJoin) is
+    * ensured separately by [[IndexAccel.ensureRank8Decoy]] because it
+    * needs a bucket-count override under the same system path. */
+  val all: Seq[Entry] = Seq(
+    li, liJoin, liSupp, liBySupp, liShip, liByPart, liRev, zoLi, dsLi,
+    ordJoin, ordSnow, ordSnow3, ordAgg, ordByCust,
+    cust, custNat, custDim, custSeg,
+    suppDim, partDim, partAttr, nationDim)
+}

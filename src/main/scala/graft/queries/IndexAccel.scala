@@ -7,8 +7,6 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.Tables
 import graft.index.{GraftConf, IndexConfig, IndexManager, IndexState}
 import graft.index.covering.CoveringIndexConfig
-import graft.index.dataskipping.{DataSkippingIndexConfig, SketchSpec}
-import graft.index.zorder.ZOrderIndexConfig
 
 /**
  * Driver-gate queries that run THROUGH the index subsystem: each entry
@@ -60,10 +58,45 @@ object IndexAccel {
     }
   }
 
+  private[queries] def ensureIndex(spark: SparkSession, sfDir: String,
+      entry: AccelIndexes.Entry): Unit =
+    ensureIndex(spark, sfDir, entry._1, entry._2)
+
+  /** Materialize the FULL parquet accel-index corpus (plus the rank-tie
+    * decoy). Plan-pinning suites call this before rendering any plan:
+    * the ranker's narrower-index preference means a plan is only
+    * deterministic against a fixed candidate set, and the fixed point
+    * is "all of them" — see [[AccelIndexes]]. Idempotent and cached in
+    * the shared /tmp fixture, so the cost is one cold build per
+    * (sfDir, bucket-count). */
+  def ensureCorpus(spark: SparkSession, sfDir: String): Unit = {
+    AccelIndexes.all.foreach(e => ensureIndex(spark, sfDir, e))
+    ensureRank8Decoy(spark, sfDir)
+  }
+
+  /** The rank-tie decoy: same key and coverage as accel_ci_li_join but
+    * 8 buckets, created under the SAME system path (pin it before
+    * overriding the bucket conf, which otherwise keys a different
+    * path). The ranker must prefer the session-bucket-count index. */
+  private[queries] def ensureRank8Decoy(spark: SparkSession,
+      sfDir: String): Unit = synchronized {
+    ensureSystemPath(spark, sfDir)
+    val mgr = new IndexManager(spark)
+    val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
+    if (!active.contains("accel_ci_li_rank8")) {
+      val sysPath = spark.conf.get(GraftConf.SystemPathKey)
+      spark.conf.set(GraftConf.NumBucketsKey, "8")
+      spark.conf.set(GraftConf.SystemPathKey, sysPath)
+      try mgr.create(Tables.load(spark, sfDir, "lineitem"),
+        CoveringIndexConfig("accel_ci_li_rank8",
+          Seq("l_orderkey"), Seq("l_extendedprice")))
+      finally spark.conf.unset(GraftConf.NumBucketsKey)
+    }
+  }
+
   // ------------------------------------------------ covering filter
   def idxCoveringFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
-      "accel_ci_li", Seq("l_orderkey"), Seq("l_quantity", "l_extendedprice")))
+    ensureIndex(spark, sfDir, AccelIndexes.li)
     Tables.load(spark, sfDir, "lineitem")
       .filter(col("l_orderkey").between(100L, 2000L))
       .agg(count(lit(1)).cast(LongType).as("n_rows"),
@@ -79,10 +112,8 @@ object IndexAccel {
 
   // ------------------------------------------------ shuffle-free join
   def idxJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
-      "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice")))
-    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
-      "accel_ci_ord_join", Seq("o_orderkey"), Seq("o_totalprice")))
+    ensureIndex(spark, sfDir, AccelIndexes.liJoin)
+    ensureIndex(spark, sfDir, AccelIndexes.ordJoin)
     val li = Tables.load(spark, sfDir, "lineitem")
     val ord = Tables.load(spark, sfDir, "orders")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
@@ -99,8 +130,7 @@ object IndexAccel {
 
   // ------------------------------------------------ z-order filter
   def idxZOrderFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", ZOrderIndexConfig(
-      "accel_zo_li", Seq("l_partkey", "l_suppkey"), Seq("l_quantity")))
+    ensureIndex(spark, sfDir, AccelIndexes.zoLi)
     Tables.load(spark, sfDir, "lineitem")
       .filter(col("l_suppkey").between(1L, 50L))
       .agg(count(lit(1)).cast(LongType).as("n_rows"),
@@ -114,9 +144,7 @@ object IndexAccel {
 
   // ------------------------------------------------ data skipping
   def idxDataSkipFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", DataSkippingIndexConfig(
-      "accel_ds_li",
-      Seq(SketchSpec.minMax("l_orderkey"), SketchSpec.bloom("l_suppkey"))))
+    ensureIndex(spark, sfDir, AccelIndexes.dsLi)
     Tables.load(spark, sfDir, "lineitem")
       .filter(col("l_orderkey") <= 500L && col("l_suppkey").isin(1L, 2L, 3L))
       .agg(count(lit(1)).cast(LongType).as("n_rows"),
@@ -282,12 +310,9 @@ object IndexAccel {
     * not-null filter. Exercises JoinIndexRule pair selection alongside
     * FilterIndexRule on a third relation in one plan. */
   def idxSnowflake2(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
-      "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice")))
-    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
-      "accel_ci_ord_snow", Seq("o_orderkey"), Seq("o_custkey")))
-    ensureIndex(spark, sfDir, "customer", CoveringIndexConfig(
-      "accel_ci_cust", Seq("c_custkey"), Seq("c_acctbal")))
+    ensureIndex(spark, sfDir, AccelIndexes.liJoin)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow)
+    ensureIndex(spark, sfDir, AccelIndexes.cust)
     val li = Tables.load(spark, sfDir, "lineitem")
     val ord = Tables.load(spark, sfDir, "orders")
     val cust = Tables.load(spark, sfDir, "customer")
@@ -318,18 +343,13 @@ object IndexAccel {
     * joins are the data movers — bucketed index pairs make them
     * exchange-free on the fact side. */
   def idxSnowflake3(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
-      "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice")))
-    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
-      "accel_ci_ord_snow", Seq("o_orderkey"), Seq("o_custkey")))
-    ensureIndex(spark, sfDir, "customer", CoveringIndexConfig(
-      "accel_ci_cust_nat", Seq("c_custkey"), Seq("c_nationkey", "c_acctbal")))
+    ensureIndex(spark, sfDir, AccelIndexes.liJoin)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow)
+    ensureIndex(spark, sfDir, AccelIndexes.custNat)
     // the nation leg joins bucketed too (same config as the qds fixture
     // shares) — without its own ensure the plan silently depended on
     // WHICH other suite had populated the cached fixture first
-    ensureIndex(spark, sfDir, "nation", CoveringIndexConfig(
-      "accel_ci_nation_dim", Seq("n_nationkey"),
-      Seq("n_name", "n_regionkey")))
+    ensureIndex(spark, sfDir, AccelIndexes.nationDim)
     val li = Tables.load(spark, sfDir, "lineitem")
     val ord = Tables.load(spark, sfDir, "orders")
     val cust = Tables.load(spark, sfDir, "customer")
@@ -358,10 +378,8 @@ object IndexAccel {
     * (JoinOneSideIndexRule) — both rules fire in ONE plan, which is the
     * whole point of the score-based combination search. */
   def idxStarAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
-      "accel_ci_ord_agg", Seq("o_custkey"), Seq("o_totalprice")))
-    ensureIndex(spark, sfDir, "customer", CoveringIndexConfig(
-      "accel_ci_cust", Seq("c_custkey"), Seq("c_acctbal")))
+    ensureIndex(spark, sfDir, AccelIndexes.ordAgg)
+    ensureIndex(spark, sfDir, AccelIndexes.cust)
     val ord = Tables.load(spark, sfDir, "orders")
     val cust = Tables.load(spark, sfDir, "customer")
     val perCust = ord.groupBy(col("o_custkey"))
@@ -388,12 +406,9 @@ object IndexAccel {
     * greedily grab the filter index it sees first. The golden plan pins
     * the winner by index name. */
   def idxRuleRivalry(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
-      "accel_ci_li", Seq("l_orderkey"), Seq("l_quantity", "l_extendedprice")))
-    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
-      "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice")))
-    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
-      "accel_ci_ord_snow", Seq("o_orderkey"), Seq("o_custkey")))
+    ensureIndex(spark, sfDir, AccelIndexes.li)
+    ensureIndex(spark, sfDir, AccelIndexes.liJoin)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow)
     val li = Tables.load(spark, sfDir, "lineitem")
     val ord = Tables.load(spark, sfDir, "orders")
     li.filter(col("l_orderkey").between(100L, 5000L))
@@ -417,27 +432,9 @@ object IndexAccel {
     * win over (8, 32), which would re-shuffle one side — the golden plan
     * pins the no-exchange join. */
   def idxJoinRankTie(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
-      "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice")))
-    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
-      "accel_ci_ord_join", Seq("o_orderkey"), Seq("o_totalprice")))
-    // the decoy: same key and coverage, fewer buckets — created under the
-    // SAME system path (pin it before overriding the bucket conf, which
-    // otherwise keys a different path)
-    synchronized {
-      ensureSystemPath(spark, sfDir)
-      val mgr = new IndexManager(spark)
-      val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
-      if (!active.contains("accel_ci_li_rank8")) {
-        val sysPath = spark.conf.get(GraftConf.SystemPathKey)
-        spark.conf.set(GraftConf.NumBucketsKey, "8")
-        spark.conf.set(GraftConf.SystemPathKey, sysPath)
-        try mgr.create(Tables.load(spark, sfDir, "lineitem"),
-          CoveringIndexConfig("accel_ci_li_rank8",
-            Seq("l_orderkey"), Seq("l_extendedprice")))
-        finally spark.conf.unset(GraftConf.NumBucketsKey)
-      }
-    }
+    ensureIndex(spark, sfDir, AccelIndexes.liJoin)
+    ensureIndex(spark, sfDir, AccelIndexes.ordJoin)
+    ensureRank8Decoy(spark, sfDir)
     val li = Tables.load(spark, sfDir, "lineitem")
     val ord = Tables.load(spark, sfDir, "orders")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
@@ -460,8 +457,7 @@ object IndexAccel {
     * The golden plan (auto-broadcast off) pins the single-exchange
     * shape; the oracle pins the results. */
   def idxJoinOneSided(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
-      "accel_ci_li_supp", Seq("l_suppkey"), Seq("l_extendedprice")))
+    ensureIndex(spark, sfDir, AccelIndexes.liSupp)
     val li = Tables.load(spark, sfDir, "lineitem")
     val sup = Tables.load(spark, sfDir, "supplier")
     li.join(sup, li("l_suppkey") === sup("s_suppkey"))

@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
-import graft.index.covering.CoveringIndexConfig
 
 /**
  * TPC-DS-SHAPED rewrite stress over the TPC-H-ish fixture corpus — the
@@ -44,16 +43,11 @@ object TpcdsShapes {
    * so a hash match also proves the decorrelation equivalent.
    */
   def qds1ReturnsAboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
-      "accel_ci_ord_bycust", Seq("o_custkey"),
-      Seq("o_totalprice", "o_orderdate")))
-    ensureIndex(spark, sfDir, "customer", CoveringIndexConfig(
-      "accel_ci_cust_dim", Seq("c_custkey"), Seq("c_name", "c_nationkey")))
+    ensureIndex(spark, sfDir, AccelIndexes.ordByCust)
+    ensureIndex(spark, sfDir, AccelIndexes.custDim)
     // own the nation dim index (shared config with qdsDeepSnowflake) so
     // the regional filter leg joins bucketed regardless of suite order
-    ensureIndex(spark, sfDir, "nation", CoveringIndexConfig(
-      "accel_ci_nation_dim", Seq("n_nationkey"),
-      Seq("n_name", "n_regionkey")))
+    ensureIndex(spark, sfDir, AccelIndexes.nationDim)
     val ord = Tables.load(spark, sfDir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
@@ -110,13 +104,9 @@ object TpcdsShapes {
    * plan.
    */
   def qds65UnderperfParts(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
-      "accel_ci_li_bysupp", Seq("l_suppkey"),
-      Seq("l_partkey", "l_extendedprice", "l_discount")))
-    ensureIndex(spark, sfDir, "supplier", CoveringIndexConfig(
-      "accel_ci_supp_dim", Seq("s_suppkey"), Seq("s_name")))
-    ensureIndex(spark, sfDir, "part", CoveringIndexConfig(
-      "accel_ci_part_dim", Seq("p_partkey"), Seq("p_name")))
+    ensureIndex(spark, sfDir, AccelIndexes.liBySupp)
+    ensureIndex(spark, sfDir, AccelIndexes.suppDim)
+    ensureIndex(spark, sfDir, AccelIndexes.partDim)
     val li = Tables.load(spark, sfDir, "lineitem")
     val sa = li
       .groupBy(col("l_suppkey").as("sa_supp"), col("l_partkey").as("sa_part"))
@@ -163,16 +153,10 @@ object TpcdsShapes {
    * lineitem⋈orders) and keep each dim leg index-served up the chain.
    */
   def qdsDeepSnowflake(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
-      "accel_ci_li_join", Seq("l_orderkey"), Seq("l_extendedprice")))
-    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
-      "accel_ci_ord_snow3", Seq("o_orderkey"),
-      Seq("o_custkey", "o_orderdate")))
-    ensureIndex(spark, sfDir, "customer", CoveringIndexConfig(
-      "accel_ci_cust_dim", Seq("c_custkey"), Seq("c_name", "c_nationkey")))
-    ensureIndex(spark, sfDir, "nation", CoveringIndexConfig(
-      "accel_ci_nation_dim", Seq("n_nationkey"),
-      Seq("n_name", "n_regionkey")))
+    ensureIndex(spark, sfDir, AccelIndexes.liJoin)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    ensureIndex(spark, sfDir, AccelIndexes.custDim)
+    ensureIndex(spark, sfDir, AccelIndexes.nationDim)
     val li = Tables.load(spark, sfDir, "lineitem")
     val ord = Tables.load(spark, sfDir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -216,12 +200,8 @@ object TpcdsShapes {
    * serves the fact five times without re-shuffling.
    */
   def qds95MultiSupplierShip(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
-      "accel_ci_li_ship", Seq("l_orderkey"),
-      Seq("l_suppkey", "l_returnflag", "l_extendedprice")))
-    ensureIndex(spark, sfDir, "orders", CoveringIndexConfig(
-      "accel_ci_ord_snow3", Seq("o_orderkey"),
-      Seq("o_custkey", "o_orderdate")))
+    ensureIndex(spark, sfDir, AccelIndexes.liShip)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
     val li = Tables.load(spark, sfDir, "lineitem")
     // ws_wh: orders shipped from at least two distinct suppliers
     val multi = li.select(col("l_orderkey").as("m1_ord"),
@@ -270,11 +250,8 @@ object TpcdsShapes {
    * broadcast scalar share of exact-decimal total revenue.
    */
   def qds14CrossChannel(spark: SparkSession, sfDir: String): DataFrame = {
-    ensureIndex(spark, sfDir, "lineitem", CoveringIndexConfig(
-      "accel_ci_li_bypart", Seq("l_partkey"),
-      Seq("l_linenumber", "l_extendedprice", "l_discount")))
-    ensureIndex(spark, sfDir, "part", CoveringIndexConfig(
-      "accel_ci_part_attr", Seq("p_partkey"), Seq("p_brand", "p_type")))
+    ensureIndex(spark, sfDir, AccelIndexes.liByPart)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
     val li = Tables.load(spark, sfDir, "lineitem")
     val part = Tables.load(spark, sfDir, "part")
     def channel(pred: org.apache.spark.sql.Column): DataFrame =
@@ -328,10 +305,115 @@ object TpcdsShapes {
        |ORDER BY brand""".stripMargin
   }
 
+  /**
+   * TPC-DS q27 shape (reference tpcds/queries/q27.sql): a fact joined
+   * through two dimensions and aggregated under GROUP BY ROLLUP — the
+   * Expand-operator path none of the other shapes exercise. Mapped:
+   * lineitem ⋈ orders(1995) ⋈ customer ⋈ nation, ROLLUP over
+   * (n_name, c_mktsegment). The rollup's Expand multiplies rows AFTER
+   * the joins, so every join leg must still be index-served; subtotal
+   * rows label their collapsed level with a sentinel (the fixture's
+   * dims are never null, so COALESCE is unambiguous and keeps the
+   * DuckDB row-sort deterministic).
+   */
+  def qds27RollupAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liRev)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    ensureIndex(spark, sfDir, AccelIndexes.custSeg)
+    ensureIndex(spark, sfDir, AccelIndexes.nationDim)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(rev).as("sum_rev"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n_rows"), col("sum_rev"))
+      .orderBy(col("nation"), col("segment"))
+  }
+
+  val qds27Sql: String = {
+    val rev = "l_extendedprice * (1 - l_discount)"
+    s"""SELECT COALESCE(n_name, 'ALL') AS nation,
+       | COALESCE(c_mktsegment, 'ALL') AS segment,
+       | CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum(rev)} AS sum_rev
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       | AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       |GROUP BY ROLLUP (n_name, c_mktsegment)
+       |ORDER BY nation, segment""".stripMargin
+  }
+
+  /**
+   * TPC-DS q87 shape (reference tpcds/queries/q87.sql): a chained
+   * EXCEPT of per-channel DISTINCT customer sets, counted. Catalyst
+   * lowers `.except()` to a LeftAnti join on NULL-SAFE equality, whose
+   * hash keys become (coalesce(k, 0), isnull(k)) — defeating bucket
+   * reuse even when every scan is index-served (measured: both anti
+   * joins re-shuffled). With the key guarded IS NOT NULL on both
+   * sides, set subtraction is a plain-equality anti join with
+   * identical results — and THAT rides the index's o_custkey buckets:
+   * three distincts and two anti joins, all bucket-aligned off one
+   * covering index. That rewrite is the 100 TB plan for audience
+   * subtraction; the oracle keeps real EXCEPT to pin value parity.
+   */
+  def qds87ExceptChannels(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.ordByCust)
+    val ord = Tables.load(spark, sfDir, "orders")
+    // keep the raw column name through DISTINCT so the agg-index rule
+    // recognizes the bucketed groupBy; disambiguate the self-joins by
+    // DataFrame reference, not by alias
+    def channel(pred: org.apache.spark.sql.Column): DataFrame =
+      ord.filter(pred && col("o_custkey").isNotNull)
+        .select(col("o_custkey")).distinct()
+    val h1 = channel(
+      col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+    val h2 = channel(
+      col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val urgent = channel(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    h1.join(h2, h1("o_custkey") === h2("o_custkey"), "left_anti")
+      .join(urgent, h1("o_custkey") === urgent("o_custkey"), "left_anti")
+      .agg(count(lit(1)).cast(LongType).as("n_cust"))
+  }
+
+  val qds87Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |     AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      |     AND o_custkey IS NOT NULL
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      |     AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |     AND o_custkey IS NOT NULL
+      |  EXCEPT
+      |  SELECT DISTINCT o_custkey FROM orders
+      |   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |     AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |     AND o_custkey IS NOT NULL)""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
     "qds1_returns_above_avg" -> (qds1ReturnsAboveAvg _, qds1Sql),
     "qds65_underperf_parts" -> (qds65UnderperfParts _, qds65Sql),
     "qds_deep_snowflake_4idx" -> (qdsDeepSnowflake _, qdsDeepSql),
     "qds95_multi_supplier_ship" -> (qds95MultiSupplierShip _, qds95Sql),
-    "qds14_cross_channel" -> (qds14CrossChannel _, qds14Sql))
+    "qds14_cross_channel" -> (qds14CrossChannel _, qds14Sql),
+    "qds27_rollup_agg" -> (qds27RollupAgg _, qds27Sql),
+    "qds87_except_channels" -> (qds87ExceptChannels _, qds87Sql))
 }

