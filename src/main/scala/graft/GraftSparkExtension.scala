@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.index.rules.ApplyGraft
+import graft.index.rules.{ApplyGraft, NormalizeNullSafeJoinKeys}
 
 /**
  * Session extension entry point: registered via
@@ -42,6 +42,11 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
         s"argument(s), got ${args.length}")
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    // key normalization first: ApplyGraft must see plain equi-join keys
+    // where EXCEPT/INTERSECT lowering produced provably-equivalent
+    // null-safe ones, or the bucketed-index join rewrites can't claim
+    // the set-algebra joins
+    extensions.injectPreCBORule(spark => new NormalizeNullSafeJoinKeys(spark))
     extensions.injectPreCBORule(spark => new ApplyGraft(spark))
     extensions.injectPlannerStrategy(spark =>
       new graft.execution.BucketUnionStrategy(spark))

@@ -357,23 +357,22 @@ object TpcdsShapes {
 
   /**
    * TPC-DS q87 shape (reference tpcds/queries/q87.sql): a chained
-   * EXCEPT of per-channel DISTINCT customer sets, counted. Catalyst
-   * lowers `.except()` to a LeftAnti join on NULL-SAFE equality, whose
-   * hash keys become (coalesce(k, 0), isnull(k)) — defeating bucket
-   * reuse even when every scan is index-served (measured: both anti
-   * joins re-shuffled). With the key guarded IS NOT NULL on both
-   * sides, set subtraction is a plain-equality anti join with
-   * identical results — and THAT rides the index's o_custkey buckets:
-   * three distincts and two anti joins, all bucket-aligned off one
-   * covering index. That rewrite is the 100 TB plan for audience
-   * subtraction; the oracle keeps real EXCEPT to pin value parity.
+   * EXCEPT of per-channel DISTINCT customer sets, counted — written
+   * with the IDIOMATIC `.except()`. Catalyst lowers that to LeftAnti
+   * joins on NULL-SAFE equality, whose hash keys become
+   * (coalesce(k, 0), isnull(k)) — defeating bucket reuse even when
+   * every scan is index-served (measured: both anti joins re-shuffled).
+   * The IS NOT NULL guards on each channel let
+   * [[graft.index.rules.NormalizeNullSafeJoinKeys]] prove the rewrite
+   * to plain equality, after which the whole set algebra — three
+   * distincts and two anti joins — runs bucket-aligned off one
+   * o_custkey covering index: the 100 TB plan for audience
+   * subtraction, reached from the idiomatic API by the ENGINE, not by
+   * hand-tuning the query.
    */
   def qds87ExceptChannels(spark: SparkSession, sfDir: String): DataFrame = {
     ensureIndex(spark, sfDir, AccelIndexes.ordByCust)
     val ord = Tables.load(spark, sfDir, "orders")
-    // keep the raw column name through DISTINCT so the agg-index rule
-    // recognizes the bucketed groupBy; disambiguate the self-joins by
-    // DataFrame reference, not by alias
     def channel(pred: org.apache.spark.sql.Column): DataFrame =
       ord.filter(pred && col("o_custkey").isNotNull)
         .select(col("o_custkey")).distinct()
@@ -386,8 +385,7 @@ object TpcdsShapes {
     val urgent = channel(
       col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-    h1.join(h2, h1("o_custkey") === h2("o_custkey"), "left_anti")
-      .join(urgent, h1("o_custkey") === urgent("o_custkey"), "left_anti")
+    h1.except(h2).except(urgent)
       .agg(count(lit(1)).cast(LongType).as("n_cust"))
   }
 
