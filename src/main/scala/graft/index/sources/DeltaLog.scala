@@ -65,10 +65,38 @@ final case class DeltaSnapshot(
     // (delta-spark streaming sources among them) key continuity on it, so
     // every commit that republishes metaData must carry it forward; a new
     // id is only ever minted at table creation / CONVERT / CLONE.
-    tableId: Option[String] = None) {
+    tableId: Option[String] = None,
+    // metadata DOMAINS (`domainMetadata` actions): per-domain
+    // configuration reconciled latest-wins; removed tombstones are
+    // RETAINED (and restated by checkpoints) so a replay that starts
+    // from the checkpoint still sees the removal
+    domains: Map[String, DomainMeta] = Map.empty) {
   def schema: StructType =
     DataType.fromJson(schemaString).asInstanceOf[StructType]
+
+  /** Domains in force (tombstoned ones hidden). */
+  def liveDomains: Map[String, String] =
+    domains.collect { case (d, m) if !m.removed => d -> m.configuration }
+
+  /** Liquid-clustering columns, when the `delta.clustering` domain is
+    * set (delta-spark's CLUSTER BY): the domain's configuration is
+    * `{"clusteringColumns":[["col"],["nested","field"]]}` — one
+    * name-part array per column. */
+  def clusteringColumns: Seq[Seq[String]] =
+    liveDomains.get(DeltaTable.ClusteringDomain).toSeq.flatMap { cfg =>
+      (JsonMethods.parse(cfg) \ "clusteringColumns") match {
+        case JArray(cols) => cols.collect {
+          case JArray(parts) => parts.collect { case JString(s) => s }
+        }
+        case _ => Nil
+      }
+    }
 }
+
+/** One metadata domain's latest state (the `domainMetadata` action):
+  * `configuration` is an opaque serialized string owned by the domain's
+  * writer; `removed = true` is a tombstone. */
+final case class DomainMeta(configuration: String, removed: Boolean)
 
 object DeltaLog {
 
@@ -182,6 +210,7 @@ object DeltaLog {
     var writerFeatures: Set[String] = Set.empty
     var tableConfiguration: Map[String, String] = Map.empty
     val transactions = mutable.Map.empty[String, Long]
+    val domains = mutable.Map.empty[String, DomainMeta]
     // live files keyed by the RESOLVED absolute path: adds and removes
     // must cancel even when one writer logged a relative path and
     // another an absolute one for the same file
@@ -294,6 +323,14 @@ object DeltaLog {
           .where("appId is not null").collect()
           .foreach(r => transactions(r.getString(0)) =
             r.getAs[Number](1).longValue())
+      }
+      if (cols.contains("domainMetadata")) {
+        ck.selectExpr("domainMetadata.domain",
+            "domainMetadata.configuration", "domainMetadata.removed")
+          .where("domain is not null").collect()
+          .foreach(r => domains(r.getString(0)) = DomainMeta(
+            Option(r.getString(1)).getOrElse(""),
+            !r.isNullAt(2) && r.getBoolean(2)))
       }
       absorbCheckpointAdds(ck)
       // v2 spec checkpoints park their adds in `_sidecars/` parquet files
@@ -423,6 +460,23 @@ object DeltaLog {
             }
           case _ =>
         }
+        j \ "domainMetadata" match {
+          case JObject(_) =>
+            (j \ "domainMetadata" \ "domain") match {
+              case JString(d) =>
+                // configuration is a serialized string by spec; tolerate
+                // a writer that inlined it as an object
+                val cfg = (j \ "domainMetadata" \ "configuration") match {
+                  case JString(s) => s
+                  case o: JObject => JsonMethods.compact(o)
+                  case _ => ""
+                }
+                val removed = (j \ "domainMetadata" \ "removed") == JBool(true)
+                domains(d) = DomainMeta(cfg, removed)
+              case _ =>
+            }
+          case _ =>
+        }
       }
     }
 
@@ -480,7 +534,7 @@ object DeltaLog {
     DeltaSnapshot(rootStr, latest, schemaString, partitionColumns,
       live.values.toSeq, minReaderVersion, minWriterVersion,
       readerFeatures, writerFeatures, tableConfiguration,
-      transactions.toMap, tableId)
+      transactions.toMap, tableId, domains.toMap)
   }
 
   /** Action paths are URL-encoded and root-relative (absolute paths are
@@ -632,12 +686,15 @@ private[sources] case class CkptCheckpointMetadata(
     version: Long, tags: Option[Map[String, String]] = None)
 private[sources] case class CkptSidecar(
     path: String, sizeInBytes: Long, modificationTime: Long)
+private[sources] case class CkptDomainMetadata(
+    domain: String, configuration: String, removed: Boolean)
 private[sources] case class CkptRow(
     add: Option[CkptAdd], remove: Option[CkptRemove],
     metaData: Option[CkptMetaData], protocol: Option[CkptProtocol],
     txn: Option[CkptTxn] = None,
     checkpointMetadata: Option[CkptCheckpointMetadata] = None,
-    sidecar: Option[CkptSidecar] = None)
+    sidecar: Option[CkptSidecar] = None,
+    domainMetadata: Option[CkptDomainMetadata] = None)
 
 /**
  * Snapshot-pinned reads and minimal transactional writes of Delta tables
@@ -1810,6 +1867,17 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val prior = DeltaLog.snapshot(spark, rootStr)
     writerGate(prior, rootStr, deletesRows = false, kind = "optimize")
+    // a liquid-clustered table's plain OPTIMIZE is a RECLUSTER: default
+    // the z-order to the declared clustering columns (delta-spark's own
+    // behavior) — an explicit ZORDER BY still overrides
+    val zorderCols =
+      if (zorderBy.nonEmpty) zorderBy
+      else prior.clusteringColumns.map { parts =>
+        require(parts.size == 1,
+          s"OPTIMIZE at $rootStr: nested clustering column " +
+            s"${parts.mkString(".")} is not supported by this writer")
+        parts.head
+      }
     val cmMode = DeltaColumnMapping.mode(prior.configuration)
     val physSchema = if (cmMode == "none") prior.schema
       else DeltaColumnMapping.physicalSchema(prior.schema)
@@ -1818,11 +1886,11 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       else prior.schema.fields.find(_.name == n)
         .map(DeltaColumnMapping.physicalName).getOrElse(n)
     }
-    if (zorderBy.nonEmpty) {
-      require(!zorderBy.exists(prior.partitionColumns.contains),
+    if (zorderCols.nonEmpty) {
+      require(!zorderCols.exists(prior.partitionColumns.contains),
         s"OPTIMIZE ZORDER BY at $rootStr: z-ordering by a partition " +
           "column is a no-op (it is constant within each file); drop it")
-      zorderBy.foreach(c => require(prior.schema.fieldNames.contains(c),
+      zorderCols.foreach(c => require(prior.schema.fieldNames.contains(c),
         s"z-order column '$c' is not a column of $rootStr"))
     }
     val rootUri = fs.makeQualified(root).toUri
@@ -1882,7 +1950,7 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         unscoped.filter(f => kept.contains(f.path))
     }
     val rewriteGroups: Seq[Seq[DeltaFileMeta]] =
-      if (zorderBy.nonEmpty) {
+      if (zorderCols.nonEmpty) {
         if (candidates.size < 1) Nil else Seq(candidates)
       } else {
         // bin-pack per partition dir: first-fit over size-sorted smalls
@@ -1907,7 +1975,7 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     // rewrite each group through a stage dir, then move in (commit shape)
     val stage = new Path(root,
       s".graft-optimize-${java.util.UUID.randomUUID().toString}")
-    val zCols = zorderBy.map { c =>
+    val zCols = zorderCols.map { c =>
       if (cmMode == "none") c
       else DeltaColumnMapping.physicalName(prior.schema(c))
     }
@@ -1915,7 +1983,7 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       val df = spark.read.schema(physSchema).option("basePath", rootStr)
         .parquet(group.map(_.path): _*)
       val groupStage = new Path(stage, i.toString)
-      if (zorderBy.isEmpty) {
+      if (zorderCols.isEmpty) {
         val w = df.coalesce(1).write
         (if (physPartCols.nonEmpty) w.partitionBy(physPartCols: _*) else w)
           .parquet(groupStage.toString)
@@ -1968,7 +2036,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     val version = prior.version + 1
     val lines = mutable.Buffer.empty[JValue]
     lines += commitInfoLine(now, "OPTIMIZE",
-      if (zorderBy.isEmpty) Map.empty else Map("zOrderBy" -> zorderBy.mkString(",")),
+      if (zorderCols.isEmpty) Map.empty
+      else Map("zOrderBy" -> zorderCols.mkString(",")),
       if (ictEnabled(prior.configuration))
         Some(nextIct(fs, root, prior.version, now)) else None)
     rewriteGroups.flatten.foreach { f =>
@@ -2394,6 +2463,110 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       legacyReader = 1, legacyWriter = 4)
   }
 
+  /** The liquid-clustering system domain (delta-spark's CLUSTER BY). */
+  val ClusteringDomain = "delta.clustering"
+
+  /** Commit `domainMetadata` actions (set or tombstone), upgrading the
+    * protocol to carry the needed writer features first: domain commits
+    * are the ONE action kind with no legacy protocol form, so a legacy
+    * table moves to the features protocol here, restating the features
+    * its old minWriterVersion implied (the spec's upgrade contract).
+    * The reader protocol is untouched — domains are writer-side state
+    * that plain readers ignore. */
+  private def commitDomains(spark: SparkSession, rootStr: String,
+      entries: Seq[(String, String, Boolean)],
+      extraFeatures: Set[String] = Set.empty,
+      operation: String = "SET DOMAIN METADATA"): Long = {
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = false, kind = "domainMetadata")
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val version = prior.version + 1
+    val now = System.currentTimeMillis()
+    val ict = if (ictEnabled(prior.configuration))
+      Some(nextIct(fs, root, prior.version, now)) else None
+    val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(now, operation, Map.empty, ict)
+    val want = Set("domainMetadata") ++ extraFeatures
+    val onFeatures = prior.minWriterVersion >= 7
+    val have = if (onFeatures) prior.writerFeatures
+      else legacyWriterFeatures(prior.minWriterVersion)
+    if (!want.subsetOf(have)) {
+      lines += JObject("protocol" -> (JObject(
+        List("minReaderVersion" -> (JInt(prior.minReaderVersion): JValue),
+          "minWriterVersion" -> (JInt(7): JValue)) ++
+        (if (prior.minReaderVersion >= 3)
+          List("readerFeatures" -> (JArray(
+            prior.readerFeatures.toList.sorted.map(JString(_))): JValue))
+        else Nil) ++
+        List("writerFeatures" -> (JArray(
+          (have ++ want).toList.sorted.map(JString(_))): JValue)))))
+    }
+    entries.foreach { case (domain, cfg, removed) =>
+      lines += JObject("domainMetadata" -> JObject(
+        "domain" -> JString(domain),
+        "configuration" -> JString(cfg),
+        "removed" -> JBool(removed)))
+    }
+    val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
+    val out = CommitFence.create(fs, commitPath)
+    finishCommit(spark, rootStr, out, lines.toSeq, version,
+      prior.configuration)
+  }
+
+  /** Publish (or replace) a metadata DOMAIN: an opaque per-domain
+    * configuration string reconciled latest-wins across commits and
+    * restated by checkpoints. System domains (`delta.*`) are owned by
+    * their features — set them through the dedicated verbs
+    * ([[clusterBy]]), not directly. */
+  def setDomainMetadata(spark: SparkSession, rootStr: String,
+      domain: String, configuration: String): Long = {
+    require(!domain.startsWith("delta."),
+      s"domain '$domain' is system-owned; use the dedicated verb " +
+        "(e.g. clusterBy for delta.clustering)")
+    commitDomains(spark, rootStr, Seq((domain, configuration, false)))
+  }
+
+  /** Tombstone a metadata domain. The tombstone is retained (and
+    * checkpointed) so replays that start from a checkpoint still see
+    * the removal. */
+  def removeDomainMetadata(spark: SparkSession, rootStr: String,
+      domain: String): Long = {
+    require(!domain.startsWith("delta."),
+      s"domain '$domain' is system-owned")
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    if (!prior.domains.get(domain).exists(!_.removed)) return prior.version
+    commitDomains(spark, rootStr, Seq((domain, "", true)),
+      operation = "REMOVE DOMAIN METADATA")
+  }
+
+  /** Declare LIQUID CLUSTERING columns (delta-spark's `CLUSTER BY`):
+    * publishes the `delta.clustering` domain and the
+    * `clustering` + `domainMetadata` writer features. Appends stay
+    * layout-free; a plain [[optimizeCompact]] then RECLUSTERS by these
+    * columns (z-order) — the same contract delta-spark implements.
+    * Pass `Nil` to drop clustering (`ALTER TABLE ... CLUSTER BY NONE`). */
+  def clusterBy(spark: SparkSession, rootStr: String,
+      columns: Seq[String]): Long = {
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    if (columns.isEmpty) {
+      if (prior.clusteringColumns.isEmpty) return prior.version
+      return commitDomains(spark, rootStr,
+        Seq((ClusteringDomain, """{"clusteringColumns":[]}""", false)),
+        extraFeatures = Set("clustering"), operation = "CLUSTER BY")
+    }
+    columns.foreach(c => require(prior.schema.fieldNames.contains(c),
+      s"clustering column '$c' is not a column of $rootStr"))
+    require(!columns.exists(prior.partitionColumns.contains),
+      s"CLUSTER BY at $rootStr: a hive-partition column cannot also be " +
+        "a clustering column")
+    val cfg = columns.map(c =>
+        "[" + JsonMethods.compact(JString(c)) + "]")
+      .mkString("""{"clusteringColumns":[""", ",", "]}")
+    commitDomains(spark, rootStr, Seq((ClusteringDomain, cfg, false)),
+      extraFeatures = Set("clustering"), operation = "CLUSTER BY")
+  }
+
   /** Rename a column WITHOUT rewriting any data file (the
     * column-mapping user story): enables mapping if the table has
     * none, then commits the new logical name — physicalName, files,
@@ -2498,7 +2671,16 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       // are ASSIGNED contiguous values past the high watermark
       // (assignIdentity) and the watermark republishes with the
       // commit; GENERATED ALWAYS refuses explicit values.
-      "checkConstraints", "generatedColumns", "identityColumns")
+      "checkConstraints", "generatedColumns", "identityColumns",
+      // domainMetadata: domains are replayed latest-wins, carried
+      // (with tombstones) through every checkpoint this writer emits,
+      // and never dropped by data commits — the feature's writer
+      // obligation. clustering: the `delta.clustering` domain is
+      // maintained by [[clusterBy]] and honored by [[optimize]], which
+      // defaults its z-order to the declared clustering columns;
+      // appends need not be clustered (delta-spark's own contract —
+      // OPTIMIZE reclusters).
+      "domainMetadata", "clustering")
 
   /**
    * MERGE-ON-READ COMPACTION (Delta's REORG PURGE analogue): when the
@@ -3618,18 +3800,25 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       // key on it to recognize the manifest
       else Seq(CkptRow(None, None, None, None, None,
         Some(CkptCheckpointMetadata(s.version))))
-    val metaRows: Seq[CkptRow] = v2Meta ++ (
-      CkptRow(None, None, None, Some(proto)) +:
+    val metaRows: Seq[CkptRow] = v2Meta ++ Seq(
+      CkptRow(None, None, None, Some(proto)),
       CkptRow(None, None, Some(CkptMetaData(
         // the checkpoint RESTATES table metadata — including its id
         s.tableId.getOrElse(java.util.UUID.randomUUID().toString),
         CkptFormat("parquet", Map()),
-        s.schemaString, s.partitionColumns, s.configuration)), None) +:
+        s.schemaString, s.partitionColumns, s.configuration)), None)) ++
       // txn watermarks MUST survive the checkpoint: dropping one would
       // let a replayed streaming micro-batch double-apply after cleanup
       s.transactions.toSeq.sorted.map { case (app, v) =>
         CkptRow(None, None, None, None, Some(CkptTxn(app, v)))
-      })
+      } ++
+      // metadata domains MUST survive too (including removal tombstones:
+      // a replay from this checkpoint must still see the removal) —
+      // dropping one would silently erase e.g. the clustering spec
+      s.domains.toSeq.sortBy(_._1).map { case (d, m) =>
+        CkptRow(None, None, None, None, None,
+          domainMetadata = Some(CkptDomainMetadata(d, m.configuration, m.removed)))
+      }
     val addRows: Seq[CkptRow] =
       s.files.map { f =>
         val rel = rootUri.relativize(

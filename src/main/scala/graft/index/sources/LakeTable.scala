@@ -309,6 +309,19 @@ object LakeTable {
           s"feature; this is an $other table")
     }
 
+  /** `ALTER TABLE ... CLUSTER BY (...)` / `CLUSTER BY NONE` — Delta
+    * liquid clustering (Iceberg declares sort order through
+    * compactSort instead). */
+  def clusterBy(spark: SparkSession, path: String,
+      columns: Seq[String]): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.clusterBy(spark, path, columns)
+      case other => throw new UnsupportedOperationException(
+        s"CLUSTER BY on $path: liquid clustering is a Delta table " +
+          s"feature; this is an $other table (use compactSort to " +
+          "sort-compact an Iceberg table)")
+    }
+
   /** Storage cleanup: delete files no retained version references —
     * Delta VACUUM (age-gated) / Iceberg expireSnapshots (history-gated).
     * Returns the removed paths. */

@@ -85,6 +85,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
     val si = SyncIdentityRe.matcher(sqlText)
     if (si.matches()) return GraftSyncIdentityCommand(target(si))
+    val cb = ClusterByRe.matcher(sqlText)
+    if (cb.matches()) {
+      val cols = Option(cb.group("cols")).toSeq
+        .flatMap(_.split(",")).map(stripIdent).filter(_.nonEmpty)
+      return GraftClusterByCommand(target(cb), cols)
+    }
     val ct = CreateRe.matcher(sqlText)
     if (ct.matches()) {
       val parts = Option(ct.group("partcols")).toSeq
@@ -184,6 +190,10 @@ object GraftSqlParser {
   // ALTER TABLE <lake> SYNC IDENTITY
   private val SyncIdentityRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+SYNC\\s+IDENTITY""")
+  // ALTER TABLE <lake> CLUSTER BY (c, ...) | CLUSTER BY NONE
+  private val ClusterByRe = re(
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+CLUSTER\\s+BY\\s+""" +
+      """(?:NONE|\((?<cols>[^)]+)\))""")
 
   private def target(m: java.util.regex.Matcher): String = m.group("path")
 

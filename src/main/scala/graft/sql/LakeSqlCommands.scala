@@ -213,6 +213,15 @@ case class GraftSyncIdentityCommand(path: String)
     Seq(Row(LakeTable.syncIdentity(spark, path)))
 }
 
+/** `ALTER TABLE <lake> CLUSTER BY (c, ...) | CLUSTER BY NONE` →
+  * [[LakeTable.clusterBy]] (Delta liquid clustering). */
+case class GraftClusterByCommand(path: String, columns: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.clusterBy(spark, path, columns)))
+}
+
 /** `CREATE TABLE graft_<fmt>.`/p` [PARTITIONED BY (...)] AS <select>`
   * — path-addressed CTAS. Refuses an existing table (CREATE, not
   * REPLACE); `graft_lake` is refused because a new table has no format

@@ -457,4 +457,22 @@ class LakeSqlSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(ids.sorted == Seq(10L, 11L, 12L, 13L, 14L))
   }
+
+  test("ALTER TABLE ... CLUSTER BY declares liquid clustering; NONE " +
+      "drops it; iceberg refuses with the compactSort hint") {
+    val root = tmp("graft-sql-cluster-")
+    DeltaTable.create(customer.limit(100), root)
+    spark.sql(s"ALTER TABLE graft_delta.`$root` CLUSTER BY " +
+      "(c_custkey, c_nationkey)")
+    assert(DeltaLog.snapshot(spark, root).clusteringColumns ==
+      Seq(Seq("c_custkey"), Seq("c_nationkey")))
+    spark.sql(s"ALTER TABLE graft_delta.`$root` CLUSTER BY NONE")
+    assert(DeltaLog.snapshot(spark, root).clusteringColumns.isEmpty)
+    val iroot = tmp("graft-sql-cluster-i-")
+    graft.index.sources.IcebergTable.create(customer.limit(50), iroot)
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` CLUSTER BY (c_custkey)")
+    }
+    assert(e.getMessage.contains("compactSort"))
+  }
 }
