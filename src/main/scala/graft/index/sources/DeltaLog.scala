@@ -28,7 +28,13 @@ import org.json4s.jackson.JsonMethods
  * by construction — that is what checkpoints are for).
  */
 final case class DeltaFileMeta(path: String, size: Long, modificationTime: Long,
-    dv: Option[DvDescriptor] = None, stats: Option[String] = None)
+    dv: Option[DvDescriptor] = None, stats: Option[String] = None,
+    // ROW TRACKING (`rowTracking` writer feature): this file's rows are
+    // [baseRowId, baseRowId + numRecords) unless a materialized row-id
+    // column overrides per row; re-adds of the same file (DV deletes,
+    // restore, clone) must carry both fields forward unchanged
+    baseRowId: Option[Long] = None,
+    defaultRowCommitVersion: Option[Long] = None)
 
 /**
  * Thrown when a Delta table requires reader capabilities this jarless
@@ -217,12 +223,15 @@ object DeltaLog {
     val live = mutable.LinkedHashMap.empty[String, DeltaFileMeta]
 
     def addFile(rawPath: String, size: Long, modTime: Long,
-        dv: Option[DvDescriptor] = None, stats: Option[String] = None): Unit = {
+        dv: Option[DvDescriptor] = None, stats: Option[String] = None,
+        baseRowId: Option[Long] = None,
+        defaultRowCommitVersion: Option[Long] = None): Unit = {
       val abs = resolvePath(root, rawPath)
       // key scheme-normalized: an add spelled `file:/x` (a clone's
       // qualified absolute) and a remove spelled `/x` (URI.getPath of
       // the same file) MUST cancel
-      live(DeltaTable.normPath(abs)) = DeltaFileMeta(abs, size, modTime, dv, stats)
+      live(DeltaTable.normPath(abs)) = DeltaFileMeta(abs, size, modTime, dv,
+        stats, baseRowId, defaultRowCommitVersion)
     }
 
     ckptChoice.foreach { case (_, instanceFiles) =>
@@ -294,6 +303,16 @@ object DeltaLog {
         }
         val statsCol = if (addFields.contains("stats")) "add.stats"
           else "cast(null as string) as stats"
+        val baseRowIdCol = if (addFields.contains("baseRowId")) "add.baseRowId"
+          else "cast(null as long) as baseRowId"
+        val dcvCol =
+          if (addFields.contains("defaultRowCommitVersion"))
+            "add.defaultRowCommitVersion"
+          else "cast(null as long) as defaultRowCommitVersion"
+        def rowIds(r: org.apache.spark.sql.Row, i: Int)
+            : (Option[Long], Option[Long]) =
+          (if (r.isNullAt(i)) None else Some(r.getLong(i)),
+            if (r.isNullAt(i + 1)) None else Some(r.getLong(i + 1)))
         if (dvNeeded.subsetOf(dvStructFields)) {
           val hasOffset = dvStructFields.contains("offset")
           val offsetCol = if (hasOffset) "add.deletionVector.offset"
@@ -301,21 +320,27 @@ object DeltaLog {
           ckf.selectExpr("add.path", "add.size", "add.modificationTime",
               "add.deletionVector.storageType", "add.deletionVector.pathOrInlineDv",
               offsetCol, "add.deletionVector.sizeInBytes",
-              "add.deletionVector.cardinality", statsCol)
+              "add.deletionVector.cardinality", statsCol, baseRowIdCol, dcvCol)
             .where("path is not null").collect()
             .foreach { r =>
               val dv = if (r.isNullAt(3)) None
                 else Some(DvDescriptor(r.getString(3), r.getString(4),
                   if (r.isNullAt(5)) None else Some(r.getInt(5)),
                   r.getInt(6), r.getLong(7)))
+              val (bri, dcv) = rowIds(r, 9)
               addFile(r.getString(0), r.getLong(1), r.getLong(2), dv,
-                if (r.isNullAt(8)) None else Some(r.getString(8)))
+                if (r.isNullAt(8)) None else Some(r.getString(8)), bri, dcv)
             }
         } else {
-          ckf.selectExpr("add.path", "add.size", "add.modificationTime", statsCol)
+          ckf.selectExpr("add.path", "add.size", "add.modificationTime",
+              statsCol, baseRowIdCol, dcvCol)
             .where("path is not null").collect()
-            .foreach(r => addFile(r.getString(0), r.getLong(1), r.getLong(2),
-              None, if (r.isNullAt(3)) None else Some(r.getString(3))))
+            .foreach { r =>
+              val (bri, dcv) = rowIds(r, 4)
+              addFile(r.getString(0), r.getLong(1), r.getLong(2),
+                None, if (r.isNullAt(3)) None else Some(r.getString(3)),
+                bri, dcv)
+            }
         }
       }
       if (cols.contains("txn")) {
@@ -439,7 +464,14 @@ object DeltaLog {
               case JString(s) => Some(s)
               case _ => None
             }
-            addFile(path, size, mt, dv, stats)
+            def optLong(field: String): Option[Long] =
+              (j \ "add" \ field) match {
+                case JInt(n) => Some(n.toLong)
+                case JLong(n) => Some(n)
+                case _ => None
+              }
+            addFile(path, size, mt, dv, stats,
+              optLong("baseRowId"), optLong("defaultRowCommitVersion"))
           case _ =>
         }
         j \ "remove" match {
@@ -678,7 +710,9 @@ private[sources] case class CkptDv(
 private[sources] case class CkptAdd(
     path: String, partitionValues: Map[String, String], size: Long,
     modificationTime: Long, dataChange: Boolean,
-    deletionVector: Option[CkptDv] = None, stats: Option[String] = None)
+    deletionVector: Option[CkptDv] = None, stats: Option[String] = None,
+    baseRowId: Option[Long] = None,
+    defaultRowCommitVersion: Option[Long] = None)
 private[sources] case class CkptRemove(
     path: String, deletionTimestamp: Long, dataChange: Boolean)
 private[sources] case class CkptTxn(appId: String, version: Long)
@@ -804,12 +838,40 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     read(spark, root, versionAsOf = Some(eligible.map(_._1).max))
   }
 
+  /** Snapshot read with the table's ROW IDS surfaced: two extra
+    * columns, `_row_id` (stable under appends, DV deletes, restore and
+    * clone; fresh after file rewrites — see SupportedWriterFeatures)
+    * and `_row_commit_version` (the commit that last assigned the
+    * row's file). Requires row tracking with every live file tracked
+    * ([[enableRowTracking]] backfills). Tables that declare
+    * MATERIALIZED row-id columns (a preserving writer's state this
+    * reader cannot decode without scanning hidden physical columns)
+    * refuse rather than serve ids that may be stale. */
+  def readWithRowIds(spark: SparkSession, root: String,
+      versionAsOf: Option[Long] = None): DataFrame =
+    read(spark, root, versionAsOf, withRowIds = true)
+
   def read(spark: SparkSession, root: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
+      versionAsOf: Option[Long] = None,
+      withRowIds: Boolean = false): DataFrame = {
     val s = DeltaLog.snapshot(spark, root, versionAsOf)
+    if (withRowIds) {
+      require(s.configuration
+          .get("delta.rowTracking.materializedRowIdColumnName").isEmpty,
+        s"$root materializes row ids into a hidden physical column; " +
+          "this reader serves base-row-id arithmetic only and would " +
+          "return stale ids for preserved rows. Read with delta-spark.")
+      val untracked = s.files.filterNot(_.baseRowId.isDefined)
+      require(untracked.isEmpty,
+        s"readWithRowIds at $root: ${untracked.size} live file(s) carry " +
+          "no baseRowId — run enableRowTracking to backfill")
+    }
     if (s.files.isEmpty) {
+      val outSchema = if (!withRowIds) s.schema
+        else StructType(s.schema.fields.toSeq ++ Seq(
+          StructField("_row_id", LongType), StructField("_row_commit_version", LongType)))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     }
     // under column mapping the FILES spell physical names; scan with the
     // physical schema and restore logical names at the end (stats JSON
@@ -833,8 +895,30 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         .map(fs => normPath(f.path) -> fs)).toMap
     val data = StatsPruning.wrap(raw, statsByPath)
     val withDv = s.files.filter(_.dv.exists(_.cardinality > 0L))
-    val afterDv = if (withDv.isEmpty) data
-    else {
+    // row ids ride the same (file, position) identity the DV path uses:
+    // `_row_id = baseRowId + row_index`, attached via a broadcast join
+    // on the O(files) (path → baseRowId) map — never a shuffle of the
+    // data side
+    def attachRowIds(df: DataFrame, pathCol: org.apache.spark.sql.Column,
+        idxCol: org.apache.spark.sql.Column): DataFrame = {
+      if (!withRowIds) return df
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val fileIds = spark.createDataFrame(s.files.map(f =>
+          (normPath(f.path), f.baseRowId.get,
+            f.defaultRowCommitVersion.getOrElse(-1L))))
+        .toDF("__rt_path", "__rt_base", "__rt_dcv")
+      df.withColumn("__rt_p", pathCol).withColumn("__rt_idx", idxCol)
+        .join(broadcast(fileIds), col("__rt_p") === col("__rt_path"), "left")
+        .withColumn("_row_id", col("__rt_base") + col("__rt_idx"))
+        .withColumn("_row_commit_version", col("__rt_dcv"))
+        .drop("__rt_p", "__rt_idx", "__rt_path", "__rt_base", "__rt_dcv")
+    }
+    val afterDv = if (withDv.isEmpty) {
+      import org.apache.spark.sql.functions.{col, regexp_replace}
+      attachRowIds(data,
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"),
+        col("_metadata.row_index"))
+    } else {
       // DELETION-VECTOR merge-on-read: drop (file, position) pairs named
       // by the DVs with an anti-join on (`_metadata.file_path`,
       // `_metadata.row_index`) — the mirror of the Iceberg v2
@@ -874,13 +958,17 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       val withPos = data
         .withColumn("__path", norm(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
-      withPos.join(dels,
+      val survived = withPos.join(dels,
         withPos("__path") === dels("__del_path") &&
           withPos("__pos") === dels("__del_pos"), "left_anti")
+      // row ids attach AFTER the anti-join (the surviving rows only),
+      // reusing the already-normalized (__path, __pos) identity
+      attachRowIds(survived, col("__path"), col("__pos"))
         .drop("__path", "__pos")
     }
     if (cmMode == "none") afterDv
-    else DeltaColumnMapping.toLogical(afterDv, s.schema)
+    else DeltaColumnMapping.toLogical(afterDv, s.schema,
+      keep = if (withRowIds) Seq("_row_id", "_row_commit_version") else Nil)
   }
 
   /** Scheme-normalize a path string the way the read-side columns are
@@ -1336,7 +1424,9 @@ object DeltaTable extends org.apache.spark.internal.Logging {
             "deletionVector" -> (dvJson: JValue)) ++
             // stats describe the file's PHYSICAL rows (Delta convention:
             // numRecords counts DV-deleted rows too), so they carry forward
-            f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList)))
+            f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList ++
+            // same file, same rows — row-tracking ids carry forward too
+            carriedRowIdJson(f))))
     }
   }
 
@@ -1437,10 +1527,16 @@ object DeltaTable extends org.apache.spark.internal.Logging {
   }
 
   /** `add` action lines for freshly-landed files: hive partition values
-    * from the relative path, footer stats over the file columns. */
+    * from the relative path, footer stats over the file columns. On a
+    * row-tracking table the new files get FRESH base row ids stamped
+    * with `commitVersion` plus the republished watermark domain (this
+    * writer does not materialize row ids, so rows REWRITTEN into these
+    * files get new identities — the non-preserving-writer posture the
+    * spec allows; appends are always fresh rows anyway). */
   private def addActionLines(spark: SparkSession, fs: FileSystem,
       root: Path, added: Seq[FileStatus], prior: DeltaSnapshot,
-      cmMode: String, physParts: Seq[String]): Seq[JValue] = {
+      cmMode: String, physParts: Seq[String],
+      commitVersion: Long): Seq[JValue] = {
     val rootUri = fs.makeQualified(root).toUri
     val statsSchema = StructType(
       (if (cmMode == "none") prior.schema
@@ -1448,6 +1544,10 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         .filterNot(f => physParts.contains(f.name)))
     val statsByPath: Map[String, FileStats] = ParquetFooterStats
       .collect(spark, added.map(_.getPath.toString), statsSchema)
+    val (rowIdsByPath, rowIdDomain) = assignFreshRowIds(
+      rowTrackingOn(prior), rowIdHighWaterMark(prior), commitVersion,
+      added.map(s => s.getPath.toString ->
+        statsByPath.get(s.getPath.toString).flatMap(_.numRecords)))
     added.map { s =>
       val rel = rootUri.relativize(s.getPath.toUri).getPath
       val pvals = rel.split('/').init.flatMap { seg =>
@@ -1466,8 +1566,9 @@ object DeltaTable extends org.apache.spark.internal.Logging {
           "size" -> (JLong(s.getLen): JValue),
           "modificationTime" -> (JLong(s.getModificationTime): JValue),
           "dataChange" -> (JBool(true): JValue)) ++
-          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
-    }
+          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList ++
+          rowIdsByPath.getOrElse(s.getPath.toString, Nil)))
+    } ++ rowIdDomain
   }
 
   /**
@@ -1606,7 +1707,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     }
     dvProtocolLine(prior).foreach(lines += _)
     lines ++= dvAddRemoveLines(fs, root, merged, now)
-    lines ++= addActionLines(spark, fs, root, added, prior, cmMode, physParts)
+    lines ++= addActionLines(spark, fs, root, added, prior, cmMode,
+      physParts, version)
     lines ++= cdcLines
 
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
@@ -1829,7 +1931,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     }
     if (merged.nonEmpty) dvProtocolLine(prior).foreach(lines += _)
     lines ++= dvAddRemoveLines(fs, root, merged, now)
-    lines ++= addActionLines(spark, fs, root, added, prior, cmMode, physParts)
+    lines ++= addActionLines(spark, fs, root, added, prior, cmMode,
+      physParts, version)
     lines ++= cdcLines
 
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
@@ -2046,6 +2149,13 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         "deletionTimestamp" -> JLong(now),
         "dataChange" -> JBool(false)))
     }
+    // rewritten files are NEW files: fresh base row ids (this writer
+    // does not materialize row ids, so an OPTIMIZE re-identifies the
+    // rows it moves — the non-preserving posture the spec permits)
+    val (rowIdsByPath, rowIdDomain) = assignFreshRowIds(
+      rowTrackingOn(prior), rowIdHighWaterMark(prior), version,
+      added.map(s => s.getPath.toString ->
+        statsByPath.get(s.getPath.toString).flatMap(_.numRecords)))
     added.foreach { s =>
       val rel = relOf(s.getPath.toString)
       val statsJson = statsByPath.get(s.getPath.toString)
@@ -2057,8 +2167,10 @@ object DeltaTable extends org.apache.spark.internal.Logging {
           "size" -> (JLong(s.getLen): JValue),
           "modificationTime" -> (JLong(s.getModificationTime): JValue),
           "dataChange" -> (JBool(false): JValue)) ++
-          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
+          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList ++
+          rowIdsByPath.getOrElse(s.getPath.toString, Nil)))
     }
+    lines ++= rowIdDomain
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
     val out = try CommitFence.create(fs, commitPath) catch {
       case e: Throwable =>
@@ -2136,7 +2248,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
           "modificationTime" -> (JLong(f.modificationTime): JValue),
           "dataChange" -> (JBool(false): JValue)) ++
           dv.map(d => "deletionVector" -> d).toList ++
-          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
+          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList ++
+          carriedRowIdJson(f)))
     }
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
     val out = CommitFence.create(fs, commitPath)
@@ -2269,6 +2382,16 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         s.configuration.toList.sortBy(_._1).map { case (k, v) =>
           k -> JString(v) }),
       "createdTime" -> JLong(now)))
+    // metadata domains copy too: losing delta.clustering would silently
+    // uncluster the clone, and losing the delta.rowTracking watermark
+    // would let the clone's first append re-assign OVERLAPPING row ids
+    // over the carried per-file baseRowIds
+    s.domains.toSeq.sortBy(_._1).foreach { case (d, m) =>
+      lines += JObject("domainMetadata" -> JObject(
+        "domain" -> JString(d),
+        "configuration" -> JString(m.configuration),
+        "removed" -> JBool(m.removed)))
+    }
     s.files.foreach { f =>
       val abs = srcFs.makeQualified(new Path(f.path)).toString
       // a source DV resolves against the SOURCE root; rewrite its
@@ -2295,7 +2418,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
           "modificationTime" -> (JLong(f.modificationTime): JValue),
           "dataChange" -> (JBool(true): JValue)) ++
           dv.map(d => "deletionVector" -> d).toList ++
-          f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList))
+          f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList ++
+          carriedRowIdJson(f)))
     }
     val commitPath = new Path(DeltaLog.logDir(root), f"${0L}%020d.json")
     fs.mkdirs(DeltaLog.logDir(root))
@@ -2386,7 +2510,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
             "size" -> (JLong(f.size): JValue),
             "modificationTime" -> (JLong(f.modificationTime): JValue),
             "dataChange" -> (JBool(true): JValue)) ++ dvJson ++
-            f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList))
+            f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList ++
+            carriedRowIdJson(f)))
       }
     }
     // a CDF table's restore records its full row-level effect (current
@@ -2567,6 +2692,163 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       extraFeatures = Set("clustering"), operation = "CLUSTER BY")
   }
 
+  /** The row-tracking system domain (watermark home). */
+  val RowTrackingDomain = "delta.rowTracking"
+
+  /** Is row tracking in force for writes? (feature-gated; the
+    * enableRowTracking table property rides with it) */
+  private def rowTrackingOn(p: DeltaSnapshot): Boolean =
+    p.writerFeatures.contains("rowTracking") ||
+      p.configuration.get("delta.enableRowTracking")
+        .exists(_.equalsIgnoreCase("true"))
+
+  /** Highest row id ever assigned (−1 before any assignment), from the
+    * `delta.rowTracking` domain. */
+  def rowIdHighWaterMark(p: DeltaSnapshot): Long =
+    p.liveDomains.get(RowTrackingDomain).flatMap { cfg =>
+      (JsonMethods.parse(cfg) \ "rowIdHighWaterMark") match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case _ => None
+      }
+    }.getOrElse(-1L)
+
+  /** FRESH row-id assignment for newly-committed files (the
+    * `rowTracking` writer obligation): each file gets a disjoint
+    * [baseRowId, baseRowId + numRecords) range past the high
+    * watermark, stamped with this commit's version, and the watermark
+    * domain republishes. Returns (per-path add-action fields, the
+    * domainMetadata line). numRecords comes from the footer stats the
+    * writer just collected — a file without a count cannot be
+    * conformingly tracked, so it refuses. */
+  private def assignFreshRowIds(rowTracking: Boolean, priorHwm: Long,
+      version: Long, files: Seq[(String, Option[Long])])
+      : (Map[String, List[(String, JValue)]], Seq[JValue]) = {
+    if (!rowTracking || files.isEmpty) return (Map.empty, Nil)
+    var hwm = priorHwm
+    val byPath = files.map { case (path, numRecords) =>
+      val n = numRecords.getOrElse(
+        throw new UnsupportedDeltaProtocolException(
+          s"row tracking requires a row count for $path but footer " +
+            "stats were unavailable; cannot assign base row ids"))
+      val base = hwm + 1
+      hwm += n
+      path -> List(
+        "baseRowId" -> (JLong(base): JValue),
+        "defaultRowCommitVersion" -> (JLong(version): JValue))
+    }.toMap
+    (byPath, Seq(JObject("domainMetadata" -> JObject(
+      "domain" -> JString(RowTrackingDomain),
+      "configuration" -> JString(s"""{"rowIdHighWaterMark":$hwm}"""),
+      "removed" -> JBool(false)))))
+  }
+
+  /** Row-id fields carried UNCHANGED onto a re-add of the same file
+    * (DV delete, restore, clone, stats refresh): the file's rows did
+    * not move, so its ids must not either. */
+  private def carriedRowIdJson(f: DeltaFileMeta): List[(String, JValue)] =
+    f.baseRowId.map(b => "baseRowId" -> (JLong(b): JValue)).toList ++
+      f.defaultRowCommitVersion
+        .map(v => "defaultRowCommitVersion" -> (JLong(v): JValue)).toList
+
+  /** Enable ROW TRACKING on an existing table: upgrades the protocol
+    * (rowTracking + domainMetadata features), sets
+    * `delta.enableRowTracking`, and BACKFILLS — every live file that
+    * lacks a baseRowId re-adds with a fresh disjoint range (ids come
+    * from each file's recorded numRecords; files without stats refuse —
+    * run [[computeStats]] first). One commit; `dataChange = false` on
+    * the re-adds, so change feeds and append streams serve nothing.
+    * From here on every writer path assigns and carries ids. */
+  def enableRowTracking(spark: SparkSession, rootStr: String): Long = {
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    if (rowTrackingOn(prior) &&
+        prior.files.forall(_.baseRowId.isDefined)) return prior.version
+    writerGate(prior, rootStr, deletesRows = false, kind = "enableRowTracking")
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val version = prior.version + 1
+    val now = System.currentTimeMillis()
+    val ict = if (ictEnabled(prior.configuration))
+      Some(nextIct(fs, root, prior.version, now)) else None
+    val cfg = prior.configuration + ("delta.enableRowTracking" -> "true")
+    val lines = mutable.Buffer.empty[JValue]
+    lines += commitInfoLine(now, "SET TBLPROPERTIES", Map.empty, ict)
+    val want = Set("rowTracking", "domainMetadata")
+    val have = if (prior.minWriterVersion >= 7) prior.writerFeatures
+      else legacyWriterFeatures(prior.minWriterVersion)
+    if (!want.subsetOf(have)) {
+      lines += JObject("protocol" -> (JObject(
+        List("minReaderVersion" -> (JInt(prior.minReaderVersion): JValue),
+          "minWriterVersion" -> (JInt(7): JValue)) ++
+        (if (prior.minReaderVersion >= 3)
+          List("readerFeatures" -> (JArray(
+            prior.readerFeatures.toList.sorted.map(JString(_))): JValue))
+        else Nil) ++
+        List("writerFeatures" -> (JArray(
+          (have ++ want).toList.sorted.map(JString(_))): JValue)))))
+    }
+    lines += JObject("metaData" -> JObject(
+      "id" -> JString(prior.tableId
+        .getOrElse(java.util.UUID.randomUUID().toString)),
+      "format" -> JObject(
+        "provider" -> JString("parquet"), "options" -> JObject()),
+      "schemaString" -> JString(prior.schemaString),
+      "partitionColumns" -> JArray(
+        prior.partitionColumns.map(JString(_)).toList),
+      "configuration" -> JObject(
+        cfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
+      "createdTime" -> JLong(now)))
+    val rootUri = fs.makeQualified(root).toUri
+    def relOf(p: String): String =
+      rootUri.relativize(fs.makeQualified(new Path(p)).toUri).getPath
+    val untracked = prior.files.filter(_.baseRowId.isEmpty)
+    val counts: Map[String, Long] = untracked.map { f =>
+      val n = f.stats
+        .flatMap(sj => DeltaStats.parse(sj, new StructType()))
+        .flatMap(_.numRecords)
+        .getOrElse(throw new UnsupportedDeltaProtocolException(
+          s"enableRowTracking at $rootStr: file ${f.path} carries no " +
+            "numRecords stats to assign its row-id range from; run " +
+            "computeStats (ANALYZE) first"))
+      f.path -> n
+    }.toMap
+    val (byPath, domainLine) = assignFreshRowIds(rowTracking = true,
+      rowIdHighWaterMark(prior), version,
+      untracked.map(f => f.path -> counts.get(f.path)))
+    untracked.foreach { f =>
+      val rel = relOf(f.path)
+      val pvals = rel.split('/').init.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> (JString(java.net.URLDecoder.decode(v, "UTF-8")): JValue))
+          case _ => None
+        }
+      }.toList
+      val dvJson: List[(String, JValue)] = f.dv.map { d =>
+        "deletionVector" -> (JObject(List(
+          "storageType" -> (JString(d.storageType): JValue),
+          "pathOrInlineDv" -> (JString(d.pathOrInlineDv): JValue)) ++
+          d.offset.map(o => "offset" -> (JInt(BigInt(o)): JValue)).toList ++
+          List(
+            "sizeInBytes" -> (JInt(BigInt(d.sizeInBytes)): JValue),
+            "cardinality" -> (JLong(d.cardinality): JValue))): JValue)
+      }.toList
+      lines += JObject("add" -> JObject(
+        List(
+          "path" -> (JString(rel): JValue),
+          "partitionValues" -> (JObject(pvals): JValue),
+          "size" -> (JLong(f.size): JValue),
+          "modificationTime" -> (JLong(f.modificationTime): JValue),
+          "dataChange" -> (JBool(false): JValue)) ++ dvJson ++
+          f.stats.map(sj => "stats" -> (JString(sj): JValue)).toList ++
+          byPath.getOrElse(f.path, Nil)))
+    }
+    lines ++= domainLine
+    val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
+    val out = CommitFence.create(fs, commitPath)
+    finishCommit(spark, rootStr, out, lines.toSeq, version, cfg)
+  }
+
   /** Rename a column WITHOUT rewriting any data file (the
     * column-mapping user story): enables mapping if the table has
     * none, then commits the new logical name — physicalName, files,
@@ -2679,8 +2961,16 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       // maintained by [[clusterBy]] and honored by [[optimize]], which
       // defaults its z-order to the declared clustering columns;
       // appends need not be clustered (delta-spark's own contract —
-      // OPTIMIZE reclusters).
-      "domainMetadata", "clustering")
+      // OPTIMIZE reclusters). rowTracking: every commit that adds NEW
+      // files assigns fresh disjoint baseRowId ranges past the
+      // `delta.rowTracking` watermark and stamps
+      // defaultRowCommitVersion; re-adds of existing files (DV
+      // deletes, restore, clone, ANALYZE) carry their ids forward
+      // unchanged. This writer does not MATERIALIZE row ids, so
+      // file-rewriting ops (OPTIMIZE, the rewrite legs of
+      // UPDATE/MERGE) re-identify the rows they move — the
+      // non-preserving-writer posture the spec permits.
+      "domainMetadata", "clustering", "rowTracking")
 
   /**
    * MERGE-ON-READ COMPACTION (Delta's REORG PURGE analogue): when the
@@ -2731,9 +3021,12 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     // change data feed: supported — deleteWhere and overwrite commits on
     // CDF tables record their row-level changes as `_change_data/` cdc
     // files (see writeCdc), and plain appends are their own change data
+    // the appendOnly FEATURE means "writers must honor delta.appendOnly
+    // when set" — every features-protocol table lists it; only the
+    // PROPERTY makes the table append-only (treating the feature as the
+    // switch would lock every delta-spark table out of deletes)
     val appendOnly =
-      p.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true")) ||
-        p.writerFeatures.contains("appendOnly")
+      p.configuration.get("delta.appendOnly").exists(_.equalsIgnoreCase("true"))
     if (appendOnly && deletesRows) {
       throw new UnsupportedDeltaProtocolException(
         s"Delta table at $rootStr is append-only (delta.appendOnly); " +
@@ -3446,6 +3739,11 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     val version = prior.map(_.version + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
     val rootUri = fs.makeQualified(root).toUri
+    // row tracking in force? (an existing table's features/config, or a
+    // create with delta.enableRowTracking)
+    val rowTrackingActive = prior.map(rowTrackingOn).getOrElse(
+      createConfiguration.get("delta.enableRowTracking")
+        .exists(_.equalsIgnoreCase("true")))
 
     def relative(s: FileStatus): String = {
       val fileUri = s.getPath.toUri
@@ -3470,8 +3768,20 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         if (identityFields(dfAligned.schema).nonEmpty) 6
         else if (generatedFields(dfAligned.schema).nonEmpty) 4
         else 2
-      lines += JObject("protocol" -> JObject(
-        "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(createWv)))
+      if (rowTrackingActive) {
+        // row tracking has no legacy protocol form — a tracked create
+        // starts on table features, restating the legacy-implied bundle
+        lines += JObject("protocol" -> JObject(
+          "minReaderVersion" -> JInt(1),
+          "minWriterVersion" -> JInt(7),
+          "writerFeatures" -> JArray(
+            (legacyWriterFeatures(createWv) ++
+              Set("rowTracking", "domainMetadata"))
+              .toList.sorted.map(JString(_)))))
+      } else {
+        lines += JObject("protocol" -> JObject(
+          "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(createWv)))
+      }
     }
     if (version == 0L || overwrite || evolvedSchema.isDefined ||
         idHwms.nonEmpty) {
@@ -3534,6 +3844,14 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       physPartitionBy.contains(f.name)))
     val statsByPath: Map[String, FileStats] = ParquetFooterStats
       .collect(spark, added.map(_.getPath.toString), statsSchema)
+    // row tracking: fresh disjoint id ranges for the new files + the
+    // republished watermark (an overwrite's REMOVED files retire their
+    // ranges but the watermark never rewinds — ids are never reused)
+    val (rowIdsByPath, rowIdDomain) = assignFreshRowIds(
+      rowTrackingActive,
+      prior.map(rowIdHighWaterMark).getOrElse(-1L), version,
+      added.map(s => s.getPath.toString ->
+        statsByPath.get(s.getPath.toString).flatMap(_.numRecords)))
     added.foreach { s =>
       val rel = relative(s)
       // hive-layout dirs (`col=value/`) carry the partition values
@@ -3553,8 +3871,10 @@ object DeltaTable extends org.apache.spark.internal.Logging {
           "size" -> (JLong(s.getLen): JValue),
           "modificationTime" -> (JLong(s.getModificationTime): JValue),
           "dataChange" -> (JBool(true): JValue)) ++
-          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList))
+          statsJson.map(sj => "stats" -> (JString(sj): JValue)).toList ++
+          rowIdsByPath.getOrElse(s.getPath.toString, Nil)))
     }
+    lines ++= rowIdDomain
 
     lines ++= cdcLines
 
@@ -3824,11 +4144,13 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         val rel = rootUri.relativize(
           fs.makeQualified(new Path(f.path)).toUri).getPath
         // DV descriptors MUST survive the checkpoint: dropping one here
-        // would resurrect its deleted rows for every later replayer
+        // would resurrect its deleted rows for every later replayer.
+        // Row-tracking fields ride along for the same reason.
         val dv = f.dv.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
           d.offset, d.sizeInBytes, d.cardinality))
         CkptRow(Some(CkptAdd(rel, partitionValuesOf(rel), f.size,
-          f.modificationTime, dataChange = false, dv, f.stats)), None, None, None)
+          f.modificationTime, dataChange = false, dv, f.stats,
+          f.baseRowId, f.defaultRowCommitVersion)), None, None, None)
       }
     val dir = DeltaLog.logDir(root)
     // BANDED writes past a part-size threshold: a streaming-ingest table

@@ -556,25 +556,27 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(fs4.exists(new org.apache.hadoop.fs.Path(root4, "_change_data")))
   }
 
-  test("writer gate: unsupported writerFeatures refuse; appendOnly feature permits append, refuses overwrite") {
+  test("writer gate: unsupported writerFeatures refuse; the appendOnly " +
+      "FEATURE alone locks nothing (only the property does)") {
     val rootBad = tmp("graft-delta-wf-")
     writeRawCommit(rootBad, 0L, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""",
       metaDataLine()))
     val err = intercept[UnsupportedDeltaProtocolException] {
       DeltaTable.append(customer.limit(2), rootBad)
     }
-    assert(err.getMessage.contains("rowTracking"))
+    assert(err.getMessage.contains("icebergCompatV2"))
 
+    // every features-protocol table lists appendOnly — the feature means
+    // "honor delta.appendOnly when set", it is NOT the switch itself
     val rootAo = tmp("graft-delta-wfao-")
     writeRawCommit(rootAo, 0L, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly"]}}""",
       metaDataLine()))
     assert(DeltaTable.append(customer.limit(2), rootAo) == 1L)
-    val err2 = intercept[UnsupportedDeltaProtocolException] {
-      DeltaTable.create(customer.limit(2), rootAo)
-    }
-    assert(err2.getMessage.contains("append-only"))
+    assert(DeltaTable.create(customer.limit(2), rootAo) == 2L)
+    assert(DeltaTable.deleteWhere(spark, rootAo,
+      org.apache.spark.sql.functions.lit(false)) >= 2L)
   }
 
   test("writer gate: delta.appendOnly config refuses overwrite, permits append") {
