@@ -484,8 +484,15 @@ object IcebergMeta {
 
   /** Schema-aware optional field read: avro GenericData.Record.get
     * throws on a field the writer schema never had. */
-  private def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
+  private[sources] def fieldOpt(r: GenericRecord, name: String): Option[AnyRef] =
     Option(r.getSchema.getField(name)).flatMap(f => Option(r.get(f.pos)))
+
+  /** The manifest list's raw avro records — the fast-append path
+    * carries prior entries forward verbatim (rebuilt onto this writer's
+    * schema), and the `manifests` inspection table surfaces them. */
+  private[sources] def readManifestListRecords(fs: FileSystem,
+      path: String): Seq[GenericRecord] =
+    readAvro(fs, path)
 
   private[sources] def readManifestList(fs: FileSystem, path: String): Seq[(String, Int)] =
     readAvro(fs, path).map { r =>
@@ -514,7 +521,7 @@ object IcebergMeta {
       case _ => Map.empty
     }
 
-  private def bytesOf(v: AnyRef): Option[Array[Byte]] = v match {
+  private[sources] def bytesOf(v: AnyRef): Option[Array[Byte]] = v match {
     case b: java.nio.ByteBuffer =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); Some(arr)
     case b: Array[Byte] => Some(b)
@@ -1861,7 +1868,9 @@ object IcebergTable {
         .map { case (app, v) => Map(s"graft.txn.$app" -> v.toString) }
         .getOrElse(Map.empty),
       createPartitionFields = parts,
-      branch = branch)
+      branch = branch,
+      // a non-replace commit removes nothing: eligible for fast append
+      appendOnly = !replaceData)
   }
 
   /** Stage-write `df` under the table's partition spec: identity
@@ -2361,6 +2370,29 @@ object IcebergTable {
       extraProperties = txn
         .map { case (app, v) => Map(s"graft.txn.$app" -> v.toString) }
         .getOrElse(Map.empty))
+  }
+
+  /**
+   * MANIFEST COMPACTION (Iceberg's `rewrite_manifests` procedure): a
+   * METADATA-ONLY snapshot (operation `replace`, no data row changes —
+   * changelog and incremental scans see nothing) that rewrites the
+   * accumulated fast-append manifest list back into one data manifest
+   * (+ one delete manifest when deletes are in force). Entries keep
+   * their sequence numbers, stats bounds, and partition tuples, so
+   * pruning and the equality-delete ordering rule are unaffected; scan
+   * planning goes back to opening ONE manifest instead of one per
+   * ingest commit. Returns the new snapshot id (the current one when
+   * there is nothing to rewrite).
+   */
+  def rewriteManifests(spark: SparkSession, location: String): Long = {
+    val prior = IcebergMeta.snapshot(spark, location)
+    if (prior.snapshotId < 0) return prior.snapshotId
+    publishSnapshot(spark, location, Some(prior), prior.schema, "replace",
+      dataExisting =
+        prior.files.map(f => (f, prior.dataSeq.getOrElse(f.path, 0L))),
+      dataAdded = Nil,
+      deleteExisting = prior.deleteFiles,
+      deleteAdded = Nil)
   }
 
   /**
@@ -3137,6 +3169,46 @@ object IcebergTable {
     doomed
   }
 
+  /** A prior manifest-list record rebuilt onto THIS writer's
+    * [[ManifestListSchema]] (a record written by another writer may
+    * carry a richer schema — real Iceberg adds counts and key metadata —
+    * so fields are copied by name, not by schema identity). Partition
+    * field summaries are carried so manifest-level pruning keeps working
+    * on reused manifests. */
+  private def rebuildManifestListEntry(r: GenericRecord): GenericRecord = {
+    import scala.jdk.CollectionConverters._
+    val out = new GenericData.Record(ManifestListSchema)
+    out.put("manifest_path", r.get("manifest_path").toString)
+    out.put("manifest_length",
+      Long.box(r.get("manifest_length").toString.toLong))
+    out.put("partition_spec_id", Int.box(IcebergMeta
+      .fieldOpt(r, "partition_spec_id").map(_.toString.toInt).getOrElse(0)))
+    out.put("content", Int.box(IcebergMeta.fieldOpt(r, "content")
+      .map(_.toString.toInt).getOrElse(0)))
+    IcebergMeta.fieldOpt(r, "added_snapshot_id")
+      .foreach(v => out.put("added_snapshot_id", Long.box(v.toString.toLong)))
+    IcebergMeta.fieldOpt(r, "partitions") match {
+      case Some(l: java.util.List[_]) =>
+        val itemSchema = ManifestListSchema.getField("partitions").schema()
+          .getTypes.get(1).getElementType
+        val items = l.asScala.toSeq.collect { case fr: GenericRecord =>
+          val it = new GenericData.Record(itemSchema)
+          it.put("contains_null", Boolean.box(IcebergMeta
+            .fieldOpt(fr, "contains_null").exists(_.toString.toBoolean)))
+          IcebergMeta.fieldOpt(fr, "lower_bound")
+            .flatMap(IcebergMeta.bytesOf).foreach(b =>
+              it.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+          IcebergMeta.fieldOpt(fr, "upper_bound")
+            .flatMap(IcebergMeta.bytesOf).foreach(b =>
+              it.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+          it
+        }
+        out.put("partitions", java.util.Arrays.asList(items: _*))
+      case _ =>
+    }
+    out
+  }
+
   /** Shared commit tail: write the data manifest (+ a delete manifest
     * when positional deletes are in force), the manifest list, and the
     * metadata document. The metadata file's create-no-overwrite is the
@@ -3155,7 +3227,11 @@ object IcebergTable {
       // WAP: a write targeting a BRANCH moves only that ref —
       // `current-snapshot-id` (main) stays where it was; `prior` must
       // then be the snapshot pinned at the branch head
-      branch: Option[String] = None): Long = {
+      branch: Option[String] = None,
+      // pure appends (dataExisting IS the prior state, nothing removed)
+      // may take the FAST-APPEND path: reuse the prior snapshot's
+      // manifests and write one O(added) manifest — see below
+      appendOnly: Boolean = false): Long = {
     // the table's partition spec: fixed at create (prior wins; the
     // explicit fields only seed the FIRST metadata version)
     val parts: Seq[IcePartField] =
@@ -3226,6 +3302,52 @@ object IcebergTable {
         case JLong(n) => Some(n)
         case _ => None
       })).max + 1L
+
+    // ---------------------------------------------------- FAST APPEND
+    // An append-only commit REUSES the prior snapshot's manifests
+    // verbatim and writes ONE manifest holding just this commit's added
+    // entries — O(batch) commit metadata instead of O(total files). At
+    // 100 TB (millions of live files) that is the difference between a
+    // streaming ingest whose every commit rewrites a multi-million-entry
+    // manifest driver-side and one whose commits cost only their own
+    // batch. Reused entries keep their status/snapshot_id/sequence_number
+    // as written, so the equality-delete ordering rule and per-manifest
+    // partition summaries survive untouched; the read side already walks
+    // a multi-manifest list. Once the list accumulates
+    // `commit.manifest.min-count-to-merge` data manifests (table
+    // property, then spark conf, default 100 — real Iceberg's
+    // manifest-merge knob), the commit falls back to the full rewrite
+    // below, which compacts the list back to one data manifest (the same
+    // path [[IcebergTable.rewriteManifests]] invokes explicitly).
+    // `fastManifests` = the prior manifest-list records to carry, rebuilt
+    // onto this writer's schema; None = take the full-rewrite path.
+    val fastManifests: Option[Seq[GenericRecord]] =
+      if (!appendOnly || prior.isEmpty || deleteAdded.nonEmpty ||
+          schemaJsonOverride.isDefined) None
+      else {
+        def jidOf(s: JValue): Option[Long] = (s \ "snapshot-id") match {
+          case JInt(n) => Some(n.toLong)
+          case JLong(n) => Some(n)
+          case _ => None
+        }
+        val priorMl: Option[String] = priorSnapshots
+          .find(jidOf(_).contains(prior.get.snapshotId))
+          .flatMap(s => (s \ "manifest-list") match {
+            case JString(ml) => Some(IcebergMeta.resolve(location, ml))
+            case _ => None // v1 inline "manifests": full rewrite migrates it
+          })
+        priorMl.flatMap { ml =>
+          val records = IcebergMeta.readManifestListRecords(fs, ml)
+            .map(rebuildManifestListEntry)
+          val mergeMin = tblProperties
+            .get("commit.manifest.min-count-to-merge").map(_.toInt)
+            .orElse(spark.conf.getOption(
+              "spark.graft.iceberg.manifestMergeMinCount").map(_.toInt))
+            .getOrElse(100)
+          val dataCount = records.count(r => r.get("content") == Int.box(0))
+          if (dataCount + 1 > mergeMin) None else Some(records)
+        }
+      }
 
     // top-level field ids of the schema being published (the ids the
     // manifest's bounds maps must key by)
@@ -3311,15 +3433,19 @@ object IcebergTable {
       r.put("data_file", dfr)
       r
     }
-    // prior live files carry over as EXISTING (0); this commit's as ADDED (1)
+    // full rewrite: prior live files carry over as EXISTING (0), this
+    // commit's as ADDED (1). Fast append: prior files stay in their
+    // reused manifests — the new manifest holds ADDED entries only.
     val dataManifestSchema = manifestSchemaFor(partFields)
     val dataEntries =
-      dataExisting.map { case (f, seq) =>
-        entry(dataManifestSchema, 0, None, f.path, f.size, seq, Nil, f.stats) } ++
+      (if (fastManifests.isDefined) Nil
+       else dataExisting.map { case (f, seq) =>
+         entry(dataManifestSchema, 0, None, f.path, f.size, seq, Nil, f.stats) }) ++
         dataAdded.map(f =>
           entry(dataManifestSchema, 1, None, f.path, f.size, snapshotId, Nil, f.stats))
     val deleteEntries =
-      deleteExisting.map(f => entry(DeleteManifestSchema, 0, Some(f.content),
+      if (fastManifests.isDefined) Nil
+      else deleteExisting.map(f => entry(DeleteManifestSchema, 0, Some(f.content),
         f.path, f.size, f.seq, f.equalityIds)) ++
         deleteAdded.map(f => entry(DeleteManifestSchema, 1, Some(f.content),
           f.path, f.size, f.seq, f.equalityIds))
@@ -3346,7 +3472,11 @@ object IcebergTable {
       else {
         val itemSchema = ManifestListSchema.getField("partitions").schema()
           .getTypes.get(1).getElementType
-        val allPaths = dataExisting.map(_._1.path) ++ dataAdded.map(_.path)
+        // fast append: this manifest holds only the added files, so its
+        // summary spans only them (reused manifests keep their own)
+        val allPaths =
+          (if (fastManifests.isDefined) Nil
+           else dataExisting.map(_._1.path)) ++ dataAdded.map(_.path)
         def cmpDom(a: Any, b: Any): Int = (a, b) match {
           case (x: Long, y: Long) => java.lang.Long.compare(x, y)
           case (x: String, y: String) => x.compareTo(y)
@@ -3383,7 +3513,8 @@ object IcebergTable {
     }
     val manifestList = new Path(metaDir, f"snap-$snapshotId%05d-$writerTag.avro")
     writeAvro(fs, manifestList, ManifestListSchema,
-      Seq(mlEntry(manifestPath, manifestLen, 0)) ++
+      fastManifests.getOrElse(Nil) ++
+        Seq(mlEntry(manifestPath, manifestLen, 0)) ++
         deleteManifest.map { case (p, l) => mlEntry(p, l, 1) })
 
     val now = System.currentTimeMillis()

@@ -33,6 +33,10 @@ private[sources] case class LakeDeleteFileRow(
     file_path: String, file_size_in_bytes: Long,
     content: String, seq_number: Long, equality_columns: Seq[String])
 
+private[sources] case class LakeManifestRow(
+    manifest_path: String, manifest_length: Long,
+    content: String, added_snapshot_id: Option[Long])
+
 object LakeInspect {
 
   /** Static schema of [[detail]], for the SQL command's fixed output. */
@@ -109,6 +113,51 @@ object LakeInspect {
             if (d.content == 2) "equality" else "position", d.seq,
             d.equalityIds.flatMap(s.fieldIdToName.get))
         }
+      }
+    rows.toDF()
+  }
+
+  /** The current snapshot's manifest list (Iceberg's `.manifests`
+    * inspection table): one row per manifest with its length, content
+    * kind, and the snapshot that added it. Observable effect of fast
+    * appends (one manifest per ingest commit) vs
+    * [[IcebergTable.rewriteManifests]] (back to one). Empty for Delta —
+    * its log has no manifest tier. */
+  def manifests(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    if (DeltaLog.isDeltaTable(spark, path))
+      return Seq.empty[LakeManifestRow].toDF()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaFile = IcebergMeta.currentMetadataFile(fs, path)
+    val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
+    val currentId: Long = (j \ "current-snapshot-id") match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case _ => return Seq.empty[LakeManifestRow].toDF()
+    }
+    val ml: Option[String] = (j \ "snapshots") match {
+      case JArray(snaps) => snaps.find(s => (s \ "snapshot-id") match {
+        case JInt(n) => n.toLong == currentId
+        case JLong(n) => n == currentId
+        case _ => false
+      }).flatMap(s => (s \ "manifest-list") match {
+        case JString(m) => Some(IcebergMeta.resolve(path, m))
+        case _ => None
+      })
+      case _ => None
+    }
+    val rows = ml.toSeq.flatMap(IcebergMeta.readManifestListRecords(fs, _))
+      .map { r =>
+        LakeManifestRow(
+          r.get("manifest_path").toString,
+          r.get("manifest_length").toString.toLong,
+          if (IcebergMeta.fieldOpt(r, "content")
+                .exists(_.toString.toInt == 1)) "deletes" else "data",
+          IcebergMeta.fieldOpt(r, "added_snapshot_id")
+            .map(_.toString.toLong))
       }
     rows.toDF()
   }

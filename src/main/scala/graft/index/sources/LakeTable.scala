@@ -157,16 +157,18 @@ object LakeTable {
   def detail(spark: SparkSession, path: String): DataFrame =
     LakeInspect.detail(spark, path)
 
-  /** Metadata tables — `"files"`, `"delete_files"`, `"partitions"`
-    * ([[LakeInspect]]): driver-side metadata already held by snapshot
-    * replay, O(files) rows at most, never a data scan. */
+  /** Metadata tables — `"files"`, `"delete_files"`, `"partitions"`,
+    * `"manifests"` ([[LakeInspect]]): driver-side metadata already held
+    * by snapshot replay, O(files) rows at most, never a data scan. */
   def inspect(spark: SparkSession, path: String, table: String): DataFrame =
     table match {
       case "files" => LakeInspect.files(spark, path)
       case "delete_files" => LakeInspect.deleteFiles(spark, path)
       case "partitions" => LakeInspect.partitions(spark, path)
+      case "manifests" => LakeInspect.manifests(spark, path)
       case other => throw new IllegalArgumentException(
-        s"unknown inspection table '$other' (files, delete_files, partitions)")
+        s"unknown inspection table '$other' " +
+          "(files, delete_files, partitions, manifests)")
     }
 
   /** INCREMENTAL CHANGES after `fromId` (exclusive): Delta routes to the
