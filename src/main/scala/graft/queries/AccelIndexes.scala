@@ -34,7 +34,7 @@ private[queries] object AccelIndexes {
     Seq("l_suppkey", "l_returnflag", "l_extendedprice"))
   val liByPart: Entry = "lineitem" -> CoveringIndexConfig(
     "accel_ci_li_bypart", Seq("l_partkey"),
-    Seq("l_linenumber", "l_extendedprice", "l_discount"))
+    Seq("l_linenumber", "l_orderkey", "l_extendedprice", "l_discount"))
   val liRev: Entry = "lineitem" -> CoveringIndexConfig(
     "accel_ci_li_rev", Seq("l_orderkey"),
     Seq("l_extendedprice", "l_discount"))
@@ -56,7 +56,7 @@ private[queries] object AccelIndexes {
     "accel_ci_ord_agg", Seq("o_custkey"), Seq("o_totalprice"))
   val ordByCust: Entry = "orders" -> CoveringIndexConfig(
     "accel_ci_ord_bycust", Seq("o_custkey"),
-    Seq("o_totalprice", "o_orderdate"))
+    Seq("o_orderkey", "o_totalprice", "o_orderdate"))
 
   // ---- customer
   val cust: Entry = "customer" -> CoveringIndexConfig(

@@ -46,6 +46,10 @@ object IndexAccel {
               d: graft.index.ivf.IvfIndexDescriptor) =>
           d.k != c.k || d.maxIter != c.maxIter || d.pqIter != c.pqIter ||
             d.pqM != (if (c.pqM > 0) Some(c.pqM) else None)
+        case (c: graft.index.covering.CoveringIndexConfig,
+              d: graft.index.covering.CoveringIndexDescriptor) =>
+          d.indexedColumns != c.indexedColumns ||
+            d.includedColumns.toSet != c.includedColumns.toSet
         case _ => false
       }
     }

@@ -406,6 +406,149 @@ object TpcdsShapes {
       |     AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |     AND o_custkey IS NOT NULL)""".stripMargin
 
+  /**
+   * TPC-DS q23 shape (reference tpcds/queries/q23a.sql): TWO filtering
+   * CTEs feed one fact aggregate — `frequent_ss_items` (items sold in
+   * more than K distinct baskets, a HAVING over COUNT(DISTINCT)) and
+   * `best_ss_customer` (customers whose spend beats a SHARE OF THE
+   * MAXIMUM spend — a scalar MAX over an aggregate CTE, the only shape
+   * in the corpus where a threshold derives from an extreme, not an
+   * average), both semi-joined into a date-filtered fact⋈orders sum.
+   * Mapped: parts in >4 distinct orders, customers above 50% of max
+   * 1995-96 spend, lineitem⋈orders(1996) as the fact.
+   */
+  def qds23FrequentBuyers(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liByPart)
+    ensureIndex(spark, sfDir, AccelIndexes.ordByCust)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    // frequent items: parts appearing in more than 4 distinct orders —
+    // the groupBy runs on the partkey-bucketed index, shuffle-free
+    val frequent = li
+      .groupBy(col("l_partkey").as("fi_part"))
+      .agg(countDistinct(col("l_orderkey")).as("n_ord"))
+      .filter(col("n_ord") > 4)
+      .select(col("fi_part"))
+    // best customers: spend above half of the maximum customer spend.
+    // The max is ONE row — broadcast under the filter, never a shuffle.
+    val spend = ord
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as("bc_cust"))
+      .agg(moneySum(col("o_totalprice")).as("spend"))
+    val maxSpend = spend.agg(max(col("spend")).as("max_spend"))
+    val best = spend
+      .join(broadcast(maxSpend))
+      .filter(col("spend") > col("max_spend") * lit(0.5))
+      .select(col("bc_cust"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(ord.filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(frequent, col("l_partkey") === col("fi_part"), "left_semi")
+      .join(best, col("o_custkey") === col("bc_cust"), "left_semi")
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(rev).as("sum_rev"))
+  }
+
+  val qds23Sql: String =
+    s"""WITH frequent AS (
+       |  SELECT l_partkey FROM lineitem
+       |  GROUP BY 1 HAVING COUNT(DISTINCT l_orderkey) > 4),
+       |spend AS (
+       |  SELECT o_custkey, ${sqlMoneySum("o_totalprice")} AS spend
+       |  FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY 1),
+       |best AS (
+       |  SELECT o_custkey FROM spend
+       |  WHERE spend > (SELECT MAX(spend) FROM spend) * 0.5)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS sum_rev
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_partkey IN (SELECT l_partkey FROM frequent)
+       |  AND o_custkey IN (SELECT o_custkey FROM best)""".stripMargin
+
+  /**
+   * TPC-DS q77 shape (reference tpcds/queries/q77.sql): per-channel
+   * aggregate CTEs — sales and returns — FULL OUTER joined on the
+   * group key into a net-profit report. The outer join of two
+   * index-served aggregates is the path q77 exercises that no inner/
+   * semi shape does: the join must keep the aggregates' bucket-aligned
+   * partitioning through a FullOuter SMJ. Mapped: lineitem(flag≠'R')
+   * as sales, lineitem(flag='R') as returns, both rolled up to the
+   * nation through orders(1995)⋈customer⋈nation.
+   */
+  def qds77ChannelProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liShip)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    ensureIndex(spark, sfDir, AccelIndexes.custDim)
+    ensureIndex(spark, sfDir, AccelIndexes.nationDim)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val cust = Tables.load(spark, sfDir, "customer")
+    val nation = Tables.load(spark, sfDir, "nation")
+    def channel(pred: org.apache.spark.sql.Column): DataFrame =
+      li.filter(pred)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+    val sales = channel(col("l_returnflag") =!= "R")
+      .groupBy(col("n_name").as("sl_nation"))
+      .agg(moneySum(col("l_extendedprice")).as("sum_rev"),
+        count(lit(1)).cast(LongType).as("n_sales"))
+    val returns = channel(col("l_returnflag") === "R")
+      .groupBy(col("n_name").as("rt_nation"))
+      .agg(moneySum(col("l_extendedprice")).as("sum_ret"))
+    sales.join(returns, col("sl_nation") === col("rt_nation"), "full_outer")
+      .select(
+        coalesce(col("sl_nation"), col("rt_nation")).as("nation"),
+        coalesce(col("n_sales"), lit(0L)).as("n_sales"),
+        coalesce(col("sum_rev"), lit(0.0)).as("sum_rev"),
+        coalesce(col("sum_ret"), lit(0.0)).as("sum_ret"),
+        (coalesce(col("sum_rev"), lit(0.0)) -
+          coalesce(col("sum_ret"), lit(0.0))).as("net"))
+      .orderBy(col("nation"))
+  }
+
+  val qds77Sql: String =
+    s"""WITH sales AS (
+       |  SELECT n_name AS sl_nation,
+       |    ${sqlMoneySum("l_extendedprice")} AS sum_rev,
+       |    CAST(COUNT(*) AS BIGINT) AS n_sales
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_returnflag <> 'R'
+       |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  GROUP BY 1),
+       |returns AS (
+       |  SELECT n_name AS rt_nation,
+       |    ${sqlMoneySum("l_extendedprice")} AS sum_ret
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_returnflag = 'R'
+       |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT COALESCE(sl_nation, rt_nation) AS nation,
+       |  COALESCE(n_sales, CAST(0 AS BIGINT)) AS n_sales,
+       |  COALESCE(sum_rev, CAST(0 AS DOUBLE)) AS sum_rev,
+       |  COALESCE(sum_ret, CAST(0 AS DOUBLE)) AS sum_ret,
+       |  COALESCE(sum_rev, CAST(0 AS DOUBLE)) -
+       |    COALESCE(sum_ret, CAST(0 AS DOUBLE)) AS net
+       |FROM sales FULL OUTER JOIN returns ON sl_nation = rt_nation
+       |ORDER BY nation""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
     "qds1_returns_above_avg" -> (qds1ReturnsAboveAvg _, qds1Sql),
     "qds65_underperf_parts" -> (qds65UnderperfParts _, qds65Sql),
@@ -413,5 +556,7 @@ object TpcdsShapes {
     "qds95_multi_supplier_ship" -> (qds95MultiSupplierShip _, qds95Sql),
     "qds14_cross_channel" -> (qds14CrossChannel _, qds14Sql),
     "qds27_rollup_agg" -> (qds27RollupAgg _, qds27Sql),
-    "qds87_except_channels" -> (qds87ExceptChannels _, qds87Sql))
+    "qds87_except_channels" -> (qds87ExceptChannels _, qds87Sql),
+    "qds23_frequent_buyers" -> (qds23FrequentBuyers _, qds23Sql),
+    "qds77_channel_profit" -> (qds77ChannelProfit _, qds77Sql))
 }

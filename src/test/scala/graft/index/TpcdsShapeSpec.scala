@@ -182,6 +182,47 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 1, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
+  test("qds23_frequent_buyers: both CTE filters aggregate shuffle-free " +
+      "on their own buckets; the pushed-down semi join rides the fact's " +
+      "partkey buckets") {
+    val p = planOf("qds23_frequent_buyers")
+    val idx = indexScans(p)
+    // Catalyst pushes the frequent-items semi join BELOW the inner
+    // join, so the bottom fact join keys on l_partkey — the optimizer
+    // serves BOTH its sides from the same partkey-bucketed index
+    // (fact scan + the COUNT(DISTINCT) filter), making the semi join
+    // zero-shuffle; the spend aggregate rides o_custkey buckets
+    assert(Seq("accel_ci_li_bypart", "accel_ci_ord_bycust")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the pushed-down semi join did not ride the partkey buckets:\n$p")
+    assert(shuffles(p) <= 4, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds77_channel_profit: both channel aggregates serve from the " +
+      "same indexes and the FULL OUTER join adds no exchange over the " +
+      "aggregates' partitioning") {
+    val p = planOf("qds77_channel_profit")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_ship", "accel_ci_ord_snow3", "accel_ci_nation_dim")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"lineitem⋈orders did not join on the shared buckets:\n$p")
+    // the FullOuter SMJ of the two aggregates must reuse their n_name
+    // hash partitioning — no exchange between the aggs and the join
+    val fullOuter = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter => j
+    }
+    assert(fullOuter.nonEmpty, s"expected a FullOuter SMJ:\n$p")
+    assert(fullOuter.forall(j => j.children.forall(c =>
+      !c.isInstanceOf[ShuffleExchangeExec])),
+      s"the channel join re-shuffled the aggregates:\n$p")
+    assert(shuffles(p) <= 9, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
