@@ -274,6 +274,23 @@ class LakeTable:
         removed = self._jt.cleanup(self._jspark, path, retention_ms)
         return [removed.apply(i) for i in range(removed.size())]
 
+    def rewrite_manifests(self, path):
+        """Compact an Iceberg table's fast-append manifest list back to
+        one data manifest (a row-transparent ``replace`` snapshot);
+        returns the new snapshot id. Refused for Delta."""
+        return self._jt.rewriteManifests(self._jspark, path)
+
+    def remove_orphans(self, path, older_than_ms=None, dry_run=False):
+        """Sweep files no retained state references (crash leftovers,
+        foreign drops), age-gated at ``older_than_ms`` (default: 3 days
+        ago); returns the removed (or, with ``dry_run``, the would-be
+        removed) paths."""
+        import time
+        cutoff = (older_than_ms if older_than_ms is not None
+                  else int(time.time() * 1000) - 3 * 24 * 3600 * 1000)
+        removed = self._jt.removeOrphans(self._jspark, path, cutoff, dry_run)
+        return [removed.apply(i) for i in range(removed.size())]
+
     def optimize(self, path, target_size_bytes=128 << 20, zorder_by=None,
                  where_sql=None):
         """Bin-pack small data files (Delta OPTIMIZE / Iceberg binpack),

@@ -173,7 +173,23 @@ DataFrame(jspark.sql(
     ._jdf.write().mode("overwrite").parquet(mdir + "/t")
 t.migrate_to_iceberg(mdir + "/t")
 assert t.format_of(mdir + "/t") == "iceberg"
-assert t.read(mdir + "/t").count() > 0
+n_region = t.read(mdir + "/t").count()
+assert n_region > 0
+
+# --- iceberg maintenance: a fast append stacks a second manifest, the
+# --- rewrite folds it back, and a clean table has zero orphans
+irt = mdir + "/t"
+jspark.sql("select * from parquet.`" + sf_dir + "/region.parquet`") \
+    .write().format("graft-iceberg").mode("append").save(irt)
+n_dm = t.inspect(irt, "manifests").where("content = 'data'").count()
+assert n_dm >= 2, "append did not fast-append a manifest: %d" % n_dm
+assert t.rewrite_manifests(irt) > 0
+assert t.inspect(irt, "manifests").where("content = 'data'").count() == 1
+assert t.read(irt).count() == 2 * n_region
+import time as _time
+future = int(_time.time() * 1000) + 60000
+assert t.remove_orphans(irt, older_than_ms=future, dry_run=True) == [], \
+    "a clean table listed orphans"
 
 # --- standard provider syntax resolves from python too (registry-based)
 bdir = tempfile.mkdtemp(prefix="graft-py-batchfmt-") + "/t"

@@ -3169,6 +3169,98 @@ object IcebergTable {
     doomed
   }
 
+  /**
+   * ORPHAN-FILE REMOVAL (Iceberg's `remove_orphan_files` procedure):
+   * delete files under the table's `data/` and `metadata/` trees that
+   * NO snapshot in the current metadata references — crash leftovers
+   * from fence-losing writers, interrupted jobs, files dropped in by
+   * hand — plus stale `.graft-stage-*` staging dirs. Distinct from
+   * [[expireSnapshots]], which trims HISTORY: orphans were never part
+   * of any snapshot, so no amount of expiration reaches them.
+   *
+   * Age-gated: only files modified before `olderThanMs` (default: 3
+   * days ago) are candidates, so an in-flight writer's staged files
+   * and just-committed data are never swept — the same guardrail as
+   * the real procedure. Metadata documents (`*.metadata.json`,
+   * `version-hint.text`) are always kept. `dryRun` lists without
+   * deleting. NOTE: like upstream, never run this on a table that is
+   * the SOURCE of zero-copy clones — the clones reference data files
+   * this table's own metadata may no longer list.
+   *
+   * Scale: the live set is manifest metadata (driver-side, O(files)
+   * strings — the cost class of snapshot replay), and the candidate
+   * walk is one recursive listing of the two table-owned trees.
+   */
+  def removeOrphanFiles(spark: SparkSession, location: String,
+      olderThanMs: Option[Long] = None,
+      dryRun: Boolean = false): Seq[String] = {
+    val root = new Path(location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(IcebergMeta.isIcebergTable(spark, location),
+      s"removeOrphanFiles on a non-Iceberg directory: $location")
+    val cutoff = olderThanMs.getOrElse(
+      System.currentTimeMillis() - 3L * 24 * 3600 * 1000)
+    val metaFile = IcebergMeta.currentMetadataFile(fs, location)
+    val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
+
+    // the LIVE set: every retained snapshot's manifest list, manifests,
+    // and data/delete files
+    val live = mutable.Set.empty[String]
+    ((j \ "snapshots") match {
+      case JArray(snaps) => snaps
+      case _ => Nil
+    }).foreach { s =>
+      ((s \ "snapshot-id"), (s \ "manifest-list")) match {
+        case (sid, JString(ml)) =>
+          val id = sid match {
+            case JInt(n) => n.toLong
+            case JLong(n) => n
+            case _ => -1L
+          }
+          val mlPath = IcebergMeta.resolve(location, ml)
+          live += DeltaTable.normPath(mlPath)
+          IcebergMeta.readManifestList(fs, mlPath).foreach { case (m, _) =>
+            live += DeltaTable.normPath(IcebergMeta.resolve(location, m))
+          }
+          val snap = IcebergMeta.snapshot(spark, location, Some(id))
+          snap.files.foreach(f => live += DeltaTable.normPath(f.path))
+          snap.deleteFiles.foreach(d => live += DeltaTable.normPath(d.path))
+        case _ =>
+      }
+    }
+
+    def listRec(p: Path): Seq[FileStatus] =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) listRec(st.getPath) else Seq(st)
+      }
+    def isMetaDoc(name: String): Boolean =
+      name.endsWith(".metadata.json") || name == "version-hint.text"
+
+    val candidates =
+      listRec(new Path(root, "data")) ++
+        listRec(IcebergMeta.metadataDir(location))
+          .filterNot(st => isMetaDoc(st.getPath.getName))
+    val orphans = candidates.filter(st =>
+      st.getModificationTime < cutoff &&
+        !live.contains(DeltaTable.normPath(st.getPath.toString)))
+
+    // stale staging dirs: a fence-losing writer cleans its own stage,
+    // but a CRASHED one leaves the dir behind forever
+    val staleStages = (if (fs.exists(root)) fs.listStatus(root).toSeq else Nil)
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".graft-stage-") &&
+        st.getModificationTime < cutoff)
+
+    val doomed = (orphans.map(_.getPath.toString) ++
+      staleStages.map(_.getPath.toString)).map(DeltaTable.normPath).sorted
+    if (!dryRun) {
+      orphans.foreach(st => fs.delete(st.getPath, false))
+      staleStages.foreach(st => fs.delete(st.getPath, true))
+    }
+    doomed
+  }
+
   /** A prior manifest-list record rebuilt onto THIS writer's
     * [[ManifestListSchema]] (a record written by another writer may
     * carry a richer schema — real Iceberg adds counts and key metadata —

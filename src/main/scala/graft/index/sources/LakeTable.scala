@@ -334,4 +334,32 @@ object LakeTable {
       case _ => IcebergTable.expireSnapshots(spark, path, keepLast = 1,
         olderThanMs = Some(System.currentTimeMillis() - retentionMs))
     }
+
+  /** Iceberg MANIFEST COMPACTION ([[IcebergTable.rewriteManifests]]):
+    * fold the fast-append manifest list back to one data manifest in a
+    * row-transparent `replace` snapshot. Refused for Delta — its log
+    * has no manifest tier (checkpoints compact the metadata instead). */
+  def rewriteManifests(spark: SparkSession, path: String): Long =
+    formatOf(spark, path) match {
+      case "iceberg" => IcebergTable.rewriteManifests(spark, path)
+      case other => throw new UnsupportedOperationException(
+        s"rewriteManifests on a $other table: only Iceberg has a " +
+          "manifest tier (Delta compacts log metadata through checkpoints)")
+    }
+
+  /** ORPHAN sweep — delete files under the table that no retained
+    * state references (crash leftovers, foreign drops), age-gated at
+    * `olderThanMs`: Iceberg [[IcebergTable.removeOrphanFiles]]; on
+    * Delta the same class of junk falls under VACUUM's untracked-file
+    * mtime gate, so the sweep routes there with the equivalent
+    * retention window. */
+  def removeOrphans(spark: SparkSession, path: String,
+      olderThanMs: Long, dryRun: Boolean = false): Seq[String] =
+    formatOf(spark, path) match {
+      case "iceberg" => IcebergTable.removeOrphanFiles(spark, path,
+        Some(olderThanMs), dryRun)
+      case _ => DeltaTable.vacuum(spark, path,
+        retentionMs = math.max(0L, System.currentTimeMillis() - olderThanMs),
+        dryRun = dryRun)
+    }
 }
