@@ -549,6 +549,97 @@ object TpcdsShapes {
        |FROM sales FULL OUTER JOIN returns ON sl_nation = rt_nation
        |ORDER BY nation""".stripMargin
 
+  /**
+   * TPC-DS q51 shape (reference tpcds/queries/q51.sql): per-channel
+   * MONTHLY aggregates, a CUMULATIVE-SUM WINDOW over each series, and
+   * a FULL OUTER join comparing the two running totals (web overtaking
+   * store). The WindowExec-over-indexed-aggregate path and the
+   * subset-partitioning join (the window leaves both sides hash-
+   * partitioned on the supplier alone, which ALSO satisfies the
+   * two-key join — no exchange between the windows and the join) are
+   * exercised by no other shape. Cumulative sums stay DECIMAL through
+   * the window so the running totals are order-independent and
+   * engine-exact. Mapped: sales = non-return lineitems, returns = 'R'
+   * rows, series keyed (l_suppkey, order month).
+   */
+  def qds51CumulativeChannels(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureIndex(spark, sfDir, AccelIndexes.liShip)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val joined = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("l_returnflag"),
+        col("l_extendedprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    def series(pred: org.apache.spark.sql.Column,
+        keyName: String, monthName: String, cumName: String): DataFrame = {
+      // ONE supplier-hash exchange feeds the whole series: the monthly
+      // aggregate's (supp, month) clustering and the window's (supp)
+      // clustering are both satisfied by hash(supp) — subset
+      // partitioning — so neither adds an exchange of its own. At
+      // scale this halves the series' shuffles; months per supplier
+      // are bounded, so no partition outgrows its executor.
+      val monthly = joined.filter(pred)
+        .repartition(col("l_suppkey"))
+        .groupBy(col("l_suppkey").as(keyName), col("month").as(monthName))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(28, 6))).as("rev"))
+      val w = Window.partitionBy(col(keyName)).orderBy(col(monthName))
+      monthly.withColumn(cumName, sum(col("rev")).over(w)).drop("rev")
+    }
+    val sales = series(col("l_returnflag") =!= "R", "s_supp", "s_month", "cum_sales")
+    val rets = series(col("l_returnflag") === "R", "r_supp", "r_month", "cum_ret")
+    // COALESCE both totals before comparing: a month where only the
+    // returns channel moved must pass (0-sales side), which also keeps
+    // the join genuinely FULL OUTER — a bare null-rejecting predicate
+    // would let Catalyst legally collapse it to inner
+    sales.join(rets,
+        col("s_supp") === col("r_supp") && col("s_month") === col("r_month"),
+        "full_outer")
+      .filter(coalesce(col("cum_ret"), lit(0).cast(DecimalType(28, 6))) >
+        coalesce(col("cum_sales"), lit(0).cast(DecimalType(28, 6))))
+      .select(
+        coalesce(col("s_supp"), col("r_supp")).as("suppkey"),
+        coalesce(col("s_month"), col("r_month")).as("month"),
+        coalesce(col("cum_sales").cast(DoubleType), lit(0.0)).as("cum_sales"),
+        col("cum_ret").cast(DoubleType).as("cum_ret"))
+      .orderBy(col("suppkey"), col("month"))
+  }
+
+  val qds51Sql: String =
+    """WITH joined AS (
+      |  SELECT l_suppkey, l_returnflag, l_extendedprice,
+      |    strftime(o_orderdate, '%Y-%m') AS month
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |sales AS (
+      |  SELECT s_supp, s_month, SUM(rev) OVER (
+      |      PARTITION BY s_supp ORDER BY s_month
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_sales
+      |  FROM (SELECT l_suppkey AS s_supp, month AS s_month,
+      |          SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS rev
+      |        FROM joined WHERE l_returnflag <> 'R' GROUP BY 1, 2)),
+      |rets AS (
+      |  SELECT r_supp, r_month, SUM(rev) OVER (
+      |      PARTITION BY r_supp ORDER BY r_month
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ret
+      |  FROM (SELECT l_suppkey AS r_supp, month AS r_month,
+      |          SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS rev
+      |        FROM joined WHERE l_returnflag = 'R' GROUP BY 1, 2))
+      |SELECT COALESCE(s_supp, r_supp) AS suppkey,
+      |  COALESCE(s_month, r_month) AS month,
+      |  COALESCE(CAST(cum_sales AS DOUBLE), 0.0) AS cum_sales,
+      |  CAST(cum_ret AS DOUBLE) AS cum_ret
+      |FROM sales FULL OUTER JOIN rets
+      |  ON s_supp = r_supp AND s_month = r_month
+      |WHERE COALESCE(cum_ret, CAST(0 AS DECIMAL(28,6))) >
+      |  COALESCE(cum_sales, CAST(0 AS DECIMAL(28,6)))
+      |ORDER BY suppkey, month""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
     "qds1_returns_above_avg" -> (qds1ReturnsAboveAvg _, qds1Sql),
     "qds65_underperf_parts" -> (qds65UnderperfParts _, qds65Sql),
@@ -558,5 +649,6 @@ object TpcdsShapes {
     "qds27_rollup_agg" -> (qds27RollupAgg _, qds27Sql),
     "qds87_except_channels" -> (qds87ExceptChannels _, qds87Sql),
     "qds23_frequent_buyers" -> (qds23FrequentBuyers _, qds23Sql),
-    "qds77_channel_profit" -> (qds77ChannelProfit _, qds77Sql))
+    "qds77_channel_profit" -> (qds77ChannelProfit _, qds77Sql),
+    "qds51_cumulative_channels" -> (qds51CumulativeChannels _, qds51Sql))
 }

@@ -223,6 +223,40 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 9, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
+  test("qds51_cumulative_channels: one supplier exchange feeds each " +
+      "series' aggregate AND window (subset partitioning), and the " +
+      "coalesced compare keeps the join FULL OUTER") {
+    val p = planOf("qds51_cumulative_channels")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_ship", "accel_ci_ord_snow3")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"lineitem⋈orders did not join on the shared buckets:\n$p")
+    val fullOuter = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter => j
+    }
+    assert(fullOuter.nonEmpty,
+      s"the coalesced compare failed to keep the join FULL OUTER:\n$p")
+    // the hash(supp) repartition satisfies both the (supp, month)
+    // aggregate and the (supp) window — NO exchange may sit between
+    // the aggregate and its window
+    val windows = allNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected 2 windows:\n$p")
+    windows.foreach { w =>
+      val toAgg = allNodes(w.child).takeWhile(
+        !_.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])
+      assert(!toAgg.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"an exchange separates the aggregate from its window:\n$p")
+    }
+    // per series: the supp repartition + the join's (supp, month)
+    // re-key; plus the output range sort — 6 total
+    assert(shuffles(p) <= 6, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
