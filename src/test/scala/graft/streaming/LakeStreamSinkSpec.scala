@@ -88,6 +88,26 @@ class LakeStreamSinkSpec extends AnyFunSuite {
     assert(IcebergTable.transactions(spark, dst)("ice-test") == 1L)
   }
 
+  test("graft-iceberg sink: every micro-batch is a FAST APPEND — commit " +
+      "metadata stays O(batch), and rewriteManifests folds the ingest " +
+      "history back to one manifest") {
+    val dst = Files.createTempDirectory("graft-isink-fast-").toString + "/t"
+    val sink = new LakeStreamSink(spark, dst, Nil,
+      Map("txnAppId" -> "ice-fast"), iceberg = true)
+    (0 until 5).foreach(b =>
+      sink.addBatch(b, customer.filter(col("c_custkey") % 5 === b)))
+    // one manifest per micro-batch, none rewritten: a 100 TB ingest's
+    // commit cost is its own batch, not the table's whole file list
+    def dataManifests() = graft.index.sources.LakeTable
+      .inspect(spark, dst, "manifests").where(col("content") === "data")
+    assert(dataManifests().count() == 5,
+      s"expected 5 fast-append manifests, got ${dataManifests().count()}")
+    assert(IcebergTable.read(spark, dst).count() == customer.count())
+    IcebergTable.rewriteManifests(spark, dst)
+    assert(dataManifests().count() == 1)
+    assert(IcebergTable.read(spark, dst).count() == customer.count())
+  }
+
   test("explicit txnAppId outranks the streaming queryId") {
     // a user pins txnAppId to keep idempotence across a checkpoint-reset
     // restart (where the queryId changes); preferring the queryId would
