@@ -274,6 +274,18 @@ class LakeTable:
         removed = self._jt.cleanup(self._jspark, path, retention_ms)
         return [removed.apply(i) for i in range(removed.size())]
 
+    def set_properties(self, path, props):
+        """``ALTER TABLE ... SET TBLPROPERTIES``: merge ``props`` (a
+        dict) into the table configuration; returns the commit id."""
+        jmap = self._jvm.PythonUtils.toScalaMap(dict(props))
+        return self._jt.setProperties(self._jspark, path, jmap)
+
+    def unset_properties(self, path, keys):
+        """``ALTER TABLE ... UNSET TBLPROPERTIES``: drop configuration
+        keys; returns the commit id."""
+        jset = self._jvm.PythonUtils.toSeq(list(keys)).toSet()
+        return self._jt.unsetProperties(self._jspark, path, jset)
+
     def rewrite_manifests(self, path):
         """Compact an Iceberg table's fast-append manifest list back to
         one data manifest (a row-transparent ``replace`` snapshot);

@@ -190,6 +190,8 @@ import time as _time
 future = int(_time.time() * 1000) + 60000
 assert t.remove_orphans(irt, older_than_ms=future, dry_run=True) == [], \
     "a clean table listed orphans"
+t.set_properties(irt, {"owner": "py-etl"})
+t.unset_properties(irt, ["owner"])
 
 # --- standard provider syntax resolves from python too (registry-based)
 bdir = tempfile.mkdtemp(prefix="graft-py-batchfmt-") + "/t"

@@ -3380,6 +3380,61 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     finishCommit(spark, rootStr, out, lines, version, cfg)
   }
 
+  /** Keys whose property is the SURFACE of a feature this writer
+    * manages through a dedicated verb — the verb performs the protocol
+    * upgrade (and backfill work) the property implies, so setting the
+    * raw key would publish a table whose declared state the writer
+    * never established. */
+  private val ManagedPropertyVerbs: Map[String, String] = Map(
+    "delta.enableChangeDataFeed" -> "enableChangeDataFeed",
+    "delta.columnMapping.mode" -> "enableColumnMapping",
+    "delta.columnMapping.maxColumnId" -> "enableColumnMapping",
+    "delta.enableRowTracking" -> "enableRowTracking")
+
+  private def guardManagedProperties(keys: Iterable[String],
+      verb: String): Unit =
+    keys.find(k => ManagedPropertyVerbs.contains(k) ||
+        k.startsWith("delta.constraints.")).foreach { k =>
+      throw new IllegalArgumentException(
+        s"$verb: property '$k' is managed by " +
+          s"${ManagedPropertyVerbs.getOrElse(k, "addConstraint/dropConstraint")}" +
+          " — use that verb (it performs the protocol upgrade and " +
+          "backfill the property implies)")
+    }
+
+  /** `ALTER TABLE … SET TBLPROPERTIES` — a metadata-only commit
+    * merging `props` into the table configuration: the switchboard for
+    * behaviors keyed off properties (`delta.appendOnly`,
+    * `delta.logRetentionDuration`, free-form ownership tags, …).
+    * Feature-gating keys with dedicated verbs are refused by name. */
+  def setTableProperties(spark: SparkSession, rootStr: String,
+      props: Map[String, String]): Long = CommitRetry() {
+    guardManagedProperties(props.keys, s"setTableProperties at $rootStr")
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = false, kind = "setTableProperties")
+    commitMetadata(spark, rootStr, prior, prior.schema,
+      prior.partitionColumns, prior.configuration ++ props,
+      readerFeature = None, writerFeature = None,
+      legacyReader = 1, legacyWriter = 2)
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` — remove configuration keys
+    * (managed feature keys refused, like [[setTableProperties]]).
+    * Unknown keys are ignored, delta-spark's IF-EXISTS-less behavior
+    * being refusal-free here by design. */
+  def unsetTableProperties(spark: SparkSession, rootStr: String,
+      keys: Set[String]): Long = CommitRetry() {
+    guardManagedProperties(keys, s"unsetTableProperties at $rootStr")
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = false,
+      kind = "unsetTableProperties")
+    commitMetadata(spark, rootStr, prior, prior.schema,
+      prior.partitionColumns, prior.configuration -- keys,
+      readerFeature = None, writerFeature = None,
+      legacyReader = 1, legacyWriter = 2,
+      operation = "UNSET TBLPROPERTIES")
+  }
+
   /** Shared commit path. This minimal writer supports whole-table
     * overwrite and append; row-level deletes go through [[deleteWhere]]
     * (deletion vectors, merge-on-read).

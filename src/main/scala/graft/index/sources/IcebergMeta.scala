@@ -205,6 +205,30 @@ object IcebergMeta {
         s"not an Iceberg table (no metadata.json under $dir)"))
   }
 
+  /** Opt-in METADATA-HISTORY PRUNING (real Iceberg's
+    * `write.metadata.delete-after-commit.enabled` +
+    * `write.metadata.previous-versions-max`, default 100): after a
+    * commit, delete the OLDEST `v*.metadata.json` documents beyond the
+    * retention count. Table content is untouched — every retained
+    * snapshot's tree hangs off the CURRENT document; older documents
+    * only serve metadata archaeology, and a high-commit-rate ingest
+    * table accumulates one per commit forever without this. */
+  private[sources] def pruneMetadataHistory(fs: FileSystem,
+      location: String, properties: Map[String, String]): Seq[String] = {
+    if (!properties.get("write.metadata.delete-after-commit.enabled")
+        .contains("true")) return Nil
+    val keep = math.max(1, properties
+      .get("write.metadata.previous-versions-max").map(_.toInt).getOrElse(100))
+    val dir = metadataDir(location)
+    val docs = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".metadata.json"))
+      .sortBy(p => (metadataVersionOf(p.getName), p.getName)).toSeq
+    // newest `keep` previous versions + the current document stay
+    val doomed = docs.dropRight(keep + 1)
+    doomed.foreach(p => fs.delete(p, false))
+    doomed.map(_.toString)
+  }
+
   private[sources] def readString(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -2924,7 +2948,7 @@ object IcebergTable {
     * repoint the hint — the [[rollback]] shape, shared by the ref
     * verbs. O(metadata), no data or manifest writes. */
   private def publishMetadataOnly(spark: SparkSession, location: String)(
-      mutate: JValue => JValue): Unit = {
+      mutate: JValue => JValue): Long = {
     val fs = new Path(location).getFileSystem(spark.sessionState.newHadoopConf())
     val metaFile = IcebergMeta.currentMetadataFile(fs, location)
     val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
@@ -2940,7 +2964,44 @@ object IcebergTable {
     val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hint.write(version.toString.getBytes(StandardCharsets.UTF_8))
     finally hint.close()
+    IcebergMeta.pruneMetadataHistory(fs, location, (newMeta \ "properties") match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v
+      }.toMap
+      case _ => Map.empty
+    })
+    version
   }
+
+  /** SET table properties (the `ALTER TABLE … SET TBLPROPERTIES`
+    * verb): a metadata-only commit merging `props` over the current
+    * map — the switchboard for writer behaviors keyed off properties
+    * (`commit.manifest.min-count-to-merge`,
+    * `write.metadata.delete-after-commit.enabled`, …). Pass a null/
+    * empty value through [[unsetProperties]] to remove keys. */
+  def setProperties(spark: SparkSession, location: String,
+      props: Map[String, String]): Long =
+    publishMetadataOnly(spark, location) { j =>
+      val current: List[(String, JValue)] = (j \ "properties") match {
+        case JObject(fields) => fields
+        case _ => Nil
+      }
+      val merged = (current.toMap ++ props.view.mapValues(JString(_): JValue))
+        .toList.sortBy(_._1)
+      setFields(j, "properties" -> JObject(merged))
+    }
+
+  /** REMOVE table properties (`ALTER TABLE … UNSET TBLPROPERTIES`). */
+  def unsetProperties(spark: SparkSession, location: String,
+      keys: Set[String]): Long =
+    publishMetadataOnly(spark, location) { j =>
+      val current: List[(String, JValue)] = (j \ "properties") match {
+        case JObject(fields) => fields
+        case _ => Nil
+      }
+      setFields(j, "properties" -> JObject(
+        current.filterNot { case (k, _) => keys.contains(k) }))
+    }
 
   private def renderRefs(refs: Map[String, IceRef]): JValue =
     JObject("refs" -> JObject(refs.toList.sortBy(_._1).map { case (n, r) =>
@@ -3691,6 +3752,7 @@ object IcebergTable {
     val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hint.write(version.toString.getBytes(StandardCharsets.UTF_8))
     finally hint.close()
+    IcebergMeta.pruneMetadataHistory(fs, location, tblProperties)
     snapshotId
   }
 }

@@ -335,6 +335,26 @@ object LakeTable {
         olderThanMs = Some(System.currentTimeMillis() - retentionMs))
     }
 
+  /** `ALTER TABLE … SET TBLPROPERTIES` — merge `props` into the
+    * table's configuration, per format
+    * ([[DeltaTable.setTableProperties]] / [[IcebergTable.setProperties]];
+    * both refuse feature keys their dedicated verbs manage). Returns
+    * the commit's version / metadata version. */
+  def setProperties(spark: SparkSession, path: String,
+      props: Map[String, String]): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.setTableProperties(spark, path, props)
+      case _ => IcebergTable.setProperties(spark, path, props)
+    }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` — remove configuration keys. */
+  def unsetProperties(spark: SparkSession, path: String,
+      keys: Set[String]): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.unsetTableProperties(spark, path, keys)
+      case _ => IcebergTable.unsetProperties(spark, path, keys)
+    }
+
   /** Iceberg MANIFEST COMPACTION ([[IcebergTable.rewriteManifests]]):
     * fold the fast-append manifest list back to one data manifest in a
     * row-transparent `replace` snapshot. Refused for Delta — its log

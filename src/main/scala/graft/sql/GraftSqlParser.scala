@@ -91,6 +91,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         .flatMap(_.split(",")).map(stripIdent).filter(_.nonEmpty)
       return GraftClusterByCommand(target(cb), cols)
     }
+    val sp = SetPropsRe.matcher(sqlText)
+    if (sp.matches()) {
+      val raw = sp.group("props")
+      val props = PropEntryRe.findAllMatchIn(raw)
+        .map(m2 => m2.group(1) -> m2.group(2)).toMap
+      require(props.nonEmpty,
+        s"SET TBLPROPERTIES: no 'key'='value' pairs in ($raw)")
+      return GraftSetPropertiesCommand(target(sp), props)
+    }
+    val up = UnsetPropsRe.matcher(sqlText)
+    if (up.matches()) {
+      val keys = PropKeyRe.findAllMatchIn(up.group("keys"))
+        .map(_.group(1)).toSet
+      require(keys.nonEmpty,
+        s"UNSET TBLPROPERTIES: no 'key' entries in (${up.group("keys")})")
+      return GraftUnsetPropertiesCommand(target(up), keys)
+    }
     val ct = CreateRe.matcher(sqlText)
     if (ct.matches()) {
       val parts = Option(ct.group("partcols")).toSeq
@@ -194,6 +211,17 @@ object GraftSqlParser {
   private val ClusterByRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+CLUSTER\\s+BY\\s+""" +
       """(?:NONE|\((?<cols>[^)]+)\))""")
+  // ALTER TABLE <lake> SET TBLPROPERTIES ('k'='v', ...)
+  private val SetPropsRe = re(
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+SET\\s+TBLPROPERTIES\\s*""" +
+      """\((?<props>[^)]+)\)""")
+  // ALTER TABLE <lake> UNSET TBLPROPERTIES ('k', ...)
+  private val UnsetPropsRe = re(
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+UNSET\\s+TBLPROPERTIES\\s*""" +
+      """\((?<keys>[^)]+)\)""")
+  private val PropEntryRe =
+    """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val PropKeyRe = """'([^']*)'""".r
 
   private def target(m: java.util.regex.Matcher): String = m.group("path")
 

@@ -213,6 +213,24 @@ case class GraftSyncIdentityCommand(path: String)
     Seq(Row(LakeTable.syncIdentity(spark, path)))
 }
 
+/** `ALTER TABLE <lake> SET TBLPROPERTIES ('k'='v', …)` →
+  * [[LakeTable.setProperties]]. */
+case class GraftSetPropertiesCommand(path: String,
+    props: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.setProperties(spark, path, props)))
+}
+
+/** `ALTER TABLE <lake> UNSET TBLPROPERTIES ('k', …)` →
+  * [[LakeTable.unsetProperties]]. */
+case class GraftUnsetPropertiesCommand(path: String, keys: Set[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.unsetProperties(spark, path, keys)))
+}
+
 /** `ALTER TABLE <lake> CLUSTER BY (c, ...) | CLUSTER BY NONE` →
   * [[LakeTable.clusterBy]] (Delta liquid clustering). */
 case class GraftClusterByCommand(path: String, columns: Seq[String])

@@ -458,6 +458,46 @@ class LakeSqlSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(10L, 11L, 12L, 13L, 14L))
   }
 
+  test("SET / UNSET TBLPROPERTIES route to the property verbs on both " +
+      "formats; managed Delta feature keys refuse with the verb's name") {
+    // delta leg
+    val droot = tmp("graft-sql-props-d-")
+    DeltaTable.create(customer.limit(30), droot)
+    spark.sql(s"ALTER TABLE graft_delta.`$droot` SET TBLPROPERTIES " +
+      "('delta.logRetentionDuration' = 'interval 30 days', 'owner' = 'etl')")
+    val dcfg = DeltaLog.snapshot(spark, droot).configuration
+    assert(dcfg.get("owner").contains("etl"))
+    assert(dcfg.get("delta.logRetentionDuration")
+      .contains("interval 30 days"))
+    spark.sql(
+      s"ALTER TABLE graft_delta.`$droot` UNSET TBLPROPERTIES ('owner')")
+    assert(!DeltaLog.snapshot(spark, droot).configuration.contains("owner"))
+    // a feature key with a dedicated verb refuses, naming the verb
+    val err = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_delta.`$droot` SET TBLPROPERTIES " +
+        "('delta.enableChangeDataFeed' = 'true')"))
+    assert(err.getMessage.contains("enableChangeDataFeed"),
+      err.getMessage)
+
+    // iceberg leg: the property immediately drives writer behavior
+    val iroot = tmp("graft-sql-props-i-")
+    IcebergTable.create(customer.filter($"c_custkey" % 3 === 0), iroot)
+    spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` SET TBLPROPERTIES " +
+      "('commit.manifest.min-count-to-merge' = '2')")
+    assert(IcebergMeta.snapshot(spark, iroot).properties
+      .get("commit.manifest.min-count-to-merge").contains("2"))
+    IcebergTable.append(customer.filter($"c_custkey" % 3 === 1), iroot)
+    IcebergTable.append(customer.filter($"c_custkey" % 3 === 2), iroot)
+    assert(LakeTable.inspect(spark, iroot, "manifests")
+      .where(col("content") === "data").count() == 1,
+      "the SQL-set merge cap did not reach the writer")
+    spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` UNSET TBLPROPERTIES " +
+      "('commit.manifest.min-count-to-merge')")
+    assert(!IcebergMeta.snapshot(spark, iroot).properties
+      .contains("commit.manifest.min-count-to-merge"))
+    assert(IcebergTable.read(spark, iroot).count() == customer.count())
+  }
+
   test("ALTER TABLE ... CLUSTER BY declares liquid clustering; NONE " +
       "drops it; iceberg refuses with the compactSort hint") {
     val root = tmp("graft-sql-cluster-")
