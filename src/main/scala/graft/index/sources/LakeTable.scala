@@ -347,6 +347,14 @@ object LakeTable {
       case _ => IcebergTable.setProperties(spark, path, props)
     }
 
+  /** `SHOW TBLPROPERTIES` — the table's configuration map (Delta
+    * `metaData.configuration` / Iceberg `properties`). */
+  def properties(spark: SparkSession, path: String): Map[String, String] =
+    formatOf(spark, path) match {
+      case "delta" => DeltaLog.snapshot(spark, path).configuration
+      case _ => IcebergMeta.snapshot(spark, path).properties
+    }
+
   /** `ALTER TABLE … UNSET TBLPROPERTIES` — remove configuration keys. */
   def unsetProperties(spark: SparkSession, path: String,
       keys: Set[String]): Long =

@@ -100,6 +100,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s"SET TBLPROPERTIES: no 'key'='value' pairs in ($raw)")
       return GraftSetPropertiesCommand(target(sp), props)
     }
+    val shp = ShowPropsRe.matcher(sqlText)
+    if (shp.matches()) return GraftShowPropertiesCommand(target(shp))
     val up = UnsetPropsRe.matcher(sqlText)
     if (up.matches()) {
       val keys = PropKeyRe.findAllMatchIn(up.group("keys"))
@@ -222,6 +224,9 @@ object GraftSqlParser {
   private val PropEntryRe =
     """'([^']*)'\s*=\s*'([^']*)'""".r
   private val PropKeyRe = """'([^']*)'""".r
+  // SHOW TBLPROPERTIES <lake>
+  private val ShowPropsRe = re(
+    s"""SHOW\\s+TBLPROPERTIES\\s+$TargetSrc""")
 
   private def target(m: java.util.regex.Matcher): String = m.group("path")
 

@@ -213,6 +213,18 @@ case class GraftSyncIdentityCommand(path: String)
     Seq(Row(LakeTable.syncIdentity(spark, path)))
 }
 
+/** `SHOW TBLPROPERTIES <lake>` → one (key, value) row per
+  * configuration entry, sorted by key. */
+case class GraftShowPropertiesCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    LakeTable.properties(spark, path).toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
+}
+
 /** `ALTER TABLE <lake> SET TBLPROPERTIES ('k'='v', …)` →
   * [[LakeTable.setProperties]]. */
 case class GraftSetPropertiesCommand(path: String,

@@ -496,6 +496,14 @@ class LakeSqlSpec extends AnyFunSuite {
     assert(!IcebergMeta.snapshot(spark, iroot).properties
       .contains("commit.manifest.min-count-to-merge"))
     assert(IcebergTable.read(spark, iroot).count() == customer.count())
+
+    // SHOW TBLPROPERTIES surfaces the map, both formats
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft_delta.`$droot`")
+    assert(shown.columns.toSeq == Seq("key", "value"))
+    assert(shown.where(col("key") === "delta.logRetentionDuration")
+      .select("value").head().getString(0) == "interval 30 days")
+    assert(spark.sql(s"SHOW TBLPROPERTIES graft_iceberg.`$iroot`")
+      .count() >= 1) // graft.field-ids at least
   }
 
   test("ALTER TABLE ... CLUSTER BY declares liquid clustering; NONE " +
