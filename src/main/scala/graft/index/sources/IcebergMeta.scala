@@ -217,8 +217,12 @@ object IcebergMeta {
       location: String, properties: Map[String, String]): Seq[String] = {
     if (!properties.get("write.metadata.delete-after-commit.enabled")
         .contains("true")) return Nil
+    // tolerant parse — this runs AFTER the commit fence, where a junk
+    // value (planted by an external writer; our setProperties
+    // validates) must never fail an already-committed write
     val keep = math.max(1, properties
-      .get("write.metadata.previous-versions-max").map(_.toInt).getOrElse(100))
+      .get("write.metadata.previous-versions-max")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(100))
     val dir = metadataDir(location)
     val docs = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".metadata.json"))
@@ -517,6 +521,45 @@ object IcebergMeta {
   private[sources] def readManifestListRecords(fs: FileSystem,
       path: String): Seq[GenericRecord] =
     readAvro(fs, path)
+
+  /** A snapshot JSON's id (absent/malformed → None). */
+  private[sources] def snapshotIdOf(s: JValue): Option[Long] =
+    (s \ "snapshot-id") match {
+      case JInt(n) => Some(n.toLong)
+      case JLong(n) => Some(n)
+      case _ => None
+    }
+
+  /** The resolved manifest-list path of `snapshotId` within a
+    * metadata document's snapshots array — the ONE resolution shared
+    * by fast appends, the orphan sweep, and the inspection table.
+    * None when the snapshot is absent or is a v1 snapshot carrying an
+    * inline `manifests` array instead ([[inlineManifestsOf]]). */
+  private[sources] def manifestListPathOf(location: String,
+      snapshots: Seq[JValue], snapshotId: Long): Option[String] =
+    snapshots.find(snapshotIdOf(_).contains(snapshotId))
+      .flatMap(s => (s \ "manifest-list") match {
+        case JString(ml) => Some(resolve(location, ml))
+        case _ => None
+      })
+
+  /** A v1 snapshot's inline `manifests` array (data manifests listed
+    * directly on the snapshot, no manifest-list file). */
+  private[sources] def inlineManifestsOf(s: JValue): Seq[String] =
+    (s \ "manifests") match {
+      case JArray(ms) => ms.collect { case JString(m) => m }
+      case _ => Nil
+    }
+
+  /** Every data_file path a manifest lists, ANY status and either
+    * content kind — the orphan sweep's notion of "referenced" (a
+    * DELETED entry's file may still serve an older snapshot, so the
+    * sweep keeps it; expiration owns removing history). */
+  private[sources] def manifestEntryPaths(fs: FileSystem,
+      path: String): Seq[String] =
+    readAvro(fs, path).flatMap(r => Option(r.get("data_file")).collect {
+      case df: GenericRecord => df.get("file_path").toString
+    })
 
   private[sources] def readManifestList(fs: FileSystem, path: String): Seq[(String, Int)] =
     readAvro(fs, path).map { r =>
@@ -1876,15 +1919,26 @@ object IcebergTable {
     // from the hive path, so the one pruning evaluator covers both.
     val statsByPath = partitionedFooterStats(spark, df.schema, parts,
       added.map(_.getPath.toString))
+    // ZERO-ROW staged files (an idle micro-batch's empty part) are
+    // dropped here, not committed: a streaming sink firing empty
+    // triggers would otherwise accumulate an empty data file — and,
+    // on the fast-append path, an empty manifest — per trigger
+    added.filter(s => statsByPath.get(s.getPath.toString)
+        .flatMap(_.numRecords).exists(_ == 0L))
+      .foreach(s => fs.delete(s.getPath, false))
+    val addedNonEmpty = added.filter(s =>
+      statsByPath.get(s.getPath.toString)
+        .flatMap(_.numRecords).forall(_ != 0L))
     publishSnapshot(spark, location, prior, df.schema,
       if (replaceData && prior.isDefined) "overwrite" else "append",
       dataExisting =
         if (replaceData) Nil
         else prior.toSeq.flatMap(p =>
           p.files.map(f => (f, p.dataSeq.getOrElse(f.path, 0L)))),
-      dataAdded = added.map(s => DeltaFileMeta(s.getPath.toString, s.getLen, 0L,
-        stats = statsByPath.get(s.getPath.toString)
-          .flatMap(DeltaStats.render(_, df.schema)))),
+      dataAdded = addedNonEmpty.map(s =>
+        DeltaFileMeta(s.getPath.toString, s.getLen, 0L,
+          stats = statsByPath.get(s.getPath.toString)
+            .flatMap(DeltaStats.render(_, df.schema)))),
       deleteExisting =
         if (replaceData) Nil else prior.toSeq.flatMap(_.deleteFiles),
       deleteAdded = Nil,
@@ -2411,6 +2465,22 @@ object IcebergTable {
   def rewriteManifests(spark: SparkSession, location: String): Long = {
     val prior = IcebergMeta.snapshot(spark, location)
     if (prior.snapshotId < 0) return prior.snapshotId
+    // already compact (one manifest per content kind): a nightly
+    // maintenance call on a quiet table must be a no-op, not an
+    // O(files) rewrite plus a spurious history entry
+    val fs = new Path(location).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val metaJson = JsonMethods.parse(IcebergMeta.readString(
+      fs, IcebergMeta.currentMetadataFile(fs, location)))
+    val compactAlready = IcebergMeta.manifestListPathOf(location,
+      (metaJson \ "snapshots") match {
+        case JArray(s) => s
+        case _ => Nil
+      }, prior.snapshotId).exists { ml =>
+      val kinds = IcebergMeta.readManifestList(fs, ml).map(_._2)
+      kinds.count(_ == 0) <= 1 && kinds.count(_ == 1) <= 1
+    }
+    if (compactAlready) return prior.snapshotId
     publishSnapshot(spark, location, Some(prior), prior.schema, "replace",
       dataExisting =
         prior.files.map(f => (f, prior.dataSeq.getOrElse(f.path, 0L))),
@@ -2973,14 +3043,47 @@ object IcebergTable {
     version
   }
 
+  /** `graft.*` properties are ENGINE bookkeeping — txn idempotence
+    * watermarks (`graft.txn.<appId>`: overwriting one makes the
+    * exactly-once sink silently skip batches) and the field-id
+    * guarantee (`graft.field-ids`: flipping it corrupts id-based
+    * schema resolution). Refused by the property verbs. */
+  private def guardIcebergProperties(keys: Iterable[String],
+      verb: String): Unit =
+    keys.find(_.startsWith("graft.")).foreach { k =>
+      throw new IllegalArgumentException(
+        s"$verb: property '$k' is engine bookkeeping (txn watermarks, " +
+          "field-id guarantees) maintained by the write paths — it " +
+          "cannot be set or removed by hand")
+    }
+
+  /** Writer knobs read as numbers: validated HERE, at declaration
+    * time, because the read sites run after a commit fence (a junk
+    * value must fail the SET, never a later committed append). */
+  private val NumericProperties = Seq(
+    "commit.manifest.min-count-to-merge",
+    "write.metadata.previous-versions-max")
+
   /** SET table properties (the `ALTER TABLE … SET TBLPROPERTIES`
     * verb): a metadata-only commit merging `props` over the current
     * map — the switchboard for writer behaviors keyed off properties
     * (`commit.manifest.min-count-to-merge`,
-    * `write.metadata.delete-after-commit.enabled`, …). Pass a null/
-    * empty value through [[unsetProperties]] to remove keys. */
+    * `write.metadata.delete-after-commit.enabled`, …). Engine
+    * bookkeeping keys (`graft.*`) refuse; numeric knobs validate. */
   def setProperties(spark: SparkSession, location: String,
-      props: Map[String, String]): Long =
+      props: Map[String, String]): Long = {
+    guardIcebergProperties(props.keys, s"setProperties at $location")
+    NumericProperties.foreach(k => props.get(k).foreach { v =>
+      require(scala.util.Try(v.toInt).toOption.exists(_ >= 1),
+        s"setProperties at $location: '$k' must be a positive integer, " +
+          s"got '$v'")
+    })
+    props.get("write.metadata.delete-after-commit.enabled").foreach { v =>
+      require(v == "true" || v == "false",
+        s"setProperties at $location: " +
+          s"'write.metadata.delete-after-commit.enabled' must be " +
+          s"true or false, got '$v'")
+    }
     publishMetadataOnly(spark, location) { j =>
       val current: List[(String, JValue)] = (j \ "properties") match {
         case JObject(fields) => fields
@@ -2990,10 +3093,12 @@ object IcebergTable {
         .toList.sortBy(_._1)
       setFields(j, "properties" -> JObject(merged))
     }
+  }
 
   /** REMOVE table properties (`ALTER TABLE … UNSET TBLPROPERTIES`). */
   def unsetProperties(spark: SparkSession, location: String,
-      keys: Set[String]): Long =
+      keys: Set[String]): Long = {
+    guardIcebergProperties(keys, s"unsetProperties at $location")
     publishMetadataOnly(spark, location) { j =>
       val current: List[(String, JValue)] = (j \ "properties") match {
         case JObject(fields) => fields
@@ -3002,6 +3107,7 @@ object IcebergTable {
       setFields(j, "properties" -> JObject(
         current.filterNot { case (k, _) => keys.contains(k) }))
     }
+  }
 
   private def renderRefs(refs: Map[String, IceRef]): JValue =
     JObject("refs" -> JObject(refs.toList.sortBy(_._1).map { case (n, r) =>
@@ -3265,28 +3371,33 @@ object IcebergTable {
     val j = JsonMethods.parse(IcebergMeta.readString(fs, metaFile))
 
     // the LIVE set: every retained snapshot's manifest list, manifests,
-    // and data/delete files
+    // and every file those manifests mention (any entry status, both
+    // content kinds — conservative). ONE walk: manifests shared across
+    // snapshots (fast appends) are read once, and v1 snapshots with
+    // inline `manifests` arrays contribute theirs too — skipping them
+    // would sweep a readable table's data as orphans.
     val live = mutable.Set.empty[String]
+    val seenManifests = mutable.Set.empty[String]
+    def addManifest(mp: String): Unit = {
+      val n = DeltaTable.normPath(mp)
+      live += n
+      if (seenManifests.add(n))
+        IcebergMeta.manifestEntryPaths(fs, mp)
+          .foreach(p => live += DeltaTable.normPath(p))
+    }
     ((j \ "snapshots") match {
       case JArray(snaps) => snaps
       case _ => Nil
     }).foreach { s =>
-      ((s \ "snapshot-id"), (s \ "manifest-list")) match {
-        case (sid, JString(ml)) =>
-          val id = sid match {
-            case JInt(n) => n.toLong
-            case JLong(n) => n
-            case _ => -1L
-          }
+      (s \ "manifest-list") match {
+        case JString(ml) =>
           val mlPath = IcebergMeta.resolve(location, ml)
           live += DeltaTable.normPath(mlPath)
           IcebergMeta.readManifestList(fs, mlPath).foreach { case (m, _) =>
-            live += DeltaTable.normPath(IcebergMeta.resolve(location, m))
+            addManifest(IcebergMeta.resolve(location, m))
           }
-          val snap = IcebergMeta.snapshot(spark, location, Some(id))
-          snap.files.foreach(f => live += DeltaTable.normPath(f.path))
-          snap.deleteFiles.foreach(d => live += DeltaTable.normPath(d.path))
-        case _ =>
+        case _ => IcebergMeta.inlineManifestsOf(s).foreach(m =>
+          addManifest(IcebergMeta.resolve(location, m)))
       }
     }
 
@@ -3478,24 +3589,21 @@ object IcebergTable {
       if (!appendOnly || prior.isEmpty || deleteAdded.nonEmpty ||
           schemaJsonOverride.isDefined) None
       else {
-        def jidOf(s: JValue): Option[Long] = (s \ "snapshot-id") match {
-          case JInt(n) => Some(n.toLong)
-          case JLong(n) => Some(n)
-          case _ => None
-        }
-        val priorMl: Option[String] = priorSnapshots
-          .find(jidOf(_).contains(prior.get.snapshotId))
-          .flatMap(s => (s \ "manifest-list") match {
-            case JString(ml) => Some(IcebergMeta.resolve(location, ml))
-            case _ => None // v1 inline "manifests": full rewrite migrates it
-          })
-        priorMl.flatMap { ml =>
+        // v1 inline "manifests" snapshots return None: the full rewrite
+        // below migrates them to a manifest list
+        IcebergMeta.manifestListPathOf(location, priorSnapshots,
+            prior.get.snapshotId).flatMap { ml =>
           val records = IcebergMeta.readManifestListRecords(fs, ml)
             .map(rebuildManifestListEntry)
+          // tolerant parse: external writers may have planted junk in
+          // the property (our own setProperties validates it) — a
+          // malformed knob must not fail committed appends
           val mergeMin = tblProperties
-            .get("commit.manifest.min-count-to-merge").map(_.toInt)
+            .get("commit.manifest.min-count-to-merge")
+            .flatMap(v => scala.util.Try(v.toInt).toOption)
             .orElse(spark.conf.getOption(
-              "spark.graft.iceberg.manifestMergeMinCount").map(_.toInt))
+              "spark.graft.iceberg.manifestMergeMinCount")
+              .flatMap(v => scala.util.Try(v.toInt).toOption))
             .getOrElse(100)
           val dataCount = records.count(r => r.get("content") == Int.box(0))
           if (dataCount + 1 > mergeMin) None else Some(records)
@@ -3607,8 +3715,17 @@ object IcebergTable {
     // manifests): racing writers never collide here, so the metadata
     // file below is the SINGLE commit fence and cleanup is exact
     val writerTag = java.util.UUID.randomUUID().toString.take(8)
-    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d-$writerTag.avro")
-    val manifestLen = writeAvro(fs, manifestPath, dataManifestSchema, dataEntries)
+    // an EMPTY fast append (idle micro-batch) reuses the prior list
+    // as-is: writing a zero-entry manifest per idle trigger would grow
+    // the list — and the merge counter — with nothing (real Iceberg
+    // skips empty manifests too). The full path always writes its
+    // manifest: a created-empty table needs one as its state anchor.
+    val dataManifest: Option[(Path, Long)] =
+      if (fastManifests.isDefined && dataEntries.isEmpty) None
+      else {
+        val mp = new Path(metaDir, f"manifest-$snapshotId%05d-$writerTag.avro")
+        Some((mp, writeAvro(fs, mp, dataManifestSchema, dataEntries)))
+      }
     val deleteManifest: Option[(Path, Long)] =
       if (deleteEntries.isEmpty) None
       else {
@@ -3667,7 +3784,7 @@ object IcebergTable {
     val manifestList = new Path(metaDir, f"snap-$snapshotId%05d-$writerTag.avro")
     writeAvro(fs, manifestList, ManifestListSchema,
       fastManifests.getOrElse(Nil) ++
-        Seq(mlEntry(manifestPath, manifestLen, 0)) ++
+        dataManifest.map { case (p, l) => mlEntry(p, l, 0) } ++
         deleteManifest.map { case (p, l) => mlEntry(p, l, 1) })
 
     val now = System.currentTimeMillis()
@@ -3741,7 +3858,7 @@ object IcebergTable {
       case e: Throwable =>
         (dataAdded.map(_.path) ++ deleteAdded.map(_.path))
           .foreach(p => fs.delete(new Path(p), false))
-        fs.delete(manifestPath, false)
+        dataManifest.foreach { case (p, _) => fs.delete(p, false) }
         deleteManifest.foreach { case (p, _) => fs.delete(p, false) }
         fs.delete(manifestList, false)
         throw e

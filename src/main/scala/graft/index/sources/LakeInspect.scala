@@ -138,15 +138,11 @@ object LakeInspect {
       case JLong(n) => n
       case _ => return Seq.empty[LakeManifestRow].toDF()
     }
+    // v1 snapshots with inline `manifests` have no manifest-list tier
+    // to inspect: empty result, matching the schema
     val ml: Option[String] = (j \ "snapshots") match {
-      case JArray(snaps) => snaps.find(s => (s \ "snapshot-id") match {
-        case JInt(n) => n.toLong == currentId
-        case JLong(n) => n == currentId
-        case _ => false
-      }).flatMap(s => (s \ "manifest-list") match {
-        case JString(m) => Some(IcebergMeta.resolve(path, m))
-        case _ => None
-      })
+      case JArray(snaps) =>
+        IcebergMeta.manifestListPathOf(path, snaps, currentId)
       case _ => None
     }
     val rows = ml.toSeq.flatMap(IcebergMeta.readManifestListRecords(fs, _))

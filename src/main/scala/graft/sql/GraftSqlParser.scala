@@ -98,16 +98,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         .map(m2 => m2.group(1) -> m2.group(2)).toMap
       require(props.nonEmpty,
         s"SET TBLPROPERTIES: no 'key'='value' pairs in ($raw)")
+      requireFullyParsed(raw, PropEntryRe, "SET TBLPROPERTIES")
       return GraftSetPropertiesCommand(target(sp), props)
     }
     val shp = ShowPropsRe.matcher(sqlText)
     if (shp.matches()) return GraftShowPropertiesCommand(target(shp))
     val up = UnsetPropsRe.matcher(sqlText)
     if (up.matches()) {
-      val keys = PropKeyRe.findAllMatchIn(up.group("keys"))
-        .map(_.group(1)).toSet
+      val raw = up.group("keys")
+      val keys = PropKeyRe.findAllMatchIn(raw).map(_.group(1)).toSet
       require(keys.nonEmpty,
-        s"UNSET TBLPROPERTIES: no 'key' entries in (${up.group("keys")})")
+        s"UNSET TBLPROPERTIES: no 'key' entries in ($raw)")
+      requireFullyParsed(raw, PropKeyRe, "UNSET TBLPROPERTIES")
       return GraftUnsetPropertiesCommand(target(up), keys)
     }
     val ct = CreateRe.matcher(sqlText)
@@ -213,17 +215,29 @@ object GraftSqlParser {
   private val ClusterByRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+CLUSTER\\s+BY\\s+""" +
       """(?:NONE|\((?<cols>[^)]+)\))""")
-  // ALTER TABLE <lake> SET TBLPROPERTIES ('k'='v', ...)
+  // ALTER TABLE <lake> SET TBLPROPERTIES ('k'='v', ...) — the body is
+  // greedy-to-last-paren so a ')' INSIDE a quoted value still parses
   private val SetPropsRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+SET\\s+TBLPROPERTIES\\s*""" +
-      """\((?<props>[^)]+)\)""")
+      """\((?<props>.+)\)\s*""")
   // ALTER TABLE <lake> UNSET TBLPROPERTIES ('k', ...)
   private val UnsetPropsRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+UNSET\\s+TBLPROPERTIES\\s*""" +
-      """\((?<keys>[^)]+)\)""")
+      """\((?<keys>.+)\)\s*""")
   private val PropEntryRe =
     """'([^']*)'\s*=\s*'([^']*)'""".r
   private val PropKeyRe = """'([^']*)'""".r
+
+  /** After extracting the quoted entries, ONLY commas and whitespace
+    * may remain — a malformed entry (unquoted key, missing `=`) must
+    * refuse loudly, never be silently dropped. */
+  private def requireFullyParsed(raw: String, entryRe: scala.util.matching.Regex,
+      what: String): Unit = {
+    val residue = entryRe.replaceAllIn(raw, "").replaceAll("[,\\s]+", "")
+    require(residue.isEmpty,
+      s"$what: unparsable text '$residue' in ($raw) — entries must be " +
+        "'key'='value' (SET) or 'key' (UNSET), single-quoted")
+  }
   // SHOW TBLPROPERTIES <lake>
   private val ShowPropsRe = re(
     s"""SHOW\\s+TBLPROPERTIES\\s+$TargetSrc""")

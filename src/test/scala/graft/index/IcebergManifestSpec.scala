@@ -125,12 +125,20 @@ class IcebergManifestSpec extends AnyFunSuite {
       fromSnapshotId = 3L).count() == 0,
       "a manifest rewrite leaked rows into the incremental feed")
 
-    // a later append fast-appends on the compacted list
+    // rewriting an ALREADY-compact list is a no-op: same snapshot id,
+    // no spurious history entry
+    assert(IcebergTable.rewriteManifests(spark, loc) == sid)
+    assert(IcebergTable.history(spark, loc).count() == 4)
+
+    // an EMPTY fast append (idle micro-batch) reuses the prior list —
+    // no zero-entry manifest accumulates; a real append then stacks one
     IcebergTable.append(customer.limit(0), loc)
+    assert(dataManifests(loc).size == 1,
+      s"an idle append grew the manifest list: ${dataManifests(loc)}")
     val extra = customer.filter($"c_custkey" <= 5)
       .withColumn("c_custkey", $"c_custkey" + 1000000L)
     IcebergTable.append(extra, loc)
-    assert(dataManifests(loc).size == 3)
+    assert(dataManifests(loc).size == 2)
     assert(IcebergTable.read(spark, loc).count() ==
       customer.count() + extra.count())
   }

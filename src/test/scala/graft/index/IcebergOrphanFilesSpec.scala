@@ -76,6 +76,46 @@ class IcebergOrphanFilesSpec extends AnyFunSuite {
       .exists(_.getPath.getName.endsWith(".metadata.json")))
   }
 
+  test("a v1 snapshot's INLINE manifests protect their files from the sweep") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val loc = tmp("graft-ice-orphan-v1-")
+    IcebergTable.create(customer.limit(40), loc)
+    val fs = fsOf(loc)
+    // rewrite the metadata to the v1 shape: the snapshot lists its data
+    // manifests INLINE and drops the manifest-list file reference
+    val metaDir = new Path(loc, "metadata")
+    val metaFile = fs.listStatus(metaDir).map(_.getPath)
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    val j = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(metaFile.toUri)), "UTF-8"))
+    val dataManifests: List[JValue] = fs.listStatus(metaDir).toList
+      .map(_.getPath).filter(_.getName.startsWith("manifest-"))
+      .map(p => JString(p.toString): JValue)
+    assert(dataManifests.nonEmpty)
+    val v1 = j transformField {
+      case ("snapshots", JArray(snaps)) =>
+        ("snapshots", JArray(snaps.map(s => JObject(
+          s.asInstanceOf[JObject].obj.filterNot(_._1 == "manifest-list") :+
+            ("manifests" -> (JArray(dataManifests): JValue))))))
+    }
+    val os = fs.create(metaFile, true)
+    os.write(JsonMethods.pretty(JsonMethods.render(v1)).getBytes("UTF-8"))
+    os.close()
+    assert(IcebergTable.read(spark, loc).count() == 40) // v1 shape reads
+
+    val removed = IcebergTable.removeOrphanFiles(spark, loc,
+      olderThanMs = Some(System.currentTimeMillis() + 60000))
+    // the now-unreferenced manifest-list file may go; the inline
+    // manifests and every data file they mention MUST survive
+    assert(!removed.exists(_.contains("/data/")),
+      s"v1 inline manifests' data files were swept: $removed")
+    assert(!removed.exists(_.contains("manifest-00001")),
+      s"an inline-referenced manifest was swept: $removed")
+    assert(IcebergTable.read(spark, loc).count() == 40)
+  }
+
   test("dryRun lists the orphans without deleting them") {
     val loc = tmp("graft-ice-orphan-dry-")
     IcebergTable.create(customer.limit(20), loc)

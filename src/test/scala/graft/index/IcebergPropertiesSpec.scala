@@ -55,6 +55,33 @@ class IcebergPropertiesSpec extends AnyFunSuite {
     assert(IcebergTable.read(spark, loc).count() == 30)
   }
 
+  test("engine bookkeeping keys and junk numeric values refuse at SET time") {
+    val loc = tmp("graft-ice-props-guard-")
+    IcebergTable.create(customer.limit(10), loc)
+    // graft.* keys are engine state: a hand-set txn watermark would
+    // make the exactly-once sink silently skip batches
+    val e1 = intercept[IllegalArgumentException](
+      IcebergTable.setProperties(spark, loc, Map("graft.txn.etl" -> "999")))
+    assert(e1.getMessage.contains("engine bookkeeping"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergTable.unsetProperties(spark, loc, Set("graft.field-ids")))
+    assert(e2.getMessage.contains("engine bookkeeping"), e2.getMessage)
+    // numeric knobs validate at declaration — their read sites run
+    // after commit fences and must never fail a committed write
+    val e3 = intercept[IllegalArgumentException](
+      IcebergTable.setProperties(spark, loc,
+        Map("write.metadata.previous-versions-max" -> "ten")))
+    assert(e3.getMessage.contains("positive integer"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      IcebergTable.setProperties(spark, loc,
+        Map("write.metadata.delete-after-commit.enabled" -> "yes")))
+    assert(e4.getMessage.contains("true or false"), e4.getMessage)
+    // and a junk value planted by an EXTERNAL writer degrades to the
+    // default instead of failing the committed append
+    graft.index.sources.IcebergTable.append(customer.limit(1), loc)
+    assert(IcebergTable.read(spark, loc).count() == 11)
+  }
+
   test("a property drives writer behavior: min-count-to-merge from the table") {
     val loc = tmp("graft-ice-props-merge-")
     IcebergTable.create(customer.filter($"c_custkey" % 3 === 0), loc)

@@ -497,6 +497,18 @@ class LakeSqlSpec extends AnyFunSuite {
       .contains("commit.manifest.min-count-to-merge"))
     assert(IcebergTable.read(spark, iroot).count() == customer.count())
 
+    // a malformed entry refuses loudly instead of being silently
+    // dropped (an ignored 'delta.appendOnly' would be a silent
+    // enforcement gap), and a ')' inside a quoted value parses
+    val bad = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_delta.`$droot` SET TBLPROPERTIES " +
+        "('owner' = 'etl', delta.appendOnly = 'true')"))
+    assert(bad.getMessage.contains("unparsable"), bad.getMessage)
+    spark.sql(s"ALTER TABLE graft_delta.`$droot` SET TBLPROPERTIES " +
+      "('comment' = 'see (docs)')")
+    assert(DeltaLog.snapshot(spark, droot).configuration
+      .get("comment").contains("see (docs)"))
+
     // SHOW TBLPROPERTIES surfaces the map, both formats
     val shown = spark.sql(s"SHOW TBLPROPERTIES graft_delta.`$droot`")
     assert(shown.columns.toSeq == Seq("key", "value"))
