@@ -1499,7 +1499,11 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     * nonEmpty), move the produced files into the table preserving
     * partition subpaths, and return the landed statuses. */
   private def stageNewFiles(fs: FileSystem, root: Path,
-      physRows: DataFrame, physParts: Seq[String]): Seq[FileStatus] = {
+      physRows: DataFrame, physParts: Seq[String],
+      // runs BETWEEN the stage write and the move: validation against
+      // the materialized rows (a throw deletes the stage and refuses
+      // the write with the table untouched)
+      validateStaged: Option[Path => Unit] = None): Seq[FileStatus] = {
     val stage = new Path(root,
       s".graft-stage-${java.util.UUID.randomUUID().toString}")
     // hash-distribute on the partition values first (delta-spark's
@@ -1511,6 +1515,11 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     val writer = clustered.write.mode(SaveMode.Append)
     (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
       .parquet(stage.toString)
+    validateStaged.foreach { v =>
+      try v(stage) catch {
+        case t: Throwable => fs.delete(stage, true); throw t
+      }
+    }
     val stageUri = fs.makeQualified(stage).toUri
     val added = dataFiles(fs, stage).map { s =>
       val rel = stageUri.relativize(s.getPath.toUri).getPath
@@ -1675,10 +1684,17 @@ object DeltaTable extends org.apache.spark.internal.Logging {
           s"${uf.dataType.simpleString} but the table declares " +
           s"${tf.dataType.simpleString}; cast inside the expression")
     }
-    enforceConstraints(prior, rootStr, updated, "update")
     val physUpd = if (cmMode == "none") updated
       else DeltaColumnMapping.toPhysical(updated, prior.schema)
-    val added = stageNewFiles(fs, root, physUpd, physParts)
+    // rules enforce against the STAGED rows — the exact bytes the
+    // commit publishes — not a re-execution of the SET expressions
+    val physToLogical: Map[String, String] =
+      if (cmMode == "none") Map.empty
+      else prior.schema.fields.toSeq
+        .map(f => DeltaColumnMapping.physicalName(f) -> f.name).toMap
+    val added = stageNewFiles(fs, root, physUpd, physParts,
+      validateStaged = Some(st => enforceConstraintsOnStage(
+        spark, prior, rootStr, st, "update", physToLogical)))
 
     // ---- CDF: exact pre/post pairs ----
     val (cdcLines, cdcPaths): (Seq[JValue], Seq[Path]) =
@@ -1826,10 +1842,6 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       .select(tableCols.map(col): _*)
     val ups = flagged.filter(!col("__graft_is_delete"))
       .select(tableCols.map(col): _*)
-    // upserted rows (updates + inserts) must satisfy the table's rules;
-    // delete markers remove rows and need no check
-    enforceConstraints(prior, rootStr, ups, "merge")
-
     val cmMode = DeltaColumnMapping.mode(prior.configuration)
     val physParts = prior.partitionColumns.map { n =>
       if (cmMode == "none") n
@@ -1883,7 +1895,16 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     // are the post-image versions of their DV-deleted predecessors) ----
     val physUps = if (cmMode == "none") ups
       else DeltaColumnMapping.toPhysical(ups, prior.schema)
-    val added = stageNewFiles(fs, root, physUps, physParts)
+    // upserted rows (updates + inserts) must satisfy the table's rules,
+    // enforced against the STAGED rows (the published truth — see
+    // enforceConstraintsOnStage); delete markers remove rows, no check
+    val mergePhysToLogical: Map[String, String] =
+      if (cmMode == "none") Map.empty
+      else prior.schema.fields.toSeq
+        .map(f => DeltaColumnMapping.physicalName(f) -> f.name).toMap
+    val added = stageNewFiles(fs, root, physUps, physParts,
+      validateStaged = Some(st => enforceConstraintsOnStage(
+        spark, prior, rootStr, st, "merge", mergePhysToLogical)))
     if (merged.isEmpty && added.isEmpty) return prior.version // no-op merge
 
     // ---- CDF: classify the merge's row-level effect against the LIVE
@@ -3094,6 +3115,48 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Do any rules exist that [[enforceConstraints]] would check? Lets
+    * rule-free writes skip the staged-validation scan entirely. */
+  private def hasEnforceableRules(p: DeltaSnapshot, rootStr: String): Boolean =
+    constraintExprs(p, rootStr).nonEmpty || generatedFields(p.schema).nonEmpty
+
+  /** Enforce the table's rules against the STAGED files — the rows the
+    * commit will actually publish — instead of re-evaluating the
+    * incoming query. Two reasons this is load-bearing: a
+    * NON-DETERMINISTIC source (rand(), an uncached shuffle under
+    * retries) can pass a pre-write check yet materialize different,
+    * violating rows in the write itself; and a deterministic source
+    * would otherwise execute its whole plan twice per checked write.
+    * The staged scan is a local columnar read of exactly the new
+    * bytes. `physToLogical` restores logical names for column-mapped
+    * stages (empty = names already logical); partition values come
+    * back through the stage's own hive dirs. On violation the caller's
+    * cleanup runs via the thrown refusal. */
+  private def enforceConstraintsOnStage(spark: SparkSession,
+      p: DeltaSnapshot, rootStr: String, stage: Path, kind: String,
+      physToLogical: Map[String, String]): Unit = {
+    if (!hasEnforceableRules(p, rootStr)) return
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read.option("basePath", stage.toString)
+      .parquet(stage.toString)
+    val logical =
+      if (physToLogical.isEmpty) raw
+      else raw.select(raw.columns.toSeq.map(c =>
+        col(s"`$c`").as(physToLogical.getOrElse(c, c))): _*)
+    // hive-dir partition columns infer their own types: restore the
+    // table's declared types so rule expressions see the real schema.
+    // Cast only columns the table declares — an overwrite's staged
+    // frame may legitimately add or drop columns (rules referencing a
+    // dropped column fail in expression analysis, as before)
+    val typed = logical.select(logical.columns.toSeq.map { c =>
+      p.schema.fields.find(_.name == c) match {
+        case Some(f) => col(s"`$c`").cast(f.dataType).as(c)
+        case None => col(s"`$c`")
+      }
+    }: _*)
+    enforceConstraints(p, rootStr, typed, kind)
+  }
+
   /** Fields declared GENERATED (`delta.generationExpression` metadata). */
   private def generatedFields(s: StructType): Seq[StructField] =
     s.fields.toSeq.filter(_.metadata.contains("delta.generationExpression"))
@@ -3305,17 +3368,23 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     }
     val now = System.currentTimeMillis()
     val version = prior.version + 1
+    // checkConstraints is WRITER-only: the reader protocol must stay
+    // where it was (bumping it would lock legacy readers out of a
+    // table that imposes zero new reader obligations) — the spec only
+    // allows a readerFeatures list when minReaderVersion >= 3
     val protocolLine: Option[JValue] =
       if (prior.minWriterVersion >= 7) {
         if (prior.writerFeatures.contains("checkConstraints")) None
-        else Some(JObject("protocol" -> JObject(
-          "minReaderVersion" -> JInt(prior.minReaderVersion.max(3)),
-          "minWriterVersion" -> JInt(7),
-          "readerFeatures" -> JArray(
-            prior.readerFeatures.toList.sorted.map(JString(_))),
-          "writerFeatures" -> JArray(
-            (prior.writerFeatures + "checkConstraints")
-              .toList.sorted.map(JString(_))))))
+        else Some(JObject("protocol" -> (JObject(
+          List("minReaderVersion" -> (JInt(prior.minReaderVersion): JValue),
+            "minWriterVersion" -> (JInt(7): JValue)) ++
+            (if (prior.minReaderVersion >= 3)
+              List("readerFeatures" -> (JArray(
+                prior.readerFeatures.toList.sorted.map(JString(_))): JValue))
+            else Nil) ++
+            List("writerFeatures" -> (JArray(
+              (prior.writerFeatures + "checkConstraints")
+                .toList.sorted.map(JString(_))): JValue))): JValue)))
       } else if (prior.minWriterVersion < 3) {
         Some(JObject("protocol" -> JObject(
           "minReaderVersion" -> JInt(prior.minReaderVersion),
@@ -3633,9 +3702,6 @@ object DeltaTable extends org.apache.spark.internal.Logging {
             }
         }
     }
-    prior.foreach(p => enforceConstraints(p, rootStr, dfIn,
-      if (overwrite) "overwrite" else "append"))
-
     // COLUMN MAPPING: appends write under the table's physical names;
     // an overwrite re-assigns a fresh mapping over the new schema
     // (continuing maxColumnId) so the table STAYS mapped — that keeps
@@ -3723,8 +3789,14 @@ object DeltaTable extends org.apache.spark.internal.Logging {
           partitionBy.map(n => physByLogical.getOrElse(n, n)),
           prior.get.schemaString, prior.get.configuration)
       } else {
+        // an overwrite of a MAPPED table carries the declared-rule
+        // field metadata (identity / generation / invariants) onto
+        // same-named columns BEFORE assigning the fresh mapping — the
+        // same contract as the unmapped branch, which the final
+        // metaData block applies only when cmMode == "none"
+        val carried = carryFieldMetadata(dfIn.schema, prior.get.schema)
         val (mapped, maxId) =
-          DeltaColumnMapping.assignMapping(dfIn.schema, priorMaxId)
+          DeltaColumnMapping.assignMapping(carried, priorMaxId)
         (dfIn, partitionBy, mapped.json, prior.get.configuration +
           (DeltaColumnMapping.MaxIdKey -> maxId.toString))
       }
@@ -3736,6 +3808,21 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     val writer = physDf.write.mode(SaveMode.Append)
     (if (physPartitionBy.nonEmpty) writer.partitionBy(physPartitionBy: _*) else writer)
       .parquet(stage.toString)
+    // CHECK constraints / invariants / provided-generated-column rules
+    // enforce against the STAGED rows — the exact bytes this commit
+    // would publish — so a non-deterministic source can never pass a
+    // pre-check yet materialize violating rows, and a deterministic
+    // source never executes twice (see enforceConstraintsOnStage). A
+    // violation deletes the stage; the table is untouched.
+    prior.foreach { p =>
+      val physToLogical: Map[String, String] =
+        if (cmMode == "none" || overwrite) Map.empty
+        else p.schema.fields.toSeq
+          .map(f => DeltaColumnMapping.physicalName(f) -> f.name).toMap
+      try enforceConstraintsOnStage(spark, p, rootStr, stage,
+        if (overwrite) "overwrite" else "append", physToLogical)
+      catch { case t: Throwable => fs.delete(stage, true); throw t }
+    }
     val staged = dataFiles(fs, stage)
     val stageUri = fs.makeQualified(stage).toUri
     val added: Seq[FileStatus] = staged.map { s =>

@@ -3285,12 +3285,23 @@ object IcebergTable {
       })
     }.toMap
     val retainIds: Set[Long] = {
+      // the walk stops only at the MAIN LINE (current + its ancestors)
+      // or a snapshot another branch walk already kept — NOT at any
+      // retained snapshot: a tag can pin a mid-chain snapshot whose own
+      // ancestry down to main would then expire, and fastForward would
+      // later refuse the cleanly-stacked branch as unverifiable
+      val mainChain = mutable.Set.empty[Long]
+      var mc: Option[Long] = Some(current)
+      while (mc.isDefined && mainChain.add(mc.get))
+        mc = parentOf.get(mc.get).flatten
       var keep = baseRetain
+      val chainWalked = mutable.Set.empty[Long]
       IcebergMeta.parseRefs(j).values
         .filter(r => r.refType == "branch" && r.snapshotId != current)
         .map(_.snapshotId).foreach { head =>
           var cursor = parentOf.get(head).flatten
-          while (cursor.isDefined && !keep.contains(cursor.get)) {
+          while (cursor.isDefined && !mainChain.contains(cursor.get) &&
+              chainWalked.add(cursor.get)) {
             keep += cursor.get
             cursor = parentOf.get(cursor.get).flatten
           }

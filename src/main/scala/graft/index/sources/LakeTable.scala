@@ -122,16 +122,37 @@ object LakeTable {
       case _ => IcebergTable.readTimestampAsOf(spark, path, tsMillis)
     }
 
-  /** Append / INSERT OVERWRITE, format-agnostic (the SQL INSERT path). */
+  /** Append / INSERT OVERWRITE, format-agnostic (the SQL INSERT path).
+    * SQL INSERT semantics: the query's columns bind to the table's
+    * POSITIONALLY (cast + rename; arity mismatch refuses), and an
+    * OVERWRITE replaces the DATA while keeping the table's layout —
+    * a Delta overwrite re-creates under the table's own partition
+    * columns (Iceberg's spec is fixed at create already). */
   def append(spark: SparkSession, path: String, df: DataFrame,
-      overwrite: Boolean = false): Long =
-    formatOf(spark, path) match {
-      case "delta" =>
-        if (overwrite) DeltaTable.create(df, path) else DeltaTable.append(df, path)
-      case _ =>
-        if (overwrite) IcebergTable.overwrite(df, path)
-        else IcebergTable.append(df, path)
+      overwrite: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.col
+    val fmt = formatOf(spark, path)
+    val tableSchema = fmt match {
+      case "delta" => DeltaLog.snapshot(spark, path).schema
+      case _ => IcebergMeta.snapshot(spark, path).schema
     }
+    require(df.schema.length == tableSchema.length,
+      s"INSERT into $path: the query produces ${df.schema.length} " +
+        s"column${if (df.schema.length == 1) "" else "s"} but the table " +
+        s"has ${tableSchema.length} (${tableSchema.fieldNames.mkString(", ")})")
+    val aligned = df.select(df.schema.fields.zip(tableSchema.fields).map {
+      case (src, dst) => col(s"`${src.name}`").cast(dst.dataType).as(dst.name)
+    }.toSeq: _*)
+    fmt match {
+      case "delta" =>
+        if (overwrite) DeltaTable.create(aligned, path,
+          partitionBy = DeltaLog.snapshot(spark, path).partitionColumns)
+        else DeltaTable.append(aligned, path)
+      case _ =>
+        if (overwrite) IcebergTable.overwrite(aligned, path)
+        else IcebergTable.append(aligned, path)
+    }
+  }
 
   /** Commit history, newest first: (version-or-snapshot id, timestamp,
     * operation). */

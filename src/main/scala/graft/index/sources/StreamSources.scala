@@ -785,7 +785,13 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
     (options.get("startingSnapshotId"), options.get("startingTimestamp")) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
         "pass either startingSnapshotId or startingTimestamp, not both")
-      case (Some(v), _) if v.equalsIgnoreCase("latest") => initial.snapshotId
+      // "latest" means the FOLLOWED head — under a branch option that
+      // is the ref's pinned snapshot, not main's (pinning main would
+      // replay the branch's existing unpublished commits the user
+      // explicitly asked to skip). A ref that doesn't exist yet starts
+      // at main's head: the branch will be created there.
+      case (Some(v), _) if v.equalsIgnoreCase("latest") =>
+        val h = headId(); if (h >= 0) h else initial.snapshotId
       case (Some(v), _) => v.toLong
       case (None, Some(ts)) =>
         // serve snapshots committed at or after `ts`: the EXCLUSIVE
@@ -851,7 +857,13 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
     val from = start.map(_.json.toLong).getOrElse(startingSnapshot)
     val endId = end.json.toLong
     val batch =
-      if (from == endId)
+      // `from >= endId` (not just ==): a RESTART replays batch 0 with
+      // start=None, and a drifting starting option ("latest" after the
+      // head advanced) can resolve PAST the checkpointed end — the
+      // replay must reproduce the original empty batch (snapshot ids
+      // are monotone, so an end at-or-before the start holds no rows
+      // this stream hasn't already accounted for)
+      if (from >= endId)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else if (cdc)

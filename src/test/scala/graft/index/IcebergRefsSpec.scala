@@ -134,6 +134,29 @@ class IcebergRefsSpec extends AnyFunSuite {
     IcebergTable.dropRef(spark, loc, "never-existed")
   }
 
+  test("a mid-chain TAG pin never breaks a branch's publish ancestry " +
+      "through expiration") {
+    val loc = tmp("graft-ice-tagchain-")
+    IcebergTable.create(customer.filter($"c_custkey" <= 20), loc)  // snap 1
+    // branch stacks three unpublished commits: 2 -> 3 -> 4
+    IcebergTable.append(customer.filter($"c_custkey" === 21), loc,
+      branch = Some("audit"))                                      // snap 2
+    IcebergTable.append(customer.filter($"c_custkey" === 22), loc,
+      branch = Some("audit"))                                      // snap 3
+    IcebergTable.append(customer.filter($"c_custkey" === 23), loc,
+      branch = Some("audit"))                                      // snap 4
+    // a tag pins the MIDDLE of the branch chain: the retention walk
+    // must keep snapshot 2 anyway (stopping at the tag would expire
+    // it and make the cleanly-stacked branch look unverifiable)
+    IcebergTable.createRef(spark, loc, "mid", refType = "tag", at = Some(3L))
+    IcebergTable.expireSnapshots(spark, loc, keepLast = 1)
+    val published = IcebergTable.fastForward(spark, loc, "audit")
+    assert(published == 4L,
+      s"fastForward failed after tag-pinned expiration: $published")
+    assert(IcebergTable.read(spark, loc).count() ==
+      customer.filter($"c_custkey" <= 23).count())
+  }
+
   test("expiration retains an unpublished branch's ancestor chain so " +
       "fastForward still verifies and publishes") {
     val loc = tmp("graft-ice-refanc-")

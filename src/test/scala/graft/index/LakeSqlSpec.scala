@@ -251,6 +251,31 @@ class LakeSqlSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("column list")), msgs(e).mkString("|"))
   }
 
+  test("INSERT binds positionally and OVERWRITE keeps the table's " +
+      "partitioning and schema") {
+    val root = tmp("graft-sql-insover-")
+    DeltaTable.create(customer.limit(60).select($"c_custkey", $"c_mktsegment"),
+      root, partitionBy = Seq("c_mktsegment"))
+    // the query's aliases and types differ: INSERT binds by POSITION,
+    // casting onto the table's names/types
+    spark.sql(s"INSERT OVERWRITE graft_delta.`$root` " +
+      "SELECT CAST(c_custkey AS INT) AS k, c_mktsegment AS seg " +
+      s"FROM parquet.`${TestSpark.sfDir}/customer.parquet` " +
+      "WHERE c_custkey < 30")
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.partitionColumns == Seq("c_mktsegment"),
+      s"OVERWRITE dropped the table's partitioning: ${snap.partitionColumns}")
+    assert(snap.schema.fieldNames.toSeq == Seq("c_custkey", "c_mktsegment"),
+      s"OVERWRITE replaced the table's schema: ${snap.schema.fieldNames.toSeq}")
+    assert(snap.schema("c_custkey").dataType.simpleString == "bigint",
+      "positional INSERT did not cast to the table's type")
+    assert(DeltaTable.read(spark, root).count() == 30)
+    // arity mismatch refuses
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_delta.`$root` SELECT 1"))
+    assert(e.getMessage.contains("column"), e.getMessage)
+  }
+
   test("RESTORE TABLE ... TO VERSION AS OF rewinds both formats") {
     val droot = tmp("graft-sql-restore-d-")
     DeltaTable.create(customer.filter($"c_custkey" <= 40), droot)  // v0

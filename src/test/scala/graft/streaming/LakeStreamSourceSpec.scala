@@ -100,6 +100,27 @@ class LakeStreamSourceSpec extends AnyFunSuite {
       Map("startingVersion" -> "latest")) == late.count())
   }
 
+  test("graft-iceberg: startingSnapshotId=latest under a BRANCH pins " +
+      "the branch head, not main's") {
+    val root = Files.createTempDirectory("graft-istream-blate-").toString
+    val out = Files.createTempDirectory("graft-istream-blate-out-").toString
+    val ckpt = Files.createTempDirectory("graft-istream-blate-ck-").toString
+    IcebergTable.create(customer.filter(col("c_custkey") < 100), root) // 1
+    // two UNPUBLISHED branch commits main doesn't see
+    IcebergTable.append(customer.filter(col("c_custkey") === 100), root,
+      branch = Some("audit"))                                          // 2
+    IcebergTable.append(customer.filter(col("c_custkey") === 101), root,
+      branch = Some("audit"))                                          // 3
+    // latest = the BRANCH head (3): the stream must NOT replay the
+    // existing unpublished window the user asked to skip
+    assert(drain("graft-iceberg", root, out, ckpt,
+      Map("branch" -> "audit", "startingSnapshotId" -> "latest")) == 0L)
+    IcebergTable.append(customer.filter(col("c_custkey") === 102), root,
+      branch = Some("audit"))                                          // 4
+    assert(drain("graft-iceberg", root, out, ckpt,
+      Map("branch" -> "audit", "startingSnapshotId" -> "latest")) == 1L)
+  }
+
   test("graft-delta readChangeFeed: deletes stream as first-class change rows") {
     val root = Files.createTempDirectory("graft-dstream-cdc-").toString
     val out = Files.createTempDirectory("graft-dstream-cdc-out-").toString
