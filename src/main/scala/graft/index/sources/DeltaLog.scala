@@ -3137,6 +3137,11 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       physToLogical: Map[String, String]): Unit = {
     if (!hasEnforceableRules(p, rootStr)) return
     import org.apache.spark.sql.functions.col
+    // an empty stage (a merge whose upsert leg is empty, an idle
+    // micro-batch) holds nothing to validate — and a file-less read
+    // would fail schema inference rather than return empty
+    val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
+    if (DeltaTable.dataFiles(fs, stage).isEmpty) return
     val raw = spark.read.option("basePath", stage.toString)
       .parquet(stage.toString)
     val logical =
