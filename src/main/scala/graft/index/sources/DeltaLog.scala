@@ -2103,7 +2103,9 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       if (cmMode == "none") c
       else DeltaColumnMapping.physicalName(prior.schema(c))
     }
-    rewriteGroups.zipWithIndex.foreach { case (group, i) =>
+    // groups are independent single-file writes into disjoint staging
+    // dirs — run them from a bounded pool (wall ≈ Σ/maxThreads, not Σ)
+    GroupJobs.mapConcurrently(spark, rewriteGroups) { (group, i) =>
       val df = spark.read.schema(physSchema).option("basePath", rootStr)
         .parquet(group.map(_.path): _*)
       val groupStage = new Path(stage, i.toString)

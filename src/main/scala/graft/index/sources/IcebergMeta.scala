@@ -2626,7 +2626,9 @@ object IcebergTable {
     val stage = new Path(root,
       s".graft-binpack-${java.util.UUID.randomUUID().toString}")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    val added = packs.zipWithIndex.flatMap { case ((dir, pack), i) =>
+    // groups are independent single-file writes into disjoint staging
+    // dirs — run them from a bounded pool (wall ≈ Σ/maxThreads, not Σ)
+    val added = GroupJobs.mapConcurrently(spark, packs) { case ((dir, pack), i) =>
       // read WITHOUT basePath: rewrite exactly the file columns, then
       // land the packed file back in the same partition directory
       val df = spark.read.schema(fileSchema).parquet(pack.map(_.path): _*)
@@ -2643,7 +2645,7 @@ object IcebergTable {
           }
           fs.getFileStatus(target)
         }
-    }
+    }.flatten
     fs.delete(stage, true)
 
     val packed = packs.flatMap(_._2).map(f => DeltaTable.normPath(f.path)).toSet
