@@ -1377,13 +1377,9 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     val hasDvProtocol = prior.minReaderVersion >= 3 &&
       prior.readerFeatures.contains("deletionVectors")
     if (hasDvProtocol) None
-    else Some(JObject("protocol" -> JObject(
-      "minReaderVersion" -> JInt(3),
-      "minWriterVersion" -> JInt(7),
-      "readerFeatures" -> JArray(
-        (prior.readerFeatures + "deletionVectors").toList.sorted.map(JString(_))),
-      "writerFeatures" -> JArray(
-        (prior.writerFeatures + "deletionVectors").toList.sorted.map(JString(_))))))
+    else Some(protocolAction(3, 7,
+      readerFeatures = prior.readerFeatures + "deletionVectors",
+      writerFeatures = prior.writerFeatures + "deletionVectors"))
   }
 
   /** remove + add(withDV) action pairs for files whose deletion vector
@@ -2311,16 +2307,9 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     val lines = mutable.Buffer.empty[JValue]
     lines += commitInfoLine(now, "CONVERT",
       Map("numFiles" -> files.size.toString))
-    lines += JObject("protocol" -> JObject(
-      "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(2)))
-    lines += JObject("metaData" -> JObject(
-      "id" -> JString(java.util.UUID.randomUUID().toString),
-      "format" -> JObject(
-        "provider" -> JString("parquet"), "options" -> JObject()),
-      "schemaString" -> JString(inferred.json),
-      "partitionColumns" -> JArray(partitionBy.map(JString(_)).toList),
-      "configuration" -> JObject(),
-      "createdTime" -> JLong(now)))
+    lines += protocolAction(1, 2)
+    lines += metaDataLine(carriedTableId(None), inferred.json,
+      partitionBy, Map.empty, now)
     files.foreach { st =>
       val rel = rootUri.relativize(
         fs.makeQualified(st.getPath).toUri).getPath
@@ -2383,28 +2372,12 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       Map("source" -> sourceRoot, "sourceVersion" -> s.version.toString))
     // the clone inherits the source's REAL protocol — its files may
     // depend on every reader/writer feature the source declares
-    lines += JObject("protocol" -> JObject(
-      List(
-        "minReaderVersion" -> (JInt(s.minReaderVersion): JValue),
-        "minWriterVersion" -> (JInt(s.minWriterVersion): JValue)) ++
-        (if (s.readerFeatures.nonEmpty)
-          List("readerFeatures" -> (JArray(
-            s.readerFeatures.toList.sorted.map(JString(_))): JValue))
-        else Nil) ++
-        (if (s.writerFeatures.nonEmpty)
-          List("writerFeatures" -> (JArray(
-            s.writerFeatures.toList.sorted.map(JString(_))): JValue))
-        else Nil)))
-    lines += JObject("metaData" -> JObject(
-      "id" -> JString(java.util.UUID.randomUUID().toString),
-      "format" -> JObject(
-        "provider" -> JString("parquet"), "options" -> JObject()),
-      "schemaString" -> JString(s.schemaString),
-      "partitionColumns" -> JArray(Nil),
-      "configuration" -> JObject(
-        s.configuration.toList.sortBy(_._1).map { case (k, v) =>
-          k -> JString(v) }),
-      "createdTime" -> JLong(now)))
+    lines += protocolAction(s.minReaderVersion, s.minWriterVersion,
+      readerFeatures = s.readerFeatures, writerFeatures = s.writerFeatures)
+    // a clone is a NEW table (fresh id) restating the source's schema
+    // and configuration
+    lines += metaDataLine(carriedTableId(None), s.schemaString,
+      Nil, s.configuration, now)
     // metadata domains copy too: losing delta.clustering would silently
     // uncluster the clone, and losing the delta.rowTracking watermark
     // would let the clone's first append re-assign OVERLAPPING row ids
@@ -2490,18 +2463,10 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       Map("version" -> version.toString),
       if (ictEnabled(current.configuration))
         Some(nextIct(fs, root, current.version, now)) else None)
-    lines += JObject("metaData" -> JObject(
-      // RESTORE rewinds state, not identity — keep the table id
-      "id" -> JString(current.tableId
-        .getOrElse(java.util.UUID.randomUUID().toString)),
-      "format" -> JObject(
-        "provider" -> JString("parquet"), "options" -> JObject()),
-      "schemaString" -> JString(target.schemaString),
-      "partitionColumns" -> JArray(
-        target.partitionColumns.map(JString(_)).toList),
-      "configuration" -> JObject(current.configuration.toList.sortBy(_._1)
-        .map { case (k, v) => k -> (JString(v): JValue) }),
-      "createdTime" -> JLong(now)))
+    // RESTORE rewinds state, not identity — keep the table id
+    lines += metaDataLine(carriedTableId(Some(current)),
+      target.schemaString, target.partitionColumns,
+      current.configuration, now)
     current.files.filterNot(f => targetPaths.contains(normPath(f.path)))
       .foreach { f =>
         lines += JObject("remove" -> JObject(
@@ -2635,21 +2600,7 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       Some(nextIct(fs, root, prior.version, now)) else None
     val lines = mutable.Buffer.empty[JValue]
     lines += commitInfoLine(now, operation, Map.empty, ict)
-    val want = Set("domainMetadata") ++ extraFeatures
-    val onFeatures = prior.minWriterVersion >= 7
-    val have = if (onFeatures) prior.writerFeatures
-      else legacyWriterFeatures(prior.minWriterVersion)
-    if (!want.subsetOf(have)) {
-      lines += JObject("protocol" -> (JObject(
-        List("minReaderVersion" -> (JInt(prior.minReaderVersion): JValue),
-          "minWriterVersion" -> (JInt(7): JValue)) ++
-        (if (prior.minReaderVersion >= 3)
-          List("readerFeatures" -> (JArray(
-            prior.readerFeatures.toList.sorted.map(JString(_))): JValue))
-        else Nil) ++
-        List("writerFeatures" -> (JArray(
-          (have ++ want).toList.sorted.map(JString(_))): JValue)))))
-    }
+    lines ++= writerFeatureUpgrade(prior, Set("domainMetadata") ++ extraFeatures)
     entries.foreach { case (domain, cfg, removed) =>
       lines += JObject("domainMetadata" -> JObject(
         "domain" -> JString(domain),
@@ -2796,31 +2747,9 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     val cfg = prior.configuration + ("delta.enableRowTracking" -> "true")
     val lines = mutable.Buffer.empty[JValue]
     lines += commitInfoLine(now, "SET TBLPROPERTIES", Map.empty, ict)
-    val want = Set("rowTracking", "domainMetadata")
-    val have = if (prior.minWriterVersion >= 7) prior.writerFeatures
-      else legacyWriterFeatures(prior.minWriterVersion)
-    if (!want.subsetOf(have)) {
-      lines += JObject("protocol" -> (JObject(
-        List("minReaderVersion" -> (JInt(prior.minReaderVersion): JValue),
-          "minWriterVersion" -> (JInt(7): JValue)) ++
-        (if (prior.minReaderVersion >= 3)
-          List("readerFeatures" -> (JArray(
-            prior.readerFeatures.toList.sorted.map(JString(_))): JValue))
-        else Nil) ++
-        List("writerFeatures" -> (JArray(
-          (have ++ want).toList.sorted.map(JString(_))): JValue)))))
-    }
-    lines += JObject("metaData" -> JObject(
-      "id" -> JString(prior.tableId
-        .getOrElse(java.util.UUID.randomUUID().toString)),
-      "format" -> JObject(
-        "provider" -> JString("parquet"), "options" -> JObject()),
-      "schemaString" -> JString(prior.schemaString),
-      "partitionColumns" -> JArray(
-        prior.partitionColumns.map(JString(_)).toList),
-      "configuration" -> JObject(
-        cfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
-      "createdTime" -> JLong(now)))
+    lines ++= writerFeatureUpgrade(prior, Set("rowTracking", "domainMetadata"))
+    lines += metaDataLine(carriedTableId(Some(prior)), prior.schemaString,
+      prior.partitionColumns, cfg, now)
     val rootUri = fs.makeQualified(root).toUri
     def relOf(p: String): String =
       rootUri.relativize(fs.makeQualified(new Path(p)).toUri).getPath
@@ -2916,32 +2845,18 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       val needsReader = readerFeature.exists(f => !prior.readerFeatures.contains(f))
       val needsWriter = writerFeature.exists(f => !prior.writerFeatures.contains(f))
       if (needsReader || needsWriter) {
-        lines += JObject("protocol" -> JObject(
-          "minReaderVersion" -> JInt(3),
-          "minWriterVersion" -> JInt(7),
-          "readerFeatures" -> JArray(
-            (prior.readerFeatures ++ readerFeature).toList.sorted.map(JString(_))),
-          "writerFeatures" -> JArray(
-            (prior.writerFeatures ++ writerFeature).toList.sorted.map(JString(_)))))
+        lines += protocolAction(3, 7,
+          readerFeatures = prior.readerFeatures ++ readerFeature,
+          writerFeatures = prior.writerFeatures ++ writerFeature)
       }
     } else if (prior.minReaderVersion < legacyReader ||
         prior.minWriterVersion < legacyWriter) {
-      lines += JObject("protocol" -> JObject(
-        "minReaderVersion" -> JInt(math.max(prior.minReaderVersion, legacyReader)),
-        "minWriterVersion" -> JInt(math.max(prior.minWriterVersion, legacyWriter))))
+      lines += protocolAction(
+        math.max(prior.minReaderVersion, legacyReader),
+        math.max(prior.minWriterVersion, legacyWriter))
     }
-    lines += JObject("metaData" -> JObject(
-      // metaData.id is the table's stable identity — carry it forward on
-      // every non-create commit or external readers see a table swap
-      "id" -> JString(prior.tableId
-        .getOrElse(java.util.UUID.randomUUID().toString)),
-      "format" -> JObject(
-        "provider" -> JString("parquet"), "options" -> JObject()),
-      "schemaString" -> JString(schema.json),
-      "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
-      "configuration" -> JObject(
-        cfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
-      "createdTime" -> JLong(System.currentTimeMillis())))
+    lines += metaDataLine(carriedTableId(Some(prior)), schema.json,
+      partitionColumns, cfg, now)
     val commitPath = new Path(DeltaLog.logDir(root), f"$version%020d.json")
     val out = CommitFence.create(fs, commitPath)
     finishCommit(spark, rootStr, out, lines.toSeq, version,
@@ -3327,18 +3242,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         Map("columns" -> newHwms.keys.toSeq.sorted.mkString(",")),
         if (ictEnabled(prior.configuration))
           Some(nextIct(fs, root, prior.version, now)) else None),
-      JObject("metaData" -> JObject(
-        "id" -> JString(prior.tableId
-          .getOrElse(java.util.UUID.randomUUID().toString)),
-        "format" -> JObject(
-          "provider" -> JString("parquet"), "options" -> JObject()),
-        "schemaString" -> JString(synced.json),
-        "partitionColumns" -> JArray(
-          prior.partitionColumns.toList.map(JString(_))),
-        "configuration" -> JObject(
-          prior.configuration.toList.sortBy(_._1)
-            .map { case (k, v) => k -> JString(v) }),
-        "createdTime" -> JLong(now))))
+      metaDataLine(carriedTableId(Some(prior)), synced.json,
+        prior.partitionColumns, prior.configuration, now))
     val out = CommitFence.create(fs,
       new Path(DeltaLog.logDir(root), f"$version%020d.json"))
     finishCommit(spark, rootStr, out, lines, version, prior.configuration)
@@ -3381,21 +3286,9 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     // allows a readerFeatures list when minReaderVersion >= 3
     val protocolLine: Option[JValue] =
       if (prior.minWriterVersion >= 7) {
-        if (prior.writerFeatures.contains("checkConstraints")) None
-        else Some(JObject("protocol" -> (JObject(
-          List("minReaderVersion" -> (JInt(prior.minReaderVersion): JValue),
-            "minWriterVersion" -> (JInt(7): JValue)) ++
-            (if (prior.minReaderVersion >= 3)
-              List("readerFeatures" -> (JArray(
-                prior.readerFeatures.toList.sorted.map(JString(_))): JValue))
-            else Nil) ++
-            List("writerFeatures" -> (JArray(
-              (prior.writerFeatures + "checkConstraints")
-                .toList.sorted.map(JString(_))): JValue))): JValue)))
+        writerFeatureUpgrade(prior, Set("checkConstraints"))
       } else if (prior.minWriterVersion < 3) {
-        Some(JObject("protocol" -> JObject(
-          "minReaderVersion" -> JInt(prior.minReaderVersion),
-          "minWriterVersion" -> JInt(3))))
+        Some(protocolAction(prior.minReaderVersion, 3))
       } else None
     val cfg = prior.configuration + (key -> exprSql)
     val lines = Seq[JValue](
@@ -3404,17 +3297,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         if (ictEnabled(prior.configuration))
           Some(nextIct(fs, root, prior.version, now)) else None)) ++
       protocolLine.toSeq :+
-      (JObject("metaData" -> JObject(
-        "id" -> JString(prior.tableId
-          .getOrElse(java.util.UUID.randomUUID().toString)),
-        "format" -> JObject(
-          "provider" -> JString("parquet"), "options" -> JObject()),
-        "schemaString" -> JString(prior.schemaString),
-        "partitionColumns" -> JArray(
-          prior.partitionColumns.toList.map(JString(_))),
-        "configuration" -> JObject(
-          cfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
-        "createdTime" -> JLong(now))): JValue)
+      metaDataLine(carriedTableId(Some(prior)), prior.schemaString,
+        prior.partitionColumns, cfg, now)
     val out = CommitFence.create(fs,
       new Path(DeltaLog.logDir(root), f"$version%020d.json"))
     finishCommit(spark, rootStr, out, lines, version, cfg)
@@ -3440,17 +3324,8 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       commitInfoLine(now, "DROP CONSTRAINT", Map("name" -> name),
         if (ictEnabled(prior.configuration))
           Some(nextIct(fs, root, prior.version, now)) else None),
-      JObject("metaData" -> JObject(
-        "id" -> JString(prior.tableId
-          .getOrElse(java.util.UUID.randomUUID().toString)),
-        "format" -> JObject(
-          "provider" -> JString("parquet"), "options" -> JObject()),
-        "schemaString" -> JString(prior.schemaString),
-        "partitionColumns" -> JArray(
-          prior.partitionColumns.toList.map(JString(_))),
-        "configuration" -> JObject(
-          cfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
-        "createdTime" -> JLong(now))))
+      metaDataLine(carriedTableId(Some(prior)), prior.schemaString,
+        prior.partitionColumns, cfg, now))
     val out = CommitFence.create(fs,
       new Path(DeltaLog.logDir(root), f"$version%020d.json"))
     finishCommit(spark, rootStr, out, lines, version, cfg)
@@ -3620,23 +3495,10 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         Map("typeWidening" -> changes.keys.toSeq.sorted.mkString(",")),
         if (ictEnabled(prior.configuration))
           Some(nextIct(fs, root, prior.version, now)) else None),
-      JObject("protocol" -> JObject(
-        "minReaderVersion" -> JInt(3), "minWriterVersion" -> JInt(7),
-        "readerFeatures" -> JArray(readers.toList.sorted.map(JString(_))),
-        "writerFeatures" -> JArray(writers.toList.sorted.map(JString(_))))),
-      JObject("metaData" -> JObject(
-        // a type-widening is a metadata change on the SAME table
-        "id" -> JString(prior.tableId
-          .getOrElse(java.util.UUID.randomUUID().toString)),
-        "format" -> JObject(
-          "provider" -> JString("parquet"), "options" -> JObject()),
-        "schemaString" -> JString(widened.json),
-        "partitionColumns" -> JArray(
-          prior.partitionColumns.toList.map(JString(_))),
-        "configuration" -> JObject(
-          prior.configuration.toList.sortBy(_._1)
-            .map { case (k, v) => k -> JString(v) }),
-        "createdTime" -> JLong(now))))
+      protocolAction(3, 7, readerFeatures = readers, writerFeatures = writers),
+      // a type-widening is a metadata change on the SAME table
+      metaDataLine(carriedTableId(Some(prior)), widened.json,
+        prior.partitionColumns, prior.configuration, now))
     val out = CommitFence.create(fs,
       new Path(DeltaLog.logDir(root), f"$version%020d.json"))
     finishCommit(spark, rootStr, out, lines, version, prior.configuration)
@@ -3920,16 +3782,11 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       if (rowTrackingActive) {
         // row tracking has no legacy protocol form — a tracked create
         // starts on table features, restating the legacy-implied bundle
-        lines += JObject("protocol" -> JObject(
-          "minReaderVersion" -> JInt(1),
-          "minWriterVersion" -> JInt(7),
-          "writerFeatures" -> JArray(
-            (legacyWriterFeatures(createWv) ++
-              Set("rowTracking", "domainMetadata"))
-              .toList.sorted.map(JString(_)))))
+        lines += protocolAction(1, 7,
+          writerFeatures = legacyWriterFeatures(createWv) ++
+            Set("rowTracking", "domainMetadata"))
       } else {
-        lines += JObject("protocol" -> JObject(
-          "minReaderVersion" -> JInt(1), "minWriterVersion" -> JInt(createWv)))
+        lines += protocolAction(1, createWv)
       }
     }
     if (version == 0L || overwrite || evolvedSchema.isDefined ||
@@ -3939,43 +3796,35 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       // (for a mapped table, with a freshly-assigned mapping + maxColumnId);
       // a mergeSchema append republishes the ADDITIVELY-evolved schema
       // while keeping the table's partitioning
-      lines += JObject("metaData" -> JObject(
-        // overwrite / mergeSchema republish metadata for the SAME table;
-        // a fresh id is minted only at version 0 (table creation)
-        "id" -> JString(prior.flatMap(_.tableId)
-          .getOrElse(java.util.UUID.randomUUID().toString)),
-        "format" -> JObject(
-          "provider" -> JString("parquet"),
-          "options" -> JObject()),
-        "schemaString" -> JString {
-          // declared-rule field metadata (identity, generation
-          // expressions, invariants) belongs to the TABLE: an
-          // overwrite carries it onto same-named columns of the new
-          // schema; an identity-assigning append republishes the
-          // PRIOR schema with only the high watermark advanced
-          val declared: StructType =
-            if (evolvedSchema.isDefined) evolvedSchema.get
-            else if (!overwrite && idHwms.nonEmpty) prior.get.schema
-            else DataType.fromJson(metaSchemaJson).asInstanceOf[StructType]
-          val carried =
-            if (overwrite && prior.isDefined && cmMode == "none")
-              carryFieldMetadata(declared, prior.get.schema)
-            else declared
-          StructType(carried.fields.toSeq.map { tf =>
-            idHwms.get(tf.name).map { v =>
-              tf.copy(metadata =
-                new MetadataBuilder().withMetadata(tf.metadata)
-                  .putLong("delta.identity.highWaterMark", v).build())
-            }.getOrElse(tf)
-          }).json
-        },
-        "partitionColumns" -> JArray(
-          (if (evolvedSchema.isDefined ||
-             (!overwrite && idHwms.nonEmpty)) prior.get.partitionColumns
-           else partitionBy).map(JString(_)).toList),
-        "configuration" -> JObject(
-          metaCfg.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
-        "createdTime" -> JLong(now)))
+      val schemaJson = {
+        // declared-rule field metadata (identity, generation
+        // expressions, invariants) belongs to the TABLE: an
+        // overwrite carries it onto same-named columns of the new
+        // schema; an identity-assigning append republishes the
+        // PRIOR schema with only the high watermark advanced
+        val declared: StructType =
+          if (evolvedSchema.isDefined) evolvedSchema.get
+          else if (!overwrite && idHwms.nonEmpty) prior.get.schema
+          else DataType.fromJson(metaSchemaJson).asInstanceOf[StructType]
+        val carried =
+          if (overwrite && prior.isDefined && cmMode == "none")
+            carryFieldMetadata(declared, prior.get.schema)
+          else declared
+        StructType(carried.fields.toSeq.map { tf =>
+          idHwms.get(tf.name).map { v =>
+            tf.copy(metadata =
+              new MetadataBuilder().withMetadata(tf.metadata)
+                .putLong("delta.identity.highWaterMark", v).build())
+          }.getOrElse(tf)
+        }).json
+      }
+      // overwrite / mergeSchema republish metadata for the SAME table;
+      // a fresh id is minted only at version 0 (table creation)
+      lines += metaDataLine(carriedTableId(prior), schemaJson,
+        if (evolvedSchema.isDefined || (!overwrite && idHwms.nonEmpty))
+          prior.get.partitionColumns
+        else partitionBy,
+        metaCfg, now)
     }
     if (overwrite) prior.foreach(_.files.foreach { f =>
       // qualify before relativizing: snapshot paths are scheme-less
@@ -4057,6 +3906,71 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         "operationParameters" -> JObject(parameters.toList.sortBy(_._1)
           .map { case (k, v) => k -> (JString(v): JValue) })) ++
         ict.map(t => "inCommitTimestamp" -> (JLong(t): JValue))))
+
+  /** The `metaData` action — ONE builder for every commit site, so a
+    * verb can't drift on field completeness or identity. `metaData.id`
+    * is the table's stable identity: pass [[carriedTableId]] on every
+    * non-create commit (r12 shipped a real bug where a widening commit
+    * minted a fresh random id — external readers saw a table swap). */
+  private[sources] def metaDataLine(tableId: String, schemaJson: String,
+      partitionColumns: Seq[String], configuration: Map[String, String],
+      createdTime: Long): JValue =
+    JObject("metaData" -> JObject(
+      "id" -> JString(tableId),
+      "format" -> JObject(
+        "provider" -> JString("parquet"), "options" -> JObject()),
+      "schemaString" -> JString(schemaJson),
+      "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
+      "configuration" -> JObject(
+        configuration.toList.sortBy(_._1)
+          .map { case (k, v) => k -> (JString(v): JValue) }),
+      "createdTime" -> JLong(createdTime)))
+
+  /** The table id every non-create commit must restate: the prior
+    * snapshot's, minted fresh ONLY when no prior metaData exists. */
+  private[sources] def carriedTableId(prior: Option[DeltaSnapshot]): String =
+    prior.flatMap(_.tableId).getOrElse(java.util.UUID.randomUUID().toString)
+
+  /** The `protocol` action. Feature lists follow the spec's presence
+    * rule mechanically: `readerFeatures` rides iff the reader floor is
+    * table features (>= 3), `writerFeatures` iff the writer floor is
+    * (>= 7) — a site can no longer emit a reader-version bump for a
+    * writer-only feature (r12's second metadata bug) because the
+    * reader floor it passes is restated verbatim. */
+  private[sources] def protocolAction(minReader: Int, minWriter: Int,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty): JValue = {
+    require(readerFeatures.isEmpty || minReader >= 3,
+      s"readerFeatures $readerFeatures require minReaderVersion 3, got $minReader")
+    require(writerFeatures.isEmpty || minWriter >= 7,
+      s"writerFeatures $writerFeatures require minWriterVersion 7, got $minWriter")
+    JObject("protocol" -> JObject(
+      List[(String, JValue)](
+        "minReaderVersion" -> JInt(minReader),
+        "minWriterVersion" -> JInt(minWriter)) ++
+        (if (minReader >= 3)
+          List("readerFeatures" -> (JArray(
+            readerFeatures.toList.sorted.map(JString(_))): JValue))
+        else Nil) ++
+        (if (minWriter >= 7)
+          List("writerFeatures" -> (JArray(
+            writerFeatures.toList.sorted.map(JString(_))): JValue))
+        else Nil)))
+  }
+
+  /** Protocol upgrade for a commit introducing WRITER-ONLY features:
+    * writer floor moves to table features (7) carrying `have ++ want`,
+    * the reader floor (and its features, legal only at >= 3) restates
+    * the prior protocol untouched. None when `want` is already held. */
+  private[sources] def writerFeatureUpgrade(prior: DeltaSnapshot,
+      want: Set[String]): Option[JValue] = {
+    val have = if (prior.minWriterVersion >= 7) prior.writerFeatures
+      else legacyWriterFeatures(prior.minWriterVersion)
+    if (want.subsetOf(have)) None
+    else Some(protocolAction(prior.minReaderVersion, 7,
+      readerFeatures = prior.readerFeatures,
+      writerFeatures = have ++ want))
+  }
 
   /** Is the IN-COMMIT TIMESTAMPS feature enabled by this configuration? */
   private[sources] def ictEnabled(cfg: Map[String, String]): Boolean =
