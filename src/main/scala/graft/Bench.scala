@@ -18,6 +18,16 @@ object BenchGuard {
   /** Extra passes granted to a query whose scheduled passes were all
     * probe-contended. */
   val MaxExtraPasses = 2
+  /** ABSOLUTE probe ceiling (seconds): ~2× the healthy floor observed
+    * across every clean round on this box (0.037–0.047 s). The per-pass
+    * test is otherwise RELATIVE to the run's best probe, so a box under
+    * UNIFORM external load elevates every probe equally and the
+    * relative test can never flag it (observed: probe_ref 0.068 s,
+    * flagged clean, query times 1.7× inflated). Any probe above this
+    * ceiling marks a contended pass regardless of the run-relative
+    * comparison. Override via SPARK_GRAFT_PROBE_CEILING on other
+    * hardware. */
+  val DefaultProbeCeiling = 0.10
 
   def probeSeconds(spark: SparkSession): Double = {
     def once(): Double = {
@@ -32,18 +42,30 @@ object BenchGuard {
     math.min(once(), once())
   }
 
-  def isContended(probe: Double, ref: Double): Boolean =
-    probe > ContendedFactor * ref
+  def isContended(probe: Double, ref: Double,
+      ceiling: Double = DefaultProbeCeiling): Boolean =
+    probe > ContendedFactor * ref || probe > ceiling
 
   /** Pick a query's reported time from (probe, elapsed) pass pairs:
     * the MIN over passes whose probe was clean — the best estimate of
     * the uncontended time. Falls back to the min over everything (and
     * says so) when no pass was clean. */
-  def pick(passes: Seq[(Double, Double)], ref: Double): (Double, Boolean) = {
-    val clean = passes.filterNot(p => isContended(p._1, ref))
+  def pick(passes: Seq[(Double, Double)], ref: Double,
+      ceiling: Double = DefaultProbeCeiling): (Double, Boolean) = {
+    val clean = passes.filterNot(p => isContended(p._1, ref, ceiling))
     if (clean.nonEmpty) (clean.map(_._2).min, false)
     else (passes.map(_._2).min, true)
   }
+
+  /** First three fields of /proc/loadavg (1/5/15-min run-queue
+    * averages) — recorded in the bench JSON so a contaminated-but-
+    * unflagged run is diagnosable after the fact. Empty off-Linux. */
+  def loadAvg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).mkString(" ")
+      finally src.close()
+    } catch { case _: Exception => "" }
 }
 
 /** Headline benchmark. Per query: one untimed warmup pass (JIT + codegen
@@ -94,7 +116,8 @@ object Bench {
     // "contended_startup" line) so the driver retries instead of
     // publishing a flagged round.
     val probeCeiling = sys.env.get("SPARK_GRAFT_PROBE_CEILING")
-      .map(_.toDouble).getOrElse(0.25)
+      .map(_.toDouble).getOrElse(BenchGuard.DefaultProbeCeiling)
+    val loadavgStart = BenchGuard.loadAvg()
     var gateAttempts = 0
     while (probes.min > probeCeiling && gateAttempts < 3) {
       gateAttempts += 1
@@ -121,7 +144,7 @@ object Bench {
           while (i < Passes) {
             var p = probe()
             // transiently contended box: give it a moment, bounded
-            if (BenchGuard.isContended(p, runningRef) &&
+            if (BenchGuard.isContended(p, runningRef, probeCeiling) &&
                 extras < BenchGuard.MaxExtraPasses) {
               extras += 1
               Thread.sleep(300)
@@ -161,7 +184,7 @@ object Bench {
     val globalRef = probes.min
     val ok = timed.filter(_._3.isEmpty)
     val picked = ok.map { case (n, ps, _) =>
-      val (t, dirty) = BenchGuard.pick(ps, globalRef)
+      val (t, dirty) = BenchGuard.pick(ps, globalRef, probeCeiling)
       (n, t, dirty)
     }
     val mins = picked.map { case (n, t, _) => n -> t }
@@ -197,6 +220,7 @@ object Bench {
       s"""{"metric":"total","value":${short3(total)},"unit":"sec",""" +
         s""""stat":"min_clean","contended":$contended,""" +
         s""""probe_ref":${short3(globalRef)},""" +
+        s""""loadavg":${jsonStr(s"$loadavgStart | ${BenchGuard.loadAvg()}")},""" +
         s""""contended_queries":${jsonMap(contendedNames)},""" +
         s""""queries":${jsonMap(kept.map { case (k, v) => k -> short3(v) })},""" +
         s""""queries_omitted":$omitted,""" +
@@ -205,6 +229,7 @@ object Bench {
     }.find(_.length <= 1850).getOrElse(
       s"""{"metric":"total","value":$total,"unit":"sec","stat":"min_clean",""" +
         s""""contended":$contended,"probe_ref":${short3(globalRef)},""" +
+        s""""loadavg":${jsonStr(s"$loadavgStart | ${BenchGuard.loadAvg()}")},""" +
         s""""sf":"$sfDir"}""")
     val passDetail = jsonMap(ok.map { case (n, ps, _) =>
       n -> ps.map { case (p, t) => s"[${short3(p)},${short3(t)}]" }
@@ -213,6 +238,9 @@ object Bench {
     val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""passes":$Passes,"stat":"min_clean",""" +
       s""""contended":$contended,"probe_ref":$globalRef,""" +
+      s""""loadavg_start":${jsonStr(loadavgStart)},""" +
+      s""""loadavg_end":${jsonStr(BenchGuard.loadAvg())},""" +
+      s""""probes":${probes.reverse.map(short3).mkString("[", ",", "]")},""" +
       s""""contended_queries":${jsonMap(picked.collect {
         case (n, _, true) => n -> "true" })},""" +
       s""""queries":${jsonMap(mins.map { case (k, v) => k -> v.toString })},""" +

@@ -36,6 +36,43 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.isContended(0.061, 0.020))
   }
 
+  test("uniform external load cannot pass as clean: absolute ceiling") {
+    // the r12 escape: a box under UNIFORM load elevates every probe
+    // equally (observed probe_ref 0.068 with times 1.7x inflated), so
+    // the run-relative test sees every pass as clean. The absolute
+    // ceiling must flag it anyway.
+    val elevated = 0.068
+    val ref = elevated // the run's own best probe is itself elevated
+    assert(!(elevated > BenchGuard.ContendedFactor * ref),
+      "sanity: the relative test alone cannot flag a uniform load")
+    assert(BenchGuard.isContended(elevated, ref, ceiling = 0.05),
+      "the absolute ceiling must flag a uniformly-elevated probe")
+
+    // pick() over a uniformly-elevated run: no pass is clean -> dirty
+    val passes = Seq((0.068, 1.7), (0.070, 1.8), (0.066, 1.65))
+    val (t, dirty) = BenchGuard.pick(passes, ref = 0.066, ceiling = 0.05)
+    assert(dirty, "a uniformly-elevated run must report contended=true")
+    assert(t == 1.65)
+
+    // and a healthy run under the same ceiling stays clean
+    val (t2, dirty2) = BenchGuard.pick(
+      Seq((0.040, 0.5), (0.042, 0.52)), ref = 0.040, ceiling = 0.05)
+    assert(!dirty2 && t2 == 0.5)
+  }
+
+  test("default ceiling sits at ~2x the healthy floor") {
+    // healthy floor on this box is 0.037-0.047; the guard must flag
+    // anything materially above that band even when run-relative clean
+    assert(BenchGuard.DefaultProbeCeiling <= 0.12)
+    assert(BenchGuard.isContended(0.12, 0.12))
+    assert(!BenchGuard.isContended(0.047, 0.040))
+  }
+
+  test("loadAvg reports three fields on Linux") {
+    val la = BenchGuard.loadAvg()
+    assert(la.isEmpty || la.split(" ").length == 3)
+  }
+
   test("probe detects a deliberately loaded box") {
     // steady-state the probe first (JIT, first-stage costs)
     (1 to 3).foreach(_ => BenchGuard.probeSeconds(spark))
