@@ -157,9 +157,15 @@ object Relational2 {
     val thr = cust.filter(col("c_acctbal") > 0.0)
       .agg((sum(col("c_acctbal").cast(DecimalType(28, 6))).cast(DoubleType) /
         count(col("c_acctbal")).cast(DoubleType)).as("avg_bal"))
+    // "idle" = never placed an URGENT order: the fixture gives nearly
+    // every customer SOME order, so the classic no-orders-at-all
+    // anti-join returns zero rows at small SFs and the oracle hash
+    // pins nothing — the priority-scoped anti-join keeps the Q22
+    // shape (threshold + anti-join) with a load-bearing result
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
     cust.crossJoin(broadcast(thr))
       .filter(col("c_acctbal") > col("avg_bal"))
-      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).cast(LongType).as("numcust"),
         moneySum(col("c_acctbal")).as("totacctbal"))
@@ -174,7 +180,8 @@ object Relational2 {
        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
        |         / CAST(COUNT(c_acctbal) AS DOUBLE)
        |  FROM customer WHERE c_acctbal > 0.0)
-       | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       | AND NOT EXISTS (SELECT 1 FROM orders
+       |   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
