@@ -2815,6 +2815,82 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     commitMetadata(spark, rootStr, prior, renamed, parts, prior.configuration)
   }
 
+  /** `ALTER TABLE … ADD COLUMN name type` — metadata-only: the column
+    * appends to the schema as NULLABLE, existing files simply lack it
+    * and scans yield null (the Delta ADD COLUMNS contract — zero data
+    * rewrite). On a column-mapped table the new field is assigned a
+    * fresh physical name (`col-<uuid>`, never reusing a dropped
+    * column's physical slot) and the next column id. */
+  def addColumn(spark: SparkSession, rootStr: String,
+      name: String, dataType: DataType): Long = {
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = false, kind = "addColumn")
+    require(!prior.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"addColumn at $rootStr: column '$name' already exists")
+    val field =
+      if (DeltaColumnMapping.mode(prior.configuration) == "none")
+        StructField(name, dataType, nullable = true)
+      else {
+        val maxId = prior.configuration
+          .get(DeltaColumnMapping.MaxIdKey).map(_.toLong).getOrElse(0L)
+        StructField(name, dataType, nullable = true,
+          metadata = new MetadataBuilder()
+            .putString(DeltaColumnMapping.PhysicalNameKey,
+              s"col-${java.util.UUID.randomUUID()}")
+            .putLong(DeltaColumnMapping.IdKey, maxId + 1)
+            .build())
+      }
+    val cfg =
+      if (DeltaColumnMapping.mode(prior.configuration) == "none")
+        prior.configuration
+      else prior.configuration + (DeltaColumnMapping.MaxIdKey ->
+        (prior.configuration.get(DeltaColumnMapping.MaxIdKey)
+          .map(_.toLong).getOrElse(0L) + 1).toString)
+    commitMetadata(spark, rootStr, prior,
+      StructType(prior.schema.fields.toSeq :+ field),
+      prior.partitionColumns, cfg,
+      readerFeature = None, writerFeature = None,
+      legacyReader = 1, legacyWriter = 2, operation = "ADD COLUMNS")
+  }
+
+  /** `ALTER TABLE … DROP COLUMN name` — logical removal via column
+    * mapping (enabled on demand, like [[renameColumn]]): the field
+    * leaves the schema, the physical data stays in every file and is
+    * simply never read again. Partition columns and columns referenced
+    * by a CHECK constraint refuse. */
+  def dropColumn(spark: SparkSession, rootStr: String,
+      name: String): Long = {
+    enableColumnMapping(spark, rootStr)
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    writerGate(prior, rootStr, deletesRows = false, kind = "dropColumn")
+    require(prior.schema.fieldNames.contains(name),
+      s"dropColumn at $rootStr: no column '$name' " +
+        s"(have ${prior.schema.fieldNames.mkString(", ")})")
+    require(prior.schema.fields.length > 1,
+      s"dropColumn at $rootStr: cannot drop the only column")
+    require(!prior.partitionColumns.contains(name),
+      s"dropColumn at $rootStr: '$name' is a partition column")
+    val wordRe = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    prior.configuration.foreach { case (k, v) =>
+      require(!(k.startsWith("delta.constraints.") &&
+          wordRe.findFirstIn(v).isDefined),
+        s"dropColumn at $rootStr: '$name' is referenced by CHECK " +
+          s"constraint '${k.stripPrefix("delta.constraints.")}' ($v); " +
+          "drop the constraint first")
+    }
+    prior.schema.fields.foreach { f =>
+      require(!(f.metadata.contains("delta.generationExpression") &&
+          wordRe.findFirstIn(
+            f.metadata.getString("delta.generationExpression")).isDefined),
+        s"dropColumn at $rootStr: '$name' is referenced by generated " +
+          s"column '${f.name}'; drop or redefine it first")
+    }
+    commitMetadata(spark, rootStr, prior,
+      StructType(prior.schema.fields.toSeq.filterNot(_.name == name)),
+      prior.partitionColumns, prior.configuration,
+      operation = "DROP COLUMNS")
+  }
+
   /** Metadata-only commit (protocol upgrade if needed + new metaData) —
     * the shape of every schema-evolution / table-property commit. The
     * protocol upgrade is feature-parameterized: on a features-protocol

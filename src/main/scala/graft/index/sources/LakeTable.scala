@@ -301,6 +301,34 @@ object LakeTable {
       case _ => IcebergTable.promoteColumnType(spark, path, column, to)
     }
 
+  /** `ALTER TABLE ... ADD COLUMN name type` — metadata-only schema
+    * append on both formats: existing files lack the column and scans
+    * yield null; no data rewrite. */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.addColumn(spark, path, name, dataType)
+      case _ => IcebergTable.addColumn(spark, path, name, dataType)
+    }
+
+  /** `ALTER TABLE ... RENAME COLUMN old TO new` — logical rename
+    * (Delta column mapping, enabled on demand / Iceberg field ids);
+    * data files untouched. */
+  def renameColumn(spark: SparkSession, path: String,
+      oldName: String, newName: String): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.renameColumn(spark, path, oldName, newName)
+      case _ => IcebergTable.renameColumn(spark, path, oldName, newName)
+    }
+
+  /** `ALTER TABLE ... DROP COLUMN name` — logical removal; physical
+    * data stays in old files and is never read again. */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long =
+    formatOf(spark, path) match {
+      case "delta" => DeltaTable.dropColumn(spark, path, name)
+      case _ => IcebergTable.dropColumn(spark, path, name)
+    }
+
   /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` — Delta-only
     * (Iceberg has no table-level CHECK constraints in its spec). */
   def addConstraint(spark: SparkSession, path: String, name: String,

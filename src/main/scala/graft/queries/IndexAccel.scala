@@ -1147,6 +1147,48 @@ object IndexAccel {
        |FROM customer WHERE c_custkey % 2 = 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SCHEMA EVOLUTION through SQL (`ALTER TABLE … ADD COLUMN` via the
+    * delegating parser onto [[graft.index.sources.LakeTable.addColumn]]):
+    * v0 commits WITHOUT the column, the DDL appends it metadata-only,
+    * a second append writes it — so the aggregated read mixes
+    * pre-evolution files (column absent → null) with post-evolution
+    * files in one scan. The oracle reconstructs the same mix; a reader
+    * that drops old files, defaults the column wrong, or fails to
+    * surface it post-DDL breaks the hash. */
+  def lakeSqlAddColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.DeltaTable
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + s"/graft_lake_sql_addcol_$h"
+    synchronized {
+      if (!graft.index.sources.DeltaLog.isDeltaTable(spark, root)) {
+        val customer = Tables.load(spark, sfDir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("c_mktsegment"), col("c_acctbal"))
+        DeltaTable.create(customer.filter(col("c_custkey") % 2 === 0), root)
+        spark.sql(s"ALTER TABLE graft_delta.`$root` ADD COLUMN bonus DOUBLE")
+        DeltaTable.append(customer.filter(col("c_custkey") % 2 === 1)
+          .withColumn("bonus", col("c_nationkey").cast("double")), root)
+      }
+    }
+    spark.sql(
+      s"""SELECT c_mktsegment AS segment,
+         | CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,
+         | CAST(SUM(CAST(COALESCE(bonus, 0.0) AS DECIMAL(28,6))) AS DOUBLE)
+         |   AS sum_bonus
+         |FROM graft_delta.`$root`
+         |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
+  }
+
+  val lakeSqlAddColumnSql: String =
+    s"""SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("c_acctbal")} AS sum_bal,
+       | CAST(SUM(CAST(CASE WHEN c_custkey % 2 = 1
+       |   THEN CAST(c_nationkey AS DOUBLE) ELSE 0.0 END
+       |   AS DECIMAL(28,6))) AS DOUBLE) AS sum_bonus
+       |FROM customer
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The CDF of the Delta merge commit, aggregated by change type — a
     * hash match proves the cdc writer recorded exactly the merge's
     * row-level effect (delete / update pre+post / insert classification
@@ -1366,6 +1408,7 @@ object IndexAccel {
     "idx_delta_merge" -> (idxDeltaMerge _, idxDeltaMergeSql),
     "lake_sql_merge" -> (lakeSqlMerge _, idxDeltaMergeSql),
     "lake_sql_timetravel" -> (lakeSqlTimetravel _, lakeSqlTimetravelSql),
+    "lake_sql_addcol" -> (lakeSqlAddColumn _, lakeSqlAddColumnSql),
     "idx_delta_merge_cdf" -> (idxDeltaMergeCdf _, idxDeltaMergeCdfSql),
     "idx_iceberg_merge" -> (idxIcebergMerge _, idxDeltaMergeSql),
     "stream_lake_upsert" -> (streamLakeUpsert _, idxDeltaMergeSql),

@@ -85,6 +85,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
     val si = SyncIdentityRe.matcher(sqlText)
     if (si.matches()) return GraftSyncIdentityCommand(target(si))
+    val adc = AddColumnRe.matcher(sqlText)
+    if (adc.matches()) {
+      val col = Option(adc.group("colp")).getOrElse(adc.group("col"))
+      val dtype = Option(adc.group("dtypep")).getOrElse(adc.group("dtype"))
+      return GraftAddColumnCommand(target(adc), stripIdent(col),
+        delegate.parseDataType(dtype))
+    }
+    val rnc = RenameColumnRe.matcher(sqlText)
+    if (rnc.matches()) {
+      return GraftRenameColumnCommand(target(rnc),
+        stripIdent(rnc.group("old")), stripIdent(rnc.group("new")))
+    }
+    val drc = DropColumnRe.matcher(sqlText)
+    if (drc.matches()) {
+      return GraftDropColumnCommand(target(drc), stripIdent(drc.group("col")))
+    }
     val cb = ClusterByRe.matcher(sqlText)
     if (cb.matches()) {
       val cols = Option(cb.group("cols")).toSeq
@@ -121,6 +137,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       return GraftCreateTableCommand(ct.group("path"),
         ct.group("fmt").toLowerCase, parts,
         delegate.parseQuery(ct.group("query")))
+    }
+    val cts = CreateSchemaRe.matcher(sqlText)
+    if (cts.matches()) {
+      val parts = Option(cts.group("partcols")).toSeq
+        .flatMap(_.split(",")).map(stripIdent).filter(_.nonEmpty)
+      return GraftCreateEmptyTableCommand(cts.group("path"),
+        cts.group("fmt").toLowerCase, parts,
+        delegate.parseTableSchema(cts.group("schema")))
     }
     delegate.parsePlan(sqlText)
   }
@@ -198,6 +222,14 @@ object GraftSqlParser {
       """`(?<path>[^`]+)`""" +
       """(?:\s+PARTITIONED\s+BY\s*\((?<partcols>[^)]+)\))?""" +
       """\s+AS\s+(?<query>.+)""")
+  // CREATE TABLE graft_<fmt>.`/p` (<schema>) [PARTITIONED BY (...)] —
+  // explicit-schema empty table; the schema body parses through
+  // Spark's own parseTableSchema so nested types/comments come free
+  private val CreateSchemaRe = re(
+    """CREATE\s+TABLE\s+graft_(?<fmt>delta|iceberg|lake)\s*\.\s*""" +
+      """`(?<path>[^`]+)`""" +
+      """\s*\((?<schema>.+?)\)""" +
+      """(?:\s+PARTITIONED\s+BY\s*\((?<partcols>[^)]+)\))?""")
 
   // ALTER TABLE <lake> ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n
   private val AlterConstraintRe = re(
@@ -211,6 +243,21 @@ object GraftSqlParser {
   // ALTER TABLE <lake> SYNC IDENTITY
   private val SyncIdentityRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+SYNC\\s+IDENTITY""")
+  // ALTER TABLE <lake> ADD COLUMN[S] c type | (c type) — the paren
+  // form REQUIRES its closing paren so a lazy dtype can't donate the
+  // final ')' of `decimal(10,2)` to an optional one
+  private val AddColumnRe = re(
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+ADD\\s+COLUMNS?\\s+(?:""" +
+      """\(\s*(?<colp>[\w`]+)\s+(?<dtypep>[\w()\s,]+?)\s*\)|""" +
+      """(?<col>[\w`]+)\s+(?<dtype>[\w()\s,]+?))""")
+  // ALTER TABLE <lake> RENAME COLUMN old TO new
+  private val RenameColumnRe = re(
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+RENAME\\s+COLUMN\\s+""" +
+      """(?<old>[\w`]+)\s+TO\s+(?<new>[\w`]+)""")
+  // ALTER TABLE <lake> DROP COLUMN c
+  private val DropColumnRe = re(
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+DROP\\s+COLUMNS?\\s+""" +
+      """\(?\s*(?<col>[\w`]+)\s*\)?""")
   // ALTER TABLE <lake> CLUSTER BY (c, ...) | CLUSTER BY NONE
   private val ClusterByRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+CLUSTER\\s+BY\\s+""" +

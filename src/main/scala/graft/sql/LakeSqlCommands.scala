@@ -252,6 +252,62 @@ case class GraftClusterByCommand(path: String, columns: Seq[String])
     Seq(Row(LakeTable.clusterBy(spark, path, columns)))
 }
 
+/** `ALTER TABLE <lake> ADD COLUMN name type` → [[LakeTable.addColumn]]
+  * (metadata-only nullable append on both formats). */
+case class GraftAddColumnCommand(path: String, column: String,
+    dataType: org.apache.spark.sql.types.DataType)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.addColumn(spark, path, column, dataType)))
+}
+
+/** `ALTER TABLE <lake> RENAME COLUMN old TO new` →
+  * [[LakeTable.renameColumn]] (logical rename, data untouched). */
+case class GraftRenameColumnCommand(path: String, oldName: String,
+    newName: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.renameColumn(spark, path, oldName, newName)))
+}
+
+/** `ALTER TABLE <lake> DROP COLUMN name` → [[LakeTable.dropColumn]]. */
+case class GraftDropColumnCommand(path: String, column: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.dropColumn(spark, path, column)))
+}
+
+/** `CREATE TABLE graft_<fmt>.`/p` (<schema>) [PARTITIONED BY (...)]`
+  * — explicit-schema EMPTY table (the non-CTAS DDL): version 0 holds
+  * metaData only, the first append provides data. */
+case class GraftCreateEmptyTableCommand(path: String, format: String,
+    partitionBy: Seq[String],
+    tableSchema: org.apache.spark.sql.types.StructType)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.index.sources.{DeltaLog, DeltaTable, IcebergMeta, IcebergTable}
+    require(!DeltaLog.isDeltaTable(spark, path) &&
+      !IcebergMeta.isIcebergTable(spark, path),
+      s"CREATE TABLE at $path: a lake table already exists there")
+    partitionBy.foreach(c => require(tableSchema.fieldNames.contains(c),
+      s"CREATE TABLE at $path: partition column '$c' is not in the " +
+        s"declared schema (${tableSchema.fieldNames.mkString(", ")})"))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], tableSchema)
+    Seq(Row(format match {
+      case "delta" => DeltaTable.create(empty, path, partitionBy)
+      case "iceberg" => IcebergTable.create(empty, path,
+        partitionColumns = partitionBy)
+      case other => throw new IllegalArgumentException(
+        s"CREATE TABLE needs an explicit format (graft_delta or " +
+          s"graft_iceberg), got graft_$other")
+    }))
+  }
+}
+
 /** `CREATE TABLE graft_<fmt>.`/p` [PARTITIONED BY (...)] AS <select>`
   * — path-addressed CTAS. Refuses an existing table (CREATE, not
   * REPLACE); `graft_lake` is refused because a new table has no format

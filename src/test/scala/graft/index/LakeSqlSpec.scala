@@ -560,4 +560,118 @@ class LakeSqlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("compactSort"))
   }
+
+  test("ALTER TABLE ... ADD COLUMN appends a nullable column, both formats") {
+    val droot = tmp("graft-sql-addcol-d-")
+    DeltaTable.create(customer.limit(50)
+      .select($"c_custkey", $"c_name"), droot)
+    val r = spark.sql(
+      s"ALTER TABLE graft_delta.`$droot` ADD COLUMN score DOUBLE")
+    assert(r.columns.toSeq == Seq("id") && r.head().getLong(0) == 1L)
+    val d = DeltaTable.read(spark, droot)
+    assert(d.schema.fieldNames.toSeq ==
+      Seq("c_custkey", "c_name", "score"))
+    // existing rows read null for the new column; new appends carry it
+    assert(d.filter($"score".isNotNull).count() == 0)
+    DeltaTable.append(d.limit(5).withColumn("score", lit(1.5)), droot)
+    assert(DeltaTable.read(spark, droot)
+      .filter($"score" === 1.5).count() == 5)
+    // decimal types survive the paren-form grammar
+    spark.sql(
+      s"ALTER TABLE graft_delta.`$droot` ADD COLUMNS (bal DECIMAL(10,2))")
+    assert(DeltaTable.read(spark, droot).schema("bal").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    // duplicate refuses
+    val dup = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_delta.`$droot` ADD COLUMN score DOUBLE"))
+    assert(dup.getMessage.contains("already exists"))
+
+    val iroot = tmp("graft-sql-addcol-i-")
+    IcebergTable.create(customer.limit(50)
+      .select($"c_custkey", $"c_name"), iroot)
+    spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` ADD COLUMN score DOUBLE")
+    val i = IcebergTable.read(spark, iroot)
+    assert(i.schema.fieldNames.contains("score"))
+    assert(i.filter($"score".isNotNull).count() == 0)
+  }
+
+  test("ALTER TABLE ... RENAME COLUMN renames logically, both formats") {
+    val droot = tmp("graft-sql-rncol-d-")
+    DeltaTable.create(customer.limit(50)
+      .select($"c_custkey", $"c_acctbal"), droot)
+    val before = DeltaTable.read(spark, droot)
+      .agg(sum($"c_acctbal").cast("decimal(28,6)")).head().getDecimal(0)
+    spark.sql(
+      s"ALTER TABLE graft_delta.`$droot` RENAME COLUMN c_acctbal TO balance")
+    val d = DeltaTable.read(spark, droot)
+    assert(d.schema.fieldNames.toSeq == Seq("c_custkey", "balance"))
+    assert(d.agg(sum($"balance").cast("decimal(28,6)")).head()
+      .getDecimal(0) == before, "rename must not touch data")
+
+    val iroot = tmp("graft-sql-rncol-i-")
+    IcebergTable.create(customer.limit(50)
+      .select($"c_custkey", $"c_acctbal"), iroot)
+    spark.sql(
+      s"ALTER TABLE graft_iceberg.`$iroot` RENAME COLUMN c_acctbal TO balance")
+    assert(IcebergTable.read(spark, iroot).schema.fieldNames.toSeq ==
+      Seq("c_custkey", "balance"))
+  }
+
+  test("ALTER TABLE ... DROP COLUMN removes logically; guards refuse") {
+    val droot = tmp("graft-sql-drcol-d-")
+    DeltaTable.create(customer.limit(50)
+      .select($"c_custkey", $"c_name", $"c_acctbal"), droot)
+    spark.sql(s"ALTER TABLE graft_delta.`$droot` DROP COLUMN c_name")
+    val d = DeltaTable.read(spark, droot)
+    assert(d.schema.fieldNames.toSeq == Seq("c_custkey", "c_acctbal"))
+    assert(d.count() == 50, "rows survive a logical drop")
+    // a column referenced by a CHECK constraint refuses to drop
+    DeltaTable.addCheckConstraint(spark, droot, "bal_nn",
+      "c_acctbal IS NOT NULL")
+    val guarded = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_delta.`$droot` DROP COLUMN c_acctbal"))
+    assert(guarded.getMessage.contains("CHECK constraint"))
+
+    val iroot = tmp("graft-sql-drcol-i-")
+    IcebergTable.create(customer.limit(50)
+      .select($"c_custkey", $"c_name", $"c_acctbal"), iroot)
+    spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` DROP COLUMN c_name")
+    assert(IcebergTable.read(spark, iroot).schema.fieldNames.toSeq ==
+      Seq("c_custkey", "c_acctbal"))
+  }
+
+  test("CREATE TABLE with explicit schema makes an empty table, both formats") {
+    val droot = tmp("graft-sql-create-d-")
+    val r = spark.sql(
+      s"""CREATE TABLE graft_delta.`$droot`
+         |(id BIGINT, name STRING, bal DECIMAL(10,2), region INT)
+         |PARTITIONED BY (region)""".stripMargin)
+    assert(r.columns.toSeq == Seq("id"))
+    val d = DeltaTable.read(spark, droot)
+    assert(d.count() == 0)
+    assert(d.schema.fieldNames.toSeq ==
+      Seq("id", "name", "bal", "region"))
+    assert(DeltaLog.snapshot(spark, droot).partitionColumns == Seq("region"))
+    // the empty table accepts a first INSERT with the declared layout
+    spark.sql(s"INSERT INTO graft_delta.`$droot` " +
+      "SELECT 1L, 'a', CAST(2.50 AS DECIMAL(10,2)), 7")
+    assert(DeltaTable.read(spark, droot).count() == 1)
+
+    val iroot = tmp("graft-sql-create-i-")
+    spark.sql(
+      s"CREATE TABLE graft_iceberg.`$iroot` (id BIGINT, name STRING)")
+    assert(IcebergTable.read(spark, iroot).count() == 0)
+    assert(IcebergTable.read(spark, iroot).schema.fieldNames.toSeq ==
+      Seq("id", "name"))
+
+    // an unknown partition column refuses at declaration
+    val bad = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_delta.`${tmp("graft-sql-create-bad-")}` " +
+        "(id BIGINT) PARTITIONED BY (nope)"))
+    assert(bad.getMessage.contains("partition column"))
+    // graft_lake has no format to create under
+    val lake = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_lake.`${tmp("graft-sql-create-lake-")}` (id BIGINT)"))
+    assert(lake.getMessage.contains("explicit format"))
+  }
 }
