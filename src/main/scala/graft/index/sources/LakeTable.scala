@@ -129,7 +129,7 @@ object LakeTable {
     * a Delta overwrite re-creates under the table's own partition
     * columns (Iceberg's spec is fixed at create already). */
   def append(spark: SparkSession, path: String, df: DataFrame,
-      overwrite: Boolean = false): Long = {
+      overwrite: Boolean = false, branch: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
     val fmt = formatOf(spark, path)
     val tableSchema = fmt match {
@@ -140,9 +140,30 @@ object LakeTable {
       s"INSERT into $path: the query produces ${df.schema.length} " +
         s"column${if (df.schema.length == 1) "" else "s"} but the table " +
         s"has ${tableSchema.length} (${tableSchema.fieldNames.mkString(", ")})")
+    // ANSI store-assignment gate: a column-order mistake (string
+    // feeding a numeric slot, …) must refuse at bind time, not silently
+    // write NULLs through a lax cast
+    df.schema.fields.zip(tableSchema.fields).foreach { case (src, dst) =>
+      require(org.apache.spark.sql.catalyst.expressions.Cast
+        .canANSIStoreAssign(src.dataType, dst.dataType),
+        s"INSERT into $path: query column '${src.name}' " +
+          s"(${src.dataType.simpleString}) cannot bind to table column " +
+          s"'${dst.name}' (${dst.dataType.simpleString}) under ANSI " +
+          "store-assignment rules — the INSERT binds POSITIONALLY; " +
+          "reorder or cast the query's columns explicitly")
+    }
     val aligned = df.select(df.schema.fields.zip(tableSchema.fields).map {
       case (src, dst) => col(s"`${src.name}`").cast(dst.dataType).as(dst.name)
     }.toSeq: _*)
+    branch.filterNot(_ == "main").foreach { b =>
+      require(fmt == "iceberg",
+        s"INSERT into $path@$b: branch writes (write-audit-publish) " +
+          s"are an Iceberg feature; this is a $fmt table")
+      require(!overwrite,
+        s"INSERT OVERWRITE cannot target branch '$b': publish the " +
+          "branch (fast-forward) before replacing data")
+      return IcebergTable.append(aligned, path, branch = Some(b))
+    }
     fmt match {
       case "delta" =>
         if (overwrite) DeltaTable.create(aligned, path,
@@ -153,6 +174,17 @@ object LakeTable {
         else IcebergTable.append(aligned, path)
     }
   }
+
+  /** Read the snapshot a BRANCH or TAG pins (Iceberg refs; `main` is
+    * the live table). The SQL route is `VERSION AS OF '<refname>'`. */
+  def readRef(spark: SparkSession, path: String, name: String): DataFrame =
+    formatOf(spark, path) match {
+      case "iceberg" => IcebergTable.readRef(spark, path, name)
+      case other => throw new UnsupportedOperationException(
+        s"VERSION AS OF '$name' on $path: named refs (branches/tags) " +
+          s"are an Iceberg feature; this is a $other table " +
+          "(Delta time travel is numeric versions or timestamps)")
+    }
 
   /** Commit history, newest first: (version-or-snapshot id, timestamp,
     * operation). */
@@ -300,6 +332,50 @@ object LakeTable {
         DeltaTable.widenColumnTypes(spark, path, Map(column -> to))
       case _ => IcebergTable.promoteColumnType(spark, path, column, to)
     }
+
+  private def requireIceberg(spark: SparkSession, path: String,
+      what: String): Unit = {
+    val fmt = formatOf(spark, path)
+    if (fmt != "iceberg") throw new UnsupportedOperationException(
+      s"$what on $path: branches/tags are an Iceberg feature; this is " +
+        s"a $fmt table")
+  }
+
+  /** `ALTER TABLE ... CREATE BRANCH|TAG name [AS OF VERSION n]` —
+    * Iceberg refs ([[IcebergTable.createRef]]). */
+  def createRef(spark: SparkSession, path: String, name: String,
+      refType: String, at: Option[Long] = None): Long = {
+    requireIceberg(spark, path, s"CREATE ${refType.toUpperCase}")
+    IcebergTable.createRef(spark, path, name, refType, at)
+  }
+
+  /** `ALTER TABLE ... DROP BRANCH|TAG [IF EXISTS] name` — refuses a
+    * type mismatch (DROP BRANCH on a tag) and, without IF EXISTS, an
+    * unknown name — the Iceberg SQL contract. */
+  def dropRef(spark: SparkSession, path: String, name: String,
+      refType: String, ifExists: Boolean): Unit = {
+    requireIceberg(spark, path, s"DROP ${refType.toUpperCase}")
+    IcebergMeta.snapshot(spark, path).refs.get(name) match {
+      case Some(r) =>
+        require(r.refType == refType,
+          s"DROP ${refType.toUpperCase} $name on $path: '$name' is a " +
+            s"${r.refType} — use DROP ${r.refType.toUpperCase}")
+        IcebergTable.dropRef(spark, path, name)
+      case None =>
+        require(ifExists,
+          s"DROP ${refType.toUpperCase} $name on $path: no such " +
+            s"$refType (add IF EXISTS to tolerate)")
+    }
+  }
+
+  /** `ALTER TABLE ... FAST FORWARD branch` — the WAP publish:
+    * repoint main at an audited branch head
+    * ([[IcebergTable.fastForward]]). */
+  def fastForward(spark: SparkSession, path: String,
+      branch: String): Long = {
+    requireIceberg(spark, path, "FAST FORWARD")
+    IcebergTable.fastForward(spark, path, branch)
+  }
 
   /** `ALTER TABLE ... ADD COLUMN name type` — metadata-only schema
     * append on both formats: existing files lack the column and scans

@@ -101,6 +101,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (drc.matches()) {
       return GraftDropColumnCommand(target(drc), stripIdent(drc.group("col")))
     }
+    val crf = CreateRefRe.matcher(sqlText)
+    if (crf.matches()) {
+      return GraftCreateRefCommand(target(crf), stripIdent(crf.group("name")),
+        crf.group("rtype").toLowerCase,
+        Option(crf.group("at")).map(_.toLong))
+    }
+    val drf = DropRefRe.matcher(sqlText)
+    if (drf.matches()) {
+      return GraftDropRefCommand(target(drf), stripIdent(drf.group("name")),
+        drf.group("rtype").toLowerCase, drf.group("ifexists") != null)
+    }
+    val ff = FastForwardRe.matcher(sqlText)
+    if (ff.matches()) {
+      return GraftFastForwardCommand(target(ff), stripIdent(ff.group("name")))
+    }
     val cb = ClusterByRe.matcher(sqlText)
     if (cb.matches()) {
       val cols = Option(cb.group("cols")).toSeq
@@ -258,6 +273,19 @@ object GraftSqlParser {
   private val DropColumnRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+DROP\\s+COLUMNS?\\s+""" +
       """\(?\s*(?<col>[\w`]+)\s*\)?""")
+  // ALTER TABLE <lake> CREATE BRANCH|TAG name [AS OF VERSION n]
+  private val CreateRefRe = re(
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+CREATE\\s+(?<rtype>BRANCH|TAG)\\s+""" +
+      """(?<name>[\w`-]+)(?:\s+AS\s+OF\s+VERSION\s+(?<at>\d+))?""")
+  // ALTER TABLE <lake> DROP BRANCH|TAG [IF EXISTS] name
+  private val DropRefRe = re(
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+DROP\\s+(?<rtype>BRANCH|TAG)\\s+""" +
+      """(?:(?<ifexists>IF\s+EXISTS)\s+)?(?<name>[\w`-]+)""")
+  // ALTER TABLE <lake> FAST FORWARD branch — the WAP publish (the
+  // statement form of Iceberg's fast_forward procedure)
+  private val FastForwardRe = re(
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+FAST\\s+FORWARD\\s+""" +
+      """(?<name>[\w`-]+)""")
   // ALTER TABLE <lake> CLUSTER BY (c, ...) | CLUSTER BY NONE
   private val ClusterByRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+CLUSTER\\s+BY\\s+""" +

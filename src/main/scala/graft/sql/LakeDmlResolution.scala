@@ -168,12 +168,12 @@ class LakeDmlResolution extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val df = (version, ts) match {
       case (Some(v), _) =>
-        val id = try v.toLong catch {
+        try LakeTable.readAsOf(spark, path, v.toLong) catch {
           case _: NumberFormatException =>
-            fail(s"VERSION AS OF on a lake path must be a numeric " +
-              s"version / snapshot id, got '$v'")
+            // non-numeric version names an Iceberg BRANCH or TAG —
+            // `VERSION AS OF 'audit'` reads the ref's pinned snapshot
+            LakeTable.readRef(spark, path, v)
         }
-        LakeTable.readAsOf(spark, path, id)
       case (_, Some(e)) =>
         if (!e.resolved || !e.foldable)
           fail(s"TIMESTAMP AS OF on a lake path must be a literal, " +
@@ -224,12 +224,21 @@ class LakeDmlResolution extends Rule[LogicalPlan] {
           Option(d.condition).map(asColumn(_, aliases)))
       }.getOrElse(plan)
     case i: InsertIntoStatement =>
-      graftTarget(i.table).map { case (path, _) =>
+      graftTarget(i.table).map { case (rawPath, _) =>
         if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty ||
             i.ifPartitionNotExists)
           fail("INSERT into a lake path takes neither a PARTITION spec " +
             "nor a column list (appends write the table's own layout)")
-        GraftInsertCommand(path, resolveReads(i.query), i.overwrite)
+        // `/path@branch` targets an Iceberg branch (WAP audit write);
+        // only a simple trailing ref name splits, so a path that
+        // genuinely contains '@' elsewhere is untouched
+        val (path, branch) = rawPath.lastIndexOf('@') match {
+          case at if at > 0 &&
+              rawPath.substring(at + 1).matches("[\\w-]+") =>
+            (rawPath.substring(0, at), Some(rawPath.substring(at + 1)))
+          case _ => (rawPath, None)
+        }
+        GraftInsertCommand(path, resolveReads(i.query), i.overwrite, branch)
       }.getOrElse(plan)
     case _ => resolveReads(plan)
   }

@@ -114,14 +114,17 @@ case class GraftDescribeHistoryCommand(path: String)
       .toDF("id", "timestamp", "operation").collect().toSeq
 }
 
-/** `INSERT [OVERWRITE] INTO <lake> <query>` → [[LakeTable.append]].
-  * The query plan resolves at run time like the MERGE source. */
+/** `INSERT [OVERWRITE] INTO <lake>[@branch] <query>` →
+  * [[LakeTable.append]]. The query plan resolves at run time like the
+  * MERGE source; `@branch` targets an Iceberg branch (WAP audit
+  * writes — main stays put until FAST FORWARD publishes). */
 case class GraftInsertCommand(path: String, query: LogicalPlan,
-    overwrite: Boolean) extends LeafRunnableCommand {
+    overwrite: Boolean, branch: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = LakeSqlCommands.idOutput
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(LakeTable.append(spark, path,
-      GraftBridge.ofRows(spark, query), overwrite)))
+      GraftBridge.ofRows(spark, query), overwrite, branch)))
 }
 
 /** `RESTORE [TABLE] <lake> TO VERSION AS OF n | TO TIMESTAMP AS OF ts`
@@ -277,6 +280,35 @@ case class GraftDropColumnCommand(path: String, column: String)
   override val output: Seq[Attribute] = LakeSqlCommands.idOutput
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(LakeTable.dropColumn(spark, path, column)))
+}
+
+/** `ALTER TABLE <lake> CREATE BRANCH|TAG name [AS OF VERSION n]` →
+  * [[LakeTable.createRef]] (Iceberg refs; the WAP first act). */
+case class GraftCreateRefCommand(path: String, name: String,
+    refType: String, at: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.createRef(spark, path, name, refType, at)))
+}
+
+/** `ALTER TABLE <lake> DROP BRANCH|TAG [IF EXISTS] name` →
+  * [[LakeTable.dropRef]]. */
+case class GraftDropRefCommand(path: String, name: String,
+    refType: String, ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeTable.dropRef(spark, path, name, refType, ifExists)
+    Nil
+  }
+}
+
+/** `ALTER TABLE <lake> FAST FORWARD branch` →
+  * [[LakeTable.fastForward]] (the WAP publish). */
+case class GraftFastForwardCommand(path: String, branch: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = LakeSqlCommands.idOutput
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(LakeTable.fastForward(spark, path, branch)))
 }
 
 /** `CREATE TABLE graft_<fmt>.`/p` (<schema>) [PARTITIONED BY (...)]`

@@ -640,6 +640,55 @@ class LakeSqlSpec extends AnyFunSuite {
       Seq("c_custkey", "c_acctbal"))
   }
 
+  test("Iceberg branch/tag DDL: full WAP round-trip purely from SQL") {
+    val root = tmp("graft-sql-wap-")
+    // custkey 0..100 -> 101 base rows
+    IcebergTable.create(customer.filter($"c_custkey" <= 100)
+      .select($"c_custkey", $"c_acctbal"), root)
+
+    // act 1: CREATE BRANCH pins the audit line at main's head
+    val r = spark.sql(s"ALTER TABLE graft_iceberg.`$root` CREATE BRANCH audit")
+    assert(r.columns.toSeq == Seq("id"))
+    // plus a TAG pinning the pre-WAP state forever
+    spark.sql(s"ALTER TABLE graft_iceberg.`$root` CREATE TAG before_wap")
+
+    // act 2: audit writes land on the BRANCH; main does not move
+    spark.sql(s"INSERT INTO graft_iceberg.`$root@audit` " +
+      "SELECT CAST(9001 AS BIGINT), CAST(1.0 AS DOUBLE)")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft_iceberg.`$root`")
+      .head().getLong(0) == 101, "main must not see unpublished writes")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft_iceberg.`$root` " +
+      "VERSION AS OF 'audit'").head().getLong(0) == 102,
+      "the branch read must serve the audit write")
+
+    // act 3: FAST FORWARD publishes the audited head
+    spark.sql(s"ALTER TABLE graft_iceberg.`$root` FAST FORWARD audit")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft_iceberg.`$root`")
+      .head().getLong(0) == 102)
+    // the tag still serves the pre-WAP state
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft_iceberg.`$root` " +
+      "VERSION AS OF 'before_wap'").head().getLong(0) == 101)
+
+    // cleanup DDL: type-checked drops
+    val mismatch = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_iceberg.`$root` DROP BRANCH before_wap"))
+    assert(mismatch.getMessage.contains("is a tag"))
+    spark.sql(s"ALTER TABLE graft_iceberg.`$root` DROP BRANCH audit")
+    spark.sql(s"ALTER TABLE graft_iceberg.`$root` DROP TAG before_wap")
+    val gone = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_iceberg.`$root` DROP TAG before_wap"))
+    assert(gone.getMessage.contains("IF EXISTS"))
+    // IF EXISTS tolerates the unknown name
+    spark.sql(s"ALTER TABLE graft_iceberg.`$root` DROP TAG IF EXISTS before_wap")
+
+    // refs are Iceberg-only: Delta refuses with the feature name
+    val droot = tmp("graft-sql-wap-d-")
+    DeltaTable.create(customer.limit(10), droot)
+    val e = intercept[UnsupportedOperationException](spark.sql(
+      s"ALTER TABLE graft_delta.`$droot` CREATE BRANCH audit"))
+    assert(e.getMessage.contains("Iceberg feature"))
+  }
+
   test("CREATE TABLE with explicit schema makes an empty table, both formats") {
     val droot = tmp("graft-sql-create-d-")
     val r = spark.sql(
