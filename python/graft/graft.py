@@ -293,9 +293,12 @@ class LakeTable:
         return self._jt.rewriteManifests(self._jspark, path)
 
     def remove_orphans(self, path, older_than_ms=None, dry_run=False):
-        """Sweep files no retained state references (crash leftovers,
-        foreign drops), age-gated at ``older_than_ms`` (default: 3 days
-        ago); returns the removed (or, with ``dry_run``, the would-be
+        """Sweep files NO retained state references (crash leftovers,
+        foreign drops), on both formats without touching any file a
+        retained version still references — time travel keeps working;
+        use ``cleanup``/VACUUM to reclaim historical files. Gated at
+        the ``older_than_ms`` epoch cutoff (default: 3 days ago);
+        returns the removed (or, with ``dry_run``, the would-be
         removed) paths."""
         import time
         cutoff = (older_than_ms if older_than_ms is not None

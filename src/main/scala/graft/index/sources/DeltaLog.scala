@@ -4214,6 +4214,102 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     doomed.toSeq
   }
 
+  /** ORPHAN sweep — delete files under the table that NO retained log
+    * state references at all (crash-leftover staging junk, foreign
+    * drops): strictly safer than [[vacuum]], which also deletes
+    * tombstoned historical files and therefore truncates time travel.
+    * A file is referenced if any retained commit json or checkpoint
+    * parquet mentions it (add, remove, or cdc action, plus their
+    * deletion-vector files) — removeOrphans never touches those, so
+    * every time-travelable version keeps serving; VACUUM remains the
+    * verb that trades history for space. Age-gated by mtime against
+    * the ABSOLUTE `olderThanMs` epoch cutoff (files modified at or
+    * after it survive) so an in-flight writer's staged files are
+    * never swept. */
+  def removeOrphans(spark: SparkSession, rootStr: String,
+      olderThanMs: Long, dryRun: Boolean = false): Seq[String] = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    DeltaLog.snapshot(spark, rootStr) // assert it IS a Delta table
+    val referenced = mutable.Set.empty[String]
+    def refDv(j: JValue): Unit = (j \ "deletionVector") match {
+      case dv: JObject =>
+        ((dv \ "storageType"), (dv \ "pathOrInlineDv")) match {
+          case (JString(st), JString(p)) =>
+            DvDescriptor(st, p, None, 0, 0L).absolutePath(root)
+              .foreach(ap => referenced += normPath(ap.toString))
+          case _ =>
+        }
+      case _ =>
+    }
+    def refAction(j: JValue): Unit =
+      Seq("add", "remove", "cdc").foreach { kind =>
+        (j \ kind \ "path") match {
+          case JString(raw) =>
+            referenced += normPath(DeltaLog.resolvePath(root, raw))
+            refDv(j \ kind)
+          case _ =>
+        }
+      }
+    val logDir = DeltaLog.logDir(root)
+    def scanLogTree(dir: Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) scanLogTree(st.getPath)
+        else if (n.endsWith(".json") && !n.startsWith(".")) {
+          DeltaLog.readLines(fs, st.getPath)
+            .foreach(line => refAction(JsonMethods.parse(line)))
+        } else if (n.endsWith(".parquet")) {
+          // classic/multi-part/v2 checkpoints + sidecars all carry file
+          // actions as parquet rows; only the retained log can vouch
+          // for a file, so every frame counts
+          val ckf = spark.read.parquet(st.getPath.toString)
+          Seq("add", "remove").foreach { kind =>
+            if (ckf.schema.fieldNames.contains(kind)) {
+              val hasDv = ckf.schema(kind).dataType
+                .asInstanceOf[StructType].fieldNames.contains("deletionVector")
+              val cols = Seq(s"$kind.path as p") ++
+                (if (hasDv) Seq(s"$kind.deletionVector.storageType as dst",
+                  s"$kind.deletionVector.pathOrInlineDv as dp")
+                else Seq("cast(null as string) as dst",
+                  "cast(null as string) as dp"))
+              ckf.where(s"$kind is not null").selectExpr(cols: _*)
+                .collect().foreach { r =>
+                  if (!r.isNullAt(0))
+                    referenced += normPath(
+                      DeltaLog.resolvePath(root, r.getString(0)))
+                  if (!r.isNullAt(1) && !r.isNullAt(2))
+                    DvDescriptor(r.getString(1), r.getString(2), None, 0, 0L)
+                      .absolutePath(root)
+                      .foreach(ap => referenced += normPath(ap.toString))
+                }
+            }
+          }
+        }
+      }
+    scanLogTree(logDir)
+    val cutoff = olderThanMs
+    val doomed = mutable.Buffer.empty[String]
+    def walk(dir: Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (!n.startsWith("_") && !n.startsWith(".") || n == "_change_data") {
+            walk(st.getPath)
+            if (!dryRun && fs.listStatus(st.getPath).isEmpty)
+              fs.delete(st.getPath, false)
+          }
+        } else if (!n.startsWith(".") && !n.startsWith("_") &&
+            !referenced.contains(normPath(st.getPath.toString)) &&
+            st.getModificationTime < cutoff) {
+          doomed += st.getPath.toString
+          if (!dryRun) fs.delete(st.getPath, false)
+        }
+      }
+    walk(root)
+    doomed.toSeq
+  }
+
   /** Write a parquet checkpoint at the current version so replay cost
     * stays bounded as commits accumulate (+ the `_last_checkpoint` hint
     * file real readers look for). Tables whose protocol demands V2 SPEC

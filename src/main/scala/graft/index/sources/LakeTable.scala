@@ -500,19 +500,16 @@ object LakeTable {
           "manifest tier (Delta compacts log metadata through checkpoints)")
     }
 
-  /** ORPHAN sweep — delete files under the table that no retained
+  /** ORPHAN sweep — delete files under the table that NO retained
     * state references (crash leftovers, foreign drops), age-gated at
-    * `olderThanMs`: Iceberg [[IcebergTable.removeOrphanFiles]]; on
-    * Delta the same class of junk falls under VACUUM's untracked-file
-    * mtime gate, so the sweep routes there with the equivalent
-    * retention window. */
+    * `olderThanMs`. On BOTH formats this is strictly time-travel-safe:
+    * files referenced by any retained version stay (historical cleanup
+    * is VACUUM's job, which documents the history loss). */
   def removeOrphans(spark: SparkSession, path: String,
       olderThanMs: Long, dryRun: Boolean = false): Seq[String] =
     formatOf(spark, path) match {
       case "iceberg" => IcebergTable.removeOrphanFiles(spark, path,
         Some(olderThanMs), dryRun)
-      case _ => DeltaTable.vacuum(spark, path,
-        retentionMs = math.max(0L, System.currentTimeMillis() - olderThanMs),
-        dryRun = dryRun)
+      case _ => DeltaTable.removeOrphans(spark, path, olderThanMs, dryRun)
     }
 }

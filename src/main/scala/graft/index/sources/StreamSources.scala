@@ -844,6 +844,8 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
     val cur0 = headId()
     // previous end offset, or NULL on a fresh stream's first trigger
     val from = Option(start).map(_.json.toLong).getOrElse(startingSnapshot)
+    // a checkpointed start past the head = dropped-and-recreated table
+    if (start != null) requireOnLineage(from, "checkpointed offset")
     if (cur0 < 0) return LongOffset(from) // empty table: echo = no new data
     // the AvailableNow pin is an ID on the lineage, not a number line:
     // serve toward it, not past it
@@ -853,9 +855,26 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
     LongOffset(StreamRateLimit.admit(stats, maxFiles, maxBytes).getOrElse(cur))
   }
 
+  /** A checkpointed id AHEAD of the table's whole lineage is not a
+    * replay: ids are monotone, so id > head means the table was
+    * dropped and recreated (ids restarted below the checkpoint).
+    * Surface the divergence like the Delta source's id-mismatch error
+    * instead of yielding empty batches forever (or an opaque lineage
+    * walk failure). */
+  private def requireOnLineage(id: Long, what: String): Unit = {
+    val head = headId()
+    if (id > 0 && id > head)
+      throw new IllegalStateException(
+        s"graft-iceberg stream at $location: $what $id is beyond the " +
+          s"table's current head ($head) — the table appears to have " +
+          "been dropped and recreated; restart the stream from a " +
+          "fresh checkpoint")
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(_.json.toLong).getOrElse(startingSnapshot)
     val endId = end.json.toLong
+    requireOnLineage(endId, "checkpointed offset")
     val batch =
       // `from >= endId` (not just ==): a RESTART replays batch 0 with
       // start=None, and a drifting starting option ("latest" after the

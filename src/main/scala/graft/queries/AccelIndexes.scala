@@ -69,9 +69,18 @@ private[queries] object AccelIndexes {
     "accel_ci_cust_seg", Seq("c_custkey"),
     Seq("c_nationkey", "c_mktsegment"))
 
+  // the q64-shape wide fact leg: one bucketed index serving the
+  // orderkey join while carrying BOTH other foreign keys + the money
+  // columns, so the 9-leg join reads lineitem exactly once
+  val liWide: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_wide", Seq("l_orderkey"),
+    Seq("l_partkey", "l_suppkey", "l_extendedprice", "l_discount"))
+
   // ---- dims
   val suppDim: Entry = "supplier" -> CoveringIndexConfig(
     "accel_ci_supp_dim", Seq("s_suppkey"), Seq("s_name"))
+  val suppNat: Entry = "supplier" -> CoveringIndexConfig(
+    "accel_ci_supp_nat", Seq("s_suppkey"), Seq("s_name", "s_nationkey"))
   val partDim: Entry = "part" -> CoveringIndexConfig(
     "accel_ci_part_dim", Seq("p_partkey"), Seq("p_name"))
   val partAttr: Entry = "part" -> CoveringIndexConfig(
@@ -84,8 +93,8 @@ private[queries] object AccelIndexes {
     * ensured separately by [[IndexAccel.ensureRank8Decoy]] because it
     * needs a bucket-count override under the same system path. */
   val all: Seq[Entry] = Seq(
-    li, liJoin, liSupp, liBySupp, liShip, liByPart, liRev, zoLi, dsLi,
+    li, liJoin, liSupp, liBySupp, liShip, liByPart, liRev, liWide, zoLi, dsLi,
     ordJoin, ordSnow, ordSnow3, ordAgg, ordByCust,
     cust, custNat, custDim, custSeg,
-    suppDim, partDim, partAttr, nationDim)
+    suppDim, suppNat, partDim, partAttr, nationDim)
 }

@@ -640,7 +640,195 @@ object TpcdsShapes {
       |  COALESCE(cum_sales, CAST(0 AS DECIMAL(28,6)))
       |ORDER BY suppkey, month""".stripMargin
 
+  /**
+   * TPC-DS q4 shape (reference tpcds/queries/q4.sql): a per-customer
+   * per-year per-channel totals CTE, SELF-JOINED SIX WAYS (first/second
+   * year × three channels) with growth-ratio comparisons across
+   * channels — the deepest reused-CTE composition in the corpus.
+   * Mapped: channels are l_returnflag classes (N/A/R), years 1995/1996
+   * from o_orderdate; a customer qualifies when their 'A'-channel
+   * year-over-year growth beats BOTH other channels' growth. Each
+   * CTE instance is a date+flag-filtered li⋈ord aggregate, so all six
+   * legs must index-rewrite (liShip co-bucketed with ordSnow3 on
+   * orderkey), and the final name lookup joins custDim. Ratios divide
+   * exact-decimal sums cast to double — deterministic in both engines.
+   */
+  def qds4YoyChannelGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liShip)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    ensureIndex(spark, sfDir, AccelIndexes.custDim)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    def yearTotal(year: Int, flag: String, tag: String): DataFrame =
+      li.filter(col("l_returnflag") === flag)
+        .join(ord.filter(
+          col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as(s"${tag}_cust"))
+        .agg(moneySum(col("l_extendedprice")).as(s"${tag}_total"))
+    val sf = yearTotal(1995, "N", "sf"); val ss = yearTotal(1996, "N", "ss")
+    val cf = yearTotal(1995, "A", "cf"); val cs = yearTotal(1996, "A", "cs")
+    val wf = yearTotal(1995, "R", "wf"); val ws = yearTotal(1996, "R", "ws")
+    ss.join(sf, col("ss_cust") === col("sf_cust"))
+      .join(cf, col("sf_cust") === col("cf_cust"))
+      .join(cs, col("sf_cust") === col("cs_cust"))
+      .join(wf, col("sf_cust") === col("wf_cust"))
+      .join(ws, col("sf_cust") === col("ws_cust"))
+      .filter(col("sf_total") > 0 && col("cf_total") > 0 &&
+        col("wf_total") > 0)
+      .filter(col("cs_total") / col("cf_total") >
+        col("ss_total") / col("sf_total") &&
+        col("cs_total") / col("cf_total") >
+          col("ws_total") / col("wf_total"))
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("ss_cust") === col("c_custkey"))
+      .select(col("c_custkey").as("cust_id"), col("c_name").as("name"))
+      .orderBy(col("name"))
+      .limit(100)
+  }
+
+  val qds4Sql: String =
+    s"""WITH year_total AS (
+       |  SELECT o_custkey AS cust, l_returnflag AS channel,
+       |    CAST(strftime(o_orderdate, '%Y') AS INT) AS dyear,
+       |    ${sqlMoneySum("l_extendedprice")} AS total
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01'
+       |  GROUP BY 1, 2, 3)
+       |SELECT c_custkey AS cust_id, c_name AS name
+       |FROM year_total sf, year_total ssy, year_total cf, year_total csy,
+       |     year_total wf, year_total wsy, customer
+       |WHERE ssy.cust = sf.cust AND sf.cust = cf.cust AND sf.cust = csy.cust
+       |  AND sf.cust = wf.cust AND sf.cust = wsy.cust
+       |  AND sf.channel = 'N' AND ssy.channel = 'N'
+       |  AND cf.channel = 'A' AND csy.channel = 'A'
+       |  AND wf.channel = 'R' AND wsy.channel = 'R'
+       |  AND sf.dyear = 1995 AND ssy.dyear = 1996
+       |  AND cf.dyear = 1995 AND csy.dyear = 1996
+       |  AND wf.dyear = 1995 AND wsy.dyear = 1996
+       |  AND sf.total > 0 AND cf.total > 0 AND wf.total > 0
+       |  AND csy.total / cf.total > ssy.total / sf.total
+       |  AND csy.total / cf.total > wsy.total / wf.total
+       |  AND c_custkey = ssy.cust
+       |ORDER BY name LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q64 shape (reference tpcds/queries/q64.sql): ONE wide
+   * multi-dimension join — the fact through seven legs including the
+   * SAME dimension under two aliases (nation as the customer's and the
+   * supplier's geography, q64's ad1/ad2 customer_address pattern) with
+   * a cross-alias inequality, gated by a returns-ratio CTE semi-join
+   * (cs_ui), grouped per (brand, supplier nation, year) and SELF-JOINED
+   * year-over-year with a count comparison. The fact leg reads ONE
+   * bucketed covering index (liWide) carrying all three foreign keys;
+   * nationDim serves both aliases through renames (the r12 alias-
+   * tracing fix is load-bearing here).
+   */
+  def qds64WideMultiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liWide)
+    ensureIndex(spark, sfDir, AccelIndexes.liByPart)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    ensureIndex(spark, sfDir, AccelIndexes.custDim)
+    ensureIndex(spark, sfDir, AccelIndexes.nationDim)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    ensureIndex(spark, sfDir, AccelIndexes.suppNat)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val nation = Tables.load(spark, sfDir, "nation")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val disc = col("l_extendedprice") * col("l_discount")
+    // cs_ui: LOW-discount parts — sale > 12 × discount-amount (the
+    // returns-ratio HAVING of the original, on the fixture's columns)
+    val csUi = li.groupBy(col("l_partkey").as("ui_part"))
+      .agg(moneySum(rev).as("ui_sale"), moneySum(disc).as("ui_refund"))
+      .filter(col("ui_sale") > lit(12.0) * col("ui_refund"))
+      .select(col("ui_part"))
+    val ordYr = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .withColumn("syear",
+        when(col("o_orderdate") < lit("1996-01-01").cast("timestamp"),
+          lit(1995)).otherwise(lit(1996)))
+    val custNation = nation.select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cn_name"))
+    val suppNation = nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("sn_name"))
+    // geography rides the DIM side: supplier⋈nation and customer⋈nation
+    // pre-join as small dim-dim joins, so the wide fact stream is never
+    // re-keyed on a nationkey
+    val suppGeo = Tables.load(spark, sfDir, "supplier")
+      .join(suppNation, col("s_nationkey") === col("sn_key"))
+    val custGeo = Tables.load(spark, sfDir, "customer")
+      .join(custNation, col("c_nationkey") === col("cn_key"))
+    // join order = one fact re-key per DISTINCT key: orderkey first
+    // (zero-shuffle on the liWide×ordSnow3 buckets), then ONE partkey
+    // exchange serving BOTH the cs_ui gate (an inner join — csUi's key
+    // is unique, so it is IN-equivalent, and staying inner keeps
+    // Catalyst from pushing it below the ord join as a semi) and the
+    // part dim, then suppkey, then custkey
+    val crossSales = li
+      .join(ordYr, col("l_orderkey") === col("o_orderkey"))
+      .join(csUi, col("l_partkey") === col("ui_part"))
+      .join(Tables.load(spark, sfDir, "part")
+        .filter(col("p_type").isin("STANDARD", "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(suppGeo, col("l_suppkey") === col("s_suppkey"))
+      .join(custGeo, col("o_custkey") === col("c_custkey"))
+      .filter(col("cn_name") =!= col("sn_name"))
+      .groupBy(col("p_brand").as("brand"), col("sn_name").as("supp_nation"),
+        col("syear"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"), moneySum(rev).as("s1"))
+    val cs1 = crossSales.filter(col("syear") === 1995)
+      .select(col("brand").as("b1"), col("supp_nation").as("n1"),
+        col("cnt").as("cnt1"), col("s1").as("rev1"))
+    val cs2 = crossSales.filter(col("syear") === 1996)
+      .select(col("brand").as("b2"), col("supp_nation").as("n2"),
+        col("cnt").as("cnt2"), col("s1").as("rev2"))
+    cs1.join(cs2, col("b1") === col("b2") && col("n1") === col("n2"))
+      .filter(col("cnt2") <= col("cnt1"))
+      .select(col("b1").as("brand"), col("n1").as("supp_nation"),
+        col("cnt1"), col("rev1"), col("cnt2"), col("rev2"))
+      .orderBy(col("brand"), col("supp_nation"))
+  }
+
+  val qds64Sql: String = {
+    val rev = "l_extendedprice * (1 - l_discount)"
+    val disc = "l_extendedprice * l_discount"
+    s"""WITH cs_ui AS (
+       |  SELECT l_partkey AS ui_part
+       |  FROM lineitem GROUP BY 1
+       |  HAVING ${sqlMoneySum(rev)} > 12 * ${sqlMoneySum(disc)}),
+       |cross_sales AS (
+       |  SELECT p_brand AS brand, sn.n_name AS supp_nation,
+       |    CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+       |      THEN 1995 ELSE 1996 END AS syear,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    ${sqlMoneySum(rev)} AS s1
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01'
+       |    AND cn.n_name <> sn.n_name
+       |    AND p_type IN ('STANDARD', 'PROMO')
+       |    AND l_partkey IN (SELECT ui_part FROM cs_ui)
+       |  GROUP BY 1, 2, 3)
+       |SELECT cs1.brand AS brand, cs1.supp_nation AS supp_nation,
+       |  cs1.cnt AS cnt1, cs1.s1 AS rev1, cs2.cnt AS cnt2, cs2.s1 AS rev2
+       |FROM cross_sales cs1 JOIN cross_sales cs2
+       |  ON cs1.brand = cs2.brand AND cs1.supp_nation = cs2.supp_nation
+       |WHERE cs1.syear = 1995 AND cs2.syear = 1996 AND cs2.cnt <= cs1.cnt
+       |ORDER BY brand, supp_nation""".stripMargin
+  }
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds4_yoy_channel_growth" -> (qds4YoyChannelGrowth _, qds4Sql),
+    "qds64_wide_multi_join" -> (qds64WideMultiJoin _, qds64Sql),
     "qds1_returns_above_avg" -> (qds1ReturnsAboveAvg _, qds1Sql),
     "qds65_underperf_parts" -> (qds65UnderperfParts _, qds65Sql),
     "qds_deep_snowflake_4idx" -> (qdsDeepSnowflake _, qdsDeepSql),

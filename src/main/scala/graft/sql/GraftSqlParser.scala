@@ -124,24 +124,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
     val sp = SetPropsRe.matcher(sqlText)
     if (sp.matches()) {
-      val raw = sp.group("props")
-      val props = PropEntryRe.findAllMatchIn(raw)
-        .map(m2 => m2.group(1) -> m2.group(2)).toMap
-      require(props.nonEmpty,
-        s"SET TBLPROPERTIES: no 'key'='value' pairs in ($raw)")
-      requireFullyParsed(raw, PropEntryRe, "SET TBLPROPERTIES")
-      return GraftSetPropertiesCommand(target(sp), props)
+      return GraftSetPropertiesCommand(target(sp),
+        parsePropList(sp.group("props"), "SET TBLPROPERTIES",
+          withValues = true).toMap)
     }
     val shp = ShowPropsRe.matcher(sqlText)
     if (shp.matches()) return GraftShowPropertiesCommand(target(shp))
     val up = UnsetPropsRe.matcher(sqlText)
     if (up.matches()) {
-      val raw = up.group("keys")
-      val keys = PropKeyRe.findAllMatchIn(raw).map(_.group(1)).toSet
-      require(keys.nonEmpty,
-        s"UNSET TBLPROPERTIES: no 'key' entries in ($raw)")
-      requireFullyParsed(raw, PropKeyRe, "UNSET TBLPROPERTIES")
-      return GraftUnsetPropertiesCommand(target(up), keys)
+      return GraftUnsetPropertiesCommand(target(up),
+        parsePropList(up.group("keys"), "UNSET TBLPROPERTIES",
+          withValues = false).map(_._1).toSet)
     }
     val ct = CreateRe.matcher(sqlText)
     if (ct.matches()) {
@@ -299,19 +292,66 @@ object GraftSqlParser {
   private val UnsetPropsRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+UNSET\\s+TBLPROPERTIES\\s*""" +
       """\((?<keys>.+)\)\s*""")
-  private val PropEntryRe =
-    """'([^']*)'\s*=\s*'([^']*)'""".r
-  private val PropKeyRe = """'([^']*)'""".r
+  /** One single-quoted literal starting at `from` (which must point at
+    * the opening quote), honoring standard `''` escaping. Returns the
+    * unescaped text and the index just past the closing quote; None if
+    * `from` isn't a quote or the literal never terminates. */
+  private def parseQuoted(s: String, from: Int): Option[(String, Int)] = {
+    if (from >= s.length || s.charAt(from) != '\'') return None
+    val sb = new StringBuilder
+    var i = from + 1
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          sb.append('\''); i += 2
+        } else return Some((sb.toString, i + 1))
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    None
+  }
 
-  /** After extracting the quoted entries, ONLY commas and whitespace
-    * may remain — a malformed entry (unquoted key, missing `=`) must
-    * refuse loudly, never be silently dropped. */
-  private def requireFullyParsed(raw: String, entryRe: scala.util.matching.Regex,
-      what: String): Unit = {
-    val residue = entryRe.replaceAllIn(raw, "").replaceAll("[,\\s]+", "")
-    require(residue.isEmpty,
-      s"$what: unparsable text '$residue' in ($raw) — entries must be " +
-        "'key'='value' (SET) or 'key' (UNSET), single-quoted")
+  private def skipWs(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    i
+  }
+
+  /** Tokenize `'k'='v', …` (SET) or `'k', …` (UNSET) with an EXPLICIT
+    * comma-separated grammar: a missing comma, missing `=`, unquoted
+    * token, trailing comma, or unterminated literal refuses loudly
+    * with the offending position — a silently-dropped entry (an
+    * ignored `delta.appendOnly` would be a silent enforcement gap) is
+    * never possible. Values use standard `''` quote escaping. */
+  private[sql] def parsePropList(raw: String, what: String,
+      withValues: Boolean): Seq[(String, String)] = {
+    def refuse(i: Int, expected: String): Nothing =
+      throw new IllegalArgumentException(
+        s"$what: expected $expected at position $i in ($raw) — entries " +
+          "must be 'key'='value' (SET) or 'key' (UNSET), single-quoted " +
+          "with '' escaping, comma-separated")
+    val out = scala.collection.mutable.Buffer.empty[(String, String)]
+    var i = skipWs(raw, 0)
+    require(i < raw.length, s"$what: no entries in ($raw)")
+    var more = true
+    while (more) {
+      val (k, afterK) = parseQuoted(raw, i)
+        .getOrElse(refuse(i, "a quoted 'key'"))
+      i = skipWs(raw, afterK)
+      if (withValues) {
+        if (i >= raw.length || raw.charAt(i) != '=') refuse(i, "'='")
+        i = skipWs(raw, i + 1)
+        val (v, afterV) = parseQuoted(raw, i)
+          .getOrElse(refuse(i, "a quoted 'value'"))
+        out += k -> v
+        i = skipWs(raw, afterV)
+      } else out += k -> ""
+      if (i >= raw.length) more = false
+      else if (raw.charAt(i) == ',') {
+        i = skipWs(raw, i + 1)
+        if (i >= raw.length) refuse(i, "an entry after ','")
+      } else refuse(i, "',' between entries")
+    }
+    out.toSeq
   }
   // SHOW TBLPROPERTIES <lake>
   private val ShowPropsRe = re(

@@ -528,7 +528,7 @@ class LakeSqlSpec extends AnyFunSuite {
     val bad = intercept[Exception](spark.sql(
       s"ALTER TABLE graft_delta.`$droot` SET TBLPROPERTIES " +
         "('owner' = 'etl', delta.appendOnly = 'true')"))
-    assert(bad.getMessage.contains("unparsable"), bad.getMessage)
+    assert(bad.getMessage.contains("expected a quoted"), bad.getMessage)
     spark.sql(s"ALTER TABLE graft_delta.`$droot` SET TBLPROPERTIES " +
       "('comment' = 'see (docs)')")
     assert(DeltaLog.snapshot(spark, droot).configuration
@@ -638,6 +638,37 @@ class LakeSqlSpec extends AnyFunSuite {
     spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` DROP COLUMN c_name")
     assert(IcebergTable.read(spark, iroot).schema.fieldNames.toSeq ==
       Seq("c_custkey", "c_acctbal"))
+  }
+
+  test("TBLPROPERTIES grammar: missing comma / missing = refuse; '' escapes") {
+    val root = tmp("graft-sql-propgrammar-")
+    DeltaTable.create(customer.limit(10), root)
+    // the r12 escape: a missing comma between two well-formed entries
+    // was silently swallowed by the residue check
+    val noComma = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_delta.`$root` SET TBLPROPERTIES " +
+        "('a'='b' 'c'='d')"))
+    assert(noComma.getMessage.contains("','"), noComma.getMessage)
+    val noEq = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_delta.`$root` SET TBLPROPERTIES ('a' 'b')"))
+    assert(noEq.getMessage.contains("'='"), noEq.getMessage)
+    val trailing = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_delta.`$root` SET TBLPROPERTIES ('a'='b',)"))
+    assert(trailing.getMessage.contains("entry after"), trailing.getMessage)
+    // '' escaping makes quoted values expressible
+    spark.sql(s"ALTER TABLE graft_delta.`$root` SET TBLPROPERTIES " +
+      "('motto'='it''s fine', 'owner'='etl')")
+    val cfg = DeltaLog.snapshot(spark, root).configuration
+    assert(cfg.get("motto").contains("it's fine"))
+    assert(cfg.get("owner").contains("etl"))
+    // UNSET tokenizes with the same grammar
+    val unsetBad = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_delta.`$root` UNSET TBLPROPERTIES ('a' 'b')"))
+    assert(unsetBad.getMessage.contains("','"), unsetBad.getMessage)
+    spark.sql(s"ALTER TABLE graft_delta.`$root` UNSET TBLPROPERTIES " +
+      "('motto', 'owner')")
+    val cfg2 = DeltaLog.snapshot(spark, root).configuration
+    assert(!cfg2.contains("motto") && !cfg2.contains("owner"))
   }
 
   test("Iceberg branch/tag DDL: full WAP round-trip purely from SQL") {

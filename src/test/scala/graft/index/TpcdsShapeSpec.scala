@@ -257,6 +257,55 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 6, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
+  test("qds4_yoy_channel_growth: all six year_total legs ride the " +
+      "orderkey buckets; the six-way self-join re-keys on custkey once " +
+      "per leg") {
+    val p = planOf("qds4_yoy_channel_growth")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_ship", "accel_ci_ord_snow3", "accel_ci_cust_dim")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    // each of the 6 legs: li⋈ord zero-shuffle on the orderkey buckets,
+    // then ONE exchange to custkey for its aggregate; the 6-way
+    // self-join + customer lookup then share the custkey partitioning
+    assert(zeroShuffleJoins(p).size >= 6,
+      s"expected 6 bucketed li⋈ord legs, got ${zeroShuffleJoins(p).size}:\n$p")
+    assert(shuffles(p) <= 8, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds64_wide_multi_join: the wide join reads the fact once from " +
+      "liWide; nationDim serves BOTH aliases; dims add no fact shuffles") {
+    val p = planOf("qds64_wide_multi_join")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_wide", "accel_ci_li_bypart", "accel_ci_ord_snow3",
+      "accel_ci_part_attr", "accel_ci_supp_nat")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    // customer needs only c_nationkey here — custDim and custSeg both
+    // cover it, and the ranker may pick either equally-narrow index
+    assert(idx.exists(p => p.contains("accel_ci_cust_dim") ||
+      p.contains("accel_ci_cust_seg")),
+      s"customer leg not index-served: $idx\n$p")
+    // the SAME nation index under two aliases (customer + supplier
+    // geography) — the q64 ad1/ad2 pattern
+    assert(idx.count(_.contains("accel_ci_nation_dim")) >= 2,
+      s"nationDim must serve both aliases; served from: $idx\n$p")
+    // fact⋈orders rides the orderkey buckets zero-shuffle; the other
+    // fact re-keys (partkey for cs_ui+part, suppkey, custkey) are
+    // genuine key changes a 4-key star cannot avoid without broadcast
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"no bucketed fact join:\n$p")
+    // and the fact is never re-keyed on the SAME key twice (the shape
+    // that double-pays: a semi pushdown separating the two partkey
+    // consumers)
+    val exchanges = allNodes(p).collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning.toString
+    }
+    assert(exchanges.size == exchanges.distinct.size ||
+      shuffles(p) <= 14,
+      s"duplicate fact re-key (exchange count ${shuffles(p)}):\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {

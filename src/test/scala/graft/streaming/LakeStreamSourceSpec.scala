@@ -171,6 +171,34 @@ class LakeStreamSourceSpec extends AnyFunSuite {
     assert(n == customer.count() + 5)
   }
 
+  test("graft-iceberg: a dropped-and-recreated table fails the checkpoint " +
+      "instead of yielding empty batches forever") {
+    val loc = Files.createTempDirectory("graft-istream-reset-").toString
+    val out = Files.createTempDirectory("graft-istream-reset-out-").toString
+    val ckpt = Files.createTempDirectory("graft-istream-reset-ck-").toString
+    IcebergTable.create(customer.filter(col("c_custkey") < 50), loc)
+    IcebergTable.append(customer.filter(col("c_custkey") >= 50 &&
+      col("c_custkey") < 100), loc)
+    IcebergTable.append(customer.filter(col("c_custkey") >= 100 &&
+      col("c_custkey") < 150), loc)
+    drain("graft-iceberg", loc, out, ckpt) // checkpoint now at snapshot 3
+
+    // drop + recreate: snapshot ids restart below the checkpointed end
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles).foreach(_.foreach(rmrf)); p.delete()
+    }
+    rmrf(new java.io.File(loc))
+    IcebergTable.create(customer.filter(col("c_custkey") < 20), loc)
+
+    val e = intercept[StreamingQueryException] {
+      drain("graft-iceberg", loc, out, ckpt)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dropped and recreated")),
+      s"expected the recreation divergence error, got: ${msgs(e).mkString(" | ")}")
+  }
+
   /** Completed micro-batches recorded in the checkpoint's offset log. */
   private def batchCount(ckpt: String): Int =
     new java.io.File(ckpt, "offsets").list()
