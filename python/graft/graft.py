@@ -324,3 +324,38 @@ class LakeTable:
     def undo_to(self, path, id):
         """Restore a Delta version / roll back to an Iceberg snapshot."""
         return self._jt.undoTo(self._jspark, path, id)
+
+    def add_column(self, path, name, type_ddl):
+        """ALTER TABLE ... ADD COLUMN: append a nullable column
+        (metadata-only on both formats; existing files read null).
+        ``type_ddl`` is a Spark DDL type string like ``"double"`` or
+        ``"decimal(10,2)"``; returns the commit id."""
+        jdt = self._jvm.org.apache.spark.sql.types.DataType.fromDDL(type_ddl)
+        return self._jt.addColumn(self._jspark, path, name, jdt)
+
+    def rename_column(self, path, old_name, new_name):
+        """ALTER TABLE ... RENAME COLUMN (logical rename — Delta column
+        mapping / Iceberg field ids; data files untouched)."""
+        return self._jt.renameColumn(self._jspark, path, old_name, new_name)
+
+    def drop_column(self, path, name):
+        """ALTER TABLE ... DROP COLUMN (logical removal; partition
+        columns and constraint-referenced columns refuse)."""
+        return self._jt.dropColumn(self._jspark, path, name)
+
+    def create_ref(self, path, name, ref_type="branch", at=None):
+        """Create an Iceberg BRANCH or TAG, optionally pinned ``at`` a
+        snapshot id (default: the current head). Returns the pinned id."""
+        jat = (getattr(self._jvm.scala.Option, "empty")() if at is None
+               else self._jvm.scala.Option.apply(at))
+        return self._jt.createRef(self._jspark, path, name, ref_type, jat)
+
+    def drop_ref(self, path, name, ref_type="branch", if_exists=False):
+        """Drop an Iceberg branch or tag; refuses a type mismatch and,
+        without ``if_exists``, an unknown name."""
+        self._jt.dropRef(self._jspark, path, name, ref_type, if_exists)
+
+    def fast_forward(self, path, branch):
+        """Publish a write-audit-publish branch: repoint main at the
+        branch head (must be a clean descendant); returns the id."""
+        return self._jt.fastForward(self._jspark, path, branch)

@@ -193,6 +193,27 @@ assert t.remove_orphans(irt, older_than_ms=future, dry_run=True) == [], \
 t.set_properties(irt, {"owner": "py-etl"})
 t.unset_properties(irt, ["owner"])
 
+# --- column DDL from python: add / rename / drop
+t.add_column(irt, "score", "double")
+assert "score" in [f.name() for f in t.read(irt)._jdf.schema().fields()]
+t.rename_column(irt, "score", "score2")
+t.drop_column(irt, "score2")
+assert "score2" not in [f.name() for f in t.read(irt)._jdf.schema().fields()]
+
+# --- iceberg refs from python: the WAP cycle
+head_rows = t.read(irt).count()
+t.create_ref(irt, "py_audit", "branch")
+t.create_ref(irt, "py_pin", "tag")
+jspark.sql("select * from parquet.`" + sf_dir + "/region.parquet`") \
+    .write().format("graft-iceberg").option("branch", "py_audit") \
+    .mode("append").save(irt)
+assert t.read(irt).count() == head_rows, "branch write moved main"
+t.fast_forward(irt, "py_audit")
+assert t.read(irt).count() == head_rows + n_region
+t.drop_ref(irt, "py_audit", "branch")
+t.drop_ref(irt, "py_pin", "tag")
+t.drop_ref(irt, "py_pin", "tag", if_exists=True)  # tolerated
+
 # --- standard provider syntax resolves from python too (registry-based)
 bdir = tempfile.mkdtemp(prefix="graft-py-batchfmt-") + "/t"
 jspark.sql("select * from parquet.`" + sf_dir + "/nation.parquet`") \

@@ -481,11 +481,22 @@ final class IcebergStreamProvider extends StreamSourceProvider
     val path = pathOf(parameters)
     val parts = LakeBatchWrite.partitionsOf(parameters)
     val exists = IcebergMeta.isIcebergTable(spark, path)
+    // batch WAP: `.option("branch", b)` appends to a branch; main
+    // stays put until fastForward publishes (the streaming sink's
+    // branch option, on the batch path)
+    val branch = parameters.get("branch").filterNot(_ == "main")
+    require(branch.isEmpty || mode == BatchSaveMode.Append,
+      s"the branch option targets audit APPENDS; ${mode.name} to a " +
+        "branch is not a write-audit-publish shape")
+    require(branch.isEmpty || exists,
+      s"branch write at $path needs an existing Iceberg table " +
+        "(create it first, then write to the branch)")
     mode match {
       case BatchSaveMode.Overwrite =>
         IcebergTable.overwrite(data, path, partitionColumns = parts)
       case BatchSaveMode.Append =>
-        if (exists) IcebergTable.append(data, path, partitionColumns = parts)
+        if (exists) IcebergTable.append(data, path,
+          partitionColumns = parts, branch = branch)
         else IcebergTable.create(data, path, partitionColumns = parts)
       case BatchSaveMode.ErrorIfExists =>
         if (exists) throw new IllegalArgumentException(
