@@ -26,7 +26,12 @@ class ApplyGraft(spark: SparkSession) extends Rule[LogicalPlan] with Logging {
     try {
       val indexes = IndexCatalog.activeIndexes(spark)
       if (indexes.isEmpty) return plan
-      val candidates = IndexCandidates.collect(spark, plan, indexes)
+      // EXISTS/IN probes live in SUBQUERY plans the main-plan walk never
+      // visits — collect their relations too so ExistsIndexRule can pair
+      // them (subqueriesAll covers nesting)
+      val candidates = (plan +: plan.subqueriesAll)
+        .map(p => IndexCandidates.collect(spark, p, indexes))
+        .reduce(_ ++ _)
       if (candidates.isEmpty) return plan
       ScoreBasedOptimizer.optimize(spark, plan, candidates)
     } catch {

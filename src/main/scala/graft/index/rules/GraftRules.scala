@@ -340,9 +340,12 @@ object JoinIndexRule extends GraftIndexRule {
     * semantics are preserved for every type; this set names the ones
     * planned as shuffle joins that benefit from bucket co-location.
     * Catalyst's semi/anti pushdown makes LeftSemi/LeftAnti common
-    * shapes (TPC-DS q95's IN-subqueries land here). */
+    * shapes (TPC-DS q95's IN-subqueries land here), and a DISJUNCTION
+    * of EXISTS predicates (q35/q10 `EXISTS(...) OR EXISTS(...)`) plans
+    * each branch as an ExistenceJoin — same shuffle join, same swap. */
   private[index] def rewritableJoinType(jt: JoinType): Boolean = jt match {
     case Inner | LeftSemi | LeftAnti | LeftOuter | RightOuter | FullOuter => true
+    case _: org.apache.spark.sql.catalyst.plans.ExistenceJoin => true
     case _ => false
   }
 
@@ -415,6 +418,168 @@ object JoinIndexRule extends GraftIndexRule {
         if (replacement.output.map(_.exprId) == covered.map(_.exprId)) replacement
         else Project(covered, replacement)
     }
+}
+
+/**
+ * EXISTS / IN-subquery acceleration. SQL `EXISTS (...)` and `IN (...)`
+ * predicates only become LeftSemi / LeftAnti / ExistenceJoin nodes in
+ * Catalyst's RewriteSubquery batch, which runs AFTER the pre-CBO batch
+ * this optimizer is injected into — so at rule time the probe is still
+ * a [[SubqueryExpression]] inside a Filter and [[JoinIndexRule]] never
+ * sees a Join. This rule treats `Filter(… Exists/In …, outer)` AS that
+ * future join: it extracts the correlation equi-pairs from the pulled-up
+ * joinCond (or the IN values/output positional pairs), picks a bucketed
+ * covering-index pair exactly like the join rule, and swaps BOTH the
+ * outer relation and each subquery's inner relation. When Catalyst
+ * later forms the semi/existence join over the swapped scans, both
+ * sides already claim HashPartitioning on the keys and the zero-shuffle
+ * probe falls out of EnsureRequirements — no join-node rewrite needed.
+ * Partially-eligible filters still swap whichever sides qualify (each
+ * bucketed side saves its own exchange).
+ */
+object ExistsIndexRule extends GraftIndexRule {
+  import JoinIndexRule.{coveringEligible, linearRelation, neededColumns,
+    permutationFor, substitute, traceToRel}
+  import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery}
+
+  /** (subquery exprId, inner plan, pairs as (outerAttr, innerAttr)). */
+  private def probePairs(cond: Expression, outer: LogicalPlan)
+      : Seq[(org.apache.spark.sql.catalyst.expressions.ExprId,
+             LogicalPlan, Seq[(AttributeReference, AttributeReference)])] = {
+    def equiPairs(conds: Seq[Expression], inner: LogicalPlan)
+        : Option[Seq[(AttributeReference, AttributeReference)]] = {
+      val ps = conds.flatMap {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference)
+            if inner.outputSet.contains(a) && outer.outputSet.contains(b) =>
+          Some((b, a))
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference)
+            if inner.outputSet.contains(b) && outer.outputSet.contains(a) =>
+          Some((a, b))
+        case _ => None // residual conjuncts stay on the future join
+      }
+      if (ps.isEmpty) None else Some(ps)
+    }
+    val found = mutable.Buffer.empty[(
+      org.apache.spark.sql.catalyst.expressions.ExprId,
+      LogicalPlan, Seq[(AttributeReference, AttributeReference)])]
+    cond.foreach {
+      case e: Exists =>
+        equiPairs(e.joinCond, e.plan).foreach(ps =>
+          found += ((e.exprId, e.plan, ps)))
+      case InSubquery(values, l: ListQuery) if l.joinCond.isEmpty &&
+          values.size == l.plan.output.size =>
+        // IN pairs positionally: every probe value must be a plain
+        // outer column or the rewrite can't claim its bucketing
+        val attrs = values.map {
+          case a: AttributeReference if outer.outputSet.contains(a) => a
+          case _ => null
+        }
+        if (!attrs.contains(null)) {
+          found += ((l.exprId, l.plan,
+            attrs.zip(l.plan.output.collect {
+              case a: AttributeReference => a
+            }).filter(_._2 != null)))
+        }
+      case _ =>
+    }
+    found.toSeq
+  }
+
+  override def apply(
+      spark: SparkSession,
+      plan: LogicalPlan,
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
+      recurse: LogicalPlan => (LogicalPlan, Int)): Option[(LogicalPlan, Int)] = {
+    val f = plan match {
+      case f: Filter => f
+      case _ => return None
+    }
+    val rel = linearRelation(f.child, candidates).getOrElse(return None)
+    val probes = probePairs(f.condition, f.child)
+    if (probes.isEmpty) return None
+    val resolver = spark.sessionState.conf.resolver
+    if (!spark.sessionState.conf
+        .getConfString("spark.sql.sources.bucketing.enabled", "true").toBoolean)
+      return None
+    val hybridSafe = !spark.sessionState.conf
+      .getConfString("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      .toBoolean
+
+    // every probe must share ONE outer key list (by exprId) — the outer
+    // scan can only claim one bucketing
+    val outerKeySets = probes.map(_._3.map(_._1.exprId).toSet).distinct
+    if (outerKeySets.size != 1) return None
+    val outerKeys = probes.head._3.map(p =>
+      traceToRel(f.child, rel, p._1).getOrElse(return None))
+
+    val outerNeeded = neededColumns(f, rel)
+    val outerBest = (for {
+      om <- coveringEligible(candidates(rel), rel)
+      if Coverage.covers(om._2.referencedColumns, outerNeeded, resolver)
+      perm <- permutationFor(om._2.indexedColumns, outerKeys, resolver).toSeq
+      if hybridSafe || om._1.isExact
+    } yield (om, perm)).sortBy { case ((m, d), _) =>
+      (!m.isExact, -d.numBuckets, m.entry.indexDataSize, m.entry.name)
+    }.headOption
+
+    // per probe: an inner index bucketed on the inner keys, permuted to
+    // the OUTER index's key order so the two partitionings line up
+    val innerSubs = probes.flatMap { case (id, innerPlan, pairs) =>
+      val innerRel = linearRelation(innerPlan, candidates).getOrElse(
+        return None)
+      val innerNeeded = neededColumns(innerPlan, innerRel)
+      val innerKeysTraced = pairs.map(p =>
+        traceToRel(innerPlan, innerRel, p._2).getOrElse(return None))
+      val ordered = outerBest match {
+        case Some((_, perm)) => perm.map(innerKeysTraced)
+        case None => innerKeysTraced
+      }
+      (for {
+        im <- coveringEligible(candidates(innerRel), innerRel)
+        if Coverage.covers(im._2.referencedColumns, innerNeeded, resolver) &&
+          im._2.indexedColumns.size == ordered.size &&
+          im._2.indexedColumns.zip(ordered.map(_.name))
+            .forall { case (a, b) => resolver(a, b) } &&
+          (hybridSafe || im._1.isExact) &&
+          // without an outer index, match only the bucket claim the
+          // probe's own keys imply (no permutation constraint needed)
+          (outerBest.isDefined ||
+            permutationFor(im._2.indexedColumns,
+              innerKeysTraced, resolver).isDefined)
+      } yield im).sortBy { case (m, d) =>
+        (!m.isExact, -d.numBuckets, m.entry.indexDataSize, m.entry.name)
+      }.headOption.map(im => (id, innerPlan, innerRel, im))
+    }
+    if (outerBest.isEmpty && innerSubs.isEmpty) return None
+
+    def sideScore(m: CandidateMatch): Int = {
+      val total = m.commonBytes + m.appendedBytes
+      val ratio = if (m.isExact || total == 0) 1.0
+        else m.commonBytes.toDouble / total
+      math.max(1, math.round(RuleScores.JoinIndexPerSide * ratio).toInt)
+    }
+    val newChild = outerBest match {
+      case Some(((om, _), _)) =>
+        substitute(spark, f.child, rel, JoinIndexRule.joinSide(spark, rel, om))
+      case None => f.child
+    }
+    val byId = innerSubs.map(s => s._1 -> s).toMap
+    val newCond = f.condition.transform {
+      case e: Exists if byId.contains(e.exprId) =>
+        val (_, innerPlan, innerRel, (im, _)) = byId(e.exprId)
+        e.withNewPlan(substitute(spark, innerPlan, innerRel,
+          JoinIndexRule.joinSide(spark, innerRel, im)))
+      case l: ListQuery if byId.contains(l.exprId) =>
+        val (_, innerPlan, innerRel, (im, _)) = byId(l.exprId)
+        l.withNewPlan(substitute(spark, innerPlan, innerRel,
+          JoinIndexRule.joinSide(spark, innerRel, im)))
+    }
+    val score = outerBest.map(b => sideScore(b._1._1)).getOrElse(0) +
+      innerSubs.map(s => sideScore(s._4._1)).sum
+    Some((Filter(newCond, newChild), score))
+  }
 }
 
 /**
@@ -507,7 +672,7 @@ object JoinOneSideIndexRule extends GraftIndexRule {
 object ScoreBasedOptimizer {
 
   private val rules: Seq[GraftIndexRule] =
-    Seq(JoinIndexRule, JoinOneSideIndexRule, AggIndexRule,
+    Seq(JoinIndexRule, JoinOneSideIndexRule, ExistsIndexRule, AggIndexRule,
       ZOrderFilterIndexRule, FilterIndexRule, DataSkippingRule)
 
   def optimize(

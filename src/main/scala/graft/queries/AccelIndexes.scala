@@ -57,6 +57,11 @@ private[queries] object AccelIndexes {
   val ordByCust: Entry = "orders" -> CoveringIndexConfig(
     "accel_ci_ord_bycust", Seq("o_custkey"),
     Seq("o_orderkey", "o_totalprice", "o_orderdate"))
+  // the q35-shape EXISTS legs: custkey-bucketed with the date + the
+  // priority the subqueries filter on
+  val ordPrio: Entry = "orders" -> CoveringIndexConfig(
+    "accel_ci_ord_prio", Seq("o_custkey"),
+    Seq("o_orderdate", "o_orderpriority"))
 
   // ---- customer
   val cust: Entry = "customer" -> CoveringIndexConfig(
@@ -68,6 +73,12 @@ private[queries] object AccelIndexes {
   val custSeg: Entry = "customer" -> CoveringIndexConfig(
     "accel_ci_cust_seg", Seq("c_custkey"),
     Seq("c_nationkey", "c_mktsegment"))
+  // a FULL covering twin of the customer dim: EXISTS-shaped probes are
+  // rewritten pre-column-pruning, so the outer index must cover every
+  // relation column (cheap for a dim; the fact side never needs this)
+  val custFull: Entry = "customer" -> CoveringIndexConfig(
+    "accel_ci_cust_full", Seq("c_custkey"),
+    Seq("c_name", "c_nationkey", "c_mktsegment", "c_acctbal"))
 
   // the q64-shape wide fact leg: one bucketed index serving the
   // orderkey join while carrying BOTH other foreign keys + the money
@@ -94,7 +105,7 @@ private[queries] object AccelIndexes {
     * needs a bucket-count override under the same system path. */
   val all: Seq[Entry] = Seq(
     li, liJoin, liSupp, liBySupp, liShip, liByPart, liRev, liWide, zoLi, dsLi,
-    ordJoin, ordSnow, ordSnow3, ordAgg, ordByCust,
-    cust, custNat, custDim, custSeg,
+    ordJoin, ordSnow, ordSnow3, ordAgg, ordByCust, ordPrio,
+    cust, custNat, custDim, custSeg, custFull,
     suppDim, suppNat, partDim, partAttr, nationDim)
 }

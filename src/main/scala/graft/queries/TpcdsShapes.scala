@@ -826,9 +826,66 @@ object TpcdsShapes {
        |ORDER BY brand, supp_nation""".stripMargin
   }
 
+  /**
+   * TPC-DS q35/q10 shape (reference tpcds/queries/q35.sql): a
+   * DISJUNCTION of EXISTS subqueries — `EXISTS(store) AND
+   * (EXISTS(web) OR EXISTS(catalog))`. Catalyst plans the AND-side
+   * EXISTS as a LeftSemi but each OR-branch as an ExistenceJoin (the
+   * boolean-producing join type no other corpus query exercises) —
+   * the join-type gate must admit it or all three probe legs lose
+   * index acceleration. Mapped: active-in-1995 customers who placed
+   * an URGENT or a LOW-priority order, demographics per (nation,
+   * segment). All three probes ride ONE custkey-bucketed orders
+   * index against the custkey-bucketed customer index. Driven through
+   * spark.sql over temp views: EXISTS has no DataFrame form, and the
+   * rewrite rules must fire on SQL-origin plans identically.
+   */
+  def qds35OrExistsDemo(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.ordPrio)
+    ensureIndex(spark, sfDir, AccelIndexes.custFull)
+    ensureIndex(spark, sfDir, AccelIndexes.nationDim)
+    Tables.load(spark, sfDir, "customer")
+      .createOrReplaceTempView("qds35_customer")
+    Tables.load(spark, sfDir, "orders")
+      .createOrReplaceTempView("qds35_orders")
+    Tables.load(spark, sfDir, "nation")
+      .createOrReplaceTempView("qds35_nation")
+    spark.sql(
+      s"""SELECT n_name AS nation, c_mktsegment AS segment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+         |  ${sqlMoneySum("c_acctbal")} AS sum_bal
+         |FROM qds35_customer JOIN qds35_nation ON c_nationkey = n_nationkey
+         |WHERE EXISTS (SELECT 1 FROM qds35_orders
+         |    WHERE o_custkey = c_custkey
+         |      AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |      AND o_orderdate < TIMESTAMP '1996-01-01')
+         |  AND (EXISTS (SELECT 1 FROM qds35_orders
+         |         WHERE o_custkey = c_custkey
+         |           AND o_orderpriority = '1-URGENT')
+         |    OR EXISTS (SELECT 1 FROM qds35_orders
+         |         WHERE o_custkey = c_custkey
+         |           AND o_orderpriority = '5-LOW'))
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val qds35Sql: String =
+    s"""SELECT n_name AS nation, c_mktsegment AS segment,
+       |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+       |  ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+       |    AND o_orderdate < TIMESTAMP '1996-01-01')
+       |  AND (EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |         AND o_orderpriority = '1-URGENT')
+       |    OR EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |         AND o_orderpriority = '5-LOW'))
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
     "qds4_yoy_channel_growth" -> (qds4YoyChannelGrowth _, qds4Sql),
     "qds64_wide_multi_join" -> (qds64WideMultiJoin _, qds64Sql),
+    "qds35_or_exists_demo" -> (qds35OrExistsDemo _, qds35Sql),
     "qds1_returns_above_avg" -> (qds1ReturnsAboveAvg _, qds1Sql),
     "qds65_underperf_parts" -> (qds65UnderperfParts _, qds65Sql),
     "qds_deep_snowflake_4idx" -> (qdsDeepSnowflake _, qdsDeepSql),

@@ -173,7 +173,10 @@ class TpcdsShapeSpec extends AnyFunSuite {
       "bucket-aligned, only the final count exchanges") {
     val p = planOf("qds87_except_channels")
     val idx = indexScans(p)
-    assert(idx.exists(_.contains("accel_ci_ord_bycust")),
+    // ordByCust and ordPrio are both custkey-bucketed and cover this
+    // query; the ranker picks the narrower (ordPrio since round 13)
+    assert(idx.exists(x => x.contains("accel_ci_ord_bycust") ||
+      x.contains("accel_ci_ord_prio")),
       s"missing index scan; served from: $idx\n$p")
     // Catalyst lowers EXCEPT to Distinct + LeftAnti: both anti joins
     // must ride the index's o_custkey buckets with no exchange below
@@ -304,6 +307,34 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(exchanges.size == exchanges.distinct.size ||
       shuffles(p) <= 14,
       s"duplicate fact re-key (exchange count ${shuffles(p)}):\n$p")
+  }
+
+  test("qds35_or_exists_demo: the OR-EXISTS branches plan as " +
+      "ExistenceJoins and every probe leg serves from the custkey " +
+      "buckets — no probe re-shuffles the customer stream") {
+    val p = planOf("qds35_or_exists_demo")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_ord_prio", "accel_ci_cust_full",
+      "accel_ci_nation_dim").forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    // the orders index serves all THREE probe legs (semi + 2 existence)
+    assert(idx.count(_.contains("accel_ci_ord_prio")) >= 3,
+      s"ordPrio must serve all three EXISTS probes: $idx\n$p")
+    // each probe is a bucketed zero-shuffle join on c_custkey —
+    // ExistenceJoin included (the gate admits it; the swap never
+    // touches the join type, so the boolean-producing semantics hold)
+    val existence = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.joinType.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.ExistenceJoin] => j
+    }
+    assert(existence.size == 2, s"expected 2 ExistenceJoins:\n$p")
+    assert(zeroShuffleJoins(p).size >= 3,
+      s"expected semi + both existence probes bucketed, got " +
+        s"${zeroShuffleJoins(p).size} zero-shuffle joins:\n$p")
+    // only genuine re-keys remain: the nation join + the final
+    // (nation, segment) aggregate + the output sort
+    assert(shuffles(p) <= 4, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
