@@ -246,9 +246,17 @@ object PlanAnalysis {
       resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Seq[Reason] = {
     val filters = filterShapes(plan, leaf)
     val joins = plan.collect { case j: Join => j }
+    // EXISTS/IN predicates are joins-to-be (ExistsIndexRule): analyze
+    // each probe as the semi/anti/existence join it will become
+    val probes = plan.collect {
+      case f: Filter =>
+        graft.index.rules.ExistsIndexRule.probePairs(f.condition, f.child)
+          .map(pp => (f, pp))
+    }.flatten
     m.entry.descriptor match {
       case d: CoveringIndexDescriptor =>
-        if (filters.isEmpty && joins.isEmpty) Seq(NoFilterOrJoin())
+        if (filters.isEmpty && joins.isEmpty && probes.isEmpty)
+          Seq(NoFilterOrJoin())
         else {
           val fr = filters.flatMap { case (projectOpt, f) =>
             if (!f.condition.deterministic)
@@ -271,7 +279,11 @@ object PlanAnalysis {
             }
           }
           val jr = joins.flatMap(joinReasons(spark, _, leaf, d, candidates, resolver))
-          fr ++ jr
+          val er = probes.flatMap { case (f, (_, innerPlan, pairs)) =>
+            existsReasons(spark, f, innerPlan, pairs, leaf, d,
+              candidates, resolver)
+          }
+          fr ++ jr ++ er
         }
       case d: ZOrderIndexDescriptor =>
         if (!m.isExact) Seq(ZOrderRequiresExactMatch())
@@ -333,6 +345,54 @@ object PlanAnalysis {
           Left(s"no equi conjunct to bucket on in: ${c.sql}")
         else Right(pairs)
     }
+  }
+
+  /** EXISTS/IN-probe reasons, mirroring [[joinReasons]] for the join the
+    * probe becomes after RewriteSubquery: `leaf` is either the OUTER
+    * relation (the filter's child) or the PROBE's inner relation; the
+    * paired side needs its own key-compatible covering index. */
+  private def existsReasons(
+      spark: SparkSession,
+      f: Filter,
+      innerPlan: LogicalPlan,
+      pairs: Seq[(org.apache.spark.sql.catalyst.expressions.AttributeReference,
+                  org.apache.spark.sql.catalyst.expressions.AttributeReference)],
+      leaf: LogicalPlan,
+      d: CoveringIndexDescriptor,
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
+      resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Seq[Reason] = {
+    val outerLeaf = linearLeaf(f.child, candidates)
+    val innerLeaf = linearLeaf(innerPlan, candidates)
+    val mySide =
+      if (outerLeaf.exists(_.fastEquals(leaf))) "outer"
+      else if (innerLeaf.exists(_.fastEquals(leaf))) "probe"
+      else return Nil
+    val myKeys = (if (mySide == "outer") pairs.map(_._1) else pairs.map(_._2))
+      .map(_.name).distinct
+    val keyReasons: Seq[Reason] =
+      if (!myKeys.forall(k => d.indexedColumns.exists(resolver(_, k))) ||
+          d.indexedColumns.size != myKeys.size) {
+        if (myKeys.forall(k => d.indexedColumns.exists(resolver(_, k))))
+          Seq(NotAllJoinColIndexed(mySide, myKeys, d.indexedColumns))
+        else Seq(MissingIndexedCol(mySide, myKeys, d.indexedColumns))
+      } else Nil
+    val otherSide = if (mySide == "outer") "probe" else "outer"
+    val otherLeaf = if (mySide == "outer") innerLeaf else outerLeaf
+    val otherKeys = (if (mySide == "outer") pairs.map(_._2) else pairs.map(_._1))
+      .map(_.name).distinct
+    val otherCovering = otherLeaf.toSeq
+      .flatMap(l => candidates.getOrElse(l, Nil))
+      .map(_.entry.descriptor)
+      .collect { case cd: CoveringIndexDescriptor => cd }
+    val pairReasons: Seq[Reason] =
+      if (otherLeaf.isEmpty || otherCovering.isEmpty)
+        Seq(NoAvailJoinIndexPair(otherSide))
+      else if (!otherCovering.exists(cd =>
+          cd.indexedColumns.size == otherKeys.size &&
+            otherKeys.forall(k => cd.indexedColumns.exists(resolver(_, k)))))
+        Seq(NoCompatibleJoinIndexPair())
+      else Nil
+    keyReasons ++ pairReasons
   }
 
   /** Join-specific reasons for why `d` (an index over `leaf`, one side of

@@ -443,7 +443,7 @@ object ExistsIndexRule extends GraftIndexRule {
   import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery}
 
   /** (subquery exprId, inner plan, pairs as (outerAttr, innerAttr)). */
-  private def probePairs(cond: Expression, outer: LogicalPlan)
+  private[index] def probePairs(cond: Expression, outer: LogicalPlan)
       : Seq[(org.apache.spark.sql.catalyst.expressions.ExprId,
              LogicalPlan, Seq[(AttributeReference, AttributeReference)])] = {
     def equiPairs(conds: Seq[Expression], inner: LogicalPlan)

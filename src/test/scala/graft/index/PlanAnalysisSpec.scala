@@ -380,6 +380,27 @@ class PlanAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("whyNot analyzes an EXISTS probe as the join it becomes") {
+    withGraft { g =>
+      // the probe index is bucketed on the WRONG key (orderkey, while
+      // the EXISTS correlates on custkey) — whyNot must say so in
+      // join-pair terms rather than a misleading filter-only reason
+      g.createIndex(orders,
+        CoveringIndexConfig("pa_probe_wrongkey", Seq("o_orderkey"),
+          Seq("o_custkey", "o_totalprice")))
+      val customer = spark.read.parquet(s"${TestSpark.sfDir}/customer.parquet")
+      customer.createOrReplaceTempView("pa_exists_cust")
+      orders.createOrReplaceTempView("pa_exists_ord")
+      val q = spark.sql(
+        """SELECT c_mktsegment FROM pa_exists_cust
+          |WHERE EXISTS (SELECT 1 FROM pa_exists_ord
+          |  WHERE o_custkey = c_custkey AND o_totalprice > 1000)""".stripMargin)
+      val out = reasonFor(g, q, "pa_probe_wrongkey")
+      assert(out.contains("MISSING_INDEXED_COL") && out.contains("probe"),
+        s"expected a probe-side key reason, got: $out")
+    }
+  }
+
   test("whyNot labels API-served kinds instead of misleading rewrite reasons") {
     withGraft { g =>
       val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
