@@ -476,11 +476,15 @@ object ExistsIndexRule extends GraftIndexRule {
           case a: AttributeReference if outer.outputSet.contains(a) => a
           case _ => null
         }
-        if (!attrs.contains(null)) {
-          found += ((l.exprId, l.plan,
-            attrs.zip(l.plan.output.collect {
-              case a: AttributeReference => a
-            }).filter(_._2 != null)))
+        val inner = l.plan.output.map {
+          case a: AttributeReference => a
+          case _ => null
+        }
+        // strict positional alignment: every value AND every output
+        // column must be a plain attribute, or the pairing could
+        // silently shift
+        if (!attrs.contains(null) && !inner.contains(null)) {
+          found += ((l.exprId, l.plan, attrs.zip(inner)))
         }
       case _ =>
     }
