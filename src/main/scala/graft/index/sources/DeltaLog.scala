@@ -4225,7 +4225,15 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     * verb that trades history for space. Age-gated by mtime against
     * the ABSOLUTE `olderThanMs` epoch cutoff (files modified at or
     * after it survive) so an in-flight writer's staged files are
-    * never swept. */
+    * never swept.
+    *
+    * Scale note: the referenced set is built on the DRIVER (log jsons
+    * streamed line-by-line; checkpoint parquet read through Spark but
+    * collected as paths) — ~100 bytes per live file, so a million-file
+    * table costs ~100 MB of driver memory, the same envelope as the
+    * snapshot replay itself. Past that, swap the membership test for a
+    * distributed anti-join of the disk listing against the checkpoint
+    * frame. */
   def removeOrphans(spark: SparkSession, rootStr: String,
       olderThanMs: Long, dryRun: Boolean = false): Seq[String] = {
     val root = new Path(rootStr)
