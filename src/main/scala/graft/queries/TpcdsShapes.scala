@@ -882,7 +882,51 @@ object TpcdsShapes {
        |         AND o_orderpriority = '5-LOW'))
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /**
+   * TPC-DS q88 shape (reference tpcds/queries/q88.sql): EIGHT
+   * band-scoped counts of the same fact, assembled into one row. The
+   * literal form — which the DuckDB oracle keeps — runs eight
+   * independent scalar subqueries, i.e. EIGHT full scans; at 100 TB
+   * that is 8× the IO for zero extra information. The Spark side runs
+   * the scale-correct plan instead: ONE pass with eight conditional
+   * aggregates (`sum(when band then 1)`), a single scan + a single
+   * one-row aggregate — and the oracle hash pins the two forms exactly
+   * equivalent. The one-pass form also needs no index at all: no
+   * filter survives to push (every row participates in some band test),
+   * so the honest plan is a raw columnar scan of exactly two columns.
+   */
+  def qds88BandCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val lo = col("l_discount") < 0.03
+    val hi = col("l_discount") >= 0.03
+    def band(fromQ: Int, toQ: Int, side: org.apache.spark.sql.Column) =
+      sum(when(col("l_quantity").between(fromQ, toQ) && side, 1L)
+        .otherwise(0L)).cast(LongType)
+    li.agg(
+      band(1, 5, lo).as("b1"), band(6, 10, lo).as("b2"),
+      band(11, 15, lo).as("b3"), band(16, 20, lo).as("b4"),
+      band(21, 25, hi).as("b5"), band(26, 30, hi).as("b6"),
+      band(31, 40, hi).as("b7"), band(41, 50, hi).as("b8"))
+  }
+
+  val qds88Sql: String = {
+    def leg(n: Int, fromQ: Int, toQ: Int, side: String) =
+      s"""(SELECT CAST(COUNT(*) AS BIGINT) AS b$n FROM lineitem
+         |  WHERE l_quantity BETWEEN $fromQ AND $toQ AND l_discount $side)"""
+        .stripMargin
+    s"""SELECT * FROM
+       | ${leg(1, 1, 5, "< 0.03")},
+       | ${leg(2, 6, 10, "< 0.03")},
+       | ${leg(3, 11, 15, "< 0.03")},
+       | ${leg(4, 16, 20, "< 0.03")},
+       | ${leg(5, 21, 25, ">= 0.03")},
+       | ${leg(6, 26, 30, ">= 0.03")},
+       | ${leg(7, 31, 40, ">= 0.03")},
+       | ${leg(8, 41, 50, ">= 0.03")}""".stripMargin
+  }
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds88_band_counts" -> (qds88BandCounts _, qds88Sql),
     "qds4_yoy_channel_growth" -> (qds4YoyChannelGrowth _, qds4Sql),
     "qds64_wide_multi_join" -> (qds64WideMultiJoin _, qds64Sql),
     "qds35_or_exists_demo" -> (qds35OrExistsDemo _, qds35Sql),

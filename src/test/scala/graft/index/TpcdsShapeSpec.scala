@@ -337,6 +337,22 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 4, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
+  test("qds88_band_counts: eight bands, ONE scan, one exchange — the " +
+      "single-pass conditional aggregate replaces the literal form's " +
+      "eight scans") {
+    val p = planOf("qds88_band_counts")
+    val scans = allNodes(p).collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"expected ONE scan of the fact, got " +
+      s"${scans.size}:\n$p")
+    // only the two banded columns are read — ever reading more at
+    // 100 TB is pure waste
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("l_quantity", "l_discount"),
+      s"scan reads ${scans.head.requiredSchema.fieldNames.mkString(",")}:\n$p")
+    // partial agg -> single exchange -> final one-row agg
+    assert(shuffles(p) <= 1, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
