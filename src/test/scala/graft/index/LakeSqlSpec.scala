@@ -593,6 +593,32 @@ class LakeSqlSpec extends AnyFunSuite {
     val i = IcebergTable.read(spark, iroot)
     assert(i.schema.fieldNames.contains("score"))
     assert(i.filter($"score".isNotNull).count() == 0)
+
+    // COLUMN-MAPPED table: the added field gets a fresh physical name
+    // and the next column id; pre-add files read null, appends land
+    // under the physical name and read back
+    val mroot = tmp("graft-sql-addcol-m-")
+    DeltaTable.create(customer.limit(30)
+      .select($"c_custkey", $"c_acctbal"), mroot)
+    spark.sql(
+      s"ALTER TABLE graft_delta.`$mroot` RENAME COLUMN c_acctbal TO bal")
+    spark.sql(s"ALTER TABLE graft_delta.`$mroot` ADD COLUMN score DOUBLE")
+    val ms = DeltaLog.snapshot(spark, mroot)
+    val scoreField = ms.schema("score")
+    assert(scoreField.metadata.contains("delta.columnMapping.physicalName"))
+    val phys = scoreField.metadata.getString("delta.columnMapping.physicalName")
+    assert(phys.startsWith("col-"), s"expected a fresh physical name, got $phys")
+    assert(ms.configuration("delta.columnMapping.maxColumnId").toLong >= 3)
+    val m0 = DeltaTable.read(spark, mroot)
+    assert(m0.schema.fieldNames.toSeq == Seq("c_custkey", "bal", "score"))
+    assert(m0.filter($"score".isNotNull).count() == 0)
+    DeltaTable.append(m0.limit(4).withColumn("score", lit(9.0)), mroot)
+    assert(DeltaTable.read(spark, mroot)
+      .filter($"score" === 9.0).count() == 4)
+    // and the mapped column drops logically like any other
+    spark.sql(s"ALTER TABLE graft_delta.`$mroot` DROP COLUMN score")
+    assert(DeltaTable.read(spark, mroot).schema.fieldNames.toSeq ==
+      Seq("c_custkey", "bal"))
   }
 
   test("ALTER TABLE ... RENAME COLUMN renames logically, both formats") {
