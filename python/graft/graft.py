@@ -346,9 +346,14 @@ class LakeTable:
     def create_ref(self, path, name, ref_type="branch", at=None):
         """Create an Iceberg BRANCH or TAG, optionally pinned ``at`` a
         snapshot id (default: the current head). Returns the pinned id."""
-        jat = (getattr(self._jvm.scala.Option, "empty")() if at is None
-               else self._jvm.scala.Option.apply(at))
-        return self._jt.createRef(self._jspark, path, name, ref_type, jat)
+        # py4j boxes a python int as java.lang.Integer, which cannot
+        # unbox into the Scala Option[Long] — route pinned creates
+        # through the primitive-long overload instead
+        if at is None:
+            jat = getattr(self._jvm.scala.Option, "empty")()
+            return self._jt.createRef(self._jspark, path, name, ref_type, jat)
+        return self._jt.createRefAt(self._jspark, path, name, ref_type,
+                                    int(at))
 
     def drop_ref(self, path, name, ref_type="branch", if_exists=False):
         """Drop an Iceberg branch or tag; refuses a type mismatch and,

@@ -200,10 +200,11 @@ t.rename_column(irt, "score", "score2")
 t.drop_column(irt, "score2")
 assert "score2" not in [f.name() for f in t.read(irt)._jdf.schema().fields()]
 
-# --- iceberg refs from python: the WAP cycle
+# --- iceberg refs from python: the WAP cycle (incl. the at= pin,
+# --- which crosses py4j as java.lang.Long, not Integer)
 head_rows = t.read(irt).count()
-t.create_ref(irt, "py_audit", "branch")
-t.create_ref(irt, "py_pin", "tag")
+head_id = t.create_ref(irt, "py_audit", "branch")
+t.create_ref(irt, "py_pin", "tag", at=head_id)
 jspark.sql("select * from parquet.`" + sf_dir + "/region.parquet`") \
     .write().format("graft-iceberg").option("branch", "py_audit") \
     .mode("append").save(irt)

@@ -438,8 +438,8 @@ object JoinIndexRule extends GraftIndexRule {
  * bucketed side saves its own exchange).
  */
 object ExistsIndexRule extends GraftIndexRule {
-  import JoinIndexRule.{coveringEligible, linearRelation, neededColumns,
-    permutationFor, substitute, traceToRel}
+  import JoinIndexRule.{coveringEligible, isOneToOne, linearRelation,
+    neededColumns, permutationFor, substitute, traceToRel}
   import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery}
 
   /** (subquery exprId, inner plan, pairs as (outerAttr, innerAttr)). */
@@ -511,50 +511,72 @@ object ExistsIndexRule extends GraftIndexRule {
       .getConfString("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
       .toBoolean
 
-    // every probe must share ONE outer key list (by exprId) — the outer
-    // scan can only claim one bucketing
-    val outerKeySets = probes.map(_._3.map(_._1.exprId).toSet).distinct
-    if (outerKeySets.size != 1) return None
-    val outerKeys = probes.head._3.map(p =>
-      traceToRel(f.child, rel, p._1).getOrElse(return None))
-
-    val outerNeeded = neededColumns(f, rel)
-    val outerBest = (for {
-      om <- coveringEligible(candidates(rel), rel)
-      if Coverage.covers(om._2.referencedColumns, outerNeeded, resolver)
-      perm <- permutationFor(om._2.indexedColumns, outerKeys, resolver).toSeq
-      if hybridSafe || om._1.isExact
-    } yield (om, perm)).sortBy { case ((m, d), _) =>
-      (!m.isExact, -d.numBuckets, m.entry.indexDataSize, m.entry.name)
-    }.headOption
-
-    // per probe: an inner index bucketed on the inner keys, permuted to
-    // the OUTER index's key order so the two partitionings line up
-    val innerSubs = probes.flatMap { case (id, innerPlan, pairs) =>
-      val innerRel = linearRelation(innerPlan, candidates).getOrElse(
-        return None)
-      val innerNeeded = neededColumns(innerPlan, innerRel)
-      val innerKeysTraced = pairs.map(p =>
-        traceToRel(innerPlan, innerRel, p._2).getOrElse(return None))
-      val ordered = outerBest match {
-        case Some((_, perm)) => perm.map(innerKeysTraced)
-        case None => innerKeysTraced
+    // outer bucketing is claimable only when every probe keys the outer
+    // on the SAME columns (one scan, one bucketing) and those keys trace
+    // to relation columns; otherwise fall back to inner-only swaps —
+    // any per-probe failure below drops THAT probe, never the rule
+    // (the documented partial eligibility)
+    val outerKeysOpt: Option[Seq[AttributeReference]] = {
+      val keySets = probes.map(_._3.map(_._1.exprId).toSet).distinct
+      if (keySets.size != 1) None
+      else {
+        val traced = probes.head._3.map(p => traceToRel(f.child, rel, p._1))
+        if (traced.forall(_.isDefined)) Some(traced.flatten)
+        else None
       }
+    }
+    val outerNeeded = neededColumns(f, rel)
+    val outerBest = outerKeysOpt.flatMap { outerKeys =>
       (for {
-        im <- coveringEligible(candidates(innerRel), innerRel)
-        if Coverage.covers(im._2.referencedColumns, innerNeeded, resolver) &&
-          im._2.indexedColumns.size == ordered.size &&
-          im._2.indexedColumns.zip(ordered.map(_.name))
-            .forall { case (a, b) => resolver(a, b) } &&
-          (hybridSafe || im._1.isExact) &&
-          // without an outer index, match only the bucket claim the
-          // probe's own keys imply (no permutation constraint needed)
-          (outerBest.isDefined ||
-            permutationFor(im._2.indexedColumns,
-              innerKeysTraced, resolver).isDefined)
-      } yield im).sortBy { case (m, d) =>
+        om <- coveringEligible(candidates(rel), rel)
+        if Coverage.covers(om._2.referencedColumns, outerNeeded, resolver)
+        if permutationFor(om._2.indexedColumns, outerKeys, resolver).isDefined
+        if hybridSafe || om._1.isExact
+      } yield om).sortBy { case (m, d) =>
         (!m.isExact, -d.numBuckets, m.entry.indexDataSize, m.entry.name)
-      }.headOption.map(im => (id, innerPlan, innerRel, im))
+      }.headOption
+    }
+
+    // per probe: an inner index bucketed on the inner keys, aligned to
+    // the OUTER index's key order THROUGH THIS PROBE'S OWN PAIRS (two
+    // probes may list the same keys in different pair order — a shared
+    // positional permutation would misalign the bucketing claim)
+    val innerSubs = probes.flatMap { case (id, innerPlan, pairs) =>
+      for {
+        innerRel <- linearRelation(innerPlan, candidates)
+        tracedPairs <- Some(pairs.map { p =>
+          (traceToRel(f.child, rel, p._1),
+            traceToRel(innerPlan, innerRel, p._2))
+        }.collect { case (Some(o), Some(i)) => (o, i) })
+        if tracedPairs.size == pairs.size && isOneToOne(tracedPairs)
+        innerNeeded = neededColumns(innerPlan, innerRel)
+        // when the outer index is claimed, order this probe's inner keys
+        // by matching each outer indexed column to ITS pair's inner key;
+        // otherwise any permutation of the probe's own keys qualifies
+        ordered <- outerBest match {
+          case Some((_, od)) =>
+            val byOuter = od.indexedColumns.map(c =>
+              tracedPairs.find(tp => resolver(tp._1.name, c)).map(_._2))
+            if (byOuter.forall(_.isDefined)) Some(byOuter.flatten) else None
+          case None => Some(tracedPairs.map(_._2))
+        }
+        im <- (for {
+          im <- coveringEligible(candidates(innerRel), innerRel)
+          if Coverage.covers(im._2.referencedColumns, innerNeeded, resolver) &&
+            (hybridSafe || im._1.isExact) &&
+            (outerBest match {
+              case Some(_) =>
+                im._2.indexedColumns.size == ordered.size &&
+                  im._2.indexedColumns.zip(ordered.map(_.name))
+                    .forall { case (a, b) => resolver(a, b) }
+              case None =>
+                permutationFor(im._2.indexedColumns, ordered, resolver)
+                  .isDefined
+            })
+        } yield im).sortBy { case (m, d) =>
+          (!m.isExact, -d.numBuckets, m.entry.indexDataSize, m.entry.name)
+        }.headOption
+      } yield (id, innerPlan, innerRel, im)
     }
     if (outerBest.isEmpty && innerSubs.isEmpty) return None
 
@@ -565,7 +587,7 @@ object ExistsIndexRule extends GraftIndexRule {
       math.max(1, math.round(RuleScores.JoinIndexPerSide * ratio).toInt)
     }
     val newChild = outerBest match {
-      case Some(((om, _), _)) =>
+      case Some((om, _)) =>
         substitute(spark, f.child, rel, JoinIndexRule.joinSide(spark, rel, om))
       case None => f.child
     }
@@ -580,7 +602,7 @@ object ExistsIndexRule extends GraftIndexRule {
         l.withNewPlan(substitute(spark, innerPlan, innerRel,
           JoinIndexRule.joinSide(spark, innerRel, im)))
     }
-    val score = outerBest.map(b => sideScore(b._1._1)).getOrElse(0) +
+    val score = outerBest.map(b => sideScore(b._1)).getOrElse(0) +
       innerSubs.map(s => sideScore(s._4._1)).sum
     Some((Filter(newCond, newChild), score))
   }

@@ -2860,33 +2860,46 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     * by a CHECK constraint refuse. */
   def dropColumn(spark: SparkSession, rootStr: String,
       name: String): Long = {
+    // VALIDATE FIRST, against the pre-mapping snapshot: the on-demand
+    // column-mapping enablement below is itself a COMMIT (protocol
+    // upgrade + schema rewrite), so a refused drop must refuse before
+    // mutating the table at all. Name resolution is case-insensitive,
+    // matching Spark's default resolver (and addColumn's check).
+    def validate(s: DeltaSnapshot): StructField = {
+      writerGate(s, rootStr, deletesRows = false, kind = "dropColumn")
+      val field = s.schema.fields
+        .find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"dropColumn at $rootStr: no column '$name' " +
+            s"(have ${s.schema.fieldNames.mkString(", ")})"))
+      require(s.schema.fields.length > 1,
+        s"dropColumn at $rootStr: cannot drop the only column")
+      require(!s.partitionColumns.exists(_.equalsIgnoreCase(field.name)),
+        s"dropColumn at $rootStr: '${field.name}' is a partition column")
+      val wordRe =
+        ("(?i)\\b" + java.util.regex.Pattern.quote(field.name) + "\\b").r
+      s.configuration.foreach { case (k, v) =>
+        require(!(k.startsWith("delta.constraints.") &&
+            wordRe.findFirstIn(v).isDefined),
+          s"dropColumn at $rootStr: '${field.name}' is referenced by CHECK " +
+            s"constraint '${k.stripPrefix("delta.constraints.")}' ($v); " +
+            "drop the constraint first")
+      }
+      s.schema.fields.foreach { f =>
+        require(!(f.metadata.contains("delta.generationExpression") &&
+            wordRe.findFirstIn(
+              f.metadata.getString("delta.generationExpression")).isDefined),
+          s"dropColumn at $rootStr: '${field.name}' is referenced by " +
+            s"generated column '${f.name}'; drop or redefine it first")
+      }
+      field
+    }
+    validate(DeltaLog.snapshot(spark, rootStr))
     enableColumnMapping(spark, rootStr)
     val prior = DeltaLog.snapshot(spark, rootStr)
-    writerGate(prior, rootStr, deletesRows = false, kind = "dropColumn")
-    require(prior.schema.fieldNames.contains(name),
-      s"dropColumn at $rootStr: no column '$name' " +
-        s"(have ${prior.schema.fieldNames.mkString(", ")})")
-    require(prior.schema.fields.length > 1,
-      s"dropColumn at $rootStr: cannot drop the only column")
-    require(!prior.partitionColumns.contains(name),
-      s"dropColumn at $rootStr: '$name' is a partition column")
-    val wordRe = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
-    prior.configuration.foreach { case (k, v) =>
-      require(!(k.startsWith("delta.constraints.") &&
-          wordRe.findFirstIn(v).isDefined),
-        s"dropColumn at $rootStr: '$name' is referenced by CHECK " +
-          s"constraint '${k.stripPrefix("delta.constraints.")}' ($v); " +
-          "drop the constraint first")
-    }
-    prior.schema.fields.foreach { f =>
-      require(!(f.metadata.contains("delta.generationExpression") &&
-          wordRe.findFirstIn(
-            f.metadata.getString("delta.generationExpression")).isDefined),
-        s"dropColumn at $rootStr: '$name' is referenced by generated " +
-          s"column '${f.name}'; drop or redefine it first")
-    }
+    val field = validate(prior) // re-resolve against the mapped schema
     commitMetadata(spark, rootStr, prior,
-      StructType(prior.schema.fields.toSeq.filterNot(_.name == name)),
+      StructType(prior.schema.fields.toSeq.filterNot(_.name == field.name)),
       prior.partitionColumns, prior.configuration,
       operation = "DROP COLUMNS")
   }
@@ -4260,6 +4273,7 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         }
       }
     val logDir = DeltaLog.logDir(root)
+    val ckFiles = mutable.Buffer.empty[String]
     def scanLogTree(dir: Path): Unit =
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
@@ -4267,54 +4281,72 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         else if (n.endsWith(".json") && !n.startsWith(".")) {
           DeltaLog.readLines(fs, st.getPath)
             .foreach(line => refAction(JsonMethods.parse(line)))
-        } else if (n.endsWith(".parquet")) {
-          // classic/multi-part/v2 checkpoints + sidecars all carry file
-          // actions as parquet rows; only the retained log can vouch
-          // for a file, so every frame counts
-          val ckf = spark.read.parquet(st.getPath.toString)
-          Seq("add", "remove").foreach { kind =>
-            if (ckf.schema.fieldNames.contains(kind)) {
-              val hasDv = ckf.schema(kind).dataType
-                .asInstanceOf[StructType].fieldNames.contains("deletionVector")
-              val cols = Seq(s"$kind.path as p") ++
-                (if (hasDv) Seq(s"$kind.deletionVector.storageType as dst",
-                  s"$kind.deletionVector.pathOrInlineDv as dp")
-                else Seq("cast(null as string) as dst",
-                  "cast(null as string) as dp"))
-              ckf.where(s"$kind is not null").selectExpr(cols: _*)
-                .collect().foreach { r =>
-                  if (!r.isNullAt(0))
-                    referenced += normPath(
-                      DeltaLog.resolvePath(root, r.getString(0)))
-                  if (!r.isNullAt(1) && !r.isNullAt(2))
-                    DvDescriptor(r.getString(1), r.getString(2), None, 0, 0L)
-                      .absolutePath(root)
-                      .foreach(ap => referenced += normPath(ap.toString))
-                }
-            }
-          }
-        }
+        } else if (n.endsWith(".parquet")) ckFiles += st.getPath.toString
       }
     scanLogTree(logDir)
+    // classic/multi-part/v2 checkpoints + sidecars all carry file
+    // actions as parquet rows; only the retained log can vouch for a
+    // file, so every frame counts — read them in ONE batched job
+    // (mergeSchema reconciles action-struct drift across checkpoint
+    // generations), not one Spark job per file
+    def refCheckpointAdds(ckf: org.apache.spark.sql.DataFrame): Unit =
+      Seq("add", "remove").foreach { kind =>
+        if (ckf.schema.fieldNames.contains(kind)) {
+          val hasDv = ckf.schema(kind).dataType
+            .asInstanceOf[StructType].fieldNames.contains("deletionVector")
+          val cols = Seq(s"$kind.path as p") ++
+            (if (hasDv) Seq(s"$kind.deletionVector.storageType as dst",
+              s"$kind.deletionVector.pathOrInlineDv as dp")
+            else Seq("cast(null as string) as dst",
+              "cast(null as string) as dp"))
+          ckf.where(s"$kind is not null").selectExpr(cols: _*)
+            .collect().foreach { r =>
+              if (!r.isNullAt(0))
+                referenced += normPath(
+                  DeltaLog.resolvePath(root, r.getString(0)))
+              if (!r.isNullAt(1) && !r.isNullAt(2))
+                DvDescriptor(r.getString(1), r.getString(2), None, 0, 0L)
+                  .absolutePath(root)
+                  .foreach(ap => referenced += normPath(ap.toString))
+            }
+        }
+      }
+    if (ckFiles.nonEmpty) {
+      try refCheckpointAdds(spark.read.option("mergeSchema", "true")
+        .parquet(ckFiles.toSeq: _*))
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          // incompatible frames (a foreign writer's exotic checkpoint
+          // schema): fall back to per-file reads rather than refusing
+          ckFiles.foreach(p => refCheckpointAdds(spark.read.parquet(p)))
+      }
+    }
     val cutoff = olderThanMs
     val doomed = mutable.Buffer.empty[String]
-    def walk(dir: Path): Unit =
+    // inStaging: inside a `.graft-*` writer staging dir — the canonical
+    // crash leftover. Their FILES are swept under the same age gate
+    // (never referenced by the log by construction); other dot-dirs
+    // stay untouched (foreign tools own them).
+    def walk(dir: Path, inStaging: Boolean): Unit =
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         if (st.isDirectory) {
-          if (!n.startsWith("_") && !n.startsWith(".") || n == "_change_data") {
-            walk(st.getPath)
+          val stagingDir = inStaging || n.startsWith(".graft-")
+          if ((!n.startsWith("_") && !n.startsWith(".")) ||
+              n == "_change_data" || stagingDir) {
+            walk(st.getPath, stagingDir)
             if (!dryRun && fs.listStatus(st.getPath).isEmpty)
               fs.delete(st.getPath, false)
           }
-        } else if (!n.startsWith(".") && !n.startsWith("_") &&
+        } else if ((inStaging ||
+            (!n.startsWith(".") && !n.startsWith("_"))) &&
             !referenced.contains(normPath(st.getPath.toString)) &&
             st.getModificationTime < cutoff) {
           doomed += st.getPath.toString
           if (!dryRun) fs.delete(st.getPath, false)
         }
       }
-    walk(root)
+    walk(root, inStaging = false)
     doomed.toSeq
   }
 

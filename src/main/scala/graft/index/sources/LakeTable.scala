@@ -349,6 +349,13 @@ object LakeTable {
     IcebergTable.createRef(spark, path, name, refType, at)
   }
 
+  /** py4j-friendly overload: a python int crosses the bridge as a boxed
+    * Integer, which cannot unbox into Option[Long] — take the primitive
+    * (py4j widens python ints to `long` params) and wrap here. */
+  def createRefAt(spark: SparkSession, path: String, name: String,
+      refType: String, at: Long): Long =
+    createRef(spark, path, name, refType, Some(at))
+
   /** `ALTER TABLE ... DROP BRANCH|TAG [IF EXISTS] name` — refuses a
     * type mismatch (DROP BRANCH on a tag) and, without IF EXISTS, an
     * unknown name — the Iceberg SQL contract. */

@@ -856,7 +856,7 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
     // previous end offset, or NULL on a fresh stream's first trigger
     val from = Option(start).map(_.json.toLong).getOrElse(startingSnapshot)
     // a checkpointed start past the head = dropped-and-recreated table
-    if (start != null) requireOnLineage(from, "checkpointed offset")
+    if (start != null) requireOnLineage(from, cur0, "checkpointed offset")
     if (cur0 < 0) return LongOffset(from) // empty table: echo = no new data
     // the AvailableNow pin is an ID on the lineage, not a number line:
     // serve toward it, not past it
@@ -872,8 +872,7 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
     * Surface the divergence like the Delta source's id-mismatch error
     * instead of yielding empty batches forever (or an opaque lineage
     * walk failure). */
-  private def requireOnLineage(id: Long, what: String): Unit = {
-    val head = headId()
+  private def requireOnLineage(id: Long, head: Long, what: String): Unit = {
     if (id > 0 && id > head)
       throw new IllegalStateException(
         s"graft-iceberg stream at $location: $what $id is beyond the " +
@@ -885,7 +884,7 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(_.json.toLong).getOrElse(startingSnapshot)
     val endId = end.json.toLong
-    requireOnLineage(endId, "checkpointed offset")
+    requireOnLineage(endId, headId(), "checkpointed offset")
     val batch =
       // `from >= endId` (not just ==): a RESTART replays batch 0 with
       // start=None, and a drifting starting option ("latest" after the

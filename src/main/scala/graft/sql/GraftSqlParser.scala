@@ -89,6 +89,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (adc.matches()) {
       val col = Option(adc.group("colp")).getOrElse(adc.group("col"))
       val dtype = Option(adc.group("dtypep")).getOrElse(adc.group("dtype"))
+      // a comma OUTSIDE parens means a multi-column list ("a INT, b
+      // STRING") — refuse with the one-column contract instead of
+      // letting parseDataType throw an opaque type error
+      var depth = 0
+      dtype.foreach {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          throw new IllegalArgumentException(
+            "ALTER TABLE ... ADD COLUMN takes ONE column per statement " +
+              s"(got '$dtype' after '$col'); issue one statement per column")
+        case _ =>
+      }
       return GraftAddColumnCommand(target(adc), stripIdent(col),
         delegate.parseDataType(dtype))
     }

@@ -168,8 +168,11 @@ class LakeDmlResolution extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val df = (version, ts) match {
       case (Some(v), _) =>
-        try LakeTable.readAsOf(spark, path, v.toLong) catch {
-          case _: NumberFormatException =>
+        // parse OUTSIDE the read: a NumberFormatException raised inside
+        // readAsOf's own log walk must not be misrouted to the ref path
+        v.toLongOption match {
+          case Some(id) => LakeTable.readAsOf(spark, path, id)
+          case None =>
             // non-numeric version names an Iceberg BRANCH or TAG —
             // `VERSION AS OF 'audit'` reads the ref's pinned snapshot
             LakeTable.readRef(spark, path, v)

@@ -76,6 +76,52 @@ class DeltaOrphanFilesSpec extends AnyFunSuite {
     assert(fs.exists(new Path(root, "fresh-stage")))
   }
 
+  test("crash-leftover .graft-* staging dirs ARE swept; foreign dot-dirs stay") {
+    val root = Files.createTempDirectory("graft-orphan-stage-").toString
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    DeltaTable.create(orders.limit(20), root)
+    // a crashed OPTIMIZE leaves its staging dir behind
+    orders.limit(3).coalesce(1).write
+      .parquet(s"$root/.graft-optimize-deadbeef/0")
+    // a foreign tool's dot-dir must NOT be touched
+    orders.limit(2).coalesce(1).write.parquet(s"$root/.foreign-tool/x")
+
+    val removed = LakeTable.removeOrphans(spark, root,
+      System.currentTimeMillis() + 1000)
+    assert(removed.exists(_.contains(".graft-optimize-deadbeef")),
+      s"staging leftovers not swept: $removed")
+    assert(!fs.exists(new Path(root, ".graft-optimize-deadbeef")),
+      "emptied staging dir should be pruned")
+    assert(fs.exists(new Path(root, ".foreign-tool")),
+      "foreign dot-dirs are not ours to delete")
+    assert(DeltaTable.read(spark, root).count() == 20)
+  }
+
+  test("a refused DROP COLUMN leaves the table unmutated (no premature " +
+      "column-mapping commit)") {
+    val root = Files.createTempDirectory("graft-drop-atomic-").toString
+    DeltaTable.create(orders.limit(10)
+      .select(org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.col("o_totalprice")), root)
+    val before = DeltaLog.snapshot(spark, root)
+    assert(!before.configuration.contains("delta.columnMapping.mode"))
+    // refusals: unknown column, and (after adding none) the would-be
+    // only-column guard — all must throw BEFORE any commit
+    intercept[Exception] {
+      DeltaTable.dropColumn(spark, root, "nope")
+    }
+    val after = DeltaLog.snapshot(spark, root)
+    assert(after.version == before.version,
+      "a refused drop must not commit anything")
+    assert(!after.configuration.contains("delta.columnMapping.mode"),
+      "a refused drop must not enable column mapping")
+    // case-insensitive resolution (Spark's default): dropping by a
+    // different case works and drops the REAL column
+    DeltaTable.dropColumn(spark, root, "O_TOTALPRICE")
+    assert(DeltaTable.read(spark, root).schema.fieldNames.toSeq ==
+      Seq("o_orderkey"))
+  }
+
   test("orphan sweep respects checkpoint-only references after log cleanup") {
     val root = Files.createTempDirectory("graft-orphan-ck-").toString
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())

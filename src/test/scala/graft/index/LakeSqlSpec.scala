@@ -585,6 +585,12 @@ class LakeSqlSpec extends AnyFunSuite {
     val dup = intercept[Exception](spark.sql(
       s"ALTER TABLE graft_delta.`$droot` ADD COLUMN score DOUBLE"))
     assert(dup.getMessage.contains("already exists"))
+    // multi-column lists refuse with the one-column contract (not an
+    // opaque type-parse error); decimal commas inside parens still pass
+    val multi = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_delta.`$droot` ADD COLUMNS (x INT, y STRING)"))
+    assert(multi.getMessage.contains("ONE column per statement"),
+      multi.getMessage)
 
     val iroot = tmp("graft-sql-addcol-i-")
     IcebergTable.create(customer.limit(50)
