@@ -120,6 +120,25 @@ object DeltaColumnMapping {
     (conv(schema).asInstanceOf[StructType], nextId)
   }
 
+  /** The highest column-mapping id recorded anywhere in the schema's
+    * field metadata (any nesting level), 0 for an unmapped schema. The
+    * authoritative counter is the `maxColumnId` table property, but a
+    * foreign writer may enable mapping without recording it — deriving
+    * the floor from the schema itself keeps a fresh id from colliding
+    * with an existing field id and corrupting the mapping. */
+  def maxFieldId(schema: StructType): Long = {
+    def ofType(dt: DataType): Long = dt match {
+      case s: StructType => s.fields.foldLeft(0L) { (acc, f) =>
+        val own = if (f.metadata.contains(IdKey)) f.metadata.getLong(IdKey) else 0L
+        math.max(acc, math.max(own, ofType(f.dataType)))
+      }
+      case a: ArrayType => ofType(a.elementType)
+      case m: MapType => math.max(ofType(m.keyType), ofType(m.valueType))
+      case _ => 0L
+    }
+    ofType(schema)
+  }
+
   /** Rename one top-level column LOGICALLY (physicalName untouched —
     * that is the whole point of column mapping). */
   def renameField(schema: StructType, oldName: String,

@@ -2827,25 +2827,27 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     writerGate(prior, rootStr, deletesRows = false, kind = "addColumn")
     require(!prior.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"addColumn at $rootStr: column '$name' already exists")
+    val mapped = DeltaColumnMapping.mode(prior.configuration) != "none"
+    // a foreign writer may enable mapping without recording maxColumnId;
+    // fall back to the schema's own highest field id so the fresh id
+    // never collides with an existing one
+    val maxId =
+      if (!mapped) 0L
+      else prior.configuration.get(DeltaColumnMapping.MaxIdKey)
+        .map(_.toLong)
+        .getOrElse(DeltaColumnMapping.maxFieldId(prior.schema))
     val field =
-      if (DeltaColumnMapping.mode(prior.configuration) == "none")
-        StructField(name, dataType, nullable = true)
-      else {
-        val maxId = prior.configuration
-          .get(DeltaColumnMapping.MaxIdKey).map(_.toLong).getOrElse(0L)
-        StructField(name, dataType, nullable = true,
-          metadata = new MetadataBuilder()
-            .putString(DeltaColumnMapping.PhysicalNameKey,
-              s"col-${java.util.UUID.randomUUID()}")
-            .putLong(DeltaColumnMapping.IdKey, maxId + 1)
-            .build())
-      }
+      if (!mapped) StructField(name, dataType, nullable = true)
+      else StructField(name, dataType, nullable = true,
+        metadata = new MetadataBuilder()
+          .putString(DeltaColumnMapping.PhysicalNameKey,
+            s"col-${java.util.UUID.randomUUID()}")
+          .putLong(DeltaColumnMapping.IdKey, maxId + 1)
+          .build())
     val cfg =
-      if (DeltaColumnMapping.mode(prior.configuration) == "none")
-        prior.configuration
-      else prior.configuration + (DeltaColumnMapping.MaxIdKey ->
-        (prior.configuration.get(DeltaColumnMapping.MaxIdKey)
-          .map(_.toLong).getOrElse(0L) + 1).toString)
+      if (!mapped) prior.configuration
+      else prior.configuration +
+        (DeltaColumnMapping.MaxIdKey -> (maxId + 1).toString)
     commitMetadata(spark, rootStr, prior,
       StructType(prior.schema.fields.toSeq :+ field),
       prior.partitionColumns, cfg,

@@ -90,6 +90,12 @@ object LakeMerge {
 
 object LakeTable {
 
+  /** Whether the directory is a recognized lake table of either format
+    * (the non-throwing probe [[formatOf]] wraps). */
+  def isLakeTable(spark: SparkSession, path: String): Boolean =
+    DeltaLog.isDeltaTable(spark, path) ||
+      IcebergMeta.isIcebergTable(spark, path)
+
   /** "delta" | "iceberg" — loud error for anything else. */
   def formatOf(spark: SparkSession, path: String): String =
     if (DeltaLog.isDeltaTable(spark, path)) "delta"
@@ -152,8 +158,19 @@ object LakeTable {
           "store-assignment rules — the INSERT binds POSITIONALLY; " +
           "reorder or cast the query's columns explicitly")
     }
+    // the aligned projection must cast ANSI too: the gate above admits
+    // narrowing pairs (bigint→int) whose out-of-range values a lax cast
+    // would silently null/wrap — runtime semantics must match the
+    // bind-time promise
     val aligned = df.select(df.schema.fields.zip(tableSchema.fields).map {
-      case (src, dst) => col(s"`${src.name}`").cast(dst.dataType).as(dst.name)
+      case (src, dst) =>
+        org.apache.spark.sql.classic.GraftBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.classic.GraftBridge.expression(
+              col(s"`${src.name}`")),
+            dst.dataType, None,
+            org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI))
+          .as(dst.name)
     }.toSeq: _*)
     branch.filterNot(_ == "main").foreach { b =>
       require(fmt == "iceberg",

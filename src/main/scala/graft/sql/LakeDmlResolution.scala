@@ -232,12 +232,20 @@ class LakeDmlResolution extends Rule[LogicalPlan] {
             i.ifPartitionNotExists)
           fail("INSERT into a lake path takes neither a PARTITION spec " +
             "nor a column list (appends write the table's own layout)")
-        // `/path@branch` targets an Iceberg branch (WAP audit write);
-        // only a simple trailing ref name splits, so a path that
-        // genuinely contains '@' elsewhere is untouched
+        // `/path@branch` targets an Iceberg branch (WAP audit write).
+        // The split applies ONLY when the prefix is itself a recognized
+        // lake table and the full raw path is not — so an existing table
+        // whose last path segment legitimately contains '@' (/data/t@v2)
+        // keeps appending as a plain INSERT instead of being
+        // reinterpreted as a branch write
         val (path, branch) = rawPath.lastIndexOf('@') match {
           case at if at > 0 &&
-              rawPath.substring(at + 1).matches("[\\w-]+") =>
+              rawPath.substring(at + 1).matches("[\\w-]+") && {
+                val spark = org.apache.spark.sql.SparkSession.active
+                !graft.index.sources.LakeTable.isLakeTable(spark, rawPath) &&
+                  graft.index.sources.LakeTable.isLakeTable(
+                    spark, rawPath.substring(0, at))
+              } =>
             (rawPath.substring(0, at), Some(rawPath.substring(at + 1)))
           case _ => (rawPath, None)
         }

@@ -195,4 +195,46 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("physicalName"))
   }
+
+  test("addColumn without maxColumnId derives fresh ids from the schema") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = freshOrders()
+    DeltaTable.renameColumn(spark, root, "o_orderkey", "order_id")
+    // forge a foreign writer's commit: the SAME metaData, with the
+    // maxColumnId counter dropped from configuration
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val s0 = DeltaLog.snapshot(spark, root)
+    val head = new org.apache.hadoop.fs.Path(root,
+      f"_delta_log/${s0.version}%020d.json")
+    val mdLine = scala.io.Source.fromInputStream(fs.open(head))
+      .getLines().find(_.contains("\"metaData\"")).get
+    val stripped = JsonMethods.parse(mdLine).transformField {
+      case ("configuration", JObject(fields)) =>
+        ("configuration", JObject(fields.filterNot(_._1 == Cm.MaxIdKey)))
+    }
+    val commit = new org.apache.hadoop.fs.Path(root,
+      f"_delta_log/${s0.version + 1}%020d.json")
+    val out = fs.create(commit, false)
+    try out.write((JsonMethods.compact(stripped) + "\n").getBytes("UTF-8"))
+    finally out.close()
+
+    val before = DeltaLog.snapshot(spark, root)
+    assert(!before.configuration.contains(Cm.MaxIdKey))
+    val schemaMax = Cm.maxFieldId(before.schema)
+    assert(schemaMax >= before.schema.length,
+      "mapping enablement assigns one id per field")
+    DeltaTable.addColumn(spark, root, "flag", IntegerType)
+    val s = DeltaLog.snapshot(spark, root)
+    // the fresh id continues past the schema's own max — no collision
+    assert(s.schema("flag").metadata.getLong(Cm.IdKey) == schemaMax + 1)
+    val ids = s.schema.fields.filter(_.metadata.contains(Cm.IdKey))
+      .map(_.metadata.getLong(Cm.IdKey)).toSeq
+    assert(ids.distinct.size == ids.size, s"field-id collision: $ids")
+    assert(s.configuration(Cm.MaxIdKey).toLong == schemaMax + 1)
+    // the evolved table still reads (new column null everywhere)
+    val df = DeltaTable.read(spark, root)
+    assert(df.filter(col("flag").isNotNull).count() == 0)
+  }
 }

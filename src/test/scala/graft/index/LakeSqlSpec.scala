@@ -786,4 +786,33 @@ class LakeSqlSpec extends AnyFunSuite {
       s"CREATE TABLE graft_lake.`${tmp("graft-sql-create-lake-")}` (id BIGINT)"))
     assert(lake.getMessage.contains("explicit format"))
   }
+
+  test("INSERT into a table whose path contains '@' appends; no branch split") {
+    // an existing table at /…/t@v2 must keep working as a plain INSERT
+    // target — the `path@branch` split applies only when the prefix is
+    // the recognized table
+    val root = tmp("graft-sql-at-") + "/t@v2"
+    DeltaTable.create(customer.limit(10).select($"c_custkey"), root)
+    spark.sql(s"INSERT INTO graft_delta.`$root` SELECT CAST(9001 AS BIGINT)")
+    assert(DeltaTable.read(spark, root).count() == 11)
+  }
+
+  test("INSERT casts ANSI at runtime: an overflowing value refuses, not nulls") {
+    val root = tmp("graft-sql-ansi-")
+    spark.sql(s"CREATE TABLE graft_delta.`$root` (k INT, v STRING)")
+    // in-range narrowing (bigint literal -> int column) binds and writes
+    spark.sql(s"INSERT INTO graft_delta.`$root` " +
+      "SELECT CAST(1 AS BIGINT), 'ok'")
+    // out-of-range must FAIL the job (ANSI), never silently wrap to an int
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_delta.`$root` " +
+        "SELECT CAST(9223372036854775807 AS BIGINT), 'boom'"))
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(10).toSeq
+    assert(chain.exists(t => t.isInstanceOf[ArithmeticException] ||
+      Option(t.getMessage).exists(_.contains("CAST_OVERFLOW"))),
+      s"expected an ANSI overflow failure, got: $chain")
+    val got = DeltaTable.read(spark, root)
+    assert(got.count() == 1 && got.select("k").head().getInt(0) == 1)
+  }
 }
