@@ -4199,34 +4199,38 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       }
     }
     val cutoff = System.currentTimeMillis() - retentionMs
-    val doomed = mutable.Buffer.empty[String]
-    def walk(dir: Path, underChangeData: Boolean): Unit =
-      fs.listStatus(dir).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory) {
-          if (n == "_change_data") walk(st.getPath, underChangeData = true)
-          else if (!n.startsWith("_") && !n.startsWith(".")) {
-            walk(st.getPath, underChangeData)
-            // prune now-empty hive partition dirs
-            if (!dryRun && fs.listStatus(st.getPath).isEmpty)
-              fs.delete(st.getPath, false)
-          }
-        } else if (!n.startsWith(".") && !n.startsWith("_") &&
+    // parallel tree walk (ctx = under _change_data); at 100 TB the
+    // hive-partition fan-out is where the serial walk used to burn
+    // hours of filesystem RPC
+    val listed = FsSweep.walk(spark, fs, root, false) { (st, under) =>
+      val n = st.getPath.getName
+      if (n == "_change_data") Some(true)
+      else if (!n.startsWith("_") && !n.startsWith(".")) Some(under)
+      else None
+    }
+    val doomed = listed.collect {
+      case (st, underChangeData)
+          if !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_") &&
             // cdc files are never "live": they serve only CDF reads
             // within retention, the same rule real VACUUM applies
-            (underChangeData || !live.contains(normPath(st.getPath.toString))) && {
-              val expired = tombstoneTs.get(normPath(st.getPath.toString)) match {
+            (underChangeData ||
+              !live.contains(normPath(st.getPath.toString))) && {
+              tombstoneTs.get(normPath(st.getPath.toString)) match {
                 case Some(ts) => ts < cutoff
                 case None => st.getModificationTime < cutoff
               }
-              expired
-            }) {
-          doomed += st.getPath.toString
-          if (!dryRun) fs.delete(st.getPath, false)
-        }
-      }
-    walk(root, underChangeData = false)
-    doomed.toSeq
+            } =>
+        st.getPath
+    }
+    if (!dryRun) {
+      FsSweep.deleteFiles(spark, fs, doomed)
+      // prune ONLY the partition dirs this sweep emptied — a blanket
+      // empty-dir delete would race an in-flight writer's fresh dirs
+      FsSweep.pruneEmptiedDirs(fs, root, doomed)(n =>
+        !n.startsWith("_") && !n.startsWith("."))
+    }
+    doomed.map(_.toString)
   }
 
   /** ORPHAN sweep — delete files under the table that NO retained log
@@ -4242,13 +4246,17 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     * after it survive) so an in-flight writer's staged files are
     * never swept.
     *
-    * Scale note: the referenced set is built on the DRIVER (log jsons
-    * streamed line-by-line; checkpoint parquet read through Spark but
-    * collected as paths) — ~100 bytes per live file, so a million-file
-    * table costs ~100 MB of driver memory, the same envelope as the
-    * snapshot replay itself. Past that, swap the membership test for a
-    * distributed anti-join of the disk listing against the checkpoint
-    * frame. */
+    * Scale: the tree LISTING and the DELETES run on [[FsSweep]]'s
+    * bounded pools (hours of serial filesystem RPC otherwise at
+    * millions of files). The log-json referenced set is driver-built
+    * (bounded: commits since the last checkpoint). The CHECKPOINT
+    * membership — the O(live files) part — collects to a driver set
+    * only below `spark.graft.maintenance.antiJoinBytes` of checkpoint
+    * parquet (~100 bytes per live file, the snapshot-replay envelope);
+    * past it the test becomes a distributed left-anti join of the
+    * candidates against the referenced-path frame ([[CkOrphanRefs]]),
+    * so a checkpoint carrying tens of millions of files never
+    * materializes on the driver. */
   def removeOrphans(spark: SparkSession, rootStr: String,
       olderThanMs: Long, dryRun: Boolean = false): Seq[String] = {
     val root = new Path(rootStr)
@@ -4276,6 +4284,7 @@ object DeltaTable extends org.apache.spark.internal.Logging {
       }
     val logDir = DeltaLog.logDir(root)
     val ckFiles = mutable.Buffer.empty[String]
+    var ckBytes = 0L
     def scanLogTree(dir: Path): Unit =
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
@@ -4283,7 +4292,10 @@ object DeltaTable extends org.apache.spark.internal.Logging {
         else if (n.endsWith(".json") && !n.startsWith(".")) {
           DeltaLog.readLines(fs, st.getPath)
             .foreach(line => refAction(JsonMethods.parse(line)))
-        } else if (n.endsWith(".parquet")) ckFiles += st.getPath.toString
+        } else if (n.endsWith(".parquet")) {
+          ckFiles += st.getPath.toString
+          ckBytes += st.getLen
+        }
       }
     scanLogTree(logDir)
     // classic/multi-part/v2 checkpoints + sidecars all carry file
@@ -4313,43 +4325,84 @@ object DeltaTable extends org.apache.spark.internal.Logging {
             }
         }
       }
-    if (ckFiles.nonEmpty) {
-      try refCheckpointAdds(spark.read.option("mergeSchema", "true")
-        .parquet(ckFiles.toSeq: _*))
-      catch {
-        case scala.util.control.NonFatal(_) =>
-          // incompatible frames (a foreign writer's exotic checkpoint
-          // schema): fall back to per-file reads rather than refusing
-          ckFiles.foreach(p => refCheckpointAdds(spark.read.parquet(p)))
+    val cutoff = olderThanMs
+    // parallel walk; ctx = inside a `.graft-*` writer staging dir — the
+    // canonical crash leftover. Their FILES are swept under the same age
+    // gate (never referenced by the log by construction); other dot-dirs
+    // stay untouched (foreign tools own them).
+    val listed = FsSweep.walk(spark, fs, root, false) { (st, inStaging) =>
+      val n = st.getPath.getName
+      val stagingDir = inStaging || n.startsWith(".graft-")
+      if ((!n.startsWith("_") && !n.startsWith(".")) ||
+          n == "_change_data" || stagingDir) Some(stagingDir)
+      else None
+    }
+    val candidates = listed.collect {
+      case (st, inStaging)
+          if (inStaging || (!st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_"))) &&
+            st.getModificationTime < cutoff &&
+            !referenced.contains(normPath(st.getPath.toString)) =>
+        st.getPath
+    }
+    // Checkpoint-referenced membership. Below the byte threshold the
+    // checkpoint paths collect into the driver set (~100 bytes per live
+    // file — the snapshot-replay envelope); past it the membership test
+    // becomes a DISTRIBUTED ANTI-JOIN of the age-eligible candidates
+    // against the referenced-path frame, so a checkpoint carrying tens
+    // of millions of live files never materializes on the driver.
+    val doomed: Seq[Path] =
+      if (ckFiles.isEmpty) candidates
+      else if (ckBytes <= FsSweep.antiJoinBytes(spark)) {
+        try refCheckpointAdds(spark.read.option("mergeSchema", "true")
+          .parquet(ckFiles.toSeq: _*))
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            // incompatible frames (a foreign writer's exotic checkpoint
+            // schema): fall back to per-file reads rather than refusing
+            ckFiles.foreach(p => refCheckpointAdds(spark.read.parquet(p)))
+        }
+        candidates.filterNot(p => referenced.contains(normPath(p.toString)))
+      } else {
+        val frames =
+          try Seq(spark.read.option("mergeSchema", "true")
+            .parquet(ckFiles.toSeq: _*))
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              ckFiles.toSeq.map(p => spark.read.parquet(p))
+          }
+        val rootQ = fs.makeQualified(root).toString
+        val refDs = frames.map(f =>
+          CkOrphanRefs.referencedPaths(spark, rootQ, f))
+          .reduce(_ union _)
+        import spark.implicits._
+        val byNorm = candidates.map(p => normPath(p.toString) -> p).toMap
+        val survivors = spark.createDataset(byNorm.keys.toSeq).toDF("p")
+          .join(refDs.toDF("p"), Seq("p"), "left_anti")
+          .as[String].collect()
+        // keep walk order for a deterministic report
+        val keep = survivors.toSet
+        candidates.filter(p => keep.contains(normPath(p.toString)))
+      }
+    if (!dryRun) {
+      FsSweep.deleteFiles(spark, fs, doomed)
+      // prune only what this sweep emptied (partition dirs, staging
+      // trees); a blanket empty-dir delete would race an in-flight
+      // writer's freshly created staging dir
+      FsSweep.pruneEmptiedDirs(fs, root, doomed)(n =>
+        (!n.startsWith("_") && !n.startsWith(".")) ||
+          n.startsWith(".graft-"))
+      // a crashed writer may have mkdir'd its staging dir and died
+      // before staging any file: already-empty `.graft-*` dirs go too,
+      // under the SAME age gate (an in-flight writer's fresh dir stays)
+      fs.listStatus(root).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".graft-") &&
+            st.getModificationTime < cutoff &&
+            fs.listStatus(st.getPath).isEmpty)
+          fs.delete(st.getPath, false)
       }
     }
-    val cutoff = olderThanMs
-    val doomed = mutable.Buffer.empty[String]
-    // inStaging: inside a `.graft-*` writer staging dir — the canonical
-    // crash leftover. Their FILES are swept under the same age gate
-    // (never referenced by the log by construction); other dot-dirs
-    // stay untouched (foreign tools own them).
-    def walk(dir: Path, inStaging: Boolean): Unit =
-      fs.listStatus(dir).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isDirectory) {
-          val stagingDir = inStaging || n.startsWith(".graft-")
-          if ((!n.startsWith("_") && !n.startsWith(".")) ||
-              n == "_change_data" || stagingDir) {
-            walk(st.getPath, stagingDir)
-            if (!dryRun && fs.listStatus(st.getPath).isEmpty)
-              fs.delete(st.getPath, false)
-          }
-        } else if ((inStaging ||
-            (!n.startsWith(".") && !n.startsWith("_"))) &&
-            !referenced.contains(normPath(st.getPath.toString)) &&
-            st.getModificationTime < cutoff) {
-          doomed += st.getPath.toString
-          if (!dryRun) fs.delete(st.getPath, false)
-        }
-      }
-    walk(root, inStaging = false)
-    doomed.toSeq
+    doomed.map(_.toString)
   }
 
   /** Write a parquet checkpoint at the current version so replay cost
@@ -4567,5 +4620,50 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     }
     walk(root)
     buf.toSeq
+  }
+}
+
+/** Executor-side derivation of the checkpoint-referenced paths for the
+  * orphan sweep's distributed anti-join leg — kept OUTSIDE DeltaTable so
+  * the row closures capture nothing but this stateless module (the
+  * qualified `DeltaTable.normPath` / `DeltaLog.resolvePath` calls
+  * compile to static module access, never a `this` capture). */
+private[sources] object CkOrphanRefs {
+
+  /** One normalized-path column: every add/remove path plus their
+    * deletion-vector files, resolved against the (qualified) table
+    * root — entirely on executors. */
+  def referencedPaths(spark: SparkSession, rootQualified: String,
+      ckf: DataFrame): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    val frames = Seq("add", "remove").flatMap { kind =>
+      if (!ckf.schema.fieldNames.contains(kind)) None
+      else {
+        val hasDv = ckf.schema(kind).dataType
+          .asInstanceOf[StructType].fieldNames.contains("deletionVector")
+        val cols = Seq(s"$kind.path as p") ++
+          (if (hasDv) Seq(s"$kind.deletionVector.storageType as dst",
+            s"$kind.deletionVector.pathOrInlineDv as dp")
+          else Seq("cast(null as string) as dst",
+            "cast(null as string) as dp"))
+        Some(ckf.where(s"$kind is not null").selectExpr(cols: _*))
+      }
+    }
+    if (frames.isEmpty) return spark.emptyDataset[String]
+    frames.reduce(_ unionByName _).mapPartitions { it =>
+      val root = new Path(rootQualified)
+      it.flatMap { r =>
+        val file =
+          if (r.isNullAt(0)) Nil
+          else Seq(DeltaTable.normPath(
+            DeltaLog.resolvePath(root, r.getString(0))))
+        val dv =
+          if (r.isNullAt(1) || r.isNullAt(2)) Nil
+          else DvDescriptor(r.getString(1), r.getString(2), None, 0, 0L)
+            .absolutePath(root)
+            .map(p => DeltaTable.normPath(p.toString)).toSeq
+        file ++ dv
+      }
+    }
   }
 }

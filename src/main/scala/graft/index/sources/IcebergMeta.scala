@@ -3414,17 +3414,17 @@ object IcebergTable {
       }
     }
 
-    def listRec(p: Path): Seq[FileStatus] =
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) listRec(st.getPath) else Seq(st)
-      }
+    // parallel tree walk of the two table-owned trees (FsSweep bounds
+    // the listStatus fan-out — a 100 TB table's data/ tree has
+    // thousands of partition dirs)
+    def listTree(p: Path): Seq[FileStatus] =
+      FsSweep.walk(spark, fs, p, ())((_, _) => Some(())).map(_._1)
     def isMetaDoc(name: String): Boolean =
       name.endsWith(".metadata.json") || name == "version-hint.text"
 
     val candidates =
-      listRec(new Path(root, "data")) ++
-        listRec(IcebergMeta.metadataDir(location))
+      listTree(new Path(root, "data")) ++
+        listTree(IcebergMeta.metadataDir(location))
           .filterNot(st => isMetaDoc(st.getPath.getName))
     val orphans = candidates.filter(st =>
       st.getModificationTime < cutoff &&
@@ -3440,7 +3440,11 @@ object IcebergTable {
     val doomed = (orphans.map(_.getPath.toString) ++
       staleStages.map(_.getPath.toString)).map(DeltaTable.normPath).sorted
     if (!dryRun) {
-      orphans.foreach(st => fs.delete(st.getPath, false))
+      FsSweep.deleteFiles(spark, fs, orphans.map(_.getPath))
+      // prune partition dirs this sweep emptied (never pre-existing
+      // empty dirs — they may be a writer's in-flight stage)
+      FsSweep.pruneEmptiedDirs(fs, root, orphans.map(_.getPath))(n =>
+        !n.startsWith("_") && !n.startsWith("."))
       staleStages.foreach(st => fs.delete(st.getPath, true))
     }
     doomed
