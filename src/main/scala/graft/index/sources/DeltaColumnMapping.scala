@@ -150,4 +150,108 @@ object DeltaColumnMapping {
     StructType(schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
   }
+
+  /** A NEW field for a mapped table: fresh `col-<uuid>` physical name
+    * and the next column id — recursively, so a struct-typed addition
+    * is fully mapped at every level (the [[fullyMapped]] invariant).
+    * Returns the field and the last id consumed. */
+  def mapNewField(name: String, dataType: DataType,
+      startId: Long): (StructField, Long) = {
+    var next = startId
+    def freshMeta(base: Metadata): Metadata = {
+      next += 1
+      new MetadataBuilder().withMetadata(base)
+        .putString(PhysicalNameKey, s"col-${java.util.UUID.randomUUID()}")
+        .putLong(IdKey, next)
+        .build()
+    }
+    def conv(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val md = freshMeta(f.metadata)
+        f.copy(metadata = md, dataType = conv(f.dataType))
+      })
+      case a: ArrayType => a.copy(elementType = conv(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = conv(m.keyType), valueType = conv(m.valueType))
+      case other => other
+    }
+    val topMeta = freshMeta(Metadata.empty)
+    (StructField(name, conv(dataType), nullable = true, metadata = topMeta),
+      next)
+  }
+}
+
+/**
+ * Nested-path StructType surgery for the column-DDL verbs: a target is
+ * a name path (`Seq("a","b","c")` for `a.b.c`), resolved
+ * case-insensitively like Spark's default resolver. Every operation
+ * validates the path loudly (missing parents, non-struct parents,
+ * duplicate names) — column DDL must refuse, never guess.
+ */
+object SchemaPaths {
+
+  private def indexOf(schema: StructType, name: String): Int =
+    schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
+
+  private def atParent(schema: StructType, parent: Seq[String],
+      done: Seq[String])(op: StructType => StructType): StructType =
+    if (parent.isEmpty) op(schema)
+    else {
+      val idx = indexOf(schema, parent.head)
+      require(idx >= 0, s"no column '${(done :+ parent.head).mkString(".")}'" +
+        s" (have ${schema.fieldNames.mkString(", ")})")
+      val f = schema.fields(idx)
+      val updated = f.dataType match {
+        case st: StructType => f.copy(dataType =
+          atParent(st, parent.tail, done :+ parent.head)(op))
+        case other => throw new IllegalArgumentException(
+          s"'${(done :+ parent.head).mkString(".")}' is not a struct " +
+            s"(${other.simpleString}); nested column DDL needs a struct path")
+      }
+      StructType(schema.fields.updated(idx, updated))
+    }
+
+  /** Append `field` under the (possibly empty) parent path. */
+  def addField(schema: StructType, parent: Seq[String],
+      field: StructField): StructType =
+    atParent(schema, parent, Nil) { st =>
+      require(indexOf(st, field.name) < 0,
+        s"column '${(parent :+ field.name).mkString(".")}' already exists")
+      StructType(st.fields :+ field)
+    }
+
+  /** Rename the leaf at `path` (metadata — physicalName — untouched). */
+  def renameAt(schema: StructType, path: Seq[String],
+      newName: String): StructType =
+    atParent(schema, path.init, Nil) { st =>
+      val idx = indexOf(st, path.last)
+      require(idx >= 0, s"no column '${path.mkString(".")}' " +
+        s"(have ${st.fieldNames.mkString(", ")})")
+      require(indexOf(st, newName) < 0,
+        s"column '${(path.init :+ newName).mkString(".")}' already exists")
+      StructType(st.fields.updated(idx, st.fields(idx).copy(name = newName)))
+    }
+
+  /** Remove the leaf at `path`; the parent must keep >=1 field. */
+  def dropAt(schema: StructType, path: Seq[String]): StructType =
+    atParent(schema, path.init, Nil) { st =>
+      val idx = indexOf(st, path.last)
+      require(idx >= 0, s"no column '${path.mkString(".")}' " +
+        s"(have ${st.fieldNames.mkString(", ")})")
+      require(st.fields.length > 1,
+        s"cannot drop '${path.mkString(".")}': it is the only field of " +
+          "its struct (drop the struct instead)")
+      StructType(st.fields.patch(idx, Nil, 1))
+    }
+
+  /** The field at `path`, if present (case-insensitive). */
+  def fieldAt(schema: StructType, path: Seq[String]): Option[StructField] = {
+    val idx = indexOf(schema, path.head)
+    if (idx < 0) None
+    else if (path.size == 1) Some(schema.fields(idx))
+    else schema.fields(idx).dataType match {
+      case st: StructType => fieldAt(st, path.tail)
+      case _ => None
+    }
+  }
 }

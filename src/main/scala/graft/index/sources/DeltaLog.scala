@@ -2822,34 +2822,47 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     * fresh physical name (`col-<uuid>`, never reusing a dropped
     * column's physical slot) and the next column id. */
   def addColumn(spark: SparkSession, rootStr: String,
-      name: String, dataType: DataType): Long = {
+      name: String, dataType: DataType): Long =
+    addColumns(spark, rootStr, Seq(Seq(name) -> dataType))
+
+  /** `ALTER TABLE … ADD COLUMNS (a INT, b.c STRING, …)` — every column
+    * lands in ONE metadata commit. A name path (`Seq("b","c")`) targets
+    * a nested struct field; the parent must exist and be a struct. On a
+    * column-mapped table each new field (and, for struct-typed
+    * additions, every nested field) gets a fresh `col-<uuid>` physical
+    * name and the next column id. */
+  def addColumns(spark: SparkSession, rootStr: String,
+      cols: Seq[(Seq[String], DataType)]): Long = {
+    require(cols.nonEmpty, s"addColumns at $rootStr: no columns given")
     val prior = DeltaLog.snapshot(spark, rootStr)
     writerGate(prior, rootStr, deletesRows = false, kind = "addColumn")
-    require(!prior.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
-      s"addColumn at $rootStr: column '$name' already exists")
     val mapped = DeltaColumnMapping.mode(prior.configuration) != "none"
     // a foreign writer may enable mapping without recording maxColumnId;
     // fall back to the schema's own highest field id so the fresh id
     // never collides with an existing one
-    val maxId =
+    var maxId =
       if (!mapped) 0L
       else prior.configuration.get(DeltaColumnMapping.MaxIdKey)
         .map(_.toLong)
         .getOrElse(DeltaColumnMapping.maxFieldId(prior.schema))
-    val field =
-      if (!mapped) StructField(name, dataType, nullable = true)
-      else StructField(name, dataType, nullable = true,
-        metadata = new MetadataBuilder()
-          .putString(DeltaColumnMapping.PhysicalNameKey,
-            s"col-${java.util.UUID.randomUUID()}")
-          .putLong(DeltaColumnMapping.IdKey, maxId + 1)
-          .build())
+    var schema = prior.schema
+    cols.foreach { case (path, dataType) =>
+      require(path.nonEmpty, s"addColumns at $rootStr: empty column path")
+      val field =
+        if (!mapped) StructField(path.last, dataType, nullable = true)
+        else {
+          val (f, newMax) =
+            DeltaColumnMapping.mapNewField(path.last, dataType, maxId)
+          maxId = newMax
+          f
+        }
+      schema = SchemaPaths.addField(schema, path.init, field)
+    }
     val cfg =
       if (!mapped) prior.configuration
       else prior.configuration +
-        (DeltaColumnMapping.MaxIdKey -> (maxId + 1).toString)
-    commitMetadata(spark, rootStr, prior,
-      StructType(prior.schema.fields.toSeq :+ field),
+        (DeltaColumnMapping.MaxIdKey -> maxId.toString)
+    commitMetadata(spark, rootStr, prior, schema,
       prior.partitionColumns, cfg,
       readerFeature = None, writerFeature = None,
       legacyReader = 1, legacyWriter = 2, operation = "ADD COLUMNS")
@@ -2902,6 +2915,63 @@ object DeltaTable extends org.apache.spark.internal.Logging {
     val field = validate(prior) // re-resolve against the mapped schema
     commitMetadata(spark, rootStr, prior,
       StructType(prior.schema.fields.toSeq.filterNot(_.name == field.name)),
+      prior.partitionColumns, prior.configuration,
+      operation = "DROP COLUMNS")
+  }
+
+  /** Nested-path rename (`a.b.c TO new`): column mapping gives every
+    * level a stable physical name, so the leaf rename is metadata-only
+    * like the top-level verb. Validation runs against the PRE-mapping
+    * snapshot first — a refused rename must not commit the enablement. */
+  def renameColumnAt(spark: SparkSession, rootStr: String,
+      path: Seq[String], newName: String): Long = {
+    require(path.nonEmpty, s"renameColumnAt at $rootStr: empty column path")
+    if (path.size == 1) return renameColumn(spark, rootStr, path.head, newName)
+    val pre = DeltaLog.snapshot(spark, rootStr)
+    writerGate(pre, rootStr, deletesRows = false, kind = "renameColumn")
+    SchemaPaths.renameAt(pre.schema, path, newName) // validate-only
+    enableColumnMapping(spark, rootStr)
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    commitMetadata(spark, rootStr, prior,
+      SchemaPaths.renameAt(prior.schema, path, newName),
+      prior.partitionColumns, prior.configuration)
+  }
+
+  /** Nested-path drop (`a.b.c`): logical removal via column mapping,
+    * like the top-level verb; the parent struct must keep a field, and
+    * CHECK constraints / generated columns naming the leaf refuse. */
+  def dropColumnAt(spark: SparkSession, rootStr: String,
+      path: Seq[String]): Long = {
+    require(path.nonEmpty, s"dropColumnAt at $rootStr: empty column path")
+    if (path.size == 1) return dropColumn(spark, rootStr, path.head)
+    def validate(s: DeltaSnapshot): Unit = {
+      writerGate(s, rootStr, deletesRows = false, kind = "dropColumn")
+      SchemaPaths.dropAt(s.schema, path) // validates path + only-field
+      val wordRe =
+        ("(?i)\\b" + java.util.regex.Pattern.quote(path.last) + "\\b").r
+      s.configuration.foreach { case (k, v) =>
+        require(!(k.startsWith("delta.constraints.") &&
+            wordRe.findFirstIn(v).isDefined),
+          s"dropColumnAt $rootStr: '${path.mkString(".")}' may be " +
+            s"referenced by CHECK constraint " +
+            s"'${k.stripPrefix("delta.constraints.")}' ($v); drop the " +
+            "constraint first")
+      }
+      s.schema.fields.foreach { f =>
+        require(!(f.metadata.contains("delta.generationExpression") &&
+            wordRe.findFirstIn(
+              f.metadata.getString("delta.generationExpression")).isDefined),
+          s"dropColumnAt $rootStr: '${path.mkString(".")}' may be " +
+            s"referenced by generated column '${f.name}'; drop or " +
+            "redefine it first")
+      }
+    }
+    validate(DeltaLog.snapshot(spark, rootStr))
+    enableColumnMapping(spark, rootStr)
+    val prior = DeltaLog.snapshot(spark, rootStr)
+    validate(prior)
+    commitMetadata(spark, rootStr, prior,
+      SchemaPaths.dropAt(prior.schema, path),
       prior.partitionColumns, prior.configuration,
       operation = "DROP COLUMNS")
   }

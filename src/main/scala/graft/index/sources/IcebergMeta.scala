@@ -1364,36 +1364,121 @@ object IcebergTable {
     case other => other
   }
 
+  /** Reassign EVERY id slot in an Iceberg type JSON (field `id`s plus
+    * list `element-id` / map `key-id`/`value-id`) to fresh sequential
+    * ids after `start` — how a struct/list/map-typed ADDED column gets
+    * its inner ids allocated against last-column-id. Returns the
+    * rewritten JSON and the last id consumed. */
+  private def withFreshIds(t: JValue, start: Int): (JValue, Int) = {
+    var next = start
+    def id(): JInt = { next += 1; JInt(next) }
+    def walk(v: JValue): JValue = v match {
+      case JObject(kvs) => JObject(kvs.map {
+        case ("id", _) => ("id", id(): JValue)
+        case ("element-id", _) => ("element-id", id(): JValue)
+        case ("key-id", _) => ("key-id", id(): JValue)
+        case ("value-id", _) => ("value-id", id(): JValue)
+        case (k, vv) => (k, walk(vv))
+      })
+      case JArray(xs) => JArray(xs.map(walk))
+      case other => other
+    }
+    (walk(t), next)
+  }
+
+  /** Rewrite the struct field list at a nested parent path. The parent
+    * chain must exist and be struct-typed; refusals are loud (column
+    * DDL never guesses). */
+  private def atFieldsOf(fields: List[JValue], parent: Seq[String],
+      done: Seq[String])(op: List[JValue] => List[JValue]): List[JValue] =
+    if (parent.isEmpty) op(fields)
+    else {
+      val idx = fields.indexWhere(f => (f \ "name") == JString(parent.head))
+      require(idx >= 0,
+        s"no column '${(done :+ parent.head).mkString(".")}'")
+      val f = fields(idx)
+      val newType = (f \ "type") match {
+        case t: JObject if (t \ "type") == JString("struct") =>
+          val inner = (t \ "fields") match {
+            case JArray(fs0) => fs0
+            case _ => Nil
+          }
+          setFields(t, "fields" -> JArray(
+            atFieldsOf(inner, parent.tail, done :+ parent.head)(op)))
+        case other => throw new IllegalArgumentException(
+          s"'${(done :+ parent.head).mkString(".")}' is not a struct " +
+            s"(${JsonMethods.compact(JsonMethods.render(other))}); nested " +
+            "column DDL needs a struct path")
+      }
+      fields.updated(idx, setFields(f, "type" -> newType))
+    }
+
+  /** The field id at a (possibly nested) name path, if present. */
+  private def fieldIdAt(fields: List[JValue],
+      path: Seq[String]): Option[Int] = {
+    val f = fields.find(f => (f \ "name") == JString(path.head))
+    f.flatMap { fld =>
+      if (path.size == 1) (fld \ "id") match {
+        case JInt(n) => Some(n.toInt)
+        case _ => None
+      }
+      else (fld \ "type") match {
+        case t: JObject if (t \ "type") == JString("struct") =>
+          (t \ "fields") match {
+            case JArray(fs0) => fieldIdAt(fs0, path.tail)
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+  }
+
   /** Rename a column WITHOUT rewriting any data file: a metadata-only
     * update appending a new schema (field id KEPT) to schemas[] and
     * repointing current-schema-id. Requires the table's field-id
     * guarantee (`graft.field-ids`) — files are then resolved by id, so
     * every file keeps serving under its original spelling. */
   def renameColumn(spark: SparkSession, location: String,
-      oldName: String, newName: String): Long = {
+      oldName: String, newName: String): Long =
+    renameColumnAt(spark, location, Seq(oldName), newName)
+
+  /** Nested-path rename (`a.b.c TO new`): field id KEPT at any depth,
+    * so id-resolved files keep serving under the original spelling. */
+  def renameColumnAt(spark: SparkSession, location: String,
+      path: Seq[String], newName: String): Long = {
+    require(path.nonEmpty, s"renameColumnAt $location: empty column path")
     val prior = IcebergMeta.snapshot(spark, location)
     require(prior.properties.get("graft.field-ids").contains("true"),
       s"renameColumn on $location needs id-resolvable data files " +
         "(table property graft.field-ids); tables written before the " +
         "field-id writer must be rewritten (compact) first")
-    require(prior.schema.fieldNames.contains(oldName),
-      s"no column '$oldName' at $location " +
-        s"(have ${prior.schema.fieldNames.mkString(", ")})")
-    require(!prior.schema.fieldNames.contains(newName),
-      s"column '$newName' already exists at $location")
-    // partition values are reconstructed from hive path segments that
-    // carry the ORIGINAL column name — a rename would orphan every
-    // existing directory. Real Iceberg renames partition sources via
-    // spec evolution; this writer's spec is fixed at create: refuse.
-    require(!prior.partitionFields.exists(_.sourceCol == oldName),
-      s"cannot rename '$oldName': it is a partition source column of " +
-        s"$location (hive directories carry its name); rewrite into a new " +
-        "table instead")
+    if (path.size == 1) {
+      require(prior.schema.fieldNames.contains(path.head),
+        s"no column '${path.head}' at $location " +
+          s"(have ${prior.schema.fieldNames.mkString(", ")})")
+      require(!prior.schema.fieldNames.contains(newName),
+        s"column '$newName' already exists at $location")
+      // partition values are reconstructed from hive path segments that
+      // carry the ORIGINAL column name — a rename would orphan every
+      // existing directory. Real Iceberg renames partition sources via
+      // spec evolution; this writer's spec is fixed at create: refuse.
+      require(!prior.partitionFields.exists(_.sourceCol == path.head),
+        s"cannot rename '${path.head}': it is a partition source column " +
+          s"of $location (hive directories carry its name); rewrite into " +
+          "a new table instead")
+    }
     updateSchema(spark, location) { (fields, lastColId) =>
-      (fields.map {
-        case f if (f \ "name") == JString(oldName) =>
-          setFields(f, "name" -> JString(newName))
-        case f => f
+      (atFieldsOf(fields, path.init, Nil) { siblings =>
+        require(siblings.exists(f => (f \ "name") == JString(path.last)),
+          s"no column '${path.mkString(".")}' at $location")
+        require(!siblings.exists(f => (f \ "name") == JString(newName)),
+          s"column '${(path.init :+ newName).mkString(".")}' already " +
+            s"exists at $location")
+        siblings.map {
+          case f if (f \ "name") == JString(path.last) =>
+            setFields(f, "name" -> JString(newName))
+          case f => f
+        }
       }, lastColId)
     }
   }
@@ -1401,23 +1486,37 @@ object IcebergTable {
   /** Add a nullable column (fresh field id): older files read it as
     * null; appends from now on fill it. Metadata-only. */
   def addColumn(spark: SparkSession, location: String,
-      name: String, dataType: DataType): Long = {
-    val prior = IcebergMeta.snapshot(spark, location)
-    require(!prior.schema.fieldNames.contains(name),
-      s"column '$name' already exists at $location")
-    require(!dataType.isInstanceOf[StructType] &&
-      !dataType.isInstanceOf[ArrayType] && !dataType.isInstanceOf[MapType],
-      "addColumn supports primitive types (a nested type's inner ids " +
-        "would need allocation against last-column-id)")
-    val typeName: JValue = IcebergMeta.sparkSchemaToIceberg(
-      StructType(Seq(StructField(name, dataType)))) \ "fields" match {
-      case JArray(f :: Nil) => f \ "type"
-      case _ => throw new IllegalArgumentException(s"cannot map $dataType")
-    }
+      name: String, dataType: DataType): Long =
+    addColumns(spark, location, Seq(Seq(name) -> dataType))
+
+  /** `ALTER TABLE … ADD COLUMNS (a INT, b.c STRING, …)` in ONE schema
+    * commit. A name path targets a nested struct; struct/list/map-typed
+    * additions allocate their inner field ids against last-column-id
+    * ([[withFreshIds]]), per the spec's id-uniqueness rule. */
+  def addColumns(spark: SparkSession, location: String,
+      cols: Seq[(Seq[String], DataType)]): Long = {
+    require(cols.nonEmpty, s"addColumns at $location: no columns given")
+    IcebergMeta.snapshot(spark, location) // assert table exists
     updateSchema(spark, location) { (fields, lastColId) =>
-      val newId = lastColId + 1
-      (fields :+ (JObject("id" -> JInt(newId), "name" -> JString(name),
-        "required" -> JBool(false), "type" -> typeName): JValue), newId)
+      var fs0 = fields
+      var last = lastColId
+      cols.foreach { case (path, dataType) =>
+        require(path.nonEmpty, s"addColumns at $location: empty column path")
+        val raw: JValue = IcebergMeta.sparkSchemaToIceberg(
+          StructType(Seq(StructField(path.last, dataType)))) \ "fields" match {
+          case JArray(f :: Nil) => f
+          case _ => throw new IllegalArgumentException(
+            s"cannot map $dataType")
+        }
+        val (fresh, newLast) = withFreshIds(raw, last)
+        last = newLast
+        fs0 = atFieldsOf(fs0, path.init, Nil) { siblings =>
+          require(!siblings.exists(f => (f \ "name") == JString(path.last)),
+            s"column '${path.mkString(".")}' already exists at $location")
+          siblings :+ fresh
+        }
+      }
+      (fs0, last)
     }
   }
 
@@ -1470,26 +1569,43 @@ object IcebergTable {
     * gets a fresh id and does NOT resurrect the old values. Refused
     * while an equality delete still references the column. */
   def dropColumn(spark: SparkSession, location: String,
-      name: String): Long = {
+      name: String): Long = dropColumnAt(spark, location, Seq(name))
+
+  /** Nested-path drop (`a.b.c`): the leaf's field id is RETIRED at any
+    * depth (last-column-id never decreases); equality deletes that
+    * still reference the id refuse, as do partition sources. */
+  def dropColumnAt(spark: SparkSession, location: String,
+      path: Seq[String]): Long = {
+    require(path.nonEmpty, s"dropColumnAt $location: empty column path")
     val prior = IcebergMeta.snapshot(spark, location)
-    require(prior.schema.fieldNames.contains(name),
-      s"no column '$name' at $location")
-    val nameToId = prior.fieldIdToName.map { case (i, n) => n -> i }
-    val id = nameToId(name)
-    val referencedBy = prior.deleteFiles
-      .filter(d => d.content == 2 && d.equalityIds.contains(id))
-    require(referencedBy.isEmpty,
-      s"cannot drop '$name': ${referencedBy.size} equality delete " +
-        "file(s) still reference it — compact first")
-    // the partition spec resolves by source-id against the CURRENT
-    // schema: dropping a partition SOURCE column (identity or
-    // transform) would leave the spec dangling and every later
-    // snapshot() unreadable — refuse loudly instead
-    require(!prior.partitionFields.exists(_.sourceCol == name),
-      s"cannot drop '$name': it is a partition source column of $location " +
-        "(the spec is fixed at create); rewrite into a new table instead")
+    if (path.size == 1) {
+      require(prior.schema.fieldNames.contains(path.head),
+        s"no column '${path.head}' at $location")
+      // the partition spec resolves by source-id against the CURRENT
+      // schema: dropping a partition SOURCE column (identity or
+      // transform) would leave the spec dangling and every later
+      // snapshot() unreadable — refuse loudly instead
+      require(!prior.partitionFields.exists(_.sourceCol == path.head),
+        s"cannot drop '${path.head}': it is a partition source column of " +
+          s"$location (the spec is fixed at create); rewrite into a new " +
+          "table instead")
+    }
     updateSchema(spark, location) { (fields, lastColId) =>
-      (fields.filterNot(f => (f \ "name") == JString(name)), lastColId)
+      fieldIdAt(fields, path).foreach { id =>
+        val referencedBy = prior.deleteFiles
+          .filter(d => d.content == 2 && d.equalityIds.contains(id))
+        require(referencedBy.isEmpty,
+          s"cannot drop '${path.mkString(".")}': ${referencedBy.size} " +
+            "equality delete file(s) still reference it — compact first")
+      }
+      (atFieldsOf(fields, path.init, Nil) { siblings =>
+        require(siblings.exists(f => (f \ "name") == JString(path.last)),
+          s"no column '${path.mkString(".")}' at $location")
+        require(siblings.size > 1,
+          s"cannot drop '${path.mkString(".")}': it is the only field " +
+            "of its struct (drop the struct instead)")
+        siblings.filterNot(f => (f \ "name") == JString(path.last))
+      }, lastColId)
     }
   }
 

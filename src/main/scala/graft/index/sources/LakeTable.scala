@@ -406,9 +406,16 @@ object LakeTable {
     * yield null; no data rewrite. */
   def addColumn(spark: SparkSession, path: String, name: String,
       dataType: org.apache.spark.sql.types.DataType): Long =
+    addColumns(spark, path, Seq(Seq(name) -> dataType))
+
+  /** `ALTER TABLE ... ADD COLUMNS (a INT, b.c STRING, ...)` — the
+    * multi-column / nested-target form, ONE metadata commit on either
+    * format. */
+  def addColumns(spark: SparkSession, path: String,
+      cols: Seq[(Seq[String], org.apache.spark.sql.types.DataType)]): Long =
     formatOf(spark, path) match {
-      case "delta" => DeltaTable.addColumn(spark, path, name, dataType)
-      case _ => IcebergTable.addColumn(spark, path, name, dataType)
+      case "delta" => DeltaTable.addColumns(spark, path, cols)
+      case _ => IcebergTable.addColumns(spark, path, cols)
     }
 
   /** `ALTER TABLE ... RENAME COLUMN old TO new` — logical rename
@@ -416,17 +423,27 @@ object LakeTable {
     * data files untouched. */
   def renameColumn(spark: SparkSession, path: String,
       oldName: String, newName: String): Long =
+    renameColumnAt(spark, path, Seq(oldName), newName)
+
+  /** Nested-target rename (`a.b.c TO new`), either format. */
+  def renameColumnAt(spark: SparkSession, path: String,
+      oldPath: Seq[String], newName: String): Long =
     formatOf(spark, path) match {
-      case "delta" => DeltaTable.renameColumn(spark, path, oldName, newName)
-      case _ => IcebergTable.renameColumn(spark, path, oldName, newName)
+      case "delta" => DeltaTable.renameColumnAt(spark, path, oldPath, newName)
+      case _ => IcebergTable.renameColumnAt(spark, path, oldPath, newName)
     }
 
   /** `ALTER TABLE ... DROP COLUMN name` — logical removal; physical
     * data stays in old files and is never read again. */
   def dropColumn(spark: SparkSession, path: String, name: String): Long =
+    dropColumnAt(spark, path, Seq(name))
+
+  /** Nested-target drop (`a.b.c`), either format. */
+  def dropColumnAt(spark: SparkSession, path: String,
+      colPath: Seq[String]): Long =
     formatOf(spark, path) match {
-      case "delta" => DeltaTable.dropColumn(spark, path, name)
-      case _ => IcebergTable.dropColumn(spark, path, name)
+      case "delta" => DeltaTable.dropColumnAt(spark, path, colPath)
+      case _ => IcebergTable.dropColumnAt(spark, path, colPath)
     }
 
   /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` — Delta-only

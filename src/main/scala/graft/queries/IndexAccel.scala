@@ -1189,6 +1189,55 @@ object IndexAccel {
        |FROM customer
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** NESTED-target schema evolution through SQL: one `ADD COLUMNS`
+    * statement appends a struct field (`info.bonus`) AND a top-level
+    * column (`grade`) in a SINGLE metadata commit; the read then mixes
+    * pre-evolution files (nested field absent in the parquet → null)
+    * with post-evolution files in one scan. The oracle reconstructs the
+    * same mix from the flat table — a reader that defaults the nested
+    * field wrong, loses it under the struct, or splits the DDL into two
+    * commits with divergent schemas breaks the hash. */
+  def lakeSqlAddColumnNested(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.DeltaTable
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") +
+      s"/graft_lake_sql_addcoln_$h"
+    synchronized {
+      if (!graft.index.sources.DeltaLog.isDeltaTable(spark, root)) {
+        val customer = Tables.load(spark, sfDir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            struct(col("c_nationkey").as("nk")).as("info"))
+        DeltaTable.create(customer.filter(col("c_custkey") % 2 === 0), root)
+        spark.sql(s"ALTER TABLE graft_delta.`$root` ADD COLUMNS " +
+          "(info.bonus DOUBLE, grade STRING)")
+        DeltaTable.append(customer.filter(col("c_custkey") % 2 === 1)
+          .withColumn("info", struct(col("info.nk").as("nk"),
+            (col("c_custkey") % 7).cast("double").as("bonus")))
+          .withColumn("grade", substring(col("c_mktsegment"), 1, 1)), root)
+      }
+    }
+    spark.sql(
+      s"""SELECT c_mktsegment AS segment,
+         | CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | CAST(SUM(CAST(COALESCE(info.bonus, 0.0) AS DECIMAL(28,6)))
+         |   AS DOUBLE) AS sum_bonus,
+         | CAST(COUNT(grade) AS BIGINT) AS n_graded,
+         | CAST(SUM(info.nk) AS BIGINT) AS sum_nk
+         |FROM graft_delta.`$root`
+         |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
+  }
+
+  val lakeSqlAddColumnNestedSql: String =
+    s"""SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | CAST(SUM(CAST(CASE WHEN c_custkey % 2 = 1
+       |   THEN CAST(c_custkey % 7 AS DOUBLE) ELSE 0.0 END
+       |   AS DECIMAL(28,6))) AS DOUBLE) AS sum_bonus,
+       | CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_graded,
+       | CAST(SUM(c_nationkey) AS BIGINT) AS sum_nk
+       |FROM customer
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The CDF of the Delta merge commit, aggregated by change type — a
     * hash match proves the cdc writer recorded exactly the merge's
     * row-level effect (delete / update pre+post / insert classification
@@ -1409,6 +1458,8 @@ object IndexAccel {
     "lake_sql_merge" -> (lakeSqlMerge _, idxDeltaMergeSql),
     "lake_sql_timetravel" -> (lakeSqlTimetravel _, lakeSqlTimetravelSql),
     "lake_sql_addcol" -> (lakeSqlAddColumn _, lakeSqlAddColumnSql),
+    "lake_sql_addcol_nested" ->
+      (lakeSqlAddColumnNested _, lakeSqlAddColumnNestedSql),
     "idx_delta_merge_cdf" -> (idxDeltaMergeCdf _, idxDeltaMergeCdfSql),
     "idx_iceberg_merge" -> (idxIcebergMerge _, idxDeltaMergeSql),
     "stream_lake_upsert" -> (streamLakeUpsert _, idxDeltaMergeSql),

@@ -87,32 +87,35 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     if (si.matches()) return GraftSyncIdentityCommand(target(si))
     val adc = AddColumnRe.matcher(sqlText)
     if (adc.matches()) {
-      val col = Option(adc.group("colp")).getOrElse(adc.group("col"))
-      val dtype = Option(adc.group("dtypep")).getOrElse(adc.group("dtype"))
-      // a comma OUTSIDE parens means a multi-column list ("a INT, b
-      // STRING") — refuse with the one-column contract instead of
-      // letting parseDataType throw an opaque type error
-      var depth = 0
-      dtype.foreach {
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case ',' if depth == 0 =>
+      val defs = splitTopLevel(stripOuterParens(sanitizeBody(
+        adc.group("body")))).map { item =>
+        val m = ColDefRe.matcher(item)
+        if (!m.matches())
           throw new IllegalArgumentException(
-            "ALTER TABLE ... ADD COLUMN takes ONE column per statement " +
-              s"(got '$dtype' after '$col'); issue one statement per column")
-        case _ =>
+            s"ALTER TABLE ... ADD COLUMNS: cannot parse '$item' " +
+              "(expected: name[.nested] TYPE [, ...])")
+        (delegate.parseMultipartIdentifier(m.group(1)),
+          delegate.parseDataType(m.group(2)))
       }
-      return GraftAddColumnCommand(target(adc), stripIdent(col),
-        delegate.parseDataType(dtype))
+      if (defs.isEmpty)
+        throw new IllegalArgumentException(
+          "ALTER TABLE ... ADD COLUMNS: no column definitions given")
+      return GraftAddColumnsCommand(target(adc), defs)
     }
     val rnc = RenameColumnRe.matcher(sqlText)
     if (rnc.matches()) {
       return GraftRenameColumnCommand(target(rnc),
-        stripIdent(rnc.group("old")), stripIdent(rnc.group("new")))
+        delegate.parseMultipartIdentifier(rnc.group("old")),
+        stripIdent(rnc.group("new")))
     }
     val drc = DropColumnRe.matcher(sqlText)
     if (drc.matches()) {
-      return GraftDropColumnCommand(target(drc), stripIdent(drc.group("col")))
+      val cols = splitTopLevel(stripOuterParens(sanitizeBody(
+        drc.group("body")))).map(delegate.parseMultipartIdentifier)
+      if (cols.isEmpty)
+        throw new IllegalArgumentException(
+          "ALTER TABLE ... DROP COLUMNS: no columns given")
+      return GraftDropColumnCommand(target(drc), cols)
     }
     val crf = CreateRefRe.matcher(sqlText)
     if (crf.matches()) {
@@ -185,6 +188,51 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def stripQuotes(s: String): String =
     s.trim.stripPrefix("'").stripSuffix("'")
+
+  /** Trim a statement body the anchored regex may have captured with a
+    * trailing semicolon. */
+  private def sanitizeBody(s: String): String =
+    s.trim.stripSuffix(";").trim
+
+  /** Split on commas at zero `()`/`<>` depth, backtick-aware — so
+    * `a decimal(10,2), b map<int, string>` yields two definitions. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var tick = false
+    s.foreach {
+      case '`' => tick = !tick; cur += '`'
+      case c if tick => cur += c
+      case c @ ('(' | '<') => depth += 1; cur += c
+      case c @ (')' | '>') => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Strip ONE outer paren pair iff it encloses the whole string —
+    * `(a INT, b STRING)` unwraps, `decimal(10,2)` and unbalanced
+    * bodies don't. */
+  private def stripOuterParens(s0: String): String = {
+    val s = s0.trim
+    if (!s.startsWith("(") || !s.endsWith(")")) return s
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0 && i != s.length - 1) return s // closes early
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth == 0) s.substring(1, s.length - 1).trim else s
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -264,21 +312,21 @@ object GraftSqlParser {
   // ALTER TABLE <lake> SYNC IDENTITY
   private val SyncIdentityRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+SYNC\\s+IDENTITY""")
-  // ALTER TABLE <lake> ADD COLUMN[S] c type | (c type) — the paren
-  // form REQUIRES its closing paren so a lazy dtype can't donate the
-  // final ')' of `decimal(10,2)` to an optional one
+  // ALTER TABLE <lake> ADD COLUMN[S] c1 T1 [, c2 T2 …] | (c1 T1, …) —
+  // the body is parsed by parseColumnDefs: nested targets (a.b.c),
+  // nested types (array<int>, struct<…>), multi-column lists
   private val AddColumnRe = re(
-    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+ADD\\s+COLUMNS?\\s+(?:""" +
-      """\(\s*(?<colp>[\w`]+)\s+(?<dtypep>[\w()\s,]+?)\s*\)|""" +
-      """(?<col>[\w`]+)\s+(?<dtype>[\w()\s,]+?))""")
-  // ALTER TABLE <lake> RENAME COLUMN old TO new
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+ADD\\s+COLUMNS?\\s+(?<body>.+)""")
+  // ALTER TABLE <lake> RENAME COLUMN old[.nested] TO new
   private val RenameColumnRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+RENAME\\s+COLUMN\\s+""" +
-      """(?<old>[\w`]+)\s+TO\s+(?<new>[\w`]+)""")
-  // ALTER TABLE <lake> DROP COLUMN c
+      """(?<old>[\w`.]+)\s+TO\s+(?<new>[\w`]+)""")
+  // ALTER TABLE <lake> DROP COLUMN[S] c[, …] | (c, …)
   private val DropColumnRe = re(
-    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+DROP\\s+COLUMNS?\\s+""" +
-      """\(?\s*(?<col>[\w`]+)\s*\)?""")
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+DROP\\s+COLUMNS?\\s+(?<body>.+)""")
+  // one column definition: dotted (optionally backticked) name + type
+  private val ColDefRe = Pattern.compile(
+    """(?s)^((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)\s+(.+)$""")
   // ALTER TABLE <lake> CREATE BRANCH|TAG name [AS OF VERSION n]
   private val CreateRefRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+CREATE\\s+(?<rtype>BRANCH|TAG)\\s+""" +

@@ -255,31 +255,33 @@ case class GraftClusterByCommand(path: String, columns: Seq[String])
     Seq(Row(LakeTable.clusterBy(spark, path, columns)))
 }
 
-/** `ALTER TABLE <lake> ADD COLUMN name type` → [[LakeTable.addColumn]]
-  * (metadata-only nullable append on both formats). */
-case class GraftAddColumnCommand(path: String, column: String,
-    dataType: org.apache.spark.sql.types.DataType)
+/** `ALTER TABLE <lake> ADD COLUMN[S] (a T, b.c T, …)` →
+  * [[LakeTable.addColumns]] (metadata-only nullable append, ONE commit;
+  * nested paths target struct fields). */
+case class GraftAddColumnsCommand(path: String,
+    columns: Seq[(Seq[String], org.apache.spark.sql.types.DataType)])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = LakeSqlCommands.idOutput
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(LakeTable.addColumn(spark, path, column, dataType)))
+    Seq(Row(LakeTable.addColumns(spark, path, columns)))
 }
 
-/** `ALTER TABLE <lake> RENAME COLUMN old TO new` →
-  * [[LakeTable.renameColumn]] (logical rename, data untouched). */
-case class GraftRenameColumnCommand(path: String, oldName: String,
+/** `ALTER TABLE <lake> RENAME COLUMN old[.nested] TO new` →
+  * [[LakeTable.renameColumnAt]] (logical rename, data untouched). */
+case class GraftRenameColumnCommand(path: String, oldPath: Seq[String],
     newName: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = LakeSqlCommands.idOutput
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(LakeTable.renameColumn(spark, path, oldName, newName)))
+    Seq(Row(LakeTable.renameColumnAt(spark, path, oldPath, newName)))
 }
 
-/** `ALTER TABLE <lake> DROP COLUMN name` → [[LakeTable.dropColumn]]. */
-case class GraftDropColumnCommand(path: String, column: String)
+/** `ALTER TABLE <lake> DROP COLUMN[S] a[, b.c …]` →
+  * [[LakeTable.dropColumnAt]] per column. */
+case class GraftDropColumnCommand(path: String, columns: Seq[Seq[String]])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = LakeSqlCommands.idOutput
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(LakeTable.dropColumn(spark, path, column)))
+    Seq(Row(columns.map(c => LakeTable.dropColumnAt(spark, path, c)).last))
 }
 
 /** `ALTER TABLE <lake> CREATE BRANCH|TAG name [AS OF VERSION n]` →

@@ -585,12 +585,12 @@ class LakeSqlSpec extends AnyFunSuite {
     val dup = intercept[Exception](spark.sql(
       s"ALTER TABLE graft_delta.`$droot` ADD COLUMN score DOUBLE"))
     assert(dup.getMessage.contains("already exists"))
-    // multi-column lists refuse with the one-column contract (not an
-    // opaque type-parse error); decimal commas inside parens still pass
+    // a garbled definition refuses with the grammar contract (not an
+    // opaque delegate catalog error); decimal commas inside parens pass
     val multi = intercept[Exception](spark.sql(
-      s"ALTER TABLE graft_delta.`$droot` ADD COLUMNS (x INT, y STRING)"))
-    assert(multi.getMessage.contains("ONE column per statement"),
-      multi.getMessage)
+      s"ALTER TABLE graft_delta.`$droot` ADD COLUMNS (INT x, STRING)"))
+    assert(multi.getMessage.contains("cannot parse") ||
+      multi.getMessage.toLowerCase.contains("datatype"), multi.getMessage)
 
     val iroot = tmp("graft-sql-addcol-i-")
     IcebergTable.create(customer.limit(50)
@@ -785,6 +785,126 @@ class LakeSqlSpec extends AnyFunSuite {
     val lake = intercept[Exception](spark.sql(
       s"CREATE TABLE graft_lake.`${tmp("graft-sql-create-lake-")}` (id BIGINT)"))
     assert(lake.getMessage.contains("explicit format"))
+  }
+
+  test("ADD COLUMNS list form: one commit, both formats, nested types OK") {
+    import org.apache.spark.sql.types._
+    val droot = tmp("graft-sql-addcols-d-")
+    DeltaTable.create(customer.limit(10).select($"c_custkey"), droot)
+    val v0 = DeltaLog.snapshot(spark, droot).version
+    spark.sql(s"ALTER TABLE graft_delta.`$droot` ADD COLUMNS " +
+      "(bonus DOUBLE, tags ARRAY<STRING>, score DECIMAL(10,2))")
+    val s = DeltaLog.snapshot(spark, droot)
+    assert(s.version == v0 + 1, "the whole list must land in ONE commit")
+    assert(s.schema.fieldNames.toSeq ==
+      Seq("c_custkey", "bonus", "tags", "score"))
+    assert(s.schema("tags").dataType == ArrayType(StringType))
+    assert(s.schema("score").dataType == DecimalType(10, 2))
+
+    val iroot = tmp("graft-sql-addcols-i-")
+    IcebergTable.create(customer.limit(10).select($"c_custkey"), iroot)
+    spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` ADD COLUMNS " +
+      "(bonus DOUBLE, tags ARRAY<STRING>)")
+    val ischema = IcebergTable.read(spark, iroot).schema
+    assert(ischema.fieldNames.toSeq == Seq("c_custkey", "bonus", "tags"))
+    assert(ischema("tags").dataType == ArrayType(StringType))
+    // the array's element-id was allocated, not zero/colliding: append
+    // and read back
+    spark.sql(s"INSERT INTO graft_iceberg.`$iroot` " +
+      "SELECT CAST(9001 AS BIGINT), 1.5, array('a','b')")
+    assert(IcebergTable.read(spark, iroot)
+      .where($"c_custkey" === 9001).select("tags").head()
+      .getSeq[String](0) == Seq("a", "b"))
+  }
+
+  test("nested-target column DDL: add / rename / drop under a struct") {
+    import org.apache.spark.sql.types._
+    // ---- Delta: nested adds get physical names on a mapped table
+    val droot = tmp("graft-sql-nested-d-")
+    DeltaTable.create(customer.limit(20)
+      .select($"c_custkey", struct($"c_nationkey".as("nk")).as("info")),
+      droot)
+    // enable mapping via a rename first, so the nested add must assign
+    // physical names per leaf
+    spark.sql(s"ALTER TABLE graft_delta.`$droot` RENAME COLUMN " +
+      "c_custkey TO cust_id")
+    spark.sql(s"ALTER TABLE graft_delta.`$droot` ADD COLUMNS " +
+      "(info.bonus DOUBLE, extra STRUCT<a: INT, b: STRING>)")
+    val s = DeltaLog.snapshot(spark, droot)
+    val info = s.schema("info").dataType.asInstanceOf[StructType]
+    assert(info.fieldNames.toSeq == Seq("nk", "bonus"))
+    import graft.index.sources.{DeltaColumnMapping => Cm}
+    assert(info("bonus").metadata.getString(Cm.PhysicalNameKey)
+      .startsWith("col-"), "nested add on a mapped table needs a uuid " +
+      "physical name")
+    val extra = s.schema("extra").dataType.asInstanceOf[StructType]
+    assert(extra.fields.forall(_.metadata.contains(Cm.PhysicalNameKey)),
+      "every leaf of a struct-typed addition must be mapped")
+    val ids = {
+      def of(st: StructType): Seq[Long] = st.fields.toSeq.flatMap { f =>
+        (if (f.metadata.contains(Cm.IdKey)) Seq(f.metadata.getLong(Cm.IdKey))
+        else Nil) ++ (f.dataType match {
+          case n: StructType => of(n)
+          case _ => Nil
+        })
+      }
+      of(s.schema)
+    }
+    assert(ids.distinct.size == ids.size, s"field-id collision: $ids")
+    // old files read null for the new nested field; rename + drop legs
+    assert(DeltaTable.read(spark, droot)
+      .filter($"info.bonus".isNotNull).count() == 0)
+    spark.sql(s"ALTER TABLE graft_delta.`$droot` RENAME COLUMN " +
+      "info.bonus TO bonus2")
+    assert(DeltaTable.read(spark, droot).select($"info.bonus2").count() == 20)
+    spark.sql(s"ALTER TABLE graft_delta.`$droot` DROP COLUMN info.bonus2")
+    val afterDrop = DeltaLog.snapshot(spark, droot)
+      .schema("info").dataType.asInstanceOf[StructType]
+    assert(afterDrop.fieldNames.toSeq == Seq("nk"))
+    // dropping the struct's only field refuses
+    val only = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_delta.`$droot` DROP COLUMN info.nk"))
+    assert(only.getMessage.contains("only field"))
+
+    // ---- Iceberg: same verbs over the JSON schema
+    val iroot = tmp("graft-sql-nested-i-")
+    IcebergTable.create(customer.limit(20)
+      .select($"c_custkey", struct($"c_nationkey".as("nk")).as("info")),
+      iroot)
+    spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` ADD COLUMN " +
+      "info.bonus DOUBLE")
+    assert(IcebergTable.read(spark, iroot)
+      .filter($"info.bonus".isNotNull).count() == 0)
+    spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` RENAME COLUMN " +
+      "info.bonus TO bonus2")
+    assert(IcebergTable.read(spark, iroot).select($"info.bonus2")
+      .count() == 20)
+    spark.sql(s"ALTER TABLE graft_iceberg.`$iroot` DROP COLUMN info.bonus2")
+    val ischema = IcebergTable.read(spark, iroot)
+      .schema("info").dataType.asInstanceOf[StructType]
+    assert(ischema.fieldNames.toSeq == Seq("nk"))
+    // a non-struct parent refuses loudly
+    val notStruct = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_iceberg.`$iroot` ADD COLUMN c_custkey.x INT"))
+    assert(notStruct.getMessage.contains("not a struct"))
+  }
+
+  test("column-DDL grammar edges: unbalanced parens refuse; drop list works") {
+    val droot = tmp("graft-sql-ddl-edge-")
+    DeltaTable.create(customer.limit(5)
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal", $"c_mktsegment"),
+      droot)
+    // unbalanced paren must refuse, not silently fall through to the
+    // delegate's catalog error
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_delta.`$droot` DROP COLUMN (c_acctbal"))
+    assert(DeltaLog.snapshot(spark, droot).schema.fieldNames.length == 4,
+      "a refused DROP must not commit")
+    // DROP COLUMNS (a, b) list form
+    spark.sql(s"ALTER TABLE graft_delta.`$droot` DROP COLUMNS " +
+      "(c_acctbal, c_mktsegment)")
+    assert(DeltaLog.snapshot(spark, droot).schema.fieldNames.toSeq ==
+      Seq("c_custkey", "c_nationkey"))
   }
 
   test("INSERT into a table whose path contains '@' appends; no branch split") {
