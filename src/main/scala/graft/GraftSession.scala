@@ -29,6 +29,12 @@ object GraftSession {
       // auto-disabling bucketed scans would desync BucketUnion's
       // zip-by-partition children; bucketing itself stays on
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // composite-key joins between same-bucketed relations (q93's
+      // (orderkey, partkey) sales⋈returns over orderkey-bucketed
+      // indexes) must accept SUBSET co-partitioning — the 3.3+ default
+      // `true` re-shuffles BOTH 100 TB sides on the full key for a skew
+      // guard the bounded per-key fan-out doesn't need
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.extensions", "graft.GraftSparkExtension")
     if (master != null) b.master(master) else b
   }

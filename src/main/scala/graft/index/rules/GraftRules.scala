@@ -219,10 +219,12 @@ object JoinIndexRule extends GraftIndexRule {
       traceToRel(join.left, lRel, p._1).getOrElse(return None))
     val rKeysTraced = pairs.map(p =>
       traceToRel(join.right, rRel, p._2).getOrElse(return None))
+    val allowSubset = subsetKeysAllowed(spark)
     val pairsFound = for {
       lm <- coveringEligible(candidates(lRel), lRel)
       if Coverage.covers(lm._2.referencedColumns, lNeeded, resolver)
-      keyPerm <- permutationFor(lm._2.indexedColumns, lKeys, resolver).toSeq
+      keyPerm <- keyMappingFor(lm._2.indexedColumns, lKeys, resolver,
+        allowSubset).toSeq
       rKeys = keyPerm.map(i => rKeysTraced(i).name)
       rm <- coveringEligible(candidates(rRel), rRel)
       if Coverage.covers(rm._2.referencedColumns, rNeeded, resolver) &&
@@ -233,11 +235,13 @@ object JoinIndexRule extends GraftIndexRule {
         (hybridSafe || (lm._1.isExact && rm._1.isExact))
     } yield (lm, rm)
     // rank (reference: JoinIndexRanker.scala:52-90): exact pairs first,
-    // same bucket count (zero-shuffle join) before mismatched, more
-    // buckets (more parallelism) before fewer, then most still-covered
-    // bytes under hybrid
+    // full-key pairs before subset-key (finer clustering distributes
+    // better), same bucket count (zero-shuffle join) before mismatched,
+    // more buckets (more parallelism) before fewer, then most
+    // still-covered bytes under hybrid
     val best = pairsFound.sortBy { case ((l, ld), (r, rd)) =>
       (!(l.isExact && r.isExact),
+        ld.indexedColumns.size != lKeys.distinct.size,
         ld.numBuckets != rd.numBuckets,
         -math.min(ld.numBuckets, rd.numBuckets),
         -(l.commonBytes + r.commonBytes),
@@ -398,6 +402,42 @@ object JoinIndexRule extends GraftIndexRule {
     }
     if (idxs.distinct.size == idxs.size) Some(idxs) else None
   }
+
+  /** Like [[permutationFor]], but with `allowSubset` also admits an
+    * index bucketed on a strict SUBSET of the join keys (each indexed
+    * column matching a distinct key). `HashPartitioning(subset)` still
+    * satisfies the join's ClusteredDistribution — rows equal on all
+    * keys are equal on the subset — so a same-bucket pair co-locates
+    * and a one-sided claim re-shuffles only the probe side. Spark
+    * honors that only when `requireAllClusterKeysForCoPartition` is
+    * off (the caller passes the conf), so with the guard on the subset
+    * claim is withheld rather than inviting a double shuffle. The q93
+    * shape is the motivating case: sales⋈returns on (orderkey, partkey)
+    * over orderkey-bucketed indexes lost acceleration entirely. */
+  private[rules] def keyMappingFor(
+      indexedCols: Seq[String],
+      keyAttrs: Seq[AttributeReference],
+      resolver: Resolver,
+      allowSubset: Boolean): Option[Seq[Int]] = {
+    if (indexedCols.size == keyAttrs.distinct.size)
+      permutationFor(indexedCols, keyAttrs, resolver)
+    else if (allowSubset && indexedCols.size < keyAttrs.distinct.size) {
+      val idxs = indexedCols.map { c =>
+        keyAttrs.indexWhere(a => resolver(a.name, c)) match {
+          case -1 => return None
+          case i => i
+        }
+      }
+      if (idxs.distinct.size == idxs.size) Some(idxs) else None
+    } else None
+  }
+
+  /** Whether the session accepts subset co-partitioning (see
+    * [[keyMappingFor]]). */
+  private[rules] def subsetKeysAllowed(spark: SparkSession): Boolean =
+    !spark.sessionState.conf
+      .getConfString("spark.sql.requireAllClusterKeysForCoPartition", "true")
+      .toBoolean
 
   /** Swap the relation for the index scan. The scan's output is in
     * index-schema order and may carry a lineage `_data_file_id` attribute;
@@ -653,10 +693,12 @@ object JoinOneSideIndexRule extends GraftIndexRule {
       val keys = (if (isLeft) pairs.map(_._1) else pairs.map(_._2)).distinct
         .map(k => traceToRel(subtree, rel, k).getOrElse(return None))
       val needed = neededColumns(subtree, rel)
+      val allowSubset = subsetKeysAllowed(spark)
       val eligible = coveringEligible(candidates(rel), rel).filter {
         case (m, d) =>
           Coverage.covers(d.referencedColumns, needed, resolver) &&
-            permutationFor(d.indexedColumns, keys, resolver).isDefined &&
+            keyMappingFor(d.indexedColumns, keys, resolver,
+              allowSubset).isDefined &&
             (hybridSafe || m.isExact)
       }
       val sessionBuckets = graft.index.GraftConf.numBuckets(spark)
@@ -664,10 +706,11 @@ object JoinOneSideIndexRule extends GraftIndexRule {
         // session-bucket-count indexes first: a multi-join chain rewrites
         // one join at a time, and legs picking DIFFERENT bucket counts
         // re-shuffle against each other — conforming indexes compose.
-        // Then more buckets (parallelism), most covered bytes, smallest
-        // index, name (two equivalent indexes must pick the same winner
-        // in every session)
-        (!m.isExact, d.numBuckets != sessionBuckets, -d.numBuckets,
+        // Full-key before subset-key, then more buckets (parallelism),
+        // most covered bytes, smallest index, name (two equivalent
+        // indexes must pick the same winner in every session)
+        (!m.isExact, d.numBuckets != sessionBuckets,
+          d.indexedColumns.size != keys.distinct.size, -d.numBuckets,
           -m.commonBytes, m.entry.indexDataSize, m.entry.name)
       }.headOption.getOrElse(return None)
       val newSide = substitute(spark, subtree, rel,

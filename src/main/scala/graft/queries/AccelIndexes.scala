@@ -87,6 +87,21 @@ private[queries] object AccelIndexes {
     "accel_ci_li_wide", Seq("l_orderkey"),
     Seq("l_partkey", "l_suppkey", "l_extendedprice", "l_discount"))
 
+  // the q72-shape inventory pair: ONE partkey-bucketed lineitem index
+  // serving BOTH sides of the sales x inventory fact-fact join (the
+  // widest TPC-DS join rides a single co-located bucket pair)
+  val liInv: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_inv", Seq("l_partkey"),
+    Seq("l_orderkey", "l_suppkey", "l_quantity", "l_shipdate",
+      "l_extendedprice"))
+  // the q93-shape returns pair: orderkey-bucketed with quantity + the
+  // return flag, serving the sales leg, the returns leg, AND the
+  // orders join off one index
+  val liQty: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_qty", Seq("l_orderkey"),
+    Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+      "l_returnflag"))
+
   // ---- dims
   val suppDim: Entry = "supplier" -> CoveringIndexConfig(
     "accel_ci_supp_dim", Seq("s_suppkey"), Seq("s_name"))
@@ -104,7 +119,8 @@ private[queries] object AccelIndexes {
     * ensured separately by [[IndexAccel.ensureRank8Decoy]] because it
     * needs a bucket-count override under the same system path. */
   val all: Seq[Entry] = Seq(
-    li, liJoin, liSupp, liBySupp, liShip, liByPart, liRev, liWide, zoLi, dsLi,
+    li, liJoin, liSupp, liBySupp, liShip, liByPart, liRev, liWide,
+    liInv, liQty, zoLi, dsLi,
     ordJoin, ordSnow, ordSnow3, ordAgg, ordByCust, ordPrio,
     cust, custNat, custDim, custSeg, custFull,
     suppDim, suppNat, partDim, partAttr, nationDim)

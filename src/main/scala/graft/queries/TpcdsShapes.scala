@@ -925,7 +925,238 @@ object TpcdsShapes {
        | ${leg(8, 41, 50, ">= 0.03")}""".stripMargin
   }
 
+  /**
+   * TPC-DS q67 shape (reference tpcds/queries/q67.sql): a ROLLUP over
+   * five grouping dimensions feeding a per-category RANK() window, rows
+   * kept while `rk <= 100`. Mapped: lineitem⋈orders(1995)⋈part⋈supplier
+   * with ROLLUP(p_brand, p_type, year, month, s_name). The stress is
+   * the AggIndexRule × window interplay: the rollup lowers to an
+   * Expand (5 grouping sets), so the fact join underneath must stay
+   * index-served while everything above reuses the one shuffle the
+   * window needs. Rollup NULLs are COALESCEd to sentinels BEFORE the
+   * window so the partition key is a plain column in both engines.
+   */
+  def qds67RollupRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureIndex(spark, sfDir, AccelIndexes.liWide)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    ensureIndex(spark, sfDir, AccelIndexes.suppDim)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val sales = coalesce(
+      col("l_extendedprice") * (lit(1.0) - col("l_discount")), lit(0.0))
+    val dw1 = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .rollup(col("p_brand"), col("p_type"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"), col("s_name"))
+      .agg(moneySum(sales).as("sumsales"))
+      .select(coalesce(col("p_brand"), lit("ALL")).as("brand"),
+        coalesce(col("p_type"), lit("ALL")).as("ptype"),
+        coalesce(col("yr"), lit(-1)).as("yr"),
+        coalesce(col("mo"), lit(-1)).as("mo"),
+        coalesce(col("s_name"), lit("ALL")).as("sname"),
+        col("sumsales"))
+    dw1.withColumn("rk", rank().over(
+        Window.partitionBy(col("brand")).orderBy(col("sumsales").desc)))
+      .filter(col("rk") <= 100)
+      .orderBy(col("brand"), col("ptype"), col("yr"), col("mo"),
+        col("sname"), col("sumsales"), col("rk"))
+      .limit(100)
+  }
+
+  val qds67Sql: String =
+    s"""WITH dw1 AS (
+       |  SELECT COALESCE(p_brand, 'ALL') AS brand,
+       |    COALESCE(p_type, 'ALL') AS ptype,
+       |    COALESCE(yr, -1) AS yr, COALESCE(mo, -1) AS mo,
+       |    COALESCE(s_name, 'ALL') AS sname, sumsales
+       |  FROM (
+       |    SELECT p_brand, p_type,
+       |      EXTRACT(YEAR FROM o_orderdate) AS yr,
+       |      EXTRACT(MONTH FROM o_orderdate) AS mo, s_name,
+       |      ${sqlMoneySum(
+             "COALESCE(l_extendedprice * (1.0 - l_discount), 0.0)")}
+       |        AS sumsales
+       |    FROM lineitem
+       |      JOIN orders ON l_orderkey = o_orderkey
+       |      JOIN part ON l_partkey = p_partkey
+       |      JOIN supplier ON l_suppkey = s_suppkey
+       |    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       |    GROUP BY ROLLUP (p_brand, p_type, yr, mo, s_name)))
+       |SELECT * FROM (
+       |  SELECT brand, ptype, yr, mo, sname, sumsales,
+       |    RANK() OVER (PARTITION BY brand ORDER BY sumsales DESC) AS rk
+       |  FROM dw1)
+       |WHERE rk <= 100
+       |ORDER BY brand, ptype, yr, mo, sname, sumsales, rk
+       |LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q72 shape (reference tpcds/queries/q72.sql — the notorious
+   * wide inventory join): sales fact ⋈ inventory fact on the ITEM plus
+   * a same-week condition on derived date keys, an on-hand <
+   * ordered-quantity INEQUALITY residual, a ship-after-5-days date
+   * gate, a demographic dim filter, and a LEFT OUTER promo leg counted
+   * by null-ness. Mapped: lineitem(sales, via orders) ⋈
+   * lineitem(inventory role) on l_partkey + week(l_shipdate), customer
+   * segment as the demographic, parts with p_type LIKE 'PROMO%' as the
+   * promotion dim. The scale point the port exercises: BOTH fact sides
+   * ride ONE partkey-bucketed covering index (accel_ci_li_inv), so the
+   * widest join in the corpus is zero-shuffle on its big legs and the
+   * join-order decision under an index pair is forced — the q72
+   * failure mode in real engines is re-keying the inventory side.
+   */
+  def qds72InventoryGate(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liInv)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    ensureIndex(spark, sfDir, AccelIndexes.custSeg)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val liRaw = Tables.load(spark, sfDir, "lineitem")
+    val sales = liRaw.select(
+      col("l_partkey").as("sl_part"), col("l_orderkey").as("sl_ord"),
+      col("l_quantity").as("sl_qty"), col("l_shipdate").as("sl_ship"))
+    val inv = liRaw.select(
+      col("l_partkey").as("inv_part"), col("l_quantity").as("inv_qty"),
+      year(col("l_shipdate")).as("inv_yr"),
+      weekofyear(col("l_shipdate")).as("inv_wk"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val promo = Tables.load(spark, sfDir, "part")
+      .filter(col("p_type").like("PROMO%"))
+      .select(col("p_partkey").as("promo_part"))
+    // fact⋈fact FIRST, on lineitem-side keys only (partkey + the ship
+    // week) — both sides ride the ONE partkey-bucketed index, so the
+    // widest join never shuffles its big legs; the orders/customer/
+    // promo dims attach afterwards on the (already joined) stream
+    sales
+      .join(inv,
+        col("sl_part") === col("inv_part") &&
+          col("inv_yr") === year(col("sl_ship")) &&
+          col("inv_wk") === weekofyear(col("sl_ship")) &&
+          col("inv_qty") < col("sl_qty")) // inequality stays residual
+      .join(ord, col("sl_ord") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")) // demographic gate
+      .filter(col("sl_ship") >
+        col("o_orderdate") + expr("INTERVAL 5 DAYS"))
+      .join(promo, col("sl_part") === col("promo_part"), "left_outer")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        weekofyear(col("o_orderdate")).as("wk"))
+      .agg(
+        sum(when(col("promo_part").isNull, 1L).otherwise(0L))
+          .cast(LongType).as("no_promo"),
+        sum(when(col("promo_part").isNotNull, 1L).otherwise(0L))
+          .cast(LongType).as("promo"),
+        count(lit(1)).cast(LongType).as("total_cnt"))
+      .orderBy(col("total_cnt").desc, col("yr"), col("wk"))
+      .limit(100)
+  }
+
+  val qds72Sql: String =
+    s"""SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+       |  weekofyear(o_orderdate) AS wk,
+       |  CAST(SUM(CASE WHEN promo_part IS NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS no_promo,
+       |  CAST(SUM(CASE WHEN promo_part IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS promo,
+       |  CAST(COUNT(*) AS BIGINT) AS total_cnt
+       |FROM lineitem sl
+       |  JOIN orders ON sl.l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN lineitem inv ON sl.l_partkey = inv.l_partkey
+       |    AND EXTRACT(YEAR FROM inv.l_shipdate) =
+       |        EXTRACT(YEAR FROM sl.l_shipdate)
+       |    AND weekofyear(inv.l_shipdate) = weekofyear(sl.l_shipdate)
+       |    AND inv.l_quantity < sl.l_quantity
+       |  LEFT OUTER JOIN (SELECT p_partkey AS promo_part FROM part
+       |    WHERE p_type LIKE 'PROMO%') p ON sl.l_partkey = promo_part
+       |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  AND c_mktsegment = 'BUILDING'
+       |  AND sl.l_shipdate > o_orderdate + INTERVAL 5 DAY
+       |GROUP BY 1, 2
+       |ORDER BY total_cnt DESC, yr, wk
+       |LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q93 shape (reference tpcds/queries/q93.sql): sales LEFT
+   * OUTER returns on a composite key, a CASE computing
+   * returns-adjusted revenue — and the q93 trap: the WHERE clause
+   * compares a RETURNS-side column (`sr_reason_sk = r_reason_sk`), so
+   * the outer join is semantically INNER and the optimizer must prove
+   * it (Catalyst's EliminateOuterJoin) BEFORE the index rules can see a
+   * plain equi-join to serve bucketed. Mapped: lineitem sales ⋈
+   * (returnflag='R' lineitem, aggregated to unique (orderkey, partkey))
+   * on the composite key, reason dim = the return's supplier nation.
+   * Both fact legs and the orders join ride one orderkey-bucketed index
+   * (accel_ci_li_qty).
+   */
+  def qds93ReturnsAdjusted(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liQty)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow)
+    ensureIndex(spark, sfDir, AccelIndexes.suppNat)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ret = li.filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey").as("r_ord"), col("l_partkey").as("r_part"))
+      .agg(sum(col("l_quantity")).as("ret_qty"),
+        max(col("l_suppkey")).as("ret_supp"))
+    val supp = Tables.load(spark, sfDir, "supplier")
+      .filter(col("s_nationkey") === 7)
+    val actSales = when(col("ret_qty").isNotNull,
+      (col("l_quantity") - col("ret_qty")) * col("l_extendedprice"))
+      .otherwise(col("l_quantity") * col("l_extendedprice"))
+    li.join(ret,
+        col("l_orderkey") === col("r_ord") &&
+          col("l_partkey") === col("r_part"), "left_outer")
+      // orders joins while the stream is still orderkey-partitioned
+      // (the SMJ output keeps the left side's bucketing), so this leg
+      // is zero-shuffle too; the supplier re-key comes last
+      .join(Tables.load(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      // the reason filter references the RETURNS side: the left outer
+      // is semantically inner, and the engine must prove it
+      .join(supp, col("ret_supp") === col("s_suppkey"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(moneySum(actSales).as("sumsales"))
+      .orderBy(col("sumsales"), col("custkey"))
+      .limit(100)
+  }
+
+  val qds93Sql: String =
+    s"""SELECT o_custkey AS custkey,
+       |  ${sqlMoneySum(
+         """CASE WHEN ret_qty IS NOT NULL
+           | THEN (l_quantity - ret_qty) * l_extendedprice
+           | ELSE l_quantity * l_extendedprice END""".stripMargin)}
+       |    AS sumsales
+       |FROM lineitem
+       |  LEFT OUTER JOIN (
+       |    SELECT l_orderkey AS r_ord, l_partkey AS r_part,
+       |      SUM(l_quantity) AS ret_qty, MAX(l_suppkey) AS ret_supp
+       |    FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2) r
+       |    ON l_orderkey = r_ord AND l_partkey = r_part
+       |  JOIN supplier ON ret_supp = s_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |WHERE s_nationkey = 7
+       |GROUP BY 1
+       |ORDER BY sumsales, custkey
+       |LIMIT 100""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds67_rollup_rank" -> (qds67RollupRank _, qds67Sql),
+    "qds72_inventory_gate" -> (qds72InventoryGate _, qds72Sql),
+    "qds93_returns_adjusted" -> (qds93ReturnsAdjusted _, qds93Sql),
     "qds88_band_counts" -> (qds88BandCounts _, qds88Sql),
     "qds4_yoy_channel_growth" -> (qds4YoyChannelGrowth _, qds4Sql),
     "qds64_wide_multi_join" -> (qds64WideMultiJoin _, qds64Sql),

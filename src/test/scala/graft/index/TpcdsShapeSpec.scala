@@ -353,6 +353,62 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 1, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
+  test("qds67_rollup_rank: all four legs index-served; the fact⋈orders " +
+      "join is zero-shuffle under the rollup Expand and the window") {
+    val p = planOf("qds67_rollup_rank")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_wide", "accel_ci_ord_snow3", "accel_ci_part_attr",
+      "accel_ci_supp_dim").forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the bucketed fact⋈orders join re-shuffled:\n$p")
+    // part re-key + supplier re-key + rollup agg + window partition —
+    // nothing else (at runtime AQE broadcasts the two dim legs away)
+    assert(shuffles(p) <= 4, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds72_inventory_gate: the wide fact⋈fact inventory join rides " +
+      "ONE partkey-bucketed index on BOTH sides, zero-shuffle") {
+    val p = planOf("qds72_inventory_gate")
+    val idx = indexScans(p)
+    assert(idx.count(_.contains("accel_ci_li_inv")) >= 8,
+      s"both fact sides must serve from accel_ci_li_inv: $idx\n$p")
+    assert(Seq("accel_ci_ord_snow3", "accel_ci_cust_seg", "accel_ci_part_attr")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing dim index scans; served from: $idx\n$p")
+    val zsj = zeroShuffleJoins(p)
+    assert(zsj.nonEmpty, s"the sales⋈inventory join re-shuffled a fact " +
+      s"side — the q72 failure mode:\n$p")
+    assert(shuffles(p) <= 4, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds93_returns_adjusted: composite-key sales⋈returns AND the " +
+      "orders join both zero-shuffle off one orderkey-bucketed index " +
+      "(subset co-partitioning); outer-join-to-inner proved") {
+    val p = planOf("qds93_returns_adjusted")
+    val idx = indexScans(p)
+    assert(idx.count(_.contains("accel_ci_li_qty")) >= 8,
+      s"both lineitem legs must serve from accel_ci_li_qty: $idx\n$p")
+    assert(Seq("accel_ci_ord_snow", "accel_ci_supp_nat")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    // the (orderkey, partkey) join co-locates on orderkey buckets — the
+    // subset-key claim keyMappingFor admits — and the orders join keeps
+    // riding the same partitioning
+    assert(zeroShuffleJoins(p).size >= 2,
+      s"expected sales⋈returns AND orders joins zero-shuffle:\n$p")
+    // supplier re-key + final customer agg — nothing else
+    assert(shuffles(p) <= 2, s"exchange count regressed: ${shuffles(p)}\n$p")
+    // the q93 trap: the LEFT OUTER was proved inner (no outer join in
+    // the physical plan)
+    val outers = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.joinType != org.apache.spark.sql.catalyst.plans.Inner => j
+    }
+    assert(outers.isEmpty,
+      s"the returns-side WHERE must convert the outer join to inner:\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
