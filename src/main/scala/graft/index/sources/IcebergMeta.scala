@@ -49,8 +49,15 @@ final case class IceDeleteFile(
   * with writes targeting it, a `tag` is immutable. `main` is NOT
   * stored here — `current-snapshot-id` is authoritative for it (real
   * readers treat it so), which keeps every metadata-only repoint
-  * (rollback, expire) consistent for free. */
-final case class IceRef(snapshotId: Long, refType: String)
+  * (rollback, expire) consistent for free. Retention (the spec's
+  * optional ref fields): `maxRefAgeMs` ages the REF itself out during
+  * expireSnapshots; `minSnapshotsToKeep`/`maxSnapshotAgeMs`
+  * (branches only) bound how much of the branch's ancestor chain
+  * expiration retains. */
+final case class IceRef(snapshotId: Long, refType: String,
+    maxRefAgeMs: Option[Long] = None,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None)
 
 final case class IcebergSnapshot(
     location: String,
@@ -443,7 +450,15 @@ object IcebergMeta {
             case JString(t) => t
             case _ => "branch"
           }
-          id.map(i => name -> IceRef(i, tpe))
+          def longOf(key: String): Option[Long] = (v \ key) match {
+            case JInt(n) => Some(n.toLong)
+            case JLong(n) => Some(n)
+            case _ => None
+          }
+          id.map(i => name -> IceRef(i, tpe,
+            maxRefAgeMs = longOf("max-ref-age-ms"),
+            minSnapshotsToKeep = longOf("min-snapshots-to-keep").map(_.toInt),
+            maxSnapshotAgeMs = longOf("max-snapshot-age-ms")))
         }
       }.toMap
       case _ => Map.empty
@@ -3229,30 +3244,65 @@ object IcebergTable {
 
   private def renderRefs(refs: Map[String, IceRef]): JValue =
     JObject("refs" -> JObject(refs.toList.sortBy(_._1).map { case (n, r) =>
-      n -> (JObject(
-        "snapshot-id" -> JLong(r.snapshotId),
-        "type" -> JString(r.refType)): JValue)
+      n -> (JObject(List(
+        "snapshot-id" -> (JLong(r.snapshotId): JValue),
+        "type" -> (JString(r.refType): JValue)) ++
+        r.maxRefAgeMs.map(v =>
+          "max-ref-age-ms" -> (JLong(v): JValue)).toList ++
+        r.minSnapshotsToKeep.map(v =>
+          "min-snapshots-to-keep" -> (JInt(BigInt(v)): JValue)).toList ++
+        r.maxSnapshotAgeMs.map(v =>
+          "max-snapshot-age-ms" -> (JLong(v): JValue)).toList): JValue)
     }))
 
   /** Create (or repoint) a BRANCH or TAG at `at` (default: the current
-    * head). A tag may not be repointed (immutable); a branch may. */
+    * head). A tag may not be repointed (immutable) unless `orReplace`
+    * (the SQL `CREATE OR REPLACE` form — drop-and-recreate in one
+    * commit); a branch may. Retention per the spec's optional ref
+    * fields: `maxRefAgeMs` (RETAIN n DAYS) ages the ref out during
+    * expireSnapshots; `minSnapshotsToKeep`/`maxSnapshotAgeMs` (WITH
+    * SNAPSHOT RETENTION, branches only) bound branch-chain retention. */
   def createRef(spark: SparkSession, location: String, name: String,
-      refType: String = "branch", at: Option[Long] = None): Long =
+      refType: String = "branch", at: Option[Long] = None,
+      orReplace: Boolean = false,
+      maxRefAgeMs: Option[Long] = None,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None): Long =
     CommitRetry() {
       require(refType == "branch" || refType == "tag",
         s"ref type must be 'branch' or 'tag', got '$refType'")
       require(name != "main", "'main' is the table head itself")
+      require(refType == "branch" ||
+        (minSnapshotsToKeep.isEmpty && maxSnapshotAgeMs.isEmpty),
+        s"createRef at $location: WITH SNAPSHOT RETENTION applies to " +
+          "branches (a tag pins exactly one snapshot)")
+      Seq("max-ref-age" -> maxRefAgeMs, "max-snapshot-age" -> maxSnapshotAgeMs)
+        .foreach { case (what, v) => v.foreach(ms => require(ms > 0,
+          s"createRef at $location: $what must be positive, got $ms")) }
+      minSnapshotsToKeep.foreach(k => require(k >= 1,
+        s"createRef at $location: min-snapshots-to-keep must be >= 1, got $k"))
       val snap = IcebergMeta.snapshot(spark, location)
       val target = at.getOrElse(snap.snapshotId)
       require(target >= 0, s"createRef at $location: the table has no snapshot")
       // pin must resolve (throws for expired/unknown ids)
       if (target != snap.snapshotId)
         IcebergMeta.snapshot(spark, location, Some(target))
-      snap.refs.get(name).foreach(r => require(r.refType == "branch",
-        s"ref '$name' of $location is a tag and cannot be repointed"))
+      if (!orReplace)
+        snap.refs.get(name).foreach(r => require(r.refType == "branch",
+          s"ref '$name' of $location is a tag and cannot be repointed " +
+            "(use CREATE OR REPLACE to move it deliberately)"))
+      val newRefs = snap.refs + (name -> IceRef(target, refType,
+        maxRefAgeMs, minSnapshotsToKeep, maxSnapshotAgeMs))
       publishMetadataOnly(spark, location) { j =>
-        setFields(j) merge renderRefs(
-          snap.refs + (name -> IceRef(target, refType)))
+        // rewrite refs WHOLESALE: a json4s merge would keep a replaced
+        // ref's stale retention keys alongside the new definition
+        JObject((j match {
+          case JObject(fields) => fields.filterNot(_._1 == "refs")
+          case _ => Nil
+        }) ++ (renderRefs(newRefs) match {
+          case JObject(f) => f
+          case _ => Nil
+        }))
       }
       target
     }
@@ -3381,12 +3431,23 @@ object IcebergTable {
     // newest-first by commit timestamp (file order as tiebreak)
     val newestFirst = snaps.zipWithIndex
       .sortBy { case (s, i) => (-tsOf(s), -i) }.map(_._1)
+    val now = System.currentTimeMillis()
+    val tsOfId: Map[Long, Long] = snaps.map(s => idOf(s) -> tsOf(s)).toMap
+    // refs past their own RETAIN window (`max-ref-age-ms`, measured
+    // from the pinned snapshot's commit time, the spec's rule) age out
+    // HERE: the ref leaves the metadata and its snapshot becomes
+    // expirable like any other. Refs whose pinned snapshot is already
+    // gone from snapshots[] are kept conservatively (age unknowable).
+    val (agedOutRefs, liveRefs) = IcebergMeta.parseRefs(j).partition {
+      case (_, r) => r.maxRefAgeMs.exists(age =>
+        tsOfId.get(r.snapshotId).exists(ts => now - ts > age))
+    }
     val baseRetain: Set[Long] =
       newestFirst.take(keepLast).map(idOf).toSet ++
         olderThanMs.map(cut => snaps.filter(tsOf(_) >= cut).map(idOf))
           .getOrElse(Nil) ++
         // branch/tag-pinned snapshots never expire while the ref lives
-        IcebergMeta.parseRefs(j).values.map(_.snapshotId) + current
+        liveRefs.values.map(_.snapshotId) + current
     // ...and neither do an UNPUBLISHED branch head's ANCESTORS back to a
     // retained snapshot: fastForward verifies publishability by walking
     // parent-snapshot-id, so expiring a branch's intermediate commits
@@ -3413,21 +3474,42 @@ object IcebergTable {
       while (mc.isDefined && mainChain.add(mc.get))
         mc = parentOf.get(mc.get).flatten
       var keep = baseRetain
-      val chainWalked = mutable.Set.empty[Long]
-      IcebergMeta.parseRefs(j).values
+      liveRefs.values
         .filter(r => r.refType == "branch" && r.snapshotId != current)
-        .map(_.snapshotId).foreach { head =>
-          var cursor = parentOf.get(head).flatten
-          while (cursor.isDefined && !mainChain.contains(cursor.get) &&
-              chainWalked.add(cursor.get)) {
-            keep += cursor.get
-            cursor = parentOf.get(cursor.get).flatten
+        .foreach { r =>
+          // WITH SNAPSHOT RETENTION bounds the walk: keep an ancestor
+          // while it is within the branch's min-snapshots-to-keep count
+          // (head = position 1) OR newer than max-snapshot-age-ms; with
+          // neither set, keep the WHOLE unpublished chain (fastForward
+          // publishability — the conservative default)
+          val bounded =
+            r.minSnapshotsToKeep.isDefined || r.maxSnapshotAgeMs.isDefined
+          var idx = 1
+          var cursor = parentOf.get(r.snapshotId).flatten
+          var stop = false
+          while (!stop && cursor.isDefined &&
+              !mainChain.contains(cursor.get)) {
+            val c = cursor.get
+            idx += 1
+            val keepThis = !bounded ||
+              r.minSnapshotsToKeep.exists(idx <= _) ||
+              r.maxSnapshotAgeMs.exists(a =>
+                tsOfId.get(c).exists(_ >= now - a))
+            if (keepThis && !keep.contains(c)) {
+              keep += c
+              cursor = parentOf.get(c).flatten
+            } else if (keepThis) {
+              // already retained (shared chain segment): continue past
+              cursor = parentOf.get(c).flatten
+            } else stop = true
           }
         }
       keep
     }
     val (retained, expired) = snaps.partition(s => retainIds.contains(idOf(s)))
-    if (expired.isEmpty) return Nil
+    // aged-out refs must leave the metadata even when every snapshot
+    // is retained (their removal is what LETS a later run expire)
+    if (expired.isEmpty && agedOutRefs.isEmpty) return Nil
 
     // file references per snapshot group: manifest list + manifests +
     // data/delete files (all metadata-scale reads)
@@ -3448,9 +3530,20 @@ object IcebergTable {
 
     // publish the trimmed metadata (version fence, like every commit)
     val version = IcebergMeta.metadataVersionOf(metaFile.getName) + 1L
-    val newMeta = setFields(j,
+    val trimmed = setFields(j,
       "snapshots" -> JArray(retained),
       "last-updated-ms" -> JLong(System.currentTimeMillis()))
+    // aged-out refs (RETAIN window passed) leave the metadata with the
+    // snapshots they pinned — rewrite refs wholesale (merge can't remove)
+    val newMeta =
+      if (agedOutRefs.isEmpty) trimmed
+      else JObject((trimmed match {
+        case JObject(fields) => fields.filterNot(_._1 == "refs")
+        case _ => Nil
+      }) ++ (renderRefs(liveRefs) match {
+        case JObject(f) if liveRefs.nonEmpty => f
+        case _ => Nil
+      }))
     val metaDir = IcebergMeta.metadataDir(location)
     val target = new Path(metaDir, f"v$version%05d.metadata.json")
     val os = CommitFence.create(fs, target)
@@ -3931,7 +4024,11 @@ object IcebergTable {
           carried.get(b).foreach(r => require(r.refType == "branch",
             s"write to ref '$b' of $location refused: it is a tag " +
               "(tags are immutable); target a branch"))
-          carried + (b -> IceRef(snapshotId, "branch"))
+          // a repoint moves the pin but KEEPS the branch's declared
+          // retention (RETAIN / WITH SNAPSHOT RETENTION)
+          carried + (b -> carried.get(b)
+            .map(_.copy(snapshotId = snapshotId))
+            .getOrElse(IceRef(snapshotId, "branch")))
       }
     }
     val meta = JObject(
@@ -3973,12 +4070,10 @@ object IcebergTable {
           prior.map(p => "parent-snapshot-id" -> (JLong(p.snapshotId): JValue)))))
     val metaWithRefs =
       if (refsOut.isEmpty) meta
-      else meta merge JObject("refs" -> JObject(
-        refsOut.toList.sortBy(_._1).map { case (n, r) =>
-          n -> (JObject(
-            "snapshot-id" -> JLong(r.snapshotId),
-            "type" -> JString(r.refType)): JValue)
-        }))
+      // renderRefs carries the retention fields (RETAIN / WITH SNAPSHOT
+      // RETENTION) — rendering only id+type here would silently strip a
+      // branch's declared retention on every append
+      else meta merge renderRefs(refsOut)
     // zero-padded like the manifest names above: the hint-less fallback
     // sorts correctly even lexicographically, and numeric-parse readers
     // are unaffected

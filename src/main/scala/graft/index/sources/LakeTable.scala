@@ -359,11 +359,23 @@ object LakeTable {
   }
 
   /** `ALTER TABLE ... CREATE BRANCH|TAG name [AS OF VERSION n]` —
-    * Iceberg refs ([[IcebergTable.createRef]]). */
+    * Iceberg refs ([[IcebergTable.createRef]]). (Kept at this exact
+    * arity: the python wrapper calls it positionally over py4j.) */
   def createRef(spark: SparkSession, path: String, name: String,
-      refType: String, at: Option[Long] = None): Long = {
+      refType: String, at: Option[Long] = None): Long =
+    createRefFull(spark, path, name, refType, at, orReplace = false,
+      None, None, None)
+
+  /** The full SQL form: `CREATE [OR REPLACE] BRANCH|TAG name
+    * [AS OF VERSION n] [RETAIN n DAYS] [WITH SNAPSHOT RETENTION
+    * k SNAPSHOTS | n DAYS | k SNAPSHOTS n DAYS]`. */
+  def createRefFull(spark: SparkSession, path: String, name: String,
+      refType: String, at: Option[Long], orReplace: Boolean,
+      maxRefAgeMs: Option[Long], minSnapshotsToKeep: Option[Int],
+      maxSnapshotAgeMs: Option[Long]): Long = {
     requireIceberg(spark, path, s"CREATE ${refType.toUpperCase}")
-    IcebergTable.createRef(spark, path, name, refType, at)
+    IcebergTable.createRef(spark, path, name, refType, at, orReplace,
+      maxRefAgeMs, minSnapshotsToKeep, maxSnapshotAgeMs)
   }
 
   /** py4j-friendly overload: a python int crosses the bridge as a boxed

@@ -119,9 +119,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
     val crf = CreateRefRe.matcher(sqlText)
     if (crf.matches()) {
+      val dayMs = 24L * 3600 * 1000
       return GraftCreateRefCommand(target(crf), stripIdent(crf.group("name")),
         crf.group("rtype").toLowerCase,
-        Option(crf.group("at")).map(_.toLong))
+        Option(crf.group("at")).map(_.toLong),
+        orReplace = crf.group("orreplace") != null,
+        maxRefAgeMs = Option(crf.group("retain")).map(_.toLong * dayMs),
+        minSnapshotsToKeep = Option(crf.group("keepsnaps")).map(_.toInt),
+        maxSnapshotAgeMs =
+          Option(crf.group("snapage")).orElse(Option(crf.group("snapageonly")))
+            .map(_.toLong * dayMs))
     }
     val drf = DropRefRe.matcher(sqlText)
     if (drf.matches()) {
@@ -327,10 +334,18 @@ object GraftSqlParser {
   // one column definition: dotted (optionally backticked) name + type
   private val ColDefRe = Pattern.compile(
     """(?s)^((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)\s+(.+)$""")
-  // ALTER TABLE <lake> CREATE BRANCH|TAG name [AS OF VERSION n]
+  // ALTER TABLE <lake> CREATE [OR REPLACE] BRANCH|TAG name
+  //   [AS OF VERSION n] [RETAIN n DAYS]
+  //   [WITH SNAPSHOT RETENTION k SNAPSHOTS [n DAYS] | n DAYS]
   private val CreateRefRe = re(
-    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+CREATE\\s+(?<rtype>BRANCH|TAG)\\s+""" +
-      """(?<name>[\w`-]+)(?:\s+AS\s+OF\s+VERSION\s+(?<at>\d+))?""")
+    s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+CREATE\\s+""" +
+      """(?:(?<orreplace>OR\s+REPLACE)\s+)?(?<rtype>BRANCH|TAG)\s+""" +
+      """(?<name>[\w`-]+)""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(?<at>\d+))?""" +
+      """(?:\s+RETAIN\s+(?<retain>\d+)\s+DAYS?)?""" +
+      """(?:\s+WITH\s+SNAPSHOT\s+RETENTION\s+(?:""" +
+      """(?<keepsnaps>\d+)\s+SNAPSHOTS?(?:\s+(?<snapage>\d+)\s+DAYS?)?|""" +
+      """(?<snapageonly>\d+)\s+DAYS?))?""")
   // ALTER TABLE <lake> DROP BRANCH|TAG [IF EXISTS] name
   private val DropRefRe = re(
     s"""ALTER\\s+TABLE\\s+$TargetSrc\\s+DROP\\s+(?<rtype>BRANCH|TAG)\\s+""" +

@@ -284,13 +284,18 @@ case class GraftDropColumnCommand(path: String, columns: Seq[Seq[String]])
     Seq(Row(columns.map(c => LakeTable.dropColumnAt(spark, path, c)).last))
 }
 
-/** `ALTER TABLE <lake> CREATE BRANCH|TAG name [AS OF VERSION n]` →
-  * [[LakeTable.createRef]] (Iceberg refs; the WAP first act). */
+/** `ALTER TABLE <lake> CREATE [OR REPLACE] BRANCH|TAG name [AS OF
+  * VERSION n] [RETAIN n DAYS] [WITH SNAPSHOT RETENTION …]` →
+  * [[LakeTable.createRefFull]] (Iceberg refs; the WAP first act). */
 case class GraftCreateRefCommand(path: String, name: String,
-    refType: String, at: Option[Long]) extends LeafRunnableCommand {
+    refType: String, at: Option[Long], orReplace: Boolean = false,
+    maxRefAgeMs: Option[Long] = None,
+    minSnapshotsToKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = LakeSqlCommands.idOutput
   override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(LakeTable.createRef(spark, path, name, refType, at)))
+    Seq(Row(LakeTable.createRefFull(spark, path, name, refType, at,
+      orReplace, maxRefAgeMs, minSnapshotsToKeep, maxSnapshotAgeMs)))
 }
 
 /** `ALTER TABLE <lake> DROP BRANCH|TAG [IF EXISTS] name` →

@@ -222,4 +222,89 @@ class IcebergRefsSpec extends AnyFunSuite {
       "a main commit moved or dropped an unrelated branch ref")
     assert(IcebergTable.readRef(spark, loc, "b1").count() == base.count())
   }
+
+  test("CREATE OR REPLACE moves a tag; plain create refuses; retention " +
+      "fields round-trip and survive branch repoints") {
+    val loc = tmp("graft-ice-replace-")
+    IcebergTable.create(customer.filter($"c_custkey" <= 20), loc)   // snap 1
+    IcebergTable.append(customer.filter($"c_custkey" === 21), loc)  // snap 2
+    IcebergTable.createRef(spark, loc, "t", "tag", at = Some(1L))
+    // plain create on an existing tag refuses (immutable)
+    val e = intercept[IllegalArgumentException](
+      IcebergTable.createRef(spark, loc, "t", "tag", at = Some(2L)))
+    assert(e.getMessage.contains("OR REPLACE"), e.getMessage)
+    // OR REPLACE moves it deliberately
+    IcebergTable.createRef(spark, loc, "t", "tag", at = Some(2L),
+      orReplace = true)
+    assert(IcebergMeta.snapshot(spark, loc).refs("t").snapshotId == 2L)
+
+    // retention fields persist in the metadata and round-trip the parse
+    IcebergTable.createRef(spark, loc, "b", "branch",
+      maxRefAgeMs = Some(7L * 24 * 3600 * 1000),
+      minSnapshotsToKeep = Some(2),
+      maxSnapshotAgeMs = Some(3L * 24 * 3600 * 1000))
+    val r = IcebergMeta.snapshot(spark, loc).refs("b")
+    assert(r.maxRefAgeMs.contains(7L * 24 * 3600 * 1000))
+    assert(r.minSnapshotsToKeep.contains(2))
+    assert(r.maxSnapshotAgeMs.contains(3L * 24 * 3600 * 1000))
+    // a branch WRITE repoints the pin but keeps the declared retention
+    IcebergTable.append(customer.filter($"c_custkey" === 22), loc,
+      branch = Some("b"))
+    val r2 = IcebergMeta.snapshot(spark, loc).refs("b")
+    assert(r2.snapshotId == 3L && r2.minSnapshotsToKeep.contains(2),
+      s"branch repoint dropped retention: $r2")
+    // OR REPLACE without retention clears the old clauses (no stale keys)
+    IcebergTable.createRef(spark, loc, "b", "branch", at = Some(2L),
+      orReplace = true)
+    val r3 = IcebergMeta.snapshot(spark, loc).refs("b")
+    assert(r3.maxRefAgeMs.isEmpty && r3.minSnapshotsToKeep.isEmpty &&
+      r3.maxSnapshotAgeMs.isEmpty, s"stale retention survived replace: $r3")
+    // tags refuse snapshot-retention clauses
+    val bad = intercept[IllegalArgumentException](
+      IcebergTable.createRef(spark, loc, "t2", "tag",
+        minSnapshotsToKeep = Some(1)))
+    assert(bad.getMessage.contains("branches"), bad.getMessage)
+  }
+
+  test("expireSnapshots enforces RETAIN (ref ages out) and WITH " +
+      "SNAPSHOT RETENTION (bounded branch chain)") {
+    val loc = tmp("graft-ice-retain-")
+    IcebergTable.create(customer.filter($"c_custkey" <= 20), loc)   // snap 1
+    IcebergTable.append(customer.filter($"c_custkey" === 21), loc)  // snap 2
+    // a tag whose RETAIN window has already passed (1 ms)
+    IcebergTable.createRef(spark, loc, "stale", "tag", at = Some(1L),
+      maxRefAgeMs = Some(1L))
+    // a tag with a long window survives
+    IcebergTable.createRef(spark, loc, "fresh", "tag", at = Some(1L),
+      maxRefAgeMs = Some(365L * 24 * 3600 * 1000))
+    Thread.sleep(10)
+    IcebergTable.expireSnapshots(spark, loc, keepLast = 1)
+    val refs = IcebergMeta.snapshot(spark, loc).refs
+    assert(!refs.contains("stale"), "aged-out ref must leave the metadata")
+    assert(refs.contains("fresh"))
+    // snap 1 stays: 'fresh' still pins it
+    IcebergTable.read(spark, loc, snapshotAsOf = Some(1L)).count()
+
+    // bounded branch chain: stack three branch commits, keep only the
+    // newest TWO of the branch's chain (head + 1 ancestor)
+    val loc2 = tmp("graft-ice-retain2-")
+    IcebergTable.create(customer.filter($"c_custkey" <= 20), loc2)  // 1
+    IcebergTable.append(customer.filter($"c_custkey" === 21), loc2,
+      branch = Some("dev"))                                         // 2
+    IcebergTable.append(customer.filter($"c_custkey" === 22), loc2,
+      branch = Some("dev"))                                         // 3
+    IcebergTable.append(customer.filter($"c_custkey" === 23), loc2,
+      branch = Some("dev"))                                         // 4
+    // declare retention on the existing branch (replace keeps the pin)
+    IcebergTable.createRef(spark, loc2, "dev", "branch", at = Some(4L),
+      orReplace = true, minSnapshotsToKeep = Some(2))
+    IcebergTable.expireSnapshots(spark, loc2, keepLast = 1)
+    // head (4) + one ancestor (3) retained; 2 expired; main (1) stays
+    IcebergTable.read(spark, loc2, snapshotAsOf = Some(4L)).count()
+    IcebergTable.read(spark, loc2, snapshotAsOf = Some(3L)).count()
+    intercept[Exception](
+      IcebergTable.read(spark, loc2, snapshotAsOf = Some(2L)).collect())
+    assert(IcebergTable.read(spark, loc2).count() ==
+      customer.filter($"c_custkey" <= 20).count()) // main intact
+  }
 }

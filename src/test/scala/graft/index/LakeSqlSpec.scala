@@ -752,6 +752,31 @@ class LakeSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Iceberg feature"))
   }
 
+  test("CREATE OR REPLACE + RETAIN / WITH SNAPSHOT RETENTION ref DDL") {
+    val root = tmp("graft-sql-refret-")
+    IcebergTable.create(customer.limit(10).select($"c_custkey"), root)
+    spark.sql(s"ALTER TABLE graft_iceberg.`$root` CREATE BRANCH dev " +
+      "RETAIN 7 DAYS WITH SNAPSHOT RETENTION 3 SNAPSHOTS 2 DAYS")
+    val dev = IcebergMeta.snapshot(spark, root).refs("dev")
+    assert(dev.maxRefAgeMs.contains(7L * 24 * 3600 * 1000))
+    assert(dev.minSnapshotsToKeep.contains(3))
+    assert(dev.maxSnapshotAgeMs.contains(2L * 24 * 3600 * 1000))
+    // the days-only snapshot-retention form
+    spark.sql(s"ALTER TABLE graft_iceberg.`$root` CREATE BRANCH aged " +
+      "WITH SNAPSHOT RETENTION 5 DAYS")
+    assert(IcebergMeta.snapshot(spark, root).refs("aged")
+      .maxSnapshotAgeMs.contains(5L * 24 * 3600 * 1000))
+    // tags: plain re-CREATE refuses, OR REPLACE moves deliberately
+    spark.sql(s"ALTER TABLE graft_iceberg.`$root` CREATE TAG v1")
+    val dup = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft_iceberg.`$root` CREATE TAG v1"))
+    assert(dup.getMessage.contains("OR REPLACE"), dup.getMessage)
+    spark.sql(s"ALTER TABLE graft_iceberg.`$root` " +
+      "CREATE OR REPLACE TAG v1 RETAIN 30 DAYS")
+    assert(IcebergMeta.snapshot(spark, root).refs("v1")
+      .maxRefAgeMs.contains(30L * 24 * 3600 * 1000))
+  }
+
   test("CREATE TABLE with explicit schema makes an empty table, both formats") {
     val droot = tmp("graft-sql-create-d-")
     val r = spark.sql(
