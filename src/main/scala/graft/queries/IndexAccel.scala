@@ -1238,6 +1238,55 @@ object IndexAccel {
        |FROM customer
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TYPE-WIDENING through SQL (`ALTER TABLE … ALTER COLUMN … TYPE` →
+    * [[graft.index.sources.DeltaTable.widenColumnTypes]]): v0 commits
+    * NARROW (int key, float balance), the DDL widens both columns
+    * metadata-only, a second append writes at the WIDE types — so the
+    * aggregated read mixes narrow physical files (upcast at scan) with
+    * wide files in one plan. The oracle reconstructs the same mix; a
+    * reader that fails the upcast, loses float precision differently,
+    * or refuses the widened table breaks the hash. */
+  def lakeSqlWiden(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.index.sources.DeltaTable
+    val h = Integer.toHexString(sfDir.hashCode)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") +
+      s"/graft_lake_sql_widen_$h"
+    synchronized {
+      if (!graft.index.sources.DeltaLog.isDeltaTable(spark, root)) {
+        val customer = Tables.load(spark, sfDir, "customer")
+        // bal is floored to whole units: integers are EXACT in float32,
+        // so the hash tests the mixed-width plan, not engines' float
+        // rounding modes
+        DeltaTable.create(customer.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey").cast("int").as("c_custkey"),
+            col("c_mktsegment"),
+            floor(col("c_acctbal")).cast("float").as("bal")), root)
+        spark.sql(s"ALTER TABLE graft_delta.`$root` " +
+          "ALTER COLUMN c_custkey TYPE BIGINT")
+        spark.sql(s"ALTER TABLE graft_delta.`$root` " +
+          "ALTER COLUMN bal TYPE DOUBLE")
+        DeltaTable.append(customer.filter(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            floor(col("c_acctbal")).cast("double").as("bal")), root)
+      }
+    }
+    spark.sql(
+      s"""SELECT c_mktsegment AS segment,
+         | CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+         | CAST(SUM(CAST(bal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+         |FROM graft_delta.`$root`
+         |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
+  }
+
+  val lakeSqlWidenSql: String =
+    s"""SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       | CAST(SUM(CAST(FLOOR(c_acctbal) AS DECIMAL(28,6))) AS DOUBLE)
+       |   AS sum_bal
+       |FROM customer
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The CDF of the Delta merge commit, aggregated by change type — a
     * hash match proves the cdc writer recorded exactly the merge's
     * row-level effect (delete / update pre+post / insert classification
@@ -1460,6 +1509,7 @@ object IndexAccel {
     "lake_sql_addcol" -> (lakeSqlAddColumn _, lakeSqlAddColumnSql),
     "lake_sql_addcol_nested" ->
       (lakeSqlAddColumnNested _, lakeSqlAddColumnNestedSql),
+    "lake_sql_widen" -> (lakeSqlWiden _, lakeSqlWidenSql),
     "idx_delta_merge_cdf" -> (idxDeltaMergeCdf _, idxDeltaMergeCdfSql),
     "idx_iceberg_merge" -> (idxIcebergMerge _, idxDeltaMergeSql),
     "stream_lake_upsert" -> (streamLakeUpsert _, idxDeltaMergeSql),

@@ -248,4 +248,37 @@ class DeltaTypeWideningSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("futureFeature"))
   }
+
+  test("widening a COLUMN-MAPPED table: physical names survive, old " +
+      "narrow files upcast, appends land at the wide type") {
+    val root = Files.createTempDirectory("graft-delta-widen-cm-").toString
+    val narrow = customer.select(
+      col("c_custkey").cast("int").as("c_custkey"),
+      col("c_acctbal").cast("float").as("c_acctbal"),
+      col("c_mktsegment"))
+    DeltaTable.create(narrow, root)
+    // enable mapping the user way: a rename
+    DeltaTable.renameColumn(spark, root, "c_acctbal", "balance")
+    DeltaTable.widenColumnTypes(spark, root, Map(
+      "c_custkey" -> LongType, "balance" -> DoubleType))
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.schema("c_custkey").dataType == LongType)
+    assert(s.schema("balance").dataType == DoubleType)
+    import graft.index.sources.{DeltaColumnMapping => Cm}
+    // the widened fields keep their physical names AND the change log
+    assert(Cm.physicalName(s.schema("balance")) == "c_acctbal")
+    assert(s.schema("balance").metadata
+      .getMetadataArray("delta.typeChanges").nonEmpty)
+    // old narrow physical files upcast through the mapping
+    val before = DeltaTable.read(spark, root)
+    assert(before.schema("balance").dataType == DoubleType)
+    assert(before.count() == customer.count())
+    // a post-widening append at the wide type reads back united
+    DeltaTable.append(
+      before.limit(3).withColumn("c_custkey", col("c_custkey") + 1000000L),
+      root)
+    assert(DeltaTable.read(spark, root).count() == customer.count() + 3)
+    assert(DeltaTable.read(spark, root)
+      .filter(col("c_custkey") > 999999L).count() == 3)
+  }
 }
