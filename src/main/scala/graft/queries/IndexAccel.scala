@@ -114,6 +114,33 @@ object IndexAccel {
        | ${sqlMoneySum("l_extendedprice")} AS sum_price
        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000""".stripMargin
 
+  /** The index lifecycle driven PURELY from SQL (`CREATE INDEX` →
+    * [[graft.sql.GraftCreateIndexCommand]] → the SAME Graft API the
+    * programmatic surface uses): the covering index the statement
+    * creates must then transparently SERVE the filter query below — the
+    * golden plan pins the index scan, the oracle pins the values. */
+  def idxSqlCreated(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureSystemPath(spark, sfDir)
+    synchronized {
+      val mgr = new IndexManager(spark)
+      if (!mgr.getIndexes(Set(IndexState.Active))
+          .exists(_.name == "sqlci_ord")) {
+        spark.sql(
+          s"CREATE INDEX sqlci_ord ON parquet.`$sfDir/orders.parquet` " +
+            "(o_custkey) INCLUDE (o_totalprice) USING COVERING")
+      }
+    }
+    Tables.load(spark, sfDir, "orders")
+      .filter(col("o_custkey").between(100L, 500L))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val idxSqlCreatedSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("o_totalprice")} AS sum_price
+       |FROM orders WHERE o_custkey BETWEEN 100 AND 500""".stripMargin
+
   // ------------------------------------------------ shuffle-free join
   def idxJoin(spark: SparkSession, sfDir: String): DataFrame = {
     ensureIndex(spark, sfDir, AccelIndexes.liJoin)
@@ -1510,6 +1537,7 @@ object IndexAccel {
     "lake_sql_addcol_nested" ->
       (lakeSqlAddColumnNested _, lakeSqlAddColumnNestedSql),
     "lake_sql_widen" -> (lakeSqlWiden _, lakeSqlWidenSql),
+    "idx_sql_created" -> (idxSqlCreated _, idxSqlCreatedSql),
     "idx_delta_merge_cdf" -> (idxDeltaMergeCdf _, idxDeltaMergeCdfSql),
     "idx_iceberg_merge" -> (idxIcebergMerge _, idxDeltaMergeSql),
     "stream_lake_upsert" -> (streamLakeUpsert _, idxDeltaMergeSql),

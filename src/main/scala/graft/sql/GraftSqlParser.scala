@@ -30,6 +30,37 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = {
+    val ci = CreateIndexRe.matcher(sqlText)
+    if (ci.matches()) {
+      val cols = ci.group("cols").split(",").toSeq
+        .map(stripIdent).filter(_.nonEmpty)
+      val incl = Option(ci.group("incl")).toSeq
+        .flatMap(_.split(",")).map(stripIdent).filter(_.nonEmpty)
+      return GraftCreateIndexCommand(stripIdent(ci.group("name")),
+        ci.group("src").toLowerCase, ci.group("path"), cols, incl,
+        Option(ci.group("using")).map(_.toLowerCase).getOrElse("covering"))
+    }
+    val di = DropIndexRe.matcher(sqlText)
+    if (di.matches())
+      return GraftDropIndexCommand(stripIdent(di.group("name")))
+    val ri = RefreshIndexRe.matcher(sqlText)
+    if (ri.matches()) {
+      return GraftRefreshIndexCommand(stripIdent(ri.group("name")),
+        Option(ri.group("mode")).map(_.toLowerCase).getOrElse("full"))
+    }
+    val oi = OptimizeIndexRe.matcher(sqlText)
+    if (oi.matches()) {
+      return GraftOptimizeIndexCommand(stripIdent(oi.group("name")),
+        Option(oi.group("mode")).map(_.toLowerCase).getOrElse("quick"))
+    }
+    val vi = VacuumIndexRe.matcher(sqlText)
+    if (vi.matches())
+      return GraftVacuumIndexCommand(stripIdent(vi.group("name")))
+    val rsi = RestoreIndexRe.matcher(sqlText)
+    if (rsi.matches())
+      return GraftRestoreIndexCommand(stripIdent(rsi.group("name")))
+    if (ShowIndexesRe.matcher(sqlText).matches())
+      return GraftShowIndexesCommand()
     val m = OptimizeRe.matcher(sqlText)
     if (m.matches()) {
       val zcols = Option(m.group("zorder")).toSeq
@@ -271,6 +302,26 @@ object GraftSqlParser {
 
   private def re(src: String): Pattern =
     Pattern.compile("(?is)^\\s*" + src + "\\s*;?\\s*$")
+
+  // ---- index lifecycle DDL (the engine's core artifact, from SQL) ----
+  // CREATE INDEX n ON parquet|graft_*.`/p` (cols) [INCLUDE (cols)]
+  //   [USING COVERING|ZORDER|DATASKIPPING]
+  private val CreateIndexRe = re(
+    """CREATE\s+INDEX\s+(?<name>[\w`-]+)\s+ON\s+""" +
+      """(?<src>parquet|graft_delta|graft_iceberg|graft_lake)""" +
+      """\s*\.\s*`(?<path>[^`]+)`""" +
+      """\s*\((?<cols>[^)]+)\)""" +
+      """(?:\s+INCLUDE\s*\((?<incl>[^)]+)\))?""" +
+      """(?:\s+USING\s+(?<using>COVERING|ZORDER|DATASKIPPING))?""")
+  private val DropIndexRe = re("""DROP\s+INDEX\s+(?<name>[\w`-]+)""")
+  private val RefreshIndexRe = re(
+    """REFRESH\s+INDEX\s+(?<name>[\w`-]+)""" +
+      """(?:\s+(?<mode>FULL|INCREMENTAL|QUICK))?""")
+  private val OptimizeIndexRe = re(
+    """OPTIMIZE\s+INDEX\s+(?<name>[\w`-]+)(?:\s+(?<mode>FULL|QUICK))?""")
+  private val VacuumIndexRe = re("""VACUUM\s+INDEX\s+(?<name>[\w`-]+)""")
+  private val RestoreIndexRe = re("""RESTORE\s+INDEX\s+(?<name>[\w`-]+)""")
+  private val ShowIndexesRe = re("""SHOW\s+INDEXES""")
 
   private val OptimizeRe = re(
     s"""OPTIMIZE\\s+$TargetSrc(?:\\s+WHERE\\s+(?<where>.+?))?""" +

@@ -134,7 +134,7 @@ class GoldenPlanSpec extends AnyFunSuite {
   // Queries with runtime-dependent plan text (persist/InMemoryRelation,
   // streaming) are excluded.
   Seq(
-    "idx_covering_filter", "idx_join", "idx_zorder_filter",
+    "idx_covering_filter", "idx_sql_created", "idx_join", "idx_zorder_filter",
     "idx_dataskip_filter", "idx_delta_filter", "idx_iceberg_filter",
     "idx_iceberg_v2_filter", "idx_delta_dv_filter", "idx_iceberg_eq_filter",
     "idx_delta_cdf_changes", "idx_iceberg_inc_appends", "idx_ivfpq_topk",
