@@ -333,14 +333,34 @@ class LakeTable:
         jdt = self._jvm.org.apache.spark.sql.types.DataType.fromDDL(type_ddl)
         return self._jt.addColumn(self._jspark, path, name, jdt)
 
+    def add_columns(self, path, col_defs):
+        """ALTER TABLE ... ADD COLUMNS: ``col_defs`` is a list of
+        ``"name[.nested] TYPE"`` definitions (e.g.
+        ``["bonus double", "info.grade string"]``) landing in ONE
+        metadata commit — the SQL list form, driven through the
+        delegating parser so nested targets and nested types work."""
+        stmt = "ALTER TABLE graft_lake.`%s` ADD COLUMNS (%s)" % (
+            path, ", ".join(col_defs))
+        return self._jspark.sql(stmt).head().getLong(0)
+
     def rename_column(self, path, old_name, new_name):
         """ALTER TABLE ... RENAME COLUMN (logical rename — Delta column
-        mapping / Iceberg field ids; data files untouched)."""
+        mapping / Iceberg field ids; data files untouched). A dotted
+        ``old_name`` (``a.b.c``) targets a nested struct field."""
+        if "." in old_name:
+            stmt = ("ALTER TABLE graft_lake.`%s` RENAME COLUMN %s TO %s"
+                    % (path, old_name, new_name))
+            return self._jspark.sql(stmt).head().getLong(0)
         return self._jt.renameColumn(self._jspark, path, old_name, new_name)
 
     def drop_column(self, path, name):
         """ALTER TABLE ... DROP COLUMN (logical removal; partition
-        columns and constraint-referenced columns refuse)."""
+        columns and constraint-referenced columns refuse). A dotted
+        ``name`` targets a nested struct field."""
+        if "." in name:
+            stmt = ("ALTER TABLE graft_lake.`%s` DROP COLUMN %s"
+                    % (path, name))
+            return self._jspark.sql(stmt).head().getLong(0)
         return self._jt.dropColumn(self._jspark, path, name)
 
     def create_ref(self, path, name, ref_type="branch", at=None):
@@ -354,6 +374,28 @@ class LakeTable:
             return self._jt.createRef(self._jspark, path, name, ref_type, jat)
         return self._jt.createRefAt(self._jspark, path, name, ref_type,
                                     int(at))
+
+    def create_ref_full(self, path, name, ref_type="branch", at=None,
+                        or_replace=False, retain_days=None,
+                        keep_snapshots=None, snapshot_age_days=None):
+        """The full ref DDL: CREATE [OR REPLACE] BRANCH|TAG with
+        RETAIN n DAYS and (branches) WITH SNAPSHOT RETENTION
+        k SNAPSHOTS / n DAYS — driven through the SQL statement so the
+        grammar and the API stay one code path."""
+        stmt = "ALTER TABLE graft_iceberg.`%s` CREATE %s%s %s" % (
+            path, "OR REPLACE " if or_replace else "",
+            ref_type.upper(), name)
+        if at is not None:
+            stmt += " AS OF VERSION %d" % at
+        if retain_days is not None:
+            stmt += " RETAIN %d DAYS" % retain_days
+        if keep_snapshots is not None or snapshot_age_days is not None:
+            stmt += " WITH SNAPSHOT RETENTION"
+            if keep_snapshots is not None:
+                stmt += " %d SNAPSHOTS" % keep_snapshots
+            if snapshot_age_days is not None:
+                stmt += " %d DAYS" % snapshot_age_days
+        return self._jspark.sql(stmt).head().getLong(0)
 
     def drop_ref(self, path, name, ref_type="branch", if_exists=False):
         """Drop an Iceberg branch or tag; refuses a type mismatch and,

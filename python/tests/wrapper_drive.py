@@ -199,6 +199,12 @@ assert "score" in [f.name() for f in t.read(irt)._jdf.schema().fields()]
 t.rename_column(irt, "score", "score2")
 t.drop_column(irt, "score2")
 assert "score2" not in [f.name() for f in t.read(irt)._jdf.schema().fields()]
+# the multi-column list form lands in ONE commit, nested types included
+t.add_columns(irt, ["py_bonus double", "py_tags array<string>"])
+names = [f.name() for f in t.read(irt)._jdf.schema().fields()]
+assert "py_bonus" in names and "py_tags" in names, names
+t.drop_column(irt, "py_bonus")
+t.drop_column(irt, "py_tags")
 
 # --- iceberg refs from python: the WAP cycle (incl. the at= pin,
 # --- which crosses py4j as java.lang.Long, not Integer)
@@ -213,6 +219,11 @@ t.fast_forward(irt, "py_audit")
 assert t.read(irt).count() == head_rows + n_region
 t.drop_ref(irt, "py_audit", "branch")
 t.drop_ref(irt, "py_pin", "tag")
+# the full ref DDL: OR REPLACE + retention clauses round-trip
+t.create_ref_full(irt, "py_keep", "branch", retain_days=7,
+                  keep_snapshots=2)
+t.create_ref_full(irt, "py_keep", "branch", or_replace=True)
+t.drop_ref(irt, "py_keep", "branch")
 t.drop_ref(irt, "py_pin", "tag", if_exists=True)  # tolerated
 
 # --- standard provider syntax resolves from python too (registry-based)

@@ -123,23 +123,26 @@ object IndexAccel {
     ensureSystemPath(spark, sfDir)
     synchronized {
       val mgr = new IndexManager(spark)
+      // keyed on a column NO other corpus index uses (s_nationkey): an
+      // equivalent twin of an existing index would make every plan that
+      // index serves depend on ranker tie-breaks against this one
       if (!mgr.getIndexes(Set(IndexState.Active))
-          .exists(_.name == "sqlci_ord")) {
+          .exists(_.name == "sqlci_supp")) {
         spark.sql(
-          s"CREATE INDEX sqlci_ord ON parquet.`$sfDir/orders.parquet` " +
-            "(o_custkey) INCLUDE (o_totalprice) USING COVERING")
+          s"CREATE INDEX sqlci_supp ON parquet.`$sfDir/supplier.parquet` " +
+            "(s_nationkey) INCLUDE (s_acctbal) USING COVERING")
       }
     }
-    Tables.load(spark, sfDir, "orders")
-      .filter(col("o_custkey").between(100L, 500L))
+    Tables.load(spark, sfDir, "supplier")
+      .filter(col("s_nationkey").between(3, 11))
       .agg(count(lit(1)).cast(LongType).as("n_rows"),
-        moneySum(col("o_totalprice")).as("sum_price"))
+        moneySum(col("s_acctbal")).as("sum_bal"))
   }
 
   val idxSqlCreatedSql: String =
     s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       | ${sqlMoneySum("o_totalprice")} AS sum_price
-       |FROM orders WHERE o_custkey BETWEEN 100 AND 500""".stripMargin
+       | ${sqlMoneySum("s_acctbal")} AS sum_bal
+       |FROM supplier WHERE s_nationkey BETWEEN 3 AND 11""".stripMargin
 
   // ------------------------------------------------ shuffle-free join
   def idxJoin(spark: SparkSession, sfDir: String): DataFrame = {
