@@ -50,6 +50,11 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     extensions.injectPreCBORule(spark => new ApplyGraft(spark))
     extensions.injectPlannerStrategy(spark =>
       new graft.execution.BucketUnionStrategy(spark))
+    // physical slot (AQE stage prep, post-EnsureRequirements): key the
+    // aggregate exchange on a downstream window's/join's subset keys so
+    // the consumer rides the aggregate's shuffle instead of adding one
+    extensions.injectQueryStagePrepRule(spark =>
+      new graft.execution.AlignAggExchange(spark))
 
     // SQL-statement surface for the lakehouse verbs (delta-spark's
     // DeltaSqlParser pattern): OPTIMIZE / VACUUM / DESCRIBE

@@ -62,6 +62,10 @@ private[queries] object AccelIndexes {
   val ordPrio: Entry = "orders" -> CoveringIndexConfig(
     "accel_ci_ord_prio", Seq("o_custkey"),
     Seq("o_orderdate", "o_orderpriority"))
+  // the q78-shape orders leg: orderkey-bucketed (co-located with the
+  // lineitem channel index) carrying the priority the channels group on
+  val ordSnow3Prio: Entry = "orders" -> CoveringIndexConfig(
+    "accel_ci_ord_snow3prio", Seq("o_orderkey"), Seq("o_orderpriority"))
 
   // ---- customer
   val cust: Entry = "customer" -> CoveringIndexConfig(
@@ -101,6 +105,14 @@ private[queries] object AccelIndexes {
     "accel_ci_li_qty", Seq("l_orderkey"),
     Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
       "l_returnflag"))
+  // the q78-shape channel leg: orderkey-bucketed carrying everything a
+  // per-channel sales ⟕ returns ⋈ orders pipeline touches, so all three
+  // channels' composite-key joins ride one index (wide on purpose — the
+  // alternative is three shuffles of the fact per channel)
+  val liChan: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_chan", Seq("l_orderkey"),
+    Seq("l_linenumber", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_returnflag", "l_shipdate"))
 
   // ---- dims
   val suppDim: Entry = "supplier" -> CoveringIndexConfig(
@@ -120,8 +132,8 @@ private[queries] object AccelIndexes {
     * needs a bucket-count override under the same system path. */
   val all: Seq[Entry] = Seq(
     li, liJoin, liSupp, liBySupp, liShip, liByPart, liRev, liWide,
-    liInv, liQty, zoLi, dsLi,
-    ordJoin, ordSnow, ordSnow3, ordAgg, ordByCust, ordPrio,
+    liInv, liQty, liChan, zoLi, dsLi,
+    ordJoin, ordSnow, ordSnow3, ordAgg, ordByCust, ordPrio, ordSnow3Prio,
     cust, custNat, custDim, custSeg, custFull,
     suppDim, suppNat, partDim, partAttr, nationDim)
 }

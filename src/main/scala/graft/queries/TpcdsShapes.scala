@@ -1153,7 +1153,271 @@ object TpcdsShapes {
        |ORDER BY sumsales, custkey
        |LIMIT 100""".stripMargin
 
+  /**
+   * TPC-DS q28 shape (reference tpcds/queries/q28.sql): six quantity
+   * bands, each computing avg / count / count(DISTINCT) of the list
+   * price under a band-specific OR-of-ranges filter. The literal form
+   * (and the oracle here) scans the fact SIX times — once per band
+   * subquery. The engine form is ONE scan: a CASE classifies each row
+   * into its (disjoint) band, and the three aggregates come out of a
+   * two-phase distinct expansion — groupBy(band, price) counts
+   * duplicates map-side, then groupBy(band) finishes count / distinct /
+   * exact-decimal average in the same pass. At 100 TB that is 1 read
+   * of 4 columns instead of 6 reads of the table.
+   */
+  def qds28BandStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val band = qds28Bands.foldRight(lit(null).cast("int")) {
+      case ((b, (qLo, qHi), (pLo, pHi), (dLo, dHi), (tLo, tHi)), acc) =>
+        when(col("l_quantity").between(qLo, qHi) &&
+          (col("l_extendedprice").between(pLo, pHi) ||
+            col("l_discount").between(dLo, dHi) ||
+            col("l_tax").between(tLo, tHi)), lit(b)).otherwise(acc)
+    }
+    li.select(band.as("band"), col("l_extendedprice").as("lp"))
+      .filter(col("band").isNotNull)
+      .groupBy(col("band"), col("lp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(
+        (sum(col("lp").cast(DecimalType(28, 6)) * col("c")).cast(DoubleType)
+          / sum(col("c"))).as("avg_lp"),
+        sum(col("c")).cast(LongType).as("cnt"),
+        count(lit(1)).cast(LongType).as("cntd"))
+      .orderBy(col("band"))
+  }
+
+  /** (band, quantity range, price range, discount range, tax range) —
+    * the one source both the DataFrame CASE and the oracle's six
+    * subqueries are generated from, so they can never drift. */
+  private val qds28Bands
+      : Seq[(Int, (Int, Int), (Int, Int), (Double, Double), (Double, Double))] =
+    Seq(
+      (1, (1, 8), (900, 10900), (0.02, 0.05), (0.01, 0.04)),
+      (2, (9, 16), (20000, 30000), (0.04, 0.07), (0.03, 0.06)),
+      (3, (17, 24), (35000, 45000), (0.01, 0.04), (0.05, 0.08)),
+      (4, (25, 32), (15000, 25000), (0.06, 0.09), (0.00, 0.03)),
+      (5, (33, 40), (50000, 60000), (0.03, 0.06), (0.02, 0.05)),
+      (6, (41, 50), (28000, 38000), (0.05, 0.08), (0.04, 0.07)))
+
+  val qds28Sql: String = qds28Bands.map {
+    case (b, (qLo, qHi), (pLo, pHi), (dLo, dHi), (tLo, tHi)) =>
+      s"""SELECT $b AS band,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+         |    / COUNT(l_extendedprice) AS avg_lp,
+         |  CAST(COUNT(l_extendedprice) AS BIGINT) AS cnt,
+         |  CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS cntd
+         |FROM lineitem
+         |WHERE l_quantity BETWEEN $qLo AND $qHi
+         |  AND (l_extendedprice BETWEEN $pLo AND $pHi
+         |    OR l_discount BETWEEN $dLo AND $dHi
+         |    OR l_tax BETWEEN $tLo AND $tHi)""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY band")
+
+  /**
+   * TPC-DS q47 shape (reference tpcds/queries/q47.sql): monthly sales
+   * by (brand, store) with a yearly-average deviation filter and the
+   * previous/next month's sales alongside. TPC-DS spells prev/next as
+   * a THREE-WAY SELF-JOIN of the aggregate CTE on consecutive rank —
+   * the oracle keeps that literal form; the engine form is lag/lead
+   * window functions over the same partition, so a hash match also
+   * proves the window rewrite ≡ the rank self-join. Mapped: brand =
+   * p_brand, store = s_name, months from l_shipdate (1995 plus the
+   * edge months 1994-12 / 1996-01 so interior rows keep both
+   * neighbors; lag/lead NULLs at series edges reproduce the self
+   * join's inner-ness via IS NOT NULL).
+   *
+   * Scale note — this is the shape [[graft.execution.AlignAggExchange]]
+   * exists for: the monthly aggregate groups on (brand, sname, yr, moy)
+   * but both window passes partition on prefixes of it, so Spark's
+   * default plan re-shuffles the aggregated stream. The windows are
+   * ordered narrowest-partition-first ((brand, sname) lag/lead below
+   * the (brand, sname, yr) average), which makes the second window
+   * ride the first one's clustering, and the prep rule then keys the
+   * AGGREGATE exchange on (brand, sname) — one shuffle serves the
+   * aggregate and both windows.
+   */
+  def qds47MonthlyDeviation(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureIndex(spark, sfDir, AccelIndexes.liInv)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    ensureIndex(spark, sfDir, AccelIndexes.suppDim)
+    val yr = year(col("l_shipdate")); val moy = month(col("l_shipdate"))
+    val v1 = Tables.load(spark, sfDir, "lineitem")
+      .filter(yr === 1995 || (yr === 1994 && moy === 12) ||
+        (yr === 1996 && moy === 1))
+      .join(Tables.load(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand").as("brand"), col("s_name").as("sname"),
+        yr.as("yr"), moy.as("moy"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(28, 6))).as("ssd"))
+    val wMo = Window.partitionBy(col("brand"), col("sname"))
+      .orderBy(col("yr"), col("moy"))
+    val wYr = Window.partitionBy(col("brand"), col("sname"), col("yr"))
+    v1.withColumn("psum_d", lag(col("ssd"), 1).over(wMo))
+      .withColumn("nsum_d", lead(col("ssd"), 1).over(wMo))
+      .withColumn("avg_ms",
+        sum(col("ssd")).over(wYr).cast(DoubleType) / count(lit(1)).over(wYr))
+      .filter(col("yr") === 1995 && col("psum_d").isNotNull &&
+        col("nsum_d").isNotNull && col("avg_ms") > 0 &&
+        abs(col("ssd").cast(DoubleType) - col("avg_ms")) / col("avg_ms") > 0.1)
+      .select(col("brand"), col("sname"), col("yr"), col("moy"),
+        col("ssd").cast(DoubleType).as("sum_sales"), col("avg_ms"),
+        col("psum_d").cast(DoubleType).as("psum"),
+        col("nsum_d").cast(DoubleType).as("nsum"))
+      .orderBy(col("sum_sales") - col("avg_ms"), col("brand"),
+        col("sname"), col("moy"))
+      .limit(100)
+  }
+
+  val qds47Sql: String =
+    s"""WITH v1 AS (
+       |  SELECT p_brand AS brand, s_name AS sname,
+       |    CAST(strftime(l_shipdate, '%Y') AS INT) AS yr,
+       |    CAST(strftime(l_shipdate, '%m') AS INT) AS moy,
+       |    SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS ssd
+       |  FROM lineitem
+       |    JOIN part ON l_partkey = p_partkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+       |    OR (CAST(strftime(l_shipdate, '%Y') AS INT) = 1994
+       |        AND CAST(strftime(l_shipdate, '%m') AS INT) = 12)
+       |    OR (CAST(strftime(l_shipdate, '%Y') AS INT) = 1996
+       |        AND CAST(strftime(l_shipdate, '%m') AS INT) = 1)
+       |  GROUP BY 1, 2, 3, 4),
+       |v2 AS (
+       |  SELECT *,
+       |    CAST(SUM(ssd) OVER (PARTITION BY brand, sname, yr) AS DOUBLE)
+       |      / COUNT(*) OVER (PARTITION BY brand, sname, yr) AS avg_ms,
+       |    RANK() OVER (PARTITION BY brand, sname ORDER BY yr, moy) AS rn
+       |  FROM v1)
+       |SELECT v.brand, v.sname, v.yr, v.moy,
+       |  CAST(v.ssd AS DOUBLE) AS sum_sales, v.avg_ms,
+       |  CAST(p.ssd AS DOUBLE) AS psum, CAST(n.ssd AS DOUBLE) AS nsum
+       |FROM v2 v, v2 p, v2 n
+       |WHERE v.brand = p.brand AND v.brand = n.brand
+       |  AND v.sname = p.sname AND v.sname = n.sname
+       |  AND v.rn = p.rn + 1 AND v.rn = n.rn - 1
+       |  AND v.yr = 1995 AND v.avg_ms > 0
+       |  AND (CASE WHEN v.avg_ms > 0
+       |       THEN abs(CAST(v.ssd AS DOUBLE) - v.avg_ms) / v.avg_ms
+       |       ELSE NULL END) > 0.1
+       |ORDER BY CAST(v.ssd AS DOUBLE) - v.avg_ms, v.brand, v.sname, v.moy
+       |LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q78 shape (reference tpcds/queries/q78.sql): per channel,
+   * keep only sales with NO matching return — spelled as LEFT OUTER
+   * JOIN returns + `IS NULL` on the return key, over a COMPOSITE key —
+   * aggregate each channel, then ratio the primary channel against the
+   * other two through LEFT joins whose null-intolerant `> 0` gates make
+   * them semantically inner (Catalyst's EliminateOuterJoin must prove
+   * it). Mapped: channels are l_linenumber mod 3 classes; returns are
+   * the channel's 'R' rows collapsed to unique (orderkey, partkey), so
+   * the no-return gate kills every line of a returned (order, part) —
+   * non-degenerate, unlike keying on the row's own id. The composite
+   * (orderkey, partkey) join rides the orderkey-bucketed liChan pair
+   * via subset-key co-partitioning on BOTH sides, and each channel's
+   * orders join shares the same buckets: all three channel pipelines
+   * run zero-shuffle up to their group-by. The three channel
+   * aggregates hash on identical (yr, part, prio) key order, so the
+   * final three-way join adds NO exchange above them.
+   */
+  def qds78NoReturnRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3Prio)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    def channel(m: Int, tag: String): DataFrame = {
+      val sales = li.filter(pmod(col("l_linenumber"), lit(3)) === m)
+      val rets = sales.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey").as(s"${tag}_rord"),
+          col("l_partkey").as(s"${tag}_rpart"))
+        .agg(count(lit(1)).as(s"${tag}_rc"))
+      sales
+        .join(rets, col("l_orderkey") === col(s"${tag}_rord") &&
+          col("l_partkey") === col(s"${tag}_rpart"), "left_outer")
+        .filter(col(s"${tag}_rord").isNull)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("l_shipdate")).as(s"${tag}_yr"),
+          col("l_partkey").as(s"${tag}_part"),
+          col("o_orderpriority").as(s"${tag}_prio"))
+        .agg(moneySum(col("l_quantity")).as(s"${tag}_qty"),
+          moneySum(col("l_extendedprice")).as(s"${tag}_wc"),
+          moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as(s"${tag}_sp"))
+    }
+    val ss = channel(0, "ss")
+    val ws = channel(1, "ws")
+    val cs = channel(2, "cs")
+    ss.join(ws,
+        col("ss_yr") === col("ws_yr") && col("ss_part") === col("ws_part") &&
+          col("ss_prio") === col("ws_prio"), "left_outer")
+      .join(cs,
+        col("ss_yr") === col("cs_yr") && col("ss_part") === col("cs_part") &&
+          col("ss_prio") === col("cs_prio"), "left_outer")
+      .filter(col("ss_yr") === 1995 &&
+        coalesce(col("ws_qty"), lit(0.0)) > 0 &&
+        coalesce(col("cs_qty"), lit(0.0)) > 0)
+      .select(
+        (col("ss_qty") / (col("ws_qty") + col("cs_qty"))).as("ratio"),
+        col("ss_qty").as("store_qty"), col("ss_wc").as("store_wc"),
+        col("ss_sp").as("store_sp"),
+        (col("ws_qty") + col("cs_qty")).as("other_qty"),
+        (col("ws_wc") + col("cs_wc")).as("other_wc"),
+        (col("ws_sp") + col("cs_sp")).as("other_sp"),
+        col("ss_part").as("partkey"), col("ss_prio").as("prio"))
+      .orderBy(col("ratio"), col("store_qty").desc, col("store_wc").desc,
+        col("store_sp").desc, col("other_qty"), col("other_wc"),
+        col("other_sp"), col("partkey"), col("prio"))
+      .limit(100)
+  }
+
+  private def qds78ChannelSql(m: Int): String =
+    s"""SELECT CAST(strftime(l_shipdate, '%Y') AS INT) AS yr,
+       |    l_partkey AS part, o_orderpriority AS prio,
+       |    ${sqlMoneySum("l_quantity")} AS qty,
+       |    ${sqlMoneySum("l_extendedprice")} AS wc,
+       |    ${sqlMoneySum("l_extendedprice * (1 - l_discount)")} AS sp
+       |  FROM lineitem
+       |    LEFT OUTER JOIN (
+       |      SELECT l_orderkey AS rord, l_partkey AS rpart FROM lineitem
+       |      WHERE l_linenumber % 3 = $m AND l_returnflag = 'R'
+       |      GROUP BY 1, 2) r
+       |      ON l_orderkey = rord AND l_partkey = rpart
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_linenumber % 3 = $m AND rord IS NULL
+       |  GROUP BY 1, 2, 3""".stripMargin
+
+  val qds78Sql: String =
+    s"""WITH ss AS (
+       |  ${qds78ChannelSql(0)}),
+       |ws AS (
+       |  ${qds78ChannelSql(1)}),
+       |cs AS (
+       |  ${qds78ChannelSql(2)})
+       |SELECT ss.qty / (ws.qty + cs.qty) AS ratio,
+       |  ss.qty AS store_qty, ss.wc AS store_wc, ss.sp AS store_sp,
+       |  ws.qty + cs.qty AS other_qty, ws.wc + cs.wc AS other_wc,
+       |  ws.sp + cs.sp AS other_sp,
+       |  ss.part AS partkey, ss.prio AS prio
+       |FROM ss
+       |  LEFT JOIN ws ON ws.yr = ss.yr AND ws.part = ss.part
+       |    AND ws.prio = ss.prio
+       |  LEFT JOIN cs ON cs.yr = ss.yr AND cs.part = ss.part
+       |    AND cs.prio = ss.prio
+       |WHERE ss.yr = 1995 AND COALESCE(ws.qty, 0) > 0
+       |  AND COALESCE(cs.qty, 0) > 0
+       |ORDER BY ratio, store_qty DESC, store_wc DESC, store_sp DESC,
+       |  other_qty, other_wc, other_sp, partkey, prio
+       |LIMIT 100""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds28_band_distinct" -> (qds28BandStats _, qds28Sql),
+    "qds47_monthly_deviation" -> (qds47MonthlyDeviation _, qds47Sql),
+    "qds78_noreturn_ratio" -> (qds78NoReturnRatio _, qds78Sql),
     "qds67_rollup_rank" -> (qds67RollupRank _, qds67Sql),
     "qds72_inventory_gate" -> (qds72InventoryGate _, qds72Sql),
     "qds93_returns_adjusted" -> (qds93ReturnsAdjusted _, qds93Sql),

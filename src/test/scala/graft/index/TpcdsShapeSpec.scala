@@ -409,6 +409,63 @@ class TpcdsShapeSpec extends AnyFunSuite {
       s"the returns-side WHERE must convert the outer join to inner:\n$p")
   }
 
+  test("qds28_band_distinct: six band stats incl. COUNT(DISTINCT) from " +
+      "ONE scan of four columns — the literal form's six scans fused " +
+      "into a two-phase distinct expansion") {
+    val p = planOf("qds28_band_distinct")
+    val scans = allNodes(p).collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1,
+      s"expected ONE scan of the fact, got ${scans.size}:\n$p")
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      s"scan reads ${scans.head.requiredSchema.fieldNames.mkString(",")}:\n$p")
+    // (band, price) distinct exchange + (band) re-agg + ordered output
+    assert(shuffles(p) <= 3, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds47_monthly_deviation: ONE exchange serves the monthly " +
+      "aggregate and BOTH window passes (AlignAggExchange), and " +
+      "the fact⋈part join is zero-shuffle off the bucketed pair") {
+    val p = planOf("qds47_monthly_deviation")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_inv", "accel_ci_part_attr", "accel_ci_supp_dim")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the bucketed fact⋈part join re-shuffled:\n$p")
+    // supplier re-key + the ALIGNED aggregate exchange — nothing else;
+    // Spark's default plan has a third (the window's re-shuffle of the
+    // aggregated stream)
+    assert(shuffles(p) <= 2, s"exchange count regressed: ${shuffles(p)}\n$p")
+    // lag/lead pass + yearly-average pass, neither with an exchange
+    // between it and the aggregate
+    val ws = allNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.size >= 2, s"expected both window passes:\n$p")
+    val belowTop = allNodes(ws.head.child).takeWhile(
+      !_.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+    assert(!belowTop.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"a window re-shuffled the aggregated stream:\n$p")
+  }
+
+  test("qds78_noreturn_ratio: every channel pipeline — composite-key " +
+      "no-return gate, returns pre-aggregate, orders join — runs " +
+      "zero-shuffle off one orderkey-bucketed pair, and the final " +
+      "three-way join adds NO exchange above the channel aggregates") {
+    val p = planOf("qds78_noreturn_ratio")
+    val idx = indexScans(p)
+    assert(idx.count(_.contains("accel_ci_li_chan")) >= 8,
+      s"all six lineitem legs must serve from accel_ci_li_chan: $idx\n$p")
+    assert(idx.exists(_.contains("accel_ci_ord_snow3prio")),
+      s"orders legs must serve from accel_ci_ord_snow3prio: $idx\n$p")
+    // (sales ⟕ returns) + (⋈ orders) per channel, plus the final joins
+    // riding the aggregates' co-partitioning
+    assert(zeroShuffleJoins(p).size >= 6,
+      s"expected ≥6 zero-shuffle joins, got ${zeroShuffleJoins(p).size}:\n$p")
+    // exactly one exchange per channel group-by — the intrinsic ones
+    assert(shuffles(p) <= 3, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
