@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.{FilterExec, ProjectExec, SortExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
@@ -60,6 +60,17 @@ import org.apache.spark.sql.execution.window.WindowExec
  *    stages) re-derives the same single-exchange plan instead of
  *    re-inserting the shuffle.
  *
+ * Deliberately NOT extended to the aggregate→aggregate shape
+ * (`groupBy(G)` under `groupBy(P ⊆ G)`, the two-phase distinct
+ * expansion): there the upper exchange carries only the second
+ * aggregate's map-side partials — O(|P|) rows per mapper, near-free —
+ * while re-keying the LOWER exchange onto P would concentrate the
+ * first aggregate's full dedup/merge work onto |P| partitions (a
+ * 6-band expansion would run stage one on 6 cores at any scale). The
+ * window/join consumers this rule does handle shuffle the ENTIRE
+ * aggregated stream a second time, which is what makes the rewrite a
+ * win there.
+ *
  * The reference has no analogue (it plans neither windows nor
  * distributed joins); Spark's own EnsureRequirements lacks the rewrite.
  * Runs under AQE only (query-stage-prep slot, after EnsureRequirements,
@@ -85,43 +96,85 @@ class AlignAggExchange(spark: SparkSession) extends Rule[SparkPlan] {
       else j.withNewChildren(Seq(l.getOrElse(j.left), r.getOrElse(j.right)))
   }
 
-  /** `Sort ← Exchange(P) ← FinalAgg(G) ← Exchange(G)` with P tracing
-    * into G → the same chain minus the upper exchange, the lower one
-    * re-keyed on P's child-side attributes. */
+  /** `Sort ← Exchange(P) ← [Project/Filter]* ← FinalAgg(G) ← Exchange(G)`
+    * with P tracing into G → the same chain minus the upper exchange,
+    * the lower one re-keyed on P's child-side attributes. The
+    * deterministic Project/Filter chain between the consumer and the
+    * final aggregate (a threshold filter over the aggregated values, a
+    * rename) is partitioning-transparent: FilterExec passes its child's
+    * partitioning through and ProjectExec is alias-aware, so after the
+    * rewrite AQE re-derives the same single-exchange plan. */
   private def align(child: SparkPlan): Option[SparkPlan] = child match {
     case s @ SortExec(_, false,
           ShuffleExchangeExec(HashPartitioning(pExprs, pN),
-            agg: BaseAggregateExec, ENSURE_REQUIREMENTS, _), _)
-        if pExprs.nonEmpty && isFinalMode(agg) =>
-      agg.child match {
-        case low @ ShuffleExchangeExec(HashPartitioning(gExprs, gN),
-              _, ENSURE_REQUIREMENTS, _) if pN == gN =>
-          val gAttrs = gExprs.collect { case a: AttributeReference => a }
-          // a consumer key is either a grouping attr passed through the
-          // final aggregate, or an Alias of one in its result
-          // expressions — anything else (computed keys, aliased
-          // AGGREGATE results) fails the gAttrs membership check below
-          def groupingSide(p: AttributeReference): Option[AttributeReference] =
-            agg.resultExpressions.collectFirst {
-              case a: AttributeReference if a.exprId == p.exprId => a
-              case al @ Alias(c: AttributeReference, _)
-                  if al.exprId == p.exprId => c
+            inner, ENSURE_REQUIREMENTS, _), _) if pExprs.nonEmpty =>
+      peel(inner).flatMap { case (chain, agg) =>
+        agg.child match {
+          case low @ ShuffleExchangeExec(HashPartitioning(gExprs, gN),
+                _, ENSURE_REQUIREMENTS, _) if pN == gN =>
+            val gAttrs = gExprs.collect { case a: AttributeReference => a }
+            val aligned = pExprs.flatMap {
+              case p: AttributeReference =>
+                traceThrough(chain, p)
+                  .flatMap(groupingSide(agg, _))
+                  .flatMap(g => gAttrs.find(_.exprId == g.exprId))
+              case _ => Nil
             }
-          val aligned = pExprs.flatMap {
-            case p: AttributeReference =>
-              groupingSide(p).flatMap(g => gAttrs.find(_.exprId == g.exprId))
-            case _ => Nil
-          }
-          if (gAttrs.length == gExprs.length &&
-              aligned.length == pExprs.length) {
-            val newLow =
-              low.copy(outputPartitioning = HashPartitioning(aligned, gN))
-            Some(s.withNewChildren(Seq(agg.withNewChildren(Seq(newLow)))))
-          } else None
-        case _ => None
+            if (gAttrs.length == gExprs.length &&
+                aligned.length == pExprs.length) {
+              val newLow =
+                low.copy(outputPartitioning = HashPartitioning(aligned, gN))
+              val rebuilt = chain.foldRight(
+                agg.withNewChildren(Seq(newLow)): SparkPlan)(
+                (op, acc) => op.withNewChildren(Seq(acc)))
+              Some(s.withNewChildren(Seq(rebuilt)))
+            } else None
+          case _ => None
+        }
       }
     case _ => None
   }
+
+  /** Unwrap a (possibly empty) deterministic Project/Filter chain down
+    * to a final-mode aggregate; returns the chain topmost-first. */
+  private def peel(plan: SparkPlan)
+      : Option[(List[SparkPlan], BaseAggregateExec)] = plan match {
+    case p: ProjectExec if p.projectList.forall(_.deterministic) =>
+      peel(p.child).map { case (c, a) => (p :: c, a) }
+    case f: FilterExec if f.condition.deterministic =>
+      peel(f.child).map { case (c, a) => (f :: c, a) }
+    case a: BaseAggregateExec if isFinalMode(a) => Some((Nil, a))
+    case _ => None
+  }
+
+  /** Trace a consumer attribute top-down through the Project chain to
+    * the aggregate-output attribute it renames; only identity renames
+    * (`Alias(attr)`) qualify — a computed column can never align. */
+  private def traceThrough(
+      chain: List[SparkPlan],
+      attr: AttributeReference): Option[AttributeReference] =
+    chain.foldLeft(Option(attr)) {
+      case (Some(a), p: ProjectExec) =>
+        p.projectList.collectFirst {
+          case ar: AttributeReference if ar.exprId == a.exprId => ar
+          case al @ Alias(c: AttributeReference, _)
+              if al.exprId == a.exprId => c
+        }
+      case (acc, _) => acc // FilterExec: pass-through
+    }
+
+  /** A consumer key is either a grouping attr passed through the final
+    * aggregate, or an Alias of one in its result expressions — anything
+    * else (computed keys, aliased AGGREGATE results) fails the gAttrs
+    * membership check at the call site. */
+  private def groupingSide(
+      agg: BaseAggregateExec,
+      p: AttributeReference): Option[AttributeReference] =
+    agg.resultExpressions.collectFirst {
+      case a: AttributeReference if a.exprId == p.exprId => a
+      case al @ Alias(c: AttributeReference, _)
+          if al.exprId == p.exprId => c
+    }
 
   /** Final-mode (or pure-distinct) aggregate: its grouping expressions
     * are the pass-through attributes the consumer keys must match. */

@@ -1,7 +1,7 @@
 package graft.index.rules
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
@@ -32,10 +32,19 @@ object AggIndexRule extends GraftIndexRule {
       case a: Aggregate => a
       case _ => return None
     }
-    // grouping keys must be plain attributes
-    val groupAttrs = agg.groupingExpressions.map {
+    // the bucket-subset argument needs the indexed columns to appear in
+    // the grouping set AS ATTRIBUTES; additional computed grouping
+    // expressions (e.g. month(ship_date)) are harmless — rows agreeing
+    // on the full grouping set still agree on the bucket columns, so
+    // HashPartitioning(indexedCols) keeps satisfying the aggregation's
+    // ClusteredDistribution. Non-deterministic keys are never rewritten.
+    if (!agg.groupingExpressions.forall(_.deterministic)) return None
+    // `groupBy(col.as("sk"))` keeps the key as an Alias in the grouping
+    // list — grouping by Alias(c) partitions by c's value, so it counts
+    // as the attribute for the subset test
+    val groupAttrs = agg.groupingExpressions.collect {
       case a: AttributeReference => a
-      case _ => return None
+      case Alias(c: AttributeReference, _) => c
     }
     if (groupAttrs.isEmpty) return None
 
@@ -43,8 +52,13 @@ object AggIndexRule extends GraftIndexRule {
     if (!candidates.contains(rel)) return None
 
     val resolver = spark.sessionState.conf.resolver
+    // only columns the RELATION must supply need covering: an attribute
+    // computed in the linear chain (Spark pulls computed grouping keys
+    // into the child Project as `_groupingexpression`) is produced above
+    // the scan, and its own inputs are in the reference set already
     val needed: Seq[String] =
-      (agg.references ++ childReferences(agg.child)).toSeq.map(_.name).distinct
+      (agg.references ++ childReferences(agg.child))
+        .filter(rel.outputSet.contains).toSeq.map(_.name).distinct
 
     val applicable = candidates(rel).filter { m =>
       m.isExact && (m.entry.descriptor match {
@@ -59,7 +73,16 @@ object AggIndexRule extends GraftIndexRule {
     }
     if (applicable.isEmpty) return None
 
-    val best = applicable.minBy(_.entry.indexDataSize).entry
+    // interesting-orders demand first (the layout ancestors also
+    // cluster on serves the join ABOVE this aggregate too), then
+    // canonical bucket-column order so independent legs tie-break
+    // coherently, then size and name (see ScoreBasedOptimizer)
+    val best = applicable.sortBy { m =>
+      val cols = m.entry.descriptor
+        .asInstanceOf[CoveringIndexDescriptor].indexedColumns
+      (-ScoreBasedOptimizer.demand(cols, resolver),
+        cols.mkString(","), m.entry.indexDataSize, m.entry.name)
+    }.head.entry
     val newScan = ScanSubstitution.indexScan(spark, rel, best, useBucketSpec = true)
     val newChild = agg.child.transformUp {
       case r: LogicalRelation if r.fastEquals(rel) => newScan

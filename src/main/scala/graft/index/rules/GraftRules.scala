@@ -245,6 +245,15 @@ object JoinIndexRule extends GraftIndexRule {
         ld.numBuckets != rd.numBuckets,
         -math.min(ld.numBuckets, rd.numBuckets),
         -(l.commonBytes + r.commonBytes),
+        // interesting-orders tie-break: prefer bucket columns ancestors
+        // also cluster on (a downstream join/groupBy rides the same
+        // layout instead of re-shuffling), weighted by demand count;
+        // then CANONICAL bucket-column order, so independent legs of
+        // one query tie-break COHERENTLY (two legs that each see a tie
+        // must land on the same layout or their join re-shuffles)
+        -(ScoreBasedOptimizer.demand(ld.indexedColumns, resolver) +
+          ScoreBasedOptimizer.demand(rd.indexedColumns, resolver)),
+        ld.indexedColumns.mkString(","),
         // deterministic tie-break between equivalent pairs: smallest
         // covering indexes first (narrower = less footprint), then name —
         // selection must not depend on catalog listing order
@@ -711,7 +720,12 @@ object JoinOneSideIndexRule extends GraftIndexRule {
         // indexes must pick the same winner in every session)
         (!m.isExact, d.numBuckets != sessionBuckets,
           d.indexedColumns.size != keys.distinct.size, -d.numBuckets,
-          -m.commonBytes, m.entry.indexDataSize, m.entry.name)
+          -m.commonBytes,
+          // interesting-orders demand, then canonical bucket-column
+          // order for leg-coherent ties (see ScoreBasedOptimizer)
+          -ScoreBasedOptimizer.demand(d.indexedColumns, resolver),
+          d.indexedColumns.mkString(","),
+          m.entry.indexDataSize, m.entry.name)
       }.headOption.getOrElse(return None)
       val newSide = substitute(spark, subtree, rel,
         joinSide(spark, rel, best._1))
@@ -737,6 +751,18 @@ object JoinOneSideIndexRule extends GraftIndexRule {
 /**
  * Memoized best-score subtree rewrite (reference:
  * index/rules/ScoreBasedIndexPlanOptimizer.scala:31-81).
+ *
+ * INTERESTING ORDERS (beyond-reference, the System R idea): the DP's
+ * scores are local, so two bucket layouts that serve the CURRENT
+ * operator equally well tie — and independent per-operator tie-breaks
+ * can pick INCOHERENT layouts across a plan (one leg orderkey-bucketed,
+ * its consumer partkey-keyed), forcing re-shuffles a coherent choice
+ * avoids. The recursion therefore threads the clustering columns
+ * ancestors care about — join equi-keys, grouping keys, window
+ * partition keys — down to the rules, which use the set ONLY to break
+ * otherwise-equal ties toward the layout a consumer can ride.
+ * Correctness never depends on it: it reorders candidates that already
+ * passed every eligibility gate.
  */
 object ScoreBasedOptimizer {
 
@@ -744,23 +770,74 @@ object ScoreBasedOptimizer {
     Seq(JoinIndexRule, JoinOneSideIndexRule, ExistsIndexRule, AggIndexRule,
       ZOrderFilterIndexRule, FilterIndexRule, DataSkippingRule)
 
+  /** Clustering columns wanted by ancestors of the node being rewritten,
+    * with DEMAND COUNTS — a column two ancestors cluster on outweighs a
+    * column one does (q75: the composite-key gate join wants both its
+    * keys, but the part join above adds a second vote for partkey)
+    * (thread-local: ApplyGraft may run in concurrent sessions). */
+  private[rules] val interesting =
+    new scala.util.DynamicVariable[Map[String, Int]](Map.empty)
+
+  /** Total ancestor demand for a candidate's bucket columns. */
+  private[rules] def demand(
+      cols: Seq[String],
+      resolver: Resolver): Int = {
+    val want = interesting.value
+    cols.map(c => want.collect { case (n, k) if resolver(n, c) => k }.sum).sum
+  }
+
+  /** Columns a node makes interesting FOR ITS CHILDREN. Names, not
+    * exprIds: index matching is by column name and the signal is a
+    * preference, so name-level fuzz through renames is acceptable. */
+  private def derives(p: LogicalPlan): Set[String] = p match {
+    case j: Join =>
+      j.condition.toSeq.flatMap(JoinIndexRule.splitConjuncts).flatMap {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          Seq(a.name, b.name)
+        case _ => Nil
+      }.toSet
+    case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+      a.groupingExpressions.collect {
+        case ar: AttributeReference => ar.name
+        case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+          al.child match {
+            case c: AttributeReference => c.name
+            case _ => null
+          }
+      }.filter(_ != null).toSet
+    case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+      w.partitionSpec.collect {
+        case ar: AttributeReference => ar.name
+      }.toSet
+    case _ => Set.empty
+  }
+
   def optimize(
       spark: SparkSession,
       plan: LogicalPlan,
       candidates: Map[LogicalPlan, Seq[CandidateMatch]]): LogicalPlan = {
-    val memo = mutable.HashMap.empty[LogicalPlan, (LogicalPlan, Int)]
+    val memo = mutable.HashMap
+      .empty[(LogicalPlan, Map[String, Int]), (LogicalPlan, Int)]
 
-    def rec(p: LogicalPlan): (LogicalPlan, Int) = memo.getOrElseUpdate(p, {
-      val applied = rules.flatMap(_.apply(spark, p, candidates, rec))
-      val noop: (LogicalPlan, Int) =
-        if (p.children.isEmpty) (p, 0)
-        else {
-          val rewritten = p.children.map(rec)
-          (p.withNewChildren(rewritten.map(_._1)), rewritten.map(_._2).sum)
-        }
-      (applied :+ noop).maxBy(_._2)
-    })
+    def rec(p: LogicalPlan): (LogicalPlan, Int) =
+      memo.getOrElseUpdate((p, interesting.value), {
+        // rules see the ANCESTOR set; recursion into subtrees (both the
+        // rules' own and the noop path) additionally carries what p
+        // itself wants from its children
+        val childSet = derives(p).foldLeft(interesting.value)(
+          (m, n) => m.updated(n, m.getOrElse(n, 0) + 1))
+        val recurse: LogicalPlan => (LogicalPlan, Int) =
+          x => interesting.withValue(childSet)(rec(x))
+        val applied = rules.flatMap(_.apply(spark, p, candidates, recurse))
+        val noop: (LogicalPlan, Int) =
+          if (p.children.isEmpty) (p, 0)
+          else {
+            val rewritten = p.children.map(recurse)
+            (p.withNewChildren(rewritten.map(_._1)), rewritten.map(_._2).sum)
+          }
+        (applied :+ noop).maxBy(_._2)
+      })
 
-    rec(plan)._1
+    interesting.withValue(Map.empty)(rec(plan))._1
   }
 }

@@ -114,6 +114,23 @@ private[queries] object AccelIndexes {
     Seq("l_linenumber", "l_partkey", "l_quantity", "l_extendedprice",
       "l_discount", "l_returnflag", "l_shipdate"))
 
+  // the q75-shape channel leg: the liChan column set bucketed by
+  // PARTKEY instead — the composite (orderkey, partkey) return gate
+  // rides it via subset-key co-partitioning AND the part-dim join rides
+  // the same buckets, so a channel pipeline that must end at a
+  // part-attribute grain never re-keys the fact at all
+  val liPartChan: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_partchan", Seq("l_partkey"),
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+      "l_discount", "l_returnflag", "l_shipdate"))
+
+  // the q39-shape stats leg: suppkey-bucketed with quantity + shipdate,
+  // so the per-(supplier, month) moment sums AND the consecutive-month
+  // self-join both ride one bucket layout with no exchange anywhere
+  val liSuppQty: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_suppqty", Seq("l_suppkey"),
+    Seq("l_quantity", "l_shipdate"))
+
   // ---- dims
   val suppDim: Entry = "supplier" -> CoveringIndexConfig(
     "accel_ci_supp_dim", Seq("s_suppkey"), Seq("s_name"))
@@ -132,7 +149,7 @@ private[queries] object AccelIndexes {
     * needs a bucket-count override under the same system path. */
   val all: Seq[Entry] = Seq(
     li, liJoin, liSupp, liBySupp, liShip, liByPart, liRev, liWide,
-    liInv, liQty, liChan, zoLi, dsLi,
+    liInv, liQty, liChan, liPartChan, liSuppQty, zoLi, dsLi,
     ordJoin, ordSnow, ordSnow3, ordAgg, ordByCust, ordPrio, ordSnow3Prio,
     cust, custNat, custDim, custSeg, custFull,
     suppDim, suppNat, partDim, partAttr, nationDim)

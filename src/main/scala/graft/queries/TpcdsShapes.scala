@@ -1414,7 +1414,197 @@ object TpcdsShapes {
        |  other_qty, other_wc, other_sp, partkey, prio
        |LIMIT 100""".stripMargin
 
+  /**
+   * TPC-DS q39 shape (reference tpcds/queries/q39.sql): per (warehouse,
+   * item, month) inventory mean and coefficient of variation, keep the
+   * volatile groups (cov above a threshold), self-join consecutive
+   * months. Mapped: warehouse → l_suppkey, month from l_shipdate
+   * (1995-03 vs 1995-04), quantity moments from l_quantity. Both
+   * engines compute cov from EXACT decimal moment sums
+   * (n, Σq, Σq²) with the identical double expression
+   * `sqrt(greatest(sq2 - sq*sq/n, 0)/(n-1)) / (sq/n)` — same operand
+   * order, so IEEE rounding is bit-identical and the hash compare is
+   * safe on a derived double (the greatest() guards the
+   * variance-zero case where `sq*sq/n` rounds above sq2).
+   *
+   * Scale shape: the moment aggregate groups on (suppkey, month) and
+   * the month-to-month self-join keys on suppkey alone — with the
+   * suppkey-bucketed index both sides satisfy their distributions
+   * straight off the scan (subset clustering), so the whole query —
+   * two aggregates, the self-join, the top-k — plans with ZERO
+   * exchanges. The unbucketed twin of this shape is what
+   * [[graft.execution.AlignAggExchange]]'s join branch exists for.
+   */
+  def qds39InventoryCov(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liSuppQty)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val yr = year(col("l_shipdate")); val moy = month(col("l_shipdate"))
+    val qd = col("l_quantity").cast(DecimalType(14, 3))
+    val inv = li.filter(yr === 1995 && (moy === 3 || moy === 4))
+      .groupBy(col("l_suppkey").as("sk"), moy.as("moy"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum(qd).cast(DoubleType).as("sq"),
+        sum(qd * qd).cast(DoubleType).as("sq2"))
+      .filter(col("n") >= 2)
+      .select(col("sk"), col("moy"), (col("sq") / col("n")).as("mean"),
+        (sqrt(greatest(col("sq2") - col("sq") * col("sq") / col("n"),
+          lit(0.0)) / (col("n") - 1)) / (col("sq") / col("n"))).as("cov"))
+      .filter(col("cov") > 0.57)
+    val m1 = inv.filter(col("moy") === 3)
+      .select(col("sk").as("sk1"), col("mean").as("mean1"),
+        col("cov").as("cov1"))
+    val m2 = inv.filter(col("moy") === 4)
+      .select(col("sk").as("sk2"), col("mean").as("mean2"),
+        col("cov").as("cov2"))
+    m1.join(m2, col("sk1") === col("sk2"))
+      .select(col("sk1").as("suppkey"), col("mean1"), col("cov1"),
+        col("mean2"), col("cov2"))
+      .orderBy(col("suppkey"))
+      .limit(100)
+  }
+
+  val qds39Sql: String =
+    s"""WITH inv AS (
+       |  SELECT l_suppkey AS sk,
+       |    CAST(strftime(l_shipdate, '%m') AS INT) AS moy,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,3))) AS DOUBLE) AS sq,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,3))
+       |      * CAST(l_quantity AS DECIMAL(14,3))) AS DOUBLE) AS sq2
+       |  FROM lineitem
+       |  WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+       |    AND CAST(strftime(l_shipdate, '%m') AS INT) IN (3, 4)
+       |  GROUP BY 1, 2),
+       |c AS (
+       |  SELECT sk, moy, sq / n AS mean,
+       |    sqrt(greatest(sq2 - sq * sq / n, 0.0) / (n - 1)) / (sq / n)
+       |      AS cov
+       |  FROM inv WHERE n >= 2)
+       |SELECT m1.sk AS suppkey, m1.mean AS mean1, m1.cov AS cov1,
+       |  m2.mean AS mean2, m2.cov AS cov2
+       |FROM c m1 JOIN c m2 ON m1.sk = m2.sk
+       |WHERE m1.moy = 3 AND m2.moy = 4
+       |  AND m1.cov > 0.57 AND m2.cov > 0.57
+       |ORDER BY suppkey
+       |LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q75 shape (reference tpcds/queries/q75.sql): per channel,
+   * sales net of returns (LEFT JOIN the channel's returns on the
+   * composite key, COALESCE the miss to zero), UNION ALL the channels,
+   * aggregate to (year, brand, type), then self-join current year
+   * against the prior year and keep the brands whose net quantity fell
+   * below 90%. The oracle keeps that literal two-level-aggregate +
+   * self-join form; the engine form collapses it to a SINGLE
+   * aggregation — union the three row-level channel streams and pivot
+   * the two years into conditional sums, so the whole query runs with
+   * ONE exchange and never materializes or re-joins the year slices.
+   * The hash match proves pivot ≡ (re-aggregate + self-join). Mapped:
+   * channels are l_linenumber mod 3 classes (as qds78), returns are
+   * the channel's 'R' rows collapsed to unique (orderkey, partkey),
+   * years 1995 → 1996, grain (p_brand, p_type).
+   *
+   * Scale: each channel's returns pre-aggregate and composite-key
+   * no-return join ride the orderkey-bucketed pair zero-shuffle; the
+   * part dim broadcasts; partial aggregation runs map-side ABOVE the
+   * union, so the one exchange carries only (brand, type) partials.
+   * A year-pivot instead of a self-join halves the fact passes at
+   * 100 TB — the two-level form reads every channel twice (once per
+   * year side) unless the planner dedups the CTE, which Spark's
+   * physical planning does not.
+   */
+  def qds75YoyDecline(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(28, 6))
+    def channel(m: Int, tag: String): DataFrame = {
+      val chan = pmod(col("l_linenumber"), lit(3)) === m
+      val rets = li.filter(chan && col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey").as(s"${tag}_rord"),
+          col("l_partkey").as(s"${tag}_rpart"))
+        .agg(sum(dec(col("l_quantity"))).as(s"${tag}_rq"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as(s"${tag}_ramt"))
+      li.filter(chan &&
+          (year(col("l_shipdate")) === 1995 ||
+            year(col("l_shipdate")) === 1996))
+        .join(rets, col("l_orderkey") === col(s"${tag}_rord") &&
+          col("l_partkey") === col(s"${tag}_rpart"), "left_outer")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .select(year(col("l_shipdate")).as("yr"), col("p_brand").as("brand"),
+          col("p_type").as("ptype"),
+          (dec(col("l_quantity")) -
+            coalesce(col(s"${tag}_rq"), dec(lit(0)))).as("cnt_d"),
+          (dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
+            coalesce(col(s"${tag}_ramt"), dec(lit(0)))).as("amt_d"))
+    }
+    channel(0, "ss").unionAll(channel(1, "ws")).unionAll(channel(2, "cs"))
+      .groupBy(col("brand"), col("ptype"))
+      .agg(
+        sum(when(col("yr") === 1995, col("cnt_d"))).cast(DoubleType)
+          .as("prev_cnt"),
+        sum(when(col("yr") === 1996, col("cnt_d"))).cast(DoubleType)
+          .as("curr_cnt"),
+        sum(when(col("yr") === 1995, col("amt_d"))).cast(DoubleType)
+          .as("prev_amt"),
+        sum(when(col("yr") === 1996, col("amt_d"))).cast(DoubleType)
+          .as("curr_amt"))
+      .filter(col("prev_cnt") > 0 && col("curr_cnt") / col("prev_cnt") < 0.9)
+      .select(col("brand"), col("ptype"), col("prev_cnt"), col("curr_cnt"),
+        (col("curr_cnt") - col("prev_cnt")).as("cnt_diff"),
+        (col("curr_amt") - col("prev_amt")).as("amt_diff"))
+      .orderBy(col("cnt_diff"), col("brand"), col("ptype"))
+      .limit(100)
+  }
+
+  private def qds75ChannelSql(m: Int): String =
+    s"""SELECT CAST(strftime(l_shipdate, '%Y') AS INT) AS yr,
+       |    p_brand AS brand, p_type AS ptype,
+       |    SUM(CAST(l_quantity AS DECIMAL(28,6))
+       |      - COALESCE(rq, 0)) AS cnt,
+       |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))
+       |      - COALESCE(ramt, 0)) AS amt
+       |  FROM lineitem
+       |    LEFT JOIN (
+       |      SELECT l_orderkey AS rord, l_partkey AS rpart,
+       |        SUM(CAST(l_quantity AS DECIMAL(28,6))) AS rq,
+       |        SUM(CAST(l_extendedprice * (1 - l_discount)
+       |          AS DECIMAL(28,6))) AS ramt
+       |      FROM lineitem
+       |      WHERE l_linenumber % 3 = $m AND l_returnflag = 'R'
+       |      GROUP BY 1, 2) r
+       |      ON l_orderkey = rord AND l_partkey = rpart
+       |    JOIN part ON l_partkey = p_partkey
+       |  WHERE l_linenumber % 3 = $m
+       |    AND CAST(strftime(l_shipdate, '%Y') AS INT) IN (1995, 1996)
+       |  GROUP BY 1, 2, 3""".stripMargin
+
+  val qds75Sql: String =
+    s"""WITH allc AS (
+       |  ${qds75ChannelSql(0)}
+       |UNION ALL
+       |  ${qds75ChannelSql(1)}
+       |UNION ALL
+       |  ${qds75ChannelSql(2)}),
+       |tot AS (
+       |  SELECT yr, brand, ptype,
+       |    CAST(SUM(cnt) AS DOUBLE) AS cnt, CAST(SUM(amt) AS DOUBLE) AS amt
+       |  FROM allc GROUP BY 1, 2, 3)
+       |SELECT c.brand, c.ptype,
+       |  p.cnt AS prev_cnt, c.cnt AS curr_cnt,
+       |  c.cnt - p.cnt AS cnt_diff, c.amt - p.amt AS amt_diff
+       |FROM tot c JOIN tot p
+       |  ON c.brand = p.brand AND c.ptype = p.ptype
+       |WHERE c.yr = 1996 AND p.yr = 1995
+       |  AND p.cnt > 0 AND c.cnt / p.cnt < 0.9
+       |ORDER BY cnt_diff, c.brand, c.ptype
+       |LIMIT 100""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds39_inventory_cov" -> (qds39InventoryCov _, qds39Sql),
+    "qds75_yoy_decline" -> (qds75YoyDecline _, qds75Sql),
     "qds28_band_distinct" -> (qds28BandStats _, qds28Sql),
     "qds47_monthly_deviation" -> (qds47MonthlyDeviation _, qds47Sql),
     "qds78_noreturn_ratio" -> (qds78NoReturnRatio _, qds78Sql),

@@ -101,6 +101,49 @@ class AlignAggExchangeSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("sort-merge-join branch: two aggregates self-joined on a SUBSET " +
+      "of their group keys run on one exchange per side") {
+    // the q39 family without bucketing: agg by (suppkey, returnflag),
+    // self-join on suppkey alone — Spark's default re-shuffles both
+    // aggregated streams on the join key (4 exchanges); aligned, each
+    // side's aggregate exchange is keyed on suppkey directly (2)
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    def side(rf: String, tag: String): DataFrame =
+      li.filter(col("l_returnflag") === rf)
+        .groupBy(col("l_suppkey").as(s"${tag}_sk"),
+          col("l_linestatus").as(s"${tag}_ls"))
+        .agg(sum(col("l_quantity")).as(s"${tag}_q"))
+    val df = side("R", "a").join(side("N", "b"),
+        col("a_sk") === col("b_sk"))
+      .select(col("a_sk"), col("a_ls"), col("b_ls"), col("a_q"), col("b_q"))
+    // force the sort-merge path: at sf0.001 the aggregated sides would
+    // broadcast, and the rule targets the shuffle-join shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ex = try {
+      val p0 = df.queryExecution.executedPlan
+      shuffles(p0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    val p = ex.mkString("\n")
+    assert(ex.length == 2, s"expected one exchange per side:\n$p")
+    for (e <- ex) {
+      val keys = e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.AttributeReference].name)
+      assert(keys == Seq("l_suppkey"), s"exchange keys: $keys\n$p")
+      assert(allNodes(e.child).exists(_.isInstanceOf[BaseAggregateExec]),
+        s"partial aggregate missing below an aligned exchange:\n$p")
+    }
+    // parity against the rule-off plan
+    val expected = {
+      spark.conf.set("spark.graft.alignAggExchange.enabled", "false")
+      try df.orderBy(col("a_sk"), col("a_ls"), col("b_ls")).collect()
+      finally spark.conf.unset("spark.graft.alignAggExchange.enabled")
+    }
+    assert(df.orderBy(col("a_sk"), col("a_ls"), col("b_ls")).collect()
+      .toSeq == expected.toSeq)
+  }
+
   test("window partition keys outside the grouping set leave the plan " +
       "untouched") {
     // P ⊄ G: partition by an aggregated VALUE column — never aligned

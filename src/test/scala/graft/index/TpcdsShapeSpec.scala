@@ -466,6 +466,41 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 3, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
+  test("qds39_inventory_cov: moment aggregates AND the consecutive-month " +
+      "self-join all ride the suppkey buckets — ZERO exchanges in the " +
+      "whole plan") {
+    val p = planOf("qds39_inventory_cov")
+    val idx = indexScans(p)
+    assert(idx.count(_.contains("accel_ci_li_suppqty")) >= 2,
+      s"both month sides must serve from accel_ci_li_suppqty: $idx\n$p")
+    assert(shuffles(p) == 0, s"expected a zero-exchange plan:\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the month-to-month self-join re-shuffled:\n$p")
+  }
+
+  test("qds75_yoy_decline: the literal two-level aggregate + year " +
+      "self-join collapses to ONE exchange — channels union row-level, " +
+      "years pivot into conditional sums, composite-key return gates and " +
+      "the part joins all ride the partkey buckets") {
+    val p = planOf("qds75_yoy_decline")
+    val idx = indexScans(p)
+    assert(idx.count(_.contains("accel_ci_li_partchan")) >= 6,
+      s"all channel legs must serve from accel_ci_li_partchan: $idx\n$p")
+    assert(idx.count(_.contains("accel_ci_part_attr")) >= 3,
+      s"the part joins must serve from accel_ci_part_attr: $idx\n$p")
+    // per channel: the composite-key no-return join (partkey-subset
+    // co-partitioning) AND the part join, each zero-shuffle
+    assert(zeroShuffleJoins(p).size >= 6,
+      s"expected ≥6 zero-shuffle joins, got ${zeroShuffleJoins(p).size}:\n$p")
+    assert(shuffles(p) <= 1, s"exchange count regressed: ${shuffles(p)}\n$p")
+    // the fact is never read outside the index: no raw lineitem scan
+    assert(!allNodes(p).exists {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      case _ => false
+    }, s"a channel leg fell back to the raw fact:\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
