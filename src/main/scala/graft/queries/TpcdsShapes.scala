@@ -1602,7 +1602,185 @@ object TpcdsShapes {
        |ORDER BY cnt_diff, c.brand, c.ptype
        |LIMIT 100""".stripMargin
 
+  /**
+   * TPC-DS q34/q73 shape (reference tpcds/queries/q34.sql, q73.sql):
+   * orders with an unusual number of lines — GROUP BY order, HAVING the
+   * count in a band, then join back to the order and its customer for
+   * display columns. The count aggregate groups on the fact's own
+   * bucket key, so it runs with NO exchange straight off the
+   * orderkey-bucketed index; the orders join rides the same buckets;
+   * only the customer join re-keys (one exchange), and the customer
+   * side serves bucketed. ONE exchange end to end.
+   */
+  def qds34CountGate(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liJoin)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow)
+    ensureIndex(spark, sfDir, AccelIndexes.custDim)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val cnt = li.groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+      .filter(col("cnt") >= 8 && col("cnt") <= 11)
+    cnt.join(Tables.load(spark, sfDir, "orders"),
+        col("k") === col("o_orderkey"))
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey").as("orderkey"), col("cnt"))
+      .orderBy(col("c_name"), col("orderkey"))
+      .limit(200)
+  }
+
+  val qds34Sql: String =
+    s"""WITH cnts AS (
+       |  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM lineitem GROUP BY 1 HAVING COUNT(*) BETWEEN 8 AND 11)
+       |SELECT c_name, o_orderkey AS orderkey, cnt
+       |FROM cnts
+       |  JOIN orders ON k = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |ORDER BY c_name, orderkey
+       |LIMIT 200""".stripMargin
+
+  /**
+   * TPC-DS q17 shape (reference tpcds/queries/q17.sql): items bought,
+   * returned, and bought AGAIN by the same customer later — a
+   * triple-fact chain (sales ⋈ returns on the sale's key, then the
+   * repurchase by (customer, item) with a later date), with quantity
+   * statistics per brand. Mapped: returns are 'R' lines with the
+   * customer from orders; repurchases are any same-(custkey, partkey)
+   * line on a later order date.
+   *
+   * Scale design: both fact legs ride the orderkey-bucketed pair
+   * (lineitem ⋈ orders zero-shuffle), re-key ONCE to the
+   * (custkey, partkey) pair grain, and — the load-bearing choice — the
+   * part dim joins AFTER pre-aggregation to partkey grain, so the dim
+   * join processes |parts| rows, not |pairs| (at 100 TB the dim is not
+   * broadcastable and joining it against the raw pair stream would
+   * shuffle the fact an extra time). Brand totals re-aggregate exact
+   * decimal partial sums, so the two-level aggregation is
+   * hash-identical to the oracle's direct GROUP BY brand.
+   */
+  def qds17RepurchaseStats(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liQty)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val ord = Tables.load(spark, sfDir, "orders")
+    def salesLines(tag: String): DataFrame =
+      Tables.load(spark, sfDir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as(s"${tag}_ck"),
+          col("l_partkey").as(s"${tag}_pk"),
+          col("l_quantity").as(s"${tag}_q"),
+          col("o_orderdate").as(s"${tag}_d"),
+          col("l_returnflag").as(s"${tag}_rf"))
+    val rets = salesLines("r").filter(col("r_rf") === "R")
+    val repur = salesLines("s")
+    val pairs = repur.join(rets,
+      col("s_ck") === col("r_ck") && col("s_pk") === col("r_pk") &&
+        col("s_d") > col("r_d"))
+    val perPart = pairs.groupBy(col("s_pk"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_q").cast(DecimalType(28, 6))).as("sq"),
+        sum(col("r_q").cast(DecimalType(28, 6))).as("rq"))
+    perPart
+      .join(Tables.load(spark, sfDir, "part"),
+        col("s_pk") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(col("n")).cast(LongType).as("pairs"),
+        (sum(col("sq")).cast(DoubleType) /
+          sum(col("n")).cast(DoubleType)).as("avg_repurchase_qty"),
+        (sum(col("rq")).cast(DoubleType) /
+          sum(col("n")).cast(DoubleType)).as("avg_return_qty"))
+      .orderBy(col("brand"))
+      .limit(100)
+  }
+
+  val qds17Sql: String =
+    s"""WITH sales AS (
+       |  SELECT o_custkey AS ck, l_partkey AS pk, l_quantity AS q,
+       |    o_orderdate AS d, l_returnflag AS rf
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT p_brand AS brand,
+       |  CAST(COUNT(*) AS BIGINT) AS pairs,
+       |  CAST(SUM(CAST(s.q AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_repurchase_qty,
+       |  CAST(SUM(CAST(r.q AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS avg_return_qty
+       |FROM sales s
+       |  JOIN sales r ON s.ck = r.ck AND s.pk = r.pk AND s.d > r.d
+       |  JOIN part ON s.pk = p_partkey
+       |WHERE r.rf = 'R'
+       |GROUP BY 1
+       |ORDER BY brand
+       |LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q2 shape (reference tpcds/queries/q2.sql): weekly revenue
+   * pivoted to day-of-week columns, this year's week ratioed against
+   * the SAME week next year — TPC-DS spells it as a self-join of the
+   * weekly CTE on `week_seq = week_seq2 - 53`, a COMPUTED join key no
+   * bucket layout can serve (the oracle keeps that literal form, and
+   * the week_seq mapping `(yr-1995)*53 + wk` makes the +53 offset
+   * exactly "same ISO week, next year"). The engine form pivots the
+   * year axis too: ONE aggregate over one scan computes all 14
+   * conditional sums (7 days × 2 years), so the whole query is one
+   * exchange and the offset join disappears — the hash match proves
+   * pivot ≡ offset-self-join. Day-of-week is Spark `dayofweek`
+   * (1=Sunday); the oracle uses DuckDB `dayofweek()+1` to match.
+   */
+  def qds2WeekPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val yr = year(col("l_shipdate"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    def daySum(y: Int, d: Int) =
+      sum(when(yr === y && dayofweek(col("l_shipdate")) === d,
+        rev.cast(DecimalType(28, 6)))).cast(DoubleType)
+    val days = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+    val aggs = days.zipWithIndex.flatMap { case (nm, i) =>
+      Seq(daySum(1995, i + 1).as(s"${nm}1"), daySum(1996, i + 1).as(s"${nm}2"))
+    } ++ Seq(
+      // presence guards: the literal form's INNER self-join drops weeks
+      // entirely absent in either year — the pivot must too
+      count(when(yr === 1995, lit(1))).as("n1"),
+      count(when(yr === 1996, lit(1))).as("n2"))
+    li.filter(yr === 1995 || yr === 1996)
+      .groupBy(weekofyear(col("l_shipdate")).as("wk"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("wk") +:
+        days.map(nm => (col(s"${nm}2") / col(s"${nm}1")).as(s"${nm}_ratio")): _*)
+      .orderBy(col("wk"))
+      .limit(100)
+  }
+
+  val qds2Sql: String = {
+    val days = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+    val daySums = days.zipWithIndex.map { case (nm, i) =>
+      s"""SUM(CASE WHEN dayofweek(l_shipdate) + 1 = ${i + 1}
+         |      THEN CAST(l_extendedprice * (1 - l_discount)
+         |        AS DECIMAL(28,6)) END) AS $nm""".stripMargin
+    }.mkString(",\n    ")
+    val ratios = days
+      .map(nm => s"CAST(y2.$nm AS DOUBLE) / CAST(y1.$nm AS DOUBLE) AS ${nm}_ratio")
+      .mkString(",\n  ")
+    s"""WITH wk AS (
+       |  SELECT (CAST(strftime(l_shipdate, '%Y') AS INT) - 1995) * 53
+       |      + weekofyear(l_shipdate) AS week_seq,
+       |    $daySums
+       |  FROM lineitem
+       |  WHERE CAST(strftime(l_shipdate, '%Y') AS INT) IN (1995, 1996)
+       |  GROUP BY 1)
+       |SELECT y1.week_seq AS wk,
+       |  $ratios
+       |FROM wk y1 JOIN wk y2 ON y1.week_seq = y2.week_seq - 53
+       |ORDER BY wk
+       |LIMIT 100""".stripMargin
+  }
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds34_count_gate" -> (qds34CountGate _, qds34Sql),
+    "qds17_repurchase_stats" -> (qds17RepurchaseStats _, qds17Sql),
+    "qds2_week_pivot" -> (qds2WeekPivot _, qds2Sql),
     "qds39_inventory_cov" -> (qds39InventoryCov _, qds39Sql),
     "qds75_yoy_decline" -> (qds75YoyDecline _, qds75Sql),
     "qds28_band_distinct" -> (qds28BandStats _, qds28Sql),

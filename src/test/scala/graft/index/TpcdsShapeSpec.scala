@@ -501,6 +501,54 @@ class TpcdsShapeSpec extends AnyFunSuite {
     }, s"a channel leg fell back to the raw fact:\n$p")
   }
 
+  test("qds34_count_gate: the per-order count aggregate AND the orders " +
+      "join ride the orderkey buckets — only the customer re-key " +
+      "exchanges") {
+    val p = planOf("qds34_count_gate")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the counts⋈orders join re-shuffled:\n$p")
+    assert(shuffles(p) <= 1, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds17_repurchase_stats: both fact legs (sales⋈orders, " +
+      "returns⋈orders) ride the orderkey pair zero-shuffle; the part " +
+      "dim joins AFTER the partkey pre-aggregation") {
+    val p = planOf("qds17_repurchase_stats")
+    assert(zeroShuffleJoins(p).size >= 2,
+      s"fact legs re-shuffled, got ${zeroShuffleJoins(p).size}:\n$p")
+    // 2 intrinsic (custkey, partkey) re-keys + pk agg + brand agg (+ the
+    // part-side alignment at mismatched bucket counts)
+    assert(shuffles(p) <= 5, s"exchange count regressed: ${shuffles(p)}\n$p")
+    // the dim join's fact side is the PRE-AGGREGATED per-part stream:
+    // the part scan must sit above the per-part aggregate in the tree
+    val smjWithPart = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if allNodes(j).exists {
+            case s: FileSourceScanExec =>
+              s.relation.location.rootPaths.exists(_.toString.contains("part_attr"))
+            case _ => false
+          } => j
+    }
+    assert(smjWithPart.nonEmpty &&
+      smjWithPart.forall(j => allNodes(j).exists {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.groupingExpressions.size == 1
+        case _ => false
+      }),
+      s"part dim joined below the pre-aggregation:\n$p")
+  }
+
+  test("qds2_week_pivot: the offset self-join disappears — ONE scan, " +
+      "one exchange, 14 conditional sums in a single aggregate") {
+    val p = planOf("qds2_week_pivot")
+    val scans = allNodes(p).collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"expected ONE scan, got ${scans.size}:\n$p")
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("l_extendedprice", "l_discount", "l_shipdate"),
+      s"scan reads ${scans.head.requiredSchema.fieldNames.mkString(",")}:\n$p")
+    assert(shuffles(p) <= 1, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
