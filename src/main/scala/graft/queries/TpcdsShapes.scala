@@ -1777,7 +1777,123 @@ object TpcdsShapes {
        |LIMIT 100""".stripMargin
   }
 
+  /**
+   * TPC-DS q38 shape (reference tpcds/queries/q38.sql): customers
+   * active in ALL THREE channels in one year — a triple INTERSECT of
+   * distinct customer sets, counted. The literal form (kept by the
+   * oracle) is a scale hazard twice over: Catalyst plans INTERSECT as
+   * null-safe left-semi joins over distincts, and
+   * PushDownLeftSemiAntiJoin then pushes one channel's semi join BELOW
+   * another channel's orders join — un-bucketing that leg and
+   * shuffling orders on the semi key and back (the qds64 double-shuffle
+   * hazard, now via a set operation). The engine form eliminates the
+   * set ops entirely: ONE pass over the joined fact pivots per-customer
+   * channel PRESENCE into three conditional flags, filters all-present,
+   * and counts — one fact read instead of three, two exchanges (the
+   * custkey aggregate and the single-row count), no semi joins to
+   * push anywhere. The hash match proves presence-pivot ≡ INTERSECT.
+   */
+  def qds38IntersectChannels(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val chan = pmod(col("l_linenumber"), lit(3))
+    li.filter(year(col("l_shipdate")) === 1995)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(chan === 0, lit(1))).as("c0"),
+        max(when(chan === 1, lit(1))).as("c1"),
+        max(when(chan === 2, lit(1))).as("c2"))
+      .filter(col("c0") === 1 && col("c1") === 1 && col("c2") === 1)
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+  }
+
+  val qds38Sql: String = {
+    def chan(m: Int) =
+      s"""SELECT o_custkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_linenumber % 3 = $m
+         |    AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995""".stripMargin
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |  ${chan(0)}
+       |INTERSECT
+       |  ${chan(1)}
+       |INTERSECT
+       |  ${chan(2)})""".stripMargin
+  }
+
+  /**
+   * TPC-DS q58 shape (reference tpcds/queries/q58.sql): items whose
+   * revenue is BALANCED across all three channels — each channel's
+   * revenue within ±30% of the three-channel average. TPC-DS (and the
+   * oracle here) spells it as three per-channel aggregate CTEs joined
+   * pairwise on the item with band predicates — three scans and a
+   * three-way join. The engine form is ONE aggregate: three conditional
+   * channel sums in a single pass over the partkey-bucketed index, so
+   * the whole query — aggregation, presence gate, band filter, top-k —
+   * plans with ZERO exchanges. Band math runs in IEEE doubles cast from
+   * exact decimal sums, identically ordered on both sides.
+   */
+  def qds58ChannelBand(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(28, 6))
+    def chanSum(m: Int) =
+      sum(when(pmod(col("l_linenumber"), lit(3)) === m, rev))
+    val banded = li.filter(year(col("l_shipdate")) === 1995)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(chanSum(0).as("r0"), chanSum(1).as("r1"), chanSum(2).as("r2"))
+      .filter(col("r0").isNotNull && col("r1").isNotNull &&
+        col("r2").isNotNull)
+      .select(col("partkey"),
+        col("r0").cast(DoubleType).as("store_rev"),
+        col("r1").cast(DoubleType).as("web_rev"),
+        col("r2").cast(DoubleType).as("catalog_rev"))
+      .withColumn("average",
+        (col("store_rev") + col("web_rev") + col("catalog_rev")) / 3)
+    Seq("store_rev", "web_rev", "catalog_rev")
+      .foldLeft(banded)((df, c) =>
+        df.filter(col(c) >= lit(0.7) * col("average") &&
+          col(c) <= lit(1.3) * col("average")))
+      .orderBy(col("partkey"))
+      .limit(200)
+  }
+
+  val qds58Sql: String = {
+    def chanCte(m: Int, nm: String) =
+      s"""$nm AS (
+         |  SELECT l_partkey AS pk,
+         |    SUM(CAST(l_extendedprice * (1 - l_discount)
+         |      AS DECIMAL(28,6))) AS rev
+         |  FROM lineitem
+         |  WHERE l_linenumber % 3 = $m
+         |    AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH ${chanCte(0, "ss")},
+       |${chanCte(1, "ws")},
+       |${chanCte(2, "cs")},
+       |j AS (
+       |  SELECT ss.pk AS partkey,
+       |    CAST(ss.rev AS DOUBLE) AS store_rev,
+       |    CAST(ws.rev AS DOUBLE) AS web_rev,
+       |    CAST(cs.rev AS DOUBLE) AS catalog_rev
+       |  FROM ss JOIN ws ON ss.pk = ws.pk JOIN cs ON ss.pk = cs.pk),
+       |b AS (
+       |  SELECT *, (store_rev + web_rev + catalog_rev) / 3 AS average
+       |  FROM j)
+       |SELECT partkey, store_rev, web_rev, catalog_rev, average
+       |FROM b
+       |WHERE store_rev >= 0.7 * average AND store_rev <= 1.3 * average
+       |  AND web_rev >= 0.7 * average AND web_rev <= 1.3 * average
+       |  AND catalog_rev >= 0.7 * average AND catalog_rev <= 1.3 * average
+       |ORDER BY partkey
+       |LIMIT 200""".stripMargin
+  }
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds38_intersect_channels" -> (qds38IntersectChannels _, qds38Sql),
+    "qds58_channel_band" -> (qds58ChannelBand _, qds58Sql),
     "qds34_count_gate" -> (qds34CountGate _, qds34Sql),
     "qds17_repurchase_stats" -> (qds17RepurchaseStats _, qds17Sql),
     "qds2_week_pivot" -> (qds2WeekPivot _, qds2Sql),

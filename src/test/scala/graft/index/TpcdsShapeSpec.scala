@@ -549,6 +549,32 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 1, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
+  test("qds38_intersect_channels: the presence-pivot reads the fact " +
+      "ONCE (the literal triple INTERSECT reads it three times and " +
+      "semi-pushdown un-buckets a leg), joins zero-shuffle, and only " +
+      "the custkey aggregate + single-row count exchange") {
+    val p = planOf("qds38_intersect_channels")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the lineitem⋈orders leg re-shuffled:\n$p")
+    val liScans = allNodes(p).collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("li_chan")) => s
+    }
+    assert(liScans.size == 1,
+      s"expected ONE fact scan, got ${liScans.size}:\n$p")
+    assert(shuffles(p) <= 2, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds58_channel_band: the literal form's three scans + three-way " +
+      "join collapse to ONE bucketed scan and ZERO exchanges") {
+    val p = planOf("qds58_channel_band")
+    val scans = allNodes(p).collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1 && scans.head.relation.location.rootPaths
+        .exists(_.toString.contains("accel_ci_li_partchan")),
+      s"expected exactly one partkey-bucketed scan:\n$p")
+    assert(shuffles(p) == 0, s"expected a zero-exchange plan:\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
