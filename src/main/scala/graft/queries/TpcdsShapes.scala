@@ -1891,7 +1891,53 @@ object TpcdsShapes {
        |LIMIT 200""".stripMargin
   }
 
+  /**
+   * TPC-DS q94 shape (reference tpcds/queries/q94.sql): urgent orders
+   * shipped in a year where some OTHER line shipped from a different
+   * supplier (EXISTS self-probe) and NO line was returned (NOT EXISTS
+   * self-probe) — COUNT(DISTINCT order) + total price. Runs through
+   * spark.sql because EXISTS/NOT EXISTS have no DataFrame form; the
+   * probes are FACT-side self-probes on the fact's own key, the shape
+   * ExistsIndexRule accelerates as the LeftSemi/LeftAnti joins Catalyst
+   * forms after the pre-CBO batch (qds35 covered the dim-outer case;
+   * this is the fact-outer one, plus a distinct aggregate on top).
+   */
+  def qds94ShippedNotReturned(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liShip)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3Prio)
+    Tables.load(spark, sfDir, "lineitem")
+      .createOrReplaceTempView("qds94_lineitem")
+    Tables.load(spark, sfDir, "orders")
+      .createOrReplaceTempView("qds94_orders")
+    spark.sql(
+      s"""SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders,
+         |  ${sqlMoneySum("l1.l_extendedprice")} AS total_price
+         |FROM qds94_lineitem l1 JOIN qds94_orders ON l1.l_orderkey = o_orderkey
+         |WHERE CAST(year(l1.l_shipdate) AS INT) = 1995
+         |  AND o_orderpriority = '1-URGENT'
+         |  AND EXISTS (SELECT 1 FROM qds94_lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM qds94_lineitem l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_returnflag = 'R')""".stripMargin)
+  }
+
+  val qds94Sql: String =
+    s"""SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders,
+       |  ${sqlMoneySum("l1.l_extendedprice")} AS total_price
+       |FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+       |WHERE CAST(strftime(l1.l_shipdate, '%Y') AS INT) = 1995
+       |  AND o_orderpriority = '1-URGENT'
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_returnflag = 'R')""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds94_shipped_not_returned" -> (qds94ShippedNotReturned _, qds94Sql),
     "qds38_intersect_channels" -> (qds38IntersectChannels _, qds38Sql),
     "qds58_channel_band" -> (qds58ChannelBand _, qds58Sql),
     "qds34_count_gate" -> (qds34CountGate _, qds34Sql),

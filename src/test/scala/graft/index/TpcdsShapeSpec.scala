@@ -577,6 +577,23 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) == 0, s"expected a zero-exchange plan:\n$p")
   }
 
+  test("qds94_shipped_not_returned: both fact self-probes plan as the " +
+      "semi/anti joins ExistsIndexRule serves bucketed (the <> residual " +
+      "stays on the semi join); only the outer re-key and the one-row " +
+      "distinct aggregate exchange") {
+    val p = planOf("qds94_shipped_not_returned")
+    val idx = indexScans(p)
+    assert(idx.count(_.contains("accel_ci_li_ship")) >= 2,
+      s"both probes must serve from accel_ci_li_ship: $idx\n$p")
+    assert(idx.exists(_.contains("accel_ci_ord_snow3prio")),
+      s"orders leg not index-served: $idx\n$p")
+    val joinTypes = allNodes(p).collect {
+      case j: SortMergeJoinExec => j.joinType.toString }
+    assert(joinTypes.contains("LeftSemi") && joinTypes.contains("LeftAnti"),
+      s"probes did not plan as semi/anti joins: $joinTypes\n$p")
+    assert(shuffles(p) <= 2, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
