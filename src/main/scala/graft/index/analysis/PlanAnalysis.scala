@@ -184,9 +184,64 @@ object PlanAnalysis {
     if (reasons.isEmpty)
       reasons ++= (applied.toSeq.sorted match {
         case Seq() => Seq(Outscored())
-        case names => names.map(AnotherIndexApplied(_))
+        case names => names.map(winner =>
+          interestingOrderTie(e, winner, leaves, candidates, plan, resolver)
+            .getOrElse(AnotherIndexApplied(winner)))
       })
     reasons.distinct.toSeq
+  }
+
+  /** When a covering index lost to a same-relation winner bucketed on
+    * DIFFERENT columns, explain the loss in interesting-orders terms:
+    * the clustering demand ancestors place on each bucket layout (the
+    * tie-break ScoreBasedOptimizer actually applies). Returns None when
+    * the comparison doesn't apply (different relations, same bucket
+    * columns, or no demand difference) — the generic
+    * ANOTHER_INDEX_APPLIED stays. */
+  private def interestingOrderTie(
+      e: IndexLogEntry,
+      winner: String,
+      leaves: Seq[SourceLeaf],
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]],
+      plan: LogicalPlan,
+      resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Option[Reason] = {
+    val loserDesc = e.descriptor match {
+      case d: graft.index.covering.CoveringIndexDescriptor => d
+      case _ => return None
+    }
+    for {
+      leaf <- leaves.find(l => candidates.get(l.plan).exists(ms =>
+        ms.exists(_.entry.name == e.name) &&
+          ms.exists(_.entry.name == winner)))
+      wDesc <- candidates(leaf.plan).find(_.entry.name == winner)
+        .map(_.entry.descriptor).collect {
+          case d: graft.index.covering.CoveringIndexDescriptor => d
+        }
+      if !wDesc.indexedColumns.zipAll(loserDesc.indexedColumns, "", "")
+        .forall { case (a, b) => resolver(a, b) }
+      demand = demandAbove(plan, leaf.plan)
+      wDemand = wDesc.indexedColumns
+        .map(c => demand.collect { case (n, k) if resolver(n, c) => k }.sum).sum
+      lDemand = loserDesc.indexedColumns
+        .map(c => demand.collect { case (n, k) if resolver(n, c) => k }.sum).sum
+      if wDemand > lDemand
+    } yield InterestingOrderTie(winner, wDesc.indexedColumns, wDemand,
+      loserDesc.indexedColumns, lDemand)
+  }
+
+  /** Clustering demand (join equi-keys, grouping keys, window partition
+    * keys, counted) accumulated along the ancestor path from the plan
+    * root down to the leaf — the same derives() the optimizer threads. */
+  private def demandAbove(
+      plan: LogicalPlan, leaf: LogicalPlan): Map[String, Int] = {
+    def dfs(p: LogicalPlan, acc: Map[String, Int]): Option[Map[String, Int]] =
+      if (p.fastEquals(leaf)) Some(acc)
+      else {
+        val next = graft.index.rules.ScoreBasedOptimizer.derives(p)
+          .foldLeft(acc)((m, n) => m.updated(n, m.getOrElse(n, 0) + 1))
+        p.children.view.flatMap(c => dfs(c, next)).headOption
+      }
+    dfs(plan, Map.empty).getOrElse(Map.empty)
   }
 
   /** Why the file sets kept this index out of the candidate list: the
@@ -278,12 +333,20 @@ object PlanAnalysis {
                 else None).flatten
             }
           }
-          val jr = joins.flatMap(joinReasons(spark, _, leaf, d, candidates, resolver))
-          val er = probes.flatMap { case (f, (_, innerPlan, pairs)) =>
-            existsReasons(spark, f, innerPlan, pairs, leaf, d,
-              candidates, resolver)
+          val jrs = joins.map(joinReasons(spark, _, leaf, d, candidates, resolver))
+          // an involved join with ZERO blocking reasons means this index
+          // COULD have served — the real explanation is then the
+          // fallback (another index applied / interesting-order tie),
+          // not the other routes' noise
+          if (jrs.exists(_.contains(Nil))) Nil
+          else {
+            val jr = jrs.flatten.flatten
+            val er = probes.flatMap { case (f, (_, innerPlan, pairs)) =>
+              existsReasons(spark, f, innerPlan, pairs, leaf, d,
+                candidates, resolver)
+            }
+            fr ++ jr ++ er
           }
-          fr ++ jr ++ er
         }
       case d: ZOrderIndexDescriptor =>
         if (!m.isExact) Seq(ZOrderRequiresExactMatch())
@@ -398,44 +461,58 @@ object PlanAnalysis {
   /** Join-specific reasons for why `d` (an index over `leaf`, one side of
     * `j`) did not produce a join rewrite — reference granularity:
     * JoinIndexRule eligibility checks surfaced one by one. */
+  /** None = this join doesn't involve the indexed relation;
+    * Some(Nil) = the index is VIABLE for this join (any non-application
+    * is a ranking outcome, not a shape defect); Some(reasons) = blocked.
+    * Key checks are SUBSET-AWARE, mirroring the rules: an index bucketed
+    * on a strict subset of the keys still co-locates the join
+    * (keyMappingFor), unless the session conf forbids it. */
   private def joinReasons(
       spark: SparkSession,
       j: Join,
       leaf: LogicalPlan,
       d: CoveringIndexDescriptor,
       candidates: Map[LogicalPlan, Seq[CandidateMatch]],
-      resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Seq[Reason] = {
+      resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Option[Seq[Reason]] = {
+    import graft.index.rules.JoinIndexRule.keyMappingFor
+    val allowSubset = graft.index.rules.JoinIndexRule.subsetKeysAllowed(spark)
     val lLeaf = linearLeaf(j.left, candidates)
     val rLeaf = linearLeaf(j.right, candidates)
     val mySide =
       if (lLeaf.exists(_.fastEquals(leaf))) "left"
       else if (rLeaf.exists(_.fastEquals(leaf))) "right"
-      else return Nil // this join doesn't involve the indexed relation
+      else return None // this join doesn't involve the indexed relation
     if (!graft.index.rules.JoinIndexRule.rewritableJoinType(j.joinType))
-      return Seq(NotEligibleJoin(s"join type is ${j.joinType}; the " +
+      return Some(Seq(NotEligibleJoin(s"join type is ${j.joinType}; the " +
         "rewrite covers Inner/LeftSemi/LeftAnti/LeftOuter/RightOuter/" +
-        "FullOuter"))
+        "FullOuter")))
     val pairs = equiPairs(j) match {
-      case Left(why) => return Seq(NotEligibleJoin(why))
+      case Left(why) => return Some(Seq(NotEligibleJoin(why)))
       case Right(ps) => ps
     }
-    val myKeys =
-      (if (mySide == "left") pairs.map(_._1) else pairs.map(_._2))
-        .map(_.name).distinct
-    // this index must be bucketed on exactly this side's keys
+    val myKeyAttrs =
+      (if (mySide == "left") pairs.map(_._1) else pairs.map(_._2)).distinct
+    val myKeys = myKeyAttrs.map(_.name)
+    // bucketed on this side's keys — or an admissible subset of them
     val keyReasons: Seq[Reason] =
-      if (!myKeys.forall(k => d.indexedColumns.exists(resolver(_, k))) ||
-          d.indexedColumns.size != myKeys.size) {
-        if (myKeys.forall(k => d.indexedColumns.exists(resolver(_, k))))
-          Seq(NotAllJoinColIndexed(mySide, myKeys, d.indexedColumns))
-        else Seq(MissingIndexedCol(mySide, myKeys, d.indexedColumns))
-      } else Nil
+      if (keyMappingFor(d.indexedColumns, myKeyAttrs, resolver,
+          allowSubset).isDefined) Nil
+      else if (myKeys.forall(k => d.indexedColumns.exists(resolver(_, k))))
+        Seq(NotAllJoinColIndexed(mySide, myKeys, d.indexedColumns))
+      else Seq(MissingIndexedCol(mySide, myKeys, d.indexedColumns))
+    // and it must COVER every column the side needs from the relation
+    val mySubtree = if (mySide == "left") j.left else j.right
+    val myNeeded =
+      graft.index.rules.JoinIndexRule.neededColumns(mySubtree, leaf)
+    val coverReasons: Seq[Reason] =
+      if (graft.index.rules.Coverage.covers(
+          d.referencedColumns, myNeeded, resolver)) Nil
+      else Seq(MissingRequiredCol(myNeeded, d.referencedColumns))
     // the other side needs its own eligible covering index
     val otherSide = if (mySide == "left") "right" else "left"
     val otherLeaf = if (mySide == "left") rLeaf else lLeaf
-    val otherKeys =
-      (if (mySide == "left") pairs.map(_._2) else pairs.map(_._1))
-        .map(_.name).distinct
+    val otherKeyAttrs =
+      (if (mySide == "left") pairs.map(_._2) else pairs.map(_._1)).distinct
     val otherCovering = otherLeaf.toSeq
       .flatMap(l => candidates.getOrElse(l, Nil))
       .map(_.entry.descriptor)
@@ -444,10 +521,14 @@ object PlanAnalysis {
       if (otherLeaf.isEmpty || otherCovering.isEmpty)
         Seq(NoAvailJoinIndexPair(otherSide))
       else if (!otherCovering.exists(cd =>
-          cd.indexedColumns.size == otherKeys.size &&
-            otherKeys.forall(k => cd.indexedColumns.exists(resolver(_, k)))))
+          keyMappingFor(cd.indexedColumns, otherKeyAttrs, resolver,
+            allowSubset).isDefined))
         Seq(NoCompatibleJoinIndexPair())
       else Nil
-    keyReasons ++ pairReasons
+    // a missing PAIR only blocks the two-sided rule —
+    // JoinOneSideIndexRule serves a key-compatible covering index alone
+    // (the other side re-shuffles to match), so keys + coverage = viable
+    if (keyReasons.isEmpty && coverReasons.isEmpty) Some(Nil)
+    else Some(keyReasons ++ coverReasons ++ pairReasons)
   }
 }

@@ -43,6 +43,15 @@ object Reasons {
       extends Reason("OUTSCORED") {
     def detail = "the original plan scored higher than any rewrite"
   }
+  final case class InterestingOrderTie(
+      appliedIndex: String, appliedCols: Seq[String], appliedDemand: Int,
+      cols: Seq[String], demand: Int)
+      extends Reason("LOST_INTERESTING_ORDER_TIE") {
+    def detail = s"eligible, but '$appliedIndex' is bucketed on " +
+      s"[${appliedCols.mkString(",")}] with ancestor clustering demand " +
+      s"$appliedDemand vs this index's [${cols.mkString(",")}] demand " +
+      s"$demand — downstream joins/groupBys ride the applied layout"
+  }
 
   // ------------------------------------------------- file-set / drift
   final case class SourceDataChanged()

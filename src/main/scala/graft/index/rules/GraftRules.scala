@@ -313,7 +313,7 @@ object JoinIndexRule extends GraftIndexRule {
     * m1_ord`) are computed ABOVE the scan — demanding the alias NAME
     * from the index (the old behavior) wrongly disqualified every
     * covering index under a renaming projection. */
-  private[rules] def neededColumns(plan: LogicalPlan,
+  private[index] def neededColumns(plan: LogicalPlan,
       rel: LogicalPlan): Seq[String] = {
     val refs = plan.collect { case p => p.references }.foldLeft(AttributeSet.empty)(_ ++ _)
     (refs ++ plan.outputSet).filter(rel.outputSet.contains)
@@ -423,7 +423,7 @@ object JoinIndexRule extends GraftIndexRule {
     * claim is withheld rather than inviting a double shuffle. The q93
     * shape is the motivating case: sales⋈returns on (orderkey, partkey)
     * over orderkey-bucketed indexes lost acceleration entirely. */
-  private[rules] def keyMappingFor(
+  private[index] def keyMappingFor(
       indexedCols: Seq[String],
       keyAttrs: Seq[AttributeReference],
       resolver: Resolver,
@@ -443,7 +443,7 @@ object JoinIndexRule extends GraftIndexRule {
 
   /** Whether the session accepts subset co-partitioning (see
     * [[keyMappingFor]]). */
-  private[rules] def subsetKeysAllowed(spark: SparkSession): Boolean =
+  private[index] def subsetKeysAllowed(spark: SparkSession): Boolean =
     !spark.sessionState.conf
       .getConfString("spark.sql.requireAllClusterKeysForCoPartition", "true")
       .toBoolean
@@ -788,8 +788,9 @@ object ScoreBasedOptimizer {
 
   /** Columns a node makes interesting FOR ITS CHILDREN. Names, not
     * exprIds: index matching is by column name and the signal is a
-    * preference, so name-level fuzz through renames is acceptable. */
-  private def derives(p: LogicalPlan): Set[String] = p match {
+    * preference, so name-level fuzz through renames is acceptable.
+    * (private[index]: PlanAnalysis re-derives demand for whyNot.) */
+  private[index] def derives(p: LogicalPlan): Set[String] = p match {
     case j: Join =>
       j.condition.toSeq.flatMap(JoinIndexRule.splitConjuncts).flatMap {
         case EqualTo(a: AttributeReference, b: AttributeReference) =>

@@ -31,7 +31,7 @@ final case class CandidateMatch(
   * uses the SESSION resolver — under spark.sql.caseSensitive=true the two
   * must agree or a rule can claim a case-variant column it cannot
   * produce, breaking the rewritten plan past ApplyGraft's fail-safe. */
-private[rules] object Coverage {
+private[index] object Coverage {
   def covers(refCols: Seq[String], needed: Seq[String],
       resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Boolean =
     needed.forall(n => refCols.exists(rc => resolver(rc, n)))

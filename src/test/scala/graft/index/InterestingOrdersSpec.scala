@@ -101,6 +101,18 @@ class InterestingOrdersSpec extends AnyFunSuite {
       s"fact legs should all ride orderkey buckets, served from: $names")
   }
 
+  test("whyNot explains the loss in interesting-orders terms: the " +
+      "orderkey twin is ELIGIBLE but lost the ancestor-demand tie") {
+    assert(corpusReady)
+    val part = graft.Tables.load(spark, TestSpark.sfDir, "part")
+    val df = wideAgg(noReturnGate()
+      .join(part, col("l_partkey") === col("p_partkey")), col("p_brand"))
+    val report = new graft.Graft(spark).whyNot(df, "accel_ci_li_chan")
+    assert(report.contains("LOST_INTERESTING_ORDER_TIE") &&
+        report.contains("l_partkey") && report.contains("l_orderkey"),
+      s"expected the demand-tie explanation, got:\n$report")
+  }
+
   test("no ancestor signal: legs still land coherently on ONE twin " +
       "(canonical bucket-column order)") {
     assert(corpusReady)
