@@ -452,7 +452,50 @@ object Relational3 {
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /**
+   * Month-over-month supplier quantity delta over RAW parquet — the
+   * end-to-end oracle for [[graft.execution.AlignAggExchange]]'s JOIN
+   * branch: per-(supplier, month) aggregates self-joined on supplier
+   * alone (P ⊂ G), with a threshold filter and rename between the
+   * aggregate and the join, exactly the chain the rule peels. With no
+   * index in play the rule re-keys each side's aggregate exchange onto
+   * l_suppkey and drops the join's re-shuffles: two exchanges total, and
+   * this row proves result parity under the rewrite against DuckDB.
+   */
+  def qMonthDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    def month(m: Int, tag: String): DataFrame =
+      li.filter(year(col("l_shipdate")) === 1995 &&
+          org.apache.spark.sql.functions.month(col("l_shipdate")) === m)
+        .groupBy(col("l_suppkey").as(s"${tag}_sk"))
+        .agg(moneySum(col("l_quantity")).as(s"${tag}_q"),
+          count(lit(1)).cast(LongType).as(s"${tag}_n"))
+        .filter(col(s"${tag}_n") >= 2)
+    month(3, "a").join(month(4, "b"), col("a_sk") === col("b_sk"))
+      .select(col("a_sk").as("suppkey"), col("a_q"), col("b_q"),
+        (col("b_q") - col("a_q")).as("delta"))
+      .orderBy(col("suppkey"))
+      .limit(200)
+  }
+
+  val qMonthDeltaSql: String =
+    s"""WITH m AS (
+       |  SELECT l_suppkey AS sk,
+       |    CAST(strftime(l_shipdate, '%m') AS INT) AS moy,
+       |    ${sqlMoneySum("l_quantity")} AS q,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM lineitem
+       |  WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+       |    AND CAST(strftime(l_shipdate, '%m') AS INT) IN (3, 4)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       |SELECT a.sk AS suppkey, a.q AS a_q, b.q AS b_q, b.q - a.q AS delta
+       |FROM m a JOIN m b ON a.sk = b.sk
+       |WHERE a.moy = 3 AND b.moy = 4
+       |ORDER BY suppkey
+       |LIMIT 200""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_month_delta_align" -> (qMonthDelta _, qMonthDeltaSql),
     "q_salted_join" -> (qSaltedJoin _, qSaltedJoinSql),
     "q2_top_supplier_per_part" -> (q2TopSupplierPerPart _, q2Sql),
     "q7_volume_shipping" -> (q7VolumeShipping _, q7Sql),

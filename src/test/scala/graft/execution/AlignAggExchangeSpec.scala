@@ -144,6 +144,32 @@ class AlignAggExchangeSpec extends AnyFunSuite {
       .toSeq == expected.toSeq)
   }
 
+  test("a threshold Filter and rename between the consumer and the " +
+      "final aggregate are peeled — the chain shape real queries have") {
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    def side(rf: String, tag: String): DataFrame =
+      li.filter(col("l_returnflag") === rf)
+        .groupBy(col("l_suppkey").as(s"${tag}_sk"),
+          col("l_linestatus").as(s"${tag}_ls"))
+        .agg(count(lit(1)).as(s"${tag}_n"))
+        .filter(col(s"${tag}_n") >= 1) // post-aggregate threshold
+        .select(col(s"${tag}_sk").as(s"${tag}_k"), col(s"${tag}_ls"),
+          col(s"${tag}_n")) // rename above the filter
+    val df = side("R", "a").join(side("N", "b"), col("a_k") === col("b_k"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ex = try shuffles(df.queryExecution.executedPlan)
+    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(ex.length == 2,
+      s"expected one aligned exchange per side:\n${ex.mkString("\n")}")
+    for (e <- ex) {
+      val keys = e.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.AttributeReference].name)
+      assert(keys == Seq("l_suppkey"), s"exchange keys: $keys")
+    }
+  }
+
   test("window partition keys outside the grouping set leave the plan " +
       "untouched") {
     // P ⊄ G: partition by an aggregated VALUE column — never aligned
