@@ -61,6 +61,16 @@ class AlignAggExchangeSpec extends AnyFunSuite {
       s"window still re-shuffles the aggregated stream:\n$p")
   }
 
+  test("AQE re-planning does not re-insert the removed exchange: the " +
+      "EXECUTED final plan still has exactly one") {
+    val df = monthlyWindowed()
+    df.collect() // materialize every stage so AQE re-optimizes fully
+    val p = df.queryExecution.executedPlan
+    assert(p.toString.contains("isFinalPlan=true"), s"AQE did not run:\n$p")
+    assert(shuffles(p).length == 1,
+      s"AQE re-planning re-inserted an exchange:\n$p")
+  }
+
   test("results are identical with the rule disabled") {
     val expected = {
       spark.conf.set("spark.graft.alignAggExchange.enabled", "false")
