@@ -47,7 +47,37 @@ object PlanAnalysis {
       sb.append("\n=== Physical plan with indexes ===\n")
         .append(withQe.executedPlan.toString)
     }
-    sb.toString
+    render(spark, sb.toString, applied)
+  }
+
+  /** Display-mode rendering for explain output (reference:
+    * plananalysis/DisplayMode.scala:24-90 — plaintext / html / console
+    * modes with overridable highlight tags, re-derived Spark-first as
+    * session confs). Every occurrence of an applied index's name is
+    * highlighted — including inside the plan's scan Locations, which is
+    * how a reader spots the swapped-in index scans. Plaintext is the
+    * default and, with no applied indexes, renders byte-identical to
+    * the raw text. */
+  private def render(
+      spark: SparkSession, raw: String, applied: Seq[String]): String = {
+    def conf(k: String, dflt: String): String =
+      spark.sessionState.conf.getConfString(s"spark.graft.explain.$k", dflt)
+    val htmlBold = "<b style=\"background:LightGreen\">"
+    val (open, close, nl, beginEnd) =
+      conf("displayMode", "plaintext").toLowerCase match {
+        case "html" => (htmlBold, "</b>", "<br>", ("<pre>", "</pre>"))
+        case "console" => (Console.GREEN_B, Console.RESET, "\n", ("", ""))
+        case _ => ("<----", "---->", "\n", ("", ""))
+      }
+    val (hb, he) = (conf("displayMode.highlight.beginTag", ""),
+      conf("displayMode.highlight.endTag", ""))
+    val tag = if (hb.nonEmpty && he.nonEmpty) (hb, he) else (open, close)
+    val highlighted =
+      if (applied.isEmpty) raw
+      else applied.foldLeft(raw)((t, n) => t.replace(n, tag._1 + n + tag._2))
+    // plaintext/console keep real newlines; html swaps them
+    val body = if (nl == "\n") highlighted else highlighted.replace("\n", nl)
+    beginEnd._1 + body + beginEnd._2
   }
 
   /** Physical-operator count comparison between the accelerated and

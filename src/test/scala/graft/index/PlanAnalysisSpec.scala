@@ -55,6 +55,37 @@ class PlanAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("explain display modes: plaintext highlights the applied index, " +
+      "html wraps and swaps newlines, console uses ANSI, custom tags " +
+      "override (reference DisplayMode.scala parity)") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_dm", Seq("l_orderkey"), Seq("l_quantity")))
+      val q = lineitem.filter(col("l_orderkey") === 1L)
+        .select(col("l_orderkey"), col("l_quantity"))
+      // plaintext default: reference's <---- ----> markers
+      assert(g.explain(q).contains("<----pa_dm---->"))
+      def withConf[A](kvs: (String, String)*)(f: => A): A = {
+        kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try f finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+      }
+      val html = withConf(
+        "spark.graft.explain.displayMode" -> "html")(g.explain(q))
+      assert(html.startsWith("<pre>") && html.endsWith("</pre>") &&
+        html.contains("<b style=\"background:LightGreen\">pa_dm</b>") &&
+        html.contains("<br>") && !html.contains("\n"))
+      val console = withConf(
+        "spark.graft.explain.displayMode" -> "console")(g.explain(q))
+      assert(console.contains(Console.GREEN_B + "pa_dm" + Console.RESET))
+      val custom = withConf(
+        "spark.graft.explain.displayMode" -> "html",
+        "spark.graft.explain.displayMode.highlight.beginTag" -> "[[",
+        "spark.graft.explain.displayMode.highlight.endTag" -> "]]")(
+        g.explain(q))
+      assert(custom.contains("[[pa_dm]]"))
+    }
+  }
+
   test("whyNot reports APPLIED for used index") {
     withGraft { g =>
       g.createIndex(lineitem,
