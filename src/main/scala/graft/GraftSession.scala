@@ -35,6 +35,15 @@ object GraftSession {
       // `true` re-shuffles BOTH 100 TB sides on the full key for a skew
       // guard the bounded per-key fan-out doesn't need
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // covering indexes are written bucketed AND sorted, one file per
+      // bucket — claiming the scan's sort order drops the per-leg
+      // SortExec under every bucketed sort-merge join (a full pass over
+      // the fact at 100 TB). Spark gates the claim behind this flag
+      // only because the ≤1-file-per-bucket check costs a listing; it
+      // verifies that invariant itself, so refreshed/hybrid legs with
+      // multiple files per bucket just decline the claim and keep their
+      // Sort (SortedIndexScanSpec pins both directions)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.extensions", "graft.GraftSparkExtension")
     if (master != null) b.master(master) else b
   }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -17,8 +18,21 @@ import graft.TestSpark
  * should run on ONE exchange, keyed on the window's partition columns,
  * with map-side partial aggregation on the full G intact below it.
  */
-class AlignAggExchangeSpec extends AnyFunSuite {
+class AlignAggExchangeSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
+
+  // this suite pins PURE-Spark plan shapes; another suite in the same
+  // shared session may have built the index corpus, whose rewrites
+  // (e.g. a bucket-served aggregate) would change the exchange counts
+  // the assertions here reason about — scope the opt-out to this suite
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(graft.index.GraftConf.ApplyEnabledKey, "false")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset(graft.index.GraftConf.ApplyEnabledKey)
+    super.afterAll()
+  }
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
