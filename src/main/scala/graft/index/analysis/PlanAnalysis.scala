@@ -72,9 +72,12 @@ object PlanAnalysis {
     val (hb, he) = (conf("displayMode.highlight.beginTag", ""),
       conf("displayMode.highlight.endTag", ""))
     val tag = if (hb.nonEmpty && he.nonEmpty) (hb, he) else (open, close)
+    // longest name first: an applied name that prefixes another
+    // ("idx" / "idx2") must not split the longer one's highlight
     val highlighted =
       if (applied.isEmpty) raw
-      else applied.foldLeft(raw)((t, n) => t.replace(n, tag._1 + n + tag._2))
+      else applied.sortBy(-_.length)
+        .foldLeft(raw)((t, n) => t.replace(n, tag._1 + n + tag._2))
     // plaintext/console keep real newlines; html swaps them
     val body = if (nl == "\n") highlighted else highlighted.replace("\n", nl)
     beginEnd._1 + body + beginEnd._2
@@ -363,7 +366,7 @@ object PlanAnalysis {
                 else None).flatten
             }
           }
-          val jrs = joins.map(joinReasons(spark, _, leaf, d, candidates, resolver))
+          val jrs = joins.map(joinReasons(spark, _, leaf, m, d, candidates, resolver))
           // an involved join with ZERO blocking reasons means this index
           // COULD have served — the real explanation is then the
           // fallback (another index applied / interesting-order tie),
@@ -501,6 +504,7 @@ object PlanAnalysis {
       spark: SparkSession,
       j: Join,
       leaf: LogicalPlan,
+      m: CandidateMatch,
       d: CoveringIndexDescriptor,
       candidates: Map[LogicalPlan, Seq[CandidateMatch]],
       resolver: org.apache.spark.sql.catalyst.analysis.Resolver): Option[Seq[Reason]] = {
@@ -555,10 +559,15 @@ object PlanAnalysis {
             allowSubset).isDefined))
         Seq(NoCompatibleJoinIndexPair())
       else Nil
+    // delete drift blocks the join rules unless lineage allows hybrid —
+    // mirror their coveringEligible gate so a drift-blocked index is not
+    // reported as a mere ranking loss
+    val driftOk = m.isExact || m.deleted.isEmpty || d.hasLineage
     // a missing PAIR only blocks the two-sided rule —
     // JoinOneSideIndexRule serves a key-compatible covering index alone
     // (the other side re-shuffles to match), so keys + coverage = viable
-    if (keyReasons.isEmpty && coverReasons.isEmpty) Some(Nil)
-    else Some(keyReasons ++ coverReasons ++ pairReasons)
+    if (keyReasons.isEmpty && coverReasons.isEmpty && driftOk) Some(Nil)
+    else Some(keyReasons ++ coverReasons ++
+      (if (driftOk) Nil else Seq(NoDeleteSupport())) ++ pairReasons)
   }
 }
