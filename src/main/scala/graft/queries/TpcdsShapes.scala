@@ -1936,7 +1936,95 @@ object TpcdsShapes {
        |    WHERE l3.l_orderkey = l1.l_orderkey
        |      AND l3.l_returnflag = 'R')""".stripMargin
 
+  /**
+   * TPC-DS q49 shape (reference tpcds/queries/q49.sql): per channel,
+   * the worst return ratios — items ranked by quantity-return ratio AND
+   * by amount-return ratio, keeping rank ≤ 10 on either metric, union
+   * across channels. The literal form (kept by the oracle) is three
+   * channel subqueries, each scanning the fact and ranking GLOBALLY;
+   * the engine form is ONE conditional aggregate over the
+   * partkey-bucketed index (zero-exchange, as qds58) with the two rank
+   * windows PARTITIONED BY the channel tag — channels are disjoint, so
+   * per-channel partitioned ranks ≡ each subquery's global rank, and
+   * the single window exchange carries only the per-(channel, item)
+   * aggregate, never the fact. Rank ties are load-bearing here: every
+   * fully-returned item ties at ratio 1.0, so RANK (not row_number)
+   * semantics must match the oracle exactly.
+   */
+  def qds49WorstReturnRatios(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(28, 6))
+    val isR = col("l_returnflag") === "R"
+    val agg = li.filter(year(col("l_shipdate")) === 1995)
+      .groupBy(pmod(col("l_linenumber"), lit(3)).as("chan"),
+        col("l_partkey").as("pk"))
+      .agg(
+        coalesce(sum(when(isR, dec(col("l_quantity")))).cast(DoubleType),
+          lit(0.0)).as("rq"),
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sq"),
+        coalesce(sum(when(isR, dec(col("l_extendedprice"))))
+          .cast(DoubleType), lit(0.0)).as("ramt"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("samt"))
+      .select(col("chan"), col("pk"),
+        (col("rq") / col("sq")).as("qty_ratio"),
+        (col("ramt") / col("samt")).as("amt_ratio"))
+    val byChan = Window.partitionBy(col("chan"))
+    agg
+      .withColumn("qty_rank",
+        rank().over(byChan.orderBy(col("qty_ratio").desc)))
+      .withColumn("amt_rank",
+        rank().over(byChan.orderBy(col("amt_ratio").desc)))
+      .filter(col("qty_rank") <= 10 || col("amt_rank") <= 10)
+      .select(col("chan"), col("pk").as("partkey"),
+        col("qty_ratio"), col("amt_ratio"),
+        col("qty_rank").cast(LongType).as("qty_rank"),
+        col("amt_rank").cast(LongType).as("amt_rank"))
+      .orderBy(col("chan"), col("qty_rank"), col("amt_rank"), col("partkey"))
+      .limit(100)
+  }
+
+  private def qds49ChannelSql(m: Int): String =
+    s"""SELECT $m AS chan, pk AS partkey, qty_ratio, amt_ratio,
+       |    CAST(RANK() OVER (ORDER BY qty_ratio DESC) AS BIGINT)
+       |      AS qty_rank,
+       |    CAST(RANK() OVER (ORDER BY amt_ratio DESC) AS BIGINT)
+       |      AS amt_rank
+       |  FROM (
+       |    SELECT l_partkey AS pk,
+       |      COALESCE(CAST(SUM(CASE WHEN l_returnflag = 'R'
+       |        THEN CAST(l_quantity AS DECIMAL(28,6)) END) AS DOUBLE), 0.0)
+       |        / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+       |        AS qty_ratio,
+       |      COALESCE(CAST(SUM(CASE WHEN l_returnflag = 'R'
+       |        THEN CAST(l_extendedprice AS DECIMAL(28,6)) END)
+       |        AS DOUBLE), 0.0)
+       |        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+       |          AS DOUBLE) AS amt_ratio
+       |    FROM lineitem
+       |    WHERE l_linenumber % 3 = $m
+       |      AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+       |    GROUP BY 1)""".stripMargin
+
+  val qds49Sql: String =
+    s"""SELECT * FROM (
+       |  SELECT * FROM (
+       |${qds49ChannelSql(0)}) c0
+       |  WHERE qty_rank <= 10 OR amt_rank <= 10
+       |UNION ALL
+       |  SELECT * FROM (
+       |${qds49ChannelSql(1)}) c1
+       |  WHERE qty_rank <= 10 OR amt_rank <= 10
+       |UNION ALL
+       |  SELECT * FROM (
+       |${qds49ChannelSql(2)}) c2
+       |  WHERE qty_rank <= 10 OR amt_rank <= 10)
+       |ORDER BY chan, qty_rank, amt_rank, partkey
+       |LIMIT 100""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds49_worst_return_ratios" -> (qds49WorstReturnRatios _, qds49Sql),
     "qds94_shipped_not_returned" -> (qds94ShippedNotReturned _, qds94Sql),
     "qds38_intersect_channels" -> (qds38IntersectChannels _, qds38Sql),
     "qds58_channel_band" -> (qds58ChannelBand _, qds58Sql),

@@ -594,6 +594,21 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 2, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
+  test("qds49_worst_return_ratios: ONE bucketed scan feeds the " +
+      "conditional channel aggregate zero-exchange; the rank windows " +
+      "re-key only the per-(channel, item) aggregate, never the fact") {
+    val p = planOf("qds49_worst_return_ratios")
+    val scans = allNodes(p).collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1 && scans.head.relation.location.rootPaths
+        .exists(_.toString.contains("accel_ci_li_partchan")),
+      s"expected exactly one partkey-bucketed scan:\n$p")
+    // the only exchange hashes the channel tag for the windows
+    assert(shuffles(p) <= 1, s"exchange count regressed: ${shuffles(p)}\n$p")
+    val ws = allNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.size >= 2, s"expected both rank windows:\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
