@@ -2191,7 +2191,10 @@ object IcebergTable {
 
   /** Band `rows` across up to `maxShards` executor tasks keyed on
     * `bandCols`, write ONE SORTED parquet delete file per non-empty
-    * band into `dataDir`, and return the descriptors only — the
+    * WRITE TASK into `dataDir` (the repartition hashes the band value a
+    * second time to pick the task, so distinct bands may co-locate —
+    * a data file's positions still always land in exactly one file,
+    * sorted), and return the descriptors only — the
     * distributed shape of the Delta DV write (`DeltaLog`'s executor-
     * side bitmap writes): delete positions/keys never funnel through a
     * single task or the driver. `maxShards <= 1` degenerates to the

@@ -162,11 +162,34 @@ class IcebergMetaSpec extends AnyFunSuite {
     // 8 data files so the positions shard across file_path bands
     IcebergTable.create(customer.repartition(8), loc)
     assert(IcebergMeta.snapshot(spark, loc).files.size == 8)
+    // the writer bands positions on pmod(hash(file_path), maxShards),
+    // and `repartition(maxShards, _graft_band)` then hashes the BAND
+    // VALUE again to pick the write task — so distinct bands can
+    // co-locate and the file count is the number of distinct
+    // pmod(hash(band), maxShards) values, not distinct bands (with few
+    // files this occasionally collapses to ONE task, which is why a
+    // bare `>= 2` flaked). Recompute the exact expected count from this
+    // run's actual (random, UUID-named) file paths with the same
+    // two-level expression: deterministic by construction.
+    val priorPaths = IcebergMeta.snapshot(spark, loc).files
+      .map(_.path.replaceFirst("^file:/+", "/"))
+    val maxShards = math.min(spark.sessionState.conf.numShufflePartitions,
+      priorPaths.size)
+    val expectedBands = {
+      import spark.implicits._
+      priorPaths.toDF("file_path")
+        .select(pmod(hash(pmod(hash(col("file_path")), lit(maxShards))),
+          lit(maxShards)).as("task"))
+        .distinct().count().toInt
+    }
     IcebergTable.deleteWhere(spark, loc, col("c_custkey") % 2 === 0)
     val snap = IcebergMeta.snapshot(spark, loc)
     val dels = snap.deleteFiles.filter(_.content == 1)
-    assert(dels.size >= 2,
-      s"expected the delete write banded across files, got ${dels.size} file(s)")
+    assert(dels.size == expectedBands,
+      s"expected the delete write banded into $expectedBands file(s) " +
+        s"(from ${priorPaths.size} data files over $maxShards bands), " +
+        s"got ${dels.size}: ${dels.map(_.path).mkString(", ")}")
+
     // each band is internally sorted by (file_path, pos) per the spec
     dels.foreach { d =>
       val rows = spark.read.parquet(d.path)
