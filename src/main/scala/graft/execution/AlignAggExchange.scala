@@ -80,7 +80,9 @@ class AlignAggExchange(spark: SparkSession) extends Rule[SparkPlan] {
 
   private def enabled: Boolean = spark.conf
     .getOption("spark.graft.alignAggExchange.enabled")
-    .forall(_.toBoolean)
+    // a malformed value ("yes") must degrade to the default, not throw
+    // from AQE stage prep and fail every query in the session
+    .forall(v => scala.util.Try(v.toBoolean).getOrElse(true))
 
   override def apply(plan: SparkPlan): SparkPlan =
     if (!enabled) plan

@@ -72,12 +72,19 @@ object PlanAnalysis {
     val (hb, he) = (conf("displayMode.highlight.beginTag", ""),
       conf("displayMode.highlight.endTag", ""))
     val tag = if (hb.nonEmpty && he.nonEmpty) (hb, he) else (open, close)
-    // longest name first: an applied name that prefixes another
-    // ("idx" / "idx2") must not split the longer one's highlight
+    // one single-pass alternation, longest name first: each text region
+    // is tagged at most once, so a shorter applied name that happens to
+    // be a prefix/substring of a longer one ("idx" / "idx2_join") can
+    // never re-match inside the longer name's already-inserted tags
     val highlighted =
       if (applied.isEmpty) raw
-      else applied.sortBy(-_.length)
-        .foldLeft(raw)((t, n) => t.replace(n, tag._1 + n + tag._2))
+      else {
+        val alt = applied.sortBy(-_.length)
+          .map(scala.util.matching.Regex.quote).mkString("|")
+        alt.r.replaceAllIn(raw,
+          m => scala.util.matching.Regex.quoteReplacement(
+            tag._1 + m.matched + tag._2))
+      }
     // plaintext/console keep real newlines; html swaps them
     val body = if (nl == "\n") highlighted else highlighted.replace("\n", nl)
     beginEnd._1 + body + beginEnd._2

@@ -96,6 +96,17 @@ class AlignAggExchangeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(actual.toSeq == expected.toSeq)
   }
 
+  test("malformed enabled-conf value degrades to the default instead of " +
+      "failing every query from AQE stage prep") {
+    spark.conf.set("spark.graft.alignAggExchange.enabled", "yes")
+    try {
+      // must neither throw nor disable: "yes" is unparseable, the rule
+      // falls back to its default (on) and the aligned plan still lands
+      val p = monthlyWindowed().queryExecution.executedPlan
+      assert(shuffles(p).length == 1, s"expected the aligned plan:\n$p")
+    } finally spark.conf.unset("spark.graft.alignAggExchange.enabled")
+  }
+
   test("disabled conf keeps Spark's two-exchange plan") {
     spark.conf.set("spark.graft.alignAggExchange.enabled", "false")
     try {

@@ -86,6 +86,26 @@ class PlanAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-colliding applied names highlight each region exactly " +
+      "once — no nested tags from a shorter name re-matching inside a " +
+      "longer one") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_pfx", Seq("l_orderkey"), Seq("l_quantity")))
+      g.createIndex(orders,
+        CoveringIndexConfig("pa_pfx_ord", Seq("o_orderkey"), Seq("o_totalprice")))
+      val q = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      val out = g.explain(q)
+      // both names are applied and highlighted
+      assert(out.contains("<----pa_pfx---->"), out.take(400))
+      assert(out.contains("<----pa_pfx_ord---->"), out.take(400))
+      // the shorter name must never tag INSIDE the longer name's tags
+      assert(!out.contains("<----<----"), "nested highlight tags:\n" +
+        out.linesIterator.filter(_.contains("<----<----")).mkString("\n"))
+    }
+  }
+
   test("whyNot reports APPLIED for used index") {
     withGraft { g =>
       g.createIndex(lineitem,
