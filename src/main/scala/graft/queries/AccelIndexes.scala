@@ -131,6 +131,14 @@ private[queries] object AccelIndexes {
     "accel_ci_li_suppqty", Seq("l_suppkey"),
     Seq("l_quantity", "l_shipdate"))
 
+  // the q31/q59-shape store leg: suppkey-bucketed with the channel
+  // discriminator, the money columns, and the ship date, so the
+  // per-(supplier, quarter) and per-(supplier, week) pivots AND their
+  // cross-period self-joins ride one bucket layout shuffle-free
+  val liSuppChan: Entry = "lineitem" -> CoveringIndexConfig(
+    "accel_ci_li_suppchan", Seq("l_suppkey"),
+    Seq("l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"))
+
   // ---- dims
   val suppDim: Entry = "supplier" -> CoveringIndexConfig(
     "accel_ci_supp_dim", Seq("s_suppkey"), Seq("s_name"))
@@ -149,7 +157,7 @@ private[queries] object AccelIndexes {
     * needs a bucket-count override under the same system path. */
   val all: Seq[Entry] = Seq(
     li, liJoin, liSupp, liBySupp, liShip, liByPart, liRev, liWide,
-    liInv, liQty, liChan, liPartChan, liSuppQty, zoLi, dsLi,
+    liInv, liQty, liChan, liPartChan, liSuppQty, liSuppChan, zoLi, dsLi,
     ordJoin, ordSnow, ordSnow3, ordAgg, ordByCust, ordPrio, ordSnow3Prio,
     cust, custNat, custDim, custSeg, custFull,
     suppDim, suppNat, partDim, partAttr, nationDim)

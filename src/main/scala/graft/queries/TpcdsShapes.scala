@@ -2023,7 +2023,228 @@ object TpcdsShapes {
        |ORDER BY chan, qty_rank, amt_rank, partkey
        |LIMIT 100""".stripMargin
 
+  /**
+   * TPC-DS q31 shape (reference tpcds/queries/q31.sql): per-county
+   * store/web quarterly sales, self-joined six ways across quarters to
+   * keep counties whose web growth outpaced store growth in BOTH q1→q2
+   * and q2→q3. Mapped: county → supplier, the two channels are
+   * l_linenumber parity classes. The oracle keeps TPC-DS's literal
+   * six-CTE-leg join; the engine form pivots the CHANNEL axis into
+   * conditional sums — one (supplier, quarter) grain aggregate instead
+   * of two — which halves the fact passes, while the QUARTER axis
+   * deliberately stays a self-join: an aggregate self-joined on a
+   * SUBSET of its grouping keys is the q31 stress itself. Indexed, each
+   * quarter leg aggregates shuffle-free on the suppkey buckets
+   * (grouping ⊇ bucket key, computed qoy admitted) and the two joins
+   * ride subset-key co-partitioning — ZERO exchanges end-to-end.
+   * Un-indexed, the same shape is AlignAggExchange's SortMergeJoin
+   * branch at TPC-DS scale: the rule re-keys each leg's aggregate
+   * exchange onto suppkey and the join's consumer exchanges vanish
+   * (pinned in AlignAggExchangeSpec).
+   */
+  def qds31QuarterGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liSuppChan)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val yr = year(col("l_shipdate"))
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(28, 6))
+    val chan = pmod(col("l_linenumber"), lit(2))
+    val base = li
+      .filter(yr === 1995 && quarter(col("l_shipdate")) <= 3)
+      .groupBy(col("l_suppkey").as("sk"),
+        quarter(col("l_shipdate")).as("qoy"))
+      .agg(sum(when(chan === 0, rev)).cast(DoubleType).as("ss"),
+        sum(when(chan === 1, rev)).cast(DoubleType).as("ws"))
+    def leg(q: Int) = base.filter(col("qoy") === q)
+      .select(col("sk").as(s"sk$q"), col("ss").as(s"ss$q"),
+        col("ws").as(s"ws$q"))
+    leg(1)
+      .join(leg(2), col("sk1") === col("sk2"))
+      .join(leg(3), col("sk1") === col("sk3"))
+      .filter(
+        (when(col("ws1") > 0, col("ws2") / col("ws1"))
+          > when(col("ss1") > 0, col("ss2") / col("ss1"))) &&
+        (when(col("ws2") > 0, col("ws3") / col("ws2"))
+          > when(col("ss2") > 0, col("ss3") / col("ss2"))))
+      .select(col("sk1").as("suppkey"),
+        (col("ws2") / col("ws1")).as("web_q1_q2"),
+        (col("ss2") / col("ss1")).as("store_q1_q2"),
+        (col("ws3") / col("ws2")).as("web_q2_q3"),
+        (col("ss3") / col("ss2")).as("store_q2_q3"))
+      .orderBy(col("suppkey"))
+      .limit(100)
+  }
+
+  val qds31Sql: String = {
+    def chanCte(m: Int, alias: String) =
+      s"""SELECT l_suppkey AS sk, quarter(l_shipdate) AS qoy,
+         |    ${sqlMoneySum("l_extendedprice * (1 - l_discount)")} AS $alias
+         |  FROM lineitem
+         |  WHERE l_linenumber % 2 = $m
+         |    AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+         |    AND quarter(l_shipdate) <= 3
+         |  GROUP BY 1, 2""".stripMargin
+    s"""WITH ss AS (
+       |  ${chanCte(0, "store_sales")}),
+       |ws AS (
+       |  ${chanCte(1, "web_sales")})
+       |SELECT ss1.sk AS suppkey,
+       |  ws2.web_sales / ws1.web_sales AS web_q1_q2,
+       |  ss2.store_sales / ss1.store_sales AS store_q1_q2,
+       |  ws3.web_sales / ws2.web_sales AS web_q2_q3,
+       |  ss3.store_sales / ss2.store_sales AS store_q2_q3
+       |FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+       |WHERE ss1.qoy = 1 AND ss2.qoy = 2 AND ss3.qoy = 3
+       |  AND ws1.qoy = 1 AND ws2.qoy = 2 AND ws3.qoy = 3
+       |  AND ss1.sk = ss2.sk AND ss2.sk = ss3.sk
+       |  AND ss1.sk = ws1.sk AND ws1.sk = ws2.sk AND ws1.sk = ws3.sk
+       |  AND (CASE WHEN ws1.web_sales > 0
+       |       THEN ws2.web_sales / ws1.web_sales END)
+       |    > (CASE WHEN ss1.store_sales > 0
+       |       THEN ss2.store_sales / ss1.store_sales END)
+       |  AND (CASE WHEN ws2.web_sales > 0
+       |       THEN ws3.web_sales / ws2.web_sales END)
+       |    > (CASE WHEN ss2.store_sales > 0
+       |       THEN ss3.store_sales / ss2.store_sales END)
+       |ORDER BY suppkey
+       |LIMIT 100""".stripMargin
+  }
+
+  /**
+   * TPC-DS q59 shape (reference tpcds/queries/q59.sql): the q2 weekly
+   * pivot WIDENED by the store dimension — per-(store, week) day-of-week
+   * sums, this year's week ratioed against the same week last year, the
+   * store name attached. Mapped: store → supplier (s_name), sales price
+   * → l_extendedprice. The oracle keeps the literal form — the wss CTE
+   * materialized once and self-joined on (store, week_seq − 53) through
+   * two store⋈date subqueries. The engine form pivots the year axis into
+   * per-day conditional sums with presence guards (the qds2 machinery
+   * under a second, wider shape): grouping (suppkey, week) rides the
+   * suppkey buckets shuffle-free — grouping ⊇ bucket key, the computed
+   * week admitted — the supplier dim broadcasts, and the whole query
+   * plans with ZERO exchanges where the literal form shuffles the fact
+   * twice and the week pair once.
+   */
+  def qds59WeekStorePivot(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liSuppChan)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val yr = year(col("l_shipdate"))
+    val price = col("l_extendedprice").cast(DecimalType(28, 6))
+    def daySum(y: Int, d: Int) =
+      sum(when(yr === y && dayofweek(col("l_shipdate")) === d, price))
+        .cast(DoubleType)
+    val days = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+    val aggs = days.zipWithIndex.flatMap { case (nm, i) =>
+      Seq(daySum(1995, i + 1).as(s"${nm}1"), daySum(1996, i + 1).as(s"${nm}2"))
+    } ++ Seq(
+      // presence guards: the literal INNER self-join keeps only weeks a
+      // store traded in BOTH years — the pivot must too
+      count(when(yr === 1995, lit(1))).as("n1"),
+      count(when(yr === 1996, lit(1))).as("n2"))
+    val wss = li.filter(yr === 1995 || yr === 1996)
+      .groupBy(col("l_suppkey").as("sk"),
+        weekofyear(col("l_shipdate")).as("wk"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n1") > 0 && col("n2") > 0)
+    wss
+      .join(Tables.load(spark, sfDir, "supplier"),
+        col("sk") === col("s_suppkey"))
+      .select(col("s_name").as("sname") +: col("sk").as("suppkey") +:
+        col("wk") +: days.map(nm =>
+          (col(s"${nm}2") / col(s"${nm}1")).as(s"${nm}_ratio")): _*)
+      .orderBy(col("sname"), col("suppkey"), col("wk"))
+      .limit(100)
+  }
+
+  val qds59Sql: String = {
+    val days = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+    val daySums = days.zipWithIndex.map { case (nm, i) =>
+      s"""CAST(SUM(CASE WHEN dayofweek(l_shipdate) + 1 = ${i + 1}
+         |      THEN CAST(l_extendedprice AS DECIMAL(28,6)) END)
+         |      AS DOUBLE) AS ${nm}_sales""".stripMargin
+    }.mkString(",\n    ")
+    val ratios = days
+      .map(nm => s"x.${nm}_sales / y.${nm}_sales AS ${nm}_ratio")
+      .mkString(",\n  ")
+    s"""WITH wss AS (
+       |  SELECT l_suppkey AS sk,
+       |    (CAST(strftime(l_shipdate, '%Y') AS INT) - 1995) * 53
+       |      + weekofyear(l_shipdate) AS week_seq,
+       |    $daySums
+       |  FROM lineitem
+       |  WHERE CAST(strftime(l_shipdate, '%Y') AS INT) IN (1995, 1996)
+       |  GROUP BY 1, 2)
+       |SELECT s.s_name AS sname, y.sk AS suppkey, y.week_seq AS wk,
+       |  $ratios
+       |FROM wss y
+       |  JOIN wss x ON y.sk = x.sk AND y.week_seq = x.week_seq - 53
+       |  JOIN supplier s ON y.sk = s.s_suppkey
+       |ORDER BY sname, suppkey, wk
+       |LIMIT 100""".stripMargin
+  }
+
+  /**
+   * TPC-DS q86 shape (reference tpcds/queries/q86.sql): ROLLUP over the
+   * category hierarchy feeding a rank-within-parent window, ordered by
+   * hierarchy level. Mapped: (i_category, i_class) → (p_brand, p_type),
+   * rank within brand — each brand's partition holds its detail rows
+   * AND its own subtotal (which ranks first), the NULL partition holds
+   * the grand total. The deliberate contrast with qds67: the window
+   * partitions on the PLAIN rollup output column, BEFORE any coalesce —
+   * so AlignAggExchange's alignment is value-correct and fires (the
+   * rollup exchange is re-keyed onto p_brand and the window's own
+   * exchange vanishes: ONE exchange end-to-end), where qds67's
+   * coalesce-over-rollup key is pinned to NEVER align. The sentinel
+   * coalesce happens only in the final projection, after the window.
+   */
+  def qds86RollupParentRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val agg = li.filter(year(col("l_shipdate")) === 1995)
+      .join(Tables.load(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .rollup(col("p_brand"), col("p_type"))
+      .agg(moneySum(rev).as("total_sum"),
+        (grouping(col("p_brand")) + grouping(col("p_type")))
+          .cast("int").as("lochierarchy"))
+    agg
+      .withColumn("rank_within_parent", rank().over(
+        Window.partitionBy(col("p_brand")).orderBy(col("total_sum").desc)))
+      .select(col("total_sum"),
+        coalesce(col("p_brand"), lit("ALL")).as("brand"),
+        coalesce(col("p_type"), lit("ALL")).as("ptype"),
+        col("lochierarchy"), col("rank_within_parent"))
+      .orderBy(col("lochierarchy").desc, col("brand"), col("ptype"))
+      .limit(100)
+  }
+
+  val qds86Sql: String =
+    s"""WITH agg AS (
+       |  SELECT p_brand, p_type,
+       |    CAST(GROUPING(p_brand) + GROUPING(p_type) AS INT)
+       |      AS lochierarchy,
+       |    ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")}
+       |      AS total_sum
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+       |  GROUP BY ROLLUP(p_brand, p_type))
+       |SELECT total_sum,
+       |  COALESCE(p_brand, 'ALL') AS brand,
+       |  COALESCE(p_type, 'ALL') AS ptype,
+       |  lochierarchy,
+       |  RANK() OVER (PARTITION BY p_brand ORDER BY total_sum DESC)
+       |    AS rank_within_parent
+       |FROM agg
+       |ORDER BY lochierarchy DESC, brand, ptype
+       |LIMIT 100""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds31_quarter_growth" -> (qds31QuarterGrowth _, qds31Sql),
+    "qds59_week_store_pivot" -> (qds59WeekStorePivot _, qds59Sql),
+    "qds86_rollup_parent_rank" -> (qds86RollupParentRank _, qds86Sql),
     "qds49_worst_return_ratios" -> (qds49WorstReturnRatios _, qds49Sql),
     "qds94_shipped_not_returned" -> (qds94ShippedNotReturned _, qds94Sql),
     "qds38_intersect_channels" -> (qds38IntersectChannels _, qds38Sql),

@@ -96,6 +96,60 @@ class AlignAggExchangeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(actual.toSeq == expected.toSeq)
   }
 
+  /** The TPC-DS q31 shape un-indexed: an aggregate grouped on
+    * (suppkey, quarter) self-joined three ways on suppkey alone — the
+    * SortMergeJoin branch under a REAL TPC-DS shape, not just the unit
+    * legs below. Spark plans six exchanges (each leg: one for the
+    * aggregate, one to re-key the join); the rule re-keys each leg's
+    * aggregate exchange onto the join key, halving it to three. */
+  private def q31Shape(): DataFrame = {
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val base = li
+      .filter(year(col("l_shipdate")) === 1995 &&
+        quarter(col("l_shipdate")) <= 3)
+      .groupBy(col("l_suppkey").as("sk"), quarter(col("l_shipdate")).as("qoy"))
+      .agg(sum(col("l_quantity")).as("q"))
+    def leg(q: Int) = base.filter(col("qoy") === q)
+      .select(col("sk").as(s"sk$q"), col("q").as(s"q$q"))
+    leg(1).join(leg(2), col("sk1") === col("sk2"))
+      .join(leg(3), col("sk1") === col("sk3"))
+  }
+
+  test("TPC-DS q31 shape: each quarter leg's aggregate exchange is " +
+      "re-keyed onto the join key — three exchanges, all on l_suppkey, " +
+      "instead of Spark's six") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = q31Shape().queryExecution.executedPlan
+      val ex = shuffles(p)
+      assert(ex.length == 3, s"expected THREE exchanges, got ${ex.length}:\n$p")
+      val keys = ex.map(_.outputPartitioning
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.AttributeReference].name))
+      assert(keys.forall(_ == Seq("l_suppkey")), s"exchange keys: $keys\n$p")
+      val unaligned = {
+        spark.conf.set("spark.graft.alignAggExchange.enabled", "false")
+        try shuffles(q31Shape().queryExecution.executedPlan).length
+        finally spark.conf.unset("spark.graft.alignAggExchange.enabled")
+      }
+      assert(unaligned == 6, s"Spark's default plan changed: $unaligned")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("TPC-DS q31 shape: results identical with the rule disabled") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def sorted(df: DataFrame) = df.orderBy(col("sk1")).collect().toSeq
+      val expected = {
+        spark.conf.set("spark.graft.alignAggExchange.enabled", "false")
+        try sorted(q31Shape())
+        finally spark.conf.unset("spark.graft.alignAggExchange.enabled")
+      }
+      assert(sorted(q31Shape()) == expected)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("malformed enabled-conf value degrades to the default instead of " +
       "failing every query from AQE stage prep") {
     spark.conf.set("spark.graft.alignAggExchange.enabled", "yes")

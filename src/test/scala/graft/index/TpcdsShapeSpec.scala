@@ -609,6 +609,56 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(ws.size >= 2, s"expected both rank windows:\n$p")
   }
 
+  test("qds31_quarter_growth: the channel pivot halves the fact passes; " +
+      "all three quarter legs aggregate shuffle-free on the suppkey " +
+      "buckets and the subset-key self-joins add no exchange — ZERO " +
+      "exchanges end-to-end") {
+    val p = planOf("qds31_quarter_growth")
+    val idx = indexScans(p)
+    assert(idx.count(_.contains("accel_ci_li_suppchan")) >= 3,
+      s"all three quarter legs must serve from accel_ci_li_suppchan: $idx\n$p")
+    assert(shuffles(p) == 0, s"expected a zero-exchange plan:\n$p")
+    assert(zeroShuffleJoins(p).size >= 2,
+      s"the quarter self-joins re-shuffled:\n$p")
+  }
+
+  test("qds59_week_store_pivot: the year self-join disappears into the " +
+      "pivot; the (store, week) aggregate rides the suppkey buckets and " +
+      "the supplier dim attaches without re-keying the aggregate") {
+    val p = planOf("qds59_week_store_pivot")
+    val idx = indexScans(p)
+    assert(idx.exists(_.contains("accel_ci_li_suppchan")),
+      s"the fact must serve from accel_ci_li_suppchan: $idx\n$p")
+    // the fact is scanned once — the literal form reads it twice
+    val factScans = allNodes(p).collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("accel_ci_li_")) => s
+    }
+    assert(factScans.size == 1,
+      s"expected ONE fact scan, got ${factScans.size}:\n$p")
+    assert(shuffles(p) == 0, s"expected a zero-exchange plan:\n$p")
+  }
+
+  test("qds86_rollup_parent_rank: the window partitions on the PLAIN " +
+      "rollup column, so AlignAggExchange fires — the rollup exchange " +
+      "re-keys onto p_brand and the window's own exchange vanishes: " +
+      "ONE exchange, keyed on p_brand alone") {
+    val p = planOf("qds86_rollup_parent_rank")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_partchan", "accel_ci_part_attr")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the bucketed fact⋈part join re-shuffled:\n$p")
+    val ex = allNodes(p).collect { case s: ShuffleExchangeExec => s }
+    assert(ex.size == 1, s"expected ONE exchange, got ${ex.size}:\n$p")
+    val keys = ex.head.outputPartitioning
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      .expressions.map(_.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.AttributeReference].name)
+    assert(keys == Seq("p_brand"), s"exchange keys: $keys\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
