@@ -16,6 +16,16 @@ import org.apache.spark.sql.types._
  */
 final class IndexManager(spark: SparkSession) {
 
+  import graft.telemetry._
+
+  /** Telemetry: every action emits its typed event AFTER the final
+    * stable-state log write succeeds — the audit trail records what
+    * HAPPENED, never an intent a concurrent-writer race rolled back
+    * (reference: telemetry/HyperspaceEvent.scala:49-148). */
+  private def emit(event: => GraftEvent): Unit =
+    GraftEventLogging.emit(spark)(event)
+  private def app: AppInfo = GraftEventLogging.appInfo(spark)
+
   private def hadoopConf = spark.sessionState.newHadoopConf()
 
   def indexRoot(name: String): Path =
@@ -93,6 +103,8 @@ final class IndexManager(spark: SparkSession) {
       require(log.writeLog(baseId + 2, active),
         s"Concurrent modification of index '$name' (log id ${baseId + 2})")
       rules.IndexCatalog.invalidate(spark)
+      emit(CreateActionEvent(app, config, Some(active),
+        df.queryExecution.analyzed.toString, s"Index '$name' created."))
       active
     }
 
@@ -147,17 +159,24 @@ final class IndexManager(spark: SparkSession) {
     require(log.writeLog(latestId + 1, restored),
       s"Concurrent modification of index '$name'")
     rules.IndexCatalog.invalidate(spark)
+    emit(CancelActionEvent(app, restored,
+      s"In-flight action on index '$name' canceled " +
+        s"(rolled back to ${restored.state})."))
   }
 
   /** Soft delete: data stays, optimizer ignores the index. */
-  def delete(name: String): Unit =
-    transition(name, Set(IndexState.Active), IndexState.Deleting,
+  def delete(name: String): Unit = {
+    val fin = transition(name, Set(IndexState.Active), IndexState.Deleting,
       IndexState.Deleted)(identity)
+    emit(DeleteActionEvent(app, fin, s"Index '$name' soft-deleted."))
+  }
 
   /** Undo a soft delete. */
-  def restore(name: String): Unit =
-    transition(name, Set(IndexState.Deleted), IndexState.Restoring,
+  def restore(name: String): Unit = {
+    val fin = transition(name, Set(IndexState.Deleted), IndexState.Restoring,
       IndexState.Active)(identity)
+    emit(RestoreActionEvent(app, fin, s"Index '$name' restored."))
+  }
 
   /** Hard delete of a soft-deleted index (removes all files + log), or —
     * when ACTIVE — removes outdated data versions only. */
@@ -168,6 +187,7 @@ final class IndexManager(spark: SparkSession) {
     val root = indexRoot(name)
     if (latest.state == IndexState.Deleted) {
       fs(root).delete(root, true)
+      emit(VacuumActionEvent(app, latest, s"Index '$name' vacuumed."))
     } else if (latest.state == IndexState.Active) {
       // Content can span version dirs after a quick optimize, and a
       // compacted-away small file stays physically in its (still
@@ -206,12 +226,14 @@ final class IndexManager(spark: SparkSession) {
               !protectedDirs.contains(dir.getPath.getName))
             f.delete(dir.getPath, true)
         }
+      emit(VacuumOutdatedActionEvent(app, latest,
+        s"Outdated data versions of index '$name' vacuumed."))
     }
   }
 
   /** Full refresh: rebuild index data from the current source files. */
-  def refreshFull(name: String): Unit =
-    transition(name, Set(IndexState.Active), IndexState.Refreshing,
+  def refreshFull(name: String): Unit = {
+    val fin = transition(name, Set(IndexState.Active), IndexState.Refreshing,
       IndexState.Active) { latest =>
       val tracker = new FileIdTracker
       latest.sourceFiles.foreach(tracker.addKnown)
@@ -226,6 +248,8 @@ final class IndexManager(spark: SparkSession) {
         relations = relations, update = None,
         properties = latest.properties + ("dataVersion" -> version.toString))
     }
+    emit(RefreshActionEvent(app, fin, s"Index '$name' refreshed (full)."))
+  }
 
   /** Quick refresh: METADATA-ONLY capture of the source delta (reference:
     * actions/RefreshQuickAction.scala:37-80). No index data is touched;
@@ -235,8 +259,8 @@ final class IndexManager(spark: SparkSession) {
     * point counts against maxAppendedRatio/maxDeletedRatio. O(file
     * listing) — the cheapest way to keep an index usable under steady
     * append traffic at 100 TB. */
-  def refreshQuick(name: String): Unit =
-    transition(name, Set(IndexState.Active), IndexState.Refreshing,
+  def refreshQuick(name: String): Unit = {
+    val fin = transition(name, Set(IndexState.Active), IndexState.Refreshing,
       IndexState.Active) { latest =>
       val tracker = new FileIdTracker
       latest.sourceFiles.foreach(tracker.addKnown)
@@ -253,6 +277,9 @@ final class IndexManager(spark: SparkSession) {
       if (appended.isEmpty && deleted.isEmpty) latest.copy(update = None)
       else latest.copy(update = Some(UpdateMeta(appended, deleted)))
     }
+    emit(RefreshQuickActionEvent(app, fin,
+      s"Index '$name' refreshed (quick, metadata-only)."))
+  }
 
   /** Incremental refresh: fold appended files into the index and drop
     * rows from deleted files — without touching unchanged source data
@@ -272,8 +299,8 @@ final class IndexManager(spark: SparkSession) {
     *  - deletes (compaction churn) fall back to filter-and-rewrite via
     *    lineage — the reference makes the same Merge-vs-rewrite split
     *    (CoveringIndexTrait.scala:58-77 Merge mode vs Delete mode). */
-  def refreshIncremental(name: String): Unit =
-    transition(name, Set(IndexState.Active), IndexState.Refreshing,
+  def refreshIncremental(name: String): Unit = {
+    val fin = transition(name, Set(IndexState.Active), IndexState.Refreshing,
       IndexState.Active) { latest =>
       val tracker = new FileIdTracker
       latest.sourceFiles.foreach(tracker.addKnown)
@@ -377,6 +404,9 @@ final class IndexManager(spark: SparkSession) {
           properties = latest.properties + ("dataVersion" -> version.toString))
       }
     }
+    emit(RefreshIncrementalActionEvent(app, fin,
+      s"Index '$name' refreshed (incremental)."))
+  }
 
   /** Compact index data files (reference: actions/OptimizeAction.scala:57-148
     * — bucket-wise small-file compaction, quick/full modes).
@@ -390,8 +420,8 @@ final class IndexManager(spark: SparkSession) {
     *  - "full": rewrite everything. Covering: rewrite bucketed (one file
     *    per bucket). Data-skipping: rewrite size-targeted. Z-order:
     *    re-cluster (global clustering — quick degenerates to full). */
-  def optimize(name: String, mode: String = "quick"): Unit =
-    transition(name, Set(IndexState.Active), IndexState.Optimizing,
+  def optimize(name: String, mode: String = "quick"): Unit = {
+    val fin = transition(name, Set(IndexState.Active), IndexState.Optimizing,
       IndexState.Active) { latest =>
       val tracker = new FileIdTracker
       latest.sourceFiles.foreach(tracker.addKnown)
@@ -460,6 +490,8 @@ final class IndexManager(spark: SparkSession) {
           properties = latest.properties + ("dataVersion" -> version.toString))
       }
     }
+    emit(OptimizeActionEvent(app, fin, s"Index '$name' optimized ($mode)."))
+  }
 
   /** Diff CURRENT source files against the logged snapshot:
     * (appended, deleted). Driver-side file listing only — used by readers

@@ -21,11 +21,7 @@ object PlanAnalysis {
   /** Names of graft indexes applied in the plan (every substituted scan
     * carries the index name in its marker option). */
   def appliedIndexes(spark: SparkSession, df: DataFrame): Seq[String] =
-    df.queryExecution.optimizedPlan.collectLeaves().collect {
-      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
-        l.relation.asInstanceOf[HadoopFsRelation]
-          .options.get(IndexCandidates.IndexRelationMarker)
-    }.flatten.distinct
+    IndexCandidates.appliedIn(df.queryExecution.optimizedPlan)
 
   def explain(spark: SparkSession, df: DataFrame, verbose: Boolean = false): String = {
     val withQe = df.queryExecution

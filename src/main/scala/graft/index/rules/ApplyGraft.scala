@@ -33,7 +33,22 @@ class ApplyGraft(spark: SparkSession) extends Rule[LogicalPlan] with Logging {
         .map(p => IndexCandidates.collect(spark, p, indexes))
         .reduce(_ ++ _)
       if (candidates.isEmpty) return plan
-      ScoreBasedOptimizer.optimize(spark, plan, candidates)
+      val result = ScoreBasedOptimizer.optimize(spark, plan, candidates)
+      // usage telemetry (reference: HyperspaceIndexUsageEvent,
+      // telemetry/HyperspaceEvent.scala:149-166): emitted only when a
+      // logger is configured AND an index actually serves the plan —
+      // the unconfigured hot path pays one conf lookup, never a plan
+      // render. Inside the fail-safe: a throwing logger degrades to the
+      // original plan, it cannot fail the query.
+      val logger = graft.telemetry.GraftEventLogging.loggerFor(spark)
+      if (logger ne graft.telemetry.NoOpEventLogger) {
+        val applied = IndexCandidates.appliedIn(result)
+        if (applied.nonEmpty) logger.logEvent(graft.telemetry.IndexUsageEvent(
+          graft.telemetry.GraftEventLogging.appInfo(spark), applied,
+          plan.toString, result.toString,
+          s"Index(es) applied: ${applied.mkString(", ")}"))
+      }
+      result
     } catch {
       case NonFatal(e) =>
         logWarning(s"graft: index application failed, using original plan: $e")

@@ -55,6 +55,15 @@ object IndexCandidates {
     case _ => false
   }
 
+  /** Names of the indexes serving `plan` (every substituted scan carries
+    * its index name in the marker option). */
+  def appliedIn(plan: LogicalPlan): Seq[String] =
+    plan.collectLeaves().collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+          .options.get(IndexRelationMarker)
+    }.flatten.distinct
+
   /** Provider-recognized source leaves (reference routes the same check
     * through FileBasedSourceProviderManager), excluding relations we
     * created ourselves. */
