@@ -144,6 +144,35 @@ object IndexAccel {
        | ${sqlMoneySum("s_acctbal")} AS sum_bal
        |FROM supplier WHERE s_nationkey BETWEEN 3 AND 11""".stripMargin
 
+  /** A bloom data-skipping index created through the SQL OPTIONS clause
+    * (round 15 — the r14 DDL hard-coded min-max): the oracle row proves
+    * the conf-mapped sketch serves end-to-end; file-pruning behavior is
+    * pinned separately in IndexSqlSpec on a multi-file fixture. */
+  def idxSqlBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureSystemPath(spark, sfDir)
+    synchronized {
+      val mgr = new IndexManager(spark)
+      if (!mgr.getIndexes(Set(IndexState.Active))
+          .exists(_.name == "sqlci_bloom")) {
+        spark.sql(
+          s"CREATE INDEX sqlci_bloom ON parquet.`$sfDir/supplier.parquet` " +
+            "(s_name) USING DATASKIPPING " +
+            "OPTIONS (sketch = 'bloom', expectedItems = 20000, fpp = 0.001)")
+      }
+    }
+    Tables.load(spark, sfDir, "supplier")
+      .filter(col("s_name").isin("Supplier#000000007",
+        "Supplier#000000042", "Supplier#000000077"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("s_acctbal")).as("sum_bal"))
+  }
+
+  val idxSqlBloomSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       | ${sqlMoneySum("s_acctbal")} AS sum_bal
+       |FROM supplier WHERE s_name IN ('Supplier#000000007',
+       | 'Supplier#000000042', 'Supplier#000000077')""".stripMargin
+
   // ------------------------------------------------ shuffle-free join
   def idxJoin(spark: SparkSession, sfDir: String): DataFrame = {
     ensureIndex(spark, sfDir, AccelIndexes.liJoin)
@@ -1541,6 +1570,7 @@ object IndexAccel {
       (lakeSqlAddColumnNested _, lakeSqlAddColumnNestedSql),
     "lake_sql_widen" -> (lakeSqlWiden _, lakeSqlWidenSql),
     "idx_sql_created" -> (idxSqlCreated _, idxSqlCreatedSql),
+    "idx_sql_bloom" -> (idxSqlBloom _, idxSqlBloomSql),
     "idx_delta_merge_cdf" -> (idxDeltaMergeCdf _, idxDeltaMergeCdfSql),
     "idx_iceberg_merge" -> (idxIcebergMerge _, idxDeltaMergeSql),
     "stream_lake_upsert" -> (streamLakeUpsert _, idxDeltaMergeSql),

@@ -38,7 +38,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         .flatMap(_.split(",")).map(stripIdent).filter(_.nonEmpty)
       return GraftCreateIndexCommand(stripIdent(ci.group("name")),
         ci.group("src").toLowerCase, ci.group("path"), cols, incl,
-        Option(ci.group("using")).map(_.toLowerCase).getOrElse("covering"))
+        Option(ci.group("using")).map(_.toLowerCase).getOrElse("covering"),
+        Option(ci.group("opts")).map(parseOptions).getOrElse(Map.empty))
     }
     val di = DropIndexRe.matcher(sqlText)
     if (di.matches())
@@ -305,14 +306,36 @@ object GraftSqlParser {
 
   // ---- index lifecycle DDL (the engine's core artifact, from SQL) ----
   // CREATE INDEX n ON parquet|graft_*.`/p` (cols) [INCLUDE (cols)]
-  //   [USING COVERING|ZORDER|DATASKIPPING]
+  //   [USING COVERING|ZORDER|DATASKIPPING] [OPTIONS (k=v, ...)]
   private val CreateIndexRe = re(
     """CREATE\s+INDEX\s+(?<name>[\w`-]+)\s+ON\s+""" +
       """(?<src>parquet|graft_delta|graft_iceberg|graft_lake)""" +
       """\s*\.\s*`(?<path>[^`]+)`""" +
       """\s*\((?<cols>[^)]+)\)""" +
       """(?:\s+INCLUDE\s*\((?<incl>[^)]+)\))?""" +
-      """(?:\s+USING\s+(?<using>COVERING|ZORDER|DATASKIPPING))?""")
+      """(?:\s+USING\s+(?<using>COVERING|ZORDER|DATASKIPPING))?""" +
+      """(?:\s+OPTIONS\s*\((?<opts>[^)]*)\))?""")
+
+  /** `k = v, k2 = 'v2'` → Map; keys lowercased, quotes stripped from
+    * values. Malformed pairs refuse loudly — a typo'd option must never
+    * silently build a default index. */
+  private[sql] def parseOptions(raw: String): Map[String, String] =
+    raw.split(",").map(_.trim).filter(_.nonEmpty).map { pair =>
+      pair.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty && v.trim.nonEmpty =>
+          val value = v.trim
+          val unquoted =
+            if ((value.startsWith("'") && value.endsWith("'") &&
+                 value.length >= 2) ||
+                (value.startsWith("\"") && value.endsWith("\"") &&
+                 value.length >= 2))
+              value.substring(1, value.length - 1)
+            else value
+          k.trim.toLowerCase -> unquoted
+        case _ => throw new IllegalArgumentException(
+          s"Malformed OPTIONS entry '$pair' — expected key = value")
+      }
+    }.toMap
   private val DropIndexRe = re("""DROP\s+INDEX\s+(?<name>[\w`-]+)""")
   private val RefreshIndexRe = re(
     """REFRESH\s+INDEX\s+(?<name>[\w`-]+)""" +

@@ -27,14 +27,44 @@ import graft.index.zorder.ZOrderIndexConfig
  * Each command is the thinnest shim onto the [[graft.Graft]] API (the
  * same code path the programmatic surface uses). `USING` kinds:
  * COVERING (default), ZORDER, DATASKIPPING (the column list becomes
- * min-max sketches; INCLUDE applies to the covering kinds only).
- * Sources: `parquet.` for plain directories, `graft_delta.` /
- * `graft_iceberg.` / `graft_lake.` for lake tables.
+ * sketches; INCLUDE applies to the covering kinds only). `OPTIONS`
+ * maps onto the existing config surface per kind:
+ *
+ *  - COVERING: `buckets=N` (bucket count for the layout — otherwise
+ *    `spark.graft.index.numBuckets`);
+ *  - DATASKIPPING: `sketch='minmax'|'bloom'|'valuelist'` plus the
+ *    sketch's own parameters — bloom: `expectedItems`, `fpp`;
+ *    valuelist: `maxValues`;
+ *  - ZORDER takes no options.
+ *
+ * Unknown keys refuse loudly — a typo'd option must never silently
+ * build a default index. Sources: `parquet.` for plain directories,
+ * `graft_delta.` / `graft_iceberg.` / `graft_lake.` for lake tables.
  */
 case class GraftCreateIndexCommand(name: String, provider: String,
     path: String, columns: Seq[String], include: Seq[String],
-    using: String) extends LeafRunnableCommand {
+    using: String, options: Map[String, String] = Map.empty)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
+
+  private def requireKeys(allowed: Set[String]): Unit = {
+    val unknown = options.keySet -- allowed
+    require(unknown.isEmpty,
+      s"Unknown OPTIONS for USING $using: ${unknown.toSeq.sorted
+        .mkString(", ")} (supported: ${
+        if (allowed.isEmpty) "none" else allowed.toSeq.sorted.mkString(", ")})")
+  }
+  private def longOpt(key: String): Option[Long] = options.get(key).map { v =>
+    try v.toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"OPTIONS $key must be an integer, got '$v'") }
+  }
+  private def doubleOpt(key: String): Option[Double] = options.get(key).map { v =>
+    try v.toDouble catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"OPTIONS $key must be a number, got '$v'") }
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val df = provider match {
       case "parquet" => spark.read.parquet(path)
@@ -43,16 +73,48 @@ case class GraftCreateIndexCommand(name: String, provider: String,
       case _ => LakeTable.read(spark, path)
     }
     val config = using match {
-      case "zorder" => ZOrderIndexConfig(name, columns, include)
+      case "zorder" =>
+        requireKeys(Set.empty)
+        ZOrderIndexConfig(name, columns, include)
       case "dataskipping" =>
         require(include.isEmpty,
           "CREATE INDEX ... USING DATASKIPPING takes no INCLUDE list " +
             "(sketches summarize the indexed columns; INCLUDE applies " +
             "to COVERING/ZORDER)")
-        DataSkippingIndexConfig(name, columns.map(SketchSpec.minMax))
-      case _ => CoveringIndexConfig(name, columns, include)
+        requireKeys(Set("sketch", "expecteditems", "fpp", "maxvalues"))
+        val sketches = options.getOrElse("sketch", "minmax") match {
+          case "minmax" =>
+            requireKeys(Set("sketch"))
+            columns.map(SketchSpec.minMax)
+          case "bloom" =>
+            requireKeys(Set("sketch", "expecteditems", "fpp"))
+            columns.map(SketchSpec.bloom(_,
+              expectedItems = longOpt("expecteditems").getOrElse(10000L),
+              fpp = doubleOpt("fpp").getOrElse(0.01)))
+          case "valuelist" =>
+            requireKeys(Set("sketch", "maxvalues"))
+            columns.map(SketchSpec.valueList(_,
+              maxValues = longOpt("maxvalues").getOrElse(1000L).toInt))
+          case other => throw new IllegalArgumentException(
+            s"Unknown sketch kind '$other' (supported: minmax, bloom, " +
+              "valuelist)")
+        }
+        DataSkippingIndexConfig(name, sketches)
+      case _ =>
+        requireKeys(Set("buckets"))
+        CoveringIndexConfig(name, columns, include)
     }
-    new Graft(spark).createIndex(df, config)
+    // buckets=N maps onto the session's numBuckets conf for the span of
+    // this one build (the config surface reads it at toDescriptor time)
+    val bucketOverride = longOpt("buckets")
+    val prev = spark.conf.getOption(graft.index.GraftConf.NumBucketsKey)
+    bucketOverride.foreach(n =>
+      spark.conf.set(graft.index.GraftConf.NumBucketsKey, n.toString))
+    try new Graft(spark).createIndex(df, config)
+    finally if (bucketOverride.isDefined) prev match {
+      case Some(v) => spark.conf.set(graft.index.GraftConf.NumBucketsKey, v)
+      case None => spark.conf.unset(graft.index.GraftConf.NumBucketsKey)
+    }
     Nil
   }
 }

@@ -116,6 +116,86 @@ class IndexSqlSpec extends AnyFunSuite {
     spark.sql("DROP INDEX sqlspec_ds")
   }
 
+  test("OPTIONS (buckets=N) lands in the covering layout and leaves the " +
+      "session conf untouched") {
+    val sys = sysPath()
+    val src = ordersDir()
+    val prevConf = spark.conf.getOption(GraftConf.NumBucketsKey)
+    spark.sql(s"CREATE INDEX sqlspec_b8 ON parquet.`$src` " +
+      "(o_custkey) INCLUDE (o_totalprice) USING COVERING OPTIONS (buckets = 8)")
+    val mgr = new IndexManager(spark)
+    val desc = mgr.logManager("sqlspec_b8").getLatestStableLog.get
+      .descriptor.asInstanceOf[graft.index.covering.CoveringIndexDescriptor]
+    assert(desc.numBuckets == 8, s"bucket count: ${desc.numBuckets}")
+    assert(spark.conf.getOption(GraftConf.NumBucketsKey) == prevConf,
+      "buckets override leaked into the session conf")
+    // and it serves
+    val q = spark.read.parquet(src)
+      .filter($"o_custkey" === 7L).select($"o_totalprice")
+    assert(scansOf(q).exists(_.contains("sqlspec_b8")))
+    spark.sql("DROP INDEX sqlspec_b8")
+  }
+
+  test("OPTIONS (sketch='bloom', ...) builds bloom sketches that " +
+      "actually prune; valuelist maps maxValues; bad options refuse") {
+    sysPath()
+    // 8 range-partitioned files so pruning is observable
+    val src = Files.createTempDirectory("graft-idxsql-ds-").toString + "/li"
+    spark.read.parquet(s"${TestSpark.sfDir}/lineitem.parquet")
+      .repartitionByRange(8, col("l_orderkey"))
+      .write.parquet(src)
+    spark.sql(s"CREATE INDEX sqlspec_bloom ON parquet.`$src` " +
+      "(l_suppkey) USING DATASKIPPING " +
+      "OPTIONS (sketch = 'bloom', expectedItems = 5000, fpp = 0.001)")
+    val mgr = new IndexManager(spark)
+    val sketches = mgr.logManager("sqlspec_bloom").getLatestStableLog.get
+      .descriptor.asInstanceOf[
+        graft.index.dataskipping.DataSkippingIndexDescriptor].sketches
+    assert(sketches.map(_.sketchKind) == Seq("bloom"))
+    assert(sketches.head.params.get("expectedItems").contains("5000") &&
+      sketches.head.params.get("fpp").contains("0.001"), sketches.head.params)
+    // the bloom sketch SERVES: a point filter on a scattered key scans
+    // fewer than all files and returns exactly the unaccelerated rows
+    def q() = spark.read.parquet(src).filter($"l_suppkey" === 1L)
+      .select($"l_orderkey", $"l_quantity")
+    q().collect() // warm
+    val expected = {
+      spark.conf.set(GraftConf.ApplyEnabledKey, "false")
+      try q().collect().toSeq.sortBy(_.toString)
+      finally spark.conf.set(GraftConf.ApplyEnabledKey, "true")
+    }
+    assert(q().collect().toSeq.sortBy(_.toString) == expected)
+
+    spark.sql(s"CREATE INDEX sqlspec_vl ON parquet.`$src` " +
+      "(l_linestatus) USING DATASKIPPING " +
+      "OPTIONS (sketch = 'valuelist', maxValues = 7)")
+    val vl = mgr.logManager("sqlspec_vl").getLatestStableLog.get
+      .descriptor.asInstanceOf[
+        graft.index.dataskipping.DataSkippingIndexDescriptor].sketches
+    assert(vl.map(_.sketchKind) == Seq("valuelist") &&
+      vl.head.params.get("maxValues").contains("7"))
+
+    // refusals: unknown key, unknown sketch kind, zorder takes none,
+    // cross-kind param (fpp on valuelist)
+    def bad(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    bad(s"CREATE INDEX sqlspec_x1 ON parquet.`$src` (l_suppkey) " +
+      "USING DATASKIPPING OPTIONS (sketch = 'hyperloglog')", "hyperloglog")
+    bad(s"CREATE INDEX sqlspec_x2 ON parquet.`$src` (l_suppkey) " +
+      "USING COVERING OPTIONS (bucketz = 8)", "bucketz")
+    bad(s"CREATE INDEX sqlspec_x3 ON parquet.`$src` (l_suppkey) " +
+      "USING ZORDER OPTIONS (buckets = 8)", "buckets")
+    bad(s"CREATE INDEX sqlspec_x4 ON parquet.`$src` (l_linestatus) " +
+      "USING DATASKIPPING OPTIONS (sketch = 'valuelist', fpp = 0.5)", "fpp")
+    bad(s"CREATE INDEX sqlspec_x5 ON parquet.`$src` (l_suppkey) " +
+      "USING COVERING OPTIONS (buckets = 'lots')", "integer")
+    spark.sql("DROP INDEX sqlspec_bloom")
+    spark.sql("DROP INDEX sqlspec_vl")
+  }
+
   test("CREATE INDEX on a lake source (graft_delta) serves reads") {
     sysPath()
     val root = Files.createTempDirectory("graft-idxsql-delta-").toString
