@@ -126,6 +126,10 @@ class AlignAggExchange(spark: SparkSession) extends Rule[SparkPlan] {
                 aligned.length == pExprs.length) {
               val newLow =
                 low.copy(outputPartitioning = HashPartitioning(aligned, gN))
+              // breadcrumb for explain: the re-key is otherwise invisible
+              // to plan text (the node renders like any other exchange)
+              newLow.setTagValue(AlignAggExchange.AlignedTag,
+                aligned.map(_.name))
               val rebuilt = chain.foldRight(
                 agg.withNewChildren(Seq(newLow)): SparkPlan)(
                 (op, acc) => op.withNewChildren(Seq(acc)))
@@ -183,4 +187,12 @@ class AlignAggExchange(spark: SparkSession) extends Rule[SparkPlan] {
   private def isFinalMode(agg: BaseAggregateExec): Boolean =
     agg.aggregateExpressions.forall(
       _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final)
+}
+
+object AlignAggExchange {
+  /** Set on a re-keyed aggregate exchange (value: the new key names) so
+    * explain can surface the physical decision. */
+  val AlignedTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[Seq[String]] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Seq[String]](
+      "graft.alignedAggExchange")
 }

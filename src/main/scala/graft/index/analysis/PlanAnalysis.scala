@@ -39,11 +39,62 @@ object PlanAnalysis {
     sb.append("\n=== Plan with indexes ===\n").append(withPlan.treeString)
     sb.append("\n=== Plan without indexes ===\n").append(withoutPlan.treeString)
     sb.append("\n").append(operatorDiffTable(spark, withQe))
+    sb.append(physicalNotes(withQe))
     if (verbose) {
       sb.append("\n=== Physical plan with indexes ===\n")
         .append(withQe.executedPlan.toString)
     }
     render(spark, sb.toString, applied)
+  }
+
+  /** One-line annotations for the PHYSICAL rule decisions the logical
+    * with/without comparison cannot show: an AlignAggExchange re-key
+    * renders like any other exchange, and a sorted bucketed scan's
+    * ordering claim shows only as an ABSENT Sort — the operator-diff
+    * table counts the missing node but not WHY. Empty (zero bytes) when
+    * neither fired, so unaffected explains render unchanged. */
+  private def physicalNotes(
+      qe: org.apache.spark.sql.execution.QueryExecution): String = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: nodes(q.plan)
+      case other => p +: other.children.flatMap(nodes)
+    }
+    val all = nodes(qe.executedPlan)
+    val aligned = all.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.getTagValue(graft.execution.AlignAggExchange.AlignedTag)
+    }.flatten
+    val sortClaims = all.collect {
+      case s: FileSourceScanExec
+          if s.bucketedScan && s.outputOrdering.nonEmpty =>
+        val cols = s.outputOrdering.map(_.child match {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+          case other => other.sql
+        })
+        // index data lives at .../<indexName>/v__N/part-*; fall back to
+        // the scan's own root for non-index bucketed sources
+        val src = s.relation.location.rootPaths.headOption.map { p =>
+          val segs = p.toString.split("/")
+          val i = segs.lastIndexWhere(_.startsWith("v__"))
+          if (i > 0) segs(i - 1) else p.getName
+        }.getOrElse("?")
+        (src, cols)
+    }.distinct
+    if (aligned.isEmpty && sortClaims.isEmpty) ""
+    else {
+      val sb = new StringBuilder("\n=== Physical decisions ===\n")
+      aligned.foreach(ks => sb.append(
+        s"physical: aligned agg exchange on (${ks.mkString(", ")})\n"))
+      sortClaims.foreach { case (src, cols) => sb.append(
+        s"physical: sort claimed by bucketed scan $src " +
+          s"(${cols.mkString(", ")})\n") }
+      sb.toString
+    }
   }
 
   /** Display-mode rendering for explain output (reference:

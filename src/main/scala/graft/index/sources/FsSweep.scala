@@ -45,6 +45,15 @@ object FsSweep {
     * it instead of probing an O(files) driver set). */
   val AntiJoinBytesKey = "spark.graft.maintenance.antiJoinBytes"
 
+  /** Directory-count threshold at which one LEVEL of the walk escalates
+    * from the driver pool to a Spark job. */
+  val DistributedListDirsKey = "spark.graft.maintenance.distributedListDirs"
+
+  /** Job description stamped on distributed listing jobs (and matched by
+    * the listener-observed spec leg). */
+  val DistributedListJobDescription =
+    "graft maintenance: distributed directory listing"
+
   def listThreads(spark: SparkSession): Int = math.max(1,
     spark.conf.getOption(ListThreadsKey).map(_.toInt).getOrElse(8))
 
@@ -56,6 +65,16 @@ object FsSweep {
   def antiJoinBytes(spark: SparkSession): Long =
     spark.conf.getOption(AntiJoinBytesKey).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
+
+  /** Default 10k directories in one level: below, a driver pool of 8 is
+    * a handful of RPC round-trip batches and beats a job's scheduling
+    * overhead; past it (a widely hive-partitioned 100 TB table fans out
+    * at depth 1) the pool is RPC-bound where executors can list the
+    * whole level in one wave — delta-spark's VACUUM makes the same
+    * driver-vs-cluster split on the same order of magnitude. */
+  def distributedListDirs(spark: SparkSession): Int = math.max(2,
+    spark.conf.getOption(DistributedListDirsKey).map(_.toInt)
+      .getOrElse(10000))
 
   /** Test seam: invoked on the worker thread as each delete batch
     * starts, with the batch index — a 2-party barrier here proves two
@@ -76,13 +95,21 @@ object FsSweep {
   def walk[C](spark: SparkSession, fs: FileSystem, root: Path, rootCtx: C)(
       descend: (FileStatus, C) => Option[C]): Seq[(FileStatus, C)] = {
     val files = mutable.Buffer.empty[(FileStatus, C)]
+    val distThreshold = distributedListDirs(spark)
     var frontier: Seq[(Path, C)] = Seq((root, rootCtx))
     while (frontier.nonEmpty) {
-      val listed = mapPool(listThreads(spark), frontier, beforeListDir) {
-        case (dir, ctx) =>
-          (if (fs.exists(dir)) fs.listStatus(dir).toSeq else Nil)
-            .map(st => (st, ctx))
-      }
+      // escalation hatch: a level that fans out past the threshold is
+      // listed by a Spark job — executors absorb the RPC wave, only the
+      // child metadata comes back; `descend` always runs on the driver,
+      // so callers' closures never need to be serializable
+      val listed =
+        if (frontier.size >= distThreshold)
+          listLevelDistributed(spark, frontier)
+        else mapPool(listThreads(spark), frontier, beforeListDir) {
+          case (dir, ctx) =>
+            (if (fs.exists(dir)) fs.listStatus(dir).toSeq else Nil)
+              .map(st => (st, ctx))
+        }
       val next = mutable.Buffer.empty[(Path, C)]
       listed.iterator.flatten.foreach { case (st, ctx) =>
         if (st.isDirectory) descend(st, ctx)
@@ -92,6 +119,41 @@ object FsSweep {
       frontier = next.toSeq
     }
     files.toSeq
+  }
+
+  /** One walk level as a Spark job: the directory list parallelizes to
+    * executors, each lists its slice and ships back (path, isDir, len,
+    * mtime) tuples — the fields every sweep decision (age gates,
+    * orphan candidacy, recursion) actually reads. Output shape matches
+    * the pool branch: one child list per frontier entry, in order. */
+  private def listLevelDistributed[C](spark: SparkSession,
+      frontier: Seq[(Path, C)]): Seq[Seq[(FileStatus, C)]] = {
+    val sc = spark.sparkContext
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val dirs = frontier.map(_._1.toString)
+    val slices = math.min(dirs.size, math.max(1, sc.defaultParallelism) * 4)
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(DistributedListJobDescription)
+    val byDir: Map[String, Array[(String, Boolean, Long, Long)]] =
+      try {
+        sc.parallelize(dirs, slices).map { d =>
+          val p = new Path(d)
+          val dirFs = p.getFileSystem(serConf.value)
+          val children =
+            if (dirFs.exists(p)) dirFs.listStatus(p).map(st =>
+              (st.getPath.toString, st.isDirectory, st.getLen,
+                st.getModificationTime))
+            else Array.empty[(String, Boolean, Long, Long)]
+          (d, children)
+        }.collect().toMap
+      } finally sc.setJobDescription(prevDesc)
+    frontier.map { case (dir, ctx) =>
+      byDir.getOrElse(dir.toString, Array.empty).toSeq.map {
+        case (pathStr, isDir, len, mtime) =>
+          (new FileStatus(len, isDir, 0, 0, mtime, new Path(pathStr)), ctx)
+      }
+    }
   }
 
   /** Delete `paths` (files) across the bounded delete pool, in batches

@@ -249,6 +249,47 @@ class DeltaTypeWideningSpec extends AnyFunSuite {
     assert(e.getMessage.contains("futureFeature"))
   }
 
+  test("SQL ALTER COLUMN TYPE on an UNMAPPED table: widens without " +
+      "inventing column mapping (modern writers enable typeWidening " +
+      "alone); a narrow SQL INSERT upcasts; time travel before the " +
+      "widening reads narrow") {
+    val root = Files.createTempDirectory("graft-delta-widen-um-").toString
+    val narrow = customer.select(
+      col("c_custkey").cast("int").as("c_custkey"),
+      col("c_acctbal").cast("float").as("c_acctbal"),
+      col("c_mktsegment"))
+    DeltaTable.create(narrow, root)
+    spark.sql(s"ALTER TABLE graft_delta.`$root` " +
+      "ALTER COLUMN c_custkey TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft_delta.`$root` " +
+      "ALTER COLUMN c_acctbal TYPE DOUBLE")
+    val s = DeltaLog.snapshot(spark, root)
+    assert(s.schema("c_custkey").dataType == LongType)
+    assert(s.schema("c_acctbal").dataType == DoubleType)
+    // the widening must NOT drag column mapping in: no physical names
+    // in the widened fields, no mapping mode, no mapping features
+    assert(!s.schema("c_custkey").metadata.contains(
+      "delta.columnMapping.physicalName"))
+    assert(!s.configuration.get("delta.columnMapping.mode")
+      .exists(_ != "none"))
+    assert(s.readerFeatures.contains("typeWidening") &&
+      !s.readerFeatures.contains("columnMapping"))
+    // old narrow files upcast at scan
+    val wide = DeltaTable.read(spark, root)
+    assert(wide.schema("c_custkey").dataType == LongType &&
+      wide.count() == customer.count())
+    // a SQL INSERT whose literals are NARROW upcasts through the ANSI
+    // runtime casts (the r14 INSERT-cast path, now under widening)
+    spark.sql(s"INSERT INTO graft_delta.`$root` " +
+      "SELECT CAST(9000001 AS INT), CAST(1.5 AS FLOAT), 'TEST'")
+    assert(DeltaTable.read(spark, root)
+      .filter(col("c_custkey") === 9000001L).count() == 1)
+    // pre-widening version still reads the narrow schema
+    val pinned = DeltaTable.read(spark, root, versionAsOf = Some(0L))
+    assert(pinned.schema("c_custkey").dataType == IntegerType &&
+      pinned.schema("c_acctbal").dataType == FloatType)
+  }
+
   test("widening a COLUMN-MAPPED table: physical names survive, old " +
       "narrow files upcast, appends land at the wide type") {
     val root = Files.createTempDirectory("graft-delta-widen-cm-").toString

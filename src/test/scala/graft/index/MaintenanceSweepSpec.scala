@@ -84,6 +84,46 @@ class MaintenanceSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("a level past the fan-out threshold escalates to a Spark job " +
+      "(listener-observed) and lists exactly what the pool walk lists; " +
+      "the threshold defaults sanely") {
+    assert(FsSweep.distributedListDirs(spark) == 10000, "default threshold")
+    val root = tmp("graft-sweep-dist-")
+    val fs = hadoopFs(root)
+    (0 until 6).foreach { i =>
+      orders.limit(10).coalesce(1).write.parquet(s"$root/part_$i")
+    }
+    def walkAll(): Seq[(String, Long, Long)] =
+      FsSweep.walk(spark, fs, new Path(root), ())((_, _) => Some(()))
+        .map(f => (f._1.getPath.toString, f._1.getLen,
+          f._1.getModificationTime)).sorted
+    val viaPool = walkAll() // default threshold: driver pool
+    assert(viaPool.nonEmpty)
+
+    val jobs = new AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(js.properties).exists(p =>
+            p.getProperty("spark.job.description") ==
+              FsSweep.DistributedListJobDescription))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.conf.set(FsSweep.DistributedListDirsKey, "4")
+    val viaJob =
+      try walkAll() // 6-dir level >= 4: the job path
+      finally spark.conf.unset(FsSweep.DistributedListDirsKey)
+    // byte-identical listing incl. the sizes and mtimes the age gates
+    // read — the job path must be a drop-in for the pool path
+    assert(viaJob == viaPool, s"job listing diverged:\n$viaJob\nvs\n$viaPool")
+    val deadline = System.currentTimeMillis() + 15000
+    while (jobs.get() == 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() >= 1, "no distributed listing job observed")
+  }
+
   test("anti-join membership agrees with the driver set (checkpoint + DV)") {
     val root = tmp("graft-sweep-aj-")
     val fs = hadoopFs(root)

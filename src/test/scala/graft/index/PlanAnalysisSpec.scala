@@ -106,6 +106,49 @@ class PlanAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("explain surfaces the AlignAggExchange re-key as a physical " +
+      "decision line (the qds47 shape: groupBy under a subset-key " +
+      "window)") {
+    withGraft { g =>
+      import org.apache.spark.sql.expressions.Window
+      val q = lineitem
+        .groupBy(col("l_suppkey").as("sk"), col("l_returnflag").as("rf"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .withColumn("rk",
+          rank().over(Window.partitionBy(col("sk")).orderBy(col("q").desc)))
+      val out = g.explain(q)
+      assert(out.contains("=== Physical decisions ==="), out.takeRight(400))
+      assert(out.contains("physical: aligned agg exchange on (l_suppkey)"),
+        out.takeRight(400))
+    }
+  }
+
+  test("explain surfaces sorted-scan ordering claims on a bucketed join " +
+      "and stays silent when neither physical rule fired") {
+    withGraft { g =>
+      g.createIndex(lineitem,
+        CoveringIndexConfig("pa_sc_li", Seq("l_orderkey"), Seq("l_quantity")))
+      g.createIndex(orders,
+        CoveringIndexConfig("pa_sc_ord", Seq("o_orderkey"), Seq("o_totalprice")))
+      val q = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out =
+        try g.explain(q)
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // applied-index highlighting reaches the annotation line too
+      assert(out.contains("physical: sort claimed by bucketed scan " +
+        "<----pa_sc_li----> (l_orderkey)"), out.takeRight(600))
+      assert(out.contains("physical: sort claimed by bucketed scan " +
+        "<----pa_sc_ord----> (o_orderkey)"), out.takeRight(600))
+      // a plain filter query triggers neither rule: zero-byte section
+      val quiet = g.explain(lineitem.filter(col("l_orderkey") === 1L)
+        .select(col("l_orderkey")))
+      assert(!quiet.contains("=== Physical decisions ==="))
+    }
+  }
+
   test("whyNot reports APPLIED for used index") {
     withGraft { g =>
       g.createIndex(lineitem,
