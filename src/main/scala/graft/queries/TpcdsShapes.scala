@@ -2241,7 +2241,253 @@ object TpcdsShapes {
        |ORDER BY lochierarchy DESC, brand, ptype
        |LIMIT 100""".stripMargin
 
+  /**
+   * TPC-DS q44 shape (reference tpcds/queries/q44.sql): best and worst
+   * performing items at one store — per-item average profit above a
+   * 0.9× scalar-subquery floor, ranked ascending AND descending, the
+   * two top-10 lists joined positionally, item names attached. The
+   * literal form (kept by the oracle) computes each rank with a GLOBAL
+   * `rank() OVER (ORDER BY …)` — a single-partition window that funnels
+   * the ENTIRE aggregate through one task, twice, at any scale. The
+   * engine form replaces both with TakeOrderedAndProject top-10s (the
+   * rank is recovered as a row_number over ten rows): the per-item
+   * aggregate rides the partkey buckets shuffle-free, each direction is
+   * an O(10)-result cluster-wide top-k, and no full-width window ever
+   * exists. Ranks are tie-broken by item id on both sides, so
+   * rank ≡ position and the hash match proves top-k ≡ windowed rank.
+   */
+  def qds44RankEnds(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureIndex(spark, sfDir, AccelIndexes.liInv)
+    ensureIndex(spark, sfDir, AccelIndexes.partDim)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    val priceDec = col("l_extendedprice").cast(DecimalType(28, 6))
+    val sub = li.filter(col("l_suppkey") === 7L && col("l_quantity") < 10)
+      .groupBy(col("l_suppkey"))
+      .agg((sum(priceDec).cast(DoubleType) / count(lit(1))).as("sub_avg"))
+      .select(col("sub_avg"))
+    val base = li.filter(col("l_suppkey") === 7L)
+      .groupBy(col("l_partkey").as("item_sk"))
+      .agg((sum(priceDec).cast(DoubleType) / count(lit(1))).as("rank_col"))
+      .crossJoin(broadcast(sub))
+      .filter(col("rank_col") > lit(0.9) * col("sub_avg"))
+      .select(col("item_sk"), col("rank_col"))
+    def ends(asc: Boolean): DataFrame = {
+      val keys =
+        if (asc) Seq(col("rank_col").asc, col("item_sk").asc)
+        else Seq(col("rank_col").desc, col("item_sk").desc)
+      base.orderBy(keys: _*).limit(10)
+        .withColumn("rnk", row_number().over(Window.orderBy(keys: _*)))
+    }
+    val a = ends(asc = true)
+      .select(col("rnk"), col("item_sk").as("best_sk"))
+    val d = ends(asc = false)
+      .select(col("rnk").as("rnk2"), col("item_sk").as("worst_sk"))
+    a.join(d, col("rnk") === col("rnk2"))
+      .join(part.select(col("p_partkey").as("bpk"),
+        col("p_name").as("best_performing")), col("best_sk") === col("bpk"))
+      .join(part.select(col("p_partkey").as("wpk"),
+        col("p_name").as("worst_performing")), col("worst_sk") === col("wpk"))
+      .select(col("rnk"), col("best_performing"), col("worst_performing"))
+      .orderBy(col("rnk"))
+      .limit(100)
+  }
+
+  val qds44Sql: String = {
+    val avgExpr =
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)"
+    s"""WITH base AS (
+       |  SELECT l_partkey AS item_sk, $avgExpr AS rank_col
+       |  FROM lineitem WHERE l_suppkey = 7
+       |  GROUP BY 1
+       |  HAVING $avgExpr > 0.9 * (
+       |    SELECT $avgExpr FROM lineitem
+       |    WHERE l_suppkey = 7 AND l_quantity < 10
+       |    GROUP BY l_suppkey)),
+       |a AS (SELECT item_sk, rnk FROM (
+       |  SELECT item_sk,
+       |    RANK() OVER (ORDER BY rank_col ASC, item_sk ASC) AS rnk
+       |  FROM base) WHERE rnk < 11),
+       |d AS (SELECT item_sk, rnk FROM (
+       |  SELECT item_sk,
+       |    RANK() OVER (ORDER BY rank_col DESC, item_sk DESC) AS rnk
+       |  FROM base) WHERE rnk < 11)
+       |SELECT a.rnk AS rnk, i1.p_name AS best_performing,
+       |  i2.p_name AS worst_performing
+       |FROM a JOIN d ON a.rnk = d.rnk
+       |  JOIN part i1 ON i1.p_partkey = a.item_sk
+       |  JOIN part i2 ON i2.p_partkey = d.item_sk
+       |ORDER BY rnk
+       |LIMIT 100""".stripMargin
+  }
+
+  /**
+   * TPC-DS q70 shape (reference tpcds/queries/q70.sql): profit rollup
+   * over the (state, county) hierarchy with rank-within-parent, GATED
+   * to the top-5 states by a ranked subquery. Mapped: (state, county) →
+   * (nation, supplier). Two deliberate deltas from the literal text:
+   * TPC-DS's gating subquery partitions its rank BY s_state over
+   * per-state rows — every partition is a singleton, ranking ≡ 1, the
+   * gate passes everything (a known quirk of the published query); the
+   * shape here implements the INTENT (global top-5 by revenue) so the
+   * semi join is load-bearing. And like qds44, the engine computes that
+   * top-5 as a TakeOrderedAndProject, not the literal's global rank
+   * window — the oracle keeps a LIMIT-over-ORDER form with the same
+   * tie-break. Downstream is the qds86 machinery under a gate: the
+   * rank-within-parent window partitions on the PLAIN n_name rollup
+   * output, so AlignAggExchange re-keys the rollup exchange and the
+   * window adds none — exactly ONE window in the whole plan where the
+   * literal form has two.
+   */
+  def qds70GatedRollupRank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureIndex(spark, sfDir, AccelIndexes.liSuppChan)
+    ensureIndex(spark, sfDir, AccelIndexes.suppNat)
+    ensureIndex(spark, sfDir, AccelIndexes.nationDim)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    def joined = Tables.load(spark, sfDir, "lineitem")
+      .filter(year(col("l_shipdate")) === 1995)
+      .join(Tables.load(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.load(spark, sfDir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+    val top5 = joined.groupBy(col("n_name").as("tn"))
+      .agg(moneySum(rev).as("ts"))
+      .orderBy(col("ts").desc, col("tn")).limit(5)
+      .select(col("tn"))
+    val agg = joined
+      .join(top5, col("n_name") === col("tn"), "left_semi")
+      .rollup(col("n_name"), col("s_name"))
+      .agg(moneySum(rev).as("total_sum"),
+        (grouping(col("n_name")) + grouping(col("s_name")))
+          .cast("int").as("lochierarchy"))
+    agg
+      .withColumn("rank_within_parent", rank().over(
+        Window.partitionBy(col("n_name")).orderBy(col("total_sum").desc)))
+      .select(col("total_sum"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("s_name"), lit("ALL")).as("supplier"),
+        col("lochierarchy"), col("rank_within_parent"))
+      .orderBy(col("lochierarchy").desc, col("nation"), col("supplier"))
+      .limit(100)
+  }
+
+  val qds70Sql: String = {
+    val joinFrom =
+      """FROM lineitem
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995""".stripMargin
+    s"""WITH top5 AS (
+       |  SELECT n_name FROM (
+       |    SELECT n_name,
+       |      ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS ts
+       |  $joinFrom
+       |    GROUP BY 1 ORDER BY ts DESC, n_name LIMIT 5)),
+       |agg AS (
+       |  SELECT n_name, s_name,
+       |    CAST(GROUPING(n_name) + GROUPING(s_name) AS INT)
+       |      AS lochierarchy,
+       |    ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")}
+       |      AS total_sum
+       |  $joinFrom
+       |    AND n_name IN (SELECT n_name FROM top5)
+       |  GROUP BY ROLLUP(n_name, s_name))
+       |SELECT total_sum, COALESCE(n_name, 'ALL') AS nation,
+       |  COALESCE(s_name, 'ALL') AS supplier, lochierarchy,
+       |  RANK() OVER (PARTITION BY n_name ORDER BY total_sum DESC)
+       |    AS rank_within_parent
+       |FROM agg
+       |ORDER BY lochierarchy DESC, nation, supplier
+       |LIMIT 100""".stripMargin
+  }
+
+  /**
+   * TPC-DS q33 shape (reference tpcds/queries/q33.sql): per-manufacturer
+   * revenue across three channels, restricted to manufacturers that make
+   * items of one category (an IN subquery over the item dim), the three
+   * channel aggregates unioned and re-aggregated. Mapped: manufacturer →
+   * p_brand, category gate → brands with any 'PROMO%'-typed part,
+   * channels → l_linenumber mod 3. The oracle keeps the literal form —
+   * three fact scans, UNION ALL, outer re-aggregate; the engine form is
+   * the presence-pivot family (qds38/qds58): ONE pass over the
+   * partkey-bucketed fact⋈part pair pivots the channel axis into three
+   * conditional sums plus the total. One fact read instead of three;
+   * the hash match proves pivot ≡ union + re-aggregate.
+   *
+   * The brand gate is DELIBERATELY NOT a semi join against the fact:
+   * PushDownLeftSemiAntiJoin pushes a dim-keyed LeftSemi below the
+   * fact⋈part join onto the part side, turning the dim leg into a join
+   * subtree — no longer a scan pair, so NO index serves and the fact
+   * re-shuffles at row grain (the qds38 INTERSECT finding in dim-gate
+   * form; pinned by this port's audit). Instead the gate is an
+   * aggregate at BRAND grain (`max(p_type LIKE …)` per brand) inner-
+   * joined ABOVE the pivot — an inner join cannot be pushed through
+   * the aggregate, the scan pair stays clean, and the gate costs a
+   * 25-row join instead of un-bucketing a 100 TB fact.
+   */
+  def qds33BrandChannels(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(28, 6))
+    val chan = pmod(col("l_linenumber"), lit(3))
+    val gate = part
+      .groupBy(col("p_brand").as("gb"))
+      .agg(max(when(col("p_type").startsWith("PROMO"), 1)).as("has_promo"))
+      .filter(col("has_promo") === 1)
+      .select(col("gb"))
+    def chanSum(m: Int) =
+      sum(when(chan === m, rev)).cast(DoubleType).as(s"chan${m}_sales")
+    li.filter(year(col("l_shipdate")) === 1995)
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(chanSum(0), chanSum(1), chanSum(2),
+        sum(rev).cast(DoubleType).as("total_sales"))
+      .join(gate, col("brand") === col("gb"))
+      .select(col("brand"), col("chan0_sales"), col("chan1_sales"),
+        col("chan2_sales"), col("total_sales"))
+      .orderBy(col("brand"))
+      .limit(100)
+  }
+
+  val qds33Sql: String = {
+    def chanCte(m: Int) =
+      s"""SELECT p_brand, $m AS chan,
+         |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+         |      AS DECIMAL(28,6))) AS s
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_linenumber % 3 = $m
+         |    AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+         |    AND p_brand IN (SELECT DISTINCT p_brand FROM part
+         |                    WHERE p_type LIKE 'PROMO%')
+         |  GROUP BY 1, 2""".stripMargin
+    s"""SELECT p_brand AS brand,
+       |  CAST(SUM(CASE WHEN chan = 0 THEN s END) AS DOUBLE)
+       |    AS chan0_sales,
+       |  CAST(SUM(CASE WHEN chan = 1 THEN s END) AS DOUBLE)
+       |    AS chan1_sales,
+       |  CAST(SUM(CASE WHEN chan = 2 THEN s END) AS DOUBLE)
+       |    AS chan2_sales,
+       |  CAST(SUM(s) AS DOUBLE) AS total_sales
+       |FROM (
+       |  ${chanCte(0)}
+       |UNION ALL
+       |  ${chanCte(1)}
+       |UNION ALL
+       |  ${chanCte(2)})
+       |GROUP BY 1
+       |ORDER BY brand
+       |LIMIT 100""".stripMargin
+  }
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds44_rank_ends" -> (qds44RankEnds _, qds44Sql),
+    "qds70_gated_rollup_rank" -> (qds70GatedRollupRank _, qds70Sql),
+    "qds33_brand_channels" -> (qds33BrandChannels _, qds33Sql),
     "qds31_quarter_growth" -> (qds31QuarterGrowth _, qds31Sql),
     "qds59_week_store_pivot" -> (qds59WeekStorePivot _, qds59Sql),
     "qds86_rollup_parent_rank" -> (qds86RollupParentRank _, qds86Sql),

@@ -659,6 +659,72 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(keys == Seq("p_brand"), s"exchange keys: $keys\n$p")
   }
 
+  test("qds44_rank_ends: NO global rank window exists — both directions " +
+      "plan as TakeOrderedAndProject top-10s (windows see only the ten " +
+      "rows), and the per-item aggregate rides the partkey buckets") {
+    val p = planOf("qds44_rank_ends")
+    val idx = indexScans(p)
+    assert(idx.exists(_.contains("accel_ci_li_inv")),
+      s"fact legs must serve from accel_ci_li_inv: $idx\n$p")
+    val takes = allNodes(p).collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+    assert(takes.size >= 2, s"expected both top-10s as TakeOrdered:\n$p")
+    // every window's input subtree is pre-truncated by a TakeOrdered —
+    // the single-partition window only ever sees ten rows
+    val windows = allNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(w => allNodes(w.child).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec])),
+      s"a window runs over a non-truncated input:\n$p")
+    // the per-item aggregates are bucket-served: no exchange beneath
+    // (the one-row scalar-subquery aggregate legitimately re-keys)
+    val itemAggs = allNodes(p).collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.exists(
+            _.references.exists(_.name == "l_partkey")) => a
+    }
+    assert(itemAggs.nonEmpty && itemAggs.forall(a => !allNodes(a.child)
+      .exists(_.isInstanceOf[ShuffleExchangeExec])),
+      s"a per-item aggregate re-shuffled:\n$p")
+  }
+
+  test("qds70_gated_rollup_rank: ONE window in the whole plan (the " +
+      "top-5 gate is a TakeOrdered, not the literal's second window) " +
+      "and the rollup exchange is ALIGNED onto n_name") {
+    val p = planOf("qds70_gated_rollup_rank")
+    val idx = indexScans(p)
+    assert(idx.count(_.contains("accel_ci_li_suppchan")) >= 1,
+      s"fact legs must serve from accel_ci_li_suppchan: $idx\n$p")
+    val windows = allNodes(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 1, s"expected exactly ONE window:\n$p")
+    assert(allNodes(p).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"the top-5 gate must plan as TakeOrdered:\n$p")
+    val alignedKeys = allNodes(p).collect {
+      case e: ShuffleExchangeExec => e.getTagValue(
+        graft.execution.AlignAggExchange.AlignedTag)
+    }.flatten
+    assert(alignedKeys.contains(Seq("n_name")),
+      s"rollup exchange not aligned onto n_name (got $alignedKeys):\n$p")
+  }
+
+  test("qds33_brand_channels: the three-channel union + re-aggregate " +
+      "collapses to ONE bucketed fact pass; the brand gate joins ABOVE " +
+      "the pivot (a fact-side semi gate would be pushed onto the dim " +
+      "leg and un-bucket the join) — fact⋈part zero-shuffle") {
+    val p = planOf("qds33_brand_channels")
+    val factScans = allNodes(p).collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("accel_ci_li_")) => s
+    }
+    assert(factScans.size == 1,
+      s"expected ONE fact scan, got ${factScans.size}:\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the bucketed fact⋈part join re-shuffled:\n$p")
+    assert(shuffles(p) <= 4, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
