@@ -62,6 +62,18 @@ private[queries] object AccelIndexes {
   val ordPrio: Entry = "orders" -> CoveringIndexConfig(
     "accel_ci_ord_prio", Seq("o_custkey"),
     Seq("o_orderdate", "o_orderpriority"))
+  // the q62-shape lag leg: orderkey-bucketed carrying BOTH the order
+  // date (the lag arithmetic's other operand) and the priority (the
+  // grouping dimension) — no other orders index covers the pair.
+  // totalprice is included DELIBERATELY to keep this index strictly
+  // WIDER than ordSnow3: at two included columns the pair would TIE
+  // the narrowness ranking for plain (orderkey → orderdate) legs and
+  // name-order would flip three pinned plans to an equivalent twin —
+  // the ranker's narrowest-first rule only de-ties layouts that
+  // actually differ in width
+  val ordLag: Entry = "orders" -> CoveringIndexConfig(
+    "accel_ci_ord_lag", Seq("o_orderkey"),
+    Seq("o_orderdate", "o_orderpriority", "o_totalprice"))
   // the q78-shape orders leg: orderkey-bucketed (co-located with the
   // lineitem channel index) carrying the priority the channels group on
   val ordSnow3Prio: Entry = "orders" -> CoveringIndexConfig(
@@ -159,6 +171,7 @@ private[queries] object AccelIndexes {
     li, liJoin, liSupp, liBySupp, liShip, liByPart, liRev, liWide,
     liInv, liQty, liChan, liPartChan, liSuppQty, liSuppChan, zoLi, dsLi,
     ordJoin, ordSnow, ordSnow3, ordAgg, ordByCust, ordPrio, ordSnow3Prio,
+    ordLag,
     cust, custNat, custDim, custSeg, custFull,
     suppDim, suppNat, partDim, partAttr, nationDim)
 }

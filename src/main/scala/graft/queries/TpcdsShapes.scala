@@ -2484,7 +2484,241 @@ object TpcdsShapes {
        |LIMIT 100""".stripMargin
   }
 
+  /**
+   * TPC-DS q54 shape (reference tpcds/queries/q54.sql): a customer-
+   * journey funnel — customers who bought category items through the
+   * catalog/web channels in one quarter (a DISTINCT over a channel
+   * union), their TOTAL spend in the following two quarters, counted
+   * into fixed-width revenue segments. Mapped: channels → l_linenumber
+   * mod 3 ∈ {0,1}, category gate → p_type LIKE 'PROMO%', spend →
+   * o_totalprice, segment width 50k (TPC-DS's month_seq scalar
+   * subqueries become literal date bounds — the fixture has no date
+   * dim). Scale shape: step 1 dedups customers through the
+   * orderkey-bucketed pair (lineitem⋈orders zero-shuffle, then one
+   * custkey exchange for the DISTINCT); step 2 re-joins those custkeys
+   * against the custkey-bucketed orders index — the DISTINCT's output
+   * partitioning co-locates with the index buckets, so the second fact
+   * pass adds NO exchange; the histogram is a tiny final aggregate.
+   */
+  def qds54SegmentFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    // step 1 needs the fact on TWO different keys (partkey for the item
+    // gate, orderkey for the customer), so ONE fact re-key is intrinsic
+    // — the item gate joins FIRST on the partkey buckets so the re-key
+    // carries only the GATED slice, not the whole quarter
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow)
+    ensureIndex(spark, sfDir, AccelIndexes.ordByCust)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val part = Tables.load(spark, sfDir, "part")
+    val myCustomers = li
+      .filter(pmod(col("l_linenumber"), lit(3)).isin(0, 1) &&
+        col("l_shipdate") >= lit("1995-04-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .filter(col("p_type").startsWith("PROMO"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("ck")).distinct()
+    val myRevenue = myCustomers
+      .join(Tables.load(spark, sfDir, "orders"),
+        col("ck") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("ck"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(28, 6))).as("revenue"))
+    myRevenue
+      .select(floor(col("revenue").cast(DoubleType) / 50000)
+        .cast("int").as("segment"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).cast(LongType).as("num_customers"))
+      .select(col("segment"), col("num_customers"),
+        (col("segment") * 50000).as("segment_base"))
+      .orderBy(col("segment"))
+      .limit(100)
+  }
+
+  val qds54Sql: String =
+    s"""WITH my_customers AS (
+       |  SELECT DISTINCT o_custkey AS ck
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN part ON l_partkey = p_partkey
+       |  WHERE l_linenumber % 3 IN (0, 1)
+       |    AND p_type LIKE 'PROMO%'
+       |    AND l_shipdate >= TIMESTAMP '1995-04-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'),
+       |my_revenue AS (
+       |  SELECT ck, SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS revenue
+       |  FROM my_customers JOIN orders ON ck = o_custkey
+       |  WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT CAST(FLOOR(CAST(revenue AS DOUBLE) / 50000) AS INT)
+       |    AS segment,
+       |  CAST(COUNT(*) AS BIGINT) AS num_customers,
+       |  CAST(FLOOR(CAST(revenue AS DOUBLE) / 50000) AS INT) * 50000
+       |    AS segment_base
+       |FROM my_revenue
+       |GROUP BY 1
+       |ORDER BY segment
+       |LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q80 shape (reference tpcds/queries/q80.sql): per channel,
+   * sales and returns totals with a promo gate, GROUP BY
+   * ROLLUP(channel, id) for channel subtotals and a grand total. The
+   * literal form (kept by the oracle) pre-aggregates each channel in
+   * its own CTE — three fact passes — then rollups over the UNION of
+   * aggregates. The engine form unions the ROW-LEVEL channel streams
+   * (each with its composite-key no-return gate riding the
+   * orderkey-bucketed pair, the qds78 machinery) and runs ONE rollup
+   * aggregate over the union: sums are associative, so rollup-over-
+   * rows ≡ rollup-over-channel-aggregates — proved by the hash match.
+   * Channels are l_linenumber mod 3; returns are the channel's 'R'
+   * rows collapsed to unique (orderkey, partkey); the promo gate keeps
+   * non-'PROMO%' part types (q80 keeps p_channel_tv = 'N').
+   *
+   * Scale layout: everything below the rollup rides ONE partkey-bucketed
+   * pair — the (orderkey, partkey) return gate co-partitions on the
+   * partkey SUBSET key, and the part dim joins BELOW the union (a union
+   * claims no output partitioning, so a single dim join above it would
+   * re-shuffle the whole row-level union at fact grain; three bucketed
+   * dim joins below it cost nothing). The rollup's one exchange is the
+   * only shuffle in the plan.
+   */
+  def qds80ChannelRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val chan = pmod(col("l_linenumber"), lit(3))
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(28, 6))
+    def channelRows(m: Int): DataFrame = {
+      val sales = li.filter(chan === m && col("l_returnflag") =!= "R" &&
+        year(col("l_shipdate")) === 1995)
+      val returns = li.filter(chan === m && col("l_returnflag") === "R" &&
+          year(col("l_shipdate")) === 1995)
+        .groupBy(col("l_orderkey").as("r_ok"), col("l_partkey").as("r_pk"))
+        .agg(sum(rev).as("ret_amt"))
+      sales.join(returns,
+          col("l_orderkey") === col("r_ok") &&
+            col("l_partkey") === col("r_pk"), "left_outer")
+        .join(Tables.load(spark, sfDir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .filter(!col("p_type").startsWith("PROMO"))
+        .select(lit(m).as("chan"), col("p_brand"),
+          rev.as("sales_amt"),
+          coalesce(col("ret_amt"), lit(BigDecimal(0)).cast(
+            DecimalType(28, 6))).as("returns_amt"))
+    }
+    channelRows(0).unionByName(channelRows(1)).unionByName(channelRows(2))
+      .rollup(col("chan"), col("p_brand"))
+      .agg(sum(col("sales_amt")).cast(DoubleType).as("sales"),
+        sum(col("returns_amt")).cast(DoubleType).as("returns"),
+        (grouping(col("chan")) + grouping(col("p_brand")))
+          .cast("int").as("lochierarchy"))
+      .select(coalesce(col("chan").cast("string"), lit("ALL")).as("channel"),
+        coalesce(col("p_brand"), lit("ALL")).as("brand"),
+        col("sales"), col("returns"), col("lochierarchy"))
+      .orderBy(col("lochierarchy").desc, col("channel"), col("brand"))
+      .limit(100)
+  }
+
+  val qds80Sql: String = {
+    def chanCte(m: Int) =
+      s"""SELECT $m AS chan, s.l_partkey,
+         |    CAST(s.l_extendedprice * (1.0 - s.l_discount)
+         |      AS DECIMAL(28,6)) AS sales_amt,
+         |    COALESCE(r.ret_amt, CAST(0 AS DECIMAL(28,6))) AS returns_amt
+         |  FROM lineitem s LEFT JOIN (
+         |    SELECT l_orderkey, l_partkey,
+         |      SUM(CAST(l_extendedprice * (1.0 - l_discount)
+         |        AS DECIMAL(28,6))) AS ret_amt
+         |    FROM lineitem
+         |    WHERE l_linenumber % 3 = $m AND l_returnflag = 'R'
+         |      AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+         |    GROUP BY 1, 2) r
+         |    ON s.l_orderkey = r.l_orderkey AND s.l_partkey = r.l_partkey
+         |  WHERE s.l_linenumber % 3 = $m AND s.l_returnflag <> 'R'
+         |    AND CAST(strftime(s.l_shipdate, '%Y') AS INT) = 1995"""
+        .stripMargin
+    s"""WITH u AS (
+       |  ${chanCte(0)}
+       |UNION ALL
+       |  ${chanCte(1)}
+       |UNION ALL
+       |  ${chanCte(2)}),
+       |agg AS (
+       |  SELECT chan, p_brand,
+       |    CAST(SUM(sales_amt) AS DOUBLE) AS sales,
+       |    CAST(SUM(returns_amt) AS DOUBLE) AS returns,
+       |    CAST(GROUPING(chan) + GROUPING(p_brand) AS INT)
+       |      AS lochierarchy
+       |  FROM u JOIN part ON u.l_partkey = p_partkey
+       |  WHERE p_type NOT LIKE 'PROMO%'
+       |  GROUP BY ROLLUP(chan, p_brand))
+       |SELECT COALESCE(CAST(chan AS VARCHAR), 'ALL') AS channel,
+       |  COALESCE(p_brand, 'ALL') AS brand, sales, returns, lochierarchy
+       |FROM agg
+       |ORDER BY lochierarchy DESC, channel, brand
+       |LIMIT 100""".stripMargin
+  }
+
+  /**
+   * TPC-DS q62 shape (reference tpcds/queries/q62.sql): order-to-ship
+   * day-lag BANDS (≤30, 31–60, 61–90, 91–120, >120) counted per
+   * (priority, ship month) — TPC-DS spells each band as a conditional
+   * sum over the fact⋈date join. Mapped: lag = datediff(l_shipdate,
+   * o_orderdate), dimensions (o_orderpriority, month). The
+   * fact⋈orders join rides the orderkey-bucketed pair zero-shuffle;
+   * the five bands are conditional counts in ONE aggregate pass — one
+   * exchange carrying (priority, month) partials.
+   */
+  def qds62ShipLagBands(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    ensureIndex(spark, sfDir, AccelIndexes.ordLag)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+    def band(name: String, cond: org.apache.spark.sql.Column) =
+      count(when(cond, 1)).cast(LongType).as(name)
+    li.filter(year(col("l_shipdate")) === 1995)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        month(col("l_shipdate")).as("moy"))
+      .agg(band("d30", lag <= 30),
+        band("d60", lag > 30 && lag <= 60),
+        band("d90", lag > 60 && lag <= 90),
+        band("d120", lag > 90 && lag <= 120),
+        band("dover", lag > 120))
+      .orderBy(col("priority"), col("moy"))
+      .limit(100)
+  }
+
+  val qds62Sql: String = {
+    val lag = "datediff('day', o_orderdate, l_shipdate)"
+    s"""SELECT o_orderpriority AS priority,
+       |  CAST(strftime(l_shipdate, '%m') AS INT) AS moy,
+       |  CAST(COUNT(CASE WHEN $lag <= 30 THEN 1 END) AS BIGINT) AS d30,
+       |  CAST(COUNT(CASE WHEN $lag > 30 AND $lag <= 60 THEN 1 END)
+       |    AS BIGINT) AS d60,
+       |  CAST(COUNT(CASE WHEN $lag > 60 AND $lag <= 90 THEN 1 END)
+       |    AS BIGINT) AS d90,
+       |  CAST(COUNT(CASE WHEN $lag > 90 AND $lag <= 120 THEN 1 END)
+       |    AS BIGINT) AS d120,
+       |  CAST(COUNT(CASE WHEN $lag > 120 THEN 1 END) AS BIGINT) AS dover
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+       |GROUP BY 1, 2
+       |ORDER BY priority, moy
+       |LIMIT 100""".stripMargin
+  }
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds54_segment_funnel" -> (qds54SegmentFunnel _, qds54Sql),
+    "qds80_channel_rollup" -> (qds80ChannelRollup _, qds80Sql),
+    "qds62_ship_lag_bands" -> (qds62ShipLagBands _, qds62Sql),
     "qds44_rank_ends" -> (qds44RankEnds _, qds44Sql),
     "qds70_gated_rollup_rank" -> (qds70GatedRollupRank _, qds70Sql),
     "qds33_brand_channels" -> (qds33BrandChannels _, qds33Sql),

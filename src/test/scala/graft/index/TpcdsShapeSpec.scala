@@ -725,6 +725,57 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 4, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
+  test("qds54_segment_funnel: the item gate rides the partkey pair " +
+      "zero-shuffle; the second fact pass re-joins the DISTINCT " +
+      "customers against the custkey buckets with NO extra exchange — " +
+      "three intrinsic exchanges only") {
+    val p = planOf("qds54_segment_funnel")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_partchan", "accel_ci_ord_bycust")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the lineitem⋈part gate re-shuffled:\n$p")
+    // step-2: the custkey SMJ consumes the DISTINCT's partitioning on
+    // one side and the custkey buckets on the other — its ORDERS side
+    // must have no exchange anywhere beneath
+    val ckJoins = allNodes(p).collect {
+      case j: SortMergeJoinExec if j.leftKeys.exists(
+        _.references.exists(_.name == "ck")) => j
+    }
+    assert(ckJoins.nonEmpty && ckJoins.forall(j => !allNodes(j.right)
+      .exists(_.isInstanceOf[ShuffleExchangeExec])),
+      s"the second fact pass re-keyed the orders side:\n$p")
+    // gated-slice orderkey re-key + the DISTINCT + the histogram agg:
+    // the two-key fact makes the first intrinsic, dedup the second
+    assert(shuffles(p) <= 3, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds80_channel_rollup: every channel's composite-key return gate " +
+      "AND its part join ride the partkey buckets below the union; the " +
+      "rollup's ONE exchange is the only shuffle in the plan") {
+    val p = planOf("qds80_channel_rollup")
+    val idx = indexScans(p)
+    assert(idx.exists(_.contains("accel_ci_li_partchan")),
+      s"fact legs must serve from accel_ci_li_partchan: $idx\n$p")
+    assert(zeroShuffleJoins(p).size >= 6,
+      s"expected all six bucketed joins zero-shuffle, got " +
+        s"${zeroShuffleJoins(p).size}:\n$p")
+    assert(shuffles(p) == 1, s"expected ONE exchange: ${shuffles(p)}\n$p")
+  }
+
+  test("qds62_ship_lag_bands: five lag bands in one aggregate pass over " +
+      "the zero-shuffle orderkey pair — ONE exchange") {
+    val p = planOf("qds62_ship_lag_bands")
+    val idx = indexScans(p)
+    assert(idx.exists(_.contains("accel_ci_li_")) &&
+      idx.exists(_.contains("accel_ci_ord_")),
+      s"both legs must be index-served: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the lineitem⋈orders join re-shuffled:\n$p")
+    assert(shuffles(p) == 1, s"expected ONE exchange: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
