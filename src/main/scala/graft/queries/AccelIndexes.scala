@@ -120,11 +120,14 @@ private[queries] object AccelIndexes {
   // the q78-shape channel leg: orderkey-bucketed carrying everything a
   // per-channel sales ⟕ returns ⋈ orders pipeline touches, so all three
   // channels' composite-key joins ride one index (wide on purpose — the
-  // alternative is three shuffles of the fact per channel)
+  // alternative is three shuffles of the fact per channel; suppkey
+  // joined the set for the q50 lag-band store axis — liChan was already
+  // the WIDEST orderkey layout, so widening it can't flip a narrowness
+  // race, finding #11)
   val liChan: Entry = "lineitem" -> CoveringIndexConfig(
     "accel_ci_li_chan", Seq("l_orderkey"),
-    Seq("l_linenumber", "l_partkey", "l_quantity", "l_extendedprice",
-      "l_discount", "l_returnflag", "l_shipdate"))
+    Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate"))
 
   // the q75-shape channel leg: the liChan column set bucketed by
   // PARTKEY instead — the composite (orderkey, partkey) return gate

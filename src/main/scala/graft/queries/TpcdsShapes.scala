@@ -2715,7 +2715,193 @@ object TpcdsShapes {
        |LIMIT 100""".stripMargin
   }
 
+  /**
+   * TPC-DS q92 shape (reference tpcds/queries/q92.sql): "excess
+   * discount" — revenue of fact rows whose discount exceeds 1.3× the
+   * per-item average discount over a window, spelled as a CORRELATED
+   * scalar subquery. The oracle keeps the correlated form; the engine
+   * decorrelates it the way Catalyst would — a per-item aggregate
+   * joined back on the item — but placed so the whole query is
+   * exchange-free except the single-row gather: the per-partkey
+   * average aggregates shuffle-free on the partkey buckets (grouping =
+   * bucket key) and the fact⋈aggregate join co-partitions on the SAME
+   * buckets, so a correlated-subquery query plans with ONE one-row
+   * exchange end-to-end. Averages go through exact decimal sums ÷
+   * count on both engines (a distributed double-average would flip
+   * near-threshold rows).
+   */
+  def qds92ExcessDiscount(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val discDec = col("l_discount").cast(DecimalType(28, 6))
+    val perItem = li.filter(year(col("l_shipdate")) === 1995)
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((sum(discDec).cast(DoubleType) / count(lit(1))).as("avg_disc"))
+    li.filter(year(col("l_shipdate")) === 1995)
+      .join(perItem, col("l_partkey") === col("pk"))
+      .filter(col("l_discount") > lit(1.3) * col("avg_disc"))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("l_extendedprice")).as("excess_revenue"))
+  }
+
+  val qds92Sql: String =
+    s"""WITH pa AS (
+       |  SELECT l_partkey AS pk,
+       |    CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)
+       |      / COUNT(*) AS avg_disc
+       |  FROM lineitem
+       |  WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+       |  GROUP BY 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${sqlMoneySum("l_extendedprice")} AS excess_revenue
+       |FROM lineitem JOIN pa ON l_partkey = pk
+       |WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+       |  AND l_discount > 1.3 * avg_disc""".stripMargin
+
+  /**
+   * TPC-DS q50 shape (reference tpcds/queries/q50.sql): sale-to-return
+   * day-lag bands per store — the sales fact joined to the returns
+   * fact and the lag between the two dates counted into bands. Mapped:
+   * a 1995 non-returned line paired with a RETURNED line of the same
+   * order (the fixture has no receipt date; the R-line's ship date
+   * plays the return date, and the lag can be negative — an extra
+   * "early" band catches it), store → supplier of the SALE line.
+   * Both fact roles ride ONE orderkey-bucketed index: the self-join
+   * is zero-shuffle off the bucket pair, and the five band counts are
+   * conditional aggregates in the single (supplier) exchange.
+   */
+  def qds50ReturnLagBands(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val sales = li.filter(col("l_returnflag") =!= "R" &&
+        year(col("l_shipdate")) === 1995)
+      .select(col("l_orderkey").as("s_ok"), col("l_suppkey").as("s_sk"),
+        col("l_shipdate").as("s_date"))
+    val returns = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("r_ok"), col("l_shipdate").as("r_date"))
+    val lag = datediff(col("r_date"), col("s_date"))
+    def band(name: String, cond: org.apache.spark.sql.Column) =
+      count(when(cond, 1)).cast(LongType).as(name)
+    sales.join(returns, col("s_ok") === col("r_ok"))
+      .groupBy(col("s_sk").as("suppkey"))
+      .agg(band("early", lag < 0),
+        band("d30", lag >= 0 && lag <= 30),
+        band("d60", lag > 30 && lag <= 60),
+        band("d90", lag > 60 && lag <= 90),
+        band("dover", lag > 90))
+      .orderBy(col("suppkey"))
+      .limit(100)
+  }
+
+  val qds50Sql: String = {
+    val lag = "datediff('day', s.l_shipdate, r.l_shipdate)"
+    s"""SELECT s.l_suppkey AS suppkey,
+       |  CAST(COUNT(CASE WHEN $lag < 0 THEN 1 END) AS BIGINT) AS early,
+       |  CAST(COUNT(CASE WHEN $lag >= 0 AND $lag <= 30 THEN 1 END)
+       |    AS BIGINT) AS d30,
+       |  CAST(COUNT(CASE WHEN $lag > 30 AND $lag <= 60 THEN 1 END)
+       |    AS BIGINT) AS d60,
+       |  CAST(COUNT(CASE WHEN $lag > 60 AND $lag <= 90 THEN 1 END)
+       |    AS BIGINT) AS d90,
+       |  CAST(COUNT(CASE WHEN $lag > 90 THEN 1 END) AS BIGINT) AS dover
+       |FROM lineitem s JOIN lineitem r ON s.l_orderkey = r.l_orderkey
+       |WHERE s.l_returnflag <> 'R' AND r.l_returnflag = 'R'
+       |  AND CAST(strftime(s.l_shipdate, '%Y') AS INT) = 1995
+       |GROUP BY 1
+       |ORDER BY suppkey
+       |LIMIT 100""".stripMargin
+  }
+
+  /**
+   * TPC-DS q5 shape (reference tpcds/queries/q5.sql): profit-and-loss
+   * per channel — sales rows and RETURN rows unioned as separate
+   * streams (returns carry the amounts in the loss column), rolled up
+   * by (channel, dimension) with channel subtotals and a grand total.
+   * Mapped: channels → l_linenumber mod 3, dimension →
+   * o_orderpriority, return stream → 'R' rows. The oracle keeps the
+   * literal per-(channel, priority) pre-aggregates of each stream
+   * re-aggregated under the rollup; the engine unions the ROW-LEVEL
+   * streams and runs ONE rollup (the qds80 lesson: the orders dim
+   * joins BELOW the union on the orderkey buckets, zero-shuffle, so
+   * the rollup's exchange is the plan's only shuffle).
+   */
+  def qds5ChannelPnl(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3Prio)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val chan = pmod(col("l_linenumber"), lit(3))
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(28, 6))
+    val zero = lit(BigDecimal(0)).cast(DecimalType(28, 6))
+    def stream(isReturn: Boolean): DataFrame = {
+      val rows = li.filter(
+        (if (isReturn) col("l_returnflag") === "R"
+         else col("l_returnflag") =!= "R") &&
+          year(col("l_shipdate")) === 1995)
+        .join(Tables.load(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      if (isReturn)
+        rows.select(chan.as("chan"), col("o_orderpriority"),
+          zero.as("sales_amt"), rev.as("loss_amt"))
+      else
+        rows.select(chan.as("chan"), col("o_orderpriority"),
+          rev.as("sales_amt"), zero.as("loss_amt"))
+    }
+    stream(isReturn = false).unionByName(stream(isReturn = true))
+      .rollup(col("chan"), col("o_orderpriority"))
+      .agg(sum(col("sales_amt")).cast(DoubleType).as("sales"),
+        sum(col("loss_amt")).cast(DoubleType).as("losses"),
+        (sum(col("sales_amt")) - sum(col("loss_amt")))
+          .cast(DoubleType).as("profit"),
+        (grouping(col("chan")) + grouping(col("o_orderpriority")))
+          .cast("int").as("lochierarchy"))
+      .select(coalesce(col("chan").cast("string"), lit("ALL")).as("channel"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("sales"), col("losses"), col("profit"), col("lochierarchy"))
+      .orderBy(col("lochierarchy").desc, col("channel"), col("priority"))
+      .limit(100)
+  }
+
+  val qds5Sql: String = {
+    def streamCte(ret: Boolean) = {
+      val flag = if (ret) "=" else "<>"
+      val (s, l) =
+        if (ret) ("CAST(0 AS DECIMAL(28,6))",
+          "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))")
+        else ("CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))",
+          "CAST(0 AS DECIMAL(28,6))")
+      s"""SELECT l_linenumber % 3 AS chan, o_orderpriority,
+         |    SUM($s) AS sales_amt, SUM($l) AS loss_amt
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag $flag 'R'
+         |    AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+         |  GROUP BY 1, 2""".stripMargin
+    }
+    s"""WITH u AS (
+       |  ${streamCte(false)}
+       |UNION ALL
+       |  ${streamCte(true)}),
+       |agg AS (
+       |  SELECT chan, o_orderpriority,
+       |    CAST(SUM(sales_amt) AS DOUBLE) AS sales,
+       |    CAST(SUM(loss_amt) AS DOUBLE) AS losses,
+       |    CAST(SUM(sales_amt) - SUM(loss_amt) AS DOUBLE) AS profit,
+       |    CAST(GROUPING(chan) + GROUPING(o_orderpriority) AS INT)
+       |      AS lochierarchy
+       |  FROM u
+       |  GROUP BY ROLLUP(chan, o_orderpriority))
+       |SELECT COALESCE(CAST(chan AS VARCHAR), 'ALL') AS channel,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  sales, losses, profit, lochierarchy
+       |FROM agg
+       |ORDER BY lochierarchy DESC, channel, priority
+       |LIMIT 100""".stripMargin
+  }
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds92_excess_discount" -> (qds92ExcessDiscount _, qds92Sql),
+    "qds50_return_lag_bands" -> (qds50ReturnLagBands _, qds50Sql),
+    "qds5_channel_pnl" -> (qds5ChannelPnl _, qds5Sql),
     "qds54_segment_funnel" -> (qds54SegmentFunnel _, qds54Sql),
     "qds80_channel_rollup" -> (qds80ChannelRollup _, qds80Sql),
     "qds62_ship_lag_bands" -> (qds62ShipLagBands _, qds62Sql),

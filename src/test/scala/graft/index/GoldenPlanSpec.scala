@@ -86,7 +86,8 @@ class GoldenPlanSpec extends AnyFunSuite {
       "qds51_cumulative_channels", "qds31_quarter_growth",
       "qds59_week_store_pivot", "qds86_rollup_parent_rank",
       "qds44_rank_ends", "qds70_gated_rollup_rank", "qds33_brand_channels",
-      "qds54_segment_funnel", "qds80_channel_rollup", "qds62_ship_lag_bands")
+      "qds54_segment_funnel", "qds80_channel_rollup", "qds62_ship_lag_bands",
+      "qds92_excess_discount", "qds50_return_lag_bands", "qds5_channel_pnl")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     if (noBroadcast(name))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -154,6 +155,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "qds59_week_store_pivot", "qds86_rollup_parent_rank",
     "qds44_rank_ends", "qds70_gated_rollup_rank", "qds33_brand_channels",
     "qds54_segment_funnel", "qds80_channel_rollup", "qds62_ship_lag_bands",
+    "qds92_excess_discount", "qds50_return_lag_bands", "qds5_channel_pnl",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",

@@ -776,6 +776,46 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) == 1, s"expected ONE exchange: ${shuffles(p)}\n$p")
   }
 
+  test("qds92_excess_discount: the correlated subquery decorrelates to " +
+      "a per-item aggregate that is SHUFFLE-FREE on the partkey buckets " +
+      "and a co-partitioned join — only the one-row gather exchanges") {
+    val p = planOf("qds92_excess_discount")
+    val idx = indexScans(p)
+    assert(idx.count(_.contains("accel_ci_li_partchan")) >= 2,
+      s"both fact roles must serve from accel_ci_li_partchan: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the fact⋈aggregate join re-shuffled:\n$p")
+    assert(shuffles(p) == 1,
+      s"expected only the single-row gather: ${shuffles(p)}\n$p")
+  }
+
+  test("qds50_return_lag_bands: the sale↔return self-join rides the " +
+      "orderkey buckets zero-shuffle; five lag bands in the single " +
+      "supplier exchange") {
+    val p = planOf("qds50_return_lag_bands")
+    val idx = indexScans(p)
+    assert(idx.count(_.contains("accel_ci_li_chan")) >= 2,
+      s"both fact roles must serve from accel_ci_li_chan: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the sale↔return self-join re-shuffled:\n$p")
+    assert(shuffles(p) == 1,
+      s"expected ONE exchange: ${shuffles(p)}\n$p")
+  }
+
+  test("qds5_channel_pnl: both P&L streams join orders BELOW the union " +
+      "on the orderkey buckets; the rollup's exchange is the only " +
+      "shuffle in the plan") {
+    val p = planOf("qds5_channel_pnl")
+    val idx = indexScans(p)
+    assert(idx.count(_.contains("accel_ci_li_chan")) >= 2 &&
+      idx.exists(_.contains("accel_ci_ord_snow3prio")),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).size >= 2,
+      s"expected both stream⋈orders joins zero-shuffle:\n$p")
+    assert(shuffles(p) == 1,
+      s"expected ONE exchange: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
