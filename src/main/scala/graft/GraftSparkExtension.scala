@@ -47,6 +47,11 @@ class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
     // null-safe ones, or the bucketed-index join rewrites can't claim
     // the set-algebra joins
     extensions.injectPreCBORule(spark => new NormalizeNullSafeJoinKeys(spark))
+    // operator-order repair second: un-push dim-side semi gates that
+    // robbed a bucketed scan pair (ROUNDLOG findings #6/#10), so the
+    // index rules below see the fact⋈dim join as two servable leaves
+    extensions.injectPreCBORule(spark =>
+      new graft.index.rules.HoistSemiGate(spark))
     extensions.injectPreCBORule(spark => new ApplyGraft(spark))
     extensions.injectPlannerStrategy(spark =>
       new graft.execution.BucketUnionStrategy(spark))
