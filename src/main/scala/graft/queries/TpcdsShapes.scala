@@ -2898,7 +2898,68 @@ object TpcdsShapes {
        |LIMIT 100""".stripMargin
   }
 
+  /**
+   * TPC-DS q56 shape (reference tpcds/queries/q56.sql — the q33
+   * template with an item-attribute gate): per-brand quantity across
+   * three channels, restricted by an IN-subquery over the part dim
+   * (brands that make any size-1 part). UNLIKE qds33 — which
+   * restructured the gate by hand after finding #10 — this port keeps
+   * the NATURAL LeftSemi spelling on purpose: [[HoistSemiGate]] must
+   * un-push the gate from the part leg and re-enable the bucketed
+   * fact⋈part pair, so this oracle row is the end-to-end proof the
+   * mechanism serves real queries (the audit pins the semi ABOVE a
+   * zero-shuffle pair). The oracle keeps the literal three-scan
+   * union + re-aggregate.
+   */
+  def qds56NaturalGate(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    val qty = col("l_quantity").cast(DecimalType(28, 6))
+    val chan = pmod(col("l_linenumber"), lit(3))
+    val brands = part.filter(col("p_size") === 1)
+      .select(col("p_brand").as("gb")).distinct()
+    def chanSum(m: Int) =
+      sum(when(chan === m, qty)).cast(DoubleType).as(s"chan${m}_qty")
+    li.filter(year(col("l_shipdate")) === 1995)
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(brands, col("p_brand") === col("gb"), "left_semi")
+      .groupBy(col("p_brand").as("brand"))
+      .agg(chanSum(0), chanSum(1), chanSum(2),
+        sum(qty).cast(DoubleType).as("total_qty"))
+      .orderBy(col("brand"))
+      .limit(100)
+  }
+
+  val qds56Sql: String = {
+    def chanCte(m: Int) =
+      s"""SELECT p_brand, $m AS chan,
+         |    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS s
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_linenumber % 3 = $m
+         |    AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+         |    AND p_brand IN (SELECT DISTINCT p_brand FROM part
+         |                    WHERE p_size = 1)
+         |  GROUP BY 1, 2""".stripMargin
+    s"""SELECT p_brand AS brand,
+       |  CAST(SUM(CASE WHEN chan = 0 THEN s END) AS DOUBLE) AS chan0_qty,
+       |  CAST(SUM(CASE WHEN chan = 1 THEN s END) AS DOUBLE) AS chan1_qty,
+       |  CAST(SUM(CASE WHEN chan = 2 THEN s END) AS DOUBLE) AS chan2_qty,
+       |  CAST(SUM(s) AS DOUBLE) AS total_qty
+       |FROM (
+       |  ${chanCte(0)}
+       |UNION ALL
+       |  ${chanCte(1)}
+       |UNION ALL
+       |  ${chanCte(2)})
+       |GROUP BY 1
+       |ORDER BY brand
+       |LIMIT 100""".stripMargin
+  }
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds56_natural_gate" -> (qds56NaturalGate _, qds56Sql),
     "qds92_excess_discount" -> (qds92ExcessDiscount _, qds92Sql),
     "qds50_return_lag_bands" -> (qds50ReturnLagBands _, qds50Sql),
     "qds5_channel_pnl" -> (qds5ChannelPnl _, qds5Sql),

@@ -816,6 +816,26 @@ class TpcdsShapeSpec extends AnyFunSuite {
       s"expected ONE exchange: ${shuffles(p)}\n$p")
   }
 
+  test("qds56_natural_gate: the NATURAL LeftSemi spelling — " +
+      "HoistSemiGate un-pushes the gate, the fact⋈part pair serves " +
+      "zero-shuffle with the semi sitting ABOVE it") {
+    val p = planOf("qds56_natural_gate")
+    val idx = indexScans(p)
+    assert(idx.exists(_.contains("accel_ci_part_attr")),
+      s"the part leg must be index-served: $idx\n$p")
+    val zero = zeroShuffleJoins(p)
+    assert(zero.nonEmpty, s"the fact⋈part pair re-shuffled:\n$p")
+    // the semi is a LeftSemi SMJ whose LEFT subtree contains the
+    // zero-shuffle inner pair — i.e. hoisted above it
+    val semis = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.exists(s => allNodes(s.left)
+      .exists(n => zero.exists(_ eq n))),
+      s"the gate did not hoist above the pair:\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
