@@ -146,13 +146,16 @@ private[queries] object AccelIndexes {
     "accel_ci_li_suppqty", Seq("l_suppkey"),
     Seq("l_quantity", "l_shipdate"))
 
-  // the q31/q59-shape store leg: suppkey-bucketed with the channel
-  // discriminator, the money columns, and the ship date, so the
-  // per-(supplier, quarter) and per-(supplier, week) pivots AND their
-  // cross-period self-joins ride one bucket layout shuffle-free
+  // the q31/q59/q66-shape store leg: suppkey-bucketed with the channel
+  // discriminator, the money columns, the ship date, and the return
+  // flag (q66's carrier axis), so the per-(supplier, quarter/week/
+  // month) pivots AND their cross-period self-joins ride one bucket
+  // layout shuffle-free (widest suppkey layout — widening it cannot
+  // flip a narrowness race, finding #11)
   val liSuppChan: Entry = "lineitem" -> CoveringIndexConfig(
     "accel_ci_li_suppchan", Seq("l_suppkey"),
-    Seq("l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"))
+    Seq("l_linenumber", "l_extendedprice", "l_discount", "l_returnflag",
+      "l_shipdate"))
 
   // ---- dims
   val suppDim: Entry = "supplier" -> CoveringIndexConfig(

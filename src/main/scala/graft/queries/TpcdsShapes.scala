@@ -2958,7 +2958,83 @@ object TpcdsShapes {
        |LIMIT 100""".stripMargin
   }
 
+  /**
+   * TPC-DS q66 shape (reference tpcds/queries/q66.sql): the WIDEST
+   * pivot in the corpus — per warehouse, twelve months × two metrics,
+   * the two ship carriers computed as separate UNION ALL legs and
+   * re-aggregated. Mapped: warehouse → supplier, carriers → return
+   * flags 'N' / 'A', metrics → extended price (carrier N) and
+   * discounted revenue (carrier A). The oracle keeps the literal
+   * two-leg union + re-aggregate; the engine computes all 24
+   * conditional sums in ONE pass over the suppkey buckets — grouping =
+   * bucket key, so the whole 24-column pivot plans with ZERO
+   * exchanges (the qds2/qds59 machinery at maximum width: the point is
+   * that conditional-sum fusion keeps paying as the pivot widens —
+   * the literal form's cost grows a fact pass per leg, the fused
+   * form's only grows the aggregate row).
+   */
+  def qds66WideMetricPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liSuppChan)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val moy = month(col("l_shipdate"))
+    val price = col("l_extendedprice").cast(DecimalType(28, 6))
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(28, 6))
+    val aggs = (1 to 12).flatMap { m =>
+      Seq(
+        sum(when(col("l_returnflag") === "N" && moy === m, price))
+          .cast(DoubleType).as(f"m$m%02d_price"),
+        sum(when(col("l_returnflag") === "A" && moy === m, rev))
+          .cast(DoubleType).as(f"m$m%02d_rev"))
+    }
+    li.filter(year(col("l_shipdate")) === 1995 &&
+        col("l_returnflag").isin("N", "A"))
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("suppkey"))
+      .limit(100)
+  }
+
+  val qds66Sql: String = {
+    def mn(m: Int) = f"m$m%02d"
+    def legCte(flag: String, metric: String, suffix: String) = {
+      val monthExpr = "CAST(strftime(l_shipdate, '%m') AS INT)"
+      // UNION ALL matches by POSITION: both legs must interleave the 24
+      // columns identically, with the off-metric slots NULL
+      val cols = (1 to 12).flatMap { m =>
+        val sumExpr =
+          s"""SUM(CASE WHEN $monthExpr = $m
+             |      THEN CAST($metric AS DECIMAL(28,6)) END)""".stripMargin
+        val nul = "CAST(NULL AS DECIMAL(28,6))"
+        if (suffix == "price")
+          Seq(s"$sumExpr AS ${mn(m)}_price", s"$nul AS ${mn(m)}_rev")
+        else
+          Seq(s"$nul AS ${mn(m)}_price", s"$sumExpr AS ${mn(m)}_rev")
+      }.mkString(",\n    ")
+      s"""SELECT l_suppkey AS suppkey,
+         |    $cols
+         |  FROM lineitem
+         |  WHERE l_returnflag = '$flag'
+         |    AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+         |  GROUP BY 1""".stripMargin
+    }
+    val outer = (1 to 12).flatMap(m => Seq(
+      s"CAST(SUM(${mn(m)}_price) AS DOUBLE) AS ${mn(m)}_price",
+      s"CAST(SUM(${mn(m)}_rev) AS DOUBLE) AS ${mn(m)}_rev"))
+      .mkString(",\n  ")
+    s"""SELECT suppkey,
+       |  $outer
+       |FROM (
+       |  ${legCte("N", "l_extendedprice", "price")}
+       |UNION ALL
+       |  ${legCte("A", "l_extendedprice * (1.0 - l_discount)", "rev")})
+       |GROUP BY 1
+       |ORDER BY suppkey
+       |LIMIT 100""".stripMargin
+  }
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds66_wide_metric_pivot" -> (qds66WideMetricPivot _, qds66Sql),
     "qds56_natural_gate" -> (qds56NaturalGate _, qds56Sql),
     "qds92_excess_discount" -> (qds92ExcessDiscount _, qds92Sql),
     "qds50_return_lag_bands" -> (qds50ReturnLagBands _, qds50Sql),

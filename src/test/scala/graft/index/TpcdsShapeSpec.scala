@@ -836,6 +836,17 @@ class TpcdsShapeSpec extends AnyFunSuite {
       s"the gate did not hoist above the pair:\n$p")
   }
 
+  test("qds66_wide_metric_pivot: 24 conditional sums in ONE pass over " +
+      "the suppkey buckets — ZERO exchanges, one scan (the literal " +
+      "form reads the fact once per carrier leg)") {
+    val p = planOf("qds66_wide_metric_pivot")
+    val scans = allNodes(p).collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"expected ONE scan, got ${scans.size}:\n$p")
+    assert(indexScans(p).exists(_.contains("accel_ci_li_suppchan")),
+      s"must serve from accel_ci_li_suppchan:\n$p")
+    assert(shuffles(p) == 0, s"expected a zero-exchange plan:\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
