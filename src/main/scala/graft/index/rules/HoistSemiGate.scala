@@ -57,7 +57,10 @@ class HoistSemiGate(spark: SparkSession)
     try {
       val indexes = IndexCatalog.activeIndexes(spark)
       if (indexes.isEmpty) return plan
-      plan.transformUp {
+      // subqueries too: RewritePredicateSubquery lowers IN/EXISTS into
+      // the main plan, but a gate INSIDE a remaining subquery plan
+      // (scalar or nested) robs its pair just the same
+      plan.transformUpWithSubqueries {
         case j @ Join(left,
               sj @ Join(dim, _, LeftSemi, semiCond, _), Inner, _, _)
             if eligible(left, dim, semiCond, indexes) =>

@@ -107,6 +107,8 @@ case class GraftCreateIndexCommand(name: String, provider: String,
     // buckets=N maps onto the session's numBuckets conf for the span of
     // this one build (the config surface reads it at toDescriptor time)
     val bucketOverride = longOpt("buckets")
+    bucketOverride.foreach(n => require(n > 0,
+      s"OPTIONS buckets must be positive, got $n"))
     val prev = spark.conf.getOption(graft.index.GraftConf.NumBucketsKey)
     bucketOverride.foreach(n =>
       spark.conf.set(graft.index.GraftConf.NumBucketsKey, n.toString))

@@ -192,6 +192,8 @@ class IndexSqlSpec extends AnyFunSuite {
       "USING DATASKIPPING OPTIONS (sketch = 'valuelist', fpp = 0.5)", "fpp")
     bad(s"CREATE INDEX sqlspec_x5 ON parquet.`$src` (l_suppkey) " +
       "USING COVERING OPTIONS (buckets = 'lots')", "integer")
+    bad(s"CREATE INDEX sqlspec_x6 ON parquet.`$src` (l_suppkey) " +
+      "USING COVERING OPTIONS (buckets = 0)", "positive")
     spark.sql("DROP INDEX sqlspec_bloom")
     spark.sql("DROP INDEX sqlspec_vl")
   }
