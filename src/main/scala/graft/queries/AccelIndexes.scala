@@ -133,7 +133,13 @@ private[queries] object AccelIndexes {
   // PARTKEY instead — the composite (orderkey, partkey) return gate
   // rides it via subset-key co-partitioning AND the part-dim join rides
   // the same buckets, so a channel pipeline that must end at a
-  // part-attribute grain never re-keys the fact at all
+  // part-attribute grain never re-keys the fact at all.
+  // DELIBERATELY WITHOUT l_suppkey (finding #12): adding it made this
+  // partkey layout cover qds65's suppkey-aligned column set, and the
+  // join-pair scoring then picked it over the suppkey buckets — a
+  // whole-query alignment lost to a local join win (1 → 3 exchanges).
+  // Widening is only safe within ONE bucket key's consumer set; a
+  // cross-bucket-key coverage overlap re-opens every ranking.
   val liPartChan: Entry = "lineitem" -> CoveringIndexConfig(
     "accel_ci_li_partchan", Seq("l_partkey"),
     Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",

@@ -3033,7 +3033,80 @@ object TpcdsShapes {
        |LIMIT 100""".stripMargin
   }
 
+  /**
+   * TPC-DS q40 shape (reference tpcds/queries/q40.sql): net sales
+   * (each sales row minus its matching return amount, COALESCE the
+   * miss to zero) split BEFORE/AFTER a pivot date, per (warehouse,
+   * item). Mapped: warehouse → supplier, item grain → brand, returns →
+   * the 'R' rows collapsed to unique (orderkey, partkey) — a sales row
+   * nets against its (order, part) return total, identically on both
+   * engines. The composite-key return gate rides the ORDERKEY buckets
+   * zero-shuffle; the (suppkey, brand) grain then needs the part dim at
+   * fact grain, so one partkey re-key of the netted stream is intrinsic
+   * (the suppkey axis is orthogonal to every bucket key that covers the
+   * gate — finding #12 pins why the partkey layout must NOT grow a
+   * suppkey column to absorb it).
+   */
+  def qds40NetSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(28, 6))
+    val pivot = lit("1995-07-01").cast("timestamp")
+    val returns = li.filter(col("l_returnflag") === "R" &&
+        year(col("l_shipdate")) === 1995)
+      .groupBy(col("l_orderkey").as("r_ok"), col("l_partkey").as("r_pk"))
+      .agg(sum(rev).as("ret"))
+    val net = (rev - coalesce(col("ret"),
+      lit(BigDecimal(0)).cast(DecimalType(28, 6))))
+    li.filter(col("l_returnflag") =!= "R" &&
+        year(col("l_shipdate")) === 1995)
+      .join(returns, col("l_orderkey") === col("r_ok") &&
+        col("l_partkey") === col("r_pk"), "left_outer")
+      .join(Tables.load(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey").as("suppkey"), col("p_brand").as("brand"))
+      .agg(
+        sum(when(col("l_shipdate") < pivot, net)).cast(DoubleType)
+          .as("sales_before"),
+        sum(when(col("l_shipdate") >= pivot, net)).cast(DoubleType)
+          .as("sales_after"))
+      .orderBy(col("suppkey"), col("brand"))
+      .limit(100)
+  }
+
+  val qds40Sql: String =
+    s"""WITH r AS (
+       |  SELECT l_orderkey AS r_ok, l_partkey AS r_pk,
+       |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+       |      AS DECIMAL(28,6))) AS ret
+       |  FROM lineitem
+       |  WHERE l_returnflag = 'R'
+       |    AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+       |  GROUP BY 1, 2)
+       |SELECT s.l_suppkey AS suppkey, p.p_brand AS brand,
+       |  CAST(SUM(CASE WHEN s.l_shipdate < TIMESTAMP '1995-07-01 00:00:00'
+       |    THEN CAST(s.l_extendedprice * (1.0 - s.l_discount)
+       |           AS DECIMAL(28,6))
+       |         - COALESCE(r.ret, CAST(0 AS DECIMAL(28,6))) END)
+       |    AS DOUBLE) AS sales_before,
+       |  CAST(SUM(CASE WHEN s.l_shipdate >= TIMESTAMP '1995-07-01 00:00:00'
+       |    THEN CAST(s.l_extendedprice * (1.0 - s.l_discount)
+       |           AS DECIMAL(28,6))
+       |         - COALESCE(r.ret, CAST(0 AS DECIMAL(28,6))) END)
+       |    AS DOUBLE) AS sales_after
+       |FROM lineitem s
+       |  LEFT JOIN r ON s.l_orderkey = r.r_ok AND s.l_partkey = r.r_pk
+       |  JOIN part p ON s.l_partkey = p.p_partkey
+       |WHERE s.l_returnflag <> 'R'
+       |  AND CAST(strftime(s.l_shipdate, '%Y') AS INT) = 1995
+       |GROUP BY 1, 2
+       |ORDER BY suppkey, brand
+       |LIMIT 100""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds40_net_split" -> (qds40NetSplit _, qds40Sql),
     "qds66_wide_metric_pivot" -> (qds66WideMetricPivot _, qds66Sql),
     "qds56_natural_gate" -> (qds56NaturalGate _, qds56Sql),
     "qds92_excess_discount" -> (qds92ExcessDiscount _, qds92Sql),

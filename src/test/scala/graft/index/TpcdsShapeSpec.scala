@@ -847,6 +847,38 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) == 0, s"expected a zero-exchange plan:\n$p")
   }
 
+  test("qds40_net_split: the sales leg sits in place on its buckets; " +
+      "the returns leg aggregates shuffle-free and only its COLLAPSED " +
+      "output re-keys; one intrinsic partkey re-key for the dim grain " +
+      "plus the aggregate — ≤3 exchanges, none at raw fact grain " +
+      "except the intrinsic one") {
+    val p = planOf("qds40_net_split")
+    val idx = indexScans(p)
+    assert(idx.exists(_.contains("accel_ci_li_chan")) &&
+      idx.exists(_.contains("accel_ci_li_partchan")),
+      s"both fact roles must be index-served: $idx\n$p")
+    // the sales side of the return gate has NO exchange beneath — it
+    // rides its orderkey buckets in place
+    val gates = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter => j
+    }
+    assert(gates.nonEmpty && gates.forall(g => !allNodes(g.left)
+      .exists(_.isInstanceOf[ShuffleExchangeExec])),
+      s"the sales leg re-shuffled below the gate:\n$p")
+    // the returns side re-key (finding #12's pair-incoherence face:
+    // the narrower partkey layout wins the leg, so its collapsed
+    // aggregate re-keys to meet the orderkey-bucketed sales side)
+    // carries AGGREGATED rows, never the raw fact
+    val returnsSideEx = gates.flatMap(g => allNodes(g.right).collect {
+      case e: ShuffleExchangeExec => e })
+    assert(returnsSideEx.forall(e => allNodes(e.child)
+      .exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.BaseAggregateExec])),
+      s"a raw-fact re-key crept under the gate:\n$p")
+    assert(shuffles(p) <= 3, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
