@@ -3105,7 +3105,51 @@ object TpcdsShapes {
        |ORDER BY suppkey, brand
        |LIMIT 100""".stripMargin
 
+  /**
+   * TPC-DS q61 shape (reference tpcds/queries/q61.sql): promotional
+   * revenue as a percentage of total revenue — the literal form runs
+   * TWO full fact⋈dims pipelines (one promo-gated, one not) and cross
+   * joins the two scalar rows. Mapped: promo gate → p_type LIKE
+   * 'PROMO%', window → 1995. The engine form reads the fact ONCE: the
+   * promo side is a conditional sum over the same partkey-bucketed
+   * join, so the plan is one zero-shuffle pair + the single-row
+   * gather. The hash match proves conditional-sum ≡ gated-pipeline —
+   * the qds88/qds58 lesson applied to the scalar-ratio family.
+   */
+  def qds61PromoRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(28, 6))
+    li.filter(year(col("l_shipdate")) === 1995)
+      .join(Tables.load(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), rev))
+          .cast(DoubleType).as("promotions"),
+        sum(rev).cast(DoubleType).as("total"))
+      .select(col("promotions"), col("total"),
+        (col("promotions") / col("total") * 100).as("promo_pct"))
+  }
+
+  val qds61Sql: String = {
+    val rev = "l_extendedprice * (1.0 - l_discount)"
+    s"""WITH promo AS (
+       |  SELECT ${sqlMoneySum(rev)} AS promotions
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995
+       |    AND p_type LIKE 'PROMO%'),
+       |tot AS (
+       |  SELECT ${sqlMoneySum(rev)} AS total
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE CAST(strftime(l_shipdate, '%Y') AS INT) = 1995)
+       |SELECT promotions, total, promotions / total * 100 AS promo_pct
+       |FROM promo, tot""".stripMargin
+  }
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds61_promo_ratio" -> (qds61PromoRatio _, qds61Sql),
     "qds40_net_split" -> (qds40NetSplit _, qds40Sql),
     "qds66_wide_metric_pivot" -> (qds66WideMetricPivot _, qds66Sql),
     "qds56_natural_gate" -> (qds56NaturalGate _, qds56Sql),

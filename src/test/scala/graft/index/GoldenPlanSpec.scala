@@ -88,7 +88,8 @@ class GoldenPlanSpec extends AnyFunSuite {
       "qds44_rank_ends", "qds70_gated_rollup_rank", "qds33_brand_channels",
       "qds54_segment_funnel", "qds80_channel_rollup", "qds62_ship_lag_bands",
       "qds92_excess_discount", "qds50_return_lag_bands", "qds5_channel_pnl",
-      "qds56_natural_gate", "qds66_wide_metric_pivot", "qds40_net_split")
+      "qds56_natural_gate", "qds66_wide_metric_pivot", "qds40_net_split",
+      "qds61_promo_ratio")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     if (noBroadcast(name))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -158,6 +159,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "qds54_segment_funnel", "qds80_channel_rollup", "qds62_ship_lag_bands",
     "qds92_excess_discount", "qds50_return_lag_bands", "qds5_channel_pnl",
     "qds56_natural_gate", "qds66_wide_metric_pivot", "qds40_net_split",
+    "qds61_promo_ratio",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",

@@ -879,6 +879,21 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) <= 3, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
+  test("qds61_promo_ratio: the literal form's two gated pipelines fuse " +
+      "into one zero-shuffle pass — one fact scan, one single-row " +
+      "gather exchange") {
+    val p = planOf("qds61_promo_ratio")
+    val factScans = allNodes(p).collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("accel_ci_li_")) => s
+    }
+    assert(factScans.size == 1,
+      s"expected ONE fact scan, got ${factScans.size}:\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the fact⋈part join re-shuffled:\n$p")
+    assert(shuffles(p) == 1, s"expected ONE exchange: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
