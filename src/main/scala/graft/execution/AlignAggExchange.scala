@@ -78,11 +78,23 @@ import org.apache.spark.sql.execution.window.WindowExec
  */
 class AlignAggExchange(spark: SparkSession) extends Rule[SparkPlan] {
 
+  private var warnedMalformed = false
+
   private def enabled: Boolean = spark.conf
     .getOption("spark.graft.alignAggExchange.enabled")
     // a malformed value ("yes") must degrade to the default, not throw
-    // from AQE stage prep and fail every query in the session
-    .forall(v => scala.util.Try(v.toBoolean).getOrElse(true))
+    // from AQE stage prep and fail every query in the session — but a
+    // user who typo'd an intent to DISABLE deserves a signal, so the
+    // degrade logs once, naming the key and the value
+    .forall(v => scala.util.Try(v.toBoolean).getOrElse {
+      if (!warnedMalformed) {
+        warnedMalformed = true
+        logWarning("graft: malformed value " +
+          s"'$v' for spark.graft.alignAggExchange.enabled; " +
+          "expected true|false — using the default (enabled)")
+      }
+      true
+    })
 
   override def apply(plan: SparkPlan): SparkPlan =
     if (!enabled) plan

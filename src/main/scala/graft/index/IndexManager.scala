@@ -26,6 +26,13 @@ final class IndexManager(spark: SparkSession) {
     GraftEventLogging.emit(spark)(event)
   private def app: AppInfo = GraftEventLogging.appInfo(spark)
 
+  /** Resolve (and thereby validate) the configured event logger BEFORE
+    * any durable state change: a misconfigured logger class must fail
+    * the action up front — not after the final stable-state log write,
+    * where the caller would see an exception for an action that in fact
+    * committed (and a retry would then hit a confusing state error). */
+  private def preflightLogger(): Unit = GraftEventLogging.loggerFor(spark)
+
   private def hadoopConf = spark.sessionState.newHadoopConf()
 
   def indexRoot(name: String): Path =
@@ -74,6 +81,7 @@ final class IndexManager(spark: SparkSession) {
 
   def create(df: DataFrame, config: IndexConfig): IndexLogEntry =
     GraftRuleGuard.withRuleDisabled {
+      preflightLogger()
       val name = config.indexName
       val log = logManager(name)
       log.getLatestStableLog.foreach { e =>
@@ -123,6 +131,7 @@ final class IndexManager(spark: SparkSession) {
       inFlight: String, to: String)(
       op: IndexLogEntry => IndexLogEntry): IndexLogEntry =
     GraftRuleGuard.withRuleDisabled {
+      preflightLogger()
       val log = logManager(name)
       val latest = log.getLatestStableLog.getOrElse(
         throw new NoSuchElementException(s"Index '$name' does not exist"))
@@ -147,6 +156,7 @@ final class IndexManager(spark: SparkSession) {
     * to recover an index stuck in CREATING/REFRESHING/... after a crashed
     * job. */
   def cancel(name: String): Unit = {
+    preflightLogger()
     val log = logManager(name)
     val latestId = log.getLatestId.getOrElse(
       throw new NoSuchElementException(s"Index '$name' does not exist"))
@@ -181,6 +191,7 @@ final class IndexManager(spark: SparkSession) {
   /** Hard delete of a soft-deleted index (removes all files + log), or —
     * when ACTIVE — removes outdated data versions only. */
   def vacuum(name: String): Unit = {
+    preflightLogger()
     val log = logManager(name)
     val latest = log.getLatestStableLog.getOrElse(
       throw new NoSuchElementException(s"Index '$name' does not exist"))

@@ -39,12 +39,28 @@ object PlanAnalysis {
     sb.append("\n=== Plan with indexes ===\n").append(withPlan.treeString)
     sb.append("\n=== Plan without indexes ===\n").append(withoutPlan.treeString)
     sb.append("\n").append(operatorDiffTable(spark, withQe))
+    sb.append(logicalNotes(spark, withoutPlan))
     sb.append(physicalNotes(withQe))
     if (verbose) {
       sb.append("\n=== Physical plan with indexes ===\n")
         .append(withQe.executedPlan.toString)
     }
     render(spark, sb.toString, applied)
+  }
+
+  /** One-line annotations for the LOGICAL operator-order decisions
+    * (HoistSemiGate): a hoisted gate renders as an ordinary plan and
+    * its TreeNodeTag breadcrumb does not reliably survive the
+    * post-rewrite optimizer batches, so the decisions are re-DERIVED by
+    * dry-running the rule on the un-rewritten plan explain computes
+    * anyway. Zero bytes when no semi-gate shape is involved. */
+  private def logicalNotes(
+      spark: SparkSession, withoutPlan: LogicalPlan): String = {
+    val ds = new graft.index.rules.HoistSemiGate(spark)
+      .decisions(withoutPlan)
+    if (ds.isEmpty) ""
+    else ds.map(d => s"logical: $d\n")
+      .mkString("\n=== Logical decisions ===\n", "", "")
   }
 
   /** One-line annotations for the PHYSICAL rule decisions the logical
@@ -214,6 +230,18 @@ object PlanAnalysis {
       if (applied.contains(e.name)) sb.append("APPLIED\n")
       else sb.append(notAppliedReasons(spark, e, leaves, candidates, resolver,
         plan, applied).mkString("; ")).append('\n')
+    }
+    // plan-level operator-order decisions (not per-index): a semi gate
+    // HoistSemiGate deliberately left in place reads as "why didn't the
+    // pair serve" without this line — name the decision and the
+    // servable key set (the hoisted positive is reported symmetrically)
+    val gateDecisions = new graft.index.rules.HoistSemiGate(spark)
+      .decisions(plan)
+    gateDecisions.foreach { d =>
+      val code =
+        if (d.startsWith("semi gate kept")) "SEMI_GATE_KEPT_IN_PLACE"
+        else "SEMI_GATE_HOISTED"
+      sb.append(s"Plan: [$code] $d\n")
     }
     sb.toString
   }

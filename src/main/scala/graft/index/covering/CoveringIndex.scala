@@ -123,12 +123,22 @@ object CoveringIndexDescriptor {
   }
 }
 
-/** User-facing config (reference: index/covering/CoveringIndexConfig.scala:37-151). */
+/** User-facing config (reference: index/covering/CoveringIndexConfig.scala:37-151).
+  *
+  * `numBuckets` overrides `spark.graft.index.numBuckets` for THIS index
+  * only. It is a config field — not a session-conf set/restore around the
+  * build — so a concurrent createIndex on another thread of the same
+  * session can never pick up the override and persist a wrong bucket
+  * count (which would silently break the co-partitioning the zero-shuffle
+  * join rewrites assume for that index). */
 final case class CoveringIndexConfig(
     indexName: String,
     indexedColumns: Seq[String],
-    includedColumns: Seq[String] = Nil) extends IndexConfig {
+    includedColumns: Seq[String] = Nil,
+    numBuckets: Option[Int] = None) extends IndexConfig {
   require(indexedColumns.nonEmpty, "at least one indexed column is required")
+  numBuckets.foreach(n =>
+    require(n > 0, s"numBuckets must be positive, got $n"))
 
   override def referencedColumns: Seq[String] = indexedColumns ++ includedColumns
 
@@ -138,7 +148,8 @@ final case class CoveringIndexConfig(
     CoveringIndexDescriptor(
       indexedColumns = idx,
       includedColumns = incl,
-      numBuckets = GraftBuckets.forSession(source.sparkSession),
+      numBuckets = numBuckets
+        .getOrElse(GraftBuckets.forSession(source.sparkSession)),
       schemaJson = "",
       hasLineage = graft.index.GraftConf.lineageEnabled(source.sparkSession))
   }

@@ -73,14 +73,20 @@ object AggIndexRule extends GraftIndexRule {
     }
     if (applicable.isEmpty) return None
 
-    // interesting-orders demand first (the layout ancestors also
-    // cluster on serves the join ABOVE this aggregate too), then
-    // canonical bucket-column order so independent legs tie-break
-    // coherently, then size and name (see ScoreBasedOptimizer)
+    // PAIR COHERENCE first (finding #12b): when covers with DIFFERENT
+    // bucket keys qualify, prefer the key a consuming join's OTHER side
+    // can actually ride bucketed — the aggregate's output partitioning
+    // then co-locates with that side and the join adds no exchange
+    // (qds40: the (ok, pk) returns collapse must ride the ORDERKEY
+    // buckets because the sales side has no partkey layout). Then
+    // interesting-orders demand, then canonical bucket-column order so
+    // independent legs tie-break coherently, then size and name (see
+    // ScoreBasedOptimizer)
     val best = applicable.sortBy { m =>
       val cols = m.entry.descriptor
         .asInstanceOf[CoveringIndexDescriptor].indexedColumns
-      (-ScoreBasedOptimizer.demand(cols, resolver),
+      (-ScoreBasedOptimizer.coherence(cols, resolver),
+        -ScoreBasedOptimizer.demand(cols, resolver),
         cols.mkString(","), m.entry.indexDataSize, m.entry.name)
     }.head.entry
     val newScan = ScanSubstitution.indexScan(spark, rel, best, useBucketSpec = true)

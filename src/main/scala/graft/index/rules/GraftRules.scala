@@ -718,14 +718,18 @@ object JoinOneSideIndexRule extends GraftIndexRule {
         // Full-key before subset-key, then more buckets (parallelism),
         // most covered bytes, smallest index, name (two equivalent
         // indexes must pick the same winner in every session)
-        (!m.isExact, d.numBuckets != sessionBuckets,
+        // nested pair: >9 keys exceeds the tuple Ordering arity
+        ((!m.isExact, d.numBuckets != sessionBuckets,
           d.indexedColumns.size != keys.distinct.size, -d.numBuckets,
-          -m.commonBytes,
+          -m.commonBytes),
+          // pair coherence (finding #12b: the bucket key an ancestor
+          // join's other side can ride beats plain demand), then
           // interesting-orders demand, then canonical bucket-column
           // order for leg-coherent ties (see ScoreBasedOptimizer)
-          -ScoreBasedOptimizer.demand(d.indexedColumns, resolver),
-          d.indexedColumns.mkString(","),
-          m.entry.indexDataSize, m.entry.name)
+          (-ScoreBasedOptimizer.coherence(d.indexedColumns, resolver),
+            -ScoreBasedOptimizer.demand(d.indexedColumns, resolver),
+            d.indexedColumns.mkString(","),
+            m.entry.indexDataSize, m.entry.name))
       }.headOption.getOrElse(return None)
       val newSide = substitute(spark, subtree, rel,
         joinSide(spark, rel, best._1))
@@ -778,6 +782,20 @@ object ScoreBasedOptimizer {
   private[rules] val interesting =
     new scala.util.DynamicVariable[Map[String, Int]](Map.empty)
 
+  /** PAIR-COHERENT keys (ROUNDLOG finding #12b): for each ancestor join,
+    * the equi-key names whose OTHER side can actually be served by a
+    * covering index bucketed on them. Plain demand counts every key of
+    * every ancestor equally — but when one leg of a composite-key join
+    * is coverable by layouts with DIFFERENT bucket keys, the right
+    * choice is the key the CONSUMER'S OTHER SIDE is partitioned on
+    * (qds40: the returns leg is covered on both partkey and orderkey
+    * buckets; the sales side can only ride orderkey — picking partkey
+    * re-keys the collapsed stream). Threaded separately from
+    * [[interesting]] and ranked ABOVE it in the leg rules: coherence is
+    * evidence of an actual serveable pairing, demand is a preference. */
+  private[rules] val coherent =
+    new scala.util.DynamicVariable[Map[String, Int]](Map.empty)
+
   /** Total ancestor demand for a candidate's bucket columns. */
   private[rules] def demand(
       cols: Seq[String],
@@ -785,6 +803,70 @@ object ScoreBasedOptimizer {
     val want = interesting.value
     cols.map(c => want.collect { case (n, k) if resolver(n, c) => k }.sum).sum
   }
+
+  /** Total pair-coherence votes for a candidate's bucket columns. */
+  private[rules] def coherence(
+      cols: Seq[String],
+      resolver: Resolver): Int = {
+    val want = coherent.value
+    cols.map(c => want.collect { case (n, k) if resolver(n, c) => k }.sum).sum
+  }
+
+  /** Join equi-key names (both sides' spellings — matching is by name)
+    * at pair positions where at least one side has an ELIGIBLE covering
+    * index bucketed on (a subset-key mapping of) its keys and covering
+    * its needed columns — i.e. keys a consumer pairing can actually
+    * ride. Name-level like [[derives]]: the signal only reorders
+    * already-eligible candidates. */
+  private def coherentVotes(
+      spark: SparkSession,
+      j: Join,
+      candidates: Map[LogicalPlan, Seq[CandidateMatch]]): Set[String] = {
+    val resolver = spark.sessionState.conf.resolver
+    val pairs = j.condition.toSeq.flatMap(c =>
+      JoinIndexRule.equiJoinPairs(c, j.left.outputSet, j.right.outputSet)
+        .getOrElse(Nil))
+    if (pairs.isEmpty) return Set.empty
+    val allowSubset = JoinIndexRule.subsetKeysAllowed(spark)
+    def servablePositions(side: LogicalPlan,
+        keys: Seq[AttributeReference]): Set[Int] = {
+      val rel = JoinIndexRule.linearRelation(side, candidates)
+        .getOrElse(return Set.empty)
+      val traced = keys.map(k =>
+        JoinIndexRule.traceToRel(side, rel, k).getOrElse(return Set.empty))
+      val needed = JoinIndexRule.neededColumns(side, rel)
+      JoinIndexRule.coveringEligible(candidates(rel), rel)
+        .filter { case (_, d) =>
+          Coverage.covers(d.referencedColumns, needed, resolver) }
+        .flatMap { case (_, d) =>
+          JoinIndexRule.keyMappingFor(d.indexedColumns, traced, resolver,
+            allowSubset).toSeq.flatten }
+        .toSet
+    }
+    val served = servablePositions(j.left, pairs.map(_._1)) ++
+      servablePositions(j.right, pairs.map(_._2))
+    served.flatMap(i => Set(pairs(i)._1.name, pairs(i)._2.name))
+  }
+
+  /** Whether `child`'s output partitioning survives into `j`'s output —
+    * the condition under which an ANCESTOR's coherence votes still
+    * concern a layout choice inside `child`. A sort-merge join claims
+    * PartitioningCollection(left, right) for Inner but only the
+    * streamed/left side for the one-sided types: a vote that cannot
+    * ride through the join must not bias a deeper leg (qds40: the part
+    * join's partkey vote crossing into the LeftOuter gate's RIGHT leg
+    * biased the returns collapse onto partkey buckets the sales side
+    * can never meet). The join's OWN votes always reach both children —
+    * co-partitioning at the join itself is side-symmetric. */
+  private def coherencePropagates(j: Join, child: LogicalPlan): Boolean =
+    j.joinType match {
+      case Inner => true
+      case LeftOuter | LeftSemi | LeftAnti => child eq j.left
+      case _: org.apache.spark.sql.catalyst.plans.ExistenceJoin =>
+        child eq j.left
+      case RightOuter => child eq j.right
+      case _ => false
+    }
 
   /** Columns a node makes interesting FOR ITS CHILDREN. Names, not
     * exprIds: index matching is by column name and the signal is a
@@ -818,17 +900,33 @@ object ScoreBasedOptimizer {
       plan: LogicalPlan,
       candidates: Map[LogicalPlan, Seq[CandidateMatch]]): LogicalPlan = {
     val memo = mutable.HashMap
-      .empty[(LogicalPlan, Map[String, Int]), (LogicalPlan, Int)]
+      .empty[(LogicalPlan, Map[String, Int], Map[String, Int]),
+        (LogicalPlan, Int)]
 
     def rec(p: LogicalPlan): (LogicalPlan, Int) =
-      memo.getOrElseUpdate((p, interesting.value), {
-        // rules see the ANCESTOR set; recursion into subtrees (both the
+      memo.getOrElseUpdate((p, interesting.value, coherent.value), {
+        // rules see the ANCESTOR sets; recursion into subtrees (both the
         // rules' own and the noop path) additionally carries what p
         // itself wants from its children
         val childSet = derives(p).foldLeft(interesting.value)(
           (m, n) => m.updated(n, m.getOrElse(n, 0) + 1))
-        val recurse: LogicalPlan => (LogicalPlan, Int) =
-          x => interesting.withValue(childSet)(rec(x))
+        val ownVotes: Set[String] = p match {
+          case j: Join => coherentVotes(spark, j, candidates)
+          case _ => Set.empty
+        }
+        val recurse: LogicalPlan => (LogicalPlan, Int) = x => {
+          // ancestor coherence crosses a join only into the child whose
+          // partitioning survives it; the join's own votes reach both
+          val inherited = p match {
+            case j: Join if !coherencePropagates(j, x) =>
+              Map.empty[String, Int]
+            case _ => coherent.value
+          }
+          val childCoherent = ownVotes.foldLeft(inherited)(
+            (m, n) => m.updated(n, m.getOrElse(n, 0) + 1))
+          interesting.withValue(childSet)(
+            coherent.withValue(childCoherent)(rec(x)))
+        }
         val applied = rules.flatMap(_.apply(spark, p, candidates, recurse))
         val noop: (LogicalPlan, Int) =
           if (p.children.isEmpty) (p, 0)
@@ -839,6 +937,7 @@ object ScoreBasedOptimizer {
         (applied :+ noop).maxBy(_._2)
       })
 
-    interesting.withValue(Map.empty)(rec(plan))._1
+    interesting.withValue(Map.empty)(coherent.withValue(Map.empty)(
+      rec(plan)))._1
   }
 }

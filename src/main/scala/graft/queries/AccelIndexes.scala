@@ -134,12 +134,16 @@ private[queries] object AccelIndexes {
   // rides it via subset-key co-partitioning AND the part-dim join rides
   // the same buckets, so a channel pipeline that must end at a
   // part-attribute grain never re-keys the fact at all.
-  // DELIBERATELY WITHOUT l_suppkey (finding #12): adding it made this
+  // DELIBERATELY WITHOUT l_suppkey (finding #12a): adding it made this
   // partkey layout cover qds65's suppkey-aligned column set, and the
   // join-pair scoring then picked it over the suppkey buckets — a
   // whole-query alignment lost to a local join win (1 → 3 exchanges).
   // Widening is only safe within ONE bucket key's consumer set; a
-  // cross-bucket-key coverage overlap re-opens every ranking.
+  // cross-bucket-key coverage overlap re-opens every ranking. (The r16
+  // pair-coherent ranker closes the #12b face — a leg covered by two
+  // bucket keys now follows its consumer's other side — but #12a still
+  // stands: coherence votes need the consumer visible in THIS query's
+  // plan, while a widening flips rankings in every query that covers.)
   val liPartChan: Entry = "lineitem" -> CoveringIndexConfig(
     "accel_ci_li_partchan", Seq("l_partkey"),
     Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",

@@ -79,22 +79,18 @@ object IndexAccel {
   }
 
   /** The rank-tie decoy: same key and coverage as accel_ci_li_join but
-    * 8 buckets, created under the SAME system path (pin it before
-    * overriding the bucket conf, which otherwise keys a different
-    * path). The ranker must prefer the session-bucket-count index. */
+    * 8 buckets (a per-config override — the shared session conf is
+    * never touched). The ranker must prefer the session-bucket-count
+    * index. */
   private[queries] def ensureRank8Decoy(spark: SparkSession,
       sfDir: String): Unit = synchronized {
     ensureSystemPath(spark, sfDir)
     val mgr = new IndexManager(spark)
     val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
     if (!active.contains("accel_ci_li_rank8")) {
-      val sysPath = spark.conf.get(GraftConf.SystemPathKey)
-      spark.conf.set(GraftConf.NumBucketsKey, "8")
-      spark.conf.set(GraftConf.SystemPathKey, sysPath)
-      try mgr.create(Tables.load(spark, sfDir, "lineitem"),
+      mgr.create(Tables.load(spark, sfDir, "lineitem"),
         CoveringIndexConfig("accel_ci_li_rank8",
-          Seq("l_orderkey"), Seq("l_extendedprice")))
-      finally spark.conf.unset(GraftConf.NumBucketsKey)
+          Seq("l_orderkey"), Seq("l_extendedprice"), numBuckets = Some(8)))
     }
   }
 

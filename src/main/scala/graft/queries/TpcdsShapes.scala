@@ -2425,7 +2425,11 @@ object TpcdsShapes {
    * aggregate at BRAND grain (`max(p_type LIKE …)` per brand) inner-
    * joined ABOVE the pivot — an inner join cannot be pushed through
    * the aggregate, the scan pair stays clean, and the gate costs a
-   * 25-row join instead of un-bucketing a 100 TB fact.
+   * 25-row join instead of un-bucketing a 100 TB fact. (Since r16 the
+   * hand restructuring is no longer REQUIRED for this plan shape: the
+   * natural LeftSemi spelling reaches the same brand-grain gating via
+   * HoistSemiGate's grain-aware placement — qds56 proves it — but this
+   * port keeps the explicit form as the template's documented twin.)
    */
   def qds33BrandChannels(spark: SparkSession, sfDir: String): DataFrame = {
     ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
@@ -2908,8 +2912,12 @@ object TpcdsShapes {
    * un-push the gate from the part leg and re-enable the bucketed
    * fact⋈part pair, so this oracle row is the end-to-end proof the
    * mechanism serves real queries (the audit pins the semi ABOVE a
-   * zero-shuffle pair). The oracle keeps the literal three-scan
-   * union + re-aggregate.
+   * zero-shuffle pair). Since r16 the rule's GRAIN-AWARE second stage
+   * also places the hoisted gate above the brand aggregate (the gate
+   * key is a grouping pass-through, so the semi drops whole groups and
+   * commutes) — the one exchange carries brand-grain PARTIAL rows, and
+   * the natural spelling plans exactly like qds33's hand-tuned form.
+   * The oracle keeps the literal three-scan union + re-aggregate.
    */
   def qds56NaturalGate(spark: SparkSession, sfDir: String): DataFrame = {
     ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
@@ -3040,12 +3048,17 @@ object TpcdsShapes {
    * item). Mapped: warehouse → supplier, item grain → brand, returns →
    * the 'R' rows collapsed to unique (orderkey, partkey) — a sales row
    * nets against its (order, part) return total, identically on both
-   * engines. The composite-key return gate rides the ORDERKEY buckets
-   * zero-shuffle; the (suppkey, brand) grain then needs the part dim at
-   * fact grain, so one partkey re-key of the netted stream is intrinsic
-   * (the suppkey axis is orthogonal to every bucket key that covers the
-   * gate — finding #12 pins why the partkey layout must NOT grow a
-   * suppkey column to absorb it).
+   * engines. The PAIR-COHERENT ranker (finding #12b, closed r16) puts
+   * BOTH fact roles on the orderkey buckets: the returns leg is covered
+   * by two differently-bucketed layouts, and the coherence vote from
+   * the gate join — whose sales side can only ride orderkey — overrides
+   * the partkey layout's higher raw demand, so the collapsed returns
+   * co-locate with the sales side and the composite-key gate adds NO
+   * exchange at all. The (suppkey, brand) grain then needs the part dim
+   * at fact grain, so one partkey re-key of the netted stream is
+   * intrinsic (the suppkey axis is orthogonal to every bucket key that
+   * covers the gate — finding #12a pins why the partkey layout must NOT
+   * grow a suppkey column to absorb it).
    */
   def qds40NetSplit(spark: SparkSession, sfDir: String): DataFrame = {
     ensureIndex(spark, sfDir, AccelIndexes.liChan)

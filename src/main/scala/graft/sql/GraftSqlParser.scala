@@ -314,13 +314,29 @@ object GraftSqlParser {
       """\s*\((?<cols>[^)]+)\)""" +
       """(?:\s+INCLUDE\s*\((?<incl>[^)]+)\))?""" +
       """(?:\s+USING\s+(?<using>COVERING|ZORDER|DATASKIPPING))?""" +
-      """(?:\s+OPTIONS\s*\((?<opts>[^)]*)\))?""")
+      // the group is QUOTE-AWARE: a quoted value may contain ')' (and
+      // ','), so the span can't simply stop at the first close-paren
+      """(?:\s+OPTIONS\s*\((?<opts>(?:[^)'"]|'[^']*'|"[^"]*")*)\))?""")
 
   /** `k = v, k2 = 'v2'` → Map; keys lowercased, quotes stripped from
-    * values. Malformed pairs refuse loudly — a typo'd option must never
-    * silently build a default index. */
-  private[sql] def parseOptions(raw: String): Map[String, String] =
-    raw.split(",").map(_.trim).filter(_.nonEmpty).map { pair =>
+    * values. Tokenization is quote-aware — a `','` or `')'` INSIDE a
+    * quoted value never splits a pair. Malformed pairs refuse loudly —
+    * a typo'd option must never silently build a default index. */
+  private[sql] def parseOptions(raw: String): Map[String, String] = {
+    // split on top-level commas only (commas inside '...' / "..." stay)
+    val pairs = scala.collection.mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    raw.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { quote = c; cur += c }
+      else if (c == ',') { pairs += cur.toString; cur.clear() }
+      else cur += c
+    }
+    if (quote != 0) throw new IllegalArgumentException(
+      s"Malformed OPTIONS '$raw' — unterminated quote")
+    pairs += cur.toString
+    pairs.map(_.trim).filter(_.nonEmpty).map { pair =>
       pair.split("=", 2) match {
         case Array(k, v) if k.trim.nonEmpty && v.trim.nonEmpty =>
           val value = v.trim
@@ -336,6 +352,7 @@ object GraftSqlParser {
           s"Malformed OPTIONS entry '$pair' — expected key = value")
       }
     }.toMap
+  }
   private val DropIndexRe = re("""DROP\s+INDEX\s+(?<name>[\w`-]+)""")
   private val RefreshIndexRe = re(
     """REFRESH\s+INDEX\s+(?<name>[\w`-]+)""" +

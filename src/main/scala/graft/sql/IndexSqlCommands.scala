@@ -102,21 +102,16 @@ case class GraftCreateIndexCommand(name: String, provider: String,
         DataSkippingIndexConfig(name, sketches)
       case _ =>
         requireKeys(Set("buckets"))
-        CoveringIndexConfig(name, columns, include)
+        // buckets=N threads through the CONFIG (read at toDescriptor
+        // time), never through the shared session conf: a concurrent
+        // CREATE INDEX on another thread must not observe the override
+        val bucketOverride = longOpt("buckets")
+        bucketOverride.foreach(n => require(n > 0,
+          s"OPTIONS buckets must be positive, got $n"))
+        CoveringIndexConfig(name, columns, include,
+          numBuckets = bucketOverride.map(_.toInt))
     }
-    // buckets=N maps onto the session's numBuckets conf for the span of
-    // this one build (the config surface reads it at toDescriptor time)
-    val bucketOverride = longOpt("buckets")
-    bucketOverride.foreach(n => require(n > 0,
-      s"OPTIONS buckets must be positive, got $n"))
-    val prev = spark.conf.getOption(graft.index.GraftConf.NumBucketsKey)
-    bucketOverride.foreach(n =>
-      spark.conf.set(graft.index.GraftConf.NumBucketsKey, n.toString))
-    try new Graft(spark).createIndex(df, config)
-    finally if (bucketOverride.isDefined) prev match {
-      case Some(v) => spark.conf.set(graft.index.GraftConf.NumBucketsKey, v)
-      case None => spark.conf.unset(graft.index.GraftConf.NumBucketsKey)
-    }
+    new Graft(spark).createIndex(df, config)
     Nil
   }
 }

@@ -96,6 +96,101 @@ class HoistSemiGateSpec extends AnyFunSuite {
     assert(sorted() == expected && expected.nonEmpty)
   }
 
+  /** The query's plan as the hoist rule would see it (rules disabled),
+    * for exercising the decisions() dry-run channel. */
+  private def unhoisted(df: DataFrame) =
+    graft.index.GraftRuleGuard.withRuleDisabled {
+      spark.sessionState.executePlan(df.queryExecution.logical).optimizedPlan
+    }
+
+  test("grain-aware placement: the hoisted gate moves ABOVE the brand " +
+      "aggregate (its key is a grouping pass-through), the condition " +
+      "re-keys onto the aggregate's output, and decisions() reports " +
+      "the grain-aware breadcrumb") {
+    assert(corpusReady)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = naturalGate()
+    val opt = df.queryExecution.optimizedPlan
+    val above = opt.collect {
+      case j @ Join(_: Aggregate, _, LeftSemi, Some(cond), _) => (j, cond)
+      case j @ Join(p: org.apache.spark.sql.catalyst.plans.logical.Project,
+          _, LeftSemi, Some(cond), _)
+          if p.child.isInstanceOf[Aggregate] => (j, cond)
+    }
+    assert(above.nonEmpty, s"the gate did not move above the aggregate:\n$opt")
+    val (semi, cond) = above.head
+    // the condition's left side references the AGGREGATE's output
+    // attribute (the grouping alias `brand`), not the pre-agg p_brand
+    val aggOut = semi.left.outputSet
+    assert(cond.references.exists(aggOut.contains),
+      s"semi condition not re-keyed onto the aggregate output: $cond")
+    // the decision report (the tag-robust channel explain/whyNot use)
+    // names both the hoist and the grain-aware placement
+    val ds = new graft.index.rules.HoistSemiGate(spark)
+      .decisions(unhoisted(df))
+    assert(ds.exists(d => d.contains("hoisted") &&
+      d.contains("above aggregate")),
+      s"decision report missing the grain-aware line: $ds")
+  }
+
+  test("a gate whose key is NOT a grouping pass-through stays below " +
+      "the aggregate — pull-up only fires when the semi drops whole " +
+      "groups") {
+    assert(corpusReady)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val part = graft.Tables.load(spark, TestSpark.sfDir, "part")
+    val brands = part.filter(col("p_type").startsWith("PROMO"))
+      .select(col("p_brand").as("gb")).distinct()
+    // gate on p_brand, but the aggregate groups by p_type: the semi
+    // removes ROWS of surviving groups, so it must not commute
+    val q = li.filter(year(col("l_shipdate")) === 1995)
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(brands, col("p_brand") === col("gb"), "left_semi")
+      .groupBy(col("p_type").as("ptype"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val opt = q.queryExecution.optimizedPlan
+    val semiAboveAgg = opt.collect {
+      case j @ Join(l, _, LeftSemi, _, _) if l.isInstanceOf[Aggregate] => j
+    }
+    assert(semiAboveAgg.isEmpty,
+      s"the gate illegally commuted with a different-grain aggregate:\n$opt")
+    // and the hoist itself (semi above the inner join) still happened,
+    // WITHOUT the grain-aware note — through the pruning Project that
+    // ColumnPruning interposed (the gate key is not needed above)
+    val ds = new graft.index.rules.HoistSemiGate(spark)
+      .decisions(unhoisted(q))
+    assert(ds.exists(_.contains("hoisted")) &&
+      !ds.exists(_.contains("above aggregate")),
+      s"expected a plain hoist decision: $ds")
+    // results parity for the through-project hoist path
+    def rows() = q.orderBy(col("ptype")).collect().toSeq
+    val expected = withHoistOff(rows())
+    assert(rows() == expected && expected.nonEmpty)
+  }
+
+  test("decisions() reports the kept-in-place negative when the " +
+      "pushed-down semi rides the leg's own buckets (the qds23 shape)") {
+    assert(corpusReady)
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val part = graft.Tables.load(spark, TestSpark.sfDir, "part")
+    // the gate keys the PART leg on p_partkey — partAttr is bucketed on
+    // exactly that key, so the semi is servable where the pushdown put
+    // it and the hoist must refuse (and say why)
+    val gate = li.select(col("l_partkey").as("gpk")).distinct()
+    val q = li.filter(col("l_returnflag") === "R")
+      .join(part.join(gate, col("p_partkey") === col("gpk"), "left_semi"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val ds = new graft.index.rules.HoistSemiGate(spark)
+      .decisions(unhoisted(q))
+    assert(ds.exists(d => d.contains("kept in place") &&
+      d.contains("p_partkey")),
+      s"expected a kept-in-place decision naming the bucket key: $ds")
+    assert(!ds.exists(_.contains("hoisted")), s"must not also hoist: $ds")
+  }
+
   test("a gate on an AGGREGATED dim leg is left where the pushdown put " +
       "it — hoisting only repairs scan pairs") {
     assert(corpusReady)

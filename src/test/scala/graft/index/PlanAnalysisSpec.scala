@@ -149,6 +149,55 @@ class PlanAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("explain surfaces HoistSemiGate as logical-decision lines — the " +
+      "qds56 shape reports the hoist AND the grain-aware placement; a " +
+      "plain query renders no section") {
+    withGraft { g =>
+      g.createIndex(lineitem, CoveringIndexConfig("pa_hs_li",
+        Seq("l_partkey"), Seq("l_linenumber", "l_quantity", "l_shipdate")))
+      val part = spark.read.parquet(s"${TestSpark.sfDir}/part.parquet")
+      g.createIndex(part,
+        CoveringIndexConfig("pa_hs_part", Seq("p_partkey"), Seq("p_brand")))
+      val gate = part.filter(col("p_size") === 1)
+        .select(col("p_brand").as("gb")).distinct()
+      val q = lineitem
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(gate, col("p_brand") === col("gb"), "left_semi")
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val out = g.explain(q)
+      assert(out.contains("=== Logical decisions ==="), out.takeRight(600))
+      assert(out.contains("logical: semi gate hoisted above bucketed " +
+        "pair on (p_brand)"), out.takeRight(600))
+      assert(out.contains("gate placed above aggregate"), out.takeRight(600))
+      // no semi-gate shape involved -> zero-byte section
+      val quiet = g.explain(lineitem.filter(col("l_partkey") === 1L)
+        .select(col("l_partkey")))
+      assert(!quiet.contains("=== Logical decisions ==="))
+    }
+  }
+
+  test("whyNot surfaces SEMI_GATE_KEPT_IN_PLACE with the servable key " +
+      "set (the qds23 shape: the pushed-down semi rides the leg's own " +
+      "buckets)") {
+    withGraft { g =>
+      g.createIndex(lineitem, CoveringIndexConfig("pa_kp_li",
+        Seq("l_partkey"), Seq("l_quantity", "l_returnflag")))
+      val part = spark.read.parquet(s"${TestSpark.sfDir}/part.parquet")
+      g.createIndex(part,
+        CoveringIndexConfig("pa_kp_part", Seq("p_partkey"), Seq("p_brand")))
+      val gate = lineitem.select(col("l_partkey").as("gpk")).distinct()
+      val q = lineitem.filter(col("l_returnflag") === "R")
+        .join(part.join(gate, col("p_partkey") === col("gpk"), "left_semi"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val out = g.whyNot(q)
+      assert(out.contains("SEMI_GATE_KEPT_IN_PLACE"), out)
+      assert(out.contains("servable on leg bucket keys (p_partkey)"), out)
+    }
+  }
+
   test("whyNot reports APPLIED for used index") {
     withGraft { g =>
       g.createIndex(lineitem,

@@ -818,7 +818,9 @@ class TpcdsShapeSpec extends AnyFunSuite {
 
   test("qds56_natural_gate: the NATURAL LeftSemi spelling — " +
       "HoistSemiGate un-pushes the gate, the fact⋈part pair serves " +
-      "zero-shuffle with the semi sitting ABOVE it") {
+      "zero-shuffle, and the GRAIN-AWARE second stage places the gate " +
+      "ABOVE the aggregate so the brand exchange carries partial rows, " +
+      "not the row-grain joined stream") {
     val p = planOf("qds56_natural_gate")
     val idx = indexScans(p)
     assert(idx.exists(_.contains("accel_ci_part_attr")),
@@ -834,6 +836,16 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(semis.exists(s => allNodes(s.left)
       .exists(n => zero.exists(_ eq n))),
       s"the gate did not hoist above the pair:\n$p")
+    // grain-aware placement: every exchange on the semi's LEFT side
+    // sits ABOVE a partial aggregate (it re-keys brand-grain partial
+    // rows) — the row-grain joined stream is never exchanged (the
+    // qds33 hand-tuned form, reached from the natural spelling)
+    val leftExchanges = semis.flatMap(s => allNodes(s.left).collect {
+      case e: ShuffleExchangeExec => e })
+    assert(leftExchanges.nonEmpty && leftExchanges.forall(e =>
+      allNodes(e.child).exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.aggregate.BaseAggregateExec])),
+      s"a row-grain exchange crept below the gate:\n$p")
   }
 
   test("qds66_wide_metric_pivot: 24 conditional sums in ONE pass over " +
@@ -847,36 +859,31 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) == 0, s"expected a zero-exchange plan:\n$p")
   }
 
-  test("qds40_net_split: the sales leg sits in place on its buckets; " +
-      "the returns leg aggregates shuffle-free and only its COLLAPSED " +
-      "output re-keys; one intrinsic partkey re-key for the dim grain " +
-      "plus the aggregate — ≤3 exchanges, none at raw fact grain " +
-      "except the intrinsic one") {
+  test("qds40_net_split: PAIR-COHERENT selection (finding #12b closed) " +
+      "— both fact roles ride the ORDERKEY buckets, the returns " +
+      "collapse is shuffle-free AND its output co-locates with the " +
+      "sales side, so the composite-key gate adds NO exchange; one " +
+      "intrinsic partkey re-key for the dim grain plus the final " +
+      "aggregate — ≤2 exchanges") {
     val p = planOf("qds40_net_split")
     val idx = indexScans(p)
+    // pair coherence: the returns leg is covered by BOTH the partkey
+    // and the orderkey layouts; the consumer's sales side can only
+    // ride orderkey, so the ranker must put the returns leg there too
     assert(idx.exists(_.contains("accel_ci_li_chan")) &&
-      idx.exists(_.contains("accel_ci_li_partchan")),
-      s"both fact roles must be index-served: $idx\n$p")
-    // the sales side of the return gate has NO exchange beneath — it
-    // rides its orderkey buckets in place
+      !idx.exists(_.contains("accel_ci_li_partchan")),
+      s"the returns leg must ride the orderkey buckets: $idx\n$p")
+    // the composite-key return gate joins with NO exchange on EITHER
+    // side: sales in place on its buckets, returns collapsed on the
+    // same buckets (subset-key co-partitioning on l_orderkey)
     val gates = allNodes(p).collect {
       case j: SortMergeJoinExec
           if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter => j
     }
-    assert(gates.nonEmpty && gates.forall(g => !allNodes(g.left)
+    assert(gates.nonEmpty && gates.forall(g => !allNodes(g)
       .exists(_.isInstanceOf[ShuffleExchangeExec])),
-      s"the sales leg re-shuffled below the gate:\n$p")
-    // the returns side re-key (finding #12's pair-incoherence face:
-    // the narrower partkey layout wins the leg, so its collapsed
-    // aggregate re-keys to meet the orderkey-bucketed sales side)
-    // carries AGGREGATED rows, never the raw fact
-    val returnsSideEx = gates.flatMap(g => allNodes(g.right).collect {
-      case e: ShuffleExchangeExec => e })
-    assert(returnsSideEx.forall(e => allNodes(e.child)
-      .exists(_.isInstanceOf[
-        org.apache.spark.sql.execution.aggregate.BaseAggregateExec])),
-      s"a raw-fact re-key crept under the gate:\n$p")
-    assert(shuffles(p) <= 3, s"exchange count regressed: ${shuffles(p)}\n$p")
+      s"the return gate re-shuffled:\n$p")
+    assert(shuffles(p) <= 2, s"exchange count regressed: ${shuffles(p)}\n$p")
   }
 
   test("qds61_promo_ratio: the literal form's two gated pipelines fuse " +

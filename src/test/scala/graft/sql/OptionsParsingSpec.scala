@@ -1,0 +1,35 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Quote-aware `OPTIONS (...)` tokenization: a `','` or `')'` INSIDE a
+ * quoted value must neither split a pair nor truncate the group, and
+ * malformed input still refuses loudly (a typo'd option must never
+ * silently build a default index).
+ */
+class OptionsParsingSpec extends AnyFunSuite {
+
+  test("quoted values may contain commas and parens") {
+    assert(GraftSqlParser.parseOptions("a = 'x,y'") == Map("a" -> "x,y"))
+    assert(GraftSqlParser.parseOptions("a = 'x)y', b = 2") ==
+      Map("a" -> "x)y", "b" -> "2"))
+    assert(GraftSqlParser.parseOptions("""a = "p,q)r", b = 'v'""") ==
+      Map("a" -> "p,q)r", "b" -> "v"))
+  }
+
+  test("plain pairs, empty list, and whitespace behave as before") {
+    assert(GraftSqlParser.parseOptions("") == Map.empty)
+    assert(GraftSqlParser.parseOptions(" k = v ,k2=8 ") ==
+      Map("k" -> "v", "k2" -> "8"))
+  }
+
+  test("malformed input refuses loudly") {
+    val e1 = intercept[IllegalArgumentException](
+      GraftSqlParser.parseOptions("novalue"))
+    assert(e1.getMessage.contains("key = value"))
+    val e2 = intercept[IllegalArgumentException](
+      GraftSqlParser.parseOptions("a = 'unterminated"))
+    assert(e2.getMessage.contains("unterminated quote"))
+  }
+}

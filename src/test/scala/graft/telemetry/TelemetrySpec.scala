@@ -188,6 +188,11 @@ class TelemetrySpec extends AnyFunSuite {
         withLogger("graft.telemetry.DoesNotExist")(createOnce("tel_bad1"))
       }
       assert(e1.getMessage.contains("graft.telemetry.DoesNotExist"))
+      // the logger is validated BEFORE the first durable log write: the
+      // failed action must leave NO state behind (a caller retry after
+      // fixing the conf starts clean instead of hitting a wedged index)
+      assert(new graft.index.IndexManager(spark)
+        .logManager("tel_bad1").getLatestId.isEmpty)
       val e2 = intercept[IllegalArgumentException] {
         withLogger(classOf[NotALogger].getName)(createOnce("tel_bad2"))
       }
