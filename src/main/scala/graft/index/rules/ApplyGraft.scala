@@ -45,6 +45,7 @@ class ApplyGraft(spark: SparkSession) extends Rule[LogicalPlan] with Logging {
         val applied = IndexCandidates.appliedIn(result)
         if (applied.nonEmpty) logger.logEvent(graft.telemetry.IndexUsageEvent(
           graft.telemetry.GraftEventLogging.appInfo(spark), applied,
+          ScoreBasedOptimizer.appliedRules(result),
           plan.toString, result.toString,
           s"Index(es) applied: ${applied.mkString(", ")}"))
       }

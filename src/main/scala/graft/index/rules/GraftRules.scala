@@ -774,6 +774,27 @@ object ScoreBasedOptimizer {
     Seq(JoinIndexRule, JoinOneSideIndexRule, ExistsIndexRule, AggIndexRule,
       ZOrderFilterIndexRule, FilterIndexRule, DataSkippingRule)
 
+  /** Stamped on the root of every rule rewrite the DP keeps, so usage
+    * telemetry can report per-rule hit rates (an ops team tuning a
+    * 100 TB corpus wants to know WHICH mechanism served, not just which
+    * index). Read immediately after optimize() by ApplyGraft — later
+    * optimizer batches may rebuild nodes without tags, which is fine
+    * for a same-instant read. */
+  val RuleTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[String] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[String]("graft.rule")
+
+  private def ruleName(r: GraftIndexRule): String =
+    r.getClass.getSimpleName.stripSuffix("$")
+
+  /** Rule names stamped in `plan` (subqueries included), in plan order. */
+  def appliedRules(plan: LogicalPlan): Seq[String] = {
+    val found = mutable.Buffer.empty[String]
+    plan.foreachWithSubqueries { p =>
+      p.getTagValue(RuleTag).foreach(found += _)
+    }
+    found.toSeq.distinct
+  }
+
   /** Clustering columns wanted by ancestors of the node being rewritten,
     * with DEMAND COUNTS — a column two ancestors cluster on outweighs a
     * column one does (q75: the composite-key gate join wants both its
@@ -927,7 +948,10 @@ object ScoreBasedOptimizer {
           interesting.withValue(childSet)(
             coherent.withValue(childCoherent)(rec(x)))
         }
-        val applied = rules.flatMap(_.apply(spark, p, candidates, recurse))
+        val applied = rules.flatMap(r =>
+          r.apply(spark, p, candidates, recurse).map { case (pl, s) =>
+            pl.setTagValue(RuleTag, ruleName(r)); (pl, s)
+          })
         val noop: (LogicalPlan, Int) =
           if (p.children.isEmpty) (p, 0)
           else {

@@ -75,10 +75,15 @@ case class CancelActionEvent(
 
 /** Emitted when the optimizer rule serves a query from one or more
   * indexes (reference: HyperspaceIndexUsageEvent,
-  * HyperspaceEvent.scala:149-166). */
+  * HyperspaceEvent.scala:149-166). Beyond the reference, `rules` names
+  * WHICH rewrite mechanisms served (FilterIndexRule / JoinIndexRule /
+  * JoinOneSideIndexRule / ExistsIndexRule / AggIndexRule /
+  * ZOrderFilterIndexRule / DataSkippingRule) — per-rule hit rates are
+  * what an ops team tunes an index corpus against. */
 case class IndexUsageEvent(
     appInfo: AppInfo,
     indexes: Seq[String],
+    rules: Seq[String],
     planBeforeRule: String,
     planAfterRule: String,
     message: String) extends GraftEvent

@@ -135,11 +135,38 @@ class TelemetrySpec extends AnyFunSuite {
         assert(usages.nonEmpty, "no usage event for an accelerated query")
         val u = usages.head
         assert(u.indexes == Seq("tel_usage"))
+        // the SERVING RULE is stamped too — per-rule hit rates are the
+        // corpus-tuning signal (a filter-query serve is FilterIndexRule)
+        assert(u.rules == Seq("FilterIndexRule"), s"rules: ${u.rules}")
         // logical-plan text renders the pruned relation, not the path —
         // the applied names live in `indexes`; the plans must differ
         assert(u.planBeforeRule.nonEmpty && u.planAfterRule.nonEmpty &&
           u.planBeforeRule != u.planAfterRule)
         assert(u.message.contains("tel_usage"))
+      }
+    }
+  }
+
+  test("usage event stamps the serving rule per mechanism: a bucketed " +
+      "join pair reports JoinIndexRule with both index names") {
+    withGraft { g =>
+      withLogger() {
+        val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+        g.createIndex(lineitem, CoveringIndexConfig(
+          "tel_jr_li", Seq("l_orderkey"), Seq("l_quantity")))
+        g.createIndex(orders, CoveringIndexConfig(
+          "tel_jr_ord", Seq("o_orderkey"), Seq("o_totalprice")))
+        RecordingEventLogger.drain()
+        lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+          .collect()
+        val usages = RecordingEventLogger.drain()
+          .collect { case u: IndexUsageEvent => u }
+        assert(usages.nonEmpty)
+        val u = usages.head
+        assert(u.indexes.toSet == Set("tel_jr_li", "tel_jr_ord"),
+          s"indexes: ${u.indexes}")
+        assert(u.rules.contains("JoinIndexRule"), s"rules: ${u.rules}")
       }
     }
   }
@@ -163,6 +190,7 @@ class TelemetrySpec extends AnyFunSuite {
           .collect { case u: IndexUsageEvent => u }
         assert(usages.size >= 4 &&
           usages.forall(_.indexes == Seq("tel_mt")))
+        assert(usages.forall(_.rules.nonEmpty))
       }
     }
   }
