@@ -3161,7 +3161,208 @@ object TpcdsShapes {
        |FROM promo, tot""".stripMargin
   }
 
+  /**
+   * TPC-DS q37/q82 shape (reference tpcds/queries/q37.sql, q82.sql —
+   * the same template over the catalog/store channel): items in a
+   * filtered attribute band whose INVENTORY sits in a date window and
+   * quantity band, gated to items that actually SOLD in the channel —
+   * an IN-subquery over the sales fact keyed on the ITEM. Mapped:
+   * item → part (brand IN-list), inventory → lineitem slices in a
+   * 1995 ship window with a quantity band, sold gate → the 'N'
+   * returnflag slice. The template the r15 HoistSemiGate did NOT
+   * author: here the pushed-down semi's key (p_partkey) IS the dim
+   * leg's bucket key, so the rule must KEEP it in place (the
+   * kept-in-place decision) and the gate itself serves as a
+   * zero-shuffle bucketed semi via subset-key co-partitioning — the
+   * whole probe runs on partkey buckets with ONE exchange (the final
+   * brand/type aggregate). At 100 TB: no fact-grain re-key anywhere.
+   */
+  def qds37InventoryProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liInv)
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    val inv = li.filter(
+      col("l_shipdate") >= lit("1995-02-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-06-01").cast("timestamp") &&
+        col("l_quantity").between(10, 45))
+    val sold = li.filter(col("l_returnflag") === "N")
+      .select(col("l_partkey").as("sold_pk"))
+    inv.join(part.filter(col("p_brand").isin(
+        "Brand#11", "Brand#22", "Brand#33", "Brand#44")),
+        col("l_partkey") === col("p_partkey"))
+      .join(sold, col("p_partkey") === col("sold_pk"), "left_semi")
+      .groupBy(col("p_brand").as("brand"), col("p_type").as("ptype"))
+      .agg(count(lit(1)).cast(LongType).as("n_slices"),
+        moneySum(col("l_quantity")).as("onhand"))
+      .orderBy(col("brand"), col("ptype"))
+      .limit(100)
+  }
+
+  val qds37Sql: String =
+    s"""SELECT p_brand AS brand, p_type AS ptype,
+       |  CAST(COUNT(*) AS BIGINT) AS n_slices,
+       |  ${sqlMoneySum("l_quantity")} AS onhand
+       |FROM lineitem inv JOIN part ON inv.l_partkey = p_partkey
+       |WHERE inv.l_shipdate >= TIMESTAMP '1995-02-01 00:00:00'
+       |  AND inv.l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+       |  AND inv.l_quantity BETWEEN 10 AND 45
+       |  AND p_brand IN ('Brand#11','Brand#22','Brand#33','Brand#44')
+       |  AND p_partkey IN (SELECT l_partkey FROM lineitem
+       |                    WHERE l_returnflag = 'N')
+       |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q45 shape (reference tpcds/queries/q45.sql): per-geography
+   * sales where the row qualifies through EITHER a plain attribute
+   * IN-list OR an IN-subquery over the item dim — the OR-of-gates
+   * disjunction no other shape covers (a lone IN-subquery lowers to a
+   * LeftSemi; under OR it must become an EXISTENCE join + disjunctive
+   * filter instead). Mapped: zip list → c_mktsegment IN-list, the
+   * item_id gate → brands of a literal partkey list (kept as a
+   * subquery, like q45 does, so it cannot constant-fold), geography
+   * grain → (c_nationkey, c_mktsegment). The engine form is spelled in
+   * SQL deliberately: the DataFrame API cannot express an IN-subquery,
+   * and the point of this port is the LOWERING — Catalyst rewrites the
+   * disjunctive IN into an ExistenceJoin + `seg IN (...) OR exists#n`
+   * filter, a shape ExistsIndexRule must pass through gracefully (the
+   * outer is a 4-table join, not a scan; the probe keys on a column
+   * nothing is bucketed on). At 100 TB the existence gate is a ~25-row
+   * broadcast at runtime; under the audit's no-broadcast SMJ the
+   * stream pays one gate exchange — the fact⋈orders leg still rides
+   * its orderkey pair zero-shuffle, and the two dim re-keys are the
+   * intrinsic cost of a three-key snowflake.
+   */
+  def qds45GeoOrItemGate(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liWide)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    ensureIndex(spark, sfDir, AccelIndexes.custSeg)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("qds45_li")
+    Tables.load(spark, sfDir, "orders").createOrReplaceTempView("qds45_ord")
+    Tables.load(spark, sfDir, "customer").createOrReplaceTempView("qds45_cust")
+    Tables.load(spark, sfDir, "part").createOrReplaceTempView("qds45_part")
+    spark.sql(
+      s"""SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         |  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS sales
+         |FROM qds45_li
+         |  JOIN qds45_ord ON l_orderkey = o_orderkey
+         |  JOIN qds45_cust ON o_custkey = c_custkey
+         |  JOIN qds45_part ON l_partkey = p_partkey
+         |WHERE (c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+         |       OR p_brand IN (SELECT p_brand FROM qds45_part
+         |                      WHERE p_partkey IN (2,3,5,7,11,13,17,19,23,29)))
+         |  AND o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+         |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100""".stripMargin)
+  }
+
+  val qds45Sql: String =
+    s"""WITH gate AS (
+       |  SELECT DISTINCT p_brand FROM part
+       |  WHERE p_partkey IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29))
+       |SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS sales
+       |FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN part ON l_partkey = p_partkey
+       |WHERE (c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+       |       OR p_brand IN (SELECT p_brand FROM gate))
+       |  AND o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+       |GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q11 shape (reference tpcds/queries/q11.sql — the q4/q74
+   * family at two channels): a per-(customer, year) totals CTE over a
+   * CHANNEL UNION, self-joined four ways (2 channels × 2 years), the
+   * web growth ratio compared against the store growth ratio, output
+   * at the second-year customer's flag attribute. Mapped: channels →
+   * returnflag N ('s') / R ('w'), years 1995/1996, preferred-flag →
+   * c_mktsegment (+ c_name for a total order). UNLIKE qds4 — whose
+   * legs are pre-filtered single-grain aggregates — each leg here
+   * filters the SHARED (cust, year, channel)-grain aggregate, so every
+   * leg's exchange keys on the full 3-column grouping while the
+   * self-joins demand only `cust`: AlignAggExchange's SMJ branch must
+   * re-key all four aggregate exchanges onto the customer subset
+   * (customer-grain partial rows), and the whole 4-way self-join plus
+   * the custkey-bucketed name lookup then ride those exchanges with no
+   * further shuffle. The oracle keeps q11's literal two-leg UNION ALL.
+   */
+  def qds11YoyChannelUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    ensureIndex(spark, sfDir, AccelIndexes.custFull)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    def yearTotal: DataFrame =
+      li.filter(col("l_returnflag").isin("N", "R"))
+        .join(ord.filter(
+          col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("dyear",
+          when(col("o_orderdate") < lit("1996-01-01").cast("timestamp"),
+            lit(1995)).otherwise(lit(1996)))
+        .groupBy(col("o_custkey").as("cust"), col("dyear"),
+          col("l_returnflag").as("chan"))
+        .agg(moneySum(rev).as("total"))
+    def leg(tag: String, year: Int, chan: String): DataFrame =
+      yearTotal.filter(col("chan") === chan && col("dyear") === year)
+        .select(col("cust").as(s"${tag}_cust"),
+          col("total").as(s"${tag}_total"))
+    val sf = leg("sf", 1995, "N"); val ss = leg("ss", 1996, "N")
+    val wf = leg("wf", 1995, "R"); val ws = leg("ws", 1996, "R")
+    ss.join(sf, col("ss_cust") === col("sf_cust"))
+      .join(wf, col("sf_cust") === col("wf_cust"))
+      .join(ws, col("sf_cust") === col("ws_cust"))
+      .filter(col("sf_total") > 0 && col("wf_total") > 0)
+      .filter(col("ws_total") / col("wf_total") >
+        col("ss_total") / col("sf_total"))
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("ss_cust") === col("c_custkey"))
+      .select(col("c_mktsegment").as("flag"), col("c_name").as("name"))
+      .orderBy(col("flag"), col("name"))
+      .limit(100)
+  }
+
+  val qds11Sql: String = {
+    def legCte(flag: String, tag: String) =
+      s"""SELECT o_custkey AS cust,
+         |    CAST(strftime(o_orderdate, '%Y') AS INT) AS dyear,
+         |    '$tag' AS sale_type,
+         |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+         |      AS DECIMAL(28,6))) AS total
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = '$flag'
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  GROUP BY 1, 2""".stripMargin
+    s"""WITH year_total AS (
+       |  ${legCte("N", "s")}
+       |UNION ALL
+       |  ${legCte("R", "w")})
+       |SELECT c_mktsegment AS flag, c_name AS name
+       |FROM year_total sf, year_total ssy, year_total wf, year_total wsy,
+       |     customer
+       |WHERE ssy.cust = sf.cust AND sf.cust = wf.cust AND sf.cust = wsy.cust
+       |  AND sf.sale_type = 's' AND ssy.sale_type = 's'
+       |  AND wf.sale_type = 'w' AND wsy.sale_type = 'w'
+       |  AND sf.dyear = 1995 AND ssy.dyear = 1996
+       |  AND wf.dyear = 1995 AND wsy.dyear = 1996
+       |  AND sf.total > 0 AND wf.total > 0
+       |  AND wsy.total / wf.total > ssy.total / sf.total
+       |  AND c_custkey = ssy.cust
+       |ORDER BY flag, name LIMIT 100""".stripMargin
+  }
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds37_inventory_probe" -> (qds37InventoryProbe _, qds37Sql),
+    "qds45_geo_or_item_gate" -> (qds45GeoOrItemGate _, qds45Sql),
+    "qds11_yoy_channel_union" -> (qds11YoyChannelUnion _, qds11Sql),
     "qds61_promo_ratio" -> (qds61PromoRatio _, qds61Sql),
     "qds40_net_split" -> (qds40NetSplit _, qds40Sql),
     "qds66_wide_metric_pivot" -> (qds66WideMetricPivot _, qds66Sql),

@@ -901,6 +901,86 @@ class TpcdsShapeSpec extends AnyFunSuite {
     assert(shuffles(p) == 1, s"expected ONE exchange: ${shuffles(p)}\n$p")
   }
 
+  test("qds37_inventory_probe: the dim-gated inventory probe runs " +
+      "ENTIRELY on partkey buckets — the pushed-down semi is KEPT in " +
+      "place (servable on the leg's own bucket key) as a zero-shuffle " +
+      "bucketed semi, the inv⋈part join pairs, and the only exchange " +
+      "is the final brand/type aggregate") {
+    val p = planOf("qds37_inventory_probe")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_inv", "accel_ci_li_partchan", "accel_ci_part_attr")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    // the semi gate stays where the pushdown put it AND pairs bucketed
+    val semis = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty && semis.forall(s =>
+      !allNodes(s).exists(_.isInstanceOf[ShuffleExchangeExec])),
+      s"the in-place semi gate re-shuffled:\n$p")
+    assert(shuffles(p) == 1, s"expected ONE exchange: ${shuffles(p)}\n$p")
+    // and the rule's decision report names the kept-in-place negative
+    val unhoisted = graft.index.GraftRuleGuard.withRuleDisabled {
+      spark.sessionState.executePlan(
+        TpcdsShapes.entries("qds37_inventory_probe")._1(spark, TestSpark.sfDir)
+          .queryExecution.logical).optimizedPlan
+    }
+    val ds = new graft.index.rules.HoistSemiGate(spark).decisions(unhoisted)
+    assert(ds.exists(d => d.contains("kept in place") &&
+      d.contains("p_partkey")), s"decision report: $ds")
+  }
+
+  test("qds45_geo_or_item_gate: the OR-of-gates disjunction lowers to " +
+      "an ExistenceJoin + disjunctive filter; the fact⋈orders pair is " +
+      "zero-shuffle and the residual exchanges are the snowflake's two " +
+      "intrinsic dim re-keys, the (runtime-broadcastable) gate pair, " +
+      "and the final aggregate") {
+    val p = planOf("qds45_geo_or_item_gate")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_ord_snow3", "accel_ci_cust_seg", "accel_ci_part_attr")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    // the IN-subquery under OR became an existence join, not a semi
+    val existence = allNodes(p).collect {
+      case j: SortMergeJoinExec if j.joinType.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.ExistenceJoin] => j
+    }
+    assert(existence.nonEmpty, s"expected an ExistenceJoin:\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the fact⋈orders pair re-shuffled:\n$p")
+    // both dim legs serve IN PLACE: no exchange under the cust/part
+    // build sides of their joins
+    assert(shuffles(p) <= 5, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds11_yoy_channel_union: all four (cust, year, channel)-grain " +
+      "aggregate exchanges are re-keyed onto the customer SUBSET by " +
+      "AlignAggExchange, so the 4-way self-join and the bucketed name " +
+      "lookup add NO further shuffle — four exchanges, each carrying " +
+      "customer-grain partial rows") {
+    val p = planOf("qds11_yoy_channel_union")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_chan", "accel_ci_ord_snow3", "accel_ci_cust_full")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the li⋈ord pairs re-shuffled:\n$p")
+    val exchanges = allNodes(p).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 4,
+      s"expected at most FOUR exchanges: ${exchanges.size}\n$p")
+    // every exchange keys on the customer column ALONE (the aligned
+    // subset of the 3-column grouping) and carries partial rows
+    assert(exchanges.forall(e => e.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.size == 1
+      case _ => false
+    }), s"an exchange kept the full grouping key:\n$p")
+    assert(exchanges.forall(e => allNodes(e.child).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.BaseAggregateExec])),
+      s"an exchange carries un-aggregated rows:\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
