@@ -47,10 +47,16 @@ class Graft:
 
     def _jconfig(self, config):
         if isinstance(config, CoveringIndexConfig):
+            # py4j resolves the FULL constructor (Scala default args are
+            # compile-time sugar): the 4th arg is Option[Int]
+            nb = getattr(config, "num_buckets", None)
+            jopt = (self._jvm.scala.Option.empty() if nb is None
+                    else self._jvm.scala.Some(int(nb)))
             return self._jvm.graft.index.covering.CoveringIndexConfig(
                 config.index_name,
                 self._to_seq(config.indexed_columns),
-                self._to_seq(config.included_columns))
+                self._to_seq(config.included_columns),
+                jopt)
         if isinstance(config, ZOrderIndexConfig):
             return self._jvm.graft.index.zorder.ZOrderIndexConfig(
                 config.index_name,

@@ -9,13 +9,18 @@ wrapper does not expose).
 class CoveringIndexConfig:
     """Covering index: bucketed+sorted vertical slice of the source.
 
+    ``num_buckets`` overrides ``spark.graft.index.numBuckets`` for this
+    index only (a per-config override, never a session-conf mutation).
+
     >>> CoveringIndexConfig("idx", ["k"], ["v1", "v2"])
     """
 
-    def __init__(self, index_name, indexed_columns, included_columns=None):
+    def __init__(self, index_name, indexed_columns, included_columns=None,
+                 num_buckets=None):
         self.index_name = index_name
         self.indexed_columns = list(indexed_columns)
         self.included_columns = list(included_columns or [])
+        self.num_buckets = num_buckets
 
 
 class ZOrderIndexConfig:

@@ -51,6 +51,18 @@ object AggIndexRule extends GraftIndexRule {
     val rel = linearRelation(agg.child).getOrElse(return None)
     if (!candidates.contains(rel)) return None
 
+    // ALIAS-AWARE key matching (ROUNDLOG finding #13): a grouping key
+    // renamed in the linear chain below (`select(l_partkey.as("pk"))
+    // .distinct()` — the q97 channel-overlap spelling) still partitions
+    // by the RELATION column's value, and ProjectExec propagates the
+    // scan's bucketing claim through the alias — so the subset test
+    // must compare bucket columns against the TRACED relation names,
+    // or every renamed-key aggregate silently loses its shuffle-free
+    // plan. Computed (non-column) keys stay under their own name.
+    val groupNames = groupAttrs.map(a =>
+      JoinIndexRule.traceToRel(agg.child, rel, a).map(_.name)
+        .getOrElse(a.name))
+
     val resolver = spark.sessionState.conf.resolver
     // only columns the RELATION must supply need covering: an attribute
     // computed in the linear chain (Spark pulls computed grouping keys
@@ -63,10 +75,10 @@ object AggIndexRule extends GraftIndexRule {
     val applicable = candidates(rel).filter { m =>
       m.isExact && (m.entry.descriptor match {
         case d: CoveringIndexDescriptor =>
-          // bucket columns ⊆ grouping keys ⇒ partitioning satisfies the
-          // aggregation's required distribution
+          // bucket columns ⊆ (traced) grouping keys ⇒ partitioning
+          // satisfies the aggregation's required distribution
           d.indexedColumns.forall(ic =>
-            groupAttrs.exists(g => resolver(g.name, ic))) &&
+            groupNames.exists(g => resolver(g, ic))) &&
             Coverage.covers(d.referencedColumns, needed, resolver)
         case _ => false
       })

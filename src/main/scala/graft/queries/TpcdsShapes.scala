@@ -3359,7 +3359,152 @@ object TpcdsShapes {
        |ORDER BY flag, name LIMIT 100""".stripMargin
   }
 
+  /**
+   * TPC-DS q29/q25 shape (reference tpcds/queries/q29.sql, q25.sql —
+   * the same template with different aggregates): THREE fact roles in
+   * one query — items sold in a month, returned in the following
+   * quarter, and re-sold through the catalog within two years — joined
+   * through the sale→return ticket link and the item key, then rolled
+   * up per item attribute. Mapped: ticket → l_orderkey (returns
+   * collapse to order grain first, the qds93 netting convention),
+   * item → l_partkey, the catalog re-sales → the 'A' returnflag slice,
+   * item attribute → p_brand. Scale shape: the returns collapse and
+   * the sales probe ride the ORDERKEY buckets zero-shuffle; the
+   * re-sales collapse rides the PARTKEY buckets zero-shuffle
+   * (AggIndexRule on the partchan layout); the collapsed sales stream
+   * re-keys ONCE to part grain and meets BOTH the re-sales aggregate
+   * and the part dim in place — a three-fact-role query with TWO
+   * exchanges, both carrying aggregated rows.
+   */
+  def qds29RepeatChannelQty(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val qty = col("l_quantity").cast(DecimalType(28, 6))
+    val rOrd = li.filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey").as("r_ok"))
+      .agg(sum(qty).as("ret_qty"))
+    val sr = li.filter(col("l_returnflag") === "N" &&
+        col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      .join(rOrd, col("l_orderkey") === col("r_ok"))
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(qty).as("sold_qty"), sum(col("ret_qty")).as("ret_qty"))
+    val cs = li.filter(col("l_returnflag") === "A" &&
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey").as("cpk"))
+      .agg(sum(qty).as("re_qty"))
+    sr.join(cs, col("pk") === col("cpk"))
+      .join(Tables.load(spark, sfDir, "part"),
+        col("pk") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(moneySum(col("sold_qty")).as("store_sales_qty"),
+        moneySum(col("ret_qty")).as("store_returns_qty"),
+        moneySum(col("re_qty")).as("catalog_sales_qty"))
+      .orderBy(col("brand"))
+      .limit(100)
+  }
+
+  val qds29Sql: String =
+    s"""WITH r_ord AS (
+       |  SELECT l_orderkey AS r_ok,
+       |    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS ret_qty
+       |  FROM lineitem
+       |  WHERE l_returnflag = 'R'
+       |    AND l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  GROUP BY 1),
+       |sr AS (
+       |  SELECT s.l_partkey AS pk,
+       |    SUM(CAST(s.l_quantity AS DECIMAL(28,6))) AS sold_qty,
+       |    SUM(ret_qty) AS ret_qty
+       |  FROM lineitem s JOIN r_ord ON s.l_orderkey = r_ok
+       |  WHERE s.l_returnflag = 'N'
+       |    AND s.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+       |    AND s.l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+       |  GROUP BY 1),
+       |cs AS (
+       |  SELECT l_partkey AS cpk,
+       |    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS re_qty
+       |  FROM lineitem
+       |  WHERE l_returnflag = 'A'
+       |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT p_brand AS brand,
+       |  ${sqlMoneySum("sold_qty")} AS store_sales_qty,
+       |  ${sqlMoneySum("ret_qty")} AS store_returns_qty,
+       |  ${sqlMoneySum("re_qty")} AS catalog_sales_qty
+       |FROM sr JOIN cs ON pk = cpk JOIN part ON pk = p_partkey
+       |GROUP BY 1 ORDER BY 1 LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q97 shape (reference tpcds/queries/q97.sql): channel
+   * overlap — the DISTINCT (customer, item) pairs of two channels in a
+   * year, FULL-OUTER-joined on the pair, counted into store-only /
+   * catalog-only / both buckets. Mapped: pair → (l_partkey,
+   * l_suppkey), channels → quantity bands (≤25 / >25 — the fixture's
+   * one fact table models both channels). Scale shape: BOTH distinct
+   * collapses run shuffle-free on the partkey buckets (bucket key ⊆
+   * the pair), and the FULL OUTER join co-partitions on the SAME
+   * subset claim — at 100 TB the overlap of two billion-pair channels
+   * computes with ZERO pair-grain exchanges; the only exchange is the
+   * single-row final count gather.
+   */
+  def qds97ChannelOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liInv)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    def pairs(band: org.apache.spark.sql.Column, pkName: String,
+        skName: String): DataFrame =
+      li.filter(band &&
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("l_partkey").as(pkName), col("l_suppkey").as(skName))
+        .distinct()
+    val store = pairs(col("l_quantity") <= 25, "s_pk", "s_sk")
+    val cat = pairs(col("l_quantity") > 25, "c_pk", "c_sk")
+    store.join(cat,
+        col("s_pk") === col("c_pk") && col("s_sk") === col("c_sk"),
+        "full_outer")
+      .agg(
+        sum(when(col("s_pk").isNotNull && col("c_pk").isNull, 1)
+          .otherwise(0)).cast(LongType).as("store_only"),
+        sum(when(col("s_pk").isNull && col("c_pk").isNotNull, 1)
+          .otherwise(0)).cast(LongType).as("catalog_only"),
+        sum(when(col("s_pk").isNotNull && col("c_pk").isNotNull, 1)
+          .otherwise(0)).cast(LongType).as("store_and_catalog"))
+  }
+
+  val qds97Sql: String =
+    s"""WITH store AS (
+       |  SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+       |  WHERE l_quantity <= 25
+       |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  GROUP BY 1, 2),
+       |cat AS (
+       |  SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+       |  WHERE l_quantity > 25
+       |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  GROUP BY 1, 2)
+       |SELECT
+       |  CAST(SUM(CASE WHEN store.pk IS NOT NULL AND cat.pk IS NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+       |  CAST(SUM(CASE WHEN store.pk IS NULL AND cat.pk IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+       |  CAST(SUM(CASE WHEN store.pk IS NOT NULL AND cat.pk IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+       |FROM store FULL OUTER JOIN cat
+       |  ON store.pk = cat.pk AND store.sk = cat.sk""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds29_repeat_channel_qty" -> (qds29RepeatChannelQty _, qds29Sql),
+    "qds97_channel_overlap" -> (qds97ChannelOverlap _, qds97Sql),
     "qds37_inventory_probe" -> (qds37InventoryProbe _, qds37Sql),
     "qds45_geo_or_item_gate" -> (qds45GeoOrItemGate _, qds45Sql),
     "qds11_yoy_channel_union" -> (qds11YoyChannelUnion _, qds11Sql),

@@ -90,7 +90,8 @@ class GoldenPlanSpec extends AnyFunSuite {
       "qds92_excess_discount", "qds50_return_lag_bands", "qds5_channel_pnl",
       "qds56_natural_gate", "qds66_wide_metric_pivot", "qds40_net_split",
       "qds61_promo_ratio", "qds37_inventory_probe",
-      "qds45_geo_or_item_gate", "qds11_yoy_channel_union")
+      "qds45_geo_or_item_gate", "qds11_yoy_channel_union",
+      "qds29_repeat_channel_qty", "qds97_channel_overlap")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     if (noBroadcast(name))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -161,7 +162,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "qds92_excess_discount", "qds50_return_lag_bands", "qds5_channel_pnl",
     "qds56_natural_gate", "qds66_wide_metric_pivot", "qds40_net_split",
     "qds61_promo_ratio", "qds37_inventory_probe", "qds45_geo_or_item_gate",
-    "qds11_yoy_channel_union",
+    "qds11_yoy_channel_union", "qds29_repeat_channel_qty",
+    "qds97_channel_overlap",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",

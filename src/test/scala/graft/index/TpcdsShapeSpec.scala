@@ -981,6 +981,51 @@ class TpcdsShapeSpec extends AnyFunSuite {
       s"an exchange carries un-aggregated rows:\n$p")
   }
 
+  test("qds29_repeat_channel_qty: THREE fact roles, TWO exchanges — " +
+      "the returns collapse and the sales probe ride the orderkey " +
+      "buckets zero-shuffle, the re-sales collapse rides the partkey " +
+      "buckets zero-shuffle, and the only exchanges carry aggregated " +
+      "rows (the pk re-key of the collapsed sales and the final brand " +
+      "aggregate)") {
+    val p = planOf("qds29_repeat_channel_qty")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_chan", "accel_ci_li_partchan",
+      "accel_ci_part_attr").forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the sales⋈returns orderkey pair re-shuffled:\n$p")
+    val exchanges = allNodes(p).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 2,
+      s"expected at most TWO exchanges: ${exchanges.size}\n$p")
+    assert(exchanges.forall(e => allNodes(e.child).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.BaseAggregateExec])),
+      s"an exchange carries raw fact rows:\n$p")
+  }
+
+  test("qds97_channel_overlap: both DISTINCT pair collapses run " +
+      "shuffle-free on the partkey buckets (grouping keys are ALIASES " +
+      "— the finding-#13 alias-aware subset test), the FULL OUTER join " +
+      "co-partitions on the same subset claim, and the only exchange " +
+      "is the single-row count gather") {
+    val p = planOf("qds97_channel_overlap")
+    val invScans = allNodes(p).collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("accel_ci_li_inv")) => s
+    }
+    assert(invScans.size == 2,
+      s"both channel legs must ride accel_ci_li_inv: ${indexScans(p)}\n$p")
+    // the full-outer pair join has NO exchange beneath either side
+    val fo = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter => j
+    }
+    assert(fo.nonEmpty && fo.forall(j => !allNodes(j)
+      .exists(_.isInstanceOf[ShuffleExchangeExec])),
+      s"the pair-grain full outer re-shuffled:\n$p")
+    assert(shuffles(p) == 1,
+      s"expected ONE exchange (the count gather): ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
