@@ -866,7 +866,10 @@ object ScoreBasedOptimizer {
     }
     val served = servablePositions(j.left, pairs.map(_._1)) ++
       servablePositions(j.right, pairs.map(_._2))
-    served.flatMap(i => Set(pairs(i)._1.name, pairs(i)._2.name))
+    // both sides' spellings AND their dealiased source names (finding
+    // #13): the chooser may sit below an aggregate that renamed the key
+    served.flatMap(i =>
+      namesOf(j.left, pairs(i)._1) ++ namesOf(j.right, pairs(i)._2)).toSet
   }
 
   /** Whether `child`'s output partitioning survives into `j`'s output —
@@ -889,29 +892,79 @@ object ScoreBasedOptimizer {
       case _ => false
     }
 
+  /** Follow an attribute DOWN through SAME-GRAIN renames to the source
+    * column it carries the value of: Project output aliases map to
+    * their pass-through child attribute, Filter/Window pass through, a
+    * Join descends into the side that outputs the attribute. Stops
+    * (returns the current attribute) at anything else — leaves,
+    * computed expressions, set operations, and DELIBERATELY at
+    * Aggregates: a vote crossing an aggregate boundary changes GRAIN,
+    * and letting post-aggregate consumers bias the pre-aggregate scan
+    * choice un-bucketed qds78's three fact-grain channel joins to
+    * serve one aggregate-grain join (observed during this change; the
+    * through-aggregate rename class — finding #13's qds65 face — stays
+    * governed by CorpusGovernanceSpec instead). Partially closes
+    * finding #13 (alias-blind demand): a `select(l_partkey.as("pk"))`
+    * consumer votes for "pk", but the candidate layouts' bucket
+    * columns are the RELATION's names — without dealiasing, the
+    * interesting-orders signal silently dies at every projection
+    * rename. */
+  private[index] def dealiasToSource(
+      plan: LogicalPlan, a: AttributeReference): AttributeReference =
+    plan match {
+      case pr: Project =>
+        pr.projectList.find(_.exprId == a.exprId) match {
+          case Some(al: org.apache.spark.sql.catalyst.expressions.Alias) =>
+            al.child match {
+              case c: AttributeReference => dealiasToSource(pr.child, c)
+              case _ => a
+            }
+          case Some(ar: AttributeReference) => dealiasToSource(pr.child, ar)
+          case _ => a
+        }
+      case f: Filter => dealiasToSource(f.child, a)
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        dealiasToSource(w.child, a)
+      case j: Join =>
+        if (j.left.outputSet.contains(a)) dealiasToSource(j.left, a)
+        else if (j.right.outputSet.contains(a)) dealiasToSource(j.right, a)
+        else a
+      case _ => a
+    }
+
+  /** The attribute's own name plus its dealiased source name. */
+  private def namesOf(side: LogicalPlan, a: AttributeReference): Seq[String] =
+    Seq(a.name, dealiasToSource(side, a).name).distinct
+
   /** Columns a node makes interesting FOR ITS CHILDREN. Names, not
-    * exprIds: index matching is by column name and the signal is a
-    * preference, so name-level fuzz through renames is acceptable.
+    * exprIds — index matching is by column name and the signal is a
+    * preference — but each name is emitted BOTH as spelled at the node
+    * AND dealiased to its source column (finding #13: the chooser deep
+    * in a renamed CTE matches candidates by the relation's names).
     * (private[index]: PlanAnalysis re-derives demand for whyNot.) */
   private[index] def derives(p: LogicalPlan): Set[String] = p match {
     case j: Join =>
       j.condition.toSeq.flatMap(JoinIndexRule.splitConjuncts).flatMap {
         case EqualTo(a: AttributeReference, b: AttributeReference) =>
-          Seq(a.name, b.name)
+          val aSide = if (j.left.outputSet.contains(a)) j.left else j.right
+          val bSide = if (j.left.outputSet.contains(b)) j.left else j.right
+          namesOf(aSide, a) ++ namesOf(bSide, b)
         case _ => Nil
       }.toSet
     case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-      a.groupingExpressions.collect {
-        case ar: AttributeReference => ar.name
+      a.groupingExpressions.flatMap {
+        case ar: AttributeReference => namesOf(a.child, ar)
         case al: org.apache.spark.sql.catalyst.expressions.Alias =>
           al.child match {
-            case c: AttributeReference => c.name
-            case _ => null
+            case c: AttributeReference => namesOf(a.child, c)
+            case _ => Nil
           }
-      }.filter(_ != null).toSet
+        case _ => Nil
+      }.toSet
     case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
-      w.partitionSpec.collect {
-        case ar: AttributeReference => ar.name
+      w.partitionSpec.flatMap {
+        case ar: AttributeReference => namesOf(w.child, ar)
+        case _ => Nil
       }.toSet
     case _ => Set.empty
   }

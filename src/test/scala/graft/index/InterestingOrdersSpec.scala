@@ -113,6 +113,38 @@ class InterestingOrdersSpec extends AnyFunSuite {
       s"expected the demand-tie explanation, got:\n$report")
   }
 
+  test("demand dealiases through PROJECTION renames but deliberately " +
+      "STOPS at aggregates (finding #13: a same-grain rename must not " +
+      "kill the signal; a cross-grain one must not bias the scan)") {
+    assert(corpusReady)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    // projection rename: join keys spelled through aliases
+    val a = li.select(col("l_partkey").as("pk_a"), col("l_quantity"))
+    val b = li.select(col("l_partkey").as("pk_b"), col("l_extendedprice"))
+    val j1 = a.join(b, col("pk_a") === col("pk_b"))
+      .queryExecution.optimizedPlan.collectFirst { case j: Join => j }.get
+    val d1 = graft.index.rules.ScoreBasedOptimizer.derives(j1)
+    assert(d1.contains("l_partkey"),
+      s"projection rename must dealias to the source column: $d1")
+    // aggregate rename: the key is a grouping ALIAS — the dealias must
+    // STOP at the grain boundary and keep the post-aggregate spelling
+    val ag = li.groupBy(col("l_partkey").as("agg_pk"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val j2 = ag.join(b, col("agg_pk") === col("pk_b"))
+      .queryExecution.optimizedPlan.collectFirst {
+        case j: Join
+            if j.collectFirst { case x: Aggregate => x }.isDefined => j
+      }.get
+    val aggKey = j2.left.output
+      .collectFirst { case x if x.name == "agg_pk" =>
+        x.asInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference] }
+      .get
+    assert(graft.index.rules.ScoreBasedOptimizer
+      .dealiasToSource(j2.left, aggKey).name == "agg_pk",
+      "dealias must not cross the aggregate grain boundary")
+  }
+
   test("no ancestor signal: legs still land coherently on ONE twin " +
       "(canonical bucket-column order)") {
     assert(corpusReady)
