@@ -169,6 +169,30 @@ class HoistSemiGateSpec extends AnyFunSuite {
     assert(rows() == expected && expected.nonEmpty)
   }
 
+  test("the MIRRORED shape — gated dim on the LEFT of the inner join — " +
+      "hoists through its pruning Project too, with identical results") {
+    assert(corpusReady)
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val part = graft.Tables.load(spark, TestSpark.sfDir, "part")
+    val brands = part.filter(col("p_type").startsWith("PROMO"))
+      .select(col("p_brand").as("gb")).distinct()
+    // dim (with its gate) written FIRST: the semi lands on the LEFT leg
+    // of the inner join, and grouping by p_type (not the gate key)
+    // makes ColumnPruning interpose the pruning Project over the semi
+    val q = part.join(brands, col("p_brand") === col("gb"), "left_semi")
+      .join(li.filter(year(col("l_shipdate")) === 1995),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_type").as("ptype"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val ds = new graft.index.rules.HoistSemiGate(spark)
+      .decisions(unhoisted(q))
+    assert(ds.exists(_.contains("hoisted")),
+      s"mirrored through-project shape did not hoist: $ds")
+    def rows() = q.orderBy(col("ptype")).collect().toSeq
+    val expected = withHoistOff(rows())
+    assert(rows() == expected && expected.nonEmpty)
+  }
+
   test("decisions() reports the kept-in-place negative when the " +
       "pushed-down semi rides the leg's own buckets (the qds23 shape)") {
     assert(corpusReady)
