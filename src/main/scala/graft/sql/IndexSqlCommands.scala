@@ -108,6 +108,10 @@ case class GraftCreateIndexCommand(name: String, provider: String,
         val bucketOverride = longOpt("buckets")
         bucketOverride.foreach(n => require(n > 0,
           s"OPTIONS buckets must be positive, got $n"))
+        // guard the Long→Int narrowing: 2^32+1 is > 0 but would WRAP
+        // to 1 and silently build a one-bucket layout
+        bucketOverride.foreach(n => require(n <= Int.MaxValue,
+          s"OPTIONS buckets must fit an Int, got $n"))
         CoveringIndexConfig(name, columns, include,
           numBuckets = bucketOverride.map(_.toInt))
     }

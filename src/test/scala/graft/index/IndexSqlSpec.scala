@@ -194,6 +194,9 @@ class IndexSqlSpec extends AnyFunSuite {
       "USING COVERING OPTIONS (buckets = 'lots')", "integer")
     bad(s"CREATE INDEX sqlspec_x6 ON parquet.`$src` (l_suppkey) " +
       "USING COVERING OPTIONS (buckets = 0)", "positive")
+    // 2^32+1 is positive but would WRAP to 1 in the Int narrowing
+    bad(s"CREATE INDEX sqlspec_x7 ON parquet.`$src` (l_suppkey) " +
+      "USING COVERING OPTIONS (buckets = 4294967297)", "fit an Int")
     spark.sql("DROP INDEX sqlspec_bloom")
     spark.sql("DROP INDEX sqlspec_vl")
   }
