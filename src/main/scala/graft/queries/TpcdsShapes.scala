@@ -3502,7 +3502,56 @@ object TpcdsShapes {
        |FROM store FULL OUTER JOIN cat
        |  ON store.pk = cat.pk AND store.sk = cat.sk""".stripMargin
 
+  /**
+   * TPC-DS q48/q85 shape (reference tpcds/queries/q48.sql, q85.sql):
+   * a single fact aggregate gated by an OR of AND-clusters, each
+   * cluster banding columns from BOTH join sides (demographic × price
+   * bands in the original). Mapped: priority × quantity × total-price
+   * bands over lineitem⋈orders. The machinery stressed: the
+   * disjunction references both sides, so Catalyst folds it into the
+   * JOIN CONDITION — the rewrite must treat it as a RESIDUAL (bucket
+   * co-location needs only the equi conjunct) and still serve the
+   * zero-shuffle orderkey pair with the OR evaluated on the joined
+   * stream. One single-row gather exchange end-to-end; at 100 TB the
+   * bands never cost a shuffle.
+   */
+  def qds48BandOr(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    ensureIndex(spark, sfDir, AccelIndexes.ordLag)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    def cluster(prio: String, qLo: Int, qHi: Int, tLo: Int, tHi: Int) =
+      col("o_orderpriority") === prio &&
+        col("l_quantity").between(qLo, qHi) &&
+        col("o_totalprice").between(tLo, tHi)
+    li.filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(cluster("1-URGENT", 1, 15, 50000, 150000) ||
+        cluster("2-HIGH", 16, 35, 100000, 250000) ||
+        cluster("3-MEDIUM", 36, 50, 150000, 400000))
+      .agg(moneySum(col("l_quantity")).as("qty_sum"),
+        count(lit(1)).cast(LongType).as("n_rows"))
+  }
+
+  val qds48Sql: String =
+    s"""SELECT ${sqlMoneySum("l_quantity")} AS qty_sum,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE ((o_orderpriority = '1-URGENT'
+       |        AND l_quantity BETWEEN 1 AND 15
+       |        AND o_totalprice BETWEEN 50000 AND 150000)
+       |    OR (o_orderpriority = '2-HIGH'
+       |        AND l_quantity BETWEEN 16 AND 35
+       |        AND o_totalprice BETWEEN 100000 AND 250000)
+       |    OR (o_orderpriority = '3-MEDIUM'
+       |        AND l_quantity BETWEEN 36 AND 50
+       |        AND o_totalprice BETWEEN 150000 AND 400000))
+       |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds48_band_or" -> (qds48BandOr _, qds48Sql),
     "qds29_repeat_channel_qty" -> (qds29RepeatChannelQty _, qds29Sql),
     "qds97_channel_overlap" -> (qds97ChannelOverlap _, qds97Sql),
     "qds37_inventory_probe" -> (qds37InventoryProbe _, qds37Sql),

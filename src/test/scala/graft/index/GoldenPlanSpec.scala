@@ -91,7 +91,8 @@ class GoldenPlanSpec extends AnyFunSuite {
       "qds56_natural_gate", "qds66_wide_metric_pivot", "qds40_net_split",
       "qds61_promo_ratio", "qds37_inventory_probe",
       "qds45_geo_or_item_gate", "qds11_yoy_channel_union",
-      "qds29_repeat_channel_qty", "qds97_channel_overlap")
+      "qds29_repeat_channel_qty", "qds97_channel_overlap",
+      "qds48_band_or")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     if (noBroadcast(name))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -163,7 +164,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "qds56_natural_gate", "qds66_wide_metric_pivot", "qds40_net_split",
     "qds61_promo_ratio", "qds37_inventory_probe", "qds45_geo_or_item_gate",
     "qds11_yoy_channel_union", "qds29_repeat_channel_qty",
-    "qds97_channel_overlap",
+    "qds97_channel_overlap", "qds48_band_or",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",

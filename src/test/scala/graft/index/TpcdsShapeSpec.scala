@@ -1026,6 +1026,23 @@ class TpcdsShapeSpec extends AnyFunSuite {
       s"expected ONE exchange (the count gather): ${shuffles(p)}\n$p")
   }
 
+  test("qds48_band_or: the OR-of-AND-clusters gate references both " +
+      "join sides and folds into the join condition — the rewrite " +
+      "treats it as a residual and the orderkey pair still serves " +
+      "zero-shuffle; one single-row gather exchange end-to-end") {
+    val p = planOf("qds48_band_or")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_chan", "accel_ci_ord_lag")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    val zero = zeroShuffleJoins(p)
+    assert(zero.nonEmpty, s"the banded pair re-shuffled:\n$p")
+    // the OR-cluster is evaluated ON the join (condition or post-join
+    // filter), never via a pre-join shuffle
+    assert(shuffles(p) == 1,
+      s"expected ONE gather exchange: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
