@@ -582,7 +582,13 @@ object ExistsIndexRule extends GraftIndexRule {
         if permutationFor(om._2.indexedColumns, outerKeys, resolver).isDefined
         if hybridSafe || om._1.isExact
       } yield om).sortBy { case (m, d) =>
-        (!m.isExact, -d.numBuckets, m.entry.indexDataSize, m.entry.name)
+        // coherence/demand tie-breaks mirror the other leg rules: an
+        // outer probe layout an ancestor pairing can ride beats an
+        // equivalent stranger (see ScoreBasedOptimizer)
+        (!m.isExact, -d.numBuckets,
+          -ScoreBasedOptimizer.coherence(d.indexedColumns, resolver),
+          -ScoreBasedOptimizer.demand(d.indexedColumns, resolver),
+          m.entry.indexDataSize, m.entry.name)
       }.headOption
     }
 
@@ -623,7 +629,10 @@ object ExistsIndexRule extends GraftIndexRule {
                   .isDefined
             })
         } yield im).sortBy { case (m, d) =>
-          (!m.isExact, -d.numBuckets, m.entry.indexDataSize, m.entry.name)
+          (!m.isExact, -d.numBuckets,
+            -ScoreBasedOptimizer.coherence(d.indexedColumns, resolver),
+            -ScoreBasedOptimizer.demand(d.indexedColumns, resolver),
+            m.entry.indexDataSize, m.entry.name)
         }.headOption
       } yield (id, innerPlan, innerRel, im)
     }
