@@ -92,7 +92,15 @@ class GoldenPlanSpec extends AnyFunSuite {
       "qds61_promo_ratio", "qds37_inventory_probe",
       "qds45_geo_or_item_gate", "qds11_yoy_channel_union",
       "qds29_repeat_channel_qty", "qds97_channel_overlap",
-      "qds48_band_or")
+      "qds48_band_or",
+      "qds17_repurchase_stats", "qds28_band_distinct", "qds2_week_pivot",
+      "qds34_count_gate", "qds35_or_exists_demo", "qds38_intersect_channels",
+      "qds39_inventory_cov", "qds47_monthly_deviation",
+      "qds49_worst_return_ratios", "qds4_yoy_channel_growth",
+      "qds58_channel_band", "qds64_wide_multi_join", "qds67_rollup_rank",
+      "qds72_inventory_gate", "qds75_yoy_decline", "qds78_noreturn_ratio",
+      "qds88_band_counts", "qds93_returns_adjusted",
+      "qds94_shipped_not_returned")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     if (noBroadcast(name))
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -165,6 +173,14 @@ class GoldenPlanSpec extends AnyFunSuite {
     "qds61_promo_ratio", "qds37_inventory_probe", "qds45_geo_or_item_gate",
     "qds11_yoy_channel_union", "qds29_repeat_channel_qty",
     "qds97_channel_overlap", "qds48_band_or",
+    "qds17_repurchase_stats", "qds28_band_distinct", "qds2_week_pivot",
+    "qds34_count_gate", "qds35_or_exists_demo", "qds38_intersect_channels",
+    "qds39_inventory_cov", "qds47_monthly_deviation",
+    "qds49_worst_return_ratios", "qds4_yoy_channel_growth",
+    "qds58_channel_band", "qds64_wide_multi_join", "qds67_rollup_rank",
+    "qds72_inventory_gate", "qds75_yoy_decline", "qds78_noreturn_ratio",
+    "qds88_band_counts", "qds93_returns_adjusted",
+    "qds94_shipped_not_returned",
     "q1_pricing_summary", "q2_top_supplier_per_part", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier", "q6_revenue_delta",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
