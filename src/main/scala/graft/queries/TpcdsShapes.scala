@@ -3550,7 +3550,60 @@ object TpcdsShapes {
        |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'""".stripMargin
 
+  /**
+   * TPC-DS q46/q68 shape (reference tpcds/queries/q46.sql, q68.sql —
+   * the same template at two filters): ORDER-grain output rows —
+   * customer name, order id, per-order totals — for orders whose
+   * line-level geography differs from the customer's (the bought-city
+   * ≠ home-city inequality ACROSS two dims). Mapped: cities →
+   * nationkeys (supplier's vs customer's). The join-order lesson at
+   * 100 TB: orders meets customer FIRST on the CUSTKEY-bucketed pair
+   * (ordByCust ⋈ custDim zero-shuffle), then the ORDERS-grain stream
+   * re-keys to orderkey to meet the lineitem fact in place — the
+   * cheap side moves, never the fact. The supplier axis costs the one
+   * fact-grain re-key (intrinsic under this corpus: no suppkey layout
+   * carries l_quantity, deliberately — finding #12a forbids widening
+   * across bucket keys), and the supplier's own side serves bucketed
+   * in place. Four exchanges total, only one at fact grain.
+   */
+  def qds46CrossNationOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    ensureIndex(spark, sfDir, AccelIndexes.ordByCust)
+    ensureIndex(spark, sfDir, AccelIndexes.custDim)
+    ensureIndex(spark, sfDir, AccelIndexes.suppNat)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+    val cust = Tables.load(spark, sfDir, "customer")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy(col("c_name").as("cust_name"),
+        col("o_orderkey").as("order_id"))
+      .agg(moneySum(col("l_quantity")).as("qty"),
+        moneySum(rev).as("spend"))
+      .orderBy(col("cust_name"), col("order_id"))
+      .limit(100)
+  }
+
+  val qds46Sql: String =
+    s"""SELECT c_name AS cust_name, o_orderkey AS order_id,
+       |  ${sqlMoneySum("l_quantity")} AS qty,
+       |  ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS spend
+       |FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE s_nationkey <> c_nationkey
+       |  AND CAST(strftime(o_orderdate, '%Y') AS INT) = 1995
+       |GROUP BY 1, 2
+       |ORDER BY cust_name, order_id LIMIT 100""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds46_cross_nation_orders" -> (qds46CrossNationOrders _, qds46Sql),
     "qds48_band_or" -> (qds48BandOr _, qds48Sql),
     "qds29_repeat_channel_qty" -> (qds29RepeatChannelQty _, qds29Sql),
     "qds97_channel_overlap" -> (qds97ChannelOverlap _, qds97Sql),

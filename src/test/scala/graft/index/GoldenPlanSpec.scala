@@ -92,7 +92,7 @@ class GoldenPlanSpec extends AnyFunSuite {
       "qds61_promo_ratio", "qds37_inventory_probe",
       "qds45_geo_or_item_gate", "qds11_yoy_channel_union",
       "qds29_repeat_channel_qty", "qds97_channel_overlap",
-      "qds48_band_or",
+      "qds48_band_or", "qds46_cross_nation_orders",
       "qds17_repurchase_stats", "qds28_band_distinct", "qds2_week_pivot",
       "qds34_count_gate", "qds35_or_exists_demo", "qds38_intersect_channels",
       "qds39_inventory_cov", "qds47_monthly_deviation",
@@ -172,7 +172,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "qds56_natural_gate", "qds66_wide_metric_pivot", "qds40_net_split",
     "qds61_promo_ratio", "qds37_inventory_probe", "qds45_geo_or_item_gate",
     "qds11_yoy_channel_union", "qds29_repeat_channel_qty",
-    "qds97_channel_overlap", "qds48_band_or",
+    "qds97_channel_overlap", "qds48_band_or", "qds46_cross_nation_orders",
     "qds17_repurchase_stats", "qds28_band_distinct", "qds2_week_pivot",
     "qds34_count_gate", "qds35_or_exists_demo", "qds38_intersect_channels",
     "qds39_inventory_cov", "qds47_monthly_deviation",

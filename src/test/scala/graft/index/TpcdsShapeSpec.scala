@@ -1043,6 +1043,28 @@ class TpcdsShapeSpec extends AnyFunSuite {
       s"expected ONE gather exchange: ${shuffles(p)}\n$p")
   }
 
+  test("qds46_cross_nation_orders: orders meets customer on the " +
+      "custkey pair ZERO-shuffle; the orders-grain stream re-keys to " +
+      "the fact (the cheap side moves), the supplier axis costs the " +
+      "one intrinsic fact-grain re-key, every dim side serves in " +
+      "place — ≤4 exchanges") {
+    val p = planOf("qds46_cross_nation_orders")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_chan", "accel_ci_ord_bycust",
+      "accel_ci_cust_dim", "accel_ci_supp_nat")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    val zero = zeroShuffleJoins(p)
+    assert(zero.nonEmpty, s"the ord⋈cust custkey pair re-shuffled:\n$p")
+    // no SMJ build side (dim leg) has an exchange beneath: only the
+    // probe stream ever moves
+    val smjs = allNodes(p).collect { case j: SortMergeJoinExec => j }
+    assert(smjs.forall(j => !allNodes(j.right)
+      .exists(_.isInstanceOf[ShuffleExchangeExec])),
+      s"a dim side re-shuffled:\n$p")
+    assert(shuffles(p) <= 4, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
