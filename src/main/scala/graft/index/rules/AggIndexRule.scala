@@ -85,6 +85,38 @@ object AggIndexRule extends GraftIndexRule {
     }
     if (applicable.isEmpty) return None
 
+    // ALIAS-AWARE vote spelling (ROUNDLOG finding #13, the sound half):
+    // consumers above this aggregate vote in the aggregate's OUTPUT
+    // names (`groupBy(l_suppkey.as("sa_supp"))` → a join on sa_supp
+    // votes "sa_supp"), while candidate bucket columns carry the
+    // RELATION's names — so each bucket column also answers to the
+    // grouping-output spellings that trace to it. The translation lives
+    // HERE, at the same-grain chooser, and never in the vote names
+    // themselves: resolving aggregate-born aliases at derivation time
+    // would propagate relation-name votes BELOW the grain boundary and
+    // re-open the qds78 regression (post-aggregate consumers un-bucketing
+    // the pre-aggregate fact joins).
+    // relation-name → output spellings. Post-optimization the grouping
+    // list holds the RAW attributes and the rename lives in the result
+    // list (`Alias(l_partkey, "bp_part")` in aggregateExpressions), so
+    // both lists contribute spellings for a grouping key's exprId.
+    val tracedById: Map[Long, String] =
+      groupAttrs.map(a => a.exprId.id ->
+        JoinIndexRule.traceToRel(agg.child, rel, a).map(_.name)
+          .getOrElse(a.name)).toMap
+    val outSpellings: Seq[(String, String)] =
+      (agg.groupingExpressions ++ agg.aggregateExpressions).collect {
+        case a: AttributeReference if tracedById.contains(a.exprId.id) =>
+          tracedById(a.exprId.id) -> a.name
+        case al @ Alias(c: AttributeReference, _)
+            if tracedById.contains(c.exprId.id) =>
+          tracedById(c.exprId.id) -> al.name
+      }
+    def spellings(ic: String): Seq[String] =
+      (ic +: outSpellings.collect {
+        case (rel, out) if resolver(rel, ic) => out
+      }).distinct
+
     // PAIR COHERENCE first (finding #12b): when covers with DIFFERENT
     // bucket keys qualify, prefer the key a consuming join's OTHER side
     // can actually ride bucketed — the aggregate's output partitioning
@@ -97,8 +129,9 @@ object AggIndexRule extends GraftIndexRule {
     val best = applicable.sortBy { m =>
       val cols = m.entry.descriptor
         .asInstanceOf[CoveringIndexDescriptor].indexedColumns
-      (-ScoreBasedOptimizer.coherence(cols, resolver),
-        -ScoreBasedOptimizer.demand(cols, resolver),
+      val voteCols = cols.flatMap(spellings)
+      (-ScoreBasedOptimizer.coherence(voteCols, resolver),
+        -ScoreBasedOptimizer.demand(voteCols, resolver),
         cols.mkString(","), m.entry.indexDataSize, m.entry.name)
     }.head.entry
     val newScan = ScanSubstitution.indexScan(spark, rel, best, useBucketSpec = true)

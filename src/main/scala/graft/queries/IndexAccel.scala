@@ -531,6 +531,50 @@ object IndexAccel {
        | ${sqlMoneySum("s_acctbal")} AS sum_bal
        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
 
+  // ------------------------------- aggregate-alias coherence (finding #13)
+  /** The qds65 face of ROUNDLOG finding #13, reconstructed as a pinned
+    * positive: a per-(order, part) basket aggregate whose grouping keys
+    * are aggregate-born ALIASES (`l_partkey AS bp_part`), consumed by a
+    * part-dim join on the renamed key. Lineitem has eligible covers
+    * under BOTH bucket keys (orderkey: liQty/liChan; partkey:
+    * liInv/liPartChan) — alias-blind voting left the choice to the
+    * canonical cols-string tie-break (orderkey) and the dim join
+    * re-shuffled the full (order, part)-grain aggregate output; with
+    * the alias-aware chooser translation in
+    * [[graft.index.rules.AggIndexRule]], the join's coherence vote
+    * ("bp_part" pairs with part's bucketed p_partkey) picks the PARTKEY
+    * buckets (narrowest qualifying cover: liInv) and the dim join rides
+    * them — the only exchanges left are the tiny brand-grain rollup and
+    * the output sort. At 100 TB the saved exchange is the full
+    * basket-grain stream. */
+  def idxAggAliasCoherence(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liQty)
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    ensureIndex(spark, sfDir, AccelIndexes.liInv)
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    val bp = li
+      .groupBy(col("l_orderkey").as("bp_ord"), col("l_partkey").as("bp_part"))
+      .agg(moneySum(col("l_quantity")).as("bp_qty"))
+    bp.join(part, col("bp_part") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast(LongType).as("n_baskets"),
+        moneySum(col("bp_qty")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  val idxAggAliasCoherenceSql: String =
+    s"""SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_baskets,
+       | ${sqlMoneySum("bp_qty")} AS sum_qty
+       |FROM (
+       |  SELECT l_orderkey AS bp_ord, l_partkey AS bp_part,
+       |    ${sqlMoneySum("l_quantity")} AS bp_qty
+       |  FROM lineitem GROUP BY 1, 2) bp
+       |JOIN part ON bp_part = p_partkey
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ------------------------------------------------ delta source
   /** Covering-index filter over a DELTA table (built jarless from the
     * log replay — [[graft.index.sources.DeltaLog]]): the fixture table
@@ -1598,6 +1642,7 @@ object IndexAccel {
     "q_rule_rivalry" -> (idxRuleRivalry _, idxRuleRivalrySql),
     "q_join_rank_tie" -> (idxJoinRankTie _, idxJoinRankTieSql),
     "q_join_one_sided" -> (idxJoinOneSided _, idxJoinOneSidedSql),
+    "q_agg_alias_coherence" -> (idxAggAliasCoherence _, idxAggAliasCoherenceSql),
     "idx_covering_filter" -> (idxCoveringFilter _, idxCoveringFilterSql),
     "idx_join" -> (idxJoin _, idxJoinSql),
     "idx_zorder_filter" -> (idxZOrderFilter _, idxZOrderFilterSql),

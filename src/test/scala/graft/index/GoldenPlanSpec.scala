@@ -78,7 +78,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     // fits a broadcast, which would hide the property that matters at
     // 100 TB — where neither side broadcasts)
     val noBroadcast = Set("q_snowflake_2idx", "q_join_rank_tie",
-      "q_join_one_sided", "q_snowflake_3idx", "q_star_agg_idx",
+      "q_join_one_sided", "q_agg_alias_coherence",
+      "q_snowflake_3idx", "q_star_agg_idx",
       "q_rule_rivalry", "qds1_returns_above_avg", "qds65_underperf_parts",
       "qds_deep_snowflake_4idx", "qds95_multi_supplier_ship",
       "qds14_cross_channel", "qds27_rollup_agg", "qds87_except_channels",
@@ -159,6 +160,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "idx_iceberg_hidden_filter", "idx_iceberg_bucket_point",
     "lake_update", "lake_clone", "lake_convert", "lake_sql_timetravel",
     "q_snowflake_2idx", "q_join_rank_tie", "q_join_one_sided",
+    "q_agg_alias_coherence",
     "q_snowflake_3idx", "q_star_agg_idx", "q_rule_rivalry",
     "qds1_returns_above_avg", "qds65_underperf_parts",
     "qds_deep_snowflake_4idx", "qds95_multi_supplier_ship",

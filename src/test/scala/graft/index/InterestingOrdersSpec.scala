@@ -145,6 +145,50 @@ class InterestingOrdersSpec extends AnyFunSuite {
       "dealias must not cross the aggregate grain boundary")
   }
 
+  test("aggregate-born alias (finding #13, sound half): a dim join on " +
+      "the RENAMED grouping key steers the aggregate onto the partner's " +
+      "bucket family — translation at the chooser, not in the votes") {
+    assert(corpusReady)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val part = graft.Tables.load(spark, TestSpark.sfDir, "part")
+    val bp = li
+      .groupBy(col("l_orderkey").as("bp_ord"), col("l_partkey").as("bp_part"))
+      .agg(sum(col("l_quantity")).as("bp_qty"))
+    val df = bp.join(part, col("bp_part") === col("p_partkey"))
+      .groupBy(col("p_brand")).agg(sum(col("bp_qty")).as("q"))
+    val names = liIndexNames(df)
+    assert(names.nonEmpty && names.forall(partFamily.contains),
+      s"the coherence vote 'bp_part' must pick partkey buckets: $names")
+    // and the vote's point: the (order, part)-grain aggregate output
+    // reaches the dim join WITHOUT re-keying (no exchange under either
+    // SMJ side — at 100 TB that exchange is the full basket stream)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = df.queryExecution.executedPlan
+      val smj = allNodes(plan).collectFirst { case j: SortMergeJoinExec => j }
+      assert(smj.isDefined, s"expected a sort-merge dim join:\n$plan")
+      assert(smj.get.children.forall(c =>
+        !allNodes(c).exists(_.isInstanceOf[ShuffleExchangeExec])),
+        s"dim join must ride the aggregate's bucketed partitioning:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("aggregate-born alias, control: the SAME aggregate with no " +
+      "consumer vote keeps the canonical (orderkey) family — the flip " +
+      "above is vote-driven, not a tie-break change") {
+    assert(corpusReady)
+    val li = graft.Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val bp = li
+      .groupBy(col("l_orderkey").as("bp_ord"), col("l_partkey").as("bp_part"))
+      .agg(sum(col("l_quantity")).as("bp_qty"))
+    val names = liIndexNames(bp)
+    assert(names.nonEmpty && names.forall(ordFamily.contains),
+      s"voteless aggregate must keep the canonical family: $names")
+  }
+
   test("no ancestor signal: legs still land coherently on ONE twin " +
       "(canonical bucket-column order)") {
     assert(corpusReady)
