@@ -78,17 +78,16 @@ import org.apache.spark.sql.execution.window.WindowExec
  */
 class AlignAggExchange(spark: SparkSession) extends Rule[SparkPlan] {
 
-  private var warnedMalformed = false
-
   private def enabled: Boolean = spark.conf
     .getOption("spark.graft.alignAggExchange.enabled")
     // a malformed value ("yes") must degrade to the default, not throw
     // from AQE stage prep and fail every query in the session — but a
     // user who typo'd an intent to DISABLE deserves a signal, so the
-    // degrade logs once, naming the key and the value
+    // degrade logs once, naming the key and the value. Companion-object
+    // CAS: rule instances are per-session/per-query on concurrent
+    // threads, so an instance var would race and re-warn
     .forall(v => scala.util.Try(v.toBoolean).getOrElse {
-      if (!warnedMalformed) {
-        warnedMalformed = true
+      if (AlignAggExchange.warnedMalformed.compareAndSet(false, true)) {
         logWarning("graft: malformed value " +
           s"'$v' for spark.graft.alignAggExchange.enabled; " +
           "expected true|false — using the default (enabled)")
@@ -207,4 +206,7 @@ object AlignAggExchange {
   val AlignedTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[Seq[String]] =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[Seq[String]](
       "graft.alignedAggExchange")
+
+  private[execution] val warnedMalformed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 }

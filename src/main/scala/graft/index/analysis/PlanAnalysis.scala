@@ -59,7 +59,7 @@ object PlanAnalysis {
     val ds = new graft.index.rules.HoistSemiGate(spark)
       .decisions(withoutPlan)
     if (ds.isEmpty) ""
-    else ds.map(d => s"logical: $d\n")
+    else ds.map(d => s"logical: ${d.detail}\n")
       .mkString("\n=== Logical decisions ===\n", "", "")
   }
 
@@ -234,15 +234,12 @@ object PlanAnalysis {
     // plan-level operator-order decisions (not per-index): a semi gate
     // HoistSemiGate deliberately left in place reads as "why didn't the
     // pair serve" without this line — name the decision and the
-    // servable key set (the hoisted positive is reported symmetrically)
+    // servable key set (the hoisted positive is reported symmetrically).
+    // The active-index list and candidate map collected above are
+    // threaded in, so the dry-run re-lists neither catalog nor files.
     val gateDecisions = new graft.index.rules.HoistSemiGate(spark)
-      .decisions(plan)
-    gateDecisions.foreach { d =>
-      val code =
-        if (d.startsWith("semi gate kept")) "SEMI_GATE_KEPT_IN_PLACE"
-        else "SEMI_GATE_HOISTED"
-      sb.append(s"Plan: [$code] $d\n")
-    }
+      .decisions(plan, Some(all), Some(candidates))
+    gateDecisions.foreach(d => sb.append(s"Plan: [${d.code}] ${d.detail}\n"))
     sb.toString
   }
 

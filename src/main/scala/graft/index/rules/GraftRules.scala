@@ -795,6 +795,12 @@ object ScoreBasedOptimizer {
   private def ruleName(r: GraftIndexRule): String =
     r.getClass.getSimpleName.stripSuffix("$")
 
+  /** The full vocabulary of names [[RuleTag]] can carry — the taxonomy
+    * an ops dashboard keys IndexUsageEvent.rules on. Pinned by
+    * TelemetrySpec: renaming a rule or adding one must update the
+    * pinned set deliberately. */
+  def ruleVocabulary: Seq[String] = rules.map(ruleName)
+
   /** Rule names stamped in `plan` (subqueries included), in plan order. */
   def appliedRules(plan: LogicalPlan): Seq[String] = {
     val found = mutable.Buffer.empty[String]
@@ -1012,15 +1018,22 @@ object ScoreBasedOptimizer {
         }
         val applied = rules.flatMap(r =>
           r.apply(spark, p, candidates, recurse).map { case (pl, s) =>
-            pl.setTagValue(RuleTag, ruleName(r)); (pl, s)
+            (pl, s, Some(r))
           })
-        val noop: (LogicalPlan, Int) =
-          if (p.children.isEmpty) (p, 0)
+        val noop: (LogicalPlan, Int, Option[GraftIndexRule]) =
+          if (p.children.isEmpty) (p, 0, None)
           else {
             val rewritten = p.children.map(recurse)
-            (p.withNewChildren(rewritten.map(_._1)), rewritten.map(_._2).sum)
+            (p.withNewChildren(rewritten.map(_._1)), rewritten.map(_._2).sum,
+              None)
           }
-        (applied :+ noop).maxBy(_._2)
+        // stamp the telemetry tag on the WINNER only: a losing
+        // candidate's tag must never pollute the kept plan, and a rule
+        // that ever returned its input unchanged would otherwise stamp
+        // the noop path too
+        val (bestPlan, bestScore, bestRule) = (applied :+ noop).maxBy(_._2)
+        bestRule.foreach(r => bestPlan.setTagValue(RuleTag, ruleName(r)))
+        (bestPlan, bestScore)
       })
 
     interesting.withValue(Map.empty)(coherent.withValue(Map.empty)(

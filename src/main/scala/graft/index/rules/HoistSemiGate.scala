@@ -74,8 +74,6 @@ class HoistSemiGate(spark: SparkSession)
 
   import HoistSemiGate._
 
-  private var warnedMalformed = false
-
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!GraftConf.applyEnabled(spark) || GraftRuleGuard.isDisabled ||
         !enabled) return plan
@@ -89,23 +87,33 @@ class HoistSemiGate(spark: SparkSession)
 
   /** Decision report for explain/whyNot: dry-runs the rewrite on an
     * UN-hoisted plan (PlanAnalysis plans one under the rule guard
-    * anyway) and returns one line per decision — gates it would move
-    * (with the breadcrumb, including the grain-aware placement) and
-    * gates it deliberately keeps in place because they are servable on
-    * their leg's buckets. The report reads tags off the FRESH transform
-    * result, so it is immune to later optimizer batches rebuilding the
-    * join without tags (which makes the breadcrumb on a final optimized
-    * plan best-effort only). */
-  def decisions(plan: LogicalPlan): Seq[String] = {
+    * anyway) and returns one TYPED decision per gate — gates it would
+    * move (with the breadcrumb, including the grain-aware placement)
+    * and gates it deliberately keeps in place because they are servable
+    * on their leg's buckets. The report reads tags off the FRESH
+    * transform result, so it is immune to later optimizer batches
+    * rebuilding the join without tags (which makes the breadcrumb on a
+    * final optimized plan best-effort only).
+    *
+    * A caller that already holds the active-index list and a candidate
+    * map for THIS plan (whyNot collects both anyway) threads them in,
+    * and the dry-run re-lists neither the catalog nor the source files
+    * — the candidate map is keyed by the plan's own relation leaves, so
+    * per-subtree probing is a leaf lookup. */
+  def decisions(
+      plan: LogicalPlan,
+      indexes: Option[Seq[graft.index.IndexLogEntry]] = None,
+      candidates: Option[Map[LogicalPlan, Seq[CandidateMatch]]] = None)
+      : Seq[GateDecision] = {
     if (!enabled) return Nil
-    val kept = mutable.Buffer.empty[String]
-    val out = try rewrite(plan, Some(kept))
+    val kept = mutable.Buffer.empty[GateDecision]
+    val out = try rewrite(plan, Some(kept), indexes, candidates)
       catch { case NonFatal(_) => plan }
-    val moved = mutable.Buffer.empty[String]
+    val moved = mutable.Buffer.empty[GateDecision]
     out.foreachWithSubqueries { p =>
       p match {
         case j: Join => j.getTagValue(HoistedTag)
-          .foreach(t => moved += s"semi gate hoisted $t")
+          .foreach(t => moved += GateDecision(HoistedCode, s"semi gate hoisted $t"))
         case _ => ()
       }
     }
@@ -113,16 +121,35 @@ class HoistSemiGate(spark: SparkSession)
   }
 
   private def rewrite(plan: LogicalPlan,
-      keptLog: Option[mutable.Buffer[String]]): LogicalPlan = {
-    val indexes = IndexCatalog.activeIndexes(spark)
+      keptLog: Option[mutable.Buffer[GateDecision]],
+      knownIndexes: Option[Seq[graft.index.IndexLogEntry]] = None,
+      knownCandidates: Option[Map[LogicalPlan, Seq[CandidateMatch]]] = None)
+      : LogicalPlan = {
+    val indexes = knownIndexes.getOrElse(IndexCatalog.activeIndexes(spark))
     if (indexes.isEmpty) return plan
     // per-invocation memo: eligible() probes candidates on both legs
     // of every matched join — collect() walks the catalog and the
-    // source file listing, so cache per subtree within this pass
+    // source file listing, so cache per subtree within this pass. A
+    // pre-collected map (keyed by relation leaves; collect() omits
+    // match-less leaves, so absent keys contribute nothing, exactly
+    // like a fresh collect) short-circuits the listing entirely.
     val memo = mutable.Map.empty[LogicalPlan, Seq[CandidateMatch]]
+    def fresh(p: LogicalPlan): Seq[CandidateMatch] =
+      IndexCandidates.collect(spark, p, indexes).values.flatten.toSeq
     def cands(p: LogicalPlan): Seq[CandidateMatch] =
-      memo.getOrElseUpdate(p,
-        IndexCandidates.collect(spark, p, indexes).values.flatten.toSeq)
+      memo.getOrElseUpdate(p, knownCandidates match {
+        case Some(byLeaf) =>
+          val leaves = p.collectLeaves()
+          val hits = leaves.flatMap(byLeaf.get).flatten
+          // an all-miss subtree whose leaves include a relation may sit
+          // INSIDE a subquery the caller's map (collected over the main
+          // plan only) never saw — fall back to a real collect there
+          // rather than silently reporting the gate ineligible
+          if (hits.nonEmpty || !leaves.exists(_.isInstanceOf[LogicalRelation]))
+            hits
+          else fresh(p)
+        case None => fresh(p)
+      })
     // subqueries too: RewritePredicateSubquery lowers IN/EXISTS into
     // the main plan, but a gate INSIDE a remaining subquery plan
     // (scalar or nested) robs its pair just the same
@@ -188,10 +215,12 @@ class HoistSemiGate(spark: SparkSession)
   private def enabled: Boolean = spark.conf
     .getOption("spark.graft.hoistSemiGate.enabled")
     // degrade-to-default on a malformed value, but warn once naming the
-    // key and value — a typo'd intent to disable must leave a signal
+    // key and value — a typo'd intent to disable must leave a signal.
+    // The once-guard is a companion-object CAS: rule instances are
+    // created per query (and per explain dry-run) on concurrent
+    // threads, so an instance-level var would both race and reset
     .forall(v => scala.util.Try(v.toBoolean).getOrElse {
-      if (!warnedMalformed) {
-        warnedMalformed = true
+      if (warnedMalformed.compareAndSet(false, true)) {
         logWarning(s"graft: malformed value '$v' for " +
           "spark.graft.hoistSemiGate.enabled; expected true|false — " +
           "using the default (enabled)")
@@ -287,16 +316,16 @@ class HoistSemiGate(spark: SparkSession)
   private def eligible(other: LogicalPlan, dim: LogicalPlan,
       semiCond: Option[Expression],
       cands: LogicalPlan => Seq[CandidateMatch],
-      keptLog: Option[mutable.Buffer[String]]): Boolean = {
+      keptLog: Option[mutable.Buffer[GateDecision]]): Boolean = {
     if (!scanChain(dim)) return false
     val dimMatches = cands(dim)
     if (dimMatches.isEmpty || cands(other).isEmpty) return false
     if (gateKeys(dim, semiCond).isEmpty) return false // nothing to ride
     val servedCols = servableInPlace(dim, semiCond, dimMatches)
     servedCols.foreach { cols =>
-      keptLog.foreach(_ += "semi gate kept in place on " +
+      keptLog.foreach(_ += GateDecision(KeptCode, "semi gate kept in place on " +
         s"(${gateKeys(dim, semiCond).distinct.mkString(", ")}) — servable " +
-        s"on leg bucket keys (${cols.mkString(", ")})")
+        s"on leg bucket keys (${cols.mkString(", ")})"))
     }
     servedCols.isEmpty
   }
@@ -345,4 +374,16 @@ object HoistSemiGate {
     * the explain `=== Logical decisions ===` section — the hoist is
     * otherwise invisible (a repaired gate renders like any plan). */
   val HoistedTag: TreeNodeTag[String] = TreeNodeTag[String]("graft.semiGateHoisted")
+
+  /** Stable decision codes for whyNot — shared constants, never derived
+    * by string-matching the human-readable detail. */
+  val HoistedCode = "SEMI_GATE_HOISTED"
+  val KeptCode = "SEMI_GATE_KEPT_IN_PLACE"
+
+  /** One operator-order decision: `code` is [[HoistedCode]] or
+    * [[KeptCode]]; `detail` is the human-readable line explain prints. */
+  case class GateDecision(code: String, detail: String)
+
+  private val warnedMalformed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 }

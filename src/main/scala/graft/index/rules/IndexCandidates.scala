@@ -88,10 +88,16 @@ object IndexCandidates {
    * (appended ≤ 30% of current bytes, deleted ≤ 20% of indexed bytes —
    * reference: IndexConstants.scala:42-52).
    */
+  /** Test-visible invocation counter: collect() walks the source file
+    * listing, so diagnostics paths (whyNot) are pinned to exactly ONE
+    * collection per call (PlanAnalysisSpec reads the delta). */
+  private[graft] val collectCalls = new java.util.concurrent.atomic.AtomicLong
+
   def collect(
       spark: SparkSession,
       plan: LogicalPlan,
       indexes: Seq[IndexLogEntry]): Map[LogicalPlan, Seq[CandidateMatch]] = {
+    collectCalls.incrementAndGet()
     val resolver = spark.sessionState.conf.resolver
     val hybridEnabled = GraftConf.hybridScanEnabled(spark)
     val maxAppendedRatio = GraftConf.hybridMaxAppendedRatio(spark)

@@ -123,11 +123,18 @@ private[queries] object AccelIndexes {
   // alternative is three shuffles of the fact per channel; suppkey
   // joined the set for the q50 lag-band store axis — liChan was already
   // the WIDEST orderkey layout, so widening it can't flip a narrowness
-  // race, finding #11)
+  // race, finding #11). r17 (the q16 lesson): widened to a FULL cover
+  // of lineitem (+l_tax, +l_linestatus) — EXISTS-shaped probes are
+  // rewritten pre-column-pruning, so the fact-side OUTER leg of a
+  // semi/anti gate only serves from a full cover (custFull is the same
+  // decision on the customer dim); without it every q16/q94-family
+  // probe pays a raw scan + a fact-grain re-key. At 100 TB this is the
+  // classic "bucketed materialization of the fact" layout.
   val liChan: Entry = "lineitem" -> CoveringIndexConfig(
     "accel_ci_li_chan", Seq("l_orderkey"),
     Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
-      "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate"))
+      "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate",
+      "l_tax", "l_linestatus"))
 
   // the q75-shape channel leg: the liChan column set bucketed by
   // PARTKEY instead — the composite (orderkey, partkey) return gate

@@ -3602,7 +3602,284 @@ object TpcdsShapes {
        |GROUP BY 1, 2
        |ORDER BY cust_name, order_id LIMIT 100""".stripMargin
 
+  /**
+   * TPC-DS q16 shape (reference tpcds/queries/q16.sql): order-grain
+   * COUNT DISTINCT + money totals for ship-window orders passing a
+   * dim-attribute chain (address state + call-center county in the
+   * original), an EXISTS (same order shipped from another warehouse)
+   * and a NOT EXISTS (never returned). Mapped: warehouses → suppliers,
+   * the dim chain → customer segment + nation region through orders.
+   * The q94 skeleton with the aggregate CONSUMER reached through two
+   * more dims: every fact leg — the probe, both exists legs — and the
+   * orders join ride ONE orderkey bucket layout (the exists legs are
+   * served by ExistsIndexRule on the same buckets), so the
+   * COUNT(DISTINCT l_orderkey) collapses shuffle-free; only the
+   * already-gated order-grain stream ever re-keys (to meet customer).
+   */
+  def qds16OrderGateDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    ensureIndex(spark, sfDir, AccelIndexes.liShip)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow)
+    ensureIndex(spark, sfDir, AccelIndexes.custSeg)
+    ensureIndex(spark, sfDir, AccelIndexes.nationDim)
+    Tables.load(spark, sfDir, "lineitem")
+      .createOrReplaceTempView("qds16_lineitem")
+    Tables.load(spark, sfDir, "orders")
+      .createOrReplaceTempView("qds16_orders")
+    Tables.load(spark, sfDir, "customer")
+      .createOrReplaceTempView("qds16_customer")
+    Tables.load(spark, sfDir, "nation")
+      .createOrReplaceTempView("qds16_nation")
+    spark.sql(
+      s"""SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders,
+         |  ${sqlMoneySum("l1.l_extendedprice")} AS total_price,
+         |  ${sqlMoneySum("l1.l_extendedprice * (1 - l1.l_discount)")} AS total_net
+         |FROM qds16_lineitem l1
+         |JOIN qds16_orders ON l1.l_orderkey = o_orderkey
+         |JOIN qds16_customer ON o_custkey = c_custkey
+         |JOIN qds16_nation ON c_nationkey = n_nationkey
+         |WHERE l1.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |  AND l1.l_shipdate < TIMESTAMP '1996-05-01 00:00:00'
+         |  AND n_regionkey = 1
+         |  AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+         |  AND EXISTS (SELECT 1 FROM qds16_lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM qds16_lineitem l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_returnflag = 'R')""".stripMargin)
+  }
+
+  val qds16Sql: String =
+    s"""SELECT CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders,
+       |  ${sqlMoneySum("l1.l_extendedprice")} AS total_price,
+       |  ${sqlMoneySum("l1.l_extendedprice * (1 - l1.l_discount)")} AS total_net
+       |FROM lineitem l1
+       |JOIN orders ON l1.l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l1.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+       |  AND l1.l_shipdate < TIMESTAMP '1996-05-01 00:00:00'
+       |  AND n_regionkey = 1
+       |  AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_returnflag = 'R')""".stripMargin
+
+  /**
+   * TPC-DS q6 shape (reference tpcds/queries/q6.sql): count, per
+   * customer state, the month's purchases of items priced above 1.2×
+   * their CATEGORY's average — a correlated per-group scalar average
+   * over the ITEM DIM. Mapped: states → nations, categories → p_type,
+   * current price → p_retailprice (uniform fixture prices: the bite
+   * point is 1.005×, chosen to select at sf0.001 too). The oracle keeps the literal correlated subquery;
+   * the engine decorrelates it into a WINDOW over the dim — the
+   * per-category average is a second pass over the 200-row part
+   * stream, never a join, and the qualifying partkeys then gate the
+   * fact. Join order at 100 TB: the quarter-filtered orders meet the
+   * fact ON THE ORDERKEY BUCKETS (zero-shuffle), and the collapsed
+   * order-grain stream re-keys to meet customer — the cheap side
+   * moves; the nation rollup is the only aggregate exchange.
+   */
+  def qds6PriceyPartsByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liByPart)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    ensureIndex(spark, sfDir, AccelIndexes.custSeg)
+    ensureIndex(spark, sfDir, AccelIndexes.nationDim)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_type"))
+    val pricey = Tables.load(spark, sfDir, "part")
+      // exact decimal sum, then DOUBLE division — the oracle's
+      // CAST(SUM(...) AS DOUBLE) / COUNT(*) divides in double too
+      .withColumn("type_avg",
+        sum(col("p_retailprice").cast(DecimalType(28, 6))).over(w)
+          .cast(DoubleType) / count(lit(1)).over(w))
+      .filter(col("p_retailprice") > col("type_avg") * lit(1.005))
+      .select(col("p_partkey"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(pricey, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("cust_nation"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .orderBy(col("cnt"), col("cust_nation"))
+      .limit(100)
+  }
+
+  val qds6Sql: String =
+    s"""SELECT n_name AS cust_nation, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+       |  AND p_retailprice > 1.005 * (
+       |    SELECT CAST(SUM(CAST(j.p_retailprice AS DECIMAL(28,6))) AS DOUBLE)
+       |      / COUNT(*)
+       |    FROM part j WHERE j.p_type = part.p_type)
+       |GROUP BY 1 HAVING COUNT(*) >= 2
+       |ORDER BY cnt, cust_nation LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q30 shape (reference tpcds/queries/q30.sql): per-customer
+   * RETURN totals, keep customers above 1.2× their state's average,
+   * output the customer's own attributes — the q1 template at CUSTOMER
+   * grain with a wide dim payload. Mapped: web returns → 'R'-flagged
+   * 1997 lineitem through orders; states → nations. The engine
+   * decorrelates the threshold (per-nation average joined back on the
+   * correlation key) and attaches c_nationkey AFTER the customer-grain
+   * collapse (custkey determines it), so the whole ctr CTE costs ONE
+   * exchange carrying custkey partial aggregates: the R-filtered fact
+   * meets orders on the ORDERKEY buckets zero-shuffle, and the
+   * customer join rides the aggregate's own custkey partitioning
+   * against the custkey-bucketed dim.
+   */
+  def qds30ReturnShareCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liChan)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow)
+    ensureIndex(spark, sfDir, AccelIndexes.custFull)
+    ensureIndex(spark, sfDir, AccelIndexes.custSeg)
+    ensureIndex(spark, sfDir, AccelIndexes.nationDim)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "R" &&
+        year(col("l_shipdate")) === 1997)
+    val ord = Tables.load(spark, sfDir, "orders")
+    val cust = Tables.load(spark, sfDir, "customer")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val ctr = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("ctr_cust"))
+      .agg(moneySum(rev).as("ctr_total"))
+      .join(cust, col("ctr_cust") === col("c_custkey"))
+    val thr = ctr
+      .groupBy(col("c_nationkey").as("thr_nation"))
+      .agg((moneySum(col("ctr_total")) / count(lit(1)) * lit(1.2)).as("thr"))
+    ctr.join(thr, col("c_nationkey") === col("thr_nation"))
+      .filter(col("ctr_total") > col("thr"))
+      .join(Tables.load(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_regionkey") === 2)
+      .select(col("c_name"), col("c_mktsegment"), col("c_acctbal"),
+        col("ctr_total"))
+      .orderBy(col("c_name"), col("ctr_total"))
+      .limit(100)
+  }
+
+  val qds30Sql: String =
+    s"""WITH ctr AS (
+       |  SELECT o_custkey AS ctr_cust, c_nationkey AS ctr_nation,
+       |    ${sqlMoneySum("l_extendedprice * (1.0 - l_discount)")} AS ctr_total
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |  WHERE l_returnflag = 'R'
+       |    AND CAST(strftime(l_shipdate, '%Y') AS INT) = 1997
+       |  GROUP BY 1, 2)
+       |SELECT c_name, c_mktsegment, c_acctbal, ctr_total
+       |FROM ctr ctr1 JOIN customer ON ctr_cust = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE n_regionkey = 2
+       |  AND ctr1.ctr_total > (
+       |    SELECT ${sqlMoneySum("ctr2.ctr_total")} / COUNT(*) * 1.2
+       |    FROM ctr ctr2 WHERE ctr2.ctr_nation = ctr1.ctr_nation)
+       |ORDER BY c_name, ctr_total LIMIT 100""".stripMargin
+
+  /**
+   * TPC-DS q24 shape (reference tpcds/queries/q24a.sql): net paid on
+   * RETURNED sales through a five-dim chain, re-aggregated per
+   * (customer, store) for one item class, gated by a HAVING over a
+   * scalar average of the whole CTE. Mapped: store_sales⋈store_returns
+   * on the composite (ticket, item) → lineitem ⋈ its own 'R' rows
+   * collapsed per (order, part) — the qds78 gate; stores → suppliers;
+   * item color → p_type. The 100 TB discipline: the fact collapses to
+   * (custkey, suppkey, partkey) grain BEFORE any dim join — the
+   * composite-key returns gate and the orders join ride the orderkey
+   * buckets zero-shuffle, the pre-aggregation is the only exchange
+   * that ever carries fact-derived rows (as map-side partials), and
+   * every dim meets the collapsed stream. The scalar HAVING threshold
+   * is a single-row gather over the (tiny) ssales CTE, exact-decimal
+   * on both engines.
+   */
+  def qds24ReturnedNetpaid(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liWide)
+    ensureIndex(spark, sfDir, AccelIndexes.liQty)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow)
+    ensureIndex(spark, sfDir, AccelIndexes.custDim)
+    ensureIndex(spark, sfDir, AccelIndexes.suppDim)
+    ensureIndex(spark, sfDir, AccelIndexes.partAttr)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val rets = li.filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey").as("r_ord"), col("l_partkey").as("r_part"))
+      .agg(count(lit(1)).as("r_c"))
+      .select(col("r_ord"), col("r_part"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    // fact-grain collapse FIRST: (cust, supp, part) partials, one
+    // exchange — kept in EXACT DECIMAL so the two-level sum is
+    // bit-identical to the oracle's one-level sum (a per-partial double
+    // rounding at this finer grain would drift the low bits)
+    val collapsed = li
+      .join(rets, col("l_orderkey") === col("r_ord") &&
+        col("l_partkey") === col("r_part"), "left_semi")
+      .join(Tables.load(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"), col("l_partkey"))
+      .agg(sum(rev.cast(DecimalType(28, 6))).as("net_part"))
+    // ssales at its real (customer, supplier, type) grain, dims attached
+    // to the collapsed stream
+    val ssales = collapsed
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.load(spark, sfDir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("c_name"), col("s_name"), col("p_type"))
+      .agg(sum(col("net_part")).cast(DoubleType).as("netpaid"))
+    val thr = ssales
+      .agg((moneySum(col("netpaid")) / count(lit(1)) * lit(0.05)).as("thr"))
+    ssales.filter(col("p_type") === "PROMO")
+      .groupBy(col("c_name"), col("s_name"))
+      .agg(moneySum(col("netpaid")).as("paid"))
+      .join(thr)
+      .filter(col("paid") > col("thr"))
+      .select(col("c_name"), col("s_name"), col("paid"))
+      .orderBy(col("c_name"), col("s_name"))
+      .limit(100)
+  }
+
+  val qds24Sql: String =
+    s"""WITH ssales AS (
+       |  SELECT c_name, s_name, p_type,
+       |    ${sqlMoneySum("l.l_extendedprice * (1.0 - l.l_discount)")} AS netpaid
+       |  FROM lineitem l
+       |  JOIN (SELECT l_orderkey AS r_ord, l_partkey AS r_part FROM lineitem
+       |        WHERE l_returnflag = 'R' GROUP BY 1, 2) r
+       |    ON l.l_orderkey = r_ord AND l.l_partkey = r_part
+       |  JOIN orders ON l.l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l.l_suppkey = s_suppkey
+       |  JOIN part ON l.l_partkey = p_partkey
+       |  GROUP BY 1, 2, 3)
+       |SELECT c_name, s_name, ${sqlMoneySum("netpaid")} AS paid
+       |FROM ssales WHERE p_type = 'PROMO'
+       |GROUP BY 1, 2
+       |HAVING ${sqlMoneySum("netpaid")} > (
+       |  SELECT ${sqlMoneySum("netpaid")} / COUNT(*) * 0.05 FROM ssales)
+       |ORDER BY c_name, s_name LIMIT 100""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds16_order_gate_distinct" -> (qds16OrderGateDistinct _, qds16Sql),
+    "qds6_pricey_parts_by_nation" -> (qds6PriceyPartsByNation _, qds6Sql),
+    "qds30_return_share_customers" -> (qds30ReturnShareCustomers _, qds30Sql),
+    "qds24_returned_netpaid" -> (qds24ReturnedNetpaid _, qds24Sql),
     "qds46_cross_nation_orders" -> (qds46CrossNationOrders _, qds46Sql),
     "qds48_band_or" -> (qds48BandOr _, qds48Sql),
     "qds29_repeat_channel_qty" -> (qds29RepeatChannelQty _, qds29Sql),

@@ -315,23 +315,37 @@ object GraftSqlParser {
       """(?:\s+INCLUDE\s*\((?<incl>[^)]+)\))?""" +
       """(?:\s+USING\s+(?<using>COVERING|ZORDER|DATASKIPPING))?""" +
       // the group is QUOTE-AWARE: a quoted value may contain ')' (and
-      // ','), so the span can't simply stop at the first close-paren
-      """(?:\s+OPTIONS\s*\((?<opts>(?:[^)'"]|'[^']*'|"[^"]*")*)\))?""")
+      // ','), so the span can't simply stop at the first close-paren;
+      // SQL-style doubled-quote escapes ('' / "") stay inside the value.
+      // Known limitation: an UNTERMINATED quote makes the whole
+      // statement fail this regex, so it falls through to the delegate
+      // parser's generic error rather than parseOptions' targeted one.
+      """(?:\s+OPTIONS\s*\((?<opts>(?:[^)'"]|'[^']*(?:''[^']*)*'|"[^"]*(?:""[^"]*)*")*)\))?""")
 
   /** `k = v, k2 = 'v2'` → Map; keys lowercased, quotes stripped from
     * values. Tokenization is quote-aware — a `','` or `')'` INSIDE a
-    * quoted value never splits a pair. Malformed pairs refuse loudly —
-    * a typo'd option must never silently build a default index. */
+    * quoted value never splits a pair — and supports SQL-style
+    * doubled-quote escapes: `'it''s'` → `it's`, `"a""b"` → `a"b`.
+    * Malformed pairs refuse loudly — a typo'd option must never
+    * silently build a default index. */
   private[sql] def parseOptions(raw: String): Map[String, String] = {
-    // split on top-level commas only (commas inside '...' / "..." stay)
+    // split on top-level commas only (commas inside '...' / "..." stay;
+    // a doubled quote inside a quoted run is an escape, not a close)
     val pairs = scala.collection.mutable.Buffer.empty[String]
     val cur = new StringBuilder
     var quote: Char = 0
-    raw.foreach { c =>
-      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+    var i = 0
+    while (i < raw.length) {
+      val c = raw(i)
+      if (quote != 0) {
+        if (c == quote && i + 1 < raw.length && raw(i + 1) == quote) {
+          cur += c; cur += c; i += 1 // escaped quote: stay in the run
+        } else { cur += c; if (c == quote) quote = 0 }
+      }
       else if (c == '\'' || c == '"') { quote = c; cur += c }
       else if (c == ',') { pairs += cur.toString; cur.clear() }
       else cur += c
+      i += 1
     }
     if (quote != 0) throw new IllegalArgumentException(
       s"Malformed OPTIONS '$raw' — unterminated quote")
@@ -340,12 +354,13 @@ object GraftSqlParser {
       pair.split("=", 2) match {
         case Array(k, v) if k.trim.nonEmpty && v.trim.nonEmpty =>
           val value = v.trim
+          val quoteChar =
+            if (value.length >= 2 && (value.head == '\'' || value.head == '"') &&
+                value.last == value.head) value.head else 0.toChar
           val unquoted =
-            if ((value.startsWith("'") && value.endsWith("'") &&
-                 value.length >= 2) ||
-                (value.startsWith("\"") && value.endsWith("\"") &&
-                 value.length >= 2))
+            if (quoteChar != 0)
               value.substring(1, value.length - 1)
+                .replace(s"$quoteChar$quoteChar", s"$quoteChar")
             else value
           k.trim.toLowerCase -> unquoted
         case _ => throw new IllegalArgumentException(

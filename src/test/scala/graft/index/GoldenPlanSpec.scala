@@ -94,6 +94,8 @@ class GoldenPlanSpec extends AnyFunSuite {
       "qds45_geo_or_item_gate", "qds11_yoy_channel_union",
       "qds29_repeat_channel_qty", "qds97_channel_overlap",
       "qds48_band_or", "qds46_cross_nation_orders",
+      "qds16_order_gate_distinct", "qds6_pricey_parts_by_nation",
+      "qds30_return_share_customers", "qds24_returned_netpaid",
       "qds17_repurchase_stats", "qds28_band_distinct", "qds2_week_pivot",
       "qds34_count_gate", "qds35_or_exists_demo", "qds38_intersect_channels",
       "qds39_inventory_cov", "qds47_monthly_deviation",
@@ -175,6 +177,8 @@ class GoldenPlanSpec extends AnyFunSuite {
     "qds61_promo_ratio", "qds37_inventory_probe", "qds45_geo_or_item_gate",
     "qds11_yoy_channel_union", "qds29_repeat_channel_qty",
     "qds97_channel_overlap", "qds48_band_or", "qds46_cross_nation_orders",
+    "qds16_order_gate_distinct", "qds6_pricey_parts_by_nation",
+    "qds30_return_share_customers", "qds24_returned_netpaid",
     "qds17_repurchase_stats", "qds28_band_distinct", "qds2_week_pivot",
     "qds34_count_gate", "qds35_or_exists_demo", "qds38_intersect_channels",
     "qds39_inventory_cov", "qds47_monthly_deviation",

@@ -128,8 +128,8 @@ class HoistSemiGateSpec extends AnyFunSuite {
     // names both the hoist and the grain-aware placement
     val ds = new graft.index.rules.HoistSemiGate(spark)
       .decisions(unhoisted(df))
-    assert(ds.exists(d => d.contains("hoisted") &&
-      d.contains("above aggregate")),
+    assert(ds.exists(d => d.detail.contains("hoisted") &&
+      d.detail.contains("above aggregate")),
       s"decision report missing the grain-aware line: $ds")
   }
 
@@ -160,8 +160,8 @@ class HoistSemiGateSpec extends AnyFunSuite {
     // ColumnPruning interposed (the gate key is not needed above)
     val ds = new graft.index.rules.HoistSemiGate(spark)
       .decisions(unhoisted(q))
-    assert(ds.exists(_.contains("hoisted")) &&
-      !ds.exists(_.contains("above aggregate")),
+    assert(ds.exists(_.detail.contains("hoisted")) &&
+      !ds.exists(_.detail.contains("above aggregate")),
       s"expected a plain hoist decision: $ds")
     // results parity for the through-project hoist path
     def rows() = q.orderBy(col("ptype")).collect().toSeq
@@ -186,7 +186,7 @@ class HoistSemiGateSpec extends AnyFunSuite {
       .agg(sum(col("l_quantity").cast("long")).as("qty"))
     val ds = new graft.index.rules.HoistSemiGate(spark)
       .decisions(unhoisted(q))
-    assert(ds.exists(_.contains("hoisted")),
+    assert(ds.exists(_.detail.contains("hoisted")),
       s"mirrored through-project shape did not hoist: $ds")
     def rows() = q.orderBy(col("ptype")).collect().toSeq
     val expected = withHoistOff(rows())
@@ -209,10 +209,10 @@ class HoistSemiGateSpec extends AnyFunSuite {
       .agg(sum(col("l_quantity").cast("long")).as("qty"))
     val ds = new graft.index.rules.HoistSemiGate(spark)
       .decisions(unhoisted(q))
-    assert(ds.exists(d => d.contains("kept in place") &&
-      d.contains("p_partkey")),
+    assert(ds.exists(d => d.detail.contains("kept in place") &&
+      d.detail.contains("p_partkey")),
       s"expected a kept-in-place decision naming the bucket key: $ds")
-    assert(!ds.exists(_.contains("hoisted")), s"must not also hoist: $ds")
+    assert(!ds.exists(_.detail.contains("hoisted")), s"must not also hoist: $ds")
   }
 
   test("a gate on an AGGREGATED dim leg is left where the pushdown put " +

@@ -192,7 +192,16 @@ class PlanAnalysisSpec extends AnyFunSuite {
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand").as("brand"))
         .agg(sum(col("l_quantity")).as("qty"))
+      // plan once OUTSIDE the measured window (first planning runs the
+      // real rewrite pipeline, which collects per leg)
+      q.queryExecution.optimizedPlan
+      val before = rules.IndexCandidates.collectCalls.get()
       val out = g.whyNot(q)
+      // the gate dry-run must reuse whyNot's own candidate collection:
+      // exactly ONE collect per analysis call (the diagnostics path
+      // must not re-list source files per decision probe)
+      val delta = rules.IndexCandidates.collectCalls.get() - before
+      assert(delta == 1, s"whyNot must collect candidates exactly once, did $delta")
       assert(out.contains("SEMI_GATE_KEPT_IN_PLACE"), out)
       assert(out.contains("servable on leg bucket keys (p_partkey)"), out)
     }

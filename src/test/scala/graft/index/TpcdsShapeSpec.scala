@@ -927,8 +927,8 @@ class TpcdsShapeSpec extends AnyFunSuite {
           .queryExecution.logical).optimizedPlan
     }
     val ds = new graft.index.rules.HoistSemiGate(spark).decisions(unhoisted)
-    assert(ds.exists(d => d.contains("kept in place") &&
-      d.contains("p_partkey")), s"decision report: $ds")
+    assert(ds.exists(d => d.detail.contains("kept in place") &&
+      d.detail.contains("p_partkey")), s"decision report: $ds")
   }
 
   test("qds45_geo_or_item_gate: the OR-of-gates disjunction lowers to " +
@@ -1063,6 +1063,122 @@ class TpcdsShapeSpec extends AnyFunSuite {
       .exists(_.isInstanceOf[ShuffleExchangeExec])),
       s"a dim side re-shuffled:\n$p")
     assert(shuffles(p) <= 4, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds16_order_gate_distinct: the probe leg serves from the FULL " +
+      "lineitem cover (exists-shaped outers rewrite pre-pruning), both " +
+      "exists legs and the orders join ride the orderkey buckets " +
+      "zero-shuffle — no exchange ever carries ungated fact rows") {
+    val p = planOf("qds16_order_gate_distinct")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_chan", "accel_ci_li_ship", "accel_ci_ord_snow",
+      "accel_ci_cust_seg", "accel_ci_nation_dim")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    // every lineitem leg is index-served: no raw fact scan anywhere
+    val raw = allNodes(p).collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("lineitem.parquet")) => s
+    }
+    assert(raw.isEmpty, s"a fact leg fell back to the raw scan:\n$p")
+    // the semi/anti self-probes pair on the buckets with NO exchange
+    val gates = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi ||
+            j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(gates.size == 2 && gates.forall(g =>
+      !allNodes(g).exists(_.isInstanceOf[ShuffleExchangeExec])),
+      s"an exists gate re-shuffled the fact:\n$p")
+    // 4 exchanges: the GATED stream's custkey + nationkey re-keys, the
+    // orderkey re-key for the distinct, and the one-row gather
+    assert(shuffles(p) <= 4, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds6_pricey_parts_by_nation: the decorrelated category-average " +
+      "gate is KEPT on the fact leg where the pushdown put it — " +
+      "servable in place on the partkey buckets, zero-shuffle — and " +
+      "only the GATED fact re-keys once to meet orders") {
+    val p = planOf("qds6_pricey_parts_by_nation")
+    val idx = indexScans(p)
+    assert(idx.exists(_.contains("accel_ci_li_bypart")) &&
+      idx.exists(_.contains("accel_ci_ord_snow3")),
+      s"missing index scans; served from: $idx\n$p")
+    // the pricey-parts semi pairs on the fact's own partkey buckets
+    val semis = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty && semis.forall(s =>
+      !allNodes(s.left).exists(_.isInstanceOf[ShuffleExchangeExec])),
+      s"the semi gate re-shuffled the fact side:\n$p")
+    // ≤6: window's type re-key + the gate's dim side + ONE gated-fact
+    // re-key + custkey + nationkey + the nation rollup
+    assert(shuffles(p) <= 6, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
+  test("qds30_return_share_customers: each ctr instance costs exactly " +
+      "ONE exchange carrying custkey PARTIALS (fact meets orders on " +
+      "the orderkey buckets; the customer join rides the aggregate's " +
+      "own partitioning against the custkey-bucketed dim) and every " +
+      "other exchange carries customer-grain collapsed rows") {
+    val p = planOf("qds30_return_share_customers")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_chan", "accel_ci_ord_snow", "accel_ci_cust_full")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    assert(zeroShuffleJoins(p).nonEmpty,
+      s"the li⋈orders orderkey pair re-shuffled:\n$p")
+    val exchanges = allNodes(p).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 4,
+      s"expected at most FOUR exchanges: ${exchanges.size}\n$p")
+    // no exchange carries raw fact rows: each is fed by an aggregate
+    assert(exchanges.forall(e => allNodes(e.child).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.BaseAggregateExec])),
+      s"an exchange carries raw fact rows:\n$p")
+  }
+
+  test("qds24_returned_netpaid: the fact collapses to (cust, supp, " +
+      "part) grain BEFORE any dim join — the composite returns gate " +
+      "and the orders join ride the orderkey buckets zero-shuffle, the " +
+      "pre-aggregation exchange carries map-side partials re-keyed by " +
+      "AlignAggExchange onto the custkey SUBSET, and every dim meets " +
+      "the collapsed stream") {
+    val p = planOf("qds24_returned_netpaid")
+    val idx = indexScans(p)
+    assert(Seq("accel_ci_li_wide", "accel_ci_li_qty", "accel_ci_ord_snow",
+      "accel_ci_cust_dim", "accel_ci_supp_dim", "accel_ci_part_attr")
+      .forall(n => idx.exists(_.contains(n))),
+      s"missing index scans; served from: $idx\n$p")
+    // the (ok, pk) returns gate pairs zero-shuffle on the buckets
+    val semis = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty && semis.forall(s =>
+      !allNodes(s).exists(_.isInstanceOf[ShuffleExchangeExec])),
+      s"the returns gate re-shuffled:\n$p")
+    val exchanges = allNodes(p).collect { case e: ShuffleExchangeExec => e }
+    // ssales is computed twice (threshold + main, the oracle's CTE):
+    // 2 × (aligned custkey partials, suppkey, partkey, names) + the
+    // one-row gather + the final names aggregate
+    assert(exchanges.size <= 10,
+      s"exchange count regressed: ${exchanges.size}\n$p")
+    // NO exchange carries raw fact rows — each is fed by an aggregate
+    assert(exchanges.forall(e => allNodes(e.child).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.BaseAggregateExec])),
+      s"an exchange carries raw fact rows:\n$p")
+    // the fact-partials exchange was re-keyed onto the custkey subset
+    // (single-column hash under a 3-column grouping)
+    assert(exchanges.exists(e => e.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.size == 1 && allNodes(e.child).exists {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+            a.groupingExpressions.size == 3
+          case _ => false
+        }
+      case _ => false
+    }), s"the aligned subset re-key is missing:\n$p")
   }
 
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +

@@ -24,6 +24,17 @@ class OptionsParsingSpec extends AnyFunSuite {
       Map("k" -> "v", "k2" -> "8"))
   }
 
+  test("SQL-style doubled-quote escapes stay inside the value") {
+    assert(GraftSqlParser.parseOptions("a = 'it''s'") == Map("a" -> "it's"))
+    assert(GraftSqlParser.parseOptions("a = \"say \"\"hi\"\"\", b = 1") ==
+      Map("a" -> "say \"hi\"", "b" -> "1"))
+    // an escaped quote must not CLOSE the run: the comma stays inside
+    assert(GraftSqlParser.parseOptions("a = 'x'',y', b = 2") ==
+      Map("a" -> "x',y", "b" -> "2"))
+    // empty string and a value that is ONLY an escaped quote
+    assert(GraftSqlParser.parseOptions("a = ''''") == Map("a" -> "'"))
+  }
+
   test("malformed input refuses loudly") {
     val e1 = intercept[IllegalArgumentException](
       GraftSqlParser.parseOptions("novalue"))

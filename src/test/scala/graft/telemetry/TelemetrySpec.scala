@@ -232,4 +232,13 @@ class TelemetrySpec extends AnyFunSuite {
         .exists(_.isInstanceOf[CreateActionEvent]))
     }
   }
+
+  test("the rule-name taxonomy IndexUsageEvent.rules draws from is " +
+      "pinned: renaming a rewrite rule or adding one must update this " +
+      "vocabulary deliberately (ops dashboards key on these strings)") {
+    assert(graft.index.rules.ScoreBasedOptimizer.ruleVocabulary.toSet ==
+      Set("JoinIndexRule", "JoinOneSideIndexRule", "ExistsIndexRule",
+        "AggIndexRule", "ZOrderFilterIndexRule", "FilterIndexRule",
+        "DataSkippingRule"))
+  }
 }
