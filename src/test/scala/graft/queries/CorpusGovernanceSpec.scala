@@ -92,7 +92,12 @@ class CorpusGovernanceSpec extends AnyFunSuite {
     "lineitem(l_orderkey)" -> Seq(
       "accel_ci_li_join:2", "accel_ci_li:3", "accel_ci_li_rev:3",
       "accel_ci_li_ship:4", "accel_ci_li_wide:5", "accel_ci_li_qty:6",
-      "accel_ci_li_chan:9"),
+      // r17: liChan widened to the FULL lineitem cover (the q16 lesson:
+      // exists-probe outer legs rewrite pre-pruning and need a full
+      // cover). Still the strict-widest orderkey layout; l_tax and
+      // l_linestatus are referenced by no other layout, so the widening
+      // opened no cross-key edge and no tie.
+      "accel_ci_li_chan:11"),
     "lineitem(l_partkey)" -> Seq(
       "accel_ci_li_bypart:5", "accel_ci_li_inv:6", "accel_ci_li_partchan:8"),
     "lineitem(l_suppkey)" -> Seq(
