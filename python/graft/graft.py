@@ -39,6 +39,10 @@ class Graft:
 
     # ------------------------------------------------------------ helpers
 
+    def _from_seq(self, jseq):
+        """Scala Seq -> java List (py4j-iterable)."""
+        return self._jvm.scala.collection.JavaConverters.seqAsJavaList(jseq)
+
     def _to_seq(self, pylist):
         return self._jvm.PythonUtils.toSeq(pylist)
 
@@ -119,6 +123,36 @@ class Graft:
 
     def why_not(self, df, index_name=None):
         return self._jgraft.whyNot(df._jdf, index_name)
+
+    def recommend(self, dfs, max_per_table=3):
+        """Workload-driven covering-index proposals.
+
+        Replays the given DataFrames without rewrites, collects every
+        demand site a bucketed layout could serve, and returns a list of
+        dicts: {table, index_name, indexed_columns, included_columns,
+        votes, mechanisms, accepted, rejection, edges}. Rejections name
+        the corpus-governance hazard (cross-key coverage edge / equal-
+        width tie) the proposal would open.
+        """
+        jseq = self._to_seq([df._jdf for df in dfs])
+        jrecs = self._jgraft.recommend(jseq, int(max_per_table))
+        out = []
+        for i in range(jrecs.size()):
+            r = jrecs.apply(i)
+            cfg = r.config()
+            out.append({
+                "table": r.table(),
+                "index_name": cfg.indexName(),
+                "indexed_columns": list(self._from_seq(cfg.indexedColumns())),
+                "included_columns": list(self._from_seq(cfg.includedColumns())),
+                "votes": r.votes(),
+                "mechanisms": list(self._from_seq(r.mechanisms())),
+                "accepted": r.accepted(),
+                "rejection": (r.rejection().get()
+                              if r.rejection().isDefined() else None),
+                "edges": list(self._from_seq(r.edges())),
+            })
+        return out
 
     def analyze_index_distribution(self, name, column=None):
         return self._df(self._jgraft.analyzeIndexDistribution(name, column))

@@ -234,4 +234,18 @@ jread = jspark.read().format("graft-delta").load(bdir)
 assert jread.count() == n_nation
 assert t.format_of(bdir) == "delta"
 
+# --- the index advisor crosses the bridge: workload in, typed
+# --- recommendations out (accepted + governance rejections)
+li_df = DataFrame(jspark.read().parquet(sf_dir + "/lineitem.parquet"), spark)
+ord_df = DataFrame(jspark.read().parquet(sf_dir + "/orders.parquet"), spark)
+recs = g.recommend([DataFrame(
+    li_df._jdf.join(ord_df._jdf,
+                    li_df._jdf.col("l_orderkey").equalTo(
+                        ord_df._jdf.col("o_orderkey"))), spark)])
+assert any(r["indexed_columns"] == ["l_orderkey"] and r["accepted"]
+           for r in recs), recs
+assert all(set(r) == {"table", "index_name", "indexed_columns",
+                      "included_columns", "votes", "mechanisms",
+                      "accepted", "rejection", "edges"} for r in recs), recs
+
 print("WRAPPER_OK %d" % n_indexes)

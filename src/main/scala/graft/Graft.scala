@@ -69,6 +69,18 @@ class Graft(spark: SparkSession) {
   def whyNot(df: DataFrame, indexName: String = null): String =
     graft.index.analysis.PlanAnalysis.whyNot(spark, df, Option(indexName))
 
+  /** Workload-driven covering-index proposals (beyond-reference):
+    * replay `queries` without rewrites, collect every demand site a
+    * bucketed layout could serve, and rank governance-checked
+    * [[graft.index.covering.CoveringIndexConfig]] proposals — a
+    * proposal that would open a cross-key coverage edge or an
+    * equal-width tie against the ACTIVE corpus (or an earlier-accepted
+    * proposal) is returned rejected, naming the exact hazard. See
+    * [[graft.index.rules.IndexAdvisor]]. */
+  def recommend(queries: Seq[DataFrame], maxPerTable: Int = 3)
+      : Seq[graft.index.rules.IndexAdvisor.Recommendation] =
+    graft.index.rules.IndexAdvisor.recommend(spark, queries, maxPerTable)
+
   /** Index statistics view for one index. */
   def index(name: String): DataFrame =
     indexes.filter(org.apache.spark.sql.functions.col("name") === name)
