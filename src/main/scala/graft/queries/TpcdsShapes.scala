@@ -3875,7 +3875,70 @@ object TpcdsShapes {
        |  SELECT ${sqlMoneySum("netpaid")} / COUNT(*) * 0.05 FROM ssales)
        |ORDER BY c_name, s_name LIMIT 100""".stripMargin
 
+  /**
+   * TPC-DS q42/q52/q55 family (reference tpcds/queries/q42.sql,
+   * q52.sql, q55.sql): the one-month star aggregate over the item dim,
+   * re-skinned three ways (category grain, brand grain, brand grain at
+   * a different month/filter). Ported in bulk as cheap oracle rows —
+   * the plan class (partkey-bucketed fact scan, dim side moves,
+   * brand/type-grain rollup) is the audited qds3/qds58 shape; the
+   * value here is oracle breadth, not new mechanism. A total ORDER BY
+   * (rev DESC, then the text key) keeps the LIMIT boundary
+   * deterministic across engines.
+   */
+  private def starMonthAgg(spark: SparkSession, sfDir: String,
+      month: String, sizeMax: Int, brandGrain: Boolean,
+      withYear: Boolean): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liPartChan)
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .filter(date_format(col("l_shipdate"), "yyyy-MM") === month)
+    val part = Tables.load(spark, sfDir, "part")
+      .filter(if (sizeMax > 0) col("p_size") < sizeMax
+              else col("p_size") === 1)
+    val joined = li.join(part, col("l_partkey") === col("p_partkey"))
+    val keyCol = if (brandGrain) col("p_brand") else col("p_type")
+    val keyName = if (brandGrain) "p_brand" else "p_type"
+    val grouped =
+      if (withYear)
+        joined.groupBy(year(col("l_shipdate")).as("yr"), keyCol)
+      else joined.groupBy(keyCol)
+    grouped.agg(moneySum(col("l_extendedprice")).as("rev"))
+      .orderBy(col("rev").desc, col(keyName))
+      .limit(100)
+  }
+
+  def qds42MonthlyCategory(spark: SparkSession, sfDir: String): DataFrame =
+    starMonthAgg(spark, sfDir, "1996-03", 10, brandGrain = false,
+      withYear = true)
+  def qds52BrandMonthly(spark: SparkSession, sfDir: String): DataFrame =
+    starMonthAgg(spark, sfDir, "1996-03", 10, brandGrain = true,
+      withYear = true)
+  def qds55BrandRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    starMonthAgg(spark, sfDir, "1997-11", 0, brandGrain = true,
+      withYear = false)
+
+  private def starMonthSql(month: String, sizePred: String, key: String,
+      withYear: Boolean): String = {
+    val yrCol = if (withYear)
+      "CAST(strftime(l_shipdate,'%Y') AS INT) AS yr, " else ""
+    val grp = if (withYear) "1, 2" else "1"
+    s"""SELECT $yrCol$key,
+       |  ${sqlMoneySum("l_extendedprice")} AS rev
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE strftime(l_shipdate,'%Y-%m') = '$month' AND $sizePred
+       |GROUP BY $grp ORDER BY rev DESC, $key LIMIT 100""".stripMargin
+  }
+  val qds42Sql: String =
+    starMonthSql("1996-03", "p_size < 10", "p_type", withYear = true)
+  val qds52Sql: String =
+    starMonthSql("1996-03", "p_size < 10", "p_brand", withYear = true)
+  val qds55Sql: String =
+    starMonthSql("1997-11", "p_size = 1", "p_brand", withYear = false)
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds42_monthly_category" -> (qds42MonthlyCategory _, qds42Sql),
+    "qds52_brand_monthly" -> (qds52BrandMonthly _, qds52Sql),
+    "qds55_brand_revenue" -> (qds55BrandRevenue _, qds55Sql),
     "qds16_order_gate_distinct" -> (qds16OrderGateDistinct _, qds16Sql),
     "qds6_pricey_parts_by_nation" -> (qds6PriceyPartsByNation _, qds6Sql),
     "qds30_return_share_customers" -> (qds30ReturnShareCustomers _, qds30Sql),
