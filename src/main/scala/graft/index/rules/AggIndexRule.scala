@@ -100,21 +100,21 @@ object AggIndexRule extends GraftIndexRule {
     // list holds the RAW attributes and the rename lives in the result
     // list (`Alias(l_partkey, "bp_part")` in aggregateExpressions), so
     // both lists contribute spellings for a grouping key's exprId.
-    val tracedById: Map[Long, String] =
-      groupAttrs.map(a => a.exprId.id ->
+    val tracedById =
+      groupAttrs.map(a => a.exprId ->
         JoinIndexRule.traceToRel(agg.child, rel, a).map(_.name)
           .getOrElse(a.name)).toMap
     val outSpellings: Seq[(String, String)] =
       (agg.groupingExpressions ++ agg.aggregateExpressions).collect {
-        case a: AttributeReference if tracedById.contains(a.exprId.id) =>
-          tracedById(a.exprId.id) -> a.name
+        case a: AttributeReference if tracedById.contains(a.exprId) =>
+          tracedById(a.exprId) -> a.name
         case al @ Alias(c: AttributeReference, _)
-            if tracedById.contains(c.exprId.id) =>
-          tracedById(c.exprId.id) -> al.name
+            if tracedById.contains(c.exprId) =>
+          tracedById(c.exprId) -> al.name
       }
     def spellings(ic: String): Seq[String] =
       (ic +: outSpellings.collect {
-        case (rel, out) if resolver(rel, ic) => out
+        case (relName, out) if resolver(relName, ic) => out
       }).distinct
 
     // PAIR COHERENCE first (finding #12b): when covers with DIFFERENT

@@ -86,7 +86,9 @@ object IndexAdvisor {
     val grouped = sites.groupBy(s => (s.table, s.key)).toSeq
       .map { case ((table, key), ss) =>
         val cols = needed.getOrElse((table, key), mutable.Set(key))
-        val included = (cols - key).toSeq.sorted
+        // case-insensitive key removal: the set holds original-case
+        // names while the grouping key is lowercased
+        val included = cols.filterNot(_.equalsIgnoreCase(key)).toSeq.sorted
         val cfg = CoveringIndexConfig(s"adv_ci_${table}_${key}",
           Seq(key), included)
         (table, cfg, ss.size, ss.map(_.kind).distinct.sorted.toSeq)
