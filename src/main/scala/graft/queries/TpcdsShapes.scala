@@ -3935,7 +3935,87 @@ object TpcdsShapes {
   val qds55Sql: String =
     starMonthSql("1997-11", "p_size = 1", "p_brand", withYear = false)
 
+  /**
+   * TPC-DS q23a FULL form (reference tpcds/queries/q23a.sql): the two
+   * filtering CTEs — frequent items and best customers — applied to a
+   * UNION ALL of TWO channel facts, summed to one row. qds23 covers
+   * the CTE mechanics on a single fact; this port adds the cross-
+   * channel reuse: both union legs must independently keep their
+   * bucketed gates (the partkey semi and the custkey semi ride each
+   * leg's co-partitioning), and the CTEs are recomputed per leg (the
+   * oracle's CTE is named once — a hash match proves the recompute
+   * equivalent). Channels are l_linenumber mod 2 classes, as in qds78.
+   */
+  def qds23TwoChannelTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureIndex(spark, sfDir, AccelIndexes.liByPart)
+    ensureIndex(spark, sfDir, AccelIndexes.ordByCust)
+    ensureIndex(spark, sfDir, AccelIndexes.ordSnow3)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val ord = Tables.load(spark, sfDir, "orders")
+    val frequent = li
+      .groupBy(col("l_partkey").as("fi_part"))
+      .agg(countDistinct(col("l_orderkey")).as("n_ord"))
+      .filter(col("n_ord") > 4)
+      .select(col("fi_part"))
+    val spend = ord
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey").as("bc_cust"))
+      .agg(moneySum(col("o_totalprice")).as("spend"))
+    val maxSpend = spend.agg(max(col("spend")).as("max_spend"))
+    val best = spend
+      .join(broadcast(maxSpend))
+      .filter(col("spend") > col("max_spend") * lit(0.5))
+      .select(col("bc_cust"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    def channel(m: Int): DataFrame =
+      li.filter(pmod(col("l_linenumber"), lit(2)) === m)
+        .join(ord.filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(frequent, col("l_partkey") === col("fi_part"), "left_semi")
+        .join(best, col("o_custkey") === col("bc_cust"), "left_semi")
+        .select(rev.as("sales"))
+    channel(0).unionAll(channel(1))
+      .agg(count(lit(1)).cast(LongType).as("n_rows"),
+        moneySum(col("sales")).as("total_sales"))
+  }
+
+  val qds23bSql: String =
+    s"""WITH frequent AS (
+       |  SELECT l_partkey FROM lineitem
+       |  GROUP BY 1 HAVING COUNT(DISTINCT l_orderkey) > 4),
+       |spend AS (
+       |  SELECT o_custkey, ${sqlMoneySum("o_totalprice")} AS spend
+       |  FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY 1),
+       |best AS (
+       |  SELECT o_custkey FROM spend
+       |  WHERE spend > (SELECT MAX(spend) FROM spend) * 0.5)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${sqlMoneySum("sales")} AS total_sales
+       |FROM (
+       |  SELECT l_extendedprice * (1.0 - l_discount) AS sales
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_linenumber % 2 = 0
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_partkey IN (SELECT l_partkey FROM frequent)
+       |    AND o_custkey IN (SELECT o_custkey FROM best)
+       |  UNION ALL
+       |  SELECT l_extendedprice * (1.0 - l_discount) AS sales
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_linenumber % 2 = 1
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_partkey IN (SELECT l_partkey FROM frequent)
+       |    AND o_custkey IN (SELECT o_custkey FROM best)) y""".stripMargin
+
   val entries: Map[String, Registry.Entry] = Map(
+    "qds23b_two_channel_total" -> (qds23TwoChannelTotal _, qds23bSql),
     "qds42_monthly_category" -> (qds42MonthlyCategory _, qds42Sql),
     "qds52_brand_monthly" -> (qds52BrandMonthly _, qds52Sql),
     "qds55_brand_revenue" -> (qds55BrandRevenue _, qds55Sql),

@@ -97,7 +97,7 @@ class GoldenPlanSpec extends AnyFunSuite {
       "qds16_order_gate_distinct", "qds6_pricey_parts_by_nation",
       "qds30_return_share_customers", "qds24_returned_netpaid",
       "qds42_monthly_category", "qds52_brand_monthly",
-      "qds55_brand_revenue",
+      "qds55_brand_revenue", "qds23b_two_channel_total",
       "qds17_repurchase_stats", "qds28_band_distinct", "qds2_week_pivot",
       "qds34_count_gate", "qds35_or_exists_demo", "qds38_intersect_channels",
       "qds39_inventory_cov", "qds47_monthly_deviation",
@@ -182,6 +182,7 @@ class GoldenPlanSpec extends AnyFunSuite {
     "qds16_order_gate_distinct", "qds6_pricey_parts_by_nation",
     "qds30_return_share_customers", "qds24_returned_netpaid",
     "qds42_monthly_category", "qds52_brand_monthly", "qds55_brand_revenue",
+    "qds23b_two_channel_total",
     "qds17_repurchase_stats", "qds28_band_distinct", "qds2_week_pivot",
     "qds34_count_gate", "qds35_or_exists_demo", "qds38_intersect_channels",
     "qds39_inventory_cov", "qds47_monthly_deviation",
