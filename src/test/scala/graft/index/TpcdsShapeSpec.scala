@@ -1181,6 +1181,30 @@ class TpcdsShapeSpec extends AnyFunSuite {
     }), s"the aligned subset re-key is missing:\n$p")
   }
 
+  test("qds23b_two_channel_total: BOTH union legs keep their bucketed " +
+      "gates — all four semi joins (partkey frequent-items, custkey " +
+      "best-customers, per channel) have no exchange beneath either " +
+      "side; only the GATED streams re-key to pair on the orderkey") {
+    val p = planOf("qds23b_two_channel_total")
+    val semis = allNodes(p).collect {
+      case j: SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.size == 4, s"expected four semi gates: ${semis.size}\n$p")
+    // the only exchange allowed under a gate is the best-customers
+    // threshold's ONE-ROW max gather (SinglePartition) — no hash re-key
+    // ever moves a pre-gate stream
+    assert(semis.forall(s => !allNodes(s).exists {
+      case e: ShuffleExchangeExec => e.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      case _ => false
+    }), s"a gate hash-re-keyed — the pre-gate fact must never move:\n$p")
+    // the frequent-items count-distinct collapses shuffle-free on the
+    // partkey buckets inside each leg: no exchange under any aggregate
+    // below a semi gate
+    assert(shuffles(p) <= 9, s"exchange count regressed: ${shuffles(p)}\n$p")
+  }
+
   test("qds oracle parity holds with indexes DISABLED (rewrites never " +
       "change results)") {
     for (name <- TpcdsShapes.entries.keys) {
