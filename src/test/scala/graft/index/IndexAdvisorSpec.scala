@@ -172,6 +172,48 @@ class IndexAdvisorSpec extends AnyFunSuite {
     }
   }
 
+  test("LOOP CLOSURE: an accepted recommendation is buildable VERBATIM " +
+      "and the workload query then plans served from it — the suppkey " +
+      "aggregation collapses shuffle-free on the advised buckets and " +
+      "the dim join rides the pair") {
+    withGraft { g =>
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val q = li
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("rev"))
+      val recs = g.recommend(Seq(q))
+      val liRec = recs.find(r => r.accepted &&
+        r.config.indexedColumns == Seq("l_suppkey")).get
+      val suppRec = recs.find(r => r.accepted &&
+        r.config.indexedColumns == Seq("s_suppkey")).get
+      g.createIndex(li, liRec.config)
+      g.createIndex(supp, suppRec.config)
+      rules.IndexCatalog.invalidate(spark)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val served = analysis.PlanAnalysis.appliedIndexes(spark, q)
+        assert(Set(liRec.config.indexName, suppRec.config.indexName)
+          .subsetOf(served.toSet),
+          s"advised indexes not applied: $served")
+        // the advised layout's point: the suppkey aggregation and the
+        // dim join run with NO exchange anywhere in the plan
+        val plan = q.queryExecution.executedPlan
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            p +: nodes(a.executedPlan)
+          case other => p +: other.children.flatMap(nodes)
+        }
+        assert(!nodes(plan).exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"the advised plan still shuffles:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("tolerated-direction edges are reported, not hidden: a narrow " +
       "proposal covered by an existing WIDER cross-key layout is " +
       "accepted with the edge named (the pinned wide-fact ⊇ " +
