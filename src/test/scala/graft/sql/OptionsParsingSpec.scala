@@ -35,6 +35,27 @@ class OptionsParsingSpec extends AnyFunSuite {
     assert(GraftSqlParser.parseOptions("a = ''''") == Map("a" -> "'"))
   }
 
+  test("PROPERTY: quote-escape round-trip — any value, including ones " +
+      "full of quotes/commas/parens, survives format -> parse") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val valueGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('\'', '"', ',', ')', '(', ' ', '=')))
+      .map(_.mkString)
+    def quote(v: String, q: Char): String =
+      q + v.replace(q.toString, s"$q$q") + q
+    (0 until 200).foreach { i =>
+      valueGen(Gen.Parameters.default, Seed(0xBEEF + i.toLong)).foreach { v =>
+        for (q <- Seq('\'', '"')) {
+          val raw = s"k1 = ${quote(v, q)}, k2 = 7"
+          val parsed = GraftSqlParser.parseOptions(raw)
+          assert(parsed == Map("k1" -> v, "k2" -> "7"),
+            s"round-trip failed for value <$v> via $q: $parsed")
+        }
+      }
+    }
+  }
+
   test("malformed input refuses loudly") {
     val e1 = intercept[IllegalArgumentException](
       GraftSqlParser.parseOptions("novalue"))
