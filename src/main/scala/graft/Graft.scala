@@ -96,7 +96,11 @@ class Graft(spark: SparkSession) {
 
   private def annSearchImpl(indexName: String, queries: DataFrame,
       topK: Int, nProbe: Int, usePq: Boolean): DataFrame = {
-    val entry = manager.getIndexes(Set(IndexState.Active))
+    // per-query entry lookup through the TTL'd catalog cache (the same
+    // source of truth the rewrite rules serve from; in-JVM mutations
+    // invalidate it) — getIndexes re-lists the system path + re-reads
+    // every index log on each call, a per-query planning tax
+    val entry = graft.index.rules.IndexCatalog.activeIndexes(spark)
       .find(e => e.name == indexName &&
         e.descriptor.isInstanceOf[graft.index.ivf.IvfIndexDescriptor])
       .getOrElse(throw new NoSuchElementException(
@@ -210,7 +214,7 @@ class Graft(spark: SparkSession) {
   }
 
   private def minHashEntry(indexName: String): graft.index.IndexLogEntry =
-    manager.getIndexes(Set(IndexState.Active))
+    graft.index.rules.IndexCatalog.activeIndexes(spark)
       .find(e => e.name == indexName &&
         e.descriptor.isInstanceOf[graft.index.minhash.MinHashIndexDescriptor])
       .getOrElse(throw new NoSuchElementException(

@@ -23,7 +23,53 @@ object Tables {
     s"$dir/$name.parquet"
   }
 
+  /** Per-session resolved-relation cache. `spark.read.parquet` pays a
+    * footer schema read + file listing + relation resolution on EVERY
+    * call (~40-60 ms here) — per-query per-pass, that was ~40% of a
+    * whole bench pass (guide §1/§6: amortize listing/metadata, exactly
+    * what a catalog table does on a real cluster). The cached DataFrame
+    * is an immutable logical plan; executing it re-reads the parquet
+    * every time, so no data/results are cached. Staleness: keyed on the
+    * source's (mtime, length) — a rewritten fixture misses and
+    * re-resolves (the stat is one local fs call, ~µs). Sessions are
+    * weak keys so stopped test sessions unpin their plans. */
+  private val relCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (Long, Long, DataFrame)]]()
+
+  private def cacheFor(spark: SparkSession) = relCache.synchronized {
+    var m = relCache.get(spark)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, DataFrame)]()
+      relCache.put(spark, m)
+    }
+    m
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val p = path(sfDir, name)
+    val stamp =
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val st = hp.getFileSystem(spark.sessionState.newHadoopConf())
+          .getFileStatus(hp)
+        Some((st.getModificationTime, st.getLen))
+      } catch { case _: Exception => None } // missing path: let the read throw
+    stamp match {
+      case None => loadFresh(spark, sfDir, name)
+      case Some((mt, len)) =>
+        val m = cacheFor(spark)
+        val hit = m.get(p)
+        if (hit != null && hit._1 == mt && hit._2 == len) hit._3
+        else {
+          val df = loadFresh(spark, sfDir, name)
+          m.put(p, (mt, len, df))
+          df
+        }
+    }
+  }
+
+  private def loadFresh(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(sfDir, name))
     // events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
     // generations and TIMESTAMP_MICROS (NTZ) in others; normalize whatever

@@ -96,9 +96,11 @@ class AlignAggExchange(spark: SparkSession) extends Rule[SparkPlan] {
     })
 
   override def apply(plan: SparkPlan): SparkPlan =
-    if (!enabled) plan
-    else try applyOnce(plan)
-    catch { case scala.util.control.NonFatal(_) => plan } // fail-safe: keep Spark's plan
+    graft.index.rules.RuleTimer.timed("AlignAggExchange") {
+      if (!enabled) plan
+      else try applyOnce(plan)
+      catch { case scala.util.control.NonFatal(_) => plan } // fail-safe: keep Spark's plan
+    }
 
   private def applyOnce(plan: SparkPlan): SparkPlan = plan.transformUp {
     case w: WindowExec if w.partitionSpec.nonEmpty =>

@@ -21,7 +21,7 @@ import graft.index.{GraftConf, GraftRuleGuard}
  */
 class ApplyGraft(spark: SparkSession) extends Rule[LogicalPlan] with Logging {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
+  override def apply(plan: LogicalPlan): LogicalPlan = RuleTimer.timed("ApplyGraft") {
     if (!GraftConf.applyEnabled(spark) || GraftRuleGuard.isDisabled) return plan
     try {
       val indexes = IndexCatalog.activeIndexes(spark)
@@ -29,11 +29,15 @@ class ApplyGraft(spark: SparkSession) extends Rule[LogicalPlan] with Logging {
       // EXISTS/IN probes live in SUBQUERY plans the main-plan walk never
       // visits — collect their relations too so ExistsIndexRule can pair
       // them (subqueriesAll covers nesting)
-      val candidates = (plan +: plan.subqueriesAll)
-        .map(p => IndexCandidates.collect(spark, p, indexes))
-        .reduce(_ ++ _)
+      val candidates = RuleTimer.timed("ApplyGraft.candidates") {
+        (plan +: plan.subqueriesAll)
+          .map(p => IndexCandidates.collect(spark, p, indexes))
+          .reduce(_ ++ _)
+      }
       if (candidates.isEmpty) return plan
-      val result = ScoreBasedOptimizer.optimize(spark, plan, candidates)
+      val result = RuleTimer.timed("ApplyGraft.optimize") {
+        ScoreBasedOptimizer.optimize(spark, plan, candidates)
+      }
       // usage telemetry (reference: HyperspaceIndexUsageEvent,
       // telemetry/HyperspaceEvent.scala:149-166): emitted only when a
       // logger is configured AND an index actually serves the plan —

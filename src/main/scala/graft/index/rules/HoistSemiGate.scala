@@ -74,7 +74,7 @@ class HoistSemiGate(spark: SparkSession)
 
   import HoistSemiGate._
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
+  override def apply(plan: LogicalPlan): LogicalPlan = RuleTimer.timed("HoistSemiGate") {
     if (!GraftConf.applyEnabled(spark) || GraftRuleGuard.isDisabled ||
         !enabled) return plan
     try rewrite(plan, None)

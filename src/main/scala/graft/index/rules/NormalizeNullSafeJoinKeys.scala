@@ -52,7 +52,8 @@ import graft.index.{GraftConf, GraftRuleGuard}
 class NormalizeNullSafeJoinKeys(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper with Logging {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+      RuleTimer.timed("NormalizeNullSafeJoinKeys") {
     if (!GraftConf.applyEnabled(spark) || GraftRuleGuard.isDisabled) return plan
     try {
       plan.transformUp {

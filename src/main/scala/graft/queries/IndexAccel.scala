@@ -36,7 +36,11 @@ object IndexAccel {
       table: String, config: IndexConfig): Unit = synchronized {
     ensureSystemPath(spark, sfDir)
     val mgr = new IndexManager(spark)
-    val active = mgr.getIndexes(Set(IndexState.Active))
+    // existence check through the TTL'd catalog cache (invalidated by
+    // every in-JVM mutation): the manager's getIndexes re-lists the
+    // system path and re-reads every index's JSON log — 4-6 ensureIndex
+    // calls per accelerated query made that a per-pass planning tax
+    val active = graft.index.rules.IndexCatalog.activeIndexes(spark)
       .find(_.name == config.indexName)
     // a persisted index whose DEFINITION drifted from the config (an
     // older build of this suite) must rebuild, not serve stale shape
@@ -86,7 +90,8 @@ object IndexAccel {
       sfDir: String): Unit = synchronized {
     ensureSystemPath(spark, sfDir)
     val mgr = new IndexManager(spark)
-    val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
+    val active = graft.index.rules.IndexCatalog.activeIndexes(spark)
+      .map(_.name).toSet
     if (!active.contains("accel_ci_li_rank8")) {
       mgr.create(Tables.load(spark, sfDir, "lineitem"),
         CoveringIndexConfig("accel_ci_li_rank8",
@@ -118,11 +123,10 @@ object IndexAccel {
   def idxSqlCreated(spark: SparkSession, sfDir: String): DataFrame = {
     ensureSystemPath(spark, sfDir)
     synchronized {
-      val mgr = new IndexManager(spark)
       // keyed on a column NO other corpus index uses (s_nationkey): an
       // equivalent twin of an existing index would make every plan that
       // index serves depend on ranker tie-breaks against this one
-      if (!mgr.getIndexes(Set(IndexState.Active))
+      if (!graft.index.rules.IndexCatalog.activeIndexes(spark)
           .exists(_.name == "sqlci_supp")) {
         spark.sql(
           s"CREATE INDEX sqlci_supp ON parquet.`$sfDir/supplier.parquet` " +
@@ -147,8 +151,7 @@ object IndexAccel {
   def idxSqlBloom(spark: SparkSession, sfDir: String): DataFrame = {
     ensureSystemPath(spark, sfDir)
     synchronized {
-      val mgr = new IndexManager(spark)
-      if (!mgr.getIndexes(Set(IndexState.Active))
+      if (!graft.index.rules.IndexCatalog.activeIndexes(spark)
           .exists(_.name == "sqlci_bloom")) {
         spark.sql(
           s"CREATE INDEX sqlci_bloom ON parquet.`$sfDir/supplier.parquet` " +
@@ -595,7 +598,8 @@ object IndexAccel {
       }
       ensureSystemPath(spark, sfDir)
       val mgr = new IndexManager(spark)
-      val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
+      val active = graft.index.rules.IndexCatalog.activeIndexes(spark)
+        .map(_.name).toSet
       if (tableCreated && active.contains("accel_ci_delta")) {
         // the fixture table was wiped and re-created: a surviving index
         // points at dead files and would (correctly) never apply — rebuild
@@ -856,7 +860,8 @@ object IndexAccel {
       }
       ensureSystemPath(spark, sfDir)
       val mgr = new IndexManager(spark)
-      val active = mgr.getIndexes(Set(IndexState.Active)).map(_.name).toSet
+      val active = graft.index.rules.IndexCatalog.activeIndexes(spark)
+        .map(_.name).toSet
       if (tableCreated && active.contains("accel_ci_iceberg")) {
         // wiped-and-recreated fixture: rebuild the index (see delta twin)
         mgr.delete("accel_ci_iceberg")
