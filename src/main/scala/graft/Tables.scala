@@ -158,7 +158,34 @@ object EventTs {
         "expected TIMESTAMP(NANOS)-as-long, TIMESTAMP, or TIMESTAMP_NTZ")
   }
 
+  /** Variant depends only on the file bytes, so cache per (path, mtime,
+    * length) — every streaming query probed the footer again on each
+    * construction (a full relation resolution, ~40-60 ms). */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Variant)]()
+
   /** Probe the on-disk variant via a footer-only batch schema read. */
-  def probe(spark: SparkSession, sfDir: String): Variant =
-    of(spark.read.parquet(Tables.path(sfDir, "events")).schema("ts").dataType)
+  def probe(spark: SparkSession, sfDir: String): Variant = {
+    val p = Tables.path(sfDir, "events")
+    val stamp =
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val st = hp.getFileSystem(spark.sessionState.newHadoopConf())
+          .getFileStatus(hp)
+        Some((st.getModificationTime, st.getLen))
+      } catch { case _: Exception => None }
+    def fresh(): Variant =
+      of(spark.read.parquet(p).schema("ts").dataType)
+    stamp match {
+      case None => fresh()
+      case Some((mt, len)) =>
+        val hit = probeCache.get(p)
+        if (hit != null && hit._1 == mt && hit._2 == len) hit._3
+        else {
+          val v = fresh()
+          probeCache.put(p, (mt, len, v))
+          v
+        }
+    }
+  }
 }

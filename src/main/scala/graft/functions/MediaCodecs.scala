@@ -20,6 +20,16 @@ import javax.imageio.ImageIO
  */
 object MediaCodecs {
 
+  // ImageIO's default stream cache is DISK-backed: every write/read via
+  // an OutputStream/InputStream wraps it in a FileCache image stream —
+  // one temp FILE created, written, read back and deleted PER CALL.
+  // Two calls per row made the decode stage filesystem-bound (and
+  // immune to task parallelism — the tasks contend on tmpdir). Memory
+  // caching produces byte-identical codec output; our payloads are tiny
+  // (KBs), so the memory cost is nil. JVM-global, set once at class
+  // load on driver and executors alike.
+  ImageIO.setUseCache(false)
+
   // ------------------------------------------------------------ images
 
   /** Encode a grayscale-valued pattern as a real PNG (value replicated

@@ -56,8 +56,15 @@ object DataSkippingRule extends GraftIndexRule {
       m: CandidateMatch,
       d: DataSkippingIndexDescriptor): Option[LogicalPlan] = {
     val entry = m.entry
-    val sketches = Sketches.fromSpecs(d.sketches)
-    val indexSchema = DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
+    // sketch specs + schema parse + the index-data relation resolution
+    // are immutable per log id — cache per session (this ran a full
+    // spark.read resolution on every Filter-node visit; PlanArtifacts)
+    val (sketches, indexSchema) = PlanArtifacts.getOrCompute[
+        (Seq[graft.index.dataskipping.Sketch], StructType)](
+        spark, s"ds#${entry.name}#${entry.id}") {
+      (Sketches.fromSpecs(d.sketches),
+        DataType.fromJson(d.schemaJson).asInstanceOf[StructType])
+    }
     // translate FIRST against the schema fields — instantiating the index
     // DataFrame (file listing + analysis) for every untranslatable filter
     // would be wasted per-query planning work. The resulting attributes
@@ -73,8 +80,11 @@ object DataSkippingRule extends GraftIndexRule {
 
     Sketches.translate(filter.condition, sketches, attrOf, resolver).map {
       translated =>
-        val indexData =
+        val indexData = PlanArtifacts.getOrCompute[
+            org.apache.spark.sql.DataFrame](
+            spark, s"dsdata#${entry.name}#${entry.id}") {
           spark.read.schema(indexSchema).parquet(entry.content.filePaths: _*)
+        }
         val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
         // only still-current logged files may be pruned: a modified file
         // (same path, new size/mtime) counts as deleted and keeps no

@@ -997,10 +997,14 @@ object ScoreBasedOptimizer {
         // rules see the ANCESTOR sets; recursion into subtrees (both the
         // rules' own and the noop path) additionally carries what p
         // itself wants from its children
-        val childSet = derives(p).foldLeft(interesting.value)(
-          (m, n) => m.updated(n, m.getOrElse(n, 0) + 1))
+        val childSet = RuleTimer.timed("SBO.derives") {
+          derives(p).foldLeft(interesting.value)(
+            (m, n) => m.updated(n, m.getOrElse(n, 0) + 1))
+        }
         val ownVotes: Set[String] = p match {
-          case j: Join => coherentVotes(spark, j, candidates)
+          case j: Join => RuleTimer.timed("SBO.coherentVotes") {
+            coherentVotes(spark, j, candidates)
+          }
           case _ => Set.empty
         }
         val recurse: LogicalPlan => (LogicalPlan, Int) = x => {
@@ -1017,7 +1021,9 @@ object ScoreBasedOptimizer {
             coherent.withValue(childCoherent)(rec(x)))
         }
         val applied = rules.flatMap(r =>
-          r.apply(spark, p, candidates, recurse).map { case (pl, s) =>
+          RuleTimer.timed("SBO.rule." + ruleName(r)) {
+            r.apply(spark, p, candidates, recurse)
+          }.map { case (pl, s) =>
             (pl, s, Some(r))
           })
         val noop: (LogicalPlan, Int, Option[GraftIndexRule]) =

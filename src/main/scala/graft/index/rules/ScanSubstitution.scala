@@ -48,15 +48,23 @@ object ScanSubstitution {
       case d => throw new IllegalArgumentException(
         s"not a covering-style index: ${d.kind}")
     }
-    val indexSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val location = new InMemoryFileIndex(
-      spark,
-      entry.content.filePaths.map(new Path(_)),
-      Map.empty[String, String],
-      Some(indexSchema),
-      FileStatusCache.getOrCreate(spark),
-      None,
-      None)
+    // schema parse + file-index construction are immutable per log id —
+    // cache them per session (rules re-run this for every candidate
+    // rewrite of every query plan; see PlanArtifacts)
+    val (indexSchema, location) = PlanArtifacts.getOrCompute[
+        (StructType, InMemoryFileIndex)](
+        spark, s"scan#${entry.name}#${entry.id}") {
+      val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val loc = new InMemoryFileIndex(
+        spark,
+        entry.content.filePaths.map(new Path(_)),
+        Map.empty[String, String],
+        Some(schema),
+        FileStatusCache.getOrCreate(spark),
+        None,
+        None)
+      (schema, loc)
+    }
     val relation = HadoopFsRelation(
       location,
       partitionSchema = StructType(Nil),

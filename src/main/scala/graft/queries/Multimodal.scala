@@ -173,7 +173,16 @@ object Multimodal {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
 
-    val decoded = docs.mapPartitions { it =>
+    // The codec work is ~300 µs/row of pure CPU, but the scan side is as
+    // few partitions as the parquet row-group layout allows (the sf
+    // fixtures are ONE row group ⇒ one task decoded everything). The
+    // rows entering the map are 16 bytes each, so round-robin them
+    // across the cluster before the expensive per-row compute — never
+    // below the scan's own parallelism (at scale the scan is already
+    // wide and this floor keeps it so).
+    val par = math.max(spark.sparkContext.defaultParallelism,
+      docs.rdd.getNumPartitions)
+    val decoded = docs.repartition(par).mapPartitions { it =>
       // per-partition init point (codec warm-up in a real pipeline)
       it.map { case (id, nChars) =>
         val w = (16 + id % 33).toInt

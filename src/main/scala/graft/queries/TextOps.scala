@@ -77,17 +77,26 @@ object TextOps {
 
   def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val toks = tokens(col("text"))
+    // Argmax with tie-break = declaration order, same semantics as the
+    // original strictly-greater when-chain fold — but that fold embedded
+    // each score expression ~2^k times and every copy re-ran
+    // split+filter (higher-order functions are CodegenFallback, so no
+    // CSE rescued it): ~0.89 s/pass, 20x its text-family siblings.
+    // Instead: tokenize ONCE (its own Project — CollapseProject refuses
+    // to inline a non-cheap alias used 4x), score each language once
+    // into an array, argmax = first position of the max (array_position
+    // returns the FIRST hit, which IS the declaration-order tie-break).
+    val withToks = docs.select(col("lang"), tokens(col("text")).as("__toks"))
     def score(ws: Seq[String]): Column =
-      size(filter(toks, t => t.isin(ws.map(_.asInstanceOf[Any]): _*))).cast(LongType)
-    val scores = LangMarkers.map { case (l, ws) => l -> score(ws) }
-    // argmax with tie-break = declaration order (strictly-greater chain)
-    val pred = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
-      case ((bestScore, bestLang), (l, s)) =>
-        (when(s > bestScore, s).otherwise(bestScore),
-          when(s > bestScore, lit(l)).otherwise(bestLang))
-    }._2
-    docs.select(col("lang"), pred.as("lang_pred"))
+      size(filter(col("__toks"),
+        t => t.isin(ws.map(_.asInstanceOf[Any]): _*))).cast(LongType)
+    val scoreArr = array(LangMarkers.map { case (_, ws) => score(ws) }: _*)
+    val langArr = array(LangMarkers.map { case (l, _) => lit(l) }: _*)
+    val pred = coalesce( // null text ⇒ null scores ⇒ head lang, as before
+      element_at(langArr,
+        array_position(scoreArr, array_max(scoreArr)).cast("int")),
+      lit(LangMarkers.head._1))
+    withToks.select(col("lang"), pred.as("lang_pred"))
       .groupBy(col("lang"), col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("lang_pred"))
