@@ -152,15 +152,21 @@ object IvfBuild {
     if (d.centroids.nonEmpty) d.centroids.map(_.toArray).toArray
     else d.centroidsPath match {
       case Some(p) =>
-        val dir = new org.apache.hadoop.fs.Path(p)
-        val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-        val parts = fs.listStatus(dir).map(_.getPath)
-          .filter(_.getName.startsWith("part-")).map(_.toString)
-        spark.read.parquet(parts: _*)
-          .orderBy(col("cell"))
-          .select(col("centroid"))
-          .collect()
-          .map(_.getSeq[Double](0).toArray)
+        // the sidecar is immutable once written (one per build version
+        // dir), but loading it is a listing + a collect JOB — cache per
+        // session+path so repeated searches pay it once (PlanArtifacts)
+        graft.index.rules.PlanArtifacts.getOrCompute[Array[Array[Double]]](
+            spark, s"ivfcb#$p") {
+          val dir = new org.apache.hadoop.fs.Path(p)
+          val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+          val parts = fs.listStatus(dir).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).map(_.toString)
+          spark.read.parquet(parts: _*)
+            .orderBy(col("cell"))
+            .select(col("centroid"))
+            .collect()
+            .map(_.getSeq[Double](0).toArray)
+        }
       case None => Array.empty
     }
 
@@ -420,10 +426,17 @@ object IvfBuild {
             "content metadata is corrupt")
       p.toString
     }
-    content.filePaths.groupBy(versionDir).toSeq.sortBy(_._1)
-      .map { case (base, files) =>
-        spark.read.option("basePath", base).parquet(files: _*)
-      }
-      .reduce(_.unionByName(_))
+    // relation resolution per version dir on EVERY search — the content
+    // file set is immutable for a given log entry, so cache the resolved
+    // (immutable) logical plan per session+file-set; execution still
+    // reads the parquet each time (PlanArtifacts)
+    graft.index.rules.PlanArtifacts.getOrCompute[DataFrame](
+        spark, "ivfdata#" + content.filePaths.mkString("|")) {
+      content.filePaths.groupBy(versionDir).toSeq.sortBy(_._1)
+        .map { case (base, files) =>
+          spark.read.option("basePath", base).parquet(files: _*)
+        }
+        .reduce(_.unionByName(_))
+    }
   }
 }

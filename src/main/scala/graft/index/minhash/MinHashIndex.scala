@@ -146,7 +146,13 @@ object MinHashBuild {
     * a flat path-list read; no per-dir basePath dance needed). */
   def readIndexData(spark: SparkSession,
       content: graft.index.ContentMeta): DataFrame =
-    spark.read.parquet(content.filePaths: _*)
+    // relation resolution per search; the file set is immutable for a
+    // given log entry — cache the resolved logical plan per session
+    // (execution still reads the parquet each time; PlanArtifacts)
+    graft.index.rules.PlanArtifacts.getOrCompute[DataFrame](
+        spark, "mhdata#" + content.filePaths.mkString("|")) {
+      spark.read.parquet(content.filePaths: _*)
+    }
 
   /** Drop tombstoned rows (plus any `extraFids` — query-time drift
     * deletes use the same semantics), NULL-safe (same contract as IVF:

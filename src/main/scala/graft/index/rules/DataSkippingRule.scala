@@ -59,9 +59,11 @@ object DataSkippingRule extends GraftIndexRule {
     // sketch specs + schema parse + the index-data relation resolution
     // are immutable per log id — cache per session (this ran a full
     // spark.read resolution on every Filter-node visit; PlanArtifacts)
+    // content-addressed: name+id alone can collide across fixture system
+    // paths (see ScanSubstitution.indexScan)
     val (sketches, indexSchema) = PlanArtifacts.getOrCompute[
         (Seq[graft.index.dataskipping.Sketch], StructType)](
-        spark, s"ds#${entry.name}#${entry.id}") {
+        spark, s"ds#${entry.name}#${entry.id}#${d.hashCode}") {
       (Sketches.fromSpecs(d.sketches),
         DataType.fromJson(d.schemaJson).asInstanceOf[StructType])
     }
@@ -82,7 +84,8 @@ object DataSkippingRule extends GraftIndexRule {
       translated =>
         val indexData = PlanArtifacts.getOrCompute[
             org.apache.spark.sql.DataFrame](
-            spark, s"dsdata#${entry.name}#${entry.id}") {
+            spark, s"dsdata#${entry.name}#${entry.id}#" +
+              s"${entry.content.filePaths.hashCode}") {
           spark.read.schema(indexSchema).parquet(entry.content.filePaths: _*)
         }
         val hfs = rel.relation.asInstanceOf[HadoopFsRelation]

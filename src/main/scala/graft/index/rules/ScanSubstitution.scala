@@ -51,9 +51,14 @@ object ScanSubstitution {
     // schema parse + file-index construction are immutable per log id —
     // cache them per session (rules re-run this for every candidate
     // rewrite of every query plan; see PlanArtifacts)
+    // the key is CONTENT-ADDRESSED on top of (name, id): two fixtures in
+    // different system paths may reuse a name at the same early log id,
+    // and the file-path hash separates them (caught by PlanArtifactsSpec
+    // colliding with PlanAnalysisSpec's same-named index)
     val (indexSchema, location) = PlanArtifacts.getOrCompute[
         (StructType, InMemoryFileIndex)](
-        spark, s"scan#${entry.name}#${entry.id}") {
+        spark, s"scan#${entry.name}#${entry.id}#" +
+          s"${entry.content.filePaths.hashCode}#${schemaJson.hashCode}") {
       val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       val loc = new InMemoryFileIndex(
         spark,
