@@ -63,7 +63,8 @@ object DataSkippingRule extends GraftIndexRule {
     // paths (see ScanSubstitution.indexScan)
     val (sketches, indexSchema) = PlanArtifacts.getOrCompute[
         (Seq[graft.index.dataskipping.Sketch], StructType)](
-        spark, s"ds#${entry.name}#${entry.id}#${d.hashCode}") {
+        spark, s"ds#${entry.name}#${entry.id}#" + PlanArtifacts.contentKey(
+          d.sketches.map(_.toString) :+ d.schemaJson)) {
       (Sketches.fromSpecs(d.sketches),
         DataType.fromJson(d.schemaJson).asInstanceOf[StructType])
     }
@@ -85,7 +86,7 @@ object DataSkippingRule extends GraftIndexRule {
         val indexData = PlanArtifacts.getOrCompute[
             org.apache.spark.sql.DataFrame](
             spark, s"dsdata#${entry.name}#${entry.id}#" +
-              s"${entry.content.filePaths.hashCode}") {
+              PlanArtifacts.contentKey(entry.content.filePaths)) {
           spark.read.schema(indexSchema).parquet(entry.content.filePaths: _*)
         }
         val hfs = rel.relation.asInstanceOf[HadoopFsRelation]

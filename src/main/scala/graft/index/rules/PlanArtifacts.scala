@@ -36,4 +36,15 @@ private[graft] object PlanArtifacts {
 
   def getOrCompute[T <: AnyRef](spark: SparkSession, key: String)(f: => T): T =
     mapFor(spark).computeIfAbsent(key, _ => f).asInstanceOf[T]
+
+  /** Strong content hash for cache keys: SHA-256 over the parts, NUL
+    * separated. Int `hashCode`s alias at ~2^16 entries (birthday bound) —
+    * with a 256-bit digest aliasing is structurally impossible rather
+    * than merely unlikely, and the file LIST (not just its hash) is what
+    * distinguishes two fixtures reusing an index name at the same log id. */
+  def contentKey(parts: Iterable[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach { p => md.update(p.getBytes("UTF-8")); md.update(0.toByte) }
+    md.digest().map("%02x".format(_)).mkString
+  }
 }

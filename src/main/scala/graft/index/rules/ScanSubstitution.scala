@@ -57,8 +57,8 @@ object ScanSubstitution {
     // colliding with PlanAnalysisSpec's same-named index)
     val (indexSchema, location) = PlanArtifacts.getOrCompute[
         (StructType, InMemoryFileIndex)](
-        spark, s"scan#${entry.name}#${entry.id}#" +
-          s"${entry.content.filePaths.hashCode}#${schemaJson.hashCode}") {
+        spark, s"scan#${entry.name}#${entry.id}#" + PlanArtifacts.contentKey(
+          entry.content.filePaths :+ schemaJson)) {
       val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       val loc = new InMemoryFileIndex(
         spark,

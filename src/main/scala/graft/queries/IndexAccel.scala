@@ -787,14 +787,20 @@ object IndexAccel {
       }
     }
     val name = "stream_src_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = spark.readStream.format(format).load(root)
-      .agg(count(lit(1)).cast(LongType).as("n_rows"),
-        moneySum(col("c_acctbal")).as("sum_bal"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // fresh-checkpoint scratch on the fastest local volume (tmpfs when
+    // present) — see StreamingQueries.scratchCheckpointDir
+    val ckpt = graft.streaming.StreamingQueries.scratchCheckpointDir()
+    try {
+      val q = spark.readStream.format(format).load(root)
+        .agg(count(lit(1)).cast(LongType).as("n_rows"),
+          moneySum(col("c_acctbal")).as("sum_bal"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally graft.streaming.StreamingQueries.deleteRecursively(ckpt)
     val rows = spark.table(name).collect()
     val schema = spark.table(name).schema
     spark.catalog.dropTempView(name)
