@@ -45,6 +45,23 @@ object GraftSession {
       // Sort (SortedIndexScanSpec pins both directions)
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.extensions", "graft.GraftSparkExtension")
+      // Always use the sort-based shuffle writer (never the bypass-merge
+      // writer). Thread dumps of hot stage-latency-bound queries showed
+      // most task threads inside FileChannel.map/unmap: the bypass writer
+      // gives every map task one file PER REDUCE PARTITION and then
+      // concatenates them via NIO transferTo, which mmaps+munmaps each
+      // tiny segment — map_tasks × reduce_partitions munmaps per stage,
+      // serialized kernel-side with cross-core TLB shootdowns. The sort
+      // writer emits ONE file per map task with no merge. At production
+      // partition counts (>200) the bypass writer is never selected
+      // anyway, so 0 also aligns local plan shapes with at-scale
+      // behavior. Measured: full-suite composite −10%, qds family up to
+      // 2× (OPTIMIZATION_r18.md §3). Static core conf — must be set
+      // before the context exists; override via GRAFT_BYPASS_THRESH.
+      // (`spark.shuffle.file.transferTo=false` was A/B-measured 2× WORSE
+      // — it swaps the mmap for a buffered copy but keeps all the files.)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_BYPASS_THRESH", "0"))
     if (master != null) b.master(master) else b
   }
 

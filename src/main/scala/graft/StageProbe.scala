@@ -15,7 +15,9 @@ import org.apache.spark.scheduler._
   * stage-latency-bound sample). */
 object StageProbe {
   final case class StageSpan(id: Int, name: String, tasks: Int,
-      submitted: Long, completed: Long)
+      submitted: Long, completed: Long, runMs: Long, cpuMs: Long,
+      deserMs: Long, gcMs: Long, fetchWaitMs: Long, schedDelayMs: Long,
+      resultSerMs: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,13 +25,35 @@ object StageProbe {
     val spans = mutable.Buffer.empty[StageSpan]
     val jobs = mutable.Buffer.empty[(Int, Long, Long)]
     var jobStart = Map.empty[Int, Long]
+    val taskAgg = mutable.Map.empty[Int, Array[Long]]
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) taskAgg.synchronized {
+          val a = taskAgg.getOrElseUpdate(e.stageId, Array.fill(7)(0L))
+          a(0) += m.executorRunTime
+          a(1) += m.executorCpuTime / 1000000
+          a(2) += m.executorDeserializeTime
+          a(3) += m.jvmGCTime
+          a(4) += Option(m.shuffleReadMetrics).map(_.fetchWaitTime).getOrElse(0L)
+          // scheduler delay = launch-to-finish wall minus everything attributed
+          val info = e.taskInfo
+          if (info != null)
+            a(5) += math.max(0L, info.finishTime - info.launchTime -
+              m.executorRunTime - m.executorDeserializeTime -
+              m.resultSerializationTime)
+          a(6) += m.resultSerializationTime
+        }
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
+        val a = taskAgg.synchronized(
+          taskAgg.getOrElse(i.stageId, Array.fill(7)(0L)))
         spans.synchronized {
           spans += StageSpan(i.stageId, i.name.takeWhile(_ != '\n').take(60),
             i.numTasks, i.submissionTime.getOrElse(0L),
-            i.completionTime.getOrElse(0L))
+            i.completionTime.getOrElse(0L),
+            a(0), a(1), a(2), a(3), a(4), a(5), a(6))
         }
       }
       override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -46,6 +70,7 @@ object StageProbe {
       // warmup (untimed): codegen + index builds reach steady state
       SparkEntry.queries(n)(spark, sfDir).count()
       spans.synchronized(spans.clear()); jobs.synchronized(jobs.clear())
+      taskAgg.synchronized(taskAgg.clear())
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -62,7 +87,11 @@ object StageProbe {
         inStage += s.completed - s.submitted
         gapSum += gap
         println(f"  stage ${s.id}%4d tasks=${s.tasks}%3d " +
-          f"span=${(s.completed - s.submitted) / 1e3}%.3fs gap=${gap / 1e3}%.3fs ${s.name}")
+          f"span=${(s.completed - s.submitted) / 1e3}%.3fs gap=${gap / 1e3}%.3fs " +
+          f"run=${s.runMs / 1e3}%.3f cpu=${s.cpuMs / 1e3}%.3f " +
+          f"deser=${s.deserMs / 1e3}%.3f gc=${s.gcMs / 1e3}%.3f " +
+          f"fetch=${s.fetchWaitMs / 1e3}%.3f sched=${s.schedDelayMs / 1e3}%.3f " +
+          f"rser=${s.resultSerMs / 1e3}%.3f")
         prevEnd = math.max(prevEnd, s.completed)
       }
       println(f"  ### inStage=${inStage / 1e3}%.3fs gaps=${gapSum / 1e3}%.3fs " +
