@@ -24,9 +24,14 @@ import org.apache.spark.sql.functions._
  *    at the wrong magnitude collapse most vectors onto one code and
  *    ADC ordering degenerates.
  *
- * Everything here is built from codegen-friendly `functions._` HOFs
- * (zip_with/aggregate/array_position): no UDFs, whole-stage codegen
- * keeps the encode and ADC passes fused into the scan.
+ * The encode / query-table / ADC columns are NATIVE codegen expressions
+ * ([[graft.functions.PqExpressions]]): the earlier zip_with/aggregate/
+ * element_at spellings were higher-order functions, which are
+ * CodegenFallback — per-element lambda interpretation plus intermediate
+ * array allocation on the O(|queries| x |candidates|) ADC hot loop. The
+ * native forms keep bit-identical arithmetic (same strict fold order,
+ * same first-occurrence argmin — the DuckDB oracles pin this) and fuse
+ * into whole-stage codegen.
  */
 object PqCodec {
 
@@ -55,37 +60,28 @@ object PqCodec {
     (0 until numM).map(m => samples.map(_.slice(m * sub, m * sub + sub)))
   }
 
-  private def cwCol(cb: Seq[Seq[Seq[Double]]], m: Int, k: Int): Column =
-    array(cb(m)(k).map(lit): _*)
+  private def cbArray(cb: Seq[Seq[Seq[Double]]]): Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+
+  import org.apache.spark.sql.classic.GraftBridge
 
   /** Per-vector PQ codes against an explicit codebook: for each
     * subspace, the 1-BASED first-occurrence argmin of the strict-fold
     * squared L2 distance to each codeword (1-based to match DuckDB's
-    * list_position for oracle parity). */
+    * list_position for oracle parity). The input must be `array<double>`
+    * (cast upstream) — see [[graft.functions.PqEncode]]. */
   def codesCol(v: Column, cb: Seq[Seq[Seq[Double]]]): Column =
-    array(cb.indices.map { m =>
-      val sub = slice(v, m * cb(m).head.length + 1, cb(m).head.length)
-      val dists = array(cb(m).indices.map { k =>
-        aggregate(zip_with(sub, cwCol(cb, m, k), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, t) => acc + t)
-      }: _*)
-      array_position(dists, array_min(dists))
-    }: _*)
+    GraftBridge.column(graft.functions.PqEncode(
+      GraftBridge.expression(v.cast("array<double>")), cbArray(cb)))
 
   /** Per-query ADC lookup table: dot(query sub-vector, codeword) for
     * every (subspace, codeword) — numM x K doubles, tiny. */
   def queryTableCol(qv: Column, cb: Seq[Seq[Seq[Double]]]): Column =
-    array(cb.indices.map { m =>
-      val sub = slice(qv, m * cb(m).head.length + 1, cb(m).head.length)
-      array(cb(m).indices.map { k =>
-        aggregate(zip_with(sub, cwCol(cb, m, k), (x, y) => x * y),
-          lit(0.0), (acc, t) => acc + t)
-      }: _*)
-    }: _*)
+    GraftBridge.column(graft.functions.PqQueryTable(
+      GraftBridge.expression(qv.cast("array<double>")), cbArray(cb)))
 
   /** ADC dot product: sum the table entries the codes select. */
   def adcDot(codes: Column, qtab: Column): Column =
-    aggregate(
-      zip_with(codes, qtab, (c, row) => element_at(row, c.cast("int"))),
-      lit(0.0), (acc, t) => acc + t)
+    GraftBridge.column(graft.functions.PqAdcDot(
+      GraftBridge.expression(codes), GraftBridge.expression(qtab)))
 }
