@@ -455,9 +455,22 @@ final class DeltaStreamSource(spark: SparkSession, rootStr: String,
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).option("basePath", rootStr)
-        .parquet(files: _*)
-        .select(schema.fieldNames.map(col(_)).toIndexedSeq: _*)
+      else {
+        // the resolved batch frame is an immutable logical plan over an
+        // immutable file set (commit jsons never change once written) —
+        // cache the RESOLUTION per session, content-addressed on the
+        // exact file list; execution still scans parquet every batch.
+        // Every fresh-checkpoint gate run re-resolved the same files
+        // (~0.2 s relation resolution per batch); same contract as
+        // Tables.load / PlanArtifacts index-data caching.
+        graft.index.rules.PlanArtifacts.getOrCompute[DataFrame](spark,
+          s"deltastream#$rootStr#" + graft.index.rules.PlanArtifacts
+            .contentKey(files :+ schema.catalogString)) {
+          spark.read.schema(schema).option("basePath", rootStr)
+            .parquet(files: _*)
+            .select(schema.fieldNames.map(col(_)).toIndexedSeq: _*)
+        }
+      }
     graft.streaming.SparkStreamingInternals.streamingDataFrame(
       spark, batch.queryExecution.toRdd, schema)
   }
@@ -895,12 +908,34 @@ final class IcebergStreamSource(spark: SparkSession, location: String,
       if (from >= endId)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else if (cdc)
-        IcebergTable.incrementalChanges(spark, location, from, Some(endId))
-          .select(schema.fieldNames.map(col(_)).toIndexedSeq: _*)
-      else IcebergTable.incrementalAppends(spark, location, from,
-          Some(endId), strict = !skipChanges)
-        .select(schema.fieldNames.map(col(_)).toIndexedSeq: _*)
+      else {
+        // snapshot immutability makes (from, endId]'s batch frame a
+        // fixed logical plan — cache the manifest walk + relation
+        // resolution per session. The key rides the CURRENT metadata
+        // document's identity: any commit (or a drop-and-recreate, which
+        // could reuse small sequential snapshot ids) writes a new
+        // metadata json, so staleness is a structural miss, never a
+        // stale hit; execution still scans the data files every batch.
+        val metaId =
+          try {
+            val loc = new Path(location)
+            val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+            val st = fs.getFileStatus(
+              IcebergMeta.currentMetadataFile(fs, location))
+            s"${st.getPath}#${st.getModificationTime}#${st.getLen}"
+          } catch { case scala.util.control.NonFatal(_) => s"nometa#${System.nanoTime()}" }
+        graft.index.rules.PlanArtifacts.getOrCompute[DataFrame](spark,
+          s"icestream#$location#$from#$endId#$cdc#$skipChanges#" +
+            graft.index.rules.PlanArtifacts.contentKey(
+              Seq(metaId, schema.catalogString))) {
+          if (cdc)
+            IcebergTable.incrementalChanges(spark, location, from, Some(endId))
+              .select(schema.fieldNames.map(col(_)).toIndexedSeq: _*)
+          else IcebergTable.incrementalAppends(spark, location, from,
+              Some(endId), strict = !skipChanges)
+            .select(schema.fieldNames.map(col(_)).toIndexedSeq: _*)
+        }
+      }
     graft.streaming.SparkStreamingInternals.streamingDataFrame(
       spark, batch.queryExecution.toRdd, schema)
   }
